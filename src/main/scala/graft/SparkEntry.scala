@@ -1,13 +1,787 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.{Ann, Dedup, Multimodal, Nested, Variant}
+import graft.functions.{Similarity, Text}
+import graft.sources.Tables
+import graft.streaming.Streams
+
+/** Driver contract (SURVEY.md §7.0): one `queries` entry per implemented
+  * operator from SURVEY.md §2, with a DuckDB-equivalent `oracleSql` for every
+  * SQL-expressible one.
+  *
+  * Determinism rules applied to every query (SURVEY.md §7.3): a final
+  * `orderBy` over enough columns for a total order (full row if needed);
+  * money sums via exact `decimal(18,2)` arithmetic cast back to double (the
+  * testdata's doubles are exactly 2dp, so the cast is lossless and sums are
+  * order-independent and engine-identical); no raw floats whose last ulp
+  * could differ between engines (similarity queries emit ids/ranks, with
+  * thresholds sitting in empirically wide gaps of the data's distribution).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.t(s, d, n)
+
+  /** Exact, order-independent sum of a 2dp-double column, as double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Flagship query on sf=0.001 (TPC-H Q1 shape); driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    q1Agg(spark, "/root/testdata/sf0.001")
+
+  private def q1Agg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        count(lit(1)).as("count_order"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // =================================================================
+  // §2A — oamap operator surface (nested fixture = Tables.orderItems)
+  // =================================================================
+
+  private val aQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a01_fieldname" -> ((s, d) => {
+      val renamed = Nested.fieldname(
+        Nested.fieldname(t(s, d, "lineitem"), "", "l_orderkey", "okey"),
+        "", "l_quantity", "qty")
+      renamed.select(col("okey"), col("l_linenumber").as("ln"), col("qty"))
+        .orderBy(col("okey"), col("ln"), col("qty"))
+    }),
+
+    "a02_recordname" -> ((s, d) => {
+      val df = t(s, d, "orders")
+        .withColumn("rec", struct(col("o_orderkey").as("k"), col("o_totalprice").as("p")))
+      val named = Nested.recordname(df, "rec", "Order")
+      named.select(col("rec.k").as("o_orderkey"), col("rec.p").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "a03_project" -> ((s, d) => {
+      val items = Tables.orderItems(s, d)
+      val qtys = items.withColumn("qtys", Nested.project(col("items"), "qty"))
+      qtys.select(col("l_orderkey"),
+          size(col("qtys")).cast("long").as("n"),
+          aggregate(col("qtys"), lit(0.0), (a, x) => a + x).as("total_qty"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    "a04_keep" -> ((s, d) =>
+      Nested.keep(t(s, d, "lineitem"), "l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+
+    "a05_drop" -> ((s, d) =>
+      Nested.drop(t(s, d, "lineitem"),
+          "l_partkey", "l_suppkey", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+
+    "a06_split" -> ((s, d) => {
+      val soa = Nested.split(Tables.orderItems(s, d), "items", "qty", "price")
+      soa.select(col("l_orderkey"),
+          size(col("qty")).cast("long").as("n"),
+          aggregate(col("qty"), lit(0.0), (a, x) => a + x).as("sum_qty"),
+          aggregate(col("price"), lit(0.0).cast("decimal(20,2)"),
+            (a, x) => (a + x.cast("decimal(18,2)")).cast("decimal(20,2)"))
+            .cast("double").as("sum_price"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    "a07_merge" -> ((s, d) => {
+      // split → merge roundtrip, then consume the zipped structs
+      val soa = Nested.split(Tables.orderItems(s, d), "items", "qty", "price")
+      val aos = Nested.merge(soa, "items", "qty", "price")
+      aos.select(col("l_orderkey"),
+          aggregate(col("items"), lit(0.0).cast("decimal(30,4)"),
+            (a, x) => (a + x.getField("qty").cast("decimal(18,2)") *
+              x.getField("price").cast("decimal(18,2)")).cast("decimal(30,4)"))
+            .cast("double").as("sum_qty_price"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    "a08_parent" -> ((s, d) => {
+      val withParent = Nested.parent(Tables.orderItems(s, d), "items", "okey", col("l_orderkey"))
+      withParent.select(explode(col("items")).as("it"))
+        .select(col("it.okey").as("okey"), col("it.ln").as("ln"), col("it.qty").as("qty"))
+        .orderBy(col("okey"), col("ln"), col("qty"))
+    }),
+
+    "a09_index" -> ((s, d) => {
+      val indexed = Nested.index(Tables.orderItems(s, d), "items", "idx")
+      indexed.select(col("l_orderkey"), explode(col("items")).as("it"))
+        .select(col("l_orderkey"), col("it.idx").cast("long").as("idx"),
+          col("it.ln").as("ln"), col("it.qty").as("qty"))
+        .orderBy(col("l_orderkey"), col("idx"))
+    }),
+
+    "a10_tomask" -> ((s, d) =>
+      t(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          Nested.tomask(col("l_discount"), lit(0.02), lit(0.04)).as("disc_masked"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("disc_masked"))),
+
+    "a11_flatten" -> ((s, d) => {
+      val soa = Nested.split(Tables.orderItems(s, d), "items", "qty", "disc")
+      soa.select(col("l_orderkey"),
+          Nested.flattenList(array(col("qty"), col("disc"))).as("flat"))
+        .select(col("l_orderkey"), size(col("flat")).cast("long").as("n_flat"),
+          aggregate(col("flat"), lit(0.0).cast("decimal(20,2)"),
+            (a, x) => (a + x.cast("decimal(18,2)")).cast("decimal(20,2)"))
+            .cast("double").as("sum_flat"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    "a12_filter" -> ((s, d) => {
+      val filtered = Tables.orderItems(s, d)
+        .withColumn("big", Nested.filterElements(col("items"), x => x.getField("qty") > 25))
+      filtered.select(col("l_orderkey"), size(col("big")).cast("long").as("n_big"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    "a13_define" -> ((s, d) => {
+      val defined = Tables.orderItems(s, d).withColumn("items",
+        Nested.defineElements(col("items"), "revenue",
+          x => x.getField("qty") * x.getField("price") * (lit(1.0) - x.getField("disc"))))
+      defined.select(col("l_orderkey"), explode(col("items")).as("it"))
+        .select(col("l_orderkey"), col("it.ln").as("ln"), col("it.qty").as("qty"),
+          col("it.revenue").as("revenue"))
+        .orderBy(col("l_orderkey"), col("ln"), col("qty"), col("revenue"))
+    }),
+
+    "a14_map" -> ((s, d) =>
+      // table-level map: elementwise expressions, flat output
+      t(s, d, "lineitem").select(
+          col("l_orderkey"),
+          col("l_linenumber").as("ln"),
+          (col("l_quantity") * col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(col("l_orderkey"), col("ln"), col("revenue"))),
+
+    "a15_reduce" -> ((s, d) =>
+      Tables.orderItems(s, d).select(col("l_orderkey"),
+          Nested.reduceElements(
+            transform(col("items"), _.getField("qty")), lit(0.0), (a, x) => a + x)
+            .as("total_qty"))
+        .orderBy(col("l_orderkey"))),
+
+    "a17_slice" -> ((s, d) => {
+      val items = Tables.orderItems(s, d)
+      items.select(col("l_orderkey"),
+          Nested.at(Nested.sliceList(col("items"), 1, 2), 1).getField("ln").as("first_ln"),
+          size(Nested.sliceList(col("items"), 1, 2)).cast("long").as("n_first2"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    "a18_union_case" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val u = e.withColumn("u", Variant.union2(
+        when(col("event_type") === "purchase", lit(0)).otherwise(lit(1)),
+        col("value"),
+        regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1).cast("int")))
+      u.select(col("event_id"),
+          col("u.tag").as("tag"),
+          Variant.castCase(col("u"), 0).as("purchase_value"),
+          Variant.castCase(col("u"), 1).as("other_k"))
+        .where(Variant.isCase(col("u"), 0) || Variant.isCase(col("u"), 1))
+        .orderBy(col("event_id"))
+    }),
+
+    "a19_pointer_gather" -> ((s, d) => {
+      val e = t(s, d, "events").select(col("event_id"), col("user_id"))
+      Variant.gather(e, "user_id", t(s, d, "customer").select(col("c_custkey"), col("c_name")),
+          "c_custkey", broadcastTarget = true)
+        .select(col("event_id"), col("user_id"), col("c_name"))
+        .orderBy(col("event_id"))
+    }),
+
+    "a20_ingest_json" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"), from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"))
+        .orderBy(col("event_id"))),
+
+    "a21_inference" -> ((s, d) => {
+      // schema inference over raw JSON strings (oamap inference.fromdata analogue)
+      import s.implicits._
+      val raw = t(s, d, "events").select(col("props")).as[String]
+      val inferred = s.read.json(raw) // infers {k: bigint}
+      inferred.groupBy(col("k")).agg(count(lit(1)).as("n")).orderBy(col("k"))
+    }))
+
+  private val aOracles: Map[String, String] = Map(
+    "a01_fieldname" ->
+      """SELECT l_orderkey AS okey, l_linenumber AS ln, l_quantity AS qty
+        |FROM lineitem ORDER BY okey, ln, qty""".stripMargin,
+    "a02_recordname" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey",
+    "a03_project" ->
+      """SELECT l_orderkey, count(*) AS n, sum(l_quantity) AS total_qty
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "a04_keep" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+    "a05_drop" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+    "a06_split" ->
+      """SELECT l_orderkey, count(*) AS n, sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "a07_merge" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty_price
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "a08_parent" ->
+      """SELECT l_orderkey AS okey, l_linenumber AS ln, l_quantity AS qty
+        |FROM lineitem ORDER BY okey, ln, qty""".stripMargin,
+    "a09_index" ->
+      """SELECT l_orderkey,
+        |  row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_quantity, l_extendedprice, l_discount) - 1 AS idx,
+        |  l_linenumber AS ln, l_quantity AS qty
+        |FROM lineitem ORDER BY l_orderkey, idx""".stripMargin,
+    "a10_tomask" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CASE WHEN l_discount BETWEEN 0.02 AND 0.04 THEN NULL ELSE l_discount END AS disc_masked
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, disc_masked NULLS FIRST""".stripMargin,
+    "a11_flatten" ->
+      """SELECT l_orderkey, 2*count(*) AS n_flat,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) + CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_flat
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "a12_filter" ->
+      """SELECT l_orderkey, count(*) FILTER (WHERE l_quantity > 25) AS n_big
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "a13_define" ->
+      """SELECT l_orderkey, l_linenumber AS ln, l_quantity AS qty,
+        |  l_quantity * l_extendedprice * (1.0 - l_discount) AS revenue
+        |FROM lineitem ORDER BY l_orderkey, ln, qty, revenue""".stripMargin,
+    "a14_map" ->
+      """SELECT l_orderkey, l_linenumber AS ln,
+        |  l_quantity * l_extendedprice * (1.0 - l_discount) AS revenue
+        |FROM lineitem ORDER BY l_orderkey, ln, revenue""".stripMargin,
+    "a15_reduce" ->
+      """SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "a17_slice" ->
+      """SELECT l_orderkey, min(l_linenumber) AS first_ln,
+        |  least(count(*), 2) AS n_first2
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "a18_union_case" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS tag,
+        |  CASE WHEN event_type = 'purchase' THEN value ELSE NULL END AS purchase_value,
+        |  CASE WHEN event_type = 'purchase' THEN NULL
+        |       ELSE CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS INTEGER) END AS other_k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "a19_pointer_gather" ->
+      """SELECT e.event_id, e.user_id, c.c_name
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+    "a20_ingest_json" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "a21_inference" ->
+      """SELECT CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT) AS k,
+        |  count(*) AS n
+        |FROM events GROUP BY k ORDER BY k""".stripMargin)
+
+  // =================================================================
+  // §2B — relational surface (Spark built-ins)
+  // =================================================================
+
+  private val bQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b01_tpch_q1" -> ((s, d) => q1Agg(s, d)),
+
+    "b02_join_broadcast" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("p_brand"))),
+
+    "b03_join_multi" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("r_name"))
+    }),
+
+    "b04_join_left" -> ((s, d) =>
+      t(s, d, "customer").as("c")
+        .join(t(s, d, "orders").as("o"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total"))
+        .orderBy(col("c_custkey"))),
+
+    "b05_join_semi" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").where(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    "b06_join_anti" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    "b07_join_theta" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey") && col("o_totalprice") > col("c_acctbal") * 50)
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("c_custkey"))),
+
+    "b08_join_asof" -> ((s, d) => {
+      // for each purchase event: the user's most recent click at-or-before it
+      val e = t(s, d, "events")
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("click_id"))
+      val j = p.join(c, col("user_id") === col("cu") && col("cts") <= col("ts"), "left")
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("cts").desc_nulls_last, col("click_id").desc_nulls_last)
+      j.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("click_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    "b09_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+        .orderBy(col("o_custkey"), col("rk"))
+    }),
+
+    "b10_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "b11_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).cast("long").as("days_since_prev"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "b12_topk" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)),
+
+    "b13_setops" -> ((s, d) => {
+      val oc = t(s, d, "orders").select(col("o_custkey").as("k")).distinct()
+      val ec = t(s, d, "events").select(col("user_id").as("k")).distinct()
+      val onlyOrders = oc.except(ec).agg(count(lit(1)).as("n")).withColumn("tag", lit("only_orders"))
+      val both = oc.intersect(ec).agg(count(lit(1)).as("n")).withColumn("tag", lit("both"))
+      val all = oc.union(ec).distinct().agg(count(lit(1)).as("n")).withColumn("tag", lit("union"))
+      onlyOrders.union(both).union(all).select(col("tag"), col("n")).orderBy(col("tag"))
+    }),
+
+    "b14_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "b15_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls"))),
+
+    "b16_string_fns" -> ((s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          lower(col("p_brand")).as("brand_lower"),
+          substring(col("p_name"), 1, 5).as("name5"),
+          regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+          size(split(col("p_type"), " ")).cast("long").as("type_words"))
+        .orderBy(col("p_partkey"))),
+
+    "b17_date_fns" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("month"))),
+
+    "b18_approx_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy(col("l_returnflag"))),
+
+    "b19_window_tumbling" -> ((s, d) =>
+      Streams.tumblingCounts(t(s, d, "events"), "1 hour")
+        .orderBy(col("window_start"), col("event_type"))),
+
+    "b20_sessionize" -> ((s, d) =>
+      Streams.sessionCounts(t(s, d, "events"), "30 minutes")
+        .orderBy(col("user_id"), col("session_start"))))
+
+  private val bOracles: Map[String, String] = Map(
+    "b01_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  count(*) AS count_order,
+        |  sum(l_quantity) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "b02_join_broadcast" ->
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "b03_join_multi" ->
+      """SELECT r_name, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "b04_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "b05_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "b06_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "b07_join_theta" ->
+      """SELECT c_custkey, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey AND o_totalprice > c_acctbal * 50
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "b08_join_asof" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS cu, ts AS cts, event_id AS click_id FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.event_id, p.user_id, c.click_id,
+        |  row_number() OVER (PARTITION BY p.event_id ORDER BY c.cts DESC NULLS LAST, c.click_id DESC NULLS LAST) AS rn
+        |  FROM p LEFT JOIN c ON p.user_id = c.cu AND c.cts <= p.ts)
+        |SELECT event_id, user_id, click_id FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "b09_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "b10_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "b11_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  date_diff('day', lag(o_orderdate, 1) OVER w, o_orderdate) AS days_since_prev,
+        |  lead(o_orderkey, 1) OVER w AS next_order
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "b12_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "b13_setops" ->
+      """WITH oc AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        |ec AS (SELECT DISTINCT user_id AS k FROM events)
+        |SELECT 'both' AS tag, count(*) AS n FROM (SELECT k FROM oc INTERSECT SELECT k FROM ec)
+        |UNION ALL
+        |SELECT 'only_orders' AS tag, count(*) AS n FROM (SELECT k FROM oc EXCEPT SELECT k FROM ec)
+        |UNION ALL
+        |SELECT 'union' AS tag, count(*) AS n FROM (SELECT k FROM oc UNION SELECT k FROM ec)
+        |ORDER BY tag""".stripMargin,
+    "b14_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "b15_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "b16_string_fns" ->
+      """SELECT p_partkey, lower(p_brand) AS brand_lower, substring(p_name, 1, 5) AS name5,
+        |  regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+        |  CAST(len(string_split(p_type, ' ')) AS BIGINT) AS type_words
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "b17_date_fns" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY month ORDER BY month""".stripMargin,
+    "b19_window_tumbling" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin,
+    "b20_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+        |  user_id, count(*) AS n
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)
+
+  // =================================================================
+  // §2C — LLM-pipeline extensions
+  // =================================================================
+
+  private val cQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c01_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "text", "doc_id")
+        .select(col("rep_id"), col("n_dups"))
+        .orderBy(col("rep_id"))),
+
+    "c02_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
+          shingleN = 3, numPerm = 64, bands = 16, threshold = 0.8)
+        .orderBy(col("a"), col("b"))),
+
+    "c03_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+        .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("a"), col("b"))),
+
+    "c04_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          shingleN = 3, threshold = 0.8)
+        .orderBy(col("a"), col("b"))),
+
+    "c05_dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.35)
+        .select(col("a"), col("b"))
+        .orderBy(col("a"), col("b"))),
+
+    "c06_ann_brute" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      Ann.bruteTopK(emb, queries, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("item_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "c07_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      val centroids = emb.where(pmod(col("vec_id"), lit(97)) === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      Ann.ivfTopK(emb, queries, centroids, "vec_id", "embedding", k = 10, nprobe = 2)
+        .select(col("query_id"), col("item_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "c08_lang_id" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Text.langId(col("text")).as("pred_lang"))
+        .orderBy(col("doc_id"))),
+
+    "c09_quality" -> ((s, d) => {
+      val toks = Text.tokens(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          size(filter(toks, tk => tk.isInCollection(Text.stopwordsEn))).cast("long").as("n_stop"),
+          Text.qualityScore(col("text")).as("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "c10_token_count" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Text.tokenCount(col("text")).cast("long").as("ws_tokens"),
+          Text.subwordCount(col("text")).cast("long").as("subwords"))
+        .orderBy(col("doc_id"))),
+
+    "c11_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Text.fingerprint(Text.tokens(col("text"))).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    "c12_multimodal" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("payload", col("text").cast("binary"))
+      Multimodal.extractFeatures(docs, "doc_id", "payload")
+        .select(col("media_id"),
+          col("features.n_bytes").as("n_bytes"), col("features.byte_sum").as("byte_sum"),
+          col("features.h0").as("h0"), col("features.h1").as("h1"),
+          col("features.h2").as("h2"), col("features.h3").as("h3"))
+        .orderBy(col("media_id"))
+    }))
+
+  private val shingleCte =
+    """WITH s AS (
+      |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3)""".stripMargin
+
+  private val jaccardPairsSql =
+    shingleCte +
+      """
+        |SELECT a.doc_id AS a, b.doc_id AS b
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))
+        |ORDER BY a, b""".stripMargin
+
+  private val cOracles: Map[String, String] = Map(
+    "c01_dedup_exact" ->
+      """SELECT min(doc_id) AS rep_id, count(*) AS n_dups FROM documents
+        |GROUP BY text ORDER BY rep_id""".stripMargin,
+    "c02_dedup_minhash" -> jaccardPairsSql,
+    "c03_dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+        |h AS (
+        |  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
+        |bits AS (
+        |  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM h CROSS JOIN generate_series(0, 47) g(j) GROUP BY doc_id, j),
+        |sh AS (
+        |  SELECT doc_id, sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sh
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3 ORDER BY a, b""".stripMargin,
+    "c04_ngram_jaccard" -> jaccardPairsSql,
+    "c05_dedup_embedding" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+        |ORDER BY a, b""".stripMargin,
+    "c06_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS item_id,
+        |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM q JOIN embeddings e ON e.vec_id != q.query_id),
+        |ranked AS (
+        |  SELECT query_id, item_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, item_id, CAST(rank AS INTEGER) AS rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "c07_ann_ivf" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id % 97 = 0),
+        |item_sc AS (
+        |  SELECT e.vec_id AS item_id, e.embedding AS iv, c.centroid_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) AS csim
+        |  FROM embeddings e CROSS JOIN cent c),
+        |item_cell AS (
+        |  SELECT item_id, iv, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY item_id ORDER BY csim DESC, centroid_id) AS crank
+        |    FROM item_sc) WHERE crank <= 1),
+        |q_sc AS (
+        |  SELECT e.vec_id AS query_id, e.embedding AS qv, c.centroid_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) AS csim
+        |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5),
+        |q_cell AS (
+        |  SELECT query_id, qv, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, centroid_id) AS crank
+        |    FROM q_sc) WHERE crank <= 2),
+        |scored AS (
+        |  SELECT q.query_id, i.item_id,
+        |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(i.iv AS DOUBLE[])), 6) AS cos
+        |  FROM item_cell i JOIN q_cell q USING (centroid_id)
+        |  WHERE i.item_id != q.query_id)
+        |SELECT query_id, item_id, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT query_id, item_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
+        |  FROM scored) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "c08_lang_id" ->
+      """SELECT doc_id,
+        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |    WHEN en > es AND en > 0 THEN 'en'
+        |    WHEN es > en AND es > 0 THEN 'es'
+        |    ELSE 'und' END AS pred_lang
+        |FROM (
+        |  SELECT doc_id, text,
+        |    len(list_filter(string_split(text,' '), tk -> tk IN ('the','a','of','and','to','in','is','it'))) AS en,
+        |    len(list_filter(string_split(text,' '), tk -> tk IN ('el','la','de','y','que','en','un','es'))) AS es
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "c09_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+        |  CAST(len(list_filter(t, tk -> tk IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS n_stop,
+        |  (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 0.5
+        |    + (CAST(len(list_filter(t, tk -> tk IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 0.2
+        |    + least(CAST(list_sum(list_transform(t, tk -> length(tk))) AS DOUBLE) / CAST(len(t) AS DOUBLE) / 10.0, 1.0) * 0.3 AS score
+        |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "c10_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "c11_fingerprint" ->
+      """SELECT doc_id,
+        |  sum(((CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 2147483647)
+        |       * (((pos - 1) % 64) + 1)) % 2147483647) % 2147483647 AS fp
+        |FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "c12_multimodal" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS BIGINT) AS byte_sum,
+        |  CAST(len(list_filter(string_split(text, ''), c -> ascii(c) // 64 = 0)) AS BIGINT) AS h0,
+        |  CAST(len(list_filter(string_split(text, ''), c -> ascii(c) // 64 = 1)) AS BIGINT) AS h1,
+        |  CAST(len(list_filter(string_split(text, ''), c -> ascii(c) // 64 = 2)) AS BIGINT) AS h2,
+        |  CAST(len(list_filter(string_split(text, ''), c -> ascii(c) // 64 = 3)) AS BIGINT) AS h3
+        |FROM documents ORDER BY media_id""".stripMargin)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    aQueries ++ bQueries ++ cQueries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted (→ rows-only check): b18 (approx HLL
+    * values are engine-specific). */
+  def oracleSql: Map[String, String] = aOracles ++ bOracles ++ cOracles
 }

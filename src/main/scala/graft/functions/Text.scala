@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-pipeline operators (SURVEY.md §2C).
+  *
+  * Everything here is a pure Column-expression rewrite (no UDFs) so it stays
+  * inside whole-stage codegen and scales linearly with no shuffle; the only
+  * shuffles in the pipelines built on top (Dedup, TextAnalysis queries) are
+  * the explicit groupBys/joins those pipelines declare.
+  *
+  * Determinism contract: token hashing is defined as the first 15 hex chars
+  * of md5, parsed base-16 (60-bit positive value). md5 is available and
+  * bit-identical in every engine (Spark, DuckDB, Python), which makes every
+  * hash-derived result here reproducible by the driver's DuckDB oracle —
+  * unlike Spark's Murmur3 `hash()`, whose seed/impl is engine-private.
+  */
+object Text {
+
+  /** Mersenne prime 2^31-1; modulus for minhash permutations and the
+    * rolling fingerprint. Products stay well under 2^63. */
+  val P: Long = 2147483647L
+
+  /** Whitespace tokenization. The testdata's `documents.text` is
+    * space-separated (FIXTURES.md). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Deterministic, engine-portable 60-bit token hash (see object doc). */
+  def tokenHash(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+
+  /** Word n-gram shingles, distinct, as strings ("w1 w2 w3").
+    * Empty result when the doc has fewer than n tokens. */
+  def shingles(toks: Column, n: Int): Column = {
+    val made = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => array_join(slice(toks, i, lit(n)), " "))
+    array_distinct(when(size(toks) >= n, made).otherwise(array().cast("array<string>")))
+  }
+
+  /** Distinct shingle hashes — the set representation used by minhash and
+    * the exact jaccard join. */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(shingles(tokens(text), n), tokenHash(_))
+
+  /** Rolling document fingerprint: order-sensitive polynomial hash
+    * sum_i (h_i mod P) * ((i mod 64)+1) mod P, all mod P. Reproducible in
+    * ANSI SQL (DuckDB oracle unnests with subscripts). Two docs with the
+    * same tokens in different order fingerprint differently. */
+  def fingerprint(toks: Column): Column =
+    pmod(
+      aggregate(
+        transform(toks, (t, i) => pmod(pmod(tokenHash(t), lit(P)) * (pmod(i, lit(64)) + 1), lit(P))),
+        lit(0L), (acc, x) => acc + x),
+      lit(P))
+
+  /** Stopword lists for the n-gram/stopword language-ID heuristic. Tiny and
+    * fixed so the oracle can embed the same lists. */
+  val stopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  val stopwordsEs: Seq[String] = Seq("el", "la", "de", "y", "que", "en", "un", "es")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Language-ID heuristic: CJK codepoints → zh; else the richer stopword
+    * list wins; ties/none → unknown ("und"). Deterministic; the oracle
+    * replicates the same rules. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val en = countIn(toks, stopwordsEn)
+    val es = countIn(toks, stopwordsEs)
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .when(en > es && en > 0, lit("en"))
+      .when(es > en && es > 0, lit("es"))
+      .otherwise(lit("und"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: runs of letters, digits, or single punctuation,
+    * via regexp_count — a cheap proxy for tokenizer cost accounting. */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  /** Quality-score blend. Left unrounded: the expression tree is identical
+    * IEEE double arithmetic in every engine (bit-reproducible), whereas
+    * round() implementations differ at the half-ulp between engines. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val distinctRatio = size(array_distinct(toks)).cast("double") / n
+    val stopRatio = countIn(toks, stopwordsEn).cast("double") / n
+    val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / n
+    distinctRatio * 0.5 + stopRatio * 0.2 + least(meanLen / 10.0, lit(1.0)) * 0.3
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Similarity
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2C). Baseline = brute-force cosine top-k; scale path = IVF
+  * cell blocking with deterministic centroids.
+  */
+object Ann {
+
+  /** Brute-force cosine top-k: every query against every item, ranked per
+    * query by (cosine desc, id asc — total order for determinism).
+    *
+    * The query side is expected to be small and is broadcast, so this is a
+    * map-side-only pass over the item table followed by one shuffle on
+    * query_id for the per-query top-k window — the right plan when
+    * |queries| ≪ |items| even at 100 TB of items.
+    */
+  def bruteTopK(items: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                k: Int): DataFrame = {
+    val it = items.select(col(idCol).as("item_id"), col(vecCol).as("iv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = it.join(broadcast(q), col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("item_id"),
+        Similarity.cosineRounded(col("qv"), col("iv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("item_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("item_id"), col("cos"), col("rank"))
+  }
+
+  /** IVF-style blocked ANN: assign every vector to its nearest of
+    * `centroids` (a small deterministic DataFrame of (centroid_id, vec)),
+    * then search only the query's `nprobe` best cells.
+    *
+    * Scale: centroids are broadcast; cell assignment is a narrow map; the
+    * candidate join shuffles on centroid_id only — the classic IVF trade of
+    * recall for a |items|/|cells| fan-in reduction. Deterministic (no
+    * sampled k-means here; callers provide centroids — e.g. first K vectors
+    * or a precomputed codebook).
+    */
+  def ivfTopK(items: DataFrame, queries: DataFrame, centroids: DataFrame,
+              idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    val cent = broadcast(centroids.select(col("centroid_id"), col("cvec")))
+
+    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
+      val scored = df.select(col(id), col(v))
+        .join(cent)
+        .select(col(id), col(v), col("centroid_id"),
+          Similarity.cosineRounded(col(v), col("cvec")).as("csim"))
+      val w = Window.partitionBy(id).orderBy(col("csim").desc, col("centroid_id"))
+      scored.withColumn("crank", row_number().over(w))
+        .where(col("crank") <= keep)
+        .select(col(id), col(v), col("centroid_id"))
+    }
+
+    val itemCells = assign(items.select(col(idCol).as("item_id"), col(vecCol).as("iv")), "item_id", "iv", 1)
+    val queryCells = assign(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv", nprobe)
+
+    val scored = itemCells.join(queryCells, Seq("centroid_id"))
+      .where(col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("item_id"),
+        Similarity.cosineRounded(col("qv"), col("iv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("item_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("item_id"), col("cos"), col("rank"))
+  }
+}

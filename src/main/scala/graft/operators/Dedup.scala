@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{Similarity, Text}
+
+/** Deduplication operators for LLM-scale corpora (SURVEY.md §2C).
+  *
+  * Scale design (100 TB): every variant is bounded by shuffles on explicit,
+  * well-distributed keys — band signatures (minhash), hash chunks (simhash),
+  * shingle hashes (inverted index), never an unblocked O(n²) cross join.
+  * Exact-verification joins happen only on candidate pairs, whose cardinality
+  * the banding/blocking keeps near-linear. No driver-side state, no collect.
+  */
+object Dedup {
+
+  import Text.P
+
+  /** Exact dedup: canonical representative (min id) per identical value.
+    * Plain hash aggregation — one shuffle on the dedup key, map-side
+    * partial aggregation for free. */
+  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_dups"))
+
+  /** Deterministic affine minhash permutations h_i(x) = (a_i·x + b_i) mod P.
+    * Constants from a fixed LCG so Spark and the oracle agree. */
+  private[graft] def coeffA(i: Int): Long = (1103515245L * (i + 1) + 12345L) % P match {
+    case 0L => 1L; case a => a
+  }
+  private[graft] def coeffB(i: Int): Long = (69069L * (i + 1) + 1L) % P
+
+  /** numPerm-long minhash signature of a distinct-hash set column. */
+  def minhashSignature(hashes: Column, numPerm: Int): Column =
+    transform(sequence(lit(0), lit(numPerm - 1)), i => {
+      val a = element_at(array((0 until numPerm).map(j => lit(coeffA(j))): _*), i + 1)
+      val b = element_at(array((0 until numPerm).map(j => lit(coeffB(j))): _*), i + 1)
+      array_min(transform(hashes, h => pmod(a * pmod(h, lit(P)) + b, lit(P))))
+    })
+
+  /** MinHash + LSH near-dup pairs, exact-verified.
+    *
+    * shingle → 60-bit md5 hash set → numPerm minhashes → `bands` bands of
+    * `numPerm/bands` rows; docs sharing any band signature are candidates;
+    * candidates are verified with exact jaccard ≥ `threshold`.
+    *
+    * With numPerm=64, bands=16 (r=4): P(candidate | j) = 1-(1-j⁴)¹⁶, i.e.
+    * ≥ 99.98% at j=0.8 and ~1e-5 at the corpus background j≈0.03 — so the
+    * result equals the exact-jaccard answer with near-certainty, which is
+    * precisely what the DuckDB oracle computes by brute force at small sf.
+    *
+    * Scale: the only shuffles are groupBy/join on (band, signature) and the
+    * candidate-pair verification join on doc ids. Band buckets are capped
+    * (`maxBucket`) to drop degenerate towers (standard LSH skew guard).
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, numPerm: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val r = numPerm / bands
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(Text.shingleHashes(col(textCol), shingleN)).as("hs"))
+      .where(size(col("hs")) > 0)
+    val sigs = sets.withColumn("sig", minhashSignature(col("hs"), numPerm))
+    val banded = sigs.select(col("id"), posexplode(
+        array((0 until bands).map(b =>
+          array_join(transform(slice(col("sig"), b * r + 1, r), _.cast("string")), "_")): _*)))
+      .toDF("id", "band", "bandsig")
+    val buckets = banded.groupBy("band", "bandsig")
+      .agg(collect_list("id").as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+    val cands = buckets
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .where(col("a") < col("b"))
+      .distinct()
+    val withSets = cands
+      .join(sets.select(col("id").as("a"), col("hs").as("ha")), "a")
+      .join(sets.select(col("id").as("b"), col("hs").as("hb")), "b")
+    withSets
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("uni", size(array_union(col("ha"), col("hb"))))
+      .where(col("inter") >= col("uni") * threshold)
+      .select(col("a"), col("b"))
+  }
+
+  /** Exact n-gram jaccard similarity join via inverted index (the
+    * scalable exact path next to minhash's approximate one).
+    *
+    * posting list (shingle-hash → doc) self-joined on the shingle, counting
+    * co-occurrences per pair = |intersection|; set sizes give the union.
+    * Shuffles: one on shingle hash (well distributed — md5), one groupBy on
+    * the pair. Hot shingles are capped (`maxPosting`) — a document-frequency
+    * cut that bounds the pair blowup, standard for similarity joins.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, threshold: Double = 0.8,
+                        maxPosting: Int = 10000): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(Text.shingleHashes(col(textCol), shingleN)).as("hs"))
+      .where(size(col("hs")) > 0)
+    val sizes = sets.select(col("id"), size(col("hs")).as("sz"))
+    val postings = sets.select(col("id"), explode(col("hs")).as("h"))
+    val capped = postings.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .where(col("df") <= maxPosting).drop("df")
+    val co = capped.as("x").join(capped.as("y"), col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    co.join(sizes.select(col("id").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), "b")
+      .where(col("inter") >= (col("sza") + col("szb") - col("inter")) * threshold)
+      .select(col("a"), col("b"))
+  }
+
+  /** 48-bit SimHash (48 not 64 so the reassembled value stays positive in
+    * BIGINT for every engine): bit j of the signature is the sign of
+    * sum over distinct tokens of ±1 depending on bit j of the token hash.
+    */
+  def simhash48(toks: Column): Column = {
+    val hs = transform(array_distinct(toks), Text.tokenHash(_))
+    // per-token ±1 vote vector over the 48 bits, summed with one fold, then
+    // reassembled into the signature — one pass over the tokens.
+    val bitVotes = transform(hs, h =>
+      array((0 until 48).map(j =>
+        when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)): _*))
+    val votes = aggregate(bitVotes, array_repeat(lit(0), 48),
+      (acc, v) => zip_with(acc, v, (a, b) => a + b))
+    (0 until 48).map(j =>
+      when(element_at(votes, j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming, banded.
+    *
+    * Pigeonhole blocking: split 48 bits into (maxHamming+1) chunks — pairs
+    * within distance k must agree on ≥1 chunk, so candidates come from an
+    * equi-join on (chunk index, chunk value), then exact popcount verify.
+    * Shuffle keys are chunk values (uniform); no cross join anywhere.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 48 / chunks
+    val sh = df.select(col(idCol).as("id"),
+      Dedup.simhash48(Text.tokens(col(textCol))).as("sh"))
+    val banded = sh.select(col("id"), col("sh"), posexplode(
+        array((0 until chunks).map(c =>
+          shiftright(col("sh"), c * bitsPer).bitwiseAND((1L << bitsPer) - 1)): _*)))
+      .toDF("id", "sh", "chunk", "val")
+    banded.as("x").join(banded.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.val") === col("y.val") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+      .distinct()
+  }
+
+  /** Embedding near-dup: pairs with cosine ≥ threshold.
+    *
+    * Small-side brute force here (fine ≤ ~10⁵ vectors); the 100 TB path is
+    * [[graft.operators.Ann.ivfTopK]]-style cell blocking — documented there.
+    * Cosine is rounded to 6dp before thresholding so the cross-engine
+    * comparison is stable.
+    */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        Similarity.cosineRounded(col("x.v"), col("y.v")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

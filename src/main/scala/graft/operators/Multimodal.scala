@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column handling — SURVEY.md §2C.
+  *
+  * Media payloads are opaque `binary` columns with a typed metadata struct
+  * alongside; decode/feature-extract runs per-partition over Arrow-sized
+  * batches. The actual codec is STUBBED (no image/audio libs in this
+  * container): [[decodeStub]] computes deterministic per-blob features
+  * (length, byte-sum, 4-bucket byte histogram) so the Spark-side plumbing —
+  * schema, partitioning, batch iteration, typed output — is real and
+  * testable, and a codec drop-in replaces only the inner function.
+  *
+  * Scale: `mapPartitions` keeps decode per-executor with zero shuffle;
+  * feature outputs are columnar structs, so downstream pruning still works.
+  */
+object Multimodal {
+
+  /** Feature schema produced by the (stubbed) decoder. */
+  case class MediaFeatures(n_bytes: Long, byte_sum: Long,
+                           h0: Long, h1: Long, h2: Long, h3: Long)
+
+  /** Deterministic fake decode — replace with a real codec at deploy. */
+  def decodeStub(payload: Array[Byte]): MediaFeatures = {
+    var sum = 0L
+    val hist = new Array[Long](4)
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      sum += b
+      hist(b >> 6) += 1
+      i += 1
+    }
+    MediaFeatures(payload.length.toLong, sum, hist(0), hist(1), hist(2), hist(3))
+  }
+
+  /** Attach decoded features to a DataFrame with an id column and a binary
+    * payload column. Typed per-partition iteration (the Scala analogue of
+    * `mapInPandas` batch plumbing), no shuffle. */
+  def extractFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          (id, decodeStub(if (payload == null) Array.emptyByteArray else payload))
+        }
+      }
+      .toDF("media_id", "features")
+  }
+
+  /** Typed metadata a real media table would carry next to the payload. */
+  def withMediaMetadata(df: DataFrame, payloadCol: String): DataFrame =
+    df.withColumn("media_meta", struct(
+      length(col(payloadCol)).cast("long").as("n_bytes"),
+      lit("application/octet-stream").as("mime"),
+      crc32(col(payloadCol)).as("checksum")))
+}

@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Testdata table access (TESTDATA.md / FIXTURES.md).
+  *
+  * Reads are plain parquet scans so Spark's vectorized reader, predicate
+  * pushdown, column pruning and (for nested outputs) nested-schema pruning
+  * all apply — the Spark-native equivalent of oamap's lazy per-column
+  * backend fetch (`oamap/generator.py::Cache`, public repo — see SURVEY.md
+  * provenance notice).
+  */
+object Tables {
+
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects (PARQUET_TYPE_ILLEGAL). Read it as raw nanos and
+      // rebuild the timestamp with integer arithmetic (`DIV`, not double
+      // division — 2024-epoch nanos exceed double's 2^53 exact range). The
+      // testdata is µs-precision (verified), so this is lossless.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+
+  /** lineitem regrouped as one row per order with a sorted array-of-struct
+    * `items` column — the canonical "List(Record)" nested fixture used by
+    * the §2A operator queries (events-containing-particles shape).
+    *
+    * Element order inside `items` is made deterministic by sorting on the
+    * full element struct ((l_orderkey, l_linenumber) alone is not unique in
+    * the testdata). One shuffle on l_orderkey; at 100 TB this is the same
+    * shuffle any per-order pipeline needs and partitions by a dense,
+    * well-distributed key.
+    */
+  def orderItems(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(
+        col("l_linenumber").as("ln"),
+        col("l_quantity").as("qty"),
+        col("l_extendedprice").as("price"),
+        col("l_discount").as("disc")))).as("items"))
+}
