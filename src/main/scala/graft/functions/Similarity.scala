@@ -14,15 +14,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-order dot product in double precision. */
+  /** Sequential-order dot product in double precision (HOF form — kept as
+    * the reference implementation; [[cosine]] uses the codegen expression
+    * with identical numerics). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in double. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity in double — codegen'd single-pass loop
+    * ([[graft.plans.VectorExpressions.CosineSim]]), bit-identical to
+    * `dot(a,b)/(norm(a)*norm(b))` in HOF form. */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.cosineSim(a, b)
+
+  /** HOF cosine, kept for equivalence testing against the expression. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Cosine rounded for stable cross-engine threshold/rank comparisons. */
   def cosineRounded(a: Column, b: Column, scale: Int = 6): Column =

@@ -30,8 +30,15 @@ object Dedup {
   }
   private[graft] def coeffB(i: Int): Long = (69069L * (i + 1) + 1L) % P
 
-  /** numPerm-long minhash signature of a distinct-hash set column. */
+  /** numPerm-long minhash signature of a distinct-hash set column —
+    * codegen'd ([[graft.plans.VectorExpressions.MinHashSig]]). */
   def minhashSignature(hashes: Column, numPerm: Int): Column =
+    graft.plans.VectorExpressions.minhashSig(hashes, numPerm,
+      (0 until numPerm).map(coeffA).toArray, (0 until numPerm).map(coeffB).toArray)
+
+  /** Interpreted HOF form of [[minhashSignature]] — identical arithmetic,
+    * kept for equivalence testing. */
+  def minhashSignatureHof(hashes: Column, numPerm: Int): Column =
     transform(sequence(lit(0), lit(numPerm - 1)), i => {
       val a = element_at(array((0 until numPerm).map(j => lit(coeffA(j))): _*), i + 1)
       val b = element_at(array((0 until numPerm).map(j => lit(coeffB(j))): _*), i + 1)

@@ -1,0 +1,171 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftglue.ColumnGlue
+import org.apache.spark.sql.types._
+
+/** Custom codegen'd Catalyst expressions (SURVEY.md §4.2: "custom
+  * `Expression` with `doGenCode` beats a Scala UDF beats anything else").
+  *
+  * The higher-order-function formulations (`zip_with` + `aggregate`) are
+  * semantically identical but run interpreted with per-element boxing —
+  * measured 85 s for the sf0.1 embedding near-dup join. These expressions
+  * compile to tight primitive loops inside whole-stage codegen. Numerics
+  * are kept bit-identical to the HOF versions (same per-accumulator
+  * sequential fold order, double arithmetic, no FMA) so the DuckDB oracle
+  * comparisons are unaffected.
+  */
+object VectorExpressions {
+
+  /** Cosine similarity over two equal-length float/double arrays, in
+    * double: dot/(√Σx²·√Σy²) with sequential accumulation. */
+  case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def ok(dt: DataType) = dt match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cosine_sim needs array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+    }
+
+    private def elemGetter(e: Expression): String =
+      e.dataType.asInstanceOf[ArrayType].elementType match {
+        case FloatType => "getFloat"
+        case _ => "getDouble"
+      }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val xa = a.asInstanceOf[ArrayData]
+      val xb = b.asInstanceOf[ArrayData]
+      val n = math.min(xa.numElements(), xb.numElements())
+      val fa = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      val fb = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x: Double = if (fa) xa.getFloat(i).toDouble else xa.getDouble(i)
+        val y: Double = if (fb) xb.getFloat(i).toDouble else xb.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $x = (double) $a.${elemGetter(left)}($i);
+           |  double $y = (double) $b.${elemGetter(right)}($i);
+           |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+           |}
+           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** MinHash signature: for each permutation p, min over the input hash set
+    * of (A(p)·(h mod P) + B(p)) mod P. Identical arithmetic to
+    * [[graft.operators.Dedup.minhashSignature]]'s HOF form, compiled to a
+    * two-level primitive loop. */
+  case class MinHashSig(child: Expression, numPerm: Int,
+                        coeffA: Array[Long], coeffB: Array[Long]) extends UnaryExpression {
+    private val P = 2147483647L
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case dt =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"minhash_sig needs array<bigint>, got $dt")
+      }
+
+    override def nullSafeEval(input: Any): Any = {
+      val hs = input.asInstanceOf[ArrayData]
+      val n = hs.numElements()
+      val sig = new Array[Long](numPerm)
+      var p = 0
+      while (p < numPerm) {
+        val a = coeffA(p); val b = coeffB(p)
+        var mn = Long.MaxValue
+        var i = 0
+        while (i < n) {
+          val h = hs.getLong(i) % P
+          val v = (a * h + b) % P
+          if (v < mn) mn = v
+          i += 1
+        }
+        sig(p) = mn
+        p += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val aRef = ctx.addReferenceObj("minhashA", coeffA, "long[]")
+      val bRef = ctx.addReferenceObj("minhashB", coeffB, "long[]")
+      nullSafeCodeGen(ctx, ev, hs => {
+        val n = ctx.freshName("n")
+        val sig = ctx.freshName("sig")
+        val p = ctx.freshName("p")
+        val i = ctx.freshName("i")
+        val mn = ctx.freshName("mn")
+        val h = ctx.freshName("h")
+        val v = ctx.freshName("v")
+        s"""
+           |int $n = $hs.numElements();
+           |long[] $sig = new long[$numPerm];
+           |for (int $p = 0; $p < $numPerm; $p++) {
+           |  long $mn = Long.MAX_VALUE;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    long $h = $hs.getLong($i) % ${P}L;
+           |    long $v = ($aRef[$p] * $h + $bRef[$p]) % ${P}L;
+           |    if ($v < $mn) $mn = $v;
+           |  }
+           |  $sig[$p] = $mn;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+      copy(child = newChild)
+  }
+
+  /** Column-API entry points. */
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnGlue.column(CosineSim(
+      ColumnGlue.expression(a), ColumnGlue.expression(b)))
+
+  def minhashSig(hashes: Column, numPerm: Int,
+                 coeffA: Array[Long], coeffB: Array[Long]): Column =
+    ColumnGlue.column(MinHashSig(
+      ColumnGlue.expression(hashes), numPerm, coeffA, coeffB))
+}
