@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** 100 TB discipline checks (SURVEY.md §7.3): filters reach the parquet
+  * scan, projections prune the read schema, dim joins broadcast, and the
+  * similarity hot path stays inside whole-stage codegen. Runs on sf0.001. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter is pushed down to the parquet scan") {
+    val df = Tables.t(spark, sf, "lineitem")
+      .where(col("l_quantity") > 30.0)
+      .select(col("l_orderkey"))
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("l_quantity"),
+      s"expected pushed filter in scan:\n$scan")
+  }
+
+  test("projection prunes the parquet read schema to selected columns") {
+    val df = Tables.t(spark, sf, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("ReadSchema"))
+    assert(!scan.contains("l_extendedprice"),
+      s"unselected column leaked into scan:\n$scan")
+  }
+
+  test("dim join uses BroadcastHashJoin, fact-fact join does not collect") {
+    val plan = physicalPlan(SparkEntry.queries("b02_join_broadcast")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("TPC-H Q1 aggregation has a partial (map-side) aggregate") {
+    val plan = physicalPlan(SparkEntry.queries("b01_tpch_q1")(spark, sf))
+    assert(plan.contains("HashAggregate"))
+    assert(plan.contains("partial_"), s"expected partial aggregation:\n$plan")
+  }
+
+  test("codegen cosine expression runs inside WholeStageCodegen") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val df = emb.select(graft.functions.Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+    // `*(n)` prefixes in the physical plan mark WholeStageCodegen stages;
+    // the Project holding cosinesim must carry one.
+    val plan = physicalPlan(df)
+    assert(plan.linesIterator.exists(l => l.contains("cosinesim") && l.contains("*(")),
+      s"cosine fell out of codegen:\n$plan")
+  }
+
+  test("no query in the declared inventory collects to the driver") {
+    // structural check: building every DataFrame must not trigger an action
+    // (any collect-based operator would run here); constructing the plans on
+    // sf0.001 must stay lazy and cheap.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.queryExecution.logical != null, name)
+    }
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{Similarity, Text}
+import graft.operators.Dedup
+
+/** §2C similarity + dedup operators, including the reference's
+  * "interpreted vs compiled equivalence" pattern (SURVEY.md §5.1 pattern 2):
+  * the codegen'd Catalyst expressions must agree bit-for-bit with their
+  * higher-order-function formulations. */
+class SimilarityAndDedupSpec extends SparkSpec {
+
+  lazy val vecs: DataFrame = {
+    val s = spark; import s.implicits._
+    // deterministic pseudo-random float vectors
+    (0 until 50).map { i =>
+      (i.toLong, (0 until 16).map(j => (((i * 31 + j * 17) % 97) - 48) / 48.0f).toArray)
+    }.toDF("id", "v")
+  }
+
+  lazy val docs: DataFrame = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (3L, "completely different content about spark engines and columns"),
+      (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (5L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed")
+    ).toDF("doc_id", "text")
+  }
+
+  test("codegen CosineSim == HOF cosine, bit-for-bit") {
+    val both = vecs.as("a").join(vecs.as("b"), col("a.id") < col("b.id"))
+      .select(Similarity.cosine(col("a.v"), col("b.v")).as("cg"),
+        Similarity.cosineHof(col("a.v"), col("b.v")).as("hof"))
+    val diff = both.where(col("cg") =!= col("hof")).count()
+    assert(diff == 0, s"$diff pairs differ between codegen and HOF cosine")
+  }
+
+  test("codegen MinHashSig == HOF minhash signature") {
+    val sets = docs.select(col("doc_id"),
+      array_distinct(Text.shingleHashes(col("text"), 3)).as("hs"))
+    val both = sets.select(
+      Dedup.minhashSignature(col("hs"), 32).as("cg"),
+      Dedup.minhashSignatureHof(col("hs"), 32).as("hof"))
+    assert(both.where(to_json(col("cg")) =!= to_json(col("hof"))).count() == 0)
+  }
+
+  test("cosine is 1.0 for identical vectors, symmetric") {
+    val self = vecs.select(Similarity.cosineRounded(col("v"), col("v")).as("c"))
+    assert(self.collect().forall(_.getDouble(0) == 1.0))
+    val sym = vecs.as("a").join(vecs.as("b"), col("a.id") < col("b.id"))
+      .select(Similarity.cosine(col("a.v"), col("b.v")).as("ab"),
+        Similarity.cosine(col("b.v"), col("a.v")).as("ba"))
+    assert(sym.where(col("ab") =!= col("ba")).count() == 0)
+  }
+
+  test("l2normalize makes cosine equal dot") {
+    val n = vecs.select(col("id"), Similarity.l2normalize(col("v")).as("v"))
+    val check = n.as("a").join(n.as("b"), col("a.id") < col("b.id"))
+      .select(abs(Similarity.dot(col("a.v"), col("b.v")) -
+        Similarity.cosineHof(col("a.v"), col("b.v"))).as("d"))
+    assert(check.agg(max(col("d"))).first().getDouble(0) < 1e-12)
+  }
+
+  test("exact dedup groups identical texts") {
+    val d = Dedup.exact(docs, "text", "doc_id").orderBy("rep_id").collect()
+    assert(d.length == 4) // 5 docs, one exact dup pair
+    val dupGroup = d.find(_.getLong(d.head.fieldIndex("rep_id")) == 1L).get
+    assert(dupGroup.getLong(dupGroup.fieldIndex("n_dups")) == 2L)
+  }
+
+  test("minhash LSH finds the near-dup pair and the exact-dup pair only") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleN = 2, numPerm = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup, jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near dups
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated doc
+  }
+
+  test("simhash pairs: exact dup at hamming 0, unrelated docs excluded") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 4L)
+    assert(exact.exists(_._3 == 0))
+    assert(!pairs.exists(p => (p._1 == 3L || p._2 == 3L) && p._3 == 0))
+  }
+
+  test("ngram jaccard agrees with brute-force jaccard") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", shingleN = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same shingle sets
+    def sh(t: String) = t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    val texts = Map(1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat",
+      3L -> "completely different content about spark engines and columns",
+      4L -> "the quick brown fox jumps over the lazy dog",
+      5L -> "lorem ipsum dolor sit amet consectetur adipiscing elit sed")
+    val expected = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      ja = sh(texts(a)); jb = sh(texts(b))
+      j = ja.intersect(jb).size.toDouble / ja.union(jb).size
+      if j >= 0.5
+    } yield (a, b)).toSet
+    assert(pairs == expected)
+  }
+
+  test("embedding near-dup threshold join is symmetric-free (a<b) and correct") {
+    val pairs = Dedup.embeddingPairs(vecs, "id", "v", threshold = 0.9)
+    assert(pairs.where(col("a") >= col("b")).count() == 0)
+  }
+
+  test("brute-force ANN: top-1 of a vector's own duplicate is that duplicate") {
+    val s = spark; import s.implicits._
+    val items = vecs.union(Seq((999L, (0 until 16).map(j => (((7 * 31 + j * 17) % 97) - 48) / 48.0f).toArray)).toDF("id", "v"))
+    val queries = items.where(col("id") === 999L)
+    val top = graft.operators.Ann.bruteTopK(items, queries, "id", "v", k = 1).first()
+    assert(top.getLong(top.fieldIndex("item_id")) == 7L) // identical vector
+  }
+}

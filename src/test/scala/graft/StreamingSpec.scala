@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+/** Structured Streaming smoke (SURVEY.md §2B last row): the same window
+  * transforms run on a MemoryStream with watermarks; stateful dedup drops
+  * in-horizon duplicates. */
+case class Ev(event_id: Long, user_id: Long, event_type: String, value: Double, ts: Timestamp)
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  test("streaming tumbling window with watermark aggregates by event time") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, 1, "click", 1.0, ts(1)), Ev(2, 1, "click", 1.0, ts(2)),
+      Ev(3, 2, "view", 2.0, ts(16)), Ev(4, 2, "click", 1.0, ts(17)))
+    val out = Streams.streamTumblingCounts(mem.toDF(), "15 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = s.sql("SELECT window_start, event_type, n FROM tumbling ORDER BY window_start, event_type")
+        .collect()
+      assert(rows.length == 3)
+      assert(rows.map(_.getLong(2)).toSeq == Seq(2L, 1L, 1L))
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark drops duplicate event_ids") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, 1, "click", 1.0, ts(1)), Ev(1, 1, "click", 1.0, ts(2)), // dup id
+      Ev(2, 1, "view", 2.0, ts(3)))
+    val out = Streams.streamDedup(mem.toDF(), "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(s.sql("SELECT count(*) FROM dedup").first().getLong(0) == 2L)
+    } finally q.stop()
+  }
+
+  test("batch and streaming tumbling windows agree on the same data") {
+    val s = spark; import s.implicits._
+    val batch = Seq(
+      Ev(1, 1, "click", 1.0, ts(1)), Ev(2, 1, "click", 1.0, ts(2)),
+      Ev(3, 2, "view", 2.0, ts(16))).toDF()
+    val b = Streams.tumblingCounts(batch, "15 minutes")
+      .select(col("window_start"), col("event_type"), col("n"))
+      .orderBy("window_start", "event_type").collect()
+    assert(b.length == 2 && b(0).getLong(2) == 2L && b(1).getLong(2) == 1L)
+  }
+}

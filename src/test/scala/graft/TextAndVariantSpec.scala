@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+import graft.operators.{Multimodal, Variant}
+
+class TextAndVariantSpec extends SparkSpec {
+
+  lazy val docs: DataFrame = {
+    val s = spark; import s.implicits._
+    Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "el gato es un animal y la casa es grande"),
+      (3L, "mat the on sat cat the"), // same tokens as 1, different order
+      (4L, "one two")
+    ).toDF("doc_id", "text")
+  }
+
+  test("shingles: sliding word n-grams, distinct, empty below n tokens") {
+    val sh = docs.select(col("doc_id"), Text.shingles(Text.tokens(col("text")), 3).as("sh"))
+      .orderBy("doc_id").collect()
+    assert(sh(0).getSeq[String](1).contains("the cat sat"))
+    assert(sh(0).getSeq[String](1).size == 4) // 6 tokens -> 4 trigrams, all distinct
+    assert(sh(3).getSeq[String](1).isEmpty) // 2 tokens < n=3
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val fp = docs.select(col("doc_id"), Text.fingerprint(Text.tokens(col("text"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) != fp(3L)) // same tokens, different order
+    val fp2 = docs.select(Text.fingerprint(Text.tokens(col("text"))).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fp2.toSet == fp.values.toSet) // stable across runs
+    assert(fp.values.forall(v => v >= 0 && v < Text.P))
+  }
+
+  test("langId picks the dominant stopword language") {
+    val l = docs.select(col("doc_id"), Text.langId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(l(1L) == "en" && l(2L) == "es" && l(4L) == "und")
+  }
+
+  test("token and subword counts") {
+    val c = docs.where(col("doc_id") === 1)
+      .select(Text.tokenCount(col("text")), Text.subwordCount(col("text"))).first()
+    assert(c.getInt(0) == 6 && c.getInt(1) == 6)
+    val s = spark; import s.implicits._
+    val punct = Seq(("a1!", 0)).toDF("text", "x")
+      .select(Text.subwordCount(col("text"))).first().getInt(0)
+    assert(punct == 3) // "a", "1", "!"
+  }
+
+  test("qualityScore is in (0, 1] and rewards diversity") {
+    val q = docs.select(col("doc_id"), Text.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q.values.forall(v => v > 0 && v <= 1.0))
+  }
+
+  test("union2 tagged struct: exactly one branch non-null; case/cast") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "x", 10.0), (2L, "y", 20.0)).toDF("id", "t", "v")
+      .withColumn("u", Variant.union2(when(col("t") === "x", 0).otherwise(1),
+        col("v"), col("id") * 100))
+    val r1 = df.where(Variant.isCase(col("u"), 0))
+      .select(Variant.castCase(col("u"), 0), Variant.castCase(col("u"), 1)).first()
+    assert(r1.getDouble(0) == 10.0 && r1.isNullAt(1))
+    val r2 = df.where(Variant.isCase(col("u"), 1))
+      .select(Variant.castCase(col("u"), 1)).first()
+    assert(r2.getLong(0) == 200L)
+  }
+
+  test("gather resolves pointer column via join, preserves left rows") {
+    val s = spark; import s.implicits._
+    val src = Seq((1L, 10L), (2L, 11L), (3L, 99L)).toDF("id", "ptr")
+    val target = Seq((10L, "a"), (11L, "b")).toDF("key", "name")
+    val g = Variant.gather(src, "ptr", target, "key", broadcastTarget = true)
+      .orderBy("id").collect()
+    assert(g.length == 3)
+    assert(g(0).getString(3) == "a" && g(2).isNullAt(3)) // dangling pointer -> null
+  }
+
+  test("multimodal stub decode: features match manual computation") {
+    val payload = "abcABC!".getBytes("UTF-8")
+    val f = Multimodal.decodeStub(payload)
+    assert(f.n_bytes == 7)
+    assert(f.byte_sum == payload.map(_ & 0xff).sum)
+    assert(f.h0 + f.h1 + f.h2 + f.h3 == 7)
+    val s = spark; import s.implicits._
+    val df = Seq((1L, payload)).toDF("id", "payload")
+    val out = Multimodal.extractFeatures(df, "id", "payload").first()
+    val feat = out.getStruct(1)
+    assert(feat.getLong(0) == 7 && feat.getLong(1) == f.byte_sum)
+  }
+}
