@@ -201,6 +201,15 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "a16_lazy_scan" -> ((s, d) =>
+      // lazy per-column fetch (oamap generator.Cache): a 2-column projection
+      // + pushed filter; PlanSpec asserts the scan's ReadSchema/PushedFilters
+      // actually prune to exactly this.
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_quantity"))),
+
     "a20_ingest_json" -> ((s, d) =>
       t(s, d, "events")
         .select(col("event_id"), from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"))
@@ -212,6 +221,19 @@ object SparkEntry {
       val raw = t(s, d, "events").select(col("props")).as[String]
       val inferred = s.read.json(raw) // infers {k: bigint}
       inferred.groupBy(col("k")).agg(count(lit(1)).as("n")).orderBy(col("k"))
+    }),
+
+    "a22_compiled_expr" -> ((s, d) => {
+      // the compiled-UDF surface (oamap compiler.py → Catalyst codegen):
+      // first minhash permutation per document through the codegen'd
+      // ShingleHashes + MinHashSig expressions — exact integer output the
+      // oracle reproduces with the same affine-permutation arithmetic.
+      val sets = t(s, d, "documents").select(col("doc_id"),
+        array_distinct(graft.functions.Text.shingleHashes(col("text"), 3)).as("hs"))
+        .where(size(col("hs")) > 0)
+      sets.select(col("doc_id"),
+          element_at(graft.operators.Dedup.minhashSignature(col("hs"), 1), 1).as("sig0"))
+        .orderBy(col("doc_id"))
     }))
 
   private val aOracles: Map[String, String] = Map(
@@ -268,6 +290,10 @@ object SparkEntry {
     "a15_reduce" ->
       """SELECT l_orderkey, sum(l_quantity) AS total_qty
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "a16_lazy_scan" ->
+      """SELECT l_orderkey, l_quantity FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_quantity""".stripMargin,
     "a17_slice" ->
       """SELECT l_orderkey, min(l_linenumber) AS first_ln,
         |  least(count(*), 2) AS n_first2
@@ -290,7 +316,21 @@ object SparkEntry {
     "a21_inference" ->
       """SELECT CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT) AS k,
         |  count(*) AS n
-        |FROM events GROUP BY k ORDER BY k""".stripMargin)
+        |FROM events GROUP BY k ORDER BY k""".stripMargin,
+    // affine minhash permutation 0: a=coeffA(0)=1103527590, b=coeffB(0)=69070,
+    // over the same md5-derived 60-bit shingle hashes (mod P = 2^31-1).
+    "a22_compiled_expr" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 3),
+        |h AS (
+        |  SELECT doc_id, CAST(('0x' || substring(md5(unnest(sh)), 1, 15)) AS BIGINT) AS h
+        |  FROM s)
+        |SELECT doc_id,
+        |  min((1103527590 * (h % 2147483647) + 69070) % 2147483647) AS sig0
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
   // =================================================================
   // §2B — relational surface (Spark built-ins)
@@ -334,8 +374,11 @@ object SparkEntry {
         .orderBy(col("c_custkey"))),
 
     "b06_join_anti" -> ((s, d) =>
+      // customers with no high-value order (plain no-orders anti join is
+      // empty in the testdata; the filtered form keeps the result non-empty)
       t(s, d, "customer")
-        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, d, "orders").where(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))),
 
@@ -420,6 +463,16 @@ object SparkEntry {
           col("n"), col("sum_qty"))
         .orderBy(col("rf"), col("ls"))),
 
+    "b21_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube(col("o_orderpriority"), year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          coalesce(col("yr"), lit(-1)).as("yr"),
+          col("n"), col("total"))
+        .orderBy(col("prio"), col("yr"))),
+
     "b16_string_fns" -> ((s, d) =>
       t(s, d, "part")
         .select(col("p_partkey"),
@@ -484,7 +537,8 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "b06_join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin,
     "b07_join_theta" ->
       """SELECT c_custkey, count(*) AS n,
@@ -535,6 +589,13 @@ object SparkEntry {
         |  count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    "b21_cube" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+        |  coalesce(CAST(year(o_orderdate) AS INTEGER), -1) AS yr,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderpriority, year(o_orderdate))
+        |ORDER BY prio, yr""".stripMargin,
     "b16_string_fns" ->
       """SELECT p_partkey, lower(p_brand) AS brand_lower, substring(p_name, 1, 5) AS name5,
         |  regexp_extract(p_type, '^(\w+)', 1) AS type_head,

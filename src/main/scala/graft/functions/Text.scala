@@ -40,8 +40,15 @@ object Text {
   }
 
   /** Distinct shingle hashes — the set representation used by minhash and
-    * the exact jaccard join. */
+    * the exact jaccard join. Codegen'd single-pass kernel
+    * ([[graft.plans.TextExpressions.ShingleHashesExpr]]); the HOF form below
+    * is kept as the interpreted reference implementation. */
   def shingleHashes(text: Column, n: Int): Column =
+    graft.plans.TextExpressions.shingleHashes(tokens(text), n)
+
+  /** Interpreted HOF form of [[shingleHashes]] — identical hash values
+    * (may carry duplicates on 60-bit collisions; callers array_distinct). */
+  def shingleHashesHof(text: Column, n: Int): Column =
     transform(shingles(tokens(text), n), tokenHash(_))
 
   /** Rolling document fingerprint: order-sensitive polynomial hash

@@ -123,8 +123,14 @@ object Dedup {
   /** 48-bit SimHash (48 not 64 so the reassembled value stays positive in
     * BIGINT for every engine): bit j of the signature is the sign of
     * sum over distinct tokens of ±1 depending on bit j of the token hash.
+    * Codegen'd kernel ([[graft.plans.TextExpressions.SimHash48Expr]]).
     */
-  def simhash48(toks: Column): Column = {
+  def simhash48(toks: Column): Column =
+    graft.plans.TextExpressions.simhash48(toks)
+
+  /** Interpreted HOF form of [[simhash48]] — identical arithmetic, kept
+    * for equivalence testing. */
+  def simhash48Hof(toks: Column): Column = {
     val hs = transform(array_distinct(toks), Text.tokenHash(_))
     // per-token ±1 vote vector over the 48 bits, summed with one fold, then
     // reassembled into the signature — one pass over the tokens.

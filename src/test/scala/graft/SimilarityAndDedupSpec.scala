@@ -38,6 +38,25 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(diff == 0, s"$diff pairs differ between codegen and HOF cosine")
   }
 
+  test("codegen ShingleHashesExpr == HOF shingle hashes (as sets)") {
+    val both = docs.select(
+      array_sort(array_distinct(Text.shingleHashes(col("text"), 3))).as("cg"),
+      array_sort(array_distinct(Text.shingleHashesHof(col("text"), 3))).as("hof"))
+    assert(both.where(to_json(col("cg")) =!= to_json(col("hof"))).count() == 0)
+    // first-occurrence order matches the distinct-string order too
+    val ord = docs.select(
+      Text.shingleHashes(col("text"), 2).as("cg"),
+      array_distinct(Text.shingleHashesHof(col("text"), 2)).as("hof"))
+    assert(ord.where(to_json(col("cg")) =!= to_json(col("hof"))).count() == 0)
+  }
+
+  test("codegen SimHash48Expr == HOF simhash48") {
+    val both = docs.select(
+      Dedup.simhash48(Text.tokens(col("text"))).as("cg"),
+      Dedup.simhash48Hof(Text.tokens(col("text"))).as("hof"))
+    assert(both.where(col("cg") =!= col("hof")).count() == 0)
+  }
+
   test("codegen MinHashSig == HOF minhash signature") {
     val sets = docs.select(col("doc_id"),
       array_distinct(Text.shingleHashes(col("text"), 3)).as("hs"))
