@@ -501,7 +501,21 @@ object SparkEntry {
 
     "b20_sessionize" -> ((s, d) =>
       Streams.sessionCounts(t(s, d, "events"), "30 minutes")
-        .orderBy(col("user_id"), col("session_start"))))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    "b22_window_sliding" -> ((s, d) =>
+      Streams.slidingCounts(t(s, d, "events"), "1 hour", "30 minutes")
+        .orderBy(col("window_start"), col("event_type"))),
+
+    "b23_join_supplier" -> ((s, d) =>
+      // lineitem→supplier→nation: the remaining star-schema arm; supplier is
+      // mid-size (broadcastable at any realistic dim scale), nation tiny.
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("n_name"))))
 
   private val bOracles: Map[String, String] = Map(
     "b01_tpch_q1" ->
@@ -609,6 +623,27 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin,
+    // Spark's sliding window(ts, 1h, 30m) assigns each event to the two
+    // epoch-aligned 30-minute starts within the hour before it; reproduced
+    // with integer epoch-millisecond arithmetic (no engine-specific
+    // time_bucket origins).
+    "b22_window_sliding" ->
+      """WITH w AS (
+        |  SELECT unnest(ARRAY[
+        |      make_timestamp((epoch_ms(ts) // 1800000) * 1800000 * 1000),
+        |      make_timestamp(((epoch_ms(ts) // 1800000) - 1) * 1800000 * 1000)
+        |    ]) AS window_start,
+        |    event_type
+        |  FROM events)
+        |SELECT window_start, event_type, count(*) AS n
+        |FROM w GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+    "b23_join_supplier" ->
+      """SELECT n_name, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "b20_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, ts,
@@ -698,6 +733,27 @@ object SparkEntry {
     "c11_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), Text.fingerprint(Text.tokens(col("text"))).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    "c13_term_freq" -> ((s, d) =>
+      // corpus term frequency (SURVEY.md §2C "tf = explode + groupBy"):
+      // one shuffle on the token (map-side partial counts first), top-100
+      // with deterministic tiebreak.
+      t(s, d, "documents")
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("tok"))
+        .limit(100)),
+
+    "c14_mm_join" -> ((s, d) =>
+      // multimodal columns: documents joined to their embedding vectors
+      // (documents.doc_id ↔ embeddings.vec_id); array<float> is first-class,
+      // text stats and vector stats in one row.
+      t(s, d, "documents")
+        .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("label"),
+          size(col("embedding")).cast("long").as("dim"))
         .orderBy(col("doc_id"))),
 
     "c12_multimodal" -> ((s, d) => {
@@ -827,6 +883,15 @@ object SparkEntry {
         |    generate_subscripts(string_split(text, ' '), 1) AS pos
         |  FROM documents)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "c13_term_freq" ->
+      """SELECT tok, count(*) AS tf
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY tf DESC, tok LIMIT 100""".stripMargin,
+    "c14_mm_join" ->
+      """SELECT doc_id, lang, n_chars, label,
+        |  CAST(len(embedding) AS BIGINT) AS dim
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
     "c12_multimodal" ->
       """SELECT doc_id AS media_id,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes,
