@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{Dedup, Nested}
+import graft.functions.{Similarity, Text}
+
+/** Property-based roundtrip laws (SURVEY.md §5.2 item 4) over generated
+  * nested data. ScalaCheck generators are driven directly with fixed seeds
+  * (the scalatest-scalacheck bridge isn't in the offline dependency cache),
+  * so every run checks the same deterministic sample set.
+  */
+class PropertySpec extends SparkSpec {
+
+  /** n deterministic samples from a generator. */
+  private def samples[A](g: Gen[A], n: Int = 10): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default.withSize(12), Seed(i.toLong)))
+
+  private def forAll[A](g: Gen[A])(body: A => Unit): Unit =
+    samples(g).foreach(body)
+
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(body: (A, B) => Unit): Unit =
+    (samples(g1) zip samples(g2)).foreach { case (a, b) => body(a, b) }
+
+  private val genRow: Gen[(Long, Seq[(Int, Double)])] = for {
+    id <- Gen.choose(1L, 1000L)
+    n <- Gen.choose(0, 6)
+    items <- Gen.listOfN(n, Gen.zip(Gen.choose(0, 99), Gen.choose(-50.0, 50.0)))
+  } yield (id, items)
+
+  private val genRows: Gen[List[(Long, Seq[(Int, Double)])]] =
+    Gen.nonEmptyListOf(genRow)
+
+  test("merge(split(x)) == x for any array<struct> column") {
+    val s = spark; import s.implicits._
+    forAll(genRows) { rows =>
+      val df = rows.toDF("id", "items")
+      val soa = Nested.split(df, "items", "_1", "_2")
+      val aos = Nested.merge(soa, "items", "_1", "_2")
+      val orig = df.select(col("id"), col("items")).collect()
+        .map(r => (r.getLong(0), r.getSeq[org.apache.spark.sql.Row](1).map(_.toSeq)))
+      val back = aos.select(col("id"), col("items")).collect()
+        .map(r => (r.getLong(0), r.getSeq[org.apache.spark.sql.Row](1).map(_.toSeq)))
+      assert(back.sortBy(_._1).toSeq == orig.sortBy(_._1).toSeq)
+    }
+  }
+
+  test("filterElements output is a sublist preserving order") {
+    val s = spark; import s.implicits._
+    forAll(genRows) { rows =>
+      val df = rows.toDF("id", "items")
+      val f = df.select(col("items"),
+        Nested.filterElements(col("items"), x => x.getField("_2") > 0.0).as("pos"))
+      f.collect().foreach { r =>
+        val all = r.getSeq[org.apache.spark.sql.Row](0).map(_.getDouble(1))
+        val kept = r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1))
+        assert(kept == all.filter(_ > 0.0))
+      }
+    }
+  }
+
+  test("defineElements preserves element count; index is 0..n-1") {
+    val s = spark; import s.implicits._
+    forAll(genRows) { rows =>
+      val df = rows.toDF("id", "items")
+      val d = Nested.index(df, "items", "i")
+        .select(size(col("items")).as("n"),
+          transform(col("items"), _.getField("i")).as("idxs"))
+      d.collect().foreach { r =>
+        assert(r.getSeq[Int](1) == (0 until r.getInt(0)))
+      }
+    }
+  }
+
+  test("flatten concatenates in order; length adds up") {
+    val s = spark; import s.implicits._
+    forAll(genRows, genRows) { (r1, r2) =>
+      val a = r1.map(_._2.map(_._2))
+      val b = r2.map(_._2.map(_._2))
+      val df = Seq((a.flatten, b.flatten)).toDF("x", "y")
+      val f = df.select(Nested.flattenList(array(col("x"), col("y"))).as("f")).first()
+      assert(f.getSeq[Double](0) == a.flatten ++ b.flatten)
+    }
+  }
+
+  test("cosine similarity stays in [-1, 1] and is 1 on self") {
+    val s = spark; import s.implicits._
+    val genVec = Gen.listOfN(8, Gen.choose(-10.0f, 10.0f))
+      .suchThat(_.exists(_ != 0.0f))
+    forAll(Gen.nonEmptyListOf(genVec)) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }.toDF("id", "v")
+      val c = df.as("a").join(df.as("b"), col("a.id") <= col("b.id"))
+        .select(col("a.id") === col("b.id"), Similarity.cosine(col("a.v"), col("b.v")))
+        .collect()
+      c.foreach { r =>
+        val v = r.getDouble(1)
+        assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9)
+        if (r.getBoolean(0)) assert(math.abs(v - 1.0) < 1e-9)
+      }
+    }
+  }
+
+  test("minhash signature values are in [0, P) and permutation of a superset lowers or keeps each minimum") {
+    val s = spark; import s.implicits._
+    val genText = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e", "f"))
+      .map(_.mkString(" "))
+    forAll(genText) { text =>
+      val base = Seq((1L, text), (2L, text + " extra words appended here"))
+        .toDF("id", "text")
+        .select(col("id"), array_distinct(Text.shingleHashes(col("text"), 2)).as("hs"))
+        .where(size(col("hs")) > 0)
+      val sigs = base.select(col("id"), Dedup.minhashSignature(col("hs"), 16).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      sigs.values.foreach(sig => assert(sig.forall(v => v >= 0 && v < Text.P)))
+      // doc 2's shingle set ⊇ doc 1's → each per-permutation min can only go down
+      for {
+        s1 <- sigs.get(1L); s2 <- sigs.get(2L)
+      } (s1 zip s2).foreach { case (m1, m2) => assert(m2 <= m1) }
+    }
+  }
+
+  test("fingerprint is invariant to row order but sensitive to token order") {
+    val s = spark; import s.implicits._
+    forAll(Gen.nonEmptyListOf(Gen.oneOf("x", "y", "z", "w"))) { toks =>
+      if (toks.distinct.size > 1) {
+        val t1 = toks.mkString(" ")
+        val t2 = toks.reverse.mkString(" ")
+        val fps = Seq((1L, t1), (2L, t2)).toDF("id", "text")
+          .select(col("id"), Text.fingerprint(Text.tokens(col("text"))).as("fp"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        if (toks != toks.reverse) {
+          // order-sensitivity: reversal changes the fingerprint unless the
+          // polynomial happens to collide (hasn't for these alphabets)
+          assert(fps(1L) != fps(2L) || t1 == t2)
+        }
+      }
+    }
+  }
+}
