@@ -507,6 +507,19 @@ object SparkEntry {
       Streams.slidingCounts(t(s, d, "events"), "1 hour", "30 minutes")
         .orderBy(col("window_start"), col("event_type"))),
 
+    "b24_sql" -> ((s, d) =>
+      // SQL entry point over the catalog layer (oamap database analogue):
+      // same engine, text frontend.
+      graft.sources.Catalog.sql(s, d,
+        """SELECT o_orderpriority, count(*) AS n, min(o_orderkey) AS first_key
+          |FROM orders WHERE o_totalprice > 100000
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    "b25_skew_distinct" -> ((s, d) =>
+      graft.operators.Scale.skewSafeCountDistinct(
+          t(s, d, "lineitem"), "l_returnflag", "l_orderkey")
+        .orderBy(col("l_returnflag"))),
+
     "b23_join_supplier" -> ((s, d) =>
       // lineitem→supplier→nation: the remaining star-schema arm; supplier is
       // mid-size (broadcastable at any realistic dim scale), nation tiny.
@@ -638,6 +651,13 @@ object SparkEntry {
         |SELECT window_start, event_type, count(*) AS n
         |FROM w GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+    "b24_sql" ->
+      """SELECT o_orderpriority, count(*) AS n, min(o_orderkey) AS first_key
+        |FROM orders WHERE o_totalprice > 100000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "b25_skew_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_distinct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "b23_join_supplier" ->
       """SELECT n_name, count(*) AS n_items,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

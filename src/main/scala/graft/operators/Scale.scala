@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew- and shuffle-management helpers for 100 TB operation.
+  *
+  * These don't add query semantics — they re-shape *where* data moves.
+  * Context: plain sum/count aggregations don't need skew help (Spark's
+  * partial aggregation combines map-side, so a hot key arrives at its
+  * reducer as one row per map task). The aggregations that DO blow up on a
+  * hot key are the ones whose partial state is proportional to the data —
+  * count-distinct, collect_list/set — and joins on a skewed key (AQE's
+  * skew-join split handles those at runtime).
+  */
+object Scale {
+
+  /** Skew-safe exact count-distinct per key. A direct
+    * `groupBy(key).agg(countDistinct(value))` ships every (key, value) pair
+    * of a hot key to one reducer and builds a giant distinct set there.
+    * This two-stage form first reduces to distinct (key, value) pairs —
+    * shuffled on BOTH columns, so a hot key spreads over the whole cluster —
+    * then counts per key, where each key is now at most |distinct values|
+    * rows of plain partial counts. Identical results, bounded reducers.
+    */
+  def skewSafeCountDistinct(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    df.select(col(keyCol), col(valueCol))
+      .distinct() // shuffle on (key, value): hot keys spread uniformly
+      .groupBy(col(keyCol))
+      .agg(count(col(valueCol)).as("n_distinct"))
+
+  /** Write a DataFrame as a bucketed, sorted table in the session catalog
+    * (bucketing requires saveAsTable). Joins between tables bucketed on the
+    * same key with the same bucket count skip the shuffle entirely —
+    * SortMergeJoin with no Exchange on either side (asserted in ScaleSpec).
+    * At 100 TB this converts every fact-fact join on the bucket key from a
+    * full shuffle into a local merge.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+}

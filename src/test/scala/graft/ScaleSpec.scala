@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Scale
+import graft.sources.{Catalog, Tables}
+
+/** Scale helpers: bucketed co-located joins and skew-safe distinct. */
+class ScaleSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bucketed tables join without any shuffle exchange") {
+    // warehouse.dir is a static conf; tables land in the default
+    // spark-warehouse dir and are dropped below
+    Scale.writeBucketed(
+      Tables.t(spark, sf, "orders").select(col("o_orderkey"), col("o_totalprice")),
+      "orders_b", "o_orderkey", 8)
+    Scale.writeBucketed(
+      Tables.t(spark, sf, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+      "lineitem_b", "l_orderkey", 8)
+    val joined = spark.table("lineitem_b")
+      .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+    // force a plan without broadcast so the shuffle question is real
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      // and it computes the right thing
+      val n = joined.count()
+      assert(n == Tables.t(spark, sf, "lineitem").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("skewSafeCountDistinct matches countDistinct exactly") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val safe = Scale.skewSafeCountDistinct(li, "l_returnflag", "l_orderkey")
+      .orderBy("l_returnflag").collect().map(r => (r.getString(0), r.getLong(1)))
+    val direct = li.groupBy("l_returnflag").agg(countDistinct("l_orderkey").as("n"))
+      .orderBy("l_returnflag").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(safe.toSeq == direct.toSeq)
+  }
+
+  test("catalog layer: views resolve and SQL plans prune/push down") {
+    Catalog.register(spark, sf)
+    val df = spark.sql("SELECT l_orderkey FROM lineitem WHERE l_quantity > 45")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("l_quantity"))
+    assert(df.count() > 0)
+  }
+}
