@@ -80,6 +80,18 @@ class TextAndVariantSpec extends SparkSpec {
     assert(g(0).getString(3) == "a" && g(2).isNullAt(3)) // dangling pointer -> null
   }
 
+  test("schema JSON roundtrip preserves nested types, nullability, metadata") {
+    val s = spark; import s.implicits._
+    val df = Fixtures.events.toDF()
+      .withColumn("tagged", struct(col("eventId").as("k")))
+    val named = graft.operators.Nested.recordname(df, "tagged", "Tagged")
+    val json = graft.sources.SchemaJson.toJson(named)
+    val back = graft.sources.SchemaJson.fromJson(json)
+    assert(back == named.schema)
+    assert(back("tagged").metadata.getString("graft.recordname") == "Tagged")
+    assert(back("muons").dataType.typeName == "array")
+  }
+
   test("multimodal stub decode: features match manual computation") {
     val payload = "abcABC!".getBytes("UTF-8")
     val f = Multimodal.decodeStub(payload)
