@@ -39,13 +39,25 @@ object Tables {
     * the testdata). One shuffle on l_orderkey; at 100 TB this is the same
     * shuffle any per-order pipeline needs and partitions by a dense,
     * well-distributed key.
+    *
+    * The result is persisted (memory-with-disk-spill) and memoized per
+    * (session, sfDir) — nine §2A queries derive from this one intermediate,
+    * so it's the materialized-view case: pay the shuffle once per session,
+    * not per query. Spill-backed, so it degrades gracefully rather than
+    * OOMing when the fixture outgrows executor memory.
     */
+  private val orderItemsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def orderItems(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "lineitem")
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_list(struct(
-        col("l_linenumber").as("ln"),
-        col("l_quantity").as("qty"),
-        col("l_extendedprice").as("price"),
-        col("l_discount").as("disc")))).as("items"))
+    orderItemsCache.computeIfAbsent((spark, sfDir), { _ =>
+      t(spark, sfDir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber").as("ln"),
+          col("l_quantity").as("qty"),
+          col("l_extendedprice").as("price"),
+          col("l_discount").as("disc")))).as("items"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 }
