@@ -45,6 +45,26 @@ class ScaleSpec extends SparkSpec {
     assert(safe.toSeq == direct.toSeq)
   }
 
+  test("SQL functions from GraftExtensions match the Column API") {
+    graft.plans.GraftExtensions.register(spark)
+    Catalog.register(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT doc_id, simhash48(split(text, ' ')) AS sh,
+        |  minhash_sig(shingle_hashes(split(text, ' '), 3), 4)[0] AS m0
+        |FROM documents ORDER BY doc_id""".stripMargin).collect()
+    val viaApi = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"),
+        graft.operators.Dedup.simhash48(graft.functions.Text.tokens(col("text"))).as("sh"),
+        element_at(graft.operators.Dedup.minhashSignature(
+          graft.functions.Text.shingleHashes(col("text"), 3), 4), 1).as("m0"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.map(_.toSeq).toSeq == viaApi.map(_.toSeq).toSeq)
+
+    val cos = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) AS c FROM embeddings LIMIT 5").collect()
+    assert(cos.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+  }
+
   test("catalog layer: views resolve and SQL plans prune/push down") {
     Catalog.register(spark, sf)
     val df = spark.sql("SELECT l_orderkey FROM lineitem WHERE l_quantity > 45")
