@@ -776,6 +776,14 @@ object SparkEntry {
           size(col("embedding")).cast("long").as("dim"))
         .orderBy(col("doc_id"))),
 
+    "c15_frame_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("payload", col("text").cast("binary"))
+      Multimodal.sampleFrames(docs, "doc_id", "payload", k = 4)
+        .select(col("media_id"), col("frame_idx"),
+          col("features.n_bytes").as("n_bytes"), col("features.byte_sum").as("byte_sum"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     "c12_multimodal" -> ((s, d) => {
       val docs = t(s, d, "documents").withColumn("payload", col("text").cast("binary"))
       Multimodal.extractFeatures(docs, "doc_id", "payload")
@@ -912,6 +920,21 @@ object SparkEntry {
         |  CAST(len(embedding) AS BIGINT) AS dim
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id""".stripMargin,
+    // frame stride q = ceil(len/4); frame j covers [j*q, min((j+1)*q, len))
+    "c15_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, j,
+        |    least(j * ((strlen(text)+3)//4), strlen(text)) AS s,
+        |    least((j+1) * ((strlen(text)+3)//4), strlen(text)) AS e,
+        |    text
+        |  FROM documents CROSS JOIN generate_series(0, 3) g(j)),
+        |fr AS (
+        |  SELECT doc_id, j, substring(text, CAST(s+1 AS INTEGER), CAST(e-s AS INTEGER)) AS frame
+        |  FROM f WHERE e > s)
+        |SELECT doc_id AS media_id, CAST(j AS INTEGER) AS frame_idx,
+        |  CAST(strlen(frame) AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(list_transform(string_split(frame, ''), c -> ascii(c))) AS BIGINT) AS byte_sum
+        |FROM fr ORDER BY media_id, frame_idx""".stripMargin,
     "c12_multimodal" ->
       """SELECT doc_id AS media_id,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes,

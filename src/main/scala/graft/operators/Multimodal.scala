@@ -59,4 +59,31 @@ object Multimodal {
       length(col(payloadCol)).cast("long").as("n_bytes"),
       lit("application/octet-stream").as("mime"),
       crc32(col(payloadCol)).as("checksum")))
+
+  /** Frame sampling for video-like payloads: split each blob into `k`
+    * fixed-stride chunks ("frames") and emit one row per frame with its
+    * decoded features — the UDTF/explode shape of a real frame sampler,
+    * with the codec stubbed like [[decodeStub]].
+    *
+    * Chunk math: stride q = ceil(len/k); frame j covers bytes
+    * [j*q, min((j+1)*q, len)); frames past the end of a short payload are
+    * not emitted. One narrow flatMap — no shuffle; output is
+    * (media_id, frame_idx, features).
+    */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val p = if (payload == null) Array.emptyByteArray else payload
+        val q = (p.length + k - 1) / k
+        if (q == 0) Iterator.empty
+        else (0 until k).iterator
+          .map(j => (j, math.min(j * q, p.length), math.min((j + 1) * q, p.length)))
+          .filter { case (_, s, e) => e > s }
+          .map { case (j, s, e) => (id, j, decodeStub(java.util.Arrays.copyOfRange(p, s, e))) }
+      }
+      .toDF("media_id", "frame_idx", "features")
+  }
 }

@@ -80,6 +80,25 @@ class TextAndVariantSpec extends SparkSpec {
     assert(g(0).getString(3) == "a" && g(2).isNullAt(3)) // dangling pointer -> null
   }
 
+  test("frame sampling: chunk boundaries, short payloads, feature sums") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "abcdefgh".getBytes("UTF-8")),   // len 8, k=4 -> q=2, 4 frames
+      (2L, "xyz".getBytes("UTF-8")),        // len 3 -> q=1, 3 frames (4th empty)
+      (3L, Array.emptyByteArray)            // no frames
+    ).toDF("id", "payload")
+    val frames = Multimodal.sampleFrames(df, "id", "payload", 4)
+      .select(col("media_id"), col("frame_idx"), col("features.n_bytes"), col("features.byte_sum"))
+      .orderBy("media_id", "frame_idx").collect()
+    assert(frames.count(_.getLong(0) == 1L) == 4)
+    assert(frames.count(_.getLong(0) == 2L) == 3)
+    assert(frames.count(_.getLong(0) == 3L) == 0)
+    val f10 = frames.find(r => r.getLong(0) == 1L && r.getInt(1) == 0).get
+    assert(f10.getLong(2) == 2 && f10.getLong(3) == 'a'.toLong + 'b'.toLong)
+    // frames tile the payload: total bytes add up
+    assert(frames.filter(_.getLong(0) == 1L).map(_.getLong(2)).sum == 8)
+  }
+
   test("schema JSON roundtrip preserves nested types, nullability, metadata") {
     val s = spark; import s.implicits._
     val df = Fixtures.events.toDF()
