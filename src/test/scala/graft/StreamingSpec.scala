@@ -49,6 +49,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source readStream over events parquet matches the batch result") {
+    val s = spark
+    // streaming read of the same parquet the batch path uses; nanos ts
+    // handled the same way as sources.Tables
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sf = "/root/testdata/sf0.001"
+    // the file source requires a directory; stage the file via symlink
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val schema = s.read.parquet(s"$sf/events.parquet").schema
+    val stream = s.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val out = Streams.streamTumblingCounts(stream, "1 hour", "1 minute")
+    val q = out.writeStream.format("memory").queryName("filestream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = s.sql("SELECT window_start, event_type, n FROM filestream")
+        .orderBy("window_start", "event_type").collect()
+      val batch = Streams.tumblingCounts(
+          graft.sources.Tables.t(s, sf, "events"), "1 hour")
+        .select(col("window_start"), col("event_type"), col("n"))
+        .orderBy("window_start", "event_type").collect()
+      assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling windows agree on the same data") {
     val s = spark; import s.implicits._
     val batch = Seq(
