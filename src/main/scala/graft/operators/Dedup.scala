@@ -177,13 +177,21 @@ object Dedup {
     * [[graft.operators.Ann.ivfTopK]]-style cell blocking — documented there.
     * Cosine is rounded to 6dp before thresholding so the cross-engine
     * comparison is stable.
+    *
+    * Norms are hoisted out of the pairwise join: each vector's
+    * `sqrt(dot(v,v))` is computed once up front, and the O(n²) inner loop
+    * is a plain dot product — bit-identical to in-loop cosine because the
+    * accumulation order is unchanged ([[graft.plans.VectorExpressions
+    * .DotProduct]] doc; asserted in SimilarityAndDedupSpec).
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {
+    val dot = graft.plans.VectorExpressions.dotProduct _
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        Similarity.cosineRounded(col("x.v"), col("y.v")).as("cos"))
+        round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 6).as("cos"))
       .where(col("cos") >= threshold)
   }
 }

@@ -87,6 +87,68 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Dot product over two equal-length float/double arrays, in double, same
+    * sequential accumulation order as [[CosineSim]]'s dot term — so
+    * `DotProduct(a,b) / (sqrt(DotProduct(a,a)) * sqrt(DotProduct(b,b)))`
+    * is bit-identical to `CosineSim(a,b)` (asserted in tests). Used to
+    * hoist the per-vector norms out of pairwise similarity joins. */
+  case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def ok(dt: DataType) = dt match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dot_product needs array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+    }
+
+    private def elemGetter(e: Expression): String =
+      e.dataType.asInstanceOf[ArrayType].elementType match {
+        case FloatType => "getFloat"
+        case _ => "getDouble"
+      }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val xa = a.asInstanceOf[ArrayData]
+      val xb = b.asInstanceOf[ArrayData]
+      val n = math.min(xa.numElements(), xb.numElements())
+      val fa = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      val fb = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val x: Double = if (fa) xa.getFloat(i).toDouble else xa.getDouble(i)
+        val y: Double = if (fb) xb.getFloat(i).toDouble else xb.getDouble(i)
+        dot += x * y
+        i += 1
+      }
+      dot
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $dot += (double) $a.${elemGetter(left)}($i) * (double) $b.${elemGetter(right)}($i);
+           |}
+           |${ev.value} = $dot;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** MinHash signature: for each permutation p, min over the input hash set
     * of (A(p)·(h mod P) + B(p)) mod P. Identical arithmetic to
     * [[graft.operators.Dedup.minhashSignature]]'s HOF form, compiled to a
@@ -162,6 +224,10 @@ object VectorExpressions {
   /** Column-API entry points. */
   def cosineSim(a: Column, b: Column): Column =
     ColumnGlue.column(CosineSim(
+      ColumnGlue.expression(a), ColumnGlue.expression(b)))
+
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnGlue.column(DotProduct(
       ColumnGlue.expression(a), ColumnGlue.expression(b)))
 
   def minhashSig(hashes: Column, numPerm: Int,

@@ -66,6 +66,15 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(both.where(to_json(col("cg")) =!= to_json(col("hof"))).count() == 0)
   }
 
+  test("hoisted-norm dot product == CosineSim, bit-for-bit") {
+    val dot = graft.plans.VectorExpressions.dotProduct _
+    val n = vecs.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val both = n.as("a").join(n.as("b"), col("a.id") < col("b.id"))
+      .select((dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("hoisted"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("fused"))
+    assert(both.where(col("hoisted") =!= col("fused")).count() == 0)
+  }
+
   test("cosine is 1.0 for identical vectors, symmetric") {
     val self = vecs.select(Similarity.cosineRounded(col("v"), col("v")).as("c"))
     assert(self.collect().forall(_.getDouble(0) == 1.0))
