@@ -507,6 +507,17 @@ object SparkEntry {
       Streams.slidingCounts(t(s, d, "events"), "1 hour", "30 minutes")
         .orderBy(col("window_start"), col("event_type"))),
 
+    "b26_grouping_sets" -> ((s, d) =>
+      // explicit GROUPING SETS through the SQL front end (rollup/cube's
+      // general form); same syntax runs on the oracle.
+      graft.sources.Catalog.sql(s, d,
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          |  coalesce(l_linestatus, 'ALL') AS ls,
+          |  count(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY rf, ls""".stripMargin)),
+
     "b24_sql" -> ((s, d) =>
       // SQL entry point over the catalog layer (oamap database analogue):
       // same engine, text frontend.
@@ -651,6 +662,13 @@ object SparkEntry {
         |SELECT window_start, event_type, count(*) AS n
         |FROM w GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+    "b26_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin,
     "b24_sql" ->
       """SELECT o_orderpriority, count(*) AS n, min(o_orderkey) AS first_key
         |FROM orders WHERE o_totalprice > 100000

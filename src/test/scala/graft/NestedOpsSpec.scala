@@ -119,6 +119,17 @@ class NestedOpsSpec extends SparkSpec {
     assert(math.abs(total - 2 * total2) < 1e-9)
   }
 
+  test("A14/A15 typed Dataset map and reduce (encoder path)") {
+    val s = spark; import s.implicits._
+    val ds = s.createDataset(Fixtures.events)
+    // typed map: per-event scalar quantity, like oamap map with numba fn
+    val met = ds.map(e => e.met)
+    assert(math.abs(met.reduce(_ + _) - (27.5 + 10.1 + 88.8 + 5.5)) < 1e-9)
+    // typed flat aggregation over nested lists
+    val leadPt = ds.map(e => e.muons.map(_.pt).maxOption.getOrElse(0.0))
+    assert(leadPt.collect().sorted.toSeq == Seq(0.0, 9.0, 54.2, 150.0))
+  }
+
   test("A17 slice and element access") {
     val s = events.where(col("eventId") === 4)
       .select(Nested.sliceList(col("muons"), 2, 2).as("mid"))
