@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Folds
+
+/** SURVEY.md §5.2 item 3 — the port of oamap's interpreted-vs-compiled test
+  * pattern: key queries must return identical results with whole-stage
+  * codegen disabled (interpreted expression evaluation) and enabled; and
+  * custom typed Aggregator folds must agree with manual computation. */
+class EquivalenceSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private val keys = Seq("b01_tpch_q1", "a13_define", "c02_dedup_minhash",
+    "c03_dedup_simhash", "c06_ann_brute", "a22_compiled_expr")
+
+  test("codegen on/off produce identical results for representative queries") {
+    keys.foreach { name =>
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      val on = SparkEntry.queries(name)(spark, sf).collect().map(_.toSeq).toSeq
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val off = try SparkEntry.queries(name)(spark, sf).collect().map(_.toSeq).toSeq
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      assert(on == off, s"$name differs between codegen on/off")
+    }
+  }
+
+  test("WeightedMean aggregator matches manual computation and distributes") {
+    val s = spark; import s.implicits._
+    val data = Seq((1.0, 2.0), (3.0, 1.0), (10.0, 0.5)).toDF("x", "w")
+      .repartition(3) // force merge() across partials
+    val agg = udaf(new Folds.WeightedMean)
+    val got = data.agg(agg(col("x"), col("w"))).first().getDouble(0)
+    val want = (1.0 * 2.0 + 3.0 * 1.0 + 10.0 * 0.5) / (2.0 + 1.0 + 0.5)
+    assert(math.abs(got - want) < 1e-12)
+    // empty input -> NaN, not a crash
+    val empty = data.where(lit(false)).agg(agg(col("x"), col("w"))).first().getDouble(0)
+    assert(empty.isNaN)
+  }
+
+  test("ModProduct aggregator is exact and partition-order independent") {
+    val s = spark; import s.implicits._
+    val xs = (1L to 200L).toDF("x")
+    val agg = udaf(new Folds.ModProduct())
+    val a = xs.repartition(1).agg(agg(col("x"))).first().getLong(0)
+    val b = xs.repartition(7).agg(agg(col("x"))).first().getLong(0)
+    val manual = (1L to 200L).foldLeft(BigInt(1))((acc, x) => acc * x % graft.functions.Text.P)
+    assert(a == manual.toLong && b == manual.toLong)
+  }
+}
