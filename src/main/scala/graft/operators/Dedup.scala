@@ -65,9 +65,14 @@ object Dedup {
                    threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val r = numPerm / bands
+    // the shingle-set index feeds three subplans (signatures + both sides of
+    // the verification join); persist it so the hashing kernel runs once.
+    // Small relative to the corpus (distinct 60-bit hashes per doc),
+    // disk-spillable — the "cache the dedup index" pattern.
     val sets = df.select(col(idCol).as("id"),
       array_distinct(Text.shingleHashes(col(textCol), shingleN)).as("hs"))
       .where(size(col("hs")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = sets.withColumn("sig", minhashSignature(col("hs"), numPerm))
     val banded = sigs.select(col("id"), posexplode(
         array((0 until bands).map(b =>
@@ -106,8 +111,11 @@ object Dedup {
     val sets = df.select(col(idCol).as("id"),
       array_distinct(Text.shingleHashes(col(textCol), shingleN)).as("hs"))
       .where(size(col("hs")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sets.select(col("id"), size(col("hs")).as("sz"))
     val postings = sets.select(col("id"), explode(col("hs")).as("h"))
+    // no persist here: both sides of the self-join shuffle on h, so Spark's
+    // ReusedExchange already computes the capped posting list once.
     val capped = postings.withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("h")))
       .where(col("df") <= maxPosting).drop("df")
@@ -155,8 +163,11 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 48 / chunks
+    // persist the signatures: the banded self-join reads them from both
+    // sides, and the simhash kernel pass is the expensive part.
     val sh = df.select(col(idCol).as("id"),
       Dedup.simhash48(Text.tokens(col(textCol))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh.select(col("id"), col("sh"), posexplode(
         array((0 until chunks).map(c =>
           shiftright(col("sh"), c * bitsPer).bitwiseAND((1L << bitsPer) - 1)): _*)))
