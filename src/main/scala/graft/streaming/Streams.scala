@@ -50,4 +50,67 @@ object Streams {
   def streamDedup(events: DataFrame, delay: String): DataFrame =
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** A closed user session: contiguous events with < gap between them. */
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n: Long)
+
+  /** Internal running-session state: O(1) per user. */
+  case class SessionState(start: Long, last: Long, n: Long)
+
+  /** Custom-state sessionization via flatMapGroupsWithState — the
+    * arbitrary-stateful-processing path for stream logic that windowed
+    * aggregation can't express (here: emit a session only when it closes,
+    * carrying its event count).
+    *
+    * State per user is O(1) (start/last/count), bounded by the event-time
+    * timeout: idle users' state is evicted when the watermark passes
+    * last + gap, so a 1000-executor job holds |active users| tiny records.
+    * In batch mode Spark runs the same function with one group pass and a
+    * final NoTimeout call — used by the spec to check batch/stream parity.
+    */
+  def sessionizeWithState(events: DataFrame, gapMs: Long, delay: String):
+      org.apache.spark.sql.Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def close(userId: Long, st: SessionState): Session =
+      Session(userId, new java.sql.Timestamp(st.start),
+        new java.sql.Timestamp(st.last + gapMs), st.n)
+
+    events.withWatermark("ts", delay)
+      // keep the watermarked ts column itself — projecting it away would
+      // hide the watermark from the stateful operator
+      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close(userId, _))
+            state.remove()
+            out.iterator
+          } else {
+            val ts = rows.map(_._2.getTime).toArray.sorted
+            var st = state.getOption.getOrElse(SessionState(ts.head, ts.head, 0))
+            val closed = Seq.newBuilder[Session]
+            ts.foreach { t =>
+              if (st.n > 0 && t - st.last >= gapMs) {
+                closed += close(userId, st)
+                st = SessionState(t, t, 1)
+              } else {
+                st = SessionState(math.min(st.start, t), math.max(st.last, t), st.n + 1)
+              }
+            }
+            state.update(st)
+            // batch mode has no timeout clock; a timeout at-or-before the
+            // current watermark is also rejected — both are benign here
+            try state.setTimeoutTimestamp(st.last + gapMs)
+            catch { case scala.util.control.NonFatal(_) => () }
+            closed.result().iterator
+          }
+      }
+  }
 }

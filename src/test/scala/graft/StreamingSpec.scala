@@ -77,6 +77,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization emits closed sessions with counts") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    // user 1: events at 10:01, 10:02 (session A), then 11:00 (new session B)
+    // user 2: single event at 10:05, then 11:30 (closes user 2's session A)
+    mem.addData(
+      Ev(1, 1, "click", 1.0, ts(1)), Ev(2, 1, "click", 1.0, ts(2)),
+      Ev(3, 2, "view", 2.0, ts(5)))
+    val out = Streams.sessionizeWithState(mem.toDF(), gapMs = 30 * 60 * 1000, delay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("statesess")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(
+        Ev(4, 1, "click", 1.0, Timestamp.valueOf("2024-01-01 11:00:00")),
+        Ev(5, 2, "view", 1.0, Timestamp.valueOf("2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT user_id, session_start, session_end, n FROM statesess ORDER BY user_id, session_start")
+        .collect()
+      // user 1 session A closed by the 11:00 event (gap >= 30 min)
+      val u1 = rows.filter(_.getLong(0) == 1L)
+      assert(u1.length == 1)
+      assert(u1(0).getTimestamp(1) == ts(1) && u1(0).getLong(3) == 2L)
+      // user 2 session A closed by the 11:30 event
+      val u2 = rows.filter(_.getLong(0) == 2L)
+      assert(u2.length == 1 && u2(0).getLong(3) == 1L)
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling windows agree on the same data") {
     val s = spark; import s.implicits._
     val batch = Seq(
