@@ -140,6 +140,21 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(pairs.where(col("a") >= col("b")).count() == 0)
   }
 
+  test("IVF ANN reaches usable recall against brute force on real embeddings") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.t(spark, sf, "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+    val centroids = emb.where(pmod(col("vec_id"), lit(97)) === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val k = 10
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(r.fieldIndex("query_id")), r.getLong(r.fieldIndex("item_id")))).toSet
+    val brute = pairs(graft.operators.Ann.bruteTopK(emb, queries, "vec_id", "embedding", k))
+    val ivf = pairs(graft.operators.Ann.ivfTopK(emb, queries, centroids, "vec_id", "embedding", k, nprobe = 2))
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, f"IVF recall@10 too low: $recall%.2f")
+  }
+
   test("brute-force ANN: top-1 of a vector's own duplicate is that duplicate") {
     val s = spark; import s.implicits._
     val items = vecs.union(Seq((999L, (0 until 16).map(j => (((7 * 31 + j * 17) % 97) - 48) / 48.0f).toArray)).toDF("id", "v"))

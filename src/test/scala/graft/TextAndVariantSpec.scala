@@ -111,6 +111,30 @@ class TextAndVariantSpec extends SparkSpec {
     assert(back("muons").dataType.typeName == "array")
   }
 
+  test("JSON sink roundtrip with declared schema (write -> read, no inference)") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-json").toString + "/out"
+    val orig = Fixtures.events.toDF()
+    orig.write.mode("overwrite").json(dir)
+    val schemaJson = graft.sources.SchemaJson.toJson(orig)
+    val back = graft.sources.SchemaJson.readJsonWithSchema(s, schemaJson, dir)
+    // JSON sources force nullable=true on every field; structure must match
+    def norm(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+      dt match {
+        case st: org.apache.spark.sql.types.StructType =>
+          org.apache.spark.sql.types.StructType(
+            st.fields.map(f => f.copy(dataType = norm(f.dataType), nullable = true)))
+        case at: org.apache.spark.sql.types.ArrayType =>
+          at.copy(elementType = norm(at.elementType), containsNull = true)
+        case other => other
+      }
+    assert(norm(back.schema) == norm(orig.schema))
+    assert(back.orderBy("eventId").collect().map(_.getLong(0)).toSeq ==
+      orig.orderBy("eventId").collect().map(_.getLong(0)).toSeq)
+    assert(back.select(explode(col("muons.pt"))).count() ==
+      orig.select(explode(col("muons.pt"))).count())
+  }
+
   test("multimodal stub decode: features match manual computation") {
     val payload = "abcABC!".getBytes("UTF-8")
     val f = Multimodal.decodeStub(payload)
