@@ -434,6 +434,18 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    "b27_window_range" -> ((s, d) => {
+      // RANGE frame: for each order, how many of the same customer's orders
+      // fall within 50,000 of its total price (value-based frame, not row
+      // count) — the range/rows distinction of SURVEY §2B windows.
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+        .rangeBetween(-50000L, 50000L)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(w).as("n_similar"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     "b12_topk" -> ((s, d) =>
       t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
@@ -607,6 +619,11 @@ object SparkEntry {
         |  lead(o_orderkey, 1) OVER w AS next_order
         |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "b27_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 50000 PRECEDING AND 50000 FOLLOWING) AS n_similar
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "b12_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
