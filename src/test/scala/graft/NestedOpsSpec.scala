@@ -88,6 +88,13 @@ class NestedOpsSpec extends SparkSpec {
     assert(!df(0).isNullAt(1) && df(1).isNullAt(1) && !df(2).isNullAt(1) && df(3).isNullAt(1))
   }
 
+  test("A10 tomaskElements nulls sentinel values inside lists") {
+    val masked = events.select(Nested.tomaskElements(
+      Nested.project(col("muons"), "pt"), lit(7.0), lit(8.5)).as("pts"))
+    val rows = masked.where(size(col("pts")) === 3).first().getSeq[Any](0)
+    assert(rows(0) == null && rows(1) == null && rows(2) == 9.0)
+  }
+
   test("A11 flatten: List(List(x)) -> List(x)") {
     val f = events.select(Nested.flattenList(
         array(Nested.project(col("muons"), "pt"), Nested.project(col("jets"), "pt"))).as("all_pt"))

@@ -108,6 +108,17 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows assign each event to width/slide windows") {
+    val s = spark; import s.implicits._
+    val batch = Seq(Ev(1, 1, "click", 1.0, ts(10))).toDF()
+    val rows = Streams.slidingCounts(batch, "1 hour", "30 minutes")
+      .orderBy("window_start").collect()
+    // one event at 10:10 belongs to windows starting 09:30 and 10:00
+    assert(rows.length == 2)
+    assert(rows.map(_.getTimestamp(0).toString).toSeq ==
+      Seq("2024-01-01 09:30:00.0", "2024-01-01 10:00:00.0"))
+  }
+
   test("batch and streaming tumbling windows agree on the same data") {
     val s = spark; import s.implicits._
     val batch = Seq(

@@ -111,6 +111,17 @@ class TextAndVariantSpec extends SparkSpec {
     assert(back("muons").dataType.typeName == "array")
   }
 
+  test("media metadata struct carries size, mime, and checksum") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "hello".getBytes("UTF-8"))).toDF("id", "payload")
+    val m = Multimodal.withMediaMetadata(df, "payload").select("media_meta.*").first()
+    assert(m.getLong(0) == 5L)
+    assert(m.getString(1) == "application/octet-stream")
+    val crc = new java.util.zip.CRC32()
+    crc.update("hello".getBytes("UTF-8"))
+    assert(m.getLong(2) == crc.getValue)
+  }
+
   test("JSON sink roundtrip with declared schema (write -> read, no inference)") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-json").toString + "/out"
