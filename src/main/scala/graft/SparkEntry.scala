@@ -391,16 +391,24 @@ object SparkEntry {
         .orderBy(col("c_custkey"))),
 
     "b08_join_asof" -> ((s, d) => {
-      // for each purchase event: the user's most recent click at-or-before it
+      // for each purchase event: the user's most recent click at-or-before
+      // it. Linear as-of: union both event kinds into ONE per-user sorted
+      // stream and carry the running last click — one shuffle on user_id,
+      // O(events) work. The join-then-rank alternative is quadratic per
+      // user (every purchase pairs with every earlier click), which is the
+      // plan that falls over at 100 TB.
       val e = t(s, d, "events")
-      val p = e.where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val c = e.where(col("event_type") === "click")
-        .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("click_id"))
-      val j = p.join(c, col("user_id") === col("cu") && col("cts") <= col("ts"), "left")
-      val w = Window.partitionBy(col("event_id"))
-        .orderBy(col("cts").desc_nulls_last, col("click_id").desc_nulls_last)
-      j.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      val tagged = e.where(col("event_type").isin("purchase", "click"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          // clicks sort before purchases at equal ts: cts <= ts is inclusive
+          when(col("event_type") === "click", 0).otherwise(1).as("kind"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("click_id",
+          last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .where(col("kind") === 1)
         .select(col("event_id"), col("user_id"), col("click_id"))
         .orderBy(col("event_id"))
     }),
