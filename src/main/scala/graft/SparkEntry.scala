@@ -493,6 +493,28 @@ object SparkEntry {
           col("n"), col("total"))
         .orderBy(col("prio"), col("yr"))),
 
+    "b28_pivot" -> ((s, d) =>
+      // pivot = groupBy + fixed pivot values (declared, not inferred, so the
+      // output schema is deterministic and no extra pass over the data runs)
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"))
+        .orderBy(col("l_returnflag"))),
+
+    "b29_percentile_disc" -> ((s, d) =>
+      // discrete percentiles return actual data values — exact across
+      // engines, unlike interpolated percentile_cont
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90"))
+        .orderBy(col("o_orderpriority"))),
+
     "b16_string_fns" -> ((s, d) =>
       t(s, d, "part")
         .select(col("p_partkey"),
@@ -659,6 +681,16 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE (o_orderpriority, year(o_orderdate))
         |ORDER BY prio, yr""".stripMargin,
+    "b28_pivot" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE l_linestatus = 'O') AS n_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "b29_percentile_disc" ->
+      """SELECT o_orderpriority,
+        |  quantile_disc(o_totalprice, 0.5) AS p50,
+        |  quantile_disc(o_totalprice, 0.9) AS p90
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "b16_string_fns" ->
       """SELECT p_partkey, lower(p_brand) AS brand_lower, substring(p_name, 1, 5) AS name5,
         |  regexp_extract(p_type, '^(\w+)', 1) AS type_head,
