@@ -51,6 +51,32 @@ class PlanSpec extends SparkSpec {
       s"cosine fell out of codegen:\n$plan")
   }
 
+  test("linear as-of join plans exactly one shuffle exchange (plus the output sort)") {
+    val plan = SparkEntry.queries("b08_join_asof")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // one hash exchange on user_id for the window; one range exchange for
+    // the deterministic output sort; a join-based as-of would add more
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$plan")
+    assert(!plan.contains("Join"), s"as-of should be join-free:\n$plan")
+  }
+
+  test("multi-way star join broadcasts every dimension, never shuffles the fact table") {
+    val plan = SparkEntry.queries("b03_join_multi")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length == 4, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("minhash pipeline reads the persisted shingle index, not three recomputations") {
+    val plan = SparkEntry.queries("c02_dedup_minhash")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"), s"shingle index not persisted:\n$plan")
+    // the raw documents scan appears only inside the cached relation
+    assert("Scan parquet".r.findAllIn(plan).length <=
+      "InMemoryRelation".r.findAllIn(plan).length, plan)
+  }
+
   test("no query in the declared inventory collects to the driver") {
     // structural check: building every DataFrame must not trigger an action
     // (any collect-based operator would run here); constructing the plans on
