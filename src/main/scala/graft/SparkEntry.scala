@@ -211,8 +211,12 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_quantity"))),
 
     "a20_ingest_json" -> ((s, d) =>
+      // both JSON access paths: parsed struct (from_json with a declared
+      // schema) and direct path extraction (get_json_object)
       t(s, d, "events")
-        .select(col("event_id"), from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"))
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"),
+          get_json_object(col("props"), "$.k").cast("int").as("k2"))
         .orderBy(col("event_id"))),
 
     "a21_inference" -> ((s, d) => {
@@ -311,7 +315,8 @@ object SparkEntry {
         |ORDER BY e.event_id""".stripMargin,
     "a20_ingest_json" ->
       """SELECT event_id,
-        |  CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS INTEGER) AS k
+        |  CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS INTEGER) AS k,
+        |  CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS INTEGER) AS k2
         |FROM events ORDER BY event_id""".stripMargin,
     "a21_inference" ->
       """SELECT CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT) AS k,

@@ -101,6 +101,10 @@ object Nested {
   def tomask(c: Column, low: Column, high: Column): Column =
     when(c.between(low, high), lit(null)).otherwise(c)
 
+  /** Single-sentinel form: exactly `value` becomes null. */
+  def tomask(c: Column, value: Column): Column =
+    when(c === value, lit(null)).otherwise(c)
+
   def tomaskElements(arr: Column, low: Column, high: Column): Column =
     transform(arr, x => when(x.between(low, high), lit(null)).otherwise(x))
 

@@ -88,6 +88,12 @@ class NestedOpsSpec extends SparkSpec {
     assert(!df(0).isNullAt(1) && df(1).isNullAt(1) && !df(2).isNullAt(1) && df(3).isNullAt(1))
   }
 
+  test("A10 tomask single-sentinel form nulls only exact matches") {
+    val df = events.select(col("eventId"), Nested.tomask(col("met"), lit(10.1)).as("m"))
+      .orderBy("eventId").collect()
+    assert(!df(0).isNullAt(1) && df(1).isNullAt(1) && !df(2).isNullAt(1) && !df(3).isNullAt(1))
+  }
+
   test("A10 tomaskElements nulls sentinel values inside lists") {
     val masked = events.select(Nested.tomaskElements(
       Nested.project(col("muons"), "pt"), lit(7.0), lit(8.5)).as("pts"))
