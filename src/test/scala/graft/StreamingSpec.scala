@@ -108,6 +108,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with dimension attributes") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("cust_id", "tier")
+    val mem = MemoryStream[Ev]
+    mem.addData(Ev(1, 1, "click", 1.0, ts(1)), Ev(2, 2, "view", 2.0, ts(2)),
+      Ev(3, 9, "click", 1.0, ts(3))) // user 9 has no dim row
+    val out = mem.toDF().join(broadcast(dim), col("user_id") === col("cust_id"), "left")
+      .select(col("event_id"), col("tier"))
+    val q = out.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = s.sql("SELECT event_id, tier FROM enriched ORDER BY event_id").collect()
+      assert(rows.map(r => Option(r.getString(1))).toSeq ==
+        Seq(Some("gold"), Some("silver"), None))
+    } finally q.stop()
+  }
+
   test("sliding windows assign each event to width/slide windows") {
     val s = spark; import s.implicits._
     val batch = Seq(Ev(1, 1, "click", 1.0, ts(10))).toDF()
