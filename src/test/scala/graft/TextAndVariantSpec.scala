@@ -111,6 +111,24 @@ class TextAndVariantSpec extends SparkSpec {
     assert(back("muons").dataType.typeName == "array")
   }
 
+  test("recursive pointer schemas: tree traversal via iterative gather") {
+    // oamap encodes trees with self-referential Pointer schemas; Spark has
+    // no recursive types, so the ingest convention is an adjacency table +
+    // gather per level (SURVEY §1.2/§4.2). Three-level org chart:
+    val s = spark; import s.implicits._
+    val org = Seq((1L, None: Option[Long], "ceo"), (2L, Some(1L), "vp"),
+      (3L, Some(2L), "eng"), (4L, Some(2L), "eng2")).toDF("id", "mgr", "name")
+    val up1 = Variant.gather(org, "mgr",
+        org.select(col("id").as("m_id"), col("mgr").as("m_mgr")), "m_id",
+        broadcastTarget = true)
+    val up2 = Variant.gather(up1, "m_mgr",
+        org.select(col("id").as("g_id"), col("name").as("g_name")), "g_id",
+        broadcastTarget = true)
+    val grands = up2.select(col("id"), col("g_name")).orderBy("id").collect()
+    assert(grands.map(r => Option(r.getString(1))).toSeq ==
+      Seq(None, None, Some("ceo"), Some("ceo")))
+  }
+
   test("media metadata struct carries size, mime, and checksum") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "hello".getBytes("UTF-8"))).toDF("id", "payload")
