@@ -835,6 +835,13 @@ object SparkEntry {
         .select(col("doc_id"), Text.fingerprint(Text.tokens(col("text"))).as("fp"))
         .orderBy(col("doc_id"))),
 
+    "c16_repetition" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Text.repetitionRatio(Text.tokens(col("text")), 2).as("rep2"),
+          Text.repetitionRatio(Text.tokens(col("text")), 3).as("rep3"))
+        .orderBy(col("doc_id"))),
+
     "c13_term_freq" -> ((s, d) =>
       // corpus term frequency (SURVEY.md §2C "tf = explode + groupBy"):
       // one shuffle on the token (map-side partial counts first), top-100
@@ -991,6 +998,16 @@ object SparkEntry {
         |    generate_subscripts(string_split(text, ' '), 1) AS pos
         |  FROM documents)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "c16_repetition" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(t)-1 > 0 THEN 1.0 - CAST(len(list_distinct(
+        |    list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])))
+        |    AS DOUBLE) / CAST(len(t)-1 AS DOUBLE) END AS rep2,
+        |  CASE WHEN len(t)-2 > 0 THEN 1.0 - CAST(len(list_distinct(
+        |    list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+        |    AS DOUBLE) / CAST(len(t)-2 AS DOUBLE) END AS rep3
+        |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "c13_term_freq" ->
       """SELECT tok, count(*) AS tf
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)

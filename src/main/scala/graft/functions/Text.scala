@@ -62,6 +62,18 @@ object Text {
         lit(0L), (acc, x) => acc + x),
       lit(P))
 
+  /** Repetition ratio: fraction of duplicated word n-grams,
+    * `1 - distinct_ngrams / total_ngrams` (0 = no repetition). The standard
+    * C4/Gopher-style repetitiveness signal for corpus filtering. Null-safe:
+    * documents shorter than n tokens yield null. */
+  def repetitionRatio(toks: Column, n: Int): Column = {
+    val total = (size(toks) - (n - 1)).cast("double")
+    val made = transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => array_join(slice(toks, i, lit(n)), " "))
+    val distinctN = size(array_distinct(made)).cast("double")
+    when(total > 0, lit(1.0) - distinctN / total)
+  }
+
   /** Stopword lists for the n-gram/stopword language-ID heuristic. Tiny and
     * fixed so the oracle can embed the same lists. */
   val stopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
