@@ -127,6 +127,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchases join clicks within the window") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    clicks.addData(Ev(10, 1, "click", 0, ts(1)), Ev(11, 1, "click", 0, ts(30)))
+    purchases.addData(Ev(20, 1, "purchase", 9.99, ts(15)))
+    val c = clicks.toDF().select(col("event_id").as("click_id"),
+      col("user_id").as("cu"), col("ts").as("cts")).withWatermark("cts", "1 hour")
+    val p = purchases.toDF().select(col("event_id").as("purchase_id"),
+      col("user_id").as("pu"), col("ts").as("pts")).withWatermark("pts", "1 hour")
+    // click must precede the purchase by at most 20 minutes
+    val joined = p.join(c,
+      col("pu") === col("cu") &&
+        col("cts") <= col("pts") &&
+        col("cts") >= col("pts") - expr("INTERVAL 20 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = s.sql("SELECT purchase_id, click_id FROM ssjoin ORDER BY click_id").collect()
+      // click 10 (10:01) is within 20 min of purchase (10:15); click 11 (10:30) is after
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((20L, 10L)))
+    } finally q.stop()
+  }
+
   test("sliding windows assign each event to width/slide windows") {
     val s = spark; import s.implicits._
     val batch = Seq(Ev(1, 1, "click", 1.0, ts(10))).toDF()
