@@ -58,6 +58,41 @@ object Streams {
   /** Internal running-session state: O(1) per user. */
   case class SessionState(start: Long, last: Long, n: Long)
 
+  /** Running per-key event count via transformWithState — Spark 4's
+    * successor to [map|flatMap]GroupsWithState: named state variables on a
+    * StatefulProcessor handle, RocksDB-backed, TTL-capable. Emits the
+    * updated total for a key whenever it receives rows.
+    */
+  class RunningCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Long, (Long, Long)] {
+    @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Long],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long)] = {
+      val c = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(c)
+      Iterator.single((key, c))
+    }
+  }
+
+  /** Stream of (user_id, running event count) updates. */
+  def runningCountsWithState(events: DataFrame):
+      org.apache.spark.sql.Dataset[(Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.select(col("user_id").cast("long")).as[Long]
+      .groupByKey(identity)
+      .transformWithState(new RunningCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Custom-state sessionization via flatMapGroupsWithState — the
     * arbitrary-stateful-processing path for stream logic that windowed
     * aggregation can't express (here: emit a session only when it closes,

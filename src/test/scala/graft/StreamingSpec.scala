@@ -127,6 +127,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState running counts accumulate across micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      mem.addData(Ev(1, 1, "click", 0, ts(1)), Ev(2, 1, "click", 0, ts(2)),
+        Ev(3, 2, "view", 0, ts(3)))
+      val out = Streams.runningCountsWithState(mem.toDF()).toDF("user_id", "n")
+      val q = out.writeStream.format("memory").queryName("twstate")
+        .outputMode("update").start()
+      try {
+        q.processAllAvailable()
+        mem.addData(Ev(4, 1, "click", 0, ts(10)))
+        q.processAllAvailable()
+        val last = s.sql(
+          "SELECT user_id, max(n) AS n FROM twstate GROUP BY user_id ORDER BY user_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        assert(last.toSeq == Seq((1L, 3L), (2L, 1L))) // state carried across batches
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join: purchases join clicks within the window") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
