@@ -32,6 +32,43 @@ object Ann {
       .select(col("query_id"), col("item_id"), col("cos"), col("rank"))
   }
 
+  /** Deterministic Lloyd k-means codebook for [[ivfTopK]]: init = the k
+    * lowest-id vectors (no sampling, reproducible across runs), then
+    * `iters` rounds of assign-to-nearest (cosine) + per-cell mean.
+    *
+    * Scale: each iteration is one broadcast of k centroids, a narrow
+    * assignment pass, and one groupBy(cell) shuffle whose reduce state is
+    * k × dim doubles — the textbook distributed Lloyd step. Results are
+    * deterministic up to floating-point summation order inside the mean
+    * (Spark partial-sum order), which is why IVF queries built on this are
+    * validated by recall tests rather than a bitwise SQL oracle.
+    */
+  def kmeansCentroids(items: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 2): DataFrame = {
+    val spark = items.sparkSession
+    var centroids = items.orderBy(col(idCol)).limit(k)
+      .select(row_number().over(Window.orderBy(col(idCol))).cast("long").as("centroid_id"),
+        col(vecCol).as("cvec"))
+    (0 until iters).foreach { _ =>
+      val assigned = items.select(col(idCol).as("item_id"), col(vecCol).as("v"))
+        .join(broadcast(centroids))
+        .select(col("item_id"), col("v"), col("centroid_id"),
+          Similarity.cosineRounded(col("v"), col("cvec")).as("csim"))
+      val w = Window.partitionBy("item_id").orderBy(col("csim").desc, col("centroid_id"))
+      val cells = assigned.withColumn("r", row_number().over(w)).where(col("r") === 1)
+      val dim = org.apache.spark.sql.functions.size(col("v"))
+      centroids = cells
+        .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("centroid_id"),
+          transform(col("pm"), _.getField("m")).cast("array<float>").as("cvec"))
+    }
+    centroids
+  }
+
   /** IVF-style blocked ANN: assign every vector to its nearest of
     * `centroids` (a small deterministic DataFrame of (centroid_id, vec)),
     * then search only the query's `nprobe` best cells.

@@ -140,6 +140,20 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(pairs.where(col("a") >= col("b")).count() == 0)
   }
 
+  test("k-means IVF beats arbitrary-centroid IVF recall on real embeddings") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.t(spark, sf, "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(r.fieldIndex("query_id")), r.getLong(r.fieldIndex("item_id")))).toSet
+    val brute = pairs(graft.operators.Ann.bruteTopK(emb, queries, "vec_id", "embedding", 10))
+    val km = graft.operators.Ann.kmeansCentroids(emb, "vec_id", "embedding", k = 6, iters = 2)
+    assert(km.count() == 6)
+    val ivf = pairs(graft.operators.Ann.ivfTopK(emb, queries, km, "vec_id", "embedding", 10, nprobe = 2))
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, f"k-means IVF recall@10: $recall%.2f")
+  }
+
   test("IVF ANN reaches usable recall against brute force on real embeddings") {
     val sf = "/root/testdata/sf0.001"
     val emb = graft.sources.Tables.t(spark, sf, "embeddings")
