@@ -520,6 +520,19 @@ object SparkEntry {
           expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90"))
         .orderBy(col("o_orderpriority"))),
 
+    "b30_math_fns" -> ((s, d) =>
+      // math-function surface restricted to IEEE-exact ops (abs/sqrt/floor/
+      // ceil/sign/mod) so results are bit-identical across engines
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").as("ln"),
+          abs(col("l_discount") - 0.05).as("d_abs"),
+          sqrt(col("l_quantity")).as("q_sqrt"),
+          floor(col("l_extendedprice") / 100).cast("long").as("p_floor"),
+          ceil(col("l_extendedprice") / 100).cast("long").as("p_ceil"),
+          signum(col("l_discount") - 0.05).as("d_sign"),
+          pmod(col("l_linenumber"), lit(3)).as("ln_mod"))
+        .orderBy(col("l_orderkey"), col("ln"), col("d_abs"), col("q_sqrt"))),
+
     "b16_string_fns" -> ((s, d) =>
       t(s, d, "part")
         .select(col("p_partkey"),
@@ -686,6 +699,15 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE (o_orderpriority, year(o_orderdate))
         |ORDER BY prio, yr""".stripMargin,
+    "b30_math_fns" ->
+      """SELECT l_orderkey, l_linenumber AS ln,
+        |  abs(l_discount - 0.05) AS d_abs,
+        |  sqrt(l_quantity) AS q_sqrt,
+        |  CAST(floor(l_extendedprice / 100) AS BIGINT) AS p_floor,
+        |  CAST(ceil(l_extendedprice / 100) AS BIGINT) AS p_ceil,
+        |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS d_sign,
+        |  l_linenumber % 3 AS ln_mod
+        |FROM lineitem ORDER BY l_orderkey, ln, d_abs, q_sqrt""".stripMargin,
     "b28_pivot" ->
       """SELECT l_returnflag,
         |  count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
