@@ -474,6 +474,30 @@ object SparkEntry {
       onlyOrders.union(both).union(all).select(col("tag"), col("n")).orderBy(col("tag"))
     }),
 
+    "b31_setops_all" -> ((s, d) => {
+      // bag-semantics set ops: duplicates preserved/subtracted by multiplicity
+      val a = t(s, d, "lineitem").select(col("l_returnflag").as("f"))
+      val b = t(s, d, "lineitem").where(col("l_quantity") > 25)
+        .select(col("l_returnflag").as("f"))
+      val inter = a.intersectAll(b).groupBy(col("f")).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("intersect_all"))
+      val exc = a.exceptAll(b).groupBy(col("f")).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("except_all"))
+      inter.union(exc).select(col("op"), col("f"), col("n")).orderBy(col("op"), col("f"))
+    }),
+
+    "b32_window_nav" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey")).over(w).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     "b14_distinct" -> ((s, d) =>
       t(s, d, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
@@ -684,6 +708,24 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'union' AS tag, count(*) AS n FROM (SELECT k FROM oc UNION SELECT k FROM ec)
         |ORDER BY tag""".stripMargin,
+    "b31_setops_all" ->
+      """WITH a AS (SELECT l_returnflag AS f FROM lineitem),
+        |b AS (SELECT l_returnflag AS f FROM lineitem WHERE l_quantity > 25)
+        |SELECT 'intersect_all' AS op, f, count(*) AS n
+        |FROM (SELECT f FROM a INTERSECT ALL SELECT f FROM b) GROUP BY f
+        |UNION ALL
+        |SELECT 'except_all' AS op, f, count(*) AS n
+        |FROM (SELECT f FROM a EXCEPT ALL SELECT f FROM b) GROUP BY f
+        |ORDER BY op, f""".stripMargin,
+    "b32_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  last_value(o_orderkey) OVER w AS last_order,
+        |  nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "b14_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
