@@ -227,6 +227,17 @@ object SparkEntry {
       inferred.groupBy(col("k")).agg(count(lit(1)).as("n")).orderBy(col("k"))
     }),
 
+    "a23_explode_outer" -> ((s, d) => {
+      // outer unnest: parents with empty/missing lists survive as null rows
+      // (257 orders have no lineitems in the testdata)
+      val items = Tables.orderItems(s, d)
+      t(s, d, "orders").select(col("o_orderkey"))
+        .join(items, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"), explode_outer(col("items")).as("it"))
+        .select(col("o_orderkey"), col("it.ln").as("ln"), col("it.qty").as("qty"))
+        .orderBy(col("o_orderkey"), col("ln").asc_nulls_first, col("qty"))
+    }),
+
     "a22_compiled_expr" -> ((s, d) => {
       // the compiled-UDF surface (oamap compiler.py → Catalyst codegen):
       // first minhash permutation per document through the codegen'd
@@ -322,6 +333,10 @@ object SparkEntry {
       """SELECT CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT) AS k,
         |  count(*) AS n
         |FROM events GROUP BY k ORDER BY k""".stripMargin,
+    "a23_explode_outer" ->
+      """SELECT o_orderkey, l_linenumber AS ln, l_quantity AS qty
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey, ln ASC NULLS FIRST, qty""".stripMargin,
     // affine minhash permutation 0: a=coeffA(0)=1103527590, b=coeffB(0)=69070,
     // over the same md5-derived 60-bit shingle hashes (mod P = 2^31-1).
     "a22_compiled_expr" ->
