@@ -120,6 +120,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("codegen shingle/simhash kernels match HOF forms on non-ASCII text") {
+    val s = spark; import s.implicits._
+    val genTok = Gen.oneOf("héllo", "wörld", "日本語", "مرحبا", "ascii", "émoji🙂", "ß")
+    forAll(Gen.nonEmptyListOf(genTok)) { toks =>
+      val df = Seq(toks.mkString(" ")).toDF("text")
+      val sh = df.select(
+        Text.shingleHashes(col("text"), 2).as("cg"),
+        array_distinct(Text.shingleHashesHof(col("text"), 2)).as("hof"),
+        Dedup.simhash48(Text.tokens(col("text"))).as("sim_cg"),
+        Dedup.simhash48Hof(Text.tokens(col("text"))).as("sim_hof")).first()
+      assert(sh.getSeq[Long](0) == sh.getSeq[Long](1),
+        s"shingle hash mismatch on ${toks.mkString(" ")}")
+      assert(sh.getLong(2) == sh.getLong(3),
+        s"simhash mismatch on ${toks.mkString(" ")}")
+    }
+  }
+
   test("fingerprint is invariant to row order but sensitive to token order") {
     val s = spark; import s.implicits._
     forAll(Gen.nonEmptyListOf(Gen.oneOf("x", "y", "z", "w"))) { toks =>
