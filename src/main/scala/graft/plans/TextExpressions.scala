@@ -143,8 +143,10 @@ object TextExpressions {
   }
 
   /** Column-API entry points. */
-  def shingleHashes(tokens: Column, n: Int): Column =
+  def shingleHashes(tokens: Column, n: Int): Column = {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
     ColumnGlue.column(ShingleHashesExpr(ColumnGlue.expression(tokens), n))
+  }
 
   def simhash48(tokens: Column): Column =
     ColumnGlue.column(SimHash48Expr(ColumnGlue.expression(tokens)))

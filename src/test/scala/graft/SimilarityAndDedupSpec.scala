@@ -75,6 +75,27 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(both.where(col("hoisted") =!= col("fused")).count() == 0)
   }
 
+  test("kernel edge cases: short docs, empty hash sets, zero vectors") {
+    val s = spark; import s.implicits._
+    // doc shorter than the shingle size -> empty hash array (not null/crash)
+    val short = Seq("one two").toDF("text")
+      .select(Text.shingleHashes(col("text"), 5).as("hs")).first()
+    assert(short.getSeq[Long](0).isEmpty)
+    // minhash over an empty set -> per-permutation sentinel (Long.MaxValue);
+    // pipelines filter size(hs) > 0 before signing, so this never banding-joins
+    val sig = Seq(Seq.empty[Long]).toDF("hs")
+      .select(Dedup.minhashSignature(col("hs"), 4).as("sig")).first().getSeq[Long](0)
+    assert(sig.forall(_ == Long.MaxValue))
+    // zero vector -> cosine is NaN (0/0), never silently 0 or an exception
+    val z = Seq((Array(0f, 0f), Array(1f, 2f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b"))).first().getDouble(0)
+    assert(z.isNaN)
+    // invalid shingle size rejected at build time
+    intercept[IllegalArgumentException] {
+      graft.plans.TextExpressions.shingleHashes(lit("x"), 0)
+    }
+  }
+
   test("cosine is 1.0 for identical vectors, symmetric") {
     val self = vecs.select(Similarity.cosineRounded(col("v"), col("v")).as("c"))
     assert(self.collect().forall(_.getDouble(0) == 1.0))
