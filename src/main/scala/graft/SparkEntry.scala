@@ -914,6 +914,13 @@ object SparkEntry {
         .select(col("doc_id"), Text.fingerprint(Text.tokens(col("text"))).as("fp"))
         .orderBy(col("doc_id"))),
 
+    "c17_dedup_clusters" -> ((s, d) =>
+      // near-dup pairs -> connected components -> min-id representative
+      Dedup.clusters(Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          shingleN = 3, threshold = 0.8))
+        .select(col("id").as("doc_id"), col("cluster_rep"))
+        .orderBy(col("doc_id"))),
+
     "c16_repetition" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"),
@@ -1077,6 +1084,24 @@ object SparkEntry {
         |    generate_subscripts(string_split(text, ' '), 1) AS pos
         |  FROM documents)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // transitive closure of the exact-jaccard pair graph via recursive CTE;
+    // min reachable id = cluster representative
+    "c17_dedup_clusters" ->
+      (shingleCte +
+        """,
+          |p AS (
+          |  SELECT a.doc_id AS a, b.doc_id AS b
+          |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+          |  WHERE len(list_intersect(a.sh, b.sh)) >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))),
+          |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+          |r AS (
+          |  WITH RECURSIVE reach(id, x) AS (
+          |    SELECT src, src FROM e
+          |    UNION
+          |    SELECT e.src, reach.x FROM e JOIN reach ON reach.id = e.dst)
+          |  SELECT id, x FROM reach)
+          |SELECT id AS doc_id, min(x) AS cluster_rep
+          |FROM r GROUP BY id ORDER BY doc_id""".stripMargin),
     "c16_repetition" ->
       """SELECT doc_id,
         |  CASE WHEN len(t)-1 > 0 THEN 1.0 - CAST(len(list_distinct(

@@ -182,6 +182,45 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-dup pair list: every document in a
+    * component gets the component's minimum doc id as its cluster
+    * representative — the end stage that turns pairwise similarity into
+    * dedup groups.
+    *
+    * Min-label propagation (the map-reduce CC pattern): each node starts
+    * labeled with itself; every round, each node takes the minimum label
+    * among itself and its neighbors; converges in O(component diameter)
+    * rounds to a unique fixed point, so the result is deterministic
+    * regardless of execution order. Each round is one join + one groupBy on
+    * node ids; labels are persisted per round and the previous round is
+    * unpersisted, so lineage stays flat. The driver-side loop holds only a
+    * changed-count, never data.
+    */
+  def clusters(pairs: DataFrame, idA: String = "a", idB: String = "b",
+               maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).persist(MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .persist(MEMORY_AND_DISK)
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .where(col("lbl") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id"), col("lbl").as("cluster_rep"))
+  }
+
   /** Embedding near-dup: pairs with cosine ≥ threshold.
     *
     * Small-side brute force here (fine ≤ ~10⁵ vectors); the 100 TB path is

@@ -156,6 +156,16 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(pairs == expected)
   }
 
+  test("clusters: min-label propagation finds connected components") {
+    val s = spark; import s.implicits._
+    // components: {1,2,3,7} (chain 1-2, 2-3, 3-7), {5,6}, {9,10}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (5L, 6L), (10L, 9L)).toDF("a", "b")
+    val got = graft.operators.Dedup.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      5L -> 5L, 6L -> 5L, 9L -> 9L, 10L -> 9L))
+  }
+
   test("embedding near-dup threshold join is symmetric-free (a<b) and correct") {
     val pairs = Dedup.embeddingPairs(vecs, "id", "v", threshold = 0.9)
     assert(pairs.where(col("a") >= col("b")).count() == 0)
