@@ -199,11 +199,27 @@ object Dedup {
   def clusters(pairs: DataFrame, idA: String = "a", idB: String = "b",
                maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // symmetrization reads the pair list twice — persist it so an expensive
+    // upstream (e.g. a similarity join) runs once
+    val p = pairs.persist(MEMORY_AND_DISK)
+    val rawEdges = p.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(p.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().persist(MEMORY_AND_DISK)
+    // the pair graph is normally orders of magnitude smaller than the
+    // corpus; size the iteration partitioning to the graph, not the session
+    // default, so each round's joins don't pay full-width scheduling
+    val parts = math.max(1, math.min(
+      pairs.sparkSession.sparkContext.defaultParallelism,
+      (rawEdges.count() / 50000L).toInt + 1))
+    val edges = rawEdges.repartition(parts, col("dst")).persist(MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).persist(MEMORY_AND_DISK)
+    // labels only ever decrease, so the label sum is strictly monotone until
+    // the fixed point — convergence needs just one agg action per round, not
+    // a join-based diff
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = lblSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -212,8 +228,9 @@ object Dedup {
       val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .persist(MEMORY_AND_DISK)
-      converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .where(col("lbl") =!= col("old")).isEmpty
+      val s = lblSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels.unpersist()
       labels = next
       iter += 1
