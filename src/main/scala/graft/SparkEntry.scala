@@ -921,6 +921,19 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster_rep"))
         .orderBy(col("doc_id"))),
 
+    "c18_dedup_apply" -> ((s, d) => {
+      // the actual dedup output: keep every document that is not a
+      // non-representative member of a near-dup cluster
+      val docs = t(s, d, "documents")
+      val members = Dedup.clusters(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleN = 3, threshold = 0.8))
+        .where(col("id") =!= col("cluster_rep"))
+        .select(col("id"))
+      docs.join(members, docs("doc_id") === members("id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "c16_repetition" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"),
@@ -1102,6 +1115,23 @@ object SparkEntry {
           |  SELECT id, x FROM reach)
           |SELECT id AS doc_id, min(x) AS cluster_rep
           |FROM r GROUP BY id ORDER BY doc_id""".stripMargin),
+    "c18_dedup_apply" ->
+      (shingleCte +
+        """,
+          |p AS (
+          |  SELECT a.doc_id AS a, b.doc_id AS b
+          |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+          |  WHERE len(list_intersect(a.sh, b.sh)) >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))),
+          |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+          |r AS (
+          |  WITH RECURSIVE reach(id, x) AS (
+          |    SELECT src, src FROM e
+          |    UNION
+          |    SELECT e.src, reach.x FROM e JOIN reach ON reach.id = e.dst)
+          |  SELECT id, min(x) AS rep FROM reach GROUP BY id)
+          |SELECT doc_id, lang, n_chars FROM documents
+          |WHERE doc_id NOT IN (SELECT id FROM r WHERE id != rep)
+          |ORDER BY doc_id""".stripMargin),
     "c16_repetition" ->
       """SELECT doc_id,
         |  CASE WHEN len(t)-1 > 0 THEN 1.0 - CAST(len(list_distinct(
