@@ -28,6 +28,19 @@ object SparkEntry {
   /** Exact, order-independent sum of a 2dp-double column, as double. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Near-dup cluster labels over documents, memoized per (session, sfDir):
+    * c17 and c18 share the pair graph and the CC iterations (same
+    * materialized-view pattern as Tables.orderItems). */
+  private val clustersCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def docClusters(s: SparkSession, d: String): DataFrame =
+    clustersCache.computeIfAbsent((s, d), { _ =>
+      Dedup.clusters(Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          shingleN = 3, threshold = 0.8))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Flagship query on sf=0.001 (TPC-H Q1 shape); driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q1Agg(spark, "/root/testdata/sf0.001")
@@ -916,8 +929,7 @@ object SparkEntry {
 
     "c17_dedup_clusters" -> ((s, d) =>
       // near-dup pairs -> connected components -> min-id representative
-      Dedup.clusters(Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
-          shingleN = 3, threshold = 0.8))
+      docClusters(s, d)
         .select(col("id").as("doc_id"), col("cluster_rep"))
         .orderBy(col("doc_id"))),
 
@@ -925,8 +937,7 @@ object SparkEntry {
       // the actual dedup output: keep every document that is not a
       // non-representative member of a near-dup cluster
       val docs = t(s, d, "documents")
-      val members = Dedup.clusters(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          shingleN = 3, threshold = 0.8))
+      val members = docClusters(s, d)
         .where(col("id") =!= col("cluster_rep"))
         .select(col("id"))
       docs.join(members, docs("doc_id") === members("id"), "left_anti")
