@@ -36,6 +36,39 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    val s = spark; import s.implicits._
+    val prev = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" ->
+        s.conf.getOption("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        s.conf.getOption("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        s.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        s.conf.getOption("spark.sql.autoBroadcastJoinThreshold"))
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "20KB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // 100k rows on ONE key vs a near-uniform right side
+      val left = (1 to 100000).map(i => (1L, i)).toDF("k", "v")
+        .union((1 to 1000).map(i => (i.toLong + 1, i)).toDF("k", "v"))
+      val right = (1 to 1001).map(i => (i.toLong, s"r$i")).toDF("k", "name")
+      val joined = left.join(right, "k")
+      // collect() executes THIS QueryExecution, finalizing its adaptive plan
+      // (count() would plan a separate query and leave this one unexecuted)
+      assert(joined.collect().length == 101000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE skew-split in final plan:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("skewSafeCountDistinct matches countDistinct exactly") {
     val li = Tables.t(spark, sf, "lineitem")
     val safe = Scale.skewSafeCountDistinct(li, "l_returnflag", "l_orderkey")
