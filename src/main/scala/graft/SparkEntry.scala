@@ -30,16 +30,16 @@ object SparkEntry {
 
   /** Near-dup cluster labels over documents, memoized per (session, sfDir):
     * c17 and c18 share the pair graph and the CC iterations (same
-    * materialized-view pattern as Tables.orderItems). */
-  private val clustersCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    * materialized-view pattern as Tables.orderItems; bounded LRU, evicted
+    * entries unpersisted). */
+  private val clustersCache = new graft.sources.Memo()
 
   private def docClusters(s: SparkSession, d: String): DataFrame =
-    clustersCache.computeIfAbsent((s, d), { _ =>
+    clustersCache.getOrElseUpdate((s, d)) {
       Dedup.clusters(Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
           shingleN = 3, threshold = 0.8))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   /** Flagship query on sf=0.001 (TPC-H Q1 shape); driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -251,6 +251,51 @@ object SparkEntry {
         .orderBy(col("o_orderkey"), col("ln").asc_nulls_first, col("qty"))
     }),
 
+    "a24_union_n" -> ((s, d) => {
+      // arbitrary-arity union (oamap Union(possibilities)): 3-way variant
+      // over event kinds — purchase carries its value, click carries the
+      // parsed props key, everything else carries the raw type string
+      val e = t(s, d, "events")
+      val tag = when(col("event_type") === "purchase", 0)
+        .when(col("event_type") === "click", 1)
+        .otherwise(2)
+      val u = e.withColumn("u", Variant.unionN(tag,
+        col("value"),
+        regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1).cast("int"),
+        col("event_type")))
+      u.select(col("event_id"),
+          col("u.tag").as("tag"),
+          Variant.castCase(col("u"), 0).as("purchase_value"),
+          Variant.castCase(col("u"), 1).as("click_k"),
+          Variant.castCase(col("u"), 2).as("other_type"))
+        .orderBy(col("event_id"))
+    }),
+
+    "a25_tensor_dims" -> ((s, d) => {
+      // fixed-dims tensor leaf (oamap Primitive(dtype, dims)): enforce the
+      // declared 64-dim shape at ingest (ragged rows would fail the job),
+      // then aggregate per label with order-independent exact stats
+      val emb = t(s, d, "embeddings")
+        .withColumn("embedding", Nested.fixedDims(col("embedding"), Seq(64)))
+      emb.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          min(element_at(col("embedding"), 1)).as("min_e0"),
+          max(element_at(col("embedding"), 1)).as("max_e0"))
+        .orderBy(col("label"))
+    }),
+
+    "a26_normalize" -> ((s, d) => {
+      // ingest-side pointer normalization roundtrip (oamap fill-time
+      // identity dedup): shared (lang, source) sub-objects split into a
+      // dimension table + content key, then gathered back — the oracle is
+      // the identity, proving the roundtrip is lossless
+      val (fact, dim) = Variant.normalize(
+        t(s, d, "documents"), Seq("lang", "source"), "ls_key")
+      Variant.denormalize(fact, dim, "ls_key")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     "a22_compiled_expr" -> ((s, d) => {
       // the compiled-UDF surface (oamap compiler.py → Catalyst codegen):
       // first minhash permutation per document through the codegen'd
@@ -350,6 +395,22 @@ object SparkEntry {
       """SELECT o_orderkey, l_linenumber AS ln, l_quantity AS qty
         |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
         |ORDER BY o_orderkey, ln ASC NULLS FIRST, qty""".stripMargin,
+    "a24_union_n" ->
+      """SELECT event_id,
+        |  CASE event_type WHEN 'purchase' THEN 0 WHEN 'click' THEN 1 ELSE 2 END AS tag,
+        |  CASE WHEN event_type = 'purchase' THEN value ELSE NULL END AS purchase_value,
+        |  CASE WHEN event_type = 'click'
+        |    THEN CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS INTEGER)
+        |    ELSE NULL END AS click_k,
+        |  CASE WHEN event_type NOT IN ('purchase', 'click') THEN event_type
+        |    ELSE NULL END AS other_type
+        |FROM events ORDER BY event_id""".stripMargin,
+    "a25_tensor_dims" ->
+      """SELECT label, count(*) AS n,
+        |  min(embedding[1]) AS min_e0, max(embedding[1]) AS max_e0
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "a26_normalize" ->
+      """SELECT doc_id, lang, source FROM documents ORDER BY doc_id""".stripMargin,
     // affine minhash permutation 0: a=coeffA(0)=1103527590, b=coeffB(0)=69070,
     // over the same md5-derived 60-bit shingle hashes (mod P = 2^31-1).
     "a22_compiled_expr" ->
@@ -601,10 +662,17 @@ object SparkEntry {
         .orderBy(col("month"))),
 
     "b18_approx_distinct" -> ((s, d) =>
+      // exact count-distinct is oracle-checked directly; the HLL estimate is
+      // engine-specific, so its correctness evidence is a relative-error
+      // bound (|approx-exact|/exact ≤ 5%) that the oracle asserts as TRUE —
+      // if Spark's sketch drifted out of tolerance the hash would go red.
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx_orders") - col("exact_orders"))
+            <= col("exact_orders") * 0.05).as("approx_ok"))
         .orderBy(col("l_returnflag"))),
 
     "b19_window_tumbling" -> ((s, d) =>
@@ -797,6 +865,10 @@ object SparkEntry {
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY month ORDER BY month""".stripMargin,
+    "b18_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "b19_window_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -1099,10 +1171,12 @@ object SparkEntry {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // outer CAST(.. AS BIGINT): DuckDB's sum over BIGINT returns HUGEINT
+    // (decimal128); Spark writes int64 — same values, different physical type.
     "c11_fingerprint" ->
       """SELECT doc_id,
-        |  sum(((CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 2147483647)
-        |       * (((pos - 1) % 64) + 1)) % 2147483647) % 2147483647 AS fp
+        |  CAST(sum(((CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 2147483647)
+        |       * (((pos - 1) % 64) + 1)) % 2147483647) % 2147483647 AS BIGINT) AS fp
         |FROM (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
         |    generate_subscripts(string_split(text, ' '), 1) AS pos
@@ -1192,7 +1266,6 @@ object SparkEntry {
     aQueries ++ bQueries ++ cQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted (→ rows-only check): b18 (approx HLL
-    * values are engine-specific). */
+    * the same parquet tables — every query key has an oracle. */
   def oracleSql: Map[String, String] = aOracles ++ bOracles ++ cOracles
 }

@@ -34,7 +34,7 @@ object Dedup {
     * codegen'd ([[graft.plans.VectorExpressions.MinHashSig]]). */
   def minhashSignature(hashes: Column, numPerm: Int): Column =
     graft.plans.VectorExpressions.minhashSig(hashes, numPerm,
-      (0 until numPerm).map(coeffA).toArray, (0 until numPerm).map(coeffB).toArray)
+      (0 until numPerm).map(coeffA), (0 until numPerm).map(coeffB))
 
   /** Interpreted HOF form of [[minhashSignature]] — identical arithmetic,
     * kept for equivalence testing. */
@@ -104,21 +104,31 @@ object Dedup {
     * Shuffles: one on shingle hash (well distributed — md5), one groupBy on
     * the pair. Hot shingles are capped (`maxPosting`) — a document-frequency
     * cut that bounds the pair blowup, standard for similarity joins.
+    *
+    * Cap semantics: set sizes are taken from the SAME capped posting list
+    * as the intersection counts, so when the cap fires the result is the
+    * exact jaccard over the sub-universe of non-hot shingles — numerator
+    * and denominator stay consistent (capping only the intersection would
+    * silently drop near-threshold pairs). When no shingle's document
+    * frequency exceeds `maxPosting` (checkable via [[cappedShingleCount]])
+    * the result is the exact jaccard, full stop.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.8,
                         maxPosting: Int = 10000): DataFrame = {
-    val sets = df.select(col(idCol).as("id"),
-      array_distinct(Text.shingleHashes(col(textCol), shingleN)).as("hs"))
-      .where(size(col("hs")) > 0)
+    // persist the posting list: it feeds the hot-shingle scan, both sides
+    // of the self-join, and the per-doc sizes — and the shingle-hash kernel
+    // is the expensive pass. Small relative to the corpus, disk-spillable.
+    val postings = df.select(col(idCol).as("id"),
+        explode(array_distinct(Text.shingleHashes(col(textCol), shingleN))).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sets.select(col("id"), size(col("hs")).as("sz"))
-    val postings = sets.select(col("id"), explode(col("hs")).as("h"))
-    // no persist here: both sides of the self-join shuffle on h, so Spark's
-    // ReusedExchange already computes the capped posting list once.
-    val capped = postings.withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("h")))
-      .where(col("df") <= maxPosting).drop("df")
+    // hot-shingle cut as a broadcast anti-join: the document-frequency agg
+    // is map-side-combined and the hot set is tiny (usually empty), so the
+    // posting list itself never pays an extra shuffle or window sort
+    val hot = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxPosting).select(col("h"))
+    val capped = postings.join(broadcast(hot), Seq("h"), "left_anti")
+    val sizes = capped.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val co = capped.as("x").join(capped.as("y"), col("x.h") === col("y.h") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("inter"))
@@ -127,6 +137,17 @@ object Dedup {
       .where(col("inter") >= (col("sza") + col("szb") - col("inter")) * threshold)
       .select(col("a"), col("b"))
   }
+
+  /** Number of shingles whose document frequency exceeds `maxPosting` —
+    * when 0, [[ngramJaccardPairs]] is exact over the full shingle universe.
+    * An action; run it as a data-quality check, not in the query path. */
+  def cappedShingleCount(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 3, maxPosting: Int = 10000): Long =
+    df.select(col(idCol).as("id"),
+        explode(array_distinct(Text.shingleHashes(col(textCol), shingleN))).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxPosting)
+      .count()
 
   /** 48-bit SimHash (48 not 64 so the reassembled value stays positive in
     * BIGINT for every engine): bit j of the signature is the sign of
@@ -187,14 +208,29 @@ object Dedup {
     * representative — the end stage that turns pairwise similarity into
     * dedup groups.
     *
-    * Min-label propagation (the map-reduce CC pattern): each node starts
-    * labeled with itself; every round, each node takes the minimum label
-    * among itself and its neighbors; converges in O(component diameter)
-    * rounds to a unique fixed point, so the result is deterministic
-    * regardless of execution order. Each round is one join + one groupBy on
-    * node ids; labels are persisted per round and the previous round is
-    * unpersisted, so lineage stays flat. The driver-side loop holds only a
-    * changed-count, never data.
+    * Accelerated min-label propagation (pointer jumping): each node starts
+    * labeled with itself; every round does (1) a neighbor-min step — each
+    * node takes the minimum label among itself and its neighbors — and
+    * (2) a pointer-jump step — each node shortcuts to its label's label
+    * (`lbl := lbl(lbl)`), doubling the propagation distance. A path of
+    * length d therefore collapses in O(log d) rounds, not O(d) — the same
+    * asymptotics as large-star/small-star contraction — so deep near-dup
+    * chains (the pathological shape for plain propagation) converge within
+    * the default `maxIter` (2^20 ≈ 10⁶-hop chains). Asserted by the
+    * 300-node-chain fixture in SimilarityAndDedupSpec.
+    *
+    * The fixed point is unique (min id reachable from each node), so the
+    * result is deterministic regardless of execution order. Each round is
+    * two joins + one groupBy on node ids; labels are locally checkpointed
+    * per round (truncating lineage — the jump self-join would otherwise
+    * double the plan every round) and the previous round is unpersisted.
+    * The driver-side loop holds only a scalar label-sum, never data. If
+    * the loop exits without reaching the fixed point it THROWS rather than
+    * silently returning partially-propagated labels.
+    *
+    * Graph-side intermediates (symmetrized edge list) are unpersisted on
+    * exit; the returned labels stay persisted (callers typically reuse them
+    * — unpersist when done).
     */
   def clusters(pairs: DataFrame, idA: String = "a", idB: String = "b",
                maxIter: Int = 20): DataFrame = {
@@ -212,8 +248,12 @@ object Dedup {
       pairs.sparkSession.sparkContext.defaultParallelism,
       (rawEdges.count() / 50000L).toInt + 1))
     val edges = rawEdges.repartition(parts, col("dst")).persist(MEMORY_AND_DISK)
+    // localCheckpoint (eager) rather than persist: the pointer-jump
+    // self-join references the previous round's labels twice, so without
+    // lineage truncation the logical plan doubles per round and planning
+    // itself blows up. Checkpointed labels keep every round's plan flat.
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).persist(MEMORY_AND_DISK)
+      .withColumn("lbl", col("id")).localCheckpoint()
     // labels only ever decrease, so the label sum is strictly monotone until
     // the fixed point — convergence needs just one agg action per round, not
     // a join-based diff
@@ -225,9 +265,16 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+      val stepped = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .persist(MEMORY_AND_DISK)
+      // pointer jump: labels are node ids, so every label has a row — an
+      // inner self-join resolves lbl -> lbl(lbl) (which is ≤ lbl, labels
+      // only decrease)
+      val next = stepped.as("n")
+        .join(stepped.select(col("id").as("jid"), col("lbl").as("jlbl")),
+          col("n.lbl") === col("jid"))
+        .select(col("n.id").as("id"), col("jlbl").as("lbl"))
+        .localCheckpoint()
       val s = lblSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -235,29 +282,73 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged) {
+      labels.unpersist(); edges.unpersist(); rawEdges.unpersist(); p.unpersist()
+      throw new IllegalStateException(
+        s"Dedup.clusters did not converge within $maxIter rounds — " +
+          "component deeper than 2^maxIter hops or a monotonicity bug; " +
+          "raise maxIter rather than consuming partial labels")
+    }
+    edges.unpersist(); rawEdges.unpersist(); p.unpersist()
     labels.select(col("id"), col("lbl").as("cluster_rep"))
   }
 
-  /** Embedding near-dup: pairs with cosine ≥ threshold.
+  /** Embedding near-dup: ALL pairs with cosine ≥ threshold — exact.
     *
-    * Small-side brute force here (fine ≤ ~10⁵ vectors); the 100 TB path is
-    * [[graft.operators.Ann.ivfTopK]]-style cell blocking — documented there.
-    * Cosine is rounded to 6dp before thresholding so the cross-engine
-    * comparison is stable.
+    * An exact similarity join at a low threshold (e.g. 0.35 over
+    * near-isotropic vectors) is inherently Θ(n²) comparisons: no LSH/IVF
+    * blocking can guarantee recall when qualifying pairs sit in the bulk of
+    * the random-pair cosine distribution (hyperplane-LSH collision
+    * probability at cos 0.35 is only ~0.61/bit). What CAN scale is the
+    * *plan*: instead of a BroadcastNestedLoopJoin (one whole side broadcast
+    * to every task — dies when the table outgrows executor memory), vectors
+    * are tiled into a `numBlocks × numBlocks` upper-triangular grid and the
+    * pair generation becomes an equi-join on the tile id:
     *
-    * Norms are hoisted out of the pairwise join: each vector's
-    * `sqrt(dot(v,v))` is computed once up front, and the O(n²) inner loop
-    * is a plain dot product — bit-identical to in-loop cosine because the
-    * accumulation order is unchanged ([[graft.plans.VectorExpressions
-    * .DotProduct]] doc; asserted in SimilarityAndDedupSpec).
+    *   - block(v) = pmod(hash(id), numBlocks); a vector in block p is
+    *     replicated to row-tiles (p,j) j≥p and column-tiles (i,p) i≤p —
+    *     every unordered block pair meets in exactly one tile;
+    *   - the tile join is a plain shuffled equi-join: per-task state is two
+    *     blocks of ~n/numBlocks vectors (size it to executor memory by
+    *     raising numBlocks ∝ n — shuffle volume grows as (numBlocks+1)·n
+    *     vector copies, work stays the inherent Θ(n²) spread over
+    *     numBlocks(numBlocks+1)/2 independent tiles that AQE can
+    *     split/coalesce);
+    *   - exact cosine verify inside each tile, rounded to 6dp before
+    *     thresholding so the cross-engine comparison is stable.
+    *
+    * This is the standard MapReduce theta-join tiling (Okcan & Riedewald,
+    * SIGMOD'11) applied to a self-join. For *high* thresholds prefer the
+    * sub-quadratic candidate generators in this file (minhash/simhash) or
+    * [[graft.operators.Ann.ivfTopK]] cell blocking.
+    *
+    * Norms are hoisted out of the pairwise work: each vector's
+    * `sqrt(dot(v,v))` is computed once before replication, and the tile
+    * inner loop is a plain dot product — bit-identical to in-loop cosine
+    * because the accumulation order is unchanged
+    * ([[graft.plans.VectorExpressions.DotProduct]] doc; asserted in
+    * SimilarityAndDedupSpec).
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double): DataFrame = {
+                     threshold: Double, numBlocks: Int = 16): DataFrame = {
     val dot = graft.plans.VectorExpressions.dotProduct _
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
+      .withColumn("blk", pmod(hash(col("id")), lit(numBlocks)))
+    // tile id = i*numBlocks + j with i ≤ j (upper triangle, one tile per
+    // unordered block pair)
+    val xs = v.withColumn("tile",
+      explode(transform(sequence(col("blk"), lit(numBlocks - 1)),
+        j => col("blk") * numBlocks + j)))
+    val ys = v.withColumn("tile",
+      explode(transform(sequence(lit(0), col("blk")),
+        i => i * numBlocks + col("blk"))))
+    xs.as("x").join(ys.as("y"), Seq("tile"))
+      // cross-block pairs meet in exactly one tile (x from the lower block);
+      // diagonal tiles hold both orders + self-pairs, so dedup by id there
+      .where(col("x.blk") =!= col("y.blk") || col("x.id") < col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("a"),
+        greatest(col("x.id"), col("y.id")).as("b"),
         round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 6).as("cos"))
       .where(col("cos") >= threshold)
   }

@@ -153,4 +153,22 @@ object Nested {
   def sliceList(arr: Column, start: Int, length: Int): Column = slice(arr, start, length)
 
   def at(arr: Column, i: Int): Column = element_at(arr, i)
+
+  // ------------------------------------------------------- Primitive(dims)
+  /** oamap `Primitive(dtype, dims)` — fixed-size tensor leaves (SURVEY.md
+    * §1.2). Spark arrays are variable-length, so the fixed shape is a
+    * declared-schema *constraint*: this passes the value through when every
+    * level matches `dims` and raises (fails the job, like a schema
+    * violation at ingest) on any ragged row. Pure column expression — no
+    * shuffle, stays in codegen; apply at ingest so everything downstream
+    * can assume the shape.
+    */
+  def fixedDims(c: Column, dims: Seq[Int]): Column = dims match {
+    case Seq() => c
+    case d +: rest =>
+      val checked = when(size(c) === d, c).otherwise(raise_error(concat(
+        lit(s"fixedDims: expected dim $d, got "), size(c).cast("string"))))
+      if (rest.isEmpty) checked
+      else transform(checked, x => fixedDims(x, rest))
+  }
 }

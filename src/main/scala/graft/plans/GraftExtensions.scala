@@ -44,8 +44,8 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         val n = intArg(args(1), "minhash_sig", 2)
         VectorExpressions.MinHashSig(args(0), n,
-          (0 until n).map(graft.operators.Dedup.coeffA).toArray,
-          (0 until n).map(graft.operators.Dedup.coeffB).toArray)
+          (0 until n).map(graft.operators.Dedup.coeffA),
+          (0 until n).map(graft.operators.Dedup.coeffB))
       }),
     ("shingle_hashes",
       info("shingle_hashes", "shingle_hashes(tokens, n) - distinct 60-bit word n-gram hashes"),

@@ -22,6 +22,17 @@ import org.apache.spark.sql.types._
   */
 object VectorExpressions {
 
+  /** Shared by interpreted eval and generated code: a dimension mismatch is
+    * a data bug — fail loudly (DuckDB's list_cosine_similarity does too)
+    * instead of silently truncating to a plausible-looking similarity. */
+  def checkedLength(fn: String, a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na != nb)
+      throw new IllegalArgumentException(
+        s"$fn: array length mismatch ($na vs $nb)")
+    na
+  }
+
   /** Cosine similarity over two equal-length float/double arrays, in
     * double: dot/(√Σx²·√Σy²) with sequential accumulation. */
   case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
@@ -48,7 +59,7 @@ object VectorExpressions {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val xa = a.asInstanceOf[ArrayData]
       val xb = b.asInstanceOf[ArrayData]
-      val n = math.min(xa.numElements(), xb.numElements())
+      val n = VectorExpressions.checkedLength("cosine_sim", xa, xb)
       val fa = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
       val fb = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
       var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -72,7 +83,7 @@ object VectorExpressions {
         val x = ctx.freshName("x")
         val y = ctx.freshName("y")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = graft.plans.VectorExpressions.checkedLength("cosine_sim", $a, $b);
            |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
            |  double $x = (double) $a.${elemGetter(left)}($i);
@@ -116,7 +127,7 @@ object VectorExpressions {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val xa = a.asInstanceOf[ArrayData]
       val xb = b.asInstanceOf[ArrayData]
-      val n = math.min(xa.numElements(), xb.numElements())
+      val n = VectorExpressions.checkedLength("dot_product", xa, xb)
       val fa = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
       val fb = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
       var dot = 0.0
@@ -136,7 +147,7 @@ object VectorExpressions {
         val n = ctx.freshName("n")
         val dot = ctx.freshName("dot")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = graft.plans.VectorExpressions.checkedLength("dot_product", $a, $b);
            |double $dot = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
            |  $dot += (double) $a.${elemGetter(left)}($i) * (double) $b.${elemGetter(right)}($i);
@@ -150,12 +161,17 @@ object VectorExpressions {
   }
 
   /** MinHash signature: for each permutation p, min over the input hash set
-    * of (A(p)·(h mod P) + B(p)) mod P. Identical arithmetic to
-    * [[graft.operators.Dedup.minhashSignature]]'s HOF form, compiled to a
-    * two-level primitive loop. */
+    * of (A(p)·(h pmod P) + B(p)) mod P. Identical arithmetic to
+    * [[graft.operators.Dedup.minhashSignature]]'s HOF form — including
+    * `floorMod` for the input hash, so negative inputs (reachable through
+    * the SQL-registered function) agree with the HOF's `pmod` — compiled to
+    * a two-level primitive loop. Coefficients are Seq (value equality), so
+    * semantically identical expressions canonicalize/CSE correctly. */
   case class MinHashSig(child: Expression, numPerm: Int,
-                        coeffA: Array[Long], coeffB: Array[Long]) extends UnaryExpression {
+                        coeffA: Seq[Long], coeffB: Seq[Long]) extends UnaryExpression {
     private val P = 2147483647L
+    @transient private lazy val aArr: Array[Long] = coeffA.toArray
+    @transient private lazy val bArr: Array[Long] = coeffB.toArray
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -174,11 +190,11 @@ object VectorExpressions {
       val sig = new Array[Long](numPerm)
       var p = 0
       while (p < numPerm) {
-        val a = coeffA(p); val b = coeffB(p)
+        val a = aArr(p); val b = bArr(p)
         var mn = Long.MaxValue
         var i = 0
         while (i < n) {
-          val h = hs.getLong(i) % P
+          val h = java.lang.Math.floorMod(hs.getLong(i), P)
           val v = (a * h + b) % P
           if (v < mn) mn = v
           i += 1
@@ -190,8 +206,8 @@ object VectorExpressions {
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val aRef = ctx.addReferenceObj("minhashA", coeffA, "long[]")
-      val bRef = ctx.addReferenceObj("minhashB", coeffB, "long[]")
+      val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+      val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
       nullSafeCodeGen(ctx, ev, hs => {
         val n = ctx.freshName("n")
         val sig = ctx.freshName("sig")
@@ -206,7 +222,7 @@ object VectorExpressions {
            |for (int $p = 0; $p < $numPerm; $p++) {
            |  long $mn = Long.MAX_VALUE;
            |  for (int $i = 0; $i < $n; $i++) {
-           |    long $h = $hs.getLong($i) % ${P}L;
+           |    long $h = java.lang.Math.floorMod($hs.getLong($i), ${P}L);
            |    long $v = ($aRef[$p] * $h + $bRef[$p]) % ${P}L;
            |    if ($v < $mn) $mn = $v;
            |  }
@@ -231,7 +247,7 @@ object VectorExpressions {
       ColumnGlue.expression(a), ColumnGlue.expression(b)))
 
   def minhashSig(hashes: Column, numPerm: Int,
-                 coeffA: Array[Long], coeffB: Array[Long]): Column =
+                 coeffA: Seq[Long], coeffB: Seq[Long]): Column =
     ColumnGlue.column(MinHashSig(
       ColumnGlue.expression(hashes), numPerm, coeffA, coeffB))
 }

@@ -46,11 +46,10 @@ object Tables {
     * not per query. Spill-backed, so it degrades gracefully rather than
     * OOMing when the fixture outgrows executor memory.
     */
-  private val orderItemsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val orderItemsCache = new Memo()
 
   def orderItems(spark: SparkSession, sfDir: String): DataFrame =
-    orderItemsCache.computeIfAbsent((spark, sfDir), { _ =>
+    orderItemsCache.getOrElseUpdate((spark, sfDir)) {
       t(spark, sfDir, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_list(struct(
@@ -59,5 +58,5 @@ object Tables {
           col("l_extendedprice").as("price"),
           col("l_discount").as("disc")))).as("items"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 }

@@ -77,6 +77,16 @@ class PlanSpec extends SparkSpec {
       "InMemoryRelation".r.findAllIn(plan).length, plan)
   }
 
+  test("exact embedding similarity join is tiled — no nested-loop or cartesian join") {
+    val plan = physicalPlan(SparkEntry.queries("c05_dedup_embedding")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"embedding pair join fell back to an unblocked O(n²) plan:\n$plan")
+    // the tile join must be a hash/merge EQUI-join on the tile id (broadcast
+    // is fine at tiny scale; the key property is no nested-loop fallback)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("tile#"), s"tile key missing from join:\n$plan")
+  }
+
   test("no query in the declared inventory collects to the driver") {
     // structural check: building every DataFrame must not trigger an action
     // (any collect-based operator would run here); constructing the plans on

@@ -137,6 +137,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("denormalize(normalize(x)) == x for any fact table with shared sub-objects") {
+    val s = spark; import s.implicits._
+    val genFact = Gen.nonEmptyListOf(for {
+      id <- Gen.choose(1L, 10000L)
+      lang <- Gen.oneOf("en", "es", "zh", "de")
+      src <- Gen.oneOf("web", "book", "wiki")
+      x <- Gen.choose(-100, 100)
+    } yield (id, lang, src, x))
+    forAll(genFact) { rows =>
+      val df = rows.toDF("id", "lang", "src", "x")
+      val (fact, dim) = graft.operators.Variant.normalize(df, Seq("lang", "src"), "k")
+      // dim is the distinct sub-object set
+      assert(dim.count() == rows.map(r => (r._2, r._3)).distinct.size)
+      val back = graft.operators.Variant.denormalize(fact, dim, "k")
+        .select("id", "lang", "src", "x").collect().map(_.toSeq).toSeq
+      val orig = df.collect().map(_.toSeq).toSeq
+      assert(back.sortBy(_.toString) == orig.sortBy(_.toString))
+    }
+  }
+
   test("fingerprint is invariant to row order but sensitive to token order") {
     val s = spark; import s.implicits._
     forAll(Gen.nonEmptyListOf(Gen.oneOf("x", "y", "z", "w"))) { toks =>

@@ -166,9 +166,82 @@ class SimilarityAndDedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 9L -> 9L, 10L -> 9L))
   }
 
+  test("clusters: a 300-hop chain converges within the default round budget") {
+    val s = spark; import s.implicits._
+    // worst-case shape for plain O(diameter) propagation; pointer jumping
+    // must collapse it in ~log2(300) ≈ 9 of the default 20 rounds
+    val chain = (0 until 300).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val labels = graft.operators.Dedup.clusters(chain)
+    assert(labels.where(col("cluster_rep") =!= 0L).count() == 0)
+    assert(labels.count() == 301)
+  }
+
+  test("clusters: throws instead of returning partial labels when budget too small") {
+    val s = spark; import s.implicits._
+    val chain = (0 until 64).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      graft.operators.Dedup.clusters(chain, maxIter = 2)
+    }
+  }
+
   test("embedding near-dup threshold join is symmetric-free (a<b) and correct") {
     val pairs = Dedup.embeddingPairs(vecs, "id", "v", threshold = 0.9)
     assert(pairs.where(col("a") >= col("b")).count() == 0)
+  }
+
+  test("tiled embedding pair join == brute force, each pair exactly once") {
+    // local brute force over the same deterministic vectors
+    def vec(i: Int) = (0 until 16).map(j => (((i * 31 + j * 17) % 97) - 48) / 48.0f)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for {
+      a <- 0 until 50; b <- 0 until 50 if a < b
+      c = BigDecimal(cos(vec(a), vec(b))).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      if c >= BigDecimal("0.35")
+    } yield (a.toLong, b.toLong)).toSet
+    // several block counts, including numBlocks > n-per-block edge cases
+    for (nb <- Seq(1, 3, 16)) {
+      val got = Dedup.embeddingPairs(vecs, "id", "v", threshold = 0.35, numBlocks = nb)
+        .select(col("a"), col("b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.toSet.size, s"duplicate pairs at numBlocks=$nb")
+      assert(got.toSet == expected, s"pair set mismatch at numBlocks=$nb")
+    }
+  }
+
+  test("cosine/dot fail loudly on a dimension mismatch (codegen and interpreted)") {
+    val s = spark; import s.implicits._
+    val bad = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    for (wsc <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", wsc)
+      try {
+        val e = intercept[Exception] {
+          bad.select(Similarity.cosine(col("a"), col("b"))).collect()
+        }
+        def msgs(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+        assert(msgs(e).exists(_.contains("length mismatch")), s"wsc=$wsc: $e")
+        val e2 = intercept[Exception] {
+          bad.select(graft.plans.VectorExpressions.dotProduct(col("a"), col("b"))).collect()
+        }
+        assert(msgs(e2).exists(_.contains("length mismatch")), s"wsc=$wsc: $e2")
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
+  test("minhash kernel matches HOF for negative hash inputs (floorMod = pmod)") {
+    val s = spark; import s.implicits._
+    val neg = Seq(Seq(-5L, -2147483650L, 7L, 0L)).toDF("hs")
+    val both = neg.select(
+      Dedup.minhashSignature(col("hs"), 8).as("cg"),
+      Dedup.minhashSignatureHof(col("hs"), 8).as("hof"))
+    assert(both.where(to_json(col("cg")) =!= to_json(col("hof"))).count() == 0)
   }
 
   test("k-means IVF beats arbitrary-centroid IVF recall on real embeddings") {

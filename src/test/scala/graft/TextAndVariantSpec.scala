@@ -70,6 +70,60 @@ class TextAndVariantSpec extends SparkSpec {
     assert(r2.getLong(0) == 200L)
   }
 
+  test("unionN: 3-way tagged union — one branch non-null per row, case/cast") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "z", 30.0)).toDF("id", "t", "v")
+      .withColumn("u", Variant.unionN(
+        when(col("t") === "x", 0).when(col("t") === "y", 1).otherwise(2),
+        col("v"), col("id") * 100, col("t")))
+    // exactly one possibility non-null on every row
+    val nonNull = df.select(
+      (Variant.castCase(col("u"), 0).isNotNull.cast("int") +
+        Variant.castCase(col("u"), 1).isNotNull.cast("int") +
+        Variant.castCase(col("u"), 2).isNotNull.cast("int")).as("nn"))
+    assert(nonNull.where(col("nn") =!= 1).count() == 0)
+    val r2 = df.where(Variant.isCase(col("u"), 2))
+      .select(Variant.castCase(col("u"), 2)).first()
+    assert(r2.getString(0) == "z")
+    intercept[IllegalArgumentException] { Variant.unionN(lit(0)) }
+  }
+
+  test("fixedDims: passes declared shapes, raises on ragged rows") {
+    val s = spark; import s.implicits._
+    val ok = Seq(Seq(1f, 2f, 3f)).toDF("v")
+      .select(graft.operators.Nested.fixedDims(col("v"), Seq(3)).as("v"))
+    assert(ok.first().getSeq[Float](0) == Seq(1f, 2f, 3f))
+    // 2x2 nested tensor passes; ragged inner row raises
+    val ok2 = Seq(Seq(Seq(1f, 2f), Seq(3f, 4f))).toDF("m")
+      .select(graft.operators.Nested.fixedDims(col("m"), Seq(2, 2)).as("m"))
+    assert(ok2.count() == 1)
+    def raggedFails(df: org.apache.spark.sql.DataFrame, dims: Seq[Int]): Unit = {
+      val e = intercept[Exception] {
+        df.select(graft.operators.Nested.fixedDims(col("c"), dims)).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("fixedDims")), e.toString)
+    }
+    raggedFails(Seq(Seq(1f, 2f), Seq(1f)).toDF("c"), Seq(2))
+    raggedFails(Seq(Seq(Seq(1f, 2f), Seq(3f))).toDF("c"), Seq(2, 2))
+  }
+
+  test("normalize/denormalize roundtrip is lossless; dim table deduplicates") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "en", "web", 10), (2L, "en", "web", 20),
+      (3L, "es", "book", 30), (4L, "en", "book", 40)
+    ).toDF("id", "lang", "source", "x")
+    val (fact, dim) = Variant.normalize(df, Seq("lang", "source"), "k")
+    assert(dim.count() == 3) // (en,web), (es,book), (en,book)
+    assert(fact.columns.toSet == Set("id", "x", "k"))
+    val back = Variant.denormalize(fact, dim, "k")
+      .select("id", "lang", "source", "x")
+    assert(back.orderBy("id").collect().toSeq ==
+      df.select("id", "lang", "source", "x").orderBy("id").collect().toSeq)
+  }
+
   test("gather resolves pointer column via join, preserves left rows") {
     val s = spark; import s.implicits._
     val src = Seq((1L, 10L), (2L, 11L), (3L, 99L)).toDF("id", "ptr")
