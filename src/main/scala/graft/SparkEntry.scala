@@ -34,10 +34,42 @@ object SparkEntry {
     * entries unpersisted). */
   private val clustersCache = new graft.sources.Memo()
 
+  /** The documents shingle index, shared by c02 (minhash), c04 (jaccard)
+    * and c17/c18 (clusters over jaccard pairs): one persisted kernel pass
+    * per (session, sfDir) instead of three. */
+  private val shingleCache = new graft.sources.Memo()
+
+  private def docShingleSets(s: SparkSession, d: String): DataFrame =
+    shingleCache.getOrElseUpdate((s, d)) {
+      Dedup.shingleSets(t(s, d, "documents"), "doc_id", "text", shingleN = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** The exact-jaccard near-dup pair graph over documents, shared by c04
+    * (pair list) and c17/c18 (clusters): the inverted-index join runs once
+    * per (session, sfDir). */
+  private val jaccardPairsCache = new graft.sources.Memo()
+
+  private def docJaccardPairs(s: SparkSession, d: String): DataFrame =
+    jaccardPairsCache.getOrElseUpdate((s, d)) {
+      Dedup.ngramJaccardPairsOf(docShingleSets(s, d), threshold = 0.8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   private def docClusters(s: SparkSession, d: String): DataFrame =
     clustersCache.getOrElseUpdate((s, d)) {
-      Dedup.clusters(Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
-          shingleN = 3, threshold = 0.8))
+      Dedup.clusters(docJaccardPairs(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** The exact cosine pair graph over embeddings, shared by c05 (pair
+    * list) and c20 (semantic dedup clusters). */
+  private val embPairsCache = new graft.sources.Memo()
+
+  private def embeddingPairGraph(s: SparkSession, d: String): DataFrame =
+    embPairsCache.getOrElseUpdate((s, d)) {
+      Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.35)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -301,10 +333,8 @@ object SparkEntry {
       // first minhash permutation per document through the codegen'd
       // ShingleHashes + MinHashSig expressions — exact integer output the
       // oracle reproduces with the same affine-permutation arithmetic.
-      val sets = t(s, d, "documents").select(col("doc_id"),
-        array_distinct(graft.functions.Text.shingleHashes(col("text"), 3)).as("hs"))
-        .where(size(col("hs")) > 0)
-      sets.select(col("doc_id"),
+      docShingleSets(s, d)
+        .select(col("id").as("doc_id"),
           element_at(graft.operators.Dedup.minhashSignature(col("hs"), 1), 1).as("sig0"))
         .orderBy(col("doc_id"))
     }))
@@ -934,8 +964,8 @@ object SparkEntry {
         .orderBy(col("rep_id"))),
 
     "c02_dedup_minhash" -> ((s, d) =>
-      Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
-          shingleN = 3, numPerm = 64, bands = 16, threshold = 0.8)
+      Dedup.minhashPairsOf(docShingleSets(s, d),
+          numPerm = 64, bands = 16, threshold = 0.8)
         .orderBy(col("a"), col("b"))),
 
     "c03_dedup_simhash" -> ((s, d) =>
@@ -944,12 +974,11 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))),
 
     "c04_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
-          shingleN = 3, threshold = 0.8)
+      docJaccardPairs(s, d)
         .orderBy(col("a"), col("b"))),
 
     "c05_dedup_embedding" -> ((s, d) =>
-      Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.35)
+      embeddingPairGraph(s, d)
         .select(col("a"), col("b"))
         .orderBy(col("a"), col("b"))),
 
@@ -1016,6 +1045,35 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+
+    "c19_tfidf" -> ((s, d) => {
+      // corpus TF-IDF, top-3 terms per document. Arithmetic is kept to
+      // IEEE +,*,/ (no transcendental log) so the score ordering is
+      // bit-identical across engines: score = tf · N / df, which ranks
+      // the same as tf · idf for any monotone idf of N/df.
+      val docs = t(s, d, "documents")
+      val tf = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
+        .withColumn("score", col("tf").cast("double") * col("n") / col("df"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    "c20_embedding_clusters" -> ((s, d) =>
+      // semantic dedup: connected components over the exact cosine pair
+      // graph at a tighter threshold — derived for free from the memoized
+      // c05 tile join (its cos column), so no second pairwise pass; the
+      // tighter cut keeps dedup groups tight instead of one giant blob
+      Dedup.clusters(
+          embeddingPairGraph(s, d).where(col("cos") >= 0.42).select(col("a"), col("b")))
+        .select(col("id").as("vec_id"), col("cluster_rep"))
+        .orderBy(col("vec_id"))),
 
     "c16_repetition" -> ((s, d) =>
       t(s, d, "documents")
@@ -1217,6 +1275,35 @@ object SparkEntry {
           |SELECT doc_id, lang, n_chars FROM documents
           |WHERE doc_id NOT IN (SELECT id FROM r WHERE id != rep)
           |ORDER BY doc_id""".stripMargin),
+    "c19_tfidf" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (
+        |  SELECT doc_id, tok, tf, df, CAST(tf AS DOUBLE) * n / df AS score
+        |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, tok, tf, df,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rank
+        |  FROM sc)
+        |SELECT doc_id, tok, tf, df, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "c20_embedding_clusters" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.42),
+        |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+        |r AS (
+        |  WITH RECURSIVE reach(id, x) AS (
+        |    SELECT src, src FROM e
+        |    UNION
+        |    SELECT e.src, reach.x FROM e JOIN reach ON reach.id = e.dst)
+        |  SELECT id, x FROM reach)
+        |SELECT id AS vec_id, min(x) AS cluster_rep
+        |FROM r GROUP BY id ORDER BY vec_id""".stripMargin,
     "c16_repetition" ->
       """SELECT doc_id,
         |  CASE WHEN len(t)-1 > 0 THEN 1.0 - CAST(len(list_distinct(

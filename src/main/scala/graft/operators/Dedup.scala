@@ -45,6 +45,18 @@ object Dedup {
       array_min(transform(hashes, h => pmod(a * pmod(h, lit(P)) + b, lit(P))))
     })
 
+  /** The shared shingle-set index: one row per doc with its distinct
+    * 60-bit shingle hashes — the common input of [[minhashPairsOf]] and
+    * [[ngramJaccardPairsOf]]. Persist (and reuse) it when running several
+    * similarity operators over the same corpus: the hashing kernel is the
+    * expensive pass, and the index is small relative to the corpus and
+    * disk-spillable — the "cache the dedup index" pattern. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+        array_distinct(Text.shingleHashes(col(textCol), shingleN)).as("hs"))
+      .where(size(col("hs")) > 0)
+
   /** MinHash + LSH near-dup pairs, exact-verified.
     *
     * shingle → 60-bit md5 hash set → numPerm minhashes → `bands` bands of
@@ -62,17 +74,19 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numPerm: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
+                   threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame =
+    minhashPairsOf(
+      shingleSets(df, idCol, textCol, shingleN)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      numPerm, bands, threshold, maxBucket)
+
+  /** [[minhashPairs]] over a precomputed (id, hs) shingle index — pass a
+    * persisted index to share it across operators (re-persisting the same
+    * plan is a no-op, so standalone callers are unaffected). */
+  def minhashPairsOf(sets: DataFrame, numPerm: Int = 64, bands: Int = 16,
+                     threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val r = numPerm / bands
-    // the shingle-set index feeds three subplans (signatures + both sides of
-    // the verification join); persist it so the hashing kernel runs once.
-    // Small relative to the corpus (distinct 60-bit hashes per doc),
-    // disk-spillable — the "cache the dedup index" pattern.
-    val sets = df.select(col(idCol).as("id"),
-      array_distinct(Text.shingleHashes(col(textCol), shingleN)).as("hs"))
-      .where(size(col("hs")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = sets.withColumn("sig", minhashSignature(col("hs"), numPerm))
     val banded = sigs.select(col("id"), posexplode(
         array((0 until bands).map(b =>
@@ -115,13 +129,20 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.8,
-                        maxPosting: Int = 10000): DataFrame = {
-    // persist the posting list: it feeds the hot-shingle scan, both sides
-    // of the self-join, and the per-doc sizes — and the shingle-hash kernel
-    // is the expensive pass. Small relative to the corpus, disk-spillable.
-    val postings = df.select(col(idCol).as("id"),
-        explode(array_distinct(Text.shingleHashes(col(textCol), shingleN))).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                        maxPosting: Int = 10000): DataFrame =
+    ngramJaccardPairsOf(
+      shingleSets(df, idCol, textCol, shingleN)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      threshold, maxPosting)
+
+  /** [[ngramJaccardPairs]] over a precomputed (id, hs) shingle index (see
+    * [[minhashPairsOf]] for the sharing pattern). */
+  def ngramJaccardPairsOf(sets: DataFrame, threshold: Double = 0.8,
+                          maxPosting: Int = 10000): DataFrame = {
+    // the posting list re-explodes from the (persisted) index on each of
+    // its consumers: the hot-shingle scan, both sides of the self-join,
+    // and the per-doc sizes — cache scans + explode, no recomputed kernel
+    val postings = sets.select(col("id"), explode(col("hs")).as("h"))
     // hot-shingle cut as a broadcast anti-join: the document-frequency agg
     // is map-side-combined and the hot set is tiny (usually empty), so the
     // posting list itself never pays an extra shuffle or window sort
@@ -238,8 +259,13 @@ object Dedup {
     // symmetrization reads the pair list twice — persist it so an expensive
     // upstream (e.g. a similarity join) runs once
     val p = pairs.persist(MEMORY_AND_DISK)
+    // symmetrized edge list WITH self-loops: (u,u) makes each node its own
+    // neighbor, so the per-round "min over self and neighbors" collapses to
+    // a single join+groupBy over edges — no separate left-join step
     val rawEdges = p.select(col(idA).as("src"), col(idB).as("dst"))
       .union(p.select(col(idB).as("src"), col(idA).as("dst")))
+      .union(p.select(col(idA).as("src"), col(idA).as("dst")))
+      .union(p.select(col(idB).as("src"), col(idB).as("dst")))
       .distinct().persist(MEMORY_AND_DISK)
     // the pair graph is normally orders of magnitude smaller than the
     // corpus; size the iteration partitioning to the graph, not the session
@@ -252,8 +278,12 @@ object Dedup {
     // self-join references the previous round's labels twice, so without
     // lineage truncation the logical plan doubles per round and planning
     // itself blows up. Checkpointed labels keep every round's plan flat.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
+    // Initialization fuses the first neighbor-min step (lbl₀ = min(id,
+    // min neighbor)) into the node-set aggregation — one round for free.
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("src").as("id"), least(col("src"), col("m")).as("lbl"))
+      .localCheckpoint()
     // labels only ever decrease, so the label sum is strictly monotone until
     // the fixed point — convergence needs just one agg action per round, not
     // a join-based diff
@@ -263,10 +293,15 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-      val stepped = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      // min over self and neighbors in one join+groupBy (self-loops above
+      // make lbl(u) itself part of the aggregation).
+      // Lazy checkpoint: the jump self-join below reads `stepped` twice;
+      // the lazy-checkpointed RDD is computed once (during this round's
+      // eager materialization) and served from cache to both sides
+      val stepped = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("lbl"))
+        .select(col("src").as("id"), col("lbl"))
+        .localCheckpoint(eager = false)
       // pointer jump: labels are node ids, so every label has a row — an
       // inner self-join resolves lbl -> lbl(lbl) (which is ≤ lbl, labels
       // only decrease)
@@ -279,8 +314,11 @@ object Dedup {
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels.unpersist()
+      stepped.unpersist()
       labels = next
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $iter sum=$s converged=$converged")
     }
     if (!converged) {
       labels.unpersist(); edges.unpersist(); rawEdges.unpersist(); p.unpersist()
