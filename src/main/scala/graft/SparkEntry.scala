@@ -328,6 +328,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "a27_union_infer" -> ((s, d) => {
+      // oamap inference unifies heterogeneous records into a Union
+      // (`oamap/inference.py::fromdata` — heterogeneous lists → Union
+      // possibilities). Spark's analogue: schema inference over mixed-shape
+      // JSON unifies into one struct with nullable fields; the union tag is
+      // recovered from which possibility is populated.
+      import s.implicits._
+      val e = t(s, d, "events")
+      val mixed = e.select(
+        when(col("event_type") === "purchase",
+            concat(lit("{\"amount\": "), col("value"), lit("}")))
+          .otherwise(concat(lit("{\"kind\": \""), col("event_type"), lit("\"}")))
+          .as("j")).as[String]
+      val inferred = s.read.json(mixed) // unified {amount: double, kind: string}
+      inferred
+        .select(when(col("amount").isNotNull, 0).otherwise(1).as("tag"),
+          col("amount"), col("kind"))
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(dsum(col("amount")), lit(0.0)).as("amount_total"),
+          countDistinct(col("kind")).as("n_kinds"))
+        .orderBy(col("tag"))
+    }),
+
     "a22_compiled_expr" -> ((s, d) => {
       // the compiled-UDF surface (oamap compiler.py → Catalyst codegen):
       // first minhash permutation per document through the codegen'd
@@ -441,6 +465,13 @@ object SparkEntry {
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "a26_normalize" ->
       """SELECT doc_id, lang, source FROM documents ORDER BY doc_id""".stripMargin,
+    "a27_union_infer" ->
+      """SELECT CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS tag,
+        |  count(*) AS n,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS amount_total,
+        |  count(DISTINCT CASE WHEN event_type != 'purchase' THEN event_type END) AS n_kinds
+        |FROM events GROUP BY tag ORDER BY tag""".stripMargin,
     // affine minhash permutation 0: a=coeffA(0)=1103527590, b=coeffB(0)=69070,
     // over the same md5-derived 60-bit shingle hashes (mod P = 2^31-1).
     "a22_compiled_expr" ->
@@ -1111,6 +1142,16 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    "c21_mm_resize" -> ((s, d) => {
+      // media resize stage: nearest-neighbor byte downsample to ≤64 bytes
+      // (codec stubbed like c12; the narrow binary-in/binary-out plumbing
+      // is the real distributed shape)
+      val docs = t(s, d, "documents").withColumn("payload", col("text").cast("binary"))
+      Multimodal.resize(docs, "doc_id", "payload", target = 64)
+        .select(col("media_id"), col("n_bytes"), col("r_bytes"), col("r_sum"))
+        .orderBy(col("media_id"))
+    }),
+
     "c12_multimodal" -> ((s, d) => {
       val docs = t(s, d, "documents").withColumn("payload", col("text").cast("binary"))
       Multimodal.extractFeatures(docs, "doc_id", "payload")
@@ -1338,6 +1379,24 @@ object SparkEntry {
         |  CAST(strlen(frame) AS BIGINT) AS n_bytes,
         |  CAST(list_sum(list_transform(string_split(frame, ''), c -> ascii(c))) AS BIGINT) AS byte_sum
         |FROM fr ORDER BY media_id, frame_idx""".stripMargin,
+    // stride s = ceil(len/64); kept byte positions are 1, 1+s, 1+2s, …
+    "c21_mm_resize" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, strlen(text) AS len,
+        |    CAST(ceil(strlen(text) / 64.0) AS INTEGER) AS s
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, len,
+        |    CASE WHEN len <= 64 THEN text
+        |      ELSE list_aggregate(list_transform(
+        |        list_filter(generate_series(1, CAST(len AS INTEGER)), i -> (i-1) % s = 0),
+        |        i -> substring(text, i, 1)), 'string_agg', '')
+        |      END AS r
+        |  FROM f)
+        |SELECT doc_id AS media_id, CAST(len AS BIGINT) AS n_bytes,
+        |  CAST(strlen(r) AS BIGINT) AS r_bytes,
+        |  CAST(coalesce(list_sum(list_transform(string_split(r, ''), c -> ascii(c))), 0) AS BIGINT) AS r_sum
+        |FROM k ORDER BY media_id""".stripMargin,
     "c12_multimodal" ->
       """SELECT doc_id AS media_id,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes,

@@ -53,6 +53,40 @@ object Multimodal {
       .toDF("media_id", "features")
   }
 
+  /** Deterministic fake resize — nearest-neighbor downsample of the byte
+    * stream to at most `target` bytes (stride = ceil(len/target)). A real
+    * image/audio resampler drops in here; the distributed shape (narrow
+    * per-row transform, no shuffle, binary in/binary out so ops chain) is
+    * the real thing. */
+  def resizeStub(payload: Array[Byte], target: Int): Array[Byte] = {
+    require(target > 0, "resize target must be positive")
+    if (payload.length <= target) payload
+    else {
+      val s = (payload.length + target - 1) / target
+      val out = new Array[Byte]((payload.length + s - 1) / s)
+      var i = 0
+      while (i < out.length) { out(i) = payload(i * s); i += 1 }
+      out
+    }
+  }
+
+  /** Resize payloads and report before/after stats — the typed
+    * per-partition plumbing of a media resize stage. */
+  def resize(df: DataFrame, idCol: String, payloadCol: String, target: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val p = if (payload == null) Array.emptyByteArray else payload
+          val r = resizeStub(p, target)
+          (id, p.length.toLong, r, r.length.toLong, r.foldLeft(0L)((a, b) => a + (b & 0xff)))
+        }
+      }
+      .toDF("media_id", "n_bytes", "resized", "r_bytes", "r_sum")
+  }
+
   /** Typed metadata a real media table would carry next to the payload. */
   def withMediaMetadata(df: DataFrame, payloadCol: String): DataFrame =
     df.withColumn("media_meta", struct(

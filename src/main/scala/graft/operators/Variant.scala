@@ -54,6 +54,62 @@ object Variant {
     df.join(t, col(pointerCol) === t(targetKey), "left")
   }
 
+  /** Resolve self-referential `Pointer` chains to their roots — the
+    * general helper for oamap's recursive schemas (a self-pointing
+    * `Pointer` encodes trees/linked structures; Spark has no recursive
+    * types, so the ingest convention is an adjacency table and traversal
+    * is iterative — SURVEY.md §1.2/§4.2).
+    *
+    * Given rows `(key, ptr)` where `ptr` is a nullable reference to
+    * another row's key, returns `(key, root)` with `root` the end of each
+    * chain — the last reachable node (a row whose ptr is null, or a
+    * dangling reference target). Pointer jumping (`ptr := ptr(ptr)`)
+    * doubles the resolved distance per round, so unbounded-depth
+    * structures resolve in O(log depth) rounds — each round is one
+    * equi-join per table, locally checkpointed to keep lineage flat.
+    * Throws when chains outlast `maxRounds` (depth > 2^maxRounds), which
+    * also catches pointer CYCLES — a cyclic parent chain has no root and
+    * is a data bug for this helper.
+    */
+  def followChain(df: DataFrame, keyCol: String, ptrCol: String,
+                  maxRounds: Int = 20): DataFrame = {
+    // state: (key, cur, done) — cur is the farthest node reached so far
+    var state = df.select(col(keyCol).as("key"),
+        coalesce(col(ptrCol), col(keyCol)).as("cur"),
+        col(ptrCol).isNull.as("done"))
+      .localCheckpoint()
+    // hop table jumped through itself each round: hptr(k) = node 2^r hops
+    // past k (or the chain end if nearer)
+    var hops = df.select(col(keyCol).as("hkey"), col(ptrCol).as("hptr"))
+      .localCheckpoint()
+    var iter = 0
+    var remaining = state.where(!col("done")).count()
+    while (remaining > 0 && iter < maxRounds) {
+      val next = state.join(hops, state("cur") === hops("hkey"), "left")
+        .select(col("key"),
+          when(col("done") || col("hptr").isNull, col("cur"))
+            .otherwise(col("hptr")).as("cur"),
+          // ends when cur's pointer is null (root) or cur is dangling
+          (col("done") || col("hptr").isNull).as("done"))
+        .localCheckpoint()
+      val jumped = hops.as("h1")
+        .join(hops.select(col("hkey").as("jkey"), col("hptr").as("jptr")),
+          col("h1.hptr") === col("jkey"), "left")
+        .select(col("h1.hkey").as("hkey"),
+          coalesce(col("jptr"), col("h1.hptr")).as("hptr"))
+        .localCheckpoint()
+      state.unpersist(); hops.unpersist()
+      state = next; hops = jumped
+      remaining = state.where(!col("done")).count()
+      iter += 1
+    }
+    if (remaining > 0)
+      throw new IllegalStateException(
+        s"followChain: $remaining chains unresolved after $iter rounds " +
+          s"(depth > 2^$iter or a pointer cycle)")
+    state.select(col("key"), col("cur").as("root"))
+  }
+
   /** Ingest-side pointer normalization — the declared Spark answer to
     * oamap's fill-time pointer identity-dedup (`oamap/fill.py` stores a
     * shared sub-object once and points at it; SURVEY.md §4.1 last row).

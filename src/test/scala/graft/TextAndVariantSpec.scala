@@ -183,6 +183,35 @@ class TextAndVariantSpec extends SparkSpec {
       Seq(None, None, Some("ceo"), Some("ceo")))
   }
 
+  test("followChain resolves pointer chains to roots in O(log depth) rounds") {
+    val s = spark; import s.implicits._
+    // org chart: everyone's chain ends at the ceo
+    val org = Seq((1L, None: Option[Long]), (2L, Some(1L)),
+      (3L, Some(2L)), (4L, Some(2L))).toDF("id", "mgr")
+    val roots = Variant.followChain(org, "id", "mgr")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(roots == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // 200-deep chain: plain iteration would need 200 joins; jumping needs 8
+    val chain = (0L until 200L).map(i => (i, if (i == 0) None else Some(i - 1)))
+      .toDF("id", "mgr")
+    val deep = Variant.followChain(chain, "id", "mgr")
+    assert(deep.where(col("root") =!= 0L).count() == 0)
+    // dangling pointer: root is the (absent) target
+    val dangling = Seq((1L, Some(99L)), (2L, None: Option[Long])).toDF("id", "mgr")
+    val d = Variant.followChain(dangling, "id", "mgr")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(1L -> 99L, 2L -> 2L))
+  }
+
+  test("followChain throws on pointer cycles instead of looping forever") {
+    val s = spark; import s.implicits._
+    val cyc = Seq((1L, Some(2L)), (2L, Some(1L)), (3L, None: Option[Long]))
+      .toDF("id", "mgr")
+    intercept[IllegalStateException] {
+      Variant.followChain(cyc, "id", "mgr", maxRounds = 6)
+    }
+  }
+
   test("media metadata struct carries size, mime, and checksum") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "hello".getBytes("UTF-8"))).toDF("id", "payload")
