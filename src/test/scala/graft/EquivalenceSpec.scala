@@ -12,7 +12,11 @@ class EquivalenceSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   private val keys = Seq("b01_tpch_q1", "a13_define", "c02_dedup_minhash",
-    "c03_dedup_simhash", "c06_ann_brute", "a22_compiled_expr")
+    "c03_dedup_simhash", "c06_ann_brute", "a22_compiled_expr",
+    // r2 additions: new operators and every query whose hot path changed
+    "a24_union_n", "a25_tensor_dims", "a26_normalize", "a27_union_infer",
+    "c04_ngram_jaccard", "c05_dedup_embedding", "c11_fingerprint",
+    "c19_tfidf", "c20_embedding_clusters", "c21_mm_resize")
 
   test("codegen on/off produce identical results for representative queries") {
     keys.foreach { name =>
