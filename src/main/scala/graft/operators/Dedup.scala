@@ -255,10 +255,14 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, idA: String = "a", idB: String = "b",
                maxIter: Int = 20): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    import org.apache.spark.storage.StorageLevel.{MEMORY_AND_DISK, NONE}
     // symmetrization reads the pair list twice — persist it so an expensive
-    // upstream (e.g. a similarity join) runs once
-    val p = pairs.persist(MEMORY_AND_DISK)
+    // upstream (e.g. a similarity join) runs once. If the CALLER already
+    // persisted it (shared memoized pair graphs), leave its cache marker
+    // alone — persisting again is a no-op but unpersisting on exit would
+    // silently evict the caller's shared intermediate.
+    val callerPersisted = pairs.storageLevel != NONE
+    val p = if (callerPersisted) pairs else pairs.persist(MEMORY_AND_DISK)
     // symmetrized edge list WITH self-loops: (u,u) makes each node its own
     // neighbor, so the per-round "min over self and neighbors" collapses to
     // a single join+groupBy over edges — no separate left-join step
@@ -274,6 +278,20 @@ object Dedup {
       pairs.sparkSession.sparkContext.defaultParallelism,
       (rawEdges.count() / 50000L).toInt + 1))
     val edges = rawEdges.repartition(parts, col("dst")).persist(MEMORY_AND_DISK)
+    // The ROUNDS run with AQE off and shuffle.partitions = parts, both
+    // restored on exit: partitioning is already sized explicitly to the
+    // measured edge count, every round re-plans the same stages, and AQE's
+    // stage-by-stage materialization adds a fixed re-optimization cost to
+    // each of the O(log d) rounds — for iterative graph workloads that
+    // per-round overhead dominates what runtime re-planning could save.
+    // The one-time edge build above and all non-iterative queries keep AQE
+    // (skew splits, coalescing) untouched.
+    val sess = pairs.sparkSession
+    val aqeBefore = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    val spBefore = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    sess.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
     // localCheckpoint (eager) rather than persist: the pointer-jump
     // self-join references the previous round's labels twice, so without
     // lineage truncation the logical plan doubles per round and planning
@@ -321,14 +339,20 @@ object Dedup {
         System.err.println(s"[cc] round $iter sum=$s converged=$converged")
     }
     if (!converged) {
-      labels.unpersist(); edges.unpersist(); rawEdges.unpersist(); p.unpersist()
+      labels.unpersist(); edges.unpersist(); rawEdges.unpersist()
+      if (!callerPersisted) p.unpersist()
       throw new IllegalStateException(
         s"Dedup.clusters did not converge within $maxIter rounds — " +
           "component deeper than 2^maxIter hops or a monotonicity bug; " +
           "raise maxIter rather than consuming partial labels")
     }
-    edges.unpersist(); rawEdges.unpersist(); p.unpersist()
+    edges.unpersist(); rawEdges.unpersist()
+    if (!callerPersisted) p.unpersist()
     labels.select(col("id"), col("lbl").as("cluster_rep"))
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      sess.conf.set("spark.sql.shuffle.partitions", spBefore)
+    }
   }
 
   /** Embedding near-dup: ALL pairs with cosine ≥ threshold — exact.
