@@ -1031,6 +1031,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "c22_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      Ann.lshTopK(emb, queries, "vec_id", "embedding", dim = 64, bits = 5, k = 10)
+        .select(col("query_id"), col("item_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "c08_lang_id" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), Text.langId(col("text")).as("pred_lang"))
@@ -1243,6 +1251,31 @@ object SparkEntry {
         |  SELECT query_id, item_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
         |  FROM scored) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "c22_ann_lsh" ->
+      """WITH hp AS (
+        |  SELECT j, list(CASE WHEN ((1103515245::BIGINT*(j*64+k)+12345) % 2147483648) < 1073741824
+        |                 THEN 1.0 ELSE -1.0 END ORDER BY k) AS hvec
+        |  FROM generate_series(0,4) t1(j), generate_series(0,63) t2(k)
+        |  GROUP BY j),
+        |sig AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), hp.hvec) >= 0
+        |             THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings e, hp
+        |  GROUP BY e.vec_id, e.embedding),
+        |probes AS (
+        |  SELECT vec_id AS query_id, embedding AS qv,
+        |    CASE WHEN m < 0 THEN bucket ELSE xor(bucket, (1::BIGINT << m)) END AS pbucket
+        |  FROM sig, generate_series(-1,4) t(m)
+        |  WHERE vec_id < 5),
+        |cand AS (
+        |  SELECT p.query_id, s.vec_id AS item_id,
+        |    round(list_cosine_similarity(CAST(p.qv AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM probes p JOIN sig s ON s.bucket = p.pbucket AND s.vec_id != p.query_id)
+        |SELECT query_id, item_id, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT query_id, item_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
+        |  FROM cand) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "c08_lang_id" ->
       """SELECT doc_id,
         |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'

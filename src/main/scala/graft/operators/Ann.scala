@@ -106,4 +106,62 @@ object Ann {
       .where(col("rank") <= k)
       .select(col("query_id"), col("item_id"), col("cos"), col("rank"))
   }
+
+  /** Deterministic ±1 random-hyperplane components: plane `j`, component
+    * `k` takes the high bit of the Weyl-style integer sequence
+    * `(1103515245·x + 12345) mod 2³¹` at `x = j·dim + k` — pure 64-bit
+    * integer arithmetic an SQL oracle can replicate exactly (the low bits
+    * of an LCG step alternate with the parity of x, so the HIGH bit is
+    * used; successive x's step the sequence by ≈0.514·2³¹, equidistributing
+    * the sign). */
+  private[graft] def hyperplane(j: Int, dim: Int): Seq[Double] =
+    Seq.tabulate(dim) { k =>
+      val v = (1103515245L * (j.toLong * dim + k) + 12345L) % 2147483648L
+      if (v < 1073741824L) 1.0 else -1.0
+    }
+
+  /** Hyperplane-LSH bucket id for a vector column: bit `j` of the bucket is
+    * `dot(v, hyperplane(j)) >= 0`. A narrow, codegen-friendly map — `bits`
+    * sequential-order dot products against literal arrays, no shuffle. */
+  def lshBucket(vec: Column, dim: Int, bits: Int): Column =
+    (0 until bits).map { j =>
+      when(Similarity.dot(vec, typedLit(hyperplane(j, dim))) >= 0d,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Multiprobe hyperplane-LSH ANN — the second `§2C` ANN scale path next
+    * to [[ivfTopK]], and unlike IVF fully deterministic end-to-end (the
+    * codebook is the hyperplane construction above, not a trained k-means),
+    * so it is hash-oracle-checkable against an SQL engine.
+    *
+    * Every vector gets a `bits`-bit sign bucket in one narrow pass; each
+    * query probes its own bucket plus all `bits` hamming-1 neighbors
+    * (multiprobe — recovers most of the recall a single-bucket probe loses
+    * on near-boundary vectors). Probes are EXPLODED on the small query side
+    * and equi-joined on the bucket id, so the plan is a broadcast hash join
+    * feeding an exact cosine rerank — candidates ≈ |items|·(bits+1)/2^bits
+    * per query, never all-pairs, and the only shuffle is the per-query
+    * top-k window. Tune `bits` up with corpus size (each extra bit halves
+    * the candidate fraction and adds one probe).
+    */
+  def lshTopK(items: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              dim: Int, bits: Int, k: Int): DataFrame = {
+    val it = items.select(col(idCol).as("item_id"), col(vecCol).as("iv"),
+      lshBucket(col(vecCol), dim, bits).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), dim, bits).as("qbucket"))
+    // probe list: own bucket + each single-bit flip (all distinct, so no
+    // candidate can match twice — no dedup pass needed)
+    val probes = q.select(col("query_id"), col("qv"),
+      explode(array(col("qbucket") +: (0 until bits).map(m =>
+        col("qbucket").bitwiseXOR(lit(1L << m))): _*)).as("pbucket"))
+    val scored = it.join(broadcast(probes),
+        col("bucket") === col("pbucket") && col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("item_id"),
+        Similarity.cosineRounded(col("qv"), col("iv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("item_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("item_id"), col("cos"), col("rank"))
+  }
 }

@@ -87,6 +87,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("tile#"), s"tile key missing from join:\n$plan")
   }
 
+  test("LSH ANN candidates come from a bucket equi-join, never a nested loop over items") {
+    val plan = physicalPlan(SparkEntry.queries("c22_ann_lsh")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"LSH candidate join fell back to all-pairs:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast equi-join on bucket:\n$plan")
+  }
+
   test("no query in the declared inventory collects to the driver") {
     // structural check: building every DataFrame must not trigger an action
     // (any collect-based operator would run here); constructing the plans on

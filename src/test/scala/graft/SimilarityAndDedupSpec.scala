@@ -280,4 +280,29 @@ class SimilarityAndDedupSpec extends SparkSpec {
     val top = graft.operators.Ann.bruteTopK(items, queries, "id", "v", k = 1).first()
     assert(top.getLong(top.fieldIndex("item_id")) == 7L) // identical vector
   }
+
+  test("LSH hyperplanes are deterministic and sign-balanced") {
+    val hps = (0 until 8).map(j => graft.operators.Ann.hyperplane(j, 64))
+    assert(hps == (0 until 8).map(j => graft.operators.Ann.hyperplane(j, 64)))
+    // the Weyl high-bit must not collapse to a constant or parity pattern
+    hps.foreach { hp => assert(math.abs(hp.sum) <= 24, s"degenerate plane: $hp") }
+    assert(hps.distinct.size == 8, "hyperplanes must differ across j")
+  }
+
+  test("multiprobe LSH ANN beats its candidate-fraction baseline on real embeddings") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.t(spark, sf, "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(r.fieldIndex("query_id")), r.getLong(r.fieldIndex("item_id")))).toSet
+    val brute = pairs(graft.operators.Ann.bruteTopK(emb, queries, "vec_id", "embedding", 10))
+    val lsh = pairs(graft.operators.Ann.lshTopK(emb, queries, "vec_id", "embedding",
+      dim = 64, bits = 5, k = 10))
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    // probing 6 of 32 buckets examines ~19% of the corpus; sign-correlated
+    // buckets must recover clearly more than that random-candidate baseline
+    // (these embeddings are near-isotropic — see SURVEY §2C — so recall
+    // here is structurally modest; more bits + probes is the scale lever)
+    assert(recall >= 0.3, f"LSH recall@10: $recall%.2f not above candidate baseline")
+  }
 }
