@@ -121,11 +121,16 @@ object Ann {
     }
 
   /** Hyperplane-LSH bucket id for a vector column: bit `j` of the bucket is
-    * `dot(v, hyperplane(j)) >= 0`. A narrow, codegen-friendly map — `bits`
-    * sequential-order dot products against literal arrays, no shuffle. */
+    * `dot(v, hyperplane(j)) >= 0`. A narrow map, no shuffle — `bits`
+    * sequential-order dot products against literal plane arrays, each a
+    * codegen'd [[graft.plans.VectorExpressions.DotProduct]] loop (the HOF
+    * fold unrolls 64-element literals into an expression tree that falls
+    * out of whole-stage codegen; the custom kernel keeps it one tight
+    * loop with identical left-to-right double numerics). */
   def lshBucket(vec: Column, dim: Int, bits: Int): Column =
     (0 until bits).map { j =>
-      when(Similarity.dot(vec, typedLit(hyperplane(j, dim))) >= 0d,
+      when(graft.plans.VectorExpressions.dotProduct(
+          vec, typedLit(hyperplane(j, dim))) >= 0d,
         lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
