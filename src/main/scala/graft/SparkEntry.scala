@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{Ann, Dedup, Multimodal, Nested, Variant}
+import graft.operators.{Ann, Dedup, Multimodal, Nested, Pipeline, Variant}
 import graft.functions.{Similarity, Text}
 import graft.sources.Tables
 import graft.streaming.Streams
@@ -1039,6 +1039,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "c23_split_assign" -> ((s, d) =>
+      Pipeline.split(t(s, d, "documents").select(col("doc_id")), "doc_id")
+        .orderBy(col("doc_id"))),
+
+    "c24_pack_shards" -> ((s, d) =>
+      Pipeline.packByBudget(
+        t(s, d, "documents").select(col("doc_id"),
+          Text.tokenCount(col("text")).cast("long").as("ws_tokens")),
+        "doc_id", "ws_tokens", budget = 10000L)
+        .orderBy(col("doc_id"))),
+
+    "c25_contamination" -> ((s, d) =>
+      Pipeline.contamination(docShingleSets(s, d),
+          pmod(col("id"), lit(10)) === 7, minShingles = 5)
+        .orderBy(col("train_id"))),
+
     "c08_lang_id" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), Text.langId(col("text")).as("pred_lang"))
@@ -1276,6 +1292,32 @@ object SparkEntry {
         |  SELECT query_id, item_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
         |  FROM cand) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "c23_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "c24_pack_shards" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens FROM documents)
+        |SELECT doc_id, ws_tokens,
+        |  CAST(floor(coalesce(sum(ws_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 10000.0) AS BIGINT) AS shard
+        |FROM w ORDER BY doc_id""".stripMargin,
+    "c25_contamination" -> (shingleCte +
+      """,
+        |e AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 = 7),
+        |tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 != 7),
+        |ov AS (
+        |  SELECT tr.doc_id AS train_id, e.doc_id AS eval_id, count(DISTINCT tr.g) AS novl
+        |  FROM tr JOIN e ON tr.g = e.g
+        |  GROUP BY tr.doc_id, e.doc_id
+        |  HAVING count(DISTINCT tr.g) >= 5)
+        |SELECT train_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+        |  CAST(max(novl) AS BIGINT) AS max_overlap
+        |FROM ov GROUP BY train_id ORDER BY train_id""".stripMargin),
     "c08_lang_id" ->
       """SELECT doc_id,
         |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data pipeline stages (SURVEY.md §2C): the corpus-management
+  * operations that sit between a deduplicated document table and a
+  * training run — deterministic splitting, token-budget sharding, and
+  * train/eval contamination detection. All pure DataFrame transforms;
+  * every shuffle is on a uniform hash or a dense id.
+  */
+object Pipeline {
+
+  /** Uniform bucket in [0, buckets) from the md5 of a key column —
+    * deterministic across runs, engines and cluster layouts (never use
+    * partition-dependent randomness for split assignment; resplitting on
+    * every relayout would leak eval data into training). */
+  def hashBucket(key: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Deterministic train/val/test assignment by hashed key: stable under
+    * reordering, repartitioning and incremental corpus growth (a document's
+    * split never depends on the other documents). Narrow map, no shuffle. */
+  def split(df: DataFrame, keyCol: String,
+            trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val b = hashBucket(col(keyCol), 100)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Pack rows into contiguous shards of ~`budget` total `weightCol`
+    * (token-budget sharding for training): rows are taken in `idCol` order
+    * and row r lands in shard floor(cumsum_before(r) / budget).
+    *
+    * The global running sum is computed in two distributed phases — NOT
+    * one global window (a `Window.orderBy` with no partition key collapses
+    * to a single task, the classic cumsum scale-killer): (1) range-
+    * partition by id and cumsum within each partition; (2) aggregate one
+    * total per partition — thousands of rows at most, one per partition,
+    * never data-sized — window those into exclusive prefix offsets, and
+    * broadcast-join the offsets back. The result is invariant to where the
+    * range boundaries fall, so sampling nondeterminism in
+    * `repartitionByRange` cannot change the assignment.
+    */
+  def packByBudget(df: DataFrame, idCol: String, weightCol: String,
+                   budget: Long, numShardsHint: Int = 32): DataFrame = {
+    val parts = math.max(1, math.min(
+      df.sparkSession.sparkContext.defaultParallelism, numShardsHint))
+    val ranged = df.select(col(idCol), col(weightCol))
+      .repartitionByRange(parts, col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .withColumn("pid", spark_partition_id())
+    val local = ranged.withColumn("lcum",
+      sum(col(weightCol)).over(Window.partitionBy("pid").orderBy(idCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = ranged.groupBy("pid").agg(sum(col(weightCol)).as("psum"))
+      .withColumn("offset",
+        coalesce(sum(col("psum")).over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    local.join(broadcast(offsets), "pid")
+      // exclusive prefix: everything strictly before this row in id order
+      .withColumn("cum_before", col("offset") + col("lcum") - col(weightCol))
+      .select(col(idCol), col(weightCol),
+        floor(col("cum_before") / budget.toDouble).cast("long").as("shard"))
+  }
+
+  /** Train/eval contamination: training docs sharing at least
+    * `minShingles` distinct shingles with any eval doc — the n-gram
+    * overlap check run before training to keep benchmark text out of the
+    * corpus. Takes a precomputed `(id, hs)` shingle index (share the
+    * persisted one) and an eval-membership predicate on the id.
+    *
+    * Scale: both sides explode to (shingle, id) and equi-join on the
+    * shingle hash — the inverted-index shape, uniform shuffle keys, eval
+    * side typically tiny. Never all-pairs.
+    */
+  def contamination(sets: DataFrame, isEval: Column,
+                    minShingles: Int = 5): DataFrame = {
+    val ev = sets.where(isEval)
+      .select(col("id").as("eval_id"), explode(col("hs")).as("g"))
+    val tr = sets.where(!isEval)
+      .select(col("id").as("train_id"), explode(col("hs")).as("g"))
+    tr.join(ev, "g")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(countDistinct(col("g")).as("novl"))
+      .where(col("novl") >= minShingles)
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("novl")).as("max_overlap"))
+  }
+}

@@ -105,4 +105,58 @@ class ScaleSpec extends SparkSpec {
     assert(scan.contains("PushedFilters") && scan.contains("l_quantity"))
     assert(df.count() > 0)
   }
+
+  test("packByBudget: distributed two-phase cumsum is invariant to partition count") {
+    val s = spark; import s.implicits._
+    val rows = (1L to 997L).map(i => (i, (i * 37 % 120) + 1))
+    val df = rows.toDF("id", "w")
+    val expected = {
+      // reference: sequential exclusive cumsum on the driver
+      var cum = 0L
+      rows.map { case (i, w) => val sh = cum / 5000L; cum += w; (i, sh) }.toMap
+    }
+    Seq(1, 3, 32).foreach { hint =>
+      val got = graft.operators.Pipeline
+        .packByBudget(df.repartition(7), "id", "w", budget = 5000L, numShardsHint = hint)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == expected, s"shard assignment diverged at numShardsHint=$hint")
+    }
+  }
+
+  test("packByBudget: shards are contiguous in id order and respect the budget") {
+    val s = spark; import s.implicits._
+    val df = (1L to 500L).map(i => (i, 100L)).toDF("id", "w")
+    val got = graft.operators.Pipeline.packByBudget(df, "id", "w", budget = 1000L)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    // weight 100, budget 1000 → exactly 10 docs per shard, ids contiguous
+    assert(got.forall { case (id, sh) => sh == (id - 1) / 10 })
+  }
+
+  test("split: deterministic, stable under repartition, ratios roughly honored") {
+    val docs = Tables.t(spark, sf, "documents").select(col("doc_id"))
+    val a = graft.operators.Pipeline.split(docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = graft.operators.Pipeline.split(docs.repartition(13), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "split assignment must not depend on layout")
+    val n = a.size.toDouble
+    val train = a.values.count(_ == "train") / n
+    assert(train > 0.8 && train < 0.97, f"train fraction $train%.2f far from 0.90")
+  }
+
+  test("contamination flags a planted eval near-duplicate and nothing else") {
+    val s = spark; import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (7L, base),                        // eval doc (id % 10 == 7)
+      (21L, base + " with a tiny edit"), // train near-dup → contaminated
+      (22L, "completely different content about spark query planning at scale")
+    ).toDF("doc_id", "text")
+    val sets = graft.operators.Dedup.shingleSets(docs, "doc_id", "text", shingleN = 3)
+    val out = graft.operators.Pipeline
+      .contamination(sets, pmod(col("id"), lit(10)) === 7, minShingles = 5)
+      .collect()
+    assert(out.map(_.getLong(0)).toSet == Set(21L))
+    assert(out.head.getLong(1) == 1L) // one eval doc hit
+  }
 }
