@@ -11,8 +11,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JIT/codegen/classloading + parquet footer caches, so
-    // the first timed query doesn't absorb several seconds of JVM cold start.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // the first timed query doesn't absorb several seconds of JVM cold
+    // start. Footer-touches the bench tables too (limit(1) — metadata and
+    // one row group only; no query intermediate is prebuilt).
+    try {
+      SparkEntry.entry(spark).count()
+      graft.sources.Tables.all.foreach(n =>
+        graft.sources.Tables.t(spark, sfDir, n).limit(1).count())
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {

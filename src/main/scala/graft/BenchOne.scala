@@ -10,6 +10,8 @@ object BenchOne {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.inMemoryColumnarStorage.compressed",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_COMPRESS", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -73,6 +73,13 @@ object Variant {
     */
   def followChain(df: DataFrame, keyCol: String, ptrCol: String,
                   maxRounds: Int = 20): DataFrame = {
+    // Rounds run with AQE off (restored on exit), same rationale as
+    // Dedup.clusters: every round re-plans identical tiny stages and AQE's
+    // per-stage materialization overhead multiplies by O(log depth).
+    val sess = df.sparkSession
+    val aqeBefore = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     // state: (key, cur, done) — cur is the farthest node reached so far
     var state = df.select(col(keyCol).as("key"),
         coalesce(col(ptrCol), col(keyCol)).as("cur"),
@@ -108,6 +115,7 @@ object Variant {
         s"followChain: $remaining chains unresolved after $iter rounds " +
           s"(depth > 2^$iter or a pointer cycle)")
     state.select(col("key"), col("cur").as("root"))
+    } finally sess.conf.set("spark.sql.adaptive.enabled", aqeBefore)
   }
 
   /** Ingest-side pointer normalization — the declared Spark answer to
