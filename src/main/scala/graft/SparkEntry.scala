@@ -1055,6 +1055,20 @@ object SparkEntry {
           pmod(col("id"), lit(10)) === 7, minShingles = 5)
         .orderBy(col("train_id"))),
 
+    "c26_stratified_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), Text.langId(col("text")).as("lang"))
+      Pipeline.stratifiedSample(docs, col("lang"), "doc_id", Map("en" -> 30))
+        .orderBy(col("doc_id"))
+    }),
+
+    "c27_dedup_best" -> ((s, d) => {
+      val scores = t(s, d, "documents")
+        .select(col("doc_id"), Text.qualityScore(col("text")).as("score"))
+      Pipeline.bestRepresentative(docClusters(s, d), scores)
+        .orderBy(col("cluster_rep"))
+    }),
+
     "c08_lang_id" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), Text.langId(col("text")).as("pred_lang"))
@@ -1318,6 +1332,46 @@ object SparkEntry {
         |SELECT train_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
         |  CAST(max(novl) AS BIGINT) AS max_overlap
         |FROM ov GROUP BY train_id ORDER BY train_id""".stripMargin),
+    "c26_stratified_sample" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |      WHEN en > es AND en > 0 THEN 'en'
+        |      WHEN es > en AND es > 0 THEN 'es'
+        |      ELSE 'und' END AS lang
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      len(list_filter(string_split(text,' '), tk -> tk IN ('the','a','of','and','to','in','is','it'))) AS en,
+        |      len(list_filter(string_split(text,' '), tk -> tk IN ('el','la','de','y','que','en','un','es'))) AS es
+        |    FROM documents))
+        |SELECT doc_id, lang FROM l
+        |WHERE (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100)
+        |      < (CASE WHEN lang = 'en' THEN 30 ELSE 100 END)
+        |ORDER BY doc_id""".stripMargin,
+    "c27_dedup_best" -> (shingleCte +
+      """,
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))),
+        |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+        |r AS (
+        |  WITH RECURSIVE reach(id, x) AS (
+        |    SELECT src, src FROM e
+        |    UNION
+        |    SELECT e.src, reach.x FROM e JOIN reach ON reach.id = e.dst)
+        |  SELECT id, min(x) AS rep FROM reach GROUP BY id),
+        |q AS (
+        |  SELECT doc_id,
+        |    (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 0.5
+        |      + (CAST(len(list_filter(t, tk -> tk IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 0.2
+        |      + least(CAST(list_sum(list_transform(t, tk -> length(tk))) AS DOUBLE) / CAST(len(t) AS DOUBLE) / 10.0, 1.0) * 0.3 AS score
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+        |SELECT rep AS cluster_rep, id AS best_doc, score AS best_score FROM (
+        |  SELECT r.rep, r.id, q.score,
+        |    row_number() OVER (PARTITION BY r.rep ORDER BY q.score DESC, r.id) AS rk
+        |  FROM r JOIN q ON q.doc_id = r.id)
+        |WHERE rk = 1 ORDER BY cluster_rep""".stripMargin),
     "c08_lang_id" ->
       """SELECT doc_id,
         |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'

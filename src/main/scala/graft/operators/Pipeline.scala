@@ -69,6 +69,33 @@ object Pipeline {
         floor(col("cum_before") / budget.toDouble).cast("long").as("shard"))
   }
 
+  /** Per-stratum deterministic downsampling — the training-mix stage that
+    * rebalances a corpus (e.g. cap the dominant language at 30%) without
+    * sampling randomness: a row is kept iff its hash bucket falls under
+    * its stratum's percentage, so membership is stable under relayout and
+    * reruns, and strata can be re-weighted without reshuffling anything.
+    * Narrow filter, no shuffle. */
+  def stratifiedSample(df: DataFrame, strataCol: Column, keyCol: String,
+                       ratesPct: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
+      when(strataCol === k, lit(v)).otherwise(acc)
+    }
+    df.where(hashBucket(col(keyCol), 100) < rate)
+  }
+
+  /** Choose each dedup cluster's surviving representative by a quality
+    * score instead of min-id — the keep-best-duplicate policy. One shuffle
+    * on the cluster id for the per-cluster top-1 window; deterministic via
+    * the (score DESC, id ASC) total order. */
+  def bestRepresentative(clusters: DataFrame, scores: DataFrame,
+                         idCol: String = "id", repCol: String = "cluster_rep",
+                         scoreIdCol: String = "doc_id", scoreCol: String = "score"): DataFrame = {
+    val j = clusters.join(scores, clusters(idCol) === scores(scoreIdCol))
+    val w = Window.partitionBy(col(repCol)).orderBy(col(scoreCol).desc, clusters(idCol))
+    j.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col(repCol), clusters(idCol).as("best_doc"), col(scoreCol).as("best_score"))
+  }
+
   /** Train/eval contamination: training docs sharing at least
     * `minShingles` distinct shingles with any eval doc — the n-gram
     * overlap check run before training to keep benchmark text out of the

@@ -17,7 +17,8 @@ class EquivalenceSpec extends SparkSpec {
     "a24_union_n", "a25_tensor_dims", "a26_normalize", "a27_union_infer",
     "c04_ngram_jaccard", "c05_dedup_embedding", "c11_fingerprint",
     "c19_tfidf", "c20_embedding_clusters", "c21_mm_resize", "c22_ann_lsh",
-    "c23_split_assign", "c24_pack_shards", "c25_contamination")
+    "c23_split_assign", "c24_pack_shards", "c25_contamination",
+    "c26_stratified_sample", "c27_dedup_best")
 
   test("codegen on/off produce identical results for representative queries") {
     keys.foreach { name =>

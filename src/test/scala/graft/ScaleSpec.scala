@@ -144,6 +144,33 @@ class ScaleSpec extends SparkSpec {
     assert(train > 0.8 && train < 0.97, f"train fraction $train%.2f far from 0.90")
   }
 
+  test("stratifiedSample keeps non-target strata whole and downsamples the target") {
+    val s = spark; import s.implicits._
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "en" else "es")).toDF("id", "lang")
+    val kept = graft.operators.Pipeline
+      .stratifiedSample(df, col("lang"), "id", Map("en" -> 30))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.count(_._2 == "es") == 1000, "non-target stratum must be untouched")
+    val enFrac = kept.count(_._2 == "en") / 1000.0
+    assert(enFrac > 0.2 && enFrac < 0.4, f"en kept $enFrac%.2f, want ~0.30")
+    // membership is a pure function of the id — rerun must agree exactly
+    val again = graft.operators.Pipeline
+      .stratifiedSample(df.repartition(11), col("lang"), "id", Map("en" -> 30))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSet == again.toSet)
+  }
+
+  test("bestRepresentative picks the highest-scoring member, id tie-break") {
+    val s = spark; import s.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster_rep")
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (10L, 0.1), (11L, 0.1))
+      .toDF("doc_id", "score")
+    val best = graft.operators.Pipeline.bestRepresentative(clusters, scores)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(best == Map(1L -> 2L, 10L -> 10L)) // 2 beats 3 on id at equal score
+  }
+
   test("contamination flags a planted eval near-duplicate and nothing else") {
     val s = spark; import s.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
