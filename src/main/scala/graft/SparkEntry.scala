@@ -268,7 +268,10 @@ object SparkEntry {
       // schema inference over raw JSON strings (oamap inference.fromdata analogue)
       import s.implicits._
       val raw = t(s, d, "events").select(col("props")).as[String]
-      val inferred = s.read.json(raw) // infers {k: bigint}
+      // inference over a deterministic 5% sample (seeded), then one parse
+      // pass — at 100 TB you never full-scan twice to learn a schema; the
+      // sample only has to see every field once
+      val inferred = s.read.option("samplingRatio", "0.05").json(raw)
       inferred.groupBy(col("k")).agg(count(lit(1)).as("n")).orderBy(col("k"))
     }),
 
@@ -341,7 +344,10 @@ object SparkEntry {
             concat(lit("{\"amount\": "), col("value"), lit("}")))
           .otherwise(concat(lit("{\"kind\": \""), col("event_type"), lit("\"}")))
           .as("j")).as[String]
-      val inferred = s.read.json(mixed) // unified {amount: double, kind: string}
+      // sampled inference (see a21) — both shapes are dense, so a 5%
+      // seeded sample always witnesses each union possibility
+      val inferred = s.read.option("samplingRatio", "0.05")
+        .json(mixed) // unified {amount: double, kind: string}
       inferred
         .select(when(col("amount").isNotNull, 0).otherwise(1).as("tag"),
           col("amount"), col("kind"))

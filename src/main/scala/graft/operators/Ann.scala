@@ -151,6 +151,8 @@ object Ann {
     */
   def lshTopK(items: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               dim: Int, bits: Int, k: Int): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1,62], got $bits")
+    require(dim >= 1, s"dim must be positive, got $dim")
     val it = items.select(col(idCol).as("item_id"), col(vecCol).as("iv"),
       lshBucket(col(vecCol), dim, bits).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),

@@ -48,6 +48,7 @@ object Pipeline {
     */
   def packByBudget(df: DataFrame, idCol: String, weightCol: String,
                    budget: Long, numShardsHint: Int = 32): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
     val parts = math.max(1, math.min(
       df.sparkSession.sparkContext.defaultParallelism, numShardsHint))
     val ranged = df.select(col(idCol), col(weightCol))
@@ -77,6 +78,8 @@ object Pipeline {
     * Narrow filter, no shuffle. */
   def stratifiedSample(df: DataFrame, strataCol: Column, keyCol: String,
                        ratesPct: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    require((ratesPct.values ++ Seq(defaultPct)).forall(r => r >= 0 && r <= 100),
+      s"rates must be percentages in [0,100]: $ratesPct default=$defaultPct")
     val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
       when(strataCol === k, lit(v)).otherwise(acc)
     }
@@ -103,16 +106,19 @@ object Pipeline {
     * persisted one) and an eval-membership predicate on the id.
     *
     * Scale: both sides explode to (shingle, id) and equi-join on the
-    * shingle hash — the inverted-index shape, uniform shuffle keys, eval
-    * side typically tiny. Never all-pairs.
+    * shingle hash — the inverted-index shape. The eval side (a benchmark
+    * suite) is small by nature, so it is BROADCAST: the training corpus —
+    * the 100 TB side — is never shuffled for the join; only the matched
+    * (train, eval) rows reach the overlap aggregation. Never all-pairs.
     */
   def contamination(sets: DataFrame, isEval: Column,
                     minShingles: Int = 5): DataFrame = {
+    require(minShingles >= 1, s"minShingles must be >= 1, got $minShingles")
     val ev = sets.where(isEval)
       .select(col("id").as("eval_id"), explode(col("hs")).as("g"))
     val tr = sets.where(!isEval)
       .select(col("id").as("train_id"), explode(col("hs")).as("g"))
-    tr.join(ev, "g")
+    tr.join(broadcast(ev), "g")
       .groupBy(col("train_id"), col("eval_id"))
       .agg(countDistinct(col("g")).as("novl"))
       .where(col("novl") >= minShingles)
