@@ -93,6 +93,80 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Streaming near-duplicate detection — the in-flight counterpart of
+    * the batch minhash-LSH pass (`Dedup.minhashPairs` / c02). Keyed by LSH
+    * band signature; state is the bucket's recent (doc, full-signature)
+    * list. An incoming doc emits a candidate match when its minhash
+    * signature agrees with a stored one on ≥ `threshold` of the
+    * permutations (the standard minhash jaccard estimate) — so the
+    * verify step happens in-state, no second pass. A doc is a near-dup
+    * iff any of its bands emits a match.
+    *
+    * Scale: state per bucket is capped at `maxBucket` entries (the same
+    * degenerate-tower guard as the batch pass); production adds a
+    * processing-time TTLConfig so buckets age out. Shuffle key is the
+    * band signature — uniform.
+    */
+  class NearDupProcessor(threshold: Double, maxBucket: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Seq[Long]), (Long, Long, Double)] {
+    @transient private var recent:
+      org.apache.spark.sql.streaming.ListState[(Long, Seq[Long])] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      recent = getHandle.getListState[(Long, Seq[Long])]("recent",
+        org.apache.spark.sql.Encoders.product[(Long, Seq[Long])],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Seq[Long])],
+        timerValues: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[(Long, Long, Double)] = {
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      rows.foreach { case (_, docId, sig) =>
+        var n = 0
+        recent.get().foreach { case (prevId, prevSig) =>
+          n += 1
+          if (prevId != docId) {
+            val est = sig.iterator.zip(prevSig.iterator)
+              .count { case (a, b) => a == b }.toDouble / sig.size
+            if (est >= threshold) out += ((docId, prevId, est))
+          }
+        }
+        if (n < maxBucket) recent.appendValue((docId, sig))
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Stream of near-dup candidate matches `(doc_id, earlier_doc_id,
+    * estimated_jaccard)` over a (id, text) document stream. Docs shorter
+    * than one shingle are skipped (no signature to compare). */
+  def streamNearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, numPerm: Int = 64, bands: Int = 16,
+      maxBucket: Int = 1000):
+      org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val r = numPerm / bands
+    val hs = array_distinct(graft.functions.Text.shingleHashes(col(textCol), 3))
+    val sigd = docs
+      .where(size(split(col(textCol), " ")) >= 3)
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.operators.Dedup.minhashSignature(hs, numPerm).as("sig"))
+    val bandKeys = array((0 until bands).map(b =>
+      concat(lit(s"$b:"), array_join(
+        transform(slice(col("sig"), b * r + 1, r), _.cast("string")), "_"))): _*)
+    sigd.select(explode(bandKeys).as("bkey"), col("doc_id"), col("sig"))
+      .as[(String, Long, Seq[Long])]
+      .groupByKey(_._1)
+      .transformWithState(new NearDupProcessor(threshold, maxBucket),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Custom-state sessionization via flatMapGroupsWithState — the
     * arbitrary-stateful-processing path for stream logic that windowed
     * aggregation can't express (here: emit a session only when it closes,

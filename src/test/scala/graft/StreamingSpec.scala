@@ -158,6 +158,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup: a later near-duplicate is flagged against the original") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again " +
+        "every single day without fail in the morning"
+      val mem = MemoryStream[(Long, String)]
+      mem.addData((1L, base),
+        (2L, "completely unrelated text about distributed query planning on spark"))
+      val out = Streams.streamNearDupCandidates(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5)
+        .toDF("doc_id", "dup_of", "est")
+      val q = out.writeStream.format("memory").queryName("neardup")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // batch 1: two distinct docs — nothing flagged
+        assert(s.sql("SELECT count(*) FROM neardup").head().getLong(0) == 0L)
+        mem.addData((3L, base + " extra"))  // near-dup of doc 1, next batch
+        q.processAllAvailable()
+        val hits = s.sql(
+          "SELECT DISTINCT doc_id, dup_of FROM neardup").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(hits == Set((3L, 1L)), s"got $hits")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join: purchases join clicks within the window") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
