@@ -106,6 +106,19 @@ class ScaleSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("schema evolution: mergeSchema unifies parts written with different columns") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/p=1")
+    Seq((2L, 3.5)).toDF("id", "v2").write.parquet(s"$dir/p=2")
+    val merged = s.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "p", "v1", "v2"))
+    val byId = merged.collect().map(r => r.getLong(r.fieldIndex("id")) -> r).toMap
+    assert(byId(1L).getString(byId(1L).fieldIndex("v1")) == "a")
+    assert(byId(1L).isNullAt(byId(1L).fieldIndex("v2"))) // old part: new col null
+    assert(byId(2L).getDouble(byId(2L).fieldIndex("v2")) == 3.5)
+  }
+
   test("packByBudget: distributed two-phase cumsum is invariant to partition count") {
     val s = spark; import s.implicits._
     val rows = (1L to 997L).map(i => (i, (i * 37 % 120) + 1))
