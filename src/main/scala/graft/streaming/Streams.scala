@@ -105,7 +105,10 @@ object Streams {
     * Scale: state per bucket is capped at `maxBucket` entries (the same
     * degenerate-tower guard as the batch pass); production adds a
     * processing-time TTLConfig so buckets age out. Shuffle key is the
-    * band signature — uniform.
+    * band signature — uniform. Note: two near-dups arriving in the SAME
+    * micro-batch may emit their match in either direction (row order
+    * within a batch's key group is not defined); across batches the
+    * earlier doc is always the `dup_of` side.
     */
   class NearDupProcessor(threshold: Double, maxBucket: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
