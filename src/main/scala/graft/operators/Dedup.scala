@@ -252,6 +252,13 @@ object Dedup {
     * Graph-side intermediates (symmetrized edge list) are unpersisted on
     * exit; the returned labels stay persisted (callers typically reuse them
     * — unpersist when done).
+    *
+    * NOTE: the rounds temporarily set session-level conf (AQE off,
+    * right-sized shuffle.partitions), restored on exit. Queries planned
+    * CONCURRENTLY on the same SparkSession during the call would see those
+    * settings — run CC from a dedicated/cloned session if the session is
+    * shared with concurrent work (this repo's suites and driver mains run
+    * queries sequentially).
     */
   def clusters(pairs: DataFrame, idA: String = "a", idB: String = "b",
                maxIter: Int = 20): DataFrame = {

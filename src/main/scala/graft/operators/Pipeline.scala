@@ -15,16 +15,19 @@ object Pipeline {
   /** Uniform bucket in [0, buckets) from the md5 of a key column —
     * deterministic across runs, engines and cluster layouts (never use
     * partition-dependent randomness for split assignment; resplitting on
-    * every relayout would leak eval data into training). */
+    * every relayout would leak eval data into training). Same 60-bit md5
+    * construction as [[graft.functions.Text.tokenHash]] — one definition,
+    * so the SQL-oracle portability argument lives in one place. */
   def hashBucket(key: Column, buckets: Int): Column =
-    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
-      lit(buckets.toLong))
+    pmod(graft.functions.Text.tokenHash(key.cast("string")), lit(buckets.toLong))
 
   /** Deterministic train/val/test assignment by hashed key: stable under
     * reordering, repartitioning and incremental corpus growth (a document's
     * split never depends on the other documents). Narrow map, no shuffle. */
   def split(df: DataFrame, keyCol: String,
             trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"percentages must be non-negative and sum <= 100: train=$trainPct val=$valPct")
     val b = hashBucket(col(keyCol), 100)
     df.withColumn("split",
       when(b < trainPct, "train")
@@ -45,20 +48,30 @@ object Pipeline {
     * broadcast-join the offsets back. The result is invariant to where the
     * range boundaries fall, so sampling nondeterminism in
     * `repartitionByRange` cannot change the assignment.
+    *
+    * The per-partition cumsum frame is locally CHECKPOINTED (eager) and
+    * both downstream consumers — the row side and the offsets side — read
+    * that one materialization: pid membership and boundaries are decided
+    * exactly once, so there is no window where two evaluations of the
+    * range exchange could sample different boundaries; a lost checkpoint
+    * block fails the job loudly instead of silently resampling.
     */
   def packByBudget(df: DataFrame, idCol: String, weightCol: String,
                    budget: Long, numShardsHint: Int = 32): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val parts = math.max(1, math.min(
       df.sparkSession.sparkContext.defaultParallelism, numShardsHint))
-    val ranged = df.select(col(idCol), col(weightCol))
+    val local = df.select(col(idCol), col(weightCol))
       .repartitionByRange(parts, col(idCol))
       .sortWithinPartitions(col(idCol))
       .withColumn("pid", spark_partition_id())
-    val local = ranged.withColumn("lcum",
-      sum(col(weightCol)).over(Window.partitionBy("pid").orderBy(idCol)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val offsets = ranged.groupBy("pid").agg(sum(col(weightCol)).as("psum"))
+      .withColumn("lcum",
+        sum(col(weightCol)).over(Window.partitionBy("pid").orderBy(idCol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint()
+    // partition total = the last (max) inclusive cumsum of the partition —
+    // derived from the same checkpointed rows, never a second evaluation
+    val offsets = local.groupBy("pid").agg(max(col("lcum")).as("psum"))
       .withColumn("offset",
         coalesce(sum(col("psum")).over(Window.orderBy("pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -106,19 +119,21 @@ object Pipeline {
     * persisted one) and an eval-membership predicate on the id.
     *
     * Scale: both sides explode to (shingle, id) and equi-join on the
-    * shingle hash — the inverted-index shape. The eval side (a benchmark
-    * suite) is small by nature, so it is BROADCAST: the training corpus —
-    * the 100 TB side — is never shuffled for the join; only the matched
-    * (train, eval) rows reach the overlap aggregation. Never all-pairs.
+    * shingle hash — the inverted-index shape. With `broadcastEval` (the
+    * default — a real benchmark suite is tiny next to the corpus) the
+    * training side — the 100 TB side — is never shuffled for the join;
+    * only the matched (train, eval) rows reach the overlap aggregation.
+    * Pass `broadcastEval = false` when the eval set is a large corpus
+    * fraction and should shuffle-join instead. Never all-pairs.
     */
   def contamination(sets: DataFrame, isEval: Column,
-                    minShingles: Int = 5): DataFrame = {
+                    minShingles: Int = 5, broadcastEval: Boolean = true): DataFrame = {
     require(minShingles >= 1, s"minShingles must be >= 1, got $minShingles")
     val ev = sets.where(isEval)
       .select(col("id").as("eval_id"), explode(col("hs")).as("g"))
     val tr = sets.where(!isEval)
       .select(col("id").as("train_id"), explode(col("hs")).as("g"))
-    tr.join(broadcast(ev), "g")
+    tr.join(if (broadcastEval) broadcast(ev) else ev, "g")
       .groupBy(col("train_id"), col("eval_id"))
       .agg(countDistinct(col("g")).as("novl"))
       .where(col("novl") >= minShingles)

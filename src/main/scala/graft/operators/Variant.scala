@@ -73,14 +73,12 @@ object Variant {
     */
   def followChain(df: DataFrame, keyCol: String, ptrCol: String,
                   maxRounds: Int = 20): DataFrame = {
-    // Rounds run with AQE off (restored on exit), same rationale as
-    // Dedup.clusters: every round re-plans identical tiny stages and AQE's
-    // per-stage materialization overhead multiplies by O(log depth).
-    val sess = df.sparkSession
-    val aqeBefore = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-    // state: (key, cur, done) — cur is the farthest node reached so far
+    // state: (key, cur, done) — cur is the farthest node reached so far.
+    // The two initial checkpoints below materialize the CALLER's upstream
+    // plan and run with AQE untouched (it may need skew splits); only the
+    // rounds after them run with AQE off, same rationale as Dedup.clusters:
+    // every round re-plans identical tiny stages and AQE's per-stage
+    // materialization overhead multiplies by O(log depth).
     var state = df.select(col(keyCol).as("key"),
         coalesce(col(ptrCol), col(keyCol)).as("cur"),
         col(ptrCol).isNull.as("done"))
@@ -89,6 +87,10 @@ object Variant {
     // past k (or the chain end if nearer)
     var hops = df.select(col(keyCol).as("hkey"), col(ptrCol).as("hptr"))
       .localCheckpoint()
+    val sess = df.sparkSession
+    val aqeBefore = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     var iter = 0
     var remaining = state.where(!col("done")).count()
     while (remaining > 0 && iter < maxRounds) {

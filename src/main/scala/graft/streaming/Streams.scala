@@ -145,7 +145,11 @@ object Streams {
 
   /** Stream of near-dup candidate matches `(doc_id, earlier_doc_id,
     * estimated_jaccard)` over a (id, text) document stream. Docs shorter
-    * than one shingle are skipped (no signature to compare). */
+    * than one shingle are skipped (no signature to compare). A pair is
+    * emitted once PER AGREEING BAND (the processor is band-local and
+    * cannot see other buckets); consumers needing exactly-once candidates
+    * aggregate downstream — `dropDuplicatesWithinWatermark` on
+    * (doc_id, dup_of), or a DISTINCT in batch parity checks. */
   def streamNearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, numPerm: Int = 64, bands: Int = 16,
       maxBucket: Int = 1000):

@@ -11,14 +11,17 @@ class EquivalenceSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  // Memoized-intermediate queries (c04, c05, c20, c25, c27) are EXCLUDED:
+  // their second leg reads the pair graph / cluster table the first leg
+  // persisted, so the comparison would be cache-vs-itself, not
+  // codegen-vs-interpreted. The kernels behind them are equivalence-fuzzed
+  // directly in SimilarityAndDedupSpec (codegen vs HOF forms).
   private val keys = Seq("b01_tpch_q1", "a13_define", "c02_dedup_minhash",
     "c03_dedup_simhash", "c06_ann_brute", "a22_compiled_expr",
     // r2 additions: new operators and every query whose hot path changed
     "a24_union_n", "a25_tensor_dims", "a26_normalize", "a27_union_infer",
-    "c04_ngram_jaccard", "c05_dedup_embedding", "c11_fingerprint",
-    "c19_tfidf", "c20_embedding_clusters", "c21_mm_resize", "c22_ann_lsh",
-    "c23_split_assign", "c24_pack_shards", "c25_contamination",
-    "c26_stratified_sample", "c27_dedup_best")
+    "c11_fingerprint", "c19_tfidf", "c21_mm_resize", "c22_ann_lsh",
+    "c23_split_assign", "c24_pack_shards", "c26_stratified_sample")
 
   test("codegen on/off produce identical results for representative queries") {
     keys.foreach { name =>
