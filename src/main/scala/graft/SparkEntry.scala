@@ -1075,6 +1075,20 @@ object SparkEntry {
         .orderBy(col("cluster_rep"))
     }),
 
+    "c28_boilerplate" -> ((s, d) =>
+      // cross-document boilerplate: shingles shared by >= 5 docs (reuses
+      // the persisted shingle index; cross-doc counterpart of c16)
+      Pipeline.boilerplateStats(docShingleSets(s, d), minDf = 5)
+        .select(col("id").as("doc_id"), col("n_sh"), col("n_boiler"), col("boiler_ratio"))
+        .orderBy(col("doc_id"))),
+
+    "c29_length_filter" -> ((s, d) =>
+      // per-language length-band trim: drop each lang's shortest/longest
+      // 5% by n_chars (percentile_disc band, integer-exact cutoffs)
+      Pipeline.lengthBandFilter(t(s, d, "documents"), "lang", "n_chars")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     "c08_lang_id" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), Text.langId(col("text")).as("pred_lang"))
@@ -1326,6 +1340,33 @@ object SparkEntry {
         |  CAST(floor(coalesce(sum(ws_tokens) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 10000.0) AS BIGINT) AS shard
         |FROM w ORDER BY doc_id""".stripMargin,
+    "c28_boilerplate" -> (shingleCte +
+      """,
+        |ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        |boiler AS (SELECT g FROM (SELECT g, count(*) AS df FROM ex GROUP BY g) WHERE df >= 5),
+        |per AS (SELECT ex.doc_id, count(*) AS n_boiler FROM ex JOIN boiler USING (g) GROUP BY ex.doc_id)
+        |SELECT s.doc_id, CAST(len(s.sh) AS BIGINT) AS n_sh,
+        |  CAST(coalesce(per.n_boiler, 0) AS BIGINT) AS n_boiler,
+        |  CAST(coalesce(per.n_boiler, 0) AS DOUBLE) / CAST(len(s.sh) AS DOUBLE) AS boiler_ratio
+        |FROM s LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin),
+    "c29_length_filter" ->
+      """WITH hist AS (
+        |  SELECT lang, n_chars AS v, count(*) AS cnt FROM documents GROUP BY 1, 2),
+        |c AS (
+        |  SELECT lang, v, cnt,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM hist),
+        |cuts AS (
+        |  SELECT lang,
+        |    min(v) FILTER (cum * 100 >= 5 * n) AS lo_cut,
+        |    min(v) FILTER (cum * 100 >= 95 * n) AS hi_cut
+        |  FROM c GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN cuts USING (lang)
+        |WHERE d.n_chars BETWEEN lo_cut AND hi_cut
+        |ORDER BY d.doc_id""".stripMargin,
     "c25_contamination" -> (shingleCte +
       """,
         |e AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 = 7),

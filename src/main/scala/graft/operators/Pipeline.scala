@@ -112,6 +112,66 @@ object Pipeline {
       .select(col(repCol), clusters(idCol).as("best_doc"), col(scoreCol).as("best_score"))
   }
 
+  /** Cross-document boilerplate statistics: per document, how many of its
+    * distinct shingles occur in at least `minDf` documents corpus-wide
+    * (headers, footers, licence blocks — the RefinedWeb/CCNet-style
+    * boilerplate signal, which is a *cross-document* property, unlike the
+    * within-document repetition ratio). Takes the shared `(id, hs)` shingle
+    * index so the shingle pass is paid once across the dedup family.
+    *
+    * Scale: explode is narrow; the document-frequency groupBy shuffles on
+    * the uniform 60-bit shingle hash; the surviving boilerplate set is a
+    * tiny fraction of the shingle space (df >= minDf), so the membership
+    * join auto-broadcasts under AQE, and the per-doc count shuffles on the
+    * doc id. No all-pairs anything.
+    */
+  def boilerplateStats(sets: DataFrame, minDf: Long): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2 to mean 'shared', got $minDf")
+    val ex = sets.select(col("id"), explode(col("hs")).as("g"))
+    val boiler = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf).select(col("g"))
+    val per = ex.join(boiler, "g")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_boiler"))
+    sets.select(col("id"), size(col("hs")).cast("long").as("n_sh"))
+      .join(per, Seq("id"), "left")
+      .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
+      .withColumn("boiler_ratio",
+        col("n_boiler").cast("double") / col("n_sh").cast("double"))
+  }
+
+  /** Per-stratum length-band corpus filter (the Gopher-style "drop the
+    * tails" stage): keep rows whose `valueCol` lies within the stratum's
+    * [loPct, hiPct] discrete percentile band — percentile_disc semantics,
+    * i.e. the cutoff is the smallest value whose cumulative count reaches
+    * the percentile. All-integer arithmetic (`cum*100 >= pct*n`), so the
+    * result is bit-identical in any engine.
+    *
+    * Scale: the corpus side pays ONE partial-aggregated groupBy on
+    * (stratum, value) — the compact histogram, at most |strata| × |distinct
+    * values| rows — and the cumulative window runs over that histogram, not
+    * the data (a per-stratum window over raw rows would collapse each
+    * stratum into one task). Histogram values are unique per stratum, so
+    * the rows-frame cumsum has no tie ambiguity. Cutoffs (|strata| rows)
+    * broadcast back; the filter itself is narrow. */
+  def lengthBandFilter(df: DataFrame, strataCol: String, valueCol: String,
+                       loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    require(0 <= loPct && loPct <= hiPct && hiPct <= 100,
+      s"need 0 <= loPct <= hiPct <= 100, got lo=$loPct hi=$hiPct")
+    val hist = df.groupBy(col(strataCol), col(valueCol))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(strataCol))))
+    val cuts = cum.groupBy(col(strataCol)).agg(
+      min(when(col("cum") * 100 >= lit(loPct.toLong) * col("n"), col(valueCol))).as("lo_cut"),
+      min(when(col("cum") * 100 >= lit(hiPct.toLong) * col("n"), col(valueCol))).as("hi_cut"))
+    df.join(broadcast(cuts), strataCol)
+      .where(col(valueCol) >= col("lo_cut") && col(valueCol) <= col("hi_cut"))
+      .drop("lo_cut", "hi_cut")
+  }
+
   /** Train/eval contamination: training docs sharing at least
     * `minShingles` distinct shingles with any eval doc — the n-gram
     * overlap check run before training to keep benchmark text out of the

@@ -184,6 +184,37 @@ class ScaleSpec extends SparkSpec {
     assert(best == Map(1L -> 2L, 10L -> 10L)) // 2 beats 3 on id at equal score
   }
 
+  test("boilerplateStats counts shingles shared by >= minDf docs, zero-fills the rest") {
+    val s = spark; import s.implicits._
+    val sets = Seq(
+      (1L, Seq(10L, 11L)),
+      (2L, Seq(10L, 12L)),
+      (3L, Seq(10L, 13L)),
+      (4L, Seq(14L, 15L, 16L))
+    ).toDF("id", "hs")
+    val got = graft.operators.Pipeline.boilerplateStats(sets, minDf = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // shingle 10 appears in 3 docs → boilerplate; nothing else reaches df=3
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((2L, 1L, 0.5)))
+    assert(got(4L) == ((3L, 0L, 0.0))) // untouched doc must zero-fill, not drop
+  }
+
+  test("lengthBandFilter: percentile_disc cutoffs per stratum, exact integer band") {
+    val s = spark; import s.implicits._
+    val en = (1L to 100L).map(v => (v, "en", v))
+    val es = (1L to 10L).map(v => (v + 1000L, "es", v))
+    val df = (en ++ es).toDF("doc_id", "lang", "n_chars")
+    val kept = graft.operators.Pipeline.lengthBandFilter(df, "lang", "n_chars")
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    // en: 100 distinct values → lo_cut=5 (cum 5 ≥ 5% of 100), hi_cut=95 → keep 5..95
+    val enVals = kept.collect { case ("en", v) => v }.sorted
+    assert(enVals == (5L to 95L), s"en band wrong: ${enVals.head}..${enVals.last}")
+    // es: 10 values → lo_cut=1 (cum 1 ≥ 0.5), hi_cut=10 (cum 10 ≥ 9.5) → all kept
+    assert(kept.count(_._1 == "es") == 10)
+  }
+
   test("contamination flags a planted eval near-duplicate and nothing else") {
     val s = spark; import s.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
