@@ -786,9 +786,96 @@ object SparkEntry {
         .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
-        .orderBy(col("n_name"))))
+        .orderBy(col("n_name"))),
+
+    "b33_orc_roundtrip" -> ((s, d) => {
+      // ORC source+sink (SURVEY §1.6 backends): write supplier as ORC,
+      // read it back, aggregate the REREAD data — the oracle aggregates the
+      // original parquet, so any value/type drift through the format fails
+      // the hash. Parallel per-partition write, splittable column-pruned
+      // read; no driver funnel.
+      val dir = graft.sources.Formats.scratchDir("orc_supplier", d)
+      graft.sources.Formats.writeOrc(t(s, d, "supplier"), dir)
+      graft.sources.Formats.readOrc(s, dir)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_sup"), dsum(col("s_acctbal")).as("sum_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    "b34_csv_roundtrip" -> ((s, d) => {
+      // CSV interchange roundtrip with a DECLARED read schema (never
+      // inferSchema — that's an extra full pass at 100 TB). Money goes
+      // through the format as decimal(18,2) text, so the roundtrip is
+      // value-exact; the oracle aggregates the original parquet.
+      val dir = graft.sources.Formats.scratchDir("csv_part", d)
+      graft.sources.Formats.writeCsv(
+        t(s, d, "part").select(col("p_partkey"), col("p_brand"), col("p_size"),
+          col("p_retailprice").cast("decimal(18,2)").as("p_retailprice")), dir)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "p_partkey LONG, p_brand STRING, p_size INT, p_retailprice DECIMAL(18,2)")
+      graft.sources.Formats.readCsv(s, dir, schema)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          max(col("p_size")).as("max_size"),
+          sum(col("p_retailprice")).cast("double").as("sum_price"))
+        .orderBy(col("p_brand"))
+    }),
+
+    "b35_range_join" -> ((s, d) => {
+      // windowed interval join: clicks in the minute before each purchase,
+      // per user. Binned into window-width time buckets so the plan is a
+      // plain equi-join on (user, bin) — never a BroadcastNestedLoopJoin
+      // (PlanSpec-asserted); b08's as-of join is the 1-NN sibling of this
+      // windowed-count shape. Epoch-micros arithmetic (testdata is
+      // µs-precision, so DuckDB's ns interval arithmetic agrees exactly).
+      val e = t(s, d, "events")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("pt"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("ct"))
+      graft.operators.Intervals.countInWindow(purchases, clicks, "user_id",
+          "event_id", "pt", "ct", lo = -60000000L, hi = 0L)
+        .select(col("event_id"), col("user_id"), col("n_in_window").as("n_clicks_60s"))
+        .orderBy(col("event_id"))
+    }),
+
+    "b36_approx_quantile" -> ((s, d) =>
+      // b18 pattern for sketches: the exact discrete median is
+      // oracle-checked directly; the GK-sketch estimate is engine-specific,
+      // so its evidence is a rank-bound boolean — with accuracy 10000 the
+      // rank error is ≤ n/10000 ≈ 60 rows, far inside the p49–p51 band the
+      // bound allows, so a drifting sketch turns the hash red.
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("median_price"),
+          expr("percentile_disc(0.49) WITHIN GROUP (ORDER BY l_extendedprice)").as("p49"),
+          expr("percentile_disc(0.51) WITHIN GROUP (ORDER BY l_extendedprice)").as("p51"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx"))
+        .select(col("l_returnflag"), col("median_price"),
+          (col("approx") >= col("p49") && col("approx") <= col("p51")).as("approx_ok"))
+        .orderBy(col("l_returnflag"))))
 
   private val bOracles: Map[String, String] = Map(
+    "b33_orc_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n_sup,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "b34_csv_roundtrip" ->
+      """SELECT p_brand, count(*) AS n_parts, max(p_size) AS max_size,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "b35_range_join" ->
+      """SELECT p.event_id, p.user_id, count(c.user_id) AS n_clicks_60s
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts - INTERVAL 1 MINUTE AND c.ts < p.ts
+        |GROUP BY p.event_id, p.user_id ORDER BY p.event_id""".stripMargin,
+    "b36_approx_quantile" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_extendedprice, 0.5) AS median_price,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "b01_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
@@ -1218,7 +1305,15 @@ object SparkEntry {
           col("features.h0").as("h0"), col("features.h1").as("h1"),
           col("features.h2").as("h2"), col("features.h3").as("h3"))
         .orderBy(col("media_id"))
-    }))
+    }),
+
+    "c30_redact" -> ((s, d) =>
+      // PII scrub stage over the event props payload (the one testdata
+      // column with digit runs): emails → <EMAIL>, digit runs → <NUM>.
+      // Byte-exact against the oracle's RE2 'g'-mode regexp_replace.
+      t(s, d, "events")
+        .select(col("event_id"), Text.redact(col("props")).as("props_scrubbed"))
+        .orderBy(col("event_id"))))
 
   private val shingleCte =
     """WITH s AS (
@@ -1236,6 +1331,12 @@ object SparkEntry {
         |ORDER BY a, b""".stripMargin
 
   private val cOracles: Map[String, String] = Map(
+    "c30_redact" ->
+      """SELECT event_id,
+        |  regexp_replace(regexp_replace(props,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g') AS props_scrubbed
+        |FROM events ORDER BY event_id""".stripMargin,
     "c01_dedup_exact" ->
       """SELECT min(doc_id) AS rep_id, count(*) AS n_dups FROM documents
         |GROUP BY text ORDER BY rep_id""".stripMargin,

@@ -103,6 +103,19 @@ object Text {
   def subwordCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
 
+  /** PII scrub: email-shaped substrings then digit runs replaced with typed
+    * placeholder tokens — the redaction stage of a training-data pipeline.
+    * Pure `regexp_replace` (codegen'd, linear, no shuffle). Patterns are
+    * restricted to syntax whose greedy/leftmost semantics are identical in
+    * Java regex (Spark) and RE2 (DuckDB's 'g' mode), so the oracle
+    * reproduces byte-identical output. Emails first: the email pattern
+    * contains digits the number pass would otherwise eat. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>")),
+      lit("[0-9]+"), lit("<NUM>"))
+
   /** Quality-score blend. Left unrounded: the expression tree is identical
     * IEEE double arithmetic in every engine (bit-reproducible), whereas
     * round() implementations differ at the half-ulp between engines. */

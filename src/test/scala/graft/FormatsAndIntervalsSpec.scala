@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.operators.Intervals
+import graft.sources.Formats
+import graft.functions.Text
+
+/** Round-3 additions: binned interval join, ORC/CSV roundtrips, PII scrub. */
+class FormatsAndIntervalsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // (key, ts) fixture spanning bin boundaries, duplicates, and a key with
+  // no matches; window [ts-10, ts) with bin width 10 exercises both the
+  // same-bin and previous-bin candidate paths.
+  private lazy val lefts = Seq(
+    (1L, 100L, 20L), (2L, 100L, 25L), (3L, 200L, 30L), (4L, 999L, 7L))
+    .toDF("id", "k", "ts")
+  private lazy val rights = Seq(
+    (100L, 10L), (100L, 15L), (100L, 19L), (100L, 20L), (100L, 24L),
+    (200L, 20L), (200L, 29L), (200L, 30L), (999L, 50L))
+    .toDF("k", "ts")
+
+  test("binnedRangeJoin matches the naive theta join, with half-open window semantics") {
+    val binned = Intervals.binnedRangeJoin(lefts, rights, "k", "ts", "ts",
+        lo = -10L, hi = 0L)
+      .select(col("id"), col("r_ts")).as[(Long, Long)].collect().toSet
+    val naive = lefts.as("l").join(rights.as("r"),
+        col("l.k") === col("r.k") &&
+          col("r.ts") >= col("l.ts") - 10 && col("r.ts") < col("l.ts"))
+      .select(col("l.id"), col("r.ts")).as[(Long, Long)].collect().toSet
+    assert(binned == naive)
+    // edges: for id=1 (ts=20) the window is [10, 20): 10 in, 20 out
+    assert(binned.contains((1L, 10L)) && !binned.contains((1L, 20L)))
+    // id=3 (ts=30): 20 and 29 in (29 crosses the bin boundary path), 30 out
+    assert(binned.contains((3L, 29L)) && binned.contains((3L, 20L)) && !binned.contains((3L, 30L)))
+  }
+
+  test("binnedRangeJoin is exact for negative timestamps (floor-div bins)") {
+    val l = Seq((1L, 5L, -3L)).toDF("id", "k", "ts")
+    val r = Seq((5L, -13L), (5L, -12L), (5L, -4L), (5L, -3L)).toDF("k", "ts")
+    val got = Intervals.binnedRangeJoin(l, r, "k", "ts", "ts", -10L, 0L)
+      .select(col("r_ts")).as[Long].collect().toSet
+    assert(got == Set(-13L, -12L, -4L).filter(t => t >= -13 && t < -3)) // [-13, -3)
+  }
+
+  test("countInWindow keeps zero-count left rows") {
+    val got = Intervals.countInWindow(lefts, rights, "k", "id", "ts", "ts",
+        lo = -10L, hi = 0L)
+      .select(col("id"), col("n_in_window")).as[(Long, Long)].collect().toMap
+    assert(got(4L) == 0L) // right side has (999, 50) but window is [(7-10), 7)
+    // id=1 (ts=20): [10,20) matches 10,15,19; id=2 (ts=25): [15,25) matches
+    // 15,19,20,24
+    assert(got(1L) == 3L && got(2L) == 4L)
+  }
+
+  test("ORC roundtrip preserves values and schema") {
+    val df = Seq((1L, "x", 1.25), (2L, "y", -3.50)).toDF("id", "s", "v")
+    val dir = Formats.scratchDir("test_orc", "spec")
+    Formats.writeOrc(df, dir)
+    val back = Formats.readOrc(spark, dir)
+    // names+types roundtrip; nullability widens to true on file read (no
+    // not-null metadata in ORC), which is the standard Spark contract
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("CSV roundtrip with declared schema is value-exact incl. decimal money") {
+    val df = Seq((1L, "a,b", BigDecimal("12.34")), (2L, "c\"d", BigDecimal("-0.05")))
+      .toDF("id", "s", "m")
+      .select(col("id"), col("s"), col("m").cast("decimal(18,2)").as("m"))
+    val dir = Formats.scratchDir("test_csv", "spec")
+    Formats.writeCsv(df, dir)
+    val back = Formats.readCsv(spark, dir,
+      StructType.fromDDL("id LONG, s STRING, m DECIMAL(18,2)"))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("redact masks emails before digit runs") {
+    val got = Seq("reach bob.smith+1@ex-ample.co.uk or 555123456, room 7")
+      .toDF("t").select(Text.redact(col("t"))).as[String].head()
+    assert(got == "reach <EMAIL> or <NUM>, room <NUM>")
+  }
+
+  test("redact is a no-op on clean text") {
+    val got = Seq("only words here").toDF("t")
+      .select(Text.redact(col("t"))).as[String].head()
+    assert(got == "only words here")
+  }
+}

@@ -94,10 +94,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast equi-join on bucket:\n$plan")
   }
 
+  test("binned range join is an equi-join on (key, bin) — no nested loop") {
+    val plan = physicalPlan(SparkEntry.queries("b35_range_join")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to an unblocked O(n²) plan:\n$plan")
+    assert(plan.contains("__bin"), s"bin key missing from join:\n$plan")
+  }
+
   test("no query in the declared inventory collects to the driver") {
     // structural check: building every DataFrame must not trigger an action
     // (any collect-based operator would run here); constructing the plans on
-    // sf0.001 must stay lazy and cheap.
+    // sf0.001 must stay lazy and cheap. Exception by design: the roundtrip
+    // sink queries (b33/b34) write their scratch output while building —
+    // they are sink+source tests, and the write IS the surface under test.
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       assert(df.queryExecution.logical != null, name)

@@ -206,11 +206,13 @@ class ScaleSpec extends SparkSpec {
     val en = (1L to 100L).map(v => (v, "en", v))
     val es = (1L to 10L).map(v => (v + 1000L, "es", v))
     val df = (en ++ es).toDF("doc_id", "lang", "n_chars")
+    // access by name: the using-column join inside lengthBandFilter puts the
+    // stratum column first, so positional access is order-fragile
     val kept = graft.operators.Pipeline.lengthBandFilter(df, "lang", "n_chars")
-      .collect().map(r => (r.getString(1), r.getLong(2)))
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_chars")))
     // en: 100 distinct values → lo_cut=5 (cum 5 ≥ 5% of 100), hi_cut=95 → keep 5..95
     val enVals = kept.collect { case ("en", v) => v }.sorted
-    assert(enVals == (5L to 95L), s"en band wrong: ${enVals.head}..${enVals.last}")
+    assert(enVals.toSeq == (5L to 95L).toSeq, s"en band wrong: ${enVals.head}..${enVals.last}")
     // es: 10 values → lo_cut=1 (cum 1 ≥ 0.5), hi_cut=10 (cum 10 ≥ 9.5) → all kept
     assert(kept.count(_._1 == "es") == 10)
   }
