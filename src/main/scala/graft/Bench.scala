@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -28,9 +29,13 @@ object Bench {
     // CANNOT pre-build any timed intermediate: all memoized/persisted
     // intermediates (orderItems, shingle index, pair graphs) are keyed by
     // (session, sfDir), so the target-sf caches start cold. Skipped if the
-    // bench target IS the warmup sf (then it would prebuild those caches).
+    // bench target IS the warmup sf (canonical-path compare, so a trailing
+    // slash or symlinked spelling of the same dir can't defeat the guard
+    // and silently pre-build the timed caches).
     val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+    def canon(p: String): String =
+      try new java.io.File(p).getCanonicalPath catch { case _: Throwable => p }
+    if (new java.io.File(warmDir).isDirectory && canon(warmDir) != canon(sfDir))
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
@@ -41,16 +46,37 @@ object Bench {
       }
       // failures are reported as -1 so they can't masquerade as fast queries
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }.toMap
-    // 3-decimal formatting: ms resolution is plenty, and the compact line
-    // keeps the whole JSON within the harness's bounded output capture
-    // (full-precision doubles pushed the 86-query line past it).
+    }
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + f(v) }
+    // Output layout (the harness captures only a bounded TAIL of stdout, so
+    // the machine-readable summary must be the LAST and SHORTEST line):
+    //   1. one {"family":...} detail line per query family, full query
+    //      names, 3-decimal secs — human/archival record; may be truncated
+    //      away by the tail capture, that's fine;
+    //   2. ONE final {"metric":"total",...} line, compact: per-query times
+    //      keyed by the unique short prefix (a01..a27, b01..b36, c01..c30 —
+    //      prefixes are unique by construction; full names are on the
+    //      family lines and in BASELINE.md), plus per-family subtotals so
+    //      operator-work deltas aren't drowned by query-count growth.
+    // The final line is ~1.2 KB — well inside the capture window — and is
+    // the only line starting with {"metric", so a parser scanning for the
+    // summary cannot pick up a detail line instead.
+    def family(name: String): String = name.take(1)
+    results.groupBy { case (n, _) => family(n) }.toSeq.sortBy(_._1).foreach {
+      case (fam, qs) =>
+        val body = qs.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f(v) }
+          .mkString("{", ",", "}")
+        println(s"""{"family":"$fam","queries":$body}""")
+    }
+    val shortQs = results.sortBy(_._1)
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fams = results.groupBy { case (n, _) => family(n) }.toSeq.sortBy(_._1)
+      .map { case (fam, qs) => "\"" + fam + "\":" + f(qs.map(_._2).filter(_ >= 0).sum) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"failed":$failed,"families":$fams,"queries":$shortQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

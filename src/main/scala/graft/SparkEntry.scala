@@ -794,8 +794,10 @@ object SparkEntry {
       // original parquet, so any value/type drift through the format fails
       // the hash. Parallel per-partition write, splittable column-pruned
       // read; no driver funnel.
-      val dir = graft.sources.Formats.scratchDir("orc_supplier", d)
-      graft.sources.Formats.writeOrc(t(s, d, "supplier"), dir)
+      val dir = graft.sources.Formats.scratchDir(s, "orc_supplier", d)
+      graft.sources.Formats.ensureWritten(s, dir) {
+        graft.sources.Formats.writeOrc(t(s, d, "supplier"), dir)
+      }
       graft.sources.Formats.readOrc(s, dir)
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n_sup"), dsum(col("s_acctbal")).as("sum_bal"))
@@ -807,10 +809,12 @@ object SparkEntry {
       // inferSchema — that's an extra full pass at 100 TB). Money goes
       // through the format as decimal(18,2) text, so the roundtrip is
       // value-exact; the oracle aggregates the original parquet.
-      val dir = graft.sources.Formats.scratchDir("csv_part", d)
-      graft.sources.Formats.writeCsv(
-        t(s, d, "part").select(col("p_partkey"), col("p_brand"), col("p_size"),
-          col("p_retailprice").cast("decimal(18,2)").as("p_retailprice")), dir)
+      val dir = graft.sources.Formats.scratchDir(s, "csv_part", d)
+      graft.sources.Formats.ensureWritten(s, dir) {
+        graft.sources.Formats.writeCsv(
+          t(s, d, "part").select(col("p_partkey"), col("p_brand"), col("p_size"),
+            col("p_retailprice").cast("decimal(18,2)").as("p_retailprice")), dir)
+      }
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "p_partkey LONG, p_brand STRING, p_size INT, p_retailprice DECIMAL(18,2)")
       graft.sources.Formats.readCsv(s, dir, schema)
@@ -1342,20 +1346,32 @@ object SparkEntry {
         |GROUP BY text ORDER BY rep_id""".stripMargin,
     "c02_dedup_minhash" -> jaccardPairsSql,
     "c03_dedup_simhash" ->
+      // 64-bit token hash taken as two positive 32-bit md5 halves (a single
+      // 16-hex-char parse can overflow signed BIGINT); the signature is
+      // likewise assembled and XOR-compared per half, so no value anywhere
+      // exceeds 2^32 — engine-portable with full 64-bit semantics.
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
         |h AS (
-        |  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS hhi,
+        |    CAST(('0x' || substring(md5(tok), 9, 8)) AS BIGINT) AS hlo
+        |  FROM tok),
         |bits AS (
-        |  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-        |  FROM h CROSS JOIN generate_series(0, 47) g(j) GROUP BY doc_id, j),
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN ((CASE WHEN j < 32 THEN hlo >> j ELSE hhi >> (j - 32) END) & 1) = 1
+        |        THEN 1 ELSE -1 END) AS vote
+        |  FROM h CROSS JOIN generate_series(0, 63) g(j) GROUP BY doc_id, j),
         |sh AS (
-        |  SELECT doc_id, sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sh
+        |  SELECT doc_id,
+        |    sum(CASE WHEN vote > 0 AND j < 32 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS lo,
+        |    sum(CASE WHEN vote > 0 AND j >= 32 THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS hi
         |  FROM bits GROUP BY doc_id)
         |SELECT a.doc_id AS a, b.doc_id AS b,
-        |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.sh, b.sh)) <= 3 ORDER BY a, b""".stripMargin,
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        |ORDER BY a, b""".stripMargin,
     "c04_ngram_jaccard" -> jaccardPairsSql,
     "c05_dedup_embedding" ->
       """SELECT a.vec_id AS a, b.vec_id AS b

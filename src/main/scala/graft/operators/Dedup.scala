@@ -170,46 +170,68 @@ object Dedup {
       .where(col("df") > maxPosting)
       .count()
 
-  /** 48-bit SimHash (48 not 64 so the reassembled value stays positive in
-    * BIGINT for every engine): bit j of the signature is the sign of
-    * sum over distinct tokens of ±1 depending on bit j of the token hash.
-    * Codegen'd kernel ([[graft.plans.TextExpressions.SimHash48Expr]]).
+  /** 64-bit SimHash: bit j of the signature is the sign of the sum over
+    * distinct tokens of ±1 depending on bit j of the token's 64-bit md5
+    * hash. Codegen'd kernel ([[graft.plans.TextExpressions.SimHash64Expr]]).
+    *
+    * 64 bits (not the md5-parse-friendly 60 or the former 48) so the
+    * pigeonhole blocking in [[simhashPairs]] gets full 16-bit chunk keys.
+    * Signed-long overflow never bites: the signature is assembled with
+    * bitwise OR, and every cross-engine comparison (the DuckDB oracle)
+    * happens on the two POSITIVE 32-bit halves — see the c03 oracle SQL.
     */
-  def simhash48(toks: Column): Column =
-    graft.plans.TextExpressions.simhash48(toks)
+  def simhash64(toks: Column): Column =
+    graft.plans.TextExpressions.simhash64(toks)
 
-  /** Interpreted HOF form of [[simhash48]] — identical arithmetic, kept
-    * for equivalence testing. */
-  def simhash48Hof(toks: Column): Column = {
-    val hs = transform(array_distinct(toks), Text.tokenHash(_))
-    // per-token ±1 vote vector over the 48 bits, summed with one fold, then
+  /** Interpreted HOF form of [[simhash64]] — identical arithmetic, kept
+    * for equivalence testing. The 64-bit token hash is taken as two 32-bit
+    * md5 halves (hex chars 1–8 / 9–16) exactly like the oracle, so every
+    * intermediate stays positive. */
+  def simhash64Hof(toks: Column): Column = {
+    val halves = transform(array_distinct(toks), t => struct(
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long").as("hi"),
+      conv(substring(md5(t), 9, 8), 16, 10).cast("long").as("lo")))
+    // per-token ±1 vote vector over the 64 bits, summed with one fold, then
     // reassembled into the signature — one pass over the tokens.
-    val bitVotes = transform(hs, h =>
-      array((0 until 48).map(j =>
-        when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)): _*))
-    val votes = aggregate(bitVotes, array_repeat(lit(0), 48),
+    val bitVotes = transform(halves, h =>
+      array((0 until 64).map { j =>
+        val bit =
+          if (j < 32) shiftright(h.getField("lo"), j)
+          else shiftright(h.getField("hi"), j - 32)
+        when(bit.bitwiseAND(1) === 1, 1).otherwise(-1)
+      }: _*))
+    val votes = aggregate(bitVotes, array_repeat(lit(0), 64),
       (acc, v) => zip_with(acc, v, (a, b) => a + b))
-    (0 until 48).map(j =>
+    (0 until 64).map(j =>
       when(element_at(votes, j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
+      .reduce((x, y) => x.bitwiseOR(y))
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming, banded.
     *
-    * Pigeonhole blocking: split 48 bits into (maxHamming+1) chunks — pairs
+    * Pigeonhole blocking: split 64 bits into (maxHamming+1) chunks — pairs
     * within distance k must agree on ≥1 chunk, so candidates come from an
     * equi-join on (chunk index, chunk value), then exact popcount verify.
     * Shuffle keys are chunk values (uniform); no cross join anywhere.
+    *
+    * Candidate math at scale: each chunk table contributes ~n²/2^bitsPer
+    * random-collision candidates. At the default maxHamming=3 the chunks
+    * are 16 bits wide, so 10⁹ docs yield ~n/65536 ≈ 15k docs per bucket —
+    * 16× fewer verify pairs than the former 48-bit/12-bit layout. Raising
+    * maxHamming narrows the chunks (64/(k+1)); past k≈5 prefer Manku-style
+    * multi-table permutation blocking.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
-    val bitsPer = 48 / chunks
+    val bitsPer = 64 / chunks
     // persist the signatures: the banded self-join reads them from both
     // sides, and the simhash kernel pass is the expensive part.
     val sh = df.select(col(idCol).as("id"),
-      Dedup.simhash48(Text.tokens(col(textCol))).as("sh"))
+      Dedup.simhash64(Text.tokens(col(textCol))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // arithmetic shiftright sign-extends the top chunk; the mask keeps every
+    // chunk value positive 16-bit
     val banded = sh.select(col("id"), col("sh"), posexplode(
         array((0 until chunks).map(c =>
           shiftright(col("sh"), c * bitsPer).bitwiseAND((1L << bitsPer) - 1)): _*)))

@@ -39,16 +39,20 @@ object Intervals {
                       lo: Long, hi: Long, rPrefix: String = "r_"): DataFrame = {
     require(hi > lo, s"empty window: [$lo, $hi)")
     val w = hi - lo // bin width = window width → a window spans ≤ 2 bins
-    // Integer floor-div bins: (a - pmod(a, w)) / w. Pure long arithmetic —
-    // no double rounding (epoch micros ≈ 1.7e15 sit near double's 2^53
-    // exact range, where an ulp error at a bin boundary would misplace a
-    // row); pmod keeps it correct for negative epochs too.
+    // The bin label is the bin's START OFFSET `a - pmod(a, w)` — subtraction
+    // and pmod only, pure long arithmetic end to end. (Dividing by w to get
+    // an index would route through Spark's Divide, which is IEEE-double on
+    // integral inputs: exact only below 2^53, so epoch nanos or far-future
+    // micros could land in the wrong bin and silently drop matching pairs.)
+    // pmod keeps the floor semantics correct for negative epochs too.
     def bin(c: Column, off: Long): Column = {
-      val a = c + off
-      (a - pmod(a, lit(w))) / w
-    }.cast("long")
+      val a = (c + off).cast("long")
+      a - pmod(a, lit(w))
+    }
+    // Left rows replicate into every bin their window overlaps: bin starts
+    // from bin(ts+lo) to bin(ts+hi-1), stepping by the bin width w.
     val l = left.withColumn("__bin",
-      explode(sequence(bin(col(leftTs), lo), bin(col(leftTs), hi - 1))))
+      explode(sequence(bin(col(leftTs), lo), bin(col(leftTs), hi - 1), lit(w))))
     val r = right
       .withColumn("__bin", bin(col(rightTs), 0))
       .select(col("__bin") +: right.columns.toIndexedSeq.map(c => col(c).as(s"$rPrefix$c")): _*)

@@ -14,7 +14,7 @@ import org.apache.spark.sql.types.IntegerType
   * Gives the catalog/SQL entry point (graft.sources.Catalog) access to the
   * same compiled kernels the DataFrame API uses: `cosine_sim(a, b)`,
   * `minhash_sig(hashes, numPerm)`, `shingle_hashes(tokens, n)`,
-  * `simhash48(tokens)`.
+  * `simhash64(tokens)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -51,9 +51,9 @@ object GraftExtensions {
       info("shingle_hashes", "shingle_hashes(tokens, n) - distinct 60-bit word n-gram hashes"),
       (args: Seq[Expression]) =>
         TextExpressions.ShingleHashesExpr(args(0), intArg(args(1), "shingle_hashes", 2))),
-    ("simhash48",
-      info("simhash48", "simhash48(tokens) - 48-bit simhash of a token array"),
-      (args: Seq[Expression]) => TextExpressions.SimHash48Expr(args(0))))
+    ("simhash64",
+      info("simhash64", "simhash64(tokens) - 64-bit simhash of a token array"),
+      (args: Seq[Expression]) => TextExpressions.SimHash64Expr(args(0))))
 
   /** Register into an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -72,21 +72,37 @@ object TextExpressions {
       new GenericArrayData(out)
     }
 
-    /** 48-bit simhash over distinct tokens: bit j set iff the count of
+    /** First 8 bytes of md5(bytes) as a big-endian (signed) long — the full
+      * 64-bit token hash behind [[simhash64]]. Equals
+      * `(hi32 << 32) | lo32` where hi32/lo32 parse hex chars 1–8 / 9–16 of
+      * the md5 string — the two POSITIVE 32-bit halves the DuckDB oracle
+      * uses (a single 16-hex-char parse can overflow signed BIGINT). */
+    def md5_64(bytes: Array[Byte]): Long = {
+      val d = md5Local.get().digest(bytes)
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      h
+    }
+
+    /** 64-bit simhash over distinct tokens: bit j set iff the count of
       * distinct token hashes with bit j set exceeds half. Matches
-      * graft.operators.Dedup.simhash48Hof exactly (votes +1/-1, bit set on
-      * vote > 0). */
-    def simhash48(toks: ArrayData): Long = {
+      * graft.operators.Dedup.simhash64Hof exactly (votes +1/-1, bit set on
+      * vote > 0). 64 bits (vs the former 48) so the pigeonhole blocking in
+      * Dedup.simhashPairs gets 16-bit chunk keys — candidate volume per
+      * chunk table shrinks 16× (n²/2¹⁶ vs n²/2¹²), the difference between
+      * workable and quadratic at 10⁹ documents. */
+    def simhash64(toks: ArrayData): Long = {
       val n = toks.numElements()
       val seen = new java.util.HashSet[Long]()
-      val votes = new Array[Int](48)
+      val votes = new Array[Int](64)
       var i = 0
       while (i < n) {
-        val h = md5_60(toks.getUTF8String(i).getBytes)
+        val h = md5_64(toks.getUTF8String(i).getBytes)
         if (seen.add(h)) {
           var j = 0
-          while (j < 48) {
-            if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
             j += 1
           }
         }
@@ -94,7 +110,7 @@ object TextExpressions {
       }
       var sig = 0L
       var j = 0
-      while (j < 48) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+      while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
       sig
     }
   }
@@ -123,22 +139,22 @@ object TextExpressions {
       copy(child = newChild)
   }
 
-  /** tokens → 48-bit simhash signature (compiled loop). */
-  case class SimHash48Expr(child: Expression) extends UnaryExpression {
+  /** tokens → 64-bit simhash signature (compiled loop). */
+  case class SimHash64Expr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def checkInputDataTypes(): TypeCheckResult =
-      requireStringArray(child.dataType, "simhash48")
+      requireStringArray(child.dataType, "simhash64")
 
     override def nullSafeEval(input: Any): Any =
-      TextHashKernels.simhash48(input.asInstanceOf[ArrayData])
+      TextHashKernels.simhash64(input.asInstanceOf[ArrayData])
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val k = ctx.addReferenceObj("kernels", TextHashKernels,
         TextHashKernels.getClass.getName)
-      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $k.simhash48($a);")
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $k.simhash64($a);")
     }
 
-    override protected def withNewChildInternal(newChild: Expression): SimHash48Expr =
+    override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
       copy(child = newChild)
   }
 
@@ -148,6 +164,6 @@ object TextExpressions {
     ColumnGlue.column(ShingleHashesExpr(ColumnGlue.expression(tokens), n))
   }
 
-  def simhash48(tokens: Column): Column =
-    ColumnGlue.column(SimHash48Expr(ColumnGlue.expression(tokens)))
+  def simhash64(tokens: Column): Column =
+    ColumnGlue.column(SimHash64Expr(ColumnGlue.expression(tokens)))
 }

@@ -28,15 +28,64 @@ object Formats {
   def readOrc(spark: SparkSession, dir: String): DataFrame =
     spark.read.orc(dir)
 
+  /** Null vs empty-string must survive the text roundtrip: Spark's CSV
+    * defaults write null as the empty field and read the empty field back as
+    * null, silently collapsing the two. An explicit non-colliding null token
+    * on BOTH writer and reader keeps them distinct (`\N`, the classic
+    * Hive/MySQL dump convention); real empty strings are written quoted
+    * (`""`) and read back as empty via the matching emptyValue option.
+    */
+  private val NullToken = "\\N"
+
   /** CSV with header; `schema` declared on read (no inference pass). */
   def writeCsv(df: DataFrame, dir: String): Unit =
-    df.write.mode("overwrite").option("header", "true").csv(dir)
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("nullValue", NullToken)
+      .option("emptyValue", "\"\"")
+      .csv(dir)
 
   def readCsv(spark: SparkSession, dir: String, schema: StructType): DataFrame =
-    spark.read.option("header", "true").schema(schema).csv(dir)
+    spark.read
+      .option("header", "true")
+      .option("nullValue", NullToken)
+      .option("emptyValue", "")
+      .schema(schema)
+      .csv(dir)
 
-  /** A scratch dir unique to (purpose, input dir) — concurrent sf runs don't
-    * collide, repeat runs overwrite. */
-  def scratchDir(purpose: String, inDir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_${purpose}_${Integer.toHexString(inDir.hashCode)}"
+  /** Base directory for roundtrip sinks. Injectable via SPARK_GRAFT_SCRATCH
+    * (env) or `graft.scratch.root` (sys prop); defaults to the local JVM
+    * tmpdir, which is correct for local[*] only. ON A REAL CLUSTER this MUST
+    * point at a filesystem shared by all executors (HDFS/S3/NFS URI) —
+    * executor-local /tmp is per-node, so a read-back after a distributed
+    * write would see only the driver's shard.
+    */
+  def sinkRoot: String =
+    sys.env.get("SPARK_GRAFT_SCRATCH")
+      .orElse(sys.props.get("graft.scratch.root"))
+      .getOrElse(sys.props("java.io.tmpdir"))
+
+  /** A scratch dir unique to (purpose, input dir, spark application).
+    * The sanitized basename of `inDir` keeps distinct inputs (sf0.001 vs
+    * sf0.1) in distinct, human-debuggable directories — no 32-bit hash
+    * collisions; the application id isolates concurrent runs over the SAME
+    * input so one run can't overwrite files another is mid-read on.
+    */
+  def scratchDir(spark: SparkSession, purpose: String, inDir: String): String = {
+    val base = new java.io.File(inDir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val app = spark.sparkContext.applicationId
+    s"$sinkRoot/graft_${purpose}_${base}_$app"
+  }
+
+  /** Run `write` into `dir` only if this application hasn't already produced
+    * it (presence of the Hadoop `_SUCCESS` marker). Keeps repeated plan
+    * construction (warmup loops, plan-inventory tests, explain tooling)
+    * action-free after the first invocation — the write is idempotent and
+    * happens at most once per (purpose, input, application).
+    */
+  def ensureWritten(spark: SparkSession, dir: String)(write: => Unit): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) write
+  }
 }

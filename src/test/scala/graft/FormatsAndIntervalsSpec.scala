@@ -57,7 +57,7 @@ class FormatsAndIntervalsSpec extends SparkSpec {
 
   test("ORC roundtrip preserves values and schema") {
     val df = Seq((1L, "x", 1.25), (2L, "y", -3.50)).toDF("id", "s", "v")
-    val dir = Formats.scratchDir("test_orc", "spec")
+    val dir = Formats.scratchDir(spark, "test_orc", "spec")
     Formats.writeOrc(df, dir)
     val back = Formats.readOrc(spark, dir)
     // names+types roundtrip; nullability widens to true on file read (no
@@ -71,11 +71,29 @@ class FormatsAndIntervalsSpec extends SparkSpec {
     val df = Seq((1L, "a,b", BigDecimal("12.34")), (2L, "c\"d", BigDecimal("-0.05")))
       .toDF("id", "s", "m")
       .select(col("id"), col("s"), col("m").cast("decimal(18,2)").as("m"))
-    val dir = Formats.scratchDir("test_csv", "spec")
+    val dir = Formats.scratchDir(spark, "test_csv", "spec")
     Formats.writeCsv(df, dir)
     val back = Formats.readCsv(spark, dir,
       StructType.fromDDL("id LONG, s STRING, m DECIMAL(18,2)"))
     assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("CSV roundtrip keeps null and empty string distinct") {
+    val df = Seq((1L, Some("x")), (2L, None), (3L, Some("")))
+      .toDF("id", "s")
+    val dir = Formats.scratchDir(spark, "test_csv_null", "spec")
+    Formats.writeCsv(df, dir)
+    val back = Formats.readCsv(spark, dir, StructType.fromDDL("id LONG, s STRING"))
+      .orderBy("id").select("s").as[Option[String]].collect().toSeq
+    assert(back == Seq(Some("x"), None, Some("")),
+      s"null/empty collapsed through CSV: $back")
+  }
+
+  test("scratchDir distinguishes inputs by basename and runs by app id") {
+    val a = Formats.scratchDir(spark, "p", "/data/sf0.001")
+    val b = Formats.scratchDir(spark, "p", "/data/sf0.1")
+    assert(a != b && a.contains("sf0.001") && b.contains("sf0.1"))
+    assert(a.contains(spark.sparkContext.applicationId))
   }
 
   test("redact masks emails before digit runs") {

@@ -104,9 +104,10 @@ class PlanSpec extends SparkSpec {
   test("no query in the declared inventory collects to the driver") {
     // structural check: building every DataFrame must not trigger an action
     // (any collect-based operator would run here); constructing the plans on
-    // sf0.001 must stay lazy and cheap. Exception by design: the roundtrip
-    // sink queries (b33/b34) write their scratch output while building —
-    // they are sink+source tests, and the write IS the surface under test.
+    // sf0.001 must stay lazy and cheap. The roundtrip sink queries (b33/b34)
+    // write their scratch output at most ONCE per application (ensureWritten
+    // checks the _SUCCESS marker) — the write is the surface under test, and
+    // repeat builds here are action-free.
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       assert(df.queryExecution.logical != null, name)

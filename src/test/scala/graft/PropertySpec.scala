@@ -128,8 +128,8 @@ class PropertySpec extends SparkSpec {
       val sh = df.select(
         Text.shingleHashes(col("text"), 2).as("cg"),
         array_distinct(Text.shingleHashesHof(col("text"), 2)).as("hof"),
-        Dedup.simhash48(Text.tokens(col("text"))).as("sim_cg"),
-        Dedup.simhash48Hof(Text.tokens(col("text"))).as("sim_hof")).first()
+        Dedup.simhash64(Text.tokens(col("text"))).as("sim_cg"),
+        Dedup.simhash64Hof(Text.tokens(col("text"))).as("sim_hof")).first()
       assert(sh.getSeq[Long](0) == sh.getSeq[Long](1),
         s"shingle hash mismatch on ${toks.mkString(" ")}")
       assert(sh.getLong(2) == sh.getLong(3),

@@ -82,12 +82,12 @@ class ScaleSpec extends SparkSpec {
     graft.plans.GraftExtensions.register(spark)
     Catalog.register(spark, sf)
     val viaSql = spark.sql(
-      """SELECT doc_id, simhash48(split(text, ' ')) AS sh,
+      """SELECT doc_id, simhash64(split(text, ' ')) AS sh,
         |  minhash_sig(shingle_hashes(split(text, ' '), 3), 4)[0] AS m0
         |FROM documents ORDER BY doc_id""".stripMargin).collect()
     val viaApi = Tables.t(spark, sf, "documents")
       .select(col("doc_id"),
-        graft.operators.Dedup.simhash48(graft.functions.Text.tokens(col("text"))).as("sh"),
+        graft.operators.Dedup.simhash64(graft.functions.Text.tokens(col("text"))).as("sh"),
         element_at(graft.operators.Dedup.minhashSignature(
           graft.functions.Text.shingleHashes(col("text"), 3), 4), 1).as("m0"))
       .orderBy("doc_id").collect()

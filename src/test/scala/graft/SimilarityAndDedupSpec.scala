@@ -50,10 +50,10 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(ord.where(to_json(col("cg")) =!= to_json(col("hof"))).count() == 0)
   }
 
-  test("codegen SimHash48Expr == HOF simhash48") {
+  test("codegen SimHash64Expr == HOF simhash64") {
     val both = docs.select(
-      Dedup.simhash48(Text.tokens(col("text"))).as("cg"),
-      Dedup.simhash48Hof(Text.tokens(col("text"))).as("hof"))
+      Dedup.simhash64(Text.tokens(col("text"))).as("cg"),
+      Dedup.simhash64Hof(Text.tokens(col("text"))).as("hof"))
     assert(both.where(col("cg") =!= col("hof")).count() == 0)
   }
 
@@ -135,6 +135,29 @@ class SimilarityAndDedupSpec extends SparkSpec {
     val exact = pairs.find(p => p._1 == 1L && p._2 == 4L)
     assert(exact.exists(_._3 == 0))
     assert(!pairs.exists(p => (p._1 == 3L || p._2 == 3L) && p._3 == 0))
+  }
+
+  test("simhash 16-bit chunk keys: bounded, positive, pigeonhole-complete") {
+    val sh = docs.select(col("doc_id"),
+        Dedup.simhash64(Text.tokens(col("text"))).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the signature genuinely uses the widened top 16 bits
+    assert(sh.exists { case (_, s) => (s >>> 48) != 0L },
+      "no signature has bits above 47 set — simhash not actually 64-bit")
+    // chunk keys are positive 16-bit values (the top chunk is sign-extended
+    // by arithmetic shiftright before the mask)
+    val chunkVals = sh.flatMap { case (_, s) =>
+      (0 until 4).map(c => (s >> (c * 16)) & 0xFFFFL) }
+    assert(chunkVals.forall(v => v >= 0L && v <= 0xFFFFL))
+    // banded operator output == brute-force all-pairs hamming (pigeonhole
+    // blocking at k=3 over 4 chunks may not drop any qualifying pair)
+    val brute = (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute)
   }
 
   test("ngram jaccard agrees with brute-force jaccard") {
