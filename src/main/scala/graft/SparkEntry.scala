@@ -1317,7 +1317,18 @@ object SparkEntry {
       // Byte-exact against the oracle's RE2 'g'-mode regexp_replace.
       t(s, d, "events")
         .select(col("event_id"), Text.redact(col("props")).as("props_scrubbed"))
-        .orderBy(col("event_id"))))
+        .orderBy(col("event_id"))),
+
+    "c31_embedding_lsh_pairs" -> ((s, d) =>
+      // The 100 TB route for c05: banded hyperplane-LSH candidates + exact
+      // cosine verify (sub-quadratic, no BNLJ). bits=4/tables=16 targets
+      // ~0.9 expected recall at the demo threshold 0.35; recall measured vs
+      // exact c05 in docs/PLANS.md. At real near-dup thresholds (≥0.8) the
+      // same machinery runs with bits=8+ and a far smaller candidate space.
+      Dedup.embeddingLshPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.35, dim = 64, bits = 4, tables = 16)
+        .select(col("a"), col("b"))
+        .orderBy(col("a"), col("b"))))
 
   private val shingleCte =
     """WITH s AS (
@@ -1335,6 +1346,31 @@ object SparkEntry {
         |ORDER BY a, b""".stripMargin
 
   private val cOracles: Map[String, String] = Map(
+    "c31_embedding_lsh_pairs" ->
+      // Replicates the md5-plane construction (Ann.hyperplane) exactly:
+      // plane j component k = +1 iff first byte of md5('j:k') < 0x80;
+      // table = j // 4, local bit = j % 4. Candidates = same (table,
+      // bucket); verify = exact cosine ≥ 0.35 on candidates only.
+      """WITH hp AS (
+        |  SELECT j, list(CASE WHEN ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 2))::INTEGER < 128
+        |                 THEN 1.0 ELSE -1.0 END ORDER BY k) AS hvec
+        |  FROM generate_series(0,63) t1(j), generate_series(0,63) t2(k)
+        |  GROUP BY j),
+        |sig AS (
+        |  SELECT e.vec_id, (hp.j // 4) AS tbl,
+        |    CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), hp.hvec) >= 0
+        |             THEN (1::BIGINT << (hp.j % 4)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings e, hp
+        |  GROUP BY e.vec_id, (hp.j // 4)),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        |  FROM sig x JOIN sig y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+        |SELECT c.a, c.b
+        |FROM cand c
+        |JOIN embeddings ea ON ea.vec_id = c.a
+        |JOIN embeddings eb ON eb.vec_id = c.b
+        |WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) >= 0.35
+        |ORDER BY a, b""".stripMargin,
     "c30_redact" ->
       """SELECT event_id,
         |  regexp_replace(regexp_replace(props,
@@ -1420,7 +1456,7 @@ object SparkEntry {
         |  FROM scored) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "c22_ann_lsh" ->
       """WITH hp AS (
-        |  SELECT j, list(CASE WHEN ((1103515245::BIGINT*(j*64+k)+12345) % 2147483648) < 1073741824
+        |  SELECT j, list(CASE WHEN ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 2))::INTEGER < 128
         |                 THEN 1.0 ELSE -1.0 END ORDER BY k) AS hvec
         |  FROM generate_series(0,4) t1(j), generate_series(0,63) t2(k)
         |  GROUP BY j),

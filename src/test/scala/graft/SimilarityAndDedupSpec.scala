@@ -307,7 +307,7 @@ class SimilarityAndDedupSpec extends SparkSpec {
   test("LSH hyperplanes are deterministic and sign-balanced") {
     val hps = (0 until 8).map(j => graft.operators.Ann.hyperplane(j, 64))
     assert(hps == (0 until 8).map(j => graft.operators.Ann.hyperplane(j, 64)))
-    // the Weyl high-bit must not collapse to a constant or parity pattern
+    // the md5 sign bits must not collapse to a constant or parity pattern
     hps.foreach { hp => assert(math.abs(hp.sum) <= 24, s"degenerate plane: $hp") }
     assert(hps.distinct.size == 8, "hyperplanes must differ across j")
   }
@@ -327,5 +327,29 @@ class SimilarityAndDedupSpec extends SparkSpec {
     // (these embeddings are near-isotropic — see SURVEY §2C — so recall
     // here is structurally modest; more bits + probes is the scale lever)
     assert(recall >= 0.3, f"LSH recall@10: $recall%.2f not above candidate baseline")
+  }
+
+  test("banded-LSH embedding pairs: subset of exact, no dups, high recall, no BNLJ") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.t(spark, sf, "embeddings")
+    val lshDf = Dedup.embeddingLshPairs(emb, "vec_id", "embedding",
+      threshold = 0.35, dim = 64, bits = 4, tables = 16)
+    // the candidate front must never degrade the plan to an unblocked
+    // cross/broadcast-nested-loop join — that's the whole point
+    val phys = lshDf.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"),
+      s"unblocked join in LSH pair plan:\n$phys")
+    val lsh = lshDf.select(col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(lsh.length == lsh.toSet.size, "duplicate pairs from multi-table collisions")
+    val exact = Dedup.embeddingPairs(emb, "vec_id", "embedding", threshold = 0.35)
+      .select(col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.toSet.subsetOf(exact), "LSH output must be exact-verified (subset of exact)")
+    // deterministic md5 planes: measured once, stable forever. bits=4 ×
+    // tables=16 predicts ~0.91 at the threshold; these near-isotropic
+    // vectors measure ~0.93 at sf0.01 (docs/PLANS.md)
+    val recall = lsh.toSet.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.85, f"banded-LSH pair recall: $recall%.3f")
   }
 }
