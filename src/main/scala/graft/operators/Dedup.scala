@@ -275,12 +275,11 @@ object Dedup {
     * exit; the returned labels stay persisted (callers typically reuse them
     * — unpersist when done).
     *
-    * NOTE: the rounds temporarily set session-level conf (AQE off,
-    * right-sized shuffle.partitions), restored on exit. Queries planned
-    * CONCURRENTLY on the same SparkSession during the call would see those
-    * settings — run CC from a dedicated/cloned session if the session is
-    * shared with concurrent work (this repo's suites and driver mains run
-    * queries sequentially).
+    * The rounds need operator-specific conf (AQE off, right-sized
+    * shuffle.partitions); they run on a conf-isolated `newSession()` clone
+    * ([[Sessions]]) so queries planned concurrently on the caller's session
+    * never see those settings. The returned labels are re-rooted back onto
+    * the caller's session.
     */
   def clusters(pairs: DataFrame, idA: String = "a", idB: String = "b",
                maxIter: Int = 20): DataFrame = {
@@ -306,21 +305,22 @@ object Dedup {
     val parts = math.max(1, math.min(
       pairs.sparkSession.sparkContext.defaultParallelism,
       (rawEdges.count() / 50000L).toInt + 1))
-    val edges = rawEdges.repartition(parts, col("dst")).persist(MEMORY_AND_DISK)
-    // The ROUNDS run with AQE off and shuffle.partitions = parts, both
-    // restored on exit: partitioning is already sized explicitly to the
-    // measured edge count, every round re-plans the same stages, and AQE's
-    // stage-by-stage materialization adds a fixed re-optimization cost to
-    // each of the O(log d) rounds — for iterative graph workloads that
-    // per-round overhead dominates what runtime re-planning could save.
-    // The one-time edge build above and all non-iterative queries keep AQE
-    // (skew splits, coalescing) untouched.
-    val sess = pairs.sparkSession
-    val aqeBefore = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    val spBefore = sess.conf.get("spark.sql.shuffle.partitions")
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
-    sess.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try {
+    val edgesOrigin = rawEdges.repartition(parts, col("dst")).persist(MEMORY_AND_DISK)
+    // The ROUNDS run with AQE off and shuffle.partitions = parts:
+    // partitioning is already sized explicitly to the measured edge count,
+    // every round re-plans the same stages, and AQE's stage-by-stage
+    // materialization adds a fixed re-optimization cost to each of the
+    // O(log d) rounds — for iterative graph workloads that per-round
+    // overhead dominates what runtime re-planning could save. That conf
+    // lives on a conf-isolated session clone, NOT the caller's session
+    // (concurrent queries keep their AQE/partition settings — asserted in
+    // SimilarityAndDedupSpec); the one-time edge build above runs on the
+    // caller's session with AQE untouched (it may want skew splits).
+    val origin = pairs.sparkSession
+    val sess = Sessions.isolated(origin,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> parts.toString)
+    val edges = Sessions.reroot(edgesOrigin, sess)
     // localCheckpoint (eager) rather than persist: the pointer-jump
     // self-join references the previous round's labels twice, so without
     // lineage truncation the logical plan doubles per round and planning
@@ -368,20 +368,19 @@ object Dedup {
         System.err.println(s"[cc] round $iter sum=$s converged=$converged")
     }
     if (!converged) {
-      labels.unpersist(); edges.unpersist(); rawEdges.unpersist()
+      labels.unpersist(); edgesOrigin.unpersist(); rawEdges.unpersist()
       if (!callerPersisted) p.unpersist()
       throw new IllegalStateException(
         s"Dedup.clusters did not converge within $maxIter rounds — " +
           "component deeper than 2^maxIter hops or a monotonicity bug; " +
           "raise maxIter rather than consuming partial labels")
     }
-    edges.unpersist(); rawEdges.unpersist()
+    edgesOrigin.unpersist(); rawEdges.unpersist()
     if (!callerPersisted) p.unpersist()
-    labels.select(col("id"), col("lbl").as("cluster_rep"))
-    } finally {
-      sess.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-      sess.conf.set("spark.sql.shuffle.partitions", spBefore)
-    }
+    // labels is checkpoint-backed (LogicalRDD) — re-rooting onto the
+    // caller's session hands back a plan with no tie to the clone
+    Sessions.reroot(
+      labels.select(col("id"), col("lbl").as("cluster_rep")), origin)
   }
 
   /** Embedding near-dup: ALL pairs with cosine ≥ threshold — exact.

@@ -75,22 +75,24 @@ object Variant {
                   maxRounds: Int = 20): DataFrame = {
     // state: (key, cur, done) — cur is the farthest node reached so far.
     // The two initial checkpoints below materialize the CALLER's upstream
-    // plan and run with AQE untouched (it may need skew splits); only the
-    // rounds after them run with AQE off, same rationale as Dedup.clusters:
-    // every round re-plans identical tiny stages and AQE's per-stage
-    // materialization overhead multiplies by O(log depth).
-    var state = df.select(col(keyCol).as("key"),
-        coalesce(col(ptrCol), col(keyCol)).as("cur"),
-        col(ptrCol).isNull.as("done"))
-      .localCheckpoint()
+    // plan on the caller's session with AQE untouched (it may need skew
+    // splits); only the rounds after them run with AQE off, same rationale
+    // as Dedup.clusters: every round re-plans identical tiny stages and
+    // AQE's per-stage materialization overhead multiplies by O(log depth).
+    // That conf lives on a conf-isolated session clone (Sessions), never
+    // the caller's session; checkpointed state is re-rooted across.
+    val origin = df.sparkSession
+    val sess = Sessions.isolated(origin, "spark.sql.adaptive.enabled" -> "false")
+    var state = Sessions.reroot(
+      df.select(col(keyCol).as("key"),
+          coalesce(col(ptrCol), col(keyCol)).as("cur"),
+          col(ptrCol).isNull.as("done"))
+        .localCheckpoint(), sess)
     // hop table jumped through itself each round: hptr(k) = node 2^r hops
     // past k (or the chain end if nearer)
-    var hops = df.select(col(keyCol).as("hkey"), col(ptrCol).as("hptr"))
-      .localCheckpoint()
-    val sess = df.sparkSession
-    val aqeBefore = sess.conf.get("spark.sql.adaptive.enabled", "true")
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    var hops = Sessions.reroot(
+      df.select(col(keyCol).as("hkey"), col(ptrCol).as("hptr"))
+        .localCheckpoint(), sess)
     var iter = 0
     var remaining = state.where(!col("done")).count()
     while (remaining > 0 && iter < maxRounds) {
@@ -116,8 +118,7 @@ object Variant {
       throw new IllegalStateException(
         s"followChain: $remaining chains unresolved after $iter rounds " +
           s"(depth > 2^$iter or a pointer cycle)")
-    state.select(col("key"), col("cur").as("root"))
-    } finally sess.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    Sessions.reroot(state.select(col("key"), col("cur").as("root")), origin)
   }
 
   /** Ingest-side pointer normalization — the declared Spark answer to

@@ -199,6 +199,40 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(labels.count() == 301)
   }
 
+  test("clusters: round conf never leaks to the caller's session (concurrent query safe)") {
+    val s = spark; import s.implicits._
+    val aqe0 = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val sp0 = spark.conf.get("spark.sql.shuffle.partitions")
+    val pairs = (0 until 300).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    // poll the CALLER's conf from a second thread while clusters() runs its
+    // rounds on the isolated session clone; any observed mutation fails
+    @volatile var done = false
+    val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val watcher = new Thread(() => {
+      while (!done) {
+        val a = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        val p = spark.conf.get("spark.sql.shuffle.partitions")
+        if (a != aqe0) violations.add(s"adaptive.enabled=$a")
+        if (p != sp0) violations.add(s"shuffle.partitions=$p")
+        Thread.sleep(5)
+      }
+    })
+    watcher.start()
+    try {
+      val labels = graft.operators.Dedup.clusters(pairs)
+      // result is usable from the caller's session (re-rooted back)
+      assert(labels.sparkSession eq spark)
+      assert(labels.agg(countDistinct(col("cluster_rep"))).head().getLong(0) == 1L)
+      val chain = (0 until 50).map(i => (i.toLong, Some((i + 1).toLong))).toDF("key", "ptr")
+      val roots = graft.operators.Variant.followChain(chain, "key", "ptr")
+      assert(roots.sparkSession eq spark)
+      assert(roots.select(col("root")).distinct().count() == 1L)
+    } finally { done = true; watcher.join() }
+    assert(violations.isEmpty, s"caller-session conf mutated during rounds: $violations")
+    assert(spark.conf.get("spark.sql.adaptive.enabled", "true") == aqe0)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == sp0)
+  }
+
   test("clusters: throws instead of returning partial labels when budget too small") {
     val s = spark; import s.implicits._
     val chain = (0 until 64).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
