@@ -461,10 +461,20 @@ object Dedup {
     * Scale shape: signatures are one narrow pass (tables·bits codegen'd dot
     * products per vector); each table is a shuffled self-equi-join on
     * (table, bucket) — per-bucket fan-in ~n/2^bits, so `bits` is the knob
-    * that keeps tile work bounded as n grows (candidate volume
-    * ~tables·n²/2^bits, vs the Θ(n²) of the exact join); the verify re-join
-    * ships only (id,a,b) pairs plus one vector lookup per side. No
-    * broadcast of either full side, no BNLJ (plan-asserted).
+    * that keeps candidate volume (~tables·n²/2^bits) near-linear as n
+    * grows: size 2^bits ∝ n for a bounded per-bucket population and the
+    * whole operator is ~tables·bucketSize·n work. Vectors RIDE THE
+    * SIGNATURE ROWS into the bucket join (tables × ~256 B/vector of extra
+    * shuffle — nothing) and the exact cosine runs in-stream on the joined
+    * rows; only pairs that PASS the threshold reach the final distinct.
+    * The alternative — distinct the candidate ids first, then re-join both
+    * vector sides — ships each candidate pair through three extra
+    * shuffles and turns a few-hundred-MB stream into tens of GB the
+    * moment candidates are pair-heavy. No broadcast of either full side,
+    * no BNLJ (plan-asserted). A pair colliding in k>1 tables costs k-1
+    * redundant dot products (expected multiplicity at random is
+    * 1+(tables-1)/2^bits ≈ 1) — cheaper than any dedup shuffle that
+    * would avoid them.
     *
     * Recall = 1-(1-p^bits)^tables per pair, p = 1 - acos(cos)/π. At a
     * *near-dup* threshold (cos ≥ 0.8 → p ≈ 0.80) defaults (bits=8,
@@ -480,27 +490,27 @@ object Dedup {
     require(bits >= 1 && bits <= 62, s"bits must be in [1,62], got $bits")
     require(tables >= 1, s"tables must be positive, got $tables")
     val dot = graft.plans.VectorExpressions.dotProduct _
+    // norms hoisted once per vector, before the per-table replication
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // one row per (vector, table): bucket under that table's plane band
-    val sigs = v.select(col("id"),
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    // one row per (vector, table): bucket under that table's plane band;
+    // the vector and its norm ride along so verification never re-joins
+    val sigs = v.select(col("id"), col("v"), col("nrm"),
       explode(array((0 until tables).map(t =>
         struct(lit(t).as("tbl"),
           Ann.lshBucket(col("v"), dim, bits, planeOffset = t * bits).as("bucket"))): _*)).as("tb"))
-      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    // candidates: same (table, bucket), canonical order, verified once
-    val cands = sigs.as("x").join(sigs.as("y"),
+      .select(col("id"), col("v"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // bucket-collision pairs, exact cosine in-stream, threshold filter,
+    // THEN dedup (a pair colliding in several tables computes the same
+    // rounded cos each time, so the distinct is exact) — only verified
+    // pairs, a near-dup-sized set, ever hit a shuffle after the join
+    sigs.as("x").join(sigs.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
-      .distinct()
-    // exact verify: ship ids only through the candidate join, fetch each
-    // side's vector+norm once via equi-joins on id
-    val vn = v.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    cands
-      .join(vn.select(col("id").as("a"), col("v").as("va"), col("nrm").as("na")), Seq("a"))
-      .join(vn.select(col("id").as("b"), col("v").as("vb"), col("nrm").as("nb")), Seq("b"))
-      .select(col("a"), col("b"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 6).as("cos"))
       .where(col("cos") >= threshold)
+      .distinct()
   }
 }
