@@ -1319,6 +1319,15 @@ object SparkEntry {
         .select(col("event_id"), Text.redact(col("props")).as("props_scrubbed"))
         .orderBy(col("event_id"))),
 
+    "c32_chunking" -> ((s, d) =>
+      // pretokenization relayout: 64-token chunks, 8-token overlap
+      // (stride 56); short docs yield exactly one chunk
+      Pipeline.chunk(t(s, d, "documents"), "doc_id", "text",
+          sizeTokens = 64, overlap = 8)
+        .select(col("id").as("doc_id"), col("chunk_idx"),
+          col("chunk_text"), col("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     "c31_embedding_lsh_pairs" -> ((s, d) =>
       // The 100 TB route for c05: banded hyperplane-LSH candidates + exact
       // cosine verify (sub-quadratic, no BNLJ). bits=4/tables=16 targets
@@ -1346,6 +1355,18 @@ object SparkEntry {
         |ORDER BY a, b""".stripMargin
 
   private val cOracles: Map[String, String] = Map(
+    "c32_chunking" ->
+      // same arithmetic: stride 56, size 64; 1-based inclusive list slice
+      // == Spark's slice(start, length) incl. end-clamping; short/empty
+      // docs produce one chunk via greatest(1, ...)
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks,
+        |        greatest(1, CAST(ceil((len(toks) - 8)::DOUBLE / 56) AS BIGINT)) AS nch FROM t),
+        |x AS (SELECT doc_id, toks, unnest(range(0, nch)) AS i FROM n)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |  array_to_string(toks[(i*56+1):(i*56+64)], ' ') AS chunk_text,
+        |  CAST(len(toks[(i*56+1):(i*56+64)]) AS INTEGER) AS n_tokens
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
     "c31_embedding_lsh_pairs" ->
       // Replicates the md5-plane construction (Ann.hyperplane) exactly:
       // plane j component k = +1 iff first byte of md5('j:k') < 0x80;

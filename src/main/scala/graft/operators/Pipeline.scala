@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.Text
 
 /** Training-data pipeline stages (SURVEY.md §2C): the corpus-management
   * operations that sit between a deduplicated document table and a
@@ -199,5 +200,39 @@ object Pipeline {
       .where(col("novl") >= minShingles)
       .groupBy(col("train_id"))
       .agg(count(lit(1)).as("n_eval_hits"), max(col("novl")).as("max_overlap"))
+  }
+
+  /** Token-budget document chunking with overlap — the pretokenization
+    * relayout every training pipeline runs before packing: each document
+    * becomes ⌈(n−overlap)/stride⌉ chunks of ≤ `sizeTokens` whitespace
+    * tokens, consecutive chunks sharing `overlap` tokens (stride =
+    * sizeTokens − overlap). Documents shorter than one chunk yield exactly
+    * one chunk (never zero — empty docs must stay visible to downstream
+    * accounting).
+    *
+    * Pure narrow pass: tokenize → per-row chunk-count arithmetic →
+    * posexplode of slices. No shuffle, no UDF — `slice`/`transform`/
+    * `array_join` stay in codegen; chunk boundaries depend only on the
+    * row, so the operator is embarrassingly parallel and relayout-stable
+    * (same chunks whatever the partitioning). Feed the output to
+    * [[packByBudget]] for shard assembly.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            sizeTokens: Int, overlap: Int = 0): DataFrame = {
+    require(sizeTokens >= 1, s"sizeTokens must be >= 1, got $sizeTokens")
+    require(overlap >= 0 && overlap < sizeTokens,
+      s"overlap must be in [0, sizeTokens), got $overlap")
+    val stride = sizeTokens - overlap
+    df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .withColumn("nchunks",
+        greatest(lit(1),
+          ceil((size(col("toks")) - lit(overlap)).cast("double") / stride).cast("int")))
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), col("nchunks") - 1),
+        i => struct(
+          array_join(slice(col("toks"), i * stride + 1, lit(sizeTokens)), " ").as("chunk_text"),
+          size(slice(col("toks"), i * stride + 1, lit(sizeTokens))).as("n_tokens")))))
+      .select(col("id"), col("pos").as("chunk_idx"),
+        col("col.chunk_text").as("chunk_text"), col("col.n_tokens").as("n_tokens"))
   }
 }

@@ -217,6 +217,33 @@ class ScaleSpec extends SparkSpec {
     assert(kept.count(_._1 == "es") == 10)
   }
 
+  test("chunk: budgets, overlap, reassembly, and one-chunk floor for short docs") {
+    val s = spark; import s.implicits._
+    val words = (0 until 25).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val got = graft.operators.Pipeline.chunk(docs, "doc_id", "text",
+        sizeTokens = 10, overlap = 2)
+      .orderBy(col("id"), col("chunk_idx")).collect()
+    val byDoc = got.groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1))).toMap
+    // 25 tokens, size 10, stride 8 → ceil((25-2)/8) = 3 chunks
+    assert(byDoc(1L).length == 3)
+    assert(byDoc(1L).forall(_.getInt(3) <= 10), "chunk over token budget")
+    assert(byDoc(1L).last.getInt(3) == 25 - 2 * 8, "tail chunk length")
+    // consecutive chunks share exactly `overlap` tokens
+    val c0 = byDoc(1L)(0).getString(2).split(" "); val c1 = byDoc(1L)(1).getString(2).split(" ")
+    assert(c0.takeRight(2).sameElements(c1.take(2)), "overlap tokens differ")
+    // stride-dedup reassembly reproduces the document exactly
+    val rebuilt = byDoc(1L).map(_.getString(2).split(" ")).reduce((acc, nxt) => acc ++ nxt.drop(2))
+    assert(rebuilt.mkString(" ") == words, "chunks do not reassemble the doc")
+    // short docs: exactly one chunk, whole text
+    assert(byDoc(2L).length == 1 && byDoc(2L).head.getString(2) == "a b")
+    assert(byDoc(3L).length == 1 && byDoc(3L).head.getInt(3) == 1)
+    // narrow op: no shuffle exchange in the plan
+    val phys = graft.operators.Pipeline.chunk(docs, "doc_id", "text", 10, 2)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"chunking must not shuffle:\n$phys")
+  }
+
   test("contamination flags a planted eval near-duplicate and nothing else") {
     val s = spark; import s.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
