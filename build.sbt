@@ -29,5 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g thrashed once the bench/verify working set grew to ~95 queries × 2
+  // scale factors of persisted intermediates (measured: full bench 389 s at
+  // 8g vs 239 s at 24g, with the 8g run losing 10-30 s stretches to GC).
+  // The box has 128 GiB; local[32] with this cache population needs room.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
 )
