@@ -858,7 +858,47 @@ object SparkEntry {
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx"))
         .select(col("l_returnflag"), col("median_price"),
           (col("approx") >= col("p49") && col("approx") <= col("p51")).as("approx_ok"))
-        .orderBy(col("l_returnflag"))))
+        .orderBy(col("l_returnflag"))),
+
+    "b37_bucketed_join" -> ((s, d) => {
+      // Co-located fact-fact join: both sides bucketed + sorted on the join
+      // key at write time (Formats.bucketedTable), so the SortMergeJoin
+      // runs with ZERO Exchange on either side — the at-rest layout that
+      // makes a 100 TB fact-fact join shuffle-free (bucket once at ingest,
+      // join for free thereafter). The merge hint keeps the small-SF demo
+      // honest: auto-broadcast would hide the bucketing, and at real scale
+      // neither fact side broadcasts. Exchange-freeness is plan-asserted
+      // in PlanSpec.
+      val ob = graft.sources.Formats.bucketedTable(s, "orders_by_cust", d,
+        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        "o_custkey", buckets = 8)
+      val cb = graft.sources.Formats.bucketedTable(s, "customer_by_cust", d,
+        t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        "c_custkey", buckets = 8)
+      ob.hint("merge").join(cb, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "b38_partition_prune" -> ((s, d) => {
+      // Partition-pruned scan: orders laid out partitionBy(o_orderpriority)
+      // at write time; the equality filter then prunes 4/5 of the
+      // directories at PLANNING time (PartitionFilters, plan-asserted) —
+      // the predicate-column half of the at-rest layout story (b37 buckets
+      // by join key, b38 partitions by filter column). At 100 TB this is
+      // the difference between scanning 20 TB and scanning 100 TB.
+      val dir = graft.sources.Formats.scratchDir(s, "orders_bypriority", d)
+      graft.sources.Formats.ensureWritten(s, dir) {
+        t(s, d, "orders").write.mode("overwrite")
+          .partitionBy("o_orderpriority").parquet(dir)
+      }
+      s.read.parquet(dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }))
 
   private val bOracles: Map[String, String] = Map(
     "b33_orc_roundtrip" ->
@@ -880,6 +920,16 @@ object SparkEntry {
         |  quantile_disc(l_extendedprice, 0.5) AS median_price,
         |  TRUE AS approx_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "b37_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "b38_partition_prune" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "b01_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
@@ -1337,7 +1387,32 @@ object SparkEntry {
       Dedup.embeddingLshPairs(t(s, d, "embeddings"), "vec_id", "embedding",
           threshold = 0.35, dim = 64, bits = 4, tables = 16)
         .select(col("a"), col("b"))
-        .orderBy(col("a"), col("b"))))
+        .orderBy(col("a"), col("b"))),
+
+    "c33_target_mix" -> ((s, d) =>
+      // data-recipe rebalancing: downsample-only water-filling to a target
+      // language mix (40/20/20/10/10), deterministic md5 sampling; the
+      // per-stratum ppm rate is part of the output so the mix math itself
+      // is oracle-checked
+      Pipeline.targetMix(
+          t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          "lang", "doc_id", "n_chars",
+          Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1, "zh" -> 0.1))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("ppm"))
+        .orderBy(col("doc_id"))),
+
+    "c34_bloom_decontaminate" -> ((s, d) =>
+      // exact 5-gram train/eval decontamination behind a Bloom prefilter:
+      // the bitmap (scalar subquery) drops non-member shingles before the
+      // verify join's shuffle; no false negatives ⇒ result is exactly the
+      // semi-join, which is what the oracle computes. 5-gram shingles (not
+      // the shared 3-gram dedup index) so a hit means copied text, not a
+      // common phrase.
+      Pipeline.bloomContaminated(
+          Dedup.shingleSets(t(s, d, "documents"), "doc_id", "text", shingleN = 5),
+          pmod(col("id"), lit(10)) === 7)
+        .select(col("id").as("doc_id"))
+        .orderBy(col("doc_id"))))
 
   private val shingleCte =
     """WITH s AS (
@@ -1401,6 +1476,31 @@ object SparkEntry {
     "c01_dedup_exact" ->
       """SELECT min(doc_id) AS rep_id, count(*) AS n_dups FROM documents
         |GROUP BY text ORDER BY rep_id""".stripMargin,
+    "c33_target_mix" ->
+      // Same water-filling arithmetic, SAME IEEE op order as
+      // Pipeline.targetMix: cap = w/t, T = min(cap),
+      // ppm = floor(((t*T)/w)*1e6); md5 bucketing as in c23.
+      """WITH a AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS w FROM documents GROUP BY lang),
+        |tgt(lang, t) AS (VALUES ('en', 0.4), ('de', 0.2), ('fr', 0.2), ('es', 0.1), ('zh', 0.1)),
+        |j AS (SELECT a.lang, a.w, tgt.t, CAST(a.w AS DOUBLE) / tgt.t AS cap
+        |      FROM a JOIN tgt USING (lang)),
+        |r AS (SELECT lang,
+        |        CAST(floor(t * (SELECT min(cap) FROM j) / CAST(w AS DOUBLE) * 1000000.0) AS BIGINT) AS ppm
+        |      FROM j)
+        |SELECT d.doc_id, d.lang, d.n_chars, r.ppm
+        |FROM documents d JOIN r USING (lang)
+        |WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < r.ppm
+        |ORDER BY d.doc_id""".stripMargin,
+    "c34_bloom_decontaminate" ->
+      // The Bloom prefilter is transparent (no false negatives): the exact
+      // answer is the plain 5-gram semi-join, which is what this computes.
+      """WITH t5 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-4),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS sh
+        |      FROM t5 WHERE len(t) >= 5),
+        |e AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 10 = 7),
+        |tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 != 7)
+        |SELECT DISTINCT tr.doc_id FROM tr JOIN e USING (g) ORDER BY doc_id""".stripMargin,
     "c02_dedup_minhash" -> jaccardPairsSql,
     "c03_dedup_simhash" ->
       // 64-bit token hash taken as two positive 32-bit md5 halves (a single

@@ -235,4 +235,73 @@ object Pipeline {
       .select(col("id"), col("pos").as("chunk_idx"),
         col("col.chunk_text").as("chunk_text"), col("col.n_tokens").as("n_tokens"))
   }
+
+  /** Downsample-only target-mix rebalancing (the "data recipe" stage: hit a
+    * target corpus composition — 40% en, 20% code, … — without upsampling).
+    * With actual per-stratum weight w_c and target share t_c, the largest
+    * corpus achievable by downsampling alone with mix exactly t is
+    * T = min_c(w_c / t_c); each stratum keeps rate_c = t_c·T / w_c (the
+    * binding stratum keeps everything). Rates are floored to ppm and applied
+    * with the same deterministic md5 bucketing as [[stratifiedSample]], so
+    * membership is stable under relayout/reruns and the whole computation —
+    * IEEE-754 division order included — reproduces bit-identically in any
+    * engine. Strata absent from `targets` are dropped (their target share
+    * is zero).
+    *
+    * Scale: one partial-aggregated groupBy builds the |strata|-row weight
+    * table; the min and the rates are computed on that tiny frame (the
+    * unpartitioned window is over |strata| rows, never data); rates
+    * broadcast back and the sampling filter itself is narrow. */
+  def targetMix(df: DataFrame, strataCol: String, keyCol: String,
+                weightCol: String, targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.values.forall(v => v > 0 && v <= 1),
+      s"target shares must be in (0,1]: $targets")
+    val tgt = targets.foldLeft(lit(null).cast("double")) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val acts = df.groupBy(col(strataCol))
+      .agg(sum(col(weightCol)).cast("long").as("w"))
+      .withColumn("tgt", tgt)
+      .where(col("tgt").isNotNull)
+      .withColumn("cap", col("w").cast("double") / col("tgt"))
+    // rate_c·1e6 = floor(((t_c · T) / w_c) · 1e6) — keep this exact op
+    // order in any oracle reimplementation (IEEE doubles are deterministic
+    // but not associative)
+    val rates = acts
+      .withColumn("mcap", min(col("cap")).over(Window.partitionBy()))
+      .select(col(strataCol),
+        floor(col("tgt") * col("mcap") / col("w").cast("double") * lit(1000000.0))
+          .cast("long").as("ppm"))
+    df.join(broadcast(rates), strataCol)
+      .where(hashBucket(col(keyCol), 1000000) < col("ppm"))
+  }
+
+  /** Exact train/eval decontamination with a Bloom prefilter — the 100 TB
+    * shape of [[contamination]] when the eval n-gram universe is too big to
+    * broadcast raw: build one m-bit Bloom bitmap over the eval side's
+    * shingle hashes (map-side partial OR-merge, only bitmaps move), deliver
+    * it to probe tasks as a scalar subquery, and drop every training
+    * shingle whose probe misses BEFORE the verify join's shuffle. The Bloom
+    * has no false negatives, so prefilter + exact semi-join ≡ exact
+    * semi-join — the filter only removes rows the join would drop anyway —
+    * and false positives merely cost a little extra verify work
+    * (~0.6^k·|train shingles| rows at the classic m/n sizing).
+    *
+    * Returns the distinct contaminated training ids: training docs sharing
+    * at least one shingle with any eval doc. Takes a prebuilt `(id, hs)`
+    * shingle index (use a longer n-gram than the dedup index — 5-8 words —
+    * so a hit means copied text, not a common phrase).
+    */
+  def bloomContaminated(sets: DataFrame, isEval: Column,
+                        mBits: Int = 1 << 20, k: Int = 5): DataFrame = {
+    val ev = sets.where(isEval)
+      .select(explode(col("hs")).as("g")).distinct()
+    val bloom = ev.agg(graft.functions.Bloom.build(col("g"), mBits, k).as("bf")).scalar()
+    sets.where(!isEval)
+      .select(col("id"), explode(col("hs")).as("g"))
+      .where(graft.plans.BloomExpressions.mightContain(bloom, col("g"), k))
+      .join(ev, Seq("g"), "left_semi")
+      .select(col("id")).distinct()
+  }
 }

@@ -53,7 +53,13 @@ object GraftExtensions {
         TextExpressions.ShingleHashesExpr(args(0), intArg(args(1), "shingle_hashes", 2))),
     ("simhash64",
       info("simhash64", "simhash64(tokens) - 64-bit simhash of a token array"),
-      (args: Seq[Expression]) => TextExpressions.SimHash64Expr(args(0))))
+      (args: Seq[Expression]) => TextExpressions.SimHash64Expr(args(0))),
+    ("bloom_might_contain",
+      info("bloom_might_contain",
+        "bloom_might_contain(bits, hash, k) - probe a graft Bloom bitmap (array<bigint>)"),
+      (args: Seq[Expression]) =>
+        BloomExpressions.BloomMightContain(args(0), args(1),
+          intArg(args(2), "bloom_might_contain", 3))))
 
   /** Register into an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -88,4 +88,35 @@ object Formats {
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) write
   }
+
+  /** Bucketed external table for co-located joins: write `df` once per
+    * (purpose, input, application) hash-bucketed and sorted on `key`, and
+    * return it via the catalog (bucketing metadata lives in the catalog, so
+    * a plain parquet read-back would NOT get the shuffle elimination).
+    *
+    * This is the at-rest half of the shuffle-avoidance story: two fact
+    * tables bucketed on their join key with the same bucket count join with
+    * ZERO Exchange on either side — at 100 TB the bucket layout is paid
+    * once at ingest and every subsequent join/aggregation on that key reads
+    * co-located buckets. Bucket count is a layout property: size it so one
+    * bucket ≈ one task's worth of data at the target scale (hundreds to
+    * thousands on a cluster; small here so local[32] still fills tasks).
+    *
+    * The catalog entry is session-scoped (in-memory catalog) while the
+    * files are durable; a fresh session re-registers by rewriting — the
+    * overwrite is idempotent and keeps catalog metadata and files in one
+    * consistent unit without assuming a shared external metastore.
+    */
+  def bucketedTable(spark: SparkSession, purpose: String, inDir: String,
+                    df: => DataFrame, key: String, buckets: Int): DataFrame = {
+    val base = new java.io.File(inDir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val table = s"graft_${purpose}_$base".replaceAll("[^A-Za-z0-9_]", "_")
+    if (!spark.catalog.tableExists(table)) {
+      df.write.mode("overwrite")
+        .bucketBy(buckets, key).sortBy(key)
+        .option("path", scratchDir(spark, s"bkt_$purpose", inDir))
+        .saveAsTable(table)
+    }
+    spark.table(table)
+  }
 }

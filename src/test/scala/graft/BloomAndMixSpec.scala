@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Bloom
+import graft.operators.{Dedup, Pipeline}
+import graft.plans.BloomExpressions
+import graft.sources.Tables
+
+/** r4 additions: Bloom decontamination kernel + target-mix rebalancing.
+  * The Bloom tests pin the load-bearing invariant (no false negatives,
+  * build/probe index-math agreement across the interpreted and codegen
+  * paths); targetMix is checked against an independent JVM
+  * re-implementation of the water-filling formula, exact to the row. */
+class BloomAndMixSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // deterministic pseudo-random 64-bit values (splitmix64 finalizer)
+  private def mix(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  test("bloom has no false negatives and a sane false-positive rate (codegen path)") {
+    import spark.implicits._
+    val members = (1L to 1000L).map(mix)
+    val bits = members.toDF("h")
+      .agg(Bloom.build(col("h"), mBits = 1 << 16, k = 5))
+      .head.getSeq[Long](0).toArray
+    // probe through a DataFrame select so the generated code runs
+    val probeMembers = members.toDF("h")
+      .select(BloomExpressions.mightContain(typedlit(bits), col("h"), k = 5).as("hit"))
+      .collect().map(_.getBoolean(0))
+    assert(probeMembers.forall(identity), "bloom returned a false negative")
+
+    val memberSet = members.toSet
+    val nonMembers = (100001L to 120000L).map(mix).filterNot(memberSet)
+    val fpCount = nonMembers.toDF("h")
+      .select(BloomExpressions.mightContain(typedlit(bits), col("h"), k = 5).as("hit"))
+      .collect().count(_.getBoolean(0))
+    // m/n = 65 bits/key, k=5 → theoretical fpr ≈ 2e-6; 1% is far outside
+    // anything but broken index math
+    assert(fpCount < nonMembers.size * 0.01,
+      s"false-positive rate ${fpCount.toDouble / nonMembers.size} is way above the m/n=65 expectation")
+  }
+
+  test("interpreted probe agrees with generated code on every input") {
+    import spark.implicits._
+    val members = (1L to 200L).map(mix)
+    val bits = members.toDF("h")
+      .agg(Bloom.build(col("h"), mBits = 1 << 12, k = 7)).head.getSeq[Long](0).toArray
+    val probes = (members ++ (5000L to 5200L).map(mix)).toDF("h")
+    val viaCodegen = probes
+      .select(col("h"), BloomExpressions.mightContain(typedlit(bits), col("h"), 7).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // interpreted: evaluate the same expression without codegen via eval
+    val expr = BloomExpressions.BloomMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        bits, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.LongType, nullable = false), 7)
+    viaCodegen.foreach { case (h, hit) =>
+      val row = org.apache.spark.sql.catalyst.InternalRow(h)
+      assert(expr.eval(row) == hit, s"interpreted/codegen disagree on $h")
+    }
+  }
+
+  test("bloom-prefiltered contamination equals the plain exact semi-join") {
+    val sets = Dedup.shingleSets(Tables.t(spark, sf, "documents"), "doc_id", "text", shingleN = 5)
+    val isEval = pmod(col("id"), lit(10)) === 7
+    val got = Pipeline.bloomContaminated(sets, isEval)
+      .collect().map(_.getLong(0)).toSet
+    // reference: same semi-join with no bloom anywhere
+    val ev = sets.where(isEval).select(explode(col("hs")).as("g")).distinct()
+    val expected = sets.where(!isEval)
+      .select(col("id"), explode(col("hs")).as("g"))
+      .join(ev, Seq("g"), "left_semi")
+      .select(col("id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"bloom path diverged: extra=${got -- expected}, missing=${expected -- got}")
+    assert(got.nonEmpty, "fixture produced no contaminated docs — test is vacuous")
+  }
+
+  test("targetMix matches an independent reimplementation row-for-row") {
+    val targets = Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1, "zh" -> 0.1)
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val got = Pipeline.targetMix(docs, "lang", "doc_id", "n_chars", targets)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+
+    // reference: same formula, independently in plain Scala on collected rows
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val w = rows.groupBy(_._2).map { case (l, rs) => l -> rs.map(_._3).sum }
+    val minCap = targets.map { case (l, t) => w(l).toDouble / t }.min
+    val ppm = targets.map { case (l, t) =>
+      l -> math.floor(t * minCap / w(l).toDouble * 1000000.0).toLong
+    }
+    def md5Bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val expected = rows.filter { case (id, l, _) =>
+      ppm.get(l).exists(p => md5Bucket(id) < p)
+    }.map(_._1).toSet
+    assert(got == expected,
+      s"targetMix diverged: extra=${got -- expected}, missing=${expected -- got}")
+    // binding stratum (min cap) must keep essentially everything: its exact
+    // rate is 1.0 by construction; the ppm floor may shave at most 1 ppm
+    val binding = targets.minBy { case (l, t) => w(l).toDouble / t }._1
+    assert(ppm(binding) >= 999999L, s"binding stratum $binding got ppm ${ppm(binding)}")
+  }
+}

@@ -101,13 +101,42 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("__bin"), s"bin key missing from join:\n$plan")
   }
 
+  test("bucketed fact-fact join plans zero exchanges below the join") {
+    val plan = physicalPlan(SparkEntry.queries("b37_bucketed_join")(spark, sf))
+    assert(plan.contains("SortMergeJoin"), s"merge-hinted bucketed join missing:\n$plan")
+    // bucket co-location: the ONLY hash exchange is the post-join groupBy;
+    // a non-bucketed read would add one per join input (3 total)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1,
+      s"expected 1 hash exchange (aggregation only), got $hashExchanges:\n$plan")
+  }
+
+  test("partitioned layout prunes directories at planning time") {
+    val df = SparkEntry.queries("b38_partition_prune")(spark, sf)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("o_orderpriority"),
+      s"expected a partition filter on o_orderpriority in the scan:\n$scan")
+    assert(!scan.replaceAll("PartitionFilters: \\[[^\\]]*\\]", "").contains("o_orderpriority")
+      || scan.contains("1-URGENT"),
+      s"partition predicate did not reach the directory filter:\n$scan")
+  }
+
+  test("bloom decontamination prefilters before the verify join, with no nested loop") {
+    val plan = physicalPlan(SparkEntry.queries("c34_bloom_decontaminate")(spark, sf))
+    assert(plan.contains("bloommightcontain") || plan.contains("BloomMightContain"),
+      s"bloom probe missing from the plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"decontamination fell back to an unblocked join:\n$plan")
+  }
+
   test("no query in the declared inventory collects to the driver") {
     // structural check: building every DataFrame must not trigger an action
     // (any collect-based operator would run here); constructing the plans on
-    // sf0.001 must stay lazy and cheap. The roundtrip sink queries (b33/b34)
-    // write their scratch output at most ONCE per application (ensureWritten
-    // checks the _SUCCESS marker) — the write is the surface under test, and
-    // repeat builds here are action-free.
+    // sf0.001 must stay lazy and cheap. The at-rest-layout queries
+    // (b33/b34 roundtrip sinks, b37 bucketed tables, b38 partitioned
+    // layout) write their scratch output at most ONCE per application
+    // (ensureWritten/_SUCCESS, catalog tableExists) — the write IS the
+    // surface under test, and repeat builds here are action-free.
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       assert(df.queryExecution.logical != null, name)
