@@ -1412,6 +1412,15 @@ object SparkEntry {
           Dedup.shingleSets(t(s, d, "documents"), "doc_id", "text", shingleN = 5),
           pmod(col("id"), lit(10)) === 7)
         .select(col("id").as("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    "c35_source_reputation" -> ((s, d) =>
+      // domain-level curation: drop every document from sources whose MEAN
+      // quality is below 0.395 (cutoff sits in a clear gap between source
+      // means at the test SFs); exact nano-sum aggregation so the gate is
+      // order- and engine-reproducible
+      Pipeline.sourceReputation(t(s, d, "documents"), "source", "doc_id",
+          Text.qualityScore(col("text")), minMean = 0.395)
         .orderBy(col("doc_id"))))
 
   private val shingleCte =
@@ -1501,6 +1510,24 @@ object SparkEntry {
         |e AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 10 = 7),
         |tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 != 7)
         |SELECT DISTINCT tr.doc_id FROM tr JOIN e USING (g) ORDER BY doc_id""".stripMargin,
+    "c35_source_reputation" ->
+      // per-row score identical to c09 (bitwise — c09's raw-double hash
+      // match proves it); then exact integer nano-sums per source so the
+      // aggregate is order-independent in both engines
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    CAST(round((
+        |      (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 0.5
+        |      + (CAST(len(list_filter(t, tk -> tk IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 0.2
+        |      + least(CAST(list_sum(list_transform(t, tk -> length(tk))) AS DOUBLE) / CAST(len(t) AS DOUBLE) / 10.0, 1.0) * 0.3
+        |    ) * 1000000000.0) AS BIGINT) AS qn
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)),
+        |rep AS (
+        |  SELECT source, sum(qn) AS src_sum_nano, count(*) AS src_docs
+        |  FROM q GROUP BY source
+        |  HAVING CAST(sum(qn) AS DOUBLE) >= CAST(0.395 AS DOUBLE) * 1000000000.0 * CAST(count(*) AS DOUBLE))
+        |SELECT q.doc_id, q.source, rep.src_sum_nano, rep.src_docs
+        |FROM q JOIN rep USING (source) ORDER BY doc_id""".stripMargin,
     "c02_dedup_minhash" -> jaccardPairsSql,
     "c03_dedup_simhash" ->
       // 64-bit token hash taken as two positive 32-bit md5 halves (a single

@@ -277,6 +277,32 @@ object Pipeline {
       .where(hashBucket(col(keyCol), 1000000) < col("ppm"))
   }
 
+  /** Source-level reputation gate (the curation stage that drops whole
+    * domains/feeds rather than individual documents): keep documents whose
+    * SOURCE's mean quality clears `minMean`. The per-source aggregate uses
+    * exact integer nano-sums — each row's score is rounded to 1e-9 once
+    * (deterministic per row), then summed as longs — because a distributed
+    * `avg(double)` is not order-reproducible (partial-aggregation tree
+    * order changes the IEEE rounding), and this operator's output must be
+    * bit-identical across engines and relayouts. The mean test is
+    * `sum_nano ≥ minMean·1e9·n`, all-integer on the left.
+    *
+    * Scale: one partial-aggregated groupBy to the |sources|-row reputation
+    * table (tiny — domains, not documents), broadcast back, narrow filter.
+    * The per-doc score is computed once, inside the same scan. */
+  def sourceReputation(df: DataFrame, sourceCol: String, idCol: String,
+                       score: Column, minMean: Double): DataFrame = {
+    require(minMean >= 0, s"minMean must be non-negative, got $minMean")
+    val q = df.select(col(idCol), col(sourceCol),
+      round(score * lit(1.0e9)).cast("long").as("qn"))
+    val rep = q.groupBy(col(sourceCol))
+      .agg(sum(col("qn")).as("src_sum_nano"), count(lit(1)).as("src_docs"))
+      .where(col("src_sum_nano").cast("double") >=
+        lit(minMean) * lit(1.0e9) * col("src_docs").cast("double"))
+    q.join(broadcast(rep), sourceCol)
+      .select(col(idCol), col(sourceCol), col("src_sum_nano"), col("src_docs"))
+  }
+
   /** Exact train/eval decontamination with a Bloom prefilter — the 100 TB
     * shape of [[contamination]] when the eval n-gram universe is too big to
     * broadcast raw: build one m-bit Bloom bitmap over the eval side's

@@ -32,14 +32,20 @@ object Scale {
   /** Write a DataFrame as a bucketed, sorted table in the session catalog
     * (bucketing requires saveAsTable). Joins between tables bucketed on the
     * same key with the same bucket count skip the shuffle entirely —
-    * SortMergeJoin with no Exchange on either side (asserted in ScaleSpec).
-    * At 100 TB this converts every fact-fact join on the bucket key from a
-    * full shuffle into a local merge.
+    * SortMergeJoin with no Exchange on either side (asserted in ScaleSpec;
+    * plan-asserted on the b37 query). At 100 TB this converts every
+    * fact-fact join on the bucket key from a full shuffle into a local
+    * merge. With `path` the table is external (files at `path`, metadata in
+    * the session catalog) — the form [[graft.sources.Formats.bucketedTable]]
+    * uses for scratch-rooted layouts; without it the files land in the
+    * session warehouse directory.
     */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.mode("overwrite")
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+                    path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

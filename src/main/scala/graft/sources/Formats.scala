@@ -111,12 +111,9 @@ object Formats {
                     df: => DataFrame, key: String, buckets: Int): DataFrame = {
     val base = new java.io.File(inDir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
     val table = s"graft_${purpose}_$base".replaceAll("[^A-Za-z0-9_]", "_")
-    if (!spark.catalog.tableExists(table)) {
-      df.write.mode("overwrite")
-        .bucketBy(buckets, key).sortBy(key)
-        .option("path", scratchDir(spark, s"bkt_$purpose", inDir))
-        .saveAsTable(table)
-    }
+    if (!spark.catalog.tableExists(table))
+      graft.operators.Scale.writeBucketed(df, table, key, buckets,
+        path = Some(scratchDir(spark, s"bkt_$purpose", inDir)))
     spark.table(table)
   }
 }
