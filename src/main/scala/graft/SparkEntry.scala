@@ -1421,7 +1421,17 @@ object SparkEntry {
       // order- and engine-reproducible
       Pipeline.sourceReputation(t(s, d, "documents"), "source", "doc_id",
           Text.qualityScore(col("text")), minMean = 0.395)
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+
+    "c36_incremental_dedup" -> ((s, d) =>
+      // daily-ingest dedup: near-dups of a new batch (doc_id % 10 = 3)
+      // against the corpus + within the batch, candidates ∝ batch size,
+      // corpus never self-paired or shuffled; reuses the persisted shingle
+      // index; exact-verified ⇒ oracle = exact jaccard restricted to
+      // batch-touching pairs
+      Dedup.incrementalMinhashPairs(docShingleSets(s, d),
+          pmod(col("id"), lit(10)) === 3)
+        .orderBy(col("a"), col("b"))))
 
   private val shingleCte =
     """WITH s AS (
@@ -1528,6 +1538,13 @@ object SparkEntry {
         |  HAVING CAST(sum(qn) AS DOUBLE) >= CAST(0.395 AS DOUBLE) * 1000000000.0 * CAST(count(*) AS DOUBLE))
         |SELECT q.doc_id, q.source, rep.src_sum_nano, rep.src_docs
         |FROM q JOIN rep USING (source) ORDER BY doc_id""".stripMargin,
+    "c36_incremental_dedup" -> (shingleCte +
+      """
+        |SELECT a.doc_id AS a, b.doc_id AS b
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE (a.doc_id % 10 = 3 OR b.doc_id % 10 = 3)
+        |  AND len(list_intersect(a.sh, b.sh)) >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))
+        |ORDER BY a, b""".stripMargin),
     "c02_dedup_minhash" -> jaccardPairsSql,
     "c03_dedup_simhash" ->
       // 64-bit token hash taken as two positive 32-bit md5 halves (a single

@@ -129,6 +129,24 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated doc
   }
 
+  test("incremental dedup: batch-vs-corpus AND within-batch pairs, corpus never self-paired") {
+    // batch = {2, 4}: both cross legs fire (2 near-dups corpus doc 1; 4
+    // exactly duplicates it) and the within-batch leg fires on (2,4);
+    // every reported pair must touch the batch.
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", shingleN = 2)
+    val isNew = col("id") === 2L || col("id") === 4L
+    val pairs = Dedup.incrementalMinhashPairs(sets, isNew,
+        numPerm = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "batch-vs-corpus near-dup missed")
+    assert(pairs.contains((1L, 4L)), "batch-vs-corpus exact-dup missed")
+    assert(pairs.contains((2L, 4L)), "within-batch pair missed")
+    // pairs with both sides in the corpus are out of scope by construction
+    assert(pairs.forall { case (a, b) =>
+      Set(2L, 4L).contains(a) || Set(2L, 4L).contains(b) },
+      s"corpus-only pair leaked: $pairs")
+  }
+
   test("simhash pairs: exact dup at hamming 0, unrelated docs excluded") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
