@@ -898,6 +898,35 @@ object SparkEntry {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    "b39_exists_subquery" -> ((s, d) => {
+      // correlated EXISTS via the Spark 4 DataFrame subquery API
+      // (Dataset.exists + Column.outer); Catalyst rewrites it to a
+      // left-semi hash join on o_custkey — no per-row subquery execution,
+      // same shuffle shape as an explicit semi join at any scale
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.where(o.where(col("o_custkey") === col("c_custkey").outer() &&
+            col("o_orderpriority") === "1-URGENT").exists())
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "b40_scalar_subquery" -> ((s, d) => {
+      // orders above 1.5× the global mean price, the mean delivered as an
+      // uncorrelated scalar subquery (one aggregate, result embedded into
+      // the filter — no second pass over the data, no driver round-trip in
+      // the query definition). Exact integer arithmetic (cents, cross-
+      // multiplied) so the comparison is order- and engine-reproducible —
+      // a distributed avg(double) would not be.
+      val oc = t(s, d, "orders").withColumn("cents",
+        round(col("o_totalprice") * 100).cast("long"))
+      val sumCents = oc.agg(sum(col("cents"))).scalar()
+      val n = oc.agg(count(lit(1))).scalar()
+      oc.where(col("cents") * lit(2L) * n > lit(3L) * sumCents)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
     }))
 
   private val bOracles: Map[String, String] = Map(
@@ -930,6 +959,17 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "b39_exists_subquery" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "b40_scalar_subquery" ->
+      """WITH c AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |st AS (SELECT sum(cents) AS sc, count(*) AS n FROM c)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM c, st
+        |WHERE cents * 2 * n > 3 * sc ORDER BY o_orderkey""".stripMargin,
     "b01_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

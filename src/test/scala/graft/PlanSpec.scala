@@ -129,6 +129,13 @@ class PlanSpec extends SparkSpec {
       s"decontamination fell back to an unblocked join:\n$plan")
   }
 
+  test("correlated EXISTS rewrites to a semi join, not per-row subqueries") {
+    val plan = physicalPlan(SparkEntry.queries("b39_exists_subquery")(spark, sf))
+    assert(plan.contains("LeftSemi"), s"expected a left-semi rewrite:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"EXISTS fell back to an unblocked join:\n$plan")
+  }
+
   test("no query in the declared inventory collects to the driver") {
     // structural check: building every DataFrame must not trigger an action
     // (any collect-based operator would run here); constructing the plans on
