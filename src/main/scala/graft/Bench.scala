@@ -11,6 +11,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // wall budget for the WHOLE main (default 15 min), clock started before
+    // the warmup — the warmup is several minutes of the wall the harness
+    // sees, so a budget that excluded it could still let pass 2 blow the
+    // harness timeout and lose ALL output
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "900").toLong
+    val mainStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - mainStart) / 1e9
     // Untimed warmup: JIT/codegen/classloading + parquet footer caches, so
     // the first timed query doesn't absorb several seconds of JVM cold
     // start. Footer-touches the bench tables too (limit(1) — metadata and
@@ -56,13 +63,13 @@ object Bench {
         // failures are reported as -1 so they can't masquerade as fast queries
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
-    // wall budget for the whole main (default 15 min): the second pass is
-    // skipped rather than risking a harness timeout that loses ALL output
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "900").toLong
-    val mainStart = System.nanoTime()
+    // the second pass is skipped rather than risking a harness timeout
+    // that loses all output: estimate it at pass-1 cost against the time
+    // left in the whole-main budget (warmup included via elapsedSec)
+    val pass1Start = elapsedSec
     val pass1 = timedPass()
-    val pass1Sec = (System.nanoTime() - mainStart) / 1e9
-    val runPass2 = pass1Sec * 2 < budgetSec
+    val pass1Sec = elapsedSec - pass1Start
+    val runPass2 = elapsedSec + pass1Sec < budgetSec
     val passes = if (runPass2) Seq(pass1, timedPass()) else Seq(pass1)
     // per-query min of the passes, except failures (-1) dominate: a query
     // that failed in any pass is reported failed

@@ -127,7 +127,8 @@ object Dedup {
     */
   def incrementalMinhashPairs(sets: DataFrame, isNew: Column,
                               numPerm: Int = 64, bands: Int = 16,
-                              threshold: Double = 0.8): DataFrame = {
+                              threshold: Double = 0.8,
+                              maxBucket: Int = 1000): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val r = numPerm / bands
     def banded(df: DataFrame): DataFrame =
@@ -137,8 +138,23 @@ object Dedup {
             array_join(transform(slice(col("sig"), b * r + 1, r), _.cast("string")), "_")): _*)))
         .toDF("id", "hs", "pos", "bandsig")
         .select(col("id"), col("hs"), col("pos").as("band"), col("bandsig"))
-    val corpus = banded(sets.where(!isNew))
+    // degenerate-tower cap, same rationale as minhashPairsOf's maxBucket: a
+    // band signature shared by massively many corpus docs (empty/boilerplate
+    // texts) would fan every matching batch row out |bucket|-fold through
+    // one skewed join task. The hot set is computed on the corpus index
+    // (map-side-combined count, usually empty) and anti-joined off both
+    // sides — exactly the hot-shingle cut shape from ngramJaccardPairsOf.
+    val corpusAll = banded(sets.where(!isNew))
+    val hot = corpusAll.groupBy(col("band"), col("bandsig"))
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
+      .select(col("band"), col("bandsig"))
+    val corpus = corpusAll.join(broadcast(hot), Seq("band", "bandsig"), "left_anti")
+    // the batch's banded signatures feed three plan positions (the shared
+    // broadcast and the within-leg probe side); persist so the minhash
+    // kernel runs once over the batch, not per consumer
     val batch = banded(sets.where(isNew))
+      .join(broadcast(hot), Seq("band", "bandsig"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cross = corpus.as("c").join(broadcast(batch).as("n"),
         col("c.band") === col("n.band") && col("c.bandsig") === col("n.bandsig"))
       .select(col("c.id").as("x"), col("n.id").as("y"),
@@ -269,18 +285,27 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    // 64 chunks of >= 1 bit is the hard ceiling; and chunks = maxHamming+1
+    // must leave bitsPer >= 1 or every chunk masks to 0 and the banded
+    // join collapses into ONE all-pairs bucket
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0,63], got $maxHamming")
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
+    // 1L<<64 wraps to 1 (mask 0): the single-chunk case (maxHamming=0,
+    // exact-signature blocking) must keep the whole signature
+    val mask = if (bitsPer == 64) -1L else (1L << bitsPer) - 1
     // persist the signatures: the banded self-join reads them from both
     // sides, and the simhash kernel pass is the expensive part.
     val sh = df.select(col(idCol).as("id"),
       Dedup.simhash64(Text.tokens(col(textCol))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // arithmetic shiftright sign-extends the top chunk; the mask keeps every
-    // chunk value positive 16-bit
+    // chunk value positive 16-bit (full-width single chunk may be negative —
+    // only equality is joined on)
     val banded = sh.select(col("id"), col("sh"), posexplode(
         array((0 until chunks).map(c =>
-          shiftright(col("sh"), c * bitsPer).bitwiseAND((1L << bitsPer) - 1)): _*)))
+          shiftright(col("sh"), c * bitsPer).bitwiseAND(mask)): _*)))
       .toDF("id", "sh", "chunk", "val")
     banded.as("x").join(banded.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.val") === col("y.val") &&

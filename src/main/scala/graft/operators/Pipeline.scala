@@ -321,8 +321,12 @@ object Pipeline {
     */
   def bloomContaminated(sets: DataFrame, isEval: Column,
                         mBits: Int = 1 << 20, k: Int = 5): DataFrame = {
+    // both the Bloom build (scalar subquery) and the verify semi-join read
+    // the eval shingle universe; persist so its explode + distinct shuffle
+    // runs once, not once per consumer
     val ev = sets.where(isEval)
       .select(explode(col("hs")).as("g")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bloom = ev.agg(graft.functions.Bloom.build(col("g"), mBits, k).as("bf")).scalar()
     sets.where(!isEval)
       .select(col("id"), explode(col("hs")).as("g"))

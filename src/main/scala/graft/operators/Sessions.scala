@@ -27,9 +27,21 @@ private[graft] object Sessions {
     finally target.catalog.dropGlobalTempView(v)
   }
 
-  /** A conf-isolated sibling of `origin` with `confs` applied. */
+  /** A conf-isolated sibling of `origin` with `confs` applied.
+    *
+    * `newSession()` starts from the SparkContext conf + builder options,
+    * NOT from the caller's runtime `spark.conf.set(...)` state — so the
+    * caller's modifiable SQL conf (ANSI mode, timeouts, codegen toggles…)
+    * is copied over first; otherwise the rounds would silently plan under
+    * defaults the rest of the caller's queries don't use. Static/
+    * non-modifiable entries can't be re-set on a live session and keep
+    * their context-level values, which is the same on both sessions. */
   def isolated(origin: SparkSession, confs: (String, String)*): SparkSession = {
     val sess = origin.newSession()
+    origin.conf.getAll.foreach { case (k, v) =>
+      if (sess.conf.isModifiable(k) && sess.conf.getOption(k) != Some(v))
+        try sess.conf.set(k, v) catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
     confs.foreach { case (k, v) => sess.conf.set(k, v) }
     sess
   }

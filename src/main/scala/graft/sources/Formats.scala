@@ -65,16 +65,44 @@ object Formats {
       .orElse(sys.props.get("graft.scratch.root"))
       .getOrElse(sys.props("java.io.tmpdir"))
 
+  /** Human-debuggable, collision-free tag for an input dir: its sanitized
+    * basename PLUS a short hash of the full canonical path — basename alone
+    * would silently alias two different inputs that share a leaf name
+    * (/data/v1/sf0.1 vs /data/v2/sf0.1), making the write-once guards
+    * serve the first input's data for the second. */
+  private def inputTag(inDir: String): String = {
+    val canonical =
+      try new java.io.File(inDir).getCanonicalPath catch { case _: Throwable => inDir }
+    val base = new java.io.File(canonical).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    f"${base}_${canonical.hashCode & 0x7fffffff}%08x"
+  }
+
+  // Scratch dirs are app-id-suffixed, so no other process ever reads them:
+  // delete them at JVM exit or repeated runs monotonically fill the scratch
+  // root (each run writes fresh table copies under a fresh app id).
+  private val cleanupDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val cleanupHookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      cleanupDirs.forEach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        try rm(new java.io.File(d)) catch { case _: Throwable => () }
+      }
+    }))
+    true
+  }
+
   /** A scratch dir unique to (purpose, input dir, spark application).
-    * The sanitized basename of `inDir` keeps distinct inputs (sf0.001 vs
-    * sf0.1) in distinct, human-debuggable directories — no 32-bit hash
-    * collisions; the application id isolates concurrent runs over the SAME
-    * input so one run can't overwrite files another is mid-read on.
-    */
+    * The [[inputTag]] keeps distinct inputs in distinct directories; the
+    * application id isolates concurrent runs over the SAME input so one
+    * run can't overwrite files another is mid-read on. Registered for
+    * deletion at JVM exit (no other process can want an app-scoped dir). */
   def scratchDir(spark: SparkSession, purpose: String, inDir: String): String = {
-    val base = new java.io.File(inDir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
-    val app = spark.sparkContext.applicationId
-    s"$sinkRoot/graft_${purpose}_${base}_$app"
+    val dir = s"$sinkRoot/graft_${purpose}_${inputTag(inDir)}_${spark.sparkContext.applicationId}"
+    if (cleanupHookInstalled) cleanupDirs.add(dir)
+    dir
   }
 
   /** Run `write` into `dir` only if this application hasn't already produced
@@ -109,8 +137,7 @@ object Formats {
     */
   def bucketedTable(spark: SparkSession, purpose: String, inDir: String,
                     df: => DataFrame, key: String, buckets: Int): DataFrame = {
-    val base = new java.io.File(inDir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
-    val table = s"graft_${purpose}_$base".replaceAll("[^A-Za-z0-9_]", "_")
+    val table = s"graft_${purpose}_${inputTag(inDir)}".replaceAll("[^A-Za-z0-9_]", "_")
     if (!spark.catalog.tableExists(table))
       graft.operators.Scale.writeBucketed(df, table, key, buckets,
         path = Some(scratchDir(spark, s"bkt_$purpose", inDir)))

@@ -229,4 +229,17 @@ object Streams {
           }
       }
   }
+
+  /** Stream decontamination against a STATIC Bloom bitmap: drop every
+    * stream row whose `hashCol` probes positive in `bits` (built batch-side
+    * over the eval corpus with [[graft.functions.Bloom.build]] and embedded
+    * as a literal — m/8 bytes shipped once per executor with the plan, no
+    * stream-static join, no state store). Stateless, so no watermark is
+    * needed and the codegen'd probe rides inside the stream's narrow
+    * pipeline. Bloom semantics on a stream: false negatives never happen —
+    * no contaminated row passes; false positives drop a few clean rows
+    * (tunable via m and k), the safe direction for decontamination. */
+  def streamBloomDrop(stream: DataFrame, hashCol: Column,
+                      bits: Array[Long], k: Int): DataFrame =
+    stream.where(!graft.plans.BloomExpressions.mightContain(typedlit(bits), hashCol, k))
 }

@@ -147,6 +147,32 @@ class SimilarityAndDedupSpec extends SparkSpec {
       s"corpus-only pair leaked: $pairs")
   }
 
+  test("simhash maxHamming=0 (single full-width chunk) still finds exact dups; out-of-range rejected") {
+    // maxHamming=0 → one 64-bit chunk: the mask must keep the whole
+    // signature (1L<<64 wraps to 1, so the naive mask is 0 and every doc
+    // would land in one all-pairs bucket)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L), "exact dup missed at maxHamming=0")
+    assert(pairs.forall(_._3 == 0), s"pair beyond hamming 0 leaked: ${pairs.mkString(",")}")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 64)
+    }
+  }
+
+  test("Sessions.isolated inherits caller runtime conf, applies overrides, caller untouched") {
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val s2 = graft.operators.Sessions.isolated(spark,
+        "spark.sql.adaptive.enabled" -> "false")
+      assert(s2.conf.get("spark.sql.ansi.enabled") == "true",
+        "caller's runtime conf not inherited by the isolated session")
+      assert(s2.conf.get("spark.sql.adaptive.enabled") == "false")
+      assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+        "override leaked back to the caller")
+    } finally spark.conf.unset("spark.sql.ansi.enabled")
+  }
+
   test("simhash pairs: exact dup at hamming 0, unrelated docs excluded") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
