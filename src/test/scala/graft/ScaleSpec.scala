@@ -244,6 +244,27 @@ class ScaleSpec extends SparkSpec {
     assert(!phys.contains("Exchange"), s"chunking must not shuffle:\n$phys")
   }
 
+  test("incremental dedup hot-bucket cap bounds a degenerate identical-doc tower") {
+    val s = spark; import s.implicits._
+    val tower = "x y z" // hundreds of identical docs → every band is a hot tower
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = ((1L to 300L).map(i => (i, tower)) ++ Seq(
+      (1001L, base),            // corpus doc
+      (2003L, base + " edit"),  // batch near-dup of 1001 (id % 10 == 3)
+      (2013L, tower)            // batch member of the tower
+    )).toDF("doc_id", "text")
+    val sets = graft.operators.Dedup.shingleSets(docs, "doc_id", "text", shingleN = 2)
+    val pairs = graft.operators.Dedup.incrementalMinhashPairs(
+        sets, pmod(col("id"), lit(10)) === 3, threshold = 0.5, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the real near-dup survives; the 300-doc tower is capped out (its
+    // bands exceed maxBucket), so no candidate explosion — documented cap
+    // semantics: pairs colliding ONLY in hot buckets are skipped
+    assert(pairs.contains((1001L, 2003L)), s"real pair lost: $pairs")
+    assert(!pairs.exists { case (a, b) => a <= 300L || b == 2013L },
+      s"tower pairs leaked past the cap: ${pairs.take(5)}")
+  }
+
   test("contamination flags a planted eval near-duplicate and nothing else") {
     val s = spark; import s.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
