@@ -913,6 +913,20 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    "b41_lateral_join" -> ((s, d) =>
+      // correlated LATERAL subquery through the SQL frontend: each
+      // nation's two highest-balance suppliers. Catalyst decorrelates the
+      // lateral into a ranked join (DecorrelateInnerQuery) — no per-row
+      // re-execution of the subquery, same shuffle shape as a window
+      // top-k at any scale.
+      graft.sources.Catalog.sql(s, d,
+        """SELECT n.n_name, t.s_name, t.s_acctbal
+          |FROM nation n,
+          |LATERAL (SELECT s_name, s_acctbal FROM supplier
+          |         WHERE s_nationkey = n.n_nationkey
+          |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+          |ORDER BY n.n_name, t.s_acctbal DESC, t.s_name""".stripMargin)),
+
     "b40_scalar_subquery" -> ((s, d) => {
       // orders above 1.5× the global mean price, the mean delivered as an
       // uncorrelated scalar subquery (one aggregate, result embedded into
@@ -970,6 +984,13 @@ object SparkEntry {
         |st AS (SELECT sum(cents) AS sc, count(*) AS n FROM c)
         |SELECT o_orderkey, o_custkey, o_totalprice FROM c, st
         |WHERE cents * 2 * n > 3 * sc ORDER BY o_orderkey""".stripMargin,
+    "b41_lateral_join" ->
+      """SELECT n.n_name, t.s_name, t.s_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT s_name, s_acctbal FROM supplier
+        |         WHERE s_nationkey = n.n_nationkey
+        |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+        |ORDER BY n.n_name, t.s_acctbal DESC, t.s_name""".stripMargin,
     "b01_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
