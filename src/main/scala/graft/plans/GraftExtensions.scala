@@ -33,7 +33,10 @@ object GraftExtensions {
   }
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      /* arguments = */ "", /* examples = */ "", /* note = */ "",
+      /* group = */ "", /* since = */ "", /* deprecated = */ "",
+      /* source = */ "built-in")
 
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("cosine_sim",
