@@ -933,9 +933,12 @@ object SparkEntry {
       // the filter — no second pass over the data, no driver round-trip in
       // the query definition). Exact integer arithmetic (cents, cross-
       // multiplied) so the comparison is order- and engine-reproducible —
-      // a distributed avg(double) would not be.
+      // a distributed avg(double) would not be. Cents via a decimal(18,2)
+      // cast, not round(double·100): 2-decimal money sits ~1e-13 from the
+      // decimal, so every engine's double→decimal conversion agrees, while
+      // round()'s half-ulp behavior is engine-specific (the c35 lesson).
       val oc = t(s, d, "orders").withColumn("cents",
-        round(col("o_totalprice") * 100).cast("long"))
+        (col("o_totalprice").cast("decimal(18,2)") * lit(100)).cast("long"))
       val sumCents = oc.agg(sum(col("cents"))).scalar()
       val n = oc.agg(count(lit(1))).scalar()
       oc.where(col("cents") * lit(2L) * n > lit(3L) * sumCents)
@@ -980,7 +983,7 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     "b40_scalar_subquery" ->
       """WITH c AS (SELECT o_orderkey, o_custkey, o_totalprice,
-        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders),
         |st AS (SELECT sum(cents) AS sc, count(*) AS n FROM c)
         |SELECT o_orderkey, o_custkey, o_totalprice FROM c, st
         |WHERE cents * 2 * n > 3 * sc ORDER BY o_orderkey""".stripMargin,
@@ -1478,10 +1481,11 @@ object SparkEntry {
     "c35_source_reputation" -> ((s, d) =>
       // domain-level curation: drop every document from sources whose MEAN
       // quality is below 0.395 (cutoff sits in a clear gap between source
-      // means at the test SFs); exact nano-sum aggregation so the gate is
-      // order- and engine-reproducible
+      // means at the test SFs); integer-exact end-to-end — pure-rational
+      // nano score (no round() on doubles), long sums, integer gate — so
+      // the result is bit-identical in any engine, any DuckDB version
       Pipeline.sourceReputation(t(s, d, "documents"), "source", "doc_id",
-          Text.qualityScore(col("text")), minMean = 0.395)
+          Text.qualityScoreNano(col("text")), minMeanNano = 395000000L)
         .orderBy(col("doc_id"))),
 
     "c36_incremental_dedup" -> ((s, d) =>
@@ -1582,21 +1586,22 @@ object SparkEntry {
         |tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 != 7)
         |SELECT DISTINCT tr.doc_id FROM tr JOIN e USING (g) ORDER BY doc_id""".stripMargin,
     "c35_source_reputation" ->
-      // per-row score identical to c09 (bitwise — c09's raw-double hash
-      // match proves it); then exact integer nano-sums per source so the
-      // aggregate is order-independent in both engines
+      // integer-exact mirror of Text.qualityScoreNano: score is the
+      // rational (50d + 20s + 3*min(L,10n)) / (100n) in integer counts,
+      // so round-half-up nanos = (num*1e9 + 50n) // (100n) in pure BIGINT
+      // arithmetic — no doubles, no round(), nothing any DuckDB version
+      // can evaluate differently; the gate is likewise all-integer
       """WITH q AS (
         |  SELECT doc_id, source,
-        |    CAST(round((
-        |      (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 0.5
-        |      + (CAST(len(list_filter(t, tk -> tk IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 0.2
-        |      + least(CAST(list_sum(list_transform(t, tk -> length(tk))) AS DOUBLE) / CAST(len(t) AS DOUBLE) / 10.0, 1.0) * 0.3
-        |    ) * 1000000000.0) AS BIGINT) AS qn
+        |    ((50 * len(list_distinct(t))
+        |      + 20 * len(list_filter(t, tk -> tk IN ('the','a','of','and','to','in','is','it')))
+        |      + 3 * least(CAST(list_sum(list_transform(t, tk -> length(tk))) AS BIGINT), 10 * len(t)))
+        |     * 1000000000 + 50 * len(t)) // (100 * len(t)) AS qn
         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)),
         |rep AS (
         |  SELECT source, sum(qn) AS src_sum_nano, count(*) AS src_docs
         |  FROM q GROUP BY source
-        |  HAVING CAST(sum(qn) AS DOUBLE) >= CAST(0.395 AS DOUBLE) * 1000000000.0 * CAST(count(*) AS DOUBLE))
+        |  HAVING sum(qn) >= 395000000 * count(*))
         |SELECT q.doc_id, q.source, rep.src_sum_nano, rep.src_docs
         |FROM q JOIN rep USING (source) ORDER BY doc_id""".stripMargin,
     "c36_incremental_dedup" -> (shingleCte +

@@ -127,4 +127,31 @@ object Text {
     val meanLen = aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / n
     distinctRatio * 0.5 + stopRatio * 0.2 + least(meanLen / 10.0, lit(1.0)) * 0.3
   }
+
+  /** [[qualityScore]] scaled to integer nanos with NO doubles anywhere —
+    * the form safe to feed cross-engine aggregates ([[graft.operators
+    * .Pipeline.sourceReputation]]). The blend is a rational in per-doc
+    * integer counts (d distinct tokens, s stopwords, L total chars,
+    * n tokens):
+    *
+    *   score = d/n·0.5 + s/n·0.2 + min(L/(10n), 1)·0.3
+    *         = (50·d + 20·s + 3·min(L, 10n)) / (100·n)
+    *
+    * so round-half-up nanos are `(num·10⁹ + den/2) div den` in pure BIGINT
+    * arithmetic (num ≤ 100n ⇒ num·10⁹ ≤ 10¹¹·n — no overflow for any
+    * realistic document). Unlike `round(score·10⁹)` on an IEEE double —
+    * whose half-ulp behavior differs between Spark's BigDecimal.valueOf
+    * (shortest-decimal) rounding and C-family engines rounding the binary
+    * double — this is integer-exact, so every engine produces the same
+    * long bit-for-bit. Agrees with the double form except within ~1e-7
+    * nanos of a .5 boundary (equality on the testdata is unit-asserted). */
+  def qualityScoreNano(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("long")
+    val d = size(array_distinct(toks)).cast("long")
+    val s = countIn(toks, stopwordsEn).cast("long")
+    val chars = aggregate(toks, lit(0L), (a, t) => a + length(t))
+    val num = lit(50L) * d + lit(20L) * s + lit(3L) * least(chars, lit(10L) * n)
+    call_function("div", num * lit(1000000000L) + lit(50L) * n, lit(100L) * n)
+  }
 }

@@ -279,26 +279,27 @@ object Pipeline {
 
   /** Source-level reputation gate (the curation stage that drops whole
     * domains/feeds rather than individual documents): keep documents whose
-    * SOURCE's mean quality clears `minMean`. The per-source aggregate uses
-    * exact integer nano-sums — each row's score is rounded to 1e-9 once
-    * (deterministic per row), then summed as longs — because a distributed
-    * `avg(double)` is not order-reproducible (partial-aggregation tree
-    * order changes the IEEE rounding), and this operator's output must be
-    * bit-identical across engines and relayouts. The mean test is
-    * `sum_nano ≥ minMean·1e9·n`, all-integer on the left.
+    * SOURCE's mean quality clears `minMeanNano` (mean scaled to 1e-9).
+    * Integer-exact end-to-end: `scoreNano` must already be an exact long
+    * (e.g. [[graft.functions.Text.qualityScoreNano]] — a pure-rational
+    * integer form, never `round()` of a double, whose half-ulp behavior
+    * differs between engines), sums are longs — a distributed `avg(double)`
+    * is not order-reproducible (partial-aggregation tree order changes the
+    * IEEE rounding) — and the mean test is `sum_nano ≥ minMeanNano·n` with
+    * both sides integers, so the gate is bit-identical across engines and
+    * relayouts with no floating point anywhere.
     *
     * Scale: one partial-aggregated groupBy to the |sources|-row reputation
     * table (tiny — domains, not documents), broadcast back, narrow filter.
     * The per-doc score is computed once, inside the same scan. */
   def sourceReputation(df: DataFrame, sourceCol: String, idCol: String,
-                       score: Column, minMean: Double): DataFrame = {
-    require(minMean >= 0, s"minMean must be non-negative, got $minMean")
+                       scoreNano: Column, minMeanNano: Long): DataFrame = {
+    require(minMeanNano >= 0, s"minMeanNano must be non-negative, got $minMeanNano")
     val q = df.select(col(idCol), col(sourceCol),
-      round(score * lit(1.0e9)).cast("long").as("qn"))
+      scoreNano.cast("long").as("qn"))
     val rep = q.groupBy(col(sourceCol))
       .agg(sum(col("qn")).as("src_sum_nano"), count(lit(1)).as("src_docs"))
-      .where(col("src_sum_nano").cast("double") >=
-        lit(minMean) * lit(1.0e9) * col("src_docs").cast("double"))
+      .where(col("src_sum_nano") >= lit(minMeanNano) * col("src_docs"))
     q.join(broadcast(rep), sourceCol)
       .select(col(idCol), col(sourceCol), col("src_sum_nano"), col("src_docs"))
   }

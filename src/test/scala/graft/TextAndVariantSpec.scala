@@ -57,6 +57,22 @@ class TextAndVariantSpec extends SparkSpec {
     assert(q.values.forall(v => v > 0 && v <= 1.0))
   }
 
+  test("qualityScoreNano equals round(qualityScore*1e9) away from half-ulp boundaries") {
+    // the integer-exact rational form must agree with the legacy double
+    // round everywhere the double isn't within ~an ulp of a .5 nano
+    // boundary; on the real testdata no doc sits on a boundary, so the
+    // agreement is exact — and the nano form is what c35 aggregates
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cmp = real.unionByName(docs.withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("source", lit("inline")), allowMissingColumns = true)
+      .select(
+        round(Text.qualityScore(col("text")) * lit(1.0e9)).cast("long").as("legacy"),
+        Text.qualityScoreNano(col("text")).as("nano"))
+    assert(cmp.where(col("legacy") =!= col("nano")).count() === 0)
+    // and the nano form is bounded like the score itself
+    assert(cmp.where(col("nano") < 0 || col("nano") > 1000000000L).count() === 0)
+  }
+
   test("union2 tagged struct: exactly one branch non-null; case/cast") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "x", 10.0), (2L, "y", 20.0)).toDF("id", "t", "v")
