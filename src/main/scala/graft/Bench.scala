@@ -2,6 +2,102 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+
+  /** Result of the adaptive min-of-runs schedule: per-query best times
+    * (-1 = failed in some run — failures dominate, they never masquerade as
+    * fast queries), number of FULL passes completed, per-pass sums and wall
+    * timestamps, and the queries re-timed by the outlier rounds. */
+  final case class Outcome(
+      best: Seq[(String, Double)],
+      runs: Int,
+      passSums: Seq[Double],
+      passEnds: Seq[Double],
+      retimed: Seq[String])
+
+  /** Adaptive min-of-runs scheduler — pure (runner + clock injected) so the
+    * stall scenario is unit-testable without a stalling host.
+    *
+    * This container exhibits host-level stall windows (vCPU steal/pauses):
+    * in back-to-back runs of identical code, random CONTIGUOUS stretches of
+    * queries measure 10-70 s that standalone re-runs complete in <2 s, and
+    * the slow set moves between runs. Min-of-N is the standard estimator for
+    * the deterministic cost under one-sided noise — but r4's all-or-nothing
+    * pass-2 guard inverted it: a stall-contaminated pass 1 consumed the
+    * budget, so exactly when the host misbehaved, the contaminated numbers
+    * shipped as the official record (BENCH_r04: runs:1, 1168 s that
+    * standalone re-runs completed at ~1/20th). The fix:
+    *
+    *   1. full pass 1;
+    *   2. full pass 2 only if `elapsed + margin·pass1 + slack < budget`
+    *      (margin covers pass-to-pass variance so pass 2 can't blow the
+    *      harness timeout the guard exists to avoid);
+    *   3. then — whether or not pass 2 ran — up to `maxRetimeRounds` rounds
+    *      of OUTLIER re-timing: queries whose current best exceeds
+    *      `max(outlierFloorSec, medianFactor · family-median-of-bests)`,
+    *      re-run cheapest-first while the per-query budget guard
+    *      `elapsed + margin·best + slack < budget` holds. Re-timing the
+    *      handful of stall-contaminated queries costs seconds once the host
+    *      is calm again, and the per-query guard bounds the damage when it
+    *      isn't. A second round only catches re-times that themselves
+    *      stalled; each query is re-timed at most once per round, so
+    *      genuinely-expensive queries waste at most `maxRetimeRounds` extra
+    *      runs of their true cost.
+    *
+    * Failures are sticky: a query that failed in any run reports -1 and is
+    * excluded from outlier selection and family medians. */
+  def adaptiveMin(names: Seq[String], run: String => Double,
+                  elapsed: () => Double, budgetSec: Double,
+                  margin: Double = 1.3, slackSec: Double = 30.0,
+                  outlierFloorSec: Double = 2.0, medianFactor: Double = 3.0,
+                  maxRetimeRounds: Int = 2): Outcome = {
+    val order = names.sorted
+    val best = scala.collection.mutable.HashMap[String, Double]()
+    val failed = scala.collection.mutable.Set[String]()
+    val passSums = scala.collection.mutable.ArrayBuffer[Double]()
+    val passEnds = scala.collection.mutable.ArrayBuffer[Double]()
+    val retimed = scala.collection.mutable.ArrayBuffer[String]()
+    def record(name: String, t: Double): Unit =
+      if (t < 0) failed += name
+      else best.get(name) match {
+        case Some(p) => if (t < p) best(name) = t
+        case None => best(name) = t
+      }
+    def fullPass(): Double = {
+      var sum = 0.0
+      order.foreach { n => val t = run(n); record(n, t); if (t >= 0) sum += t }
+      passSums += sum; passEnds += elapsed(); sum
+    }
+    val pass1Sum = fullPass()
+    var passes = 1
+    if (elapsed() + margin * pass1Sum + slackSec < budgetSec) {
+      fullPass(); passes = 2
+    }
+    var round = 0
+    var outOfBudget = false
+    while (round < maxRetimeRounds && !outOfBudget) {
+      val ok = order.filter(n => !failed(n) && best.contains(n))
+      val famMedian = ok.groupBy(_.take(1)).map { case (f, qs) =>
+        val s = qs.map(best(_)).sorted
+        f -> s(s.size / 2)
+      }
+      val outliers = ok
+        .filter(n => best(n) > math.max(outlierFloorSec, medianFactor * famMedian(n.take(1))))
+        .sortBy(best(_))
+      if (outliers.isEmpty) { round = maxRetimeRounds }
+      else {
+        outliers.foreach { n =>
+          if (!outOfBudget && elapsed() + margin * best(n) + slackSec < budgetSec) {
+            record(n, run(n)); retimed += n
+          } else outOfBudget = true
+        }
+        round += 1
+      }
+    }
+    Outcome(
+      order.map(n => n -> (if (failed(n) || !best.contains(n)) -1.0 else best(n))),
+      passes, passSums.toSeq, passEnds.toSeq, retimed.toSeq)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -13,8 +109,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // wall budget for the WHOLE main (default 15 min), clock started before
     // the warmup — the warmup is several minutes of the wall the harness
-    // sees, so a budget that excluded it could still let pass 2 blow the
-    // harness timeout and lose ALL output
+    // sees, so a budget that excluded it could still let the timed work blow
+    // the harness timeout and lose ALL output
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "900").toLong
     val mainStart = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - mainStart) / 1e9
@@ -46,50 +142,31 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
-    // Two timed passes, report the per-query MIN. This container exhibits
-    // host-level stall windows (vCPU steal/pauses): in back-to-back runs of
-    // identical code, random CONTIGUOUS stretches of queries measure 10-70 s
-    // that standalone re-runs complete in <2 s, and the slow set moves
-    // between runs — classic virtualization noise, not engine work. Min-of-N
-    // is the standard estimator for the deterministic cost under one-sided
-    // noise; both pass sums are reported alongside so the one-time cache
-    // builds (attributed to pass 1) and any stall windows stay visible.
-    def timedPass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-        // failures are reported as -1 so they can't masquerade as fast queries
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    def runOne(name: String): Double = {
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
       }
-    // the second pass is skipped rather than risking a harness timeout
-    // that loses all output: estimate it at pass-1 cost against the time
-    // left in the whole-main budget (warmup included via elapsedSec)
-    val pass1Start = elapsedSec
-    val pass1 = timedPass()
-    val pass1Sec = elapsedSec - pass1Start
-    val runPass2 = elapsedSec + pass1Sec < budgetSec
-    val passes = if (runPass2) Seq(pass1, timedPass()) else Seq(pass1)
-    // per-query min of the passes, except failures (-1) dominate: a query
-    // that failed in any pass is reported failed
-    val results = pass1.map { case (name, _) =>
-      val vs = passes.map(_.toMap.getOrElse(name, -1.0))
-      name -> (if (vs.exists(_ < 0)) -1.0 else vs.min)
     }
-    val passSums = passes.map(_.map(_._2).filter(_ >= 0).sum)
+    val out = adaptiveMin(SparkEntry.queries.keys.toSeq, runOne,
+      () => elapsedSec, budgetSec.toDouble)
+    val results = out.best
     def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // Output layout (the harness captures only a bounded TAIL of stdout, so
     // the machine-readable summary must be the LAST and SHORTEST line):
     //   1. one {"family":...} detail line per query family, full query
     //      names, 3-decimal secs — human/archival record; may be truncated
     //      away by the tail capture, that's fine;
-    //   2. ONE final {"metric":"total",...} line, compact: per-query times
-    //      keyed by the unique short prefix (a01..a27, b01..b36, c01..c30 —
-    //      prefixes are unique by construction; full names are on the
-    //      family lines and in BASELINE.md), plus per-family subtotals so
-    //      operator-work deltas aren't drowned by query-count growth.
-    // The final line is ~1.2 KB — well inside the capture window — and is
+    //   2. one {"retimed":...} detail line listing the outlier re-runs;
+    //   3. ONE final {"metric":"total",...} line, compact: per-query times
+    //      keyed by the unique short prefix (a01.., b01.., c01.. — prefixes
+    //      are unique by construction; full names are on the family lines
+    //      and in BASELINE.md), per-family subtotals, full-pass count +
+    //      sums + wall timestamps, retime count, and the heap — enough to
+    //      run a thrash-vs-stall post-mortem from the artifact alone.
+    // The final line is ~1.3 KB — well inside the capture window — and is
     // the only line starting with {"metric", so a parser scanning for the
     // summary cannot pick up a detail line instead.
     def family(name: String): String = name.take(1)
@@ -99,6 +176,7 @@ object Bench {
           .mkString("{", ",", "}")
         println(s"""{"family":"$fam","queries":$body}""")
     }
+    println(s"""{"retimed":${out.retimed.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
     val shortQs = results.sortBy(_._1)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
       .mkString("{", ",", "}")
@@ -107,8 +185,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    val sums = passSums.map(f).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"failed":$failed,"runs":${passes.size},"pass_sums":$sums,"families":$fams,"queries":$shortQs,"sf":"$sfDir"}""")
+    val sums = out.passSums.map(f).mkString("[", ",", "]")
+    val ends = out.passEnds.map(f).mkString("[", ",", "]")
+    val heapMb = Runtime.getRuntime.maxMemory() / (1L << 20)
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"failed":$failed,"runs":${out.runs},"pass_sums":$sums,"pass_ends":$ends,"retimes":${out.retimed.size},"heap_mb":$heapMb,"families":$fams,"queries":$shortQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
