@@ -944,6 +944,28 @@ object SparkEntry {
       oc.where(col("cents") * lit(2L) * n > lit(3L) * sumCents)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    "b42_stream_interval_join" -> ((s, d) => {
+      // stream-stream interval join, batch parity: every click within
+      // 30 minutes AFTER a view by the same user. The SAME operator
+      // (Streams.streamIntervalJoin — watermarks + time-range condition)
+      // runs on live streams with bounded state; on these static frames
+      // the watermark is a no-op and the plan is an equi-join on user_id
+      // with the range as post-filter (plan-asserted no-BNLJ). Timestamps
+      // are µs-precision so interval arithmetic agrees exactly with the
+      // oracle.
+      val e = t(s, d, "events")
+      val views = e.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("view_ts"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      Streams.streamIntervalJoin(views, clicks, "user_id",
+          "view_ts", "click_ts", window = "30 minutes", delay = "10 minutes")
+        .select(col("view_id"), col("user_id"), col("click_id"))
+        .orderBy(col("view_id"), col("click_id"))
     }))
 
   private val bOracles: Map[String, String] = Map(
@@ -994,6 +1016,13 @@ object SparkEntry {
         |         WHERE s_nationkey = n.n_nationkey
         |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t
         |ORDER BY n.n_name, t.s_acctbal DESC, t.s_name""".stripMargin,
+    "b42_stream_interval_join" ->
+      """SELECT v.event_id AS view_id, v.user_id, c.event_id AS click_id
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = v.user_id
+        |  AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 30 MINUTE
+        |ORDER BY view_id, click_id""".stripMargin,
     "b01_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -230,6 +230,38 @@ object Streams {
       }
   }
 
+  /** Stream-stream event-time interval join — the impressions ⋈ clicks
+    * shape (SURVEY.md §8 roadmap item 5): every (left, right) pair with
+    * equal `keyCol` and `rightTs ∈ [leftTs, leftTs + window)`. Both sides
+    * carry watermarks, and that plus the time-range predicate is what lets
+    * Spark BOUND the join state: from the condition it derives per-side
+    * state watermarks — a buffered left row is evictable once the global
+    * watermark passes `leftTs + window`, a right row once it passes
+    * `rightTs` — so a 1000-executor job holds only the in-flight window of
+    * both streams, not their history. (Without the range predicate,
+    * stream-stream inner-join state grows forever; the watermark alone
+    * does not bound it.) StreamingSpec asserts the eviction actually
+    * happens: state rows drop once the watermark passes the buffered pairs.
+    *
+    * Unified API: on static frames `withWatermark` is a no-op and the plan
+    * is a plain equi-join on `keyCol` with the range as a post-filter (the
+    * selective-equality-key shape `Intervals` documents as safe; b42's
+    * batch-parity oracle runs exactly this, plan-asserted no-BNLJ). The
+    * two ts columns must be distinctly named; `keyCol` may be same-named
+    * on both sides (resolved by frame reference, right copy dropped). */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                         leftTs: String, rightTs: String,
+                         window: String, delay: String): DataFrame = {
+    require(leftTs != rightTs,
+      s"ts columns must be distinctly named, both are '$leftTs'")
+    val l = left.withWatermark(leftTs, delay)
+    val r = right.withWatermark(rightTs, delay)
+    l.join(r, l(keyCol) === r(keyCol) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) < col(leftTs) + expr(s"INTERVAL $window"))
+      .drop(r(keyCol))
+  }
+
   /** Stream decontamination against a STATIC Bloom bitmap: drop every
     * stream row whose `hashCol` probes positive in `bits` (built batch-side
     * over the eval corpus with [[graft.functions.Bloom.build]] and embedded

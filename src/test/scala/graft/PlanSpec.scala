@@ -101,6 +101,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("__bin"), s"bin key missing from join:\n$plan")
   }
 
+  test("stream interval join in batch parity is an equi-join on the key — no nested loop") {
+    val plan = physicalPlan(SparkEntry.queries("b42_stream_interval_join")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join fell back to an unblocked O(n²) plan:\n$plan")
+    assert(plan.contains("user_id"), s"equi key missing from join:\n$plan")
+  }
+
   test("bucketed fact-fact join plans zero exchanges below the join") {
     val plan = physicalPlan(SparkEntry.queries("b37_bucketed_join")(spark, sf))
     assert(plan.contains("SortMergeJoin"), s"merge-hinted bucketed join missing:\n$plan")

@@ -9,6 +9,8 @@ import graft.streaming.Streams
   * transforms run on a MemoryStream with watermarks; stateful dedup drops
   * in-horizon duplicates. */
 case class Ev(event_id: Long, user_id: Long, event_type: String, value: Double, ts: Timestamp)
+case class Imp(imp_id: Long, user_id: Long, imp_ts: Timestamp)
+case class Clk(click_id: Long, user_id: Long, click_ts: Timestamp)
 
 class StreamingSpec extends SparkSpec {
 
@@ -105,6 +107,48 @@ class StreamingSpec extends SparkSpec {
       // user 2 session A closed by the 11:30 event
       val u2 = rows.filter(_.getLong(0) == 2L)
       assert(u2.length == 1 && u2(0).getLong(3) == 1L)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join emits in-window pairs and evicts state past the watermark") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val imps = MemoryStream[Imp]
+    val clks = MemoryStream[Clk]
+    val out = Streams.streamIntervalJoin(imps.toDF(), clks.toDF(), "user_id",
+        "imp_ts", "click_ts", window = "30 minutes", delay = "10 minutes")
+      .select(col("imp_id"), col("click_id"))
+    val q = out.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      // user 1: click 10 min after the impression -> in window;
+      // user 2: click 45 min after -> outside; user 3: click, no impression
+      imps.addData(Imp(10, 1, ts(0)), Imp(11, 2, ts(0)))
+      clks.addData(Clk(20, 1, ts(10)), Clk(21, 2, ts(45)), Clk(22, 3, ts(5)))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT imp_id, click_id FROM ssjoin ORDER BY imp_id, click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((10L, 20L)))
+      // Advance BOTH watermarks far past the buffered rows (watermark =
+      // min over sources of max event - delay), then run one more batch:
+      // eviction uses the watermark fixed at the END of the prior batch.
+      val far = Timestamp.valueOf("2024-01-01 13:00:00")
+      imps.addData(Imp(12, 9, far)); clks.addData(Clk(23, 9, far))
+      q.processAllAvailable()
+      imps.addData(Imp(13, 8, far)); clks.addData(Clk(24, 8, far))
+      q.processAllAvailable()
+      val st = q.lastProgress.stateOperators
+      assert(st.nonEmpty, "expected a stateful join operator in the progress")
+      // all 10:xx-era rows (5 of them) must be gone; only the recent rows
+      // (2 imps + 2 clicks at 13:00) may remain buffered
+      val total = st.map(_.numRowsTotal).sum
+      assert(total <= 4, s"join state not evicted past the watermark: $total rows")
+      val removed = q.recentProgress.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+      assert(removed >= 5, s"expected the early rows evicted, removed=$removed")
+      // the same-timestamp pairs joined (click_ts in [imp_ts, imp_ts+30m))
+      val all = s.sql("SELECT imp_id, click_id FROM ssjoin ORDER BY imp_id, click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(all == Seq((10L, 20L), (12L, 23L), (13L, 24L)))
     } finally q.stop()
   }
 
