@@ -1525,7 +1525,17 @@ object SparkEntry {
       // batch-touching pairs
       Dedup.incrementalMinhashPairs(docShingleSets(s, d),
           pmod(col("id"), lit(10)) === 3)
-        .orderBy(col("a"), col("b"))))
+        .orderBy(col("a"), col("b"))),
+
+    "c37_stream_dedup_parity" -> ((s, d) =>
+      // batch parity for the STREAMING near-dup detector: the same
+      // minhash signature-agreement criterion the stream checks in-state
+      // (n_agree >= 45 ⇔ est ≥ 0.7 exactly in IEEE doubles), arrival
+      // fixed to id order so the directed result is oracle-checkable;
+      // StreamingSpec asserts this query's semantics equal the live
+      // transformWithState operator's collected output
+      Dedup.signatureAgreementPairs(docShingleSets(s, d))
+        .orderBy(col("doc_id"), col("dup_of"))))
 
   private val shingleCte =
     """WITH s AS (
@@ -1640,6 +1650,35 @@ object SparkEntry {
         |WHERE (a.doc_id % 10 = 3 OR b.doc_id % 10 = 3)
         |  AND len(list_intersect(a.sh, b.sh)) >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))
         |ORDER BY a, b""".stripMargin),
+    "c37_stream_dedup_parity" ->
+      // full minhash replication: 60-bit md5 shingle hashes, the affine
+      // permutations h_i(x) = (a_i·x + b_i) mod P with the fixed-LCG
+      // constants (Dedup.coeffA/coeffB), banded 16×4, candidates = shared
+      // band, criterion = signature agreement on ≥ 45/64 permutations —
+      // pure integer arithmetic end to end (products < 2^62)
+      (shingleCte +
+      """,
+        |hs AS (SELECT doc_id, list_distinct(list_transform(sh, x ->
+        |        CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT))) AS hs FROM s),
+        |perm AS (SELECT i,
+        |        CASE WHEN (1103515245 * (i+1) + 12345) % 2147483647 = 0 THEN 1
+        |             ELSE (1103515245 * (i+1) + 12345) % 2147483647 END AS a,
+        |        (69069 * (i+1) + 1) % 2147483647 AS b
+        |        FROM generate_series(0, 63) g(i)),
+        |sig AS (SELECT h.doc_id, p.i,
+        |        min((p.a * (h.h % 2147483647) + p.b) % 2147483647) AS sg
+        |        FROM (SELECT doc_id, unnest(hs) AS h FROM hs) h CROSS JOIN perm p
+        |        GROUP BY h.doc_id, p.i),
+        |sigl AS (SELECT doc_id, list(sg ORDER BY i) AS sig FROM sig GROUP BY doc_id),
+        |band AS (SELECT doc_id, gb.b AS bd, sig[gb.b*4+1 : gb.b*4+4] AS bs, sig
+        |         FROM sigl CROSS JOIN generate_series(0, 15) gb(b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sig AS siga, y.sig AS sigb
+        |         FROM band x JOIN band y ON x.bd = y.bd AND x.bs = y.bs AND x.doc_id < y.doc_id),
+        |pair AS (SELECT a, b,
+        |          len(list_filter(generate_series(1, 64), i -> siga[i] = sigb[i])) AS n_agree
+        |         FROM cand)
+        |SELECT b AS doc_id, a AS dup_of, CAST(n_agree AS INTEGER) AS n_agree
+        |FROM pair WHERE n_agree >= 45 ORDER BY doc_id, dup_of""".stripMargin),
     "c02_dedup_minhash" -> jaccardPairsSql,
     "c03_dedup_simhash" ->
       // 64-bit token hash taken as two positive 32-bit md5 halves (a single

@@ -172,6 +172,53 @@ object Dedup {
       .distinct()
   }
 
+  /** Batch parity of the STREAMING near-dup detector
+    * ([[graft.streaming.Streams.streamNearDupCandidates]] / c37): pairs
+    * sharing ≥1 LSH band whose minhash signatures agree on ≥ `minAgree`
+    * of `numPerm` permutations — the estimate a stream can check IN-STATE
+    * without a second pass (exact jaccard would need the earlier doc's
+    * shingle set; the stream's state deliberately keeps only the 64-long
+    * signature). Direction is arrival order in the stream; this batch
+    * form fixes arrival = id order, so the output is
+    * (doc_id = later, dup_of = earlier, n_agree). With the defaults,
+    * `n/64 ≥ 0.7` in IEEE doubles ⇔ `n ≥ 45` exactly (45/64 is the first
+    * representable value ≥ 0.7), so the integer criterion equals the
+    * streaming operator's double threshold — StreamingSpec asserts the
+    * equality against a live MemoryStream run.
+    *
+    * Scale: the banded-LSH shape of [[minhashPairsOf]] — shuffles only on
+    * (band, bandsig) and the pair distinct; hot buckets anti-joined off
+    * (the c36 cap); signatures ride the band rows so the agreement check
+    * runs in-stream with no re-join of a signature table (the c31
+    * lesson — ~0.5 KiB/band-row of extra shuffle instead of a second
+    * join over the whole corpus).
+    */
+  def signatureAgreementPairs(sets: DataFrame, numPerm: Int = 64,
+                              bands: Int = 16, minAgree: Int = 45,
+                              maxBucket: Int = 1000): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    require(minAgree >= 1 && minAgree <= numPerm, s"minAgree out of range: $minAgree")
+    val r = numPerm / bands
+    val banded = sets.withColumn("sig", minhashSignature(col("hs"), numPerm))
+      .select(col("id"), col("sig"), posexplode(
+        array((0 until bands).map(b =>
+          array_join(transform(slice(col("sig"), b * r + 1, r), _.cast("string")), "_")): _*)))
+      .toDF("id", "sig", "band", "bandsig")
+    val hot = banded.groupBy(col("band"), col("bandsig"))
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
+      .select(col("band"), col("bandsig"))
+    val ok = banded.join(broadcast(hot), Seq("band", "bandsig"), "left_anti")
+    ok.as("x").join(ok.as("y"),
+        col("x.band") === col("y.band") && col("x.bandsig") === col("y.bandsig") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("dup_of"), col("y.id").as("doc_id"),
+        aggregate(zip_with(col("x.sig"), col("y.sig"),
+          (a, b) => (a === b).cast("int")), lit(0), _ + _).as("n_agree"))
+      .where(col("n_agree") >= minAgree)
+      .distinct()
+      .select(col("doc_id"), col("dup_of"), col("n_agree"))
+  }
+
   /** Exact n-gram jaccard similarity join via inverted index (the
     * scalable exact path next to minhash's approximate one).
     *

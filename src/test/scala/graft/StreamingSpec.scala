@@ -238,6 +238,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup output equals the c37 batch parity query") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again " +
+        "every single day without fail in the morning"
+      val docs = Seq(
+        1L -> base,
+        2L -> "completely unrelated text about distributed query planning on spark clusters",
+        3L -> (base + " extra"), // near-dup of 1
+        4L -> base,              // exact dup of 1 (n_agree = 64)
+        5L -> "another unrelated document with entirely different words throughout")
+      val mem = MemoryStream[(Long, String)]
+      val out = Streams.streamNearDupCandidates(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", threshold = 0.7)
+        .toDF("doc_id", "dup_of", "est")
+      val q = out.writeStream.format("memory").queryName("sigparity")
+        .outputMode("append").start()
+      try {
+        // one micro-batch per doc in id order: arrival order == id order,
+        // which is exactly the assumption c37's batch form encodes
+        docs.foreach { case (id, t) => mem.addData((id, t)); q.processAllAvailable() }
+        // est = n_agree/64 exactly (64 = 2^6, so the double is exact);
+        // one emission per agreeing band -> DISTINCT
+        val streamed = s.sql(
+          "SELECT DISTINCT doc_id, dup_of, CAST(round(est * 64) AS INT) AS n_agree FROM sigparity")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        val batch = graft.operators.Dedup.signatureAgreementPairs(
+            graft.operators.Dedup.shingleSets(docs.toDF("doc_id", "text"), "doc_id", "text"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        assert(batch.nonEmpty, "fixture produced no near-dup pairs")
+        assert(batch.exists(_._3 == 64), "expected the exact dup at full agreement")
+        assert(streamed == batch, s"stream $streamed != batch $batch")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming bloom decontamination drops eval-tainted rows, keeps the rest") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
