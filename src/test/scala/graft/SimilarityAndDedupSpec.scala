@@ -430,4 +430,48 @@ class SimilarityAndDedupSpec extends SparkSpec {
     val recall = lsh.toSet.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.85, f"banded-LSH pair recall: $recall%.3f")
   }
+
+  test("banded-LSH at the production operating point (cos>=0.8, bits=8/tables=16) recalls >=0.95") {
+    // The testdata embeddings are near-isotropic (max pair cosine ~0.5), so
+    // the production threshold has no qualifying pairs there; plant them.
+    // Deterministic synthetic corpus: independent pseudo-random base
+    // vectors (splitmix64 finalizer — a bare multiplicative hash on
+    // sequential seeds is a Weyl sequence whose vectors correlate heavily;
+    // caught when the 'ground truth' came out 300x the planted set) plus
+    // perturbed near-dups v + eps*u with eps in [0.25, 0.70) => planted
+    // cosines span ~[0.83, 0.97] — including pairs near the threshold,
+    // not just easy ones. Independence math predicts 1-(1-p^8)^16 >= 0.94
+    // at cos 0.8 exactly and ~0.996 at cos 0.9; the mix must land >= 0.95
+    // (docs/PLANS.md records the measured value).
+    val s = spark; import s.implicits._
+    def h(seed: Long): Float = {
+      var z = seed + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (((z >>> 11).toDouble / (1L << 53).toDouble) * 2 - 1).toFloat
+    }
+    val nBase = 1500; val nDup = 400; val dim = 64
+    val base = (0 until nBase).map { i =>
+      (i.toLong, (0 until dim).map(k => h(i.toLong * dim + k + 1)).toArray)
+    }
+    val dups = (0 until nDup).map { i =>
+      val eps = 0.25f + 0.45f * (i % 10) / 10f
+      val u = (0 until dim).map(k => h((i + 100000L) * dim + k + 7))
+      ((nBase + i).toLong, base(i)._2.zip(u).map { case (a, b) => a + eps * b })
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingPairs(emb, "vec_id", "embedding", threshold = 0.8)
+      .select(col("a"), col("b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all planted pairs qualify; random 64-dim base pairs sit ~6 sigma
+    // below 0.8, so the ground truth is essentially the planted set
+    assert(exact.size >= nDup * 9 / 10, s"ground truth too small: ${exact.size}")
+    val lsh = Dedup.embeddingLshPairs(emb, "vec_id", "embedding",
+        threshold = 0.8, dim = dim, bits = 8, tables = 16)
+      .select(col("a"), col("b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH output must be exact-verified (subset of exact)")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    info(f"production-point recall: ${lsh.size}/${exact.size} = $recall%.4f")
+    assert(recall >= 0.95, f"recall at bits=8/tables=16, cos>=0.8: $recall%.4f")
+  }
 }
