@@ -124,6 +124,16 @@ object Dedup {
     * at the c02 operating point (numPerm=64, bands=16: recall ≥ 99.98% at
     * j=0.8) the result equals the exact jaccard join restricted to pairs
     * touching the batch.
+    *
+    * Cache retention contract: the batch's banded signatures are persisted
+    * and INTENTIONALLY not unpersisted here — builders are lazy (PlanSpec
+    * forbids actions), so there is no materialization point to unpersist
+    * after. Retention is bounded: Spark's CacheManager keys cache entries
+    * by canonicalized plan, so re-invocations over the same (sets, isNew)
+    * share one spill-safe MEMORY_AND_DISK entry, and a batch index is small
+    * by definition. A long-lived service cycling many distinct corpora
+    * should `spark.catalog.clearCache()` between corpus versions (the same
+    * contract as the shared shingle index in [[minhashPairs]]).
     */
   def incrementalMinhashPairs(sets: DataFrame, isNew: Column,
                               numPerm: Int = 64, bands: Int = 16,

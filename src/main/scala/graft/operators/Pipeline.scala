@@ -319,6 +319,15 @@ object Pipeline {
     * at least one shingle with any eval doc. Takes a prebuilt `(id, hs)`
     * shingle index (use a longer n-gram than the dedup index — 5-8 words —
     * so a hit means copied text, not a common phrase).
+    *
+    * Cache retention contract: the eval shingle universe is persisted and
+    * INTENTIONALLY not unpersisted here — builders are lazy (PlanSpec
+    * forbids actions), so there is no materialization point to unpersist
+    * after. Retention is bounded: Spark's CacheManager keys entries by
+    * canonicalized plan, so re-invocations over the same (sets, isEval)
+    * share one spill-safe MEMORY_AND_DISK entry, and the eval universe is
+    * the small side by construction. A long-lived service cycling many
+    * distinct eval sets should `spark.catalog.clearCache()` between them.
     */
   def bloomContaminated(sets: DataFrame, isEval: Column,
                         mBits: Int = 1 << 20, k: Int = 5): DataFrame = {

@@ -130,10 +130,17 @@ object Formats {
     * bucket ≈ one task's worth of data at the target scale (hundreds to
     * thousands on a cluster; small here so local[32] still fills tasks).
     *
-    * The catalog entry is session-scoped (in-memory catalog) while the
-    * files are durable; a fresh session re-registers by rewriting — the
-    * overwrite is idempotent and keeps catalog metadata and files in one
-    * consistent unit without assuming a shared external metastore.
+    * Lifetime invariant (asserted by ScaleSpec's two-session test): the
+    * catalog registration lives in the JVM's SharedState external catalog —
+    * shared by every session of the application, including `newSession`
+    * clones ([[graft.operators.Sessions.isolated]]) — and the files live in
+    * an application-id-keyed scratch dir deleted at JVM exit. Registration
+    * and files therefore have exactly the same (application) lifetime: a
+    * second session of the same app sees `tableExists` and reuses the
+    * files without rewriting (it could otherwise overwrite buckets the
+    * first session is mid-read on), and a fresh application starts with
+    * both an empty catalog and a fresh scratch dir and rewrites under its
+    * own app id. No shared external metastore is assumed.
     */
   def bucketedTable(spark: SparkSession, purpose: String, inDir: String,
                     df: => DataFrame, key: String, buckets: Int): DataFrame = {

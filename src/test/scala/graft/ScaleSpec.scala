@@ -36,6 +36,29 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("bucketedTable: a second session of the same app reuses the files, never rewrites") {
+    // The lifetime invariant from Formats.bucketedTable's scaladoc: catalog
+    // registration (SharedState, JVM-wide) and files (app-id-keyed scratch)
+    // share the application lifetime, so a newSession clone — the
+    // Sessions.isolated shape — must see tableExists and NOT overwrite
+    // buckets the first session may be mid-read on.
+    val s1 = spark
+    def build(s: org.apache.spark.sql.SparkSession) =
+      graft.sources.Formats.bucketedTable(s, "xsess", sf,
+        Tables.t(s, sf, "orders").select(col("o_orderkey"), col("o_custkey")),
+        "o_custkey", 4)
+    val n1 = build(s1).count()
+    val succ = new java.io.File(
+      graft.sources.Formats.scratchDir(s1, "bkt_xsess", sf), "_SUCCESS")
+    assert(succ.exists(), s"bucketed write left no success marker at $succ")
+    val mtime = succ.lastModified()
+    Thread.sleep(1100) // some filesystems stamp mtime at 1 s granularity
+    val s2 = s1.newSession()
+    assert(build(s2).count() == n1)
+    assert(succ.lastModified() == mtime,
+      "second session rewrote the bucketed files instead of reusing the registration")
+  }
+
   test("AQE splits a skewed join partition at runtime") {
     val s = spark; import s.implicits._
     val prev = Map(
