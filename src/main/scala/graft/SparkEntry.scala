@@ -946,6 +946,35 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    "b43_window_dist" -> ((s, d) => {
+      // distribution window functions (ntile / percent_rank / cume_dist)
+      // complete the §2B window surface next to rank (b09), frames
+      // (b10/b27), nav (b32). Unique orderBy key ⇒ deterministic ranks;
+      // percent_rank/cume_dist are single IEEE divisions of exact integer
+      // rank/count, identical in any engine. One shuffle on the partition
+      // key, no driver state — the standard window shape at any scale.
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+      t(s, d, "orders").where(col("o_totalprice") > 150000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "b44_variant_json" -> ((s, d) =>
+      // Spark 4 VARIANT for semi-structured columns: parse_json once into
+      // the binary variant encoding, then typed-path extraction via
+      // variant_get — the shredding-friendly successor to re-parsing JSON
+      // strings per query with from_json (a20) / get_json_object. Narrow
+      // codegen'd pass, no shuffle; pushdown-friendly at rest once
+      // variant shredding lands in the writer.
+      t(s, d, "events")
+        .select(col("event_id"),
+          variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+        .where(col("k") >= 50)
+        .orderBy(col("event_id"))),
+
     "b42_stream_interval_join" -> ((s, d) => {
       // stream-stream interval join, batch parity: every click within
       // 30 minutes AFTER a view by the same user. The SAME operator
@@ -1023,6 +1052,22 @@ object SparkEntry {
         |  ON c.user_id = v.user_id
         |  AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 30 MINUTE
         |ORDER BY view_id, click_id""".stripMargin,
+    "b43_window_dist" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders WHERE o_totalprice > 150000
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "b44_variant_json" ->
+      // props is strictly {"k": int}, so a portable RE2 digit-run extract
+      // reproduces the typed variant_get path without requiring a JSON
+      // extension in the oracle engine
+      """SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(regexp_extract(props, '[0-9]+') AS BIGINT) >= 50
+        |ORDER BY event_id""".stripMargin,
     "b01_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
