@@ -1580,7 +1580,14 @@ object SparkEntry {
       // StreamingSpec asserts this query's semantics equal the live
       // transformWithState operator's collected output
       Dedup.signatureAgreementPairs(docShingleSets(s, d))
-        .orderBy(col("doc_id"), col("dup_of"))))
+        .orderBy(col("doc_id"), col("dup_of"))),
+
+    "c38_embedding_quantize" -> ((s, d) =>
+      // at-rest int8 compression for the embedding store: max-abs scaling,
+      // round-half-up via floor (bit-exact IEEE in every engine — never
+      // round()), reconstruction cosine bound-checked as a boolean
+      graft.operators.Ann.quantizeInt8(t(s, d, "embeddings"), "vec_id", "embedding")
+        .orderBy(col("vec_id"))))
 
   private val shingleCte =
     """WITH s AS (
@@ -1724,6 +1731,24 @@ object SparkEntry {
         |         FROM cand)
         |SELECT b AS doc_id, a AS dup_of, CAST(n_agree AS INTEGER) AS n_agree
         |FROM pair WHERE n_agree >= 45 ORDER BY doc_id, dup_of""".stripMargin),
+    "c38_embedding_quantize" ->
+      // identical arithmetic: scale = 127/max|v| (one IEEE division),
+      // q = floor(v*scale + 0.5) (exact), dequant = q/scale; the cosine
+      // round-trip check is a boolean bound so summation order is free
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+        |sc AS (SELECT vec_id, v, mx,
+        |        CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale FROM m),
+        |qz AS (SELECT vec_id, v, mx, scale,
+        |        list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS q FROM sc),
+        |dq AS (SELECT vec_id, v, mx, scale, q,
+        |        list_transform(q, x -> CASE WHEN scale > 0 THEN x / scale ELSE 0.0 END) AS d FROM qz)
+        |SELECT vec_id, scale, q,
+        |  CASE WHEN mx = 0 THEN TRUE
+        |       ELSE list_inner_product(v, d)
+        |            / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(d, d))) >= 0.995
+        |  END AS recon_ok
+        |FROM dq ORDER BY vec_id""".stripMargin,
     "c02_dedup_minhash" -> jaccardPairsSql,
     "c03_dedup_simhash" ->
       // 64-bit token hash taken as two positive 32-bit md5 halves (a single

@@ -180,4 +180,29 @@ object Ann {
       .where(col("rank") <= k)
       .select(col("query_id"), col("item_id"), col("cos"), col("rank"))
   }
+
+  /** Scalar int8 quantization of an embedding column — the at-rest
+    * compression step of a 100 TB vector pipeline (4× smaller than the
+    * float32 at rest; candidate generation — IVF lists, LSH buckets —
+    * reads the int8 codes, exact rerank fetches the originals for the
+    * few survivors). Per-vector max-abs scaling: `scale = 127/max|v_k|`
+    * maps the largest component to ±127; `q_k = floor(v_k·scale + 0.5)`
+    * — round-half-up spelled as floor, which is bit-exact IEEE in every
+    * engine, unlike `round()`, whose half-ulp handling is engine-specific
+    * (the c35 lesson). Zero vectors quantize to zeros with scale 0.
+    * `recon_ok` bound-checks the round trip (cosine(v, dequantized)
+    * ≥ 0.995; int8 on 64-dim sits ~0.9999) — a boolean bound absorbs
+    * summation-order variance, the b18 sketch pattern.
+    *
+    * Scale: narrow, shuffle-free, whole-stage-codegen'd single pass. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
+      .withColumn("mx", array_max(transform(col("v"), abs(_))))
+      .withColumn("scale", when(col("mx") > 0, lit(127.0) / col("mx")).otherwise(lit(0.0)))
+      .withColumn("q", transform(col("v"), x => floor(x * col("scale") + lit(0.5)).cast("int")))
+      .withColumn("dq", transform(col("q"),
+        x => when(col("scale") > 0, x / col("scale")).otherwise(lit(0.0))))
+      .select(col(idCol), col("scale"), col("q"),
+        when(col("mx") === 0, lit(true))
+          .otherwise(Similarity.cosine(col("v"), col("dq")) >= 0.995).as("recon_ok"))
 }
