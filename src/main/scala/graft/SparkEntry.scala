@@ -995,6 +995,28 @@ object SparkEntry {
           "view_ts", "click_ts", window = "30 minutes", delay = "10 minutes")
         .select(col("view_id"), col("user_id"), col("click_id"))
         .orderBy(col("view_id"), col("click_id"))
+    }),
+
+    "b45_join_full_outer" -> ((s, d) => {
+      // full outer join of two independently aggregated sides: customers
+      // with ≥1 big order vs customers in arrears. Full outer cannot
+      // broadcast either side (both must surface their unmatched rows),
+      // so the right plan at any scale is the shuffle-both-sides
+      // SortMergeJoin on the shared key — which is what Catalyst picks.
+      // Outer-side nulls are coalesced to sentinels (null-free output for
+      // the hash gate); side membership is kept as booleans.
+      val big = t(s, d, "orders").where(col("o_totalprice") > 400000)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+      val neg = t(s, d, "customer").where(col("c_acctbal") < 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      big.join(neg, col("o_custkey") === col("c_custkey"), "full_outer")
+        .select(
+          coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+          coalesce(col("n_big"), lit(0L)).as("n_big"),
+          col("n_big").isNotNull.as("has_big"),
+          col("c_acctbal").isNotNull.as("in_arrears"),
+          coalesce(col("c_acctbal"), lit(0.0)).as("acctbal"))
+        .orderBy(col("custkey"))
     }))
 
   private val bOracles: Map[String, String] = Map(
@@ -1052,6 +1074,17 @@ object SparkEntry {
         |  ON c.user_id = v.user_id
         |  AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 30 MINUTE
         |ORDER BY view_id, click_id""".stripMargin,
+    "b45_join_full_outer" ->
+      """WITH big AS (SELECT o_custkey, count(*) AS n_big FROM orders
+        |             WHERE o_totalprice > 400000 GROUP BY o_custkey),
+        |neg AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0)
+        |SELECT coalesce(o_custkey, c_custkey) AS custkey,
+        |  coalesce(n_big, 0) AS n_big,
+        |  n_big IS NOT NULL AS has_big,
+        |  c_acctbal IS NOT NULL AS in_arrears,
+        |  coalesce(c_acctbal, 0.0) AS acctbal
+        |FROM big FULL OUTER JOIN neg ON o_custkey = c_custkey
+        |ORDER BY custkey""".stripMargin,
     "b43_window_dist" ->
       """SELECT o_orderkey, o_orderpriority,
         |  ntile(4) OVER w AS quartile,
@@ -1320,6 +1353,16 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
       Ann.lshTopK(emb, queries, "vec_id", "embedding", dim = 64, bits = 5, k = 10)
+        .select(col("query_id"), col("item_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "c39_ann_int8_rerank" -> ((s, d) => {
+      // coarse int8-code scan → exact float rerank of the 50 survivors
+      // per query; see Ann.int8Rerank for the determinism + I/O story
+      val emb = t(s, d, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      Ann.int8Rerank(emb, queries, "vec_id", "embedding", k = 10, candidates = 50)
         .select(col("query_id"), col("item_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -1848,6 +1891,35 @@ object SparkEntry {
         |  SELECT query_id, item_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
         |  FROM cand) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "c39_ann_int8_rerank" ->
+      // identical arithmetic to Ann.int8Rerank: the int8 dot/norms are
+      // exact integers (≤ 64·127² ≪ 2⁵³ — exact even when folded in
+      // doubles, any order), the coarse score one fixed IEEE sequence
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+        |qz AS (SELECT vec_id, v,
+        |        list_transform(v, x -> CAST(floor(x * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END) + 0.5) AS BIGINT)) AS q
+        |       FROM m),
+        |n AS (SELECT vec_id, v, q,
+        |        CAST(list_inner_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[])) AS BIGINT) AS n2 FROM qz),
+        |qs AS (SELECT vec_id AS query_id, v AS qv, q AS qq, n2 AS qn2 FROM n WHERE vec_id < 5 AND n2 > 0),
+        |it AS (SELECT vec_id AS item_id, v AS iv, q AS iq, n2 AS in2 FROM n WHERE n2 > 0),
+        |coarse AS (
+        |  SELECT qs.query_id, it.item_id,
+        |    list_inner_product(CAST(it.iq AS DOUBLE[]), CAST(qs.qq AS DOUBLE[]))
+        |      / (sqrt(CAST(it.in2 AS DOUBLE)) * sqrt(CAST(qs.qn2 AS DOUBLE))) AS icos
+        |  FROM it JOIN qs ON it.item_id != qs.query_id),
+        |surv AS (SELECT query_id, item_id FROM (
+        |  SELECT query_id, item_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY icos DESC, item_id) AS crank
+        |  FROM coarse) WHERE crank <= 50),
+        |ex AS (SELECT s.query_id, s.item_id,
+        |    round(list_cosine_similarity(it.iv, qs.qv), 6) AS cos
+        |  FROM surv s JOIN it ON it.item_id = s.item_id JOIN qs ON qs.query_id = s.query_id)
+        |SELECT query_id, item_id, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT query_id, item_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
+        |  FROM ex) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "c23_split_assign" ->
       """SELECT doc_id,
         |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split

@@ -205,4 +205,60 @@ object Ann {
       .select(col(idCol), col("scale"), col("q"),
         when(col("mx") === 0, lit(true))
           .otherwise(Similarity.cosine(col("v"), col("dq")) >= 0.995).as("recon_ok"))
+
+  /** Quantized-rerank cascade ANN — the production pairing of
+    * [[quantizeInt8]]: the coarse pass ranks EVERY item by the cosine of
+    * its int8 codes (at rest this scan reads the 4×-smaller code column
+    * only), keeps the top `candidates` per query, and only those
+    * survivors fetch their float vectors for the exact rerank to top `k`.
+    * At 100 TB the win is I/O: the full-corpus pass touches codes, the
+    * float column is read for |queries|·candidates rows.
+    *
+    * Determinism (hash-oracle-safe): the int8 dot product and squared
+    * norms are exact integers (≤ dim·127² ≪ 2⁵³, so even an engine that
+    * folds them in doubles gets the exact value, in any order); the
+    * coarse score is then a fixed per-row IEEE sequence
+    * `dot / (sqrt(in2)·sqrt(qn2))` — identical in every engine — with
+    * ties broken by item_id. The exact stage reuses the c06 rerank shape.
+    *
+    * Plan: coarse stage is the audited bounded-broadcast pattern (tiny
+    * query-code side broadcast against the linear item scan, same as
+    * c06); survivors (|queries|·candidates rows) are broadcast back for
+    * the vector fetch, so the item table is never shuffled. The only
+    * shuffles are the two per-query top-k windows. */
+  def int8Rerank(items: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                 k: Int, candidates: Int): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    def toCodes(df: DataFrame, outId: String, q: String, n2: String): DataFrame =
+      df.select(col(idCol).as(outId), transform(col(vecCol), _.cast("double")).as("v"))
+        .withColumn("mx", array_max(transform(col("v"), abs(_))))
+        .withColumn("sc", when(col("mx") > 0, lit(127.0) / col("mx")).otherwise(lit(0.0)))
+        .withColumn(q, transform(col("v"), x => floor(x * col("sc") + lit(0.5)).cast("long")))
+        .withColumn(n2, aggregate(transform(col(q), x => x * x), lit(0L), _ + _))
+        .where(col(n2) > 0)
+        .select(col(outId), col(q), col(n2))
+
+    val ic = toCodes(items, "item_id", "iq", "in2")
+    val qc = toCodes(queries, "query_id", "qq", "qn2")
+    val coarse = ic.join(broadcast(qc), col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("item_id"),
+        (aggregate(zip_with(col("iq"), col("qq"), (x, y) => x * y), lit(0L), _ + _)
+          .cast("double")
+          / (sqrt(col("in2").cast("double")) * sqrt(col("qn2").cast("double")))).as("icos"))
+    val wc = Window.partitionBy("query_id").orderBy(col("icos").desc, col("item_id"))
+    val survivors = coarse.withColumn("crank", row_number().over(wc))
+      .where(col("crank") <= candidates)
+      .select(col("query_id"), col("item_id"))
+
+    val iv = items.select(col(idCol).as("item_id"), col(vecCol).as("iv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val exact = iv.join(broadcast(survivors), Seq("item_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("item_id"),
+        Similarity.cosineRounded(col("qv"), col("iv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("item_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("item_id"), col("cos"), col("rank"))
+  }
 }

@@ -143,6 +143,25 @@ class PlanSpec extends SparkSpec {
       s"EXISTS fell back to an unblocked join:\n$plan")
   }
 
+  test("full outer join is a shuffle-both-sides merge join (broadcast cannot surface unmatched rows)") {
+    val plan = physicalPlan(SparkEntry.queries("b45_join_full_outer")(spark, sf))
+    assert(plan.contains("FullOuter"), s"expected a FullOuter join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"full outer fell back to a nested loop:\n$plan")
+  }
+
+  test("int8-rerank cascade: one bounded query-side BNLJ; survivors broadcast back, items never shuffled") {
+    val plan = physicalPlan(SparkEntry.queries("c39_ann_int8_rerank")(spark, sf))
+    // coarse stage: the audited c06-shape bounded broadcast (tiny query codes)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length == 1,
+      s"expected exactly the one bounded coarse-stage BNLJ:\n$plan")
+    // exact stage: survivors + query vectors reach the item scan as broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(plan).length == 2,
+      s"expected two broadcast equi-joins in the exact stage:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"item table must never shuffle for a join:\n$plan")
+  }
+
   test("no query in the declared inventory collects to the driver") {
     // structural check: building every DataFrame must not trigger an action
     // (any collect-based operator would run here); constructing the plans on
