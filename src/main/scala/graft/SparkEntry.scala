@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.operators.{Ann, Dedup, Multimodal, Nested, Pipeline, Variant}
+import graft.operators.{Ann, Dedup, Multimodal, Nested, Pipeline, Scale, Variant}
 import graft.functions.{Similarity, Text}
 import graft.sources.Tables
 import graft.streaming.Streams
@@ -997,6 +997,47 @@ object SparkEntry {
         .orderBy(col("view_id"), col("click_id"))
     }),
 
+    "b47_salted_skew_join" -> ((s, d) => {
+      // lineitem ⋈ supplier through Scale.saltedJoin: the hot-key-proof
+      // shuffle shape (salt spreads each suppkey over 8 reducers; supplier
+      // replicated 8×). Salting is semantics-preserving, so the oracle is
+      // the PLAIN join — the strongest possible check that the rewrite
+      // changes only where rows move, never what they are.
+      val li = t(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_extendedprice"))
+      val sup = t(s, d, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      Scale.saltedJoin(li, sup, "l_suppkey", salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    "b46_map_type" -> ((s, d) => {
+      // MapType surface: per-priority map of status → order count built
+      // with map_from_entries over a sorted entry array (collect_list
+      // order is partition-dependent; array_sort makes the map layout —
+      // and therefore map_keys order — deterministic), then probed with
+      // element_at / map_filter / map_values / map_keys. The output is
+      // flat scalars only: map columns never reach the hash gate, where
+      // engine-specific key order would be unhashable. Scale: maps are
+      // per-group and bounded by |statuses|; both groupBys are ordinary
+      // partial+final aggregates; every map op is a narrow codegen'd pass.
+      val pc = t(s, d, "orders")
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      pc.groupBy(col("o_orderpriority"))
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("o_orderstatus"), col("n"))))).as("m"))
+        .select(col("o_orderpriority"),
+          size(col("m")).as("n_statuses"),
+          coalesce(element_at(col("m"), "F"), lit(0L)).as("n_f"),
+          aggregate(map_values(map_filter(col("m"), (_, v) => v >= 100)),
+            lit(0L), _ + _).as("big_total"),
+          concat_ws(",", map_keys(col("m"))).as("keys_csv"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "b45_join_full_outer" -> ((s, d) => {
       // full outer join of two independently aggregated sides: customers
       // with ≥1 big order vs customers in arrears. Full outer cannot
@@ -1074,6 +1115,23 @@ object SparkEntry {
         |  ON c.user_id = v.user_id
         |  AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 30 MINUTE
         |ORDER BY view_id, click_id""".stripMargin,
+    "b47_salted_skew_join" ->
+      // plain join: salting must be invisible in the result
+      """SELECT s_nationkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "b46_map_type" ->
+      // the map is an engine-side container; its observable content is
+      // exactly this per-(priority,status) count relation
+      """WITH pc AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |            FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority,
+        |  CAST(count(*) AS INTEGER) AS n_statuses,
+        |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN n END), 0) AS BIGINT) AS n_f,
+        |  CAST(coalesce(sum(CASE WHEN n >= 100 THEN n END), 0) AS BIGINT) AS big_total,
+        |  string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS keys_csv
+        |FROM pc GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "b45_join_full_outer" ->
       """WITH big AS (SELECT o_custkey, count(*) AS n_big FROM orders
         |             WHERE o_totalprice > 400000 GROUP BY o_custkey),

@@ -29,6 +29,31 @@ object Scale {
       .groupBy(col(keyCol))
       .agg(count(col(valueCol)).as("n_distinct"))
 
+  /** Salted equi-join for skewed keys: the big side gets a per-row salt in
+    * [0, salts) (xxhash64 of all its columns — the salt VALUE never affects
+    * the result, only which of the `salts` reducers a row lands on, so no
+    * cross-engine hash contract is needed); the small side is replicated
+    * once per salt; the join key becomes (key, salt). A hot key's rows,
+    * which a plain shuffle would pile onto one reducer, spread across
+    * `salts` reducers. Result ≡ the unsalted join for any key multiplicity
+    * (each small-side duplicate is present at every salt).
+    *
+    * The merge hint pins the shuffle plan: at test scale Catalyst would
+    * broadcast the small side (making salting a no-op); at 100 TB the dim
+    * side exceeds the broadcast threshold and SMJ-on-(key, salt) is
+    * exactly the plan this helper exists to shape. AQE's skew-join split
+    * is the runtime alternative; explicit salting is the static guarantee
+    * (works for first-stage shuffles AQE can't re-plan, and composes with
+    * bucketing).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be positive, got $salts")
+    val b = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts.toLong)).cast("int"))
+    val sm = small.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    b.hint("merge").join(sm, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Write a DataFrame as a bucketed, sorted table in the session catalog
     * (bucketing requires saveAsTable). Joins between tables bucketed on the
     * same key with the same bucket count skip the shuffle entirely —

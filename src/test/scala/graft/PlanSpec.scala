@@ -162,6 +162,13 @@ class PlanSpec extends SparkSpec {
       s"item table must never shuffle for a join:\n$plan")
   }
 
+  test("salted skew join shuffles on (key, salt) through a merge join") {
+    val plan = physicalPlan(SparkEntry.queries("b47_salted_skew_join")(spark, sf))
+    assert(plan.contains("SortMergeJoin"), s"expected the pinned SMJ:\n$plan")
+    assert(plan.contains("__salt"), s"salt key missing from the shuffle:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("no query in the declared inventory collects to the driver") {
     // structural check: building every DataFrame must not trigger an action
     // (any collect-based operator would run here); constructing the plans on

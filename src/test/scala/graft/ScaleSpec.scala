@@ -168,6 +168,25 @@ class ScaleSpec extends SparkSpec {
     assert(got.forall { case (id, sh) => sh == (id - 1) / 10 })
   }
 
+  test("saltedJoin equals the plain join on a skewed fixture, for duplicate small-side keys too") {
+    val s = spark; import s.implicits._
+    // hot key 1 (10k rows) + tail; small side has a DUPLICATE key (1 twice)
+    val big = (1 to 10000).map(i => (1L, i)).toDF("k", "v")
+      .union((1 to 50).map(i => (i.toLong + 1, i)).toDF("k", "v"))
+    val small = Seq((1L, "a"), (1L, "a2"), (2L, "b"), (3L, "c")).toDF("k", "name")
+    val salted = Scale.saltedJoin(big, small, "k", salts = 8)
+      .groupBy(col("k"), col("name")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val plain = big.join(small, Seq("k"))
+      .groupBy(col("k"), col("name")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty,
+      "salted join result diverged from the plain join")
+    // the join itself must be the salted merge shape, not a broadcast
+    val plan = Scale.saltedJoin(big, small, "k", salts = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected the pinned SMJ:\n$plan")
+    assert(plan.contains("__salt"), s"salt missing from the join key:\n$plan")
+  }
+
   test("split: deterministic, stable under repartition, ratios roughly honored") {
     val docs = Tables.t(spark, sf, "documents").select(col("doc_id"))
     val a = graft.operators.Pipeline.split(docs, "doc_id")
