@@ -1544,6 +1544,16 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cluster_rep"))
         .orderBy(col("vec_id"))),
 
+    "c40_cluster_centroids" -> ((s, d) =>
+      // exact nano-integer centroid of every c20 semantic-dedup cluster —
+      // the reproducible codebook-update step (see Ann.clusterCentroidsExact);
+      // reuses the memoized cosine pair graph, so no second pairwise pass
+      Ann.clusterCentroidsExact(
+          Dedup.clusters(
+            embeddingPairGraph(s, d).where(col("cos") >= 0.42).select(col("a"), col("b"))),
+          t(s, d, "embeddings"), "vec_id", "embedding")
+        .orderBy(col("cluster_rep"), col("pos"))),
+
     "c16_repetition" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"),
@@ -2173,6 +2183,31 @@ object SparkEntry {
         |  SELECT id, x FROM reach)
         |SELECT id AS vec_id, min(x) AS cluster_rep
         |FROM r GROUP BY id ORDER BY vec_id""".stripMargin,
+    "c40_cluster_centroids" ->
+      // same CC construction as c20, extended with the nano-integer
+      // component sums; floor(x·1e9 + 0.5) is per-row IEEE (exact in both
+      // engines), integer sums are order-free, the mean one IEEE division
+      """WITH p AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.42),
+        |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+        |r AS (
+        |  WITH RECURSIVE reach(id, x) AS (
+        |    SELECT src, src FROM e
+        |    UNION
+        |    SELECT e.src, reach.x FROM e JOIN reach ON reach.id = e.dst)
+        |  SELECT id, x FROM reach),
+        |mem AS (SELECT id, min(x) AS cluster_rep FROM r GROUP BY id),
+        |ev AS (SELECT m.cluster_rep, CAST(emb.embedding AS DOUBLE[]) AS v
+        |       FROM mem m JOIN embeddings emb ON emb.vec_id = m.id),
+        |comp AS (SELECT cluster_rep, CAST(i - 1 AS INTEGER) AS pos,
+        |          CAST(floor(v[i] * 1000000000.0 + 0.5) AS BIGINT) AS nano
+        |         FROM ev CROSS JOIN generate_series(1, 64) g(i))
+        |SELECT cluster_rep, pos, count(*) AS n_members,
+        |  CAST(sum(nano) AS BIGINT) AS c_nano,
+        |  CAST(sum(nano) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000000.0) AS centroid
+        |FROM comp GROUP BY cluster_rep, pos ORDER BY cluster_rep, pos""".stripMargin,
     "c16_repetition" ->
       """SELECT doc_id,
         |  CASE WHEN len(t)-1 > 0 THEN 1.0 - CAST(len(list_distinct(

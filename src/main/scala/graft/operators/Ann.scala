@@ -206,6 +206,35 @@ object Ann {
         when(col("mx") === 0, lit(true))
           .otherwise(Similarity.cosine(col("v"), col("dq")) >= 0.995).as("recon_ok"))
 
+  /** Exact distributed cluster centroids — the k-means/IVF "update" step
+    * with none of [[kmeansCentroids]]'s summation-order caveat. Each
+    * member component is first snapped to an exact nano-scaled integer
+    * (`floor(x·10⁹ + 0.5)` — per-row IEEE, bit-identical in any engine;
+    * never `round()`), so the per-(cluster, pos) sums are INTEGER sums:
+    * exact in any accumulation order, on any engine, at any parallelism
+    * (magnitudes ≤ 10⁹·|cluster| ≪ 2⁶³). The mean is then one IEEE
+    * division of exact integers per output row. This is how a 100 TB
+    * pipeline makes its codebook build reproducible run-to-run: the only
+    * approximation (the 1e-9 grid) is applied per-row, deterministically,
+    * BEFORE anything is distributed.
+    *
+    * Plan: one equi-join (members ⋈ embeddings on id), one
+    * posexplode, one partial+final groupBy(cluster, pos) — reduce state
+    * is |clusters|·dim longs. `members` is (id, cluster_rep), e.g.
+    * [[Dedup.clusters]] output. */
+  def clusterCentroidsExact(members: DataFrame, embeddings: DataFrame,
+                            idCol: String, vecCol: String): DataFrame = {
+    val e = embeddings.select(col(idCol).as("__eid"), col(vecCol).as("v"))
+    members.join(e, col("id") === col("__eid"))
+      .select(col("cluster_rep"), posexplode(transform(col("v"),
+        x => floor(x.cast("double") * lit(1e9) + lit(0.5)).cast("long"))).as(Seq("pos", "nano")))
+      .groupBy(col("cluster_rep"), col("pos"))
+      .agg(count(lit(1)).as("n_members"), sum(col("nano")).as("c_nano"))
+      .select(col("cluster_rep"), col("pos"), col("n_members"), col("c_nano"),
+        (col("c_nano").cast("double")
+          / (col("n_members").cast("double") * lit(1e9))).as("centroid"))
+  }
+
   /** Quantized-rerank cascade ANN — the production pairing of
     * [[quantizeInt8]]: the coarse pass ranks EVERY item by the cosine of
     * its int8 codes (at rest this scan reads the 4×-smaller code column

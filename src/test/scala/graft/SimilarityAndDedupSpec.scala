@@ -382,6 +382,24 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(top.getLong(top.fieldIndex("item_id")) == 7L) // identical vector
   }
 
+  test("exact cluster centroids are bit-identical under repartitioning (order-free integer sums)") {
+    val s = spark; import s.implicits._
+    val members = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L)).toDF("id", "cluster_rep")
+    // doubles chosen to be rounding-hostile (non-terminating binary fractions)
+    val emb = Seq.tabulate(5)(i => ((i + 1).toLong,
+      Array.tabulate(8)(j => ((i + 1) * 0.1f + j * 0.07f - 0.3f)))).toDF("vid", "v")
+    def run(e: org.apache.spark.sql.DataFrame) =
+      graft.operators.Ann.clusterCentroidsExact(members, e, "vid", "v")
+        .orderBy(col("cluster_rep"), col("pos")).collect().toSeq
+    val a = run(emb)
+    val b = run(emb.repartition(7))
+    assert(a == b, "centroids changed under repartitioning")
+    // and the mean really is sum/n on the nano grid
+    val r0 = a.head
+    assert(r0.getDouble(r0.fieldIndex("centroid")) ==
+      r0.getLong(r0.fieldIndex("c_nano")).toDouble / (r0.getLong(r0.fieldIndex("n_members")).toDouble * 1e9))
+  }
+
   test("LSH hyperplanes are deterministic and sign-balanced") {
     val hps = (0 until 8).map(j => graft.operators.Ann.hyperplane(j, 64))
     assert(hps == (0 until 8).map(j => graft.operators.Ann.hyperplane(j, 64)))
