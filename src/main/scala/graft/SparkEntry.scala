@@ -997,6 +997,27 @@ object SparkEntry {
         .orderBy(col("view_id"), col("click_id"))
     }),
 
+    "b48_stream_interval_left" -> ((s, d) => {
+      // left-outer variant of b42: every view, with its in-window clicks
+      // or a -1 sentinel when none arrived (null-free for the hash gate).
+      // Same operator, joinType="left_outer" — on a live stream the
+      // unmatched views are emitted once the watermark proves no click
+      // can still arrive (see Streams.streamIntervalJoin).
+      val e = t(s, d, "events")
+      val views = e.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("view_ts"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      Streams.streamIntervalJoin(views, clicks, "user_id",
+          "view_ts", "click_ts", window = "30 minutes", delay = "10 minutes",
+          joinType = "left_outer")
+        .select(col("view_id"), col("user_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"))
+        .orderBy(col("view_id"), col("click_id"))
+    }),
+
     "b47_salted_skew_join" -> ((s, d) => {
       // lineitem ⋈ supplier through Scale.saltedJoin: the hot-key-proof
       // shuffle shape (salt spreads each suppkey over 8 reducers; supplier
@@ -1112,6 +1133,13 @@ object SparkEntry {
       """SELECT v.event_id AS view_id, v.user_id, c.event_id AS click_id
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
         |JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = v.user_id
+        |  AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 30 MINUTE
+        |ORDER BY view_id, click_id""".stripMargin,
+    "b48_stream_interval_left" ->
+      """SELECT v.event_id AS view_id, v.user_id, coalesce(c.event_id, -1) AS click_id
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
         |  ON c.user_id = v.user_id
         |  AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 30 MINUTE
         |ORDER BY view_id, click_id""".stripMargin,

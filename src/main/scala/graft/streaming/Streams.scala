@@ -248,18 +248,31 @@ object Streams {
     * selective-equality-key shape `Intervals` documents as safe; b42's
     * batch-parity oracle runs exactly this, plan-asserted no-BNLJ). The
     * two ts columns must be distinctly named; `keyCol` may be same-named
-    * on both sides (resolved by frame reference, right copy dropped). */
+    * on both sides (resolved by frame reference, right copy dropped).
+    *
+    * `joinType = "left_outer"` is the views-without-clicks shape: an
+    * unmatched left row is emitted (right columns null) only once the
+    * watermark passes `leftTs + window` — the same eviction clock that
+    * bounds the state proves no match can still arrive, so outer results
+    * are exact, just watermark-delayed (StreamingSpec asserts this). */
   def streamIntervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                          leftTs: String, rightTs: String,
-                         window: String, delay: String): DataFrame = {
+                         window: String, delay: String,
+                         joinType: String = "inner"): DataFrame = {
     require(leftTs != rightTs,
       s"ts columns must be distinctly named, both are '$leftTs'")
     val l = left.withWatermark(leftTs, delay)
-    val r = right.withWatermark(rightTs, delay)
-    l.join(r, l(keyCol) === r(keyCol) &&
+    // rename the right key BEFORE joining: with drop(r(keyCol)) a
+    // self-joined source can resolve both references to one attribute and
+    // drop the LEFT copy — harmless on inner joins (equal values), but on
+    // left_outer the surviving right copy is null for unmatched rows
+    val rk = s"__${keyCol}_r"
+    val r = right.withWatermark(rightTs, delay).withColumnRenamed(keyCol, rk)
+    l.join(r, col(keyCol) === col(rk) &&
         col(rightTs) >= col(leftTs) &&
-        col(rightTs) < col(leftTs) + expr(s"INTERVAL $window"))
-      .drop(r(keyCol))
+        col(rightTs) < col(leftTs) + expr(s"INTERVAL $window"),
+      joinType)
+      .drop(rk)
   }
 
   /** Stream decontamination against a STATIC Bloom bitmap: drop every

@@ -152,6 +152,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched rows only after the watermark proves no match") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val imps = MemoryStream[Imp]
+    val clks = MemoryStream[Clk]
+    val out = Streams.streamIntervalJoin(imps.toDF(), clks.toDF(), "user_id",
+        "imp_ts", "click_ts", window = "30 minutes", delay = "10 minutes",
+        joinType = "left_outer")
+      .select(col("imp_id"), col("click_id"))
+    val q = out.writeStream.format("memory").queryName("ssleft")
+      .outputMode("append").start()
+    try {
+      // user 1 clicks in-window; user 2's click is 45 min late (no match)
+      imps.addData(Imp(10, 1, ts(0)), Imp(11, 2, ts(0)))
+      clks.addData(Clk(20, 1, ts(10)), Clk(21, 2, ts(45)))
+      q.processAllAvailable()
+      def rows() = s.sql("SELECT imp_id, click_id FROM ssleft ORDER BY imp_id")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+      // the unmatched imp 11 must NOT be emitted yet: the watermark has not
+      // passed imp_ts + 30m, so a matching click could still arrive
+      assert(rows() == Seq((10L, 20L)), s"premature outer emission: ${rows()}")
+      // push the watermark far past imp_ts + window on both sources
+      val far = Timestamp.valueOf("2024-01-01 13:00:00")
+      imps.addData(Imp(12, 9, far)); clks.addData(Clk(23, 9, far))
+      q.processAllAvailable()
+      imps.addData(Imp(13, 8, far)); clks.addData(Clk(24, 8, far))
+      q.processAllAvailable()
+      assert(rows().contains((11L, -1L)),
+        s"unmatched impression never emitted with null click: ${rows()}")
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events with dimension attributes") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
