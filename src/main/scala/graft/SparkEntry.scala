@@ -1497,6 +1497,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    "c41_quality_gate" -> ((s, d) =>
+      // keep each language's top-half quality (milli-bucketed integer
+      // rank cut — see Pipeline.qualityGate for why not exact percent_rank)
+      Pipeline.qualityGate(
+          t(s, d, "documents").select(col("doc_id"), col("lang"),
+            Text.qualityScoreNano(col("text")).as("qn")),
+          "lang", col("qn"), keepPct = 50)
+        .select(col("doc_id"), col("lang"), col("qn"), col("qmilli"))
+        .orderBy(col("doc_id"))),
+
     "c08_lang_id" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), Text.langId(col("text")).as("pred_lang"))
@@ -2057,6 +2067,31 @@ object SparkEntry {
         |FROM documents d JOIN cuts USING (lang)
         |WHERE d.n_chars BETWEEN lo_cut AND hi_cut
         |ORDER BY d.doc_id""".stripMargin,
+    "c41_quality_gate" ->
+      // qn mirrors c35's integer-exact rational; the cut is the c29
+      // histogram construction scanned from the top bucket
+      """WITH q AS (
+        |  SELECT doc_id, lang,
+        |    ((50 * len(list_distinct(t))
+        |      + 20 * len(list_filter(t, tk -> tk IN ('the','a','of','and','to','in','is','it')))
+        |      + 3 * least(CAST(list_sum(list_transform(t, tk -> length(tk))) AS BIGINT), 10 * len(t)))
+        |     * 1000000000 + 50 * len(t)) // (100 * len(t)) AS qn
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)),
+        |qb AS (SELECT doc_id, lang, qn, qn // 1000000 AS qmilli FROM q),
+        |hist AS (SELECT lang, qmilli, count(*) AS cnt FROM qb GROUP BY 1, 2),
+        |c AS (
+        |  SELECT lang, qmilli, cnt,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY qmilli DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM hist),
+        |cuts AS (
+        |  SELECT lang, max(qmilli) FILTER (cum * 100 >= 50 * n) AS q_cut
+        |  FROM c GROUP BY lang)
+        |SELECT qb.doc_id, qb.lang, qb.qn, qb.qmilli
+        |FROM qb JOIN cuts USING (lang)
+        |WHERE qb.qmilli >= q_cut
+        |ORDER BY qb.doc_id""".stripMargin,
     "c25_contamination" -> (shingleCte +
       """,
         |e AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 = 7),

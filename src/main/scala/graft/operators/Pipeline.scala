@@ -173,6 +173,43 @@ object Pipeline {
       .drop("lo_cut", "hi_cut")
   }
 
+  /** Per-stratum top-quality gate (the "keep the best X% of each
+    * language" curation stage): keeps rows whose integer nano score
+    * ([[graft.functions.Text.qualityScoreNano]]) falls in the stratum's
+    * top `keepPct` percent — by milli-bucket, not exact rank. A true rank
+    * cut needs a full per-stratum sort: one task per stratum at 100 TB.
+    * Bucketing the score to millis first (`nano div 10⁶`, ≤ 1001 distinct
+    * values since score ∈ [0,1]) bounds the histogram at
+    * |strata| × 1001 rows, the cumulative window runs over that tiny
+    * frame, and the per-stratum cutoff bucket broadcasts back — the
+    * [[lengthBandFilter]] shape.
+    *
+    * Exact, deterministic semantics: scanning buckets from the top, the
+    * cutoff is the first (largest) bucket at which the cumulative count
+    * reaches `keepPct`% (integer test `cum·100 ≥ keepPct·n`); every row
+    * at or above it is kept, so the kept fraction is ≥ keepPct with ties
+    * resolved corpus-stably (same bucket ⇒ same fate, regardless of
+    * layout). All-integer arithmetic end-to-end. */
+  def qualityGate(df: DataFrame, strataCol: String, scoreNanoCol: Column,
+                  keepPct: Int): DataFrame = {
+    require(1 <= keepPct && keepPct <= 100,
+      s"keepPct must be in [1,100], got $keepPct")
+    val withB = df.withColumn("qmilli",
+      call_function("div", scoreNanoCol, lit(1000000L)))
+    val hist = withB.groupBy(col(strataCol), col("qmilli"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("qmilli").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(strataCol))))
+    val cuts = cum.groupBy(col(strataCol)).agg(
+      max(when(col("cum") * 100 >= lit(keepPct.toLong) * col("n"), col("qmilli"))).as("q_cut"))
+    withB.join(broadcast(cuts), strataCol)
+      .where(col("qmilli") >= col("q_cut"))
+      .drop("q_cut")
+  }
+
   /** Train/eval contamination: training docs sharing at least
     * `minShingles` distinct shingles with any eval doc — the n-gram
     * overlap check run before training to keep benchmark text out of the
