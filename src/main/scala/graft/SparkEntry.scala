@@ -825,6 +825,26 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    "b49_json_roundtrip" -> ((s, d) => {
+      // JSON-lines source+sink roundtrip (completes the format matrix:
+      // parquet/ORC/CSV/JSON all both ways); declared read schema, money
+      // as decimal text, aggregate the REREAD data against the oracle's
+      // original parquet — any drift through the format fails the hash
+      val dir = graft.sources.Formats.scratchDir(s, "json_customer", d)
+      graft.sources.Formats.ensureWritten(s, dir) {
+        graft.sources.Formats.writeJsonLines(
+          t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").cast("decimal(18,2)").as("c_acctbal")), dir)
+      }
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "c_custkey LONG, c_mktsegment STRING, c_acctbal DECIMAL(18,2)")
+      graft.sources.Formats.readJsonLines(s, dir, schema)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal")).cast("double").as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "b35_range_join" -> ((s, d) => {
       // windowed interval join: clicks in the minute before each purchase,
       // per user. Binned into window-width time buckets so the plan is a
@@ -1090,6 +1110,10 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS n_parts, max(p_size) AS max_size,
         |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "b49_json_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "b35_range_join" ->
       """SELECT p.event_id, p.user_id, count(c.user_id) AS n_clicks_60s
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p

@@ -53,6 +53,24 @@ object Formats {
       .schema(schema)
       .csv(dir)
 
+  /** JSON-lines sink+source — the interchange sibling of CSV with
+    * structure (nested fields/arrays survive; a20's ingest path is the
+    * read-only half of this). `ignoreNullFields=false` keeps explicit
+    * nulls in the output so a declared-schema read restores them — the
+    * default silently drops null fields, collapsing null-vs-absent.
+    * Numbers that must be value-exact through the text format travel as
+    * DECIMAL (the b34 CSV convention); doubles would also survive
+    * (shortest-decimal printing round-trips), but decimal states the
+    * contract. Read takes a DECLARED schema: no inference pass at 100 TB.
+    * Parallel per-partition write, splittable read — no driver funnel. */
+  def writeJsonLines(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite")
+      .option("ignoreNullFields", "false")
+      .json(dir)
+
+  def readJsonLines(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(dir)
+
   /** Base directory for roundtrip sinks. Injectable via SPARK_GRAFT_SCRATCH
     * (env) or `graft.scratch.root` (sys prop); defaults to the local JVM
     * tmpdir, which is correct for local[*] only. ON A REAL CLUSTER this MUST

@@ -89,6 +89,21 @@ class FormatsAndIntervalsSpec extends SparkSpec {
       s"null/empty collapsed through CSV: $back")
   }
 
+  test("JSON-lines roundtrip is value-exact and keeps explicit nulls and arrays") {
+    val df = Seq(
+      (1L, Some("x"), Some(BigDecimal("12.34")), Seq(1, 2)),
+      (2L, None, None, Seq.empty[Int]),
+      (3L, Some(""), Some(BigDecimal("-0.05")), Seq(7)))
+      .toDF("id", "s", "m", "xs")
+      .select(col("id"), col("s"), col("m").cast("decimal(18,2)").as("m"), col("xs"))
+    val dir = Formats.scratchDir(spark, "test_json", "spec")
+    Formats.writeJsonLines(df, dir)
+    val back = Formats.readJsonLines(spark, dir,
+      StructType.fromDDL("id LONG, s STRING, m DECIMAL(18,2), xs ARRAY<INT>"))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq,
+      "JSON roundtrip drifted (null dropped, decimal reparsed, or array reshaped)")
+  }
+
   test("scratchDir distinguishes inputs by basename and runs by app id") {
     val a = Formats.scratchDir(spark, "p", "/data/sf0.001")
     val b = Formats.scratchDir(spark, "p", "/data/sf0.1")
