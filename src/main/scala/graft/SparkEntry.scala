@@ -825,6 +825,38 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    "b50_funnel" -> ((s, d) => {
+      // per-view conversion funnel: view → FIRST click within 30 min →
+      // purchase within 2 h of that click, attributed back per user.
+      // Funnel = the b42 interval-join operator CHAINED: each stage is
+      // an equi-join on user_id with the time range as post-filter
+      // (never a BNLJ), and on live streams the identical chain runs
+      // with watermarks end-to-end. Left-join attribution keeps every
+      // view; counts are exact integers.
+      val e = t(s, d, "events")
+      val views = e.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"))
+      val vc = Streams.streamIntervalJoin(views, clicks, "user_id",
+          "vts", "cts", window = "30 minutes", delay = "10 minutes")
+        .groupBy(col("view_id"), col("user_id")).agg(min(col("cts")).as("fc"))
+      val vcp = Streams.streamIntervalJoin(vc, purchases, "user_id",
+          "fc", "pts", window = "2 hours", delay = "10 minutes")
+        .select(col("view_id"), col("user_id")).distinct()
+      views
+        .join(vc.select(col("view_id"), col("user_id"), lit(1).as("clk")),
+          Seq("view_id", "user_id"), "left")
+        .join(vcp.withColumn("pur", lit(1)), Seq("view_id", "user_id"), "left")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_views"),
+          count(col("clk")).as("n_clicked"),
+          count(col("pur")).as("n_purchased"))
+        .orderBy(col("user_id"))
+    }),
+
     "b49_json_roundtrip" -> ((s, d) => {
       // JSON-lines source+sink roundtrip (completes the format matrix:
       // parquet/ORC/CSV/JSON all both ways); declared read schema, money
@@ -1110,6 +1142,22 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS n_parts, max(p_size) AS max_size,
         |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "b50_funnel" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, ts AS vts FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+        |pu AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+        |vc AS (SELECT v.view_id, v.user_id, min(c.cts) AS fc
+        |       FROM v JOIN c ON c.user_id = v.user_id
+        |         AND c.cts >= v.vts AND c.cts < v.vts + INTERVAL 30 MINUTE
+        |       GROUP BY v.view_id, v.user_id),
+        |vcp AS (SELECT DISTINCT vc.view_id, vc.user_id
+        |        FROM vc JOIN pu ON pu.user_id = vc.user_id
+        |          AND pu.pts >= vc.fc AND pu.pts < vc.fc + INTERVAL 2 HOUR)
+        |SELECT v.user_id, count(*) AS n_views,
+        |  count(vc.view_id) AS n_clicked, count(vcp.view_id) AS n_purchased
+        |FROM v LEFT JOIN vc USING (view_id, user_id)
+        |       LEFT JOIN vcp USING (view_id, user_id)
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
     "b49_json_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n_cust,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
