@@ -1654,6 +1654,22 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cluster_rep"))
         .orderBy(col("vec_id"))),
 
+    "c42_count_min" -> ((s, d) => {
+      // count-min sketch (4 × 256 cells) over all document tokens,
+      // point-estimates for the exact top-20 — the deterministic md5
+      // construction makes the one-sided guarantee (est ≥ tf, always)
+      // a hash-checked column, not a unit-test claim
+      val toks = t(s, d, "documents")
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+      val sketch = graft.functions.CountMin.build(toks, "tok", d = 4, width = 256)
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("tok")).limit(20)
+      graft.functions.CountMin.estimate(sketch, top, "tok", d = 4, width = 256)
+        .join(top, Seq("tok"))
+        .select(col("tok"), col("tf"), col("est"), (col("est") >= col("tf")).as("ok"))
+        .orderBy(col("tf").desc, col("tok"))
+    }),
+
     "c40_cluster_centroids" -> ((s, d) =>
       // exact nano-integer centroid of every c20 semantic-dedup cluster —
       // the reproducible codebook-update step (see Ann.clusterCentroidsExact);
@@ -2318,6 +2334,25 @@ object SparkEntry {
         |  SELECT id, x FROM reach)
         |SELECT id AS vec_id, min(x) AS cluster_rep
         |FROM r GROUP BY id ORDER BY vec_id""".stripMargin,
+    "c42_count_min" ->
+      // identical md5 cell hashing; 15 hex chars = 60 bits, positive in
+      // both engines, so % and pmod agree
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |ex AS (SELECT tok, count(*) AS tf FROM tk GROUP BY tok
+        |       ORDER BY tf DESC, tok LIMIT 20),
+        |cells AS (
+        |  SELECT r, CAST(('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 256 AS bucket,
+        |         count(*) AS cnt
+        |  FROM tk CROSS JOIN generate_series(0, 3) g(r)
+        |  GROUP BY 1, 2),
+        |est AS (
+        |  SELECT ex.tok, ex.tf, min(coalesce(cells.cnt, 0)) AS est
+        |  FROM ex CROSS JOIN generate_series(0, 3) g(r)
+        |  LEFT JOIN cells ON cells.r = g.r
+        |    AND cells.bucket = CAST(('0x' || substring(md5(CAST(g.r AS VARCHAR) || ':' || ex.tok), 1, 15)) AS BIGINT) % 256
+        |  GROUP BY ex.tok, ex.tf)
+        |SELECT tok, tf, CAST(est AS BIGINT) AS est, est >= tf AS ok
+        |FROM est ORDER BY tf DESC, tok""".stripMargin,
     "c40_cluster_centroids" ->
       // same CC construction as c20, extended with the nano-integer
       // component sums; floor(x·1e9 + 0.5) is per-row IEEE (exact in both

@@ -263,6 +263,29 @@ class TextAndVariantSpec extends SparkSpec {
       orig.select(explode(col("muons.pt"))).count())
   }
 
+  test("count-min sketch: estimates never undercount; shard sketches merge cell-wise") {
+    val s = spark; import s.implicits._
+    import graft.functions.CountMin
+    val words = Seq.fill(40)("hot") ++ (1 to 60).map(i => s"w${i % 17}")
+    val toks = words.toDF("tok")
+    val (d, w) = (4, 32) // narrow width to force real collisions
+    val sketch = CountMin.build(toks, "tok", d, w)
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val est = CountMin.estimate(sketch, exact, "tok", d, w).join(exact, "tok")
+    // one-sided error: est >= tf for EVERY token, deterministically
+    assert(est.where(col("est") < col("tf")).isEmpty, "CMS undercounted")
+    // the heavy hitter stays clearly separated despite collisions
+    val hot = est.where(col("tok") === "hot").head()
+    assert(hot.getAs[Long]("est") >= 40L)
+    // mergeability: sketches of disjoint shards ADD to the full sketch
+    val (sh1, sh2) = (words.take(50), words.drop(50))
+    val merged = CountMin.build(sh1.toDF("tok"), "tok", d, w)
+      .union(CountMin.build(sh2.toDF("tok"), "tok", d, w))
+      .groupBy(col("r"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    assert(merged.except(sketch).isEmpty && sketch.except(merged).isEmpty,
+      "cell-wise shard merge diverged from the single-pass sketch")
+  }
+
   test("multimodal stub decode: features match manual computation") {
     val payload = "abcABC!".getBytes("UTF-8")
     val f = Multimodal.decodeStub(payload)
