@@ -825,6 +825,33 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    "b51_exact_moments" -> ((s, d) => {
+      // distributed mean/variance WITHOUT distributed float sums: the
+      // moments (n, Σx, Σx²) are exact integers — quantity as long,
+      // price as cents in DECIMAL(38,0) so Σcents² (~10²⁰) can't wrap —
+      // and the textbook finite-sample formula
+      // var = (n·Σx² − (Σx)²) / (n·(n−1)) runs as ONE fixed IEEE
+      // sequence per output row on those exact values. Order-free at any
+      // parallelism; the doctrine-compliant route to second moments.
+      val li = t(s, d, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("q"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(38,0)").as("cents"))
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("q")).as("sum_q"),
+          sum(col("q") * col("q")).as("sum_q2"),
+          sum(col("cents")).as("sum_cents"),
+          sum(col("cents") * col("cents")).as("sum_cents2"))
+        .select(col("l_returnflag"), col("n"), col("sum_q"),
+          (col("sum_q").cast("double") / col("n").cast("double")).as("mean_q"),
+          ((col("n") * col("sum_q2") - col("sum_q") * col("sum_q")).cast("double")
+            / (col("n").cast("double") * (col("n") - 1).cast("double"))).as("var_q"),
+          ((col("n") * col("sum_cents2") - col("sum_cents") * col("sum_cents")).cast("double")
+            / (col("n").cast("double") * (col("n") - 1).cast("double")) / lit(10000.0)).as("var_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "b50_funnel" -> ((s, d) => {
       // per-view conversion funnel: view → FIRST click within 30 min →
       // purchase within 2 h of that click, attributed back per user.
@@ -1142,6 +1169,24 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS n_parts, max(p_size) AS max_size,
         |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "b51_exact_moments" ->
+      // HUGEINT moments in DuckDB ≡ DECIMAL(38,0) in Spark: both exact,
+      // both cast-to-double at the same single point in the formula
+      """WITH li AS (SELECT l_returnflag,
+        |  CAST(l_quantity AS BIGINT) AS q,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |FROM lineitem),
+        |a AS (SELECT l_returnflag, count(*) AS n,
+        |  sum(q) AS sum_q, sum(q * q) AS sum_q2,
+        |  sum(cents) AS sum_cents, sum(cents * cents) AS sum_cents2
+        |  FROM li GROUP BY 1)
+        |SELECT l_returnflag, n, CAST(sum_q AS BIGINT) AS sum_q,
+        |  CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+        |  CAST(n * sum_q2 - sum_q * sum_q AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_q,
+        |  CAST(n * sum_cents2 - sum_cents * sum_cents AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000.0 AS var_price
+        |FROM a ORDER BY l_returnflag""".stripMargin,
     "b50_funnel" ->
       """WITH v AS (SELECT event_id AS view_id, user_id, ts AS vts FROM events WHERE event_type = 'view'),
         |c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
