@@ -1699,6 +1699,17 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cluster_rep"))
         .orderBy(col("vec_id"))),
 
+    "c43_weighted_sample" -> ((s, d) =>
+      // 100 docs drawn ∝ token count (longer docs proportionally more
+      // likely) — the token-budget-aware counterpart of c26's uniform
+      // stratified draw; see Pipeline.weightedSample for the integer
+      // ticket construction
+      Pipeline.weightedSample(
+          t(s, d, "documents").select(col("doc_id"),
+            Text.tokenCount(col("text")).cast("long").as("ws_tokens")),
+          "doc_id", col("ws_tokens"), k = 100)
+        .orderBy(col("tick_min"), col("doc_id"))),
+
     "c42_count_min" -> ((s, d) => {
       // count-min sketch (4 × 256 cells) over all document tokens,
       // point-estimates for the exact top-20 — the deterministic md5
@@ -2379,6 +2390,13 @@ object SparkEntry {
         |  SELECT id, x FROM reach)
         |SELECT id AS vec_id, min(x) AS cluster_rep
         |FROM r GROUP BY id ORDER BY vec_id""".stripMargin,
+    "c43_weighted_sample" ->
+      """WITH w AS (SELECT doc_id, least(len(string_split(text, ' ')), 64) AS w FROM documents),
+        |t AS (SELECT doc_id,
+        |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) AS ticket
+        |      FROM w CROSS JOIN generate_series(0, 63) g(j) WHERE j < w),
+        |k AS (SELECT doc_id, min(ticket) AS tick_min FROM t GROUP BY doc_id)
+        |SELECT doc_id, tick_min FROM k ORDER BY tick_min, doc_id LIMIT 100""".stripMargin,
     "c42_count_min" ->
       // identical md5 cell hashing; 15 hex chars = 60 bits, positive in
       // both engines, so % and pmod agree

@@ -210,6 +210,36 @@ object Pipeline {
       .drop("q_cut")
   }
 
+  /** Weight-proportional sample without replacement ("pick k docs with
+    * probability ∝ weight") in ALL-INTEGER arithmetic: each row enters
+    * min(weight, cap) lottery tickets, ticket j is the 60-bit md5 of
+    * "id:j", a row's key is its MINIMUM ticket, and the sample is the k
+    * smallest keys. P(row i outdraws row j) = wᵢ/(wᵢ+wⱼ) — the
+    * replicated-ticket form of Efraimidis–Spirakis bottom-k, exact for
+    * integer weights. The textbook float form (u^(1/w)) needs pow(),
+    * whose 1-ulp cross-engine variance can flip near-tie ranks; tickets
+    * here stay BIGINT end-to-end, so the draw is bit-stable in any
+    * engine and under any layout ([[split]]'s md5 doctrine).
+    *
+    * Scale: one map-side explode (≤ cap× the rows, no shuffle — all of a
+    * row's tickets stay in its partition, so partial aggregation reduces
+    * them to one row per id before the groupBy moves anything), then a
+    * global bottom-k (TakeOrdered, never a full sort). `cap` bounds the
+    * fan-out; heavier weights clip to it (at 100 TB keep cap modest or
+    * log-bucket the weights). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+                     k: Int, cap: Int = 64): DataFrame = {
+    require(k >= 1 && cap >= 1, s"need k >= 1 and cap >= 1, got k=$k cap=$cap")
+    df.select(col(idCol), least(weightCol, lit(cap.toLong)).cast("int").as("__w"))
+      .where(col("__w") >= 1)
+      .select(col(idCol), explode(sequence(lit(0), col("__w") - 1)).as("__j"))
+      .select(col(idCol),
+        graft.functions.Text.tokenHash(
+          concat(col(idCol).cast("string"), lit(":"), col("__j").cast("string"))).as("ticket"))
+      .groupBy(col(idCol)).agg(min(col("ticket")).as("tick_min"))
+      .orderBy(col("tick_min"), col(idCol)).limit(k)
+  }
+
   /** Train/eval contamination: training docs sharing at least
     * `minShingles` distinct shingles with any eval doc — the n-gram
     * overlap check run before training to keep benchmark text out of the

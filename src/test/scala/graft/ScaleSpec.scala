@@ -187,6 +187,26 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("__salt"), s"salt missing from the join key:\n$plan")
   }
 
+  test("weightedSample: weight-proportional draw, bit-stable under repartition") {
+    val s = spark; import s.implicits._
+    import graft.operators.Pipeline
+    // 900 light docs (1 ticket) vs 100 heavy (64 tickets): heavy docs hold
+    // ~88% of the ticket mass, so a 50-doc draw should be dominated by them
+    val df = ((1 to 900).map(i => (i.toLong, 1L)) ++ (901 to 1000).map(i => (i.toLong, 64L)))
+      .toDF("doc_id", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Pipeline.weightedSample(d, "doc_id", col("w"), k = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val a = run(df)
+    assert(a == run(df.repartition(7)), "sample changed under repartitioning")
+    val heavy = a.count(_._1 > 900)
+    assert(heavy >= 35, s"weight-proportionality violated: only $heavy/50 heavy docs drawn")
+    // zero/negative weights draw nothing
+    val z = Pipeline.weightedSample(Seq((1L, 0L), (2L, 5L)).toDF("doc_id", "w"),
+      "doc_id", col("w"), k = 10).collect()
+    assert(z.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("split: deterministic, stable under repartition, ratios roughly honored") {
     val docs = Tables.t(spark, sf, "documents").select(col("doc_id"))
     val a = graft.operators.Pipeline.split(docs, "doc_id")
