@@ -825,6 +825,25 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    "b52_union_evolve" -> ((s, d) => {
+      // schema-evolution union: an "old" extract (no o_orderpriority)
+      // unioned BY NAME with a "new" extract that added the column —
+      // allowMissingColumns null-fills the old rows, positional union
+      // would silently misalign. The daily reality of a 100 TB lake
+      // where old partitions predate a schema change. Narrow op: both
+      // legs stay columnar scans; the aggregate is the usual
+      // partial+final.
+      val o = t(s, d, "orders")
+      val oldExtract = o.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val newExtract = o.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      oldExtract.unionByName(newExtract, allowMissingColumns = true)
+        .groupBy(coalesce(col("o_orderpriority"), lit("LEGACY")).as("prio"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("prio"))
+    }),
+
     "b51_exact_moments" -> ((s, d) => {
       // distributed mean/variance WITHOUT distributed float sums: the
       // moments (n, Σx, Σx²) are exact integers — quantity as long,
@@ -1169,6 +1188,16 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS n_parts, max(p_size) AS max_size,
         |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "b52_union_evolve" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT coalesce(o_orderpriority, 'LEGACY') AS prio, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM u GROUP BY 1 ORDER BY prio""".stripMargin,
     "b51_exact_moments" ->
       // HUGEINT moments in DuckDB ≡ DECIMAL(38,0) in Spark: both exact,
       // both cast-to-double at the same single point in the formula

@@ -184,6 +184,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full-outer interval join emits both sides' unmatched rows past the watermark") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val imps = MemoryStream[Imp]
+    val clks = MemoryStream[Clk]
+    val out = Streams.streamIntervalJoin(imps.toDF(), clks.toDF(), "user_id",
+        "imp_ts", "click_ts", window = "30 minutes", delay = "10 minutes",
+        joinType = "full_outer")
+      .select(col("imp_id"), col("click_id"))
+    val q = out.writeStream.format("memory").queryName("ssfull")
+      .outputMode("append").start()
+    try {
+      // user 1 matches; user 2's imp never gets a click; user 3 clicks
+      // with no impression at all
+      imps.addData(Imp(10, 1, ts(0)), Imp(11, 2, ts(0)))
+      clks.addData(Clk(20, 1, ts(10)), Clk(22, 3, ts(5)))
+      q.processAllAvailable()
+      val far = Timestamp.valueOf("2024-01-01 13:00:00")
+      imps.addData(Imp(12, 9, far)); clks.addData(Clk(23, 9, far))
+      q.processAllAvailable()
+      imps.addData(Imp(13, 8, far)); clks.addData(Clk(24, 8, far))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT imp_id, click_id FROM ssfull").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+                   if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows.contains((10L, 20L)), s"matched pair missing: $rows")
+      assert(rows.contains((11L, -1L)), s"left-unmatched imp missing: $rows")
+      assert(rows.contains((-1L, 22L)), s"right-unmatched click missing: $rows")
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events with dimension attributes") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
