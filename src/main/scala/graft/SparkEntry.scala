@@ -825,6 +825,28 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    "b53_date_spine" -> ((s, d) => {
+      // time-series gap fill: per-priority daily order counts with every
+      // missing day restored as an explicit zero row. The spine explodes
+      // from each group's OWN [min, max] bounds (one aggregate + one
+      // sequence — never a cartesian priorities × calendar join, which
+      // would both plan a CartesianProduct and invent days outside a
+      // group's lifetime). Left join + coalesce(0) fills the gaps;
+      // ~28% of this spine is filled zeros at sf0.01.
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderpriority"),
+          date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      val spine = daily.groupBy(col("o_orderpriority"))
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(col("o_orderpriority"),
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+      spine.join(daily, Seq("o_orderpriority", "day"), "left")
+        .select(col("o_orderpriority"), col("day").cast("date").as("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("o_orderpriority"), col("day"))
+    }),
+
     "b52_union_evolve" -> ((s, d) => {
       // schema-evolution union: an "old" extract (no o_orderpriority)
       // unioned BY NAME with a "new" extract that added the column —
@@ -1188,6 +1210,15 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS n_parts, max(p_size) AS max_size,
         |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "b53_date_spine" ->
+      """WITH m AS (SELECT o_orderpriority, date_trunc('day', o_orderdate) AS day, count(*) AS n_orders
+        |           FROM orders GROUP BY 1, 2),
+        |b AS (SELECT o_orderpriority, min(day) AS lo, max(day) AS hi FROM m GROUP BY 1),
+        |sp AS (SELECT o_orderpriority, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b)
+        |SELECT sp.o_orderpriority, CAST(sp.day AS DATE) AS day,
+        |  coalesce(m.n_orders, 0) AS n_orders
+        |FROM sp LEFT JOIN m USING (o_orderpriority, day)
+        |ORDER BY sp.o_orderpriority, sp.day""".stripMargin,
     "b52_union_evolve" ->
       """WITH u AS (
         |  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
