@@ -825,6 +825,25 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    "b54_percentile_cont" -> ((s, d) =>
+      // continuous (interpolated) percentiles complete the quantile
+      // surface next to discrete b29 and sketched b36. Engine-safe by
+      // construction: l_quantity is integer-valued and the requested
+      // fractions are powers of two, so the R-7 interpolation
+      // x + (y−x)·frac is EXACT in both engines no matter how each
+      // arranges the formula — no 1-ulp wobble (the pow()/round()
+      // lesson applied to quantiles). Exact percentile is a full
+      // per-group sort at scale; b36's GK sketch is the 100 TB default,
+      // this is the exact-answer option.
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(q, 0.25D)").as("q25"),
+          expr("percentile(q, 0.5D)").as("median"),
+          expr("percentile(q, 0.75D)").as("q75"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
     "b53_date_spine" -> ((s, d) => {
       // time-series gap fill: per-priority daily order counts with every
       // missing day restored as an explicit zero row. The spine explodes
@@ -1210,6 +1229,13 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS n_parts, max(p_size) AS max_size,
         |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "b54_percentile_cont" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS q25,
+        |  quantile_cont(CAST(l_quantity AS BIGINT), 0.5) AS median,
+        |  quantile_cont(CAST(l_quantity AS BIGINT), 0.75) AS q75,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "b53_date_spine" ->
       """WITH m AS (SELECT o_orderpriority, date_trunc('day', o_orderdate) AS day, count(*) AS n_orders
         |           FROM orders GROUP BY 1, 2),
