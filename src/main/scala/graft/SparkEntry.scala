@@ -844,6 +844,45 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))),
 
+    "b55_unpivot" -> ((s, d) =>
+      // wide→long reshape (melt): the inverse of b28's pivot, via the
+      // native Dataset.unpivot (an Expand node — each input row fans out
+      // to one row per measure BEFORE the aggregate, and the partial
+      // aggregation absorbs the 3× row blow-up map-side; nothing extra
+      // crosses the shuffle). Long-typed measures only, so every
+      // aggregate is exact integer arithmetic.
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"))
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_partkey"), col("l_suppkey"), col("l_linenumber")),
+          "measure", "value")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"),
+          min(col("value")).as("mn"), max(col("value")).as("mx"))
+        .orderBy(col("measure"))),
+
+    "b56_recursive_cte" -> ((s, d) =>
+      // recursive CTE (Spark 4 WITH RECURSIVE): ancestor walk over the
+      // implicit binary tree parent(k) = k div 2 rooted at custkey 1 —
+      // per node, the depth and the sum of its strict-ancestor keys,
+      // aggregated per depth. Pure BIGINT floor division on both engines
+      // (Spark `div`, DuckDB `//`), so the recursion is integer-exact.
+      // Scale: the frontier HALVES each level (cur div 2), so the
+      // recursion does O(V log V) total row-work across ~log2(max key)
+      // narrow map+filter steps; the only shuffle is the final
+      // depth aggregate. Recursion depth at 100 TB key ranges (~2^40)
+      // stays far under Spark's level limit.
+      graft.sources.Catalog.sql(s, d,
+        """WITH RECURSIVE walk(node, cur, path_sum, depth) AS (
+          |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT), 0 FROM customer
+          |  UNION ALL
+          |  SELECT node, cur div 2, path_sum + (cur div 2), depth + 1
+          |  FROM walk WHERE cur > 1)
+          |SELECT depth, count(*) AS n_nodes, sum(path_sum) AS ancestor_key_sum
+          |FROM walk WHERE cur = 1
+          |GROUP BY depth ORDER BY depth""".stripMargin)),
+
     "b53_date_spine" -> ((s, d) => {
       // time-series gap fill: per-priority daily order counts with every
       // missing day restored as an explicit zero row. The spine explodes
@@ -1236,6 +1275,25 @@ object SparkEntry {
         |  quantile_cont(CAST(l_quantity AS BIGINT), 0.75) AS q75,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "b55_unpivot" ->
+      """SELECT measure, count(*) AS n, CAST(sum(value) AS BIGINT) AS total,
+        |  min(value) AS mn, max(value) AS mx
+        |FROM (
+        |  SELECT 'l_linenumber' AS measure, CAST(l_linenumber AS BIGINT) AS value FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem)
+        |GROUP BY measure ORDER BY measure""".stripMargin,
+
+    "b56_recursive_cte" ->
+      """WITH RECURSIVE walk(node, cur, path_sum, depth) AS (
+        |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT), 0 FROM customer
+        |  UNION ALL
+        |  SELECT node, cur // 2, path_sum + (cur // 2), depth + 1
+        |  FROM walk WHERE cur > 1)
+        |SELECT depth, count(*) AS n_nodes, CAST(sum(path_sum) AS BIGINT) AS ancestor_key_sum
+        |FROM walk WHERE cur = 1
+        |GROUP BY depth ORDER BY depth""".stripMargin,
     "b53_date_spine" ->
       """WITH m AS (SELECT o_orderpriority, date_trunc('day', o_orderdate) AS day, count(*) AS n_orders
         |           FROM orders GROUP BY 1, 2),
@@ -1795,6 +1853,37 @@ object SparkEntry {
             Text.tokenCount(col("text")).cast("long").as("ws_tokens")),
           "doc_id", col("ws_tokens"), k = 100)
         .orderBy(col("tick_min"), col("doc_id"))),
+
+    "c44_dup_spans" -> ((s, d) =>
+      // substring-level duplication signal: per doc, total 5-token span
+      // positions and how many of them occur in ≥ 2 distinct docs — the
+      // span/line-dedup quality feature (a doc can be pair-unique yet
+      // mostly built of copied spans). See Dedup.dupSpanStats for the
+      // hash-only shuffle story.
+      Dedup.dupSpanStats(t(s, d, "documents"), "doc_id", "text", spanN = 5)
+        .select(col("id").as("doc_id"), col("n_spans"), col("dup_spans"))
+        .orderBy(col("doc_id"))),
+
+    "c45_pagerank" -> ((s, d) => {
+      // centrality weighting over the real customer↔supplier bipartite
+      // trade graph (distinct (o_custkey, l_suppkey) pairs via
+      // orders ⋈ lineitem, both directions; key namespaces disjoint by
+      // parity). 3 fixed rounds of exact integer PageRank — see
+      // Graph.pageRankNano for the formula and per-round shuffle cost.
+      val li = t(s, d, "lineitem")
+      val eBase = li
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = eBase.union(
+        eBase.select(col("dst").as("src"), col("src").as("dst")))
+      val nodes = t(s, d, "customer")
+        .select((col("c_custkey") * 2).as("node"))
+        .union(t(s, d, "supplier").select((col("s_suppkey") * 2 + 1).as("node")))
+      graft.operators.Graph.pageRankNano(edges, nodes, iters = 3)
+        .orderBy(col("node"))
+    }),
 
     "c42_count_min" -> ((s, d) => {
       // count-min sketch (4 × 256 cells) over all document tokens,
@@ -2483,6 +2572,45 @@ object SparkEntry {
         |      FROM w CROSS JOIN generate_series(0, 63) g(j) WHERE j < w),
         |k AS (SELECT doc_id, min(ticket) AS tick_min FROM t GROUP BY doc_id)
         |SELECT doc_id, tick_min FROM k ORDER BY tick_min, doc_id LIMIT 100""".stripMargin,
+
+    "c44_dup_spans" ->
+      // positional (non-distinct) 5-token spans, the same 60-bit md5
+      // token-hash convention as the shingle CTE; dup = span text seen in
+      // >= 2 distinct docs, counted per position
+      """WITH sp AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-4),
+        |    i -> CAST(('0x' || substring(md5(t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]), 1, 15)) AS BIGINT))) AS h
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 5),
+        |dup AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |tot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
+        |dc AS (SELECT sp.doc_id, count(*) AS dup_spans FROM sp JOIN dup USING (h) GROUP BY sp.doc_id)
+        |SELECT tot.doc_id, tot.n_spans, coalesce(dc.dup_spans, CAST(0 AS BIGINT)) AS dup_spans
+        |FROM tot LEFT JOIN dc USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "c45_pagerank" ->
+      // 3 unrolled rounds of the exact integer recurrence
+      // r' = 150e6 + sum (85*r) // (100*deg) over the symmetrized distinct
+      // customer<->supplier trade edges; node namespaces disjoint by parity
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |n AS (SELECT c_custkey * 2 AS node FROM customer
+        |      UNION ALL SELECT s_suppkey * 2 + 1 FROM supplier),
+        |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN d ON e.src = d.src),
+        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM n),
+        |c1 AS (SELECT ed.dst, CAST(sum((85 * r0.r) // (100 * ed.deg)) AS BIGINT) AS cs
+        |       FROM ed JOIN r0 ON r0.node = ed.src GROUP BY ed.dst),
+        |r1 AS (SELECT n.node, 150000000 + coalesce(c1.cs, 0) AS r FROM n LEFT JOIN c1 ON c1.dst = n.node),
+        |c2 AS (SELECT ed.dst, CAST(sum((85 * r1.r) // (100 * ed.deg)) AS BIGINT) AS cs
+        |       FROM ed JOIN r1 ON r1.node = ed.src GROUP BY ed.dst),
+        |r2 AS (SELECT n.node, 150000000 + coalesce(c2.cs, 0) AS r FROM n LEFT JOIN c2 ON c2.dst = n.node),
+        |c3 AS (SELECT ed.dst, CAST(sum((85 * r2.r) // (100 * ed.deg)) AS BIGINT) AS cs
+        |       FROM ed JOIN r2 ON r2.node = ed.src GROUP BY ed.dst),
+        |r3 AS (SELECT n.node, 150000000 + coalesce(c3.cs, 0) AS r FROM n LEFT JOIN c3 ON c3.dst = n.node)
+        |SELECT node, CAST(r AS BIGINT) AS rank_nano FROM r3 ORDER BY node""".stripMargin,
     "c42_count_min" ->
       // identical md5 cell hashing; 15 hex chars = 60 bits, positive in
       // both engines, so % and pmod agree

@@ -51,6 +51,21 @@ object Text {
   def shingleHashesHof(text: Column, n: Int): Column =
     transform(shingles(tokens(text), n), tokenHash(_))
 
+  /** POSITIONAL span hashes — one 60-bit hash per n-gram position, NOT
+    * deduplicated (the span-duplication stats need multiplicity). Codegen'd
+    * ([[graft.plans.TextExpressions.SpanHashesExpr]]). */
+  def spanHashes(text: Column, n: Int): Column =
+    graft.plans.TextExpressions.spanHashes(tokens(text), n)
+
+  /** Interpreted HOF reference form of [[spanHashes]]. */
+  def spanHashesHof(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val made = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => tokenHash(array_join(slice(toks, i, lit(n)), " ")))
+    when(size(toks) >= n, made).otherwise(array().cast("array<long>"))
+  }
+
   /** Rolling document fingerprint: order-sensitive polynomial hash
     * sum_i (h_i mod P) * ((i mod 64)+1) mod P, all mod P. Reproducible in
     * ANSI SQL (DuckDB oracle unnests with subscripts). Two docs with the

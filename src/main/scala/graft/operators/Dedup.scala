@@ -641,4 +641,45 @@ object Dedup {
       .where(col("cos") >= threshold)
       .distinct()
   }
+
+  /** Substring-level duplication signal: for each document, how many of its
+    * word n-gram positions (spans) also occur in at least one OTHER
+    * document. This is the span/line-dedup quality feature of web-corpus
+    * pipelines (the fraction of a page made of boilerplate or copied text),
+    * finer-grained than the document-level pair ops above: a doc can be
+    * globally unique yet 80% built from duplicated spans.
+    *
+    * Output: (id, n_spans, dup_spans) per document with ≥ n tokens, where
+    * n_spans counts all span positions (non-distinct) and dup_spans the
+    * positions whose span text occurs in ≥ 2 distinct documents.
+    *
+    * Scale (100 TB): spans are 60-bit md5 hashes (8 bytes crossing the
+    * wire, never the strings). Two aggregations shuffle on the span hash —
+    * `count(distinct id)` per hash is planned as a two-phase partial
+    * aggregate, so towers of a hot boilerplate span combine map-side —
+    * and the membership check is a left-semi sort-merge join on the same
+    * hash key, then one count per doc id. Everything is linear in corpus
+    * token count; no pair join exists anywhere. Both engines group by the
+    * SAME hash values, so a (cosmically unlikely) 60-bit collision merges
+    * identically on both sides — the compare stays exact by construction.
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                   spanN: Int = 5): DataFrame = {
+    // per-position hashes (non-distinct): position multiplicity is the
+    // point — a doc repeating a duplicated span 10 times scores 10
+    val spans = df
+      .select(col(idCol).as("id"), Text.spanHashes(col(textCol), spanN).as("hs"))
+      .where(size(col("hs")) > 0)
+      .select(col("id"), explode(col("hs")).as("h"))
+    val dup = spans.groupBy(col("h"))
+      .agg(count_distinct(col("id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("h"))
+    val dupPerDoc = spans.join(dup, Seq("h"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("dup_spans"))
+    val totals = spans.groupBy(col("id")).agg(count(lit(1)).as("n_spans"))
+    totals.join(dupPerDoc, Seq("id"), "left")
+      .select(col("id"), col("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
+  }
 }

@@ -72,6 +72,32 @@ object TextExpressions {
       new GenericArrayData(out)
     }
 
+    /** POSITIONAL hashed word n-gram spans — one hash per position, NOT
+      * deduplicated (repeating a span twice yields its hash twice).
+      * Matches transform over the raw sliding windows; the span-level
+      * duplication stats need position multiplicity, which the set form
+      * above deliberately erases. */
+    def spanHashes(toks: ArrayData, n: Int): ArrayData = {
+      val numToks = toks.numElements()
+      val count = numToks - n + 1
+      if (count <= 0) return new GenericArrayData(Array.emptyLongArray)
+      val out = new Array[Long](count)
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < count) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks.getUTF8String(i + j).toString)
+          j += 1
+        }
+        out(i) = md5_60(sb.toString.getBytes("UTF-8"))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
     /** First 8 bytes of md5(bytes) as a big-endian (signed) long — the full
       * 64-bit token hash behind [[simhash64]]. Equals
       * `(hi32 << 32) | lo32` where hi32/lo32 parse hex chars 1–8 / 9–16 of
@@ -139,6 +165,25 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** tokens → positional (non-distinct) 60-bit span hashes (compiled loop). */
+  case class SpanHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireStringArray(child.dataType, "span_hashes")
+
+    override def nullSafeEval(input: Any): Any =
+      TextHashKernels.spanHashes(input.asInstanceOf[ArrayData], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val k = ctx.addReferenceObj("kernels", TextHashKernels,
+        TextHashKernels.getClass.getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $k.spanHashes($a, $n);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): SpanHashesExpr =
+      copy(child = newChild)
+  }
+
   /** tokens → 64-bit simhash signature (compiled loop). */
   case class SimHash64Expr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -162,6 +207,11 @@ object TextExpressions {
   def shingleHashes(tokens: Column, n: Int): Column = {
     require(n >= 1, s"shingle size must be >= 1, got $n")
     ColumnGlue.column(ShingleHashesExpr(ColumnGlue.expression(tokens), n))
+  }
+
+  def spanHashes(tokens: Column, n: Int): Column = {
+    require(n >= 1, s"span size must be >= 1, got $n")
+    ColumnGlue.column(SpanHashesExpr(ColumnGlue.expression(tokens), n))
   }
 
   def simhash64(tokens: Column): Column =

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Integer-exact PageRank ([[Graph.pageRankNano]]): hand-computed fixture,
+  * teleport-only isolated nodes, and partition-count invariance (the
+  * determinism claim is that floor-division integer arithmetic cannot be
+  * perturbed by aggregation order). */
+class GraphSpec extends SparkSpec {
+
+  // star: 1 <-> 2, 1 <-> 3; node 4 isolated.
+  // deg(1)=2, deg(2)=deg(3)=1, r0 = 1e9 everywhere.
+  // iter1: r(1) = 150e6 + 2*(85e9 div 100)        = 1_850_000_000
+  //        r(2) = r(3) = 150e6 + (85e9 div 200)   =   575_000_000
+  // iter2: r(1) = 150e6 + 2*((85*575e6) div 100)  = 1_127_500_000
+  //        r(2) = r(3) = 150e6 + (85*1_850e6) div 200 = 936_250_000
+  //        r(4) = 150_000_000 always
+  private lazy val fixture = {
+    val s = spark; import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+    (edges, nodes)
+  }
+
+  test("pageRankNano matches the hand-computed 2-iteration fixture") {
+    val (edges, nodes) = fixture
+    val got = Graph.pageRankNano(edges, nodes, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1127500000L, 2L -> 936250000L, 3L -> 936250000L,
+      4L -> 150000000L), got.toString)
+  }
+
+  test("pageRankNano is invariant to input partitioning") {
+    val (edges, nodes) = fixture
+    val a = Graph.pageRankNano(edges.repartition(1), nodes.repartition(1), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = Graph.pageRankNano(edges.repartition(7, col("dst")), nodes.repartition(5), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  test("pageRankNano rejects unbounded iteration counts") {
+    val (edges, nodes) = fixture
+    intercept[IllegalArgumentException] {
+      Graph.pageRankNano(edges, nodes, iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRankNano(edges, nodes, iters = 100)
+    }
+  }
+}

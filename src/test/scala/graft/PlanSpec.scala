@@ -169,6 +169,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("dup-span stats: hash-key joins only, no pair join anywhere") {
+    val plan = physicalPlan(SparkEntry.queries("c44_dup_spans")(spark, sf))
+    assert(plan.contains("LeftSemi"),
+      s"membership check should be a left-semi join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"span stats must stay linear — no pair join:\n$plan")
+  }
+
+  test("pagerank rounds are equi-joins + aggregates, nothing quadratic") {
+    val plan = physicalPlan(SparkEntry.queries("c45_pagerank")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"pagerank must not plan a pair join:\n$plan")
+  }
+
   test("no query in the declared inventory collects to the driver") {
     // structural check: building every DataFrame must not trigger an action
     // (any collect-based operator would run here); constructing the plans on

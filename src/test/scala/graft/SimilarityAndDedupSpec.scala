@@ -50,6 +50,30 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(ord.where(to_json(col("cg")) =!= to_json(col("hof"))).count() == 0)
   }
 
+  test("codegen SpanHashesExpr == HOF span hashes (positional, with duplicates)") {
+    // exact positional order AND multiplicity must agree — doc 1 repeats
+    // "the", so its 3-gram windows are not all distinct
+    val both = docs.select(
+      Text.spanHashes(col("text"), 3).as("cg"),
+      Text.spanHashesHof(col("text"), 3).as("hof"))
+    assert(both.where(to_json(col("cg")) =!= to_json(col("hof"))).count() == 0)
+    // n > token count -> empty array, not null/crash
+    val short = docs.select(Text.spanHashes(col("text"), 64).as("h"))
+    assert(short.where(size(col("h")) =!= 0).count() == 0)
+  }
+
+  test("dupSpanStats counts positional spans shared across distinct docs") {
+    val stats = Dedup.dupSpanStats(docs, "doc_id", "text", spanN = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 9-token docs have 7 3-gram positions; docs 1 and 4 are identical so
+    // every span of both is duplicated; doc 2 shares all but the final
+    // "the lazy cat" window; docs 3 and 5 share nothing
+    assert(stats(1L) == ((7L, 7L)), s"doc 1: ${stats(1L)}")
+    assert(stats(4L) == ((7L, 7L)), s"doc 4: ${stats(4L)}")
+    assert(stats(2L) == ((7L, 6L)), s"doc 2: ${stats(2L)}")
+    assert(stats(3L)._2 == 0L && stats(5L)._2 == 0L)
+  }
+
   test("codegen SimHash64Expr == HOF simhash64") {
     val both = docs.select(
       Dedup.simhash64(Text.tokens(col("text"))).as("cg"),
