@@ -883,6 +883,45 @@ object SparkEntry {
           |FROM walk WHERE cur = 1
           |GROUP BY depth ORDER BY depth""".stripMargin)),
 
+    "b57_locf" -> ((s, d) => {
+      // last-observation-carried-forward: every event carries the most
+      // recent purchase value seen so far for its user (the time-series
+      // forward-fill that b53's zero-fill spine cannot express). The
+      // filled value is a raw stored double PASSED THROUGH — chosen by
+      // window position, never arithmetic — so both engines emit the
+      // identical bits. ROWS frame pinned explicitly (ties are already
+      // broken by event_id, making RANGE==ROWS, but pinning removes the
+      // default-frame dependency). One shuffle+sort per user partition —
+      // the unavoidable window cost; no self-join.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          col("ts"),
+          when(col("event_type") === "purchase", col("value")).as("pv"))
+        .withColumn("filled", last(col("pv"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("event_id"), col("filled"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "b58_latest_state" -> ((s, d) =>
+      // CDC log compaction: the latest event per user, picked by the
+      // lexicographic max of (ts, event_id), via ONE partial+final
+      // max_by aggregate — no per-key sort, no window, no join. The
+      // upsert/compaction shape at 100 TB: a row_number window would
+      // shuffle AND fully sort the log to keep one row per key; max_by
+      // keeps a single struct per key in the aggregation state and
+      // combines map-side. Payload values pass through untouched.
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max_by(
+            struct(col("event_id"), col("event_type"), col("value")),
+            struct(col("ts"), col("event_id"))).as("st"))
+        .select(col("user_id"), col("st.event_id").as("event_id"),
+          col("st.event_type").as("event_type"), col("st.value").as("value"))
+        .orderBy(col("user_id"))),
+
     "b53_date_spine" -> ((s, d) => {
       // time-series gap fill: per-priority daily order counts with every
       // missing day restored as an explicit zero row. The spine explodes
@@ -1294,6 +1333,22 @@ object SparkEntry {
         |SELECT depth, count(*) AS n_nodes, CAST(sum(path_sum) AS BIGINT) AS ancestor_key_sum
         |FROM walk WHERE cur = 1
         |GROUP BY depth ORDER BY depth""".stripMargin,
+
+    "b57_locf" ->
+      """SELECT user_id, event_id,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "b58_latest_state" ->
+      """SELECT user_id, event_id, event_type, value
+        |FROM (SELECT user_id, event_id, event_type, value,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
     "b53_date_spine" ->
       """WITH m AS (SELECT o_orderpriority, date_trunc('day', o_orderdate) AS day, count(*) AS n_orders
         |           FROM orders GROUP BY 1, 2),
@@ -1884,6 +1939,21 @@ object SparkEntry {
       graft.operators.Graph.pageRankNano(edges, nodes, iters = 3)
         .orderBy(col("node"))
     }),
+
+    "c46_bigrams" -> ((s, d) =>
+      // exact corpus-level top-50 adjacent-token bigram counts — the
+      // collocation table a tokenizer-merge (BPE) or stopword analysis
+      // starts from, next to c13's per-doc tf and c42's sketched
+      // heavy hitters. Positional spans (NOT per-doc distinct: corpus
+      // frequency needs every occurrence). One groupBy with map-side
+      // partial aggregation, then TakeOrdered for the top-k — no full
+      // sort; ties broken by the bigram text for a total order.
+      t(s, d, "documents")
+        .select(explode(Text.spanStrings(col("text"), 2)).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("bigram"))
+        .limit(50)),
 
     "c42_count_min" -> ((s, d) => {
       // count-min sketch (4 × 256 cells) over all document tokens,
@@ -2611,6 +2681,15 @@ object SparkEntry {
         |       FROM ed JOIN r2 ON r2.node = ed.src GROUP BY ed.dst),
         |r3 AS (SELECT n.node, 150000000 + coalesce(c3.cs, 0) AS r FROM n LEFT JOIN c3 ON c3.dst = n.node)
         |SELECT node, CAST(r AS BIGINT) AS rank_nano FROM r3 ORDER BY node""".stripMargin,
+
+    "c46_bigrams" ->
+      """WITH b AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(t)-1),
+        |    i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM (SELECT string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 2)
+        |SELECT bigram, count(*) AS n FROM b
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
     "c42_count_min" ->
       // identical md5 cell hashing; 15 hex chars = 60 bits, positive in
       // both engines, so % and pmod agree

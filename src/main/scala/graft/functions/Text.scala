@@ -66,6 +66,17 @@ object Text {
     when(size(toks) >= n, made).otherwise(array().cast("array<long>"))
   }
 
+  /** Positional (non-distinct) word n-grams as STRINGS — for corpus-level
+    * n-gram statistics where the surface form is the output (collocation
+    * mining); [[spanHashes]] is the hash form for joins/shuffles. */
+  def spanStrings(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val made = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => array_join(slice(toks, i, lit(n)), " "))
+    when(size(toks) >= n, made).otherwise(array().cast("array<string>"))
+  }
+
   /** Rolling document fingerprint: order-sensitive polynomial hash
     * sum_i (h_i mod P) * ((i mod 64)+1) mod P, all mod P. Reproducible in
     * ANSI SQL (DuckDB oracle unnests with subscripts). Two docs with the

@@ -183,6 +183,13 @@ class PlanSpec extends SparkSpec {
       s"pagerank must not plan a pair join:\n$plan")
   }
 
+  test("latest-state compaction is a pure aggregate — no window, no per-key sort") {
+    val plan = physicalPlan(SparkEntry.queries("b58_latest_state")(spark, sf))
+    assert(!plan.contains("Window"),
+      s"compaction must not plan a window (that sorts the whole log):\n$plan")
+    assert(plan.contains("Aggregate"), s"expected the max_by aggregate:\n$plan")
+  }
+
   test("no query in the declared inventory collects to the driver") {
     // structural check: building every DataFrame must not trigger an action
     // (any collect-based operator would run here); constructing the plans on
