@@ -1940,6 +1940,32 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    "c47_dup_run" -> ((s, d) =>
+      // longest copied-block extent per doc: max run of consecutive
+      // duplicated 5-token span positions (run r = copied substring of
+      // r+4 tokens) — the "strip long exact substrings" dedup policy
+      // signal, finer than c44's position counts. See Dedup.dupSpanRuns.
+      Dedup.dupSpanRuns(t(s, d, "documents"), "doc_id", "text", spanN = 5)
+        .select(col("id").as("doc_id"), col("max_dup_run"))
+        .orderBy(col("doc_id"))),
+
+    "c48_source_overlap" -> ((s, d) =>
+      // provenance matrix: distinct 5-token spans shared per source pair
+      // (who copies from whom) — the view that decides where
+      // cross-source dedup effort goes. See Dedup.sourceSpanOverlap:
+      // per-hash join fan-out bounded by |sources|, never doc count.
+      Dedup.sourceSpanOverlap(t(s, d, "documents"), "source", "text", spanN = 5)
+        .orderBy(col("source_a"), col("source_b"))),
+
+    "c49_containment" -> ((s, d) =>
+      // directed near-containment (≥90% of the contained doc's distinct
+      // shingles inside the container) — catches short-doc-quoted-in-
+      // long-doc dedup cases whose symmetric jaccard is tiny. Pure
+      // integer threshold; capped inverted index. See
+      // Dedup.containmentPairs.
+      Dedup.containmentPairs(docShingleSets(s, d), containPct = 90)
+        .orderBy(col("contained"), col("container"))),
+
     "c46_bigrams" -> ((s, d) =>
       // exact corpus-level top-50 adjacent-token bigram counts — the
       // collocation table a tokenizer-merge (BPE) or stopword analysis
@@ -2690,6 +2716,47 @@ object SparkEntry {
         |  WHERE len(t) >= 2)
         |SELECT bigram, count(*) AS n FROM b
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+
+    "c47_dup_run" ->
+      // positional spans with 1-based positions; islands via
+      // pos - row_number per doc; docs with >= 5 tokens and no dup
+      // positions report 0
+      """WITH sp AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-4),
+        |    i -> {'pos': i, 'h': CAST(('0x' || substring(md5(t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]), 1, 15)) AS BIGINT)})) AS u
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 5),
+        |sp2 AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM sp),
+        |dup AS (SELECT h FROM sp2 GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |dp AS (SELECT sp2.doc_id, sp2.pos FROM sp2 JOIN dup USING (h)),
+        |g AS (SELECT doc_id, pos,
+        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dp),
+        |r AS (SELECT doc_id, grp, count(*) AS run FROM g GROUP BY 1, 2),
+        |m AS (SELECT doc_id, max(run) AS max_dup_run FROM r GROUP BY 1)
+        |SELECT d.doc_id, coalesce(m.max_dup_run, CAST(0 AS BIGINT)) AS max_dup_run
+        |FROM (SELECT DISTINCT doc_id FROM sp2) d LEFT JOIN m USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "c48_source_overlap" ->
+      """WITH sp AS (
+        |  SELECT DISTINCT source AS src, h FROM (
+        |    SELECT source, unnest(list_transform(generate_series(1, len(t)-4),
+        |      i -> CAST(('0x' || substring(md5(t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]), 1, 15)) AS BIGINT))) AS h
+        |    FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+        |    WHERE len(t) >= 5))
+        |SELECT a.src AS source_a, b.src AS source_b, count(*) AS shared_spans
+        |FROM sp a JOIN sp b ON a.h = b.h AND a.src < b.src
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "c49_containment" ->
+      // directed: >= 90% of the CONTAINED doc's distinct shingles appear
+      // in the container; integer test 100*inter >= 90*|A|
+      (shingleCte +
+        """
+          |SELECT a.doc_id AS contained, b.doc_id AS container
+          |FROM s a JOIN s b ON a.doc_id <> b.doc_id
+          |WHERE 100 * len(list_intersect(a.sh, b.sh)) >= 90 * len(a.sh)
+          |ORDER BY contained, container""".stripMargin),
     "c42_count_min" ->
       // identical md5 cell hashing; 15 hex chars = 60 bits, positive in
       // both engines, so % and pmod agree

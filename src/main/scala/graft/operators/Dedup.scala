@@ -663,6 +663,98 @@ object Dedup {
     * SAME hash values, so a (cosmically unlikely) 60-bit collision merges
     * identically on both sides — the compare stays exact by construction.
     */
+  /** Longest duplicated-substring extent per document: the maximum run of
+    * CONSECUTIVE span positions whose span occurs in ≥ 2 distinct docs.
+    * [[dupSpanStats]] counts duplicated positions; this measures whether
+    * they form one long copied block or scattered phrases — a run of r
+    * spans = a copied substring of r + spanN − 1 tokens. The
+    * "remove long exact substrings" dedup policy keys off exactly this.
+    *
+    * Scale: identical hash-only shuffle story as [[dupSpanStats]] plus one
+    * window over DUPLICATED positions only (gaps-and-islands:
+    * grp = pos − row_number per doc) — the window input is the dup subset,
+    * typically a small fraction of the corpus, and partitions by doc id.
+    */
+  def dupSpanRuns(df: DataFrame, idCol: String, textCol: String,
+                  spanN: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = df
+      .select(col(idCol).as("id"), Text.spanHashes(col(textCol), spanN).as("hs"))
+      .where(size(col("hs")) > 0)
+      .select(col("id"), posexplode(col("hs")).as(Seq("pos", "h")))
+    val dup = spans.groupBy(col("h"))
+      .agg(count_distinct(col("id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("h"))
+    val dupPos = spans.join(dup, Seq("h"), "left_semi")
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val runs = dupPos
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("id"), col("grp")).agg(count(lit(1)).as("run"))
+      .groupBy(col("id")).agg(max(col("run")).as("max_dup_run"))
+    df.select(col(idCol).as("id")).where(size(Text.tokens(col(textCol))) >= spanN)
+      .join(runs, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
+  }
+
+  /** Cross-source span-overlap matrix: for each unordered source pair, the
+    * number of DISTINCT spans occurring in both — which sources copy from
+    * (or syndicate to) which, the provenance view that decides where
+    * cross-source dedup effort goes.
+    *
+    * Scale: one distinct-aggregation of (source, hash) — linear, hash-only
+    * shuffle — then a self-join on the hash whose per-key fan-out is
+    * bounded by the SOURCE count (small constant), never document count:
+    * per hash at most |sources|² pair rows. Output is |sources|² rows.
+    */
+  def sourceSpanOverlap(df: DataFrame, srcCol: String, textCol: String,
+                        spanN: Int = 5): DataFrame = {
+    val sp = df
+      .select(col(srcCol).as("src"), Text.spanHashes(col(textCol), spanN).as("hs"))
+      .where(size(col("hs")) > 0)
+      .select(col("src"), explode(col("hs")).as("h"))
+      .distinct()
+    sp.as("x").join(sp.as("y"),
+        col("x.h") === col("y.h") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("source_a"), col("y.src").as("source_b"))
+      .agg(count(lit(1)).as("shared_spans"))
+  }
+
+  /** Directed near-containment pairs: (contained, container) where
+    * ≥ `containPct`% of the contained doc's DISTINCT shingles also appear
+    * in the container. Catches what symmetric jaccard ([[ngramJaccardPairsOf]])
+    * structurally misses: a short doc quoted wholesale inside a long
+    * aggregation page has tiny jaccard but containment ≈ 1. The test is
+    * pure integer (`100·inter ≥ pct·|A|`) — no float threshold anywhere.
+    *
+    * Scale: same capped-inverted-index shape as [[ngramJaccardPairsOf]]
+    * (one co-count join on the shingle hash, hot-shingle postings cut at
+    * `maxPosting` with sizes computed cap-consistently); each undirected
+    * co-pair then tests both directions for the price of one.
+    */
+  def containmentPairs(sets: DataFrame, containPct: Int = 90,
+                       maxPosting: Int = 10000): DataFrame = {
+    require(containPct >= 1 && containPct <= 100,
+      s"containPct must be in [1,100], got $containPct")
+    val postings = sets.select(col("id"), explode(col("hs")).as("h"))
+    val hot = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxPosting).select(col("h"))
+    val capped = postings.join(broadcast(hot), Seq("h"), "left_anti")
+    val sizes = capped.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val co = capped.as("x").join(capped.as("y"),
+        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), "b")
+    val aInB = co.where(col("inter") * 100 >= col("sza") * containPct)
+      .select(col("a").as("contained"), col("b").as("container"))
+    val bInA = co.where(col("inter") * 100 >= col("szb") * containPct)
+      .select(col("b").as("contained"), col("a").as("container"))
+    aInB.union(bInA)
+  }
+
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
                    spanN: Int = 5): DataFrame = {
     // per-position hashes (non-distinct): position multiplicity is the

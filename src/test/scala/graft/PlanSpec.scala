@@ -183,6 +183,14 @@ class PlanSpec extends SparkSpec {
       s"pagerank must not plan a pair join:\n$plan")
   }
 
+  test("provenance/containment queries stay on hash-key joins — nothing quadratic") {
+    Seq("c47_dup_run", "c48_source_overlap", "c49_containment").foreach { q =>
+      val plan = physicalPlan(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$q must not plan a pair join:\n$plan")
+    }
+  }
+
   test("latest-state compaction is a pure aggregate — no window, no per-key sort") {
     val plan = physicalPlan(SparkEntry.queries("b58_latest_state")(spark, sf))
     assert(!plan.contains("Window"),

@@ -74,6 +74,43 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(stats(3L)._2 == 0L && stats(5L)._2 == 0L)
   }
 
+  test("dupSpanRuns finds the longest consecutive duplicated block") {
+    val runs = Dedup.dupSpanRuns(docs, "doc_id", "text", spanN = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1/4 identical: all 7 positions duplicated, one unbroken run;
+    // doc 2 shares positions 0..5 (its final "the lazy cat" window is
+    // unique) -> run of 6; docs 3/5 have nothing duplicated
+    assert(runs(1L) == 7L && runs(4L) == 7L, runs.toString)
+    assert(runs(2L) == 6L, runs.toString)
+    assert(runs(3L) == 0L && runs(5L) == 0L, runs.toString)
+  }
+
+  test("containmentPairs is directed and catches subset docs jaccard misses") {
+    val s = spark; import s.implicits._
+    val d6 = docs.union(Seq(
+      (6L, "the quick brown fox jumps")).toDF("doc_id", "text"))
+    val sets = Dedup.shingleSets(d6, "doc_id", "text", shingleN = 3)
+    val got = Dedup.containmentPairs(sets, containPct = 90)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 6's 3 shingles all appear in docs 1, 2 and 4 (containment 1.0,
+    // jaccard only 3/7); 1 and 4 are identical so contain each other;
+    // doc 2 vs 1: 6 of 7 shingles -> 86% < 90%, excluded
+    assert(got == Set((6L, 1L), (6L, 2L), (6L, 4L), (1L, 4L), (4L, 1L)), got.toString)
+  }
+
+  test("sourceSpanOverlap counts distinct shared spans per source pair") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("sA", "w1 w2 w3 w4"),   // spans: (w1 w2 w3), (w2 w3 w4)
+      ("sA", "w1 w2 w3"),      // repeats (w1 w2 w3) within sA — distinct!
+      ("sB", "w1 w2 w3 w5"),   // shares (w1 w2 w3) with sA
+      ("sC", "x1 x2 x3")       // shares nothing
+    ).toDF("source", "text")
+    val got = Dedup.sourceSpanOverlap(df, "source", "text", spanN = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("sA", "sB") -> 1L), got.toString)
+  }
+
   test("codegen SimHash64Expr == HOF simhash64") {
     val both = docs.select(
       Dedup.simhash64(Text.tokens(col("text"))).as("cg"),
