@@ -1966,6 +1966,18 @@ object SparkEntry {
       Dedup.containmentPairs(docShingleSets(s, d), containPct = 90)
         .orderBy(col("contained"), col("container"))),
 
+    "c50_span_novelty" -> ((s, d) =>
+      // daily-ingest gate: per batch doc (the c25-style doc_id%10==7
+      // split), how many span positions carry a span the corpus has
+      // never seen — re-crawls and boilerplate ingests show ~0 novelty
+      // and drop out before paying full pipeline cost. Corpus is
+      // scanned+hashed once, never self-paired; batch anti-joins the
+      // distinct-hash index. See Dedup.spanNovelty.
+      Dedup.spanNovelty(t(s, d, "documents"), "doc_id", "text",
+          isNew = pmod(col("doc_id"), lit(10)) === 7, spanN = 5)
+        .select(col("id").as("doc_id"), col("n_spans"), col("novel_spans"))
+        .orderBy(col("doc_id"))),
+
     "c46_bigrams" -> ((s, d) =>
       // exact corpus-level top-50 adjacent-token bigram counts — the
       // collocation table a tokenizer-merge (BPE) or stopword analysis
@@ -2747,6 +2759,21 @@ object SparkEntry {
         |SELECT a.src AS source_a, b.src AS source_b, count(*) AS shared_spans
         |FROM sp a JOIN sp b ON a.h = b.h AND a.src < b.src
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "c50_span_novelty" ->
+      """WITH sp AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-4),
+        |    i -> CAST(('0x' || substring(md5(t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]), 1, 15)) AS BIGINT))) AS h
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 5),
+        |b AS (SELECT doc_id, h FROM sp WHERE doc_id % 10 = 7),
+        |ch AS (SELECT DISTINCT h FROM sp WHERE doc_id % 10 <> 7),
+        |tot AS (SELECT doc_id, count(*) AS n_spans FROM b GROUP BY doc_id),
+        |nv AS (SELECT b.doc_id, count(*) AS novel_spans
+        |       FROM b WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.h = b.h)
+        |       GROUP BY b.doc_id)
+        |SELECT tot.doc_id, tot.n_spans, coalesce(nv.novel_spans, CAST(0 AS BIGINT)) AS novel_spans
+        |FROM tot LEFT JOIN nv USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "c49_containment" ->
       // directed: >= 90% of the CONTAINED doc's distinct shingles appear

@@ -663,6 +663,37 @@ object Dedup {
     * SAME hash values, so a (cosmically unlikely) 60-bit collision merges
     * identically on both sides — the compare stays exact by construction.
     */
+  /** Span-level novelty of an incoming batch against the standing corpus:
+    * per NEW document, how many of its span positions carry a span never
+    * seen in any corpus document. The daily-ingest counterpart of
+    * [[dupSpanStats]] (and the span-level analogue of
+    * [[incrementalMinhashPairs]]'s batch-vs-corpus discipline): boilerplate-
+    * heavy or re-crawled ingests show near-zero novelty and can be dropped
+    * before they pay full pipeline cost.
+    *
+    * Scale (100 TB corpus, small daily batch): the corpus is scanned,
+    * hashed, and DISTINCT-aggregated on the 60-bit span hash — linear,
+    * hash-only, never paired with itself. The batch anti-joins that index
+    * on the hash key (sort-merge left-anti), then two small per-doc counts.
+    * Work ∝ corpus + batch; nothing quadratic anywhere.
+    */
+  def spanNovelty(df: DataFrame, idCol: String, textCol: String,
+                  isNew: Column, spanN: Int = 5): DataFrame = {
+    val spans = df
+      .select(col(idCol).as("id"), isNew.as("nw"),
+        Text.spanHashes(col(textCol), spanN).as("hs"))
+      .where(size(col("hs")) > 0)
+      .select(col("id"), col("nw"), explode(col("hs")).as("h"))
+    val batch = spans.where(col("nw")).select(col("id"), col("h"))
+    val corpusH = spans.where(!col("nw")).select(col("h")).distinct()
+    val novel = batch.join(corpusH, Seq("h"), "left_anti")
+      .groupBy(col("id")).agg(count(lit(1)).as("novel_spans"))
+    val totals = batch.groupBy(col("id")).agg(count(lit(1)).as("n_spans"))
+    totals.join(novel, Seq("id"), "left")
+      .select(col("id"), col("n_spans"),
+        coalesce(col("novel_spans"), lit(0L)).as("novel_spans"))
+  }
+
   /** Longest duplicated-substring extent per document: the maximum run of
     * CONSECUTIVE span positions whose span occurs in ≥ 2 distinct docs.
     * [[dupSpanStats]] counts duplicated positions; this measures whether

@@ -85,6 +85,16 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(runs(3L) == 0L && runs(5L) == 0L, runs.toString)
   }
 
+  test("spanNovelty counts batch spans absent from the corpus index") {
+    // batch = docs 2 and 4; corpus = 1, 3, 5. Doc 4 is an exact copy of
+    // corpus doc 1 -> 0 novel spans; doc 2 shares all but its final
+    // "the lazy cat" window -> exactly 1 novel span of 7
+    val got = Dedup.spanNovelty(docs, "doc_id", "text",
+        isNew = col("doc_id").isin(2L, 4L), spanN = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(2L -> ((7L, 1L)), 4L -> ((7L, 0L))), got.toString)
+  }
+
   test("containmentPairs is directed and catches subset docs jaccard misses") {
     val s = spark; import s.implicits._
     val d6 = docs.union(Seq(
