@@ -922,6 +922,28 @@ object SparkEntry {
           col("st.event_type").as("event_type"), col("st.value").as("value"))
         .orderBy(col("user_id"))),
 
+    "b59_cohort_retention" -> ((s, d) => {
+      // cohort retention matrix: customers grouped by first-order
+      // quarter (the cohort), counted as active in each later quarter —
+      // the standard product-analytics triangle. Three aggregations on
+      // explicit keys (per-customer min, distinct activity, matrix
+      // count-distinct), all partial+final; the cohort join is on
+      // custkey, a well-distributed key. Integer counts and truncated
+      // dates only.
+      val o = t(s, d, "orders")
+      val cohort = o.groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("first_order"))
+        .select(col("o_custkey"),
+          date_trunc("quarter", col("first_order")).cast("date").as("cohort"))
+      val active = o.select(col("o_custkey"),
+          date_trunc("quarter", col("o_orderdate")).cast("date").as("q"))
+        .distinct()
+      active.join(cohort, Seq("o_custkey"))
+        .groupBy(col("cohort"), col("q"))
+        .agg(count_distinct(col("o_custkey")).as("n_active"))
+        .orderBy(col("cohort"), col("q"))
+    }),
+
     "b53_date_spine" -> ((s, d) => {
       // time-series gap fill: per-priority daily order counts with every
       // missing day restored as an explicit zero row. The spine explodes
@@ -1333,6 +1355,17 @@ object SparkEntry {
         |SELECT depth, count(*) AS n_nodes, CAST(sum(path_sum) AS BIGINT) AS ancestor_key_sum
         |FROM walk WHERE cur = 1
         |GROUP BY depth ORDER BY depth""".stripMargin,
+
+    "b59_cohort_retention" ->
+      """WITH cohort AS (
+        |  SELECT o_custkey, CAST(date_trunc('quarter', min(o_orderdate)) AS DATE) AS cohort
+        |  FROM orders GROUP BY o_custkey),
+        |active AS (
+        |  SELECT DISTINCT o_custkey, CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q
+        |  FROM orders)
+        |SELECT c.cohort, a.q, count(DISTINCT a.o_custkey) AS n_active
+        |FROM active a JOIN cohort c ON a.o_custkey = c.o_custkey
+        |GROUP BY c.cohort, a.q ORDER BY c.cohort, a.q""".stripMargin,
 
     "b57_locf" ->
       """SELECT user_id, event_id,
@@ -1965,6 +1998,19 @@ object SparkEntry {
       // Dedup.containmentPairs.
       Dedup.containmentPairs(docShingleSets(s, d), containPct = 90)
         .orderBy(col("contained"), col("container"))),
+
+    "c51_dedup_report" -> ((s, d) =>
+      // dedup impact report: for each near-dup cluster size k, how many
+      // clusters exist and how many docs a keep-one policy removes
+      // (k−1 per cluster) — the ops-facing summary of a dedup pass.
+      // Pure reuse of the memoized c17 cluster labels; two tiny
+      // aggregations on top.
+      docClusters(s, d)
+        .groupBy(col("cluster_rep")).agg(count(lit(1)).as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("k") - 1).as("docs_removed"))
+        .orderBy(col("k"))),
 
     "c50_span_novelty" -> ((s, d) =>
       // daily-ingest gate: per batch doc (the c25-style doc_id%10==7
@@ -2759,6 +2805,28 @@ object SparkEntry {
         |SELECT a.src AS source_a, b.src AS source_b, count(*) AS shared_spans
         |FROM sp a JOIN sp b ON a.h = b.h AND a.src < b.src
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "c51_dedup_report" ->
+      // same recursive-CC oracle as c17, summarized to the per-size
+      // report: clusters of size k and the k-1 docs a keep-one removes
+      (shingleCte +
+        """,
+          |p AS (
+          |  SELECT a.doc_id AS a, b.doc_id AS b
+          |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+          |  WHERE len(list_intersect(a.sh, b.sh)) >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))),
+          |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+          |r AS (
+          |  WITH RECURSIVE reach(id, x) AS (
+          |    SELECT src, src FROM e
+          |    UNION
+          |    SELECT e.src, reach.x FROM e JOIN reach ON reach.id = e.dst)
+          |  SELECT id, x FROM reach),
+          |cl AS (SELECT cluster_rep, count(*) AS k FROM (
+          |         SELECT id, min(x) AS cluster_rep FROM r GROUP BY id)
+          |       GROUP BY cluster_rep)
+          |SELECT k, count(*) AS n_clusters, CAST(sum(k - 1) AS BIGINT) AS docs_removed
+          |FROM cl GROUP BY k ORDER BY k""".stripMargin),
 
     "c50_span_novelty" ->
       """WITH sp AS (
