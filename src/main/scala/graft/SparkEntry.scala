@@ -922,6 +922,39 @@ object SparkEntry {
           col("st.event_type").as("event_type"), col("st.value").as("value"))
         .orderBy(col("user_id"))),
 
+    "b60_scd2" -> ((s, d) => {
+      // slowly-changing-dimension type 2: the per-user event log becomes
+      // validity intervals [valid_from, valid_to) with an is_current
+      // flag — one lead() window per user partition, the standard
+      // change-log → dimension-table build. Timestamps emitted as epoch
+      // MICROS longs (the testdata is µs-precision, lossless in both
+      // engines); ties broken by event_id.
+      val us = unix_micros(col("ts"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("valid_from_us", us)
+        .withColumn("valid_to_us", lead(us, 1).over(w))
+        .select(col("user_id"), col("event_id"), col("valid_from_us"),
+          col("valid_to_us"), col("valid_to_us").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "b61_zorder_key" -> ((s, d) =>
+      // multi-dimensional at-rest clustering: the Morton key over
+      // (custkey, order day) that a 2-D-skipping layout sorts by at
+      // write time — every file then has a tight min/max envelope in
+      // both dimensions. The key is pure builtin bitwise arithmetic
+      // (see Scale.zOrderKey), narrow and codegen'd; the 2000-row cut
+      // is total-ordered on (zkey, orderkey).
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          Scale.zOrderKey(col("o_custkey"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1992-01-01").cast("date"))).as("zkey"))
+        .orderBy(col("zkey"), col("o_orderkey"))
+        .limit(2000)),
+
     "b59_cohort_retention" -> ((s, d) => {
       // cohort retention matrix: customers grouped by first-order
       // quarter (the cohort), counted as active in each later quarter —
@@ -1355,6 +1388,29 @@ object SparkEntry {
         |SELECT depth, count(*) AS n_nodes, CAST(sum(path_sum) AS BIGINT) AS ancestor_key_sum
         |FROM walk WHERE cur = 1
         |GROUP BY depth ORDER BY depth""".stripMargin,
+
+    "b60_scd2" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
+        |  lead(epoch_us(ts), 1) OVER w AS valid_to_us,
+        |  lead(epoch_us(ts), 1) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "b61_zorder_key" ->
+      // the same spread-bits ladder, stepwise; pure integer & | << so the
+      // key is bit-identical
+      """WITH s0 AS (
+        |  SELECT o_orderkey,
+        |    (o_custkey & 65535) AS x,
+        |    (date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) & 65535) AS y
+        |  FROM orders),
+        |s1 AS (SELECT o_orderkey, ((x | (x << 8)) & 16711935) AS x, ((y | (y << 8)) & 16711935) AS y FROM s0),
+        |s2 AS (SELECT o_orderkey, ((x | (x << 4)) & 252645135) AS x, ((y | (y << 4)) & 252645135) AS y FROM s1),
+        |s3 AS (SELECT o_orderkey, ((x | (x << 2)) & 858993459) AS x, ((y | (y << 2)) & 858993459) AS y FROM s2),
+        |s4 AS (SELECT o_orderkey, ((x | (x << 1)) & 1431655765) AS x, ((y | (y << 1)) & 1431655765) AS y FROM s3)
+        |SELECT o_orderkey, CAST(x | (y << 1) AS BIGINT) AS zkey
+        |FROM s4 ORDER BY zkey, o_orderkey LIMIT 2000""".stripMargin,
 
     "b59_cohort_retention" ->
       """WITH cohort AS (

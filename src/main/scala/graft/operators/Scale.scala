@@ -65,6 +65,25 @@ object Scale {
     * uses for scratch-rooted layouts; without it the files land in the
     * session warehouse directory.
     */
+  /** 32-bit Morton (z-order) key from the low 16 bits of two dimensions —
+    * the multi-dimensional at-rest clustering key: writing files sorted by
+    * z-key gives every file a tight min/max envelope in BOTH dimensions, so
+    * a 2-D range predicate skips most files where a single-column sort only
+    * prunes along its one axis. Built from builtin bitwise expressions (the
+    * standard spread-bits ladder), so it stays inside whole-stage codegen
+    * and is bit-identical in any engine (pure integer & | <<).
+    */
+  def zOrderKey(x: Column, y: Column): Column = {
+    def spread(c: Column): Column = {
+      var v = c.cast("long").bitwiseAND(lit(0xFFFFL))
+      v = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FFL))
+      v = v.bitwiseOR(shiftleft(v, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      v = v.bitwiseOR(shiftleft(v, 2)).bitwiseAND(lit(0x33333333L))
+      v.bitwiseOR(shiftleft(v, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+  }
+
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
                     path: Option[String] = None): Unit = {
     val w = df.write.mode("overwrite")

@@ -327,6 +327,32 @@ class ScaleSpec extends SparkSpec {
       s"tower pairs leaked past the cap: ${pairs.take(5)}")
   }
 
+  test("zOrderKey matches a naive bit-interleave and preserves quadrant locality") {
+    val s = spark; import s.implicits._
+    def naive(x: Long, y: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val pts = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)).toDF("x", "y")
+    val got = pts.select(col("x"), col("y"),
+        Scale.zOrderKey(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got.foreach { case ((x, y), z) =>
+      assert(z == naive(x, y), s"($x,$y): got $z, want ${naive(x, y)}")
+    }
+    // quadrant locality: the top two bits of z are exactly the quadrant of
+    // (x, y) in the 64×64 grid — a 2-D range restricted to one quadrant is
+    // one contiguous z range (the property file skipping relies on)
+    got.foreach { case ((x, y), z) =>
+      val quad = ((y >> 5) << 1) | (x >> 5)
+      assert((z >> 10) == quad, s"($x,$y) quadrant $quad but z=$z")
+    }
+  }
+
   test("contamination flags a planted eval near-duplicate and nothing else") {
     val s = spark; import s.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
