@@ -21,7 +21,9 @@ class EquivalenceSpec extends SparkSpec {
     // r2 additions: new operators and every query whose hot path changed
     "a24_union_n", "a25_tensor_dims", "a26_normalize", "a27_union_infer",
     "c11_fingerprint", "c19_tfidf", "c21_mm_resize", "c22_ann_lsh",
-    "c23_split_assign", "c24_pack_shards", "c26_stratified_sample")
+    "c23_split_assign", "c24_pack_shards", "c26_stratified_sample",
+    // late-r5 additions with new kernels / bitwise hot paths
+    "c44_dup_spans", "c45_pagerank", "c46_bigrams", "b61_zorder_key")
 
   test("codegen on/off produce identical results for representative queries") {
     keys.foreach { name =>
