@@ -2055,6 +2055,14 @@ object SparkEntry {
       Dedup.containmentPairs(docShingleSets(s, d), containPct = 90)
         .orderBy(col("contained"), col("container"))),
 
+    "c52_minhash_calibration" -> ((s, d) =>
+      // sketch-quality-as-columns (the b18/c42 pattern for minhash):
+      // per exact near-dup pair, exact |∩|/|∪| NEXT TO the 64-perm
+      // signature agreement — the estimator and its ground truth in one
+      // hash-checked row. See Dedup.jaccardCalibration.
+      Dedup.jaccardCalibration(docShingleSets(s, d), threshold = 0.8)
+        .orderBy(col("a"), col("b"))),
+
     "c51_dedup_report" -> ((s, d) =>
       // dedup impact report: for each near-dup cluster size k, how many
       // clusters exist and how many docs a keep-one policy removes
@@ -2861,6 +2869,35 @@ object SparkEntry {
         |SELECT a.src AS source_a, b.src AS source_b, count(*) AS shared_spans
         |FROM sp a JOIN sp b ON a.h = b.h AND a.src < b.src
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "c52_minhash_calibration" ->
+      // exact inter/uni over the 60-bit HASH sets (identical collision
+      // behavior to Spark by construction) + the c37 full-minhash
+      // replication for the signature agreement
+      (shingleCte +
+        """,
+          |hs AS (SELECT doc_id, list_distinct(list_transform(sh, x ->
+          |        CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT))) AS hs FROM s),
+          |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+          |        len(list_intersect(a.hs, b.hs)) AS inter,
+          |        len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS uni
+          |      FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+          |      WHERE len(list_intersect(a.hs, b.hs)) >=
+          |            0.8 * (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))),
+          |perm AS (SELECT i,
+          |        CASE WHEN (1103515245 * (i+1) + 12345) % 2147483647 = 0 THEN 1
+          |             ELSE (1103515245 * (i+1) + 12345) % 2147483647 END AS a,
+          |        (69069 * (i+1) + 1) % 2147483647 AS b
+          |        FROM generate_series(0, 63) g(i)),
+          |sig AS (SELECT h.doc_id, p.i,
+          |        min((p.a * (h.h % 2147483647) + p.b) % 2147483647) AS sg
+          |        FROM (SELECT doc_id, unnest(hs) AS h FROM hs) h CROSS JOIN perm p
+          |        GROUP BY h.doc_id, p.i),
+          |sigl AS (SELECT doc_id, list(sg ORDER BY i) AS sig FROM sig GROUP BY doc_id)
+          |SELECT p.a, p.b, CAST(p.inter AS BIGINT) AS inter, CAST(p.uni AS BIGINT) AS uni,
+          |  CAST(len(list_filter(generate_series(1, 64), i -> sa.sig[i] = sb.sig[i])) AS INTEGER) AS n_agree
+          |FROM p JOIN sigl sa ON sa.doc_id = p.a JOIN sigl sb ON sb.doc_id = p.b
+          |ORDER BY a, b""".stripMargin),
 
     "c51_dedup_report" ->
       // same recursive-CC oracle as c17, summarized to the per-size

@@ -229,6 +229,43 @@ object Dedup {
       .select(col("doc_id"), col("dup_of"), col("n_agree"))
   }
 
+  /** Sketch-calibration report: for every exact near-dup pair (jaccard ≥
+    * `threshold` over the capped inverted index), the exact intersection
+    * and union sizes NEXT TO the minhash signature agreement count — the
+    * "n_agree/numPerm estimates inter/uni" guarantee as hash-checked
+    * output columns rather than a unit-test claim (the b18/c42 pattern
+    * applied to minhash). Everything is integer and md5-deterministic, so
+    * an independent engine reproduces every column bit-for-bit.
+    *
+    * Scale: the pair discovery is [[ngramJaccardPairsOf]]'s capped
+    * inverted-index join; signatures join on doc id (near-dup-pair-sized
+    * relation, two hash joins). Nothing new shuffles beyond the pair graph.
+    */
+  def jaccardCalibration(sets: DataFrame, threshold: Double = 0.8,
+                         numPerm: Int = 64, maxPosting: Int = 10000): DataFrame = {
+    val postings = sets.select(col("id"), explode(col("hs")).as("h"))
+    val hot = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxPosting).select(col("h"))
+    val capped = postings.join(broadcast(hot), Seq("h"), "left_anti")
+    val sizes = capped.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val pairs = capped.as("x").join(capped.as("y"),
+        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), "b")
+      .withColumn("uni", col("sza") + col("szb") - col("inter"))
+      .where(col("inter") >= col("uni") * threshold)
+      .select(col("a"), col("b"), col("inter"), col("uni"))
+    val sigs = sets.select(col("id"), minhashSignature(col("hs"), numPerm).as("sig"))
+    pairs
+      .join(sigs.select(col("id").as("a"), col("sig").as("siga")), "a")
+      .join(sigs.select(col("id").as("b"), col("sig").as("sigb")), "b")
+      .select(col("a"), col("b"), col("inter"), col("uni"),
+        aggregate(zip_with(col("siga"), col("sigb"),
+          (x, y) => (x === y).cast("int")), lit(0), _ + _).as("n_agree"))
+  }
+
   /** Exact n-gram jaccard similarity join via inverted index (the
     * scalable exact path next to minhash's approximate one).
     *
