@@ -30,14 +30,21 @@ object Text {
   def tokenHash(tok: Column): Column =
     conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
 
-  /** Word n-gram shingles, distinct, as strings ("w1 w2 w3").
-    * Empty result when the doc has fewer than n tokens. */
-  def shingles(toks: Column, n: Int): Column = {
+  /** Positional sliding n-gram windows as strings ("w1 w2 w3"), one per
+    * position, NOT deduplicated; empty when the doc has fewer than n
+    * tokens. The single source of the window convention — every
+    * shingle/span form below derives from it. */
+  private def windows(toks: Column, n: Int): Column = {
     val made = transform(
       sequence(lit(1), size(toks) - (n - 1)),
       i => array_join(slice(toks, i, lit(n)), " "))
-    array_distinct(when(size(toks) >= n, made).otherwise(array().cast("array<string>")))
+    when(size(toks) >= n, made).otherwise(array().cast("array<string>"))
   }
+
+  /** Word n-gram shingles, distinct, as strings ("w1 w2 w3").
+    * Empty result when the doc has fewer than n tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(windows(toks, n))
 
   /** Distinct shingle hashes — the set representation used by minhash and
     * the exact jaccard join. Codegen'd single-pass kernel
@@ -58,24 +65,14 @@ object Text {
     graft.plans.TextExpressions.spanHashes(tokens(text), n)
 
   /** Interpreted HOF reference form of [[spanHashes]]. */
-  def spanHashesHof(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val made = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => tokenHash(array_join(slice(toks, i, lit(n)), " ")))
-    when(size(toks) >= n, made).otherwise(array().cast("array<long>"))
-  }
+  def spanHashesHof(text: Column, n: Int): Column =
+    transform(windows(tokens(text), n), tokenHash(_))
 
   /** Positional (non-distinct) word n-grams as STRINGS — for corpus-level
     * n-gram statistics where the surface form is the output (collocation
     * mining); [[spanHashes]] is the hash form for joins/shuffles. */
-  def spanStrings(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val made = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => array_join(slice(toks, i, lit(n)), " "))
-    when(size(toks) >= n, made).otherwise(array().cast("array<string>"))
-  }
+  def spanStrings(text: Column, n: Int): Column =
+    windows(tokens(text), n)
 
   /** Rolling document fingerprint: order-sensitive polynomial hash
     * sum_i (h_i mod P) * ((i mod 64)+1) mod P, all mod P. Reproducible in

@@ -243,17 +243,7 @@ object Dedup {
     */
   def jaccardCalibration(sets: DataFrame, threshold: Double = 0.8,
                          numPerm: Int = 64, maxPosting: Int = 10000): DataFrame = {
-    val postings = sets.select(col("id"), explode(col("hs")).as("h"))
-    val hot = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .where(col("df") > maxPosting).select(col("h"))
-    val capped = postings.join(broadcast(hot), Seq("h"), "left_anti")
-    val sizes = capped.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val pairs = capped.as("x").join(capped.as("y"),
-        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("id").as("a"), col("sz").as("sza")), "a")
-      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), "b")
+    val pairs = cappedCoCounts(sets, maxPosting)
       .withColumn("uni", col("sza") + col("szb") - col("inter"))
       .where(col("inter") >= col("uni") * threshold)
       .select(col("a"), col("b"), col("inter"), col("uni"))
@@ -293,27 +283,39 @@ object Dedup {
 
   /** [[ngramJaccardPairs]] over a precomputed (id, hs) shingle index (see
     * [[minhashPairsOf]] for the sharing pattern). */
-  def ngramJaccardPairsOf(sets: DataFrame, threshold: Double = 0.8,
-                          maxPosting: Int = 10000): DataFrame = {
-    // the posting list re-explodes from the (persisted) index on each of
-    // its consumers: the hot-shingle scan, both sides of the self-join,
-    // and the per-doc sizes — cache scans + explode, no recomputed kernel
+  /** The capped inverted-index co-count core shared by every exact
+    * set-overlap operator ([[ngramJaccardPairsOf]], [[containmentPairs]],
+    * [[jaccardCalibration]]): all pairs sharing ≥ 1 non-hot shingle, with
+    * |intersection| and both (cap-consistent) set sizes.
+    *
+    * The posting list re-explodes from the (persisted) `sets` index on
+    * each consumer — cache scans + explode, no recomputed kernel. The
+    * hot-shingle cut is a broadcast anti-join: the document-frequency agg
+    * is map-side-combined and the hot set is tiny (usually empty), so the
+    * posting list itself never pays an extra shuffle or window sort.
+    * Sizes are computed from the SAME capped posting list as the
+    * intersections, so numerator and denominator stay consistent when the
+    * cap fires.
+    */
+  private def cappedCoCounts(sets: DataFrame, maxPosting: Int): DataFrame = {
     val postings = sets.select(col("id"), explode(col("hs")).as("h"))
-    // hot-shingle cut as a broadcast anti-join: the document-frequency agg
-    // is map-side-combined and the hot set is tiny (usually empty), so the
-    // posting list itself never pays an extra shuffle or window sort
     val hot = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") > maxPosting).select(col("h"))
     val capped = postings.join(broadcast(hot), Seq("h"), "left_anti")
     val sizes = capped.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val co = capped.as("x").join(capped.as("y"), col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+    capped.as("x").join(capped.as("y"),
+        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("inter"))
-    co.join(sizes.select(col("id").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("id").as("a"), col("sz").as("sza")), "a")
       .join(sizes.select(col("id").as("b"), col("sz").as("szb")), "b")
+  }
+
+  def ngramJaccardPairsOf(sets: DataFrame, threshold: Double = 0.8,
+                          maxPosting: Int = 10000): DataFrame =
+    cappedCoCounts(sets, maxPosting)
       .where(col("inter") >= (col("sza") + col("szb") - col("inter")) * threshold)
       .select(col("a"), col("b"))
-  }
 
   /** Number of shingles whose document frequency exceeds `maxPosting` —
     * when 0, [[ngramJaccardPairs]] is exact over the full shingle universe.
@@ -679,27 +681,25 @@ object Dedup {
       .distinct()
   }
 
-  /** Substring-level duplication signal: for each document, how many of its
-    * word n-gram positions (spans) also occur in at least one OTHER
-    * document. This is the span/line-dedup quality feature of web-corpus
-    * pipelines (the fraction of a page made of boilerplate or copied text),
-    * finer-grained than the document-level pair ops above: a doc can be
-    * globally unique yet 80% built from duplicated spans.
-    *
-    * Output: (id, n_spans, dup_spans) per document with ≥ n tokens, where
-    * n_spans counts all span positions (non-distinct) and dup_spans the
-    * positions whose span text occurs in ≥ 2 distinct documents.
-    *
-    * Scale (100 TB): spans are 60-bit md5 hashes (8 bytes crossing the
-    * wire, never the strings). Two aggregations shuffle on the span hash —
-    * `count(distinct id)` per hash is planned as a two-phase partial
-    * aggregate, so towers of a hot boilerplate span combine map-side —
-    * and the membership check is a left-semi sort-merge join on the same
-    * hash key, then one count per doc id. Everything is linear in corpus
-    * token count; no pair join exists anywhere. Both engines group by the
-    * SAME hash values, so a (cosmically unlikely) 60-bit collision merges
-    * identically on both sides — the compare stays exact by construction.
-    */
+  /** Positional (non-distinct) span hashes, one row per (doc, position):
+    * the shared first stage of every span-level operator below
+    * ([[dupSpanStats]], [[dupSpanRuns]], [[spanNovelty]]). 60-bit md5
+    * hashes — 8 bytes cross the wire, never span strings. */
+  private def spanPositions(df: DataFrame, idCol: String, textCol: String,
+                            spanN: Int): DataFrame =
+    df.select(col(idCol).as("id"), Text.spanHashes(col(textCol), spanN).as("hs"))
+      .where(size(col("hs")) > 0)
+      .select(col("id"), posexplode(col("hs")).as(Seq("pos", "h")))
+
+  /** Hashes of spans occurring in ≥ 2 distinct docs. `count(distinct id)`
+    * per hash plans as a two-phase partial aggregate, so towers of a hot
+    * boilerplate span combine map-side. */
+  private def duplicatedHashes(spans: DataFrame): DataFrame =
+    spans.groupBy(col("h"))
+      .agg(count_distinct(col("id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("h"))
+
   /** Span-level novelty of an incoming batch against the standing corpus:
     * per NEW document, how many of its span positions carry a span never
     * seen in any corpus document. The daily-ingest counterpart of
@@ -716,6 +716,8 @@ object Dedup {
     */
   def spanNovelty(df: DataFrame, idCol: String, textCol: String,
                   isNew: Column, spanN: Int = 5): DataFrame = {
+    // carries the batch flag alongside each span row, so it can't reuse
+    // spanPositions' (id, pos, h) shape directly
     val spans = df
       .select(col(idCol).as("id"), isNew.as("nw"),
         Text.spanHashes(col(textCol), spanN).as("hs"))
@@ -746,15 +748,8 @@ object Dedup {
   def dupSpanRuns(df: DataFrame, idCol: String, textCol: String,
                   spanN: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spans = df
-      .select(col(idCol).as("id"), Text.spanHashes(col(textCol), spanN).as("hs"))
-      .where(size(col("hs")) > 0)
-      .select(col("id"), posexplode(col("hs")).as(Seq("pos", "h")))
-    val dup = spans.groupBy(col("h"))
-      .agg(count_distinct(col("id")).as("nd"))
-      .where(col("nd") >= 2)
-      .select(col("h"))
-    val dupPos = spans.join(dup, Seq("h"), "left_semi")
+    val spans = spanPositions(df, idCol, textCol, spanN)
+    val dupPos = spans.join(duplicatedHashes(spans), Seq("h"), "left_semi")
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val runs = dupPos
       .withColumn("grp", col("pos") - row_number().over(w))
@@ -805,17 +800,7 @@ object Dedup {
                        maxPosting: Int = 10000): DataFrame = {
     require(containPct >= 1 && containPct <= 100,
       s"containPct must be in [1,100], got $containPct")
-    val postings = sets.select(col("id"), explode(col("hs")).as("h"))
-    val hot = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .where(col("df") > maxPosting).select(col("h"))
-    val capped = postings.join(broadcast(hot), Seq("h"), "left_anti")
-    val sizes = capped.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val co = capped.as("x").join(capped.as("y"),
-        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("id").as("a"), col("sz").as("sza")), "a")
-      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), "b")
+    val co = cappedCoCounts(sets, maxPosting)
     val aInB = co.where(col("inter") * 100 >= col("sza") * containPct)
       .select(col("a").as("contained"), col("b").as("container"))
     val bInA = co.where(col("inter") * 100 >= col("szb") * containPct)
@@ -823,19 +808,30 @@ object Dedup {
     aInB.union(bInA)
   }
 
+  /** Substring-level duplication signal: for each document, how many of
+    * its word n-gram positions (spans) also occur in at least one OTHER
+    * document. The span/line-dedup quality feature of web-corpus
+    * pipelines, finer-grained than the document-level pair ops above: a
+    * doc can be pair-unique yet 80% built from duplicated spans.
+    *
+    * Output: (id, n_spans, dup_spans) per document with ≥ n tokens, where
+    * n_spans counts all span positions (non-distinct) and dup_spans the
+    * positions whose span occurs in ≥ 2 distinct documents.
+    *
+    * Scale (100 TB): two aggregations shuffle on the 60-bit span hash
+    * (see [[spanPositions]]/[[duplicatedHashes]]) and the membership
+    * check is a left-semi sort-merge join on the same key, then one count
+    * per doc id — linear in corpus token count, no pair join anywhere.
+    * Both engines group by the SAME hash values, so a (cosmically
+    * unlikely) collision merges identically on both sides — the compare
+    * stays exact by construction.
+    */
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
                    spanN: Int = 5): DataFrame = {
-    // per-position hashes (non-distinct): position multiplicity is the
-    // point — a doc repeating a duplicated span 10 times scores 10
-    val spans = df
-      .select(col(idCol).as("id"), Text.spanHashes(col(textCol), spanN).as("hs"))
-      .where(size(col("hs")) > 0)
-      .select(col("id"), explode(col("hs")).as("h"))
-    val dup = spans.groupBy(col("h"))
-      .agg(count_distinct(col("id")).as("nd"))
-      .where(col("nd") >= 2)
-      .select(col("h"))
-    val dupPerDoc = spans.join(dup, Seq("h"), "left_semi")
+    // position multiplicity is the point — a doc repeating a duplicated
+    // span 10 times scores 10
+    val spans = spanPositions(df, idCol, textCol, spanN)
+    val dupPerDoc = spans.join(duplicatedHashes(spans), Seq("h"), "left_semi")
       .groupBy(col("id")).agg(count(lit(1)).as("dup_spans"))
     val totals = spans.groupBy(col("id")).agg(count(lit(1)).as("n_spans"))
     totals.join(dupPerDoc, Seq("id"), "left")
