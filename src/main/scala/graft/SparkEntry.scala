@@ -2055,6 +2055,21 @@ object SparkEntry {
       Dedup.containmentPairs(docShingleSets(s, d), containPct = 90)
         .orderBy(col("contained"), col("container"))),
 
+    "c53_soft_dedup_weights" -> ((s, d) => {
+      // duplicate-aware training weights: instead of DROPPING near-dups
+      // (c18's keep-one), keep every doc and down-weight each cluster
+      // member to 1/k (integer ppm, floor div) so a 10-way duplicate
+      // contributes one document's worth of gradient in aggregate — the
+      // soft-dedup loss weighting. Two tiny aggregations + one join over
+      // the memoized c17 cluster labels.
+      val m = docClusters(s, d)
+      val sizes = m.groupBy(col("cluster_rep")).agg(count(lit(1)).as("k"))
+      m.join(sizes, Seq("cluster_rep"))
+        .select(col("id").as("doc_id"), col("k"),
+          expr("1000000L div k").as("weight_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
     "c52_minhash_calibration" -> ((s, d) =>
       // sketch-quality-as-columns (the b18/c42 pattern for minhash):
       // per exact near-dup pair, exact |∩|/|∪| NEXT TO the 64-perm
@@ -2869,6 +2884,27 @@ object SparkEntry {
         |SELECT a.src AS source_a, b.src AS source_b, count(*) AS shared_spans
         |FROM sp a JOIN sp b ON a.h = b.h AND a.src < b.src
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "c53_soft_dedup_weights" ->
+      // c17's recursive-CC oracle + per-cluster sizes; weight = 1e6 // k
+      (shingleCte +
+        """,
+          |p AS (
+          |  SELECT a.doc_id AS a, b.doc_id AS b
+          |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+          |  WHERE len(list_intersect(a.sh, b.sh)) >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))),
+          |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+          |r AS (
+          |  WITH RECURSIVE reach(id, x) AS (
+          |    SELECT src, src FROM e
+          |    UNION
+          |    SELECT e.src, reach.x FROM e JOIN reach ON reach.id = e.dst)
+          |  SELECT id, x FROM reach),
+          |m AS (SELECT id, min(x) AS cluster_rep FROM r GROUP BY id),
+          |cl AS (SELECT cluster_rep, count(*) AS k FROM m GROUP BY cluster_rep)
+          |SELECT m.id AS doc_id, cl.k, CAST(1000000 // cl.k AS BIGINT) AS weight_ppm
+          |FROM m JOIN cl ON m.cluster_rep = cl.cluster_rep
+          |ORDER BY doc_id""".stripMargin),
 
     "c52_minhash_calibration" ->
       // exact inter/uni over the 60-bit HASH sets (identical collision
