@@ -2055,6 +2055,25 @@ object SparkEntry {
       Dedup.containmentPairs(docShingleSets(s, d), containPct = 90)
         .orderBy(col("contained"), col("container"))),
 
+    "c54_token_rarity" -> ((s, d) => {
+      // token-rarity quality signal: per doc, Σ floor(log2(corpus tf))
+      // over its tokens — a low sum flags documents built from rare or
+      // garbage tokens (the integer-exact cousin of unigram log-prob
+      // scoring; floor(log2 n) = len(binary(n))−1, identical string
+      // arithmetic in both engines, no float log anywhere). The classic
+      // frequency join: corpus tf is vocab-sized (shuffle on token),
+      // then one partial+final per-doc aggregate. At 100 TB the head of
+      // the vocabulary broadcasts and only the long tail hash-joins.
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      toks.join(tf, Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(length(conv(col("tf"), 10, 2)) - 1).as("log_tf_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
     "c53_soft_dedup_weights" -> ((s, d) => {
       // duplicate-aware training weights: instead of DROPPING near-dups
       // (c18's keep-one), keep every doc and down-weight each cluster
@@ -2884,6 +2903,16 @@ object SparkEntry {
         |SELECT a.src AS source_a, b.src AS source_b, count(*) AS shared_spans
         |FROM sp a JOIN sp b ON a.h = b.h AND a.src < b.src
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "c54_token_rarity" ->
+      // floor(log2 n) = len(bin(n))-1 — DuckDB bin() mirrors Spark's
+      // conv(n,10,2) exactly for positive counts
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT tok, count(*) AS tf FROM tk GROUP BY tok)
+        |SELECT tk.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(length(bin(tf.tf)) - 1) AS BIGINT) AS log_tf_sum
+        |FROM tk JOIN tf ON tk.tok = tf.tok
+        |GROUP BY tk.doc_id ORDER BY doc_id""".stripMargin,
 
     "c53_soft_dedup_weights" ->
       // c17's recursive-CC oracle + per-cluster sizes; weight = 1e6 // k

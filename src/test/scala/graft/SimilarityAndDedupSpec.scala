@@ -95,6 +95,19 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(got == Map(2L -> ((7L, 1L)), 4L -> ((7L, 0L))), got.toString)
   }
 
+  test("span operators handle empty batches and short docs") {
+    // empty batch: no rows, not a crash
+    assert(Dedup.spanNovelty(docs, "doc_id", "text",
+      isNew = lit(false), spanN = 3).count() == 0)
+    // batch-only corpus (isNew always true): every span is novel
+    val allNew = Dedup.spanNovelty(docs, "doc_id", "text",
+        isNew = lit(true), spanN = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(allNew.nonEmpty && allNew.forall { case (n, nov) => n == nov })
+    // docs shorter than the span never appear in runs output
+    assert(Dedup.dupSpanRuns(docs, "doc_id", "text", spanN = 64).count() == 0)
+  }
+
   test("containmentPairs is directed and catches subset docs jaccard misses") {
     val s = spark; import s.implicits._
     val d6 = docs.union(Seq(
