@@ -2055,6 +2055,25 @@ object SparkEntry {
       Dedup.containmentPairs(docShingleSets(s, d), containPct = 90)
         .orderBy(col("contained"), col("container"))),
 
+    "c55_leakproof_split" -> ((s, d) => {
+      // leakage-proof train/val/test split: near-dup docs MUST share a
+      // split — splitting by doc id (c23) can put one copy of a near-
+      // dup pair in train and the other in test, silently inflating
+      // eval. Split key = cluster representative for clustered docs
+      // (own id otherwise), then the same md5 bucketing as c23 — so
+      // whole clusters move between splits as a unit. One left join of
+      // the memoized cluster labels onto the doc list; everything else
+      // is the narrow c23 map.
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val m = docClusters(s, d).select(col("id").as("doc_id"), col("cluster_rep"))
+      docs.join(m, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_rep"), col("doc_id")).as("skey"))
+        .transform(df => Pipeline.split(df, "skey"))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     "c54_token_rarity" -> ((s, d) => {
       // token-rarity quality signal: per doc, Σ floor(log2(corpus tf))
       // over its tokens — a low sum flags documents built from rare or
@@ -2903,6 +2922,32 @@ object SparkEntry {
         |SELECT a.src AS source_a, b.src AS source_b, count(*) AS shared_spans
         |FROM sp a JOIN sp b ON a.h = b.h AND a.src < b.src
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "c55_leakproof_split" ->
+      // c17's CC labels; split key = cluster rep (own id for unclustered
+      // docs); then exactly c23's md5 bucketing
+      (shingleCte +
+        """,
+          |p AS (
+          |  SELECT a.doc_id AS a, b.doc_id AS b
+          |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+          |  WHERE len(list_intersect(a.sh, b.sh)) >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))),
+          |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+          |r AS (
+          |  WITH RECURSIVE reach(id, x) AS (
+          |    SELECT src, src FROM e
+          |    UNION
+          |    SELECT e.src, reach.x FROM e JOIN reach ON reach.id = e.dst)
+          |  SELECT id, x FROM reach),
+          |m AS (SELECT id, min(x) AS cluster_rep FROM r GROUP BY id),
+          |k AS (SELECT d.doc_id, coalesce(m.cluster_rep, d.doc_id) AS skey
+          |      FROM documents d LEFT JOIN m ON m.id = d.doc_id)
+          |SELECT doc_id,
+          |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+          |FROM (SELECT doc_id,
+          |  CAST(('0x' || substring(md5(CAST(skey AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+          |  FROM k)
+          |ORDER BY doc_id""".stripMargin),
 
     "c54_token_rarity" ->
       // floor(log2 n) = len(bin(n))-1 — DuckDB bin() mirrors Spark's

@@ -95,6 +95,18 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(got == Map(2L -> ((7L, 1L)), 4L -> ((7L, 0L))), got.toString)
   }
 
+  test("leakproof split never separates a near-dup cluster across splits") {
+    val sf = "/root/testdata/sf0.001"
+    val split = SparkEntry.queries("c55_leakproof_split")(spark, sf)
+    val clusters = SparkEntry.queries("c17_dedup_clusters")(spark, sf)
+    val bad = clusters.join(split, Seq("doc_id"))
+      .groupBy(col("cluster_rep"))
+      .agg(count_distinct(col("split")).as("ns"))
+      .where(col("ns") > 1)
+      .count()
+    assert(bad == 0, s"$bad clusters straddle a split boundary")
+  }
+
   test("span operators handle empty batches and short docs") {
     // empty batch: no rows, not a crash
     assert(Dedup.spanNovelty(docs, "doc_id", "text",
