@@ -28,14 +28,22 @@ object Graph {
     * (no out-edges) contribute nothing, matching the "remove dangling
     * mass" PageRank variant — fine for a relative ranking signal.
     *
-    * Scale (100 TB): `edges` (src, dst) is shuffled ONCE onto src when the
-    * out-degree join materializes, then each of the `iters` rounds is a
-    * shuffle of the rank vector (2 longs per node) onto src for the
-    * contribution join plus one partial+final aggregation onto dst —
-    * O(E + V) bytes per round, the textbook distributed-PageRank cost. A
-    * fixed small iteration count (ranking signals converge in single
-    * digits) keeps the whole thing lazily composable: no convergence
-    * action, no checkpoint needed at this plan depth.
+    * Scale (100 TB): the degree-annotated edge list (src, dst, deg) is
+    * built once and PERSISTED (memory-with-disk-spill) — the `iters`
+    * rounds each reference it, and without the cache the whole
+    * edges→degree build would re-derive per round (AQE's exchange-stage
+    * reuse catches the duplicate shuffles within one action, but the
+    * explicit cache does not rely on it and also serves repeated
+    * actions). Cache retention: lifetime of the app, by design — an
+    * iterative operator's edge relation is the canonical persisted
+    * intermediate; callers running many distinct graphs can unpersist
+    * via the returned plan's lineage. Each round is then a shuffle of
+    * the rank vector (2 longs per node) onto src for the contribution
+    * join plus one partial+final aggregation onto dst — O(E + V) bytes
+    * per round, the textbook distributed-PageRank cost. A fixed small
+    * iteration count (ranking signals converge in single digits) keeps
+    * the whole thing lazily composable: no convergence action, no
+    * checkpoint needed at this plan depth.
     */
   def pageRankNano(edges: DataFrame, nodes: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 8,
@@ -44,6 +52,7 @@ object Graph {
     // out-degree rides on each edge row: (src, dst, deg)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val withDeg = e.join(deg, Seq("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = nodes.select(col("node"))
     var rank = n.select(col("node"), lit(1000000000L).as("r"))
     for (_ <- 1 to iters) {
