@@ -955,6 +955,28 @@ object SparkEntry {
         .orderBy(col("zkey"), col("o_orderkey"))
         .limit(2000)),
 
+    "b62_share_of_group" -> ((s, d) => {
+      // percent-of-total analytics: each nation's revenue share within
+      // its region as integer ppm — exact cents aggregation (b51
+      // convention), window total per region over the tiny aggregated
+      // relation (|nations| rows, never the fact table), floor division
+      // both engines. cents·10⁶ stays far under int64 at any realistic
+      // region size; ANSI mode would error, not corrupt, if exceeded.
+      val rev = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("cents"))
+      rev
+        .withColumn("total",
+          sum(col("cents")).over(Window.partitionBy(col("r_name"))))
+        .select(col("r_name"), col("n_name"), col("cents"),
+          expr("CAST((cents * 1000000L) div total AS BIGINT)").as("share_ppm"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
     "b59_cohort_retention" -> ((s, d) => {
       // cohort retention matrix: customers grouped by first-order
       // quarter (the cohort), counted as active in each later quarter —
@@ -1411,6 +1433,19 @@ object SparkEntry {
         |s4 AS (SELECT o_orderkey, ((x | (x << 1)) & 1431655765) AS x, ((y | (y << 1)) & 1431655765) AS y FROM s3)
         |SELECT o_orderkey, CAST(x | (y << 1) AS BIGINT) AS zkey
         |FROM s4 ORDER BY zkey, o_orderkey LIMIT 2000""".stripMargin,
+
+    "b62_share_of_group" ->
+      """WITH rev AS (
+        |  SELECT r_name, n_name,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name, n_name, cents,
+        |  CAST((cents * 1000000) // sum(cents) OVER (PARTITION BY r_name) AS BIGINT) AS share_ppm
+        |FROM rev ORDER BY r_name, n_name""".stripMargin,
 
     "b59_cohort_retention" ->
       """WITH cohort AS (
