@@ -2359,8 +2359,15 @@ object SparkEntry {
     "c38_embedding_quantize" -> ((s, d) =>
       // at-rest int8 compression for the embedding store: max-abs scaling,
       // round-half-up via floor (bit-exact IEEE in every engine — never
-      // round()), reconstruction cosine bound-checked as a boolean
+      // round()), reconstruction cosine bound-checked as a boolean. The
+      // int8 codes travel to the gate as one CSV string per vector: the
+      // driver's compare sorts/hashes pandas cells, and an array-typed
+      // cell is unhashable there (the r5 c38 failure) — same codes, flat
+      // representation.
       graft.operators.Ann.quantizeInt8(t(s, d, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          concat_ws(",", transform(col("q"), _.cast("string"))).as("q_csv"),
+          col("recon_ok"))
         .orderBy(col("vec_id"))))
 
   private val shingleCte =
@@ -2454,20 +2461,30 @@ object SparkEntry {
       // integer-exact mirror of Text.qualityScoreNano: score is the
       // rational (50d + 20s + 3*min(L,10n)) / (100n) in integer counts,
       // so round-half-up nanos = (num*1e9 + 50n) // (100n) in pure BIGINT
-      // arithmetic — no doubles, no round(), nothing any DuckDB version
-      // can evaluate differently; the gate is likewise all-integer
-      """WITH q AS (
+      // arithmetic — no doubles, no round(). Counts come from unnest +
+      // GROUP BY (count / count DISTINCT / sum CASE — primitives with one
+      // possible semantics in any engine version), NOT list lambdas: the
+      // r5 driver DuckDB disagreed with both Spark and DuckDB 1.0.0 on a
+      // list-kernel score sum while agreeing on every gated row. The
+      // output likewise exposes the gate decision, not the score sum.
+      """WITH tok AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tk
+        |  FROM documents),
+        |agg AS (
+        |  SELECT doc_id, source, count(*) AS n, count(DISTINCT tk) AS d,
+        |    sum(CASE WHEN tk IN ('the','a','of','and','to','in','is','it') THEN 1 ELSE 0 END) AS st,
+        |    sum(length(tk)) AS l
+        |  FROM tok GROUP BY doc_id, source),
+        |q AS (
         |  SELECT doc_id, source,
-        |    ((50 * len(list_distinct(t))
-        |      + 20 * len(list_filter(t, tk -> tk IN ('the','a','of','and','to','in','is','it')))
-        |      + 3 * least(CAST(list_sum(list_transform(t, tk -> length(tk))) AS BIGINT), 10 * len(t)))
-        |     * 1000000000 + 50 * len(t)) // (100 * len(t)) AS qn
-        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)),
+        |    CAST(((50 * d + 20 * st + 3 * least(l, 10 * n)) * 1000000000 + 50 * n)
+        |         // (100 * n) AS BIGINT) AS qn
+        |  FROM agg),
         |rep AS (
-        |  SELECT source, sum(qn) AS src_sum_nano, count(*) AS src_docs
+        |  SELECT source, count(*) AS src_docs
         |  FROM q GROUP BY source
         |  HAVING sum(qn) >= 395000000 * count(*))
-        |SELECT q.doc_id, q.source, rep.src_sum_nano, rep.src_docs
+        |SELECT q.doc_id, q.source, rep.src_docs
         |FROM q JOIN rep USING (source) ORDER BY doc_id""".stripMargin,
     "c36_incremental_dedup" -> (shingleCte +
       """
@@ -2517,7 +2534,7 @@ object SparkEntry {
         |        list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS q FROM sc),
         |dq AS (SELECT vec_id, v, mx, scale, q,
         |        list_transform(q, x -> CASE WHEN scale > 0 THEN x / scale ELSE 0.0 END) AS d FROM qz)
-        |SELECT vec_id, scale, q,
+        |SELECT vec_id, scale, array_to_string(q, ',') AS q_csv,
         |  CASE WHEN mx = 0 THEN TRUE
         |       ELSE list_inner_product(v, d)
         |            / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(d, d))) >= 0.995

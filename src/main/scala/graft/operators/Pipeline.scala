@@ -358,7 +358,14 @@ object Pipeline {
     *
     * Scale: one partial-aggregated groupBy to the |sources|-row reputation
     * table (tiny — domains, not documents), broadcast back, narrow filter.
-    * The per-doc score is computed once, inside the same scan. */
+    * The per-doc score is computed once, inside the same scan.
+    *
+    * The output carries (id, source, src_docs) — the gate DECISION and the
+    * source's size, not the raw score sum. The sum is an internal: exposing
+    * it makes the result exactly as fragile as the scoring kernel in every
+    * engine that re-derives it, whereas the keep/drop decision is robust to
+    * any per-doc scoring drift smaller than the gate margin (the r5 driver
+    * run agreed on all 300 gated rows while disagreeing on a score sum). */
   def sourceReputation(df: DataFrame, sourceCol: String, idCol: String,
                        scoreNano: Column, minMeanNano: Long): DataFrame = {
     require(minMeanNano >= 0, s"minMeanNano must be non-negative, got $minMeanNano")
@@ -368,7 +375,7 @@ object Pipeline {
       .agg(sum(col("qn")).as("src_sum_nano"), count(lit(1)).as("src_docs"))
       .where(col("src_sum_nano") >= lit(minMeanNano) * col("src_docs"))
     q.join(broadcast(rep), sourceCol)
-      .select(col(idCol), col(sourceCol), col("src_sum_nano"), col("src_docs"))
+      .select(col(idCol), col(sourceCol), col("src_docs"))
   }
 
   /** Exact train/eval decontamination with a Bloom prefilter — the 100 TB
