@@ -977,6 +977,63 @@ object SparkEntry {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    "b63_partitioned_bucketed" -> ((s, d) => {
+      // The two at-rest layout dimensions on ONE table (b37 buckets by
+      // join key, b38 partitions by filter column — this combines them):
+      // orders written partitionBy(o_orderpriority) + bucketBy(8,
+      // o_custkey). The priority filter prunes 4/5 of the directories at
+      // planning time (PartitionFilters) AND the customer join reads
+      // co-located pre-sorted buckets with zero Exchange on either side —
+      // both plan-asserted in PlanSpec. At 100 TB this is the full
+      // ingest-once contract: scan only the predicate's partitions, join
+      // on the key for free, forever. The merge hint keeps the small-SF
+      // demo honest (auto-broadcast would hide the bucketing; at real
+      // scale neither fact side broadcasts).
+      val ob = graft.sources.Formats.partitionedBucketedTable(s, "orders_pb", d,
+        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority")),
+        partCol = "o_orderpriority", key = "o_custkey", buckets = 8)
+      val cb = graft.sources.Formats.bucketedTable(s, "customer_by_cust", d,
+        t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        "c_custkey", buckets = 8)
+      ob.where(col("o_orderpriority") === "1-URGENT")
+        .hint("merge").join(cb, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "b64_zorder_prune" -> ((s, d) => {
+      // b61 computed the Morton key; this is the key DOING ITS JOB: orders
+      // rewritten range-partitioned + sorted on zOrderKey(custkey, day),
+      // so every parquet file carries a tight min/max envelope in BOTH
+      // dimensions, and a 2-D predicate box skips most files on footer
+      // stats alone (row-group skipping inside the survivors comes free
+      // from the same sort). ScaleSpec measures the file-level skip rate
+      // from each file's actual min/max; the filters are plan-asserted as
+      // PushedFilters. This is the layout for the 100 TB two-dimension
+      // scan problem partitionBy can't solve (both dims high-cardinality:
+      // partitionBy(custkey) shatters into tiny files, partitionBy(day)
+      // leaves custkey scans full — interleaved bits cluster both).
+      val dir = graft.sources.Formats.scratchDir(s, "orders_zorder", d)
+      graft.sources.Formats.ensureWritten(s, dir) {
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderstatus"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1995-01-01").cast("date")).cast("int").as("o_day"))
+          .withColumn("zkey", Scale.zOrderKey(col("o_custkey"), col("o_day")))
+          .repartitionByRange(16, col("zkey"))
+          .sortWithinPartitions("zkey")
+          .write.parquet(dir)
+      }
+      s.read.parquet(dir)
+        .where(col("o_custkey") < 80 && col("o_day") < 730)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "b59_cohort_retention" -> ((s, d) => {
       // cohort retention matrix: customers grouped by first-order
       // quarter (the cohort), counted as active in each later quarter —
@@ -1551,6 +1608,21 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "b63_partitioned_bucketed" ->
+      // layout changes the plan, never the answer: plain filter+join+agg
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "b64_zorder_prune" ->
+      // the z-ordered rewrite is pure layout; the 2-D box is the answer
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_custkey < 80
+        |  AND date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) < 730
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "b39_exists_subquery" ->
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
@@ -2108,6 +2180,17 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy(col("doc_id"))
     }),
+
+    "c56_bm25_rank" -> ((s, d) =>
+      // integer-exact BM25-lite retrieval scoring against a fixed term
+      // bag (one rare + three head terms, so the idf spread does visible
+      // work): per-(doc, term) rational score with denominators cleared
+      // to a single BIGINT floor division, corpus stats via scalar
+      // subqueries, idf as a |terms|-row broadcast — identical bits in
+      // any engine (see Pipeline.bm25LiteMilli).
+      Pipeline.bm25LiteMilli(t(s, d, "documents"), "doc_id", "text",
+          Seq("dup", "merge", "stream", "window"))
+        .orderBy(col("doc_id"))),
 
     "c54_token_rarity" -> ((s, d) => {
       // token-rarity quality signal: per doc, Σ floor(log2(corpus tf))
@@ -3000,6 +3083,25 @@ object SparkEntry {
           |  CAST(('0x' || substring(md5(CAST(skey AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
           |  FROM k)
           |ORDER BY doc_id""".stripMargin),
+
+    "c56_bm25_rank" ->
+      // same cleared-denominator rationals in pure BIGINT floor division;
+      // HUGEINT sums cast back to BIGINT at every output/reuse point
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS a_tokens FROM dl),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+        |       WHERE tok IN ('dup','merge','stream','window') GROUP BY doc_id, tok),
+        |idf AS (SELECT tok,
+        |          (1000 * (2 * (st.n_docs - d.df_t) + 1)) // (2 * d.df_t + 1) AS idf_milli
+        |        FROM (SELECT tok, count(*) AS df_t FROM tf GROUP BY tok) d, st),
+        |term AS (SELECT tf.doc_id,
+        |           (idf.idf_milli * 44 * tf.tf * st.a_tokens)
+        |           // (20 * tf.tf * st.a_tokens + 6 * st.a_tokens
+        |              + 18 * dl.dl * st.n_docs) AS term_milli
+        |         FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id), st)
+        |SELECT doc_id, count(*) AS n_terms, CAST(sum(term_milli) AS BIGINT) AS score_milli
+        |FROM term GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "c54_token_rarity" ->
       // floor(log2 n) = len(bin(n))-1 — DuckDB bin() mirrors Spark's

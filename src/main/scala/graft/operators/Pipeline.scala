@@ -418,4 +418,64 @@ object Pipeline {
       .join(ev, Seq("g"), "left_semi")
       .select(col("id")).distinct()
   }
+
+  /** Integer-exact BM25-lite relevance ranking of every document against a
+    * fixed bag of query terms — the retrieval scorer a curation pipeline
+    * uses to pull topic-relevant documents out of a crawl. Classic BM25
+    * with k1 = 6/5 and b = 3/4; clearing denominators turns the whole
+    * per-(doc, term) score into one integer division:
+    *
+    *   score_t = idf_t · tf(k1+1) / (tf + k1(1−b+b·dl/avgdl))
+    *           = idf_t · 44·tf·A / (20·tf·A + 6·A + 18·dl·N)
+    *
+    * with N docs, A total tokens (avgdl = A/N substituted and the rational
+    * multiplied out), dl the doc's token count and tf the term's count in
+    * the doc. idf is the log-free rank-equivalent complement
+    * `idf_milli = (1000·(2(N−df)+1)) div (2·df+1)` — the classic
+    * (N−df+.5)/(df+.5) with denominators cleared. (A floor-log2 idf — the
+    * c54 `length(bin(n))−1` trick — is the right shape for a natural
+    * vocabulary, but it quantizes to {0} on a head-heavy synthetic one;
+    * the linear complement keeps the same df ordering at full integer
+    * resolution.) Every quantity is a BIGINT and every division is a
+    * floor division, so any engine produces identical scores bit-for-bit
+    * — never a float log or a distributed double sum. Magnitudes:
+    * idf_milli·44·tf·A·1000 needs A·tf ≲ 2·10¹¹ — fine to ~10⁹-token
+    * corpora; past that, drop the milli scale or move the numerator to
+    * DECIMAL(38,0).
+    *
+    * Plan: one explode + groupBy(doc, term) over ONLY rows matching the
+    * |terms|-literal IN filter (the scan drops everything else), per-doc
+    * dl from a narrow map, corpus stats (N, A) delivered to tasks as
+    * scalar subqueries (the c34 pattern — one long each, never a row
+    * join), per-term idf as a |terms|-row broadcast. Shuffles: the
+    * (doc, term) tf aggregate and the final per-doc sum, both
+    * partial-aggregated; work scales with occurrences of the query
+    * terms, not the corpus. */
+  def bm25LiteMilli(df: DataFrame, idCol: String, textCol: String,
+                    terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "bm25LiteMilli needs at least one query term")
+    val docs = df.select(col(idCol), Text.tokens(col(textCol)).as("toks"))
+    val dl = docs.select(col(idCol), size(col("toks")).cast("long").as("dl"))
+    val nDocs = dl.agg(count(lit(1)).as("n_docs")).scalar()
+    val aTokens = dl.agg(sum(col("dl")).as("a_tokens")).scalar()
+    val tf = docs
+      .select(col(idCol), explode(col("toks")).as("tok"))
+      .where(col("tok").isin(terms: _*))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val idf = tf.groupBy(col("tok")).agg(count(lit(1)).cast("long").as("df_t"))
+      .select(col("tok"),
+        call_function("div",
+          lit(1000L) * (lit(2L) * (nDocs - col("df_t")) + lit(1L)),
+          lit(2L) * col("df_t") + lit(1L)).as("idf_milli"))
+    tf.join(broadcast(idf), Seq("tok"))
+      .join(dl, Seq(idCol))
+      .select(col(idCol),
+        call_function("div",
+          col("idf_milli") * lit(44L) * col("tf") * aTokens,
+          lit(20L) * col("tf") * aTokens + lit(6L) * aTokens
+            + lit(18L) * col("dl") * nDocs).as("term_milli"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("term_milli")).as("score_milli"))
+  }
 }

@@ -168,4 +168,33 @@ object Formats {
         path = Some(scratchDir(spark, s"bkt_$purpose", inDir)))
     spark.table(table)
   }
+
+  /** The two at-rest layout dimensions combined on one table:
+    * `partitionBy(partCol)` directories for PLANNING-time pruning on the
+    * predicate column, and `bucketBy(buckets, key)` files within each
+    * partition for shuffle-free joins/aggregations on the key. This is the
+    * full ingest-once layout for a 100 TB fact table whose queries filter
+    * on one low-cardinality column and join on one high-cardinality key:
+    * the filter never lists the pruned directories and the join reads
+    * co-located, pre-sorted buckets — no scan waste, no Exchange. Same
+    * write-once-per-(purpose, input, application) lifetime and catalog
+    * contract as [[bucketedTable]]. `partCol` must be low-cardinality
+    * (priorities, dates, regions): each value × bucket pair is at least
+    * one file, so a high-cardinality partition column shatters the table
+    * into tiny files — the classic over-partitioning failure. */
+  def partitionedBucketedTable(spark: SparkSession, purpose: String, inDir: String,
+                               df: => DataFrame, partCol: String, key: String,
+                               buckets: Int): DataFrame = {
+    val table = s"graft_${purpose}_${inputTag(inDir)}".replaceAll("[^A-Za-z0-9_]", "_")
+    if (!spark.catalog.tableExists(table)) {
+      df.write.mode("overwrite")
+        .option("path", scratchDir(spark, s"pbkt_$purpose", inDir))
+        .partitionBy(partCol)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    }
+    spark.table(table)
+  }
 }

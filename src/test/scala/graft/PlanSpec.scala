@@ -128,6 +128,30 @@ class PlanSpec extends SparkSpec {
       s"partition predicate did not reach the directory filter:\n$scan")
   }
 
+  test("partitioned+bucketed layout prunes directories AND joins exchange-free") {
+    val df = SparkEntry.queries("b63_partitioned_bucketed")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"merge-hinted bucketed join missing:\n$plan")
+    // both layout dimensions at once: the priority filter reaches the
+    // directory listing (PartitionFilters), and the only hash exchange is
+    // the post-join aggregation — the bucketed sides never shuffle
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("o_orderpriority")).getOrElse("")
+    assert(scan.contains("PartitionFilters") && scan.contains("1-URGENT"),
+      s"expected the priority predicate in PartitionFilters:\n$scan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1,
+      s"expected 1 hash exchange (aggregation only), got $hashExchanges:\n$plan")
+  }
+
+  test("z-ordered scan pushes both box predicates to the parquet reader") {
+    val df = SparkEntry.queries("b64_zorder_prune")(spark, sf)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("o_custkey")
+      && scan.contains("o_day"),
+      s"expected both box dimensions in PushedFilters:\n$scan")
+  }
+
   test("bloom decontamination prefilters before the verify join, with no nested loop") {
     val plan = physicalPlan(SparkEntry.queries("c34_bloom_decontaminate")(spark, sf))
     assert(plan.contains("bloommightcontain") || plan.contains("BloomMightContain"),

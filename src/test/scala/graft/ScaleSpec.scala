@@ -353,6 +353,27 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout: the 2-D box skips most files on min/max envelopes") {
+    // b64's write is the surface under test: materialize it (write-once per
+    // app), then measure the file-level skipping its box predicate earns —
+    // a file is touched iff its (custkey, day) envelope intersects
+    // [0,80)×[0,730). This is the measurement the parquet reader's
+    // footer-stats pruning performs; computing it from the data itself
+    // keeps the assert independent of reader internals.
+    SparkEntry.queries("b64_zorder_prune")(spark, sf).collect()
+    val dir = graft.sources.Formats.scratchDir(spark, "orders_zorder", sf)
+    val env = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("o_custkey")).as("c0"), min(col("o_day")).as("d0"))
+      .collect()
+    val total = env.length
+    val touched = env.count(r => r.getAs[Long]("c0") < 80L && r.getAs[Int]("d0") < 730)
+    assert(total >= 8, s"expected a multi-file layout, got $total files")
+    assert(touched < total, s"z-order layout skipped nothing ($touched/$total)")
+    assert(touched.toDouble / total <= 0.6,
+      s"expected the box to skip ≥40% of files, touched $touched/$total")
+  }
+
   test("contamination flags a planted eval near-duplicate and nothing else") {
     val s = spark; import s.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
