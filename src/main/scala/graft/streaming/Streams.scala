@@ -51,6 +51,25 @@ object Streams {
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming session windows via the NATIVE `session_window` operator
+    * with a watermark — the built-in counterpart to
+    * [[sessionizeWithState]]'s hand-rolled state machine, and the
+    * streaming side of [[sessionCounts]] (same expression, same output
+    * schema; StreamingSpec asserts stream≡batch on the same data). In
+    * append mode a session emits exactly once, when the watermark passes
+    * its end; merged state is pruned at the same moment, so per-key state
+    * is one (start, end, count) per OPEN session — bounded by active
+    * users within the watermark horizon, not by history. Prefer this over
+    * the custom state machine whenever plain gap semantics suffice; keep
+    * sessionizeWithState for semantics session_window can't express
+    * (per-event emission, custom close predicates). */
+  def streamSessionCounts(events: DataFrame, gap: String, delay: String): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"), col("n"))
+
   /** A closed user session: contiguous events with < gap between them. */
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
                      session_end: java.sql.Timestamp, n: Long)

@@ -79,6 +79,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window stream matches the batch sessionization on the same data") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evs = Seq(
+      Ev(1, 1, "click", 1.0, ts(1)), Ev(2, 1, "click", 1.0, ts(2)),   // u1 session A
+      Ev(3, 2, "view", 2.0, ts(5)),                                    // u2 session A
+      Ev(4, 1, "click", 1.0, Timestamp.valueOf("2024-01-01 11:00:00")), // u1 session B
+      Ev(5, 2, "view", 1.0, Timestamp.valueOf("2024-01-01 11:30:00"))) // u2 session B
+    val mem = MemoryStream[Ev]
+    mem.addData(evs.take(3))
+    val out = Streams.streamSessionCounts(mem.toDF(), "30 minutes", "0 seconds")
+    val q = out.writeStream.format("memory").queryName("nativesess")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(evs.drop(3)) // advances the watermark past A's session ends
+      q.processAllAvailable()
+      val streamed = s.sql(
+          "SELECT session_start, session_end, user_id, n FROM nativesess")
+        .orderBy("user_id", "session_start").collect()
+      // append mode emits exactly the sessions whose end the watermark
+      // (max event time, delay 0 → 11:30) has passed; assert the stream
+      // matches the batch operator on that closed subset
+      val batch = Streams.sessionCounts(evs.toDF(), "30 minutes")
+        .where(col("session_end") <= lit(Timestamp.valueOf("2024-01-01 11:30:00")))
+        .orderBy("user_id", "session_start").collect()
+      assert(batch.length == 3)
+      assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq,
+        s"stream ${streamed.map(_.toSeq).mkString} != batch ${batch.map(_.toSeq).mkString}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions with counts") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
