@@ -1017,12 +1017,21 @@ object SparkEntry {
       // leaves custkey scans full — interleaved bits cluster both).
       val dir = graft.sources.Formats.scratchDir(s, "orders_zorder", d)
       graft.sources.Formats.ensureWritten(s, dir) {
+        // The interleaved day MUST be non-negative: zOrderKey masks to 16
+        // bits, so a negative day (pre-epoch order) wraps to the TOP of
+        // the z-range and its file's min-day envelope covers everything —
+        // pruning dies. Interleave days since 1992-01-01 (before the
+        // earliest TPC-H order, b61 convention); the *predicate* column
+        // o_day stays on the 1995 epoch the query box is written against.
         t(s, d, "orders")
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
             col("o_orderstatus"),
             datediff(col("o_orderdate").cast("date"),
-              lit("1995-01-01").cast("date")).cast("int").as("o_day"))
-          .withColumn("zkey", Scale.zOrderKey(col("o_custkey"), col("o_day")))
+              lit("1995-01-01").cast("date")).cast("int").as("o_day"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1992-01-01").cast("date")).cast("int").as("zday"))
+          .withColumn("zkey", Scale.zOrderKey(col("o_custkey"), col("zday")))
+          .drop("zday")
           .repartitionByRange(16, col("zkey"))
           .sortWithinPartitions("zkey")
           .write.parquet(dir)
@@ -2414,9 +2423,12 @@ object SparkEntry {
       // quality is below 0.395 (cutoff sits in a clear gap between source
       // means at the test SFs); integer-exact end-to-end — pure-rational
       // nano score (no round() on doubles), long sums, integer gate — so
-      // the result is bit-identical in any engine, any DuckDB version
+      // the result is bit-identical in any engine, any DuckDB version.
+      // NULL text scores as '' (one empty token → qn=5e8) on BOTH sides:
+      // Spark split(""," ") ≡ DuckDB string_split('',' ') ≡ [''] — keeps a
+      // NULL-text doc in src_docs AND in sum(qn) identically.
       Pipeline.sourceReputation(t(s, d, "documents"), "source", "doc_id",
-          Text.qualityScoreNano(col("text")), minMeanNano = 395000000L)
+          Text.qualityScoreNano(coalesce(col("text"), lit(""))), minMeanNano = 395000000L)
         .orderBy(col("doc_id"))),
 
     "c36_incremental_dedup" -> ((s, d) =>
@@ -2550,8 +2562,11 @@ object SparkEntry {
       // r5 driver DuckDB disagreed with both Spark and DuckDB 1.0.0 on a
       // list-kernel score sum while agreeing on every gated row. The
       // output likewise exposes the gate decision, not the score sum.
+      // COALESCE keeps a NULL-text document as one empty-token row so it
+      // still reaches the per-source count(*) — unnest of an empty-less
+      // list would drop the doc and diverge from Spark's src_docs.
       """WITH tok AS (
-        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tk
+        |  SELECT doc_id, source, unnest(string_split(COALESCE(text, ''), ' ')) AS tk
         |  FROM documents),
         |agg AS (
         |  SELECT doc_id, source, count(*) AS n, count(DISTINCT tk) AS d,
