@@ -215,6 +215,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bm25 ranking filters terms before the first shuffle and broadcasts idf") {
+    val df = SparkEntry.queries("c56_bm25_rank")(spark, sf)
+    // the term IN-filter must apply on the exploded scan BEFORE anything
+    // aggregates or joins — at 100 TB the per-(doc,term) shuffle carries
+    // |terms| rows per doc, not the vocabulary. Assert on the optimized
+    // logical plan: the Filter naming the query terms has no Aggregate or
+    // Join beneath it (only explode/project/scan → pre-shuffle).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join}
+    val inFilters = df.queryExecution.optimizedPlan.collect {
+      case f: Filter if f.condition.toString.contains("dup")
+        && f.condition.toString.contains("window") => f
+    }
+    assert(inFilters.nonEmpty, "term IN-filter missing from the optimized plan")
+    assert(inFilters.exists(_.child.collect {
+      case a: Aggregate => a; case j: Join => j
+    }.isEmpty), "term IN-filter must sit directly on the exploded scan, below every shuffle")
+    // the |terms|-row idf side joins by broadcast; nothing in this query
+    // should need a shuffled join
+    val plan = physicalPlan(df)
+    assert(plan.contains("BroadcastHashJoin"), s"idf join should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"c56 must plan only broadcast equi-joins:\n$plan")
+  }
+
   test("latest-state compaction is a pure aggregate — no window, no per-key sort") {
     val plan = physicalPlan(SparkEntry.queries("b58_latest_state")(spark, sf))
     assert(!plan.contains("Window"),
