@@ -3,6 +3,58 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
+  /** Task-metrics accumulator for per-query shuffle/spill attribution.
+    *
+    * Wall time alone cannot distinguish a plan regression from host noise
+    * (the r3/r4 stall saga) — shuffle volume CAN: it is a deterministic
+    * property of the plan + data, independent of vCPU weather. The bench
+    * main resets `mark()` before each timed query and snapshots the deltas
+    * after; queries run strictly sequentially, so every task between the
+    * two marks belongs to the query. Attribution is exact, not sampled:
+    * listener events are delivered in posting order, and a job's end event
+    * follows all of its task-end events, so once started == ended jobs the
+    * window's task metrics are complete ([[quiesce]] polls for that).
+    * Driver-side tooling only — never touched by library code. */
+  final class TaskMetricsAcc extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    private val read = new AtomicLong; private val write = new AtomicLong
+    private val spill = new AtomicLong; private val peak = new AtomicLong
+    private val started = new AtomicLong; private val ended = new AtomicLong
+    private var m0 = (0L, 0L, 0L)
+
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        peak.updateAndGet(p => math.max(p, m.peakExecutionMemory))
+      }
+    }
+    override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      started.incrementAndGet()
+    override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+      ended.incrementAndGet()
+
+    /** Wait (bounded) until every started job's end event has been
+      * delivered — after that, the accumulated task metrics for the
+      * window are final. */
+    def quiesce(maxMs: Long = 2000): Unit = {
+      val t0 = System.nanoTime()
+      while (started.get != ended.get && (System.nanoTime() - t0) / 1e6 < maxMs)
+        Thread.sleep(10)
+    }
+    def mark(): Unit = { quiesce(); peak.set(0L); m0 = (read.get, write.get, spill.get) }
+    /** (shuffle read, shuffle write, spill) bytes since mark + peak task memory. */
+    def delta(): (Long, Long, Long, Long) = {
+      quiesce()
+      (read.get - m0._1, write.get - m0._2, spill.get - m0._3, peak.get)
+    }
+  }
+
+  /** Per-query metrics of the run that set the best time. */
+  final case class QueryMetrics(readB: Long, writeB: Long, spillB: Long, peakB: Long)
+
   /** Result of the adaptive min-of-runs schedule: per-query best times
     * (-1 = failed in some run — failures dominate, they never masquerade as
     * fast queries), number of FULL passes completed, per-pass sums and wall
@@ -142,10 +194,29 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+    // Shuffle/spill observability: attribute task metrics to each timed
+    // query (sequential execution ⇒ exact windows) and keep the metrics of
+    // the run that set the query's best time — the same run the reported
+    // seconds come from. First runs of the memoized families also pay the
+    // cache build; the best (warm) run is the steady-state number, which is
+    // what cross-round drift detection needs.
+    val acc = new TaskMetricsAcc
+    spark.sparkContext.addSparkListener(acc)
+    val qMetrics = scala.collection.mutable.HashMap[String, QueryMetrics]()
+    val bestSeen = scala.collection.mutable.HashMap[String, Double]()
     def runOne(name: String): Double = {
+      acc.mark()
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-      catch {
+      try {
+        SparkEntry.queries(name)(spark, sfDir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        if (t < bestSeen.getOrElse(name, Double.MaxValue)) {
+          bestSeen(name) = t
+          val (r, w, sp, pk) = acc.delta()
+          qMetrics(name) = QueryMetrics(r, w, sp, pk)
+        }
+        t
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
       }
@@ -160,6 +231,9 @@ object Bench {
     //      names, 3-decimal secs — human/archival record; may be truncated
     //      away by the tail capture, that's fine;
     //   2. one {"retimed":...} detail line listing the outlier re-runs;
+    //   2b. per-query shuffle/spill metrics appended to
+    //       docs/bench/metrics_history.jsonl + one per-family shuffle
+    //       summary line (see the comment at the write below);
     //   3. ONE final {"metric":"total",...} line, compact: per-query times
     //      keyed by the unique short prefix (a01.., b01.., c01.. — prefixes
     //      are unique by construction; full names are on the family lines
@@ -177,8 +251,35 @@ object Bench {
         println(s"""{"family":"$fam","queries":$body}""")
     }
     println(s"""{"retimed":${out.retimed.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
+    // Per-query shuffle/spill record. The harness captures only the LAST
+    // ~2 KB of stdout — a 147-entry byte map cannot ride the tail — so the
+    // full map goes to an appended JSONL file (committed with the round, so
+    // cross-round shuffle drift is diffable from git history), a per-family
+    // archival detail line goes to stdout, and the final total line carries
+    // only the 4 whole-run totals. Shuffle volume is the host-independent
+    // drift signal wall time is not.
+    def mb(v: Long): Long = v >> 20
+    val kb = (v: Long) => v >> 10 // KB in the file: fine enough to catch drift on small queries
+    val mJson = qMetrics.toSeq.sortBy(_._1).map { case (k, m) =>
+      "\"" + k.takeWhile(_ != '_') + s"""\":[${kb(m.readB)},${kb(m.writeB)},${kb(m.spillB)},${kb(m.peakB)}]"""
+    }.mkString("{", ",", "}")
+    val histLine = s"""{"sf":"$sfDir","unit":"kb_read_write_spill_peak","queries":$mJson}"""
+    try {
+      val dir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_METRICS_DIR", "docs/bench"))
+      dir.mkdirs()
+      val w = new java.io.FileWriter(new java.io.File(dir, "metrics_history.jsonl"), true)
+      try w.write(histLine + "\n") finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] metrics file skipped: $e") }
+    qMetrics.toSeq.groupBy { case (n, _) => family(n) }.toSeq.sortBy(_._1)
+      .foreach { case (fam, qs) =>
+        println(s"""{"family":"$fam","shuffle_read_mb":${mb(qs.map(_._2.readB).sum)},"shuffle_write_mb":${mb(qs.map(_._2.writeB).sum)},"spill_mb":${mb(qs.map(_._2.spillB).sum)},"peak_task_mb":${mb(qs.map(_._2.peakB).max)}}""")
+      }
+    // 2-decimal per-query map: 3 decimals pushed the head of this line
+    // (metric/value/n/failed/runs) outside the 2 KB capture window at 147
+    // queries; the full-precision numbers are on the family lines above.
     val shortQs = results.sortBy(_._1)
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f(v) }
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" +
+        "%.2f".formatLocal(java.util.Locale.ROOT, v) }
       .mkString("{", ",", "}")
     val fams = results.groupBy { case (n, _) => family(n) }.toSeq.sortBy(_._1)
       .map { case (fam, qs) => "\"" + fam + "\":" + f(qs.map(_._2).filter(_ >= 0).sum) }
@@ -188,7 +289,11 @@ object Bench {
     val sums = out.passSums.map(f).mkString("[", ",", "]")
     val ends = out.passEnds.map(f).mkString("[", ",", "]")
     val heapMb = Runtime.getRuntime.maxMemory() / (1L << 20)
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"failed":$failed,"runs":${out.runs},"pass_sums":$sums,"pass_ends":$ends,"retimes":${out.retimed.size},"heap_mb":$heapMb,"families":$fams,"queries":$shortQs,"sf":"$sfDir"}""")
+    val shufR = mb(qMetrics.valuesIterator.map(_.readB).sum)
+    val shufW = mb(qMetrics.valuesIterator.map(_.writeB).sum)
+    val spillT = mb(qMetrics.valuesIterator.map(_.spillB).sum)
+    val peakT = if (qMetrics.isEmpty) 0L else mb(qMetrics.valuesIterator.map(_.peakB).max)
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"failed":$failed,"runs":${out.runs},"pass_sums":$sums,"pass_ends":$ends,"retimes":${out.retimed.size},"heap_mb":$heapMb,"shuf_r_mb":$shufR,"shuf_w_mb":$shufW,"spill_mb":$spillT,"peak_mb":$peakT,"families":$fams,"queries":$shortQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
