@@ -2201,6 +2201,35 @@ object SparkEntry {
           Seq("dup", "merge", "stream", "window"))
         .orderBy(col("doc_id"))),
 
+    "c57_hybrid_rrf" -> ((s, d) => {
+      // hybrid retrieval fusion: c56's integer BM25 leg (lexical) and a
+      // dense leg (6dp-rounded cosine to a fixed query vector, the green
+      // c06 cross-engine pattern) are each cut to top-100 by
+      // TakeOrderedAndProject, densely ranked, and fused by
+      // reciprocal-rank fusion — Σ 10⁹ div (60 + rank) BIGINT rationals,
+      // absent leg ⇒ 0 (Pipeline.rrfFuse). The one-row query vector is a
+      // broadcast cross join (bounded-broadcast, audited in
+      // docs/PLANS.md); the fusion join touches only the two 100-row
+      // legs on doc_id. documents.doc_id ≡ embeddings.vec_id by
+      // construction (TESTDATA.md synthetic corpus).
+      val bmLeg = Pipeline.topKRanks(
+        Pipeline.bm25LiteMilli(t(s, d, "documents"), "doc_id", "text",
+            Seq("dup", "merge", "stream", "window"))
+          .select(col("doc_id"), col("score_milli")),
+        "doc_id", "score_milli", 100, "bm25_rank")
+      val emb = t(s, d, "embeddings")
+      val qv = broadcast(
+        emb.where(col("vec_id") === 0).select(col("embedding").as("qv")))
+      val cosLeg = Pipeline.topKRanks(
+        emb.crossJoin(qv).select(col("vec_id").as("doc_id"),
+          Similarity.cosineRounded(col("embedding"), col("qv")).as("cos")),
+        "doc_id", "cos", 100, "cos_rank")
+      Pipeline.rrfFuse(Seq(bmLeg, cosLeg), "doc_id")
+        .withColumn("fused_rank", row_number().over(
+          Window.orderBy(col("rrf_ppb").desc, col("doc_id"))))
+        .orderBy(col("fused_rank"))
+    }),
+
     "c54_token_rarity" -> ((s, d) => {
       // token-rarity quality signal: per doc, Σ floor(log2(corpus tf))
       // over its tokens — a low sum flags documents built from rare or
@@ -3117,6 +3146,44 @@ object SparkEntry {
         |         FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id), st)
         |SELECT doc_id, count(*) AS n_terms, CAST(sum(term_milli) AS BIGINT) AS score_milli
         |FROM term GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "c57_hybrid_rrf" ->
+      // same c56 BM25 rationals for the lexical leg; c06's rounded
+      // list_cosine_similarity for the dense leg; ranks are
+      // row_number() over the identical (score DESC, doc_id) total
+      // order; fusion = the same 10⁹ // (60 + rank) floor divisions
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS a_tokens FROM dl),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+        |       WHERE tok IN ('dup','merge','stream','window') GROUP BY doc_id, tok),
+        |idf AS (SELECT tok,
+        |          (1000 * (2 * (st.n_docs - d.df_t) + 1)) // (2 * d.df_t + 1) AS idf_milli
+        |        FROM (SELECT tok, count(*) AS df_t FROM tf GROUP BY tok) d, st),
+        |term AS (SELECT tf.doc_id,
+        |           (idf.idf_milli * 44 * tf.tf * st.a_tokens)
+        |           // (20 * tf.tf * st.a_tokens + 6 * st.a_tokens
+        |              + 18 * dl.dl * st.n_docs) AS term_milli
+        |         FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id), st),
+        |bm AS (SELECT doc_id, CAST(sum(term_milli) AS BIGINT) AS score_milli
+        |       FROM term GROUP BY doc_id),
+        |bmr AS (SELECT doc_id, CAST(rn AS INTEGER) AS bm25_rank FROM (
+        |          SELECT doc_id, row_number() OVER (ORDER BY score_milli DESC, doc_id) AS rn
+        |          FROM bm) WHERE rn <= 100),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |cs AS (SELECT e.vec_id AS doc_id,
+        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos
+        |       FROM embeddings e, q),
+        |csr AS (SELECT doc_id, CAST(rn AS INTEGER) AS cos_rank FROM (
+        |          SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rn
+        |          FROM cs) WHERE rn <= 100),
+        |f AS (SELECT coalesce(b.doc_id, c.doc_id) AS doc_id, b.bm25_rank, c.cos_rank,
+        |        CAST(coalesce(1000000000 // (60 + b.bm25_rank), 0)
+        |           + coalesce(1000000000 // (60 + c.cos_rank), 0) AS BIGINT) AS rrf_ppb
+        |      FROM bmr b FULL OUTER JOIN csr c ON b.doc_id = c.doc_id)
+        |SELECT doc_id, bm25_rank, cos_rank, rrf_ppb,
+        |  CAST(row_number() OVER (ORDER BY rrf_ppb DESC, doc_id) AS INTEGER) AS fused_rank
+        |FROM f ORDER BY fused_rank""".stripMargin,
 
     "c54_token_rarity" ->
       // floor(log2 n) = len(bin(n))-1 — DuckDB bin() mirrors Spark's

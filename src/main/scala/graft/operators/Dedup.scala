@@ -575,9 +575,15 @@ object Dedup {
     *     thresholding so the cross-engine comparison is stable.
     *
     * This is the standard MapReduce theta-join tiling (Okcan & Riedewald,
-    * SIGMOD'11) applied to a self-join. For *high* thresholds prefer the
-    * sub-quadratic candidate generators in this file (minhash/simhash) or
-    * [[graft.operators.Ann.ivfTopK]] cell blocking.
+    * SIGMOD'11) applied to a self-join. **Default at scale:**
+    * [[embeddingLshPairs]] below — the banded hyperplane-LSH sibling of
+    * this operator (same output contract, measured ≥0.93 recall at its
+    * oracle parameters, docs/PLANS.md) — is what a 100 TB corpus should
+    * run; reach for this exact tiled pass only when guaranteed-total
+    * recall at a low threshold is worth Θ(n²). For *high* thresholds the
+    * other sub-quadratic candidate generators in this file
+    * (minhash/simhash) or [[graft.operators.Ann.ivfTopK]] cell blocking
+    * also apply.
     *
     * Norms are hoisted out of the pairwise work: each vector's
     * `sqrt(dot(v,v))` is computed once before replication, and the tile

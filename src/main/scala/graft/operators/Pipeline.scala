@@ -478,4 +478,54 @@ object Pipeline {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_terms"), sum(col("term_milli")).as("score_milli"))
   }
+
+  /** Top-`k` retrieval ranks for one fusion leg: rows densely numbered
+    * 1..k by (`scoreCol` DESC, `idCol` ASC) — a total order, so the ranks
+    * are reproducible in any engine, including across the k-th-place
+    * boundary.
+    *
+    * Plan: `orderBy(…).limit(k)` is TakeOrderedAndProject — every
+    * partition keeps a local top-k heap and only k rows per partition
+    * reach the single-point merge; no global sort of the scored corpus
+    * ever happens (the c46 TakeOrdered pattern applied to retrieval). The
+    * row_number window then runs over one k-row partition — constant
+    * work regardless of corpus size. */
+  def topKRanks(scored: DataFrame, idCol: String, scoreCol: String,
+                k: Int, rankName: String): DataFrame = {
+    val ord = Seq(col(scoreCol).desc, col(idCol).asc)
+    scored.orderBy(ord: _*).limit(k)
+      .withColumn(rankName, row_number().over(Window.orderBy(ord: _*)))
+      .select(col(idCol), col(rankName))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09):
+    * score(d) = Σ over legs of 1/(rrfK + rank_leg(d)), a doc absent from
+    * a leg contributing 0 — the standard rank-based way to fuse a lexical
+    * and a dense retrieval run without comparable scores.
+    *
+    * Integer-exact: each contribution is the floor-scaled rational
+    * `10⁹ div (rrfK + rank)` — one BIGINT floor division any engine
+    * computes identically (the c56 cleared-denominator discipline), never
+    * a float sum. Adjacent-rank contributions at the ppb scale stay
+    * distinct out to rank ≈ 30 000, far past any practical leg depth, so
+    * no fusion ordering is lost to the scaling.
+    *
+    * Each leg is a (idCol, uniquely-named rank column) frame, e.g. from
+    * [[topKRanks]]. Plan: legs are k-row frames, so the full-outer fusion
+    * joins hash tiny sides on `idCol` only — fusion cost is O(Σ leg
+    * sizes), independent of corpus size; all corpus-sized work happened
+    * inside each leg's own (partial-aggregated / TakeOrdered) plan. */
+  def rrfFuse(legs: Seq[DataFrame], idCol: String, rrfK: Int = 60): DataFrame = {
+    require(legs.size >= 2, "rrfFuse needs at least two legs")
+    val rankCols = legs.map(_.columns.filterNot(_ == idCol).toSeq)
+    rankCols.foreach(rc => require(rc.lengthCompare(1) == 0,
+      s"each leg must be exactly ($idCol, rank), got ${rc.mkString(",")}"))
+    require(rankCols.flatten.distinct.lengthCompare(legs.size) == 0,
+      "leg rank columns must be uniquely named")
+    val joined = legs.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val contrib = rankCols.flatten.map(rc =>
+      coalesce(call_function("div", lit(1000000000L), lit(rrfK.toLong) + col(rc)),
+        lit(0L)))
+    joined.withColumn("rrf_ppb", contrib.reduce(_ + _))
+  }
 }

@@ -18,16 +18,32 @@ object Tables {
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects (PARQUET_TYPE_ILLEGAL). Read it as raw nanos and
-      // rebuild the timestamp with integer arithmetic (`DIV`, not double
-      // division — 2024-epoch nanos exceed double's 2^53 exact range). The
-      // testdata is µs-precision (verified), so this is lossless.
+      // Historically events.ts was parquet TIMESTAMP(NANOS), which Spark's
+      // vectorized reader rejects (PARQUET_TYPE_ILLEGAL) — read as raw
+      // nanos and rebuild. Newer testdata generations carry TIMESTAMP
+      // (MICROS, isAdjustedToUTC=false) which Spark infers as
+      // TIMESTAMP_NTZ. Normalize both to session TimestampType so every
+      // downstream query (and the DuckDB oracle, which reads the same
+      // naive micros) sees identical instants — session tz is pinned UTC.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      normalizeEventsTs(spark.read.parquet(s"$sfDir/$name.parquet"))
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+
+  /** Normalize the events `ts` column to TimestampType regardless of the
+    * physical parquet layout: BIGINT = legacy nanos-as-long (rebuild with
+    * integer `DIV` — 2024-epoch nanos exceed double's 2^53 exact range;
+    * the data is µs-precision so this is lossless); TIMESTAMP_NTZ = naive
+    * micros (cast reinterprets in the session tz, pinned UTC). Shared by
+    * the batch reader above and the file-source streaming path. */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
     }
 
   /** lineitem regrouped as one row per order with a sorted array-of-struct

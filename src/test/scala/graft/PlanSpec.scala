@@ -239,6 +239,29 @@ class PlanSpec extends SparkSpec {
       s"c56 must plan only broadcast equi-joins:\n$plan")
   }
 
+  test("hybrid RRF: both legs top-k-partial, fusion joins k-row frames on doc_id only") {
+    val df = SparkEntry.queries("c57_hybrid_rrf")(spark, sf)
+    val plan = physicalPlan(df)
+    // each leg must cut to k via TakeOrderedAndProject — per-partition
+    // top-k heaps, never a global sort of the scored corpus
+    val topK = "TakeOrderedAndProject".r.findAllIn(plan).length
+    assert(topK >= 2, s"both legs must plan TakeOrderedAndProject (got $topK):\n$plan")
+    // the only BNLJ is the audited one-row query-vector broadcast (the
+    // c19 shape); the fusion full-outer itself must be an equi-join
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj == 1, s"exactly the one-row query-vector BNLJ allowed (got $bnlj):\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("FullOuter"), s"fusion must be the full-outer rank join:\n$plan")
+    // the fusion join touches only the k-row rank legs, keyed on doc_id:
+    // every equi-join in the optimized plan is keyed on doc_id alone
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val joinKeys = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.isDefined => j.condition.get.references.map(_.name).toSet
+    }
+    assert(joinKeys.exists(_ == Set("doc_id")),
+      s"fusion join must key on doc_id only, got $joinKeys")
+  }
+
   test("latest-state compaction is a pure aggregate — no window, no per-key sort") {
     val plan = physicalPlan(SparkEntry.queries("b58_latest_state")(spark, sf))
     assert(!plan.contains("Window"),

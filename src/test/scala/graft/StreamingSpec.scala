@@ -53,8 +53,8 @@ class StreamingSpec extends SparkSpec {
 
   test("file-source readStream over events parquet matches the batch result") {
     val s = spark
-    // streaming read of the same parquet the batch path uses; nanos ts
-    // handled the same way as sources.Tables
+    // streaming read of the same parquet the batch path uses; the ts
+    // column is normalized the same way as sources.Tables (layout-adaptive)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sf = "/root/testdata/sf0.001"
     // the file source requires a directory; stage the file via symlink
@@ -62,8 +62,8 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
     val schema = s.read.parquet(s"$sf/events.parquet").schema
-    val stream = s.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val stream = graft.sources.Tables.normalizeEventsTs(
+      s.readStream.schema(schema).parquet(dir.toString))
     val out = Streams.streamTumblingCounts(stream, "1 hour", "1 minute")
     val q = out.writeStream.format("memory").queryName("filestream")
       .outputMode("complete").start()
