@@ -1043,6 +1043,31 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "b65_stream_session_parity" -> ((s, d) => {
+      // batch parity for the RUNNING native session_window stream
+      // (Streams.streamSessionCounts, gap 30 min, watermark delay
+      // 30 min): after a file-source stream drains the whole table,
+      // append mode has emitted exactly the sessions whose end the final
+      // watermark (max ts - delay) passed — open/too-recent sessions
+      // stay in state. This query replicates that output shape in batch:
+      // the same session_window aggregation, filtered to
+      // session_end <= max(ts) - delay. StreamingSpec asserts the live
+      // stream's collected output equals this query on the same data.
+      // Plan: sessionization shuffles once on user_id; the watermark
+      // bound is a one-row broadcast cross join (the audited c19
+      // bounded-broadcast shape) — at true streaming scale the engine
+      // enforces the watermark in-state; this filter exists only to make
+      // the running stream's output oracle-checkable.
+      val ev = t(s, d, "events")
+      val wm = broadcast(ev.agg(
+        (max(col("ts")) - expr("INTERVAL 30 MINUTES")).as("wm")))
+      Streams.sessionCounts(ev, "30 minutes")
+        .crossJoin(wm)
+        .where(col("session_end") <= col("wm"))
+        .select(col("session_start"), col("session_end"), col("user_id"), col("n"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     "b59_cohort_retention" -> ((s, d) => {
       // cohort retention matrix: customers grouped by first-order
       // quarter (the cohort), counted as active in each later quarter —
@@ -1907,7 +1932,30 @@ object SparkEntry {
         |SELECT CAST(min(ts) AS TIMESTAMP) AS session_start,
         |  CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
         |  user_id, count(*) AS n
-        |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "b65_stream_session_parity" ->
+      // b20's gaps-and-islands sessionization + the final-watermark cut:
+      // only sessions whose end (last event + gap) the watermark
+      // (max ts - delay) passed — i.e. exactly what the append-mode
+      // native session_window stream has emitted after draining the table
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |sess AS (
+        |  SELECT CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |    CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+        |    user_id, count(*) AS n
+        |  FROM y GROUP BY user_id, sid)
+        |SELECT session_start, session_end, user_id, n FROM sess
+        |WHERE session_end <= (SELECT max(ts) - INTERVAL 30 MINUTE FROM events)
+        |ORDER BY user_id, session_start""".stripMargin)
 
   // =================================================================
   // §2C — LLM-pipeline extensions

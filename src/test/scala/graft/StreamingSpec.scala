@@ -111,6 +111,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("b65: running session_window stream over events equals the oracle parity query") {
+    // the b65 oracle contract: after the file-source stream drains the
+    // whole events table, the append-mode native session_window output
+    // (gap 30 min, delay 30 min) equals SparkEntry's batch parity query
+    // (sessions with end <= max(ts) - delay) on the same data
+    val s = spark
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val schema = s.read.parquet(s"$sf/events.parquet").schema
+    val stream = graft.sources.Tables.normalizeEventsTs(
+      s.readStream.schema(schema).parquet(dir.toString))
+    val out = Streams.streamSessionCounts(stream, "30 minutes", "30 minutes")
+    val q = out.writeStream.format("memory").queryName("sessparity")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = s.sql(
+          "SELECT session_start, session_end, user_id, n FROM sessparity")
+        .orderBy("user_id", "session_start").collect()
+      val oracle = SparkEntry.queries("b65_stream_session_parity")(s, sf).collect()
+      assert(streamed.length > 0, "stream emitted nothing — watermark never advanced?")
+      assert(streamed.map(_.toSeq).toSeq == oracle.map(_.toSeq).toSeq,
+        s"stream rows=${streamed.length} != parity query rows=${oracle.length}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions with counts") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
