@@ -263,7 +263,18 @@ object Bench {
     val mJson = qMetrics.toSeq.sortBy(_._1).map { case (k, m) =>
       "\"" + k.takeWhile(_ != '_') + s"""\":[${kb(m.readB)},${kb(m.writeB)},${kb(m.spillB)},${kb(m.peakB)}]"""
     }.mkString("{", ",", "}")
-    val histLine = s"""{"sf":"$sfDir","unit":"kb_read_write_spill_peak","queries":$mJson}"""
+    // Run identity (VERDICT r7 #3): stamp the round so bench_history.py
+    // keys runs by it instead of file position — SPARK_GRAFT_ROUND when the
+    // driver provides it, else inferred as max(BENCH_r*.json)+1 (this run
+    // is producing the NEXT round's artifact); the app id ties re-appended
+    // lines from the same JVM together.
+    val round = sys.env.get("SPARK_GRAFT_ROUND").flatMap(r => scala.util.Try(r.toInt).toOption)
+      .getOrElse {
+        val seen = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        if (seen.isEmpty) 0 else seen.max + 1
+      }
+    val histLine = s"""{"round":$round,"app":"${spark.sparkContext.applicationId}","sf":"$sfDir","unit":"kb_read_write_spill_peak","queries":$mJson}"""
     try {
       val dir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_METRICS_DIR", "docs/bench"))
       dir.mkdirs()

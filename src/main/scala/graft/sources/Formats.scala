@@ -197,4 +197,40 @@ object Formats {
     }
     spark.table(table)
   }
+
+  /** Partition-evolution (daily-ingest) path for
+    * [[partitionedBucketedTable]]: append a new batch — typically one new
+    * `partCol` value per day — into the existing catalog table, keeping
+    * BOTH layout dimensions. Plain `append` (never dynamic-partition
+    * overwrite): new files land only under the partition directories the
+    * batch contains, existing partitions' files are untouched, so readers
+    * mid-scan on yesterday's partitions are safe. Spark validates the
+    * declared (partitioning, bucketing, sorting) spec against the
+    * catalog's and rejects a mismatched append, which is the contract
+    * that keeps the layout trustworthy over months of ingest.
+    *
+    * Scale contract after N appends: directory pruning on `partCol` is
+    * unchanged (new values = new directories). The bucket property —
+    * hash(key) mod buckets — is per-FILE, so appended files join
+    * exchange-free with the original ones; what each append relaxes is
+    * the one-file-per-bucket sortedness, so a merge join may re-sort
+    * WITHIN partitions (a local Sort node, no Exchange). Compact a
+    * partition (rewrite at the same spec) if file counts grow large.
+    * Asserted in ScaleSpec: appended partitions are visible and pruned
+    * correctly, pre-existing rows byte-identical, and the key self-join
+    * still plans zero Exchange. */
+  def appendPartitions(spark: SparkSession, purpose: String, inDir: String,
+                       df: DataFrame, partCol: String, key: String,
+                       buckets: Int): DataFrame = {
+    val table = s"graft_${purpose}_${inputTag(inDir)}".replaceAll("[^A-Za-z0-9_]", "_")
+    require(spark.catalog.tableExists(table),
+      s"appendPartitions: $table does not exist — create it with partitionedBucketedTable first")
+    df.write.mode("append")
+      .partitionBy(partCol)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+    spark.table(table)
+  }
 }

@@ -374,6 +374,44 @@ class ScaleSpec extends SparkSpec {
       s"expected the box to skip ≥40% of files, touched $touched/$total")
   }
 
+  test("partition evolution: appendPartitions adds a day without disturbing the layout contract") {
+    // the daily-ingest story for partitionedBucketedTable: day-3 arrives
+    // after the table exists. Assert (a) the new partition is visible and
+    // prunable, (b) pre-existing rows are untouched, (c) the key self-join
+    // still plans ZERO Exchange — the bucket contract is per-file, so
+    // appended files co-locate with the originals.
+    val s = spark; import s.implicits._
+    def day(d: String, n: Int) =
+      (0 until n).map(i => (i.toLong, i * 10L, d)).toDF("k", "v", "day")
+    val base = graft.sources.Formats.partitionedBucketedTable(
+      s, "evolve", sf, day("d1", 40).union(day("d2", 40)),
+      partCol = "day", key = "k", buckets = 4)
+    val before = base.where(col("day") === "d1").orderBy("k").collect()
+    val evolved = graft.sources.Formats.appendPartitions(
+      s, "evolve", sf, day("d3", 25), partCol = "day", key = "k", buckets = 4)
+    assert(evolved.count() == 105)
+    assert(evolved.where(col("day") === "d3").count() == 25)
+    // new-partition filter prunes directories at planning time
+    val pruned = evolved.where(col("day") === "d3")
+      .queryExecution.executedPlan.toString
+    assert(pruned.contains("PartitionFilters: [isnotnull(day"),
+      s"day filter must prune partitions:\n$pruned")
+    // pre-existing partition byte-identical after the append
+    assert(evolved.where(col("day") === "d1").orderBy("k").collect()
+      .map(_.toSeq).toSeq == before.map(_.toSeq).toSeq)
+    // bucketed self-join across old+new partitions: no Exchange anywhere
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = evolved.select(col("k"), col("v"))
+      val b = evolved.select(col("k").as("k2"), col("day").as("day2"))
+      val plan = a.hint("merge").join(b, col("k") === col("k2"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"append broke the zero-exchange bucket contract:\n$plan")
+    } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("contamination flags a planted eval near-duplicate and nothing else") {
     val s = spark; import s.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
