@@ -2278,6 +2278,51 @@ object SparkEntry {
         .orderBy(col("fused_rank"))
     }),
 
+    "c59_pq_encode" -> ((s, d) =>
+      // product quantization over the embedding store: 4 sub-codebooks of
+      // 16 codewords (the first-16-vectors convention), codes + the ADC
+      // squared distance to query vec 0 — integer-exact end to end (see
+      // Ann.pqEncode scaladoc). Zero-shuffle narrow-map encode; ~64×
+      // smaller search structure than the float column. Completes the ANN
+      // compression family: c38 int8 (flat), c59 PQ (codebook), c39 the
+      // rerank cascade that consumes such codes.
+      graft.operators.Ann.pqEncode(t(s, d, "embeddings"), "vec_id", "embedding")
+        .orderBy(col("vec_id"))),
+
+    "c58_bigram_lm_score" -> ((s, d) => {
+      // bigram language-model quality scoring: per doc,
+      // Σ over bigram positions of floor(log2 c(w1·)) − floor(log2 c(w1 w2))
+      // — the integer-exact quantization of Σ −log2 P(w2|w1), a count-based
+      // LM surprisal (KenLM-style scoring without a trained model; c54's
+      // floor-log2 = binary-string-length trick, no float log anywhere).
+      // High = improbable word transitions (garbage/boilerplate-stitched
+      // text), low = formulaic. c(w1·) counts w1 as bigram-FIRST, so the
+      // conditional is a true probability (Σ_w2 c(w1 w2) = c(w1·)).
+      // Plan: bigram positions shuffle ONCE on (w1,w2) for the lookup
+      // join; the lookup itself is vocab²-bounded (c2 ⋈ c1 on w1, both
+      // partial-aggregated); final per-doc sum shuffles on doc_id. At
+      // 100 TB the head of the bigram vocabulary broadcasts and the
+      // position table would be cached at ingest (three scans here).
+      val toks = Text.tokens(col("text"))
+      val pairs = t(s, d, "documents")
+        .where(size(toks) >= 2)
+        .select(col("doc_id"),
+          explode(transform(slice(toks, lit(1), size(toks) - 1),
+            (x, i) => struct(x.as("w1"),
+              element_at(toks, i + lit(2)).as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val lk = c2.join(c1, Seq("w1"))
+        .select(col("w1"), col("w2"),
+          (length(conv(col("c1"), 10, 2)) - length(conv(col("c2"), 10, 2))).as("surp"))
+      pairs.join(lk, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("surp")).cast("long").as("surprisal_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
     "c54_token_rarity" -> ((s, d) => {
       // token-rarity quality signal: per doc, Σ floor(log2(corpus tf))
       // over its tokens — a low sum flags documents built from rare or
@@ -3232,6 +3277,54 @@ object SparkEntry {
         |SELECT doc_id, bm25_rank, cos_rank, rrf_ppb,
         |  CAST(row_number() OVER (ORDER BY rrf_ppb DESC, doc_id) AS INTEGER) AS fused_rank
         |FROM f ORDER BY fused_rank""".stripMargin,
+
+    "c59_pq_encode" ->
+      // identical integer arithmetic: micro-quantized components, exact
+      // BIGINT squared L2 per subspace, argmin tie-broken on code id; ADC
+      // = sum of the assigned codewords' distances to vec 0's subvectors
+      """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |             x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS nv FROM embeddings),
+        |sub AS (SELECT vec_id, g.sm, nv[g.sm*16+1 : g.sm*16+16] AS sub
+        |        FROM e, generate_series(0, 3) g(sm)),
+        |seeds AS (SELECT vec_id AS code, sm, sub AS cw FROM sub WHERE vec_id < 16),
+        |cand AS (SELECT s.vec_id, s.sm, d.code,
+        |           CAST(list_sum(list_transform(generate_series(1, 16),
+        |             i -> (s.sub[i] - d.cw[i]) * (s.sub[i] - d.cw[i]))) AS BIGINT) AS d2
+        |         FROM sub s JOIN seeds d USING (sm)),
+        |best AS (SELECT vec_id, sm, code FROM (
+        |           SELECT *, row_number() OVER (PARTITION BY vec_id, sm
+        |             ORDER BY d2, code) AS rn FROM cand) WHERE rn = 1),
+        |q AS (SELECT sm, sub AS qsub FROM sub WHERE vec_id = 0),
+        |adc AS (SELECT b.vec_id, b.sm, b.code,
+        |          CAST(list_sum(list_transform(generate_series(1, 16),
+        |            i -> (q.qsub[i] - d.cw[i]) * (q.qsub[i] - d.cw[i]))) AS BIGINT) AS a2
+        |        FROM best b JOIN seeds d ON b.sm = d.sm AND b.code = d.code
+        |        JOIN q ON q.sm = b.sm)
+        |SELECT vec_id,
+        |  max(CASE WHEN sm = 0 THEN code END) AS c0,
+        |  max(CASE WHEN sm = 1 THEN code END) AS c1,
+        |  max(CASE WHEN sm = 2 THEN code END) AS c2,
+        |  max(CASE WHEN sm = 3 THEN code END) AS c3,
+        |  CAST(sum(a2) AS BIGINT) AS adc_micro2
+        |FROM adc GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "c58_bigram_lm_score" ->
+      // identical integer arithmetic: surprisal per position =
+      // len(bin(c1)) - len(bin(c2)) (the floor-log2 -1s cancel); both
+      // counts >= 1 because every observed bigram is its own evidence
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+        |         i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+        |       FROM tk WHERE len(t) >= 2),
+        |b AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1),
+        |lk AS (SELECT c2.w1, c2.w2, length(bin(c1.c1)) - length(bin(c2.c2)) AS surp
+        |       FROM c2 JOIN c1 USING (w1))
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(lk.surp) AS BIGINT) AS surprisal_sum
+        |FROM b JOIN lk ON b.w1 = lk.w1 AND b.w2 = lk.w2
+        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
 
     "c54_token_rarity" ->
       // floor(log2 n) = len(bin(n))-1 — DuckDB bin() mirrors Spark's

@@ -235,6 +235,64 @@ object Ann {
           / (col("n_members").cast("double") * lit(1e9))).as("centroid"))
   }
 
+  /** Product-quantization encode (Jégou, Douze & Schmid, TPAMI 2011): each
+    * vector is split into `m` subvectors of `subDim` dims; per subspace, a
+    * `k`-entry codebook; the vector's code is the id of its nearest
+    * codeword in each subspace — `m` small integers instead of `m·subDim`
+    * floats (here 4 codes for 64 floats, a 64× at-rest compression of the
+    * search structure). ADC search then needs only per-(subspace, codeword)
+    * distance tables to the query — emitted here as `adc_micro2`, the
+    * query's ADC squared distance to each encoded vector.
+    *
+    * Codebook: the subvectors of the first `k` vectors (id < k), the
+    * deterministic convention [[ivfTopK]] documents — callers with a
+    * trained codebook pass the same shape through the same math.
+    *
+    * Determinism (hash-oracle-safe): components are micro-quantized
+    * (`floor(x·1e6 + 0.5)` — exact IEEE per row, the c38/c40 discipline);
+    * every distance is then an exact BIGINT sum of squared integer diffs
+    * (unit vectors ⇒ per-subspace ≤ 16·(1.2e6)² ≈ 2.4e13 and the ADC sum
+    * ≤ 1e14, inside 2^53, so even a double-folding engine is exact);
+    * argmin ties break on code id via struct ordering (code ids unique —
+    * the trailing codeword field is never compared).
+    *
+    * Plan — the 100 TB story is the point: encoding is a NARROW MAP. The
+    * codebook (k·m rows) and the one query row collapse to single-row
+    * broadcasts; codes + ADC are computed per vector inside one projection
+    * (HOF argmin over the broadcast array) — zero shuffle, zero window,
+    * no per-vector fan-out ever materialized. Only the caller's final
+    * orderBy shuffles. */
+  def pqEncode(embeddings: DataFrame, idCol: String, vecCol: String,
+               m: Int = 4, subDim: Int = 16, k: Int = 16,
+               queryId: Long = 0L): DataFrame = {
+    val micro = (v: Column) =>
+      transform(v, x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+    val sq = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    // one broadcast row: array of (code, subs = m subvectors) structs
+    val cbRow = broadcast(embeddings.where(col(idCol) < k)
+      .select(struct(col(idCol).cast("long").as("code"),
+        transform(sequence(lit(0), lit(m - 1)),
+          sm => slice(micro(col(vecCol)), sm * subDim + 1, lit(subDim))).as("subs")).as("e"))
+      .agg(collect_list(col("e")).as("cb")))
+    // one broadcast row: the query's m subvectors
+    val qRow = broadcast(embeddings.where(col(idCol) === queryId)
+      .select(transform(sequence(lit(0), lit(m - 1)),
+        sm => slice(micro(col(vecCol)), sm * subDim + 1, lit(subDim))).as("qs")))
+    val enc = embeddings.crossJoin(cbRow).crossJoin(qRow)
+    val parts = (0 until m).map { sm =>
+      val sub = slice(micro(col(vecCol)), lit(sm * subDim + 1), lit(subDim))
+      val best = array_min(transform(col("cb"), c =>
+        struct(sq(sub, element_at(c.getField("subs"), sm + 1)).as("d"),
+          c.getField("code").as("code"),
+          element_at(c.getField("subs"), sm + 1).as("cw"))))
+      (best.getField("code").as(s"c$sm"),
+        sq(element_at(col("qs"), sm + 1), best.getField("cw")))
+    }
+    enc.select(col(idCol) +: parts.map(_._1) :+
+      parts.map(_._2).reduce(_ + _).as("adc_micro2"): _*)
+  }
+
   /** Quantized-rerank cascade ANN — the production pairing of
     * [[quantizeInt8]]: the coarse pass ranks EVERY item by the cosine of
     * its int8 codes (at rest this scan reads the 4×-smaller code column

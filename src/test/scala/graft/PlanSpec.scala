@@ -262,6 +262,30 @@ class PlanSpec extends SparkSpec {
       s"fusion join must key on doc_id only, got $joinKeys")
   }
 
+  test("PQ encode is a zero-shuffle narrow map: broadcast codebook, no window, no hash exchange") {
+    val df = SparkEntry.queries("c59_pq_encode")(spark, sf)
+    val plan = physicalPlan(df)
+    // the codebook row and the query row are the only joins — single-row
+    // bounded broadcasts (the c19 shape, audited in docs/PLANS.md)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj == 2, s"expected the 2 single-row broadcasts, got $bnlj:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), s"PQ argmin must be HOF, not a window:\n$plan")
+    // encode shuffles NOTHING: the only exchange is the output range sort
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 0,
+      s"PQ encode must not shuffle the corpus, got $hashExchanges:\n$plan")
+  }
+
+  test("bigram LM score: position table shuffles once on the bigram key, lookup is vocab-sized") {
+    val df = SparkEntry.queries("c58_bigram_lm_score")(spark, sf)
+    val plan = physicalPlan(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"c58 must plan only equi-joins:\n$plan")
+    // every aggregate is partial+final (no single-point agg of the corpus)
+    assert(!plan.contains("SinglePartition"), s"no global single-partition agg:\n$plan")
+  }
+
   test("latest-state compaction is a pure aggregate — no window, no per-key sort") {
     val plan = physicalPlan(SparkEntry.queries("b58_latest_state")(spark, sf))
     assert(!plan.contains("Window"),
