@@ -1068,6 +1068,58 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    "b66_merge_apply" -> ((s, d) => {
+      // MERGE INTO expressed relationally (operators/Merge): base = the
+      // compacted pre-cutoff snapshot (b58 max_by shape), changes = the
+      // compacted post-cutoff changelog with error-events as delete
+      // tombstones; apply = one full-outer equi-join on the key — update /
+      // insert / carry / delete, payload passed through untouched. Both
+      // sides arrive hash-partitioned on user_id from their compaction
+      // aggregates. The nightly snapshot⊕changelog shape at 100 TB.
+      val cutoff = lit("2024-01-16").cast("timestamp")
+      def compact(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("st"))
+        .select(col("user_id"), col("st.event_type").as("event_type"),
+          col("st.value").as("value"))
+      val ev = t(s, d, "events")
+      val base = compact(ev.where(col("ts") < cutoff)).drop("event_type")
+      val changes = compact(ev.where(col("ts") >= cutoff))
+        .select(col("user_id"), col("value"),
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"))
+      graft.operators.Merge.mergeApply(base, changes, "user_id")
+        .orderBy(col("user_id"))
+    }),
+
+    "b67_interval_coverage" -> ((s, d) => {
+      // interval-union coverage: each event opens a 30-minute activity
+      // interval; per user, merge overlaps (the classic sweep: an island
+      // starts where ts exceeds the running max of prior ends) and report
+      // islands + total covered time. Pure integer epoch-micros
+      // arithmetic. One shuffle+sort per user partition (the window),
+      // then partial+final aggregates — no self-join, no driver state;
+      // the standard interval-union plan at any scale.
+      val span = 1800000000L // 30 min in micros
+      val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+      val iv = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("s"))
+        .withColumn("e", col("s") + lit(span))
+      val marked = iv
+        .withColumn("pme", max(col("e")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("brk",
+          when(col("pme").isNull || col("s") > col("pme"), lit(1)).otherwise(lit(0)))
+        .withColumn("island",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      marked.groupBy(col("user_id"), col("island"))
+        .agg((max(col("e")) - min(col("s"))).as("cov"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_islands"),
+          sum(col("cov")).cast("long").as("covered_micros"))
+        .orderBy(col("user_id"))
+    }),
+
     "b59_cohort_retention" -> ((s, d) => {
       // cohort retention matrix: customers grouped by first-order
       // quarter (the cohort), counted as active in each later quarter —
@@ -1933,6 +1985,48 @@ object SparkEntry {
         |  CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
         |  user_id, count(*) AS n
         |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "b66_merge_apply" ->
+      // same compaction (row_number ≡ max_by on the same total order) and
+      // the same merge CASE branches; payload doubles pass through raw
+      """WITH base AS (
+        |  SELECT user_id, value FROM (
+        |    SELECT user_id, value,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-16') WHERE rn = 1),
+        |chg AS (
+        |  SELECT user_id, value,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op FROM (
+        |    SELECT user_id, event_type, value,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts >= TIMESTAMP '2024-01-16') WHERE rn = 1)
+        |SELECT coalesce(b.user_id, c.user_id) AS user_id,
+        |  CASE WHEN c.op = 'U' THEN c.value ELSE b.value END AS value,
+        |  CASE WHEN c.op IS NULL THEN 'carry'
+        |       WHEN b.user_id IS NULL THEN 'insert'
+        |       ELSE 'update' END AS src
+        |FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+        |WHERE c.op IS NULL OR c.op <> 'D'
+        |ORDER BY user_id""".stripMargin,
+
+    "b67_interval_coverage" ->
+      // identical sweep in integer epoch-micros: island break when s
+      // exceeds the running max of prior interval ends
+      """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+        |              epoch_us(ts) + 1800000000 AS e FROM events),
+        |x AS (SELECT user_id, event_id, s, e,
+        |        max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |      FROM iv),
+        |y AS (SELECT user_id, event_id, s, e,
+        |        CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk FROM x),
+        |z AS (SELECT user_id, s, e,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS island FROM y),
+        |i AS (SELECT user_id, island, max(e) - min(s) AS cov
+        |      FROM z GROUP BY user_id, island)
+        |SELECT user_id, count(*) AS n_islands, CAST(sum(cov) AS BIGINT) AS covered_micros
+        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "b65_stream_session_parity" ->
       // b20's gaps-and-islands sessionization + the final-watermark cut:

@@ -122,4 +122,24 @@ class FormatsAndIntervalsSpec extends SparkSpec {
       .select(Text.redact(col("t"))).as[String].head()
     assert(got == "only words here")
   }
+
+  test("mergeApply: update/insert/carry/delete branches, NULL-safe payloads") {
+    val base = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None), (4L, Some(40.0)))
+      .toDF("k", "v")
+    val changes = Seq(
+      (1L, Some(11.0), "U"),  // matched update
+      (3L, None, "U"),        // matched update carrying a NULL payload — must WIN over base
+      (4L, None, "D"),        // matched delete
+      (5L, Some(50.0), "U"),  // unmatched insert
+      (6L, None, "D"))        // delete of an absent key — no-op
+      .toDF("k", "v", "op")
+    val out = graft.operators.Merge.mergeApply(base, changes, "k")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (1L, Some(11.0), "update"),
+      (2L, Some(20.0), "carry"),
+      (3L, None, "update"),
+      (5L, Some(50.0), "insert")))
+  }
 }

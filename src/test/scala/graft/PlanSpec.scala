@@ -286,6 +286,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"no global single-partition agg:\n$plan")
   }
 
+  test("merge apply: full-outer join reuses the compaction partitioning — no extra exchange") {
+    val plan = physicalPlan(SparkEntry.queries("b66_merge_apply")(spark, sf))
+    assert(plan.contains("FullOuter"), s"merge must be the full-outer apply join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    // exactly the two compaction aggregates' exchanges; the join itself
+    // rides their hash partitioning (the output sort is range, not hash)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 2,
+      s"expected 2 hash exchanges (one per compacted side), got $hashExchanges:\n$plan")
+  }
+
   test("latest-state compaction is a pure aggregate — no window, no per-key sort") {
     val plan = physicalPlan(SparkEntry.queries("b58_latest_state")(spark, sf))
     assert(!plan.contains("Window"),
