@@ -1068,6 +1068,37 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    "b68_sketch_rollup" -> ((s, d) => {
+      // sketch MERGEABILITY — the property that makes sketches matter at
+      // 100 TB: per-day DataSketches-HLL user sketches (what an ingest
+      // would persist in a daily rollup table) are UNIONED into weekly
+      // estimates without ever revisiting the raw events. b18 bounds a
+      // one-shot estimate; this bounds the union-of-partials path:
+      // |union-estimate − exact| ≤ 5% · exact, asserted as a boolean the
+      // oracle expects TRUE (exact weekly distinct is hash-checked
+      // directly). Plan: daily sketch agg is partial+final on day;
+      // weekly union shuffles only |days| sketch blobs — the raw table
+      // is read once, ever, which is the entire point of the rollup.
+      val ev = t(s, d, "events")
+      val daily = ev
+        .select(date_trunc("week", col("ts")).cast("date").as("week"),
+          date_trunc("day", col("ts")).cast("date").as("day"), col("user_id"))
+        .groupBy(col("week"), col("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      val weekly = daily.groupBy(col("week"))
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = ev
+        .select(date_trunc("week", col("ts")).cast("date").as("week"), col("user_id"))
+        .groupBy(col("week"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      weekly.join(exact, Seq("week"))
+        .select(col("week"), col("n_days"), col("exact_users"),
+          (abs(col("est") - col("exact_users"))
+            <= col("exact_users") * 0.05).as("rollup_ok"))
+        .orderBy(col("week"))
+    }),
+
     "b66_merge_apply" -> ((s, d) => {
       // MERGE INTO expressed relationally (operators/Merge): base = the
       // compacted pre-cutoff snapshot (b58 max_by shape), changes = the
@@ -1986,6 +2017,17 @@ object SparkEntry {
         |  user_id, count(*) AS n
         |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
+    "b68_sketch_rollup" ->
+      // exact weekly distinct hash-checked; the union-of-daily-sketches
+      // estimate is engine-specific, so (as b18) its evidence is the
+      // 5% bound the oracle asserts TRUE. date_trunc('week') is
+      // Monday-anchored in both engines.
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+        |  count(DISTINCT date_trunc('day', ts)) AS n_days,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS rollup_ok
+        |FROM events GROUP BY week ORDER BY week""".stripMargin,
+
     "b66_merge_apply" ->
       // same compaction (row_number ≡ max_by on the same total order) and
       // the same merge CASE branches; payload doubles pass through raw
@@ -2383,6 +2425,32 @@ object SparkEntry {
       graft.operators.Ann.pqEncode(t(s, d, "embeddings"), "vec_id", "embedding")
         .orderBy(col("vec_id"))),
 
+    "c60_pq_adc_rerank" -> ((s, d) => {
+      // the PQ SEARCH cascade c59's codes exist for: coarse pass ranks
+      // the whole corpus by integer ADC distance (reads only the 4-code
+      // column at rest — the 64×-smaller structure), cuts to 100
+      // candidates via TakeOrderedAndProject (per-partition heaps), and
+      // only survivors fetch their float vectors for the exact cosine
+      // rerank (c06 rounded-cosine pattern, c39 cascade shape). Coarse
+      // stage is the zero-shuffle c59 narrow map + top-k; rerank touches
+      // 100 rows. Integer ADC + 6dp-rounded per-row cosine keep every
+      // compared value engine-exact.
+      val emb = t(s, d, "embeddings")
+      val coarse = graft.operators.Ann.pqEncode(emb, "vec_id", "embedding")
+        .where(col("vec_id") =!= 0)
+        .orderBy(col("adc_micro2").asc, col("vec_id").asc).limit(100)
+        .select(col("vec_id"), col("adc_micro2"))
+      val qv = broadcast(emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("qv")))
+      emb.join(broadcast(coarse), Seq("vec_id"))
+        .crossJoin(qv)
+        .select(col("vec_id"), col("adc_micro2"),
+          Similarity.cosineRounded(col("embedding"), col("qv")).as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cos").desc, col("vec_id"))))
+        .orderBy(col("rank"))
+    }),
+
     "c58_bigram_lm_score" -> ((s, d) => {
       // bigram language-model quality scoring: per doc,
       // Σ over bigram positions of floor(log2 c(w1·)) − floor(log2 c(w1 w2))
@@ -2696,7 +2764,50 @@ object SparkEntry {
         |WHERE len(list_intersect(a.sh, b.sh)) >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))
         |ORDER BY a, b""".stripMargin
 
+  // shared PQ construction (c59 encode, c60 search): micro-quantized
+  // components, exact BIGINT squared L2, argmin tie-broken on code id,
+  // ADC vs vec 0 — ends in a `pq(vec_id, c0..c3, adc_micro2)` relation
+  private val pqCte =
+    """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |             x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS nv FROM embeddings),
+      |sub AS (SELECT vec_id, g.sm, nv[g.sm*16+1 : g.sm*16+16] AS sub
+      |        FROM e, generate_series(0, 3) g(sm)),
+      |seeds AS (SELECT vec_id AS code, sm, sub AS cw FROM sub WHERE vec_id < 16),
+      |cand AS (SELECT s.vec_id, s.sm, d.code,
+      |           CAST(list_sum(list_transform(generate_series(1, 16),
+      |             i -> (s.sub[i] - d.cw[i]) * (s.sub[i] - d.cw[i]))) AS BIGINT) AS d2
+      |         FROM sub s JOIN seeds d USING (sm)),
+      |best AS (SELECT vec_id, sm, code FROM (
+      |           SELECT *, row_number() OVER (PARTITION BY vec_id, sm
+      |             ORDER BY d2, code) AS rn FROM cand) WHERE rn = 1),
+      |q AS (SELECT sm, sub AS qsub FROM sub WHERE vec_id = 0),
+      |adc AS (SELECT b.vec_id, b.sm, b.code,
+      |          CAST(list_sum(list_transform(generate_series(1, 16),
+      |            i -> (q.qsub[i] - d.cw[i]) * (q.qsub[i] - d.cw[i]))) AS BIGINT) AS a2
+      |        FROM best b JOIN seeds d ON b.sm = d.sm AND b.code = d.code
+      |        JOIN q ON q.sm = b.sm),
+      |pq AS (SELECT vec_id,
+      |  max(CASE WHEN sm = 0 THEN code END) AS c0,
+      |  max(CASE WHEN sm = 1 THEN code END) AS c1,
+      |  max(CASE WHEN sm = 2 THEN code END) AS c2,
+      |  max(CASE WHEN sm = 3 THEN code END) AS c3,
+      |  CAST(sum(a2) AS BIGINT) AS adc_micro2
+      |FROM adc GROUP BY vec_id)""".stripMargin
+
   private val cOracles: Map[String, String] = Map(
+    "c60_pq_adc_rerank" ->
+      // coarse = pq top-100 by integer ADC; rerank = c06's 6dp rounded
+      // cosine over the 100 survivors only
+      (pqCte + """,
+        |coarse AS (SELECT vec_id, adc_micro2 FROM pq WHERE vec_id <> 0
+        |           ORDER BY adc_micro2, vec_id LIMIT 100),
+        |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |rr AS (SELECT c.vec_id, c.adc_micro2,
+        |         round(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), q.qv), 6) AS cos
+        |       FROM coarse c JOIN embeddings e2 ON e2.vec_id = c.vec_id, qv q)
+        |SELECT vec_id, adc_micro2, cos,
+        |  CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+        |FROM rr ORDER BY rank""".stripMargin),
     "c32_chunking" ->
       // same arithmetic: stride 56, size 64; 1-based inclusive list slice
       // == Spark's slice(start, length) incl. end-clamping; short/empty
@@ -3376,31 +3487,8 @@ object SparkEntry {
       // identical integer arithmetic: micro-quantized components, exact
       // BIGINT squared L2 per subspace, argmin tie-broken on code id; ADC
       // = sum of the assigned codewords' distances to vec 0's subvectors
-      """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-        |             x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS nv FROM embeddings),
-        |sub AS (SELECT vec_id, g.sm, nv[g.sm*16+1 : g.sm*16+16] AS sub
-        |        FROM e, generate_series(0, 3) g(sm)),
-        |seeds AS (SELECT vec_id AS code, sm, sub AS cw FROM sub WHERE vec_id < 16),
-        |cand AS (SELECT s.vec_id, s.sm, d.code,
-        |           CAST(list_sum(list_transform(generate_series(1, 16),
-        |             i -> (s.sub[i] - d.cw[i]) * (s.sub[i] - d.cw[i]))) AS BIGINT) AS d2
-        |         FROM sub s JOIN seeds d USING (sm)),
-        |best AS (SELECT vec_id, sm, code FROM (
-        |           SELECT *, row_number() OVER (PARTITION BY vec_id, sm
-        |             ORDER BY d2, code) AS rn FROM cand) WHERE rn = 1),
-        |q AS (SELECT sm, sub AS qsub FROM sub WHERE vec_id = 0),
-        |adc AS (SELECT b.vec_id, b.sm, b.code,
-        |          CAST(list_sum(list_transform(generate_series(1, 16),
-        |            i -> (q.qsub[i] - d.cw[i]) * (q.qsub[i] - d.cw[i]))) AS BIGINT) AS a2
-        |        FROM best b JOIN seeds d ON b.sm = d.sm AND b.code = d.code
-        |        JOIN q ON q.sm = b.sm)
-        |SELECT vec_id,
-        |  max(CASE WHEN sm = 0 THEN code END) AS c0,
-        |  max(CASE WHEN sm = 1 THEN code END) AS c1,
-        |  max(CASE WHEN sm = 2 THEN code END) AS c2,
-        |  max(CASE WHEN sm = 3 THEN code END) AS c3,
-        |  CAST(sum(a2) AS BIGINT) AS adc_micro2
-        |FROM adc GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+      (pqCte +
+        "\nSELECT vec_id, c0, c1, c2, c3, adc_micro2 FROM pq ORDER BY vec_id"),
 
     "c58_bigram_lm_score" ->
       // identical integer arithmetic: surprisal per position =

@@ -277,6 +277,20 @@ class PlanSpec extends SparkSpec {
       s"PQ encode must not shuffle the corpus, got $hashExchanges:\n$plan")
   }
 
+  test("PQ ADC search: coarse top-k is TakeOrdered over the narrow map, rerank is broadcast-only") {
+    val df = SparkEntry.queries("c60_pq_adc_rerank")(spark, sf)
+    val plan = physicalPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"coarse ADC cut must be per-partition top-k heaps:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the 100-row survivor set and the query vector broadcast back for the
+    // rerank; the corpus is never shuffled for a join
+    assert(plan.contains("BroadcastHashJoin"),
+      s"survivor fetch must be a broadcast hash join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"no shuffled join anywhere in the cascade:\n$plan")
+  }
+
   test("bigram LM score: position table shuffles once on the bigram key, lookup is vocab-sized") {
     val df = SparkEntry.queries("c58_bigram_lm_score")(spark, sf)
     val plan = physicalPlan(df)
