@@ -1151,6 +1151,50 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "b69_ivm_merge" -> ((s, d) => {
+      // incremental view maintenance: the materialized per-user rollup
+      // absorbs a new batch by merging PARTIAL STATES (operators/Ivm) —
+      // never re-reading history. The oracle is the full recompute over
+      // all rows: merge ≡ recompute is exactly the monoid property the
+      // operator exploits (b66 is the row-level sibling; b68 the sketch
+      // sibling). States are integer cents/counts — order-free,
+      // engine-exact; the derived avg is a read-time floor division.
+      val ev = t(s, d, "events")
+      val cutoff = lit("2024-01-20").cast("timestamp")
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      def state(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(cents).as("sum_cents"),
+          min(cents).as("min_cents"), max(cents).as("max_cents"))
+      graft.operators.Ivm.mergeStates(
+          Seq(state(ev.where(col("ts") < cutoff)),
+            state(ev.where(col("ts") >= cutoff))),
+          Seq("user_id"),
+          Map("n_events" -> "sum", "sum_cents" -> "sum",
+            "min_cents" -> "min", "max_cents" -> "max"))
+        .withColumn("avg_cents_floor", expr("sum_cents div n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    "b70_interpolate" -> ((s, d) =>
+      // linear-interpolation gap fill onto the per-user hourly grid — the
+      // step past b57's LOCF; integer cleared-denominator weighted mean,
+      // grid bounded by each key's own observed span (operators/Series).
+      graft.operators.Series.interpolateHourlyCents(
+          t(s, d, "events"), "user_id", "ts", "event_id", "value")
+        .orderBy(col("user_id"), col("hour_id"))),
+
+    "b71_equidepth_hist" -> ((s, d) =>
+      // exact 16-bucket equi-depth histogram of lineitem price cents
+      // WITHOUT a global row sort: per-distinct-value counts (one
+      // map-side-combined shuffle), then the cumulative window runs over
+      // the distinct-value frame only — bounded by the price DOMAIN, not
+      // the row count (operators/Scale.equiDepthHistogram scaladoc).
+      graft.operators.Scale.equiDepthHistogram(
+          t(s, d, "lineitem"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long"), bins = 16)
+        .orderBy(col("bin"))),
+
     "b59_cohort_retention" -> ((s, d) => {
       // cohort retention matrix: customers grouped by first-order
       // quarter (the cohort), counted as active in each later quarter —
@@ -2070,6 +2114,60 @@ object SparkEntry {
         |SELECT user_id, count(*) AS n_islands, CAST(sum(cov) AS BIGINT) AS covered_micros
         |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "b69_ivm_merge" ->
+      // the FULL recompute — equality with the state merge is the claim
+      """WITH e AS (SELECT user_id,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(cents) AS min_cents, max(cents) AS max_cents,
+        |  CAST(sum(cents) // count(*) AS BIGINT) AS avg_cents_floor
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "b70_interpolate" ->
+      // same grid + bracketing windows + cleared-denominator weighted
+      // mean; all operands non-negative BIGINTs so // ≡ div
+      """WITH obs0 AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 3600000000
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |k AS (SELECT user_id, h, cents FROM obs0 WHERE rn = 1),
+        |span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM k GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM span),
+        |j AS (SELECT g.user_id, g.h, k.cents FROM grid g
+        |      LEFT JOIN k ON k.user_id = g.user_id AND k.h = g.h),
+        |w AS (SELECT user_id, h, cents,
+        |  last_value(cents IGNORE NULLS) OVER back AS pv,
+        |  last_value(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS) OVER back AS ph,
+        |  first_value(cents IGNORE NULLS) OVER fwd AS nv,
+        |  first_value(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS) OVER fwd AS nh
+        |  FROM j WINDOW
+        |    back AS (PARTITION BY user_id ORDER BY h
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    fwd AS (PARTITION BY user_id ORDER BY h
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, h AS hour_id,
+        |  CAST(CASE WHEN cents IS NOT NULL THEN cents
+        |       ELSE (pv * (nh - h) + nv * (h - ph)) // (nh - ph) END AS BIGINT) AS val_cents,
+        |  CASE WHEN cents IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
+        |FROM w ORDER BY user_id, hour_id""".stripMargin,
+
+    "b71_equidepth_hist" ->
+      // identical integer bucket rule over the distinct-value frame
+      """WITH vc AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+        |              count(*) AS cnt
+        |            FROM lineitem GROUP BY 1),
+        |c AS (SELECT v, cnt,
+        |        sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |                       AND CURRENT ROW) AS cum,
+        |        sum(cnt) OVER () AS n
+        |      FROM vc)
+        |SELECT CAST(((cum - 1) * 16) // n AS BIGINT) AS bin,
+        |  min(v) AS lo, max(v) AS hi, CAST(sum(cnt) AS BIGINT) AS n_rows
+        |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
+
     "b65_stream_session_parity" ->
       // b20's gaps-and-islands sessionization + the final-watermark cut:
       // only sessions whose end (last event + gap) the watermark
@@ -2412,6 +2510,43 @@ object SparkEntry {
         .withColumn("fused_rank", row_number().over(
           Window.orderBy(col("rrf_ppb").desc, col("doc_id"))))
         .orderBy(col("fused_rank"))
+    }),
+
+    "c61_source_cap" -> ((s, d) =>
+      // per-source document cap: at most 5 docs per source, best-first by
+      // the c09 quality score (engine-identical doubles, doc_id
+      // tiebreak) — the "no single domain dominates the mix" curation
+      // guard. Rank-filter shape → WindowGroupLimit: per-task top-5
+      // heaps per source BEFORE the shuffle (plan-asserted).
+      Pipeline.capPerGroup(
+          t(s, d, "documents")
+            .select(col("doc_id"), col("source"),
+              Text.qualityScore(col("text")).as("score")),
+          col("source"), Seq(col("score").desc, col("doc_id").asc), n = 5)
+        .orderBy(col("source"), col("rank"))),
+
+    "c62_triangles" -> ((s, d) =>
+      // per-node triangle counts over the near-dup pair graph — cluster
+      // cohesion (tight cliques vs chains glued by one borderline pair).
+      // Degree-oriented wedge join: no hub blow-up, equi-joins only
+      // (Graph.triangleCounts scaladoc); reuses the memoized c04 pair
+      // graph, so no second shingle pass.
+      graft.operators.Graph.triangleCounts(docJaccardPairs(s, d))
+        .orderBy(col("node"))),
+
+    "c63_semantic_dedup" -> ((s, d) => {
+      // SemDeDup (cluster-then-dedup): nearest-centroid cells (the c07
+      // modulo-97 centroid convention), keep-lowest-id greedy within each
+      // cell at the c05 cosine threshold — the hard-bounded-work point on
+      // the embedding-dedup frontier (exact c05 / LSH c31 / blocked
+      // c63). Centroids broadcast; shuffles only on cell and id.
+      val emb = t(s, d, "embeddings")
+      val cent = emb.where(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      Dedup.semanticDedupBlocked(emb, "vec_id", "embedding", cent,
+          threshold = 0.35)
+        .select(col("id").as("vec_id"), col("cell"), col("kept"))
+        .orderBy(col("vec_id"))
     }),
 
     "c59_pq_encode" -> ((s, d) =>
@@ -3482,6 +3617,68 @@ object SparkEntry {
         |SELECT doc_id, bm25_rank, cos_rank, rrf_ppb,
         |  CAST(row_number() OVER (ORDER BY rrf_ppb DESC, doc_id) AS INTEGER) AS fused_rank
         |FROM f ORDER BY fused_rank""".stripMargin,
+
+    "c61_source_cap" ->
+      // c09's score formula + per-source row_number cap; the score
+      // doubles are bit-identical across engines (c09 hash-matches), so
+      // ranking on them is stable; doc_id breaks ties totally
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 0.5
+        |    + (CAST(len(list_filter(t, tk -> tk IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 0.2
+        |    + least(CAST(list_sum(list_transform(t, tk -> length(tk))) AS DOUBLE) / CAST(len(t) AS DOUBLE) / 10.0, 1.0) * 0.3 AS score
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents))
+        |SELECT doc_id, source, score, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT doc_id, source, score,
+        |    row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rank
+        |  FROM q) WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin,
+
+    "c62_triangles" ->
+      // same degree orientation ((deg, id)-lesser endpoint first) and
+      // wedge-closure join over the c04 exact-jaccard pair graph
+      (shingleCte +
+        """,
+          |p AS (
+          |  SELECT a.doc_id AS a, b.doc_id AS b
+          |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+          |  WHERE len(list_intersect(a.sh, b.sh)) >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))),
+          |deg AS (SELECT node, count(*) AS deg FROM (
+          |          SELECT a AS node FROM p UNION ALL SELECT b AS node FROM p)
+          |        GROUP BY node),
+          |o AS (SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND p.a < p.b)
+          |             THEN p.a ELSE p.b END AS u,
+          |             CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND p.a < p.b)
+          |             THEN p.b ELSE p.a END AS v
+          |      FROM p JOIN deg d1 ON d1.node = p.a JOIN deg d2 ON d2.node = p.b),
+          |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+          |        FROM o e1 JOIN o e2 ON e1.v = e2.u
+          |        WHERE EXISTS (SELECT 1 FROM o e3 WHERE e3.u = e1.u AND e3.v = e2.v))
+          |SELECT node, count(*) AS n_tri FROM (
+          |  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+          |  UNION ALL SELECT z FROM tri)
+          |GROUP BY node ORDER BY node""".stripMargin),
+
+    "c63_semantic_dedup" ->
+      // c07's centroid convention + argmax cell assignment; keep-lowest-id
+      // within-cell greedy at the c05 threshold
+      """WITH cent AS (
+        |  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id % 97 = 0),
+        |sc AS (
+        |  SELECT e.vec_id, e.embedding, c.centroid_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) AS csim
+        |  FROM embeddings e CROSS JOIN cent c),
+        |cell AS (
+        |  SELECT vec_id, embedding, centroid_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS crank
+        |    FROM sc) WHERE crank = 1),
+        |dup AS (
+        |  SELECT DISTINCT y.vec_id
+        |  FROM cell x JOIN cell y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |  WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) >= 0.35)
+        |SELECT c.vec_id, c.cell, d.vec_id IS NULL AS kept
+        |FROM cell c LEFT JOIN dup d ON d.vec_id = c.vec_id
+        |ORDER BY c.vec_id""".stripMargin,
 
     "c59_pq_encode" ->
       // identical integer arithmetic: micro-quantized components, exact

@@ -687,6 +687,71 @@ object Dedup {
       .distinct()
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
+    * partition the corpus into semantic cells by nearest centroid, then
+    * dedup WITHIN cells only — the third point on this file's
+    * embedding-dedup frontier: [[embeddingPairs]] is exact-Θ(n²),
+    * [[embeddingLshPairs]] is recall-calibrated sub-quadratic over the
+    * whole space, and this trades CROSS-CELL recall for a hard per-cell
+    * work bound (a near-dup pair split across cells is simply not
+    * examined — the documented SemDeDup approximation).
+    *
+    * Semantics (deterministic, oracle-expressible):
+    *   - cell(v) = the centroid maximizing (cosineRounded, then lowest
+    *     centroid_id) — ties broken totally, 6dp rounding makes the
+    *     argmax engine-stable;
+    *   - within a cell, every pair (a < b) with cos ≥ threshold marks `b`
+    *     a duplicate — the keep-lowest-id greedy that SemDeDup applies
+    *     per cluster (transitive chains collapse to the least id without
+    *     a CC iteration; [[clusters]] exists when true components are
+    *     wanted);
+    *   - output: one row per input vector — (id, cell, kept).
+    *
+    * Scale (100 TB): centroids are a broadcast (k rows); assignment is a
+    * narrow codegen'd pass; the only shuffle keys are `cell` (self-join)
+    * and `id` (the anti-join) — no BNLJ, no global pair space. Per-cell
+    * work is Θ(cell²), so k is the dial: size k ∝ n to pin the expected
+    * cell population, exactly how SemDeDup runs at web scale. Cells larger
+    * than `maxCell` are excluded from pairing (members kept — the
+    * conservative overflow rule, same skew guard as `maxBucket`/
+    * `maxPosting` on the other similarity joins; a cell that big means
+    * the codebook is undersized for the corpus).
+    */
+  def semanticDedupBlocked(df: DataFrame, idCol: String, vecCol: String,
+                           centroids: DataFrame, threshold: Double,
+                           maxCell: Int = 100000): DataFrame = {
+    val dot = graft.plans.VectorExpressions.dotProduct _
+    val cent = broadcast(centroids.select(col("centroid_id"),
+      col("cvec"), sqrt(dot(col("cvec"), col("cvec"))).as("cnrm")))
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("csim").desc, col("centroid_id"))
+    // persisted: the assignment pass feeds three consumers (both sides of
+    // the pair self-join and the final keep-join) — without the cache the
+    // full-corpus scan + argmax window would run three times (the
+    // pageRankNano persisted-intermediate pattern; app-lifetime retention,
+    // callers can unpersist via the returned lineage)
+    val assigned = v.join(cent)
+      .select(col("id"), col("v"), col("nrm"), col("centroid_id"),
+        round(dot(col("v"), col("cvec")) / (col("nrm") * col("cnrm")), 6).as("csim"))
+      .withColumn("crank", row_number().over(w)).where(col("crank") === 1)
+      .select(col("id"), col("v"), col("nrm"), col("centroid_id").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val small = assigned.withColumn("cellN",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))))
+      .where(col("cellN") <= maxCell)
+      .drop("cellN")
+    val dropped = small.as("x").join(small.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+      .where(round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 6)
+        >= threshold)
+      .select(col("y.id").as("id")).distinct()
+    assigned.join(dropped.withColumn("dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"), coalesce(col("dup"), lit(false)) === false)
+      .toDF("id", "cell", "kept")
+  }
+
   /** Positional (non-distinct) span hashes, one row per (doc, position):
     * the shared first stage of every span-level operator below
     * ([[dupSpanStats]], [[dupSpanRuns]], [[spanNovelty]]). 60-bit md5

@@ -479,6 +479,24 @@ object Pipeline {
       .agg(count(lit(1)).as("n_terms"), sum(col("term_milli")).as("score_milli"))
   }
 
+  /** Per-group cap: keep the `n` best rows of each group under `ord` (which
+    * must be a total order for determinism — end it with the id).
+    *
+    * The web-corpus curation rule "at most N documents per domain/source"
+    * (the Common-Crawl-style skew guard: one spammy host must not dominate
+    * the training mix). Plan at scale: the rank-filter shape is rewritten
+    * by Spark to WindowGroupLimit — every map task keeps a per-group top-n
+    * heap BEFORE the shuffle, so a hot group ships ~n rows per task, never
+    * its full population (the b41 plan property; asserted for this
+    * operator in PlanSpec).
+    */
+  def capPerGroup(df: DataFrame, group: Column, ord: Seq[Column], n: Int,
+                  rankName: String = "rank"): DataFrame = {
+    require(n >= 1, s"cap must be positive, got $n")
+    val w = Window.partitionBy(group).orderBy(ord: _*)
+    df.withColumn(rankName, row_number().over(w)).where(col(rankName) <= n)
+  }
+
   /** Top-`k` retrieval ranks for one fusion leg: rows densely numbered
     * 1..k by (`scoreCol` DESC, `idCol` ASC) — a total order, so the ranks
     * are reproducible in any engine, including across the k-th-place

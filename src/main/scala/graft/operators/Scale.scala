@@ -84,6 +84,41 @@ object Scale {
     spread(x).bitwiseOR(shiftleft(spread(y), 1))
   }
 
+  /** Exact equi-depth histogram (the optimizer-statistics artifact: `bins`
+    * buckets with ~equal row counts, each with its value bounds) computed
+    * WITHOUT a global sort of the rows.
+    *
+    * The naive form — `ntile(bins)` over a partitionless window — ships
+    * every row through one reducer: a scale-killer. This form reduces to
+    * per-distinct-value counts first (one shuffle with map-side partial
+    * counts), then runs the cumulative window over the DISTINCT-VALUE frame
+    * only, whose size is bounded by the value DOMAIN (for integer cents: the
+    * price range), not by the row count — at 100 TB the window input is
+    * still a few thousand rows. Bucket of a value: `((cum−1)·bins) div N`
+    * over the inclusive running count — pure BIGINT, so boundaries are
+    * bit-identical in any engine; ties (equal values) land in one bucket by
+    * construction, which is why bucket counts are only ~equal (the exact
+    * equi-depth property up to tie granularity, as in any value-based
+    * histogram).
+    */
+  def equiDepthHistogram(df: DataFrame, value: Column, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be positive, got $bins")
+    val vc = df.select(value.as("v")).groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cumW = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val allW = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    vc.withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(allW))
+      .withColumn("bin", expr(s"((cum - 1) * $bins) div n"))
+      .groupBy(col("bin"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        sum(col("cnt")).as("n_rows"))
+  }
+
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
                     path: Option[String] = None): Unit = {
     val w = df.write.mode("overwrite")

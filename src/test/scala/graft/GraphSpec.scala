@@ -41,6 +41,37 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("triangleCounts: K4 has 4 triangles crediting every node 3×; a square has none") {
+    val s = spark; import s.implicits._
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val got = Graph.triangleCounts(k4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.toString)
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    assert(Graph.triangleCounts(square).count() == 0L)
+  }
+
+  test("triangleCounts: hub star plus one closing edge counts exactly its triangles") {
+    val s = spark; import s.implicits._
+    // star center 1 with leaves 2..6, plus edge (2,3): exactly one
+    // triangle {1,2,3} — degree orientation must not explode the hub's
+    // wedges into counts
+    val edges = (2L to 6L).map(l => (1L, l)) :+ (2L, 3L)
+    val got = Graph.triangleCounts(edges.toDF("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), got.toString)
+  }
+
+  test("triangleCounts is invariant to input partitioning") {
+    val s = spark; import s.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (3L, 5L), (4L, 5L),
+      (5L, 6L), (2L, 6L), (1L, 6L)).toDF("a", "b")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graph.triangleCounts(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(run(edges.repartition(1)) == run(edges.repartition(7, col("a"))))
+  }
+
   test("pageRankNano rejects unbounded iteration counts") {
     val (edges, nodes) = fixture
     intercept[IllegalArgumentException] {

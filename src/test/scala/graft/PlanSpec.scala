@@ -318,6 +318,50 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Aggregate"), s"expected the max_by aggregate:\n$plan")
   }
 
+  test("source cap plans a WindowGroupLimit — per-task top-n heaps before the shuffle") {
+    val plan = physicalPlan(SparkEntry.queries("c61_source_cap")(spark, sf))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-filter must rewrite to WindowGroupLimit:\n$plan")
+  }
+
+  test("equi-depth histogram aggregates per value BEFORE the single-partition window") {
+    val plan = physicalPlan(SparkEntry.queries("b71_equidepth_hist")(spark, sf))
+    // the only single-partition exchange feeds the cumulative window over
+    // the DISTINCT-VALUE frame; the row-count reduction happened in the
+    // hash-partitioned per-value aggregate below it
+    assert(plan.contains("Exchange SinglePartition"), plan)
+    assert("Exchange SinglePartition".r.findAllIn(plan).length == 1, plan)
+    val idxAgg = plan.indexOf("Exchange hashpartitioning(v")
+    val idxWin = plan.indexOf("Exchange SinglePartition")
+    assert(idxAgg >= 0 && idxAgg > idxWin,
+      s"per-value aggregate exchange must sit below the window exchange:\n$plan")
+  }
+
+  test("triangle counting stays on equi-joins — no nested loop, no cartesian") {
+    val plan = physicalPlan(SparkEntry.queries("c62_triangles")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"degree-oriented wedge join must be equi-joins only:\n$plan")
+  }
+
+  test("semantic dedup: only the bounded centroid broadcast is a BNLJ; pairing is a cell equi-join") {
+    val plan = physicalPlan(SparkEntry.queries("c63_semantic_dedup")(spark, sf))
+    // the assignment cross-join against the k-row broadcast codebook is the
+    // audited bounded-broadcast pattern (c06/c07/c19/c39 family, documented
+    // in docs/PLANS.md Notes). The assignment is PERSISTED: it must compute
+    // once and be read by all three consumers (both pair-join sides + the
+    // keep-join), so every BNLJ in the printout sits inside the cached
+    // relation's plan — one per InMemoryRelation print, no free-standing one.
+    assert(!plan.contains("CartesianProduct"), plan)
+    val scans = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(scans == 3, s"assignment must be read from cache 3×, got $scans:\n$plan")
+    val bnljs = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    val cached = "InMemoryRelation".r.findAllIn(plan).length
+    assert(bnljs == cached,
+      s"nested loops ($bnljs) outside the cached assignment ($cached):\n$plan")
+    assert(plan.contains("SortMergeJoin [cell") || plan.contains("ShuffledHashJoin [cell"),
+      s"within-cell pairing must be a (cell) equi-join:\n$plan")
+  }
+
   test("no query in the declared inventory collects to the driver") {
     // structural check: building every DataFrame must not trigger an action
     // (any collect-based operator would run here); constructing the plans on

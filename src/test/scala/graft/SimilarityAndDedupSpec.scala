@@ -412,6 +412,41 @@ class SimilarityAndDedupSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedupBlocked: within-cell greedy keeps lowest id, cross-cell pairs untouched") {
+    val s = spark; import s.implicits._
+    // two well-separated directions; ids 0,1,2 ~ +x (near-dups), ids
+    // 10,11 ~ +y (near-dups), id 20 alone near -x. Centroids = +x, +y.
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat, 0f, 0f)
+    val items = Seq(
+      (0L, v(1, 0.00)), (1L, v(1, 0.01)), (2L, v(1, -0.01)),
+      (10L, v(0.01, 1)), (11L, v(-0.01, 1)),
+      (20L, v(-1, 0.3))).toDF("vec_id", "embedding")
+    val cent = Seq((100L, v(1, 0)), (200L, v(0, 1))).toDF("centroid_id", "cvec")
+    val got = Dedup.semanticDedupBlocked(items, "vec_id", "embedding", cent, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    // 20 lands in the +x cell (cos≈-0.95 vs -0.29... nearest is +y? compute:
+    // cos((-1,0.3),(1,0))≈-0.957; cos((-1,0.3),(0,1))≈0.287 → cell 200) but
+    // is far from 10/11 (cos≈0.27 < 0.9) so it survives
+    assert(got == Seq(
+      (0L, 100L, true), (1L, 100L, false), (2L, 100L, false),
+      (10L, 200L, true), (11L, 200L, false), (20L, 200L, true)), got.toString)
+  }
+
+  test("semanticDedupBlocked: an over-full cell is excluded from pairing, members kept") {
+    val s = spark; import s.implicits._
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val items = Seq((0L, v(1, 0)), (1L, v(1, 0.01)), (2L, v(1, -0.01)),
+      (10L, v(0, 1)), (11L, v(0.01, 1))).toDF("vec_id", "embedding")
+    val cent = Seq((100L, v(1, 0)), (200L, v(0, 1))).toDF("centroid_id", "cvec")
+    val got = Dedup.semanticDedupBlocked(items, "vec_id", "embedding", cent,
+        threshold = 0.9, maxCell = 2)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).sortBy(_._1).toSeq
+    // the 3-member +x cell exceeds maxCell=2 → all kept; the 2-member +y
+    // cell still dedups
+    assert(got == Seq((0L, true), (1L, true), (2L, true),
+      (10L, true), (11L, false)), got.toString)
+  }
+
   test("cosine/dot fail loudly on a dimension mismatch (codegen and interpreted)") {
     val s = spark; import s.implicits._
     val bad = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
