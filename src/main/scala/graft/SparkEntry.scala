@@ -1195,6 +1195,20 @@ object SparkEntry {
           floor(col("l_extendedprice") * 100 + 0.5).cast("long"), bins = 16)
         .orderBy(col("bin"))),
 
+    "b72_stream_ivm_parity" -> ((s, d) =>
+      // the batch face of the CONTINUOUS IVM materialization
+      // (streaming/Streams.ivmMergeBatch): per-user-per-day event stats.
+      // StreamingSpec drains a multi-batch file-source stream through the
+      // foreachBatch state merge and asserts its final generation equals
+      // THIS query row-for-row; the oracle proves the same recompute
+      // against DuckDB. Integer cents states (order-free, engine-exact).
+      t(s, d, "events")
+        .groupBy(col("user_id"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
+        .orderBy(col("user_id"), col("day"))),
+
     "b59_cohort_retention" -> ((s, d) => {
       // cohort retention matrix: customers grouped by first-order
       // quarter (the cohort), counted as active in each later quarter —
@@ -2168,6 +2182,12 @@ object SparkEntry {
         |  min(v) AS lo, max(v) AS hi, CAST(sum(cnt) AS BIGINT) AS n_rows
         |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
 
+    "b72_stream_ivm_parity" ->
+      """SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
+
     "b65_stream_session_parity" ->
       // b20's gaps-and-islands sessionization + the final-watermark cut:
       // only sessions whose end (last event + gap) the watermark
@@ -2548,6 +2568,54 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("cell"), col("kept"))
         .orderBy(col("vec_id"))
     }),
+
+    "c64_ref_lm_filter" -> ((s, d) => {
+      // CCNet-style importance filtering: score EVERY document under a
+      // bigram LM whose counts come from a REFERENCE slice only (sources
+      // src0–src3 — the "clean corpus" stand-in); low surprisal = close
+      // to the reference domain. The c58 integer floor-log2 arithmetic
+      // with +1 smoothing: surp = flog2(r1+1) − flog2(r12+1) ≥ 0 (r12 ≤
+      // r1 structurally); an unseen transition after a common reference
+      // context scores high, an unseen context scores 0 (uninformative —
+      // the backoff-to-ignorance rule, documented). Plan: reference
+      // lookups are vocab-bounded partial aggregates; the score join
+      // shuffles the position table once on (w1,w2) + once on w1; per-doc
+      // sum on doc_id. At 100 TB the reference-head lookup broadcasts.
+      val toks = Text.tokens(col("text"))
+      def bigrams(df: org.apache.spark.sql.DataFrame) = df
+        .where(size(toks) >= 2)
+        .select(col("doc_id"),
+          explode(transform(slice(toks, lit(1), size(toks) - 1),
+            (x, i) => struct(x.as("w1"),
+              element_at(toks, i + lit(2)).as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val docs = t(s, d, "documents")
+      val all = bigrams(docs)
+      val ref = bigrams(docs.where(col("source").isin("src0", "src1", "src2", "src3")))
+      val r2 = ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("r2"))
+      val r1 = ref.groupBy(col("w1")).agg(count(lit(1)).as("r1"))
+      all.join(r2, Seq("w1", "w2"), "left").join(r1, Seq("w1"), "left")
+        .select(col("doc_id"),
+          (length(conv(coalesce(col("r1"), lit(0L)) + 1, 10, 2))
+            - length(conv(coalesce(col("r2"), lit(0L)) + 1, 10, 2))).as("surp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("surp")).cast("long").as("ref_surprisal_sum"))
+        .withColumn("surp_milli",
+          expr("(1000 * ref_surprisal_sum) div n_bigrams"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "c65_sorted_neighborhood" -> ((s, d) =>
+      // sorted-neighborhood (merge/purge) near-dup discovery: rank the
+      // corpus by its bottom-1 shingle sketch, compare each doc with its
+      // 8 rank-successors, verify by exact jaccard — the windowed-sort
+      // blocking alternative to banded LSH (Dedup.sortedNeighborhoodPairs
+      // scaladoc: measured 28/28 recall at window=4 on sf0.001; two-phase
+      // distributed rank, band equi-join, no global window).
+      Dedup.sortedNeighborhoodPairs(t(s, d, "documents"), "doc_id", "text",
+          window = 8, threshold = 0.8)
+        .orderBy(col("a"), col("b"))),
 
     "c59_pq_encode" -> ((s, d) =>
       // product quantization over the embedding store: 4 sub-codebooks of
@@ -3636,10 +3704,14 @@ object SparkEntry {
 
     "c62_triangles" ->
       // same degree orientation ((deg, id)-lesser endpoint first) and
-      // wedge-closure join over the c04 exact-jaccard pair graph
+      // wedge-closure join over the c04 exact-jaccard pair graph.
+      // p is MATERIALIZED: deg/o reference it three times and DuckDB
+      // would otherwise inline (re-evaluate) the quadratic intersect
+      // join per reference — measured 3× the c04 CTE cost at sf0.1
+      // (~16 min materialized; fine at the sf0.01 gate)
       (shingleCte +
         """,
-          |p AS (
+          |p AS MATERIALIZED (
           |  SELECT a.doc_id AS a, b.doc_id AS b
           |  FROM s a JOIN s b ON a.doc_id < b.doc_id
           |  WHERE len(list_intersect(a.sh, b.sh)) >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))),
@@ -3679,6 +3751,45 @@ object SparkEntry {
         |SELECT c.vec_id, c.cell, d.vec_id IS NULL AS kept
         |FROM cell c LEFT JOIN dup d ON d.vec_id = c.vec_id
         |ORDER BY c.vec_id""".stripMargin,
+
+    "c64_ref_lm_filter" ->
+      // c58's bin-length arithmetic with +1 smoothing; reference counts
+      // filtered to src0–src3 on both engines
+      """WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, source, unnest(list_transform(generate_series(1, len(t)-1),
+        |         i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+        |       FROM tk WHERE len(t) >= 2),
+        |b AS (SELECT doc_id, source, p.w1 AS w1, p.w2 AS w2 FROM bg),
+        |r2 AS (SELECT w1, w2, count(*) AS r2 FROM b
+        |       WHERE source IN ('src0','src1','src2','src3') GROUP BY w1, w2),
+        |r1 AS (SELECT w1, count(*) AS r1 FROM b
+        |       WHERE source IN ('src0','src1','src2','src3') GROUP BY w1),
+        |sc AS (SELECT b.doc_id,
+        |        length(bin(coalesce(r2.r2, 0) + 1)) AS l2,
+        |        length(bin(coalesce(r1.r1, 0) + 1)) AS l1
+        |       FROM b LEFT JOIN r2 ON b.w1 = r2.w1 AND b.w2 = r2.w2
+        |              LEFT JOIN r1 ON b.w1 = r1.w1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(l1 - l2) AS BIGINT) AS ref_surprisal_sum,
+        |  CAST((1000 * sum(l1 - l2)) // count(*) AS BIGINT) AS surp_milli
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "c65_sorted_neighborhood" ->
+      // identical bottom-1-sketch ordering (60-bit md5 shingle hashes,
+      // the Text.tokenHash convention), rank-window candidates, c04
+      // integer-size jaccard verify
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
+        |        i -> CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT))) AS sh
+        |      FROM tk WHERE len(t) >= 3),
+        |r AS (SELECT doc_id, sh,
+        |        row_number() OVER (ORDER BY list_min(sh), doc_id) AS rn FROM s),
+        |cand AS (SELECT x.doc_id AS xa, x.sh AS xsh, y.doc_id AS yb, y.sh AS ysh
+        |         FROM r x JOIN r y ON y.rn > x.rn AND y.rn <= x.rn + 8)
+        |SELECT least(xa, yb) AS a, greatest(xa, yb) AS b
+        |FROM cand
+        |WHERE len(list_intersect(xsh, ysh)) >= 0.8 * len(list_distinct(list_concat(xsh, ysh)))
+        |ORDER BY a, b""".stripMargin,
 
     "c59_pq_encode" ->
       // identical integer arithmetic: micro-quantized components, exact

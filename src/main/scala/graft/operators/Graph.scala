@@ -74,9 +74,15 @@ object Graph {
     val db = deg.select(col("node").as("b"), col("deg").as("degb"))
     val fwd = col("dega") < col("degb") ||
       (col("dega") === col("degb") && col("a") < col("b"))
+    // persisted: the oriented edge list feeds all three legs of the
+    // wedge-closure join (e1/e2/e3) — without the cache the degree
+    // aggregation + orientation joins would run three times (the
+    // pageRankNano persisted-intermediate pattern; app-lifetime
+    // retention, callers can unpersist via the returned lineage)
     val oriented = p.join(da, "a").join(db, "b")
       .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
         when(fwd, col("b")).otherwise(col("a")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val e1 = oriented
     val e2 = oriented.select(col("u").as("v"), col("v").as("w"))
     val e3 = oriented.select(col("u"), col("v").as("w"))

@@ -306,4 +306,75 @@ object Streams {
   def streamBloomDrop(stream: DataFrame, hashCol: Column,
                       bits: Array[Long], k: Int): DataFrame =
     stream.where(!graft.plans.BloomExpressions.mightContain(typedlit(bits), hashCol, k))
+
+  // ---------------------------------------------------------------------
+  // Continuous IVM: a streaming materialized aggregate via foreachBatch
+  // ---------------------------------------------------------------------
+
+  private def genPath(stateDir: String, gen: Long): String =
+    s"$stateDir/gen=$gen"
+
+  private def committedGens(stateDir: String): Seq[Long] = {
+    val d = new java.io.File(stateDir)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("gen=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix("gen=").toLong)
+  }
+
+  /** The current materialized IVM state (latest committed generation), or
+    * None before the first batch lands. */
+  def ivmState(spark: org.apache.spark.sql.SparkSession,
+               stateDir: String): Option[DataFrame] = {
+    val gens = committedGens(stateDir)
+    if (gens.isEmpty) None else Some(spark.read.parquet(genPath(stateDir, gens.max)))
+  }
+
+  /** `foreachBatch` body for a continuously-maintained aggregate — the
+    * streaming face of [[graft.operators.Ivm]]: each micro-batch reduces
+    * to its per-key PARTIAL STATE (`state`, e.g. count/sum/min/max per
+    * key) and merges with the previous materialization, writing a new
+    * at-rest generation `stateDir/gen=<batchId>`.
+    *
+    * Exactly-once without a transactional sink: generations are keyed by
+    * the micro-batch id, and a retried batch merges from the latest
+    * generation STRICTLY BELOW its own id — so a re-run overwrites
+    * `gen=b` with the identical merge instead of double-counting (the
+    * standard idempotent-foreachBatch discipline). The immediately
+    * preceding generation is kept for exactly that retry; older ones are
+    * vacuumed best-effort.
+    *
+    * Scale: per batch, cost is O(|batch| + |affected keys|) — the batch
+    * aggregate shuffles on the key, the merge unions two key-partitioned
+    * frames through one partial+final aggregate (Ivm.mergeStates), and
+    * the previous state is READ, never recomputed. This is the "streaming
+    * materialized view" shape a 100 TB/day rollup runs on; at that scale
+    * `stateDir` is a table format with compaction, and this
+    * generation-swap is the minimal file-based equivalent (the
+    * Formats.ensureWritten at-rest discipline applied to mutable state).
+    * StreamingSpec asserts the drained stream's final state equals the
+    * b72 batch recompute row-for-row.
+    */
+  def ivmMergeBatch(stateDir: String, keys: Seq[String],
+                    specs: Map[String, String],
+                    state: DataFrame => DataFrame): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val spark = batch.sparkSession
+      val agg = state(batch)
+      val prior = committedGens(stateDir).filter(_ < batchId)
+      val merged =
+        if (prior.isEmpty) agg
+        else graft.operators.Ivm.mergeStates(
+          Seq(spark.read.parquet(genPath(stateDir, prior.max)), agg), keys, specs)
+      merged.write.mode("overwrite").parquet(genPath(stateDir, batchId))
+      // vacuum everything below the retry parent (best-effort, local FS)
+      prior.filter(_ < prior.max).foreach { g =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(genPath(stateDir, g)))
+      }
+    }
 }

@@ -412,6 +412,38 @@ class SimilarityAndDedupSpec extends SparkSpec {
     }
   }
 
+  test("sortedNeighborhoodPairs: near-dups meet in the window, verified by exact jaccard") {
+    val s = spark; import s.implicits._
+    // docs 1/2 share 6 of 7 distinct trigrams (jaccard 6/7 ≈ 0.857 ≥ 0.8);
+    // doc 3 is unrelated; docs 4/5 identical (jaccard 1.0)
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h i"),
+      (3L, "x y z w v u t s"),
+      (4L, "p q r s t u"),
+      (5L, "p q r s t u")).toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+        window = 4, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(got == Seq((1L, 2L), (4L, 5L)), got.toString)
+  }
+
+  test("sortedNeighborhoodPairs: two-phase rank is partition-invariant; short docs drop") {
+    val s = spark; import s.implicits._
+    val docs = ((1L to 20L).map(i => (i, s"tok$i alpha beta gamma delta tok$i")) ++
+      Seq((21L, "alpha beta gamma delta one two"),
+        (22L, "alpha beta gamma delta one two three"),
+        (23L, "wd"))).toDF("doc_id", "text") // doc 23: < 3 tokens, excluded
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.sortedNeighborhoodPairs(df, "doc_id", "text", window = 3, threshold = 0.7)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    val a = run(docs.repartition(1))
+    val b = run(docs.repartition(9, col("doc_id")))
+    assert(a == b, s"rank not partition-invariant: $a vs $b")
+    assert(a.contains((21L, 22L)), a.toString)
+    assert(!a.exists(p => p._1 == 23L || p._2 == 23L))
+  }
+
   test("semanticDedupBlocked: within-cell greedy keeps lowest id, cross-cell pairs untouched") {
     val s = spark; import s.implicits._
     // two well-separated directions; ids 0,1,2 ~ +x (near-dups), ids

@@ -469,6 +469,53 @@ class StreamingSpec extends SparkSpec {
       Seq("2024-01-01 09:30:00.0", "2024-01-01 10:00:00.0"))
   }
 
+  test("b72: multi-batch stream drained through the IVM merge equals the batch recompute") {
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    val src = java.nio.file.Files.createTempDirectory("graft-ivm-src")
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-ivm-state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivm-ckpt").toString
+    // split the events into 4 files so the merge runs over ≥4 micro-batches
+    graft.sources.Tables.t(s, sf, "events").repartition(4)
+      .write.mode("overwrite").parquet(src.toString)
+    val schema = s.read.parquet(src.toString).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    def state(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
+    val q = stream.writeStream
+      .foreachBatch(Streams.ivmMergeBatch(stateDir, Seq("user_id", "day"),
+        Map("n_events" -> "sum", "sum_cents" -> "sum"), state))
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = Streams.ivmState(s, stateDir).get
+      .orderBy("user_id", "day").collect().map(_.toSeq).toSeq
+    val want = SparkEntry.queries("b72_stream_ivm_parity")(s, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want,
+      s"IVM state (${got.length} rows) != batch recompute (${want.length} rows)")
+  }
+
+  test("ivmMergeBatch: a retried micro-batch overwrites, never double-counts") {
+    val s = spark; import s.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-ivm-retry").toString
+    def state(df: org.apache.spark.sql.DataFrame) = df.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val merge = Streams.ivmMergeBatch(stateDir, Seq("k"),
+      Map("n" -> "sum", "sv" -> "sum"), state)
+    merge(Seq((1L, 10L), (2L, 5L)).toDF("k", "v"), 0L)
+    merge(Seq((1L, 7L)).toDF("k", "v"), 1L)
+    def snap() = Streams.ivmState(s, stateDir).get.orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val after = snap()
+    assert(after == Seq((1L, 2L, 17L), (2L, 1L, 5L)), after.toString)
+    merge(Seq((1L, 7L)).toDF("k", "v"), 1L) // retry of batch 1
+    assert(snap() == after, "retry double-counted the batch")
+  }
+
   test("batch and streaming tumbling windows agree on the same data") {
     val s = spark; import s.implicits._
     val batch = Seq(
