@@ -62,6 +62,27 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** The documents bigram-position table (doc_id, source, w1, w2), shared
+    * by c58 (corpus LM: three consumers — two count aggregates + the
+    * scoring join) and c64 (reference LM: the reference slice filters off
+    * this frame instead of re-scanning the corpus): one explode pass per
+    * (session, sfDir) — the "position table cached at ingest" posture the
+    * c58 scaladoc promises at 100 TB. */
+  private val bigramCache = new graft.sources.Memo()
+
+  private def docBigramsWithSource(s: SparkSession, d: String): DataFrame =
+    bigramCache.getOrElseUpdate((s, d)) {
+      val toks = Text.tokens(col("text"))
+      t(s, d, "documents")
+        .where(size(toks) >= 2)
+        .select(col("doc_id"), col("source"),
+          explode(transform(slice(toks, lit(1), size(toks) - 1),
+            (x, i) => struct(x.as("w1"),
+              element_at(toks, i + lit(2)).as("w2")))).as("p"))
+        .select(col("doc_id"), col("source"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** The exact cosine pair graph over embeddings, shared by c05 (pair
     * list) and c20 (semantic dedup clusters). */
   private val embPairsCache = new graft.sources.Memo()
@@ -2581,17 +2602,10 @@ object SparkEntry {
       // lookups are vocab-bounded partial aggregates; the score join
       // shuffles the position table once on (w1,w2) + once on w1; per-doc
       // sum on doc_id. At 100 TB the reference-head lookup broadcasts.
-      val toks = Text.tokens(col("text"))
-      def bigrams(df: org.apache.spark.sql.DataFrame) = df
-        .where(size(toks) >= 2)
-        .select(col("doc_id"),
-          explode(transform(slice(toks, lit(1), size(toks) - 1),
-            (x, i) => struct(x.as("w1"),
-              element_at(toks, i + lit(2)).as("w2")))).as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      val docs = t(s, d, "documents")
-      val all = bigrams(docs)
-      val ref = bigrams(docs.where(col("source").isin("src0", "src1", "src2", "src3")))
+      val bg = docBigramsWithSource(s, d)
+      val all = bg.drop("source")
+      val ref = bg.where(col("source").isin("src0", "src1", "src2", "src3"))
+        .drop("source")
       val r2 = ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("r2"))
       val r1 = ref.groupBy(col("w1")).agg(count(lit(1)).as("r1"))
       all.join(r2, Seq("w1", "w2"), "left").join(r1, Seq("w1"), "left")
@@ -2668,14 +2682,7 @@ object SparkEntry {
       // partial-aggregated); final per-doc sum shuffles on doc_id. At
       // 100 TB the head of the bigram vocabulary broadcasts and the
       // position table would be cached at ingest (three scans here).
-      val toks = Text.tokens(col("text"))
-      val pairs = t(s, d, "documents")
-        .where(size(toks) >= 2)
-        .select(col("doc_id"),
-          explode(transform(slice(toks, lit(1), size(toks) - 1),
-            (x, i) => struct(x.as("w1"),
-              element_at(toks, i + lit(2)).as("w2")))).as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val pairs = docBigramsWithSource(s, d).drop("source")
       val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
       val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
       val lk = c2.join(c1, Seq("w1"))
