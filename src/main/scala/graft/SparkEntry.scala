@@ -1216,6 +1216,15 @@ object SparkEntry {
           floor(col("l_extendedprice") * 100 + 0.5).cast("long"), bins = 16)
         .orderBy(col("bin"))),
 
+    "b73_twap" -> ((s, d) =>
+      // time-weighted average value per user over the observed span —
+      // LOCF-weighted integration in pure integer cents×micros
+      // (operators/Series.twapCents: one lead window + one aggregate,
+      // no row expansion); plain avg would over-weight reading bursts
+      graft.operators.Series.twapCents(
+          t(s, d, "events"), "user_id", "ts", "event_id", "value")
+        .orderBy(col("user_id"))),
+
     "b72_stream_ivm_parity" -> ((s, d) =>
       // the batch face of the CONTINUOUS IVM materialization
       // (streaming/Streams.ivmMergeBatch): per-user-per-day event stats.
@@ -2203,6 +2212,21 @@ object SparkEntry {
         |  min(v) AS lo, max(v) AS hi, CAST(sum(cnt) AS BIGINT) AS n_rows
         |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
 
+    "b73_twap" ->
+      // identical lead-window areas; durations tile the span so the sum
+      // is bounded by max_cents · span — no overflow at any row count
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |x AS (SELECT user_id, us, cents,
+        |        lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt FROM o),
+        |g AS (SELECT user_id, count(*) AS n_obs,
+        |        max(us) - min(us) AS span_micros,
+        |        CAST(sum(CASE WHEN nxt IS NOT NULL THEN cents * (nxt - us) ELSE 0 END) AS BIGINT) AS area
+        |      FROM x GROUP BY user_id)
+        |SELECT user_id, n_obs, span_micros,
+        |  CAST(area // span_micros AS BIGINT) AS twap_cents
+        |FROM g WHERE span_micros > 0 ORDER BY user_id""".stripMargin,
+
     "b72_stream_ivm_parity" ->
       """SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
         |  count(*) AS n_events,
@@ -2619,6 +2643,14 @@ object SparkEntry {
           expr("(1000 * ref_surprisal_sum) div n_bigrams"))
         .orderBy(col("doc_id"))
     }),
+
+    "c66_kcore" -> ((s, d) =>
+      // 2-core of the near-dup graph, 4 peel rounds: strips docs attached
+      // to a dup community by a single borderline pair — the cohesion
+      // filter above triangles (c62); bounded-round contract per
+      // Graph.kCoreApprox scaladoc, memoized c04 pair graph
+      graft.operators.Graph.kCoreApprox(docJaccardPairs(s, d), k = 2, rounds = 4)
+        .orderBy(col("node"))),
 
     "c65_sorted_neighborhood" -> ((s, d) =>
       // sorted-neighborhood (merge/purge) near-dup discovery: rank the
@@ -3780,6 +3812,40 @@ object SparkEntry {
         |  CAST(sum(l1 - l2) AS BIGINT) AS ref_surprisal_sum,
         |  CAST((1000 * sum(l1 - l2)) // count(*) AS BIGINT) AS surp_milli
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "c66_kcore" ->
+      // the same 4 unrolled synchronized peels; every stage MATERIALIZED
+      // (each is referenced twice — inlined, DuckDB would re-evaluate the
+      // chain exponentially back to the quadratic pair join)
+      (shingleCte +
+        """,
+          |p AS MATERIALIZED (
+          |  SELECT a.doc_id AS a, b.doc_id AS b
+          |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+          |  WHERE len(list_intersect(a.sh, b.sh)) >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))),
+          |d0 AS (SELECT node, count(*) AS deg FROM (
+          |         SELECT a AS node FROM p UNION ALL SELECT b AS node FROM p) GROUP BY node),
+          |e1 AS MATERIALIZED (SELECT a, b FROM p
+          |  WHERE a IN (SELECT node FROM d0 WHERE deg >= 2)
+          |    AND b IN (SELECT node FROM d0 WHERE deg >= 2)),
+          |d1 AS (SELECT node, count(*) AS deg FROM (
+          |         SELECT a AS node FROM e1 UNION ALL SELECT b AS node FROM e1) GROUP BY node),
+          |e2 AS MATERIALIZED (SELECT a, b FROM e1
+          |  WHERE a IN (SELECT node FROM d1 WHERE deg >= 2)
+          |    AND b IN (SELECT node FROM d1 WHERE deg >= 2)),
+          |d2 AS (SELECT node, count(*) AS deg FROM (
+          |         SELECT a AS node FROM e2 UNION ALL SELECT b AS node FROM e2) GROUP BY node),
+          |e3 AS MATERIALIZED (SELECT a, b FROM e2
+          |  WHERE a IN (SELECT node FROM d2 WHERE deg >= 2)
+          |    AND b IN (SELECT node FROM d2 WHERE deg >= 2)),
+          |d3 AS (SELECT node, count(*) AS deg FROM (
+          |         SELECT a AS node FROM e3 UNION ALL SELECT b AS node FROM e3) GROUP BY node),
+          |e4 AS MATERIALIZED (SELECT a, b FROM e3
+          |  WHERE a IN (SELECT node FROM d3 WHERE deg >= 2)
+          |    AND b IN (SELECT node FROM d3 WHERE deg >= 2))
+          |SELECT node, count(*) AS deg FROM (
+          |  SELECT a AS node FROM e4 UNION ALL SELECT b AS node FROM e4)
+          |GROUP BY node ORDER BY node""".stripMargin),
 
     "c65_sorted_neighborhood" ->
       // identical bottom-1-sketch ordering (60-bit md5 shingle hashes,

@@ -93,6 +93,46 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Bounded-round k-core: `rounds` synchronized peeling sweeps — each
+    * drops every node whose CURRENT degree is below `k`, then the edges
+    * touching it — over an undirected pair list (`a < b`, distinct).
+    *
+    * After convergence this is the classic k-core (the maximal subgraph
+    * of minimum degree ≥ k, Seidman '83 / Matula–Beck); with a FIXED
+    * round budget it is the deterministic distributed contract (the
+    * pageRankNano iters discipline): both engines run the identical
+    * unrolled recurrence, converged or not — real peels converge in few
+    * sweeps on the shallow degeneracy graphs dedup produces. In the
+    * pipeline this is the cohesion filter a notch above triangles: the
+    * 2-core strips the tree-like fringe of the near-dup graph (docs
+    * attached by a single borderline pair), leaving the true dup
+    * communities for clustering.
+    *
+    * Scale: each round is one degree aggregation (map-side partial
+    * counts) + two left-semi equi-joins on the endpoint keys — O(E)
+    * shuffled bytes per round, no orientation, nothing quadratic. Edges
+    * only ever shrink, so later rounds are cheaper; round count is a
+    * compile-time constant, keeping the whole thing lazily composable.
+    */
+  def kCoreApprox(pairs: DataFrame, k: Int, rounds: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(rounds >= 1 && rounds <= 8,
+      s"rounds must be in [1,8] (fixed-budget peel), got $rounds")
+    var e = pairs.select(col("a"), col("b"))
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select(col("node"))
+      e = e
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+    }
+    e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+  }
+
   def pageRankNano(edges: DataFrame, nodes: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 8,
       s"iters must be in [1,8] (fixed-iteration ranking signal), got $iters")

@@ -36,6 +36,43 @@ object Series {
     * linear interpolation between the bracketing observed hours.
     * Output: (keyCol, hour_id, val_cents, src = 'obs' | 'interp').
     */
+  /** Time-weighted average value (TWAP) over each key's observed span —
+    * the metrics/finance aggregate where a value holds UNTIL the next
+    * observation, so plain `avg` over-weights bursts of readings:
+    *
+    *   twap(k) = (Σ cents_i · (t_{i+1} − t_i)) div (t_last − t_first)
+    *
+    * Pure integer: cents (≥0) × micros durations (≥0, BIGINT; max
+    * observed-cents · span ≪ 2^63), one floor division per key. Equal
+    * timestamps naturally get zero duration (the lead over the
+    * (ts, tie) total order lands on the same microsecond); the last
+    * observation contributes no area — the left-Riemann/LOCF convention,
+    * matching b57's carry-forward semantics. Keys with a single
+    * observation (span 0) are excluded rather than divided by zero.
+    *
+    * Scale: one window pass per key partition (the lead) feeding one
+    * partial+final aggregate on the key — the b67 sweep cost, no
+    * self-join, no grid materialization (unlike [[interpolateHourlyCents]]
+    * this never expands rows).
+    */
+  def twapCents(events: DataFrame, keyCol: String, tsCol: String,
+                tieCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("us"), col("tie"))
+    events
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("us"),
+        col(tieCol).as("tie"),
+        floor(col(valueCol) * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("nxt", lead(col("us"), 1).over(w))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_obs"),
+        (max(col("us")) - min(col("us"))).as("span_micros"),
+        sum(when(col("nxt").isNotNull, col("cents") * (col("nxt") - col("us")))
+          .otherwise(lit(0L))).as("area"))
+      .where(col("span_micros") > 0)
+      .select(col("k").as(keyCol), col("n_obs"), col("span_micros"),
+        expr("area div span_micros").as("twap_cents"))
+  }
+
   def interpolateHourlyCents(events: DataFrame, keyCol: String, tsCol: String,
                              tieCol: String, valueCol: String): DataFrame = {
     val hourMicros = 3600000000L

@@ -72,6 +72,30 @@ class GraphSpec extends SparkSpec {
     assert(run(edges.repartition(1)) == run(edges.repartition(7, col("a"))))
   }
 
+  test("kCoreApprox: 2-core strips pendant chains, keeps the triangle, converges in-budget") {
+    val s = spark; import s.implicits._
+    // triangle {1,2,3} with a pendant chain 3-4-5: the chain peels over
+    // two rounds (5 first, then 4), the triangle survives with degree 2
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val got = Graph.kCoreApprox(edges, k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), got.toString)
+    // k=3: the triangle itself dies (max degree 2) → empty
+    assert(Graph.kCoreApprox(edges, k = 3, rounds = 4).count() == 0L)
+  }
+
+  test("kCoreApprox: unconverged bounded-round output is the documented recurrence") {
+    val s = spark; import s.implicits._
+    // a 6-node path peels one endpoint pair per round: rounds=1 must
+    // equal exactly ONE synchronized peel (ends dropped), not the fixpoint
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val oneRound = Graph.kCoreApprox(path, k = 2, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oneRound == Map(2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L), oneRound.toString)
+    // enough rounds → the true (empty) 2-core
+    assert(Graph.kCoreApprox(path, k = 2, rounds = 4).count() == 0L)
+  }
+
   test("pageRankNano rejects unbounded iteration counts") {
     val (edges, nodes) = fixture
     intercept[IllegalArgumentException] {

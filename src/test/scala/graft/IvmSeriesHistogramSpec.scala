@@ -80,6 +80,24 @@ class IvmSeriesHistogramSpec extends SparkSpec {
     assert(mid.length == 1 && mid(0).getLong(2) == 2L, mid.mkString(","))
   }
 
+  test("twapCents integrates LOCF areas; bursts don't over-weight; single-obs keys drop") {
+    val s = spark; import s.implicits._
+    // user 1: 1.00 held for 3h, then 4.00 for 1h → twap = (100·3 + 400·1)/4 = 175
+    // a burst of equal-ts readings at the 3h mark contributes zero area
+    // except its last row (the (ts, tie) order); user 2: single obs → excluded
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, 1.00),
+      (1L, "2024-01-01 03:00:00", 2L, 9.99), // burst, same ts as next
+      (1L, "2024-01-01 03:00:00", 3L, 4.00),
+      (1L, "2024-01-01 04:00:00", 4L, 7.77), // last obs: no area
+      (2L, "2024-01-01 05:00:00", 5L, 3.00)
+    ).toDF("user_id", "tss", "event_id", "value")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val got = Series.twapCents(ev, "user_id", "ts", "event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 4L, 4L * 3600000000L, 175L)), got.toString)
+  }
+
   test("equiDepthHistogram splits a uniform range into equal bins and respects ties") {
     val s = spark; import s.implicits._
     val uniform = (1L to 100L).toDF("v")
