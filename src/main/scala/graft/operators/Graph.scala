@@ -118,6 +118,18 @@ object Graph {
     require(k >= 1, s"k must be positive, got $k")
     require(rounds >= 1 && rounds <= 8,
       s"rounds must be in [1,8] (fixed-budget peel), got $rounds")
+    // each round references the previous round's edge frame three times
+    // (both degree legs + the filter input): left as a lazy Catalyst
+    // tree, the plan re-expands 3^rounds-fold back to the input and the
+    // DRIVER's analysis/AQE pass over that exponential tree dominates —
+    // measured 138 s at sf0.1; a per-round persist() does not help
+    // because cache substitution happens after the full tree is built.
+    // The fix is LINEAGE truncation: a lazy localCheckpoint replaces each
+    // round's plan with a LogicalRDD, and the underlying RDD DAG dedupes
+    // the three references structurally (the same exponential
+    // re-evaluation the c66 ORACLE avoids with MATERIALIZED stages;
+    // clusters' eager localCheckpoint is the unbounded-iteration
+    // variant — here eager=false keeps the builder action-free).
     var e = pairs.select(col("a"), col("b"))
     for (_ <- 1 to rounds) {
       val deg = e.select(col("a").as("node"))
@@ -127,6 +139,7 @@ object Graph {
       e = e
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(false)
     }
     e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node")))

@@ -174,4 +174,44 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  private val genKV: Gen[List[(Long, Long)]] =
+    Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 5L), Gen.choose(0L, 1000L)))
+
+  test("Ivm.mergeStates is split-invariant: any partition of the rows merges to the same state") {
+    val s = spark; import s.implicits._
+    def state(xs: Seq[(Long, Long)]) = xs.toDF("k", "v").groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val specs = Map("n" -> "sum", "sv" -> "sum", "lo" -> "min", "hi" -> "max")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    forAll(genKV, Gen.choose(0, 10)) { (rows, cutRaw) =>
+      if (rows.size >= 2) {
+        val cut = 1 + cutRaw % (rows.size - 1)
+        val merged = graft.operators.Ivm.mergeStates(
+          Seq(state(rows.take(cut)), state(rows.drop(cut))), Seq("k"), specs)
+        assert(collect(merged) == collect(state(rows)),
+          s"split at $cut diverged for $rows")
+      }
+    }
+  }
+
+  test("equiDepthHistogram: bins partition the rows and bounds nest monotonically") {
+    val s = spark; import s.implicits._
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 40L)), Gen.oneOf(1, 2, 4, 8)) { (vals, bins) =>
+      val got = graft.operators.Scale.equiDepthHistogram(
+          vals.toDF("v"), col("v"), bins)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(got.map(_._4).sum == vals.size.toLong, s"rows lost: $got vs ${vals.size}")
+      got.foreach { case (_, lo, hi, _) => assert(lo <= hi) }
+      got.sliding(2).foreach {
+        case Seq((_, _, hi1, _), (_, lo2, _, _)) => assert(hi1 < lo2, got.toString)
+        case _ =>
+      }
+      assert(got.map(_._1).forall(b => b >= 0 && b < bins))
+    }
+  }
 }
