@@ -1216,6 +1216,64 @@ object SparkEntry {
           floor(col("l_extendedprice") * 100 + 0.5).cast("long"), bins = 16)
         .orderBy(col("bin"))),
 
+    "b75_winsorize" -> ((s, d) => {
+      // winsorized robust stats: clamp each group's prices into its own
+      // [p05, p95] before summing — outlier-proof aggregates. The edges
+      // come from the b71 trick, NOT percentile_disc: a cumulative window
+      // over the per-DISTINCT-value count frame (bounded by the price
+      // domain, never row count — percentile_disc would buffer whole
+      // groups), with the inverse-CDF rule in exact integers
+      // (cum·20 ≥ n ⟺ cdf ≥ 0.05). Edges broadcast back; map-side clamp.
+      val li = t(s, d, "lineitem").select(col("l_returnflag").as("flag"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      val vc = li.groupBy(col("flag"), col("cents")).agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy(col("flag")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cdf = vc
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("flag"))))
+      val edges = cdf.groupBy(col("flag")).agg(
+        min(when(col("cum") * 20 >= col("n"), col("cents"))).as("lo"),
+        min(when(col("cum") * 20 >= col("n") * 19, col("cents"))).as("hi"))
+      li.join(broadcast(edges), "flag")
+        .select(col("flag"), col("cents"), col("lo"), col("hi"),
+          greatest(col("lo"), least(col("hi"), col("cents"))).as("w"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("sum_cents"),
+          sum(col("w")).as("sum_winsorized"),
+          sum((col("cents") < col("lo")).cast("long")).as("n_lo"),
+          sum((col("cents") > col("hi")).cast("long")).as("n_hi"))
+        .orderBy(col("flag"))
+    }),
+
+    "b74_attribution" -> ((s, d) => {
+      // last-touch attribution: each purchase credited to the same
+      // user's most recent preceding click, but only within a 7-day
+      // lookback. No self-join: the event log is already interleaved per
+      // user, so one user-partitioned window with last(_, ignoreNulls)
+      // carries the latest click forward — the as-of-join-shaped staple
+      // as a single window pass. Scales on the user key (millions of
+      // small partitions); ties broken by event_id; epoch-µs longs on
+      // every compared column (b60 convention).
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val us = unix_micros(col("ts"))
+      val weekUs = 7L * 86400L * 1000000L
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .withColumn("click_id0",
+          last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("click_us0",
+          last(when(col("event_type") === "click", us), ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .withColumn("hit", col("click_us0").isNotNull && (us - col("click_us0") <= weekUs))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          when(col("hit"), col("click_id0")).as("click_id"),
+          when(col("hit"), us - col("click_us0")).as("gap_us"))
+        .orderBy(col("purchase_id"))
+    }),
+
     "b73_twap" -> ((s, d) =>
       // time-weighted average value per user over the observed span —
       // LOCF-weighted integration in pure integer cents×micros
@@ -2212,6 +2270,43 @@ object SparkEntry {
         |  min(v) AS lo, max(v) AS hi, CAST(sum(cnt) AS BIGINT) AS n_rows
         |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
 
+    "b75_winsorize" ->
+      // the same explicit inverse-CDF rule over the distinct-value frame
+      // (NOT quantile_disc — one shared integer definition on both
+      // engines), then the same clamp
+      """WITH li AS (SELECT l_returnflag AS flag,
+        |              CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |            FROM lineitem),
+        |vc AS (SELECT flag, cents, count(*) AS cnt FROM li GROUP BY 1, 2),
+        |c AS (SELECT flag, cents, cnt,
+        |        sum(cnt) OVER (PARTITION BY flag ORDER BY cents) AS cum,
+        |        sum(cnt) OVER (PARTITION BY flag) AS n
+        |      FROM vc),
+        |e AS (SELECT flag, min(CASE WHEN cum * 20 >= n THEN cents END) AS lo,
+        |             min(CASE WHEN cum * 20 >= 19 * n THEN cents END) AS hi
+        |      FROM c GROUP BY flag)
+        |SELECT li.flag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(greatest(lo, least(hi, cents))) AS BIGINT) AS sum_winsorized,
+        |  CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+        |FROM li JOIN e USING (flag) GROUP BY li.flag ORDER BY flag""".stripMargin,
+
+    "b74_attribution" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER lb AS click_id0,
+        |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER lb AS click_us0
+        |  FROM events
+        |  WINDOW lb AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id AS purchase_id, user_id,
+        |  CASE WHEN click_us0 IS NOT NULL AND us - click_us0 <= 604800000000 THEN click_id0 END AS click_id,
+        |  CASE WHEN click_us0 IS NOT NULL AND us - click_us0 <= 604800000000 THEN us - click_us0 END AS gap_us
+        |FROM w WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
+
     "b73_twap" ->
       // identical lead-window areas; durations tile the span so the sum
       // is bounded by max_cents · span — no overflow at any row count
@@ -2643,6 +2738,62 @@ object SparkEntry {
           expr("(1000 * ref_surprisal_sum) div n_bigrams"))
         .orderBy(col("doc_id"))
     }),
+
+    "c71_canonical_dedup" -> ((s, d) =>
+      // normalization-aware exact dedup (lowercase + punctuation map +
+      // empty-token drop, grouped on the canonical 60-bit hash — never on
+      // raw text); n_variants counts distinct raw texts merged per group
+      // (Dedup.canonicalExact scaladoc)
+      Dedup.canonicalExact(t(s, d, "documents"), "doc_id", "text")
+        .select(col("rep_id"), col("n_dups"), col("n_variants"))
+        .orderBy(col("rep_id"))),
+
+    "c70_cdc_chunks" -> ((s, d) =>
+      // content-defined chunking dedup: variable chunks cut at rolling-
+      // hash boundaries (insert-shift-proof, unlike fixed strides), chunk
+      // identity = 60-bit hash of the chunk's ordered hash sequence,
+      // per-doc dup-chunk stats (Dedup.cdcChunkDedup scaladoc: one
+      // doc-id shuffle serves window + chunk agg, cross-doc agg on the
+      // uniform chunk hash — linear, nothing pairwise)
+      Dedup.cdcChunkDedup(t(s, d, "documents"), "doc_id", "text",
+          w = 2, gearMod = 8)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("dup_chunks"),
+          col("dup_tokens"))
+        .orderBy(col("doc_id"))),
+
+    "c69_source_keyness" -> ((s, d) =>
+      // per-source over/under-represented tokens (one-cell chi-square vs
+      // the corpus rate): the source-drift diagnostic before mixing.
+      // Exact-long dev output; chi2 ranking doubles are bit-identical
+      // across engines by the documented two-op IEEE order
+      // (Pipeline.sourceKeyness scaladoc)
+      graft.operators.Pipeline.sourceKeyness(
+          t(s, d, "documents"), "source", "text", topK = 5)
+        .orderBy(col("source"), col("rnk"))),
+
+    "c68_pack_sequences" -> ((s, d) => {
+      // greedy whole-doc packing into 128-token context windows, 8 hash
+      // shards as the parallelism unit (Pipeline.packGreedy scaladoc:
+      // sequential fold per shard, one exchange, O(1) state) — the
+      // pretraining batch-packing step; c24 is the contiguous
+      // token-budget variant that splits docs, this one never does
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
+          size(graft.functions.Text.tokens(coalesce(col("text"), lit("")))).as("n_tok"))
+      graft.operators.Pipeline.packGreedy(docs, "doc_id", "n_tok", capacity = 128L)
+        .select(col("doc_id"), col("shard"), col("pack"), col("n_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "c67_prefix_jaccard" -> ((s, d) =>
+      // SAME result set as c04 (all pairs with shingle-jaccard ≥ 0.8) via
+      // the PPJoin prefix filter instead of the full inverted index: only
+      // each doc's rarest-first (1−t)-prefix is indexed, so the candidate
+      // join touches ~5× fewer postings and needs no hot-shingle cap for
+      // exactness (Dedup.prefixJaccardPairsOf scaladoc has the pigeonhole
+      // argument). Shares the memoized shingle index with c02/c04.
+      Dedup.prefixJaccardPairsOf(docShingleSets(s, d), tNum = 4, tDen = 5)
+        .orderBy(col("a"), col("b"))),
 
     "c66_kcore" -> ((s, d) =>
       // 2-core of the near-dup graph, 4 peel rounds: strips docs attached
@@ -3236,6 +3387,82 @@ object SparkEntry {
         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
         |ORDER BY a, b""".stripMargin,
     "c04_ngram_jaccard" -> jaccardPairsSql,
+    // c67 = the same pair set as c04, derived by prefix filtering — one
+    // semantic, three engines-worth of algorithms (c02 minhash approx,
+    // c04 inverted index, c67 prefix filter) against one exact oracle
+    "c67_prefix_jaccard" -> jaccardPairsSql,
+    // same fixed ASCII canonicalization (lower + 10-char punctuation map +
+    // empty-token drop), same 60-bit md5 group key
+    "c71_canonical_dedup" ->
+      """WITH c AS (SELECT doc_id,
+        |  CAST(('0x' || substring(md5(array_to_string(list_filter(
+        |    string_split(lower(translate(coalesce(text, ''), '.,!?;:()"''', '          ')), ' '),
+        |    x -> x != ''), ' ')), 1, 15)) AS BIGINT) AS ck,
+        |  CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS th
+        |  FROM documents)
+        |SELECT min(doc_id) AS rep_id, CAST(count(*) AS BIGINT) AS n_dups,
+        |  CAST(count(DISTINCT th) AS BIGINT) AS n_variants
+        |FROM c GROUP BY ck ORDER BY rep_id""".stripMargin,
+
+    // same rolling boundary rule (bigram md5-hash ≡ 0 mod 8), same chunk
+    // identity (md5 of the space-joined decimal hash sequence, ordered by
+    // position) — chunk numbers are engine-local, identities compare
+    "c70_cdc_chunks" ->
+      """WITH tk AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents),
+        |p0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+        |         i -> struct_pack(pos := i,
+        |           h := CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1]), 1, 15)) AS BIGINT)))) AS s
+        |       FROM tk WHERE len(t) >= 2),
+        |p AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM p0),
+        |c AS (SELECT doc_id, pos, h,
+        |        sum(CASE WHEN h % 8 = 0 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY pos) AS chunk
+        |      FROM p),
+        |ch AS (SELECT doc_id, chunk, CAST(count(*) AS BIGINT) AS chunk_len,
+        |         CAST(('0x' || substring(md5(string_agg(CAST(h AS VARCHAR), ' ' ORDER BY pos)), 1, 15)) AS BIGINT) AS ch
+        |       FROM c GROUP BY doc_id, chunk),
+        |nd AS (SELECT ch, count(DISTINCT doc_id) AS nd FROM ch GROUP BY ch)
+        |SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+        |  CAST(sum(CASE WHEN nd.nd > 1 THEN chunk_len ELSE 0 END) AS BIGINT) AS dup_tokens
+        |FROM ch JOIN nd USING (ch) GROUP BY ch.doc_id ORDER BY doc_id""".stripMargin,
+
+    // same exact-long dev; chi2 recomputed with the identical two-IEEE-op
+    // order (CAST·CAST then divide) so the per-source ranking agrees
+    "c69_source_keyness" ->
+      """WITH tk AS (SELECT source, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+        |            FROM documents),
+        |obs AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS obs FROM tk GROUP BY 1, 2),
+        |gl AS (SELECT tok, CAST(sum(obs) AS BIGINT) AS glob FROM obs GROUP BY 1),
+        |st AS (SELECT source, CAST(sum(obs) AS BIGINT) AS src_tot FROM obs GROUP BY 1),
+        |g AS (SELECT CAST(sum(src_tot) AS BIGINT) AS grand FROM st),
+        |sc AS (SELECT o.source, o.tok, o.obs,
+        |         o.obs * g.grand - st.src_tot * gl.glob AS dev,
+        |         (CAST(o.obs * g.grand - st.src_tot * gl.glob AS DOUBLE) *
+        |          CAST(o.obs * g.grand - st.src_tot * gl.glob AS DOUBLE)) /
+        |         CAST(st.src_tot * gl.glob * g.grand AS DOUBLE) AS chi2
+        |       FROM obs o JOIN gl USING (tok) JOIN st USING (source) CROSS JOIN g),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY chi2 DESC, tok) AS rnk
+        |      FROM sc)
+        |SELECT source, tok, obs, dev, CAST(rnk AS INTEGER) AS rnk
+        |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+
+    // the same greedy capacity-reset fold, expressed as a per-shard
+    // recursive CTE walking rn → rn+1 (DuckDB's only sequential-fold form)
+    "c68_pack_sequences" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |o AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM d),
+        |p(shard, doc_id, n_tok, rn, pack, fill) AS (
+        |  SELECT shard, doc_id, n_tok, rn, CAST(0 AS BIGINT), n_tok FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.doc_id, o.n_tok, o.rn,
+        |    CASE WHEN p.fill + o.n_tok > 128 THEN p.pack + 1 ELSE p.pack END,
+        |    CASE WHEN p.fill + o.n_tok > 128 THEN o.n_tok ELSE p.fill + o.n_tok END
+        |  FROM p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1)
+        |SELECT doc_id, shard, pack, n_tok FROM p ORDER BY doc_id""".stripMargin,
     "c05_dedup_embedding" ->
       """SELECT a.vec_id AS a, b.vec_id AS b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -328,6 +328,147 @@ object Dedup {
       .where(col("df") > maxPosting)
       .count()
 
+  /** Prefix-filtered exact jaccard join (the PPJoin family: Chaudhuri et
+    * al. SSJoin 2006, Xiao et al. PPJoin 2008; behavioral kin of oamap's
+    * exact-dedup goal, reference symbols per SURVEY provenance note).
+    * Same semantics as [[ngramJaccardPairsOf]] — ALL pairs with jaccard ≥
+    * `tNum/tDen` over the distinct-shingle sets — but a different, strictly
+    * sub-inverted-index candidate generator:
+    *
+    * Under any total order on the shingle universe, if J(x,y) ≥ t then the
+    * FIRST common shingle of x and y (in that order) lies within the first
+    * `|x| − ⌈t·|x|⌉ + 1` shingles of x AND the first `|y| − ⌈t·|y|⌉ + 1`
+    * of y (if it didn't, the ≥⌈t·|x|⌉ common shingles would all have to
+    * fit in the ⌈t·|x|⌉−1 suffix — pigeonhole). So it suffices to index
+    * only each set's (1−t)-fraction PREFIX under a global
+    * rarest-first order (document frequency asc, hash asc): the indexed
+    * postings are both ~5× fewer (t=0.8) and, by construction, each doc's
+    * RAREST shingles — the posting lists that drive the pair blowup in the
+    * plain inverted index are exactly the ones the prefix drops. No
+    * hot-shingle cap is needed for exactness; a size filter
+    * (`tDen·min ≥ tNum·max`) prunes candidates whose length ratio alone
+    * caps jaccard below t.
+    *
+    * Shuffle story at 100 TB: df agg on shingle hash (map-side combined),
+    * df join back (shuffle on hash), per-doc prefix ranking (one window,
+    * partition = doc — bounded by doc length), candidate self-join on the
+    * prefix hash (shuffle on hash, posting lists rare-by-construction),
+    * verify joins on id. Every stage is key-partitioned; nothing is
+    * quadratic except genuinely similar pairs. Threshold is a rational
+    * `tNum/tDen` and all comparisons are integer cross-multiplications —
+    * no float on any engine-compared path.
+    */
+  def prefixJaccardPairsOf(sets: DataFrame, tNum: Int = 4, tDen: Int = 5): DataFrame = {
+    val postings = sets.select(col("id"), size(col("hs")).as("sz"), explode(col("hs")).as("h"))
+    val dfTab = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ranked = postings.join(dfTab, Seq("h"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("df"), col("h"))))
+    // rn ≤ sz − ⌈t·sz⌉ + 1  ⟺  sz·tNum ≤ (sz − rn + 1)·tDen  (ceil(x) ≤ n
+    // ⟺ x ≤ n for integer n) — pure integer arithmetic, no division
+    val prefix = ranked.where(
+      col("sz") * tNum <= (col("sz") - col("rn") + 1) * tDen)
+    val candidates = prefix.as("x").join(prefix.as("y"),
+        col("x.h") === col("y.h") && col("x.id") < col("y.id") &&
+          least(col("x.sz"), col("y.sz")) * tDen >= greatest(col("x.sz"), col("y.sz")) * tNum)
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    val full = sets.select(col("id"), col("hs"), size(col("hs")).as("sz"))
+    candidates
+      .join(full.select(col("id").as("a"), col("hs").as("hsa"), col("sz").as("sza")), "a")
+      .join(full.select(col("id").as("b"), col("hs").as("hsb"), col("sz").as("szb")), "b")
+      .withColumn("inter", size(array_intersect(col("hsa"), col("hsb"))).cast("long"))
+      .where(col("inter") * tDen >= (col("sza") + col("szb") - col("inter")) * tNum)
+      .select(col("a"), col("b"))
+  }
+
+  /** [[prefixJaccardPairsOf]] from raw text (shingle index built inline —
+    * share a persisted [[shingleSets]] via the `...Of` form when running
+    * several similarity operators over one corpus). */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 3, tNum: Int = 4, tDen: Int = 5): DataFrame =
+    prefixJaccardPairsOf(
+      shingleSets(df, idCol, textCol, shingleN)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      tNum, tDen)
+
+  /** Canonicalizing exact dedup: lowercase, map sentence punctuation to
+    * spaces, drop the resulting empty tokens, and group on the 60-bit
+    * hash of the re-joined canonical form — the CCNet/Gopher-style
+    * normalization pass that catches trivial reformattings ("Hello,
+    * world!" ≡ "hello world") which byte-exact dedup (c01) misses while
+    * staying deterministic enough for an oracle (no Unicode tables, no
+    * locale: ASCII lower + a FIXED punctuation map, reproducible in any
+    * engine). Returns one row per canonical group: representative min id,
+    * member count, and how many distinct RAW texts the group merged
+    * (n_variants > 1 ⟺ the canonicalizer earned its keep on that group).
+    *
+    * Scale: one narrow canonicalization map, then a groupBy whose shuffle
+    * keys are 60-bit hashes ONLY — the group key is the canonical hash
+    * and the variant counter is count(distinct hash(text)), so no stage
+    * ships document bytes (c01's group-by-text does; the distinct-raw
+    * counter over the text column itself would too). */
+  def canonicalExact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val punct = ".,!?;:()\"'"
+    val canon = array_join(
+      filter(split(lower(translate(coalesce(col(textCol), lit("")),
+        punct, " " * punct.length)), " "), x => x =!= ""), " ")
+    df.select(col(idCol), Text.tokenHash(canon).as("ck"),
+        Text.tokenHash(col(textCol)).as("th"))
+      .groupBy(col("ck"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_dups"),
+        countDistinct(col("th")).as("n_variants"))
+      .drop("ck")
+  }
+
+  /** Content-defined chunking (CDC) duplicate-span detection: split every
+    * doc into variable-length chunks at ROLLING-HASH boundaries (a chunk
+    * starts wherever the positional w-gram hash ≡ 0 mod `gearMod` — the
+    * gear/Rabin discipline from dedup storage systems), then find chunks
+    * shared verbatim across documents. Because boundaries are decided by
+    * local content, not offsets, an insertion near the top of a copied
+    * passage shifts every position yet the chunks downstream of the next
+    * boundary re-align — the property fixed-stride spans (c44 family)
+    * lack, and the chunk-granular middle ground between whole-doc exact
+    * dedup (c01) and per-position span stats (c44).
+    *
+    * Chunk identity is the 60-bit [[Text.tokenHash]] of the chunk's
+    * ordered hash sequence (rendered as space-joined decimal strings) —
+    * collision odds ~n_chunks²/2^60, and the same md5 construction is
+    * computable in the oracle. Per doc: total chunks, chunks appearing in
+    * ≥2 distinct docs, and the token positions those cover.
+    *
+    * Shuffle story: positions shuffle once on doc id (both windows and
+    * the chunk groupBy are satisfied by that one hashpartitioning — the
+    * chunk number is a within-doc running sum); the cross-doc frequency
+    * agg and its join shuffle on the chunk hash (uniform md5). Nothing
+    * is pairwise; work is linear in corpus positions, the dup check is
+    * an O(#chunks) aggregation. */
+  def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String,
+                    w: Int = 2, gearMod: Int = 8): DataFrame = {
+    val pos = df.select(col(idCol).as("id"),
+      posexplode(Text.spanHashes(coalesce(col(textCol), lit("")), w)).as(Seq("pos", "h")))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val chunks = pos
+      .withColumn("chunk",
+        sum((pmod(col("h"), lit(gearMod.toLong)) === 0).cast("long")).over(wDoc))
+      .groupBy(col("id"), col("chunk"))
+      .agg(count(lit(1)).as("chunk_len"),
+        Text.tokenHash(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("h")))),
+            x => x.getField("h").cast("string")), " ")).as("ch"))
+    val freq = chunks.groupBy(col("ch")).agg(countDistinct(col("id")).as("nd"))
+    chunks.join(freq, "ch")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum((col("nd") > 1).cast("long")).as("dup_chunks"),
+        sum(when(col("nd") > 1, col("chunk_len")).otherwise(0L)).as("dup_tokens"))
+  }
+
   /** 64-bit SimHash: bit j of the signature is the sign of the sum over
     * distinct tokens of ±1 depending on bit j of the token's 64-bit md5
     * hash. Codegen'd kernel ([[graft.plans.TextExpressions.SimHash64Expr]]).

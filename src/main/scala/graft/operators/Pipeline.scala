@@ -84,6 +84,49 @@ object Pipeline {
         floor(col("cum_before") / budget.toDouble).cast("long").as("shard"))
   }
 
+  /** Greedy capacity-reset sequence packing: fill fixed-size context
+    * windows with WHOLE documents, opening a new pack whenever the next
+    * doc would overflow `capacity` — the standard pretraining batch-packing
+    * discipline (contrast [[packByBudget]], which cuts contiguous
+    * token-budget shards and lets a document straddle a boundary). A doc
+    * heavier than `capacity` gets a pack of its own.
+    *
+    * The fold is inherently sequential per shard (pack k's boundary
+    * depends on every doc before it), so parallelism is the shard key the
+    * caller supplies, not the row: one hash exchange on `shardCol`, a
+    * within-partition (shard, id) sort, then a single streaming
+    * iterator-to-iterator pass with O(1) state — the one documented
+    * `mapPartitions` case (per-partition imperative logic no relational
+    * operator expresses; a window can't reset its own accumulator). At
+    * 100 TB: shard = hash(doc) % (≈4× cores) keeps every fold short and
+    * the exchange balanced; state never grows with shard size, and a
+    * partition holding several shards resets the fold at each shard
+    * boundary, so the shard count may exceed the partition count freely.
+    * Pack ids are deterministic: (shard, id) is a total order.
+    */
+  def packGreedy(df: DataFrame, idCol: String, weightCol: String,
+                 capacity: Long, shardCol: String = "shard"): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val in = df
+      .select(col(shardCol).cast("long"), col(idCol).cast("long"),
+        col(weightCol).cast("long"))
+      .repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(idCol))
+      .as[(Long, Long, Long)]
+    in.mapPartitions { it =>
+      var curShard = Long.MinValue
+      var fill = 0L
+      var pack = -1L
+      it.map { case (shard, id, w) =>
+        if (shard != curShard || pack < 0) { curShard = shard; pack = -1L; fill = 0L }
+        if (pack < 0 || fill + w > capacity) { pack += 1; fill = w } else fill += w
+        (id, shard, pack, w)
+      }
+    }.toDF(idCol, shardCol, "pack", weightCol)
+  }
+
   /** Per-stratum deterministic downsampling — the training-mix stage that
     * rebalances a corpus (e.g. cap the dominant language at 30%) without
     * sampling randomness: a row is kept iff its hash bucket falls under
@@ -98,6 +141,52 @@ object Pipeline {
       when(strataCol === k, lit(v)).otherwise(acc)
     }
     df.where(hashBucket(col(keyCol), 100) < rate)
+  }
+
+  /** Per-source token keyness: the top-k tokens whose frequency in a
+    * source deviates most from the corpus-wide rate, ranked by the
+    * one-cell chi-square statistic (obs − exp)²/exp with
+    * exp = src_total·global/grand — the corpus-drift diagnostic that
+    * flags what a source over/under-represents before it skews a
+    * training mix.
+    *
+    * Determinism contract (c33 pattern): every count is an exact long;
+    * the deviation `dev = obs·grand − src_total·global` (the (obs−exp)
+    * numerator with denominators cleared) is an exact long and is the
+    * value OUTPUT; chi2 = (double(dev)·double(dev)) / double(den) with
+    * den = src_total·global·grand is used for RANKING only, computed in
+    * exactly this op order — two IEEE ops on integers-as-doubles, so
+    * both engines produce bit-identical doubles and hence the same
+    * ranking (ties broken by token asc). Overflow bounds: dev needs
+    * obs·grand < 2^63 and den < 2^63 — holds to ~10^9 grand tokens per
+    * analyzed stratum; beyond that, shard the analysis (e.g. per
+    * language) or rescale counts first; the statistic is scale-free.
+    *
+    * Shuffles: one token-level groupBy (map-side combined — the only
+    * pass over the text), then reaggregations of that (already small)
+    * table; source totals and the grand total are broadcast (the 1-row
+    * grand join is an audited bounded-broadcast, docs/PLANS.md). The
+    * top-k window partitions by source over per-source vocab. */
+  def sourceKeyness(df: DataFrame, sourceCol: String, textCol: String,
+                    topK: Int = 5): DataFrame = {
+    val toks = df.select(col(sourceCol).as("source"),
+      explode(Text.tokens(coalesce(col(textCol), lit("")))).as("tok"))
+    val obs = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("obs"))
+    val glob = obs.groupBy(col("tok")).agg(sum(col("obs")).as("glob"))
+    val srcTot = obs.groupBy(col("source")).agg(sum(col("obs")).as("src_tot"))
+    val grand = srcTot.agg(sum(col("src_tot")).as("grand"))
+    val dev = col("obs") * col("grand") - col("src_tot") * col("glob")
+    val den = col("src_tot") * col("glob") * col("grand")
+    val chi2 = (dev.cast("double") * dev.cast("double")) / den.cast("double")
+    obs.join(glob, "tok")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(grand))
+      .withColumn("dev", dev)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(chi2.desc, col("tok"))))
+      .where(col("rnk") <= topK)
+      .select(col("source"), col("tok"), col("obs"), col("dev"),
+        col("rnk").cast("int").as("rnk"))
   }
 
   /** Choose each dedup cluster's surviving representative by a quality

@@ -362,6 +362,57 @@ class PlanSpec extends SparkSpec {
       s"within-cell pairing must be a (cell) equi-join:\n$plan")
   }
 
+  test("prefix jaccard: equi-joins only — the prefix index needs no nested loop or cap") {
+    val plan = physicalPlan(SparkEntry.queries("c67_prefix_jaccard")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"prefix-filter candidate generation must stay on equi-joins:\n$plan")
+    assert(plan.contains("Window"), s"per-doc rarest-first ranking window missing:\n$plan")
+  }
+
+  test("greedy packing: exactly one hash exchange (the shard key) feeds the sequential fold") {
+    val plan = physicalPlan(SparkEntry.queries("c68_pack_sequences")(spark, sf))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected 1 hash exchange on shard, got $hashEx:\n$plan")
+    assert(plan.contains("MapPartitions"), s"streaming per-partition fold missing:\n$plan")
+  }
+
+  test("attribution: one user-key window pass, no self-join") {
+    val plan = physicalPlan(SparkEntry.queries("b74_attribution")(spark, sf))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected 1 hash exchange on user_id, got $hashEx:\n$plan")
+    assert(!plan.contains("Join"), s"last-touch must not join the log to itself:\n$plan")
+  }
+
+  test("source keyness: the only nested loop is the 1-row grand-total broadcast") {
+    val plan = physicalPlan(SparkEntry.queries("c69_source_keyness")(spark, sf))
+    val bnljs = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnljs == 1, s"expected exactly the bounded 1-row BNLJ, got $bnljs:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"source totals must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("winsorize: CDF edges broadcast back; clamp side never sort-buffers a group") {
+    val plan = physicalPlan(SparkEntry.queries("b75_winsorize")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"edges must broadcast:\n$plan")
+    assert(plan.contains("Window"), s"distinct-value CDF window missing:\n$plan")
+  }
+
+  test("canonical dedup shuffles on 60-bit hashes, never the raw text") {
+    val plan = physicalPlan(SparkEntry.queries("c71_canonical_dedup")(spark, sf))
+    // every hash exchange (group key + the distinct-variant stage) must
+    // key on the pre-computed long hash attributes, never the text column
+    assert(plan.contains("hashpartitioning(ck#"),
+      s"group key must be the named canonical-hash attribute:\n$plan")
+    assert("hashpartitioning\\([^)]*text#".r.findFirstIn(plan).isEmpty,
+      s"raw text leaked into a shuffle key:\n$plan")
+  }
+
+  test("CDC chunking: linear — no pairwise operator anywhere") {
+    val plan = physicalPlan(SparkEntry.queries("c70_cdc_chunks")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"chunk dedup must be joins/aggs on keys only:\n$plan")
+  }
+
   test("no query in the declared inventory collects to the driver") {
     // structural check: building every DataFrame must not trigger an action
     // (any collect-based operator would run here); constructing the plans on

@@ -168,6 +168,41 @@ class ScaleSpec extends SparkSpec {
     assert(got.forall { case (id, sh) => sh == (id - 1) / 10 })
   }
 
+  test("packGreedy matches the sequential reference fold at any partition count") {
+    val s = spark; import s.implicits._
+    val cap = 100L
+    val rows = (1L to 500L).map(i => (i, i % 7, (i * 13 % 90) + 1))
+    val df = rows.toDF("id", "shard", "w")
+    val expected = rows.groupBy(_._2).flatMap { case (sh, docs) =>
+      var fill = 0L; var pack = -1L
+      docs.sortBy(_._1).map { case (id, _, w) =>
+        if (pack < 0 || fill + w > cap) { pack += 1; fill = w } else fill += w
+        id -> ((sh, pack, w))
+      }
+    }
+    Seq(1, 5, 32).foreach { parts =>
+      val got = graft.operators.Pipeline
+        .packGreedy(df.repartition(parts), "id", "w", capacity = cap)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == expected.toMap, s"fold diverged at input partitions=$parts")
+    }
+  }
+
+  test("packGreedy: packs never exceed capacity except oversized singletons") {
+    val s = spark; import s.implicits._
+    // mix of small docs and three oversized ones (w > capacity)
+    val df = ((1L to 60L).map(i => (i, 0L, 30L)) ++
+      Seq((100L, 0L, 999L), (101L, 1L, 500L), (102L, 1L, 40L))).toDF("id", "shard", "w")
+    val packs = graft.operators.Pipeline.packGreedy(df, "id", "w", capacity = 128L)
+      .groupBy(col("shard"), col("pack"))
+      .agg(sum(col("w")).as("fill"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(packs.nonEmpty)
+    packs.foreach { case (fill, n) =>
+      assert(fill <= 128L || n == 1L, s"overfull multi-doc pack: fill=$fill n=$n")
+    }
+  }
+
   test("saltedJoin equals the plain join on a skewed fixture, for duplicate small-side keys too") {
     val s = spark; import s.implicits._
     // hot key 1 (10k rows) + tail; small side has a DUPLICATE key (1 twice)

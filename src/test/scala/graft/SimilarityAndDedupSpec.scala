@@ -674,4 +674,49 @@ class SimilarityAndDedupSpec extends SparkSpec {
     info(f"production-point recall: ${lsh.size}/${exact.size} = $recall%.4f")
     assert(recall >= 0.95, f"recall at bits=8/tables=16, cos>=0.8: $recall%.4f")
   }
+
+  test("prefix-filtered jaccard equals the inverted-index jaccard, pair for pair") {
+    // two exact algorithms, one semantics: the PPJoin prefix filter must
+    // lose nothing vs the full posting-list join (the pigeonhole argument
+    // in Dedup.prefixJaccardPairsOf), on real near-dup-bearing data
+    val real = graft.sources.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val sets = Dedup.shingleSets(real, "doc_id", "text", shingleN = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val inv = Dedup.ngramJaccardPairsOf(sets, threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pre = Dedup.prefixJaccardPairsOf(sets, tNum = 4, tDen = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(inv.nonEmpty, "fixture should contain near-dups")
+      assert(pre == inv, s"prefix filter diverged: missing=${inv -- pre} extra=${pre -- inv}")
+    } finally sets.unpersist()
+  }
+
+  test("canonical dedup merges case/punctuation variants byte-exact dedup keeps apart") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "Hello, world!"), (2L, "hello world"), (3L, "HELLO  world."),
+      (4L, "goodbye world")).toDF("doc_id", "text")
+    val got = Dedup.canonicalExact(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // three reformattings of one sentence collapse (3 raw variants), the
+    // fourth doc stands alone; c01-style byte dedup would find 4 groups
+    assert(got == Set((1L, 3L, 3L), (4L, 1L, 1L)), got.toString)
+  }
+
+  test("CDC chunks re-align after a front insertion (fixed strides would not)") {
+    val s = spark; import s.implicits._
+    val base = (1 to 80).map(i => "w" + (i * 31 % 57)).mkString(" ")
+    val df = Seq((1L, base), (2L, "zzz " + base)).toDF("doc_id", "text")
+    val got = Dedup.cdcChunkDedup(df, "doc_id", "text", w = 2, gearMod = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the inserted token shifts every downstream POSITION in doc 2, but
+    // boundaries are content-defined, so chunks after the first shared
+    // boundary are verbatim-equal across the two docs
+    assert(got(1L)._2 > 0 && got(2L)._2 > 0,
+      s"expected shared chunks despite the shift, got $got")
+    // and the chunking is total: chunk counts are positive and within
+    // position counts
+    assert(got(1L)._1 > 1, s"fixture should cut multiple chunks: $got")
+  }
 }
