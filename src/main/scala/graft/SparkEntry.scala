@@ -1216,6 +1216,128 @@ object SparkEntry {
           floor(col("l_extendedprice") * 100 + 0.5).cast("long"), bins = 16)
         .orderBy(col("bin"))),
 
+    "b79_dynamic_partition_prune" -> ((s, d) => {
+      // DYNAMIC partition pruning: the fact side is the b38 at-rest
+      // layout (orders partitionBy(o_orderpriority)), but the predicate
+      // lives on the DIM side ("urgency = high"), so planning-time
+      // pruning is impossible — Catalyst must inject the runtime
+      // dynamicpruning subquery (fed by the reused dim broadcast) into
+      // the fact scan's PartitionFilters, and only then do 3/5 of the
+      // directories go unread. Plan-asserted. At 100 TB this is how a
+      // star-schema query skips partitions it can't name until the dim
+      // filter runs — the complement of b38's static prune.
+      val dir = graft.sources.Formats.scratchDir(s, "orders_bypriority", d)
+      graft.sources.Formats.ensureWritten(s, dir) {
+        t(s, d, "orders").write.mode("overwrite")
+          .partitionBy("o_orderpriority").parquet(dir)
+      }
+      // the dim must be an at-rest table with a REAL runtime filter: a
+      // driver-literal relation gets constant-folded into a pre-filtered
+      // LocalTableScan, leaving the DPP rule no selective predicate to
+      // reuse (observed; that variant planned a static 5-partition scan)
+      val dimDir = graft.sources.Formats.scratchDir(s, "priority_dim", d)
+      graft.sources.Formats.ensureWritten(s, dimDir) {
+        val sess = s; import sess.implicits._
+        Seq(("1-URGENT", "high"), ("2-HIGH", "high"), ("3-MEDIUM", "low"),
+          ("4-NOT SPECIFIED", "low"), ("5-LOW", "low")).toDF("p", "urgency")
+          .write.mode("overwrite").parquet(dimDir)
+      }
+      s.read.parquet(dir)
+        .join(s.read.parquet(dimDir).where(col("urgency") === "high"),
+          col("o_orderpriority") === col("p"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("rev_cents"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "b78_stream_hll_parity" -> ((s, d) => {
+      // batch parity for the STREAMING windowed approx-distinct
+      // (Streams.streamTumblingDistinct, 1 h tumbling, 30 min delay):
+      // the HLL sketch merges by register max — arrival-order
+      // insensitive — so the drained stream's append output equals this
+      // batch aggregation on the closed windows (w_end <= max ts −
+      // delay; the one-row watermark bound is the audited b65 broadcast
+      // shape). The estimate is oracle-checked as a combined bound
+      // boolean vs the exact distinct (b18 pattern): |err| ≤
+      // max(4, 0.15·exact) — HLL's relative rsd guarantee only holds
+      // asymptotically, and these windows hold 4–28 users where the
+      // measured deviation is ≤3 absolute (≤15 at sf0.1's larger
+      // windows, ≤10.8 % relative); StreamingSpec asserts the live
+      // stream's estimates equal batch bit-for-bit.
+      val ev = t(s, d, "events")
+      val wm = broadcast(ev.agg(
+        (max(col("ts")) - expr("INTERVAL 30 MINUTES")).as("wm")))
+      ev.groupBy(window(col("ts"), "1 hour"))
+        .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .crossJoin(wm)
+        .where(col("window.end") <= col("wm"))
+        .select(unix_micros(col("window.start")).as("w_start_us"),
+          col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            greatest(lit(4.0), col("exact_users") * 0.15)).as("approx_ok"))
+        .orderBy(col("w_start_us"))
+    }),
+
+    "b77_period_over_period" -> ((s, d) => {
+      // month-over-month revenue: per-month cents totals, previous
+      // month's total (lag over the month-ordered frame — the frame is
+      // CALENDAR-sized, not row-sized, so the unpartitioned window is
+      // bounded by the date domain like b71's), absolute delta, and the
+      // relative change in integer basis points. bps divides
+      // MAGNITUDES and reapplies the sign: DuckDB's // floors while
+      // Spark's div truncates, so negative quotients would differ by
+      // one — sign-splitting keeps both engines on the same
+      // non-negative division (the b70 rule).
+      val o = t(s, d, "orders")
+      val monthly = o
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("rev_cents"))
+      val w = Window.orderBy(col("month"))
+      monthly
+        .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+        .withColumn("delta_cents", col("rev_cents") - col("prev_cents"))
+        .select(col("month"), col("rev_cents"), col("prev_cents"), col("delta_cents"),
+          (signum(col("delta_cents")).cast("long") *
+            expr("(abs(delta_cents) * 10000) div prev_cents")).as("change_bps"))
+        .orderBy(col("month"))
+    }),
+
+    "b76_expectations" -> ((s, d) => {
+      // data-quality contract audit (the expectations gate an ingest runs
+      // before publishing a table): 7 named constraints -> violation
+      // counts. The five row-local checks share ONE map-side-combined
+      // aggregate pass (CASE sums, then unpivot of the 1-row frame); the
+      // referential check is a broadcast anti-join count; uniqueness is a
+      // key-partitioned group-count. Nothing buffers rows; each leg is an
+      // O(n) scan-and-count. totalprice_le_100k is the deliberately tight
+      // SLA bound that FIRES on this data — proving the counter counts.
+      val o = t(s, d, "orders")
+      val prio = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val od = col("o_orderdate").cast("date")
+      val rowChecks = o.agg(
+          sum(when(col("o_orderkey").isNull || col("o_custkey").isNull ||
+            col("o_totalprice").isNull, 1L).otherwise(0L)).as("not_null_keys"),
+          sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("totalprice_positive"),
+          sum(when(col("o_totalprice") > 100000.0, 1L).otherwise(0L)).as("totalprice_le_100k"),
+          sum(when(od < lit("1992-01-01").cast("date") ||
+            od >= lit("2002-01-01").cast("date"), 1L).otherwise(0L)).as("orderdate_in_range"),
+          sum(when(!col("o_orderpriority").isin(prio: _*), 1L).otherwise(0L)).as("priority_domain"))
+        .unpivot(Array.empty[Column], Array("not_null_keys", "totalprice_positive",
+          "totalprice_le_100k", "orderdate_in_range", "priority_domain").map(col),
+          "check", "n_viol")
+      val fk = o.join(broadcast(t(s, d, "customer").select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_viol"))
+        .select(lit("custkey_fk").as("check"), col("n_viol"))
+      val uniq = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+        .where(col("c") > 1)
+        .agg(coalesce(sum(col("c") - 1), lit(0L)).cast("long").as("n_viol"))
+        .select(lit("orderkey_unique").as("check"), col("n_viol"))
+      rowChecks.unionByName(fk).unionByName(uniq).orderBy(col("check"))
+    }),
+
     "b75_winsorize" -> ((s, d) => {
       // winsorized robust stats: clamp each group's prices into its own
       // [p05, p95] before summing — outlier-proof aggregates. The edges
@@ -2270,6 +2392,67 @@ object SparkEntry {
         |  min(v) AS lo, max(v) AS hi, CAST(sum(cnt) AS BIGINT) AS n_rows
         |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
 
+    "b79_dynamic_partition_prune" ->
+      """WITH dim(p, urgency) AS (VALUES
+        |  ('1-URGENT', 'high'), ('2-HIGH', 'high'), ('3-MEDIUM', 'low'),
+        |  ('4-NOT SPECIFIED', 'low'), ('5-LOW', 'low'))
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM orders JOIN dim ON o_orderpriority = p
+        |WHERE urgency = 'high'
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "b78_stream_hll_parity" ->
+      // exact distinct per closed hour window; the HLL estimate is
+      // checked Spark-side as the bound boolean (b18 pattern)
+      """WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM events),
+        |w AS (SELECT date_trunc('hour', ts) AS ws, user_id FROM events)
+        |SELECT epoch_us(ws) AS w_start_us,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS approx_ok
+        |FROM w CROSS JOIN wm
+        |WHERE ws + INTERVAL 1 HOUR <= wm.wm
+        |GROUP BY ws ORDER BY w_start_us""".stripMargin,
+
+    "b77_period_over_period" ->
+      // same sign-split bps rule (magnitude // then sign) — see the
+      // Spark-side comment on the DuckDB-floor vs Spark-trunc difference
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |x AS (SELECT month, rev_cents,
+        |        lag(rev_cents, 1) OVER (ORDER BY month) AS prev_cents FROM m)
+        |SELECT month, rev_cents, prev_cents,
+        |  rev_cents - prev_cents AS delta_cents,
+        |  CAST(CASE WHEN rev_cents - prev_cents >= 0 THEN 1 ELSE -1 END
+        |    * ((abs(rev_cents - prev_cents) * 10000) // prev_cents) AS BIGINT) AS change_bps
+        |FROM x ORDER BY month""".stripMargin,
+
+    "b76_expectations" ->
+      """WITH rc AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL OR o_custkey IS NULL
+        |                    OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null_keys,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS totalprice_positive,
+        |    CAST(sum(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS BIGINT) AS totalprice_le_100k,
+        |    CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1992-01-01'
+        |                    OR CAST(o_orderdate AS DATE) >= DATE '2002-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS orderdate_in_range,
+        |    CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM',
+        |                    '4-NOT SPECIFIED', '5-LOW') THEN 1 ELSE 0 END) AS BIGINT) AS priority_domain
+        |  FROM orders),
+        |up AS (
+        |  SELECT 'not_null_keys' AS "check", not_null_keys AS n_viol FROM rc
+        |  UNION ALL SELECT 'totalprice_positive', totalprice_positive FROM rc
+        |  UNION ALL SELECT 'totalprice_le_100k', totalprice_le_100k FROM rc
+        |  UNION ALL SELECT 'orderdate_in_range', orderdate_in_range FROM rc
+        |  UNION ALL SELECT 'priority_domain', priority_domain FROM rc
+        |  UNION ALL SELECT 'custkey_fk', CAST(count(*) AS BIGINT) FROM orders o
+        |    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL SELECT 'orderkey_unique', CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+        |    (SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
+        |SELECT "check", n_viol FROM up ORDER BY "check"""".stripMargin,
+
     "b75_winsorize" ->
       // the same explicit inverse-CDF rule over the distinct-value frame
       // (NOT quantile_disc — one shared integer definition on both
@@ -2737,6 +2920,41 @@ object SparkEntry {
         .withColumn("surp_milli",
           expr("(1000 * ref_surprisal_sum) div n_bigrams"))
         .orderBy(col("doc_id"))
+    }),
+
+    "c72_embedding_decontam" -> ((s, d) => {
+      // semantic decontamination: training vectors flagged when cosine vs
+      // ANY eval vector (the modulo-97 held-out slice) reaches 0.35 —
+      // catches paraphrased leakage n-gram checks (c25/c34) miss. Exact
+      // broadcast check, recall-critical so no LSH
+      // (Pipeline.embeddingDecontam scaladoc)
+      val emb = t(s, d, "embeddings")
+      graft.operators.Pipeline.embeddingDecontam(
+          emb.where(pmod(col("vec_id"), lit(97)) =!= 1),
+          emb.where(pmod(col("vec_id"), lit(97)) === 1),
+          "vec_id", "embedding", threshold = 0.35)
+        .select(col("id").as("vec_id"), col("n_hits"))
+        .orderBy(col("vec_id"))
+    }),
+
+    "c73_vocab_growth" -> ((s, d) => {
+      // Heaps-law vocabulary growth: distinct tokens first seen within
+      // the first N docs, at power-of-2 checkpoints — the corpus
+      // diversity diagnostic (a flattening curve = diminishing new
+      // content). One vocab agg keyed on the 60-bit token hash (never
+      // the token string), then an 8-way explode of the vocab-sized
+      // frame only
+      val firstSeen = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.Text.tokens(coalesce(col("text"), lit("")))).as("tok"))
+        .select(col("doc_id"), graft.functions.Text.tokenHash(col("tok")).as("th"))
+        .groupBy(col("th")).agg(min(col("doc_id")).as("first_doc"))
+      val cps = Seq(64L, 128L, 256L, 512L, 1024L, 2048L, 4096L, 8192L)
+      firstSeen
+        .select(explode(array(cps.map(lit(_)): _*)).as("checkpoint"), col("first_doc"))
+        .where(col("first_doc") < col("checkpoint"))
+        .groupBy(col("checkpoint")).agg(count(lit(1)).as("vocab"))
+        .orderBy(col("checkpoint"))
     }),
 
     "c71_canonical_dedup" -> ((s, d) =>
@@ -3391,6 +3609,27 @@ object SparkEntry {
     // semantic, three engines-worth of algorithms (c02 minhash approx,
     // c04 inverted index, c67 prefix filter) against one exact oracle
     "c67_prefix_jaccard" -> jaccardPairsSql,
+    // same split, same rounding convention as c05's cosine oracle
+    "c72_embedding_decontam" ->
+      """WITH ev AS (SELECT vec_id AS eid, embedding AS ev FROM embeddings WHERE vec_id % 97 = 1),
+        |tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 != 1)
+        |SELECT tr.vec_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM tr JOIN ev ON round(list_cosine_similarity(
+        |  CAST(tr.embedding AS DOUBLE[]), CAST(ev.ev AS DOUBLE[])), 6) >= 0.35
+        |GROUP BY tr.vec_id ORDER BY vec_id""".stripMargin,
+
+    // same 60-bit hash vocabulary (both engines count hashes, so even a
+    // collision counts identically), same strict first_doc < checkpoint
+    "c73_vocab_growth" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+        |            FROM documents),
+        |fs AS (SELECT CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS th,
+        |         min(doc_id) AS first_doc FROM tk GROUP BY 1),
+        |cp AS (SELECT unnest([64, 128, 256, 512, 1024, 2048, 4096, 8192]) AS checkpoint)
+        |SELECT CAST(checkpoint AS BIGINT) AS checkpoint, CAST(count(*) AS BIGINT) AS vocab
+        |FROM fs JOIN cp ON fs.first_doc < cp.checkpoint
+        |GROUP BY 1 ORDER BY checkpoint""".stripMargin,
+
     // same fixed ASCII canonicalization (lower + 10-char punctuation map +
     // empty-token drop), same 60-bit md5 group key
     "c71_canonical_dedup" ->

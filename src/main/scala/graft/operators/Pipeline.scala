@@ -467,6 +467,35 @@ object Pipeline {
       .select(col(idCol), col(sourceCol), col("src_docs"))
   }
 
+  /** EMBEDDING-space train/eval decontamination: flag every training
+    * vector whose cosine against ANY eval vector reaches `threshold` —
+    * the semantic sibling of the n-gram checks ([[contamination]],
+    * [[bloomDecontamination]]) that catches paraphrased benchmark leakage
+    * sharing no exact n-grams. Returns (id, n_hits) for flagged training
+    * rows; callers anti-join to drop them.
+    *
+    * Plan at 100 TB: recall here is non-negotiable (a missed eval
+    * neighbor poisons the benchmark), so no LSH — the eval side is
+    * BROADCAST whole and every training vector is checked exactly. That
+    * is sound because eval sets are structurally tiny (benchmarks:
+    * 10³–10⁵ rows) while train is the 100 TB side: work is
+    * |train|·|eval| dot products map-side with NO shuffle of train
+    * (the c06 audited bounded-broadcast shape), and the output agg
+    * shuffles only flagged ids. Norms hoisted; cosine rounded to 6dp
+    * pre-threshold (the c05 cross-engine convention). */
+  def embeddingDecontam(train: DataFrame, evalSet: DataFrame,
+                        idCol: String, vecCol: String,
+                        threshold: Double): DataFrame = {
+    val dot = graft.plans.VectorExpressions.dotProduct _
+    val tr = train.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val ev = evalSet.select(col(idCol).as("eid"), col(vecCol).as("ev"))
+      .withColumn("enrm", sqrt(dot(col("ev"), col("ev"))))
+    tr.crossJoin(broadcast(ev))
+      .where(round(dot(col("v"), col("ev")) / (col("nrm") * col("enrm")), 6) >= threshold)
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Exact train/eval decontamination with a Bloom prefilter — the 100 TB
     * shape of [[contamination]] when the eval n-gram universe is too big to
     * broadcast raw: build one m-bit Bloom bitmap over the eval side's

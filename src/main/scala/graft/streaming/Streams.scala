@@ -46,6 +46,23 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Tumbling-window approximate distinct users in a STREAM:
+    * approx_count_distinct (HLL++) inside a watermarked streaming
+    * aggregation. The HLL buffer is a mergeable sketch (per-register
+    * max), so partial states merged in any arrival order produce the
+    * SAME registers as one batch pass — the drained stream's append
+    * output equals the batch aggregation bit-for-bit on closed windows
+    * (asserted in StreamingSpec; batch parity oracle = b78). Per-window
+    * state is one fixed-size sketch regardless of cardinality — the
+    * reason this scales where streaming countDistinct (unbounded state)
+    * is not even allowed. */
+  def streamTumblingDistinct(events: DataFrame, width: String, delay: String,
+                             rsd: Double = 0.05): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), width))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+      .select(col("window.start").as("window_start"), col("approx_users"))
+
   /** Streaming dedup within the watermark horizon. */
   def streamDedup(events: DataFrame, delay: String): DataFrame =
     events.withWatermark("ts", delay)

@@ -413,6 +413,44 @@ class PlanSpec extends SparkSpec {
       s"chunk dedup must be joins/aggs on keys only:\n$plan")
   }
 
+  test("embedding decontam: eval broadcast is the only nested loop; train is never join-shuffled") {
+    val plan = physicalPlan(SparkEntry.queries("c72_embedding_decontam")(spark, sf))
+    val bnljs = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnljs == 1, s"expected exactly the bounded eval broadcast, got $bnljs:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"only the flagged-id agg may shuffle, got $hashEx:\n$plan")
+  }
+
+  test("expectations: row checks in one partial-agg pass; FK check is a broadcast anti-join") {
+    val plan = physicalPlan(SparkEntry.queries("b76_expectations")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"FK check must broadcast-anti:\n$plan")
+    assert(plan.contains("partial_"), s"row checks must map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("vocab growth: vocabulary agg keys on the named 60-bit hash attribute") {
+    val plan = physicalPlan(SparkEntry.queries("c73_vocab_growth")(spark, sf))
+    assert(plan.contains("hashpartitioning(th#"),
+      s"vocab agg must shuffle the hash attribute, not tokens:\n$plan")
+    assert("hashpartitioning\\([^)]*tok#".r.findFirstIn(plan).isEmpty,
+      s"raw token leaked into a shuffle key:\n$plan")
+  }
+
+  test("dynamic partition pruning: the dim filter becomes a runtime partition filter on the fact scan") {
+    val plan = physicalPlan(SparkEntry.queries("b79_dynamic_partition_prune")(spark, sf))
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery in the fact scan's PartitionFilters:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"tiny dim must broadcast:\n$plan")
+  }
+
+  test("stream HLL parity: partial+final HLL merge, watermark bound is the only nested loop") {
+    val plan = physicalPlan(SparkEntry.queries("b78_stream_hll_parity")(spark, sf))
+    val bnljs = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnljs == 1, s"expected exactly the 1-row watermark broadcast, got $bnljs:\n$plan")
+    assert(plan.contains("partial_"), s"HLL must map-side combine:\n$plan")
+  }
+
   test("no query in the declared inventory collects to the driver") {
     // structural check: building every DataFrame must not trigger an action
     // (any collect-based operator would run here); constructing the plans on

@@ -679,17 +679,18 @@ class SimilarityAndDedupSpec extends SparkSpec {
     // two exact algorithms, one semantics: the PPJoin prefix filter must
     // lose nothing vs the full posting-list join (the pigeonhole argument
     // in Dedup.prefixJaccardPairsOf), on real near-dup-bearing data
+    // NOT persisted here: this plan is identical to the memoized shared
+    // index's, and unpersisting it would evict that cache by plan match
+    // (CacheManager keys on the logical plan), breaking the c02 cache
+    // plan-assert when suites share the session
     val real = graft.sources.Tables.t(spark, "/root/testdata/sf0.001", "documents")
     val sets = Dedup.shingleSets(real, "doc_id", "text", shingleN = 3)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val inv = Dedup.ngramJaccardPairsOf(sets, threshold = 0.8)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val pre = Dedup.prefixJaccardPairsOf(sets, tNum = 4, tDen = 5)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(inv.nonEmpty, "fixture should contain near-dups")
-      assert(pre == inv, s"prefix filter diverged: missing=${inv -- pre} extra=${pre -- inv}")
-    } finally sets.unpersist()
+    val inv = Dedup.ngramJaccardPairsOf(sets, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pre = Dedup.prefixJaccardPairsOf(sets, tNum = 4, tDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inv.nonEmpty, "fixture should contain near-dups")
+    assert(pre == inv, s"prefix filter diverged: missing=${inv -- pre} extra=${pre -- inv}")
   }
 
   test("canonical dedup merges case/punctuation variants byte-exact dedup keeps apart") {
