@@ -2922,6 +2922,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "c76_top_similar_pairs" -> ((s, d) =>
+      // threshold-free "worst near-dups" ranking: top-20 pairs by exact
+      // integer milli-jaccard over the memoized shingle index
+      // (Dedup.topSimilarPairs scaladoc: co-count kernel + TakeOrdered
+      // per-task heaps, no full sort)
+      Dedup.topSimilarPairs(docShingleSets(s, d), k = 20)
+        .orderBy(col("milli_jaccard").desc, col("a"), col("b"))),
+
+    "c75_cc_stars" -> ((s, d) =>
+      // the SAME cluster assignment as c17, by the alternating
+      // large-star/small-star edge contraction instead of pointer
+      // jumping (Graph.connectedComponentsStars scaladoc) — one CC
+      // semantics, two at-scale algorithms against one oracle, the
+      // c02/c04/c67 pattern applied to graphs. Memoized c04 pair graph.
+      graft.operators.Graph.connectedComponentsStars(docJaccardPairs(s, d))
+        .select(col("node").as("doc_id"), col("cluster_rep"))
+        .orderBy(col("doc_id"))),
+
+    "c74_embedding_standardize" -> ((s, d) =>
+      // per-dimension z-score feature standardization, milli-quantized
+      // CSV output (Ann.standardizeEmbeddings scaladoc: exact micro-int
+      // stats in any agg order, fixed IEEE order for mu/sigma/z, 64-row
+      // stats shuffle + broadcast-back narrow apply)
+      graft.operators.Ann.standardizeEmbeddings(
+          t(s, d, "embeddings"), "vec_id", "embedding")
+        .orderBy(col("vec_id"))),
+
     "c72_embedding_decontam" -> ((s, d) => {
       // semantic decontamination: training vectors flagged when cosine vs
       // ANY eval vector (the modulo-97 held-out slice) reaches 0.35 —
@@ -3375,6 +3402,27 @@ object SparkEntry {
         |WHERE len(list_intersect(a.sh, b.sh)) >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))
         |ORDER BY a, b""".stripMargin
 
+  // recursive-CTE connected components over the c04 pair graph — shared by
+  // c17 (pointer jumping) and c75 (star contraction): one semantics, one
+  // oracle. INFEASIBLE in DuckDB at sf0.1 (35+ min) — sf0.01 gate only,
+  // see the CLAUDE.md ledger.
+  private val ccClustersSql =
+    shingleCte +
+      """,
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))),
+        |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
+        |r AS (
+        |  WITH RECURSIVE reach(id, x) AS (
+        |    SELECT src, src FROM e
+        |    UNION
+        |    SELECT e.src, reach.x FROM e JOIN reach ON reach.id = e.dst)
+        |  SELECT id, x FROM reach)
+        |SELECT id AS doc_id, min(x) AS cluster_rep
+        |FROM r GROUP BY id ORDER BY doc_id""".stripMargin
+
   // shared PQ construction (c59 encode, c60 search): micro-quantized
   // components, exact BIGINT squared L2, argmin tie-broken on code id,
   // ADC vs vec 0 — ends in a `pq(vec_id, c0..c3, adc_micro2)` relation
@@ -3609,6 +3657,30 @@ object SparkEntry {
     // semantic, three engines-worth of algorithms (c02 minhash approx,
     // c04 inverted index, c67 prefix filter) against one exact oracle
     "c67_prefix_jaccard" -> jaccardPairsSql,
+    // same micro-int stats, same two-step IEEE order (mu = s/n;
+    // var = ss/n - mu*mu; z = (m-mu)/sd), same milli round-half-up;
+    // dim is 1-based here vs 0-based in Spark but is only an
+    // engine-local join/order key, never output
+    "c74_embedding_standardize" ->
+      """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |             x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS m FROM embeddings),
+        |p AS (SELECT vec_id, unnest(list_transform(generate_series(1, len(m)),
+        |        i -> struct_pack(dim := i, mv := m[i]))) AS s FROM e),
+        |q AS (SELECT vec_id, s.dim AS dim, s.mv AS mv FROM p),
+        |st AS (SELECT dim, count(*) AS n, CAST(sum(mv) AS BIGINT) AS sm,
+        |         CAST(sum(mv * mv) AS BIGINT) AS ss FROM q GROUP BY dim),
+        |sd AS (SELECT dim, CAST(sm AS DOUBLE) / n AS mu,
+        |         sqrt(CAST(ss AS DOUBLE) / n
+        |           - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n)) AS sd
+        |       FROM st),
+        |z AS (SELECT q.vec_id, q.dim,
+        |        CASE WHEN sd.sd = 0 THEN 0
+        |             ELSE CAST(floor(1000 * ((CAST(q.mv AS DOUBLE) - sd.mu) / sd.sd) + 0.5) AS BIGINT)
+        |        END AS zv
+        |      FROM q JOIN sd USING (dim))
+        |SELECT vec_id, string_agg(CAST(zv AS VARCHAR), ',' ORDER BY dim) AS z_csv
+        |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
     // same split, same rounding convention as c05's cosine oracle
     "c72_embedding_decontam" ->
       """WITH ev AS (SELECT vec_id AS eid, embedding AS ev FROM embeddings WHERE vec_id % 97 = 1),
@@ -3959,22 +4031,24 @@ object SparkEntry {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // transitive closure of the exact-jaccard pair graph via recursive CTE;
     // min reachable id = cluster representative
-    "c17_dedup_clusters" ->
+    "c17_dedup_clusters" -> ccClustersSql,
+    // only pairs sharing >= 1 shingle can rank (jaccard > 0) — matches
+    // the Spark co-count kernel's support exactly; same integer milli
+    // score, same (a, b) tie-break
+    "c76_top_similar_pairs" ->
       (shingleCte +
         """,
-          |p AS (
-          |  SELECT a.doc_id AS a, b.doc_id AS b
-          |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-          |  WHERE len(list_intersect(a.sh, b.sh)) >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))),
-          |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
-          |r AS (
-          |  WITH RECURSIVE reach(id, x) AS (
-          |    SELECT src, src FROM e
-          |    UNION
-          |    SELECT e.src, reach.x FROM e JOIN reach ON reach.id = e.dst)
-          |  SELECT id, x FROM reach)
-          |SELECT id AS doc_id, min(x) AS cluster_rep
-          |FROM r GROUP BY id ORDER BY doc_id""".stripMargin),
+          |pp AS (
+          |  SELECT a.doc_id AS a, b.doc_id AS b,
+          |    len(list_intersect(a.sh, b.sh)) AS i,
+          |    len(list_distinct(list_concat(a.sh, b.sh))) AS u
+          |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+          |SELECT a, b, CAST((1000 * i) // u AS BIGINT) AS milli_jaccard
+          |FROM pp WHERE i > 0
+          |ORDER BY milli_jaccard DESC, a, b LIMIT 20""".stripMargin),
+    // c75 = the identical cluster assignment derived by star contraction
+    // instead of pointer jumping — one CC semantics, one oracle
+    "c75_cc_stars" -> ccClustersSql,
     "c18_dedup_apply" ->
       (shingleCte +
         """,

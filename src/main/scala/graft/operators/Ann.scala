@@ -206,6 +206,49 @@ object Ann {
         when(col("mx") === 0, lit(true))
           .otherwise(Similarity.cosine(col("v"), col("dq")) >= 0.995).as("recon_ok"))
 
+  /** Per-dimension z-score standardization of an embedding column — the
+    * feature-prep pass before distance-based work (clustering, ANN) when
+    * dimensions carry different scales. Output is milli-quantized
+    * (`z_milli = round(1000·(x−μ_d)/σ_d)`) packed back to one CSV string
+    * per vector (the c38 flat-representation convention for the gate).
+    *
+    * Determinism (c33/c38 pattern): components are micro-quantized to
+    * exact longs first, so per-dim n/Σ/Σ² are exact integers in any
+    * aggregation order; μ, σ and z then use a FIXED two-step IEEE order
+    * (μ = Σ/n; σ² = Σ²/n − μ·μ; z = (m−μ)/σ) that the oracle mirrors
+    * op-for-op. Constant dimensions (σ = 0) map to z = 0. Σ² bound:
+    * |x| ≤ 1 ⇒ m² ≤ 10¹²; safe to ~9·10⁶ rows per job in a long —
+    * beyond that, aggregate Σ² in DECIMAL(38,0) (the statistic is a
+    * two-long-counters monoid either way).
+    *
+    * Scale: the stats pass shuffles only the 64-row per-dim aggregate
+    * (map-side combined); the apply is a NARROW map — stats return as one
+    * broadcast row of dim-sorted (μ, σ) arrays (an audited 1-row
+    * bounded-broadcast, c19 shape) and the z transform runs element-wise
+    * inside the array, no explode, no second shuffle. */
+  def standardizeEmbeddings(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val e = df.select(col(idCol),
+      transform(col(vecCol), x => floor(x.cast("double") * 1e6 + 0.5).cast("long")).as("m"))
+    val pos = e.select(col(idCol), posexplode(col("m")).as(Seq("dim", "mv")))
+    val stats = pos.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("mv")).as("s"),
+        sum(col("mv") * col("mv")).as("ss"))
+    val mu = col("s").cast("double") / col("n")
+    val sd = sqrt(col("ss").cast("double") / col("n") - mu * mu)
+    val statsRow = stats.select(col("dim"), mu.as("mu"), sd.as("sd"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mu"), col("sd")))).as("st"))
+    e.crossJoin(broadcast(statsRow))
+      .select(col(idCol), concat_ws(",",
+        transform(col("m"), (mv, i) => {
+          val st = element_at(col("st"), i + 1)
+          when(st.getField("sd") === 0.0, lit(0L))
+            .otherwise(floor(lit(1000.0) *
+              ((mv.cast("double") - st.getField("mu")) / st.getField("sd")) + 0.5)
+              .cast("long"))
+            .cast("string")
+        })).as("z_csv"))
+  }
+
   /** Exact distributed cluster centroids — the k-means/IVF "update" step
     * with none of [[kmeansCentroids]]'s summation-order caveat. Each
     * member component is first snapped to an exact nano-scaled integer

@@ -317,6 +317,26 @@ object Dedup {
       .where(col("inter") >= (col("sza") + col("szb") - col("inter")) * threshold)
       .select(col("a"), col("b"))
 
+  /** Threshold-free similarity ranking: the k most similar document
+    * pairs in the corpus by exact shingle jaccard, scored in integer
+    * MILLI-jaccard (`(1000·inter) div union` — exact, engine-portable,
+    * and a total order with the (a, b) tie-break). The exploratory
+    * companion to the thresholded joins: "what are the worst near-dups"
+    * without guessing a cutoff first.
+    *
+    * Plan: the [[ngramJaccardPairsOf]] co-count kernel (capped inverted
+    * index — only pairs sharing ≥1 shingle are ever materialized, which
+    * is also exactly the set with jaccard > 0), then a global top-k —
+    * Spark plans TakeOrdered (per-task k-row heaps, no full sort,
+    * nothing single-partition until k rows). */
+  def topSimilarPairs(sets: DataFrame, k: Int = 20,
+                      maxPosting: Int = 10000): DataFrame =
+    cappedCoCounts(sets, maxPosting)
+      .select(col("a"), col("b"),
+        expr("(1000 * inter) div (sza + szb - inter)").as("milli_jaccard"))
+      .orderBy(col("milli_jaccard").desc, col("a"), col("b"))
+      .limit(k)
+
   /** Number of shingles whose document frequency exceeds `maxPosting` —
     * when 0, [[ngramJaccardPairs]] is exact over the full shingle universe.
     * An action; run it as a data-quality check, not in the query path. */

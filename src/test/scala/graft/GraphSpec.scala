@@ -96,6 +96,36 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCoreApprox(path, k = 2, rounds = 4).count() == 0L)
   }
 
+  test("star-contraction CC equals pointer-jumping CC on a deep chain") {
+    val s = spark; import s.implicits._
+    // a 300-node path is the pathological depth case for label
+    // propagation; both algorithms must collapse it to one component
+    val chain = (1L until 300L).map(i => (i, i + 1)).toDF("a", "b")
+    val stars = Graph.connectedComponentsStars(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val jump = graft.operators.Dedup.clusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars == jump, "algorithms diverged on the chain")
+    assert(stars.values.toSet == Set(1L))
+  }
+
+  test("star-contraction CC equals pointer-jumping CC on a random multi-component graph") {
+    val s = spark; import s.implicits._
+    // deterministic pseudo-random graph: ~150 edges over 120 nodes in 3
+    // id bands that never cross — several components of varied shape
+    val edges = (0 until 150).map { i =>
+      val band = i % 3
+      val u = band * 100 + (i * 37 % 40)
+      val v = band * 100 + (i * 53 % 40)
+      (u.toLong, v.toLong)
+    }.filter { case (u, v) => u != v }.toDF("a", "b")
+    val stars = Graph.connectedComponentsStars(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val jump = graft.operators.Dedup.clusters(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars == jump, s"diverged: ${stars.toSet.diff(jump.toSet)}")
+  }
+
   test("pageRankNano rejects unbounded iteration counts") {
     val (edges, nodes) = fixture
     intercept[IllegalArgumentException] {

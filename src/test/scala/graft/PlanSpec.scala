@@ -451,6 +451,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_"), s"HLL must map-side combine:\n$plan")
   }
 
+  test("embedding standardize: 64-row stats agg + 1-row broadcast apply, narrow transform") {
+    val plan = physicalPlan(SparkEntry.queries("c74_embedding_standardize")(spark, sf))
+    val bnljs = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnljs == 1, s"expected exactly the 1-row stats broadcast, got $bnljs:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"only the per-dim stats agg may hash-shuffle, got $hashEx:\n$plan")
+  }
+
+  test("top similar pairs: global top-k is TakeOrdered per-task heaps, never a full sort") {
+    val plan = physicalPlan(SparkEntry.queries("c76_top_similar_pairs")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrdered for the k-row cut:\n$plan")
+  }
+
   test("no query in the declared inventory collects to the driver") {
     // structural check: building every DataFrame must not trigger an action
     // (any collect-based operator would run here); constructing the plans on
