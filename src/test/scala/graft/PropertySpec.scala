@@ -214,4 +214,81 @@ class PropertySpec extends SparkSpec {
       assert(got.map(_._1).forall(b => b >= 0 && b < bins))
     }
   }
+
+  test("prefix-filtered jaccard equals brute force on random shingle sets (the pigeonhole law)") {
+    val s = spark; import s.implicits._
+    // random small-universe sets maximize collision/edge cases (equal
+    // sizes, threshold-boundary overlaps, identical sets)
+    val genSets: Gen[List[(Long, Set[Long])]] = Gen.nonEmptyListOf(for {
+      id <- Gen.choose(1L, 40L)
+      n <- Gen.choose(1, 10)
+      hs <- Gen.listOfN(n, Gen.choose(1L, 30L))
+    } yield (id, hs.toSet))
+    forAll(genSets) { raw =>
+      val rows = raw.groupBy(_._1).map { case (id, g) => (id, g.head._2) }.toSeq
+      val brute = (for {
+        (a, sa) <- rows; (b, sb) <- rows if a < b
+        inter = (sa & sb).size
+        if inter * 5L >= (sa.size + sb.size - inter) * 4L
+      } yield (a, b)).toSet
+      val df = rows.map { case (id, hs) => (id, hs.toArray) }.toDF("id", "hs")
+      val got = Dedup.prefixJaccardPairsOf(df, tNum = 4, tDen = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute, s"rows=$rows missing=${brute -- got} extra=${got -- brute}")
+    }
+  }
+
+  test("packGreedy: fills never exceed capacity (except oversized singletons), nothing lost, packs contiguous") {
+    val s = spark; import s.implicits._
+    val genDocs: Gen[List[(Long, Long)]] = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(1L, 500L), Gen.choose(1L, 60L)))
+    forAll(genDocs, Gen.oneOf(32L, 50L, 100L)) { (raw, cap) =>
+      val docs = raw.groupBy(_._1).map { case (id, g) => (id, id % 4, g.head._2) }.toSeq
+      val got = graft.operators.Pipeline
+        .packGreedy(docs.toDF("id", "shard", "w"), "id", "w", capacity = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.length == docs.size, "rows lost or duplicated")
+      got.groupBy(t => (t._2, t._3)).foreach { case ((sh, pk), members) =>
+        val fill = members.map(_._4).sum
+        assert(fill <= cap || members.length == 1,
+          s"overfull multi-doc pack shard=$sh pack=$pk fill=$fill")
+      }
+      // packs are contiguous in id order within a shard: pack ids are
+      // non-decreasing as ids increase
+      got.groupBy(_._2).values.foreach { ms =>
+        val byId = ms.sortBy(_._1).map(_._3)
+        assert(byId.zip(byId.drop(1)).forall { case (p, n) => p <= n }, byId.toString)
+      }
+    }
+  }
+
+  test("CDC chunking: chunks tile every position exactly once (lossless partition)") {
+    val s = spark; import s.implicits._
+    val genDoc: Gen[(Long, String)] = for {
+      id <- Gen.choose(1L, 200L)
+      n <- Gen.choose(2, 40)
+      toks <- Gen.listOfN(n, Gen.choose(0, 25).map(i => s"w$i"))
+    } yield (id, toks.mkString(" "))
+    forAll(Gen.nonEmptyListOf(genDoc)) { raw =>
+      val docs = raw.groupBy(_._1).map { case (id, g) => (id, g.head._2) }.toSeq
+      val got = Dedup.cdcChunkDedup(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+      docs.foreach { case (id, text) =>
+        val positions = math.max(0, text.split(" ").length - 1)
+        if (positions > 0) {
+          val (nChunks, dupTokens) = got(id)
+          assert(nChunks >= 1 && dupTokens <= positions,
+            s"doc $id: chunks=$nChunks dupTokens=$dupTokens positions=$positions")
+        } else assert(!got.contains(id), s"doc $id below window width must be absent")
+      }
+      // exact duplicate docs must see ALL their positions as duplicated
+      docs.groupBy(_._2).values.filter(_.size > 1).foreach { g =>
+        g.foreach { case (id, text) =>
+          val positions = text.split(" ").length - 1
+          assert(got(id)._2 == positions.toLong,
+            s"verbatim-duplicate doc $id not fully dup-covered: ${got(id)}")
+        }
+      }
+    }
+  }
 }
