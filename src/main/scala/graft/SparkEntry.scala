@@ -2922,6 +2922,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "c77_e2e_curation" -> ((s, d) => {
+      // the operators COMPOSED as a user would run them — the "prepare
+      // training shards" pipeline in one lazy plan: (1) canonicalizing
+      // dedup keeps each canonical group's min-id representative (c71's
+      // key, rank-1 window on the 60-bit hash); (2) a token-count
+      // quality band drops fragments (c29's shape); (3) survivors pack
+      // greedily into 128-token context windows per hash shard (c68).
+      // Every stage is the already-audited plan; composition adds no new
+      // shuffle class. Oracle = the same three stages in SQL.
+      val punct = ".,!?;:()\"'"
+      val canon = array_join(
+        filter(split(lower(translate(coalesce(col("text"), lit("")),
+          punct, " " * punct.length)), " "), x => x =!= ""), " ")
+      val ranked = t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          graft.functions.Text.tokenHash(canon).as("ck"),
+          size(graft.functions.Text.tokens(coalesce(col("text"), lit("")))).as("n_tok"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("ck")).orderBy(col("doc_id"))))
+      val survivors = ranked
+        .where(col("rn") === 1 && col("n_tok").between(20, 500))
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"), col("n_tok"))
+      graft.operators.Pipeline.packGreedy(survivors, "doc_id", "n_tok", capacity = 128L)
+        .select(col("doc_id"), col("shard"), col("pack"), col("n_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
     "c76_top_similar_pairs" -> ((s, d) =>
       // threshold-free "worst near-dups" ranking: top-20 pairs by exact
       // integer milli-jaccard over the memoized shingle index
@@ -3701,6 +3728,28 @@ object SparkEntry {
         |SELECT CAST(checkpoint AS BIGINT) AS checkpoint, CAST(count(*) AS BIGINT) AS vocab
         |FROM fs JOIN cp ON fs.first_doc < cp.checkpoint
         |GROUP BY 1 ORDER BY checkpoint""".stripMargin,
+
+    // the same three stages composed: c71's canonical key -> min-id rep
+    // (rank-1), c29-style token band, c68's per-shard recursive packing
+    "c77_e2e_curation" ->
+      """WITH RECURSIVE c AS (SELECT doc_id, text,
+        |  CAST(('0x' || substring(md5(array_to_string(list_filter(
+        |    string_split(lower(translate(coalesce(text, ''), '.,!?;:()"''', '          ')), ' '),
+        |    x -> x != ''), ' ')), 1, 15)) AS BIGINT) AS ck,
+        |  CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY ck ORDER BY doc_id) AS rn FROM c),
+        |surv AS (SELECT doc_id, doc_id % 8 AS shard, n_tok FROM r
+        |         WHERE rn = 1 AND n_tok BETWEEN 20 AND 500),
+        |o AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS srn FROM surv),
+        |p(shard, doc_id, n_tok, srn, pack, fill) AS (
+        |  SELECT shard, doc_id, n_tok, srn, CAST(0 AS BIGINT), n_tok FROM o WHERE srn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.doc_id, o.n_tok, o.srn,
+        |    CASE WHEN p.fill + o.n_tok > 128 THEN p.pack + 1 ELSE p.pack END,
+        |    CASE WHEN p.fill + o.n_tok > 128 THEN o.n_tok ELSE p.fill + o.n_tok END
+        |  FROM p JOIN o ON o.shard = p.shard AND o.srn = p.srn + 1)
+        |SELECT doc_id, shard, pack, n_tok FROM p ORDER BY doc_id""".stripMargin,
 
     // same fixed ASCII canonicalization (lower + 10-char punctuation map +
     // empty-token drop), same 60-bit md5 group key
