@@ -2922,6 +2922,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "c78_stream_cms_parity" -> ((s, d) =>
+      // batch parity for the STREAM-maintained count-min sketch
+      // (Streams.streamCountMinCells over user ids, d=4 × width=64):
+      // cell addition commutes, so the drained complete-mode stream
+      // equals this batch build cell-for-cell (StreamingSpec). The
+      // engine-portable md5 bucket hash makes the whole grid
+      // oracle-checkable — exact cells, not just bounds.
+      graft.functions.CountMin.build(
+          t(s, d, "events").select(col("user_id").cast("string").as("tok")),
+          "tok", d = 4, width = 64)
+        .orderBy(col("r"), col("bucket"))),
+
     "c77_e2e_curation" -> ((s, d) => {
       // the operators COMPOSED as a user would run them — the "prepare
       // training shards" pipeline in one lazy plan: (1) canonicalizing
@@ -3728,6 +3740,15 @@ object SparkEntry {
         |SELECT CAST(checkpoint AS BIGINT) AS checkpoint, CAST(count(*) AS BIGINT) AS vocab
         |FROM fs JOIN cp ON fs.first_doc < cp.checkpoint
         |GROUP BY 1 ORDER BY checkpoint""".stripMargin,
+
+    // same md5 bucket rule ('r:tok' 60-bit mod width) — exact cell grid
+    "c78_stream_cms_parity" ->
+      """WITH tk AS (SELECT CAST(user_id AS VARCHAR) AS tok FROM events),
+        |x AS (SELECT CAST(g.r AS INTEGER) AS r,
+        |        CAST(('0x' || substring(md5(CAST(g.r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 64 AS bucket
+        |      FROM tk CROSS JOIN generate_series(0, 3) g(r))
+        |SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |FROM x GROUP BY r, bucket ORDER BY r, bucket""".stripMargin,
 
     // the same three stages composed: c71's canonical key -> min-id rep
     // (rank-1), c29-style token band, c68's per-shard recursive packing

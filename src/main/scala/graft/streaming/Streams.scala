@@ -63,6 +63,20 @@ object Streams {
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
       .select(col("window.start").as("window_start"), col("approx_users"))
 
+  /** Count-min sketch maintained BY A STREAM: the CMS cell grid
+    * (r, bucket) → cnt is a pure counting monoid, so it is just a
+    * complete-mode streaming aggregation of [[graft.functions.CountMin]]'s
+    * cell expansion — no custom state machine, and because cell addition
+    * commutes, the drained stream's table equals the batch-built sketch
+    * CELL-FOR-CELL in any arrival order (asserted in StreamingSpec;
+    * batch parity oracle = c78). State is the fixed d·width grid — a few
+    * KB regardless of stream length, the whole point of sketching a
+    * stream. */
+  def streamCountMinCells(events: DataFrame, keyCol: String,
+                          d: Int = 4, width: Int = 64): DataFrame =
+    graft.functions.CountMin.build(
+      events.select(col(keyCol).cast("string").as("tok")), "tok", d, width)
+
   /** Streaming dedup within the watermark horizon. */
   def streamDedup(events: DataFrame, delay: String): DataFrame =
     events.withWatermark("ts", delay)

@@ -465,6 +465,14 @@ class PlanSpec extends SparkSpec {
       s"expected TakeOrdered for the k-row cut:\n$plan")
   }
 
+  test("e2e curation: composition adds no shuffle class — rep window, pack exchange, fold") {
+    val plan = physicalPlan(SparkEntry.queries("c77_e2e_curation")(spark, sf))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 2, s"expected ck-window + shard exchanges only, got $hashEx:\n$plan")
+    assert(plan.contains("MapPartitions"), s"packing fold missing:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("no query in the declared inventory collects to the driver") {
     // structural check: building every DataFrame must not trigger an action
     // (any collect-based operator would run here); constructing the plans on

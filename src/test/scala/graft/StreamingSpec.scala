@@ -175,6 +175,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("c78: stream-maintained count-min cells equal the batch sketch cell-for-cell") {
+    // CMS cell addition commutes, so a complete-mode streaming
+    // aggregation of the cell expansion must land on the exact batch
+    // grid regardless of micro-batch boundaries
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms-stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val schema = s.read.parquet(s"$sf/events.parquet").schema
+    val stream = graft.sources.Tables.normalizeEventsTs(
+      s.readStream.schema(schema).parquet(dir.toString))
+    val out = Streams.streamCountMinCells(stream, "user_id", d = 4, width = 64)
+    val q = out.writeStream.format("memory").queryName("cmsparity")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = s.sql("SELECT r, bucket, cnt FROM cmsparity")
+        .orderBy("r", "bucket").collect().map(_.toSeq).toSeq
+      val batch = graft.functions.CountMin.build(
+          graft.sources.Tables.t(s, sf, "events")
+            .select(col("user_id").cast("string").as("tok")), "tok", 4, 64)
+        .orderBy("r", "bucket").collect().map(_.toSeq).toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"stream cells=${streamed.length} != batch cells=${batch.length}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions with counts") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
