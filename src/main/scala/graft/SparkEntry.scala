@@ -2934,6 +2934,52 @@ object SparkEntry {
           "tok", d = 4, width = 64)
         .orderBy(col("r"), col("bucket"))),
 
+    "c79_cms_join_size" -> ((s, d) =>
+      // self-join size (F2) read off the c78 count-min cells — the
+      // query-planner "will this join explode, do I need b47 salting"
+      // estimate from d·width integers instead of running the join.
+      // 150 distinct users > width 64 forces collisions, so est > exact
+      // strictly (non-vacuous); both bound booleans are theorem-
+      // guaranteed and the estimate itself is a deterministic integer
+      // under the portable md5 bucket rule (CountMin.selfJoinSizeAudit
+      // scaladoc)
+      graft.functions.CountMin.selfJoinSizeAudit(
+        t(s, d, "events").select(col("user_id").cast("string").as("tok")),
+        "tok", d = 4, width = 64)),
+
+    "b80_heavy_hitters" -> ((s, d) => {
+      // Misra–Gries bounded-state heavy hitters over the lang column
+      // (en ≈ 44% by construction — a real heavy hitter at every sf):
+      // k = 2 < 5 distinct values forces constant evictions/merge
+      // truncations, and the output is the THEOREM-GUARANTEED audit
+      // (capture of every lang with cnt·(k+1) > n; error ≤ n/(k+1)) —
+      // never the order-dependent raw estimates (Folds.MisraGries
+      // scaladoc). Oracle = exact counts + literal TRUE booleans.
+      val docs = t(s, d, "documents").select(coalesce(col("lang"), lit("")).as("lang"))
+      val mg = udaf(new graft.functions.Folds.MisraGries(2))
+      val summary = docs.agg(mg(col("lang")).as("mg"))
+        .select(explode(col("mg.entries")).as("e"))
+        .select(col("e.tok").as("lang"), col("e.est").as("est"))
+      val est0 = coalesce(col("est"), lit(0L))
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+        .join(summary, Seq("lang"), "left")
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+        .select(col("lang"), col("cnt"),
+          (col("cnt") * 3 > col("n")).as("is_heavy"),
+          (!(col("cnt") * 3 > col("n")) || est0 > 0).as("captured"),
+          (est0 <= col("cnt") && (col("cnt") - est0) * 3 <= col("n")).as("bound_ok"))
+        .orderBy(col("lang"))
+    }),
+
+    "c80_jl_projection" -> ((s, d) =>
+      // hash-sign Johnson–Lindenstrauss projection 64 → 16 dims — the
+      // seed-free, matrix-free pre-LSH dimensionality reducer
+      // (Ann.jlProjectHashSign scaladoc: sign matrix computed once on a
+      // 1-row broadcast, per-row integer fold, zero shuffle)
+      graft.operators.Ann.jlProjectHashSign(
+          t(s, d, "embeddings"), "vec_id", "embedding", outDims = 16)
+        .orderBy(col("vec_id"), col("j"))),
+
     "c77_e2e_curation" -> ((s, d) => {
       // the operators COMPOSED as a user would run them — the "prepare
       // training shards" pipeline in one lazy plan: (1) canonicalizing
@@ -3749,6 +3795,46 @@ object SparkEntry {
         |      FROM tk CROSS JOIN generate_series(0, 3) g(r))
         |SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
         |FROM x GROUP BY r, bucket ORDER BY r, bucket""".stripMargin,
+
+    // same cells as c78; est = min_r Σ_b cell², exact = Σ f² — both exact
+    // integers, so the audit booleans are engine-trivial
+    "c79_cms_join_size" ->
+      """WITH tk AS (SELECT CAST(user_id AS VARCHAR) AS tok FROM events),
+        |cells AS (SELECT g.r AS r,
+        |    CAST(('0x' || substring(md5(CAST(g.r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 64 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tk CROSS JOIN generate_series(0, 3) g(r) GROUP BY 1, 2),
+        |re AS (SELECT r, CAST(sum(cnt * cnt) AS BIGINT) AS row_est FROM cells GROUP BY r),
+        |es AS (SELECT min(row_est) AS est_f2 FROM re),
+        |ex AS (SELECT CAST(sum(c) AS BIGINT) AS n_toks, CAST(sum(c * c) AS BIGINT) AS exact_f2
+        |       FROM (SELECT count(*) AS c FROM tk GROUP BY tok))
+        |SELECT n_toks, exact_f2, est_f2, est_f2 >= exact_f2 AS one_sided_ok,
+        |  (est_f2 - exact_f2) * 64 <= 4 * n_toks * n_toks AS bound_ok
+        |FROM ex, es""".stripMargin,
+
+    // exact counts + literal TRUE for the theorem-guaranteed audit bits
+    // (capture and error bound hold at ANY merge order — Folds.MisraGries)
+    "b80_heavy_hitters" ->
+      """WITH dl AS (SELECT coalesce(lang, '') AS lang FROM documents),
+        |n AS (SELECT count(*) AS nn FROM dl)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+        |  (count(*) * 3 > n.nn) AS is_heavy,
+        |  TRUE AS captured, TRUE AS bound_ok
+        |FROM dl, n GROUP BY lang, n.nn ORDER BY lang""".stripMargin,
+
+    // same micro-quantization (c74's grid) and the same md5 sign rule:
+    // sign(j,i) = 1 - 2*bit_{i mod 30}(md5_60('jl:j:' || i//30))
+    "c80_jl_projection" ->
+      """WITH x AS (SELECT vec_id, g.i AS i,
+        |    CAST(floor(CAST(embedding[g.i + 1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q
+        |  FROM embeddings CROSS JOIN generate_series(0, 63) g(i)),
+        |s AS (SELECT gj.j AS j, gi.i AS i,
+        |    1 - 2 * ((CAST(('0x' || substring(md5('jl:' || CAST(gj.j AS VARCHAR) || ':' ||
+        |        CAST((gi.i // 30) AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      >> CAST((gi.i % 30) AS INTEGER)) & 1) AS sgn
+        |  FROM generate_series(0, 15) gj(j) CROSS JOIN generate_series(0, 63) gi(i))
+        |SELECT x.vec_id, CAST(s.j AS INTEGER) AS j, CAST(sum(s.sgn * x.q) AS BIGINT) AS y
+        |FROM x JOIN s ON x.i = s.i GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin,
 
     // the same three stages composed: c71's canonical key -> min-id rep
     // (rank-1), c29-style token band, c68's per-shard recursive packing

@@ -38,6 +38,38 @@ object CountMin {
       .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** Self-join-size (second frequency moment, F2 = Σ_x f(x)²) estimated
+    * FROM THE SKETCH — the classic query-planner use of CMS (Alon–Matias–
+    * Szegedy's F2, read off count-min cells): |R ⋈_key R| predicts whether
+    * a planned join explodes and needs salting (b47) BEFORE running it,
+    * from d·width integers instead of a vocabulary-sized groupBy. The
+    * estimate is min over rows r of Σ_b cell[r,b]² ; each colliding pair
+    * only ADDS cross-terms, so est ≥ F2 ALWAYS (one-sided, like point
+    * estimates), and E[overcount per row] = (F1² − F2)/width, so
+    * `min` over d independent rows lands within 4·F1²/width except with
+    * probability ≤ 4^−d (Markov per row). Because the cells use the
+    * engine-portable md5 bucket rule, the estimate itself is a
+    * deterministic integer — the audit checks BOTH bounds as booleans any
+    * engine reproduces (the b18/c52 calibration pattern).
+    *
+    * Plan: the sketch build's one partial-aggregated groupBy (≤ d·width
+    * cells), a ≤ d-row row-sum agg, one broadcast of the 1-row estimate
+    * onto the 1-row exact audit side. The exact F2 leg exists only to
+    * audit; the production path is the cells-only estimate with fixed
+    * state. */
+  def selfJoinSizeAudit(toks: DataFrame, tokCol: String, d: Int, width: Int): DataFrame = {
+    val est = build(toks, tokCol, d, width)
+      .groupBy(col("r")).agg(sum(col("cnt") * col("cnt")).as("row_est"))
+      .agg(min(col("row_est")).as("est_f2"))
+    toks.groupBy(col(tokCol)).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_toks"), sum(col("c") * col("c")).as("exact_f2"))
+      .crossJoin(broadcast(est))
+      .select(col("n_toks"), col("exact_f2"), col("est_f2"),
+        (col("est_f2") >= col("exact_f2")).as("one_sided_ok"),
+        ((col("est_f2") - col("exact_f2")) * width <=
+          lit(4L) * col("n_toks") * col("n_toks")).as("bound_ok"))
+  }
+
   /** Point-estimate frequencies for `queries`' tokens: min over the d
     * cells each token hashes to. The sketch (≤ d·width rows) is broadcast;
     * the query side never shuffles. A queried token that was never counted

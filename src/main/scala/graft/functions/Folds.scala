@@ -16,6 +16,60 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object Folds {
 
+  case class MgEntry(tok: String, est: Long)
+  case class MgSummary(entries: Seq[MgEntry])
+
+  /** Misra–Gries heavy-hitter summary — the bounded-state frequency-TOP
+    * sketch that completes the family next to HLL (b18, distinct), GK
+    * (b36, quantiles), Bloom (c34, membership) and count-min (c42/c78,
+    * point frequency): at most `k` (token, count) entries regardless of
+    * stream length, with the two-sided guarantee
+    *
+    *   f(x) − n/(k+1)  ≤  est(x)  ≤  f(x)        (absent ⇒ est = 0)
+    *
+    * so every token with f(x) > n/(k+1) is GUARANTEED present. Both the
+    * per-element fold (decrement-all on overflow removes k+1 units of
+    * mass, so ≤ n/(k+1) decrement rounds) and the cross-partition `merge`
+    * (cell-wise add, then subtract the (k+1)-th largest count — the
+    * mergeable-summaries construction of Agarwal et al., PODS'12) preserve
+    * the bound, which is what makes it distribute: O(k) state per
+    * partition, one tally shuffle, NO token→count map proportional to the
+    * vocabulary. At 100 TB the exact groupBy costs a vocabulary-sized
+    * shuffle; this costs k entries per task.
+    *
+    * The summary CONTENT depends on fold/merge order (est values may
+    * differ run to run) — only the theorem-guaranteed audit facts
+    * (capture of true heavies, error ≤ n/(k+1), size ≤ k) are
+    * deterministic, so queries must output those, never raw `est`
+    * (b80's shape; asserted under varying partitioning in
+    * EquivalenceSpec). */
+  class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], MgSummary] {
+    require(k >= 1, s"need k >= 1, got $k")
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], tok: String): Map[String, Long] =
+      b.get(tok) match {
+        case Some(c)             => b.updated(tok, c + 1)
+        case None if b.size < k  => b.updated(tok, 1L)
+        case None => // decrement-all: removes k+1 units (k stored + the arrival)
+          b.flatMap { case (t, c) => if (c > 1) Some(t -> (c - 1)) else None }
+      }
+    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
+      val sum = (x.keySet ++ y.keySet).iterator
+        .map(t => t -> (x.getOrElse(t, 0L) + y.getOrElse(t, 0L))).toMap
+      if (sum.size <= k) sum
+      else {
+        val d = sum.values.toSeq.sorted(Ordering[Long].reverse)(k) // (k+1)-th largest
+        sum.flatMap { case (t, c) => if (c - d > 0) Some(t -> (c - d)) else None }
+      }
+    }
+    override def finish(t: Map[String, Long]): MgSummary =
+      MgSummary(t.toSeq.sortBy { case (tk, c) => (-c, tk) }
+        .map { case (tk, c) => MgEntry(tk, c) })
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      Encoders.kryo[Map[String, Long]]
+    override def outputEncoder: Encoder[MgSummary] = Encoders.product[MgSummary]
+  }
+
   /** Weighted mean with a (sum, weight) tally — not expressible as a single
     * built-in aggregate (sum(xw)/sum(w) needs two passes or this). */
   class WeightedMean extends Aggregator[(Double, Double), (Double, Double), Double] {

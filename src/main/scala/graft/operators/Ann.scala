@@ -249,6 +249,49 @@ object Ann {
         })).as("z_csv"))
   }
 
+  /** Johnson–Lindenstrauss dimensionality reduction with a HASH-SIGN (±1)
+    * projection matrix: y_j = Σ_i sign(j,i)·q_i where q_i is the per-row
+    * micro-quantized component (`floor(x·10⁶+0.5)` — the c74 grid) and
+    * sign(j,i) ∈ {−1,+1} is a BIT of the engine-portable 60-bit md5 hash
+    * of (j, i div 30) — a seed-free, materialization-free projection
+    * matrix (Achlioptas'01 database-friendly JL: ±1 entries preserve
+    * pairwise distances within (1±ε) for k = O(log n / ε²)). This is the
+    * pre-LSH scale lever: at 100 TB, shrinking 64-dim vectors to
+    * `outDims` before [[Dedup]]'s hyperplane LSH or [[ivfTopK]] cuts every
+    * downstream signature/centroid cost by dims-ratio with a GUARANTEED
+    * distance distortion, and because both the quantization and the sign
+    * bits are deterministic integer arithmetic, the projection is
+    * bit-identical on any engine, at any parallelism — no stored matrix
+    * to version or ship.
+    *
+    * Plan: the 16×64 sign matrix is computed ONCE on a 1-row frame
+    * (nested `transform` over literal index sequences — 2 md5 calls per
+    * (j, 30-bit block), ~64 total) and broadcast; the projection itself
+    * is a NARROW per-row fold (`aggregate` over the vector positions) —
+    * zero shuffle, no per-row hashing. The only join is the audited
+    * 1-row bounded-broadcast crossJoin (the c74 statsRow shape). */
+  def jlProjectHashSign(df: DataFrame, idCol: String, vecCol: String,
+                        outDims: Int, inDims: Int = 64): DataFrame = {
+    // sign(j, i) = 1 − 2·bit_{i mod 30}( md5_60("jl:j:(i div 30)") )
+    def sgn(j: Column, i: Column): Column = {
+      val h = conv(substring(md5(concat(lit("jl:"), j.cast("string"), lit(":"),
+        call_function("div", i.cast("long"), lit(30L)).cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+      lit(1L) - lit(2L) * call_function("shiftright", h, pmod(i, lit(30)).cast("int"))
+        .bitwiseAND(lit(1L))
+    }
+    val signMatrix = df.sparkSession.range(1).select(
+      transform(sequence(lit(0), lit(outDims - 1)), j =>
+        transform(sequence(lit(0), lit(inDims - 1)), i => sgn(j, i))).as("sg"))
+    df.crossJoin(broadcast(signMatrix))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(outDims - 1)), j =>
+          aggregate(sequence(lit(0), lit(inDims - 1)), lit(0L), (acc, i) =>
+            acc + element_at(element_at(col("sg"), j + 1), i + 1) *
+              floor(element_at(col(vecCol), (i + 1).cast("int")).cast("double") * 1e6 + 0.5)
+                .cast("long")))).as(Seq("j", "y")))
+  }
+
   /** Exact distributed cluster centroids — the k-means/IVF "update" step
     * with none of [[kmeansCentroids]]'s summation-order caveat. Each
     * member component is first snapped to an exact nano-scaled integer

@@ -23,7 +23,9 @@ class EquivalenceSpec extends SparkSpec {
     "c11_fingerprint", "c19_tfidf", "c21_mm_resize", "c22_ann_lsh",
     "c23_split_assign", "c24_pack_shards", "c26_stratified_sample",
     // late-r5 additions with new kernels / bitwise hot paths
-    "c44_dup_spans", "c45_pagerank", "c46_bigrams", "b61_zorder_key")
+    "c44_dup_spans", "c45_pagerank", "c46_bigrams", "b61_zorder_key",
+    // late-r8: new integer kernels (md5 sign fold, sketch-cell algebra)
+    "c80_jl_projection", "c79_cms_join_size")
 
   test("codegen on/off produce identical results for representative queries") {
     keys.foreach { name =>
@@ -47,6 +49,64 @@ class EquivalenceSpec extends SparkSpec {
     // empty input -> NaN, not a crash
     val empty = data.where(lit(false)).agg(agg(col("x"), col("w"))).first().getDouble(0)
     assert(empty.isNaN)
+  }
+
+  test("MisraGries: audit facts hold at every partitioning; exact when k >= distinct") {
+    val s = spark; import s.implicits._
+    // skewed stream: a=500, b=300, 50 singletons; n=850
+    val toks = (Seq.fill(500)("a") ++ Seq.fill(300)("b") ++
+      (1 to 50).map(i => s"t$i")).toDF("tok")
+    val exact = (("a", 500L) :: ("b", 300L) :: (1 to 50).map(i => (s"t$i", 1L)).toList).toMap
+    val n = 850L
+    val k = 10
+    val agg = udaf(new Folds.MisraGries(k))
+    for (parts <- Seq(1, 7, 32)) {
+      val sm = toks.repartition(parts).agg(agg(col("tok")))
+        .first().getStruct(0).getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(sm.size <= k, s"state ${sm.size} > k at parts=$parts")
+      exact.foreach { case (t, f) =>
+        val est = sm.getOrElse(t, 0L)
+        assert(est <= f && (f - est) * (k + 1) <= n,
+          s"bound violated for $t at parts=$parts: est=$est f=$f")
+        if (f * (k + 1) > n) assert(est > 0, s"heavy $t dropped at parts=$parts")
+      }
+    }
+    // k >= distinct: no eviction can ever fire -> exact counts, any order
+    val big = udaf(new Folds.MisraGries(60))
+    val sm = toks.repartition(13).agg(big(col("tok")))
+      .first().getStruct(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sm == exact)
+  }
+
+  test("CMS selfJoinSizeAudit: one-sided and bound booleans; forced collisions overcount") {
+    val s = spark; import s.implicits._
+    // 10 distinct >> width 2 -> certain collisions -> est strictly above
+    val toks = (1 to 10).flatMap(i => Seq.fill(i)(s"k$i")).toDF("tok")
+    val r = graft.functions.CountMin.selfJoinSizeAudit(toks, "tok", d = 2, width = 2).first()
+    val (exact, est) = (r.getAs[Long]("exact_f2"), r.getAs[Long]("est_f2"))
+    assert(r.getAs[Long]("n_toks") == 55L && exact == (1 to 10).map(i => i.toLong * i).sum)
+    assert(est > exact && r.getAs[Boolean]("one_sided_ok") && r.getAs[Boolean]("bound_ok"))
+  }
+
+  test("jlProjectHashSign matches a manual md5 sign computation") {
+    val s = spark
+    val emb = graft.sources.Tables.t(s, sf, "embeddings")
+      .where(col("vec_id") === 0).select("vec_id", "embedding")
+    val got = graft.operators.Ann.jlProjectHashSign(emb, "vec_id", "embedding", outDims = 16)
+      .orderBy("j").collect().map(r => r.getAs[Long]("y"))
+    val vec = emb.first().getSeq[Float](1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(sin: String): Long = java.lang.Long.parseLong(
+      md.digest(sin.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15), 16)
+    val want = (0 until 16).map { j =>
+      (0 until 64).map { i =>
+        val sgn = 1L - 2L * ((h60(s"jl:$j:${i / 30}") >> (i % 30)) & 1L)
+        sgn * math.floor(vec(i).toDouble * 1e6 + 0.5).toLong
+      }.sum
+    }
+    assert(got.toSeq == want, s"got=${got.toSeq}\nwant=$want")
   }
 
   test("ModProduct aggregator is exact and partition-order independent") {

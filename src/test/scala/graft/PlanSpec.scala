@@ -459,6 +459,22 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 1, s"only the per-dim stats agg may hash-shuffle, got $hashEx:\n$plan")
   }
 
+  test("jl projection: narrow per-row fold — 1-row sign broadcast, zero hash shuffle") {
+    val plan = physicalPlan(SparkEntry.queries("c80_jl_projection")(spark, sf))
+    val bnljs = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnljs == 1, s"expected exactly the 1-row sign-matrix broadcast, got $bnljs:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"projection must not hash-shuffle (narrow map only):\n$plan")
+  }
+
+  test("cms join-size: sketch-cell aggs only — no join of the token table with itself") {
+    val plan = physicalPlan(SparkEntry.queries("c79_cms_join_size")(spark, sf))
+    val bnljs = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnljs == 1, s"expected exactly the 1-row estimate broadcast, got $bnljs:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the join being sized must never be executed:\n$plan")
+  }
+
   test("top similar pairs: global top-k is TakeOrdered per-task heaps, never a full sort") {
     val plan = physicalPlan(SparkEntry.queries("c76_top_similar_pairs")(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"),
