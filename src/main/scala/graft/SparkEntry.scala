@@ -2980,6 +2980,38 @@ object SparkEntry {
           t(s, d, "embeddings"), "vec_id", "embedding", outDims = 16)
         .orderBy(col("vec_id"), col("j"))),
 
+    "c81_cms_join_size_2t" -> ((s, d) =>
+      // cross-table join-size estimate — |events ⋈ customer| on the user
+      // key as the INNER PRODUCT of two c78-style sketches (min_r over
+      // Σ_b cellA·cellB): the two-100-TB-tables planner estimate from
+      // 2·d·width integers, no raw-row join executed
+      // (CountMin.joinSizeAudit scaladoc). Domains overlap partially
+      // (user_id 0..149 vs c_custkey 1..N), so exact_join is nontrivial.
+      graft.functions.CountMin.joinSizeAudit(
+        t(s, d, "events").select(col("user_id").cast("string").as("tok")),
+        t(s, d, "customer").select(col("c_custkey").cast("string").as("tok")),
+        "tok", d = 4, width = 64)),
+
+    "b81_skew_profile" -> ((s, d) =>
+      // key-skew diagnostic (Scale.keySkewProfile scaladoc): max/mean
+      // ratio + Gini over the key distribution, integer-exact and
+      // tie-insensitive — what you read before choosing b47 salting /
+      // AQE skew split, next to c79's join-size estimate
+      graft.operators.Scale.keySkewProfile(
+        t(s, d, "events").select(col("user_id")), "user_id")),
+
+    "c82_jl_lsh_pairs" -> ((s, d) =>
+      // the scale path COMPOSED end-to-end: JL 64→16 integer projection
+      // (c80) → exact-integer hyperplane signatures → banded bucket
+      // self-join → in-stream exact cosine verify on the ORIGINAL
+      // vectors, c05's 6dp contract (Ann.jlLshPairs scaladoc). Fully
+      // deterministic — the oracle replays the identical integer
+      // signature pipeline, so this checks the composition exactly, not
+      // just its recall.
+      graft.operators.Ann.jlLshPairs(
+          t(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.35)
+        .orderBy(col("a"), col("b"))),
+
     "c77_e2e_curation" -> ((s, d) => {
       // the operators COMPOSED as a user would run them — the "prepare
       // training shards" pipeline in one lazy plan: (1) canonicalizing
@@ -3835,6 +3867,77 @@ object SparkEntry {
         |  FROM generate_series(0, 15) gj(j) CROSS JOIN generate_series(0, 63) gi(i))
         |SELECT x.vec_id, CAST(s.j AS INTEGER) AS j, CAST(sum(s.sgn * x.q) AS BIGINT) AS y
         |FROM x JOIN s ON x.i = s.i GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin,
+
+    // inner product of the two cell grids, same md5 bucket rule
+    "c81_cms_join_size_2t" ->
+      """WITH ta AS (SELECT CAST(user_id AS VARCHAR) AS tok FROM events),
+        |tb AS (SELECT CAST(c_custkey AS VARCHAR) AS tok FROM customer),
+        |ca AS (SELECT g.r AS r,
+        |    CAST(('0x' || substring(md5(CAST(g.r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 64 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS ca
+        |  FROM ta CROSS JOIN generate_series(0, 3) g(r) GROUP BY 1, 2),
+        |cb AS (SELECT g.r AS r,
+        |    CAST(('0x' || substring(md5(CAST(g.r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 64 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cb
+        |  FROM tb CROSS JOIN generate_series(0, 3) g(r) GROUP BY 1, 2),
+        |re AS (SELECT ca.r, CAST(sum(ca.ca * cb.cb) AS BIGINT) AS row_est
+        |       FROM ca JOIN cb ON ca.r = cb.r AND ca.bucket = cb.bucket GROUP BY 1),
+        |es AS (SELECT min(row_est) AS est_join FROM re),
+        |fa AS (SELECT tok, count(*) AS fa FROM ta GROUP BY 1),
+        |fb AS (SELECT tok, count(*) AS fb FROM tb GROUP BY 1),
+        |ex AS (SELECT CAST(coalesce(sum(fa.fa * fb.fb), 0) AS BIGINT) AS exact_join
+        |       FROM fa JOIN fb ON fa.tok = fb.tok),
+        |sa AS (SELECT CAST(count(*) AS BIGINT) AS na FROM ta),
+        |sb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM tb)
+        |SELECT na, nb, exact_join, est_join, est_join >= exact_join AS one_sided_ok,
+        |  (est_join - exact_join) * 64 <= 4 * na * nb AS bound_ok
+        |FROM ex, sa, sb, es""".stripMargin,
+
+    // gini over counts sorted asc is tie-insensitive (equal counts commute
+    // in sum(i*c)), so row_number tie order is immaterial; all-integer with
+    // one final floor division of non-negative operands (the b77 note)
+    "b81_skew_profile" ->
+      """WITH c AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c, k) AS i FROM c),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(c) AS BIGINT) AS n,
+        |        CAST(max(c) AS BIGINT) AS mx, CAST(sum(i * c) AS BIGINT) AS s1 FROM r)
+        |SELECT m AS n_keys, n AS n_rows, mx AS max_cnt,
+        |  (1000 * mx * m) // n AS skew_milli,
+        |  (1000 * (2 * s1 - (m + 1) * n)) // (m * n) AS gini_milli
+        |FROM a""".stripMargin,
+
+    // replay of the full integer signature pipeline: c80's projection,
+    // the 'hp'-salted sign family, 4-bit band sigs, then c05's verify
+    "c82_jl_lsh_pairs" ->
+      """WITH e AS (SELECT vec_id AS id, embedding FROM embeddings),
+        |x AS (SELECT id, g.i AS i,
+        |    CAST(floor(CAST(embedding[g.i + 1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q
+        |  FROM e CROSS JOIN generate_series(0, 63) g(i)),
+        |sj AS (SELECT gj.j AS j, gi.i AS i,
+        |    1 - 2 * ((CAST(('0x' || substring(md5('jl:' || CAST(gj.j AS VARCHAR) || ':' ||
+        |        CAST((gi.i // 30) AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      >> CAST((gi.i % 30) AS INTEGER)) & 1) AS sgn
+        |  FROM generate_series(0, 15) gj(j) CROSS JOIN generate_series(0, 63) gi(i)),
+        |y AS (SELECT x.id, sj.j AS j, CAST(sum(sj.sgn * x.q) AS BIGINT) AS y
+        |      FROM x JOIN sj ON x.i = sj.i GROUP BY 1, 2),
+        |hp AS (SELECT gt.t AS t, gj.j AS j,
+        |    1 - 2 * ((CAST(('0x' || substring(md5('hp:' || CAST(gt.t AS VARCHAR) || ':' ||
+        |        CAST((gj.j // 30) AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      >> CAST((gj.j % 30) AS INTEGER)) & 1) AS sgn
+        |  FROM generate_series(0, 15) gt(t) CROSS JOIN generate_series(0, 15) gj(j)),
+        |bits AS (SELECT y.id, hp.t AS t,
+        |    CASE WHEN sum(hp.sgn * y.y) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM y JOIN hp ON y.j = hp.j GROUP BY 1, 2),
+        |sigs AS (SELECT id, t // 4 AS band,
+        |    CAST(sum(bit * (1 << CAST(t % 4 AS INTEGER))) AS BIGINT) AS sig
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT sa.id AS a, sb.id AS b FROM sigs sa
+        |  JOIN sigs sb ON sa.band = sb.band AND sa.sig = sb.sig AND sa.id < sb.id)
+        |SELECT cand.a, cand.b FROM cand
+        |JOIN e ea ON ea.id = cand.a JOIN e eb ON eb.id = cand.b
+        |WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |  CAST(eb.embedding AS DOUBLE[])), 6) >= 0.35
+        |ORDER BY a, b""".stripMargin,
 
     // the same three stages composed: c71's canonical key -> min-id rep
     // (rank-1), c29-style token band, c68's per-shard recursive packing

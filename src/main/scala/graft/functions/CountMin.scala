@@ -70,6 +70,36 @@ object CountMin {
           lit(4L) * col("n_toks") * col("n_toks")).as("bound_ok"))
   }
 
+  /** Cross-table join-size estimation from two sketches — the two-table
+    * generalization of [[selfJoinSizeAudit]]: |A ⋈_key B| = Σ_x f_A(x)·f_B(x)
+    * is the INNER PRODUCT of the frequency vectors, estimated as
+    * min_r Σ_b cellA[r,b]·cellB[r,b]. Collisions only add non-negative
+    * cross-terms (est ≥ exact always); E[overcount per row] ≤ nA·nB/width.
+    * This is how a planner sizes a join between two 100 TB tables from
+    * 2·d·width integers built in one scan each — the sketches can even be
+    * maintained incrementally (cell addition commutes, c78) so the
+    * estimate is available BEFORE the query arrives. The exact leg here
+    * exists only to audit: it joins the two DISTINCT-KEY frequency
+    * tables (vocabulary-sized), never the raw rows. */
+  def joinSizeAudit(toksA: DataFrame, toksB: DataFrame, tokCol: String,
+                    d: Int, width: Int): DataFrame = {
+    val ca = build(toksA, tokCol, d, width).withColumnRenamed("cnt", "ca")
+    val cb = build(toksB, tokCol, d, width).withColumnRenamed("cnt", "cb")
+    val est = ca.join(cb, Seq("r", "bucket")) // ≤ d·width cells each side
+      .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("row_est"))
+      .agg(min(col("row_est")).as("est_join"))
+    val fa = toksA.groupBy(col(tokCol)).agg(count(lit(1)).as("fa"))
+    val fb = toksB.groupBy(col(tokCol)).agg(count(lit(1)).as("fb"))
+    val na = fa.agg(sum(col("fa")).as("na"))
+    val nb = fb.agg(sum(col("fb")).as("nb"))
+    fa.join(fb, tokCol).agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("exact_join"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb)).crossJoin(broadcast(est))
+      .select(col("na"), col("nb"), col("exact_join"), col("est_join"),
+        (col("est_join") >= col("exact_join")).as("one_sided_ok"),
+        ((col("est_join") - col("exact_join")) * width <=
+          lit(4L) * col("na") * col("nb")).as("bound_ok"))
+  }
+
   /** Point-estimate frequencies for `queries`' tokens: min over the d
     * cells each token hashes to. The sketch (≤ d·width rows) is broadcast;
     * the query side never shuffles. A queried token that was never counted

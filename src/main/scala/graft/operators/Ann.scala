@@ -270,26 +270,86 @@ object Ann {
     * is a NARROW per-row fold (`aggregate` over the vector positions) —
     * zero shuffle, no per-row hashing. The only join is the audited
     * 1-row bounded-broadcast crossJoin (the c74 statsRow shape). */
-  def jlProjectHashSign(df: DataFrame, idCol: String, vecCol: String,
-                        outDims: Int, inDims: Int = 64): DataFrame = {
-    // sign(j, i) = 1 − 2·bit_{i mod 30}( md5_60("jl:j:(i div 30)") )
-    def sgn(j: Column, i: Column): Column = {
-      val h = conv(substring(md5(concat(lit("jl:"), j.cast("string"), lit(":"),
-        call_function("div", i.cast("long"), lit(30L)).cast("string"))), 1, 15), 16, 10)
-        .cast("long")
-      lit(1L) - lit(2L) * call_function("shiftright", h, pmod(i, lit(30)).cast("int"))
-        .bitwiseAND(lit(1L))
-    }
+  /** 60-bit md5 of "salt:a:b" — the engine-portable hash whose low bits
+    * seed the ±1 matrices below. */
+  private def h60(salt: String, a: Column, b: Column): Column =
+    conv(substring(md5(concat(lit(salt + ":"), a.cast("string"), lit(":"),
+      b.cast("string"))), 1, 15), 16, 10).cast("long")
+
+  /** ±1 from bit (i mod 30) of the 60-bit hash of (salt, j, i div 30). */
+  private def hashSign(salt: String, j: Column, i: Column): Column =
+    lit(1L) - lit(2L) * call_function("shiftright",
+      h60(salt, j, call_function("div", i.cast("long"), lit(30L))),
+      pmod(i, lit(30)).cast("int")).bitwiseAND(lit(1L))
+
+  /** Appends column `yv` = the `outDims`-long integer JL projection of
+    * `vecCol` (see [[jlProjectHashSign]]); all existing columns ride
+    * along. The sign matrix is one broadcast row; the fold is narrow. */
+  def jlProjectVecCol(df: DataFrame, vecCol: String,
+                      outDims: Int, inDims: Int = 64): DataFrame = {
     val signMatrix = df.sparkSession.range(1).select(
       transform(sequence(lit(0), lit(outDims - 1)), j =>
-        transform(sequence(lit(0), lit(inDims - 1)), i => sgn(j, i))).as("sg"))
+        transform(sequence(lit(0), lit(inDims - 1)), i =>
+          hashSign("jl", j, i))).as("sg"))
     df.crossJoin(broadcast(signMatrix))
-      .select(col(idCol),
-        posexplode(transform(sequence(lit(0), lit(outDims - 1)), j =>
-          aggregate(sequence(lit(0), lit(inDims - 1)), lit(0L), (acc, i) =>
-            acc + element_at(element_at(col("sg"), j + 1), i + 1) *
-              floor(element_at(col(vecCol), (i + 1).cast("int")).cast("double") * 1e6 + 0.5)
-                .cast("long")))).as(Seq("j", "y")))
+      .withColumn("yv", transform(sequence(lit(0), lit(outDims - 1)), j =>
+        aggregate(sequence(lit(0), lit(inDims - 1)), lit(0L), (acc, i) =>
+          acc + element_at(element_at(col("sg"), j + 1), i + 1) *
+            floor(element_at(col(vecCol), (i + 1).cast("int")).cast("double") * 1e6 + 0.5)
+              .cast("long"))))
+      .drop("sg")
+  }
+
+  def jlProjectHashSign(df: DataFrame, idCol: String, vecCol: String,
+                        outDims: Int, inDims: Int = 64): DataFrame =
+    jlProjectVecCol(df.select(col(idCol), col(vecCol)), vecCol, outDims, inDims)
+      .select(col(idCol), posexplode(col("yv")).as(Seq("j", "y")))
+
+  /** The composed scale path, end to end: near-duplicate pairs via
+    * hyperplane LSH over the JL-PROJECTED integer vectors, exact-verified
+    * in-stream on the ORIGINAL vectors — [[jlProjectVecCol]] (64 → 16
+    * integer dims, narrow fold) feeding [[graft.operators.Dedup.embeddingLshPairs]]'s
+    * banded-bucket shape, with the signature path 100% integer arithmetic:
+    * bit t is the exact sign of Σ_j ±yv_j (a second md5 ±1 family,
+    * salt "hp"), so signatures are bit-identical on any engine — no float
+    * enters until the final cosine verify, which reuses the proven c05
+    * 6dp-rounded contract. Recall mechanics: JL preserves angles within
+    * (1±ε), each band of `bandBits` exact-sign bits collides with
+    * p ≈ (1−θ/π)^bandBits, and `outDims/bandBits` bands OR together.
+    *
+    * Scale: projection + bit computation are narrow per-row folds over
+    * 16 ints (not 64 floats); the only wide ops are the (band, sig)
+    * self-join — bounded buckets, the c31 dial — and the verified-pairs
+    * distinct. At 100 TB this is why you project first: signature cost
+    * and bucket-join payload shrink by dims-ratio while the verify step
+    * keeps precision exact. */
+  def jlLshPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+                 outDims: Int = 16, bandBits: Int = 4, inDims: Int = 64): DataFrame = {
+    require(outDims % bandBits == 0, s"bandBits $bandBits must divide outDims $outDims")
+    val dot = graft.plans.VectorExpressions.dotProduct _
+    val v = jlProjectVecCol(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", outDims, inDims)
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    // bit t = [ Σ_j hp_sign(t,j)·yv_j ≥ 0 ]  — exact integer sign test
+    val withBits = v.withColumn("bits",
+      transform(sequence(lit(0), lit(outDims - 1)), t =>
+        when(aggregate(sequence(lit(0), lit(outDims - 1)), lit(0L), (acc, j) =>
+          acc + hashSign("hp", t, j) * element_at(col("yv"), (j + 1).cast("int")))
+          >= 0, lit(1L)).otherwise(lit(0L))))
+    val sigs = withBits.select(col("id"), col("v"), col("nrm"),
+      posexplode(transform(sequence(lit(0), lit(outDims / bandBits - 1)), bd =>
+        aggregate(sequence(lit(0), lit(bandBits - 1)), lit(0L), (acc, u) =>
+          acc + element_at(col("bits"), (bd * bandBits + u + 1).cast("int")) *
+            call_function("shiftleft", lit(1L), u.cast("int")))))
+        .as(Seq("band", "sig")))
+    sigs.as("x").join(sigs.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("a"), col("b"))
+      .distinct()
   }
 
   /** Exact distributed cluster centroids — the k-means/IVF "update" step

@@ -119,6 +119,35 @@ object Scale {
         sum(col("cnt")).as("n_rows"))
   }
 
+  /** Key-skew profile — the diagnostic a planner reads BEFORE choosing
+    * [[saltedJoin]] (static salting) vs AQE skew split vs nothing, and the
+    * distributional companion to the c79 join-size estimate: one row of
+    * integer-exact skew statistics for a key column.
+    *
+    *   skew_milli = 1000·max_cnt·n_keys div n_rows   (max/mean ratio; 1000 = uniform)
+    *   gini_milli = 1000·(2·Σ i·cᵢ − (m+1)·Σcᵢ) div (m·Σcᵢ)   (counts sorted asc)
+    *
+    * Both are pure-integer (one floor division at the end) and
+    * tie-insensitive: permuting ranks among equal counts leaves Σ i·cᵢ
+    * unchanged, so the result is deterministic on any engine at any
+    * parallelism. Plan: one partial-aggregated groupBy compacts the rows
+    * to the KEY DISTRIBUTION (m rows, one per distinct key), then a global
+    * rank over that compacted table feeds a single-row aggregate. The
+    * global sort is inherent to Gini and runs on m rows, not n — for a
+    * key universe too large even for that, cap with a count-range
+    * histogram ([[equiDepthHistogram]] over cnt) instead. */
+  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("c"), col("k"))
+    counts.withColumn("i", row_number().over(w))
+      .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_cnt"), sum(col("i") * col("c")).as("s1"))
+      .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+        expr("(1000 * max_cnt * n_keys) div n_rows").as("skew_milli"),
+        expr("(1000 * (2 * s1 - (n_keys + 1) * n_rows)) div (n_keys * n_rows)")
+          .as("gini_milli"))
+  }
+
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
                     path: Option[String] = None): Unit = {
     val w = df.write.mode("overwrite")

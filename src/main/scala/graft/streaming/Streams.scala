@@ -77,6 +77,22 @@ object Streams {
     graft.functions.CountMin.build(
       events.select(col(keyCol).cast("string").as("tok")), "tok", d, width)
 
+  /** Misra–Gries heavy-hitter summary maintained BY A STREAM: a
+    * complete-mode aggregation of the [[graft.functions.Folds.MisraGries]]
+    * udaf — micro-batch boundaries are just extra `merge` points, and the
+    * mergeable-summaries guarantee (capture of every key with
+    * f > n/(k+1), error ≤ n/(k+1), ≤ k entries) holds at ANY merge
+    * order, so the drained stream's AUDIT equals the batch audit even
+    * though raw estimates may differ (asserted in StreamingSpec). State
+    * is O(k) regardless of stream length — with b78 (distinct), c78
+    * (frequency) and this (top-k), the whole streaming sketch family
+    * holds a few KB against an unbounded stream. */
+  def streamHeavyHitterSummary(rows: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val mg = udaf(new graft.functions.Folds.MisraGries(k))
+    rows.select(coalesce(col(keyCol).cast("string"), lit("")).as("tok"))
+      .agg(mg(col("tok")).as("mg"))
+  }
+
   /** Streaming dedup within the watermark horizon. */
   def streamDedup(events: DataFrame, delay: String): DataFrame =
     events.withWatermark("ts", delay)

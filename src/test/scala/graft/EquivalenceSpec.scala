@@ -25,7 +25,8 @@ class EquivalenceSpec extends SparkSpec {
     // late-r5 additions with new kernels / bitwise hot paths
     "c44_dup_spans", "c45_pagerank", "c46_bigrams", "b61_zorder_key",
     // late-r8: new integer kernels (md5 sign fold, sketch-cell algebra)
-    "c80_jl_projection", "c79_cms_join_size")
+    "c80_jl_projection", "c79_cms_join_size", "c81_cms_join_size_2t",
+    "c82_jl_lsh_pairs", "b81_skew_profile")
 
   test("codegen on/off produce identical results for representative queries") {
     keys.foreach { name =>

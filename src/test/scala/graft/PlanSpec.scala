@@ -475,6 +475,19 @@ class PlanSpec extends SparkSpec {
       s"the join being sized must never be executed:\n$plan")
   }
 
+  test("jl+lsh pairs: banded EQUI-join, no pair cartesian, sign broadcasts 1-row only") {
+    val plan = physicalPlan(SparkEntry.queries("c82_jl_lsh_pairs")(spark, sf))
+    // the 1-row sign-matrix crossJoin appears once under EACH side of the
+    // (band, sig) self-join — exactly 2 bounded-broadcast BNLJs, nothing else
+    val bnljs = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnljs == 2, s"expected the two 1-row sign-matrix broadcasts, got $bnljs:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the bucket join must be an equi-join on (band, sig) — BHJ at test
+    // scale, SMJ at 100 TB — never a nested-loop over the pair space
+    assert(plan.contains("BroadcastHashJoin [band") || plan.contains("SortMergeJoin [band"),
+      s"expected the (band, sig) bucket equi-join:\n$plan")
+  }
+
   test("top similar pairs: global top-k is TakeOrdered per-task heaps, never a full sort") {
     val plan = physicalPlan(SparkEntry.queries("c76_top_similar_pairs")(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"),

@@ -203,6 +203,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-maintained Misra-Gries summary satisfies the audit vs batch exact counts") {
+    // micro-batch boundaries are extra merge() points; the mergeable-
+    // summaries guarantee must survive them: every heavy lang captured,
+    // error <= n/(k+1), <= k entries (raw estimates MAY differ from a
+    // batch run — only the audit is deterministic)
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft-mg-stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("documents.parquet"), java.nio.file.Paths.get(s"$sf/documents.parquet"))
+    val schema = s.read.parquet(s"$sf/documents.parquet").schema
+    val stream = s.readStream.schema(schema).parquet(dir.toString)
+    val k = 2
+    val out = Streams.streamHeavyHitterSummary(stream, "lang", k)
+    val q = out.writeStream.format("memory").queryName("mgstream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val sm = s.sql("SELECT mg.entries FROM mgstream")
+        .first().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = s.read.parquet(s"$sf/documents.parquet")
+        .groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = exact.values.sum
+      assert(sm.nonEmpty && sm.size <= k)
+      exact.foreach { case (lang, f) =>
+        val est = sm.getOrElse(lang, 0L)
+        assert(est <= f && (f - est) * (k + 1) <= n,
+          s"stream MG bound violated for $lang: est=$est f=$f n=$n")
+        if (f * (k + 1) > n) assert(est > 0, s"stream MG dropped heavy $lang")
+      }
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization emits closed sessions with counts") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
