@@ -3012,6 +3012,58 @@ object SparkEntry {
           t(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.35)
         .orderBy(col("a"), col("b"))),
 
+    "b82_event_paths" -> ((s, d) => {
+      // sequential path mining: the top-10 most common 3-event sequences
+      // (the product-analytics generalization of b50's fixed funnel) —
+      // ONE window pass per user (two leads over the same (ts, event_id)
+      // total order), partial-aggregated path counts, TakeOrdered cut.
+      // Ties broken by the full path for a total order.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("e1"))
+        .withColumn("e2", lead(col("e1"), 1).over(w))
+        .withColumn("e3", lead(col("e1"), 2).over(w))
+        .where(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy(col("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("e1"), col("e2"), col("e3"))
+        .limit(10)
+    }),
+
+    "b83_analyze_stats" -> ((s, d) =>
+      // ANALYZE-style catalog statistics over orders in one pass
+      // (Scale.analyzeStats scaladoc: exact NDV via the Expand one-pass
+      // shape; canonical BIGINT envelopes — cents, epoch days — dodge
+      // float/collation traps)
+      graft.operators.Scale.analyzeStats(t(s, d, "orders"), Seq(
+          "o_orderkey" -> col("o_orderkey"),
+          "o_custkey" -> col("o_custkey"),
+          "o_totalprice_cents" -> floor(col("o_totalprice") * 100 + 0.5),
+          "o_orderdate_day" -> datediff(to_date(col("o_orderdate")),
+            lit("1970-01-01").cast("date"))))
+        .orderBy(col("col_name"))),
+
+    "c83_plan_advisor" -> ((s, d) => {
+      // the diagnostics COMPOSED into a decision — what a 100 TB planner
+      // does with c81's sketch join size and b81's skew profile before
+      // scheduling events ⋈ customer: broadcast if the build side is
+      // provably small, salt if the probe key is skewed, else plain SMJ.
+      // Every input is a deterministic integer, so the recommendation is
+      // engine-reproducible (thresholds in rows/milli-units).
+      val audit = graft.functions.CountMin.joinSizeAudit(
+        t(s, d, "events").select(col("user_id").cast("string").as("tok")),
+        t(s, d, "customer").select(col("c_custkey").cast("string").as("tok")),
+        "tok", d = 4, width = 64)
+      val skew = graft.operators.Scale.keySkewProfile(
+        t(s, d, "events").select(col("user_id")), "user_id")
+      audit.crossJoin(broadcast(skew.select(col("skew_milli"))))
+        .select(col("na"), col("nb"), col("est_join"), col("skew_milli"),
+          when(col("nb") <= 1000000L, lit("broadcast_build_right"))
+            .when(col("skew_milli") >= 5000L, lit("salted_smj"))
+            .otherwise(lit("smj")).as("strategy"))
+    }),
+
     "c77_e2e_curation" -> ((s, d) => {
       // the operators COMPOSED as a user would run them — the "prepare
       // training shards" pipeline in one lazy plan: (1) canonicalizing
@@ -3938,6 +3990,63 @@ object SparkEntry {
         |WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
         |  CAST(eb.embedding AS DOUBLE[])), 6) >= 0.35
         |ORDER BY a, b""".stripMargin,
+
+    // same (ts, event_id) total order; full-path tiebreak makes the
+    // top-10 cut deterministic
+    "b82_event_paths" ->
+      """WITH e AS (SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS cnt FROM e
+        |WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY cnt DESC, e1, e2, e3 LIMIT 10""".stripMargin,
+
+    // exact per-column stats; canonical BIGINT envelopes match the Spark
+    // side (cents, epoch days)
+    "b83_analyze_stats" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS dday
+        |  FROM orders)
+        |SELECT 'o_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(o_custkey) AS BIGINT) AS n_non_null,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv,
+        |  CAST(min(o_custkey) AS BIGINT) AS min_v, CAST(max(o_custkey) AS BIGINT) AS max_v FROM o
+        |UNION ALL SELECT 'o_orderdate_day', CAST(count(*) AS BIGINT), CAST(count(dday) AS BIGINT),
+        |  CAST(count(DISTINCT dday) AS BIGINT), CAST(min(dday) AS BIGINT), CAST(max(dday) AS BIGINT) FROM o
+        |UNION ALL SELECT 'o_orderkey', CAST(count(*) AS BIGINT), CAST(count(o_orderkey) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT), CAST(min(o_orderkey) AS BIGINT), CAST(max(o_orderkey) AS BIGINT) FROM o
+        |UNION ALL SELECT 'o_totalprice_cents', CAST(count(*) AS BIGINT), CAST(count(cents) AS BIGINT),
+        |  CAST(count(DISTINCT cents) AS BIGINT), CAST(min(cents) AS BIGINT), CAST(max(cents) AS BIGINT) FROM o
+        |ORDER BY col_name""".stripMargin,
+
+    // c81's sketch-size CTEs + b81's skew + the CASE decision
+    "c83_plan_advisor" ->
+      """WITH ta AS (SELECT CAST(user_id AS VARCHAR) AS tok FROM events),
+        |tb AS (SELECT CAST(c_custkey AS VARCHAR) AS tok FROM customer),
+        |ca AS (SELECT g.r AS r,
+        |    CAST(('0x' || substring(md5(CAST(g.r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 64 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS ca
+        |  FROM ta CROSS JOIN generate_series(0, 3) g(r) GROUP BY 1, 2),
+        |cb AS (SELECT g.r AS r,
+        |    CAST(('0x' || substring(md5(CAST(g.r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 64 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cb
+        |  FROM tb CROSS JOIN generate_series(0, 3) g(r) GROUP BY 1, 2),
+        |re AS (SELECT ca.r, CAST(sum(ca.ca * cb.cb) AS BIGINT) AS row_est
+        |       FROM ca JOIN cb ON ca.r = cb.r AND ca.bucket = cb.bucket GROUP BY 1),
+        |es AS (SELECT min(row_est) AS est_join FROM re),
+        |sa AS (SELECT CAST(count(*) AS BIGINT) AS na FROM ta),
+        |sb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM tb),
+        |kc AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+        |kr AS (SELECT c, row_number() OVER (ORDER BY c, k) AS i FROM kc),
+        |ka AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(c) AS BIGINT) AS n,
+        |       CAST(max(c) AS BIGINT) AS mx FROM kr),
+        |sk AS (SELECT (1000 * mx * m) // n AS skew_milli FROM ka)
+        |SELECT na, nb, est_join, skew_milli,
+        |  CASE WHEN nb <= 1000000 THEN 'broadcast_build_right'
+        |       WHEN skew_milli >= 5000 THEN 'salted_smj'
+        |       ELSE 'smj' END AS strategy
+        |FROM sa, sb, es, sk""".stripMargin,
 
     // the same three stages composed: c71's canonical key -> min-id rep
     // (rank-1), c29-style token band, c68's per-shard recursive packing

@@ -148,6 +148,36 @@ object Scale {
           .as("gini_milli"))
   }
 
+  /** ANALYZE-style per-column statistics in ONE pass — the catalog-stats
+    * builder feeding cost-based optimization (row counts, NDVs, min/max
+    * envelopes are exactly what join reordering and broadcast decisions
+    * consume; [[keySkewProfile]] and the c79/c81 sketch estimates cover
+    * what these can't). Columns are supplied as (name, canonical BIGINT
+    * expression) so min/max avoid cross-engine collation/float traps —
+    * money as cents, dates as epoch days, keys as-is.
+    *
+    * Plan: one aggregate over the table; the multi-column exact
+    * `count_distinct` plans as Spark's Expand (one duplicated stream per
+    * NDV — the standard one-pass ANALYZE cost, ×(cols+1) map-side rows,
+    * still a single shuffle of partial states). For columns where
+    * approximate NDV suffices at 100 TB, swap `approx_count_distinct`
+    * (HLL, b18) — same shape, no Expand. The stats-to-rows unpivot
+    * happens on the single result row. */
+  def analyzeStats(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val canon = df.select(cols.zipWithIndex.map { case ((_, c), i) =>
+      c.cast("long").as(s"c$i") }: _*)
+    val aggs = count(lit(1)).as("n_rows") +: cols.indices.flatMap(i => Seq(
+      count(col(s"c$i")).as(s"nn$i"), countDistinct(col(s"c$i")).as(s"nd$i"),
+      min(col(s"c$i")).as(s"mn$i"), max(col(s"c$i")).as(s"mx$i")))
+    canon.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("col_name"), col("n_rows"),
+          col(s"nn$i").as("n_non_null"), col(s"nd$i").as("ndv"),
+          col(s"mn$i").as("min_v"), col(s"mx$i").as("max_v")) }: _*)).as("s"))
+      .select(col("s.*"))
+  }
+
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
                     path: Option[String] = None): Unit = {
     val w = df.write.mode("overwrite")

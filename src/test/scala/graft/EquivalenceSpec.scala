@@ -26,7 +26,8 @@ class EquivalenceSpec extends SparkSpec {
     "c44_dup_spans", "c45_pagerank", "c46_bigrams", "b61_zorder_key",
     // late-r8: new integer kernels (md5 sign fold, sketch-cell algebra)
     "c80_jl_projection", "c79_cms_join_size", "c81_cms_join_size_2t",
-    "c82_jl_lsh_pairs", "b81_skew_profile")
+    "c82_jl_lsh_pairs", "b81_skew_profile", "b82_event_paths",
+    "b83_analyze_stats", "c83_plan_advisor")
 
   test("codegen on/off produce identical results for representative queries") {
     keys.foreach { name =>

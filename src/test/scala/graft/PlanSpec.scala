@@ -488,6 +488,27 @@ class PlanSpec extends SparkSpec {
       s"expected the (band, sig) bucket equi-join:\n$plan")
   }
 
+  test("event paths: one window pass, join-free, TakeOrdered top-10 cut") {
+    val plan = physicalPlan(SparkEntry.queries("b82_event_paths")(spark, sf))
+    assert("Window".r.findAllIn(plan).length == 1, s"expected one window pass:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered cut:\n$plan")
+    assert(!plan.contains("Join"), s"path mining must be join-free:\n$plan")
+  }
+
+  test("analyze stats: one-pass multi-NDV via Expand, single scan") {
+    val plan = physicalPlan(SparkEntry.queries("b83_analyze_stats")(spark, sf))
+    assert(plan.contains("Expand"), s"expected the one-pass multi-count-distinct Expand:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"all column stats must come from ONE scan:\n$plan")
+  }
+
+  test("plan advisor: only the audited 1-row broadcasts, never the join being planned") {
+    val plan = physicalPlan(SparkEntry.queries("c83_plan_advisor")(spark, sf))
+    val bnljs = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnljs == 4, s"expected the four 1-row stat broadcasts, got $bnljs:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("top similar pairs: global top-k is TakeOrdered per-task heaps, never a full sort") {
     val plan = physicalPlan(SparkEntry.queries("c76_top_similar_pairs")(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"),
