@@ -3044,6 +3044,47 @@ object SparkEntry {
             lit("1970-01-01").cast("date"))))
         .orderBy(col("col_name"))),
 
+    "b84_weighted_pctile" -> ((s, d) =>
+      // exact weighted percentiles — spend-weighted price points over
+      // lineitem: the smallest price (cents) covering p% of total
+      // quantity (Scale.weightedPercentiles scaladoc: distinct-value
+      // compaction then a values-universe window, all-integer)
+      graft.operators.Scale.weightedPercentiles(
+          t(s, d, "lineitem"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long"),
+          floor(col("l_quantity")).cast("long"),
+          Seq(50, 90, 99))
+        .orderBy(col("pct"))),
+
+    "c84_contiguous_ids" -> ((s, d) =>
+      // contiguous 0..n-1 enumeration by doc_id WITHOUT a global
+      // single-partition window (Scale.contiguousIds scaladoc: bucketed
+      // rank + cumsum'd bucket offsets broadcast back) — the stable
+      // sample-id assignment a 100 TB shard writer needs
+      graft.operators.Scale.contiguousIds(
+          t(s, d, "documents").select(col("doc_id")), "doc_id", bucketWidth = 1024L)
+        .orderBy(col("doc_id"))),
+
+    "c85_source_report" -> ((s, d) => {
+      // per-source data card — the corpus-governance report: volume,
+      // language mix, mean length, and canonical-dup rate per source in
+      // ONE pass over (source)-grouped integer aggregates; dup detection
+      // reuses c71's canonical 60-bit key (Dedup.canonicalKey), so raw
+      // text never shuffles
+      t(s, d, "documents")
+        .select(col("source"), col("n_chars"),
+          (coalesce(col("lang"), lit("")) === "en").cast("long").as("is_en"),
+          Dedup.canonicalKey(col("text")).as("ck"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          sum(col("is_en")).as("en_docs"), countDistinct(col("ck")).as("n_canonical"))
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          expr("total_chars div n_docs").as("mean_chars"),
+          expr("(1000 * en_docs) div n_docs").as("pct_en_milli"),
+          expr("(1000 * (n_docs - n_canonical)) div n_docs").as("dup_rate_milli"))
+        .orderBy(col("source"))
+    }),
+
     "c83_plan_advisor" -> ((s, d) => {
       // the diagnostics COMPOSED into a decision — what a 100 TB planner
       // does with c81's sketch join size and b81's skew profile before
@@ -4019,6 +4060,43 @@ object SparkEntry {
         |UNION ALL SELECT 'o_totalprice_cents', CAST(count(*) AS BIGINT), CAST(count(cents) AS BIGINT),
         |  CAST(count(DISTINCT cents) AS BIGINT), CAST(min(cents) AS BIGINT), CAST(max(cents) AS BIGINT) FROM o
         |ORDER BY col_name""".stripMargin,
+
+    // smallest v with cumweight*100 >= p*total; integer throughout
+    "b84_weighted_pctile" ->
+      """WITH g AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT v, CAST(sum(w) OVER (ORDER BY v) AS BIGINT) AS cw,
+        |        CAST(sum(w) OVER () AS BIGINT) AS tot FROM g),
+        |p AS (SELECT unnest([50, 90, 99]) AS pct)
+        |SELECT pct, CAST(min(CASE WHEN cw * 100 >= pct * tot THEN v END) AS BIGINT) AS value_v,
+        |  CAST(max(tot) AS BIGINT) AS total_w
+        |FROM c CROSS JOIN p GROUP BY pct ORDER BY pct""".stripMargin,
+
+    // the bucketed construction is engine-local; the CONTRACT is plain
+    // dense rank from zero
+    "c84_contiguous_ids" ->
+      """SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same canonical-key rule as c71; integer milli rates, floor division
+    // of non-negative operands
+    "c85_source_report" ->
+      """WITH c AS (SELECT source, n_chars,
+        |    CASE WHEN coalesce(lang, '') = 'en' THEN 1 ELSE 0 END AS is_en,
+        |    CAST(('0x' || substring(md5(array_to_string(list_filter(
+        |      string_split(lower(translate(coalesce(text, ''), '.,!?;:()"''', '          ')), ' '),
+        |      x -> x != ''), ' ')), 1, 15)) AS BIGINT) AS ck
+        |  FROM documents),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |        CAST(sum(is_en) AS BIGINT) AS en_docs,
+        |        CAST(count(DISTINCT ck) AS BIGINT) AS n_canonical
+        |      FROM c GROUP BY source)
+        |SELECT source, n_docs, total_chars, total_chars // n_docs AS mean_chars,
+        |  (1000 * en_docs) // n_docs AS pct_en_milli,
+        |  (1000 * (n_docs - n_canonical)) // n_docs AS dup_rate_milli
+        |FROM a ORDER BY source""".stripMargin,
 
     // c81's sketch-size CTEs + b81's skew + the CASE decision
     "c83_plan_advisor" ->

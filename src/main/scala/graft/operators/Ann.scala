@@ -327,21 +327,30 @@ object Ann {
                  outDims: Int = 16, bandBits: Int = 4, inDims: Int = 64): DataFrame = {
     require(outDims % bandBits == 0, s"bandBits $bandBits must divide outDims $outDims")
     val dot = graft.plans.VectorExpressions.dotProduct _
-    val v = jlProjectVecCol(
-      df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", outDims, inDims)
+    // STAGED dataflow, not nested HOFs: an all-HOF formulation (yv →
+    // bits → sigs as array columns in one projection) gets inlined by
+    // CollapseProject so every element_at re-evaluates the whole upstream
+    // fold — measured 4M+ ops and thousands of md5 calls PER ROW (325 s
+    // at sf0.1). Exploded rows + a broadcast sign table + two tiny
+    // aggregations put a physical operator between every stage; the
+    // signature stages shuffle only (id, small ints) — outDims rows per
+    // vector — and the arithmetic is identical, so the oracle is
+    // unchanged.
+    val proj = jlProjectHashSign(df, idCol, vecCol, outDims, inDims) // (id, j, y)
+    val hp = df.sparkSession.range(outDims).select(col("id").cast("int").as("t"))
+      .select(col("t"), explode(sequence(lit(0), lit(outDims - 1))).as("j"))
+      .select(col("t"), col("j"), hashSign("hp", col("t"), col("j")).as("sgn"))
+    // bit t = [ Σ_j hp_sign(t,j)·y_j ≥ 0 ]  — exact integer sign test
+    val bits = proj.join(broadcast(hp), "j")
+      .groupBy(col(idCol), col("t"))
+      .agg((sum(col("sgn") * col("y")) >= 0).cast("long").as("bit"))
+    val sigs0 = bits.groupBy(col(idCol),
+        call_function("div", col("t").cast("long"), lit(bandBits.toLong)).as("band"))
+      .agg(sum(col("bit") * call_function("shiftleft", lit(1L),
+        pmod(col("t"), lit(bandBits)).cast("int"))).as("sig"))
+    val v = df.select(col(idCol), col(vecCol).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    // bit t = [ Σ_j hp_sign(t,j)·yv_j ≥ 0 ]  — exact integer sign test
-    val withBits = v.withColumn("bits",
-      transform(sequence(lit(0), lit(outDims - 1)), t =>
-        when(aggregate(sequence(lit(0), lit(outDims - 1)), lit(0L), (acc, j) =>
-          acc + hashSign("hp", t, j) * element_at(col("yv"), (j + 1).cast("int")))
-          >= 0, lit(1L)).otherwise(lit(0L))))
-    val sigs = withBits.select(col("id"), col("v"), col("nrm"),
-      posexplode(transform(sequence(lit(0), lit(outDims / bandBits - 1)), bd =>
-        aggregate(sequence(lit(0), lit(bandBits - 1)), lit(0L), (acc, u) =>
-          acc + element_at(col("bits"), (bd * bandBits + u + 1).cast("int")) *
-            call_function("shiftleft", lit(1L), u.cast("int")))))
-        .as(Seq("band", "sig")))
+    val sigs = sigs0.join(v, idCol).withColumnRenamed(idCol, "id")
     sigs.as("x").join(sigs.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.id") < col("y.id"))

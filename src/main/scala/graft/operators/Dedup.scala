@@ -429,12 +429,18 @@ object Dedup {
     * and the variant counter is count(distinct hash(text)), so no stage
     * ships document bytes (c01's group-by-text does; the distinct-raw
     * counter over the text column itself would too). */
-  def canonicalExact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** 60-bit hash of the canonical form of a text column (lowercase +
+    * punctuation map + empty-token drop — the c71 normalization), for
+    * grouping without ever shuffling raw text. */
+  def canonicalKey(textCol: Column): Column = {
     val punct = ".,!?;:()\"'"
-    val canon = array_join(
-      filter(split(lower(translate(coalesce(col(textCol), lit("")),
-        punct, " " * punct.length)), " "), x => x =!= ""), " ")
-    df.select(col(idCol), Text.tokenHash(canon).as("ck"),
+    Text.tokenHash(array_join(
+      filter(split(lower(translate(coalesce(textCol, lit("")),
+        punct, " " * punct.length)), " "), x => x =!= ""), " "))
+  }
+
+  def canonicalExact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    df.select(col(idCol), canonicalKey(col(textCol)).as("ck"),
         Text.tokenHash(col(textCol)).as("th"))
       .groupBy(col("ck"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_dups"),

@@ -178,6 +178,64 @@ object Scale {
       .select(col("s.*"))
   }
 
+  /** Exact weighted discrete percentiles: for each p in `pcts`, the
+    * smallest value v with cumWeight(v)·100 ≥ p·totalWeight — the
+    * aggregate behind token-weighted medians and spend-weighted price
+    * points that plain percentile_disc (b25) cannot express. Pure
+    * integers throughout (supply value/weight pre-canonicalized, cents
+    * etc.), so exact on any engine at any parallelism.
+    *
+    * Plan: one partial-aggregated groupBy compacts rows to the DISTINCT
+    * VALUE universe (the b71 equi-depth shape), then the cumulative
+    * window runs over that compacted table — single-partition but
+    * values-universe-sized, not row-count-sized; the percentile picks are
+    * a values×|pcts| explode feeding a |pcts|-row aggregate. */
+  def weightedPercentiles(df: DataFrame, value: Column, weight: Column,
+                          pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100), s"bad pcts $pcts")
+    val g = df.select(value.as("v"), weight.as("w"))
+      .groupBy(col("v")).agg(sum(col("w")).as("w"))
+    val cum = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val all = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    g.withColumn("cw", sum(col("w")).over(cum))
+      .withColumn("tot", sum(col("w")).over(all))
+      .select(col("cw"), col("tot"), col("v"),
+        explode(array(pcts.map(p => lit(p)): _*)).as("pct"))
+      .groupBy(col("pct"))
+      .agg(min(when(col("cw") * 100 >= col("pct") * col("tot"), col("v")))
+          .as("value_v"),
+        max(col("tot")).as("total_w"))
+  }
+
+  /** Contiguous global enumeration 0..n−1 in `keyCol` order WITHOUT the
+    * single-partition global window trap: rows bucket by key range
+    * (`keyCol div bucketWidth`), per-bucket counts cumulative-sum on the
+    * TINY bucket table only, offsets broadcast back, and each row's seq =
+    * bucket offset + within-bucket rank. The full-table window is
+    * partitioned by bucket — parallel — and the only unpartitioned window
+    * runs over |buckets| rows. This is how a 100 TB shard writer assigns
+    * stable contiguous sample ids; `keyCol` must be unique (the order is
+    * total). Skewed key ranges skew buckets — size `bucketWidth` off
+    * [[keySkewProfile]] / [[equiDepthHistogram]] when keys are not
+    * near-uniform. */
+  def contiguousIds(df: DataFrame, keyCol: String, bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be positive, got $bucketWidth")
+    val b = df.select(col(keyCol), expr(s"$keyCol div $bucketWidth").as("bkt"))
+    val counts = b.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
+    val cum = org.apache.spark.sql.expressions.Window.orderBy(col("bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val offs = counts.withColumn("off", sum(col("c")).over(cum) - col("c")).drop("c")
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col(keyCol))
+    b.join(broadcast(offs), "bkt")
+      .select(col(keyCol), (col("off") + row_number().over(wb) - 1).as("seq"))
+  }
+
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
                     path: Option[String] = None): Unit = {
     val w = df.write.mode("overwrite")

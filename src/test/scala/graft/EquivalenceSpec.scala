@@ -27,7 +27,8 @@ class EquivalenceSpec extends SparkSpec {
     // late-r8: new integer kernels (md5 sign fold, sketch-cell algebra)
     "c80_jl_projection", "c79_cms_join_size", "c81_cms_join_size_2t",
     "c82_jl_lsh_pairs", "b81_skew_profile", "b82_event_paths",
-    "b83_analyze_stats", "c83_plan_advisor")
+    "b83_analyze_stats", "c83_plan_advisor", "b84_weighted_pctile",
+    "c84_contiguous_ids", "c85_source_report")
 
   test("codegen on/off produce identical results for representative queries") {
     keys.foreach { name =>

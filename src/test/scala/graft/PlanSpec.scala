@@ -475,17 +475,23 @@ class PlanSpec extends SparkSpec {
       s"the join being sized must never be executed:\n$plan")
   }
 
-  test("jl+lsh pairs: banded EQUI-join, no pair cartesian, sign broadcasts 1-row only") {
+  test("jl+lsh pairs: staged signature dataflow, banded EQUI-join, no pair cartesian") {
     val plan = physicalPlan(SparkEntry.queries("c82_jl_lsh_pairs")(spark, sf))
-    // the 1-row sign-matrix crossJoin appears once under EACH side of the
-    // (band, sig) self-join — exactly 2 bounded-broadcast BNLJs, nothing else
+    // the 1-row JL sign-matrix broadcast appears once under each side of
+    // the (band, sig) self-join — two bounded BNLJs, nothing else; the hp
+    // sign table joins by EQUI-key (broadcast)
     val bnljs = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
-    assert(bnljs == 2, s"expected the two 1-row sign-matrix broadcasts, got $bnljs:\n$plan")
+    assert(bnljs == 2, s"expected the two 1-row JL sign-matrix broadcasts, got $bnljs:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
     // the bucket join must be an equi-join on (band, sig) — BHJ at test
     // scale, SMJ at 100 TB — never a nested-loop over the pair space
     assert(plan.contains("BroadcastHashJoin [band") || plan.contains("SortMergeJoin [band"),
       s"expected the (band, sig) bucket equi-join:\n$plan")
+    // the staged form puts a physical aggregate between bit and sig
+    // computation — the CollapseProject re-evaluation pathology (325 s at
+    // sf0.1) cannot reappear without this failing
+    assert("HashAggregate".r.findAllIn(plan).length >= 4,
+      s"expected staged bit/sig aggregates:\n$plan")
   }
 
   test("event paths: one window pass, join-free, TakeOrdered top-10 cut") {
@@ -507,6 +513,28 @@ class PlanSpec extends SparkSpec {
     val bnljs = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
     assert(bnljs == 4, s"expected the four 1-row stat broadcasts, got $bnljs:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("contiguous ids: bucket-partitioned rank + broadcast offsets — no global-window trap") {
+    val plan = physicalPlan(SparkEntry.queries("c84_contiguous_ids")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast-join back:\n$plan")
+    // the full-table rank must be partitioned by bkt (parallel); the only
+    // unpartitioned window runs over the tiny bucket-count table
+    assert(plan.contains("windowspecdefinition(bkt"),
+      s"expected the bkt-partitioned full-table rank:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("weighted percentiles: distinct-value compaction precedes the cumulative window") {
+    val plan = physicalPlan(SparkEntry.queries("b84_weighted_pctile")(spark, sf))
+    // the groupBy(v) partial+final agg must run BELOW the window: the
+    // window input is the value universe, not raw lineitem rows
+    val aggIdx = plan.indexOf("HashAggregate")
+    val winIdx = plan.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && winIdx < plan.lastIndexOf("HashAggregate"),
+      s"expected agg-below-window compaction:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
   test("top similar pairs: global top-k is TakeOrdered per-task heaps, never a full sort") {
