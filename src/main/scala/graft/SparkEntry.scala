@@ -3044,6 +3044,79 @@ object SparkEntry {
             lit("1970-01-01").cast("date"))))
         .orderBy(col("col_name"))),
 
+    "c86_personalized_ppr" -> ((s, d) => {
+      // proximity-to-seeds ranking over the c45 trade graph: restart
+      // mass only on the seed customers (c_custkey ≡ 0 mod 20) — the
+      // "related accounts" recommendation signal, exact nano-integer
+      // recurrence (Graph.personalizedPageRankNano scaladoc)
+      val li = t(s, d, "lineitem")
+      val eBase = li
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = eBase.union(
+        eBase.select(col("dst").as("src"), col("src").as("dst")))
+      val nodes = t(s, d, "customer")
+        .select((col("c_custkey") * 2).as("node"),
+          (pmod(col("c_custkey"), lit(20)) === 0).cast("long").as("seed"))
+        .union(t(s, d, "supplier")
+          .select((col("s_suppkey") * 2 + 1).as("node"), lit(0L).as("seed")))
+      graft.operators.Graph.personalizedPageRankNano(edges, nodes, iters = 3)
+        .orderBy(col("node"))
+    }),
+
+    "b85_asof_tolerance" -> ((s, d) => {
+      // as-of join WITH TOLERANCE (the merge_asof tolerance/direction
+      // surface): each purchase gets the user's most recent click only
+      // if it happened within 1 hour — b08's linear one-window shape,
+      // the click timestamp carried alongside the id so the gap test
+      // never re-joins. Gap in whole seconds (floor of the micros
+      // difference — exact integers both engines).
+      val e = t(s, d, "events")
+      val tagged = e.where(col("event_type").isin("purchase", "click"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "click", 0).otherwise(1).as("kind"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gapUs = unix_micros(col("ts")) - unix_micros(col("cts"))
+      val inTol = col("cts").isNotNull && gapUs <= 3600000000L
+      tagged
+        .withColumn("click_id",
+          last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("cts",
+          last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+        .where(col("kind") === 1)
+        .select(col("event_id"), col("user_id"),
+          when(inTol, col("click_id")).as("click_id"),
+          when(inTol, expr("(unix_micros(ts) - unix_micros(cts)) div 1000000"))
+            .as("gap_s"))
+        .orderBy(col("event_id"))
+    }),
+
+    "c87_degree_dist" -> ((s, d) => {
+      // log₂-binned degree distribution of the trade graph — the
+      // power-law diagnostic read before graph work is scheduled (a
+      // heavy tail predicts hot reducers in any per-node aggregation;
+      // pairs with b81's key-skew read). Bin = ⌊log₂ deg⌋ via binary
+      // string length — exact integers, no float log.
+      val li = t(s, d, "lineitem")
+      val eBase = li
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = eBase.union(
+        eBase.select(col("dst").as("src"), col("src").as("dst")))
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("deg"), (length(bin(col("deg"))) - 1).as("deg_bin"))
+        .groupBy(col("deg_bin"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+          max(col("deg")).as("max_deg"))
+        .orderBy(col("deg_bin"))
+    }),
+
     "b84_weighted_pctile" -> ((s, d) =>
       // exact weighted percentiles — spend-weighted price points over
       // lineitem: the smallest price (cents) covering p% of total
@@ -4060,6 +4133,63 @@ object SparkEntry {
         |UNION ALL SELECT 'o_totalprice_cents', CAST(count(*) AS BIGINT), CAST(count(cents) AS BIGINT),
         |  CAST(count(DISTINCT cents) AS BIGINT), CAST(min(cents) AS BIGINT), CAST(max(cents) AS BIGINT) FROM o
         |ORDER BY col_name""".stripMargin,
+
+    // c45's unrolled rounds with the seed restart term; seeds are
+    // customer nodes with c_custkey % 20 = 0
+    "c86_personalized_ppr" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |n AS (SELECT c_custkey * 2 AS node,
+        |        CASE WHEN c_custkey % 20 = 0 THEN 1 ELSE 0 END AS seed FROM customer
+        |      UNION ALL SELECT s_suppkey * 2 + 1, 0 FROM supplier),
+        |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN d ON e.src = d.src),
+        |r0 AS (SELECT node, CAST(seed * 1000000000 AS BIGINT) AS r FROM n),
+        |c1 AS (SELECT ed.dst, CAST(sum((85 * r0.r) // (100 * ed.deg)) AS BIGINT) AS cs
+        |       FROM ed JOIN r0 ON r0.node = ed.src GROUP BY ed.dst),
+        |r1 AS (SELECT n.node, n.seed * 150000000 + coalesce(c1.cs, 0) AS r
+        |       FROM n LEFT JOIN c1 ON c1.dst = n.node),
+        |c2 AS (SELECT ed.dst, CAST(sum((85 * r1.r) // (100 * ed.deg)) AS BIGINT) AS cs
+        |       FROM ed JOIN r1 ON r1.node = ed.src GROUP BY ed.dst),
+        |r2 AS (SELECT n.node, n.seed * 150000000 + coalesce(c2.cs, 0) AS r
+        |       FROM n LEFT JOIN c2 ON c2.dst = n.node),
+        |c3 AS (SELECT ed.dst, CAST(sum((85 * r2.r) // (100 * ed.deg)) AS BIGINT) AS cs
+        |       FROM ed JOIN r2 ON r2.node = ed.src GROUP BY ed.dst)
+        |SELECT n.node, CAST(n.seed * 150000000 + coalesce(c3.cs, 0) AS BIGINT) AS ppr_nano
+        |FROM n LEFT JOIN c3 ON c3.dst = n.node ORDER BY n.node""".stripMargin,
+
+    // b08's window construction + the carried click ts and the 1-hour
+    // micros gap test; gap floored to whole seconds (non-negative ints)
+    "b85_asof_tolerance" ->
+      """WITH tg AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |wv AS (SELECT event_id, user_id, ts, kind,
+        |    last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER w AS click_id,
+        |    last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS) OVER w AS cts
+        |  FROM tg WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id,
+        |  CASE WHEN cts IS NOT NULL AND epoch_us(ts) - epoch_us(cts) <= 3600000000
+        |       THEN click_id END AS click_id,
+        |  CASE WHEN cts IS NOT NULL AND epoch_us(ts) - epoch_us(cts) <= 3600000000
+        |       THEN (epoch_us(ts) - epoch_us(cts)) // 1000000 END AS gap_s
+        |FROM wv WHERE kind = 1 ORDER BY event_id""".stripMargin,
+
+    // same symmetrized trade graph; bin via binary-string length, no
+    // float log
+    "c87_degree_dist" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src)
+        |SELECT CAST(length(bin(deg)) - 1 AS INTEGER) AS deg_bin,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(min(deg) AS BIGINT) AS min_deg, CAST(max(deg) AS BIGINT) AS max_deg
+        |FROM d GROUP BY 1 ORDER BY deg_bin""".stripMargin,
 
     // smallest v with cumweight*100 >= p*total; integer throughout
     "b84_weighted_pctile" ->

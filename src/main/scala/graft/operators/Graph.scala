@@ -215,6 +215,42 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Personalized PageRank (fixed iterations, exact nano-integers): the
+    * restart mass lands ONLY on the seed set, so rank measures proximity
+    * TO THE SEEDS through the graph — the "similar items to this basket" /
+    * "accounts related to these flagged ones" recommendation query, vs
+    * [[pageRankNano]]'s global centrality. Same exact recurrence with a
+    * per-node restart term:
+    *
+    *   r'(v) = seed(v)·150e6 + Σ_{u→v} (85·r(u)) div (100·deg(u)),
+    *   r₀(v) = seed(v)·10⁹
+    *
+    * — floor divisions ordered per-edge before the integer sum, so the
+    * result is bit-identical at any parallelism and the oracle unrolls the
+    * same rounds. Same per-round shuffle cost as pageRankNano (edge join +
+    * dst groupBy); `nodes` must carry an integer 0/1 `seed` column. */
+  def personalizedPageRankNano(edges: DataFrame, nodes: DataFrame,
+                               iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8,
+      s"iters must be in [1,8] (fixed-iteration ranking signal), got $iters")
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(deg, Seq("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.select(col("node"), col("seed"))
+    var rank = n.select(col("node"), (col("seed") * 1000000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg.join(rank, withDeg("src") === rank("node"))
+        .select(col("dst"),
+          expr("(85L * r) div (100L * deg)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+      rank = n.join(contrib, n("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (col("seed") * 150000000L + coalesce(col("cs"), lit(0L))).as("r"))
+    }
+    rank.select(col("node"), col("r").as("ppr_nano"))
+  }
+
   def pageRankNano(edges: DataFrame, nodes: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 8,
       s"iters must be in [1,8] (fixed-iteration ranking signal), got $iters")

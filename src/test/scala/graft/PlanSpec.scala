@@ -537,6 +537,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("asof with tolerance: one user shuffle, join-free — the gap test never re-joins") {
+    val plan = physicalPlan(SparkEntry.queries("b85_asof_tolerance")(spark, sf))
+    // both carried-value windows (click id + click ts) share ONE
+    // (user_id) exchange and sort; the range exchange is the output order
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"expected exactly the user_id shuffle:\n$plan")
+    assert("Sort ".r.findAllIn(plan).length <= 2, s"windows must share one sort:\n$plan")
+    assert(!plan.contains("Join"), s"tolerance as-of must stay join-free:\n$plan")
+  }
+
+  test("degree distribution: partial-aggregated, no node-pair join beyond the edge build") {
+    val plan = physicalPlan(SparkEntry.queries("c87_degree_dist")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"expected partial-aggregated degree counts:\n$plan")
+  }
+
   test("top similar pairs: global top-k is TakeOrdered per-task heaps, never a full sort") {
     val plan = physicalPlan(SparkEntry.queries("c76_top_similar_pairs")(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"),
