@@ -3044,6 +3044,15 @@ object SparkEntry {
             lit("1970-01-01").cast("date"))))
         .orderBy(col("col_name"))),
 
+    "c88_bpe_merges" -> ((s, d) =>
+      // tokenizer training ON THE ENGINE: the first 3 BPE merge rules
+      // learned from the corpus — exact leftmost-greedy merge semantics
+      // via gaps-and-islands parity, every per-round window sharing one
+      // doc shuffle, winner = 1-row broadcast (Bpe.merges scaladoc);
+      // oracle unrolls the identical three rounds
+      graft.operators.Bpe.merges(t(s, d, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("rank"))),
+
     "c86_personalized_ppr" -> ((s, d) => {
       // proximity-to-seeds ranking over the c45 trade graph: restart
       // mass only on the seed customers (c_custkey ≡ 0 mod 20) — the
@@ -4133,6 +4142,54 @@ object SparkEntry {
         |UNION ALL SELECT 'o_totalprice_cents', CAST(count(*) AS BIGINT), CAST(count(cents) AS BIGINT),
         |  CAST(count(DISTINCT cents) AS BIGINT), CAST(min(cents) AS BIGINT), CAST(max(cents) AS BIGINT) FROM o
         |ORDER BY col_name""".stripMargin,
+
+    // three unrolled BPE rounds: adjacency lead + pair count + DESC-
+    // tiebroken argmax + island-parity leftmost-greedy merge, identical
+    // algebra to Bpe.merges (pos is engine-local: 1-based here, 0-based
+    // in Spark — only its order matters)
+    "c88_bpe_merges" ->
+      """WITH alive1 AS (
+        |  SELECT doc_id AS doc,
+        |    generate_subscripts(string_split(coalesce(text, ''), ' '), 1) AS pos,
+        |    unnest(string_split(coalesce(text, ''), ' ')) AS tok
+        |  FROM documents),
+        |a1 AS (SELECT doc, pos, tok, lead(tok) OVER wd AS ntok, row_number() OVER wd AS seq
+        |       FROM (SELECT * FROM alive1 WHERE tok != '') WINDOW wd AS (PARTITION BY doc ORDER BY pos)),
+        |b1 AS (SELECT tok AS bt, ntok AS bn, CAST(count(*) AS BIGINT) AS bc
+        |       FROM a1 WHERE ntok IS NOT NULL GROUP BY 1, 2
+        |       ORDER BY bc DESC, bt DESC, bn DESC LIMIT 1),
+        |m1 AS (SELECT a.*, (a.ntok IS NOT NULL AND a.tok = b.bt AND a.ntok = b.bn) AS im
+        |       FROM a1 a CROSS JOIN b1 b),
+        |i1 AS (SELECT *, CASE WHEN im THEN seq - row_number()
+        |         OVER (PARTITION BY doc, im ORDER BY pos) END AS isl FROM m1),
+        |o1 AS (SELECT *, im AND (row_number() OVER (PARTITION BY doc, isl ORDER BY pos) - 1) % 2 = 0 AS mg
+        |       FROM i1),
+        |alive2 AS (SELECT doc, pos, CASE WHEN mg THEN tok || ' ' || ntok ELSE tok END AS tok
+        |           FROM (SELECT *, lag(mg) OVER (PARTITION BY doc ORDER BY pos) AS pm FROM o1)
+        |           WHERE NOT coalesce(pm, FALSE)),
+        |a2 AS (SELECT doc, pos, tok, lead(tok) OVER wd AS ntok, row_number() OVER wd AS seq
+        |       FROM alive2 WINDOW wd AS (PARTITION BY doc ORDER BY pos)),
+        |b2 AS (SELECT tok AS bt, ntok AS bn, CAST(count(*) AS BIGINT) AS bc
+        |       FROM a2 WHERE ntok IS NOT NULL GROUP BY 1, 2
+        |       ORDER BY bc DESC, bt DESC, bn DESC LIMIT 1),
+        |m2 AS (SELECT a.*, (a.ntok IS NOT NULL AND a.tok = b.bt AND a.ntok = b.bn) AS im
+        |       FROM a2 a CROSS JOIN b2 b),
+        |i2 AS (SELECT *, CASE WHEN im THEN seq - row_number()
+        |         OVER (PARTITION BY doc, im ORDER BY pos) END AS isl FROM m2),
+        |o2 AS (SELECT *, im AND (row_number() OVER (PARTITION BY doc, isl ORDER BY pos) - 1) % 2 = 0 AS mg
+        |       FROM i2),
+        |alive3 AS (SELECT doc, pos, CASE WHEN mg THEN tok || ' ' || ntok ELSE tok END AS tok
+        |           FROM (SELECT *, lag(mg) OVER (PARTITION BY doc ORDER BY pos) AS pm FROM o2)
+        |           WHERE NOT coalesce(pm, FALSE)),
+        |a3 AS (SELECT doc, pos, tok, lead(tok) OVER wd AS ntok FROM alive3
+        |       WINDOW wd AS (PARTITION BY doc ORDER BY pos)),
+        |b3 AS (SELECT tok AS bt, ntok AS bn, CAST(count(*) AS BIGINT) AS bc
+        |       FROM a3 WHERE ntok IS NOT NULL GROUP BY 1, 2
+        |       ORDER BY bc DESC, bt DESC, bn DESC LIMIT 1)
+        |SELECT 1 AS rank, bt AS lhs, bn AS rhs, bc AS pair_count FROM b1
+        |UNION ALL SELECT 2, bt, bn, bc FROM b2
+        |UNION ALL SELECT 3, bt, bn, bc FROM b3
+        |ORDER BY rank""".stripMargin,
 
     // c45's unrolled rounds with the seed restart term; seeds are
     // customer nodes with c_custkey % 20 = 0

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Byte-pair-encoding merge induction ON THE ENGINE — the first `k`
+  * tokenizer merge rules learned from the corpus itself, the step every
+  * LLM data pipeline runs before anything tokenizes (Sennrich et al.,
+  * ACL'16). Each round: count adjacent symbol pairs, pick the most
+  * frequent (total-order tiebreak: highest count, then lexicographically
+  * GREATEST (left, right) — any total order works, this one is
+  * `max(struct(...))` in Spark and `ORDER BY ... DESC LIMIT 1` in SQL),
+  * then merge its non-overlapping occurrences LEFTMOST-GREEDILY and
+  * recount on the compacted sequence.
+  *
+  * Exact greedy semantics, not an approximation: overlapping occurrences
+  * only arise inside runs of a self-pair (x x x x …), and there the
+  * leftmost-greedy rule is "merge the 1st, 3rd, 5th… pair of the run" —
+  * computed as even offset within each maximal run (gaps-and-islands,
+  * the b57 machinery) rather than by sequential scanning, so the result
+  * is deterministic at any parallelism and the DuckDB oracle unrolls the
+  * identical algebra.
+  *
+  * Scale story per round: every window (adjacency lead, run islands, run
+  * offsets, right-side drop) shares ONE hashpartitioning(doc) —
+  * positions never shuffle on anything else; the pair count is one
+  * partial-aggregated groupBy on (tok, ntok); the winning pair is a
+  * 1-row aggregate broadcast back (the audited c19 one-row shape). Work
+  * is O(corpus positions) per round, merge application is window-local —
+  * no joins at all beyond the 1-row broadcast. `k` is small (unrolled
+  * plan depth grows linearly with it); real tokenizer training runs this
+  * loop to 30k merges with the same per-round shape plus per-round
+  * checkpointing (the c17 lineage discipline).
+  */
+object Bpe {
+
+  /** The first `k` merges over the space-tokenized `textCol`:
+    * (rank, lhs, rhs, pair_count) — pair_count is the pre-merge
+    * frequency that won the round, the standard BPE statistic. */
+  def merges(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 8, s"k must be in [1,8] (unrolled plan depth), got $k")
+    val wd = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    var alive = docs.select(col(idCol).as("doc"),
+      posexplode(graft.functions.Text.tokens(coalesce(col(textCol), lit(""))))
+        .as(Seq("pos", "tok")))
+      .where(col("tok") =!= "")
+    var out: DataFrame = null
+    for (r <- 1 to k) {
+      val adj = alive
+        .withColumn("ntok", lead(col("tok"), 1).over(wd))
+        .withColumn("seq", row_number().over(wd))
+      val best = adj.where(col("ntok").isNotNull)
+        .groupBy(col("tok"), col("ntok")).agg(count(lit(1)).as("c"))
+        .agg(max(struct(col("c"), col("tok"), col("ntok"))).as("b"))
+        .select(col("b.c").as("bc"), col("b.tok").as("bt"), col("b.ntok").as("bn"))
+      val roundRow = best.select(lit(r).as("rank"), col("bt").as("lhs"),
+        col("bn").as("rhs"), col("bc").as("pair_count"))
+      out = if (out == null) roundRow else out.union(roundRow)
+      // leftmost-greedy application: islands of consecutive matches, even
+      // offsets merge, the following position is the consumed right side
+      val wisl = Window.partitionBy(col("doc"), col("im")).orderBy(col("pos"))
+      val woff = Window.partitionBy(col("doc"), col("isl")).orderBy(col("pos"))
+      alive = adj.crossJoin(broadcast(best))
+        .withColumn("im", col("ntok").isNotNull &&
+          col("tok") === col("bt") && col("ntok") === col("bn"))
+        .withColumn("isl", when(col("im"), col("seq") - row_number().over(wisl)))
+        .withColumn("mg", col("im") &&
+          pmod(row_number().over(woff) - 1, lit(2)) === 0)
+        .withColumn("pm", lag(col("mg"), 1).over(wd))
+        .where(!coalesce(col("pm"), lit(false)))
+        .select(col("doc"), col("pos"),
+          when(col("mg"), concat(col("tok"), lit(" "), col("ntok")))
+            .otherwise(col("tok")).as("tok"))
+        // lineage truncation (the kCoreApprox discipline): without it each
+        // round's subtree re-derives ALL earlier rounds — once on the probe
+        // side and once inside the next winner's broadcast build — so plan
+        // size doubles per round. Lazy checkpoint keeps the build lazy and
+        // the per-round plan flat.
+        .localCheckpoint(false)
+    }
+    out
+  }
+}

@@ -554,6 +554,18 @@ class PlanSpec extends SparkSpec {
       s"expected partial-aggregated degree counts:\n$plan")
   }
 
+  test("bpe merges: one-row winner broadcasts only, no pair joins, windows shuffle on doc") {
+    val plan = physicalPlan(SparkEntry.queries("c88_bpe_merges")(spark, sf))
+    // un-materialized lazy checkpoints still print lineage: at most one
+    // 1-row winner broadcast per round reference (4 for k=3); after
+    // materialization the checkpoint scans replace them entirely
+    val bnljs = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnljs <= 4, s"winner broadcasts must stay 1-row-bounded, got $bnljs:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("hashpartitioning(doc"),
+      s"expected the per-doc window shuffle:\n$plan")
+  }
+
   test("top similar pairs: global top-k is TakeOrdered per-task heaps, never a full sort") {
     val plan = physicalPlan(SparkEntry.queries("c76_top_similar_pairs")(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"),

@@ -291,4 +291,24 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("BPE merges: self-pair runs merge leftmost-greedily; partition-order independent") {
+    val s2 = spark; import s2.implicits._
+    // "x x x x x": round-1 (x,x) count 4, merges at the 1st and 3rd pair
+    // of the run (parity rule), leaving [x x][x x][x];
+    // "y z y z": (y,z)=2 wins round 2 after the x-merge drops x-pairs
+    val docs = Seq((1L, "x x x x x"), (2L, "y z y z")).toDF("doc_id", "text")
+    for (parts <- Seq(1, 3)) {
+      val got = graft.operators.Bpe.merges(docs.repartition(parts), "doc_id", "text", k = 2)
+        .orderBy("rank").collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(got == Seq((1, "x", "x", 4L), (2, "y", "z", 2L)), s"parts=$parts: $got")
+    }
+    // after both merges the alive sequences are [x x][x x][x] and [y z][y z]:
+    // a third round must pick ("y z","y z") count 1... tie with ("x x","x x")
+    // count 1 and ("x x","x") count 1 -- DESC tiebreak picks the greatest
+    // (lhs, rhs) = ("y z","y z")
+    val got3 = graft.operators.Bpe.merges(docs, "doc_id", "text", k = 3)
+      .orderBy("rank").collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got3.last == ((3, "y z", "y z", 1L)), s"round 3: ${got3.last}")
+  }
 }
