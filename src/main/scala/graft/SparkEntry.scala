@@ -3044,6 +3044,20 @@ object SparkEntry {
             lit("1970-01-01").cast("date"))))
         .orderBy(col("col_name"))),
 
+    "b86_bucketed_agg" -> ((s, d) => {
+      // the aggregation half of the b37 at-rest-layout story: a groupBy
+      // on the BUCKET KEY of a bucketed table plans with ZERO hash
+      // exchange — the scan's bucket distribution already satisfies the
+      // aggregate's requirement, so a 100 TB per-key rollup on a
+      // bucketed-at-ingest table is shuffle-free (plan-asserted)
+      val ob = graft.sources.Formats.bucketedTable(s, "orders_by_cust", d,
+        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        "o_custkey", buckets = 8)
+      ob.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("o_custkey"))
+    }),
+
     "c88_bpe_merges" -> ((s, d) =>
       // tokenizer training ON THE ENGINE: the first 3 BPE merge rules
       // learned from the corpus — exact leftmost-greedy merge semantics
@@ -4142,6 +4156,12 @@ object SparkEntry {
         |UNION ALL SELECT 'o_totalprice_cents', CAST(count(*) AS BIGINT), CAST(count(cents) AS BIGINT),
         |  CAST(count(DISTINCT cents) AS BIGINT), CAST(min(cents) AS BIGINT), CAST(max(cents) AS BIGINT) FROM o
         |ORDER BY col_name""".stripMargin,
+
+    // bucketing is engine-local layout; the contract is the plain rollup
+    "b86_bucketed_agg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     // three unrolled BPE rounds: adjacency lead + pair count + DESC-
     // tiebroken argmax + island-parity leftmost-greedy merge, identical

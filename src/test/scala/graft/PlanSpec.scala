@@ -128,6 +128,13 @@ class PlanSpec extends SparkSpec {
       s"partition predicate did not reach the directory filter:\n$scan")
   }
 
+  test("bucketed aggregation plans zero hash exchanges — the scan satisfies the distribution") {
+    val plan = physicalPlan(SparkEntry.queries("b86_bucketed_agg")(spark, sf))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"groupBy on the bucket key must not shuffle:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"expected the bucketed scan:\n$plan")
+  }
+
   test("partitioned+bucketed layout prunes directories AND joins exchange-free") {
     val df = SparkEntry.queries("b63_partitioned_bucketed")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
