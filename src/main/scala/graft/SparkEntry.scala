@@ -3044,6 +3044,53 @@ object SparkEntry {
             lit("1970-01-01").cast("date"))))
         .orderBy(col("col_name"))),
 
+    "b87_snapshot_diff" -> ((s, d) => {
+      // data-versioning audit: diff two table versions (b66's base
+      // snapshot vs its merged successor) into added / removed /
+      // changed / unchanged per key — run against mergeApply's own
+      // output, the diff RECOVERS the changelog classification
+      // (Merge.snapshotDiff scaladoc). One full-outer join; null-safe
+      // payload equality, no arithmetic.
+      val cutoff = lit("2024-01-16").cast("timestamp")
+      def compact(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("st"))
+        .select(col("user_id"), col("st.event_type").as("event_type"),
+          col("st.value").as("value"))
+      val ev = t(s, d, "events")
+      val base = compact(ev.where(col("ts") < cutoff)).drop("event_type")
+      val changes = compact(ev.where(col("ts") >= cutoff))
+        .select(col("user_id"), col("value"),
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"))
+      val neu = graft.operators.Merge.mergeApply(base, changes, "user_id")
+        .select(col("user_id"), col("value"))
+      graft.operators.Merge.snapshotDiff(base, neu, "user_id")
+        .orderBy(col("user_id"))
+    }),
+
+    "c89_ann_precision" -> ((s, d) => {
+      // retrieval evaluation ON the engine: precision@10 of the
+      // multiprobe-LSH ANN (c22) against the exact brute-force top-10
+      // (c06), per query — both sides deterministic (6dp-rounded cosine,
+      // id tiebreak), so the hit counts are oracle-exact, unlike a
+      // sampled recall estimate. The eval every ANN deployment needs
+      // before trusting its index.
+      val emb = t(s, d, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      val brute = Ann.bruteTopK(emb, queries, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("item_id"))
+      val lsh = Ann.lshTopK(emb, queries, "vec_id", "embedding",
+          dim = 64, bits = 5, k = 10)
+        .select(col("query_id"), col("item_id"))
+      val hits = brute.join(lsh, Seq("query_id", "item_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("h"), lit(0L)).as("hits_at_10"))
+        .orderBy(col("query_id"))
+    }),
+
     "b86_bucketed_agg" -> ((s, d) => {
       // the aggregation half of the b37 at-rest-layout story: a groupBy
       // on the BUCKET KEY of a bucketed table plans with ZERO hash
@@ -4156,6 +4203,75 @@ object SparkEntry {
         |UNION ALL SELECT 'o_totalprice_cents', CAST(count(*) AS BIGINT), CAST(count(cents) AS BIGINT),
         |  CAST(count(DISTINCT cents) AS BIGINT), CAST(min(cents) AS BIGINT), CAST(max(cents) AS BIGINT) FROM o
         |ORDER BY col_name""".stripMargin,
+
+    // b66's base/changes CTEs; diff = full-outer + IS NOT DISTINCT FROM
+    "b87_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT user_id, value FROM (
+        |    SELECT user_id, value,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-16') WHERE rn = 1),
+        |chg AS (
+        |  SELECT user_id, value,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op FROM (
+        |    SELECT user_id, event_type, value,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts >= TIMESTAMP '2024-01-16') WHERE rn = 1),
+        |neu AS (
+        |  SELECT coalesce(b.user_id, c.user_id) AS user_id,
+        |    CASE WHEN c.op = 'U' THEN c.value ELSE b.value END AS value
+        |  FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+        |  WHERE c.op IS NULL OR c.op <> 'D')
+        |SELECT coalesce(o.user_id, n.user_id) AS user_id,
+        |  CASE WHEN o.user_id IS NULL THEN 'added'
+        |       WHEN n.user_id IS NULL THEN 'removed'
+        |       WHEN o.value IS NOT DISTINCT FROM n.value THEN 'unchanged'
+        |       ELSE 'changed' END AS change_type
+        |FROM base o FULL OUTER JOIN neu n ON o.user_id = n.user_id
+        |ORDER BY user_id""".stripMargin,
+
+    // c06's brute CTEs ∩ c22's multiprobe CTEs, counted per query
+    "c89_ann_precision" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS item_id,
+        |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM q JOIN embeddings e ON e.vec_id != q.query_id),
+        |brute AS (
+        |  SELECT query_id, item_id FROM (
+        |    SELECT query_id, item_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
+        |    FROM scored) WHERE rank <= 10),
+        |hp AS (
+        |  SELECT j, list(CASE WHEN ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 2))::INTEGER < 128
+        |                 THEN 1.0 ELSE -1.0 END ORDER BY k) AS hvec
+        |  FROM generate_series(0,4) t1(j), generate_series(0,63) t2(k)
+        |  GROUP BY j),
+        |sig AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), hp.hvec) >= 0
+        |             THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM embeddings e, hp
+        |  GROUP BY e.vec_id, e.embedding),
+        |probes AS (
+        |  SELECT vec_id AS query_id, embedding AS pqv,
+        |    CASE WHEN m < 0 THEN bucket ELSE xor(bucket, (1::BIGINT << m)) END AS pbucket
+        |  FROM sig, generate_series(-1,4) t(m)
+        |  WHERE vec_id < 5),
+        |cand AS (
+        |  SELECT p.query_id, s.vec_id AS item_id,
+        |    round(list_cosine_similarity(CAST(p.pqv AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM probes p JOIN sig s ON s.bucket = p.pbucket AND s.vec_id != p.query_id),
+        |lsh AS (
+        |  SELECT query_id, item_id FROM (
+        |    SELECT query_id, item_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
+        |    FROM cand) WHERE rank <= 10),
+        |h AS (SELECT b.query_id, CAST(count(*) AS BIGINT) AS h
+        |      FROM brute b JOIN lsh l ON b.query_id = l.query_id AND b.item_id = l.item_id
+        |      GROUP BY 1)
+        |SELECT q.query_id AS query_id, coalesce(h.h, 0) AS hits_at_10
+        |FROM q LEFT JOIN h ON h.query_id = q.query_id ORDER BY q.query_id""".stripMargin,
 
     // bucketing is engine-local layout; the contract is the plain rollup
     "b86_bucketed_agg" ->

@@ -27,6 +27,33 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
+  /** Snapshot diff — the data-versioning complement of [[mergeApply]]:
+    * classify every key across two table versions as added / removed /
+    * changed / unchanged. Payload comparison is null-safe equality per
+    * column (`<=>`; `IS NOT DISTINCT FROM` in the oracle), no arithmetic
+    * — identical stored values compare identically on any engine. One
+    * full-outer equi-join on `key`, work ∝ |old| + |new|: the "what did
+    * last night's pipeline change" audit at 100 TB, and run against
+    * [[mergeApply]]'s output it recovers the changelog's op
+    * classification (update→changed, insert→added, delete→removed). */
+  def snapshotDiff(old: DataFrame, neu: DataFrame, key: String): DataFrame = {
+    val payload = old.columns.filterNot(_ == key).toSeq
+    require(payload.nonEmpty, "old must carry payload columns besides the key")
+    require(neu.columns.toSet == old.columns.toSet,
+      s"version schemas must match; got ${neu.columns.mkString(", ")}")
+    val o = old.select(col(key) +: lit(true).as("__o") +:
+      payload.map(p => col(p).as(s"__o_$p")): _*)
+    val n = neu.select(col(key) +: lit(true).as("__n") +:
+      payload.map(p => col(p).as(s"__n_$p")): _*)
+    o.join(n, Seq(key), "full_outer")
+      .select(col(key),
+        when(col("__o").isNull, lit("added"))
+          .when(col("__n").isNull, lit("removed"))
+          .when(payload.map(p => col(s"__o_$p") <=> col(s"__n_$p"))
+            .reduce(_ && _), lit("unchanged"))
+          .otherwise(lit("changed")).as("change_type"))
+  }
+
   def mergeApply(base: DataFrame, changes: DataFrame, key: String,
                  opCol: String = "op"): DataFrame = {
     val payload = base.columns.filterNot(_ == key).toSeq

@@ -29,7 +29,8 @@ class EquivalenceSpec extends SparkSpec {
     "c82_jl_lsh_pairs", "b81_skew_profile", "b82_event_paths",
     "b83_analyze_stats", "c83_plan_advisor", "b84_weighted_pctile",
     "c84_contiguous_ids", "c85_source_report", "b85_asof_tolerance",
-    "c87_degree_dist", "c88_bpe_merges")
+    "c87_degree_dist", "c88_bpe_merges", "b87_snapshot_diff",
+    "c89_ann_precision")
 
   test("codegen on/off produce identical results for representative queries") {
     keys.foreach { name =>

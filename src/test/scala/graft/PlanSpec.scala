@@ -128,6 +128,12 @@ class PlanSpec extends SparkSpec {
       s"partition predicate did not reach the directory filter:\n$scan")
   }
 
+  test("snapshot diff: one full-outer equi-join, no version re-scan amplification") {
+    val plan = physicalPlan(SparkEntry.queries("b87_snapshot_diff")(spark, sf))
+    assert(plan.contains("FullOuter"), s"expected the full-outer version join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("bucketed aggregation plans zero hash exchanges — the scan satisfies the distribution") {
     val plan = physicalPlan(SparkEntry.queries("b86_bucketed_agg")(spark, sf))
     assert(!plan.contains("Exchange hashpartitioning"),
