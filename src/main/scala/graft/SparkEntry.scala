@@ -3105,6 +3105,25 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    "c90_bpe_compression" -> ((s, d) => {
+      // what the learned merges BUY: corpus symbol count before vs after
+      // applying c88's three rules (Bpe.applyMerges — same pipeline that
+      // learned them), with the saving in integer milli units. The
+      // tokenizer-training feedback metric: merge yield flattening ⇒
+      // stop learning rules.
+      val docs = t(s, d, "documents")
+      val before = docs
+        .select(posexplode(Text.tokens(coalesce(col("text"), lit(""))))
+          .as(Seq("p", "tk")))
+        .where(col("tk") =!= "")
+        .agg(count(lit(1)).as("toks_before"))
+      val after = graft.operators.Bpe.applyMerges(docs, "doc_id", "text", k = 3)
+        .agg(count(lit(1)).as("toks_after"))
+      before.crossJoin(broadcast(after))
+        .select(col("toks_before"), col("toks_after"),
+          expr("(1000 * (toks_before - toks_after)) div toks_before").as("saved_milli"))
+    }),
+
     "c88_bpe_merges" -> ((s, d) =>
       // tokenizer training ON THE ENGINE: the first 3 BPE merge rules
       // learned from the corpus — exact leftmost-greedy merge semantics
@@ -4278,6 +4297,59 @@ object SparkEntry {
       """SELECT o_custkey, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // the c88 chain extended by round 3's APPLICATION (m3/i3/o3/alive4);
+    // counts of the pre- and post-merge symbol streams
+    "c90_bpe_compression" ->
+      """WITH alive1 AS (
+        |  SELECT doc_id AS doc,
+        |    generate_subscripts(string_split(coalesce(text, ''), ' '), 1) AS pos,
+        |    unnest(string_split(coalesce(text, ''), ' ')) AS tok
+        |  FROM documents),
+        |a1 AS (SELECT doc, pos, tok, lead(tok) OVER wd AS ntok, row_number() OVER wd AS seq
+        |       FROM (SELECT * FROM alive1 WHERE tok != '') WINDOW wd AS (PARTITION BY doc ORDER BY pos)),
+        |b1 AS (SELECT tok AS bt, ntok AS bn FROM a1 WHERE ntok IS NOT NULL GROUP BY 1, 2
+        |       ORDER BY count(*) DESC, bt DESC, bn DESC LIMIT 1),
+        |m1 AS (SELECT a.*, (a.ntok IS NOT NULL AND a.tok = b.bt AND a.ntok = b.bn) AS im
+        |       FROM a1 a CROSS JOIN b1 b),
+        |i1 AS (SELECT *, CASE WHEN im THEN seq - row_number()
+        |         OVER (PARTITION BY doc, im ORDER BY pos) END AS isl FROM m1),
+        |o1 AS (SELECT *, im AND (row_number() OVER (PARTITION BY doc, isl ORDER BY pos) - 1) % 2 = 0 AS mg
+        |       FROM i1),
+        |alive2 AS (SELECT doc, pos, CASE WHEN mg THEN tok || ' ' || ntok ELSE tok END AS tok
+        |           FROM (SELECT *, lag(mg) OVER (PARTITION BY doc ORDER BY pos) AS pm FROM o1)
+        |           WHERE NOT coalesce(pm, FALSE)),
+        |a2 AS (SELECT doc, pos, tok, lead(tok) OVER wd AS ntok, row_number() OVER wd AS seq
+        |       FROM alive2 WINDOW wd AS (PARTITION BY doc ORDER BY pos)),
+        |b2 AS (SELECT tok AS bt, ntok AS bn FROM a2 WHERE ntok IS NOT NULL GROUP BY 1, 2
+        |       ORDER BY count(*) DESC, bt DESC, bn DESC LIMIT 1),
+        |m2 AS (SELECT a.*, (a.ntok IS NOT NULL AND a.tok = b.bt AND a.ntok = b.bn) AS im
+        |       FROM a2 a CROSS JOIN b2 b),
+        |i2 AS (SELECT *, CASE WHEN im THEN seq - row_number()
+        |         OVER (PARTITION BY doc, im ORDER BY pos) END AS isl FROM m2),
+        |o2 AS (SELECT *, im AND (row_number() OVER (PARTITION BY doc, isl ORDER BY pos) - 1) % 2 = 0 AS mg
+        |       FROM i2),
+        |alive3 AS (SELECT doc, pos, CASE WHEN mg THEN tok || ' ' || ntok ELSE tok END AS tok
+        |           FROM (SELECT *, lag(mg) OVER (PARTITION BY doc ORDER BY pos) AS pm FROM o2)
+        |           WHERE NOT coalesce(pm, FALSE)),
+        |a3 AS (SELECT doc, pos, tok, lead(tok) OVER wd AS ntok, row_number() OVER wd AS seq
+        |       FROM alive3 WINDOW wd AS (PARTITION BY doc ORDER BY pos)),
+        |b3 AS (SELECT tok AS bt, ntok AS bn FROM a3 WHERE ntok IS NOT NULL GROUP BY 1, 2
+        |       ORDER BY count(*) DESC, bt DESC, bn DESC LIMIT 1),
+        |m3 AS (SELECT a.*, (a.ntok IS NOT NULL AND a.tok = b.bt AND a.ntok = b.bn) AS im
+        |       FROM a3 a CROSS JOIN b3 b),
+        |i3 AS (SELECT *, CASE WHEN im THEN seq - row_number()
+        |         OVER (PARTITION BY doc, im ORDER BY pos) END AS isl FROM m3),
+        |o3 AS (SELECT *, im AND (row_number() OVER (PARTITION BY doc, isl ORDER BY pos) - 1) % 2 = 0 AS mg
+        |       FROM i3),
+        |alive4 AS (SELECT doc, pos FROM
+        |           (SELECT doc, pos, lag(mg) OVER (PARTITION BY doc ORDER BY pos) AS pm FROM o3)
+        |           WHERE NOT coalesce(pm, FALSE)),
+        |cb AS (SELECT CAST(count(*) AS BIGINT) AS toks_before FROM a1),
+        |ca AS (SELECT CAST(count(*) AS BIGINT) AS toks_after FROM alive4)
+        |SELECT toks_before, toks_after,
+        |  (1000 * (toks_before - toks_after)) // toks_before AS saved_milli
+        |FROM cb, ca""".stripMargin,
 
     // three unrolled BPE rounds: adjacency lead + pair count + DESC-
     // tiebroken argmax + island-parity leftmost-greedy merge, identical

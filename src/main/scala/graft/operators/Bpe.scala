@@ -38,7 +38,17 @@ object Bpe {
   /** The first `k` merges over the space-tokenized `textCol`:
     * (rank, lhs, rhs, pair_count) — pair_count is the pre-merge
     * frequency that won the round, the standard BPE statistic. */
-  def merges(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def merges(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    run(docs, idCol, textCol, k)._1
+
+  /** The corpus AFTER the first `k` merges: (doc, pos, tok) symbol rows —
+    * what the learned rules buy, measurable as sequence-length
+    * compression (c90). Same computation as [[merges]]; the rules and
+    * their application come from one pipeline. */
+  def applyMerges(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    run(docs, idCol, textCol, k)._2
+
+  private def run(docs: DataFrame, idCol: String, textCol: String, k: Int): (DataFrame, DataFrame) = {
     require(k >= 1 && k <= 8, s"k must be in [1,8] (unrolled plan depth), got $k")
     val wd = Window.partitionBy(col("doc")).orderBy(col("pos"))
     var alive = docs.select(col(idCol).as("doc"),
@@ -79,6 +89,6 @@ object Bpe {
         // the per-round plan flat.
         .localCheckpoint(false)
     }
-    out
+    (out, alive)
   }
 }
