@@ -3105,6 +3105,36 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    "c91_corpus_diversity" -> ((s, d) => {
+      // Gini–Simpson diversity index per grouping dimension — the
+      // corpus-mix KPI next to c85's per-source card: 1 − Σ pᵢ² as the
+      // exact rational (1000·(n² − Σnᵢ²)) div n², no float, no log
+      // (Shannon entropy would need one). 1000·(1−1/k) is the ceiling
+      // for k equal groups; collapse toward 0 = concentration.
+      def div(dim: String) = t(s, d, "documents")
+        .select(coalesce(col(dim), lit("")).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("c")).as("n"),
+          sum(col("c") * col("c")).as("ss"))
+        .select(lit(dim).as("dimension"), col("n_groups"),
+          expr("(1000 * (n * n - ss)) div (n * n)").as("diversity_milli"))
+      div("source").union(div("lang")).orderBy(col("dimension"))
+    }),
+
+    "c92_langid_confusion" -> ((s, d) =>
+      // classifier evaluation ON the engine: c08's n-gram/stopword
+      // language-ID scored against the declared lang column as a full
+      // confusion matrix — the precision/recall raw material every
+      // heuristic filter needs before it gates a 100 TB corpus. One
+      // grouped pass; both the predictor and the truth are
+      // deterministic columns.
+      t(s, d, "documents")
+        .select(coalesce(col("lang"), lit("")).as("true_lang"),
+          Text.langId(col("text")).as("pred_lang"))
+        .groupBy(col("true_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("true_lang"), col("pred_lang"))),
+
     "c90_bpe_compression" -> ((s, d) => {
       // what the learned merges BUY: corpus symbol count before vs after
       // applying c88's three rules (Bpe.applyMerges — same pipeline that
@@ -4297,6 +4327,37 @@ object SparkEntry {
       """SELECT o_custkey, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // same exact rational; two single-row aggregates unioned
+    "c91_corpus_diversity" ->
+      """WITH ds AS (SELECT coalesce(source, '') AS g FROM documents),
+        |dl AS (SELECT coalesce(lang, '') AS g FROM documents),
+        |a1 AS (SELECT CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(c) AS BIGINT) AS n,
+        |        CAST(sum(c * c) AS BIGINT) AS ss
+        |       FROM (SELECT g, count(*) AS c FROM ds GROUP BY g)),
+        |a2 AS (SELECT CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(c) AS BIGINT) AS n,
+        |        CAST(sum(c * c) AS BIGINT) AS ss
+        |       FROM (SELECT g, count(*) AS c FROM dl GROUP BY g))
+        |SELECT 'source' AS dimension, n_groups, (1000 * (n * n - ss)) // (n * n) AS diversity_milli FROM a1
+        |UNION ALL
+        |SELECT 'lang', n_groups, (1000 * (n * n - ss)) // (n * n) FROM a2
+        |ORDER BY dimension""".stripMargin,
+
+    // c08's predictor CASE against the declared column, cross-tabulated
+    "c92_langid_confusion" ->
+      """WITH p AS (
+        |  SELECT coalesce(lang, '') AS true_lang,
+        |    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |      WHEN en > es AND en > 0 THEN 'en'
+        |      WHEN es > en AND es > 0 THEN 'es'
+        |      ELSE 'und' END AS pred_lang
+        |  FROM (
+        |    SELECT lang, text,
+        |      len(list_filter(string_split(text,' '), tk -> tk IN ('the','a','of','and','to','in','is','it'))) AS en,
+        |      len(list_filter(string_split(text,' '), tk -> tk IN ('el','la','de','y','que','en','un','es'))) AS es
+        |    FROM documents))
+        |SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin,
 
     // the c88 chain extended by round 3's APPLICATION (m3/i3/o3/alive4);
     // counts of the pre- and post-merge symbol streams

@@ -30,7 +30,8 @@ class EquivalenceSpec extends SparkSpec {
     "b83_analyze_stats", "c83_plan_advisor", "b84_weighted_pctile",
     "c84_contiguous_ids", "c85_source_report", "b85_asof_tolerance",
     "c87_degree_dist", "c88_bpe_merges", "b87_snapshot_diff",
-    "c89_ann_precision", "c90_bpe_compression")
+    "c89_ann_precision", "c90_bpe_compression", "c91_corpus_diversity",
+    "c92_langid_confusion")
 
   test("codegen on/off produce identical results for representative queries") {
     keys.foreach { name =>
