@@ -3105,6 +3105,37 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    "b88_mad_robust" -> ((s, d) => {
+      // median absolute deviation — the robust scale estimate b75's
+      // winsorize pairs with (outlier gates as med ± k·MAD survive the
+      // heavy tails that wreck stddev): exact integer cents, two
+      // percentile_disc passes with the 1-row median broadcast between
+      // them. percentile_disc buffers per group — fine for ONE global
+      // group; grouped variants at 100 TB go through b71's cumulative-
+      // window trick instead (see c29's note).
+      val cents = t(s, d, "lineitem")
+        .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("v"))
+      val med = cents
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").as("med"))
+      cents.crossJoin(broadcast(med))
+        .select(abs(col("v") - col("med")).as("ad"), col("med"))
+        .agg(max(col("med")).as("median_cents"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)").as("mad_cents"),
+          count(lit(1)).as("n"))
+    }),
+
+    "c93_cluster_size_dist" -> ((s, d) =>
+      // duplicate-cluster size distribution, log₂-binned (the c87 shape
+      // over c71's canonical groups): the dedup-impact report a corpus
+      // owner reads — mass in bin 0 = unique docs, a heavy tail = a few
+      // giant boilerplate families dominating removal
+      graft.operators.Dedup.canonicalExact(t(s, d, "documents"), "doc_id", "text")
+        .select(col("n_dups"), (length(bin(col("n_dups"))) - 1).as("size_bin"))
+        .groupBy(col("size_bin"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("n_dups")).as("n_docs"),
+          max(col("n_dups")).as("max_size"))
+        .orderBy(col("size_bin"))),
+
     "c91_corpus_diversity" -> ((s, d) => {
       // Gini–Simpson diversity index per grouping dimension — the
       // corpus-mix KPI next to c85's per-source card: 1 − Σ pᵢ² as the
@@ -4327,6 +4358,27 @@ object SparkEntry {
       """SELECT o_custkey, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // same two exact passes; quantile_disc = DuckDB's discrete percentile
+    "b88_mad_robust" ->
+      """WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v FROM lineitem),
+        |m AS (SELECT quantile_disc(v, 0.5) AS med FROM c)
+        |SELECT CAST(max(m.med) AS BIGINT) AS median_cents,
+        |  CAST(quantile_disc(abs(c.v - m.med), 0.5) AS BIGINT) AS mad_cents,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM c CROSS JOIN m""".stripMargin,
+
+    // c71's canonical groups binned by binary-string length
+    "c93_cluster_size_dist" ->
+      """WITH g AS (SELECT CAST(count(*) AS BIGINT) AS n_dups FROM (
+        |    SELECT CAST(('0x' || substring(md5(array_to_string(list_filter(
+        |      string_split(lower(translate(coalesce(text, ''), '.,!?;:()"''', '          ')), ' '),
+        |      x -> x != ''), ' ')), 1, 15)) AS BIGINT) AS ck
+        |    FROM documents) GROUP BY ck)
+        |SELECT CAST(length(bin(n_dups)) - 1 AS INTEGER) AS size_bin,
+        |  CAST(count(*) AS BIGINT) AS n_clusters, CAST(sum(n_dups) AS BIGINT) AS n_docs,
+        |  CAST(max(n_dups) AS BIGINT) AS max_size
+        |FROM g GROUP BY 1 ORDER BY size_bin""".stripMargin,
 
     // same exact rational; two single-row aggregates unioned
     "c91_corpus_diversity" ->
