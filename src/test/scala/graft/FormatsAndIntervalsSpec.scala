@@ -142,4 +142,20 @@ class FormatsAndIntervalsSpec extends SparkSpec {
       (3L, None, "update"),
       (5L, Some(50.0), "insert")))
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged with NULL-safe payload equality") {
+    val s = spark; import s.implicits._
+    val old = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None), (4L, None), (5L, Some(50.0)))
+      .toDF("k", "v")
+    val neu = Seq((1L, Some(10.0)),  // identical -> unchanged
+      (2L, Some(21.0)),              // value moved -> changed
+      (3L, None),                    // NULL -> NULL must read unchanged, not changed
+      (4L, Some(44.0)),              // NULL -> value -> changed
+      (6L, Some(60.0)))              // new key -> added; key 5 gone -> removed
+      .toDF("k", "v")
+    val got = graft.operators.Merge.snapshotDiff(old, neu, "k")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "unchanged"), (2L, "changed"), (3L, "unchanged"),
+      (4L, "changed"), (5L, "removed"), (6L, "added")))
+  }
 }
