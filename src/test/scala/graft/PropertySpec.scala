@@ -311,4 +311,35 @@ class PropertySpec extends SparkSpec {
       .orderBy("rank").collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(got3.last == ((3, "y z", "y z", 1L)), s"round 3: ${got3.last}")
   }
+
+  test("weightedPercentiles: matches brute cumulative scan; partition-order independent") {
+    val s2 = spark; import s2.implicits._
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 50L), Gen.choose(1L, 9L)))) { raw =>
+      val df = raw.toDF("v", "w")
+      for (parts <- Seq(1, 5)) {
+        val got = graft.operators.Scale.weightedPercentiles(
+            df.repartition(parts), col("v"), col("w"), Seq(50, 90))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val tot = raw.map(_._2).sum
+        val cum = raw.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+          .scanLeft((0L, 0L)) { case ((_, c), (v, w)) => (v, c + w) }.drop(1)
+        for (p <- Seq(50, 90)) {
+          val want = cum.find { case (_, cw) => cw * 100 >= p * tot }.get._1
+          assert(got(p) == want, s"p$p parts=$parts: got ${got(p)} want $want in $raw")
+        }
+      }
+    }
+  }
+
+  test("contiguousIds: a permutation of 0..n-1 in key order, at any bucket width") {
+    val s2 = spark; import s2.implicits._
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 10000L)).map(_.distinct)) { keys =>
+      for (bw <- Seq(1L, 7L, 1024L)) {
+        val got = graft.operators.Scale.contiguousIds(keys.toDF("k"), "k", bw)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = keys.sorted.zipWithIndex.map { case (k, i) => k -> i.toLong }.toMap
+        assert(got == want, s"bw=$bw: $got != $want")
+      }
+    }
+  }
 }
