@@ -3105,6 +3105,24 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    "b89_scd2_asof" -> ((s, d) => {
+      // point-in-time (AS OF) read over the b60 SCD2 dimension: each
+      // user's row whose validity interval contains T — computed the
+      // scale-right way: the time predicate pushes into the SCAN
+      // (plan-asserted) and one max_by compaction per user replaces
+      // interval construction entirely; provably equal to filtering
+      // b60's [from, to) intervals because max_by on (ts, event_id) ≤ T
+      // picks exactly the interval containing T under b60's tie order.
+      val cutoff = lit("2024-01-16").cast("timestamp")
+      t(s, d, "events").where(col("ts") <= cutoff)
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("event_id").as("eid"), unix_micros(col("ts")).as("vf")),
+          struct(col("ts"), col("event_id"))).as("st"))
+        .select(col("user_id"), col("st.eid").as("event_id"),
+          col("st.vf").as("valid_from_us"))
+        .orderBy(col("user_id"))
+    }),
+
     "b88_mad_robust" -> ((s, d) => {
       // median absolute deviation — the robust scale estimate b75's
       // winsorize pairs with (outlier gates as med ± k·MAD survive the
@@ -4358,6 +4376,15 @@ object SparkEntry {
       """SELECT o_custkey, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // latest row at-or-before T per user (row_number ≡ max_by on the
+    // same (ts, event_id) total order)
+    "b89_scd2_asof" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS valid_from_us FROM (
+        |  SELECT user_id, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-16') t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // same two exact passes; quantile_disc = DuckDB's discrete percentile
     "b88_mad_robust" ->

@@ -128,6 +128,14 @@ class PlanSpec extends SparkSpec {
       s"partition predicate did not reach the directory filter:\n$scan")
   }
 
+  test("scd2 as-of: the time predicate reaches the scan; one compaction, no intervals") {
+    val plan = physicalPlan(SparkEntry.queries("b89_scd2_asof")(spark, sf))
+    assert(plan.contains("PushedFilters") && plan.contains("LessThanOrEqual(ts"),
+      s"AS OF predicate must push into the parquet scan:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"the as-of read must be one compaction aggregate, not interval construction:\n$plan")
+  }
+
   test("snapshot diff: one full-outer equi-join, no version re-scan amplification") {
     val plan = physicalPlan(SparkEntry.queries("b87_snapshot_diff")(spark, sf))
     assert(plan.contains("FullOuter"), s"expected the full-outer version join:\n$plan")
