@@ -3105,6 +3105,23 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    "b90_grouped_mad" -> ((s, d) => {
+      // per-language median + MAD of document length — the GROUPED
+      // robust stats b88's scaladoc routes here: both medians via
+      // Scale.groupedMedianDisc (cumulative window partitioned by
+      // group — no per-group row buffering), deviations joined through
+      // a broadcast of the tiny per-group median table.
+      val docs = t(s, d, "documents")
+        .select(coalesce(col("lang"), lit("")).as("lang"), col("n_chars"))
+      val med = graft.operators.Scale.groupedMedianDisc(docs, "lang", "n_chars")
+        .withColumnRenamed("med", "med_chars")
+      val dev = docs.join(broadcast(med), Seq("lang"))
+        .select(col("lang"), abs(col("n_chars") - col("med_chars")).as("ad"))
+      val mad = graft.operators.Scale.groupedMedianDisc(dev, "lang", "ad")
+        .withColumnRenamed("med", "mad_chars")
+      med.join(mad, Seq("lang")).orderBy(col("lang"))
+    }),
+
     "b89_scd2_asof" -> ((s, d) => {
       // point-in-time (AS OF) read over the b60 SCD2 dimension: each
       // user's row whose validity interval contains T — computed the
@@ -4376,6 +4393,18 @@ object SparkEntry {
       """SELECT o_custkey, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // quantile_disc ≡ the cw*2 >= tot rule (smallest v with cdf >= 0.5)
+    "b90_grouped_mad" ->
+      """WITH d0 AS (SELECT coalesce(lang, '') AS lang, n_chars FROM documents),
+        |m AS (SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS med_chars
+        |      FROM d0 GROUP BY lang),
+        |dv AS (SELECT d0.lang, abs(d0.n_chars - m.med_chars) AS ad
+        |       FROM d0 JOIN m ON d0.lang = m.lang),
+        |md AS (SELECT lang, CAST(quantile_disc(ad, 0.5) AS BIGINT) AS mad_chars
+        |       FROM dv GROUP BY lang)
+        |SELECT m.lang AS lang, m.med_chars, md.mad_chars
+        |FROM m JOIN md ON m.lang = md.lang ORDER BY m.lang""".stripMargin,
 
     // latest row at-or-before T per user (row_number ≡ max_by on the
     // same (ts, event_id) total order)

@@ -211,6 +211,32 @@ object Scale {
         max(col("tot")).as("total_w"))
   }
 
+  /** Grouped discrete median WITHOUT per-group buffering: exactly
+    * `percentile_disc(0.5)`'s semantics (smallest v with cdf ≥ 0.5,
+    * lower-middle on even counts — cw·2 ≥ tot in integers) computed via
+    * per-(group, value) counts and a cumulative window PARTITIONED BY
+    * GROUP — the b71/b84 shape. percentile_disc buffers every group's
+    * rows on one reducer; this holds one running sum per (group, value)
+    * pair, so a 100 TB grouped median is bounded by the value universe
+    * per group, not the row count. */
+  def groupedMedianDisc(df: DataFrame, gCol: String, vCol: String): DataFrame = {
+    val counts = df.select(col(gCol).as("g"), col(vCol).as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    counts.withColumn("cw", sum(col("c")).over(cum))
+      .withColumn("tot", sum(col("c")).over(all))
+      .where(col("cw") * 2 >= col("tot"))
+      .groupBy(col("g")).agg(min(col("v")).as("med"))
+      .select(col("g").as(gCol), col("med"))
+  }
+
   /** Contiguous global enumeration 0..n−1 in `keyCol` order WITHOUT the
     * single-partition global window trap: rows bucket by key range
     * (`keyCol div bucketWidth`), per-bucket counts cumulative-sum on the
