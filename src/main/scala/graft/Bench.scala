@@ -285,13 +285,16 @@ object Bench {
       .foreach { case (fam, qs) =>
         println(s"""{"family":"$fam","shuffle_read_mb":${mb(qs.map(_._2.readB).sum)},"shuffle_write_mb":${mb(qs.map(_._2.writeB).sum)},"spill_mb":${mb(qs.map(_._2.spillB).sum)},"peak_task_mb":${mb(qs.map(_._2.peakB).max)}}""")
       }
-    // 2-decimal per-query map: 3 decimals pushed the head of this line
-    // (metric/value/n/failed/runs) outside the 2 KB capture window at 147
-    // queries; the full-precision numbers are on the family lines above.
+    // The per-query map gets its OWN line: at 210 queries embedding it in
+    // the total line pushed the head fields (metric/value/n/failed) past
+    // the harness's bounded stdout-tail capture and r8's bench went
+    // unparsed. The terminal total line below is short and fixed-size —
+    // it must stay both LAST and SMALL.
     val shortQs = results.sortBy(_._1)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" +
         "%.2f".formatLocal(java.util.Locale.ROOT, v) }
       .mkString("{", ",", "}")
+    println(s"""{"per_query_sec":$shortQs}""")
     val fams = results.groupBy { case (n, _) => family(n) }.toSeq.sortBy(_._1)
       .map { case (fam, qs) => "\"" + fam + "\":" + f(qs.map(_._2).filter(_ >= 0).sum) }
       .mkString("{", ",", "}")
@@ -304,7 +307,7 @@ object Bench {
     val shufW = mb(qMetrics.valuesIterator.map(_.writeB).sum)
     val spillT = mb(qMetrics.valuesIterator.map(_.spillB).sum)
     val peakT = if (qMetrics.isEmpty) 0L else mb(qMetrics.valuesIterator.map(_.peakB).max)
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"failed":$failed,"runs":${out.runs},"pass_sums":$sums,"pass_ends":$ends,"retimes":${out.retimed.size},"heap_mb":$heapMb,"shuf_r_mb":$shufR,"shuf_w_mb":$shufW,"spill_mb":$spillT,"peak_mb":$peakT,"families":$fams,"queries":$shortQs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"failed":$failed,"runs":${out.runs},"pass_sums":$sums,"pass_ends":$ends,"retimes":${out.retimed.size},"heap_mb":$heapMb,"shuf_r_mb":$shufR,"shuf_w_mb":$shufW,"spill_mb":$spillT,"peak_mb":$peakT,"families":$fams,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1280,6 +1280,31 @@ object SparkEntry {
         .orderBy(col("w_start_us"))
     }),
 
+    "b91_stream_sliding_hll" -> ((s, d) => {
+      // batch parity for the SLIDING-window streaming approx-distinct
+      // (Streams.streamSlidingDistinct, 1 h window / 30 min slide,
+      // 30 min delay): every event feeds width/slide = 2 overlapping
+      // windows — a deterministic assignment that leaves the per-window
+      // HLL register-max merge algebra untouched, so the drained
+      // stream's append output still equals this batch aggregation
+      // bit-for-bit on closed windows (StreamingSpec asserts it live;
+      // no audit-boolean formulation turned out to be needed). Estimate
+      // checked as the b78/b18 bound boolean vs exact distinct.
+      val ev = t(s, d, "events")
+      val wm = broadcast(ev.agg(
+        (max(col("ts")) - expr("INTERVAL 30 MINUTES")).as("wm")))
+      ev.groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .crossJoin(wm)
+        .where(col("window.end") <= col("wm"))
+        .select(unix_micros(col("window.start")).as("w_start_us"),
+          col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            greatest(lit(4.0), col("exact_users") * 0.15)).as("approx_ok"))
+        .orderBy(col("w_start_us"))
+    }),
+
     "b77_period_over_period" -> ((s, d) => {
       // month-over-month revenue: per-month cents totals, previous
       // month's total (lag over the month-ordered frame — the frame is
@@ -1299,8 +1324,12 @@ object SparkEntry {
         .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
         .withColumn("delta_cents", col("rev_cents") - col("prev_cents"))
         .select(col("month"), col("rev_cents"), col("prev_cents"), col("delta_cents"),
+          // prev_cents = 0 → NULL bps (mirrored by NULLIF in the oracle):
+          // Spark's div-by-zero yields null but DuckDB's // raises, so the
+          // guard keeps both engines defined on a zero-revenue month.
           (signum(col("delta_cents")).cast("long") *
-            expr("(abs(delta_cents) * 10000) div prev_cents")).as("change_bps"))
+            expr("(abs(delta_cents) * 10000) div nullif(prev_cents, 0)"))
+            .as("change_bps"))
         .orderBy(col("month"))
     }),
 
@@ -2414,6 +2443,22 @@ object SparkEntry {
         |WHERE ws + INTERVAL 1 HOUR <= wm.wm
         |GROUP BY ws ORDER BY w_start_us""".stripMargin,
 
+    "b91_stream_sliding_hll" ->
+      // sliding windows unrolled as the k ∈ {0,1} slide offsets of the
+      // event's 30-min bucket: start ≡ 0 (mod slide) and ts ∈
+      // [start, start + 1h) — exactly Spark's window(ts, 1h, 30m)
+      // assignment; closed = end ≤ max(ts) − delay, the b78 shape
+      """WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM events),
+        |w AS (SELECT time_bucket(INTERVAL '30 minutes', ts)
+        |        - k.k * INTERVAL '30 minutes' AS ws, user_id
+        |      FROM events CROSS JOIN (VALUES (0), (1)) k(k))
+        |SELECT epoch_us(ws) AS w_start_us,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS approx_ok
+        |FROM w CROSS JOIN wm
+        |WHERE ws + INTERVAL 1 HOUR <= wm.wm
+        |GROUP BY ws ORDER BY w_start_us""".stripMargin,
+
     "b77_period_over_period" ->
       // same sign-split bps rule (magnitude // then sign) — see the
       // Spark-side comment on the DuckDB-floor vs Spark-trunc difference
@@ -2426,7 +2471,7 @@ object SparkEntry {
         |SELECT month, rev_cents, prev_cents,
         |  rev_cents - prev_cents AS delta_cents,
         |  CAST(CASE WHEN rev_cents - prev_cents >= 0 THEN 1 ELSE -1 END
-        |    * ((abs(rev_cents - prev_cents) * 10000) // prev_cents) AS BIGINT) AS change_bps
+        |    * ((abs(rev_cents - prev_cents) * 10000) // NULLIF(prev_cents, 0)) AS BIGINT) AS change_bps
         |FROM x ORDER BY month""".stripMargin,
 
     "b76_expectations" ->
@@ -3147,17 +3192,34 @@ object SparkEntry {
       // percentile_disc passes with the 1-row median broadcast between
       // them. percentile_disc buffers per group — fine for ONE global
       // group; grouped variants at 100 TB go through b71's cumulative-
-      // window trick instead (see c29's note).
+      // window trick instead (see c29's note). percentile_disc returns
+      // DOUBLE; the inputs are exact longs so the cast back to long is
+      // lossless — and required, because the oracle emits BIGINT and
+      // the driver hashes rendered types (r8's one red cell).
       val cents = t(s, d, "lineitem")
         .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("v"))
       val med = cents
-        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").as("med"))
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
+          .cast("long").as("med"))
       cents.crossJoin(broadcast(med))
         .select(abs(col("v") - col("med")).as("ad"), col("med"))
         .agg(max(col("med")).as("median_cents"),
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)").as("mad_cents"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)")
+            .cast("long").as("mad_cents"),
           count(lit(1)).as("n"))
     }),
+
+    "c94_lsh_advisor" -> ((s, d) =>
+      // the c83 "measure, then decide" pattern pointed at LSH's own
+      // dials: per candidate banding, MEASURED bucket occupancy and
+      // candidate-pair volume on the real corpus signatures next to the
+      // analytic S-curve (threshold + recall at j=0.8), and a chosen
+      // flag = cheapest config clearing the 99% recall floor within the
+      // pair budget. Selects bands=16 — exactly c02's proven operating
+      // point (measured recall table in docs/PLANS.md). Shares the
+      // memoized shingle index; no pair is ever materialized.
+      Dedup.lshParamAdvisor(docShingleSets(s, d))
+        .orderBy(col("bands"))),
 
     "c93_cluster_size_dist" -> ((s, d) =>
       // duplicate-cluster size distribution, log₂-binned (the c87 shape
@@ -4425,6 +4487,54 @@ object SparkEntry {
         |FROM c CROSS JOIN m""".stripMargin,
 
     // c71's canonical groups binned by binary-string length
+    // the full minhash construction replicated: 60-bit md5 shingle
+    // hashes, the LCG-affine permutations (a·(h mod P)+b mod P — a,b
+    // products stay < 2^62, int64-safe), slide-r band signatures, then
+    // per-config bucket stats; threshold/recall milli literals are
+    // injected from the SAME Scala helpers the Spark side uses
+    "c94_lsh_advisor" -> {
+      val cfgRows = Seq(8, 16, 32).map { b =>
+        val r = 64 / b
+        s"($b, $r, ${graft.operators.Dedup.lshThresholdMilli(b, r)}, " +
+          s"${graft.operators.Dedup.lshRecallMilli(b, r, 800L)})"
+      }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t)-2),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+        |      FROM t WHERE len(t) >= 3),
+        |hd AS (SELECT DISTINCT doc_id, CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS h FROM g),
+        |perm AS (SELECT i,
+        |    CASE WHEN (1103515245 * (i + 1) + 12345) % 2147483647 = 0 THEN 1
+        |         ELSE (1103515245 * (i + 1) + 12345) % 2147483647 END AS a,
+        |    (69069 * (i + 1) + 1) % 2147483647 AS b
+        |  FROM generate_series(0, 63) gs(i)),
+        |sig AS (SELECT doc_id, i, min((a * (h % 2147483647) + b) % 2147483647) AS s
+        |        FROM hd CROSS JOIN perm GROUP BY doc_id, i),
+        |cfg AS (SELECT * FROM (VALUES $cfgRows)
+        |        c(bands, r, threshold_milli, recall_milli)),
+        |bnd AS (SELECT c.bands, doc_id, (i // c.r) AS band,
+        |          string_agg(CAST(s AS VARCHAR), '_' ORDER BY i) AS bandsig
+        |        FROM sig CROSS JOIN cfg c GROUP BY 1, 2, 3),
+        |bk AS (SELECT bands, band, bandsig, count(*) AS n FROM bnd GROUP BY 1, 2, 3),
+        |st AS (SELECT bands,
+        |         CAST(coalesce(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS hot_buckets,
+        |         CAST(coalesce(max(n), 0) AS BIGINT) AS max_bucket,
+        |         CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT) AS cand_pairs
+        |       FROM bk GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM (SELECT DISTINCT doc_id FROM hd)),
+        |rk AS (SELECT c.bands, CAST(c.r AS INTEGER) AS rows_per_band,
+        |         CAST(c.threshold_milli AS BIGINT) AS threshold_milli,
+        |         CAST(c.recall_milli AS BIGINT) AS recall_milli,
+        |         st.hot_buckets, st.max_bucket, st.cand_pairs,
+        |         row_number() OVER (ORDER BY
+        |           (c.recall_milli >= 990 AND st.cand_pairs <= nd.n_docs * 20) DESC,
+        |           st.cand_pairs, c.bands) AS rn
+        |       FROM st JOIN cfg c USING (bands) CROSS JOIN nd)
+        |SELECT CAST(bands AS INTEGER) AS bands, rows_per_band, threshold_milli,
+        |  recall_milli, hot_buckets, max_bucket, cand_pairs, rn = 1 AS chosen
+        |FROM rk ORDER BY bands""".stripMargin
+    },
+
     "c93_cluster_size_dist" ->
       """WITH g AS (SELECT CAST(count(*) AS BIGINT) AS n_dups FROM (
         |    SELECT CAST(('0x' || substring(md5(array_to_string(list_filter(

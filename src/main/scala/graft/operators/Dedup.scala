@@ -256,6 +256,89 @@ object Dedup {
           (x, y) => (x === y).cast("int")), lit(0), _ + _).as("n_agree"))
   }
 
+  /** Milli-quantized LSH S-curve threshold (1/b)^(1/r) — the jaccard at
+    * which a (bands=b, rows=r) banding reaches ~50 % candidate
+    * probability. Driver-side constant (b, r are plan literals), so both
+    * engines see the same integer. */
+  private[graft] def lshThresholdMilli(bands: Int, r: Int): Long =
+    math.round(1000.0 * math.pow(1.0 / bands, 1.0 / r))
+
+  /** Milli-quantized candidate recall 1−(1−j^r)^b of a (bands, r) banding
+    * at jaccard `jMilli` — the S-curve evaluated at the operating point.
+    * Driver-side constant for the same reason as [[lshThresholdMilli]]. */
+  private[graft] def lshRecallMilli(bands: Int, r: Int, jMilli: Long): Long = {
+    val j = jMilli.toDouble / 1000.0
+    math.round(1000.0 * (1.0 - math.pow(1.0 - math.pow(j, r), bands)))
+  }
+
+  /** LSH parameter advisor — c83's "measure, then decide" pattern applied
+    * to [[minhashPairsOf]]'s own dials: for each candidate band count it
+    * MEASURES the banding's bucket occupancy on the actual corpus
+    * signatures (hot buckets, max bucket size, total candidate pairs =
+    * Σ n·(n−1)/2) and places the analytic S-curve columns — the 50 %
+    * threshold and the recall 1−(1−j^r)^b at the target jaccard — next to
+    * the measured cost, then marks the config a planner should run: the
+    * CHEAPEST one (fewest candidate pairs) whose target-jaccard recall
+    * clears `recallFloorMilli` and whose candidate volume fits the
+    * verification budget (`pairBudgetPerDoc` × corpus size). More bands ⇒
+    * more recall AND more candidates — this makes that trade-off a
+    * measured table instead of folklore, closing the loop on the
+    * c02/c31/c82 recall dials (docs/PLANS.md holds the measured-recall
+    * side: numPerm=64/bands=16, the config this rule selects, is the c02
+    * operating point with measured recall ≥ 99.98 % at j=0.8).
+    *
+    * Determinism: signatures are the md5/LCG minhash (engine-portable
+    * integers), bucket stats are counts, threshold/recall are driver-side
+    * literals, and the chosen flag is a total-order rank (eligibility,
+    * cand_pairs, bands) over the config frame — every column reproduces
+    * bit-for-bit on any engine at any parallelism.
+    *
+    * Scale: one signature pass over the corpus (the shared persisted
+    * index pattern), then per config one groupBy on (band, bandsig) whose
+    * input is |docs|·bands short rows and whose output is compacted by
+    * map-side partial aggregation; the decision runs on a |configs|-row
+    * frame. No pair is ever materialized — the advisor costs a vanishing
+    * fraction of the join it prices, which is the point of running it
+    * BEFORE committing to a banding at 100 TB. */
+  def lshParamAdvisor(sets: DataFrame, numPerm: Int = 64,
+                      candBands: Seq[Int] = Seq(8, 16, 32),
+                      targetJaccardMilli: Long = 800L,
+                      recallFloorMilli: Long = 990L,
+                      pairBudgetPerDoc: Long = 20L): DataFrame = {
+    require(candBands.nonEmpty && candBands.forall(b => b >= 1 && numPerm % b == 0),
+      s"every candidate band count must divide numPerm=$numPerm; got $candBands")
+    val sigs = sets.withColumn("sig", minhashSignature(col("hs"), numPerm))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = broadcast(sigs.agg(count(lit(1)).as("n_docs")))
+    val perConfig = candBands.map { b =>
+      val r = numPerm / b
+      val banded = sigs.select(col("id"), posexplode(
+          array((0 until b).map(i =>
+            array_join(transform(slice(col("sig"), i * r + 1, r), _.cast("string")), "_")): _*)))
+        .toDF("id", "band", "bandsig")
+      banded.groupBy(col("band"), col("bandsig"))
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("(n * (n - 1)) div 2")), lit(0L)).as("cand_pairs"),
+          coalesce(sum(when(col("n") >= 2, 1L).otherwise(0L)), lit(0L)).as("hot_buckets"),
+          coalesce(max(col("n")), lit(0L)).cast("long").as("max_bucket"))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          lit(lshThresholdMilli(b, r)).as("threshold_milli"),
+          lit(lshRecallMilli(b, r, targetJaccardMilli)).as("recall_milli"),
+          col("hot_buckets"), col("max_bucket"), col("cand_pairs"))
+    }.reduce(_.unionAll(_))
+    // decision over the |configs|-row frame (bounded by the candidate
+    // list, never by data) — the unpartitioned window is safe here
+    val w = org.apache.spark.sql.expressions.Window.orderBy(
+      col("eligible").desc, col("cand_pairs"), col("bands"))
+    perConfig.crossJoin(nDocs)
+      .withColumn("eligible", col("recall_milli") >= lit(recallFloorMilli) &&
+        col("cand_pairs") <= col("n_docs") * pairBudgetPerDoc)
+      .withColumn("chosen", row_number().over(w) === 1)
+      .select(col("bands"), col("rows_per_band"), col("threshold_milli"),
+        col("recall_milli"), col("hot_buckets"), col("max_bucket"),
+        col("cand_pairs"), col("chosen"))
+  }
+
   /** Exact n-gram jaccard similarity join via inverted index (the
     * scalable exact path next to minhash's approximate one).
     *

@@ -35,7 +35,14 @@ object Merge {
     * full-outer equi-join on `key`, work ∝ |old| + |new|: the "what did
     * last night's pipeline change" audit at 100 TB, and run against
     * [[mergeApply]]'s output it recovers the changelog's op
-    * classification (update→changed, insert→added, delete→removed). */
+    * classification (update→changed, insert→added, delete→removed).
+    *
+    * PRECONDITION: `key` must be unique within each version (snapshots
+    * are keyed by definition). Duplicate keys would fan out through the
+    * full-outer join into multiple, pairing-arbitrary rows per key —
+    * compact first (the b58 `max_by` shape, as b87 does) if a version
+    * may carry duplicates. Not guarded here: a distributed uniqueness
+    * check costs a full extra aggregate on both inputs per call. */
   def snapshotDiff(old: DataFrame, neu: DataFrame, key: String): DataFrame = {
     val payload = old.columns.filterNot(_ == key).toSeq
     require(payload.nonEmpty, "old must carry payload columns besides the key")

@@ -63,6 +63,26 @@ object Streams {
       .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
       .select(col("window.start").as("window_start"), col("approx_users"))
 
+  /** SLIDING-window approximate distinct users in a STREAM — the b78
+    * tumbling parity's harder sibling: `window(ts, width, slide)` assigns
+    * every event to width/slide overlapping windows, and each window's
+    * HLL registers still merge by per-register max, so arrival order and
+    * micro-batch boundaries cannot change a closed window's estimate —
+    * the drained stream's append output equals the batch sliding
+    * aggregation bit-for-bit on closed windows (asserted in
+    * StreamingSpec; batch parity oracle = b91). Determinism needs no
+    * audit-boolean trick after all: the overlap only multiplies HOW MANY
+    * windows an event feeds (a deterministic assignment), not the merge
+    * algebra inside each window. State is width/slide sketches per
+    * active window span — still fixed-size per window, pruned at the
+    * watermark like the tumbling case. */
+  def streamSlidingDistinct(events: DataFrame, width: String, slide: String,
+                            delay: String, rsd: Double = 0.05): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), width, slide))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+      .select(col("window.start").as("window_start"), col("approx_users"))
+
   /** Count-min sketch maintained BY A STREAM: the CMS cell grid
     * (r, bucket) → cnt is a pure counting monoid, so it is just a
     * complete-mode streaming aggregation of [[graft.functions.CountMin]]'s

@@ -175,6 +175,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("b91: sliding-window HLL-distinct stream equals the batch aggregation bit-for-bit") {
+    // the overlap (width/slide = 2 windows per event) is a deterministic
+    // ASSIGNMENT; the per-window register-max merge algebra is untouched,
+    // so closed sliding windows must match batch exactly, same as b78
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll-slide-stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val schema = s.read.parquet(s"$sf/events.parquet").schema
+    val stream = graft.sources.Tables.normalizeEventsTs(
+      s.readStream.schema(schema).parquet(dir.toString))
+    val out = Streams.streamSlidingDistinct(stream, "1 hour", "30 minutes", "30 minutes")
+    val q = out.writeStream.format("memory").queryName("hllslideparity")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = s.sql("SELECT window_start, approx_users FROM hllslideparity")
+        .orderBy("window_start").collect().map(_.toSeq).toSeq
+      val ev = graft.sources.Tables.t(s, sf, "events")
+      val wmRow = ev.agg(org.apache.spark.sql.functions.max(col("ts"))).head().getTimestamp(0)
+      val wm = new java.sql.Timestamp(wmRow.getTime - 30 * 60 * 1000)
+      val batch = ev.groupBy(
+          org.apache.spark.sql.functions.window(col("ts"), "1 hour", "30 minutes"))
+        .agg(org.apache.spark.sql.functions.approx_count_distinct(col("user_id"), 0.05)
+          .as("approx_users"))
+        .where(col("window.end") <= lit(wm))
+        .select(col("window.start").as("window_start"), col("approx_users"))
+        .orderBy("window_start").collect().map(_.toSeq).toSeq
+      assert(streamed.nonEmpty, "stream emitted nothing — watermark never advanced?")
+      assert(streamed == batch,
+        s"stream rows=${streamed.length} != batch rows=${batch.length}")
+    } finally q.stop()
+  }
+
   test("c78: stream-maintained count-min cells equal the batch sketch cell-for-cell") {
     // CMS cell addition commutes, so a complete-mode streaming
     // aggregation of the cell expansion must land on the exact batch
