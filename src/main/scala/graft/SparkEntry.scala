@@ -3291,6 +3291,23 @@ object SparkEntry {
       graft.operators.Bpe.merges(t(s, d, "documents"), "doc_id", "text", k = 3)
         .orderBy(col("rank"))),
 
+    "c95_bpe_merges_k16" -> ((s, d) =>
+      // the c88 pipeline driven to DEPTH — 16 rounds, the regime where
+      // the per-round lineage-truncation discipline is what keeps the
+      // plan flat (without it plan size doubles per round; the c82
+      // lesson). The oracle is GENERATED: the same CTE chain c88
+      // hand-writes at k=3, mechanically unrolled to k=16 — the "oracle
+      // strategy past k≈8" the r8 ledger left open, resolved as full
+      // exact verification rather than a weaker law/rows-only check.
+      // Runs on the doc_id ≡ 0 (mod 16) corpus slice to bound the
+      // 16-round wall cost in the bench suite — the demo value here is
+      // DEPTH, and per-round cost at local scale is scheduling-floor-
+      // dominated, not data-dominated (measured in docs/PLANS.md).
+      graft.operators.Bpe.merges(
+        t(s, d, "documents").where(pmod(col("doc_id"), lit(16)) === 0),
+        "doc_id", "text", k = 16)
+        .orderBy(col("rank"))),
+
     "c86_personalized_ppr" -> ((s, d) => {
       // proximity-to-seeds ranking over the c45 trade graph: restart
       // mass only on the seed customers (c_custkey ≡ 0 mod 20) — the
@@ -3923,6 +3940,55 @@ object SparkEntry {
       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
       |  WHERE len(t) >= 3)""".stripMargin
+
+  /** The c88 BPE oracle CTE chain GENERATED for any k: per round an
+    * adjacency window (a_i), the DESC-tiebroken argmax pair (b_i), and —
+    * for every round but the last — the island-parity leftmost-greedy
+    * merge application (m_i/i_i/o_i → alive_{i+1}), algebra identical to
+    * [[graft.operators.Bpe.merges]] and byte-comparable to the
+    * hand-written k=3 oracle. SQL length grows linearly in k, which is
+    * free for a generated string — this resolves the "oracle strategy
+    * past k≈8" question as full exact verification (c95 gates k=16).
+    * The multiply-referenced CTEs (a_i feeds b_i AND m_i) are
+    * MATERIALIZED: DuckDB inlines plain CTEs per reference, which at
+    * k=16 is 2^16 expansions — the exact c04/c66 exponential-inlining
+    * lesson from the CLAUDE.md ledger (it surfaced here as "too many
+    * open files" before the hint). */
+  private def bpeMergesOracleSql(k: Int, docWhere: String): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH alive1 AS (
+         |  SELECT doc_id AS doc,
+         |    generate_subscripts(string_split(coalesce(text, ''), ' '), 1) AS pos,
+         |    unnest(string_split(coalesce(text, ''), ' ')) AS tok
+         |  FROM documents$docWhere),
+         |""".stripMargin)
+    for (i <- 1 to k) {
+      val src = if (i == 1) "(SELECT * FROM alive1 WHERE tok != '')" else s"alive$i"
+      sb.append(
+        s"""a$i AS MATERIALIZED (SELECT doc, pos, tok, lead(tok) OVER wd AS ntok, row_number() OVER wd AS seq
+           |       FROM $src WINDOW wd AS (PARTITION BY doc ORDER BY pos)),
+           |b$i AS MATERIALIZED (SELECT tok AS bt, ntok AS bn, CAST(count(*) AS BIGINT) AS bc
+           |       FROM a$i WHERE ntok IS NOT NULL GROUP BY 1, 2
+           |       ORDER BY bc DESC, bt DESC, bn DESC LIMIT 1)""".stripMargin)
+      if (i < k) sb.append(
+        s""",
+           |m$i AS (SELECT a.*, (a.ntok IS NOT NULL AND a.tok = b.bt AND a.ntok = b.bn) AS im
+           |       FROM a$i a CROSS JOIN b$i b),
+           |i$i AS (SELECT *, CASE WHEN im THEN seq - row_number()
+           |         OVER (PARTITION BY doc, im ORDER BY pos) END AS isl FROM m$i),
+           |o$i AS (SELECT *, im AND (row_number() OVER (PARTITION BY doc, isl ORDER BY pos) - 1) % 2 = 0 AS mg
+           |       FROM i$i),
+           |alive${i + 1} AS MATERIALIZED (SELECT doc, pos, CASE WHEN mg THEN tok || ' ' || ntok ELSE tok END AS tok
+           |           FROM (SELECT *, lag(mg) OVER (PARTITION BY doc ORDER BY pos) AS pm FROM o$i)
+           |           WHERE NOT coalesce(pm, FALSE)),
+           |""".stripMargin)
+    }
+    sb.append("\nSELECT 1 AS rank, bt AS lhs, bn AS rhs, bc AS pair_count FROM b1")
+    for (i <- 2 to k) sb.append(s"\nUNION ALL SELECT $i, bt, bn, bc FROM b$i")
+    sb.append("\nORDER BY rank")
+    sb.toString
+  }
 
   private val jaccardPairsSql =
     shingleCte +
@@ -4629,6 +4695,11 @@ object SparkEntry {
         |SELECT toks_before, toks_after,
         |  (1000 * (toks_before - toks_after)) // toks_before AS saved_milli
         |FROM cb, ca""".stripMargin,
+
+    // the c88 CTE chain mechanically unrolled to k=16 on the quarter
+    // corpus — see bpeMergesOracleSql (generated SQL grows linearly in k;
+    // hand-writing stopped at 3)
+    "c95_bpe_merges_k16" -> bpeMergesOracleSql(16, " WHERE doc_id % 16 = 0"),
 
     // three unrolled BPE rounds: adjacency lead + pair count + DESC-
     // tiebroken argmax + island-parity leftmost-greedy merge, identical
