@@ -976,6 +976,53 @@ object SparkEntry {
         .orderBy(col("zkey"), col("o_orderkey"))
         .limit(2000)),
 
+    "b92_hilbert_key" -> ((s, d) =>
+      // the Hilbert sibling of b61's Morton key: same (custkey, order
+      // day) dimensions, same codegen discipline (one static-kernel
+      // call per row inside whole-stage codegen — the rotate/reflect
+      // state machine can't unroll as a column ladder, see
+      // Scale.hilbertKey), oracle = the identical 16-plane algebra as
+      // a CTE ladder. Pure integer, bit-identical cross-engine.
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          Scale.hilbertKey(col("o_custkey"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1992-01-01").cast("date"))).as("hkey"))
+        .orderBy(col("hkey"), col("o_orderkey"))
+        .limit(2000)),
+
+    "b93_hilbert_prune" -> ((s, d) => {
+      // b64's 2-D skipping layout re-clustered on the HILBERT key —
+      // identical write shape (range-partition + sort on the curve key),
+      // identical 2-D box query, different curve: Hilbert's unit-step
+      // locality gives files tighter min/max envelopes than Morton's
+      // diagonal jumps, so the same predicate skips more files
+      // (graft.SkipRate prints both curves' measured skip rates;
+      // docs/PLANS.md records them). Same zday non-negativity guard as
+      // b64 — a negative day would wrap to the top of the key range and
+      // kill the envelope.
+      val dir = graft.sources.Formats.scratchDir(s, "orders_hilbert", d)
+      graft.sources.Formats.ensureWritten(s, dir) {
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderstatus"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1995-01-01").cast("date")).cast("int").as("o_day"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1992-01-01").cast("date")).cast("int").as("zday"))
+          .withColumn("hkey", Scale.hilbertKey(col("o_custkey"), col("zday")))
+          .drop("zday")
+          .repartitionByRange(16, col("hkey"))
+          .sortWithinPartitions("hkey")
+          .write.parquet(dir)
+      }
+      s.read.parquet(dir)
+        .where(col("o_custkey") < 80 && col("o_day") < 730)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "b62_share_of_group" -> ((s, d) => {
       // percent-of-total analytics: each nation's revenue share within
       // its region as integer ppm — exact cents aggregation (b51
@@ -2029,6 +2076,18 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "b92_hilbert_key" -> hilbertKeySql,
+
+    "b93_hilbert_prune" ->
+      // identical to b64's: the curve rewrite is pure layout, the 2-D
+      // box aggregate is the answer — one oracle, two at-rest layouts
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_custkey < 80
+        |  AND date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) < 730
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "b64_zorder_prune" ->
       // the z-ordered rewrite is pure layout; the 2-D box is the answer
       """SELECT o_orderstatus, count(*) AS n_orders,
@@ -3987,6 +4046,35 @@ object SparkEntry {
     sb.append("\nSELECT 1 AS rank, bt AS lhs, bn AS rhs, bc AS pair_count FROM b1")
     for (i <- 2 to k) sb.append(s"\nUNION ALL SELECT $i, bt, bn, bc FROM b$i")
     sb.append("\nORDER BY rank")
+    sb.toString
+  }
+
+  /** The b92 Hilbert oracle: the identical 16-bit-plane rotate/reflect
+    * walk as [[graft.plans.SpatialExpressions.hilbertD]], generated as a
+    * CTE ladder (one CTE per plane, each referenced once — no
+    * MATERIALIZED needed). Pure integer CASE/xor/& algebra. */
+  private def hilbertKeySql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH h0 AS (
+        |  SELECT o_orderkey, (o_custkey & 65535) AS x,
+        |    (date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) & 65535) AS y,
+        |    CAST(0 AS BIGINT) AS d
+        |  FROM orders)""".stripMargin)
+    for (i <- 1 to 16) {
+      val s = 1L << (16 - i)
+      val ss = s * s
+      sb.append(
+        s""",
+           |h$i AS (SELECT o_orderkey,
+           |  d + $ss * xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+           |                CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d,
+           |  CASE WHEN (y & $s) = 0 THEN (CASE WHEN (x & $s) > 0 THEN $s - 1 - y ELSE y END) ELSE x END AS x,
+           |  CASE WHEN (y & $s) = 0 THEN (CASE WHEN (x & $s) > 0 THEN $s - 1 - x ELSE x END) ELSE y END AS y
+           |  FROM h${i - 1})""".stripMargin)
+    }
+    sb.append(
+      "\nSELECT o_orderkey, CAST(d AS BIGINT) AS hkey FROM h16 ORDER BY hkey, o_orderkey LIMIT 2000")
     sb.toString
   }
 

@@ -84,6 +84,20 @@ object Scale {
     spread(x).bitwiseOR(shiftleft(spread(y), 1))
   }
 
+  /** Hilbert-curve key from the low 16 bits of two dimensions — the
+    * [[zOrderKey]] alternative whose rotations remove Morton's diagonal
+    * jumps: every curve step is a unit grid step, so consecutive key
+    * ranges are tighter rectangles and sorted-file min/max envelopes
+    * cover less dead area on 2-D box predicates (graft.SkipRate measures
+    * both curves on the same layout; docs/PLANS.md records the skip
+    * rates). A 16-round rotate/reflect state machine can't unroll as a
+    * column-expression ladder without exponential tree growth, so this
+    * is a codegen `Expression`
+    * ([[graft.plans.SpatialExpressions.HilbertKey]]); the b92 oracle
+    * mirrors the identical per-plane algebra as a CTE ladder. */
+  def hilbertKey(x: Column, y: Column): Column =
+    graft.plans.SpatialExpressions.hilbertKey(x.cast("long"), y.cast("long"))
+
   /** Exact equi-depth histogram (the optimizer-statistics artifact: `bins`
     * buckets with ~equal row counts, each with its value bounds) computed
     * WITHOUT a global sort of the rows.

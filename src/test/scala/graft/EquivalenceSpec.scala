@@ -31,7 +31,9 @@ class EquivalenceSpec extends SparkSpec {
     "c84_contiguous_ids", "c85_source_report", "b85_asof_tolerance",
     "c87_degree_dist", "c88_bpe_merges", "b87_snapshot_diff",
     "c89_ann_precision", "c90_bpe_compression", "c91_corpus_diversity",
-    "c92_langid_confusion", "b88_mad_robust", "c93_cluster_size_dist", "b89_scd2_asof", "b90_grouped_mad")
+    "c92_langid_confusion", "b88_mad_robust", "c93_cluster_size_dist", "b89_scd2_asof", "b90_grouped_mad",
+    // r9: new integer kernels (Hilbert static kernel, band-bucket stats)
+    "b92_hilbert_key", "c94_lsh_advisor")
 
   test("codegen on/off produce identical results for representative queries") {
     keys.foreach { name =>

@@ -388,6 +388,51 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("hilbertD: aligned 32x32 block is a contiguous unit-step walk from the origin") {
+    // Two structural laws at once. (1) Bijectivity onto a contiguous
+    // range: the curve fills any origin-aligned 2^k square completely
+    // before leaving it, so the 32×32 block's keys must be EXACTLY
+    // [0, 1024) with no gaps or dups. (2) Unit-step locality — the
+    // property Morton lacks and the whole reason b93 exists: consecutive
+    // keys are Manhattan-distance-1 grid neighbors, never diagonal jumps.
+    val cells = for (x <- 0 until 32; y <- 0 until 32)
+      yield (x, y) -> graft.plans.SpatialExpressions.hilbertD(x.toLong, y.toLong)
+    assert(cells.map(_._2).toSet == (0 until 1024).map(_.toLong).toSet,
+      "32x32 block keys are not a bijection onto [0,1024)")
+    cells.sortBy(_._2).map(_._1).sliding(2).foreach {
+      case Seq((x1, y1), (x2, y2)) =>
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+          s"non-unit curve step: ($x1,$y1) -> ($x2,$y2)")
+      case _ =>
+    }
+    // low-16-bit masking: coordinates beyond 16 bits fold like the column
+    // form's documented contract (and like zOrderKey's & 0xFFFF)
+    assert(graft.plans.SpatialExpressions.hilbertD(5L + 65536L, 9L) ==
+      graft.plans.SpatialExpressions.hilbertD(5L, 9L))
+  }
+
+  test("hilbert layout: the 2-D box skips at least as many files as morton") {
+    // b93's write is the surface under test; measured against b64's on
+    // the same box, same file count. Hilbert's tighter envelopes must
+    // never lose to Morton on this layout (docs/PLANS.md records the
+    // strict win at sf0.01/sf0.1).
+    def touchedOf(query: String, scratch: String): (Int, Int) = {
+      SparkEntry.queries(query)(spark, sf).collect()
+      val dir = graft.sources.Formats.scratchDir(spark, scratch, sf)
+      val env = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("o_custkey")).as("c0"), min(col("o_day")).as("d0"))
+        .collect()
+      (env.count(r => r.getAs[Long]("c0") < 80L && r.getAs[Int]("d0") < 730),
+        env.length)
+    }
+    val (ht, htotal) = touchedOf("b93_hilbert_prune", "orders_hilbert")
+    val (zt, ztotal) = touchedOf("b64_zorder_prune", "orders_zorder")
+    assert(htotal >= 8, s"expected a multi-file layout, got $htotal files")
+    assert(ht < htotal, s"hilbert layout skipped nothing ($ht/$htotal)")
+    assert(ht <= zt, s"hilbert touched $ht/$htotal vs morton $zt/$ztotal")
+  }
+
   test("z-order layout: the 2-D box skips most files on min/max envelopes") {
     // b64's write is the surface under test: materialize it (write-once per
     // app), then measure the file-level skipping its box predicate earns —
