@@ -3268,6 +3268,47 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    "c97_anomaly_days" -> ((s, d) => {
+      // robust ingest monitoring — the "did a feed drop or spike" check a
+      // 100 TB pipeline runs per partition-day: daily event counts per
+      // type, then median ± MAD gating (b88/b90's robust stats — a mean/
+      // stddev gate is wrecked by exactly the outliers it should catch).
+      // The fact table compacts to the (type × day) frame in ONE
+      // map-side-combined shuffle before any window; the robust stats run
+      // on that tiny frame via Scale.groupedMedianDisc (group-partitioned
+      // cumulative windows, no per-group buffering) and broadcast back.
+      // anomaly = |cnt − med| > 3·MAD, pure integers end to end.
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val med = graft.operators.Scale.groupedMedianDisc(
+        daily.select(col("event_type"), col("cnt")), "event_type", "cnt")
+      val dev = daily.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), abs(col("cnt") - col("med")).as("ad"))
+      val mad = graft.operators.Scale.groupedMedianDisc(dev, "event_type", "ad")
+        .withColumnRenamed("med", "mad")
+      daily.join(broadcast(med), Seq("event_type"))
+        .join(broadcast(mad), Seq("event_type"))
+        .select(col("event_type"), col("day"), col("cnt"), col("med"), col("mad"),
+          (abs(col("cnt") - col("med")) > col("mad") * 3).as("anomaly"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    "c96_bloom_advisor" -> ((s, d) =>
+      // Bloom sizing closed-loop: the integer m >= n·k/ln2 rule decides,
+      // and the engine BUILDS each candidate filter and measures its
+      // false-positive rate on provably-disjoint probes (prefix-split
+      // hashes + anti-join) — fp bounds certified as the b18/b78
+      // boolean pattern, the sizing itself exact-integer-verified.
+      // chosen adapts with scale: 2^14 at sf0.001, 2^16 at sf0.01,
+      // 2^18 at sf0.1 (customer grows 10x per sf).
+      graft.operators.Pipeline.bloomAdvisor(
+        t(s, d, "customer"),
+        graft.functions.Text.tokenHash(
+          concat(lit("m"), col("c_custkey").cast("string"))))
+        .orderBy(col("m_bits"))),
+
     "c94_lsh_advisor" -> ((s, d) =>
       // the c83 "measure, then decide" pattern pointed at LSH's own
       // dials: per candidate banding, MEASURED bucket occupancy and
@@ -4641,6 +4682,37 @@ object SparkEntry {
         |FROM c CROSS JOIN m""".stripMargin,
 
     // c71's canonical groups binned by binary-string length
+    // same two quantile_disc passes as b90, applied to the compacted
+    // (type × day) count frame; 3·MAD gate in pure integers
+    "c97_anomaly_days" ->
+      """WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |             CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(quantile_disc(cnt, 0.5) AS BIGINT) AS med FROM d GROUP BY 1),
+        |dv AS (SELECT d.event_type, abs(d.cnt - m.med) AS ad FROM d JOIN m USING (event_type)),
+        |md AS (SELECT event_type, CAST(quantile_disc(ad, 0.5) AS BIGINT) AS mad FROM dv GROUP BY 1)
+        |SELECT d.event_type, d.day, d.cnt, m.med, md.mad,
+        |  abs(d.cnt - m.med) > 3 * md.mad AS anomaly
+        |FROM d JOIN m USING (event_type) JOIN md USING (event_type)
+        |ORDER BY d.event_type, d.day""".stripMargin,
+
+    // the sizing rule is exact-integer-verifiable (n from the data, the
+    // ln2 quantization fixed); the measured fp side crosses engines as
+    // bound booleans (b18 pattern) — DuckDB cannot rebuild the bitmap
+    // (64-bit two's-complement wrap in the probe walk has no BIGINT
+    // equivalent), but it fully verifies n_keys/min_bits/eligible/chosen
+    "c96_bloom_advisor" ->
+      """WITH n AS (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_keys FROM customer),
+        |cfg AS (SELECT * FROM (VALUES (16384), (65536), (262144)) c(m_bits)),
+        |r AS (SELECT m_bits, n_keys,
+        |        (n_keys * 10 * 10000 + 6930) // 6931 AS min_bits,
+        |        m_bits >= (n_keys * 10 * 10000 + 6930) // 6931 AS eligible
+        |      FROM cfg CROSS JOIN n),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY eligible DESC, m_bits) AS rn FROM r)
+        |SELECT CAST(m_bits AS INTEGER) AS m_bits, CAST(10 AS INTEGER) AS k_hashes,
+        |  n_keys, CAST(min_bits AS BIGINT) AS min_bits, eligible, rn = 1 AS chosen,
+        |  TRUE AS fp_ok, TRUE AS fp_monotone
+        |FROM rk ORDER BY m_bits""".stripMargin,
+
     // the full minhash construction replicated: 60-bit md5 shingle
     // hashes, the LCG-affine permutations (a·(h mod P)+b mod P — a,b
     // products stay < 2^62, int64-safe), slide-r band signatures, then

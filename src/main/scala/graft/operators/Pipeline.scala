@@ -537,6 +537,68 @@ object Pipeline {
       .select(col("id")).distinct()
   }
 
+  /** Bloom sizing advisor — the c83/c94 measure-then-decide pattern
+    * pointed at [[bloomContaminated]]'s (mBits, k) dials: per candidate
+    * bitmap size, the exact measured key count next to the integer
+    * sizing rule and a MEASURED false-positive probe of the actually
+    * built filter.
+    *
+    * The rule: at the optimal operating point k = (m/n)·ln 2 the false
+    * positive rate is exactly 2^−k, so for a 2^−k target the bitmap must
+    * satisfy m ≥ n·k/ln 2 — integerized as
+    * `min_bits = (n·k·10000 + 6930) div 6931` (⌈·⌉ against ln 2 ≈
+    * 0.6931, both engines' BIGINT). `chosen` = the smallest eligible
+    * candidate. The measured side builds each candidate filter for real
+    * and probes it with `nProbes` keys provably outside the member set
+    * (distinct hash prefix AND an anti-join): `fp_ok` certifies the
+    * chosen-size rate stays under 4× target (the b18/b78 bound-boolean
+    * pattern — the raw count is engine-measured, the bound is what the
+    * oracle asserts), `fp_monotone` certifies more bits never measure
+    * worse.
+    *
+    * Scale: members hash-distinct once (persisted, shared by all
+    * candidates); each candidate is one bitmap aggregate (bitmaps cross
+    * the wire, never rows) + one narrow probe scan; the decision runs on
+    * a |candidates|-row frame. Nothing here grows with the corpus except
+    * the one distinct pass the sizing needs anyway. */
+  def bloomAdvisor(keys: DataFrame, keyHash: Column,
+                   candMBits: Seq[Int] = Seq(1 << 14, 1 << 16, 1 << 18),
+                   k: Int = 10, nProbes: Int = 1 << 16): DataFrame = {
+    require(candMBits.nonEmpty && candMBits.forall(m => m > 0 && m % 64 == 0),
+      s"candidate sizes must be positive multiples of 64, got $candMBits")
+    require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
+    val hs = keys.select(keyHash.as("h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nKeys = broadcast(hs.agg(count(lit(1)).as("n_keys")))
+    val probes = keys.sparkSession.range(nProbes.toLong)
+      .select(graft.functions.Text.tokenHash(
+        concat(lit("p"), col("id").cast("string"))).as("h"))
+    val perConfig = candMBits.map { m =>
+      val bloom = hs.agg(graft.functions.Bloom.build(col("h"), m, k).as("bf")).scalar()
+      val fp = broadcast(probes
+        .where(graft.plans.BloomExpressions.mightContain(bloom, col("h"), k))
+        .join(hs, Seq("h"), "left_anti")
+        .agg(count(lit(1)).as("fp_count")))
+      nKeys.crossJoin(fp).select(lit(m).as("m_bits"), lit(k).as("k_hashes"),
+        col("n_keys"),
+        expr(s"(n_keys * $k * 10000 + 6930) div 6931").as("min_bits"),
+        col("fp_count"))
+    }.reduce(_.unionAll(_))
+    // decision windows run on the |candidates|-row frame, never on data
+    val w = org.apache.spark.sql.expressions.Window.orderBy(
+      col("eligible").desc, col("m_bits"))
+    val wm = org.apache.spark.sql.expressions.Window.orderBy(col("m_bits"))
+    perConfig
+      .withColumn("eligible", col("m_bits") >= col("min_bits"))
+      .withColumn("chosen", row_number().over(w) === 1)
+      .withColumn("fp_ok",
+        !col("eligible") || col("fp_count") * 256 <= lit(nProbes.toLong))
+      .withColumn("fp_monotone",
+        coalesce(lag(col("fp_count"), 1).over(wm) >= col("fp_count"), lit(true)))
+      .select(col("m_bits"), col("k_hashes"), col("n_keys"), col("min_bits"),
+        col("eligible"), col("chosen"), col("fp_ok"), col("fp_monotone"))
+  }
+
   /** Integer-exact BM25-lite relevance ranking of every document against a
     * fixed bag of query terms — the retrieval scorer a curation pipeline
     * uses to pull topic-relevant documents out of a crawl. Classic BM25

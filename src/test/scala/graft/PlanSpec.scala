@@ -173,6 +173,39 @@ class PlanSpec extends SparkSpec {
       s"expected both box dimensions in PushedFilters:\n$scan")
   }
 
+  test("hilbert scan pushes both box predicates to the parquet reader") {
+    val df = SparkEntry.queries("b93_hilbert_prune")(spark, sf)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("o_custkey")
+      && scan.contains("o_day"),
+      s"expected both box dimensions in PushedFilters:\n$scan")
+  }
+
+  test("hilbert key query is a narrow top-k — per-task heaps, no global sort exchange") {
+    val plan = physicalPlan(SparkEntry.queries("b92_hilbert_key")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject (top-k heaps), got:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"key+limit must not plan a global sort:\n$plan")
+  }
+
+  test("lsh advisor never materializes a candidate pair — stats aggregates plus one 1-row broadcast") {
+    val plan = physicalPlan(SparkEntry.queries("c94_lsh_advisor")(spark, sf))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"advisor must not join candidate pairs:\n$plan")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 1, s"expected at most the 1-row n_docs broadcast, got $bnlj:\n$plan")
+  }
+
+  test("bloom advisor probes through bitmap scalars — 1-row crossings only, no raw-key pair join") {
+    val plan = physicalPlan(SparkEntry.queries("c96_bloom_advisor")(spark, sf))
+    assert(plan.contains("bloommightcontain") || plan.contains("BloomMightContain"),
+      s"bloom probe missing from the plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 3, s"expected only the per-candidate 1-row stat crossings, got $bnlj:\n$plan")
+  }
+
   test("bloom decontamination prefilters before the verify join, with no nested loop") {
     val plan = physicalPlan(SparkEntry.queries("c34_bloom_decontaminate")(spark, sf))
     assert(plan.contains("bloommightcontain") || plan.contains("BloomMightContain"),
