@@ -3268,6 +3268,31 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    "c98_sliding_cms" -> ((s, d) => {
+      // batch parity for the SLIDING-window streaming CMS
+      // (Streams.streamSlidingCmsCells, 1 h / 30 min, 4×64 grid): the
+      // b91 sliding assignment composed with c78's counting-monoid cell
+      // algebra — closed windows' grids are arrival-order-proof, so the
+      // drained stream equals this batch aggregation cell-for-cell
+      // (StreamingSpec asserts it live). Every cell is an exact integer
+      // under the shared md5 bucket rule — fully hash-verified, no bound
+      // booleans needed.
+      val ev = t(s, d, "events")
+      val wm = broadcast(ev.agg(
+        (max(col("ts")) - expr("INTERVAL 30 MINUTES")).as("wm")))
+      ev.select(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("user_id").cast("string").as("tok"))
+        .select(col("w"), col("tok"), explode(sequence(lit(0), lit(3))).as("r"))
+        .groupBy(col("w"), col("r"),
+          graft.functions.CountMin.bucketOf(col("r"), col("tok"), 64).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .crossJoin(wm)
+        .where(col("w.end") <= col("wm"))
+        .select(unix_micros(col("w.start")).as("w_start_us"), col("r"),
+          col("bucket"), col("cnt"))
+        .orderBy(col("w_start_us"), col("r"), col("bucket"))
+    }),
+
     "c97_anomaly_days" -> ((s, d) => {
       // robust ingest monitoring — the "did a feed drop or spike" check a
       // 100 TB pipeline runs per partition-day: daily event counts per
@@ -4682,6 +4707,22 @@ object SparkEntry {
         |FROM c CROSS JOIN m""".stripMargin,
 
     // c71's canonical groups binned by binary-string length
+    // b91's sliding-window unroll composed with c78's md5 cell rule;
+    // closed windows only (the b78 watermark bound)
+    "c98_sliding_cms" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM events),
+        |w AS (SELECT time_bucket(INTERVAL '30 minutes', ts)
+        |        - k.k * INTERVAL '30 minutes' AS ws,
+        |        CAST(user_id AS VARCHAR) AS tok
+        |      FROM events CROSS JOIN (VALUES (0), (1)) k(k)),
+        |x AS (SELECT ws, CAST(g.r AS INTEGER) AS r,
+        |        CAST(('0x' || substring(md5(CAST(g.r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 64 AS bucket
+        |      FROM w CROSS JOIN generate_series(0, 3) g(r))
+        |SELECT epoch_us(ws) AS w_start_us, r, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |FROM x CROSS JOIN wm
+        |WHERE ws + INTERVAL 1 HOUR <= wm.wm
+        |GROUP BY ws, r, bucket ORDER BY w_start_us, r, bucket""".stripMargin,
+
     // same two quantile_disc passes as b90, applied to the compacted
     // (type × day) count frame; 3·MAD gate in pure integers
     "c97_anomaly_days" ->

@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
 object CountMin {
 
   /** Bucket of `tok` in hash row `r` (a column): 60-bit md5 of "r:tok",
-    * mod width — positive on both engines. */
-  private def bucketOf(r: Column, tok: Column, width: Int): Column =
+    * mod width — positive on both engines. private[graft]: the windowed
+    * cell builders (c98 batch parity, Streams.streamSlidingCmsCells)
+    * share this one bucket rule so the grids can never drift. */
+  private[graft] def bucketOf(r: Column, tok: Column, width: Int): Column =
     pmod(conv(substring(md5(concat(r.cast("string"), lit(":"), tok)), 1, 15), 16, 10)
       .cast("long"), lit(width.toLong))
 

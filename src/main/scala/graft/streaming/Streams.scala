@@ -97,6 +97,28 @@ object Streams {
     graft.functions.CountMin.build(
       events.select(col(keyCol).cast("string").as("tok")), "tok", d, width)
 
+  /** Per-window count-min cells maintained BY A STREAM over SLIDING
+    * windows — the windowed+overlapping composition of [[
+    * streamCountMinCells]] (global grid) and [[streamSlidingDistinct]]
+    * (sliding assignment): each event feeds width/slide windows, and
+    * within every window the (r, bucket) cell counts are a pure counting
+    * monoid, so micro-batch boundaries and arrival order cannot change a
+    * closed window's grid — the drained stream's append output equals
+    * the batch sliding aggregation cell-for-cell (StreamingSpec; batch
+    * parity oracle = c98). The bucket rule is shared with the batch
+    * builder ([[graft.functions.CountMin.bucketOf]]) so the grids cannot
+    * drift. State is one fixed d·width grid per active window span,
+    * pruned at the watermark. */
+  def streamSlidingCmsCells(events: DataFrame, width: String, slide: String,
+                            delay: String, d: Int = 4, w: Int = 64): DataFrame =
+    events.withWatermark("ts", delay)
+      .select(col("ts"), col("user_id").cast("string").as("tok"))
+      .select(col("ts"), col("tok"), explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .groupBy(window(col("ts"), width, slide), col("r"),
+        graft.functions.CountMin.bucketOf(col("r"), col("tok"), w).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("r"), col("bucket"), col("cnt"))
+
   /** Misra–Gries heavy-hitter summary maintained BY A STREAM: a
     * complete-mode aggregation of the [[graft.functions.Folds.MisraGries]]
     * udaf — micro-batch boundaries are just extra `merge` points, and the

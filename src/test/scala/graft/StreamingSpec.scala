@@ -210,6 +210,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("c98: sliding-window stream CMS grids equal the batch aggregation cell-for-cell") {
+    // counting-monoid cells inside each window + deterministic sliding
+    // assignment: closed windows must match batch exactly, per cell
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms-slide-stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val schema = s.read.parquet(s"$sf/events.parquet").schema
+    val stream = graft.sources.Tables.normalizeEventsTs(
+      s.readStream.schema(schema).parquet(dir.toString))
+    val out = Streams.streamSlidingCmsCells(stream, "1 hour", "30 minutes", "30 minutes")
+    val q = out.writeStream.format("memory").queryName("cmsslideparity")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = s.sql(
+          "SELECT window_start, r, bucket, cnt FROM cmsslideparity")
+        .orderBy("window_start", "r", "bucket").collect().map(_.toSeq).toSeq
+      val ev = graft.sources.Tables.t(s, sf, "events")
+      val wmRow = ev.agg(org.apache.spark.sql.functions.max(col("ts"))).head().getTimestamp(0)
+      val wm = new java.sql.Timestamp(wmRow.getTime - 30 * 60 * 1000)
+      val batch = ev.select(
+          org.apache.spark.sql.functions.window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("user_id").cast("string").as("tok"))
+        .select(col("w"), col("tok"),
+          explode(org.apache.spark.sql.functions.sequence(lit(0), lit(3))).as("r"))
+        .groupBy(col("w"), col("r"),
+          graft.functions.CountMin.bucketOf(col("r"), col("tok"), 64).as("bucket"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+        .where(col("w.end") <= lit(wm))
+        .select(col("w.start").as("window_start"), col("r"), col("bucket"), col("cnt"))
+        .orderBy("window_start", "r", "bucket").collect().map(_.toSeq).toSeq
+      assert(streamed.nonEmpty, "stream emitted nothing — watermark never advanced?")
+      assert(streamed == batch,
+        s"stream cells=${streamed.length} != batch cells=${batch.length}")
+    } finally q.stop()
+  }
+
   test("c78: stream-maintained count-min cells equal the batch sketch cell-for-cell") {
     // CMS cell addition commutes, so a complete-mode streaming
     // aggregation of the cell expansion must land on the exact batch
