@@ -1327,6 +1327,41 @@ object SparkEntry {
         .orderBy(col("w_start_us"))
     }),
 
+    "b94_funnel" -> ((s, d) => {
+      // ordered-funnel conversion (view → click → purchase): a user
+      // reaches stage n at the EARLIEST event of that type strictly
+      // after their stage-(n−1) time — the standard product-analytics
+      // funnel with event-order semantics, not mere type presence.
+      // Plan: ONE shuffle on user_id; the three stage times are chained
+      // conditional mins over the same user partition window (no joins,
+      // no per-user sort materialized beyond the window), then a
+      // per-user compaction and a 1-row stage-count aggregate unpivoted
+      // to (stage, users, conv_ppm). Integer ppm division floors
+      // identically in both engines.
+      val wu = Window.partitionBy(col("user_id"))
+      val ev = t(s, d, "events")
+      val staged = ev
+        .withColumn("s1", min(when(col("event_type") === "view", col("ts"))).over(wu))
+        .withColumn("s2", min(when(col("event_type") === "click" &&
+          col("ts") > col("s1"), col("ts"))).over(wu))
+        .withColumn("s3", min(when(col("event_type") === "purchase" &&
+          col("ts") > col("s2"), col("ts"))).over(wu))
+        .groupBy(col("user_id"))
+        .agg(max(col("s1")).as("s1"), max(col("s2")).as("s2"), max(col("s3")).as("s3"))
+      val counts = staged.agg(
+        count(col("s1")).as("u1"), count(col("s2")).as("u2"), count(col("s3")).as("u3"))
+      // stack, not a 3-way union: a union of selects over `counts` would
+      // re-derive the whole staged pipeline once per branch (3 full
+      // scans at 100 TB); stack unpivots the ONE materialized row
+      counts.select(expr(
+          "stack(3, " +
+            "1, 'view',     u1, (u1 * 1000000) div nullif(u1, 0), " +
+            "2, 'click',    u2, (u2 * 1000000) div nullif(u1, 0), " +
+            "3, 'purchase', u3, (u3 * 1000000) div nullif(u1, 0)) " +
+            "AS (stage, event_type, users, conv_ppm)"))
+        .orderBy(col("stage"))
+    }),
+
     "b91_stream_sliding_hll" -> ((s, d) => {
       // batch parity for the SLIDING-window streaming approx-distinct
       // (Streams.streamSlidingDistinct, 1 h window / 30 min slide,
@@ -2501,6 +2536,32 @@ object SparkEntry {
         |FROM w CROSS JOIN wm
         |WHERE ws + INTERVAL 1 HOUR <= wm.wm
         |GROUP BY ws ORDER BY w_start_us""".stripMargin,
+
+    // identical chained conditional-min windows; DuckDB's FILTER clause
+    // is the CASE form's equivalent, kept as CASE for symmetry
+    "b94_funnel" ->
+      """WITH s1t AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s1
+        |  FROM events),
+        |s2t AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s2
+        |  FROM s1t),
+        |s3t AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s3
+        |  FROM s2t),
+        |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s3) AS s3
+        |      FROM s3t GROUP BY user_id),
+        |c AS (SELECT CAST(count(s1) AS BIGINT) AS u1, CAST(count(s2) AS BIGINT) AS u2,
+        |        CAST(count(s3) AS BIGINT) AS u3 FROM u)
+        |SELECT 1 AS stage, 'view' AS event_type, u1 AS users,
+        |  (u1 * 1000000) // NULLIF(u1, 0) AS conv_ppm FROM c
+        |UNION ALL SELECT 2, 'click', u2, (u2 * 1000000) // NULLIF(u1, 0) FROM c
+        |UNION ALL SELECT 3, 'purchase', u3, (u3 * 1000000) // NULLIF(u1, 0) FROM c
+        |ORDER BY stage""".stripMargin,
 
     "b91_stream_sliding_hll" ->
       // sliding windows unrolled as the k ∈ {0,1} slide offsets of the

@@ -197,6 +197,16 @@ class PlanSpec extends SparkSpec {
     assert(bnlj <= 1, s"expected at most the 1-row n_docs broadcast, got $bnlj:\n$plan")
   }
 
+  test("funnel: one user-partition shuffle shared by all three stage windows, no joins") {
+    val plan = physicalPlan(SparkEntry.queries("b94_funnel")(spark, sf))
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(userExchanges == 1,
+      s"expected exactly 1 user_id exchange shared by the stage windows, got $userExchanges:\n$plan")
+    assert(!plan.contains("Join"), s"funnel must stay join-free:\n$plan")
+    assert(plan.contains("Generate stack") || plan.contains("stack("),
+      s"expected the stack unpivot (a union would re-derive the pipeline per stage):\n$plan")
+  }
+
   test("bloom advisor probes through bitmap scalars — 1-row crossings only, no raw-key pair join") {
     val plan = physicalPlan(SparkEntry.queries("c96_bloom_advisor")(spark, sf))
     assert(plan.contains("bloommightcontain") || plan.contains("BloomMightContain"),
