@@ -3329,6 +3329,39 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    "c99_sliding_topk" -> ((s, d) => {
+      // batch parity for the SLIDING-window streaming Misra–Gries
+      // heavy hitters (Streams.streamSlidingHeavyHitters, 1 h / 30 min,
+      // k=2 over 5 event types — constant evictions by construction):
+      // per closed window, exact per-type counts next to the
+      // THEOREM-GUARANTEED audit booleans (capture of every type with
+      // cnt·3 > n; error ≤ n/3) — never the merge-order-dependent raw
+      // estimates, the b80 discipline applied per window. The exact
+      // side is one grouped count; the summary side is one windowed MG
+      // aggregate whose state is O(k) per window.
+      val ev = t(s, d, "events")
+      val wm = broadcast(ev.agg(
+        (max(col("ts")) - expr("INTERVAL 30 MINUTES")).as("wm")))
+      val mg = udaf(new graft.functions.Folds.MisraGries(2))
+      val base = ev.select(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        coalesce(col("event_type"), lit("")).as("event_type"))
+      val summary = base.groupBy(col("w")).agg(mg(col("event_type")).as("mg"))
+        .select(col("w"), explode(col("mg.entries")).as("e"))
+        .select(col("w"), col("e.tok").as("event_type"), col("e.est").as("est"))
+      val exact = base.groupBy(col("w"), col("event_type")).agg(count(lit(1)).as("cnt"))
+      val n = base.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      val est0 = coalesce(col("est"), lit(0L))
+      exact.join(summary, Seq("w", "event_type"), "left")
+        .join(n, Seq("w"))
+        .crossJoin(wm).where(col("w.end") <= col("wm"))
+        .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
+          col("cnt"),
+          (col("cnt") * 3 > col("n")).as("is_heavy"),
+          (!(col("cnt") * 3 > col("n")) || est0 > 0).as("captured"),
+          (est0 <= col("cnt") && (col("cnt") - est0) * 3 <= col("n")).as("bound_ok"))
+        .orderBy(col("w_start_us"), col("event_type"))
+    }),
+
     "c98_sliding_cms" -> ((s, d) => {
       // batch parity for the SLIDING-window streaming CMS
       // (Streams.streamSlidingCmsCells, 1 h / 30 min, 4×64 grid): the
@@ -4768,6 +4801,23 @@ object SparkEntry {
         |FROM c CROSS JOIN m""".stripMargin,
 
     // c71's canonical groups binned by binary-string length
+    // b91's sliding unroll; exact counts + literal TRUE audit booleans
+    // (the b80 pattern — the theorem facts are what cross engines)
+    "c99_sliding_topk" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM events),
+        |w AS (SELECT time_bucket(INTERVAL '30 minutes', ts)
+        |        - k.k * INTERVAL '30 minutes' AS ws,
+        |        coalesce(event_type, '') AS event_type
+        |      FROM events CROSS JOIN (VALUES (0), (1)) k(k)),
+        |ex AS (SELECT ws, event_type, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM w GROUP BY 1, 2),
+        |n AS (SELECT ws, count(*) AS n FROM w GROUP BY 1)
+        |SELECT epoch_us(ws) AS w_start_us, event_type, cnt,
+        |  cnt * 3 > n.n AS is_heavy, TRUE AS captured, TRUE AS bound_ok
+        |FROM ex JOIN n USING (ws) CROSS JOIN wm
+        |WHERE ws + INTERVAL 1 HOUR <= wm.wm
+        |ORDER BY w_start_us, event_type""".stripMargin,
+
     // b91's sliding-window unroll composed with c78's md5 cell rule;
     // closed windows only (the b78 watermark bound)
     "c98_sliding_cms" ->

@@ -119,6 +119,26 @@ object Streams {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("r"), col("bucket"), col("cnt"))
 
+  /** Per-window Misra–Gries heavy-hitter summaries over SLIDING windows
+    * in a STREAM — the third member of the sliding sketch family (HLL
+    * [[streamSlidingDistinct]], CMS [[streamSlidingCmsCells]]). Raw MG
+    * estimates are merge-order-dependent, so what is guaranteed — and
+    * what StreamingSpec asserts against batch — is the mergeable-summary
+    * AUDIT per closed window: every tok with cnt·(k+1) > n is captured,
+    * and every estimate is within n/(k+1) of exact (the b80 discipline
+    * applied per window). State is O(k) per active window span, pruned
+    * at the watermark. Batch parity oracle = c99 (audit booleans +
+    * exact counts). */
+  def streamSlidingHeavyHitters(events: DataFrame, width: String, slide: String,
+                                delay: String, k: Int = 2): DataFrame = {
+    val mg = udaf(new graft.functions.Folds.MisraGries(k))
+    events.withWatermark("ts", delay)
+      .select(col("ts"), coalesce(col("event_type").cast("string"), lit("")).as("tok"))
+      .groupBy(window(col("ts"), width, slide))
+      .agg(mg(col("tok")).as("mg"))
+      .select(col("window.start").as("window_start"), col("mg"))
+  }
+
   /** Misra–Gries heavy-hitter summary maintained BY A STREAM: a
     * complete-mode aggregation of the [[graft.functions.Folds.MisraGries]]
     * udaf — micro-batch boundaries are just extra `merge` points, and the

@@ -249,6 +249,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("c99: sliding-window stream MG summaries satisfy the audit vs exact per-window counts") {
+    // MG raw estimates are merge-order-dependent; what the mergeable-
+    // summaries theorem guarantees per closed window — capture of every
+    // heavy key, error <= n/(k+1), <= k entries — must hold for the
+    // DRAINED stream's summaries against exact batch counts
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft-mg-slide-stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val schema = s.read.parquet(s"$sf/events.parquet").schema
+    val stream = graft.sources.Tables.normalizeEventsTs(
+      s.readStream.schema(schema).parquet(dir.toString))
+    val out = Streams.streamSlidingHeavyHitters(stream, "1 hour", "30 minutes", "30 minutes", k = 2)
+    val q = out.writeStream.format("memory").queryName("mgslideparity")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = s.sql(
+          "SELECT window_start, e.tok AS tok, e.est AS est " +
+            "FROM mgslideparity LATERAL VIEW explode(mg.entries) AS e")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed.nonEmpty, "stream emitted nothing — watermark never advanced?")
+      val ev = graft.sources.Tables.t(s, sf, "events")
+      val exact = ev.select(
+          org.apache.spark.sql.functions.window(col("ts"), "1 hour", "30 minutes").as("w"),
+          coalesce(col("event_type"), lit("")).as("tok"))
+        .groupBy(col("w.start").as("ws"), col("tok"))
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+      val nPerW = exact.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+      // only windows the stream closed (watermark) are checkable
+      val closed = streamed.keySet.map(_._1)
+      closed.foreach { w =>
+        val n = nPerW(w)
+        exact.filter(_._1._1 == w).foreach { case ((_, tok), cnt) =>
+          val est = streamed.getOrElse((w, tok), 0L)
+          if (cnt * 3 > n) assert(est > 0, s"heavy $tok not captured in window $w")
+          assert(est <= cnt && (cnt - est) * 3 <= n,
+            s"estimate $est outside [cnt - n/3, cnt] for $tok in $w (cnt=$cnt n=$n)")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("c78: stream-maintained count-min cells equal the batch sketch cell-for-cell") {
     // CMS cell addition commutes, so a complete-mode streaming
     // aggregation of the cell expansion must land on the exact batch
