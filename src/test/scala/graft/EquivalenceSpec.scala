@@ -32,8 +32,10 @@ class EquivalenceSpec extends SparkSpec {
     "c87_degree_dist", "c88_bpe_merges", "b87_snapshot_diff",
     "c89_ann_precision", "c90_bpe_compression", "c91_corpus_diversity",
     "c92_langid_confusion", "b88_mad_robust", "c93_cluster_size_dist", "b89_scd2_asof", "b90_grouped_mad",
-    // r9: new integer kernels (Hilbert static kernel, band-bucket stats)
-    "b92_hilbert_key", "c94_lsh_advisor")
+    // r9: new integer kernels (Hilbert static kernel, band-bucket stats,
+    // bloom probe walk, windowed cells, funnel stage windows)
+    "b92_hilbert_key", "c94_lsh_advisor", "c96_bloom_advisor",
+    "c97_anomaly_days", "c98_sliding_cms", "b94_funnel")
 
   test("codegen on/off produce identical results for representative queries") {
     keys.foreach { name =>
