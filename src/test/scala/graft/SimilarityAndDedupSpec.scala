@@ -693,6 +693,50 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(pre == inv, s"prefix filter diverged: missing=${inv -- pre} extra=${pre -- inv}")
   }
 
+  test("lsh advisor: measured bucket stats equal a direct banding recount; chosen = c02 point") {
+    // the advisor's cand_pairs / hot_buckets / max_bucket must equal an
+    // independent recount of the same banding (signature slices grouped
+    // by hand), and on the real corpus the decision rule must land on
+    // the proven c02 operating point (bands=16)
+    val real = graft.sources.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val sets = Dedup.shingleSets(real, "doc_id", "text", shingleN = 3)
+    val got = Dedup.lshParamAdvisor(sets).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    val sigs = sets.withColumn("sig", Dedup.minhashSignature(col("hs"), 64))
+      .select(col("id"), col("sig")).collect()
+      .map(r => r.getSeq[Long](1).toIndexedSeq)
+    for (b <- Seq(8, 16, 32)) {
+      val r = 64 / b
+      val buckets = sigs.flatMap(sig =>
+          (0 until b).map(i => (i, sig.slice(i * r, i * r + r))))
+        .groupBy(identity).map(_._2.length)
+      val row = got(b)
+      assert(row.getLong(6) == buckets.map(n => n.toLong * (n - 1) / 2).sum,
+        s"cand_pairs mismatch at bands=$b")
+      assert(row.getLong(4) == buckets.count(_ >= 2).toLong,
+        s"hot_buckets mismatch at bands=$b")
+      assert(row.getLong(5) == buckets.max.toLong, s"max_bucket mismatch at bands=$b")
+    }
+    assert(got(16).getBoolean(7) && !got(8).getBoolean(7) && !got(32).getBoolean(7),
+      "advisor should choose bands=16 (the c02 operating point) on this corpus")
+  }
+
+  test("bloom advisor: sizing rule exact, chosen minimal-eligible, fp facts hold") {
+    val s = spark; import s.implicits._
+    val keys = (1L to 100L).toDF("k")
+    val got = graft.operators.Pipeline.bloomAdvisor(
+        keys, graft.functions.Text.tokenHash(concat(lit("m"), col("k").cast("string"))))
+      .orderBy(col("m_bits")).collect()
+    // n=100, k=10: min_bits = ceil(1000/ln2) = (1000*10000+6930)//6931 = 1443
+    assert(got.forall(_.getLong(3) == 1443L), s"min_bits rule broken: ${got.toSeq}")
+    assert(got.forall(_.getBoolean(4)), "all three candidates are eligible at n=100")
+    assert(got.map(r => r.getInt(0) -> r.getBoolean(5)).toMap ==
+      Map(16384 -> true, 65536 -> false, 262144 -> false),
+      "chosen must be the smallest eligible size")
+    assert(got.forall(_.getBoolean(6)), "fp_ok must hold for eligible sizes")
+    assert(got.forall(_.getBoolean(7)), "fp must not grow with more bits")
+  }
+
   test("canonical dedup merges case/punctuation variants byte-exact dedup keeps apart") {
     val s = spark; import s.implicits._
     val df = Seq(
