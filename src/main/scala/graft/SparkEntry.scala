@@ -1327,6 +1327,77 @@ object SparkEntry {
         .orderBy(col("w_start_us"))
     }),
 
+    "b95_tpch_q3" -> ((s, d) => {
+      // TPC-H Q3 (shipping priority) on the fixture's column subset
+      // (o_orderpriority stands in for o_shippriority): revenue of
+      // unshipped BUILDING orders as of the cut date. Revenue is the
+      // exact integer Σ cents·(100−disc_pct) — cent·percent units, no
+      // double accumulation (the b51 convention extended to the
+      // discount factor). Joins stay declarative: at 100 TB both fact
+      // sides shuffle on their keys and AQE picks build sides; at test
+      // scale Catalyst broadcasts the filtered dims on its own — no
+      // hand-hinting either way. Top-10 is TakeOrdered with a total
+      // (revenue, orderkey) tie order.
+      val cut = lit("1996-06-30").cast("date")
+      val rev = (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+        (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+      t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate").cast("date") < cut)
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_shipdate").cast("date") > cut)
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(rev).as("revenue_c100"))
+        .orderBy(col("revenue_c100").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "b96_tpch_q5" -> ((s, d) => {
+      // TPC-H Q5 (local supplier volume): revenue per ASIA nation from
+      // 1997 orders where the supplier and customer share the nation —
+      // the classic 6-table star-plus-selective-equality join. Same
+      // exact cent·percent revenue; region/nation broadcast (provably
+      // tiny dims), the fact-fact chain shuffles on its keys.
+      val rev = (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+        (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate").cast("date") >= lit("1997-01-01").cast("date") &&
+          col("o_orderdate").cast("date") < lit("1998-01-01").cast("date"))
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(sum(rev).as("revenue_c100"))
+        .orderBy(col("revenue_c100").desc, col("n_name"))
+    }),
+
+    "b97_tpch_q10" -> ((s, d) => {
+      // TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+      // lost to returns in one quarter. Exact cent·percent revenue;
+      // nation broadcast; the returned-flag and date predicates reach
+      // the scans. Grouping carries the per-customer constants
+      // (name, acctbal, nation) through — c_acctbal is an untouched
+      // stored double (pass-through, hash-safe), never arithmetic.
+      val rev = (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+        (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate").cast("date") >= lit("1997-01-01").cast("date") &&
+          col("o_orderdate").cast("date") < lit("1997-04-01").cast("date"))
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_returnflag") === "R")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(rev).as("revenue_c100"))
+        .orderBy(col("revenue_c100").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     "b94_funnel" -> ((s, d) => {
       // ordered-funnel conversion (view → click → purchase): a user
       // reaches stage n at the EARLIEST event of that type strictly
@@ -2536,6 +2607,49 @@ object SparkEntry {
         |FROM w CROSS JOIN wm
         |WHERE ws + INTERVAL 1 HOUR <= wm.wm
         |GROUP BY ws ORDER BY w_start_us""".stripMargin,
+
+    "b95_tpch_q3" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_c100
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-06-30'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1996-06-30'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_c100 DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "b96_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_c100
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue_c100 DESC, n_name""".stripMargin,
+
+    "b97_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_c100
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue_c100 DESC, c_custkey LIMIT 20""".stripMargin,
 
     // identical chained conditional-min windows; DuckDB's FILTER clause
     // is the CASE form's equivalent, kept as CASE for symmetry
