@@ -1398,6 +1398,33 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "b98_tpch_q18" -> ((s, d) => {
+      // TPC-H Q18 (large-volume customers): orders whose total quantity
+      // clears a threshold, with customer identity and the order's
+      // line-quantity total. The filter subquery is the aggregated
+      // semi-join shape (groupBy lineitem ONCE, filter on the aggregate,
+      // then join orders/customer to the qualifying keys) — never a
+      // correlated per-order re-scan. Quantities are exact integer
+      // deci-units (l_quantity is at most 1dp in the fixture; ·10
+      // round-trips exactly). At 100 TB the qualifying-key set is tiny
+      // (the HAVING cuts hard) so AQE broadcasts it back against
+      // orders; lineitem aggregates once with map-side partials.
+      val qty = floor(col("l_quantity") * 10 + 0.5).cast("long")
+      val big = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(qty).as("total_qty_deci"))
+        .where(col("total_qty_deci") > 3000)
+      t(s, d, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("totalprice_cents"),
+          col("total_qty_deci"))
+        .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     "b94_funnel" -> ((s, d) => {
       // ordered-funnel conversion (view → click → purchase): a user
       // reaches stage n at the EARLIEST event of that type strictly
@@ -2607,6 +2634,20 @@ object SparkEntry {
         |FROM w CROSS JOIN wm
         |WHERE ws + INTERVAL 1 HOUR <= wm.wm
         |GROUP BY ws ORDER BY w_start_us""".stripMargin,
+
+    "b98_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(floor(l_quantity * 10 + 0.5) AS BIGINT)) AS BIGINT) AS total_qty_deci
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(floor(l_quantity * 10 + 0.5) AS BIGINT)) > 3000)
+        |SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
+        |  total_qty_deci
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "b95_tpch_q3" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
