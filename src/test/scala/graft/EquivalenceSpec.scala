@@ -35,7 +35,8 @@ class EquivalenceSpec extends SparkSpec {
     // r9: new integer kernels (Hilbert static kernel, band-bucket stats,
     // bloom probe walk, windowed cells, funnel stage windows)
     "b92_hilbert_key", "c94_lsh_advisor", "c96_bloom_advisor",
-    "c97_anomaly_days", "c98_sliding_cms", "b94_funnel")
+    "c97_anomaly_days", "c98_sliding_cms", "b94_funnel",
+    "b95_tpch_q3", "b96_tpch_q5", "b97_tpch_q10", "b98_tpch_q18")
 
   test("codegen on/off produce identical results for representative queries") {
     keys.foreach { name =>

@@ -197,6 +197,15 @@ class PlanSpec extends SparkSpec {
     assert(bnlj <= 1, s"expected at most the 1-row n_docs broadcast, got $bnlj:\n$plan")
   }
 
+  test("tpch q18: lineitem is scanned and aggregated exactly once — no correlated re-scan") {
+    val plan = physicalPlan(SparkEntry.queries("b98_tpch_q18")(spark, sf))
+    val lineitemScans = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(lineitemScans == 1,
+      s"expected exactly 1 lineitem scan (aggregate-once HAVING shape), got $lineitemScans:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected top-100 as TakeOrdered, got:\n$plan")
+  }
+
   test("funnel: one user-partition shuffle shared by all three stage windows, no joins") {
     val plan = physicalPlan(SparkEntry.queries("b94_funnel")(spark, sf))
     val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
