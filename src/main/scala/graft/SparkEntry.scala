@@ -3484,6 +3484,20 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    "c100_join_order" -> ((s, d) =>
+      // the c83 planner story at the MULTI-WAY level: all three pairwise
+      // join sizes of (events, orders, customer) on the shared customer
+      // key estimated from CMS inner products (2·d·width integers per
+      // table, no raw join executed), and join_first = the smallest
+      // estimated intermediate — the greedy first step of cost-based
+      // join reordering, reproduced bit-for-bit by the oracle
+      graft.functions.CountMin.joinOrderAdvisor(Seq(
+          "events" -> t(s, d, "events").select(col("user_id").cast("string").as("tok")),
+          "orders" -> t(s, d, "orders").select(col("o_custkey").cast("string").as("tok")),
+          "customer" -> t(s, d, "customer").select(col("c_custkey").cast("string").as("tok"))),
+          "tok", d = 4, width = 64)
+        .orderBy(col("left_table"), col("right_table"))),
+
     "c99_sliding_topk" -> ((s, d) => {
       // batch parity for the SLIDING-window streaming Misra–Gries
       // heavy hitters (Streams.streamSlidingHeavyHitters, 1 h / 30 min,
@@ -4956,6 +4970,38 @@ object SparkEntry {
         |FROM c CROSS JOIN m""".stripMargin,
 
     // c71's canonical groups binned by binary-string length
+    // three c81-style sketch inner products + the argmin rank — every
+    // column a deterministic BIGINT under the shared md5 bucket rule
+    "c100_join_order" ->
+      """WITH ta AS (SELECT CAST(user_id AS VARCHAR) AS tok FROM events),
+        |tb AS (SELECT CAST(o_custkey AS VARCHAR) AS tok FROM orders),
+        |tc AS (SELECT CAST(c_custkey AS VARCHAR) AS tok FROM customer),
+        |ca AS (SELECT g.r AS r,
+        |    CAST(('0x' || substring(md5(CAST(g.r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 64 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ta CROSS JOIN generate_series(0, 3) g(r) GROUP BY 1, 2),
+        |cb AS (SELECT g.r AS r,
+        |    CAST(('0x' || substring(md5(CAST(g.r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 64 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tb CROSS JOIN generate_series(0, 3) g(r) GROUP BY 1, 2),
+        |cc AS (SELECT g.r AS r,
+        |    CAST(('0x' || substring(md5(CAST(g.r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 64 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tc CROSS JOIN generate_series(0, 3) g(r) GROUP BY 1, 2),
+        |eab AS (SELECT coalesce(min(s), 0) AS est FROM (
+        |    SELECT a.r, sum(a.cnt * b.cnt) AS s FROM ca a JOIN cb b USING (r, bucket) GROUP BY a.r)),
+        |eac AS (SELECT coalesce(min(s), 0) AS est FROM (
+        |    SELECT a.r, sum(a.cnt * c.cnt) AS s FROM ca a JOIN cc c USING (r, bucket) GROUP BY a.r)),
+        |ebc AS (SELECT coalesce(min(s), 0) AS est FROM (
+        |    SELECT b.r, sum(b.cnt * c.cnt) AS s FROM cb b JOIN cc c USING (r, bucket) GROUP BY b.r)),
+        |p AS (
+        |  SELECT 'events' AS left_table, 'orders' AS right_table, CAST(est AS BIGINT) AS est_join FROM eab
+        |  UNION ALL SELECT 'events', 'customer', CAST(est AS BIGINT) FROM eac
+        |  UNION ALL SELECT 'orders', 'customer', CAST(est AS BIGINT) FROM ebc),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY est_join, left_table, right_table) AS rn FROM p)
+        |SELECT left_table, right_table, est_join, rn = 1 AS join_first
+        |FROM rk ORDER BY left_table, right_table""".stripMargin,
+
     // b91's sliding unroll; exact counts + literal TRUE audit booleans
     // (the b80 pattern — the theorem facts are what cross engines)
     "c99_sliding_topk" ->

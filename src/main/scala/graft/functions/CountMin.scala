@@ -102,6 +102,47 @@ object CountMin {
           lit(4L) * col("na") * col("nb")).as("bound_ok"))
   }
 
+  /** Multi-table join-order advisor — c83's measure-then-decide pattern
+    * at the next planning level: sketch each table's join-key column
+    * ONCE, estimate every pairwise join size as the sketch inner product
+    * (the [[joinSizeAudit]] estimator, one-sided ≥ truth), and flag the
+    * pair a greedy cost-based reorderer starts with: the smallest
+    * estimated intermediate. This is the decision a 100 TB planner makes
+    * from 2·d·width integers per table BEFORE committing a multi-way
+    * join order — no raw-row join is ever executed here.
+    *
+    * Determinism: cells use the engine-portable md5 bucket rule, inner
+    * products and the argmin rank (est, then table names) are pure
+    * BIGINT — every column reproduces on any engine. Scale: one counting
+    * pass per table (map-side partials into the fixed d·width grid);
+    * pairwise costs join ≤ d·width cells; the decision window runs over
+    * the |pairs| frame. */
+  def joinOrderAdvisor(tables: Seq[(String, DataFrame)], tokCol: String,
+                       d: Int = 4, width: Int = 64): DataFrame = {
+    require(tables.size >= 2, s"need at least two tables, got ${tables.size}")
+    val sketches = tables.map { case (n, df) =>
+      n -> build(df, tokCol, d, width)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val pairs = for {
+      i <- tables.indices
+      j <- tables.indices if i < j
+    } yield {
+      val (na, sa) = sketches(i)
+      val (nb, sb) = sketches(j)
+      sa.withColumnRenamed("cnt", "ca")
+        .join(sb.withColumnRenamed("cnt", "cb"), Seq("r", "bucket"))
+        .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("row_est"))
+        .agg(coalesce(min(col("row_est")), lit(0L)).as("est_join"))
+        .select(lit(na).as("left_table"), lit(nb).as("right_table"),
+          col("est_join"))
+    }
+    val w = org.apache.spark.sql.expressions.Window.orderBy(
+      col("est_join"), col("left_table"), col("right_table"))
+    pairs.reduce(_.unionAll(_))
+      .withColumn("join_first", row_number().over(w) === 1)
+  }
+
   /** Point-estimate frequencies for `queries`' tokens: min over the d
     * cells each token hashes to. The sketch (≤ d·width rows) is broadcast;
     * the query side never shuffles. A queried token that was never counted
