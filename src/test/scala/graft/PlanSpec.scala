@@ -197,6 +197,13 @@ class PlanSpec extends SparkSpec {
     assert(bnlj <= 1, s"expected at most the 1-row n_docs broadcast, got $bnlj:\n$plan")
   }
 
+  test("join-order advisor: cell-grid joins only — the raw tables never join each other") {
+    val plan = physicalPlan(SparkEntry.queries("c100_join_order")(spark, sf))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"),
+      s"advisor must join only the tiny cell grids (hash join on (r,bucket)):\n$plan")
+  }
+
   test("tpch q18: lineitem is scanned and aggregated exactly once — no correlated re-scan") {
     val plan = physicalPlan(SparkEntry.queries("b98_tpch_q18")(spark, sf))
     val lineitemScans = "lineitem\\.parquet".r.findAllIn(plan).length
