@@ -10,6 +10,14 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Nine rounds of BENCH_r*.json carried `parsed: null` because sbt wraps the
+// forked bench JVM's stdout: every line got an `[info] ` prefix and sbt
+// appended a `[success] Total time: …` footer, so the bench's terminal
+// {"metric":"total"} JSON was never a bare final stdout line (r9 VERDICT #1).
+// StdoutOutput passes forked stdout through verbatim; showSuccess drops the
+// footer. With both, the bench summary IS the last line sbt prints.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // suites share one SparkSession and some (ScaleSpec) mutate session confs
 // that others (PlanSpec) assert against — run suites sequentially
 Test / parallelExecution := false

@@ -194,6 +194,15 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+    // SHARED memoized intermediates at the TARGET sf, still untimed (r9
+    // VERDICT #3): under min-of-two timing, a shared index cold in both
+    // passes bills its build to whichever query touched it first (c36's
+    // bistable 2746↔5490 KB). Pre-building them here means every timed run
+    // is steady-state and the byte ledger attributes only each query's own
+    // plan. This intentionally shifts the first-toucher queries' recorded
+    // bytes DOWN once (r10), after which the series is stable.
+    try SparkEntry.warmSharedIntermediates(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] warm skipped: $e") }
     // Shuffle/spill observability: attribute task metrics to each timed
     // query (sequential execution ⇒ exact windows) and keep the metrics of
     // the run that set the query's best time — the same run the reported

@@ -94,6 +94,27 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Materialize every shared memoized intermediate for (session, sfDir).
+    *
+    * Bench-warmup hook (r9 VERDICT #3): per-query shuffle attribution under
+    * min-of-two timing is bistable when a SHARED intermediate (shingle
+    * index, jaccard pair graph, clusters, bigram table, cosine pair graph,
+    * orderItems) happens to be cold in both timed passes — the first query
+    * to touch it that round absorbs the build's shuffle bytes (c36 recorded
+    * 2746 KB in most runs and 5490 KB whenever it paid the corpus-index
+    * build). Warming these in the UNTIMED warmup pass makes every timed
+    * run steady-state, so the per-query byte ledger measures each query's
+    * own plan, never cache weather. Library callers don't need this: it
+    * only stabilizes measurement, not results. */
+  def warmSharedIntermediates(s: SparkSession, d: String): Unit = {
+    Tables.orderItems(s, d).count()
+    docShingleSets(s, d).count()
+    docJaccardPairs(s, d).count()
+    docClusters(s, d).count()
+    docBigramsWithSource(s, d).count()
+    embeddingPairGraph(s, d).count()
+  }
+
   /** Flagship query on sf=0.001 (TPC-H Q1 shape); driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     q1Agg(spark, "/root/testdata/sf0.001")
@@ -1436,16 +1457,9 @@ object SparkEntry {
       // per-user compaction and a 1-row stage-count aggregate unpivoted
       // to (stage, users, conv_ppm). Integer ppm division floors
       // identically in both engines.
-      val wu = Window.partitionBy(col("user_id"))
-      val ev = t(s, d, "events")
-      val staged = ev
-        .withColumn("s1", min(when(col("event_type") === "view", col("ts"))).over(wu))
-        .withColumn("s2", min(when(col("event_type") === "click" &&
-          col("ts") > col("s1"), col("ts"))).over(wu))
-        .withColumn("s3", min(when(col("event_type") === "purchase" &&
-          col("ts") > col("s2"), col("ts"))).over(wu))
-        .groupBy(col("user_id"))
-        .agg(max(col("s1")).as("s1"), max(col("s2")).as("s2"), max(col("s3")).as("s3"))
+      val staged = graft.operators.Series.funnelStageTimes(
+        t(s, d, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
       val counts = staged.agg(
         count(col("s1")).as("u1"), count(col("s2")).as("u2"), count(col("s3")).as("u3"))
       // stack, not a 3-way union: a union of selects over `counts` would
@@ -3518,10 +3532,13 @@ object SparkEntry {
         .select(col("w"), explode(col("mg.entries")).as("e"))
         .select(col("w"), col("e.tok").as("event_type"), col("e.est").as("est"))
       val exact = base.groupBy(col("w"), col("event_type")).agg(count(lit(1)).as("cnt"))
-      val n = base.groupBy(col("w")).agg(count(lit(1)).as("n"))
       val est0 = coalesce(col("est"), lit(0L))
+      // n = window total, derived as a window SUM over the exact per-type
+      // counts (r9 ADVICE): the exact frame already partitions every base
+      // row into exactly one (w, event_type) cell, so sum(cnt) over w IS n
+      // — one fewer full pass over the fact table than a third groupBy.
       exact.join(summary, Seq("w", "event_type"), "left")
-        .join(n, Seq("w"))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("w"))))
         .crossJoin(wm).where(col("w.end") <= col("wm"))
         .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
           col("cnt"),
@@ -3591,10 +3608,16 @@ object SparkEntry {
       // boolean pattern, the sizing itself exact-integer-verified.
       // chosen adapts with scale: 2^14 at sf0.001, 2^16 at sf0.01,
       // 2^18 at sf0.1 (customer grows 10x per sf).
+      // fp_count is library-reported but NOT oracle-verified (r9 ADVICE:
+      // monotonicity across independently hashed filters is expected, not
+      // theorem-backed; only the fp_ok BOUND is certifiable) — select the
+      // theorem-backed column set for the gate.
       graft.operators.Pipeline.bloomAdvisor(
         t(s, d, "customer"),
         graft.functions.Text.tokenHash(
           concat(lit("m"), col("c_custkey").cast("string"))))
+        .select(col("m_bits"), col("k_hashes"), col("n_keys"), col("min_bits"),
+          col("eligible"), col("chosen"), col("fp_ok"))
         .orderBy(col("m_bits"))),
 
     "c94_lsh_advisor" -> ((s, d) =>
@@ -5063,7 +5086,7 @@ object SparkEntry {
         |rk AS (SELECT *, row_number() OVER (ORDER BY eligible DESC, m_bits) AS rn FROM r)
         |SELECT CAST(m_bits AS INTEGER) AS m_bits, CAST(10 AS INTEGER) AS k_hashes,
         |  n_keys, CAST(min_bits AS BIGINT) AS min_bits, eligible, rn = 1 AS chosen,
-        |  TRUE AS fp_ok, TRUE AS fp_monotone
+        |  TRUE AS fp_ok
         |FROM rk ORDER BY m_bits""".stripMargin,
 
     // the full minhash construction replicated: 60-bit md5 shingle

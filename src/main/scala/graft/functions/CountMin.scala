@@ -117,12 +117,22 @@ object CountMin {
     * pass per table (map-side partials into the fixed d·width grid);
     * pairwise costs join ≤ d·width cells; the decision window runs over
     * the |pairs| frame. */
+  /** Bounded cache for the advisor's per-table sketch grids (≤ d·width rows
+    * each, but `persist` without release still pins blocks + session refs
+    * for the app's life — r9 VERDICT #4). Keyed by the input plan's
+    * semantic hash, so repeated advisor calls over the same table reuse one
+    * persisted grid and LRU eviction unpersists the oldest. */
+  private val sketchMemo = new graft.sources.Memo(maxEntries = 8)
+
   def joinOrderAdvisor(tables: Seq[(String, DataFrame)], tokCol: String,
                        d: Int = 4, width: Int = 64): DataFrame = {
     require(tables.size >= 2, s"need at least two tables, got ${tables.size}")
     val sketches = tables.map { case (n, df) =>
-      n -> build(df, tokCol, d, width)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val key = s"joinSketch:$tokCol:$d:$width:${df.queryExecution.logical.semanticHash()}"
+      n -> sketchMemo.getOrElseUpdate((df.sparkSession, key)) {
+        build(df, tokCol, d, width)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     }
     val pairs = for {
       i <- tables.indices

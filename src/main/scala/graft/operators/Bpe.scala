@@ -37,25 +37,39 @@ object Bpe {
 
   /** The first `k` merges over the space-tokenized `textCol`:
     * (rank, lhs, rhs, pair_count) — pair_count is the pre-merge
-    * frequency that won the round, the standard BPE statistic. */
-  def merges(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    run(docs, idCol, textCol, k)._1
+    * frequency that won the round, the standard BPE statistic.
+    *
+    * `roundPartitions`: shuffle-partition count for the per-round window
+    * passes (default — the small-corpus heuristic min(parallelism, 8),
+    * which right-sizes the demo fixtures where per-task scheduling floor
+    * dominates). Production callers running real corpora MUST size this
+    * to the corpus (positions / target-partition-rows); the default would
+    * otherwise silently serialize every round over 8 partitions
+    * (r9 ADVICE). */
+  def merges(docs: DataFrame, idCol: String, textCol: String, k: Int,
+             roundPartitions: Option[Int] = None): DataFrame =
+    run(docs, idCol, textCol, k, roundPartitions)._1
 
   /** The corpus AFTER the first `k` merges: (doc, pos, tok) symbol rows —
     * what the learned rules buy, measurable as sequence-length
     * compression (c90). Same computation as [[merges]]; the rules and
     * their application come from one pipeline. */
-  def applyMerges(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    run(docs, idCol, textCol, k)._2
+  def applyMerges(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                  roundPartitions: Option[Int] = None): DataFrame =
+    run(docs, idCol, textCol, k, roundPartitions)._2
 
-  private def run(docs: DataFrame, idCol: String, textCol: String, k: Int): (DataFrame, DataFrame) = {
+  private def run(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                  roundPartitions: Option[Int] = None): (DataFrame, DataFrame) = {
     // Plan depth is NOT the binding constraint — the per-round lazy
     // localCheckpoint keeps every round's plan flat, so cost is k
-    // sequential rounds of one window pass each (proven to k=16 by c95's
-    // generated-oracle gate). The cap is a wall-clock guard for the
-    // oracle-verified demo range; production tokenizer training raises it
-    // and adds periodic eager checkpoints to cut executor lineage depth.
-    require(k >= 1 && k <= 32, s"k must be in [1,32] (wall-clock guard), got $k")
+    // sequential rounds of one window pass each. k ≤ 16 is the
+    // EXACT-VERIFICATION envelope (c95's generated DuckDB CTE-chain oracle
+    // stops at 16); 16 < k ≤ 32 runs the identical per-round algebra but
+    // outside the oracle-gated range — unit-law coverage only (r9 ADVICE).
+    // Production tokenizer training raises the cap and adds periodic eager
+    // checkpoints to cut executor lineage depth.
+    require(k >= 1 && k <= 32,
+      s"k must be in [1,32] (wall-clock guard; k>16 is outside the exact-oracle envelope), got $k")
     // k sequential rounds each pay per-task scheduling on every shuffle
     // partition, so at depth the round floor — not the data — dominates:
     // run the rounds on a conf-isolated session clone (the Graph/kCore
@@ -63,7 +77,9 @@ object Bpe {
     // re-plan in a 1-row-broadcast round; AQE only adds per-round stage
     // re-optimization latency). The caller's session keeps its conf.
     val origin = docs.sparkSession
-    val parts = math.max(1, math.min(origin.sparkContext.defaultParallelism, 8))
+    val parts = roundPartitions.getOrElse(
+      math.max(1, math.min(origin.sparkContext.defaultParallelism, 8)))
+    require(parts >= 1, s"roundPartitions must be >= 1, got $parts")
     val sess = Sessions.isolated(origin,
       "spark.sql.adaptive.enabled" -> "false",
       "spark.sql.shuffle.partitions" -> parts.toString)

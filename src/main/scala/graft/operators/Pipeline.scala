@@ -553,22 +553,38 @@ object Pipeline {
     * (distinct hash prefix AND an anti-join): `fp_ok` certifies the
     * chosen-size rate stays under 4× target (the b18/b78 bound-boolean
     * pattern — the raw count is engine-measured, the bound is what the
-    * oracle asserts), `fp_monotone` certifies more bits never measure
-    * worse.
+    * oracle asserts). `fp_count` is REPORTED, not asserted: fp rates
+    * falling as m grows is statistically expected but not theorem-backed
+    * across independently hashed filters (r9 ADVICE), so callers read the
+    * counts and oracles verify only the bound.
     *
     * Scale: members hash-distinct once (persisted, shared by all
     * candidates); each candidate is one bitmap aggregate (bitmaps cross
     * the wire, never rows) + one narrow probe scan; the decision runs on
     * a |candidates|-row frame. Nothing here grows with the corpus except
     * the one distinct pass the sizing needs anyway. */
+  /** Bounded cache for [[bloomAdvisor]]'s distinct member-hash sets (see
+    * the persist note inside). Small bound: each entry is O(n_keys) rows. */
+  private val memberHashMemo = new graft.sources.Memo(maxEntries = 4)
+
   def bloomAdvisor(keys: DataFrame, keyHash: Column,
                    candMBits: Seq[Int] = Seq(1 << 14, 1 << 16, 1 << 18),
                    k: Int = 10, nProbes: Int = 1 << 16): DataFrame = {
     require(candMBits.nonEmpty && candMBits.forall(m => m > 0 && m % 64 == 0),
       s"candidate sizes must be positive multiples of 64, got $candMBits")
     require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
-    val hs = keys.select(keyHash.as("h")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Bounded-memo'd, not bare-persisted (r9 VERDICT #4): the distinct
+    // member-hash set is O(n_keys) rows — NOT tiny at scale — and a bare
+    // persist pins it MEMORY_AND_DISK for the app's life. The Memo bounds
+    // live entries (LRU, unpersist on eviction) and dedupes repeat advisor
+    // calls over the same key set.
+    val memoKey = "bloomAdvisor:" +
+      s"${org.apache.spark.sql.graftglue.ColumnGlue.expression(keyHash).semanticHash()}:" +
+      s"${keys.queryExecution.logical.semanticHash()}"
+    val hs = memberHashMemo.getOrElseUpdate((keys.sparkSession, memoKey)) {
+      keys.select(keyHash.as("h")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val nKeys = broadcast(hs.agg(count(lit(1)).as("n_keys")))
     val probes = keys.sparkSession.range(nProbes.toLong)
       .select(graft.functions.Text.tokenHash(
@@ -593,10 +609,8 @@ object Pipeline {
       .withColumn("chosen", row_number().over(w) === 1)
       .withColumn("fp_ok",
         !col("eligible") || col("fp_count") * 256 <= lit(nProbes.toLong))
-      .withColumn("fp_monotone",
-        coalesce(lag(col("fp_count"), 1).over(wm) >= col("fp_count"), lit(true)))
       .select(col("m_bits"), col("k_hashes"), col("n_keys"), col("min_bits"),
-        col("eligible"), col("chosen"), col("fp_ok"), col("fp_monotone"))
+        col("eligible"), col("chosen"), col("fp_ok"), col("fp_count"))
   }
 
   /** Integer-exact BM25-lite relevance ranking of every document against a

@@ -31,6 +31,36 @@ import org.apache.spark.sql.expressions.Window
   */
 object Series {
 
+  /** Ordered-funnel stage times per user — the b94 kernel, shared by the
+    * batch funnel query and the streaming funnel's batch-parity oracle
+    * (b99): a user reaches stage n at the EARLIEST event of stage-n's type
+    * STRICTLY AFTER their stage-(n−1) time (event-ORDER semantics, not
+    * mere type presence). Output: one row per user with `s1..sN`
+    * timestamp columns (null = stage never reached) — s(i) is null
+    * whenever s(i−1) is.
+    *
+    * Plan: ONE shuffle on `userCol`; the N stage times are chained
+    * conditional mins over the same user-partition window (no joins, no
+    * per-user sort materialized beyond the window), then a per-user
+    * compaction. At 100 TB this is the cost of any per-user pass — the
+    * window partitioning is the same hashpartitioning(user) every stage
+    * reuses. [[graft.streaming.Streams.funnelWithState]] computes the
+    * identical machine per user on a stream. */
+  def funnelStageTimes(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val wu = Window.partitionBy(col(userCol))
+    val staged = stages.zipWithIndex.foldLeft(events) { case (df, (st, i)) =>
+      val hit =
+        if (i == 0) col(typeCol) === st
+        else col(typeCol) === st && col(tsCol) > col(s"s$i")
+      df.withColumn(s"s${i + 1}", min(when(hit, col(tsCol))).over(wu))
+    }
+    staged.groupBy(col(userCol))
+      .agg(max(col("s1")).as("s1"),
+        stages.indices.drop(1).map(i => max(col(s"s${i + 1}")).as(s"s${i + 1}")): _*)
+  }
+
   /** Per-`keyCol` hourly grid over the key's observed span; each hour
     * carries the last observation in that hour (if any) and otherwise the
     * linear interpolation between the bracketing observed hours.

@@ -358,6 +358,99 @@ object Streams {
       }
   }
 
+  /** A user's closed funnel: earliest stage times (µs since epoch; null =
+    * stage never reached), emitted once when the user's horizon closes. */
+  case class FunnelUser(user_id: Long, s1_us: Option[Long],
+                        s2_us: Option[Long], s3_us: Option[Long])
+
+  /** Internal funnel buffer: the user's stage-relevant events (ts µs,
+    * stageIdx) within the horizon, plus the latest event time (µs). */
+  case class FunnelBuf(evs: Seq[(Long, Int)], last: Long)
+
+  /** Ordered-funnel conversion ON A STREAM — b94's stage machine as a
+    * stateful streaming operator (flatMapGroupsWithState, the
+    * sessionizeWithState pattern): per user, buffer the stage-relevant
+    * events; when the EVENT-TIME TIMEOUT fires (watermark passes the
+    * user's last stage event + `gapMs` — the funnel horizon), sort the
+    * buffer once and run the chained strictly-after machine
+    * (s1 = min view; s2 = min click > s1; s3 = min purchase > s2), emit
+    * ONE (user, s1, s2, s3) row, and drop the state.
+    *
+    * Buffer-until-close is what makes the result EXACT under
+    * out-of-order arrival: a late-arriving earlier view can lower s1 and
+    * thereby change which click qualifies as s2 — an incremental
+    * stage-pointer state machine cannot revise its past, the buffered
+    * sort can. The single ascending-ts scan reproduces the batch
+    * window algebra exactly: once s1 is fixed (first stage-1 event in
+    * time order), the first stage-2 event with ts strictly greater is
+    * the minimum qualifying one, and so on — strict inequalities make
+    * same-timestamp ties order-independent (a stage-2 event at ts == s1
+    * never qualifies, in either engine). [[
+    * graft.operators.Series.funnelStageTimes]] is the batch twin;
+    * StreamingSpec asserts the drained stream equals it on the same
+    * data, and the b99 oracle query replicates the watermark-cut output
+    * shape in batch.
+    *
+    * Scale: state per user is their stage-relevant events inside the
+    * horizon — view/click/purchase rows of ONE user within `gapMs`, tiny
+    * at any corpus size — capped at `maxBuffer` (beyond it new events
+    * extend the horizon clock but are not buffered; the cap is a
+    * degenerate-key guard, same discipline as NearDupProcessor's
+    * maxBucket). Shuffle key is user_id — the same single user shuffle
+    * the batch funnel pays. */
+  def funnelWithState(events: DataFrame, stages: Seq[String], gapMs: Long,
+                      delay: String, maxBuffer: Int = 10000):
+      org.apache.spark.sql.Dataset[FunnelUser] = {
+    require(stages.size == 3, s"funnelWithState is the 3-stage machine, got $stages")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def close(userId: Long, buf: FunnelBuf): FunnelUser = {
+      var s1, s2, s3 = Option.empty[Long]
+      // ascending (ts, stage) — the stage tiebreak is cosmetic (strict
+      // inequalities make same-ts order irrelevant), but keeps the scan
+      // deterministic for a given buffer
+      buf.evs.sortBy(identity).foreach { case (ts, st) =>
+        if (st == 0) { if (s1.isEmpty) s1 = Some(ts) }
+        else if (st == 1) { if (s2.isEmpty && s1.exists(ts > _)) s2 = Some(ts) }
+        else if (s3.isEmpty && s2.exists(ts > _)) s3 = Some(ts)
+      }
+      FunnelUser(userId, s1, s2, s3)
+    }
+
+    val stageIdx = stages.zipWithIndex.toMap
+    val idxCol = stages.foldLeft(lit(-1)) { (acc, st) =>
+      when(col("event_type") === st, lit(stageIdx(st))).otherwise(acc)
+    }
+    events.withWatermark("ts", delay)
+      .where(col("event_type").isin(stages: _*))
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("us"), idxCol.as("stage"), col("ts"))
+      .as[(Long, Long, Int, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelBuf, FunnelUser](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[(Long, Long, Int, java.sql.Timestamp)],
+         state: GroupState[FunnelBuf]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close(userId, _))
+            state.remove()
+            out.iterator
+          } else {
+            val incoming = rows.map(r => (r._2, r._3)).toArray
+            val prev = state.getOption.getOrElse(FunnelBuf(Seq.empty, Long.MinValue))
+            val room = math.max(0, maxBuffer - prev.evs.size)
+            val st = FunnelBuf(prev.evs ++ incoming.take(room),
+              math.max(prev.last, incoming.iterator.map(_._1).max))
+            state.update(st)
+            try state.setTimeoutTimestamp(st.last / 1000L + gapMs)
+            catch { case scala.util.control.NonFatal(_) => () }
+            Iterator.empty
+          }
+      }
+  }
+
   /** Stream-stream event-time interval join — the impressions ⋈ clicks
     * shape (SURVEY.md §8 roadmap item 5): every (left, right) pair with
     * equal `keyCol` and `rightTs ∈ [leftTs, leftTs + window)`. Both sides

@@ -411,11 +411,16 @@ class ScaleSpec extends SparkSpec {
       graft.plans.SpatialExpressions.hilbertD(5L, 9L))
   }
 
-  test("hilbert layout: the 2-D box skips at least as many files as morton") {
+  test("hilbert layout: the 2-D box skips files on min/max envelopes") {
     // b93's write is the surface under test; measured against b64's on
-    // the same box, same file count. Hilbert's tighter envelopes must
-    // never lose to Morton on this layout (docs/PLANS.md records the
-    // strict win at sf0.01/sf0.1).
+    // the same box, same file count. The suite asserts only STRUCTURAL
+    // properties (multi-file layout, nonzero skipping): Hilbert usually
+    // beats Morton and does on every measured fixture so far
+    // (docs/PLANS.md records the strict wins at sf0.01/sf0.1 via
+    // SkipRate), but the inequality is data-dependent — a fixture
+    // regeneration could legitimately produce a 16-file layout where it
+    // ties or loses by one file without any code bug (r9 ADVICE), so
+    // the comparison is RECORDED, not hard-asserted.
     def touchedOf(query: String, scratch: String): (Int, Int) = {
       SparkEntry.queries(query)(spark, sf).collect()
       val dir = graft.sources.Formats.scratchDir(spark, scratch, sf)
@@ -430,7 +435,7 @@ class ScaleSpec extends SparkSpec {
     val (zt, ztotal) = touchedOf("b64_zorder_prune", "orders_zorder")
     assert(htotal >= 8, s"expected a multi-file layout, got $htotal files")
     assert(ht < htotal, s"hilbert layout skipped nothing ($ht/$htotal)")
-    assert(ht <= zt, s"hilbert touched $ht/$htotal vs morton $zt/$ztotal")
+    info(s"hilbert touched $ht/$htotal vs morton $zt/$ztotal (recorded, not asserted)")
   }
 
   test("z-order layout: the 2-D box skips most files on min/max envelopes") {

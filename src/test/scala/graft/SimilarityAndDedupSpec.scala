@@ -734,7 +734,39 @@ class SimilarityAndDedupSpec extends SparkSpec {
       Map(16384 -> true, 65536 -> false, 262144 -> false),
       "chosen must be the smallest eligible size")
     assert(got.forall(_.getBoolean(6)), "fp_ok must hold for eligible sizes")
-    assert(got.forall(_.getBoolean(7)), "fp must not grow with more bits")
+    // fp_count is REPORTED, not asserted monotone (r9 ADVICE): rates
+    // falling with m is expected but not theorem-backed across
+    // independently hashed filters — assert only that the measured counts
+    // are sane nonnegative values under the probe total.
+    assert(got.forall(r => r.getLong(7) >= 0L && r.getLong(7) <= (1L << 16)),
+      "fp_count must be a sane probe-bounded count")
+    info(s"measured fp_counts by m_bits: ${got.map(r => r.getInt(0) -> r.getLong(7)).toSeq}")
+  }
+
+  test("advisors do not pin unbounded storage: repeat calls reuse memoized entries") {
+    // r9 VERDICT #4: bloomAdvisor's distinct member-hash set and
+    // joinOrderAdvisor's sketch grids persist through a bounded Memo (LRU,
+    // unpersist on eviction) keyed by the input plan's semantic hash — N
+    // identical advisor calls must pin ONE entry per distinct input, never
+    // N. This is the grep-assertable "no unbounded persist outside the
+    // Memo registry" discipline as a live check.
+    val s = spark; import s.implicits._
+    def persisted: Int = s.sparkContext.getPersistentRDDs.size
+    val keys = (1L to 50L).toDF("k")
+    val kh = graft.functions.Text.tokenHash(concat(lit("u"), col("k").cast("string")))
+    val t1 = (1L to 40L).toDF("tok").select(col("tok").cast("string").as("tok"))
+    val t2 = (20L to 60L).toDF("tok").select(col("tok").cast("string").as("tok"))
+    graft.operators.Pipeline.bloomAdvisor(keys, kh).collect()
+    graft.functions.CountMin.joinOrderAdvisor(
+      Seq("t1" -> t1, "t2" -> t2), "tok").collect()
+    val after1 = persisted
+    (1 to 3).foreach { _ =>
+      graft.operators.Pipeline.bloomAdvisor(keys, kh).collect()
+      graft.functions.CountMin.joinOrderAdvisor(
+        Seq("t1" -> t1, "t2" -> t2), "tok").collect()
+    }
+    assert(persisted == after1,
+      s"repeat advisor calls grew pinned storage: $after1 -> $persisted")
   }
 
   test("canonical dedup merges case/punctuation variants byte-exact dedup keeps apart") {

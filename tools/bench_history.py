@@ -51,7 +51,14 @@ def shuffle_drift_section():
     windows — so a tight threshold is safe: flag when the newest run's
     read+write exceeds 1.3x the best prior run at the same sf by >1 MiB.
     Entries are compared per (sf, query); local dev runs at other sfs are
-    simply separate series."""
+    simply separate series.
+
+    Baseline = MEDIAN of prior runs, not best (r9 VERDICT #3): the best
+    prior run can be an anomaly — c82 once recorded 22/22 KB in a
+    memo-warm run while every normal run is 4794/2655, so a best-prior
+    baseline flagged bit-identical behavior as a 170x regression. The
+    median of all prior runs is the modal plan cost and is robust to a
+    single anomalous run in either direction."""
     path = os.path.join(ROOT, "docs", "bench", "metrics_history.jsonl")
     if not os.path.exists(path):
         return []
@@ -75,19 +82,23 @@ def shuffle_drift_section():
             continue
         newest_round = max(by_round)
         # last run within the newest round is that round's final word;
-        # baseline = best run of any strictly earlier round
+        # baseline = MEDIAN run of the strictly earlier rounds (see docstring)
         newest = by_round[newest_round][-1]
-        best = min(v for r, vs in by_round.items()
-                   if r != newest_round for v in vs)
-        if newest > 1.3 * best and newest - best > 1024:
-            flagged.append(f"{q}@{sf}: {best} -> {newest} KB (r{newest_round})")
+        prior = sorted(v for r, vs in by_round.items()
+                       if r != newest_round for v in vs)
+        if not prior:
+            continue
+        base = prior[len(prior) // 2]
+        if newest > 1.3 * base and newest - base > 1024:
+            flagged.append(f"{q}@{sf}: median {base} -> {newest} KB (r{newest_round})")
     return [
         "",
         "## Shuffle-volume drift (docs/bench/metrics_history.jsonl)",
         "",
         "Deterministic plan+data signal, immune to host stalls; flagged when",
-        "the newest run's shuffle read+write exceeds 1.3x the best prior run",
-        "at the same sf by >1 MiB.",
+        "the newest run's shuffle read+write exceeds 1.3x the MEDIAN prior",
+        "run at the same sf by >1 MiB (median, not best: a single anomalous",
+        "memo-warm run must not become the baseline — r9 VERDICT #3).",
         "",
         f"Flagged: {'; '.join(flagged) if flagged else 'none'}.",
     ]
