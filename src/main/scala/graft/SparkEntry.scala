@@ -1446,6 +1446,88 @@ object SparkEntry {
         .limit(100)
     }),
 
+    "b99_stream_funnel_parity" -> ((s, d) => {
+      // batch parity for the STREAMING ordered funnel
+      // (Streams.funnelWithState, gap 30 min, delay 30 min): after the
+      // stream drains, the event-time timeout has fired for exactly the
+      // users whose last stage event + gap the final watermark
+      // (max ts − delay) passed — their buffered machine emitted one
+      // (user, s1, s2, s3) row; open-horizon users stay in state. This
+      // replicates that output in batch: the b94 stage kernel
+      // (Series.funnelStageTimes — the stream runs the identical
+      // strictly-after machine per user) + the horizon cut in integer
+      // MILLISECONDS, the stream's own timeout clock granularity.
+      // StreamingSpec asserts the live drained stream equals this query.
+      // Plan: one user shuffle for the stage windows, one for the
+      // horizon max — same partitioning, and the watermark bound is the
+      // audited b65 one-row broadcast.
+      val stages = Seq("view", "click", "purchase")
+      val ev = t(s, d, "events")
+      val f = ev.where(col("event_type").isin(stages: _*))
+      val wm = broadcast(ev.agg(
+        (unix_millis(max(col("ts"))) - lit(1800000L)).as("wm_ms")))
+      val horizon = f.groupBy(col("user_id"))
+        .agg(unix_millis(max(col("ts"))).as("last_ms"))
+      graft.operators.Series.funnelStageTimes(f, "user_id", "event_type", "ts", stages)
+        .join(horizon, Seq("user_id"))
+        .crossJoin(wm)
+        .where(col("last_ms") + lit(1800000L) < col("wm_ms"))
+        .select(col("user_id"), unix_micros(col("s1")).as("s1_us"),
+          unix_micros(col("s2")).as("s2_us"), unix_micros(col("s3")).as("s3_us"))
+        .orderBy(col("user_id"))
+    }),
+
+    "b100_tpch_q14" -> ((s, d) => {
+      // TPC-H Q14 shape (promotion-revenue share), per ship month: the
+      // fact-dim join on partkey carries only (p_partkey, is_promo) —
+      // column pruning reaches the part scan; at 100 TB both sides are
+      // big, so the equi-join is the declarative shuffle-hash/broadcast
+      // decision AQE makes from runtime sizes (the b96 discipline).
+      // Revenue in exact cent·percent integers (the b95 rule), the share
+      // in basis points by non-negative integer floor division — both
+      // engines agree bit-for-bit.
+      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val rev = cents * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "part")
+          .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("month"))
+        .agg(sum(when(col("is_promo"), rev).otherwise(lit(0L))).as("promo_rev_c100"),
+          sum(rev).as("total_rev_c100"))
+        .select(col("month"), col("promo_rev_c100"), col("total_rev_c100"),
+          expr("(promo_rev_c100 * 10000) div total_rev_c100").as("promo_bp"))
+        .orderBy(col("month"))
+    }),
+
+    "b101_tpch_q22" -> ((s, d) => {
+      // TPC-H Q22 shape (global sales opportunity): customers with
+      // above-average positive balance and no URGENT orders (the fixture
+      // gives every customer SOME order, so the anti leg is filtered —
+      // same plan, non-vacuous result), aggregated by nation. The
+      // average gate clears denominators — bal·n > sum over exact cents,
+      // pure BIGINT, no float mean — delivered as the audited one-row
+      // broadcast; the no-urgent-orders test is a left_anti join
+      // shuffling both sides on custkey with the priority filter PUSHED
+      // to the orders scan (never NOT IN with a subquery rescan); nation
+      // is a provably-tiny broadcast.
+      val cents = floor(col("c_acctbal") * 100 + 0.5).cast("long")
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), cents.as("bal_c"))
+      val posAvg = broadcast(cust.where(col("bal_c") > 0)
+        .agg(sum(col("bal_c")).as("s"), count(lit(1)).as("n")))
+      cust.crossJoin(posAvg)
+        .where(col("bal_c") * col("n") > col("s"))
+        .join(t(s, d, "orders").where(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totacctbal_c"))
+        .orderBy(col("n_name"))
+    }),
+
     "b94_funnel" -> ((s, d) => {
       // ordered-funnel conversion (view → click → purchase): a user
       // reaches stage n at the EARLIEST event of that type strictly
@@ -2663,6 +2745,53 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100""".stripMargin,
 
+    // the Series.funnelStageTimes machine in SQL (chained strictly-after
+    // mins) + the ms-granular horizon cut the stream's timeout clock uses
+    "b99_stream_funnel_parity" ->
+      """WITH f AS (SELECT user_id, event_type, ts FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS s1 FROM f WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT f.user_id, min(f.ts) AS s2 FROM f JOIN s1 USING (user_id)
+        |       WHERE f.event_type = 'click' AND f.ts > s1.s1 GROUP BY 1),
+        |s3 AS (SELECT f.user_id, min(f.ts) AS s3 FROM f JOIN s2 USING (user_id)
+        |       WHERE f.event_type = 'purchase' AND f.ts > s2.s2 GROUP BY 1),
+        |hz AS (SELECT user_id, epoch_ms(max(ts)) AS last_ms FROM f GROUP BY 1)
+        |SELECT hz.user_id, epoch_us(s1.s1) AS s1_us, epoch_us(s2.s2) AS s2_us,
+        |  epoch_us(s3.s3) AS s3_us
+        |FROM hz LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id) CROSS JOIN wm
+        |WHERE hz.last_ms + 1800000 < wm.wm_ms
+        |ORDER BY hz.user_id""".stripMargin,
+
+    "b100_tpch_q14" ->
+      """WITH r AS (
+        |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev,
+        |    p_type = 'PROMO' AS is_promo
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT month,
+        |  CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END) AS BIGINT) AS promo_rev_c100,
+        |  CAST(sum(rev) AS BIGINT) AS total_rev_c100,
+        |  (CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END) AS BIGINT) * 10000)
+        |    // CAST(sum(rev) AS BIGINT) AS promo_bp
+        |FROM r GROUP BY month ORDER BY month""".stripMargin,
+
+    // the mean gate clears denominators (bal·n > sum) — no float average
+    "b101_tpch_q22" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c FROM customer),
+        |a AS (SELECT CAST(sum(bal_c) AS BIGINT) AS s, count(*) AS n FROM c WHERE bal_c > 0)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+        |FROM c CROSS JOIN a
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE bal_c * a.n > a.s
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
     "b95_tpch_q3" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
         |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
@@ -3511,6 +3640,46 @@ object SparkEntry {
           "customer" -> t(s, d, "customer").select(col("c_custkey").cast("string").as("tok"))),
           "tok", d = 4, width = 64)
         .orderBy(col("left_table"), col("right_table"))),
+
+    "c101_temperature_mix" -> ((s, d) =>
+      // temperature-scaled mixture sampling (T=2): kept mass per lang
+      // ∝ sqrt(w_lang) — the multilingual exponent-smoothing recipe as a
+      // downsample-only pass. The water-filling normalizer cancels
+      // (Pipeline.temperatureMix scaladoc), so the ONLY float ops are
+      // correctly-rounded IEEE sqrt/div/mul in a fixed order — the c33
+      // determinism discipline with nothing left to order. md5 ppm
+      // bucketing; the per-stratum ppm is in the output so the mix math
+      // itself is oracle-checked.
+      Pipeline.temperatureMix(
+          t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          "lang", "doc_id", "n_chars")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("ppm"))
+        .orderBy(col("doc_id"))),
+
+    "c102_hard_negatives" -> ((s, d) => {
+      // contrastive hard-negative mining: per query vector, the top-10
+      // nearest items of a DIFFERENT label (near-miss negatives — what
+      // an embedding trainer pairs against positives). The c06 broadcast
+      // + window shape with the label-inequality predicate evaluated
+      // row-local inside the broadcast join; ranks are the output (the
+      // c06 float discipline: rounded cosine breaks ties before id).
+      val emb = t(s, d, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      graft.operators.Ann.hardNegatives(emb, queries, "vec_id", "embedding",
+          "label", k = 10)
+        .select(col("query_id"), col("item_id"), col("item_label"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "c103_keep_best" -> ((s, d) =>
+      // dedup survivorship policy: within each canonical-dup group keep
+      // the best member by (n_chars desc, doc_id asc) — the "keep the
+      // longest variant" rule, vs c71's min-id representative. One
+      // shuffle on the 60-bit canonical hash; rank + group size share
+      // one window partitioning.
+      graft.operators.Dedup.keepBest(
+          t(s, d, "documents"), "doc_id", "text", "n_chars")
+        .orderBy(col("doc_id"))),
 
     "c99_sliding_topk" -> ((s, d) => {
       // batch parity for the SLIDING-window streaming Misra–Gries
@@ -5024,6 +5193,48 @@ object SparkEntry {
         |rk AS (SELECT *, row_number() OVER (ORDER BY est_join, left_table, right_table) AS rn FROM p)
         |SELECT left_table, right_table, est_join, rn = 1 AS join_first
         |FROM rk ORDER BY left_table, right_table""".stripMargin,
+
+    // rate = sqrt(w_min)/sqrt(w): the water-filling normalizer cancels,
+    // leaving only correctly-rounded IEEE sqrt/div/mul in this exact order
+    "c101_temperature_mix" ->
+      """WITH a AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS w FROM documents GROUP BY lang),
+        |r AS (SELECT lang,
+        |        CAST(floor(sqrt(CAST((SELECT min(w) FROM a) AS DOUBLE))
+        |          / sqrt(CAST(w AS DOUBLE)) * 1000000.0) AS BIGINT) AS ppm
+        |      FROM a)
+        |SELECT d.doc_id, d.lang, d.n_chars, r.ppm
+        |FROM documents d JOIN r USING (lang)
+        |WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < r.ppm
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // c06's brute-force shape restricted to different-label items
+    "c102_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS item_id, e.label AS item_label,
+        |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM q JOIN embeddings e ON e.vec_id != q.query_id AND e.label != q.ql),
+        |ranked AS (
+        |  SELECT query_id, item_id, item_label,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, item_id, item_label, CAST(rank AS INTEGER) AS rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // c71's canonical key; survivor = (n_chars desc, doc_id asc) per group
+    "c103_keep_best" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |  CAST(('0x' || substring(md5(array_to_string(list_filter(
+        |    string_split(lower(translate(coalesce(text, ''), '.,!?;:()"''', '          ')), ' '),
+        |    x -> x != ''), ' ')), 1, 15)) AS BIGINT) AS ck
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY ck ORDER BY n_chars DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY ck) AS gs
+        |  FROM c)
+        |SELECT doc_id, n_chars, CAST(gs AS BIGINT) AS group_size
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // b91's sliding unroll; exact counts + literal TRUE audit booleans
     // (the b80 pattern — the theorem facts are what cross engines)

@@ -32,6 +32,34 @@ object Ann {
       .select(col("query_id"), col("item_id"), col("cos"), col("rank"))
   }
 
+  /** Contrastive hard-negative mining: per query, the top-k most cosine-
+    * similar items whose `labelCol` DIFFERS from the query's — the pairs a
+    * contrastive/embedding trainer wants as negatives precisely because
+    * they are near misses (similar vector, different class). Same plan
+    * shape as [[bruteTopK]] — broadcast the small query side, one narrow
+    * scoring pass over items, one shuffle on query_id for the per-query
+    * top-k window — plus the label-inequality join predicate, which the
+    * broadcast join evaluates row-local (never a shuffle key). For 100 TB
+    * item tables swap the scoring pass for the IVF/LSH candidate
+    * generation ([[ivfTopK]], [[lshTopK]]) and keep this ranking tail;
+    * the negatives' DEFINITION stays identical. */
+  def hardNegatives(items: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val it = items.select(col(idCol).as("item_id"), col(vecCol).as("iv"),
+      col(labelCol).as("item_label"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("query_label"))
+    val scored = it.join(broadcast(q),
+        col("item_id") =!= col("query_id") &&
+        col("item_label") =!= col("query_label"))
+      .select(col("query_id"), col("item_id"), col("item_label"),
+        Similarity.cosineRounded(col("qv"), col("iv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("item_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("item_id"), col("item_label"), col("cos"), col("rank"))
+  }
+
   /** Deterministic Lloyd k-means codebook for [[ivfTopK]]: init = the k
     * lowest-id vectors (no sampling, reproducible across runs), then
     * `iters` rounds of assign-to-nearest (cosine) + per-cell mean.

@@ -531,6 +531,29 @@ object Dedup {
       .drop("ck")
   }
 
+  /** Survivorship policy over canonical-dup groups: within each
+    * [[canonicalKey]] group keep the single best member by
+    * (weightCol desc, id asc) — the "keep the longest/highest-quality
+    * variant" rule real dedup pipelines apply instead of
+    * [[canonicalExact]]'s min-id representative (which keeps the
+    * EARLIEST, not the BEST). The tiebreak on id makes the survivor a
+    * total-order choice, deterministic in any engine.
+    *
+    * Scale: one shuffle on the 60-bit canonical hash (never raw text
+    * bytes); the rank and the group size are two window functions over
+    * the SAME (ck) partitioning — one sort, one exchange. Weight must be
+    * a precomputed exact column (e.g. n_chars), not a float score. */
+  def keepBest(df: DataFrame, idCol: String, textCol: String,
+               weightCol: String): DataFrame = {
+    val wck = org.apache.spark.sql.expressions.Window.partitionBy(col("ck"))
+    df.select(col(idCol), col(weightCol), canonicalKey(col(textCol)).as("ck"))
+      .withColumn("rn", row_number().over(
+        wck.orderBy(col(weightCol).desc, col(idCol))))
+      .withColumn("group_size", count(lit(1)).over(wck))
+      .where(col("rn") === 1)
+      .select(col(idCol), col(weightCol), col("group_size"))
+  }
+
   /** Content-defined chunking (CDC) duplicate-span detection: split every
     * doc into variable-length chunks at ROLLING-HASH boundaries (a chunk
     * starts wherever the positional w-gram hash ≡ 0 mod `gearMod` — the

@@ -433,6 +433,49 @@ object Pipeline {
       .where(hashBucket(col(keyCol), 1000000) < col("ppm"))
   }
 
+  /** Temperature-scaled mixture sampling at T = 2 — the "soften the source
+    * distribution" stage multilingual / multi-source training recipes use
+    * (sampling share ∝ (w_c/W)^(1/T), the exponent-smoothing recipe of
+    * multilingual LM training): larger strata are downsampled so stratum
+    * c's kept mass is ∝ sqrt(w_c) — between proportional (T=1, no change)
+    * and uniform (T→∞).
+    *
+    * Downsample-only water-filling ([[targetMix]]'s algebra with computed
+    * targets t_c ∝ sqrt(w_c)) collapses to a closed form: the normalizer
+    * S = Σ_c sqrt(w_c) cancels between the target share and the binding
+    * cap (cap_c = w_c/t_c = S·sqrt(w_c), minimized by the smallest
+    * stratum), leaving rate_c = sqrt(w_min)/sqrt(w_c) — the smallest
+    * stratum keeps everything and NO distributed float summation exists
+    * anywhere (the fixed-order-normalizer concern dissolves: no
+    * normalizer survives the cancellation). The only float ops are two
+    * correctly-rounded IEEE sqrts, one division and one multiply in the
+    * documented order
+    *
+    *   ppm_c = floor(sqrt(w_min) / sqrt(w_c) · 1e6)
+    *
+    * — bit-identical in any IEEE-754 engine. T = 2 is pinned because
+    * sqrt is correctly rounded by the standard while pow(x, 1/T) for
+    * general T is not; a general-T variant would need the c33
+    * fixed-order-rational treatment. Membership uses the same md5 ppm
+    * bucketing as [[targetMix]] (stable under relayout/rerun/growth).
+    *
+    * Scale: one partial-aggregated groupBy builds the |strata|-row weight
+    * table; the min runs on that tiny frame (unpartitioned window over
+    * |strata| rows, never data); rates broadcast back; the sampling
+    * filter itself is narrow. */
+  def temperatureMix(df: DataFrame, strataCol: String, keyCol: String,
+                     weightCol: String): DataFrame = {
+    val acts = df.groupBy(col(strataCol))
+      .agg(sum(col(weightCol)).cast("long").as("w"))
+    val rates = acts
+      .withColumn("wmin", min(col("w")).over(Window.partitionBy()))
+      .select(col(strataCol),
+        floor(sqrt(col("wmin").cast("double")) / sqrt(col("w").cast("double"))
+          * lit(1000000.0)).cast("long").as("ppm"))
+    df.join(broadcast(rates), strataCol)
+      .where(hashBucket(col(keyCol), 1000000) < col("ppm"))
+  }
+
   /** Source-level reputation gate (the curation stage that drops whole
     * domains/feeds rather than individual documents): keep documents whose
     * SOURCE's mean quality clears `minMeanNano` (mean scaled to 1e-9).

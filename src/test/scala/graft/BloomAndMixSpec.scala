@@ -114,4 +114,78 @@ class BloomAndMixSpec extends SparkSpec {
     val binding = targets.minBy { case (l, t) => w(l).toDouble / t }._1
     assert(ppm(binding) >= 999999L, s"binding stratum $binding got ppm ${ppm(binding)}")
   }
+
+  test("temperatureMix matches the closed-form sqrt rates row-for-row") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val got = Pipeline.temperatureMix(docs, "lang", "doc_id", "n_chars")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+
+    // reference: rate_c = sqrt(w_min)/sqrt(w_c), independently in plain
+    // Scala on collected rows (same IEEE op order as the operator)
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val w = rows.groupBy(_._2).map { case (l, rs) => l -> rs.map(_._3).sum }
+    val wmin = w.values.min
+    val ppm = w.map { case (l, wl) =>
+      l -> math.floor(math.sqrt(wmin.toDouble) / math.sqrt(wl.toDouble) * 1000000.0).toLong
+    }
+    def md5Bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val expected = rows.filter { case (id, l, _) => md5Bucket(id) < ppm(l) }
+      .map(_._1).toSet
+    assert(got == expected,
+      s"temperatureMix diverged: extra=${got -- expected}, missing=${expected -- got}")
+    // the smallest stratum is the binding one and keeps everything
+    val smallest = w.minBy(_._2)._1
+    assert(ppm(smallest) == 1000000L, s"smallest stratum $smallest got ppm ${ppm(smallest)}")
+    // kept mass ∝ sqrt(w): for every pair, kept ratios track sqrt ratios
+    // within the 1-ppm floor slack
+    val kept = rows.filter(r => expected(r._1)).groupBy(_._2)
+      .map { case (l, rs) => l -> rs.map(_._3).sum }
+    w.keys.foreach { l =>
+      val expectedMass = math.sqrt(wmin.toDouble * w(l).toDouble)
+      assert(math.abs(kept(l) - expectedMass) <= 0.15 * expectedMass,
+        s"stratum $l kept ${kept(l)}, temperature law predicts ~$expectedMass")
+    }
+  }
+
+  test("keepBest survivor is the (weight desc, id asc) argmax of each canonical group") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "Hello, world!", 13L), (2L, "hello world", 11L), (3L, "HELLO  world.", 14L),
+      (4L, "goodbye world", 13L), (5L, "hello world", 11L)).toDF("doc_id", "text", "n_chars")
+    val got = Dedup.keepBest(df, "doc_id", "text", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // group {1,2,3,5} canonicalizes together: survivor = doc 3 (longest);
+    // doc 4 stands alone
+    assert(got == Set((3L, 14L, 4L), (4L, 13L, 1L)), got.toString)
+  }
+
+  test("hardNegatives returns only different-label items, ranked by cosine") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val got = graft.operators.Ann.hardNegatives(
+      emb, emb.where(col("vec_id") < 3), "vec_id", "embedding", "label", k = 5)
+      .collect()
+    assert(got.nonEmpty, "no negatives mined — vacuous fixture?")
+    val qLabels = emb.where(col("vec_id") < 3)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { r =>
+      assert(r.getInt(2) != qLabels(r.getLong(0)),
+        s"same-label item leaked into negatives: $r")
+    }
+    // per query: ranks are 1..k and cosine is non-increasing in rank
+    got.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getInt(4))
+      assert(sorted.map(_.getInt(4)).toSeq == (1 to sorted.length),
+        s"ranks not contiguous for query $q")
+      val cs = sorted.map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"cosine not non-increasing for query $q")
+    }
+  }
 }

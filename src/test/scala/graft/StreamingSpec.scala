@@ -210,6 +210,74 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelWithState closes a user's funnel exactly like the batch stage machine") {
+    // small controlled case: u1 completes view->click->purchase with a
+    // late-arriving EARLIER view that lowers s1 and changes which click
+    // qualifies as s2 (the case an incremental stage-pointer machine gets
+    // wrong and buffer-until-close gets right); u2 clicks before any
+    // view (funnel stalls at s1); u3 keeps the watermark open and emits
+    // nothing
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    // u1: click@2 precedes view@5 (doesn't qualify), click@10 qualifies
+    //     against view@5... until the LATE view@1 arrives in batch 2 and
+    //     makes click@2 the true s2; purchase@12 follows
+    mem.addData(
+      Ev(1, 1, "view", 0, ts(5)), Ev(2, 1, "click", 0, ts(2)),
+      Ev(3, 1, "click", 0, ts(10)), Ev(4, 1, "purchase", 0, ts(12)),
+      Ev(5, 2, "click", 0, ts(3)), Ev(6, 2, "view", 0, ts(8)))
+    // delay 30 min keeps the late view@10:01 inside the allowed lateness
+    // (batch-1 watermark = 10:12 − 30 min = 09:42); gap 10 min closes u1/u2
+    // once the watermark passes their last event + 10 min
+    val out = Streams.funnelWithState(mem.toDF(),
+      Seq("view", "click", "purchase"), gapMs = 10 * 60 * 1000, delay = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("funnelsmall")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      mem.addData(Ev(7, 1, "view", 0, ts(1)), // the late earlier view
+        Ev(8, 3, "view", 0, Timestamp.valueOf("2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      // watermark = 11:30; u1 horizon closed (12+10min < 11:30), u2 too;
+      // u3's view@11:30 keeps its funnel open
+      mem.addData(Ev(9, 3, "click", 0, Timestamp.valueOf("2024-01-01 11:31:00")))
+      q.processAllAvailable()
+      val got = s.sql("SELECT user_id, s1_us, s2_us, s3_us FROM funnelsmall")
+        .orderBy("user_id").collect().map(_.toSeq).toSeq
+      def us(min: Int): Long = ts(min).getTime * 1000L
+      assert(got == Seq(
+        Seq(1L, us(1), us(2), us(12)), // late view@1 made click@2 the s2
+        Seq(2L, us(8), null, null)),
+        s"got $got")
+    } finally q.stop()
+  }
+
+  test("b99: drained streaming funnel equals the batch parity query on events") {
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel-stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val schema = s.read.parquet(s"$sf/events.parquet").schema
+    val stream = graft.sources.Tables.normalizeEventsTs(
+      s.readStream.schema(schema).parquet(dir.toString))
+    val out = Streams.funnelWithState(stream, Seq("view", "click", "purchase"),
+      gapMs = 30 * 60 * 1000, delay = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("funnelparity")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = s.sql("SELECT user_id, s1_us, s2_us, s3_us FROM funnelparity")
+        .orderBy("user_id").collect().map(_.toSeq).toSeq
+      val oracle = SparkEntry.queries("b99_stream_funnel_parity")(s, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed.nonEmpty, "stream emitted nothing — watermark never advanced?")
+      assert(streamed == oracle,
+        s"stream rows=${streamed.length} != parity query rows=${oracle.length}")
+    } finally q.stop()
+  }
+
   test("c98: sliding-window stream CMS grids equal the batch aggregation cell-for-cell") {
     // counting-monoid cells inside each window + deterministic sliding
     // assignment: closed windows must match batch exactly, per cell

@@ -33,14 +33,21 @@ def per_query(tail: str):
     return out
 
 
+def stem(name: str) -> str:
+    """Query id = everything before the first underscore ('b100' from
+    'b100_tpch_q14'). NOT the first 3 chars: 'b100'/'b10' and 'c100'/'c10'
+    are distinct queries that share a 3-char prefix."""
+    return name.split("_", 1)[0]
+
+
 def lookup(q: dict, name: str):
     """Value for `name` in one round's map: exact full-name hit first, else
-    a stem match ONLY if exactly one key in that round shares the 3-char
-    stem (r1-r3 tails truncate names mid-map; ambiguous stems stay blank
+    a stem match ONLY if exactly one key in that round shares the id stem
+    (r1-r3 tails truncate names mid-map; ambiguous stems stay blank
     rather than silently merging two queries)."""
     if name in q:
         return q[name]
-    hits = [v for k, v in q.items() if k[:3] == name[:3] and k != name]
+    hits = [v for k, v in q.items() if stem(k) == stem(name) and k != name]
     return hits[0] if len(hits) == 1 else None
 
 
@@ -113,13 +120,13 @@ def main():
         if q:
             rounds.append((int(rnd), q))
     rounds.sort()
-    # One canonical row per stem (query numbering makes stems unique by
+    # One canonical row per id stem (query numbering makes stems unique by
     # construction); prefer the newest round's spelling of the full name so
     # r1-r3 mid-name tail truncations don't spawn duplicate rows.
     canonical = {}
     for _, q in rounds:  # ascending rounds: later spellings win
         for k in q:
-            canonical[k[:3]] = k
+            canonical[stem(k)] = k
     names = sorted(canonical.values())
     lines = [
         "# Per-query bench history (seconds, driver artifacts)",
