@@ -56,10 +56,13 @@ object JoinOrderDelta {
       acc.mark()
       val t0 = System.nanoTime()
       val n = df.count()
+      // capture wall BEFORE acc.delta(): its quiesce() sleep-polls up to
+      // ~2 s and would inflate the recorded wall (r10 ADVICE)
+      val wallS = (System.nanoTime() - t0) / 1e9
       val (r, w, _, peak) = acc.delta()
       println(f"[joinorder] $label%-28s rows=$n%10d shuffle_read_kb=${r / 1024}%8d " +
         f"shuffle_write_kb=${w / 1024}%8d peak_mb=${peak / 1024 / 1024}%5d " +
-        f"wall_s=${(System.nanoTime() - t0) / 1e9}%6.2f")
+        f"wall_s=$wallS%6.2f")
       w
     }
 

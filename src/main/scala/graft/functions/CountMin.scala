@@ -119,16 +119,24 @@ object CountMin {
     * the |pairs| frame. */
   /** Bounded cache for the advisor's per-table sketch grids (≤ d·width rows
     * each, but `persist` without release still pins blocks + session refs
-    * for the app's life — r9 VERDICT #4). Keyed by the input plan's
-    * semantic hash, so repeated advisor calls over the same table reuse one
-    * persisted grid and LRU eviction unpersists the oldest. */
+    * for the app's life — r9 VERDICT #4). Keyed by the caller's table NAME
+    * plus the 128-bit md5 of the canonicalized plan ([[graft.sources.Memo.planKey]]
+    * — not the 32-bit semanticHash, whose collisions would silently serve
+    * the wrong sketch). The key identifies the plan, not the data: the
+    * memo assumes scanned inputs are immutable for the app's life; if a
+    * table's files are rewritten in place, call [[invalidateSketchCache]]
+    * first. */
   private val sketchMemo = new graft.sources.Memo(maxEntries = 8)
+
+  /** Explicit invalidation hook for [[joinOrderAdvisor]]'s sketch memo —
+    * required after an in-place rewrite of a previously-advised table. */
+  def invalidateSketchCache(): Unit = sketchMemo.clear()
 
   def joinOrderAdvisor(tables: Seq[(String, DataFrame)], tokCol: String,
                        d: Int = 4, width: Int = 64): DataFrame = {
     require(tables.size >= 2, s"need at least two tables, got ${tables.size}")
     val sketches = tables.map { case (n, df) =>
-      val key = s"joinSketch:$tokCol:$d:$width:${df.queryExecution.logical.semanticHash()}"
+      val key = s"joinSketch:$n:$tokCol:$d:$width:${graft.sources.Memo.planKey(df)}"
       n -> sketchMemo.getOrElseUpdate((df.sparkSession, key)) {
         build(df, tokCol, d, width)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

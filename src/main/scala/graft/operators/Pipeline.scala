@@ -607,8 +607,17 @@ object Pipeline {
     * a |candidates|-row frame. Nothing here grows with the corpus except
     * the one distinct pass the sizing needs anyway. */
   /** Bounded cache for [[bloomAdvisor]]'s distinct member-hash sets (see
-    * the persist note inside). Small bound: each entry is O(n_keys) rows. */
+    * the persist note inside). Small bound: each entry is O(n_keys) rows.
+    * Keyed by the 128-bit md5 of the canonicalized key plan + hash
+    * expression ([[graft.sources.Memo.planKey]] — not the 32-bit
+    * semanticHash, whose collisions would silently serve the wrong member
+    * set). Plan-keyed ⇒ assumes the key table is immutable for the app's
+    * life; after an in-place rewrite call [[invalidateMemberHashCache]]. */
   private val memberHashMemo = new graft.sources.Memo(maxEntries = 4)
+
+  /** Explicit invalidation hook for [[bloomAdvisor]]'s member-hash memo —
+    * required after an in-place rewrite of a previously-advised key table. */
+  def invalidateMemberHashCache(): Unit = memberHashMemo.clear()
 
   def bloomAdvisor(keys: DataFrame, keyHash: Column,
                    candMBits: Seq[Int] = Seq(1 << 14, 1 << 16, 1 << 18),
@@ -621,9 +630,13 @@ object Pipeline {
     // persist pins it MEMORY_AND_DISK for the app's life. The Memo bounds
     // live entries (LRU, unpersist on eviction) and dedupes repeat advisor
     // calls over the same key set.
-    val memoKey = "bloomAdvisor:" +
-      s"${org.apache.spark.sql.graftglue.ColumnGlue.expression(keyHash).semanticHash()}:" +
-      s"${keys.queryExecution.logical.semanticHash()}"
+    val exprMd5 = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(org.apache.spark.sql.graftglue.ColumnGlue.expression(keyHash)
+          .canonicalized.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val memoKey = s"bloomAdvisor:$exprMd5:${graft.sources.Memo.planKey(keys)}"
     val hs = memberHashMemo.getOrElseUpdate((keys.sparkSession, memoKey)) {
       keys.select(keyHash.as("h")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -31,4 +31,31 @@ private[graft] final class Memo(maxEntries: Int = 8) {
       nv
     }
   }
+
+  /** Explicit invalidation hook: unpersist and drop every cached entry.
+    * Callers whose underlying data changed in-place (same path, rewritten
+    * files — the one case a plan-derived key cannot see) must call this
+    * before reusing a memoized builder. */
+  def clear(): Unit = m.synchronized {
+    m.values.forEach { df =>
+      try df.unpersist() catch { case _: Exception => () }
+    }
+    m.clear()
+  }
+}
+
+private[graft] object Memo {
+  /** Collision-resistant key component for a DataFrame's logical plan:
+    * md5 over the CANONICALIZED plan string (128-bit), not the 32-bit
+    * `semanticHash` — a 32-bit collision between two different cached
+    * plans would silently serve the wrong persisted result. The key still
+    * identifies the PLAN, not the data: memoized entries assume the
+    * scanned input is immutable for the app's life (the at-rest-layout
+    * write-once convention); in-place rewrites require [[Memo.clear]]. */
+  def planKey(df: DataFrame): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bytes = md.digest(
+      df.queryExecution.logical.canonicalized.toString.getBytes("UTF-8"))
+    bytes.map("%02x".format(_)).mkString
+  }
 }

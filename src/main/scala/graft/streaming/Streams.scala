@@ -315,6 +315,7 @@ object Streams {
     */
   def sessionizeWithState(events: DataFrame, gapMs: Long, delay: String):
       org.apache.spark.sql.Dataset[Session] = {
+    require(gapMs > 0, s"gapMs must be positive, got $gapMs")
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -349,23 +350,43 @@ object Streams {
               }
             }
             state.update(st)
-            // batch mode has no timeout clock; a timeout at-or-before the
-            // current watermark is also rejected — both are benign here
-            try state.setTimeoutTimestamp(st.last + gapMs)
-            catch { case scala.util.control.NonFatal(_) => () }
+            // Never set a timeout at-or-before the watermark (rejected by
+            // Spark; a swallowed rejection = state that never times out):
+            // clamp to watermark + 1 ms. Only batch execution (no
+            // watermark clock → getCurrentWatermarkMs throws) skips the
+            // set — batch timeouts never fire anyway.
+            try {
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(st.last + gapMs, wm + 1L))
+            } catch {
+              case _: UnsupportedOperationException => // batch: no watermark clock
+            }
             closed.result().iterator
           }
       }
   }
 
   /** A user's closed funnel: earliest stage times (µs since epoch; null =
-    * stage never reached), emitted once when the user's horizon closes. */
+    * stage never reached), emitted once when the user's horizon closes.
+    * `dropped_events` counts stage events that arrived beyond the
+    * `maxBuffer` cap and were NOT buffered — when > 0, the stage times
+    * for this user may diverge from the batch twin (answers, not just
+    * cost, were truncated); downstream consumers and parity checks must
+    * treat such rows as flagged. */
   case class FunnelUser(user_id: Long, s1_us: Option[Long],
-                        s2_us: Option[Long], s3_us: Option[Long])
+                        s2_us: Option[Long], s3_us: Option[Long],
+                        dropped_events: Long)
+
+  /** N-stage generalization of [[FunnelUser]]: `stage_us(k)` is the
+    * earliest qualifying time of stage k (null = never reached);
+    * `dropped_events` as in [[FunnelUser]]. */
+  case class FunnelStages(user_id: Long, stage_us: Seq[Option[Long]],
+                          dropped_events: Long)
 
   /** Internal funnel buffer: the user's stage-relevant events (ts µs,
-    * stageIdx) within the horizon, plus the latest event time (µs). */
-  case class FunnelBuf(evs: Seq[(Long, Int)], last: Long)
+    * stageIdx) within the horizon, the latest event time (µs), and the
+    * count of events dropped by the `maxBuffer` cap. */
+  case class FunnelBuf(evs: Seq[(Long, Int)], last: Long, dropped: Long)
 
   /** Ordered-funnel conversion ON A STREAM — b94's stage machine as a
     * stateful streaming operator (flatMapGroupsWithState, the
@@ -392,31 +413,36 @@ object Streams {
     * shape in batch.
     *
     * Scale: state per user is their stage-relevant events inside the
-    * horizon — view/click/purchase rows of ONE user within `gapMs`, tiny
-    * at any corpus size — capped at `maxBuffer` (beyond it new events
-    * extend the horizon clock but are not buffered; the cap is a
-    * degenerate-key guard, same discipline as NearDupProcessor's
-    * maxBucket). Shuffle key is user_id — the same single user shuffle
+    * horizon — the stage rows of ONE user within `gapMs`, tiny at any
+    * corpus size — capped at `maxBuffer` (beyond it new events extend
+    * the horizon clock but are not buffered; the cap is a degenerate-key
+    * guard, same discipline as NearDupProcessor's maxBucket). Unlike a
+    * cost cap, this one can change ANSWERS for the capped user, so the
+    * emitted row carries `dropped_events` — the count of unbuffered
+    * events — and consumers must treat `dropped_events > 0` rows as
+    * truncated. Shuffle key is user_id — the same single user shuffle
     * the batch funnel pays. */
-  def funnelWithState(events: DataFrame, stages: Seq[String], gapMs: Long,
-                      delay: String, maxBuffer: Int = 10000):
-      org.apache.spark.sql.Dataset[FunnelUser] = {
-    require(stages.size == 3, s"funnelWithState is the 3-stage machine, got $stages")
+  def funnelStagesWithState(events: DataFrame, stages: Seq[String], gapMs: Long,
+                            delay: String, maxBuffer: Int = 10000):
+      org.apache.spark.sql.Dataset[FunnelStages] = {
+    require(stages.size >= 2, s"a funnel needs at least 2 stages, got $stages")
+    require(stages.distinct.size == stages.size, s"duplicate stage in $stages")
+    require(gapMs > 0, s"gapMs must be positive, got $gapMs — a non-positive " +
+      "horizon would compute timeout timestamps at-or-before every event")
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-    def close(userId: Long, buf: FunnelBuf): FunnelUser = {
-      var s1, s2, s3 = Option.empty[Long]
+    val nStages = stages.size
+    def close(userId: Long, buf: FunnelBuf): FunnelStages = {
+      val s = Array.fill(nStages)(Option.empty[Long])
       // ascending (ts, stage) — the stage tiebreak is cosmetic (strict
       // inequalities make same-ts order irrelevant), but keeps the scan
       // deterministic for a given buffer
       buf.evs.sortBy(identity).foreach { case (ts, st) =>
-        if (st == 0) { if (s1.isEmpty) s1 = Some(ts) }
-        else if (st == 1) { if (s2.isEmpty && s1.exists(ts > _)) s2 = Some(ts) }
-        else if (s3.isEmpty && s2.exists(ts > _)) s3 = Some(ts)
+        if (s(st).isEmpty && (st == 0 || s(st - 1).exists(ts > _))) s(st) = Some(ts)
       }
-      FunnelUser(userId, s1, s2, s3)
+      FunnelStages(userId, s.toSeq, buf.dropped)
     }
 
     val stageIdx = stages.zipWithIndex.toMap
@@ -429,7 +455,7 @@ object Streams {
         unix_micros(col("ts")).as("us"), idxCol.as("stage"), col("ts"))
       .as[(Long, Long, Int, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[FunnelBuf, FunnelUser](
+      .flatMapGroupsWithState[FunnelBuf, FunnelStages](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[(Long, Long, Int, java.sql.Timestamp)],
          state: GroupState[FunnelBuf]) =>
@@ -439,16 +465,45 @@ object Streams {
             out.iterator
           } else {
             val incoming = rows.map(r => (r._2, r._3)).toArray
-            val prev = state.getOption.getOrElse(FunnelBuf(Seq.empty, Long.MinValue))
+            val prev = state.getOption.getOrElse(FunnelBuf(Seq.empty, Long.MinValue, 0L))
             val room = math.max(0, maxBuffer - prev.evs.size)
             val st = FunnelBuf(prev.evs ++ incoming.take(room),
-              math.max(prev.last, incoming.iterator.map(_._1).max))
+              math.max(prev.last, incoming.iterator.map(_._1).max),
+              prev.dropped + math.max(0, incoming.length - room))
             state.update(st)
-            try state.setTimeoutTimestamp(st.last / 1000L + gapMs)
-            catch { case scala.util.control.NonFatal(_) => () }
+            // The horizon clock. Never set at-or-before the current
+            // watermark (Spark rejects it, and a swallowed rejection
+            // would leave the state timeout-less = a silent leak): if a
+            // very late event computed a target the watermark already
+            // passed, clamp to watermark + 1 ms — "close at the next
+            // watermark advance", which is the correct semantics for an
+            // already-expired horizon. The only swallowed case is batch
+            // execution (no watermark clock exists; closing is then the
+            // caller's horizon cut, and timeouts never fire anyway).
+            val target = st.last / 1000L + gapMs
+            try {
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(target, wm + 1L))
+            } catch {
+              case _: UnsupportedOperationException => // batch: no watermark clock
+            }
             Iterator.empty
           }
       }
+  }
+
+  /** 3-stage funnel with named s1/s2/s3 columns — a thin typed view over
+    * [[funnelStagesWithState]] (the N-stage machine). Kept as the b99
+    * oracle shape. */
+  def funnelWithState(events: DataFrame, stages: Seq[String], gapMs: Long,
+                      delay: String, maxBuffer: Int = 10000):
+      org.apache.spark.sql.Dataset[FunnelUser] = {
+    require(stages.size == 3, s"funnelWithState is the 3-stage view, got $stages")
+    val spark = events.sparkSession
+    import spark.implicits._
+    funnelStagesWithState(events, stages, gapMs, delay, maxBuffer)
+      .map(f => FunnelUser(f.user_id, f.stage_us(0), f.stage_us(1), f.stage_us(2),
+        f.dropped_events))
   }
 
   /** Stream-stream event-time interval join — the impressions ⋈ clicks

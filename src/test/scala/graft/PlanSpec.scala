@@ -223,6 +223,18 @@ class PlanSpec extends SparkSpec {
       s"expected the stack unpivot (a union would re-derive the pipeline per stage):\n$plan")
   }
 
+  test("hard negatives: exactly one bounded BNLJ (broadcast query side), top-k heaps below the exchange") {
+    val plan = physicalPlan(SparkEntry.queries("c102_hard_negatives")(spark, sf))
+    val bnlj = "BroadcastNestedLoopJoin BuildRight".r.findAllIn(plan).length
+    assert(bnlj == 1 && !plan.contains("CartesianProduct"),
+      s"expected exactly 1 BNLJ with the tiny query set as the broadcast build side, got $bnlj:\n$plan")
+    // partial WindowGroupLimit below the query_id exchange = per-task
+    // top-k heaps bound what shuffles (the load-bearing plan feature)
+    val wgl = "WindowGroupLimit".r.findAllIn(plan).length
+    assert(wgl == 2,
+      s"expected partial+final WindowGroupLimit pair around the exchange, got $wgl:\n$plan")
+  }
+
   test("bloom advisor probes through bitmap scalars — 1-row crossings only, no raw-key pair join") {
     val plan = physicalPlan(SparkEntry.queries("c96_bloom_advisor")(spark, sf))
     assert(plan.contains("bloommightcontain") || plan.contains("BloomMightContain"),

@@ -312,6 +312,28 @@ class PropertySpec extends SparkSpec {
     assert(got3.last == ((3, "y z", "y z", 1L)), s"round 3: ${got3.last}")
   }
 
+  test("BPE merges: roundPartitions-invariant — identical merge tables at 2 and 16 partitions") {
+    // the law the scaladoc promises: the per-round shuffle-partition
+    // count is a COST knob only; the (rank, lhs, rhs, cnt) merge table
+    // must be bit-identical at any setting (pair counts are exact
+    // integers; the (cnt DESC, lhs DESC, rhs DESC) winner rule has no
+    // order-dependence to leak through partitioning)
+    val s2 = spark; import s2.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b c d c d"), (2L, "b c b c b c a a a"),
+      (3L, "d a d a d a b b"), (4L, "c c c c d d d"),
+      (5L, "a b c d a b c d a b"), (6L, "e f e f g g g e f")
+    ).toDF("doc_id", "text")
+    val runs = Seq(Some(2), Some(16)).map { rp =>
+      graft.operators.Bpe.merges(docs, "doc_id", "text", k = 4, roundPartitions = rp)
+        .orderBy("rank").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    }
+    assert(runs(0).size == 4, s"expected 4 merge rounds, got ${runs(0)}")
+    assert(runs(0) == runs(1),
+      s"merge table depends on roundPartitions: 2 -> ${runs(0)}, 16 -> ${runs(1)}")
+  }
+
   test("weightedPercentiles: matches brute cumulative scan; partition-order independent") {
     val s2 = spark; import s2.implicits._
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 50L), Gen.choose(1L, 9L)))) { raw =>

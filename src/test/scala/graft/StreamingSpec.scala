@@ -275,7 +275,97 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.nonEmpty, "stream emitted nothing — watermark never advanced?")
       assert(streamed == oracle,
         s"stream rows=${streamed.length} != parity query rows=${oracle.length}")
+      // no fixture user trips the default 10k buffer cap — all rows unflagged
+      val flagged = s.sql("SELECT count(*) FROM funnelparity WHERE dropped_events > 0")
+        .collect()(0).getLong(0)
+      assert(flagged == 0L, s"$flagged users unexpectedly hit the buffer cap")
     } finally q.stop()
+  }
+
+  test("funnelWithState flags a beyond-maxBuffer user via dropped_events") {
+    // u1 sends 5 stage events against maxBuffer = 2: 3 events are not
+    // buffered and the emitted row must carry dropped_events = 3 (the
+    // truncation signal — answers, not just cost, may diverge for this
+    // user); u2 stays under the cap and is unflagged
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    // batch 1 fills u1's buffer exactly; batch 2's 3 events for u1 all
+    // exceed the cap (batch boundaries make the buffered/dropped split
+    // deterministic — within-batch group iterator order is not)
+    mem.addData(
+      Ev(1, 1, "view", 0, ts(1)), Ev(2, 1, "click", 0, ts(2)),
+      Ev(6, 2, "view", 0, ts(3)), Ev(7, 2, "click", 0, ts(4)))
+    val out = Streams.funnelWithState(mem.toDF(),
+      Seq("view", "click", "purchase"), gapMs = 10 * 60 * 1000,
+      delay = "0 minutes", maxBuffer = 2)
+    val q = out.writeStream.format("memory").queryName("funneltrunc")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch-2 timestamps sit ABOVE the batch-1 watermark (10:04, delay
+      // 0) — otherwise Spark's late-data filter drops them before the
+      // operator and they'd never count as cap-dropped
+      mem.addData(Ev(3, 1, "view", 0, ts(6)), Ev(4, 1, "click", 0, ts(7)),
+        Ev(5, 1, "purchase", 0, ts(8)))
+      q.processAllAvailable()
+      mem.addData(Ev(8, 3, "view", 0, Timestamp.valueOf("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val got = s.sql(
+          "SELECT user_id, s1_us, s2_us, s3_us, dropped_events FROM funneltrunc")
+        .orderBy("user_id").collect().map(_.toSeq).toSeq
+      def us(min: Int): Long = ts(min).getTime * 1000L
+      // u1 buffered only view@1, click@2 — s3 lost to the cap, flagged
+      assert(got == Seq(
+        Seq(1L, us(1), us(2), null, 3L),
+        Seq(2L, us(3), us(4), null, 0L)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("funnelStagesWithState N=2 and N=4 parity with the batch stage kernel") {
+    // the N-stage machine against Series.funnelStageTimes + the b99
+    // horizon cut, on the real events fixture, at two widths
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    for (stages <- Seq(Seq("view", "purchase"),
+                       Seq("view", "click", "signup", "purchase"))) {
+      val n = stages.size
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-funnel-n$n")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
+      val schema = s.read.parquet(s"$sf/events.parquet").schema
+      val stream = graft.sources.Tables.normalizeEventsTs(
+        s.readStream.schema(schema).parquet(dir.toString))
+      val out = Streams.funnelStagesWithState(stream, stages,
+        gapMs = 30 * 60 * 1000, delay = "30 minutes")
+      val name = s"funneln$n"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val cols = (0 until n).map(i => s"stage_us[$i]").mkString(", ")
+        val streamed = s.sql(
+            s"SELECT user_id, $cols FROM $name WHERE dropped_events = 0")
+          .orderBy("user_id").collect().map(_.toSeq).toSeq
+        val ev = graft.sources.Tables.t(s, sf, "events")
+        val f = ev.where(col("event_type").isin(stages: _*))
+        val wm = broadcast(ev.agg(
+          (unix_millis(max(col("ts"))) - lit(1800000L)).as("wm_ms")))
+        val horizon = f.groupBy(col("user_id"))
+          .agg(unix_millis(max(col("ts"))).as("last_ms"))
+        val batch = graft.operators.Series
+          .funnelStageTimes(f, "user_id", "event_type", "ts", stages)
+          .join(horizon, Seq("user_id"))
+          .crossJoin(wm)
+          .where(col("last_ms") + lit(1800000L) < col("wm_ms"))
+          .select(col("user_id") +:
+            (1 to n).map(i => unix_micros(col(s"s$i")).as(s"s${i}_us")): _*)
+          .orderBy("user_id").collect().map(_.toSeq).toSeq
+        assert(streamed.nonEmpty, s"N=$n stream emitted nothing")
+        assert(streamed == batch,
+          s"N=$n parity: stream=${streamed.length} rows, batch=${batch.length}")
+      } finally q.stop()
+    }
   }
 
   test("c98: sliding-window stream CMS grids equal the batch aggregation cell-for-cell") {

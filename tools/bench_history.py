@@ -56,7 +56,7 @@ def shuffle_drift_section():
     per Bench run from r7 on). Shuffle bytes are a deterministic property of
     plan + data — unlike seconds, they cannot be contaminated by host stall
     windows — so a tight threshold is safe: flag when the newest run's
-    read+write exceeds 1.3x the best prior run at the same sf by >1 MiB.
+    read+write exceeds 1.3x the MEDIAN prior run at the same sf by >1 MiB.
     Entries are compared per (sf, query); local dev runs at other sfs are
     simply separate series.
 
