@@ -45,6 +45,14 @@ object Scale {
     * is the runtime alternative; explicit salting is the static guarantee
     * (works for first-stage shuffles AQE can't re-plan, and composes with
     * bucketing).
+    *
+    * Choosing `salts` (measured, docs/PLANS.md r11 salted-join row): the
+    * hot key's max-task record share divides by `salts` only up to
+    * hash-collision granularity — the `salts` (key, salt) combos hash
+    * into `spark.sql.shuffle.partitions` reducers, so with salts ≪
+    * partitions some reducers draw 2+ combos (salts=8 over 32 partitions
+    * measured ÷4, not ÷8). salts ≈ the reducer count gives the fullest
+    * spread; beyond that only the dim-side replication cost grows.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts >= 1, s"salts must be positive, got $salts")
