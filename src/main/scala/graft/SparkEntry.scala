@@ -3681,6 +3681,118 @@ object SparkEntry {
           t(s, d, "documents"), "doc_id", "text", "n_chars")
         .orderBy(col("doc_id"))),
 
+    "b102_funnel4" -> ((s, d) => {
+      // 4-stage ordered funnel (view → click → signup → purchase): the
+      // N-stage generalization of b94's kernel in the oracle gate, not
+      // just unit tests — same ONE user shuffle shared by all four
+      // chained conditional-min windows, same stack unpivot of the one
+      // materialized count row (a union would re-derive the staged
+      // pipeline per branch). Streams.funnelStagesWithState runs the
+      // identical machine on a stream at any N.
+      val staged = graft.operators.Series.funnelStageTimes(
+        t(s, d, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "signup", "purchase"))
+      val counts = staged.agg(
+        count(col("s1")).as("u1"), count(col("s2")).as("u2"),
+        count(col("s3")).as("u3"), count(col("s4")).as("u4"))
+      counts.select(expr(
+        "stack(4, " +
+          "1, 'view',     u1, (u1 * 1000000) div nullif(u1, 0), " +
+          "2, 'click',    u2, (u2 * 1000000) div nullif(u1, 0), " +
+          "3, 'signup',   u3, (u3 * 1000000) div nullif(u1, 0), " +
+          "4, 'purchase', u4, (u4 * 1000000) div nullif(u1, 0)) " +
+          "AS (stage, event_type, users, conv_ppm)"))
+        .orderBy(col("stage"))
+    }),
+
+    "b103_tpch_q6" -> ((s, d) => {
+      // TPC-H Q6 shape (forecast revenue change): the pure-scan query —
+      // every predicate on a RAW column so all three reach the parquet
+      // reader (date range, discount band, quantity cut; PushedFilters
+      // carries them all — double literals compare exactly against the
+      // stored doubles in both engines), one map-side partial aggregate,
+      // a 1-row final. Zero joins, zero wide shuffles: at 100 TB this is
+      // the scan-bound query AQE cannot improve and pushdown decides.
+      // Revenue in exact cent·percent integers (the b95/b100 rule).
+      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val disc = floor(col("l_discount") * 100 + 0.5).cast("long")
+      t(s, d, "lineitem")
+        .where(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1997-01-01").cast("date") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24.0)
+        .agg(sum(cents * disc).as("revenue_cents_pct"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "b104_tpch_q17" -> ((s, d) => {
+      // TPC-H Q17 shape (small-quantity-order revenue): revenue from
+      // lineitems whose quantity is below 20 % of their part's average.
+      // The textbook form scans lineitem twice (a correlated per-part
+      // avg subquery + the probe); this is the ONE-scan window form —
+      // broadcast the filtered part keys, one l_partkey exchange serves
+      // the per-part (sum, count) window AND the row filter. The 20 %
+      // test is cleared-denominator integers (qty < sum/(5·cnt) ⟺
+      // 5·qty·cnt < sum in deci-quantities — no division, no doubles),
+      // so both engines agree bit-for-bit.
+      val parts = t(s, d, "part").where(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))
+      val qtyDeci = floor(col("l_quantity") * 10 + 0.5).cast("long")
+      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+      t(s, d, "lineitem")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), qtyDeci.as("qty_deci"), cents.as("cents"))
+        .withColumn("sum_deci", sum(col("qty_deci")).over(wp))
+        .withColumn("cnt", count(lit(1)).over(wp))
+        .where(col("qty_deci") * col("cnt") * 5 < col("sum_deci"))
+        .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n_small"))
+        .select(expr("sum_cents div 7").as("avg_yearly_cents"), col("n_small"))
+    }),
+
+    "c104_edit_distance_pairs" -> ((s, d) =>
+      // typo-granular near-dup pairs: Levenshtein ≤ 14 on the first-8-
+      // token "title", candidates blocked by lead token + the length
+      // theorem |len(a)−len(b)| ≤ maxDist (a necessary condition for
+      // lev ≤ maxDist, filtered before any DP runs). The character-edit
+      // member of the dedup family next to set-overlap c02/c04 and
+      // bit-distance c03; exact integer distances both engines compute
+      // with the same Wagner–Fischer recurrence.
+      graft.operators.Dedup.editDistancePairs(
+          t(s, d, "documents"), "doc_id", "text", keyTokens = 8, maxDist = 14)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "c105_ivf_probe_advisor" -> ((s, d) => {
+      // IVF nprobe advisor (the c94/c96/c100 measured-curve→decision
+      // family): exact recall@10 vs the brute-force truth at nprobe ∈
+      // {1,2,4} from ONE candidate pass — probe sets nest, so the
+      // per-probe candidate rank is a running conditional count over the
+      // same per-query sort — then choose the smallest probe count
+      // reaching 90 % recall. Pure-integer hits/ppm, rounded-cosine +
+      // id tiebreaks; the decision runs on a 3-row frame.
+      val emb = t(s, d, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      val centroids = emb.where(pmod(col("vec_id"), lit(97)) === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      graft.operators.Ann.ivfProbeAdvisor(emb, queries, centroids,
+          "vec_id", "embedding", k = 10, probes = Seq(1, 2, 4),
+          targetPpm = 900000L)
+        .orderBy(col("nprobe"))
+    }),
+
+    "c106_epoch_allocation" -> ((s, d) =>
+      // token-budget epoch allocator: distribute a 2×-corpus token
+      // budget across sources ∝ doc count, each source capped at 4
+      // epochs of its own tokens; the water-filling split is a CLOSED
+      // FORM on the |sources|-row frame (sort by cap/weight, prefix
+      // sums, cleared-BIGINT validity products — no iteration, no
+      // doubles in any decision). The data-recipe planning step next to
+      // c33's target mix and c101's temperature mix.
+      graft.operators.Pipeline.epochAllocation(
+          t(s, d, "documents"), "source", "n_chars",
+          maxEpochs = 4, budgetNum = 2L, budgetDen = 1L)
+        .orderBy(col("source"))),
+
     "c99_sliding_topk" -> ((s, d) => {
       // batch parity for the SLIDING-window streaming Misra–Gries
       // heavy hitters (Streams.streamSlidingHeavyHitters, 1 h / 30 min,
@@ -5235,6 +5347,192 @@ object SparkEntry {
         |  FROM c)
         |SELECT doc_id, n_chars, CAST(gs AS BIGINT) AS group_size
         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // b94's chained conditional-min windows extended to 4 stages
+    "b102_funnel4" ->
+      """WITH s1t AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s1
+        |  FROM events),
+        |s2t AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s2
+        |  FROM s1t),
+        |s3t AS (
+        |  SELECT *, min(CASE WHEN event_type = 'signup' AND ts > s2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s3
+        |  FROM s2t),
+        |s4t AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s3 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s4
+        |  FROM s3t),
+        |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s3) AS s3,
+        |        max(s4) AS s4
+        |      FROM s4t GROUP BY user_id),
+        |c AS (SELECT CAST(count(s1) AS BIGINT) AS u1, CAST(count(s2) AS BIGINT) AS u2,
+        |        CAST(count(s3) AS BIGINT) AS u3, CAST(count(s4) AS BIGINT) AS u4 FROM u)
+        |SELECT 1 AS stage, 'view' AS event_type, u1 AS users,
+        |  (u1 * 1000000) // NULLIF(u1, 0) AS conv_ppm FROM c
+        |UNION ALL SELECT 2, 'click', u2, (u2 * 1000000) // NULLIF(u1, 0) FROM c
+        |UNION ALL SELECT 3, 'signup', u3, (u3 * 1000000) // NULLIF(u1, 0) FROM c
+        |UNION ALL SELECT 4, 'purchase', u4, (u4 * 1000000) // NULLIF(u1, 0) FROM c
+        |ORDER BY stage""".stripMargin,
+
+    "b103_tpch_q6" ->
+      """SELECT
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents_pct,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24.0""".stripMargin,
+
+    "b104_tpch_q17" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |    CAST(floor(l_quantity * 10 + 0.5) AS BIGINT) AS qty_deci,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'ECONOMY'),
+        |w AS (
+        |  SELECT *, sum(qty_deci) OVER (PARTITION BY l_partkey) AS sum_deci,
+        |    count(*) OVER (PARTITION BY l_partkey) AS cnt
+        |  FROM li),
+        |f AS (SELECT * FROM w WHERE qty_deci * cnt * 5 < sum_deci)
+        |SELECT CAST(CAST(sum(cents) AS BIGINT) // 7 AS BIGINT) AS avg_yearly_cents,
+        |  count(*) AS n_small FROM f""".stripMargin,
+
+    "c104_edit_distance_pairs" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(string_split(lower(text), ' '), 1, 8), ' ') AS title,
+        |    string_split(lower(text), ' ')[1] AS blk
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist
+        |FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE abs(length(a.title) - length(b.title)) <= 14
+        |  AND levenshtein(a.title, b.title) <= 14
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // c07's cell assignment at crank<=4 + c06's brute truth; per-probe
+    // ranks are running conditional counts over ONE per-query sort
+    "c105_ivf_probe_advisor" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |cent AS (
+        |  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id % 97 = 0),
+        |item_sc AS (
+        |  SELECT e.vec_id AS item_id, e.embedding AS iv, c.centroid_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) AS csim
+        |  FROM embeddings e CROSS JOIN cent c),
+        |item_cell AS (
+        |  SELECT item_id, iv, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY item_id ORDER BY csim DESC, centroid_id) AS crank
+        |    FROM item_sc) WHERE crank <= 1),
+        |q_sc AS (
+        |  SELECT q.query_id, q.qv, c.centroid_id,
+        |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) AS csim
+        |  FROM q CROSS JOIN cent c),
+        |q_cell AS (
+        |  SELECT query_id, qv, centroid_id, crank FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, centroid_id) AS crank
+        |    FROM q_sc) WHERE crank <= 4),
+        |b_scored AS (
+        |  SELECT q.query_id, e.vec_id AS item_id,
+        |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM q JOIN embeddings e ON e.vec_id != q.query_id),
+        |brute AS (
+        |  SELECT query_id, item_id FROM (
+        |    SELECT query_id, item_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
+        |    FROM b_scored) WHERE rank <= 10),
+        |cand AS (
+        |  SELECT qc.query_id, ic.item_id, qc.crank,
+        |    round(list_cosine_similarity(CAST(qc.qv AS DOUBLE[]), CAST(ic.iv AS DOUBLE[])), 6) AS cos
+        |  FROM item_cell ic JOIN q_cell qc USING (centroid_id)
+        |  WHERE ic.item_id != qc.query_id),
+        |ranked AS (
+        |  SELECT *,
+        |    sum(CASE WHEN crank <= 1 THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY query_id ORDER BY cos DESC, item_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1,
+        |    sum(CASE WHEN crank <= 2 THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY query_id ORDER BY cos DESC, item_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2,
+        |    sum(CASE WHEN crank <= 4 THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY query_id ORDER BY cos DESC, item_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r4
+        |  FROM cand),
+        |tot AS (
+        |  SELECT
+        |    sum(CASE WHEN crank <= 1 AND r1 <= 10 AND b.query_id IS NOT NULL THEN 1 ELSE 0 END) AS h1,
+        |    sum(CASE WHEN crank <= 2 AND r2 <= 10 AND b.query_id IS NOT NULL THEN 1 ELSE 0 END) AS h2,
+        |    sum(CASE WHEN crank <= 4 AND r4 <= 10 AND b.query_id IS NOT NULL THEN 1 ELSE 0 END) AS h4
+        |  FROM ranked r LEFT JOIN brute b USING (query_id, item_id)),
+        |bn AS (SELECT CAST(count(*) AS BIGINT) AS brute_n FROM brute),
+        |rows_ AS (
+        |  SELECT 1 AS nprobe, CAST(h1 AS BIGINT) AS hits FROM tot
+        |  UNION ALL SELECT 2, CAST(h2 AS BIGINT) FROM tot
+        |  UNION ALL SELECT 4, CAST(h4 AS BIGINT) FROM tot),
+        |curve AS (
+        |  SELECT nprobe, hits, brute_n,
+        |    CAST((hits * 1000000) // NULLIF(brute_n, 0) AS BIGINT) AS recall_ppm
+        |  FROM rows_ CROSS JOIN bn)
+        |SELECT nprobe, hits, brute_n, recall_ppm,
+        |  row_number() OVER (ORDER BY (recall_ppm >= 900000) DESC,
+        |    CASE WHEN recall_ppm >= 900000 THEN nprobe ELSE -nprobe END) = 1 AS chosen
+        |FROM curve ORDER BY nprobe""".stripMargin,
+
+    // closed-form water-filling: sort by cap/weight, prefix sums, the
+    // split validity cleared to BIGINT products, 1-row split crossed back
+    "c106_epoch_allocation" ->
+      """WITH strata AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS tokens, count(*) AS docs
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot_tokens,
+        |          CAST(sum(docs) AS BIGINT) AS tot_w FROM strata),
+        |base AS (
+        |  SELECT s.*, t.tot_tokens, t.tot_w,
+        |    CAST((t.tot_tokens * 2) // 1 AS BIGINT) AS t_budget,
+        |    tokens * 4 AS cap_tokens,
+        |    CAST(tokens * 4 AS DOUBLE) / CAST(docs AS DOUBLE) AS r
+        |  FROM strata s CROSS JOIN tot t),
+        |pref AS (
+        |  SELECT *,
+        |    row_number() OVER (ORDER BY r, source) AS rk,
+        |    CAST(sum(cap_tokens) OVER (ORDER BY r, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pref_cap,
+        |    CAST(sum(docs) OVER (ORDER BY r, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pref_w,
+        |    lead(cap_tokens) OVER (ORDER BY r, source) AS next_cap,
+        |    lead(docs) OVER (ORDER BY r, source) AS next_w
+        |  FROM base),
+        |valid AS (
+        |  SELECT rk, pref_cap, pref_w FROM pref
+        |  WHERE cap_tokens * (tot_w - pref_w) <= (t_budget - pref_cap) * docs
+        |    AND (next_cap IS NULL OR
+        |         (t_budget - pref_cap) * next_w < next_cap * (tot_w - pref_w))),
+        |split AS (
+        |  SELECT coalesce(max(rk), 0) AS k_rank,
+        |    coalesce(arg_max(pref_cap, rk), 0) AS k_cap,
+        |    coalesce(arg_max(pref_w, rk), 0) AS k_w
+        |  FROM valid),
+        |alloc AS (
+        |  SELECT source, tokens, docs, cap_tokens,
+        |    CASE WHEN rk <= k_rank THEN cap_tokens
+        |         ELSE ((t_budget - k_cap) * docs) // NULLIF(tot_w - k_w, 0) END
+        |      AS alloc_tokens,
+        |    rk <= k_rank AS capped
+        |  FROM pref CROSS JOIN split)
+        |SELECT source, tokens, CAST(docs AS BIGINT) AS docs,
+        |  CAST(cap_tokens AS BIGINT) AS cap_tokens,
+        |  CAST(alloc_tokens AS BIGINT) AS alloc_tokens, capped,
+        |  CAST((alloc_tokens * 1000000) // NULLIF(tokens, 0) AS BIGINT) AS epochs_ppm
+        |FROM alloc ORDER BY source""".stripMargin,
 
     // b91's sliding unroll; exact counts + literal TRUE audit booleans
     // (the b80 pattern — the theorem facts are what cross engines)

@@ -135,6 +135,83 @@ object Ann {
       .select(col("query_id"), col("item_id"), col("cos"), col("rank"))
   }
 
+  /** IVF probe-count advisor — the measured-curve→decision pattern (c94
+    * LSH bands, c96 Bloom sizing, c100 join order) applied to [[ivfTopK]]'s
+    * recall/cost dial: measure EXACT recall@k against the brute-force
+    * ground truth at every candidate `nprobe`, then pick the smallest
+    * probe count meeting `targetPpm`. Every ANN deployment tunes this
+    * knob; this computes the whole curve in ONE candidate pass.
+    *
+    * The one-pass trick: probe sets nest (the crank ≤ 1 cells ⊂ crank ≤ 2
+    * ⊂ …), so a candidate's rank within the nprobe-p subset is a RUNNING
+    * CONDITIONAL COUNT — sum(crank ≤ p) over the per-query (cos DESC, id)
+    * order — and all |probes| ranks share one partitioning and one sort.
+    * A candidate is in the nprobe-p top-k iff its own crank ≤ p and that
+    * running count ≤ k. No per-probe re-derivation of the candidate join
+    * (the b94 stack rule: measure once, decide on the tiny frame).
+    *
+    * Exactness: rounded cosine + id tiebreaks make every rank integral
+    * and engine-portable; hits/recall_ppm are pure BIGINT. Scale: the
+    * candidate join is the ivfTopK plan at max(probes); the decision runs
+    * on a |probes|-row frame. Output one row per probe:
+    * (nprobe, hits, brute_n, recall_ppm, chosen). */
+  def ivfProbeAdvisor(items: DataFrame, queries: DataFrame, centroids: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      probes: Seq[Int] = Seq(1, 2, 4),
+                      targetPpm: Long = 900000L): DataFrame = {
+    require(probes.nonEmpty && probes == probes.sorted && probes.distinct == probes,
+      s"probes must be distinct ascending, got $probes")
+    val cent = broadcast(centroids.select(col("centroid_id"), col("cvec")))
+    val maxProbe = probes.max
+
+    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
+      val scored = df.select(col(id), col(v))
+        .join(cent)
+        .select(col(id), col(v), col("centroid_id"),
+          Similarity.cosineRounded(col(v), col("cvec")).as("csim"))
+      val w = Window.partitionBy(id).orderBy(col("csim").desc, col("centroid_id"))
+      scored.withColumn("crank", row_number().over(w))
+        .where(col("crank") <= keep)
+        .select(col(id), col(v), col("centroid_id"), col("crank"))
+    }
+
+    val itemCells = assign(
+      items.select(col(idCol).as("item_id"), col(vecCol).as("iv")), "item_id", "iv", 1)
+      .drop("crank")
+    val queryCells = assign(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "query_id", "qv", maxProbe)
+
+    val brute = bruteTopK(items, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("item_id"), lit(1L).as("in_brute"))
+
+    val cand = itemCells.join(queryCells, Seq("centroid_id"))
+      .where(col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("item_id"), col("crank"),
+        Similarity.cosineRounded(col("qv"), col("iv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("item_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = probes.foldLeft(cand) { (df, p) =>
+      df.withColumn(s"r$p", sum(when(col("crank") <= p, 1L)).over(w))
+    }
+    val hitCols = probes.map { p =>
+      sum(when(col("crank") <= p && col(s"r$p") <= k && col("in_brute") === 1L, 1L)
+        .otherwise(0L)).as(s"h$p")
+    }
+    val totals = ranked.join(brute, Seq("query_id", "item_id"), "left")
+      .agg(hitCols.head, hitCols.tail: _*)
+      .crossJoin(broadcast(brute.agg(count(lit(1)).as("brute_n"))))
+    val stacked = totals.select(expr(
+      s"stack(${probes.size}, " + probes.map(p => s"$p, h$p").mkString(", ") +
+        ") AS (nprobe, hits)"), col("brute_n"))
+      .select(col("nprobe"), col("hits"), col("brute_n"),
+        expr("(hits * 1000000) div nullif(brute_n, 0)").as("recall_ppm"))
+    val eligible = col("recall_ppm") >= targetPpm
+    val pick = Window.orderBy(eligible.desc,
+      when(eligible, col("nprobe")).otherwise(-col("nprobe")))
+    stacked.withColumn("chosen", row_number().over(pick) === 1)
+  }
+
   /** Deterministic ±1 random-hyperplane components: plane `j`, component
     * `k` is the sign of the first byte of `md5("j:k")` (+1 if < 0x80).
     * Cryptographic mixing makes components independent across BOTH j and k

@@ -554,6 +554,48 @@ object Dedup {
       .select(col(idCol), col(weightCol), col("group_size"))
   }
 
+  /** Edit-distance (Levenshtein) near-dup pairs over a short derived key —
+    * the typo-granular member of the dedup family (minhash c02 = set
+    * overlap, simhash c03 = bit distance, this = character edits: the
+    * right notion for titles/names/IDs where one transposition is one
+    * unit of difference, not one shingle).
+    *
+    * Key: the first `keyTokens` whitespace tokens of the lowercased text
+    * (the "title"); quadratic DP cost is bounded by the key length, never
+    * the document length. Candidates: same FIRST token (blocked candidate
+    * generation — like LSH banding, a recall-bounded heuristic: an edit
+    * inside the lead token escapes the block; it is the sorted-key analog
+    * of c65's sorted-neighborhood) pre-filtered by the length theorem
+    * |len(a) − len(b)| ≤ maxDist, which is a NECESSARY condition for
+    * lev ≤ maxDist, evaluated row-local before any DP runs. Verify:
+    * builtin `levenshtein` (classic Wagner–Fischer; identical algorithm
+    * in the oracle engine, exact integer result).
+    *
+    * Scale: one shuffle of (id, title) keyed by the block token — raw
+    * documents never move; the DP runs only inside blocks. Block
+    * population is corpus-dependent; at 100 TB block on (lead token,
+    * length band) or feed candidates from c65's sorted neighborhood, and
+    * cap degenerate blocks with the maxBucket discipline — the verify
+    * stage is unchanged. Output: (doc_a, doc_b, dist), doc_a < doc_b. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        keyTokens: Int = 8, maxDist: Int = 14): DataFrame = {
+    require(keyTokens >= 2, s"keyTokens must be >= 2, got $keyTokens")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val toks = split(lower(col(textCol)), " ")
+    val keyed = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        array_join(slice(toks, 1, keyTokens), " ").as("title"),
+        element_at(toks, 1).as("blk"))
+    val a = keyed.select(col("id").as("doc_a"), col("title").as("ta"), col("blk"))
+    val b = keyed.select(col("id").as("doc_b"), col("title").as("tb"), col("blk"))
+    a.join(b, Seq("blk"))
+      .where(col("doc_a") < col("doc_b") &&
+        abs(length(col("ta")) - length(col("tb"))) <= maxDist)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   /** Content-defined chunking (CDC) duplicate-span detection: split every
     * doc into variable-length chunks at ROLLING-HASH boundaries (a chunk
     * starts wherever the positional w-gram hash ≡ 0 mod `gearMod` — the

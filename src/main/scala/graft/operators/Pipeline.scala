@@ -476,6 +476,79 @@ object Pipeline {
       .where(hashBucket(col(keyCol), 1000000) < col("ppm"))
   }
 
+  /** Token-budget epoch allocation across sources — the data-recipe
+    * planner's water-filling step: distribute a training budget of
+    * `T = totalTokens·budgetNum div budgetDen` tokens across sources,
+    * proportional to per-source WEIGHT (doc count here — the
+    * every-document-equally-often prior), but no source may contribute
+    * more than `maxEpochs` passes over its own tokens. Small sources hit
+    * the epoch cap; their unused share flows to the rest (the
+    * water-filling level λ rises until the budget is exhausted):
+    * alloc_i = min(cap_i, λ·w_i) with Σ alloc = T.
+    *
+    * CLOSED FORM, no iteration: sort sources by r_i = cap_i/w_i
+    * ascending — exactly the sources that cap out first. If the first k
+    * are capped, λ_k = (T − Σ_{≤k} cap) / (W − Σ_{≤k} w), and k is valid
+    * iff r_k ≤ λ_k < r_{k+1}. Both conditions clear to pure BIGINT
+    * products (cap_k·(W − prefW_k) ≤ (T − prefCap_k)·w_k, and the lead
+    * form for the right edge), so the split choice is engine-exact; the
+    * sort key r_i is the one double (a correctly-rounded quotient of two
+    * BIGINTs — the c33 discipline — with the source name as tiebreak).
+    * k = n (everything capped, T ≥ Σcap) falls out of the same algebra
+    * (the left condition degenerates to T ≥ Σcap); k = 0 is the
+    * aggregate-over-empty null path, coalesced.
+    *
+    * Scale: one partial-aggregated groupBy to the |sources|-row frame;
+    * prefix sums, the split pick, and λ all run on that tiny frame
+    * (unpartitioned window over |sources| rows, never documents); the
+    * 1-row chosen split crosses back as the audited b65-style broadcast.
+    * The cleared products are ≤ cap·W — BIGINT-safe into the ~10^5-source
+    * × 10^13-token regime; past that, run the same algebra in
+    * DECIMAL(38,0). Output per source: (source, tokens, docs,
+    * cap_tokens, alloc_tokens, capped, epochs_ppm). Σ alloc_tokens = T
+    * up to the per-source floor. */
+  def epochAllocation(df: DataFrame, sourceCol: String, weightCol: String,
+                      maxEpochs: Int = 4, budgetNum: Long = 2L,
+                      budgetDen: Long = 1L): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    require(budgetNum >= 1 && budgetDen >= 1,
+      s"budget multiplier must be positive, got $budgetNum/$budgetDen")
+    val strata = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(col(weightCol)).cast("long").as("tokens"),
+        count(lit(1)).as("docs"))
+    val tot = broadcast(strata.agg(sum(col("tokens")).as("tot_tokens"),
+      sum(col("docs")).as("tot_w")))
+    val base = strata.crossJoin(tot)
+      .withColumn("t_budget", expr(s"(tot_tokens * $budgetNum) div $budgetDen"))
+      .withColumn("cap_tokens", col("tokens") * maxEpochs)
+      .withColumn("r", col("cap_tokens").cast("double") / col("docs").cast("double"))
+    val ws = Window.orderBy(col("r"), col("source"))
+    val run = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pref = base
+      .withColumn("rk", row_number().over(ws))
+      .withColumn("pref_cap", sum(col("cap_tokens")).over(run))
+      .withColumn("pref_w", sum(col("docs")).over(run))
+      .withColumn("next_cap", lead(col("cap_tokens"), 1).over(ws))
+      .withColumn("next_w", lead(col("docs"), 1).over(ws))
+    val condA = col("cap_tokens") * (col("tot_w") - col("pref_w")) <=
+      (col("t_budget") - col("pref_cap")) * col("docs")
+    val condB = col("next_cap").isNull ||
+      (col("t_budget") - col("pref_cap")) * col("next_w") <
+        col("next_cap") * (col("tot_w") - col("pref_w"))
+    val split = broadcast(pref.where(condA && condB)
+      .agg(coalesce(max(col("rk")), lit(0)).as("k_rank"),
+        coalesce(max_by(col("pref_cap"), col("rk")), lit(0L)).as("k_cap"),
+        coalesce(max_by(col("pref_w"), col("rk")), lit(0L)).as("k_w")))
+    pref.crossJoin(split)
+      .withColumn("capped", col("rk") <= col("k_rank"))
+      .withColumn("alloc_tokens", when(col("capped"), col("cap_tokens"))
+        .otherwise(expr(
+          "((t_budget - k_cap) * docs) div nullif(tot_w - k_w, 0)")))
+      .select(col("source"), col("tokens"), col("docs"), col("cap_tokens"),
+        col("alloc_tokens"), col("capped"),
+        expr("(alloc_tokens * 1000000) div nullif(tokens, 0)").as("epochs_ppm"))
+  }
+
   /** Source-level reputation gate (the curation stage that drops whole
     * domains/feeds rather than individual documents): keep documents whose
     * SOURCE's mean quality clears `minMeanNano` (mean scaled to 1e-9).

@@ -188,4 +188,55 @@ class BloomAndMixSpec extends SparkSpec {
         s"cosine not non-increasing for query $q")
     }
   }
+
+  test("epochAllocation matches an exact-rational water-filling reference") {
+    // independent JVM re-implementation with BigInt rationals (the
+    // targetMix testing pattern): iterate exact water-filling to a
+    // fixpoint, then compare the operator's integer allocations row-exact
+    val s = spark; import s.implicits._
+    val docs = (0L until 400L).map { i =>
+      val src = "s" + (i % 13)
+      // skewed token masses so several sources cap out
+      (i, src, 50L + (i % 13) * (i % 13) * 40L + (i % 7) * 3L)
+    }.toDF("doc_id", "source", "n_chars")
+    val maxE = 3; val bn = 2L; val bd = 1L
+    val got = Pipeline.epochAllocation(docs, "source", "n_chars",
+        maxEpochs = maxE, budgetNum = bn, budgetDen = bd)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+
+    // reference: exact rationals, iterate "cap the over-full, re-level"
+    val strata = (0L until 400L).map(i => ("s" + (i % 13),
+      50L + (i % 13) * (i % 13) * 40L + (i % 7) * 3L))
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum, v.size.toLong) }.toSeq
+    val totTokens = strata.map(_._2).sum
+    val t = BigInt(totTokens) * bn / bd // budgetDen = 1 ⇒ exact
+    var capped = Set.empty[String]
+    var done = false
+    var lamNum = BigInt(0); var lamDen = BigInt(1)
+    while (!done) {
+      val cappedMass = strata.filter(s3 => capped(s3._1)).map(s3 => BigInt(s3._2) * maxE).sum
+      val freeW = strata.filterNot(s3 => capped(s3._1)).map(s3 => BigInt(s3._3)).sum
+      lamNum = t - cappedMass; lamDen = freeW
+      val newlyCapped = strata.filterNot(s3 => capped(s3._1))
+        .filter(s3 => BigInt(s3._2) * maxE * lamDen <= lamNum * s3._3)
+        .map(_._1)
+      if (newlyCapped.isEmpty) done = true else capped ++= newlyCapped
+    }
+    strata.foreach { case (src, tokens, w) =>
+      val (gTokens, gDocs, gCap, gAlloc, gCapped) = got(src)
+      assert(gTokens == tokens && gDocs == w && gCap == tokens * maxE, s"$src meta")
+      val want =
+        if (capped(src)) BigInt(tokens) * maxE
+        else lamNum * w / lamDen // floor division, both non-negative
+      assert(gCapped == capped(src), s"$src capped flag: got $gCapped")
+      assert(BigInt(gAlloc) == want, s"$src alloc: got $gAlloc want $want")
+    }
+    // conservation: floors lose < 1 token per uncapped source
+    val totalAlloc = got.values.map(_._4).sum
+    val nUncapped = strata.count(s3 => !capped(s3._1))
+    assert(BigInt(totalAlloc) <= t && t - BigInt(totalAlloc) < nUncapped.max(1),
+      s"budget conservation: alloc=$totalAlloc T=$t")
+  }
 }

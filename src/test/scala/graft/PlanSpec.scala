@@ -223,6 +223,16 @@ class PlanSpec extends SparkSpec {
       s"expected the stack unpivot (a union would re-derive the pipeline per stage):\n$plan")
   }
 
+  test("tpch q17: one lineitem scan serves the per-part window and the probe — no correlated re-scan") {
+    val plan = physicalPlan(SparkEntry.queries("b104_tpch_q17")(spark, sf))
+    val lineitemScans = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(lineitemScans == 1,
+      s"expected exactly 1 lineitem scan (window form, not the correlated-subquery double scan), got $lineitemScans:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"filtered part keys must broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("hard negatives: exactly one bounded BNLJ (broadcast query side), top-k heaps below the exchange") {
     val plan = physicalPlan(SparkEntry.queries("c102_hard_negatives")(spark, sf))
     val bnlj = "BroadcastNestedLoopJoin BuildRight".r.findAllIn(plan).length

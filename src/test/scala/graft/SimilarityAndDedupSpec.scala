@@ -781,6 +781,81 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(got == Set((1L, 3L, 3L), (4L, 1L, 1L)), got.toString)
   }
 
+  test("editDistancePairs: finds the 1-edit title pair, drops far pairs, blocks by lead token") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),       // 1 edit from doc 2's title
+      (2L, "alpha beta gamna delta"),
+      (3L, "alpha completely different words here entirely unrelated text"),
+      (4L, "omega beta gamma delta"))       // near doc 1 but lead token differs
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(df, "doc_id", "text", keyTokens = 8, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // (1,2) at distance 1; (1,3)/(2,3) share the block but exceed maxDist;
+    // (1,4) is 1 lead-token edit away but escapes the block — the
+    // documented recall bound of blocked candidate generation
+    assert(got == Set((1L, 2L, 1)), got.toString)
+  }
+
+  test("editDistancePairs: length pre-filter never drops a true pair (theorem check)") {
+    val s = spark; import s.implicits._
+    // brute-force all same-block pairs WITHOUT the length filter and
+    // assert the operator returns exactly the lev<=maxDist subset
+    val docs = (0L until 40L).map { i =>
+      val words = (0 until 8).map(j => "w" + ((i * 7 + j * j) % 5)).mkString(" ")
+      (i, words)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(df, "doc_id", "text", keyTokens = 8, maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs
+      if ia < ib && ta.split(" ").head == tb.split(" ").head && lev(ta, tb) <= 6
+    } yield (ia, ib)).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
+
+  test("ivfProbeAdvisor: recall monotone in nprobe, exactly one chosen row, valid decision") {
+    val s = spark
+    val emb = graft.sources.Tables.t(s, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.where(col("vec_id") < 5)
+    val cents = emb.where(pmod(col("vec_id"), lit(97)) === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val rows = graft.operators.Ann.ivfProbeAdvisor(emb, queries, cents,
+        "vec_id", "embedding", k = 10, probes = Seq(1, 2, 4), targetPpm = 900000L)
+      .orderBy("nprobe").collect()
+    assert(rows.length == 3)
+    val recalls = rows.map(r => r.getAs[Long]("recall_ppm"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone in nprobe: ${recalls.toSeq}")
+    assert(recalls.forall(r => r >= 0 && r <= 1000000), recalls.toSeq.toString)
+    val chosen = rows.filter(_.getAs[Boolean]("chosen"))
+    assert(chosen.length == 1, s"exactly one chosen, got ${chosen.length}")
+    val eligible = rows.filter(_.getAs[Long]("recall_ppm") >= 900000L)
+    val wantProbe =
+      if (eligible.nonEmpty) eligible.map(_.getAs[Int]("nprobe")).min
+      else rows.map(_.getAs[Int]("nprobe")).max
+    assert(chosen.head.getAs[Int]("nprobe") == wantProbe,
+      s"chosen=${chosen.head} want nprobe=$wantProbe")
+    // the nested-candidate running-count rank must agree with ivfTopK at
+    // the top probe: hits at nprobe=4 == |ivfTopK(nprobe=4) ∩ brute|
+    val ivf4 = graft.operators.Ann.ivfTopK(emb, queries, cents,
+        "vec_id", "embedding", k = 10, nprobe = 4)
+      .select(col("query_id"), col("item_id"))
+    val brute = graft.operators.Ann.bruteTopK(emb, queries, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("item_id"))
+    val wantH4 = ivf4.join(brute, Seq("query_id", "item_id")).count()
+    assert(rows.last.getAs[Long]("hits") == wantH4,
+      s"running-count hits ${rows.last} != ivfTopK∩brute $wantH4")
+  }
+
   test("CDC chunks re-align after a front insertion (fixed strides would not)") {
     val s = spark; import s.implicits._
     val base = (1 to 80).map(i => "w" + (i * 31 % 57)).mkString(" ")
