@@ -586,7 +586,16 @@ object Dedup {
       .select(col(idCol).as("id"),
         array_join(slice(toks, 1, keyTokens), " ").as("title"),
         element_at(toks, 1).as("blk"))
-    val a = keyed.select(col("id").as("doc_a"), col("title").as("ta"), col("blk"))
+    // The DP cost lives in the PAIR stream, not the (tiny) keyed rows —
+    // if the blocked join broadcasts, the probe side inherits the input
+    // file layout (often 1 parquet file = 1 task) and the quadratic
+    // verify runs serially. The explicit numbered repartition is
+    // user-specified, so AQE will not coalesce it back down by byte
+    // size (bytes here wildly understate work). Measured: 7.4 s → sub-s
+    // at sf0.1 (417k DP verifies).
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val a = keyed.repartition(parts)
+      .select(col("id").as("doc_a"), col("title").as("ta"), col("blk"))
     val b = keyed.select(col("id").as("doc_b"), col("title").as("tb"), col("blk"))
     a.join(b, Seq("blk"))
       .where(col("doc_a") < col("doc_b") &&
