@@ -3780,6 +3780,51 @@ object SparkEntry {
         .orderBy(col("nprobe"))
     }),
 
+    "b105_trailing_days" -> ((s, d) => {
+      // time-INTERVAL range frame (the missing sibling of b27's numeric
+      // range frame): per customer, each order's trailing-7-day order
+      // count and spend. The frame bound is event time, not row count —
+      // a burst of same-day orders all enter each other's frame. Ordering
+      // key = exact epoch micros (integer RANGE bounds are engine-
+      // portable; INTERVAL literals in a frame are not everywhere), cents
+      // exact. One customer shuffle, one sort, both aggregates share the
+      // frame.
+      val spanUs = 7L * 24 * 3600 * 1000000L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("ts_us"))
+        .rangeBetween(-spanUs, 0L)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(w).as("n_trailing"),
+          sum(col("cents")).over(w).as("cents_trailing"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "c107_bootstrap_stats" -> ((s, d) =>
+      // one-pass Poisson(1) bootstrap of corpus statistics: 8 replicates
+      // of (docs drawn, total chars, mean chars) from deterministic
+      // md5-ppm multiplicities — the sampling-variance error bar for
+      // corpus metrics WITHOUT 8 corpus passes. Replicate explode is
+      // map-side only (partial aggregation compacts to 8 rows per task).
+      graft.operators.Pipeline.bootstrapStats(
+          t(s, d, "documents"), "doc_id", "n_chars", replicates = 8)
+        .orderBy(col("replicate"))),
+
+    "c108_random_negatives" -> ((s, d) => {
+      // uniform (hash-ranked) negative sampling — the unbiased partner
+      // of c102's hard negatives, same plan shape and schema: per query,
+      // 10 different-label items ranked by md5("query:item"). Unlike
+      // geometry-ranked mining, sampling thins for free at 100 TB
+      // (pre-filter items on hash mod m before ranking).
+      val emb = t(s, d, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      graft.operators.Ann.randomNegatives(emb, queries, "vec_id", "label", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "c106_epoch_allocation" -> ((s, d) =>
       // token-budget epoch allocator: distribute a 2×-corpus token
       // budget across sources ∝ doc count, each source capped at 4
@@ -5486,6 +5531,61 @@ object SparkEntry {
         |  row_number() OVER (ORDER BY (recall_ppm >= 900000) DESC,
         |    CASE WHEN recall_ppm >= 900000 THEN nprobe ELSE -nprobe END) = 1 AS chosen
         |FROM curve ORDER BY nprobe""".stripMargin,
+
+    "b105_trailing_days" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ts_us,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  count(*) OVER tw AS n_trailing,
+        |  CAST(sum(cents) OVER tw AS BIGINT) AS cents_trailing
+        |FROM o
+        |WINDOW tw AS (PARTITION BY o_custkey ORDER BY ts_us
+        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // identical floored cumulative-Poisson ppm thresholds; the weight is
+    // a pure function of md5("doc:replicate") in both engines
+    "c107_bootstrap_stats" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars, b.b AS replicate
+        |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b),
+        |w AS (
+        |  SELECT replicate, n_chars,
+        |    CASE WHEN bucket < 367879 THEN 0 WHEN bucket < 735758 THEN 1
+        |         WHEN bucket < 919698 THEN 2 WHEN bucket < 981011 THEN 3
+        |         WHEN bucket < 996340 THEN 4 ELSE 5 END AS w
+        |  FROM (SELECT *,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(replicate AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS bucket
+        |    FROM r)),
+        |agg AS (
+        |  SELECT replicate, CAST(sum(w) AS BIGINT) AS drawn,
+        |    CAST(sum(w * n_chars) AS BIGINT) AS val_sum
+        |  FROM w GROUP BY replicate)
+        |SELECT CAST(replicate AS INTEGER) AS replicate, drawn, val_sum,
+        |  CAST((val_sum * 1000) // NULLIF(drawn, 0) AS BIGINT) AS mean_milli
+        |FROM agg ORDER BY replicate""".stripMargin,
+
+    // c102's different-label join ranked by the 60-bit md5 instead of
+    // cosine — the uniform-sampling partner
+    "c108_random_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, label AS ql
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS item_id, e.label AS item_label,
+        |    CAST(('0x' || substring(md5(CAST(q.query_id AS VARCHAR) || ':' ||
+        |      CAST(e.vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM q JOIN embeddings e
+        |    ON e.vec_id != q.query_id AND e.label != q.ql),
+        |ranked AS (
+        |  SELECT query_id, item_id, item_label,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY h, item_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, item_id, item_label, CAST(rank AS INTEGER) AS rank
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // closed-form water-filling: sort by cap/weight, prefix sums, the
     // split validity cleared to BIGINT products, 1-row split crossed back

@@ -135,6 +135,39 @@ object Ann {
       .select(col("query_id"), col("item_id"), col("cos"), col("rank"))
   }
 
+  /** Uniform negative sampling for contrastive training — the unbiased
+    * complement of [[hardNegatives]]: per query, `k` items of a DIFFERENT
+    * label chosen uniformly (w.r.t. the hash) rather than by geometry.
+    * Training recipes mix both (random negatives keep gradients unbiased;
+    * hard negatives sharpen the margin), so the two share one plan shape
+    * and output schema.
+    *
+    * Determinism: items rank by the 60-bit md5 of "query:item" — stable
+    * across runs, engines, and cluster layouts (never rand(), the
+    * split-assignment rule), id tiebreak. Plan: the same bounded
+    * broadcast shape as hardNegatives/c06 — tiny query side broadcasts,
+    * the label filter evaluates row-local inside the join, per-task
+    * top-k heaps below the query_id exchange. At 100 TB the hash rank
+    * needs no candidate generation at all: sampling, unlike nearest-
+    * neighbor, can pre-filter items by `hash mod m = r` and rank only
+    * that 1/m slice (recall-free thinning — documented, not needed at
+    * test scale). */
+  def randomNegatives(items: DataFrame, queries: DataFrame, idCol: String,
+                      labelCol: String, k: Int): DataFrame = {
+    val it = items.select(col(idCol).as("item_id"), col(labelCol).as("item_label"))
+    val q = queries.select(col(idCol).as("query_id"), col(labelCol).as("query_label"))
+    val h = graft.functions.Text.tokenHash(
+      concat(col("query_id").cast("string"), lit(":"), col("item_id").cast("string")))
+    val w = Window.partitionBy("query_id").orderBy(col("h"), col("item_id"))
+    it.join(broadcast(q),
+        col("item_id") =!= col("query_id") &&
+        col("item_label") =!= col("query_label"))
+      .withColumn("h", h)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("item_id"), col("item_label"), col("rank"))
+  }
+
   /** IVF probe-count advisor — the measured-curve→decision pattern (c94
     * LSH bands, c96 Bloom sizing, c100 join order) applied to [[ivfTopK]]'s
     * recall/cost dial: measure EXACT recall@k against the brute-force

@@ -549,6 +549,46 @@ object Pipeline {
         expr("(alloc_tokens * 1000000) div nullif(tokens, 0)").as("epochs_ppm"))
   }
 
+  /** One-pass Poisson bootstrap over corpus statistics — the
+    * uncertainty-estimation pattern for 100 TB metrics: instead of
+    * resampling the corpus B times (B full passes), each row draws a
+    * Poisson(1) multiplicity PER REPLICATE from a deterministic hash
+    * (the standard Poisson-bootstrap approximation of multinomial
+    * resampling; exact as n → ∞), and every replicate's statistics
+    * accumulate in ONE narrow pass. The spread across replicates is the
+    * sampling variance of the metric — the error bar corpus dashboards
+    * need without B scans.
+    *
+    * Determinism: the multiplicity is a ppm-bucket lookup on the 60-bit
+    * md5 of "key:replicate" ([[hashBucket]] — same construction as every
+    * split/sample in this engine) against the FLOORED cumulative
+    * Poisson(1) pmf in ppm (367879 / 735758 / 919698 / 981011 / 996340,
+    * multiplicities ≥ 5 collapsed into 5 — ppm quantization, documented);
+    * both engines compute identical integer weights, so the replicate
+    * stats hash-match exactly.
+    *
+    * Scale: the replicate explode amplifies rows B× but only map-side —
+    * partial aggregation compacts to B rows per task before the (tiny)
+    * shuffle; no state grows with the corpus. */
+  def bootstrapStats(df: DataFrame, keyCol: String, valCol: String,
+                     replicates: Int = 8): DataFrame = {
+    require(replicates >= 1 && replicates <= 64,
+      s"replicates must be in [1,64], got $replicates")
+    val bucket = hashBucket(
+      concat(col("k").cast("string"), lit(":"), col("replicate").cast("string")),
+      1000000)
+    val weight = when(bucket < 367879, 0L).when(bucket < 735758, 1L)
+      .when(bucket < 919698, 2L).when(bucket < 981011, 3L)
+      .when(bucket < 996340, 4L).otherwise(5L)
+    df.select(col(keyCol).as("k"), col(valCol).cast("long").as("v"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("replicate"))
+      .withColumn("w", weight)
+      .groupBy(col("replicate"))
+      .agg(sum(col("w")).as("drawn"), sum(col("w") * col("v")).as("val_sum"))
+      .select(col("replicate"), col("drawn"), col("val_sum"),
+        expr("(val_sum * 1000) div nullif(drawn, 0)").as("mean_milli"))
+  }
+
   /** Source-level reputation gate (the curation stage that drops whole
     * domains/feeds rather than individual documents): keep documents whose
     * SOURCE's mean quality clears `minMeanNano` (mean scaled to 1e-9).

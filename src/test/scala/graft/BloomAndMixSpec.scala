@@ -189,6 +189,51 @@ class BloomAndMixSpec extends SparkSpec {
     }
   }
 
+  test("randomNegatives: different-label only, contiguous ranks, layout-invariant") {
+    val emb = Tables.t(spark, sf, "embeddings")
+    val queries = emb.where(col("vec_id") < 3)
+    val got = graft.operators.Ann.randomNegatives(emb, queries, "vec_id", "label", k = 5)
+      .orderBy("query_id", "rank").collect()
+    assert(got.length == 15, s"expected 3 queries x 5 negatives, got ${got.length}")
+    val qLabels = queries.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { r =>
+      assert(r.getInt(2) != qLabels(r.getLong(0)),
+        s"same-label item leaked into negatives: $r")
+    }
+    got.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to 5), s"ranks for query $q")
+    }
+    // hash-ranked selection is a pure function of ids — identical at any layout
+    val again = graft.operators.Ann.randomNegatives(
+        Tables.t(spark, sf, "embeddings").repartition(11), queries, "vec_id", "label", k = 5)
+      .orderBy("query_id", "rank").collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "negative sample must not depend on partitioning")
+  }
+
+  test("bootstrapStats: Poisson(1) draws concentrate around n and are layout-invariant") {
+    val s = spark; import s.implicits._
+    val n = 2500
+    val df = (0 until n).map(i => (i.toLong, 100L + i % 50)).toDF("doc_id", "n_chars")
+    val rows = Pipeline.bootstrapStats(df, "doc_id", "n_chars", replicates = 8)
+      .orderBy("replicate").collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val drawn = r.getAs[Long]("drawn")
+      // Poisson(n) total: mean n, sd sqrt(n)=50; 6 sigma = 300
+      assert(math.abs(drawn - n) < 300, s"replicate ${r.get(0)}: drawn=$drawn")
+      // weighted mean must land inside the value range
+      val mm = r.getAs[Long]("mean_milli")
+      assert(mm >= 100000L && mm <= 150000L, s"mean_milli=$mm")
+    }
+    // determinism: identical output at a different input layout
+    val again = Pipeline.bootstrapStats(df.repartition(7), "doc_id", "n_chars", replicates = 8)
+      .orderBy("replicate").collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "bootstrap stats must not depend on partitioning")
+  }
+
   test("epochAllocation matches an exact-rational water-filling reference") {
     // independent JVM re-implementation with BigInt rationals (the
     // targetMix testing pattern): iterate exact water-filling to a
