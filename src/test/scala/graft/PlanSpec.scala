@@ -245,6 +245,16 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final WindowGroupLimit pair around the exchange, got $wgl:\n$plan")
   }
 
+  test("random negatives: the c102 bounded-BNLJ shape with hash ranking") {
+    val plan = physicalPlan(SparkEntry.queries("c108_random_negatives")(spark, sf))
+    val bnlj = "BroadcastNestedLoopJoin BuildRight".r.findAllIn(plan).length
+    assert(bnlj == 1 && !plan.contains("CartesianProduct"),
+      s"expected exactly 1 BNLJ with the query set broadcast, got $bnlj:\n$plan")
+    val wgl = "WindowGroupLimit".r.findAllIn(plan).length
+    assert(wgl == 2,
+      s"expected partial+final WindowGroupLimit pair around the exchange, got $wgl:\n$plan")
+  }
+
   test("bloom advisor probes through bitmap scalars — 1-row crossings only, no raw-key pair join") {
     val plan = physicalPlan(SparkEntry.queries("c96_bloom_advisor")(spark, sf))
     assert(plan.contains("bloommightcontain") || plan.contains("BloomMightContain"),
