@@ -5452,11 +5452,15 @@ object SparkEntry {
         |  count(*) AS n_small FROM f""".stripMargin,
 
     "c104_edit_distance_pairs" ->
-      """WITH k AS (
+      """WITH k0 AS (
         |  SELECT doc_id,
         |    array_to_string(list_slice(string_split(lower(text), ' '), 1, 8), ' ') AS title,
         |    string_split(lower(text), ' ')[1] AS blk
-        |  FROM documents WHERE text IS NOT NULL)
+        |  FROM documents WHERE text IS NOT NULL),
+        |k AS (
+        |  SELECT doc_id, title, blk FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY blk ORDER BY doc_id) AS rn
+        |    FROM k0) WHERE rn <= 4096)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist
         |FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id

@@ -231,9 +231,14 @@ object Ann {
       sum(when(col("crank") <= p && col(s"r$p") <= k && col("in_brute") === 1L, 1L)
         .otherwise(0L)).as(s"h$p")
     }
-    val totals = ranked.join(brute, Seq("query_id", "item_id"), "left")
-      .agg(hitCols.head, hitCols.tail: _*)
-      .crossJoin(broadcast(brute.agg(count(lit(1)).as("brute_n"))))
+    // FULL OUTER join: one evaluation of the brute subtree serves both
+    // the hit flags and the ground-truth count (brute-only rows carry a
+    // null crank and count only toward brute_n) — a left join + separate
+    // count would re-run the brute scoring pass, the query's most
+    // expensive subtree, twice
+    val totals = ranked.join(brute, Seq("query_id", "item_id"), "full_outer")
+      .agg(hitCols.head,
+        hitCols.tail :+ coalesce(sum(col("in_brute")), lit(0L)).as("brute_n"): _*)
     val stacked = totals.select(expr(
       s"stack(${probes.size}, " + probes.map(p => s"$p, h$p").mkString(", ") +
         ") AS (nprobe, hits)"), col("brute_n"))

@@ -576,16 +576,28 @@ object Dedup {
     * population is corpus-dependent; at 100 TB block on (lead token,
     * length band) or feed candidates from c65's sorted neighborhood, and
     * cap degenerate blocks with the maxBucket discipline — the verify
-    * stage is unchanged. Output: (doc_a, doc_b, dist), doc_a < doc_b. */
+    * stage is unchanged. `maxBlock` IS that cap (the maxBucket
+    * discipline): a block keeps only its `maxBlock` lowest-id members —
+    * deterministic, so the oracle replicates the cut exactly — bounding
+    * any block's pair work at maxBlock²/2 no matter how degenerate the
+    * lead-token distribution gets (every doc starting with "the").
+    * Output: (doc_a, doc_b, dist), doc_a < doc_b. */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
-                        keyTokens: Int = 8, maxDist: Int = 14): DataFrame = {
+                        keyTokens: Int = 8, maxDist: Int = 14,
+                        maxBlock: Int = 4096): DataFrame = {
     require(keyTokens >= 2, s"keyTokens must be >= 2, got $keyTokens")
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
     val toks = split(lower(col(textCol)), " ")
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blk")).orderBy(col("id"))
     val keyed = df.where(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         array_join(slice(toks, 1, keyTokens), " ").as("title"),
         element_at(toks, 1).as("blk"))
+      .withColumn("rn", row_number().over(wb))
+      .where(col("rn") <= maxBlock)
+      .drop("rn")
     // The DP cost lives in the PAIR stream, not the (tiny) keyed rows —
     // if the blocked join broadcasts, the probe side inherits the input
     // file layout (often 1 parquet file = 1 task) and the quadratic

@@ -743,12 +743,9 @@ object Pipeline {
     // persist pins it MEMORY_AND_DISK for the app's life. The Memo bounds
     // live entries (LRU, unpersist on eviction) and dedupes repeat advisor
     // calls over the same key set.
-    val exprMd5 = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(org.apache.spark.sql.graftglue.ColumnGlue.expression(keyHash)
-          .canonicalized.toString.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-    }
+    val exprMd5 = graft.sources.Memo.md5Hex(
+      org.apache.spark.sql.graftglue.ColumnGlue.expression(keyHash)
+        .canonicalized.toString)
     val memoKey = s"bloomAdvisor:$exprMd5:${graft.sources.Memo.planKey(keys)}"
     val hs = memberHashMemo.getOrElseUpdate((keys.sparkSession, memoKey)) {
       keys.select(keyHash.as("h")).distinct()

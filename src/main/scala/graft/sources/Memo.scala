@@ -45,17 +45,37 @@ private[graft] final class Memo(maxEntries: Int = 8) {
 }
 
 private[graft] object Memo {
-  /** Collision-resistant key component for a DataFrame's logical plan:
-    * md5 over the CANONICALIZED plan string (128-bit), not the 32-bit
-    * `semanticHash` — a 32-bit collision between two different cached
-    * plans would silently serve the wrong persisted result. The key still
-    * identifies the PLAN, not the data: memoized entries assume the
-    * scanned input is immutable for the app's life (the at-rest-layout
-    * write-once convention); in-place rewrites require [[Memo.clear]]. */
+  /** md5 hex of a string — the one shared digest helper for memo keys
+    * (one definition, so a keying fix can never apply to half the
+    * call sites). */
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Collision-resistant key component for a DataFrame's plan. Built from
+    * the ANALYZED plan — the unresolved `logical` plan's toString omits
+    * exactly the identity that matters (a raw parquet read stringifies to
+    * a constant `UnresolvedDataSource … paths: 1 provided` with no path,
+    * and toString truncates projections at `maxToStringFields`), so
+    * hashing it collides across tables and scale factors. The key
+    * concatenates (a) the analyzed canonicalized plan's semanticHash —
+    * resolved structure, (b) the full output schema JSON — untruncated
+    * column identity, and (c) every file-relation's root paths collected
+    * from the plan — the table identity toString drops; the md5 of that
+    * is 128-bit. The key still identifies the PLAN, not the data:
+    * memoized entries assume the scanned input is immutable for the
+    * app's life (the at-rest-layout write-once convention); in-place
+    * rewrites require [[Memo#clear]]. */
   def planKey(df: DataFrame): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val bytes = md.digest(
-      df.queryExecution.logical.canonicalized.toString.getBytes("UTF-8"))
-    bytes.map("%02x".format(_)).mkString
+    val analyzed = df.queryExecution.analyzed
+    val paths = analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+    }.mkString(";")
+    md5Hex(s"${analyzed.canonicalized.semanticHash()}|${analyzed.schema.json}|$paths")
   }
 }

@@ -245,6 +245,31 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final WindowGroupLimit pair around the exchange, got $wgl:\n$plan")
   }
 
+  test("edit-distance pairs: DP side round-robin repartitioned, block side broadcast") {
+    // the load-bearing perf property (7.4 s -> sub-s at sf0.1): the
+    // quadratic Levenshtein verify must run on the explicitly
+    // repartitioned stream side, never serially on a 1-file input layout
+    val plan = physicalPlan(SparkEntry.queries("c104_edit_distance_pairs")(spark, sf))
+    assert(plan.contains("RoundRobinPartitioning"),
+      s"expected the user-specified round-robin exchange spreading the DP:\n$plan")
+    assert("BroadcastHashJoin.*BuildRight".r.findFirstIn(plan).isDefined,
+      s"block side must broadcast (BuildRight), keeping the DP on the repartitioned side:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("Memo.planKey distinguishes tables, scale factors, and equal re-reads") {
+    val a = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val b = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    val c = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    val a2 = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    assert(graft.sources.Memo.planKey(a) != graft.sources.Memo.planKey(b),
+      "same table at different scale factors must key differently")
+    assert(graft.sources.Memo.planKey(a) != graft.sources.Memo.planKey(c),
+      "different tables must key differently")
+    assert(graft.sources.Memo.planKey(a) == graft.sources.Memo.planKey(a2),
+      "identical reads must share a key")
+  }
+
   test("random negatives: the c102 bounded-BNLJ shape with hash ranking") {
     val plan = physicalPlan(SparkEntry.queries("c108_random_negatives")(spark, sf))
     val bnlj = "BroadcastNestedLoopJoin BuildRight".r.findAllIn(plan).length
