@@ -213,6 +213,16 @@ class PlanSpec extends SparkSpec {
       s"expected top-100 as TakeOrdered, got:\n$plan")
   }
 
+  test("funnel4: the N-stage funnel still shares ONE user exchange across all four stage windows") {
+    val plan = physicalPlan(SparkEntry.queries("b102_funnel4")(spark, sf))
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(userExchanges == 1,
+      s"expected exactly 1 user_id exchange shared by the 4 stage windows, got $userExchanges:\n$plan")
+    assert(!plan.contains("Join"), s"funnel must stay join-free:\n$plan")
+    assert(plan.contains("Generate stack") || plan.contains("stack("),
+      s"expected the stack unpivot:\n$plan")
+  }
+
   test("funnel: one user-partition shuffle shared by all three stage windows, no joins") {
     val plan = physicalPlan(SparkEntry.queries("b94_funnel")(spark, sf))
     val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
