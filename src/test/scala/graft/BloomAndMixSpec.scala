@@ -284,4 +284,24 @@ class BloomAndMixSpec extends SparkSpec {
     assert(BigInt(totalAlloc) <= t && t - BigInt(totalAlloc) < nUncapped.max(1),
       s"budget conservation: alloc=$totalAlloc T=$t")
   }
+
+  test("epochAllocation degenerate splits: all-tied sources (k=0) and all-capped (k=n)") {
+    val s = spark; import s.implicits._
+    // 5 identical sources: every ratio ties. With budget 2x < cap 4x,
+    // NO source caps (the empty-valid-set k=0 path: λ = T/W < r for all);
+    // each gets exactly T/5
+    val uniform = (0L until 100L).map(i => (i, "u" + (i % 5), 200L))
+      .toDF("doc_id", "source", "n_chars")
+    val a = Pipeline.epochAllocation(uniform, "source", "n_chars",
+        maxEpochs = 4, budgetNum = 2L, budgetDen = 1L)
+      .collect().map(r => (r.getString(0), r.getLong(4), r.getBoolean(5))).toSeq
+    assert(a.forall(!_._3), s"no source may cap in the tied-uniform case: $a")
+    assert(a.forall(_._2 == 100 * 200L * 2 / 5), s"equal shares expected: $a")
+    // budget 10x > cap 4x: EVERY source caps (the k=n path, T ≥ Σcap)
+    val b = Pipeline.epochAllocation(uniform, "source", "n_chars",
+        maxEpochs = 4, budgetNum = 10L, budgetDen = 1L)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+    assert(b.forall(_._4), s"all sources must cap when T >= total capacity: $b")
+    assert(b.forall(r => r._2 == r._3), s"capped alloc must equal cap: $b")
+  }
 }
