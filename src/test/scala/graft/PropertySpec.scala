@@ -334,6 +334,42 @@ class PropertySpec extends SparkSpec {
       s"merge table depends on roundPartitions: 2 -> ${runs(0)}, 16 -> ${runs(1)}")
   }
 
+  test("funnelStageTimes: matches a per-user reference scan on random events (ties included)") {
+    // the kernel shared by b94/b99/b102 and the streaming machine: a user
+    // reaches stage n at the earliest stage-n event STRICTLY after their
+    // stage-(n-1) time. Reference: fix s1..sN sequentially per user (each
+    // the min qualifying ts given the previous FINAL value) — the window
+    // algebra's definition, computed naively. Random ts in a tiny range
+    // force same-timestamp ties across and within stages.
+    val s2 = spark; import s2.implicits._
+    val stages = Seq("v", "c", "p")
+    val gen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(1L, 6L),           // user
+      Gen.oneOf("v", "c", "p", "x"),// stage types + noise
+      Gen.choose(0L, 12L)))         // seconds — dense, tie-heavy
+    forAll(gen) { raw =>
+      val df = raw.zipWithIndex.map { case ((u, st, sec), i) =>
+        (i.toLong, u, st, new java.sql.Timestamp(sec * 1000L))
+      }.toDF("event_id", "user_id", "event_type", "ts")
+      val got = graft.operators.Series
+        .funnelStageTimes(df, "user_id", "event_type", "ts", stages)
+        .collect().map(r => r.getLong(0) ->
+          (1 to 3).map(i => Option(r.getTimestamp(i)).map(_.getTime))).toMap
+      val want = raw.groupBy(_._1).map { case (u, evs) =>
+        val byStage = stages.map(st => evs.filter(_._2 == st).map(_._3 * 1000L).sorted)
+        val times = byStage.foldLeft(List.empty[Option[Long]]) { (acc, ts) =>
+          val prev = acc.lastOption.getOrElse(Some(Long.MinValue))
+          acc :+ prev.flatMap(p =>
+            ts.find(t => p == Long.MinValue || t > p))
+        }
+        u -> times.toIndexedSeq
+      }
+      want.foreach { case (u, times) =>
+        assert(got(u) == times, s"user $u: got ${got(u)} want $times in $raw")
+      }
+    }
+  }
+
   test("weightedPercentiles: matches brute cumulative scan; partition-order independent") {
     val s2 = spark; import s2.implicits._
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 50L), Gen.choose(1L, 9L)))) { raw =>
