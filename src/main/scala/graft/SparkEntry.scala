@@ -28,6 +28,29 @@ object SparkEntry {
   /** Exact, order-independent sum of a 2dp-double column, as double. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Derived supplier-part catalog — the fixture ships no partsupp table,
+    * so the TPC-H partsupp queries (b115–b119) build on the catalog the
+    * lineitems themselves imply: per (partkey, suppkey),
+    * ps_availqty_deci := total shipped deci-quantity and
+    * ps_supplycost_c := the historical-minimum line price in cents. Both
+    * are exact-integer aggregates (sum/min of longs), so the derivation is
+    * engine-identical; one lineitem groupBy whose (partkey, suppkey)
+    * exchange feeds the composite-key joins above it directly. The DuckDB
+    * twin is `psCte`. */
+  private def psDerived(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(sum(floor(col("l_quantity") * 10 + 0.5).cast("long")).as("ps_availqty_deci"),
+        min(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("ps_supplycost_c"))
+
+  /** DuckDB twin of [[psDerived]] — splice as `WITH $psCte, ...`. */
+  private val psCte =
+    """ps AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    CAST(sum(CAST(floor(l_quantity*10+0.5) AS BIGINT)) AS BIGINT) AS ps_availqty_deci,
+      |    CAST(min(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) AS BIGINT) AS ps_supplycost_c
+      |  FROM lineitem GROUP BY 1,2)""".stripMargin
+
   /** Near-dup cluster labels over documents, memoized per (session, sfDir):
     * c17 and c18 share the pair graph and the CC iterations (same
     * materialized-view pattern as Tables.orderItems; bounded LRU, evicted
@@ -541,6 +564,405 @@ object SparkEntry {
 
   private val bQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b01_tpch_q1" -> ((s, d) => q1Agg(s, d)),
+
+    // ── r11 continuation wave 1: TPC-H completion (Q4/Q12/Q13/Q15/Q19).
+    // The fixture has no commit/receipt dates, shipmodes, or comments;
+    // adapted predicates are documented per query and in SURVEY §2D.
+    "b106_tpch_q4" -> ((s, d) => {
+      // TPC-H Q4 shape (order-priority checking): orders in one quarter
+      // having at least one "late" lineitem. The fixture carries no
+      // commit/receipt dates, so late := shipped >60 days after the
+      // order date — same EXISTS structure, adapted predicate. Plan:
+      // the quarter window is PUSHED to the orders scan; the EXISTS is
+      // a left_semi join on orderkey with the late test a residual on
+      // the join — never a correlated per-order re-scan. At 100 TB both
+      // sides shuffle once on orderkey; the final agg is 5 rows.
+      t(s, d, "orders")
+        .where(col("o_orderdate").cast("date") >= lit("1997-01-01").cast("date") &&
+          col("o_orderdate").cast("date") < lit("1997-04-01").cast("date"))
+        .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate").cast("date") > date_add(col("o_orderdate").cast("date"), 60),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "b107_tpch_q12" -> ((s, d) => {
+      // TPC-H Q12 shape (shipping classes vs order priority): among
+      // late-shipped lines in one ship-year, count critical- vs
+      // normal-priority orders per l_linestatus (the fixture's shipmode
+      // stand-in; late := >30 days after order date). Plan: the
+      // ship-year window is PUSHED to the lineitem scan BEFORE the
+      // join, the priority CASE folds into conditional partial aggs —
+      // one orderkey shuffle, then a 2-row final.
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, d, "orders")
+        .join(t(s, d, "lineitem")
+            .where(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
+              col("l_shipdate").cast("date") < lit("1998-01-01").cast("date"))
+            .select(col("l_orderkey"), col("l_shipdate"), col("l_linestatus")),
+          col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_shipdate").cast("date") > date_add(col("o_orderdate").cast("date"), 30))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    "b108_tpch_q13" -> ((s, d) => {
+      // TPC-H Q13 shape (customer order-count distribution): two-level
+      // aggregate preserving zero-order customers. The textbook form
+      // left-outer-joins RAW orders then counts per customer; here
+      // orders pre-aggregate to (custkey, cnt) BELOW the join — legal
+      // because the join key is the group key — so the big side shrinks
+      // to ≤1 row per customer before it shuffles against customer. The
+      // excluded priority class (the fixture's comment-filter stand-in)
+      // is pushed to the orders scan; the second aggregate groups a few
+      // dozen distinct counts — a tiny final exchange.
+      val oc = t(s, d, "orders")
+        .where(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      t(s, d, "customer").select(col("c_custkey"))
+        .join(oc, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    "b109_tpch_q15" -> ((s, d) => {
+      // TPC-H Q15 shape (top supplier): per-supplier quarter revenue,
+      // keep the max. Revenue is exact cent·percent integers so the
+      // max-equality probe is bit-safe in both engines. Plan: ONE
+      // suppkey aggregate whose exchange feeds both the 1-row global
+      // max (the audited one-row broadcast gate) and the equality
+      // probe — Spark's exchange reuse deduplicates the lineitem scan;
+      // the ≈1-row surviving side then BROADCASTS against supplier
+      // (never supplier broadcast: at 100 TB supplier is SF-scaled,
+      // the max-revenue winner set is not).
+      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val rev = t(s, d, "lineitem")
+        .where(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1997-04-01").cast("date"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(cents * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+          .as("total_revenue_c100"))
+      val mx = broadcast(rev.agg(max(col("total_revenue_c100")).as("mx")))
+      val top = rev.crossJoin(mx).where(col("total_revenue_c100") === col("mx"))
+      broadcast(top)
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue_c100"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    "b110_tpch_q19" -> ((s, d) => {
+      // TPC-H Q19 shape (discounted revenue from three brand/size/
+      // quantity classes): the canonical OR-of-ANDs mixed-side
+      // predicate. Plan: a plain partkey equi-join (both sides SF-scale
+      // at 100 TB — AQE picks broadcast vs shuffle from runtime sizes,
+      // the b100 discipline) with the disjunction one codegen'd
+      // residual; part prunes to 3 columns at the scan. Exact-integer
+      // 1-row output.
+      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val rev = cents * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "part").select(col("p_partkey"), col("p_brand"), col("p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity") >= 1.0 && col("l_quantity") <= 11.0) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity") >= 10.0 && col("l_quantity") <= 20.0) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity") >= 20.0 && col("l_quantity") <= 30.0))
+        .agg(sum(rev).as("revenue_c100"), count(lit(1)).as("n_items"))
+    }),
+
+    // ── r11 continuation wave 3: TPC-H partsupp family on the derived
+    // catalog (psDerived — the fixture has no partsupp table).
+    "b115_tpch_q2" -> ((s, d) => {
+      // TPC-H Q2 shape (minimum-cost supplier): for small LARGE-type
+      // parts, the European supplier(s) at the per-part minimum supply
+      // cost. The textbook correlated-min subquery re-scans partsupp
+      // per part; this is the window form — ONE region-filtered
+      // ps⋈supplier build, a per-partkey min window, filter cost==min
+      // (bit-safe integer cents), then the part dim join. nation/region
+      // fold into a tiny broadcast; the size/type filter prunes part at
+      // its scan; ordered with a full tiebreak so LIMIT is stable.
+      val eur = broadcast(t(s, d, "nation")
+        .join(t(s, d, "region").where(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+      val cost = psDerived(s, d)
+        .join(t(s, d, "supplier"), col("ps_suppkey") === col("s_suppkey"))
+        .join(eur, col("s_nationkey") === col("n_nationkey"))
+      val wmin = Window.partitionBy(col("ps_partkey"))
+      cost.withColumn("min_cost", min(col("ps_supplycost_c")).over(wmin))
+        .where(col("ps_supplycost_c") === col("min_cost"))
+        .join(t(s, d, "part").where(col("p_size") <= 10 && col("p_type") === "LARGE")
+            .select(col("p_partkey"), col("p_type")),
+          col("ps_partkey") === col("p_partkey"))
+        .select(floor(col("s_acctbal") * 100 + 0.5).cast("long").as("s_acctbal_c"),
+          col("s_name"), col("n_name"), col("p_partkey"), col("p_type"),
+          col("ps_supplycost_c"))
+        .orderBy(col("s_acctbal_c").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+
+    "b116_tpch_q9" -> ((s, d) => {
+      // TPC-H Q9 shape (product-type profit): profit per (supplier
+      // nation, order year) for one part family. Cost of a line := its
+      // (part, supplier)'s historical-minimum line price (psDerived),
+      // so profit = rev_c100 − 100·cost_c stays exact integers in 10⁻⁴
+      // dollars. Plan: lineitem joins ps on the COMPOSITE key ps was
+      // grouped on (its exchange feeds the join directly); the part
+      // family filters before its join; nation broadcast; one
+      // (nation, year) aggregate.
+      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val rev = cents * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
+      t(s, d, "lineitem")
+        .join(psDerived(s, d), col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+        .join(t(s, d, "part").where(col("p_name").contains("red"))
+          .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate").cast("date")).cast("long").as("o_year"))
+        .agg(sum(rev - lit(100L) * col("ps_supplycost_c")).as("profit_c100"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    "b117_tpch_q11" -> ((s, d) => {
+      // TPC-H Q11 shape (important stock): per-part inventory value
+      // within one nation's suppliers, kept where the part's share
+      // clears 3× the MEAN share (TPC-H's fixed fraction is 1/SF-scaled
+      // precisely because a constant goes vacuous as the part count
+      // grows; the mean-relative form self-scales to any SF). The
+      // global (total, count) arrives as the audited one-row broadcast
+      // with the fraction INTEGER-CLEARED (value·n > 3·total — no float
+      // division); the per-part aggregate's subtree feeds both the
+      // total and the probe, so exchange reuse builds it once.
+      val natSupp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").where(col("n_name") === "NATION_5")
+          .select(col("n_nationkey"))), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val v = psDerived(s, d)
+        .join(natSupp, col("ps_suppkey") === col("s_suppkey"))
+        .groupBy(col("ps_partkey"))
+        .agg(sum(col("ps_supplycost_c") * col("ps_availqty_deci")).as("value_cd"))
+      val tot = broadcast(v.agg(sum(col("value_cd")).as("tot"),
+        count(lit(1)).as("n_parts")))
+      v.crossJoin(tot).where(col("value_cd") * col("n_parts") > lit(3L) * col("tot"))
+        .select(col("ps_partkey"), col("value_cd"))
+        .orderBy(col("value_cd").desc, col("ps_partkey"))
+    }),
+
+    "b118_tpch_q16" -> ((s, d) => {
+      // TPC-H Q16 shape (suppliers per part class): distinct suppliers
+      // per (brand, type, size) class, excluding one brand, one type,
+      // and flagged suppliers (negative balance — the fixture's
+      // complaint stand-in). The exclusion is a left_anti join with the
+      // balance filter pushed to the supplier scan (never NOT IN with a
+      // rescan; anti side is SF-scaled, so no forced broadcast — AQE
+      // sizes it); part's IN-list/inequality filters prune at its scan;
+      // count(DISTINCT) runs the standard two-phase partial expand.
+      psDerived(s, d)
+        .join(t(s, d, "supplier").where(col("s_acctbal") < 0)
+          .select(col("s_suppkey")), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .join(t(s, d, "part")
+          .where(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49)),
+          col("ps_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    "b119_tpch_q20" -> ((s, d) => {
+      // TPC-H Q20 shape (potential part promotion): suppliers in one
+      // nation holding excess stock of a part family — availqty above
+      // 4× the 1997 shipped quantity. (The derived ps_availqty is
+      // LIFETIME shipped, so the textbook 0.5× test would be vacuously
+      // true; 4× keeps the nested-IN cascade and cuts both ways.)
+      // Plan: the year aggregate left-joins ps on ps's own grouping
+      // key; the part-family test is a left_semi (no row duplication);
+      // the qualified supplier set reaches supplier as a final
+      // left_semi — the textbook nested IN chain flattened to joins
+      // with no correlated re-scan; nation broadcast.
+      val yq = t(s, d, "lineitem")
+        .where(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1998-01-01").cast("date"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(floor(col("l_quantity") * 10 + 0.5).cast("long")).as("year_qty_deci"))
+      val qualified = psDerived(s, d)
+        .join(t(s, d, "part").where(col("p_name").startsWith("blue"))
+          .select(col("p_partkey")), col("ps_partkey") === col("p_partkey"), "left_semi")
+        .join(yq, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"), "left_outer")
+        .where(col("ps_availqty_deci") > lit(4L) * coalesce(col("year_qty_deci"), lit(0L)))
+        .select(col("ps_suppkey"))
+      t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").where(col("n_name") === "NATION_7")
+          .select(col("n_nationkey"))), col("s_nationkey") === col("n_nationkey"))
+        .join(qualified, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select(col("s_name"),
+          floor(col("s_acctbal") * 100 + 0.5).cast("long").as("s_acctbal_c"))
+        .orderBy(col("s_name"))
+    }),
+
+    // ── r11 continuation wave 2: TPC-H Q7/Q8/Q21 + funnel attribution.
+    "b111_tpch_q7" -> ((s, d) => {
+      // TPC-H Q7 shape (volume shipping between two nations): revenue
+      // by (supplier nation, customer nation, ship year) for one nation
+      // pair over two years. Plan: nation is a provably-tiny broadcast
+      // pre-filtered to the pair on BOTH legs, so supplier and customer
+      // prune to two nations BEFORE the big joins; the ship window is
+      // PUSHED to the lineitem scan; lineitem⋈orders shuffles on
+      // orderkey then custkey; the pair-direction residual runs on the
+      // joined row. Exact cent·percent revenue.
+      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val rev = cents * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
+      val pair = Seq("NATION_1", "NATION_2")
+      val supp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").where(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation").where(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("c_nk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      t(s, d, "lineitem")
+        .where(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1998-01-01").cast("date"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate").cast("date")).cast("long").as("l_year"))
+        .agg(sum(rev).as("revenue_c100"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    "b112_tpch_q8" -> ((s, d) => {
+      // TPC-H Q8 shape (national market share): the target nation's
+      // share of one region's market for one part type, by order year,
+      // in integer basis points. Plan: region/nation fold into tiny
+      // broadcasts on the customer (market) and supplier (share) legs;
+      // part filters on type before joining lineitem (AQE sizes the
+      // exchange); the share is TWO conditional sums in ONE final
+      // aggregate — never a second pass over the join.
+      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val rev = cents * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
+      val mktNk = broadcast(t(s, d, "nation")
+        .join(t(s, d, "region").where(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("mkt_nk")))
+      val cust = t(s, d, "customer").join(mktNk, col("c_nationkey") === col("mkt_nk"))
+        .select(col("c_custkey"))
+      val supp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")
+          .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("supp_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "part").where(col("p_type") === "STANDARD").select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders")
+            .where(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
+              col("o_orderdate").cast("date") < lit("1998-01-01").cast("date"))
+            .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate").cast("date")).cast("long").as("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_3", rev).otherwise(0L))
+            .as("nation_rev_c100"),
+          sum(rev).as("total_rev_c100"))
+        .withColumn("mkt_share_bp", expr("(nation_rev_c100 * 10000) div total_rev_c100"))
+        .orderBy(col("o_year"))
+    }),
+
+    "b113_tpch_q21" -> ((s, d) => {
+      // TPC-H Q21 shape (suppliers who kept orders waiting): finished
+      // orders where EXACTLY ONE supplier shipped late (>90 days after
+      // the order date — the fixture's receipt-date stand-in) with at
+      // least one other supplier on the order; per late supplier in one
+      // region, count their late lines on such orders. The textbook
+      // EXISTS + NOT-EXISTS pair is TWO lineitem self-joins — the plan
+      // that dies first at 100 TB; this is the aggregated rewrite: one
+      // orderkey shuffle computing (distinct suppliers, distinct late
+      // suppliers, the unique late supplier, late-line count) per
+      // order, then a filter and a tiny dim join. The oracle runs the
+      // textbook EXISTS form, checking the rewrite's equivalence.
+      val late = col("l_shipdate").cast("date") >
+        date_add(col("o_orderdate").cast("date"), 90)
+      val perOrder = t(s, d, "lineitem")
+        .join(t(s, d, "orders").where(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"), late.as("is_late"))
+        .groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"),
+          min(when(col("is_late"), col("l_suppkey"))).as("late_supp"),
+          sum(when(col("is_late"), 1L).otherwise(0L)).as("n_late_lines"))
+        .where(col("n_supp") >= 2 && col("n_late") === 1)
+      val suppR = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")
+          .join(t(s, d, "region").where(col("r_name") === "AFRICA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      perOrder.join(suppR, col("late_supp") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(sum(col("n_late_lines")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    }),
+
+    "b114_funnel_attribution" -> ((s, d) => {
+      // funnel → revenue attribution (the r12-roadmap consumer of the
+      // funnel family): join the b94 stage-time kernel back to purchase
+      // revenue. Per user: highest stage reached, total purchase cents,
+      // and ATTRIBUTED cents — purchases inside the 30-day window
+      // strictly after the user's click time (the kernel's own
+      // strictly-after semantics bound by a campaign horizon). Plan:
+      // the stage windows and the purchase-row join both hash on
+      // user_id — the left join adds no new exchange key; the per-user
+      // share is integer ppm, null-free via a −1 sentinel.
+      val stages = Seq("view", "click", "purchase")
+      val ev = t(s, d, "events").where(col("event_type").isin(stages: _*))
+      val staged = graft.operators.Series.funnelStageTimes(
+        ev, "user_id", "event_type", "ts", stages)
+      val purRows = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          floor(col("value") * 100 + 0.5).cast("long").as("pc"))
+      val attrWin = col("ts") > col("s2") &&
+        col("ts") <= col("s2") + expr("INTERVAL 30 DAYS")
+      staged.join(purRows, Seq("user_id"), "left_outer")
+        .groupBy(col("user_id"), col("s1"), col("s2"), col("s3"))
+        .agg(sum(col("pc")).as("purch_c"),
+          sum(when(attrWin, col("pc"))).as("attr_c"))
+        .select(col("user_id"),
+          when(col("s3").isNotNull, 3).when(col("s2").isNotNull, 2)
+            .when(col("s1").isNotNull, 1).otherwise(0).as("cohort"),
+          coalesce(col("purch_c"), lit(0L)).as("purchase_c"),
+          coalesce(col("attr_c"), lit(0L)).as("attributed_c"))
+        .withColumn("attr_share_ppm",
+          coalesce(expr("(attributed_c * 1000000) div nullif(purchase_c, 0)"), lit(-1L)))
+        .orderBy(col("user_id"))
+    }),
 
     "b02_join_broadcast" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -2123,6 +2545,230 @@ object SparkEntry {
     }))
 
   private val bOracles: Map[String, String] = Map(
+    "b115_tpch_q2" ->
+      s"""WITH $psCte,
+        |cost AS (
+        |  SELECT ps_partkey, ps_suppkey, ps_supplycost_c
+        |  FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT CAST(floor(s_acctbal*100+0.5) AS BIGINT) AS s_acctbal_c, s_name, n_name,
+        |  p_partkey, p_type, ps_supplycost_c
+        |FROM part JOIN cost ON p_partkey = ps_partkey
+        |JOIN supplier ON s_suppkey = ps_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_size <= 10 AND p_type = 'LARGE'
+        |  AND ps_supplycost_c = (SELECT min(c2.ps_supplycost_c) FROM cost c2
+        |                         WHERE c2.ps_partkey = p_partkey)
+        |ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    "b116_tpch_q9" ->
+      s"""WITH $psCte
+        |SELECT n_name AS nation, CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))
+        |    - 100 * ps_supplycost_c) AS BIGINT) AS profit_c100
+        |FROM lineitem JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1,2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "b117_tpch_q11" ->
+      s"""WITH $psCte,
+        |v AS (
+        |  SELECT ps_partkey, CAST(sum(ps_supplycost_c * ps_availqty_deci) AS BIGINT) AS value_cd
+        |  FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_5'
+        |  GROUP BY ps_partkey),
+        |tt AS (SELECT CAST(sum(value_cd) AS BIGINT) AS tot,
+        |         CAST(count(*) AS BIGINT) AS n_parts FROM v)
+        |SELECT ps_partkey, value_cd FROM v CROSS JOIN tt
+        |WHERE value_cd * n_parts > 3 * tot
+        |ORDER BY value_cd DESC, ps_partkey""".stripMargin,
+
+    "b118_tpch_q16" ->
+      s"""WITH $psCte
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ps JOIN part ON p_partkey = ps_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1,2,3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "b119_tpch_q20" ->
+      s"""WITH $psCte,
+        |yq AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(floor(l_quantity*10+0.5) AS BIGINT)) AS BIGINT) AS year_qty_deci
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |  GROUP BY 1,2)
+        |SELECT s_name, CAST(floor(s_acctbal*100+0.5) AS BIGINT) AS s_acctbal_c
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_7'
+        |  AND s_suppkey IN (
+        |    SELECT ps_suppkey FROM ps LEFT JOIN yq ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+        |      AND ps_availqty_deci > 4 * COALESCE(year_qty_deci, 0))
+        |ORDER BY s_name""".stripMargin,
+
+    "b111_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) AS BIGINT) AS revenue_c100
+        |FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+
+    "b112_tpch_q8" ->
+      """WITH all_nations AS (
+        |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+        |    CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT)) AS volume,
+        |    n2.n_name AS nation
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+        |    AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(o_orderdate AS DATE) < DATE '1998-01-01')
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS BIGINT)
+        |    AS nation_rev_c100,
+        |  CAST(sum(volume) AS BIGINT) AS total_rev_c100,
+        |  (CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS BIGINT) * 10000)
+        |    // CAST(sum(volume) AS BIGINT) AS mkt_share_bp
+        |FROM all_nations GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    // textbook EXISTS/NOT-EXISTS form — independently checks the
+    // builder's single-shuffle aggregated rewrite
+    "b113_tpch_q21" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderstatus = 'F' AND r_name = 'AFRICA'
+        |  AND CAST(l1.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey
+        |              AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                  AND CAST(l3.l_shipdate AS DATE) > CAST(o3.o_orderdate AS DATE) + INTERVAL 90 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+
+    "b114_funnel_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_type, value FROM events
+        |  WHERE event_type IN ('view','click','purchase')),
+        |s1t AS (
+        |  SELECT user_id, ts, event_type, value,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s1
+        |  FROM ev),
+        |s2t AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s2
+        |  FROM s1t),
+        |s3t AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s3
+        |  FROM s2t),
+        |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s3) AS s3
+        |      FROM s3t GROUP BY user_id),
+        |p AS (SELECT user_id, ts, CAST(floor(value*100+0.5) AS BIGINT) AS pc
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT u.user_id, s1, s2, s3,
+        |        COALESCE(sum(pc), 0) AS purch_c,
+        |        COALESCE(sum(CASE WHEN p.ts > s2 AND p.ts <= s2 + INTERVAL 30 DAY
+        |          THEN pc END), 0) AS attr_c
+        |      FROM u LEFT JOIN p ON u.user_id = p.user_id
+        |      GROUP BY 1,2,3,4)
+        |SELECT user_id,
+        |  CASE WHEN s3 IS NOT NULL THEN 3 WHEN s2 IS NOT NULL THEN 2
+        |    WHEN s1 IS NOT NULL THEN 1 ELSE 0 END AS cohort,
+        |  CAST(purch_c AS BIGINT) AS purchase_c,
+        |  CAST(attr_c AS BIGINT) AS attributed_c,
+        |  COALESCE((CAST(attr_c AS BIGINT) * 1000000)
+        |    // NULLIF(CAST(purch_c AS BIGINT), 0), -1) AS attr_share_ppm
+        |FROM j ORDER BY user_id""".stripMargin,
+
+    "b106_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        |              AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "b107_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 30 DAY
+        |  AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "b108_tpch_q13" ->
+      """WITH oc AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt FROM orders
+        |  WHERE o_orderpriority <> '4-NOT SPECIFIED' GROUP BY o_custkey)
+        |SELECT COALESCE(cnt, 0) AS c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "b109_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) AS BIGINT) AS total_revenue_c100
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue_c100
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue_c100 = (SELECT max(total_revenue_c100) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "b110_tpch_q19" ->
+      """SELECT
+        |  CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) AS BIGINT) AS revenue_c100,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
+
     "b33_orc_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n_sup,
         |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
