@@ -727,6 +727,68 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
 
+  test("TPC-H Q4: semi-join with the quarter pushed to orders — no correlated rescan") {
+    val df = SparkEntry.queries("b106_tpch_q4")(spark, sf)
+    val plan = physicalPlan(df)
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).length == 2,
+      s"each table scans exactly once:\n$plan")
+    val ordersScan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("o_orderdate")).get
+    assert(ordersScan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"quarter filter not pushed:\n$ordersScan")
+  }
+
+  test("TPC-H Q13: orders pre-aggregate sits below the outer join, scan prunes to 2 cols") {
+    val df = SparkEntry.queries("b108_tpch_q13")(spark, sf)
+    val plan = physicalPlan(df)
+    assert(plan.contains("LeftOuter"), plan)
+    val ordersScan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("o_custkey")).get
+    assert(!ordersScan.contains("o_totalprice") && !ordersScan.contains("o_orderdate"),
+      s"pre-aggregation below the join should prune the orders read schema:\n$ordersScan")
+  }
+
+  test("TPC-H Q21 rewrite scans lineitem ONCE — never the textbook self-join pair") {
+    val df = SparkEntry.queries("b113_tpch_q21")(spark, sf)
+    val liScans = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).count(_.contains("l_suppkey"))
+    assert(liScans == 1,
+      s"aggregated rewrite must touch lineitem once, found $liScans scans")
+    val plan = physicalPlan(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("funnel attribution shares ONE user_id exchange across stage windows and join") {
+    val plan = physicalPlan(SparkEntry.queries("b114_funnel_attribution")(spark, sf))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length == 1,
+      s"stage windows + purchase join must share the user exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("TPC-H Q11 gate is the bounded 1-row broadcast; the value aggregate reuses once run") {
+    val plan = physicalPlan(SparkEntry.queries("b117_tpch_q11")(spark, sf))
+    val bnlj = "BroadcastNestedLoopJoin BuildRight".r.findAllIn(plan).length
+    assert(bnlj == 1 && !plan.contains("CartesianProduct"),
+      s"threshold gate must be one 1-row broadcast, got $bnlj:\n$plan")
+  }
+
+  test("TPC-H Q15 max-revenue gate: 1-row broadcast cross, winner side broadcasts to supplier") {
+    val plan = physicalPlan(SparkEntry.queries("b109_tpch_q15")(spark, sf))
+    assert("Cross".r.findAllIn(plan).length == 1 && !plan.contains("CartesianProduct"),
+      s"expected exactly the one-row max gate:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"winner probe must broadcast, never shuffle supplier:\n$plan")
+  }
+
+  test("TPC-H Q2 min-cost filter is a window on the partkey exchange, not a re-join") {
+    val plan = physicalPlan(SparkEntry.queries("b115_tpch_q2")(spark, sf))
+    assert(plan.contains("Window"), s"correlated min must be the window form:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    val liScans = "Scan parquet".r.findAllIn(plan).length
+    assert(liScans <= 5, s"each table once (no correlated rescan), got $liScans scans:\n$plan")
+  }
+
   test("no query in the declared inventory collects to the driver") {
     // structural check: building every DataFrame must not trigger an action
     // (any collect-based operator would run here); constructing the plans on
