@@ -36,12 +36,28 @@ object SparkEntry {
     * are exact-integer aggregates (sum/min of longs), so the derivation is
     * engine-identical; one lineitem groupBy whose (partkey, suppkey)
     * exchange feeds the composite-key joins above it directly. The DuckDB
-    * twin is `psCte`. */
+    * twin is `psCte`.
+    *
+    * Memoized per (session, sfDir) like the other shared intermediates
+    * (r11 VERDICT #3): five queries consume this catalog, and without the
+    * cache each re-ran the full lineitem aggregate (~84 MB of repeated
+    * shuffle across the partsupp TPC-H family at sf0.1). One persisted
+    * build per (session, sfDir) — warmed untimed by
+    * [[warmSharedIntermediates]] — makes every consumer's byte ledger
+    * measure its OWN joins, not the shared derivation. A real deployment
+    * has a real partsupp table, so per-query standalone cost was never the
+    * scale story; the memo is measurement hygiene plus the
+    * materialized-view posture the catalog would have at ingest. */
+  private val psCache = new graft.sources.Memo()
+
   private def psDerived(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
-      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
-      .agg(sum(floor(col("l_quantity") * 10 + 0.5).cast("long")).as("ps_availqty_deci"),
-        min(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("ps_supplycost_c"))
+    psCache.getOrElseUpdate((s, d)) {
+      t(s, d, "lineitem")
+        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .agg(sum(floor(col("l_quantity") * 10 + 0.5).cast("long")).as("ps_availqty_deci"),
+          min(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("ps_supplycost_c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** DuckDB twin of [[psDerived]] — splice as `WITH $psCte, ...`. */
   private val psCte =
@@ -136,6 +152,25 @@ object SparkEntry {
     docClusters(s, d).count()
     docBigramsWithSource(s, d).count()
     embeddingPairGraph(s, d).count()
+    psDerived(s, d).count()
+    // One-time builds that live INSIDE query builders rather than in a
+    // named memo (r11 VERDICT #1: at runs=1 these landed in the timed
+    // ledger — c36 paid its corpus band-index persist, c63 its
+    // cell-assignment persist, b64/b93 their ensureWritten layout writes,
+    // ~24 MB of attribution drift). Executing each builder once here warms
+    // exactly the timed plan: the persists key on the canonicalized plan
+    // (CacheManager) and the layout writes key on (purpose, input,
+    // application) `_SUCCESS` markers / catalog registration, so the timed
+    // run reuses them all. The full list is every query whose first
+    // execution does work later executions skip.
+    val oneTimeBuildQueries = Seq(
+      "b33_orc_roundtrip", "b34_csv_roundtrip", "b37_bucketed_join",
+      "b38_partition_prune", "b49_json_roundtrip", "b63_partitioned_bucketed",
+      "b64_zorder_prune", "b79_dynamic_partition_prune", "b86_bucketed_agg",
+      "b93_hilbert_prune", "c36_incremental_dedup", "c63_semantic_dedup")
+    oneTimeBuildQueries.foreach { n =>
+      queries.get(n).foreach(fn => fn(s, d).count())
+    }
   }
 
   /** Flagship query on sf=0.001 (TPC-H Q1 shape); driver smoke-checks rows>0. */
@@ -596,8 +631,13 @@ object SparkEntry {
       // stand-in; late := >30 days after order date). Plan: the
       // ship-year window is PUSHED to the lineitem scan BEFORE the
       // join, the priority CASE folds into conditional partial aggs —
-      // one orderkey shuffle, then a 2-row final.
-      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      // one orderkey shuffle, then a 2-row final. A NULL priority is
+      // EXPLICITLY a low line on both engines (coalesce to false here,
+      // the same COALESCE in the oracle): without it Spark's
+      // when/otherwise counts NULL as low while SQL's NOT IN drops it
+      // into neither bucket — benign on this fixture (no null
+      // priorities) but a latent cross-engine divergence (r11 ADVICE).
+      val high = coalesce(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(false))
       t(s, d, "orders")
         .join(t(s, d, "lineitem")
             .where(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
@@ -663,12 +703,24 @@ object SparkEntry {
       // predicate. Plan: a plain partkey equi-join (both sides SF-scale
       // at 100 TB — AQE picks broadcast vs shuffle from runtime sizes,
       // the b100 discipline) with the disjunction one codegen'd
-      // residual; part prunes to 3 columns at the scan. Exact-integer
-      // 1-row output.
+      // residual; part prunes to 3 columns at the scan. Each scan also
+      // carries the disjunction's derivable HULL (r11 VERDICT #4):
+      // `l_quantity BETWEEN 1 AND 30` on lineitem and the brand-IN/size
+      // range on part — implied by the OR-of-ANDs, so semantics are
+      // unchanged, but as single-column conjuncts they PUSH to the
+      // parquet scans (PlanSpec asserts lineitem's PushedFilters), and
+      // at 100 TB row-group min/max skipping on the quantity hull is
+      // the difference between reading every lineitem row group and
+      // only the matching ones. The exact disjunction stays as the
+      // post-join residual. Exact-integer 1-row output.
       val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
       val rev = cents * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
       t(s, d, "lineitem")
-        .join(t(s, d, "part").select(col("p_partkey"), col("p_brand"), col("p_size")),
+        .where(col("l_quantity") >= 1.0 && col("l_quantity") <= 30.0)
+        .join(t(s, d, "part")
+            .where(col("p_brand").isin("Brand#12", "Brand#23", "Brand#3") &&
+              col("p_size").between(1, 15))
+            .select(col("p_partkey"), col("p_brand"), col("p_size")),
           col("l_partkey") === col("p_partkey"))
         .where(
           (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
@@ -747,7 +799,15 @@ object SparkEntry {
       // global (total, count) arrives as the audited one-row broadcast
       // with the fraction INTEGER-CLEARED (value·n > 3·total — no float
       // division); the per-part aggregate's subtree feeds both the
-      // total and the probe, so exchange reuse builds it once.
+      // total and the probe, so exchange reuse builds it once. The
+      // cleared products run in DECIMAL(38,0) (r11 ADVICE): value_cd is
+      // already a sum of cost_c×availqty_deci products (~1e14 at sf1),
+      // so value_cd·n_parts and 3·tot both clear BIGINT's 9.2e18 well
+      // before 100 TB — and the two engines fail DIFFERENTLY on
+      // overflow (Spark wraps silently, DuckDB raises), the worst
+      // cross-engine failure mode. DECIMAL(38,0) holds to 1e38;
+      // the safe regime is value_cd·n_parts < 1e38, i.e. any
+      // conceivable SF.
       val natSupp = t(s, d, "supplier")
         .join(broadcast(t(s, d, "nation").where(col("n_name") === "NATION_5")
           .select(col("n_nationkey"))), col("s_nationkey") === col("n_nationkey"))
@@ -758,7 +818,8 @@ object SparkEntry {
         .agg(sum(col("ps_supplycost_c") * col("ps_availqty_deci")).as("value_cd"))
       val tot = broadcast(v.agg(sum(col("value_cd")).as("tot"),
         count(lit(1)).as("n_parts")))
-      v.crossJoin(tot).where(col("value_cd") * col("n_parts") > lit(3L) * col("tot"))
+      v.crossJoin(tot).where(col("value_cd").cast("decimal(38,0)") * col("n_parts")
+          > lit(3L) * col("tot").cast("decimal(38,0)"))
         .select(col("ps_partkey"), col("value_cd"))
         .orderBy(col("value_cd").desc, col("ps_partkey"))
     }),
@@ -2588,7 +2649,7 @@ object SparkEntry {
         |tt AS (SELECT CAST(sum(value_cd) AS BIGINT) AS tot,
         |         CAST(count(*) AS BIGINT) AS n_parts FROM v)
         |SELECT ps_partkey, value_cd FROM v CROSS JOIN tt
-        |WHERE value_cd * n_parts > 3 * tot
+        |WHERE CAST(value_cd AS DECIMAL(38,0)) * n_parts > 3 * CAST(tot AS DECIMAL(38,0))
         |ORDER BY value_cd DESC, ps_partkey""".stripMargin,
 
     "b118_tpch_q16" ->
@@ -2724,9 +2785,9 @@ object SparkEntry {
 
     "b107_tpch_q12" ->
       """SELECT l_linestatus,
-        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+        |  CAST(sum(CASE WHEN COALESCE(o_orderpriority IN ('1-URGENT','2-HIGH'), FALSE) THEN 1 ELSE 0 END) AS BIGINT)
         |    AS high_line_count,
-        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+        |  CAST(sum(CASE WHEN COALESCE(o_orderpriority IN ('1-URGENT','2-HIGH'), FALSE) THEN 0 ELSE 1 END) AS BIGINT)
         |    AS low_line_count
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 30 DAY

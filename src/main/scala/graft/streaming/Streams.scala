@@ -412,6 +412,16 @@ object Streams {
     * data, and the b99 oracle query replicates the watermark-cut output
     * shape in batch.
     *
+    * State-format compatibility: the r11 observability work ADDED a
+    * field to the state encoding (`FunnelBuf.dropped`) and to the
+    * output (`dropped_events`) — a state-schema BREAK for
+    * flatMapGroupsWithState. A streaming query restarted from a
+    * checkpoint written by the pre-r11 operator will fail to decode (or
+    * misdecode) its state; restarting across this change requires a
+    * FRESH checkpoint directory (replay the source from a chosen
+    * offset), the same migration contract Spark documents for its own
+    * stateful-operator format changes.
+    *
     * Scale: state per user is their stage-relevant events inside the
     * horizon — the stage rows of ONE user within `gapMs`, tiny at any
     * corpus size — capped at `maxBuffer` (beyond it new events extend

@@ -781,6 +781,76 @@ class PlanSpec extends SparkSpec {
       s"winner probe must broadcast, never shuffle supplier:\n$plan")
   }
 
+  test("TPC-H Q7: ship window pushed to lineitem, nation legs broadcast, one lineitem scan") {
+    val df = SparkEntry.queries("b111_tpch_q7")(spark, sf)
+    val plan = physicalPlan(df)
+    assert(plan.contains("BroadcastHashJoin"), s"nation legs must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert("lineitem\\.parquet".r.findAllIn(plan).length == 1,
+      s"lineitem must scan once:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"two-year ship window not pushed to the lineitem scan:\n$plan")
+  }
+
+  test("TPC-H Q8: market share is ONE aggregate (one lineitem scan), orders window pushed") {
+    val df = SparkEntry.queries("b112_tpch_q8")(spark, sf)
+    val plan = physicalPlan(df)
+    // file-path occurrences, not leaf counts: under AQE the whole plan is
+    // one AdaptiveSparkPlan leaf, so collectLeaves can't count scans
+    val liScans = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(liScans == 1,
+      s"conditional sums must share one aggregate — expected 1 lineitem scan, got $liScans:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order-date window not pushed:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("TPC-H Q9: part-family filter pushed to the part scan, nation broadcast, no loops") {
+    val plan = physicalPlan(SparkEntry.queries("b116_tpch_q9")(spark, sf))
+    assert(plan.contains("StringContains(p_name"),
+      s"part-family filter not pushed to the part scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"nation must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("TPC-H Q12: ship-year window pushed to lineitem, exactly two table scans") {
+    val plan = physicalPlan(SparkEntry.queries("b107_tpch_q12")(spark, sf))
+    assert("Scan parquet".r.findAllIn(plan).length == 2,
+      s"orders and lineitem scan exactly once each:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"ship-year window not pushed:\n$plan")
+  }
+
+  test("TPC-H Q16: supplier exclusion is an anti join with the balance filter pushed") {
+    val plan = physicalPlan(SparkEntry.queries("b118_tpch_q16")(spark, sf))
+    assert(plan.contains("LeftAnti"),
+      s"NOT IN must plan as an anti join, never a correlated re-scan:\n$plan")
+    assert(plan.contains("LessThan(s_acctbal"),
+      s"balance filter not pushed to the supplier scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("TPC-H Q20: flattened IN-chain is two semi joins, no correlated re-scan, no loops") {
+    val plan = physicalPlan(SparkEntry.queries("b119_tpch_q20")(spark, sf))
+    assert("LeftSemi".r.findAllIn(plan).length == 2,
+      s"part-family and qualified-supplier tests must each be one semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("TPC-H Q19: derivable hulls reach both scans; the exact disjunction stays residual") {
+    val plan = physicalPlan(SparkEntry.queries("b110_tpch_q19")(spark, sf))
+    // PushedFilters substrings chosen to sit BEFORE toString's list
+    // truncation; the quantity hull is the one that buys row-group
+    // min/max skipping at 100 TB
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      plan.contains("LessThanOrEqual(l_quantity,30.0)"),
+      s"quantity hull not pushed to the lineitem scan:\n$plan")
+    assert(plan.contains("In(p_brand") && plan.contains("GreaterThanOrEqual(p_size,1)"),
+      s"brand/size hulls not pushed to the part scan:\n$plan")
+    // the OR-of-ANDs itself must survive as a filter (hulls are implied, not a rewrite)
+    assert(plan.contains("Brand#23"), "exact disjunction residual missing")
+  }
+
   test("TPC-H Q2 min-cost filter is a window on the partkey exchange, not a re-join") {
     val plan = physicalPlan(SparkEntry.queries("b115_tpch_q2")(spark, sf))
     assert(plan.contains("Window"), s"correlated min must be the window form:\n$plan")
