@@ -1025,6 +1025,104 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    "b120_funnel_ttc" -> ((s, d) => {
+      // per-transition TIME-TO-CONVERT distribution + drop-off (the r11
+      // VERDICT's depth item): for each funnel transition i → i+1, the
+      // hour-bucketed latency histogram of converting users with a
+      // cumulative CDF in integer ppm OF THE POPULATION THAT REACHED
+      // stage i — so the last row of each transition reads off the
+      // conversion rate and every row before it answers "what share
+      // converted within h hours". Plan: the b94/b102 kernel's ONE
+      // user_id exchange (plan-asserted), a 3-rows-per-user stack
+      // (map-side), then the b71 cumulative-window machinery on the
+      // BUCKETED frame — groupBy (t, hrs) partial-aggregates map-side
+      // and the cumulative window runs over transitions × distinct
+      // hour buckets, bounded by the funnel horizon in hours, never by
+      // user count. Exact integers end to end: micros deltas are
+      // non-negative (strictly-after kernel semantics), so `div` floors
+      // identically in both engines; dropped users (null next stage)
+      // count in users_from via a pre-filter window over the same
+      // t-partitioning and never enter the CDF.
+      val stages = Seq("view", "click", "signup", "purchase")
+      val staged = graft.operators.Series.funnelStageTimes(
+        t(s, d, "events").where(col("event_type").isin(stages: _*)),
+        "user_id", "event_type", "ts", stages)
+      val trans = staged.select(expr(
+          "stack(3, " +
+            "1, 'view_click',      unix_micros(s1), unix_micros(s2), " +
+            "2, 'click_signup',    unix_micros(s2), unix_micros(s3), " +
+            "3, 'signup_purchase', unix_micros(s3), unix_micros(s4)) " +
+            "AS (t, transition, from_us, to_us)"))
+        .where(col("from_us").isNotNull)
+        .select(col("t"), col("transition"),
+          when(col("to_us").isNotNull,
+            expr("(to_us - from_us) div 3600000000")).as("hrs"))
+      val hist = trans.groupBy(col("t"), col("transition"), col("hrs"))
+        .agg(count(lit(1)).as("n_users"))
+      val wAll = Window.partitionBy(col("t"))
+      val wCum = Window.partitionBy(col("t")).orderBy(col("hrs"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("users_from", sum(col("n_users")).over(wAll))
+        .where(col("hrs").isNotNull)
+        .withColumn("cum_users", sum(col("n_users")).over(wCum))
+        .select(col("t"), col("transition"), col("hrs"), col("n_users"),
+          col("cum_users"), col("users_from"),
+          expr("(cum_users * 1000000) div users_from").as("ttc_cum_ppm"))
+        .orderBy(col("t"), col("hrs"))
+    }),
+
+    "b121_funnel_ab" -> ((s, d) => {
+      // deterministic A/B experiment readout over the funnel: users
+      // split into control/treatment by the md5 tokenHash convention
+      // (never rand() — the split is reproducible in any engine and
+      // stable across runs, the c23 train/test discipline), per-arm
+      // stage conversion in ppm, and the per-stage treatment LIFT as a
+      // cleared-fraction ratio-of-ratios in integer basis points:
+      // lift_bp = (trt_i·ctrl_1·10000) div (trt_1·ctrl_i), computed in
+      // DECIMAL(38,0) (the b117 rule: at 1e9 users the BIGINT product
+      // wraps in Spark but raises in DuckDB). Plan: the kernel's one
+      // user_id exchange; the arm aggregate partial-compacts to ≤2
+      // rows per task before its (tiny) shuffle; the pivot + stack run
+      // on a 1-row frame. −1 sentinel when a denominator is empty.
+      val stages = Seq("view", "click", "signup", "purchase")
+      val staged = graft.operators.Series.funnelStageTimes(
+        t(s, d, "events").where(col("event_type").isin(stages: _*)),
+        "user_id", "event_type", "ts", stages)
+      val perArm = staged
+        .withColumn("arm",
+          pmod(Text.tokenHash(col("user_id").cast("string")), lit(2L)))
+        .groupBy(col("arm"))
+        .agg(count(col("s1")).as("u1"), count(col("s2")).as("u2"),
+          count(col("s3")).as("u3"), count(col("s4")).as("u4"))
+      val pivCols = (1 to 4).flatMap(i => Seq(
+        sum(when(col("arm") === 0, col(s"u$i"))).as(s"c$i"),
+        sum(when(col("arm") === 1, col(s"u$i"))).as(s"t$i")))
+      val piv = perArm.agg(pivCols.head, pivCols.tail: _*)
+      piv.select(expr(
+          "stack(4, " +
+            "1, 'view',     c1, t1, " +
+            "2, 'click',    c2, t2, " +
+            "3, 'signup',   c3, t3, " +
+            "4, 'purchase', c4, t4) " +
+            "AS (stage, event_type, cu, tu)"),
+          col("c1"), col("t1"))
+        .select(col("stage"), col("event_type"),
+          coalesce(col("cu"), lit(0L)).as("ctrl_users"),
+          coalesce(col("tu"), lit(0L)).as("trt_users"),
+          coalesce(col("c1"), lit(0L)).as("cb"),
+          coalesce(col("t1"), lit(0L)).as("tb"))
+        .withColumn("ctrl_ppm", coalesce(
+          expr("(ctrl_users * 1000000) div nullif(cb, 0)"), lit(-1L)))
+        .withColumn("trt_ppm", coalesce(
+          expr("(trt_users * 1000000) div nullif(tb, 0)"), lit(-1L)))
+        .withColumn("lift_bp", coalesce(
+          expr("(CAST(trt_users AS DECIMAL(38,0)) * cb * 10000) " +
+            "div nullif(CAST(ctrl_users AS DECIMAL(38,0)) * tb, 0)"),
+          lit(-1L)))
+        .drop("cb", "tb")
+        .orderBy(col("stage"))
+    }),
+
     "b02_join_broadcast" -> ((s, d) =>
       t(s, d, "lineitem")
         .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
@@ -2773,6 +2871,84 @@ object SparkEntry {
         |  COALESCE((CAST(attr_c AS BIGINT) * 1000000)
         |    // NULLIF(CAST(purch_c AS BIGINT), 0), -1) AS attr_share_ppm
         |FROM j ORDER BY user_id""".stripMargin,
+
+    "b120_funnel_ttc" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('view','click','signup','purchase')),
+        |s1t AS (SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s1 FROM ev),
+        |s2t AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s2 FROM s1t),
+        |s3t AS (SELECT *, min(CASE WHEN event_type = 'signup' AND ts > s2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s3 FROM s2t),
+        |s4t AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s3 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s4 FROM s3t),
+        |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s3) AS s3, max(s4) AS s4
+        |      FROM s4t GROUP BY user_id),
+        |tr AS (
+        |  SELECT 1 AS t, 'view_click' AS transition,
+        |    epoch_us(s1) AS from_us, epoch_us(s2) AS to_us FROM u
+        |  UNION ALL SELECT 2, 'click_signup', epoch_us(s2), epoch_us(s3) FROM u
+        |  UNION ALL SELECT 3, 'signup_purchase', epoch_us(s3), epoch_us(s4) FROM u),
+        |r AS (SELECT t, transition,
+        |        CASE WHEN to_us IS NOT NULL THEN (to_us - from_us) // 3600000000 END AS hrs
+        |      FROM tr WHERE from_us IS NOT NULL),
+        |h AS (SELECT t, transition, hrs, CAST(count(*) AS BIGINT) AS n_users
+        |      FROM r GROUP BY 1,2,3),
+        |f AS (SELECT *, CAST(sum(n_users) OVER (PARTITION BY t) AS BIGINT) AS users_from
+        |      FROM h),
+        |k AS (SELECT t, transition, hrs, n_users, users_from,
+        |        CAST(sum(n_users) OVER (PARTITION BY t ORDER BY hrs
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |      FROM f WHERE hrs IS NOT NULL)
+        |SELECT t, transition, hrs, n_users, cum_users, users_from,
+        |  CAST((cum_users * 1000000) // users_from AS BIGINT) AS ttc_cum_ppm
+        |FROM k ORDER BY t, hrs""".stripMargin,
+
+    "b121_funnel_ab" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('view','click','signup','purchase')),
+        |s1t AS (SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s1 FROM ev),
+        |s2t AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s2 FROM s1t),
+        |s3t AS (SELECT *, min(CASE WHEN event_type = 'signup' AND ts > s2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s3 FROM s2t),
+        |s4t AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s3 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s4 FROM s3t),
+        |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s3) AS s3, max(s4) AS s4
+        |      FROM s4t GROUP BY user_id),
+        |a AS (SELECT *, CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 2 AS arm FROM u),
+        |pa AS (SELECT arm, CAST(count(s1) AS BIGINT) AS u1, CAST(count(s2) AS BIGINT) AS u2,
+        |         CAST(count(s3) AS BIGINT) AS u3, CAST(count(s4) AS BIGINT) AS u4
+        |       FROM a GROUP BY arm),
+        |p AS (SELECT
+        |  COALESCE(CAST(sum(CASE WHEN arm = 0 THEN u1 END) AS BIGINT), 0) AS c1,
+        |  COALESCE(CAST(sum(CASE WHEN arm = 1 THEN u1 END) AS BIGINT), 0) AS t1,
+        |  COALESCE(CAST(sum(CASE WHEN arm = 0 THEN u2 END) AS BIGINT), 0) AS c2,
+        |  COALESCE(CAST(sum(CASE WHEN arm = 1 THEN u2 END) AS BIGINT), 0) AS t2,
+        |  COALESCE(CAST(sum(CASE WHEN arm = 0 THEN u3 END) AS BIGINT), 0) AS c3,
+        |  COALESCE(CAST(sum(CASE WHEN arm = 1 THEN u3 END) AS BIGINT), 0) AS t3,
+        |  COALESCE(CAST(sum(CASE WHEN arm = 0 THEN u4 END) AS BIGINT), 0) AS c4,
+        |  COALESCE(CAST(sum(CASE WHEN arm = 1 THEN u4 END) AS BIGINT), 0) AS t4
+        |  FROM pa),
+        |st AS (
+        |  SELECT 1 AS stage, 'view' AS event_type, c1 AS ctrl_users, t1 AS trt_users,
+        |    c1 AS cb, t1 AS tb FROM p
+        |  UNION ALL SELECT 2, 'click', c2, t2, c1, t1 FROM p
+        |  UNION ALL SELECT 3, 'signup', c3, t3, c1, t1 FROM p
+        |  UNION ALL SELECT 4, 'purchase', c4, t4, c1, t1 FROM p)
+        |SELECT stage, event_type, ctrl_users, trt_users,
+        |  COALESCE((ctrl_users * 1000000) // NULLIF(cb, 0), -1) AS ctrl_ppm,
+        |  COALESCE((trt_users * 1000000) // NULLIF(tb, 0), -1) AS trt_ppm,
+        |  COALESCE(CAST((CAST(trt_users AS DECIMAL(38,0)) * cb * 10000)
+        |    // NULLIF(CAST(ctrl_users AS DECIMAL(38,0)) * tb, 0) AS BIGINT), -1) AS lift_bp
+        |FROM st ORDER BY stage""".stripMargin,
 
     "b106_tpch_q4" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count

@@ -851,6 +851,27 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Brand#23"), "exact disjunction residual missing")
   }
 
+  test("funnel TTC: one user exchange; cumulative machinery shuffles only bucketed frames") {
+    val plan = physicalPlan(SparkEntry.queries("b120_funnel_ttc")(spark, sf))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length == 1,
+      s"all four stage windows and the per-user compaction share ONE user exchange:\n$plan")
+    // the only other hash exchanges are over the (t, hrs)-bucketed frame —
+    // bounded by transitions × funnel-horizon hours, never by user count
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 3,
+      s"expected user + histogram + cdf-window exchanges only:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("In(event_type"), s"stage-type filter not pushed:\n$plan")
+  }
+
+  test("funnel A/B: one user exchange; arm aggregate partial-compacts before its shuffle") {
+    val plan = physicalPlan(SparkEntry.queries("b121_funnel_ab")(spark, sf))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length == 1,
+      s"stage windows + compaction share ONE user exchange:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"per-arm counts must map-side combine before the 2-key shuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("TPC-H Q2 min-cost filter is a window on the partkey exchange, not a re-join") {
     val plan = physicalPlan(SparkEntry.queries("b115_tpch_q2")(spark, sf))
     assert(plan.contains("Window"), s"correlated min must be the window form:\n$plan")
