@@ -167,6 +167,16 @@ object Bench {
     // 355.8 s on the hottest host recorded and the old 900 s default
     // degraded the run to runs=1 — the exact failure min-of-two exists to
     // prevent): warmup ~300-400 s + 2×~360 s passes + retimes + slack.
+    // Harness-timeout evidence (r12 ADVICE low): the budget caps VOLUNTARY
+    // work (Bench sheds retimes, then the second pass, as the clock
+    // approaches it — it never pads the wall), so raising it lengthens the
+    // run only on hosts slow enough to need the headroom. The r12 driver
+    // run consumed ~750-800 s wall under this default (pass_ends[1]=724.8 s
+    // + retimes) and was not truncated (rc=0, total line parsed), so the
+    // harness tolerates ≥13 min; a host needing the full 25 min budget is
+    // the same 2×-slower host the r11 degradation proved exists. If the
+    // harness timeout is ever observed below a completed run's wall, lower
+    // this default to just above the observed steady-state wall instead.
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1500").toLong
     val mainStart = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - mainStart) / 1e9

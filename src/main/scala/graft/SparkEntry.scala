@@ -1080,7 +1080,14 @@ object SparkEntry {
       // cleared-fraction ratio-of-ratios in integer basis points:
       // lift_bp = (trt_i·ctrl_1·10000) div (trt_1·ctrl_i), computed in
       // DECIMAL(38,0) (the b117 rule: at 1e9 users the BIGINT product
-      // wraps in Spark but raises in DuckDB). Plan: the kernel's one
+      // wraps in Spark but raises in DuckDB). CROSS-ENGINE FLOOR RULE
+      // (r12 ADVICE): Spark's `div` on DECIMAL is exact floor on
+      // non-negative operands, but DuckDB's `//` on DECIMAL operands is
+      // plain double division + round-half-even — the oracle therefore
+      // computes the lift in HUGEINT, whose `//` is exact integer floor
+      // division. FloorDivSpec exercises a non-degenerate funnel where
+      // the lift fraction is >= 0.5 so floor-vs-round actually bites.
+      // Plan: the kernel's one
       // user_id exchange; the arm aggregate partial-compacts to ≤2
       // rows per task before its (tiny) shuffle; the pivot + stack run
       // on a 1-row frame. −1 sentinel when a denominator is empty.
@@ -2946,8 +2953,8 @@ object SparkEntry {
         |SELECT stage, event_type, ctrl_users, trt_users,
         |  COALESCE((ctrl_users * 1000000) // NULLIF(cb, 0), -1) AS ctrl_ppm,
         |  COALESCE((trt_users * 1000000) // NULLIF(tb, 0), -1) AS trt_ppm,
-        |  COALESCE(CAST((CAST(trt_users AS DECIMAL(38,0)) * cb * 10000)
-        |    // NULLIF(CAST(ctrl_users AS DECIMAL(38,0)) * tb, 0) AS BIGINT), -1) AS lift_bp
+        |  COALESCE(CAST((CAST(trt_users AS HUGEINT) * cb * 10000)
+        |    // NULLIF(CAST(ctrl_users AS HUGEINT) * tb, 0) AS BIGINT), -1) AS lift_bp
         |FROM st ORDER BY stage""".stripMargin,
 
     "b106_tpch_q4" ->
@@ -4707,6 +4714,22 @@ object SparkEntry {
       graft.operators.Ann.randomNegatives(emb, queries, "vec_id", "label", k = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
+
+    "c109_quality_classifier" -> ((s, d) =>
+      // fastText-style hashed-ngram linear classifier inference (the r12
+      // VERDICT #5 depth item): unigram+bigram features → 2^16 md5 hash
+      // buckets → broadcast integer-weight lookup → exact integer score,
+      // gate = score >= 0. The learned quality gate next to the c09
+      // heuristic and c64's count-based CCNet filter; weights-as-data
+      // (Pipeline.demoClassifierWeights stands in for an exported
+      // checkpoint). One broadcast join + one doc_id partial-sum exchange
+      // — no new exchange classes (plan-asserted).
+      graft.operators.Pipeline.linearClassifierScore(
+          t(s, d, "documents"), "doc_id", "text",
+          graft.operators.Pipeline.demoClassifierWeights(s, 65536),
+          buckets = 65536)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))),
 
     "c106_epoch_allocation" -> ((s, d) =>
       // token-budget epoch allocator: distribute a 2×-corpus token
@@ -6473,6 +6496,36 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, item_id, item_label, CAST(rank AS INTEGER) AS rank
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // hashed-ngram linear classifier: features replayed as unigrams ∪
+    // bigrams, the 60-bit md5 bucket and the closed-form integer weights
+    // inlined (Spark side reads them from the broadcast fixture table —
+    // same formula, Pipeline.demoClassifierWeights). All-BIGINT products
+    // (≤ 2^48); sum cast back from DuckDB's HUGEINT.
+    "c109_quality_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(coalesce(text, ''), ' '), 1) AS pos,
+        |    unnest(string_split(coalesce(text, ''), ' ')) AS tok
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, feat FROM (
+        |    SELECT doc_id,
+        |      tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS feat
+        |    FROM toks)
+        |  WHERE feat IS NOT NULL),
+        |feats AS (
+        |  SELECT doc_id, tok AS feat FROM toks
+        |  UNION ALL SELECT doc_id, feat FROM big),
+        |sc AS (
+        |  SELECT doc_id,
+        |    ((CAST(('0x' || substring(md5(feat), 1, 15)) AS BIGINT) % 65536)
+        |      * 2654435761) % 2001 - 1000 AS w
+        |  FROM feats)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |  CAST(sum(w) AS BIGINT) AS score,
+        |  (sum(w) >= 0) AS kept
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // closed-form water-filling: sort by cap/weight, prefix sums, the
     // split validity cleared to BIGINT products, 1-row split crossed back

@@ -498,8 +498,12 @@ object Ann {
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 6).as("cos"))
-      .where(col("cos") >= threshold)
+        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cosr"))
+      // raw-cosine prefilter before the exact round — see
+      // Dedup.embeddingPairs (round(double) is a per-evaluation
+      // BigDecimal; round(x,6) ≥ t ⟹ x ≥ t − 1e-6, so bit-identical)
+      .where(col("cosr") >= threshold - 1e-6 &&
+        round(col("cosr"), 6) >= threshold)
       .select(col("a"), col("b"))
       .distinct()
   }

@@ -948,8 +948,19 @@ object Dedup {
       .where(col("x.blk") =!= col("y.blk") || col("x.id") < col("y.id"))
       .select(least(col("x.id"), col("y.id")).as("a"),
         greatest(col("x.id"), col("y.id")).as("b"),
-        round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 6).as("cos"))
-      .where(col("cos") >= threshold)
+        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cosr"))
+      // Prefilter on the RAW cosine before the exact 6dp round: Spark's
+      // round(double) constructs a java.math.BigDecimal per evaluation
+      // (Double.toString → FDBigInteger — the r13 jstack profile's top
+      // frames on c31), ~10³ cycles against ~10¹ for the compare. 6dp
+      // rounding moves a value by ≤ 5e-7, so round(x,6) ≥ t ⟹
+      // x ≥ t − 1e-6: the raw prefilter keeps a strict superset and the
+      // exact round()-filter runs only on near-threshold survivors
+      // (And short-circuits left-to-right in codegen). Bit-identical
+      // output, O(pairs) BigDecimal constructions → O(survivors).
+      .where(col("cosr") >= threshold - 1e-6 &&
+        round(col("cosr"), 6) >= threshold)
+      .select(col("a"), col("b"), round(col("cosr"), 6).as("cos"))
   }
 
   /** Embedding near-dup AT SCALE: hyperplane-LSH candidate pairs + exact
@@ -999,9 +1010,20 @@ object Dedup {
     require(bits >= 1 && bits <= 62, s"bits must be in [1,62], got $bits")
     require(tables >= 1, s"tables must be positive, got $tables")
     val dot = graft.plans.VectorExpressions.dotProduct _
-    // norms hoisted once per vector, before the per-table replication
+    // norms hoisted once per vector, before the per-table replication.
+    // Numbered repartition (the c104 discipline): the verify cost lives in
+    // the CANDIDATE stream (Σ bucket² dot products), not in these narrow
+    // input rows — when the self-join below broadcasts, the probe side
+    // inherits the input file layout (a single parquet file = ONE task) and
+    // the entire multi-million-pair verify runs serially. User-specified
+    // numbered repartition, so AQE won't coalesce it back down by byte
+    // size (bytes here wildly understate work). r13 profile: c31's verify
+    // was single-task before this; the shuffled rows are (id, vec, nrm)
+    // once per vector — tiny next to the pair stream they parallelize.
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .repartition(parts)
     // one row per (vector, table): bucket under that table's plane band;
     // the vector and its norm ride along so verification never re-joins
     val sigs = v.select(col("id"), col("v"), col("nrm"),
@@ -1018,8 +1040,15 @@ object Dedup {
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 6).as("cos"))
-      .where(col("cos") >= threshold)
+        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cosr"))
+      // raw-cosine prefilter before the exact round — see [[embeddingPairs]]
+      // (round() is a per-evaluation BigDecimal; with 16 tables the
+      // candidate stream here is ~12M rows at sf0.1, the r13 profile's
+      // dominant cost). round(x,6) ≥ t ⟹ x ≥ t − 1e-6, so the output is
+      // bit-identical.
+      .where(col("cosr") >= threshold - 1e-6 &&
+        round(col("cosr"), 6) >= threshold)
+      .select(col("a"), col("b"), round(col("cosr"), 6).as("cos"))
       .distinct()
   }
 
@@ -1080,8 +1109,11 @@ object Dedup {
       .drop("cellN")
     val dropped = small.as("x").join(small.as("y"),
         col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
-      .where(round(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 6)
-        >= threshold)
+      // raw-cosine prefilter before the exact round — see [[embeddingPairs]]
+      .withColumn("cosr",
+        dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")))
+      .where(col("cosr") >= threshold - 1e-6 &&
+        round(col("cosr"), 6) >= threshold)
       .select(col("y.id").as("id")).distinct()
     assigned.join(dropped.withColumn("dup", lit(true)), Seq("id"), "left")
       .select(col("id"), col("cell"), coalesce(col("dup"), lit(false)) === false)

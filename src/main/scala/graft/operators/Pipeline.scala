@@ -299,6 +299,61 @@ object Pipeline {
       .drop("q_cut")
   }
 
+  /** fastText-style linear quality-classifier INFERENCE as a pure columnar
+    * pass (Joulin et al., arXiv:1607.01759 — the bag-of-hashed-ngrams
+    * linear model every large-scale curation stack runs as its learned
+    * quality gate next to heuristics like c09 and count filters like
+    * c64's CCNet stage): features are token unigrams + bigrams, hashed
+    * into a fixed bucket space by the md5 tokenHash convention; the model
+    * is a (bucket → integer weight) table; a document's score is the
+    * EXACT integer sum of its feature weights and the gate is
+    * score ≥ 0. Fixed-point integer weights make inference bit-identical
+    * on any engine at any parallelism — the float dot product a real
+    * fastText checkpoint computes is reproduced by quantizing the trained
+    * weights once at export (the c40 nano-integer discipline).
+    *
+    * Weights-as-data: `weights` is a DataFrame (bucket: long, w: long)
+    * covering every bucket in [0, buckets) — trained coefficients arrive
+    * as data, never code. Inference = one broadcast join.
+    *
+    * Scale (100 TB): the explode is map-side (features of a doc stay in
+    * its partition); the weight table is k buckets × 16 B (2²⁴ buckets ≈
+    * 256 MB worst case — still a broadcast on 8-GB executors; this demo
+    * uses 2¹⁶); the only exchange is the per-doc partial-sum aggregate,
+    * one row per doc entering the shuffle (partial aggregation compacts
+    * per-task). Raw text never shuffles.
+    */
+  def linearClassifierScore(df: DataFrame, idCol: String, textCol: String,
+                            weights: DataFrame, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val toks = Text.tokens(coalesce(col(textCol), lit("")))
+    // unigrams ++ bigrams ("w1 w2"), same window convention as the
+    // shingle/span family; a doc of n tokens emits 2n−1 features
+    val bigrams = when(size(toks) >= 2,
+      transform(slice(toks, lit(1), size(toks) - 1),
+        (x, i) => concat_ws(" ", x, element_at(toks, i + lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val feats = df.select(col(idCol).as("id"),
+        explode(concat(toks, bigrams)).as("feat"))
+      .select(col("id"),
+        pmod(Text.tokenHash(col("feat")), lit(buckets.toLong)).as("bucket"))
+    feats.join(broadcast(weights.select(col("bucket"), col("w"))), "bucket")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score"))
+      .select(col("id"), col("n_feats"), col("score"),
+        (col("score") >= 0L).as("kept"))
+  }
+
+  /** The deterministic demo weight fixture for [[linearClassifierScore]]:
+    * w(bucket) = (bucket·2654435761) mod 2001 − 1000 ∈ [−1000, 1000]
+    * (Knuth multiplicative constant; products ≤ 2⁴⁸ so BIGINT-exact in
+    * any engine). Stands in for an exported checkpoint — the oracle
+    * replays the same closed form instead of shipping a file. */
+  def demoClassifierWeights(spark: org.apache.spark.sql.SparkSession,
+                            buckets: Int): DataFrame =
+    spark.range(buckets).select(col("id").as("bucket"),
+      (pmod(col("id") * lit(2654435761L), lit(2001L)) - 1000L).as("w"))
+
   /** Weight-proportional sample without replacement ("pick k docs with
     * probability ∝ weight") in ALL-INTEGER arithmetic: each row enters
     * min(weight, cap) lottery tickets, ticket j is the 60-bit md5 of

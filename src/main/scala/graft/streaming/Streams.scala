@@ -516,6 +516,55 @@ object Streams {
         f.dropped_events))
   }
 
+  /** Per-arm A/B funnel conversion MAINTAINED ON THE LIVE STREAM — the
+    * streaming counterpart of the batch b121 readout and the next
+    * consumer of [[funnelStagesWithState]] (state machine unchanged):
+    * each user's closed funnel is assigned its experiment arm by the same
+    * md5 tokenHash split the batch query uses (deterministic — stream and
+    * batch agree on every user, which is what makes parity checkable),
+    * then a downstream streaming aggregate keeps per-arm counts of users
+    * who reached each stage, plus the summed `dropped_events` truncation
+    * signal (a nonzero value flags that some per-user answers were capped
+    * — the b99 discipline of surfacing truncation instead of hiding it).
+    *
+    * Emission semantics: a user enters the counts ONCE, when their funnel
+    * horizon closes (funnel state machine append-output) — so the
+    * aggregate is over an append stream of immutable per-user rows and
+    * never needs to retract. Late events inside the allowed lateness
+    * revise the user's stage times BEFORE the close (buffer-until-close),
+    * exactly like batch; StreamingSpec includes that revision case.
+    *
+    * Scale: the funnel machine's one user_id shuffle + per-user horizon
+    * state (unchanged); this adds a 2-row-state global aggregate (arm ∈
+    * {0,1}) with map-side partial counts — the readout itself holds O(1)
+    * state at any corpus size. Sink runs in Complete mode (2 rows).
+    *
+    * Static-checker note: Spark's UnsupportedOperationChecker rejects ANY
+    * stateful operator downstream of flatMapGroupsWithState (the machine
+    * can emit rows "older than watermark + delay", which a downstream
+    * EVENT-TIME-stateful operator would discard as late). The aggregate
+    * here is GLOBAL — no event-time column survives into it (stage times
+    * are plain longs), so nothing is ever late-filtered and the flagged
+    * correctness risk cannot occur on this shape. Callers must therefore
+    * start the query with
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
+    * (Spark's own documented escape hatch for exactly this
+    * understood-risk case); StreamingSpec does, with restore. */
+  def streamFunnelAbConversion(events: DataFrame, stages: Seq[String],
+                               gapMs: Long, delay: String,
+                               maxBuffer: Int = 10000): DataFrame = {
+    val closed = funnelStagesWithState(events, stages, gapMs, delay, maxBuffer).toDF()
+    val armed = closed.withColumn("arm",
+      pmod(graft.functions.Text.tokenHash(col("user_id").cast("string")), lit(2L)))
+    // count(col) skips nulls: stage_us(k) is null when stage k+1 was
+    // never reached inside the horizon
+    val stageCounts = stages.indices.map(k =>
+      count(col("stage_us").getItem(k)).as(s"u${k + 1}"))
+    armed.groupBy(col("arm"))
+      .agg(stageCounts.head,
+        (stageCounts.tail :+ sum(col("dropped_events")).as("dropped_events")): _*)
+  }
+
   /** Stream-stream event-time interval join — the impressions ⋈ clicks
     * shape (SURVEY.md §8 roadmap item 5): every (left, right) pair with
     * equal `keyCol` and `rightTs ∈ [leftTs, leftTs + window)`. Both sides

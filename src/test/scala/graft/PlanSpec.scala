@@ -267,6 +267,41 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("c31 LSH verify: vector frame round-robin repartitioned, round gated by raw prefilter") {
+    // the two r13 fixes for the five-round c31 wall-drift flag (settled in
+    // docs/bench_notes.md): (1) the candidate verify must run on the
+    // explicitly repartitioned vector frame, never serially on the 1-file
+    // embeddings scan layout (the c104 pathology — 5.4-7.7 s -> 1.9-2.6 s
+    // standalone); (2) the exact round(cos,6) must sit BEHIND the raw
+    // cosine prefilter so its per-evaluation BigDecimal runs on
+    // near-threshold survivors only, not on the ~12M-candidate stream.
+    val plan = physicalPlan(SparkEntry.queries("c31_embedding_lsh_pairs")(spark, sf))
+    assert(plan.contains("RoundRobinPartitioning"),
+      s"expected the user-specified round-robin exchange spreading the verify:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the prefilter appears left of the round() in the pushed join
+    // condition (And short-circuits left-to-right in codegen): the plan
+    // renders it as `... >= 0.349999) AND (round(...` — threshold − 1e-6
+    // ahead of the exact 6dp round
+    assert(""">= 0\.349999\) AND \(round""".r.findFirstIn(plan).isDefined,
+      s"expected raw-cosine prefilter evaluated before round():\n$plan")
+  }
+
+  test("c109 classifier: broadcast weight lookup, one partial-agg exchange, no BNLJ") {
+    // the r12 VERDICT #5 contract: inference adds NO new exchange class —
+    // the weight table joins as a broadcast (never shuffles the feature
+    // stream against it) and the per-doc score is a two-phase aggregate
+    // (partial_count/partial_sum map-side before the single doc exchange)
+    val plan = physicalPlan(SparkEntry.queries("c109_quality_classifier")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weight lookup must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"no shuffled/nested-loop join allowed in inference:\n$plan")
+    assert("partial_(count|sum)".r.findFirstIn(plan).isDefined,
+      s"per-doc score must partial-aggregate map-side:\n$plan")
+  }
+
   test("Memo.planKey distinguishes tables, scale factors, and equal re-reads") {
     val a = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     val b = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")

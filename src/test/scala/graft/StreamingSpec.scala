@@ -322,6 +322,86 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming A/B funnel readout: per-arm parity with the batch kernel incl. late revision") {
+    // b121's streaming counterpart (r12 VERDICT #4): per-arm stage
+    // conversion maintained on the live stream. Users/arms reuse the
+    // FloorDivSpec md5-split fixture (ctrl = 1,2,5; trt = 3,4,7; 11 stays
+    // open as the watermark mover). u4 is the late-arrival REVISION case:
+    // its click@10:02 arrives before its view@10:01 (delivered one batch
+    // later, inside the allowed lateness) — buffer-until-close must
+    // revise s1 and qualify the click, so trt's u2 count includes u4.
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val stages = Seq("view", "click", "signup", "purchase")
+    // the downstream aggregate is GLOBAL (no event-time column), so the
+    // late-row risk Spark's static checker guards against cannot occur —
+    // see the streamFunnelAbConversion scaladoc; restored in finally
+    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val checkPrev = s.conf.get(checkKey, "true")
+    s.conf.set(checkKey, "false")
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, 1, "view", 0, ts(1)), Ev(2, 1, "click", 0, ts(2)),
+      Ev(3, 1, "signup", 0, ts(3)), Ev(4, 1, "purchase", 0, ts(4)),
+      Ev(5, 2, "view", 0, ts(1)), Ev(6, 2, "click", 0, ts(3)),
+      Ev(7, 5, "view", 0, ts(2)),
+      Ev(8, 3, "view", 0, ts(1)), Ev(9, 3, "click", 0, ts(2)),
+      Ev(10, 3, "signup", 0, ts(4)), Ev(11, 3, "purchase", 0, ts(5)),
+      Ev(12, 4, "click", 0, ts(2)), // u4: click first...
+      Ev(13, 7, "view", 0, ts(3)))
+    val out = Streams.streamFunnelAbConversion(mem.toDF(), stages,
+      gapMs = 10 * 60 * 1000, delay = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("funnelab")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // ...the earlier view arrives late but inside lateness (wm = 09:35),
+      // plus the watermark mover (u11 view@12:00 closes everyone else's
+      // horizon; its own funnel stays open and never enters the counts)
+      mem.addData(Ev(14, 4, "view", 0, ts(1)),
+        Ev(15, 11, "view", 0, Timestamp.valueOf("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      mem.addData(Ev(16, 11, "click", 0, Timestamp.valueOf("2024-01-01 12:01:00")))
+      q.processAllAvailable()
+      val streamed = s.sql(
+          "SELECT arm, u1, u2, u3, u4, dropped_events FROM funnelab")
+        .orderBy("arm").collect().map(_.toSeq).toSeq
+      // hand expectation: both arms 3 starters, 2 clickers (u4 ONLY via
+      // the late revision), 1 signup, 1 purchase, nothing truncated
+      assert(streamed == Seq(Seq(0L, 3L, 2L, 1L, 1L, 0L),
+        Seq(1L, 3L, 2L, 1L, 1L, 0L)), s"got $streamed")
+      // batch-kernel parity (the b99 discipline): same events, batch stage
+      // kernel + horizon cut + the same md5 arm split must reproduce the
+      // per-arm counts exactly
+      val ev = Seq(
+        (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "signup", ts(3)),
+        (1L, "purchase", ts(4)), (2L, "view", ts(1)), (2L, "click", ts(3)),
+        (5L, "view", ts(2)), (3L, "view", ts(1)), (3L, "click", ts(2)),
+        (3L, "signup", ts(4)), (3L, "purchase", ts(5)), (4L, "click", ts(2)),
+        (4L, "view", ts(1)), (7L, "view", ts(3)),
+        (11L, "view", Timestamp.valueOf("2024-01-01 12:00:00")),
+        (11L, "click", Timestamp.valueOf("2024-01-01 12:01:00")))
+        .toDF("user_id", "event_type", "ts")
+      val wm = broadcast(ev.agg(
+        (unix_millis(max(col("ts"))) - lit(1800000L)).as("wm_ms")))
+      val horizon = ev.groupBy(col("user_id"))
+        .agg(unix_millis(max(col("ts"))).as("last_ms"))
+      val batch = graft.operators.Series
+        .funnelStageTimes(ev, "user_id", "event_type", "ts", stages)
+        .join(horizon, Seq("user_id"))
+        .crossJoin(wm)
+        .where(col("last_ms") + lit(600000L) < col("wm_ms"))
+        .withColumn("arm", pmod(
+          graft.functions.Text.tokenHash(col("user_id").cast("string")), lit(2L)))
+        .groupBy(col("arm"))
+        .agg(count(col("s1")).as("u1"), count(col("s2")).as("u2"),
+          count(col("s3")).as("u3"), count(col("s4")).as("u4"))
+        .orderBy("arm").collect().map(_.toSeq).toSeq
+      assert(batch == streamed.map(_.init),
+        s"batch=$batch != streamed-sans-dropped=${streamed.map(_.init)}")
+    } finally { q.stop(); s.conf.set(checkKey, checkPrev) }
+  }
+
   test("funnelStagesWithState N=2 and N=4 parity with the batch stage kernel") {
     // the N-stage machine against Series.funnelStageTimes + the b99
     // horizon cut, on the real events fixture, at two widths

@@ -166,6 +166,13 @@ def main():
         f"Flagged this regeneration: {', '.join(flagged) if flagged else 'none'}.",
     ]
     lines += shuffle_drift_section()
+    # Hand-maintained flag dispositions survive regeneration: anything in
+    # docs/bench_notes.md is appended verbatim (the r12 VERDICT asked for
+    # standalone measurements recorded NEXT TO the flags; the table itself
+    # is machine-written, so the notes live in a sibling file).
+    notes = os.path.join(ROOT, "docs", "bench_notes.md")
+    if os.path.exists(notes):
+        lines += ["", open(notes).read().rstrip()]
     out = os.path.join(ROOT, "docs", "BENCH_HISTORY.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
