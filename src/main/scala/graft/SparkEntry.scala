@@ -4731,6 +4731,63 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))),
 
+    "c110_classifier_yield" -> ((s, d) => {
+      // the gate's YIELD CURVE — "if I move the quality bar, what do I
+      // keep, per language?": conditional sums over a fixed threshold
+      // grid computed in ONE pass over the scored frame (no per-threshold
+      // re-scan; the 5-way stack runs on the |langs|-row aggregate), docs
+      // + chars retained and the exact-ppm doc share. The report every
+      // curation run publishes before committing to a threshold. Plan:
+      // the c109 inference plan + one doc_id join + one lang exchange.
+      val scored = graft.operators.Pipeline.linearClassifierScore(
+          t(s, d, "documents"), "doc_id", "text",
+          graft.operators.Pipeline.demoClassifierWeights(s, 65536),
+          buckets = 65536)
+        .withColumnRenamed("id", "doc_id")
+      val thr = Seq(-2000L, -1000L, 0L, 1000L, 2000L)
+      val j = t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(scored.select(col("doc_id"), col("score")), "doc_id")
+      val aggs = thr.zipWithIndex.flatMap { case (tv, i) => Seq(
+        sum(when(col("score") >= tv, 1L).otherwise(0L)).as(s"kd$i"),
+        sum(when(col("score") >= tv, col("n_chars")).otherwise(0L)).as(s"kc$i")) }
+      val perLang = j.groupBy(col("lang"))
+        .agg(count(lit(1)).as("total_docs"), aggs: _*)
+      perLang.select(col("lang"), col("total_docs"), expr(
+          "stack(5, " + thr.zipWithIndex.map { case (tv, i) =>
+            s"CAST($tv AS BIGINT), kd$i, kc$i" }.mkString(", ") +
+          ") AS (thr, kept_docs, kept_chars)"))
+        .select(col("lang"), col("thr"), col("total_docs"),
+          col("kept_docs"), col("kept_chars"),
+          expr("(kept_docs * 1000000) div total_docs").as("kept_ppm"))
+        .orderBy(col("lang"), col("thr"))
+    }),
+
+    "c111_gate_agreement" -> ((s, d) => {
+      // learned gate vs heuristic gate, the 2×2 agreement matrix a
+      // pipeline reads before letting a trained filter replace a
+      // hand-tuned one: kept-by-both / only-classifier / only-heuristic /
+      // neither, with doc and char mass in each cell. Both gates are
+      // exact integers (c109 score ≥ 0; qualityScoreNano ≥ 0.395 in nanos
+      // — c35's bar, near the fixture median so all four cells populate),
+      // so the matrix is engine-reproducible. Plan: the c109 inference
+      // plan + the narrow heuristic projection + one doc_id join + a
+      // 4-row aggregate.
+      val scored = graft.operators.Pipeline.linearClassifierScore(
+          t(s, d, "documents"), "doc_id", "text",
+          graft.operators.Pipeline.demoClassifierWeights(s, 65536),
+          buckets = 65536)
+        .withColumnRenamed("id", "doc_id")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          (Text.qualityScoreNano(coalesce(col("text"), lit(""))) >=
+            395000000L).as("kept_h"))
+        .join(scored.select(col("doc_id"), (col("score") >= 0L).as("kept_c")),
+          "doc_id")
+        .groupBy(col("kept_c"), col("kept_h"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("kept_c"), col("kept_h"))
+    }),
+
     "c106_epoch_allocation" -> ((s, d) =>
       // token-budget epoch allocator: distribute a 2×-corpus token
       // budget across sources ∝ doc count, each source capped at 4
@@ -5583,6 +5640,37 @@ object SparkEntry {
       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
       |  WHERE len(t) >= 3)""".stripMargin
+
+  /** Shared oracle CTE for the c109/c110/c111 classifier family: per-doc
+    * (doc_id, n_feats, score) — unigram ∪ bigram features, the 60-bit md5
+    * bucket, the closed-form integer weights (same formula as
+    * Pipeline.demoClassifierWeights; Spark reads them from the broadcast
+    * fixture table). All-BIGINT products (≤ 2^48); sums cast back from
+    * DuckDB's HUGEINT. */
+  private val classifierScoreCte =
+    """WITH ctoks AS (
+      |  SELECT doc_id,
+      |    generate_subscripts(string_split(coalesce(text, ''), ' '), 1) AS pos,
+      |    unnest(string_split(coalesce(text, ''), ' ')) AS tok
+      |  FROM documents),
+      |cbig AS (
+      |  SELECT doc_id, feat FROM (
+      |    SELECT doc_id,
+      |      tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS feat
+      |    FROM ctoks)
+      |  WHERE feat IS NOT NULL),
+      |cfeats AS (
+      |  SELECT doc_id, tok AS feat FROM ctoks
+      |  UNION ALL SELECT doc_id, feat FROM cbig),
+      |cws AS (
+      |  SELECT doc_id,
+      |    ((CAST(('0x' || substring(md5(feat), 1, 15)) AS BIGINT) % 65536)
+      |      * 2654435761) % 2001 - 1000 AS w
+      |  FROM cfeats),
+      |cscore AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+      |    CAST(sum(w) AS BIGINT) AS score
+      |  FROM cws GROUP BY doc_id)""".stripMargin
 
   /** The c88 BPE oracle CTE chain GENERATED for any k: per round an
     * adjacency window (a_i), the DESC-tiebroken argmax pair (b_i), and —
@@ -6497,35 +6585,66 @@ object SparkEntry {
         |SELECT query_id, item_id, item_label, CAST(rank AS INTEGER) AS rank
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
-    // hashed-ngram linear classifier: features replayed as unigrams ∪
-    // bigrams, the 60-bit md5 bucket and the closed-form integer weights
-    // inlined (Spark side reads them from the broadcast fixture table —
-    // same formula, Pipeline.demoClassifierWeights). All-BIGINT products
-    // (≤ 2^48); sum cast back from DuckDB's HUGEINT.
-    "c109_quality_classifier" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    generate_subscripts(string_split(coalesce(text, ''), ' '), 1) AS pos,
-        |    unnest(string_split(coalesce(text, ''), ' ')) AS tok
+    // hashed-ngram linear classifier (shared classifierScoreCte)
+    "c109_quality_classifier" -> (classifierScoreCte +
+      """
+        |SELECT doc_id, n_feats, score, (score >= 0) AS kept
+        |FROM cscore ORDER BY doc_id""".stripMargin),
+
+    // yield curve: conditional sums per threshold, stacked; ppm is exact
+    // BIGINT floor division on both engines
+    "c110_classifier_yield" -> (classifierScoreCte + """,
+        |cj AS (
+        |  SELECT d.lang, d.n_chars, s.score
+        |  FROM documents d JOIN cscore s USING (doc_id)),
+        |cg AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS total_docs,
+        |    CAST(sum(CASE WHEN score >= -2000 THEN 1 ELSE 0 END) AS BIGINT) AS kd0,
+        |    CAST(sum(CASE WHEN score >= -2000 THEN n_chars ELSE 0 END) AS BIGINT) AS kc0,
+        |    CAST(sum(CASE WHEN score >= -1000 THEN 1 ELSE 0 END) AS BIGINT) AS kd1,
+        |    CAST(sum(CASE WHEN score >= -1000 THEN n_chars ELSE 0 END) AS BIGINT) AS kc1,
+        |    CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS kd2,
+        |    CAST(sum(CASE WHEN score >= 0 THEN n_chars ELSE 0 END) AS BIGINT) AS kc2,
+        |    CAST(sum(CASE WHEN score >= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS kd3,
+        |    CAST(sum(CASE WHEN score >= 1000 THEN n_chars ELSE 0 END) AS BIGINT) AS kc3,
+        |    CAST(sum(CASE WHEN score >= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS kd4,
+        |    CAST(sum(CASE WHEN score >= 2000 THEN n_chars ELSE 0 END) AS BIGINT) AS kc4
+        |  FROM cj GROUP BY lang),
+        |st AS (
+        |  SELECT lang, CAST(-2000 AS BIGINT) AS thr, total_docs,
+        |    kd0 AS kept_docs, kc0 AS kept_chars FROM cg
+        |  UNION ALL SELECT lang, -1000, total_docs, kd1, kc1 FROM cg
+        |  UNION ALL SELECT lang, 0, total_docs, kd2, kc2 FROM cg
+        |  UNION ALL SELECT lang, 1000, total_docs, kd3, kc3 FROM cg
+        |  UNION ALL SELECT lang, 2000, total_docs, kd4, kc4 FROM cg)
+        |SELECT lang, thr, total_docs, kept_docs, kept_chars,
+        |  kept_docs * 1000000 // total_docs AS kept_ppm
+        |FROM st ORDER BY lang, thr""".stripMargin),
+
+    // 2x2 agreement: the heuristic leg replays the c35 qualityScoreNano
+    // rational (GROUP-BY counts, never list lambdas — the r5 lesson);
+    // the 0.395-nano bar is c35's, near the fixture median so all four
+    // matrix cells are populated (the FloorDivSpec degeneracy lesson)
+    "c111_gate_agreement" -> (classifierScoreCte + """,
+        |htok AS (
+        |  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS tk
         |  FROM documents),
-        |big AS (
-        |  SELECT doc_id, feat FROM (
-        |    SELECT doc_id,
-        |      tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS feat
-        |    FROM toks)
-        |  WHERE feat IS NOT NULL),
-        |feats AS (
-        |  SELECT doc_id, tok AS feat FROM toks
-        |  UNION ALL SELECT doc_id, feat FROM big),
-        |sc AS (
+        |hagg AS (
+        |  SELECT doc_id, count(*) AS n, count(DISTINCT tk) AS d,
+        |    sum(CASE WHEN tk IN ('the','a','of','and','to','in','is','it')
+        |        THEN 1 ELSE 0 END) AS st,
+        |    sum(length(tk)) AS l
+        |  FROM htok GROUP BY doc_id),
+        |hq AS (
         |  SELECT doc_id,
-        |    ((CAST(('0x' || substring(md5(feat), 1, 15)) AS BIGINT) % 65536)
-        |      * 2654435761) % 2001 - 1000 AS w
-        |  FROM feats)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-        |  CAST(sum(w) AS BIGINT) AS score,
-        |  (sum(w) >= 0) AS kept
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |    CAST(((50 * d + 20 * st + 3 * least(l, 10 * n)) * 1000000000 + 50 * n)
+        |         // (100 * n) AS BIGINT) >= 395000000 AS kept_h
+        |  FROM hagg),
+        |cd AS (SELECT doc_id, (score >= 0) AS kept_c FROM cscore)
+        |SELECT cd.kept_c, hq.kept_h, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+        |FROM cd JOIN hq USING (doc_id) JOIN documents d USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // closed-form water-filling: sort by cap/weight, prefix sums, the
     // split validity cleared to BIGINT products, 1-row split crossed back

@@ -302,6 +302,20 @@ class PlanSpec extends SparkSpec {
       s"per-doc score must partial-aggregate map-side:\n$plan")
   }
 
+  test("c110/c111 classifier consumers: one scoring pass, no extra scans per threshold/gate") {
+    // the load-bearing property of both consumers: the 5-threshold yield
+    // curve and the 2×2 agreement each read documents exactly TWICE (the
+    // feature pass + the narrow metadata/heuristic pass) — never once per
+    // threshold or per gate — and add no nested-loop join
+    for (q <- Seq("c110_classifier_yield", "c111_gate_agreement")) {
+      val plan = physicalPlan(SparkEntry.queries(q)(spark, sf))
+      val scans = "Scan parquet".r.findAllIn(plan).length
+      assert(scans == 2, s"$q: expected 2 documents scans, got $scans:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
+    }
+  }
+
   test("Memo.planKey distinguishes tables, scale factors, and equal re-reads") {
     val a = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     val b = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
