@@ -4739,20 +4739,51 @@ object SparkEntry {
       // + chars retained and the exact-ppm doc share. The report every
       // curation run publishes before committing to a threshold. Plan:
       // the c109 inference plan + one doc_id join + one lang exchange.
-      val scored = graft.operators.Pipeline.linearClassifierScore(
-          t(s, d, "documents"), "doc_id", "text",
-          graft.operators.Pipeline.demoClassifierWeights(s, 65536),
-          buckets = 65536)
-        .withColumnRenamed("id", "doc_id")
       val thr = Seq(-2000L, -1000L, 0L, 1000L, 2000L)
-      val j = t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
-        .join(scored.select(col("doc_id"), col("score")), "doc_id")
-      val aggs = thr.zipWithIndex.flatMap { case (tv, i) => Seq(
-        sum(when(col("score") >= tv, 1L).otherwise(0L)).as(s"kd$i"),
-        sum(when(col("score") >= tv, col("n_chars")).otherwise(0L)).as(s"kc$i")) }
-      val perLang = j.groupBy(col("lang"))
-        .agg(count(lit(1)).as("total_docs"), aggs: _*)
+      val perLang = graft.operators.Pipeline.classifierYieldState(
+        t(s, d, "documents"), "doc_id", "text", "lang", "n_chars",
+        graft.operators.Pipeline.demoClassifierWeights(s, 65536),
+        buckets = 65536, thresholds = thr)
       perLang.select(col("lang"), col("total_docs"), expr(
+          "stack(5, " + thr.zipWithIndex.map { case (tv, i) =>
+            s"CAST($tv AS BIGINT), kd$i, kc$i" }.mkString(", ") +
+          ") AS (thr, kept_docs, kept_chars)"))
+        .select(col("lang"), col("thr"), col("total_docs"),
+          col("kept_docs"), col("kept_chars"),
+          expr("(kept_docs * 1000000) div total_docs").as("kept_ppm"))
+        .orderBy(col("lang"), col("thr"))
+    }),
+
+    "c112_yield_ivm" -> ((s, d) => {
+      // the c110 yield report MAINTAINED INCREMENTALLY under a CDC batch
+      // (the b69 IVM algebra applied to the classifier gate): the standing
+      // corpus's per-lang yield STATE absorbs an insert batch (doc_id%10=3,
+      // the c36 arrival convention) and a retraction batch (doc_id%10=7)
+      // by monoid addition — retractions enter as the NEGATED state. Every
+      // state column is a sum, so merge ≡ recompute exactly (the oracle IS
+      // the full recompute over the post-CDC corpus). At 100 TB the nightly
+      // cost is scoring the two small batches — the corpus is never
+      // rescanned; this demo scores all three slices only because the
+      // "materialized" base state has to come from somewhere in a single
+      // query. A fully-retracted stratum leaves a zero state row the
+      // recompute has no group for — filtered by total_docs > 0.
+      val thr = Seq(-2000L, -1000L, 0L, 1000L, 2000L)
+      val w = graft.operators.Pipeline.demoClassifierWeights(s, 65536)
+      def st(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Pipeline.classifierYieldState(
+          df, "doc_id", "text", "lang", "n_chars", w, 65536, thr)
+      val docs = t(s, d, "documents")
+      val stateCols = Seq("total_docs") ++
+        thr.indices.flatMap(i => Seq(s"kd$i", s"kc$i"))
+      val negDel = st(docs.where(pmod(col("doc_id"), lit(10)) === 7))
+        .select(col("lang") +: stateCols.map(c => (-col(c)).as(c)): _*)
+      val merged = graft.operators.Ivm.mergeStates(
+        Seq(st(docs.where(pmod(col("doc_id"), lit(10)) =!= 3)), // base
+          st(docs.where(pmod(col("doc_id"), lit(10)) === 3)),   // inserts
+          negDel),                                              // retractions
+        Seq("lang"), stateCols.map(_ -> "sum").toMap)
+      merged.where(col("total_docs") > 0)
+        .select(col("lang"), col("total_docs"), expr(
           "stack(5, " + thr.zipWithIndex.map { case (tv, i) =>
             s"CAST($tv AS BIGINT), kd$i, kc$i" }.mkString(", ") +
           ") AS (thr, kept_docs, kept_chars)"))
@@ -5647,12 +5678,12 @@ object SparkEntry {
     * Pipeline.demoClassifierWeights; Spark reads them from the broadcast
     * fixture table). All-BIGINT products (≤ 2^48); sums cast back from
     * DuckDB's HUGEINT. */
-  private val classifierScoreCte =
-    """WITH ctoks AS (
+  private def classifierScoreCteWhere(docWhere: String): String =
+    s"""WITH ctoks AS (
       |  SELECT doc_id,
       |    generate_subscripts(string_split(coalesce(text, ''), ' '), 1) AS pos,
       |    unnest(string_split(coalesce(text, ''), ' ')) AS tok
-      |  FROM documents),
+      |  FROM documents$docWhere),""".stripMargin + """
       |cbig AS (
       |  SELECT doc_id, feat FROM (
       |    SELECT doc_id,
@@ -5671,6 +5702,39 @@ object SparkEntry {
       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
       |    CAST(sum(w) AS BIGINT) AS score
       |  FROM cws GROUP BY doc_id)""".stripMargin
+
+  /** The yield-curve oracle tail shared by c110 (full corpus) and c112
+    * (post-CDC corpus): conditional sums per threshold, stacked; ppm is
+    * exact BIGINT floor division on both engines. The inner join to
+    * cscore restricts the documents side to the CTE's corpus slice
+    * (doc_id unique), so no second WHERE is needed. */
+  private val classifierYieldTailSql = """,
+        |cj AS (
+        |  SELECT d.lang, d.n_chars, s.score
+        |  FROM documents d JOIN cscore s USING (doc_id)),
+        |cg AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS total_docs,
+        |    CAST(sum(CASE WHEN score >= -2000 THEN 1 ELSE 0 END) AS BIGINT) AS kd0,
+        |    CAST(sum(CASE WHEN score >= -2000 THEN n_chars ELSE 0 END) AS BIGINT) AS kc0,
+        |    CAST(sum(CASE WHEN score >= -1000 THEN 1 ELSE 0 END) AS BIGINT) AS kd1,
+        |    CAST(sum(CASE WHEN score >= -1000 THEN n_chars ELSE 0 END) AS BIGINT) AS kc1,
+        |    CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS kd2,
+        |    CAST(sum(CASE WHEN score >= 0 THEN n_chars ELSE 0 END) AS BIGINT) AS kc2,
+        |    CAST(sum(CASE WHEN score >= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS kd3,
+        |    CAST(sum(CASE WHEN score >= 1000 THEN n_chars ELSE 0 END) AS BIGINT) AS kc3,
+        |    CAST(sum(CASE WHEN score >= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS kd4,
+        |    CAST(sum(CASE WHEN score >= 2000 THEN n_chars ELSE 0 END) AS BIGINT) AS kc4
+        |  FROM cj GROUP BY lang),
+        |st AS (
+        |  SELECT lang, CAST(-2000 AS BIGINT) AS thr, total_docs,
+        |    kd0 AS kept_docs, kc0 AS kept_chars FROM cg
+        |  UNION ALL SELECT lang, -1000, total_docs, kd1, kc1 FROM cg
+        |  UNION ALL SELECT lang, 0, total_docs, kd2, kc2 FROM cg
+        |  UNION ALL SELECT lang, 1000, total_docs, kd3, kc3 FROM cg
+        |  UNION ALL SELECT lang, 2000, total_docs, kd4, kc4 FROM cg)
+        |SELECT lang, thr, total_docs, kept_docs, kept_chars,
+        |  kept_docs * 1000000 // total_docs AS kept_ppm
+        |FROM st ORDER BY lang, thr""".stripMargin
 
   /** The c88 BPE oracle CTE chain GENERATED for any k: per round an
     * adjacency window (a_i), the DESC-tiebroken argmax pair (b_i), and —
@@ -6586,46 +6650,28 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // hashed-ngram linear classifier (shared classifierScoreCte)
-    "c109_quality_classifier" -> (classifierScoreCte +
+    "c109_quality_classifier" -> (classifierScoreCteWhere("") +
       """
         |SELECT doc_id, n_feats, score, (score >= 0) AS kept
         |FROM cscore ORDER BY doc_id""".stripMargin),
 
     // yield curve: conditional sums per threshold, stacked; ppm is exact
     // BIGINT floor division on both engines
-    "c110_classifier_yield" -> (classifierScoreCte + """,
-        |cj AS (
-        |  SELECT d.lang, d.n_chars, s.score
-        |  FROM documents d JOIN cscore s USING (doc_id)),
-        |cg AS (
-        |  SELECT lang, CAST(count(*) AS BIGINT) AS total_docs,
-        |    CAST(sum(CASE WHEN score >= -2000 THEN 1 ELSE 0 END) AS BIGINT) AS kd0,
-        |    CAST(sum(CASE WHEN score >= -2000 THEN n_chars ELSE 0 END) AS BIGINT) AS kc0,
-        |    CAST(sum(CASE WHEN score >= -1000 THEN 1 ELSE 0 END) AS BIGINT) AS kd1,
-        |    CAST(sum(CASE WHEN score >= -1000 THEN n_chars ELSE 0 END) AS BIGINT) AS kc1,
-        |    CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS kd2,
-        |    CAST(sum(CASE WHEN score >= 0 THEN n_chars ELSE 0 END) AS BIGINT) AS kc2,
-        |    CAST(sum(CASE WHEN score >= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS kd3,
-        |    CAST(sum(CASE WHEN score >= 1000 THEN n_chars ELSE 0 END) AS BIGINT) AS kc3,
-        |    CAST(sum(CASE WHEN score >= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS kd4,
-        |    CAST(sum(CASE WHEN score >= 2000 THEN n_chars ELSE 0 END) AS BIGINT) AS kc4
-        |  FROM cj GROUP BY lang),
-        |st AS (
-        |  SELECT lang, CAST(-2000 AS BIGINT) AS thr, total_docs,
-        |    kd0 AS kept_docs, kc0 AS kept_chars FROM cg
-        |  UNION ALL SELECT lang, -1000, total_docs, kd1, kc1 FROM cg
-        |  UNION ALL SELECT lang, 0, total_docs, kd2, kc2 FROM cg
-        |  UNION ALL SELECT lang, 1000, total_docs, kd3, kc3 FROM cg
-        |  UNION ALL SELECT lang, 2000, total_docs, kd4, kc4 FROM cg)
-        |SELECT lang, thr, total_docs, kept_docs, kept_chars,
-        |  kept_docs * 1000000 // total_docs AS kept_ppm
-        |FROM st ORDER BY lang, thr""".stripMargin),
+    "c110_classifier_yield" -> (classifierScoreCteWhere("") +
+      classifierYieldTailSql),
+
+    // the IVM variant: same yield tail, corpus = post-CDC rows (base
+    // minus doc_id%10=7 retractions plus the %10=3 inserts = everything
+    // but the retracted tenth) — the full recompute the Spark-side
+    // monoid merge must equal exactly
+    "c112_yield_ivm" -> (classifierScoreCteWhere(" WHERE doc_id % 10 != 7") +
+      classifierYieldTailSql),
 
     // 2x2 agreement: the heuristic leg replays the c35 qualityScoreNano
     // rational (GROUP-BY counts, never list lambdas — the r5 lesson);
     // the 0.395-nano bar is c35's, near the fixture median so all four
     // matrix cells are populated (the FloorDivSpec degeneracy lesson)
-    "c111_gate_agreement" -> (classifierScoreCte + """,
+    "c111_gate_agreement" -> (classifierScoreCteWhere("") + """,
         |htok AS (
         |  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS tk
         |  FROM documents),

@@ -344,6 +344,29 @@ object Pipeline {
         (col("score") >= 0L).as("kept"))
   }
 
+  /** Per-stratum yield STATE of the classifier gate at each threshold —
+    * the (lang → total docs, kept docs, kept chars per threshold) wide
+    * frame behind the c110 yield curve, exposed separately because every
+    * column is a sum monoid: states from disjoint corpus slices merge by
+    * addition ([[Ivm.mergeStates]]), and a retraction is the negated
+    * state — which is what lets a 100 TB pipeline maintain its yield
+    * report by scoring only the daily delta (c112) instead of rescanning
+    * the corpus. One scoring pass + one `idCol` join + one stratum
+    * exchange. */
+  def classifierYieldState(df: DataFrame, idCol: String, textCol: String,
+                           strataCol: String, charsCol: String,
+                           weights: DataFrame, buckets: Int,
+                           thresholds: Seq[Long]): DataFrame = {
+    val scored = linearClassifierScore(df, idCol, textCol, weights, buckets)
+    val j = df.select(col(idCol).as("id"), col(strataCol), col(charsCol))
+      .join(scored.select(col("id"), col("score")), "id")
+    val aggs = thresholds.zipWithIndex.flatMap { case (tv, i) => Seq(
+      sum(when(col("score") >= tv, 1L).otherwise(0L)).as(s"kd$i"),
+      sum(when(col("score") >= tv, col(charsCol)).otherwise(0L)).as(s"kc$i")) }
+    j.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("total_docs"), aggs: _*)
+  }
+
   /** The deterministic demo weight fixture for [[linearClassifierScore]]:
     * w(bucket) = (bucket·2654435761) mod 2001 − 1000 ∈ [−1000, 1000]
     * (Knuth multiplicative constant; products ≤ 2⁴⁸ so BIGINT-exact in

@@ -314,6 +314,15 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
     }
+    // c112: three corpus slices (base/insert/retract) × 2 scans each
+    // (the mod-10 slice predicate is an expression, evaluated post-scan),
+    // and the monoid merge is a UNION + one aggregate — states never join
+    val plan = physicalPlan(SparkEntry.queries("c112_yield_ivm")(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 6, s"c112: expected 6 slice scans, got $scans:\n$plan")
+    assert(plan.contains("Union"), s"c112: states must merge via union:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
   test("Memo.planKey distinguishes tables, scale factors, and equal re-reads") {
