@@ -328,10 +328,18 @@ object Pipeline {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val toks = Text.tokens(coalesce(col(textCol), lit("")))
     // unigrams ++ bigrams ("w1 w2"), same window convention as the
-    // shingle/span family; a doc of n tokens emits 2n−1 features
+    // shingle/span family; a doc of n tokens emits 2n−1 features.
+    // zip_with of two slices, NOT transform + element_at(toks, i): a
+    // captured array reference inside a HOF lambda re-evaluates its
+    // whole subtree (split) PER ELEMENT — the c82 CollapseProject
+    // pathology; zip_with evaluates each argument array once per row.
+    // (The family's residual per-query wall at test scale is
+    // driver/scheduling floor; the query suite additionally shares one
+    // memoized scored frame — SparkEntry.docClassifierScores.)
     val bigrams = when(size(toks) >= 2,
-      transform(slice(toks, lit(1), size(toks) - 1),
-        (x, i) => concat_ws(" ", x, element_at(toks, i + lit(2)))))
+      zip_with(slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b)))
       .otherwise(array().cast("array<string>"))
     val feats = df.select(col(idCol).as("id"),
         explode(concat(toks, bigrams)).as("feat"))
@@ -358,12 +366,25 @@ object Pipeline {
                            weights: DataFrame, buckets: Int,
                            thresholds: Seq[Long]): DataFrame = {
     val scored = linearClassifierScore(df, idCol, textCol, weights, buckets)
-    val j = df.select(col(idCol).as("id"), col(strataCol), col(charsCol))
-      .join(scored.select(col("id"), col("score")), "id")
+    classifierYieldStateFromScored(
+      df.select(col(idCol).as("id"), col(strataCol), col(charsCol))
+        .join(scored.select(col("id"), col("score")), "id"),
+      strataCol, charsCol, thresholds)
+  }
+
+  /** [[classifierYieldState]] from an ALREADY-SCORED frame carrying
+    * (strataCol, charsCol, score) — the consumer entry point when the
+    * per-doc scores are materialized once and shared (scores are per-doc,
+    * so the state of any corpus slice is the state of the filtered scored
+    * frame; this is what makes the scored frame the right materialized
+    * view for the whole c109–c112 family). */
+  def classifierYieldStateFromScored(scored: DataFrame, strataCol: String,
+                                     charsCol: String,
+                                     thresholds: Seq[Long]): DataFrame = {
     val aggs = thresholds.zipWithIndex.flatMap { case (tv, i) => Seq(
       sum(when(col("score") >= tv, 1L).otherwise(0L)).as(s"kd$i"),
       sum(when(col("score") >= tv, col(charsCol)).otherwise(0L)).as(s"kc$i")) }
-    j.groupBy(col(strataCol))
+    scored.groupBy(col(strataCol))
       .agg(count(lit(1)).as("total_docs"), aggs: _*)
   }
 
@@ -376,6 +397,52 @@ object Pipeline {
                             buckets: Int): DataFrame =
     spark.range(buckets).select(col("id").as("bucket"),
       (pmod(col("id") * lit(2654435761L), lit(2001L)) - 1000L).as("w"))
+
+  /** Stratified sample of EXACTLY k rows, strata quotas by the
+    * largest-remainder (Hamilton) apportionment — the eval-set selection
+    * problem: "give me exactly 10,000 held-out docs, proportional to the
+    * language mix". Floor-only quotas undershoot (Σ⌊k·nₗ/N⌋ < k whenever
+    * any stratum has a remainder); Hamilton distributes the shortfall to
+    * the strata with the largest integer remainders (k·nₗ mod N), ties
+    * broken by stratum name — every step exact BIGINT, so the allocation
+    * (and therefore the sample) is engine- and run-reproducible. Within a
+    * stratum, membership is the bottom-allocₗ docs by the md5 tokenHash of
+    * the key ([[split]]'s doctrine: never partition-dependent randomness).
+    *
+    * Scale (100 TB): per-stratum counts are one map-side-combined
+    * exchange; the apportionment runs on the |strata|-row frame (two tiny
+    * windows); the membership pass is one stratum-keyed window over the
+    * hashed keys — the same repartition+sort-within-stratum relayout any
+    * per-stratum selection pays (alloc is a per-stratum COLUMN, so the
+    * constant-limit WindowGroupLimit rewrite doesn't apply; strata are
+    * languages/sources — dozens — and the sort key is 8 bytes).
+    * Guarantees: Σ alloc = min(k, N); alloc ≤ n per stratum is NOT
+    * enforced separately because Hamilton can't exceed it when k ≤ N
+    * (quota ≤ n ⇒ floor+1 ≤ n unless remainder 0, which never receives a
+    * bonus... except quota exactly n gives remainder 0 — safe). */
+  def apportionedSample(df: DataFrame, strataCol: String, keyCol: String,
+                        k: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+    val total = Window.partitionBy()
+    val wRem = Window.partitionBy().orderBy(col("rem").desc, col(strataCol))
+    val alloc = counts
+      .withColumn("nn", sum(col("n")).over(total))
+      .withColumn("base", expr(s"(n * ${k}L) div nn"))
+      .withColumn("rem", expr(s"(n * ${k}L) % nn"))
+      .withColumn("leftover",
+        lit(k) - sum(col("base")).over(total))
+      .withColumn("bonus",
+        (row_number().over(wRem) <= col("leftover")).cast("long"))
+      .select(col(strataCol), (col("base") + col("bonus")).as("alloc"))
+    val wIn = Window.partitionBy(col(strataCol))
+      .orderBy(Text.tokenHash(col(keyCol).cast("string")), col(keyCol))
+    df.select(col(strataCol), col(keyCol))
+      .withColumn("rk", row_number().over(wIn))
+      .join(broadcast(alloc), strataCol)
+      .where(col("rk") <= col("alloc"))
+      .select(col(strataCol), col(keyCol), col("rk"), col("alloc"))
+  }
 
   /** Weight-proportional sample without replacement ("pick k docs with
     * probability ∝ weight") in ALL-INTEGER arithmetic: each row enters

@@ -302,27 +302,38 @@ class PlanSpec extends SparkSpec {
       s"per-doc score must partial-aggregate map-side:\n$plan")
   }
 
-  test("c110/c111 classifier consumers: one scoring pass, no extra scans per threshold/gate") {
-    // the load-bearing property of both consumers: the 5-threshold yield
-    // curve and the 2×2 agreement each read documents exactly TWICE (the
-    // feature pass + the narrow metadata/heuristic pass) — never once per
-    // threshold or per gate — and add no nested-loop join
-    for (q <- Seq("c110_classifier_yield", "c111_gate_agreement")) {
-      val plan = physicalPlan(SparkEntry.queries(q)(spark, sf))
-      val scans = "Scan parquet".r.findAllIn(plan).length
-      assert(scans == 2, s"$q: expected 2 documents scans, got $scans:\n$plan")
+  test("c110/c111/c112 classifier consumers: every slice reads the memoized scored frame") {
+    // the load-bearing property of the family: consumers NEVER re-run the
+    // feature pass — the per-doc scored frame (docClassifierScores) is
+    // the materialized view, and the yield curve / agreement matrix / IVM
+    // slices are scans of its cache (InMemoryTableScan), not fresh
+    // parquet+explode plans. c111 adds exactly one parquet scan (the
+    // heuristic needs text, which the scored frame intentionally drops).
+    // leaf inspection, not string counting: InMemoryTableScan's toString
+    // embeds the cached BUILD plan (whose parquet scans are paid once in
+    // the memo, not per consumer), so leaves are the honest signal
+    for ((q, cacheLeaves, parquetLeaves) <- Seq(
+        ("c110_classifier_yield", 1, 0),
+        ("c111_gate_agreement", 1, 1),
+        ("c112_yield_ivm", 3, 0))) {
+      val exec = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan // AQE wrapper is itself a leaf; unwrap to the real tree
+        case p => p
+      }
+      val leaves = exec.collectLeaves().map(_.nodeName)
+      val mem = leaves.count(_.contains("InMemoryTableScan"))
+      val pq = leaves.count(_.contains("Scan"))  - mem
+      assert(mem == cacheLeaves && pq == parquetLeaves,
+        s"$q: leaves=$leaves, expected $cacheLeaves cache reads + " +
+          s"$parquetLeaves parquet scans")
+      val plan = exec.toString
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"), s"$q:\n$plan")
     }
-    // c112: three corpus slices (base/insert/retract) × 2 scans each
-    // (the mod-10 slice predicate is an expression, evaluated post-scan),
-    // and the monoid merge is a UNION + one aggregate — states never join
+    // c112's monoid merge is a UNION + one aggregate — states never join
     val plan = physicalPlan(SparkEntry.queries("c112_yield_ivm")(spark, sf))
-    val scans = "Scan parquet".r.findAllIn(plan).length
-    assert(scans == 6, s"c112: expected 6 slice scans, got $scans:\n$plan")
     assert(plan.contains("Union"), s"c112: states must merge via union:\n$plan")
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
   test("Memo.planKey distinguishes tables, scale factors, and equal re-reads") {
