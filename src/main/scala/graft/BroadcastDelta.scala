@@ -38,10 +38,13 @@ object BroadcastDelta {
     import graft.sources.Tables.t
 
     def measure(spark: SparkSession, label: String)(df: => DataFrame): Unit = {
-      df.count() // warm IO/page cache so plans, not cold reads, differ
+      val frame = df
+      require(frame.sparkSession eq spark,
+        s"$label: frame bound to a different session than the labeled one")
+      frame.count() // warm IO/page cache so plans, not cold reads, differ
       acc.mark()
       val t0 = System.nanoTime()
-      val n = df.count()
+      val n = frame.count()
       val wallS = (System.nanoTime() - t0) / 1e9 // before delta(): quiesce sleeps
       val (r, w, _, peak) = acc.delta()
       println(f"[broadcast] $label%-24s rows=$n%9d shuffle_read_kb=${r / 1024}%8d " +

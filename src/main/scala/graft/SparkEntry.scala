@@ -142,6 +142,21 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** The c110/c112 readout tail: unstack the wide per-lang yield state
+    * into (lang, thr, total_docs, kept_docs, kept_chars, kept_ppm) rows —
+    * ONE definition so the IVM twin (c112, whose contract is
+    * merge ≡ recompute) can never desynchronize from the direct curve
+    * (c110); stack arity derives from the threshold grid. */
+  private def classifierYieldCurve(state: DataFrame, thr: Seq[Long]): DataFrame =
+    state.select(col("lang"), col("total_docs"), expr(
+        s"stack(${thr.size}, " + thr.zipWithIndex.map { case (tv, i) =>
+          s"CAST($tv AS BIGINT), kd$i, kc$i" }.mkString(", ") +
+        ") AS (thr, kept_docs, kept_chars)"))
+      .select(col("lang"), col("thr"), col("total_docs"),
+        col("kept_docs"), col("kept_chars"),
+        expr("(kept_docs * 1000000) div total_docs").as("kept_ppm"))
+      .orderBy(col("lang"), col("thr"))
+
   /** The exact cosine pair graph over embeddings, shared by c05 (pair
     * list) and c20 (semantic dedup clusters). */
   private val embPairsCache = new graft.sources.Memo()
@@ -4761,14 +4776,7 @@ object SparkEntry {
       val thr = Seq(-2000L, -1000L, 0L, 1000L, 2000L)
       val perLang = graft.operators.Pipeline.classifierYieldStateFromScored(
         docClassifierScores(s, d), "lang", "n_chars", thr)
-      perLang.select(col("lang"), col("total_docs"), expr(
-          "stack(5, " + thr.zipWithIndex.map { case (tv, i) =>
-            s"CAST($tv AS BIGINT), kd$i, kc$i" }.mkString(", ") +
-          ") AS (thr, kept_docs, kept_chars)"))
-        .select(col("lang"), col("thr"), col("total_docs"),
-          col("kept_docs"), col("kept_chars"),
-          expr("(kept_docs * 1000000) div total_docs").as("kept_ppm"))
-        .orderBy(col("lang"), col("thr"))
+      classifierYieldCurve(perLang, thr)
     }),
 
     "c113_eval_apportionment" -> ((s, d) =>
@@ -4812,15 +4820,7 @@ object SparkEntry {
           st(scored.where(pmod(col("doc_id"), lit(10)) === 3)),   // inserts
           negDel),                                                // retractions
         Seq("lang"), stateCols.map(_ -> "sum").toMap)
-      merged.where(col("total_docs") > 0)
-        .select(col("lang"), col("total_docs"), expr(
-          "stack(5, " + thr.zipWithIndex.map { case (tv, i) =>
-            s"CAST($tv AS BIGINT), kd$i, kc$i" }.mkString(", ") +
-          ") AS (thr, kept_docs, kept_chars)"))
-        .select(col("lang"), col("thr"), col("total_docs"),
-          col("kept_docs"), col("kept_chars"),
-          expr("(kept_docs * 1000000) div total_docs").as("kept_ppm"))
-        .orderBy(col("lang"), col("thr"))
+      classifierYieldCurve(merged.where(col("total_docs") > 0), thr)
     }),
 
     "c111_gate_agreement" -> ((s, d) => {

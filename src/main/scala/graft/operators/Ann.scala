@@ -499,11 +499,8 @@ object Ann {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cosr"))
-      // raw-cosine prefilter before the exact round — see
-      // Dedup.embeddingPairs (round(double) is a per-evaluation
-      // BigDecimal; round(x,6) ≥ t ⟹ x ≥ t − 1e-6, so bit-identical)
-      .where(col("cosr") >= threshold - 1e-6 &&
-        round(col("cosr"), 6) >= threshold)
+      // prefilter-gated exact threshold test (VectorExpressions.cosineAtLeast)
+      .where(graft.plans.VectorExpressions.cosineAtLeast(col("cosr"), threshold))
       .select(col("a"), col("b"))
       .distinct()
   }

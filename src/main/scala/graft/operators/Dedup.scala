@@ -949,17 +949,10 @@ object Dedup {
       .select(least(col("x.id"), col("y.id")).as("a"),
         greatest(col("x.id"), col("y.id")).as("b"),
         (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cosr"))
-      // Prefilter on the RAW cosine before the exact 6dp round: Spark's
-      // round(double) constructs a java.math.BigDecimal per evaluation
-      // (Double.toString → FDBigInteger — the r13 jstack profile's top
-      // frames on c31), ~10³ cycles against ~10¹ for the compare. 6dp
-      // rounding moves a value by ≤ 5e-7, so round(x,6) ≥ t ⟹
-      // x ≥ t − 1e-6: the raw prefilter keeps a strict superset and the
-      // exact round()-filter runs only on near-threshold survivors
-      // (And short-circuits left-to-right in codegen). Bit-identical
-      // output, O(pairs) BigDecimal constructions → O(survivors).
-      .where(col("cosr") >= threshold - 1e-6 &&
-        round(col("cosr"), 6) >= threshold)
+      // prefilter-gated exact threshold test — proof and constants live
+      // in graft.plans.VectorExpressions.cosineAtLeast (bit-identical
+      // output; O(pairs) BigDecimal constructions → O(survivors))
+      .where(graft.plans.VectorExpressions.cosineAtLeast(col("cosr"), threshold))
       .select(col("a"), col("b"), round(col("cosr"), 6).as("cos"))
   }
 
@@ -1041,13 +1034,10 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cosr"))
-      // raw-cosine prefilter before the exact round — see [[embeddingPairs]]
-      // (round() is a per-evaluation BigDecimal; with 16 tables the
-      // candidate stream here is ~12M rows at sf0.1, the r13 profile's
-      // dominant cost). round(x,6) ≥ t ⟹ x ≥ t − 1e-6, so the output is
-      // bit-identical.
-      .where(col("cosr") >= threshold - 1e-6 &&
-        round(col("cosr"), 6) >= threshold)
+      // prefilter-gated exact threshold test (VectorExpressions.cosineAtLeast
+      // — with 16 tables the candidate stream here is ~12M rows at sf0.1,
+      // the r13 profile's dominant cost before the gate)
+      .where(graft.plans.VectorExpressions.cosineAtLeast(col("cosr"), threshold))
       .select(col("a"), col("b"), round(col("cosr"), 6).as("cos"))
       .distinct()
   }
@@ -1109,11 +1099,10 @@ object Dedup {
       .drop("cellN")
     val dropped = small.as("x").join(small.as("y"),
         col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
-      // raw-cosine prefilter before the exact round — see [[embeddingPairs]]
       .withColumn("cosr",
         dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")))
-      .where(col("cosr") >= threshold - 1e-6 &&
-        round(col("cosr"), 6) >= threshold)
+      // prefilter-gated exact threshold test (VectorExpressions.cosineAtLeast)
+      .where(graft.plans.VectorExpressions.cosineAtLeast(col("cosr"), threshold))
       .select(col("y.id").as("id")).distinct()
     assigned.join(dropped.withColumn("dup", lit(true)), Seq("id"), "left")
       .select(col("id"), col("cell"), coalesce(col("dup"), lit(false)) === false)

@@ -353,31 +353,16 @@ object Pipeline {
   }
 
   /** Per-stratum yield STATE of the classifier gate at each threshold —
-    * the (lang → total docs, kept docs, kept chars per threshold) wide
-    * frame behind the c110 yield curve, exposed separately because every
-    * column is a sum monoid: states from disjoint corpus slices merge by
-    * addition ([[Ivm.mergeStates]]), and a retraction is the negated
-    * state — which is what lets a 100 TB pipeline maintain its yield
-    * report by scoring only the daily delta (c112) instead of rescanning
-    * the corpus. One scoring pass + one `idCol` join + one stratum
-    * exchange. */
-  def classifierYieldState(df: DataFrame, idCol: String, textCol: String,
-                           strataCol: String, charsCol: String,
-                           weights: DataFrame, buckets: Int,
-                           thresholds: Seq[Long]): DataFrame = {
-    val scored = linearClassifierScore(df, idCol, textCol, weights, buckets)
-    classifierYieldStateFromScored(
-      df.select(col(idCol).as("id"), col(strataCol), col(charsCol))
-        .join(scored.select(col("id"), col("score")), "id"),
-      strataCol, charsCol, thresholds)
-  }
-
-  /** [[classifierYieldState]] from an ALREADY-SCORED frame carrying
-    * (strataCol, charsCol, score) — the consumer entry point when the
-    * per-doc scores are materialized once and shared (scores are per-doc,
-    * so the state of any corpus slice is the state of the filtered scored
-    * frame; this is what makes the scored frame the right materialized
-    * view for the whole c109–c112 family). */
+    * the (stratum → total docs, kept docs, kept chars per threshold) wide
+    * frame behind the c110 yield curve, computed from an ALREADY-SCORED
+    * frame carrying (strataCol, charsCol, score). Scores are per-doc, so
+    * the state of any corpus slice is the state of the filtered scored
+    * frame — the right materialized view for the whole c109–c112 family
+    * — and every column is a sum monoid: states from disjoint slices
+    * merge by addition ([[Ivm.mergeStates]]), a retraction is the
+    * negated state, which is what lets a 100 TB pipeline maintain its
+    * yield report by scoring only the daily delta (c112) instead of
+    * rescanning the corpus. One stratum exchange. */
   def classifierYieldStateFromScored(scored: DataFrame, strataCol: String,
                                      charsCol: String,
                                      thresholds: Seq[Long]): DataFrame = {

@@ -246,6 +246,23 @@ object VectorExpressions {
     ColumnGlue.column(DotProduct(
       ColumnGlue.expression(a), ColumnGlue.expression(b)))
 
+  /** The verified-pair threshold test `round(cosr, 6) >= threshold`,
+    * gated by a raw-double prefilter so the exact round — a PER-EVALUATION
+    * java.math.BigDecimal construction (the r13 c31 profile's dominant
+    * cost at ~12M candidates) — runs only on near-threshold survivors.
+    * Correctness proof, kept in ONE place on purpose: 6dp rounding moves
+    * a value by at most 5e-7 (+ representation epsilon), so
+    * round(x,6) ≥ t ⟹ x ≥ t − 1e-6 — the prefilter admits a strict
+    * superset, And short-circuits left-to-right in codegen, and the
+    * surviving predicate is the exact one. The 1e-6 bound and the 6dp
+    * precision must move in lockstep; that is why every similarity-join
+    * verify (embeddingPairs, embeddingLshPairs, semanticDedupBlocked,
+    * jlLshPairs) calls this instead of inlining the pair. */
+  def cosineAtLeast(cosr: Column, threshold: Double): Column = {
+    import org.apache.spark.sql.functions.{lit, round}
+    cosr >= lit(threshold - 1e-6) && round(cosr, 6) >= lit(threshold)
+  }
+
   def minhashSig(hashes: Column, numPerm: Int,
                  coeffA: Seq[Long], coeffB: Seq[Long]): Column =
     ColumnGlue.column(MinHashSig(
