@@ -402,6 +402,36 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); s.conf.set(checkKey, checkPrev) }
   }
 
+  test("classifier inference on a stream equals the batch scored frame") {
+    // the unified-API claim behind the c109 family: the SAME
+    // Pipeline.linearClassifierScore runs unchanged on a readStream —
+    // the weight lookup is a stream-static broadcast join (stateless),
+    // the per-doc aggregate is the only stateful op (one in-flight row
+    // per doc; complete mode here), so "score on ingest" is the literal
+    // same code path as the batch materialized view.
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft-cls-stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("documents.parquet"), java.nio.file.Paths.get(s"$sf/documents.parquet"))
+    val schema = s.read.parquet(s"$sf/documents.parquet").schema
+    val stream = s.readStream.schema(schema).parquet(dir.toString)
+    val out = graft.operators.Pipeline.linearClassifierScore(
+      stream, "doc_id", "text",
+      graft.operators.Pipeline.demoClassifierWeights(s, 65536), 65536)
+    val q = out.writeStream.format("memory").queryName("clsstream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = s.sql("SELECT id, n_feats, score, kept FROM clsstream")
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      val batch = SparkEntry.queries("c109_quality_classifier")(s, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"stream=${streamed.length} rows != batch=${batch.length}")
+    } finally q.stop()
+  }
+
   test("funnelStagesWithState N=2 and N=4 parity with the batch stage kernel") {
     // the N-stage machine against Series.funnelStageTimes + the b99
     // horizon cut, on the real events fixture, at two widths
