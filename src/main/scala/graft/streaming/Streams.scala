@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Event-time windowing over the `events` table (SURVEY.md §2B last row).
@@ -548,8 +548,30 @@ object Streams {
     * correctness risk cannot occur on this shape. Callers must therefore
     * start the query with
     * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
-    * (Spark's own documented escape hatch for exactly this
-    * understood-risk case); StreamingSpec does, with restore. */
+    * (Spark's own documented escape hatch for exactly this understood-risk
+    * case) — wrap the `start()` in [[withCheckerDisabled]], which scopes
+    * the flag to exactly the start call and restores the caller's prior
+    * value in a finally, so other streaming queries on the session keep
+    * the checker (r13 ADVICE). For complete isolation (concurrent starts
+    * on the same session during the window), build the input on a
+    * `Sessions.isolated` clone instead; StreamingSpec uses the wrapper. */
+  /** Run `body` — which should call `.start()` on a query whose shape is
+    * proven safe for Spark's stateful-operator static checker (see
+    * [[streamFunnelAbConversion]]'s scaladoc) — with
+    * `statefulOperator.checkCorrectness.enabled=false`, restoring the
+    * caller's prior value in a finally. The checker runs ONCE, during the
+    * analysis `start()` performs, so the flag's effective scope is exactly
+    * the start call: queries started before or after keep the checker.
+    * (A query started CONCURRENTLY on the same session inside the window
+    * would also skip it — callers needing that guarantee should build on a
+    * `Sessions.isolated` clone.) */
+  def withCheckerDisabled[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
   def streamFunnelAbConversion(events: DataFrame, stages: Seq[String],
                                gapMs: Long, delay: String,
                                maxBuffer: Int = 10000): DataFrame = {

@@ -35,7 +35,7 @@ class FloorDivSpec extends SparkSpec {
       (uid, k) <- depth.toSeq
       i <- 0 until k
     } yield (uid.toLong, s"2024-01-01 0$i:30:00", full(i), 1.0, "{}")
-    val dir = java.nio.file.Files.createTempDirectory("graft_floordiv").toString
+    val dir = tempDir("graft_floordiv").toString
     rows.toDF("user_id", "tss", "event_type", "value", "props")
       .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
       .withColumn("event_id", monotonically_increasing_id())

@@ -279,12 +279,28 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("RoundRobinPartitioning"),
       s"expected the user-specified round-robin exchange spreading the verify:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
-    // the prefilter appears left of the round() in the pushed join
-    // condition (And short-circuits left-to-right in codegen): the plan
-    // renders it as `... >= 0.349999) AND (round(...` — threshold − 1e-6
-    // ahead of the exact 6dp round
-    assert(""">= 0\.349999\) AND \(round""".r.findFirstIn(plan).isDefined,
-      s"expected raw-cosine prefilter evaluated before round():\n$plan")
+    // the prefilter sits LEFT of the round() in the pushed condition (And
+    // short-circuits left-to-right in codegen). Asserted on the expression
+    // tree, with the expected literal DERIVED from the threshold the same
+    // way cosineAtLeast derives it — not on plan-string rendering, which
+    // hardcoded both the constant and Spark's double formatting (r13
+    // ADVICE): find an And whose left subtree carries `>= threshold−1e-6`
+    // and whose right subtree carries the exact Round.
+    import org.apache.spark.sql.catalyst.expressions.{And, GreaterThanOrEqual, Literal, Round}
+    val threshold = 0.35 // c31's demo threshold (embeddingLshPairs call site)
+    // (optimizedPlan, not executedPlan: AdaptiveSparkPlanExec is a leaf
+    // node, so tree traversal never reaches the join condition under AQE)
+    val exec = SparkEntry.queries("c31_embedding_lsh_pairs")(spark, sf)
+      .queryExecution.optimizedPlan
+    val gated = exec.flatMap(_.expressions).flatMap(_.collect {
+      case a @ And(l, r)
+        if l.exists {
+             case GreaterThanOrEqual(_, Literal(v: Double, _)) => v == threshold - 1e-6
+             case _ => false
+           } && r.exists { case _: Round => true; case _ => false } => a
+    })
+    assert(gated.nonEmpty,
+      s"expected raw-cosine prefilter (>= ${threshold - 1e-6}) And-gating round():\n$plan")
   }
 
   test("c109 classifier: broadcast weight lookup, one partial-agg exchange, no BNLJ") {

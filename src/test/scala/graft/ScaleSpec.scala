@@ -131,7 +131,7 @@ class ScaleSpec extends SparkSpec {
 
   test("schema evolution: mergeSchema unifies parts written with different columns") {
     val s = spark; import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    val dir = tempDir("graft_evolve").toString
     Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/p=1")
     Seq((2L, 3.5)).toDF("id", "v2").write.parquet(s"$dir/p=2")
     val merged = s.read.option("mergeSchema", "true").parquet(dir)

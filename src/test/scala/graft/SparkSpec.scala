@@ -15,7 +15,27 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  override def afterAll(): Unit = { /* shared across suites; stopped by JVM exit */ }
+  private val tmpDirs = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+
+  /** `Files.createTempDirectory` that the suite deletes recursively in
+    * afterAll — fixtures must not accumulate across test runs (r13 ADVICE).
+    * `Files.walk` does not follow symlinks, so a spec that symlinks real
+    * testdata into its temp dir (StreamingSpec) removes only the link. */
+  def tempDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tmpDirs.synchronized { tmpDirs += p }
+    p
+  }
+
+  override def afterAll(): Unit = {
+    // session is shared across suites (stopped by JVM exit); temp dirs are not
+    import java.nio.file.{Files, Path}
+    tmpDirs.synchronized(tmpDirs.toList).foreach { p =>
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(q => Files.deleteIfExists(q))
+    }
+  }
 }
 
 /** FIXTURES.md §2 — F1 events/particles nested fixture. */

@@ -58,7 +58,7 @@ class StreamingSpec extends SparkSpec {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sf = "/root/testdata/sf0.001"
     // the file source requires a directory; stage the file via symlink
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    val dir = tempDir("graft-stream")
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
     val schema = s.read.parquet(s"$sf/events.parquet").schema
@@ -119,7 +119,7 @@ class StreamingSpec extends SparkSpec {
     val s = spark
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sf = "/root/testdata/sf0.001"
-    val dir = java.nio.file.Files.createTempDirectory("graft-sess-stream")
+    val dir = tempDir("graft-sess-stream")
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
     val schema = s.read.parquet(s"$sf/events.parquet").schema
@@ -147,7 +147,7 @@ class StreamingSpec extends SparkSpec {
     // not just within the error bound
     val s = spark
     val sf = "/root/testdata/sf0.001"
-    val dir = java.nio.file.Files.createTempDirectory("graft-hll-stream")
+    val dir = tempDir("graft-hll-stream")
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
     val schema = s.read.parquet(s"$sf/events.parquet").schema
@@ -181,7 +181,7 @@ class StreamingSpec extends SparkSpec {
     // so closed sliding windows must match batch exactly, same as b78
     val s = spark
     val sf = "/root/testdata/sf0.001"
-    val dir = java.nio.file.Files.createTempDirectory("graft-hll-slide-stream")
+    val dir = tempDir("graft-hll-slide-stream")
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
     val schema = s.read.parquet(s"$sf/events.parquet").schema
@@ -256,7 +256,7 @@ class StreamingSpec extends SparkSpec {
   test("b99: drained streaming funnel equals the batch parity query on events") {
     val s = spark
     val sf = "/root/testdata/sf0.001"
-    val dir = java.nio.file.Files.createTempDirectory("graft-funnel-stream")
+    val dir = tempDir("graft-funnel-stream")
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
     val schema = s.read.parquet(s"$sf/events.parquet").schema
@@ -335,10 +335,8 @@ class StreamingSpec extends SparkSpec {
     val stages = Seq("view", "click", "signup", "purchase")
     // the downstream aggregate is GLOBAL (no event-time column), so the
     // late-row risk Spark's static checker guards against cannot occur —
-    // see the streamFunnelAbConversion scaladoc; restored in finally
-    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-    val checkPrev = s.conf.get(checkKey, "true")
-    s.conf.set(checkKey, "false")
+    // see the streamFunnelAbConversion scaladoc; withCheckerDisabled
+    // scopes the flag to the start() call and restores it
     val mem = MemoryStream[Ev]
     mem.addData(
       Ev(1, 1, "view", 0, ts(1)), Ev(2, 1, "click", 0, ts(2)),
@@ -351,8 +349,10 @@ class StreamingSpec extends SparkSpec {
       Ev(13, 7, "view", 0, ts(3)))
     val out = Streams.streamFunnelAbConversion(mem.toDF(), stages,
       gapMs = 10 * 60 * 1000, delay = "30 minutes")
-    val q = out.writeStream.format("memory").queryName("funnelab")
-      .outputMode("complete").start()
+    val q = Streams.withCheckerDisabled(s) {
+      out.writeStream.format("memory").queryName("funnelab")
+        .outputMode("complete").start()
+    }
     try {
       q.processAllAvailable()
       // ...the earlier view arrives late but inside lateness (wm = 09:35),
@@ -399,7 +399,7 @@ class StreamingSpec extends SparkSpec {
         .orderBy("arm").collect().map(_.toSeq).toSeq
       assert(batch == streamed.map(_.init),
         s"batch=$batch != streamed-sans-dropped=${streamed.map(_.init)}")
-    } finally { q.stop(); s.conf.set(checkKey, checkPrev) }
+    } finally q.stop()
   }
 
   test("classifier inference on a stream equals the batch scored frame") {
@@ -411,7 +411,7 @@ class StreamingSpec extends SparkSpec {
     // same code path as the batch materialized view.
     val s = spark
     val sf = "/root/testdata/sf0.001"
-    val dir = java.nio.file.Files.createTempDirectory("graft-cls-stream")
+    val dir = tempDir("graft-cls-stream")
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("documents.parquet"), java.nio.file.Paths.get(s"$sf/documents.parquet"))
     val schema = s.read.parquet(s"$sf/documents.parquet").schema
@@ -440,7 +440,7 @@ class StreamingSpec extends SparkSpec {
     for (stages <- Seq(Seq("view", "purchase"),
                        Seq("view", "click", "signup", "purchase"))) {
       val n = stages.size
-      val dir = java.nio.file.Files.createTempDirectory(s"graft-funnel-n$n")
+      val dir = tempDir(s"graft-funnel-n$n")
       java.nio.file.Files.createSymbolicLink(
         dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
       val schema = s.read.parquet(s"$sf/events.parquet").schema
@@ -483,7 +483,7 @@ class StreamingSpec extends SparkSpec {
     // assignment: closed windows must match batch exactly, per cell
     val s = spark
     val sf = "/root/testdata/sf0.001"
-    val dir = java.nio.file.Files.createTempDirectory("graft-cms-slide-stream")
+    val dir = tempDir("graft-cms-slide-stream")
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
     val schema = s.read.parquet(s"$sf/events.parquet").schema
@@ -524,7 +524,7 @@ class StreamingSpec extends SparkSpec {
     // DRAINED stream's summaries against exact batch counts
     val s = spark
     val sf = "/root/testdata/sf0.001"
-    val dir = java.nio.file.Files.createTempDirectory("graft-mg-slide-stream")
+    val dir = tempDir("graft-mg-slide-stream")
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
     val schema = s.read.parquet(s"$sf/events.parquet").schema
@@ -568,7 +568,7 @@ class StreamingSpec extends SparkSpec {
     // grid regardless of micro-batch boundaries
     val s = spark
     val sf = "/root/testdata/sf0.001"
-    val dir = java.nio.file.Files.createTempDirectory("graft-cms-stream")
+    val dir = tempDir("graft-cms-stream")
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
     val schema = s.read.parquet(s"$sf/events.parquet").schema
@@ -597,7 +597,7 @@ class StreamingSpec extends SparkSpec {
     // batch run — only the audit is deterministic)
     val s = spark
     val sf = "/root/testdata/sf0.001"
-    val dir = java.nio.file.Files.createTempDirectory("graft-mg-stream")
+    val dir = tempDir("graft-mg-stream")
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("documents.parquet"), java.nio.file.Paths.get(s"$sf/documents.parquet"))
     val schema = s.read.parquet(s"$sf/documents.parquet").schema
@@ -957,9 +957,9 @@ class StreamingSpec extends SparkSpec {
   test("b72: multi-batch stream drained through the IVM merge equals the batch recompute") {
     val s = spark
     val sf = "/root/testdata/sf0.001"
-    val src = java.nio.file.Files.createTempDirectory("graft-ivm-src")
-    val stateDir = java.nio.file.Files.createTempDirectory("graft-ivm-state").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivm-ckpt").toString
+    val src = tempDir("graft-ivm-src")
+    val stateDir = tempDir("graft-ivm-state").toString
+    val ckpt = tempDir("graft-ivm-ckpt").toString
     // split the events into 4 files so the merge runs over ≥4 micro-batches
     graft.sources.Tables.t(s, sf, "events").repartition(4)
       .write.mode("overwrite").parquet(src.toString)
@@ -986,7 +986,7 @@ class StreamingSpec extends SparkSpec {
 
   test("ivmMergeBatch: a retried micro-batch overwrites, never double-counts") {
     val s = spark; import s.implicits._
-    val stateDir = java.nio.file.Files.createTempDirectory("graft-ivm-retry").toString
+    val stateDir = tempDir("graft-ivm-retry").toString
     def state(df: org.apache.spark.sql.DataFrame) = df.groupBy(col("k"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
     val merge = Streams.ivmMergeBatch(stateDir, Seq("k"),

@@ -241,7 +241,7 @@ class TextAndVariantSpec extends SparkSpec {
 
   test("JSON sink roundtrip with declared schema (write -> read, no inference)") {
     val s = spark; import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-json").toString + "/out"
+    val dir = tempDir("graft-json").toString + "/out"
     val orig = Fixtures.events.toDF()
     orig.write.mode("overwrite").json(dir)
     val schemaJson = graft.sources.SchemaJson.toJson(orig)
