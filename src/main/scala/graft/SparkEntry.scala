@@ -1166,6 +1166,89 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    "b122_stream_classifier_parity" -> ((s, d) =>
+      // batch parity for STREAMING classifier inference (the r13 graduate:
+      // StreamingSpec proves Pipeline.linearClassifierScore runs UNCHANGED
+      // on a readStream — stateless broadcast weight join + one per-doc
+      // aggregate — and that the drained stream's per-SOURCE gate monitor
+      // equals this query). The readout is the live dashboard a streaming
+      // gate deployment publishes: per ingest source, docs scored, docs
+      // and chars passing the gate, and the exact-ppm keep rate — the
+      // per-source view the c110 lang-yield curve intentionally does not
+      // cover (roadmap 8n-3d's "real consumer shape": an ingest monitor is
+      // keyed by source, not language). Batch side reads the memoized
+      // scored frame + ONE slim (doc_id, source) parquet scan
+      // (plan-asserted, the c111 leaf discipline); at 100 TB the stream
+      // pays the same plan per micro-batch with O(|sources|) state.
+      t(s, d, "documents").select(col("doc_id"), col("source"))
+        .join(docClassifierScores(s, d)
+          .select(col("doc_id"), col("n_chars"), col("score")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("total_docs"),
+          sum(when(col("score") >= 0L, 1L).otherwise(0L)).as("kept_docs"),
+          sum(when(col("score") >= 0L, col("n_chars")).otherwise(0L)).as("kept_chars"))
+        .withColumn("kept_ppm", expr("(kept_docs * 1000000) div total_docs"))
+        .orderBy(col("source"))),
+
+    "b123_funnel_ab_revenue" -> ((s, d) => {
+      // the A/B readout in REVENUE terms (the r13-roadmap b102 consumer):
+      // per experiment arm — md5 tokenHash split, the b121 convention —
+      // funnel starters, purchasers, and ATTRIBUTED revenue (purchase
+      // cents inside the 30-day window strictly after the user's click,
+      // b114's attribution window verbatim), then revenue-per-starter in
+      // exact micro-cents-per-user and the treatment lift on that rate as
+      // a cleared ratio-of-ratios in basis points:
+      //   rev_lift_bp = (trt_c·ctrl_u1·10000) div (ctrl_c·trt_u1)
+      // computed in DECIMAL(38,0) / HUGEINT (the b121 floor rule — both
+      // engines floor, never round). Plan: the stage windows and the
+      // purchase join both hash on user_id — ONE user exchange
+      // (plan-asserted); the per-arm aggregate partial-compacts to ≤2
+      // rows per task; the lift pivot runs on a 1-row frame. −1 sentinel
+      // when an arm has no starters.
+      val stages = Seq("view", "click", "signup", "purchase")
+      val ev = t(s, d, "events").where(col("event_type").isin(stages: _*))
+      val staged = graft.operators.Series.funnelStageTimes(
+        ev, "user_id", "event_type", "ts", stages)
+      val purRows = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          floor(col("value") * 100 + 0.5).cast("long").as("pc"))
+      val attrWin = col("ts") > col("s2") &&
+        col("ts") <= col("s2") + expr("INTERVAL 30 DAYS")
+      val perUser = staged.join(purRows, Seq("user_id"), "left_outer")
+        .groupBy(col("user_id"), col("s1"), col("s2"), col("s4"))
+        .agg(sum(when(attrWin, col("pc"))).as("attr_c"))
+      val perArm = perUser
+        .withColumn("arm",
+          pmod(Text.tokenHash(col("user_id").cast("string")), lit(2L)))
+        .groupBy(col("arm"))
+        .agg(count(col("s1")).as("starters"),
+          count(col("s4")).as("purchasers"),
+          sum(coalesce(col("attr_c"), lit(0L))).as("attr_rev_c"))
+      val pivCols = Seq(
+        sum(when(col("arm") === 0, col("starters"))).as("cu"),
+        sum(when(col("arm") === 1, col("starters"))).as("tu"),
+        sum(when(col("arm") === 0, col("purchasers"))).as("cp"),
+        sum(when(col("arm") === 1, col("purchasers"))).as("tp"),
+        sum(when(col("arm") === 0, col("attr_rev_c"))).as("cc"),
+        sum(when(col("arm") === 1, col("attr_rev_c"))).as("tc"))
+      perArm.agg(pivCols.head, pivCols.tail: _*)
+        .select(
+          coalesce(col("cu"), lit(0L)).as("ctrl_users"),
+          coalesce(col("tu"), lit(0L)).as("trt_users"),
+          coalesce(col("cp"), lit(0L)).as("ctrl_purchasers"),
+          coalesce(col("tp"), lit(0L)).as("trt_purchasers"),
+          coalesce(col("cc"), lit(0L)).as("ctrl_rev_c"),
+          coalesce(col("tc"), lit(0L)).as("trt_rev_c"))
+        .withColumn("ctrl_rev_per_user_uc", coalesce(
+          expr("(ctrl_rev_c * 10000) div nullif(ctrl_users, 0)"), lit(-1L)))
+        .withColumn("trt_rev_per_user_uc", coalesce(
+          expr("(trt_rev_c * 10000) div nullif(trt_users, 0)"), lit(-1L)))
+        .withColumn("rev_lift_bp", coalesce(
+          expr("(CAST(trt_rev_c AS DECIMAL(38,0)) * ctrl_users * 10000) " +
+            "div nullif(CAST(ctrl_rev_c AS DECIMAL(38,0)) * trt_users, 0)"),
+          lit(-1L)))
+    }),
+
     "b02_join_broadcast" -> ((s, d) =>
       t(s, d, "lineitem")
         .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
@@ -2992,6 +3075,65 @@ object SparkEntry {
         |  COALESCE(CAST((CAST(trt_users AS HUGEINT) * cb * 10000)
         |    // NULLIF(CAST(ctrl_users AS HUGEINT) * tb, 0) AS BIGINT), -1) AS lift_bp
         |FROM st ORDER BY stage""".stripMargin,
+
+    // per-source gate monitor: the classifier score CTE + one slim
+    // documents projection, exact-ppm keep rate by BIGINT floor division
+    "b122_stream_classifier_parity" -> (classifierScoreCteWhere("") + """,
+        |cj AS (
+        |  SELECT d.source, d.n_chars, s.score
+        |  FROM documents d JOIN cscore s USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS total_docs,
+        |  CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+        |  CAST(sum(CASE WHEN score >= 0 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+        |  (CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(count(*) AS BIGINT) AS kept_ppm
+        |FROM cj GROUP BY source ORDER BY source""".stripMargin),
+
+    // b121's funnel CTE + b114's attribution window; the rate lift is
+    // floored in HUGEINT (the b121 rule — DuckDB's // on DECIMAL rounds)
+    "b123_funnel_ab_revenue" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_type, value FROM events
+        |  WHERE event_type IN ('view','click','signup','purchase')),
+        |s1t AS (SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s1 FROM ev),
+        |s2t AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s2 FROM s1t),
+        |s3t AS (SELECT *, min(CASE WHEN event_type = 'signup' AND ts > s2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s3 FROM s2t),
+        |s4t AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s3 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s4 FROM s3t),
+        |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s4) AS s4
+        |      FROM s4t GROUP BY user_id),
+        |pr AS (SELECT user_id, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS pc
+        |  FROM events WHERE event_type = 'purchase'),
+        |pu AS (SELECT u.user_id, u.s1, u.s4,
+        |    COALESCE(sum(CASE WHEN p.ts > u.s2
+        |      AND p.ts <= u.s2 + INTERVAL 30 DAY THEN p.pc END), 0) AS attr_c
+        |  FROM u LEFT JOIN pr p USING (user_id)
+        |  GROUP BY u.user_id, u.s1, u.s2, u.s4),
+        |a AS (SELECT *, CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 2 AS arm FROM pu),
+        |p AS (SELECT
+        |  COALESCE(CAST(count(CASE WHEN arm = 0 THEN s1 END) AS BIGINT), 0) AS ctrl_users,
+        |  COALESCE(CAST(count(CASE WHEN arm = 1 THEN s1 END) AS BIGINT), 0) AS trt_users,
+        |  COALESCE(CAST(count(CASE WHEN arm = 0 THEN s4 END) AS BIGINT), 0) AS ctrl_purchasers,
+        |  COALESCE(CAST(count(CASE WHEN arm = 1 THEN s4 END) AS BIGINT), 0) AS trt_purchasers,
+        |  COALESCE(CAST(sum(CASE WHEN arm = 0 THEN attr_c END) AS BIGINT), 0) AS ctrl_rev_c,
+        |  COALESCE(CAST(sum(CASE WHEN arm = 1 THEN attr_c END) AS BIGINT), 0) AS trt_rev_c
+        |  FROM a)
+        |SELECT ctrl_users, trt_users, ctrl_purchasers, trt_purchasers,
+        |  ctrl_rev_c, trt_rev_c,
+        |  COALESCE((ctrl_rev_c * 10000) // NULLIF(ctrl_users, 0), -1)
+        |    AS ctrl_rev_per_user_uc,
+        |  COALESCE((trt_rev_c * 10000) // NULLIF(trt_users, 0), -1)
+        |    AS trt_rev_per_user_uc,
+        |  COALESCE(CAST((CAST(trt_rev_c AS HUGEINT) * ctrl_users * 10000)
+        |    // NULLIF(CAST(ctrl_rev_c AS HUGEINT) * trt_users, 0) AS BIGINT), -1)
+        |    AS rev_lift_bp
+        |FROM p""".stripMargin,
 
     "b106_tpch_q4" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
@@ -4845,6 +4987,45 @@ object SparkEntry {
         .orderBy(col("kept_c"), col("kept_h"))
     }),
 
+    "c114_classifier_calibration" -> ((s, d) => {
+      // CALIBRATION readout of the learned gate (the natural c109
+      // consumer after the c111 agreement matrix): score-decile ×
+      // empirical keep-rate reliability table, the heuristic gate
+      // (c35's qualityScoreNano ≥ 0.395) standing in for labels — a
+      // well-calibrated quality score should keep monotonically more
+      // heuristic-passing docs per decile. Deciles are EXACT and
+      // engine-reproducible without a per-doc global sort: docs
+      // aggregate per integer score value first (one score exchange,
+      // map-side combined), the cumulative rank runs over the
+      // |distinct scores|-row frame (the c113 small-frame window
+      // discipline — score is a bounded integer sum, so this frame is
+      // tiny at any corpus size), and a score value's docs all land in
+      // the decile of its LAST row: decile = ((cum−1)·10) div N + 1 —
+      // ties never split across calibration bins. Everything BIGINT;
+      // ppm is exact floor division. Off the memoized scored frame +
+      // the c111 heuristic projection — zero new exchange classes.
+      val perScore = t(s, d, "documents")
+        .select(col("doc_id"),
+          (Text.qualityScoreNano(coalesce(col("text"), lit(""))) >=
+            395000000L).as("kept_h"))
+        .join(docClassifierScores(s, d)
+          .select(col("doc_id"), col("score")), "doc_id")
+        .groupBy(col("score"))
+        .agg(count(lit(1)).as("n"), sum(col("kept_h").cast("long")).as("kh"))
+      val wCum = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy()
+      perScore
+        .withColumn("cum", sum(col("n")).over(wCum))
+        .withColumn("nn", sum(col("n")).over(wTot))
+        .withColumn("decile", expr("((cum - 1) * 10) div nn + 1"))
+        .groupBy(col("decile"))
+        .agg(sum(col("n")).as("n_docs"), min(col("score")).as("lo_score"),
+          max(col("score")).as("hi_score"), sum(col("kh")).as("kept_h_docs"))
+        .withColumn("kept_h_ppm", expr("(kept_h_docs * 1000000) div n_docs"))
+        .orderBy(col("decile"))
+    }),
+
     "c106_epoch_allocation" -> ((s, d) =>
       // token-budget epoch allocator: distribute a 2×-corpus token
       // budget across sources ∝ doc count, each source capped at 4
@@ -5734,6 +5915,27 @@ object SparkEntry {
     * exact BIGINT floor division on both engines. The inner join to
     * cscore restricts the documents side to the CTE's corpus slice
     * (doc_id unique), so no second WHERE is needed. */
+  /** The c35 heuristic-gate CTE chain (tokens → length/stopword/diversity
+    * rational → kept_h boolean at the 0.395-nano bar), shared by the c111
+    * agreement matrix and the c114 calibration table so the heuristic leg
+    * can never drift between the two oracles. Appends after a
+    * [[classifierScoreCteWhere]] chain. */
+  private val heuristicGateCteSql = """,
+        |htok AS (
+        |  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS tk
+        |  FROM documents),
+        |hagg AS (
+        |  SELECT doc_id, count(*) AS n, count(DISTINCT tk) AS d,
+        |    sum(CASE WHEN tk IN ('the','a','of','and','to','in','is','it')
+        |        THEN 1 ELSE 0 END) AS st,
+        |    sum(length(tk)) AS l
+        |  FROM htok GROUP BY doc_id),
+        |hq AS (
+        |  SELECT doc_id,
+        |    CAST(((50 * d + 20 * st + 3 * least(l, 10 * n)) * 1000000000 + 50 * n)
+        |         // (100 * n) AS BIGINT) >= 395000000 AS kept_h
+        |  FROM hagg)""".stripMargin
+
   private val classifierYieldTailSql = """,
         |cj AS (
         |  SELECT d.lang, d.n_chars, s.score
@@ -6721,26 +6923,37 @@ object SparkEntry {
     // rational (GROUP-BY counts, never list lambdas — the r5 lesson);
     // the 0.395-nano bar is c35's, near the fixture median so all four
     // matrix cells are populated (the FloorDivSpec degeneracy lesson)
-    "c111_gate_agreement" -> (classifierScoreCteWhere("") + """,
-        |htok AS (
-        |  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS tk
-        |  FROM documents),
-        |hagg AS (
-        |  SELECT doc_id, count(*) AS n, count(DISTINCT tk) AS d,
-        |    sum(CASE WHEN tk IN ('the','a','of','and','to','in','is','it')
-        |        THEN 1 ELSE 0 END) AS st,
-        |    sum(length(tk)) AS l
-        |  FROM htok GROUP BY doc_id),
-        |hq AS (
-        |  SELECT doc_id,
-        |    CAST(((50 * d + 20 * st + 3 * least(l, 10 * n)) * 1000000000 + 50 * n)
-        |         // (100 * n) AS BIGINT) >= 395000000 AS kept_h
-        |  FROM hagg),
+    "c111_gate_agreement" -> (classifierScoreCteWhere("") +
+      heuristicGateCteSql + """,
         |cd AS (SELECT doc_id, (score >= 0) AS kept_c FROM cscore)
         |SELECT cd.kept_c, hq.kept_h, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
         |FROM cd JOIN hq USING (doc_id) JOIN documents d USING (doc_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // reliability table: per-score-value counts first, cumulative rank on
+    // the distinct-score frame, a value's docs take its LAST row's decile
+    // (((cum−1)·10) // N + 1) — the identical rule the Spark side applies,
+    // so ties never split across bins; BIGINT end to end
+    "c114_classifier_calibration" -> (classifierScoreCteWhere("") +
+      heuristicGateCteSql + """,
+        |ps AS (
+        |  SELECT s.score, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN hq.kept_h THEN 1 ELSE 0 END) AS BIGINT) AS kh
+        |  FROM cscore s JOIN hq USING (doc_id) GROUP BY s.score),
+        |cm AS (
+        |  SELECT score, n, kh,
+        |    sum(n) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(n) OVER () AS nn
+        |  FROM ps),
+        |dc AS (SELECT *, ((cum - 1) * 10) // nn + 1 AS decile FROM cm)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(min(score) AS BIGINT) AS lo_score,
+        |  CAST(max(score) AS BIGINT) AS hi_score,
+        |  CAST(sum(kh) AS BIGINT) AS kept_h_docs,
+        |  (CAST(sum(kh) AS BIGINT) * 1000000) // CAST(sum(n) AS BIGINT) AS kept_h_ppm
+        |FROM dc GROUP BY decile ORDER BY decile""".stripMargin),
 
     // closed-form water-filling: sort by cap/weight, prefix sums, the
     // split validity cleared to BIGINT products, 1-row split crossed back

@@ -331,7 +331,12 @@ class PlanSpec extends SparkSpec {
     for ((q, cacheLeaves, parquetLeaves) <- Seq(
         ("c110_classifier_yield", 1, 0),
         ("c111_gate_agreement", 1, 1),
-        ("c112_yield_ivm", 3, 0))) {
+        ("c112_yield_ivm", 3, 0),
+        // r14 consumers: the per-source gate monitor adds one slim
+        // (doc_id, source) scan; the calibration table adds the c111
+        // heuristic projection — both read the scored frame's cache
+        ("b122_stream_classifier_parity", 1, 1),
+        ("c114_classifier_calibration", 1, 1))) {
       val exec = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           a.executedPlan // AQE wrapper is itself a leaf; unwrap to the real tree
@@ -954,6 +959,30 @@ class PlanSpec extends SparkSpec {
       s"stage windows + compaction share ONE user exchange:\n$plan")
     assert(plan.contains("partial_count"),
       s"per-arm counts must map-side combine before the 2-key shuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("funnel A/B revenue: one user exchange shared by stage windows and purchase join") {
+    // the b123 contract (r13 VERDICT #4): the attribution join adds NO new
+    // exchange key — stage windows, the purchase-row join, and the
+    // per-user compaction all hash on user_id; the only other exchanges
+    // are the ≤2-row arm aggregate and the 1-row pivot
+    val plan = physicalPlan(SparkEntry.queries("b123_funnel_ab_revenue")(spark, sf))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length == 1,
+      s"stage windows + purchase join + compaction share ONE user exchange:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"per-arm sums must map-side combine before their shuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("c114 calibration: windows run on the per-score frame after a combined aggregate") {
+    // the decile machinery must never globally sort DOCS: the per-score
+    // aggregate partial-combines map-side, and the cumulative/total
+    // windows run over the |distinct scores|-row frame (the c113
+    // small-frame discipline)
+    val plan = physicalPlan(SparkEntry.queries("c114_classifier_calibration")(spark, sf))
+    assert("partial_(count|sum)".r.findFirstIn(plan).isDefined,
+      s"per-score counts must map-side combine before the score exchange:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 

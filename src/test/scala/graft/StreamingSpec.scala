@@ -432,6 +432,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming per-source gate monitor equals the batch b122 query") {
+    // the b122 graduation contract (r13 VERDICT #1): the live ingest
+    // monitor — score the document stream, stream-static join the slim
+    // (doc_id, source, n_chars) dims, keep per-source gate counts — must
+    // equal the batch query the driver oracles. The dims join is
+    // stateless; the per-source aggregate holds O(|sources|) state at any
+    // corpus size (complete mode reads it back).
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    val dir = tempDir("graft-cls-gate-stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("documents.parquet"), java.nio.file.Paths.get(s"$sf/documents.parquet"))
+    val schema = s.read.parquet(s"$sf/documents.parquet").schema
+    val stream = s.readStream.schema(schema).parquet(dir.toString)
+    val dims = s.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val out = graft.operators.Pipeline.linearClassifierScore(
+        stream, "doc_id", "text",
+        graft.operators.Pipeline.demoClassifierWeights(s, 65536), 65536)
+      .withColumnRenamed("id", "doc_id")
+      .join(dims, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("total_docs"),
+        sum(when(col("score") >= 0L, 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("score") >= 0L, col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .withColumn("kept_ppm", expr("(kept_docs * 1000000) div total_docs"))
+    // two chained stateful aggregates (per-doc score, per-source counts):
+    // the static checker flags the global-watermark pattern, but NO
+    // event-time column exists anywhere in this query (no watermark, no
+    // late discard is possible) — the streamFunnelAbConversion case, so
+    // the same scoped escape hatch; parity below proves the drained
+    // result is exact
+    val q = Streams.withCheckerDisabled(s) {
+      out.writeStream.format("memory").queryName("clsgate")
+        .outputMode("complete").start()
+    }
+    try {
+      q.processAllAvailable()
+      val streamed = s.sql(
+          "SELECT source, total_docs, kept_docs, kept_chars, kept_ppm FROM clsgate")
+        .orderBy("source").collect().map(_.toSeq).toSeq
+      val batch = SparkEntry.queries("b122_stream_classifier_parity")(s, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"stream=$streamed != batch=$batch")
+    } finally q.stop()
+  }
+
   test("funnelStagesWithState N=2 and N=4 parity with the batch stage kernel") {
     // the N-stage machine against Series.funnelStageTimes + the b99
     // horizon cut, on the real events fixture, at two widths
