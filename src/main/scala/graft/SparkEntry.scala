@@ -1249,6 +1249,59 @@ object SparkEntry {
           lit(-1L)))
     }),
 
+    "b124_funnel_ab_ttc" -> ((s, d) => {
+      // per-ARM time-to-convert — "did treatment speed conversions up,
+      // not just raise them?", the latency readout next to b121's rate
+      // readout: for each arm × funnel transition, users reaching the
+      // from-stage, converting users, exact-ppm conversion, and exact
+      // discrete p50/p90 latency hour buckets — pN = the SMALLEST hour
+      // bucket whose cumulative converter count clears N% of converters
+      // (2·cum ≥ n and 10·cum ≥ 9·n in pure BIGINT — no interpolation,
+      // both engines floor identically). Plan: the b120 shape with arm
+      // in every key — ONE user_id exchange for the stage windows
+      // (plan-asserted), the 3-row stack map-side, then windows +
+      // aggregate over the (arm, t, hrs)-bucketed frame, bounded by
+      // 2 arms × 3 transitions × horizon hours, never by user count.
+      // An (arm, transition) with zero converters has no latency rows
+      // and drops out in BOTH engines (from_users would be its only
+      // content; b120 publishes that population).
+      val stages = Seq("view", "click", "signup", "purchase")
+      val staged = graft.operators.Series.funnelStageTimes(
+        t(s, d, "events").where(col("event_type").isin(stages: _*)),
+        "user_id", "event_type", "ts", stages)
+      val trans = staged
+        .withColumn("arm",
+          pmod(Text.tokenHash(col("user_id").cast("string")), lit(2L)))
+        .select(col("arm"), expr(
+          "stack(3, " +
+            "1, 'view_click',      unix_micros(s1), unix_micros(s2), " +
+            "2, 'click_signup',    unix_micros(s2), unix_micros(s3), " +
+            "3, 'signup_purchase', unix_micros(s3), unix_micros(s4)) " +
+            "AS (t, transition, from_us, to_us)"))
+        .where(col("from_us").isNotNull)
+        .select(col("arm"), col("t"), col("transition"),
+          when(col("to_us").isNotNull,
+            expr("(to_us - from_us) div 3600000000")).as("hrs"))
+      val hist = trans.groupBy(col("arm"), col("t"), col("transition"), col("hrs"))
+        .agg(count(lit(1)).as("n_users"))
+      val wAll = Window.partitionBy(col("arm"), col("t"))
+      val wCum = Window.partitionBy(col("arm"), col("t")).orderBy(col("hrs"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("from_users", sum(col("n_users")).over(wAll))
+        .where(col("hrs").isNotNull)
+        .withColumn("conv_users", sum(col("n_users")).over(wAll))
+        .withColumn("cum", sum(col("n_users")).over(wCum))
+        .groupBy(col("arm"), col("t"), col("transition"),
+          col("from_users"), col("conv_users"))
+        .agg(min(when(col("cum") * 2 >= col("conv_users"), col("hrs"))).as("p50_hrs"),
+          min(when(col("cum") * 10 >= col("conv_users") * 9, col("hrs"))).as("p90_hrs"))
+        .select(col("arm"), col("t"), col("transition"),
+          col("from_users"), col("conv_users"),
+          expr("(conv_users * 1000000) div from_users").as("conv_ppm"),
+          col("p50_hrs"), col("p90_hrs"))
+        .orderBy(col("arm"), col("t"))
+    }),
+
     "b02_join_broadcast" -> ((s, d) =>
       t(s, d, "lineitem")
         .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
@@ -3134,6 +3187,47 @@ object SparkEntry {
         |    // NULLIF(CAST(ctrl_rev_c AS HUGEINT) * trt_users, 0) AS BIGINT), -1)
         |    AS rev_lift_bp
         |FROM p""".stripMargin,
+
+    // b120's TTC machinery with the md5 arm in every key; pN = smallest
+    // hour bucket with N% cumulative coverage, pure BIGINT comparisons
+    "b124_funnel_ab_ttc" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('view','click','signup','purchase')),
+        |s1t AS (SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s1 FROM ev),
+        |s2t AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s2 FROM s1t),
+        |s3t AS (SELECT *, min(CASE WHEN event_type = 'signup' AND ts > s2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s3 FROM s2t),
+        |s4t AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s3 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s4 FROM s3t),
+        |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s3) AS s3, max(s4) AS s4
+        |      FROM s4t GROUP BY user_id),
+        |a AS (SELECT *, CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 2 AS arm FROM u),
+        |tr AS (
+        |  SELECT arm, 1 AS t, 'view_click' AS transition,
+        |    epoch_us(s1) AS from_us, epoch_us(s2) AS to_us FROM a
+        |  UNION ALL SELECT arm, 2, 'click_signup', epoch_us(s2), epoch_us(s3) FROM a
+        |  UNION ALL SELECT arm, 3, 'signup_purchase', epoch_us(s3), epoch_us(s4) FROM a),
+        |r AS (SELECT arm, t, transition,
+        |        CASE WHEN to_us IS NOT NULL THEN (to_us - from_us) // 3600000000 END AS hrs
+        |      FROM tr WHERE from_us IS NOT NULL),
+        |h AS (SELECT arm, t, transition, hrs, CAST(count(*) AS BIGINT) AS n_users
+        |      FROM r GROUP BY 1,2,3,4),
+        |f AS (SELECT *, CAST(sum(n_users) OVER (PARTITION BY arm, t) AS BIGINT) AS from_users
+        |      FROM h),
+        |k AS (SELECT *, CAST(sum(n_users) OVER (PARTITION BY arm, t) AS BIGINT) AS conv_users,
+        |        CAST(sum(n_users) OVER (PARTITION BY arm, t ORDER BY hrs
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM f WHERE hrs IS NOT NULL)
+        |SELECT arm, t, transition, from_users, conv_users,
+        |  CAST((conv_users * 1000000) // from_users AS BIGINT) AS conv_ppm,
+        |  CAST(min(CASE WHEN cum * 2 >= conv_users THEN hrs END) AS BIGINT) AS p50_hrs,
+        |  CAST(min(CASE WHEN cum * 10 >= conv_users * 9 THEN hrs END) AS BIGINT) AS p90_hrs
+        |FROM k GROUP BY 1,2,3,4,5 ORDER BY arm, t""".stripMargin,
 
     "b106_tpch_q4" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
@@ -5026,6 +5120,35 @@ object SparkEntry {
         .orderBy(col("decile"))
     }),
 
+    "c115_gate_threshold_advisor" -> ((s, d) => {
+      // threshold ADVISOR for the learned gate — the planner-advisor
+      // pattern (c83 join strategy, c94 LSH params, c105 IVF probes)
+      // applied to the classifier family: per language, the TIGHTEST
+      // threshold on the c110 grid that still keeps at least the target
+      // doc share (500000 ppm = half), i.e. "raise the quality bar as
+      // far as the yield budget allows". Languages where even the
+      // loosest threshold misses the target fall back to that loosest
+      // threshold with qualifies=false — the advisor always answers.
+      // Decision logic is ONE deterministic rank over the curve:
+      // qualifying rows first, tightest (max thr) among them, loosest
+      // (min thr) otherwise. Plan: the c110 plan + one rank window on
+      // the |langs×5|-row curve frame (the c113 small-frame discipline);
+      // reads the memoized scored frame, leaf-asserted.
+      val thr = Seq(-2000L, -1000L, 0L, 1000L, 2000L)
+      val curve = classifierYieldCurve(
+        graft.operators.Pipeline.classifierYieldStateFromScored(
+          docClassifierScores(s, d), "lang", "n_chars", thr), thr)
+      val w = Window.partitionBy(col("lang")).orderBy(
+        col("qualifies").desc,
+        when(col("qualifies"), -col("thr")).otherwise(col("thr")))
+      curve.withColumn("qualifies", col("kept_ppm") >= 500000L)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("lang"), col("thr").as("chosen_thr"), col("total_docs"),
+          col("kept_docs"), col("kept_ppm"), col("qualifies"))
+        .orderBy(col("lang"))
+    }),
+
     "c106_epoch_allocation" -> ((s, d) =>
       // token-budget epoch allocator: distribute a 2×-corpus token
       // budget across sources ∝ doc count, each source capped at 4
@@ -5936,7 +6059,7 @@ object SparkEntry {
         |         // (100 * n) AS BIGINT) >= 395000000 AS kept_h
         |  FROM hagg)""".stripMargin
 
-  private val classifierYieldTailSql = """,
+  private val classifierYieldBodySql = """,
         |cj AS (
         |  SELECT d.lang, d.n_chars, s.score
         |  FROM documents d JOIN cscore s USING (doc_id)),
@@ -5959,7 +6082,12 @@ object SparkEntry {
         |  UNION ALL SELECT lang, -1000, total_docs, kd1, kc1 FROM cg
         |  UNION ALL SELECT lang, 0, total_docs, kd2, kc2 FROM cg
         |  UNION ALL SELECT lang, 1000, total_docs, kd3, kc3 FROM cg
-        |  UNION ALL SELECT lang, 2000, total_docs, kd4, kc4 FROM cg)
+        |  UNION ALL SELECT lang, 2000, total_docs, kd4, kc4 FROM cg)""".stripMargin
+
+  /** The c110/c112 final projection over the stacked `st` frame; split
+    * from [[classifierYieldBodySql]] so the c115 advisor oracle can rank
+    * the identical curve instead of re-deriving it. */
+  private val classifierYieldSelectSql = """
         |SELECT lang, thr, total_docs, kept_docs, kept_chars,
         |  kept_docs * 1000000 // total_docs AS kept_ppm
         |FROM st ORDER BY lang, thr""".stripMargin
@@ -6886,7 +7014,7 @@ object SparkEntry {
     // yield curve: conditional sums per threshold, stacked; ppm is exact
     // BIGINT floor division on both engines
     "c110_classifier_yield" -> (classifierScoreCteWhere("") +
-      classifierYieldTailSql),
+      classifierYieldBodySql + classifierYieldSelectSql),
 
     // the IVM variant: same yield tail, corpus = post-CDC rows (base
     // minus doc_id%10=7 retractions plus the %10=3 inserts = everything
@@ -6917,7 +7045,7 @@ object SparkEntry {
         |WHERE r.rk <= a.alloc ORDER BY lang, rk""".stripMargin,
 
     "c112_yield_ivm" -> (classifierScoreCteWhere(" WHERE doc_id % 10 != 7") +
-      classifierYieldTailSql),
+      classifierYieldBodySql + classifierYieldSelectSql),
 
     // 2x2 agreement: the heuristic leg replays the c35 qualityScoreNano
     // rational (GROUP-BY counts, never list lambdas — the r5 lesson);
@@ -6954,6 +7082,23 @@ object SparkEntry {
         |  CAST(sum(kh) AS BIGINT) AS kept_h_docs,
         |  (CAST(sum(kh) AS BIGINT) * 1000000) // CAST(sum(n) AS BIGINT) AS kept_h_ppm
         |FROM dc GROUP BY decile ORDER BY decile""".stripMargin),
+
+    // advisor = ONE rank over the shared curve body: qualifying rows
+    // first (tightest thr wins), else the loosest thr with
+    // qualifies=false — identical ordering expression on both engines
+    "c115_gate_threshold_advisor" -> (classifierScoreCteWhere("") +
+      classifierYieldBodySql + """,
+        |cv AS (
+        |  SELECT lang, thr, total_docs, kept_docs,
+        |    kept_docs * 1000000 // total_docs AS kept_ppm
+        |  FROM st),
+        |qv AS (SELECT *, (kept_ppm >= 500000) AS qualifies FROM cv),
+        |rkd AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY
+        |    qualifies DESC,
+        |    CASE WHEN qualifies THEN -thr ELSE thr END) AS rk FROM qv)
+        |SELECT lang, CAST(thr AS BIGINT) AS chosen_thr, total_docs,
+        |  kept_docs, CAST(kept_ppm AS BIGINT) AS kept_ppm, qualifies
+        |FROM rkd WHERE rk = 1 ORDER BY lang""".stripMargin),
 
     // closed-form water-filling: sort by cap/weight, prefix sums, the
     // split validity cleared to BIGINT products, 1-row split crossed back

@@ -336,7 +336,9 @@ class PlanSpec extends SparkSpec {
         // (doc_id, source) scan; the calibration table adds the c111
         // heuristic projection — both read the scored frame's cache
         ("b122_stream_classifier_parity", 1, 1),
-        ("c114_classifier_calibration", 1, 1))) {
+        ("c114_classifier_calibration", 1, 1),
+        // the threshold advisor ranks the c110 curve — cache only
+        ("c115_gate_threshold_advisor", 1, 0))) {
       val exec = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           a.executedPlan // AQE wrapper is itself a leaf; unwrap to the real tree
@@ -984,6 +986,20 @@ class PlanSpec extends SparkSpec {
     assert("partial_(count|sum)".r.findFirstIn(plan).isDefined,
       s"per-score counts must map-side combine before the score exchange:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("funnel A/B TTC: one user exchange; latency machinery shuffles only bucketed frames") {
+    // the b120 contract with arm in every key: stage windows share ONE
+    // user exchange; every other exchange is over the (arm, t[, hrs])
+    // bucketed frame — bounded by arms × transitions × horizon hours
+    val plan = physicalPlan(SparkEntry.queries("b124_funnel_ab_ttc")(spark, sf))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length == 1,
+      s"stage windows share ONE user exchange:\n$plan")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges <= 4,
+      s"expected user + bucket/window exchanges only, got $hashExchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("In(event_type"), s"stage-type filter not pushed:\n$plan")
   }
 
   test("TPC-H Q2 min-cost filter is a window on the partkey exchange, not a re-join") {
