@@ -5098,6 +5098,13 @@ object SparkEntry {
       // ties never split across calibration bins. Everything BIGINT;
       // ppm is exact floor division. Off the memoized scored frame +
       // the c111 heuristic projection — zero new exchange classes.
+      // Parallelism note (the c104/c31 1-file-scan rule, disposed): the
+      // heuristic leg runs at SCAN parallelism before its narrow
+      // (doc_id, kept_h) result broadcasts — at production scale that is
+      // many-files-parallel; on the single-file testdata it is one task,
+      // the same audited shape as c111 (~0.5 s at sf0.1). The alternative
+      // — repartitioning (doc_id, text) — would shuffle raw text, the
+      // worse standing-rule violation; raw text never shuffles.
       val perScore = t(s, d, "documents")
         .select(col("doc_id"),
           (Text.qualityScoreNano(coalesce(col("text"), lit(""))) >=
@@ -6033,11 +6040,6 @@ object SparkEntry {
       |    CAST(sum(w) AS BIGINT) AS score
       |  FROM cws GROUP BY doc_id)""".stripMargin
 
-  /** The yield-curve oracle tail shared by c110 (full corpus) and c112
-    * (post-CDC corpus): conditional sums per threshold, stacked; ppm is
-    * exact BIGINT floor division on both engines. The inner join to
-    * cscore restricts the documents side to the CTE's corpus slice
-    * (doc_id unique), so no second WHERE is needed. */
   /** The c35 heuristic-gate CTE chain (tokens → length/stopword/diversity
     * rational → kept_h boolean at the 0.395-nano bar), shared by the c111
     * agreement matrix and the c114 calibration table so the heuristic leg
@@ -6059,6 +6061,13 @@ object SparkEntry {
         |         // (100 * n) AS BIGINT) >= 395000000 AS kept_h
         |  FROM hagg)""".stripMargin
 
+  /** The yield-curve oracle BODY shared by c110 (full corpus), c112
+    * (post-CDC corpus), and the c115 advisor: conditional sums per
+    * threshold, stacked into the `st` frame. The inner join to cscore
+    * restricts the documents side to the CTE's corpus slice (doc_id
+    * unique), so no second WHERE is needed. Consumers append either
+    * [[classifierYieldSelectSql]] (the curve readout) or their own
+    * ranking over `st` built on [[yieldPpmSql]]. */
   private val classifierYieldBodySql = """,
         |cj AS (
         |  SELECT d.lang, d.n_chars, s.score
@@ -6084,12 +6093,16 @@ object SparkEntry {
         |  UNION ALL SELECT lang, 1000, total_docs, kd3, kc3 FROM cg
         |  UNION ALL SELECT lang, 2000, total_docs, kd4, kc4 FROM cg)""".stripMargin
 
+  /** The exact-ppm keep-share formula — defined ONCE so the curve readout
+    * (c110/c112) and the advisor's ranking input (c115) can never diverge. */
+  private val yieldPpmSql = "kept_docs * 1000000 // total_docs AS kept_ppm"
+
   /** The c110/c112 final projection over the stacked `st` frame; split
     * from [[classifierYieldBodySql]] so the c115 advisor oracle can rank
     * the identical curve instead of re-deriving it. */
-  private val classifierYieldSelectSql = """
+  private val classifierYieldSelectSql = s"""
         |SELECT lang, thr, total_docs, kept_docs, kept_chars,
-        |  kept_docs * 1000000 // total_docs AS kept_ppm
+        |  $yieldPpmSql
         |FROM st ORDER BY lang, thr""".stripMargin
 
   /** The c88 BPE oracle CTE chain GENERATED for any k: per round an
@@ -7087,10 +7100,10 @@ object SparkEntry {
     // first (tightest thr wins), else the loosest thr with
     // qualifies=false — identical ordering expression on both engines
     "c115_gate_threshold_advisor" -> (classifierScoreCteWhere("") +
-      classifierYieldBodySql + """,
+      classifierYieldBodySql + s""",
         |cv AS (
         |  SELECT lang, thr, total_docs, kept_docs,
-        |    kept_docs * 1000000 // total_docs AS kept_ppm
+        |    $yieldPpmSql
         |  FROM st),
         |qv AS (SELECT *, (kept_ppm >= 500000) AS qualifies FROM cv),
         |rkd AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY

@@ -516,6 +516,30 @@ object Streams {
         f.dropped_events))
   }
 
+  /** Run `body` — which should call `.start()` on a query whose shape is
+    * proven safe for Spark's stateful-operator static checker (see
+    * [[streamFunnelAbConversion]]'s scaladoc) — with
+    * `statefulOperator.checkCorrectness.enabled=false`, restoring the
+    * caller's prior value in a finally. The checker runs ONCE, during the
+    * analysis `start()` performs, so the flag's effective scope is exactly
+    * the start call: queries started before or after keep the checker.
+    * The set/body/restore window is serialized under a global lock, so
+    * overlapping wrapped starts (even from different threads) can never
+    * interleave their save/restore and strand the flag at false. A query
+    * started concurrently OUTSIDE the wrapper but inside a window would
+    * still skip the check — callers needing that guarantee should build
+    * the stream on a `Sessions.isolated` clone, whose conf the wrapper
+    * then touches instead of the caller's. */
+  def withCheckerDisabled[T](spark: SparkSession)(body: => T): T =
+    checkerLock.synchronized {
+      val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+      val prev = spark.conf.get(key, "true")
+      spark.conf.set(key, "false")
+      try body finally spark.conf.set(key, prev)
+    }
+
+  private[this] val checkerLock = new Object
+
   /** Per-arm A/B funnel conversion MAINTAINED ON THE LIVE STREAM — the
     * streaming counterpart of the batch b121 readout and the next
     * consumer of [[funnelStagesWithState]] (state machine unchanged):
@@ -555,23 +579,6 @@ object Streams {
     * the checker (r13 ADVICE). For complete isolation (concurrent starts
     * on the same session during the window), build the input on a
     * `Sessions.isolated` clone instead; StreamingSpec uses the wrapper. */
-  /** Run `body` — which should call `.start()` on a query whose shape is
-    * proven safe for Spark's stateful-operator static checker (see
-    * [[streamFunnelAbConversion]]'s scaladoc) — with
-    * `statefulOperator.checkCorrectness.enabled=false`, restoring the
-    * caller's prior value in a finally. The checker runs ONCE, during the
-    * analysis `start()` performs, so the flag's effective scope is exactly
-    * the start call: queries started before or after keep the checker.
-    * (A query started CONCURRENTLY on the same session inside the window
-    * would also skip it — callers needing that guarantee should build on a
-    * `Sessions.isolated` clone.) */
-  def withCheckerDisabled[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-    val prev = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
-    try body finally spark.conf.set(key, prev)
-  }
-
   def streamFunnelAbConversion(events: DataFrame, stages: Seq[String],
                                gapMs: Long, delay: String,
                                maxBuffer: Int = 10000): DataFrame = {

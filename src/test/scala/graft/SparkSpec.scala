@@ -28,12 +28,18 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   override def afterAll(): Unit = {
-    // session is shared across suites (stopped by JVM exit); temp dirs are not
+    // session is shared across suites (stopped by JVM exit); temp dirs are
+    // not. Best-effort: close the walk stream, and never let a cleanup
+    // IOException (e.g. a straggler .crc racing the walk snapshot) abort
+    // a suite whose tests all passed.
     import java.nio.file.{Files, Path}
     tmpDirs.synchronized(tmpDirs.toList).foreach { p =>
-      if (Files.exists(p))
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+      try if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
           .forEach(q => Files.deleteIfExists(q))
+        finally walk.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 }
