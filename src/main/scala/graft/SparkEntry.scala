@@ -157,6 +157,34 @@ object SparkEntry {
         expr("(kept_docs * 1000000) div total_docs").as("kept_ppm"))
       .orderBy(col("lang"), col("thr"))
 
+  /** The c114 score-decile × heuristic-keep-rate reliability table,
+    * shared with its c116 monotonicity audit so the two can never
+    * diverge. Decile machinery per the c114 scaladoc: per-score-value
+    * aggregate (one score exchange), cumulative windows on the
+    * |distinct scores|-row frame, last-row decile rule. */
+  private def classifierCalibrationTable(s: SparkSession, d: String): DataFrame = {
+    val perScore = t(s, d, "documents")
+      .select(col("doc_id"),
+        (Text.qualityScoreNano(coalesce(col("text"), lit(""))) >=
+          395000000L).as("kept_h"))
+      .join(docClassifierScores(s, d)
+        .select(col("doc_id"), col("score")), "doc_id")
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("kept_h").cast("long")).as("kh"))
+    val wCum = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy()
+    perScore
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("nn", sum(col("n")).over(wTot))
+      .withColumn("decile", expr("((cum - 1) * 10) div nn + 1"))
+      .groupBy(col("decile"))
+      .agg(sum(col("n")).as("n_docs"), min(col("score")).as("lo_score"),
+        max(col("score")).as("hi_score"), sum(col("kh")).as("kept_h_docs"))
+      .withColumn("kept_h_ppm", expr("(kept_h_docs * 1000000) div n_docs"))
+      .orderBy(col("decile"))
+  }
+
   /** The exact cosine pair graph over embeddings, shared by c05 (pair
     * list) and c20 (semantic dedup clusters). */
   private val embPairsCache = new graft.sources.Memo()
@@ -5105,25 +5133,30 @@ object SparkEntry {
       // the same audited shape as c111 (~0.5 s at sf0.1). The alternative
       // — repartitioning (doc_id, text) — would shuffle raw text, the
       // worse standing-rule violation; raw text never shuffles.
-      val perScore = t(s, d, "documents")
-        .select(col("doc_id"),
-          (Text.qualityScoreNano(coalesce(col("text"), lit(""))) >=
-            395000000L).as("kept_h"))
-        .join(docClassifierScores(s, d)
-          .select(col("doc_id"), col("score")), "doc_id")
-        .groupBy(col("score"))
-        .agg(count(lit(1)).as("n"), sum(col("kept_h").cast("long")).as("kh"))
-      val wCum = Window.orderBy(col("score"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wTot = Window.partitionBy()
-      perScore
-        .withColumn("cum", sum(col("n")).over(wCum))
-        .withColumn("nn", sum(col("n")).over(wTot))
-        .withColumn("decile", expr("((cum - 1) * 10) div nn + 1"))
-        .groupBy(col("decile"))
-        .agg(sum(col("n")).as("n_docs"), min(col("score")).as("lo_score"),
-          max(col("score")).as("hi_score"), sum(col("kh")).as("kept_h_docs"))
-        .withColumn("kept_h_ppm", expr("(kept_h_docs * 1000000) div n_docs"))
+      classifierCalibrationTable(s, d)
+    }),
+
+    "c116_calibration_audit" -> ((s, d) => {
+      // the b80 audit-boolean discipline applied to c114: per decile,
+      // is the empirical keep-rate monotone non-decreasing vs the
+      // previous decile, plus the table-wide violation count — so the
+      // calibration table becomes a machine-checkable regression signal
+      // (a nightly pipeline alerts on violations_total > 0 instead of a
+      // human reading ten ppm numbers). Both engines compute the SAME
+      // booleans from the same exact-integer table — never a "close
+      // enough" float comparison. Plan: the c114 plan + a lag window
+      // and a count window on the 10-row decile frame (the c113
+      // small-frame discipline); first decile is vacuously monotone.
+      val wLag = Window.orderBy(col("decile"))
+      val wAll = Window.partitionBy()
+      classifierCalibrationTable(s, d)
+        .select(col("decile"), col("n_docs"), col("kept_h_ppm"))
+        .withColumn("prev_ppm",
+          coalesce(lag(col("kept_h_ppm"), 1).over(wLag), lit(-1L)))
+        .withColumn("monotone_up",
+          col("prev_ppm") === -1L || col("kept_h_ppm") >= col("prev_ppm"))
+        .withColumn("violations_total",
+          sum(when(col("monotone_up"), 0L).otherwise(1L)).over(wAll))
         .orderBy(col("decile"))
     }),
 
@@ -6092,6 +6125,30 @@ object SparkEntry {
         |  UNION ALL SELECT lang, 0, total_docs, kd2, kc2 FROM cg
         |  UNION ALL SELECT lang, 1000, total_docs, kd3, kc3 FROM cg
         |  UNION ALL SELECT lang, 2000, total_docs, kd4, kc4 FROM cg)""".stripMargin
+
+  /** The c114 reliability-table CTE chain (per-score counts → cumulative
+    * rank → last-row deciles → the grouped `cal` frame), shared by the
+    * c114 readout and the c116 monotonicity audit so the table and its
+    * audit can never drift. Appends after [[heuristicGateCteSql]]. */
+  private val calibrationCteSql = """,
+        |ps AS (
+        |  SELECT s.score, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN hq.kept_h THEN 1 ELSE 0 END) AS BIGINT) AS kh
+        |  FROM cscore s JOIN hq USING (doc_id) GROUP BY s.score),
+        |cm AS (
+        |  SELECT score, n, kh,
+        |    sum(n) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(n) OVER () AS nn
+        |  FROM ps),
+        |dc AS (SELECT *, ((cum - 1) * 10) // nn + 1 AS decile FROM cm),
+        |cal AS (
+        |  SELECT CAST(decile AS BIGINT) AS decile,
+        |    CAST(sum(n) AS BIGINT) AS n_docs,
+        |    CAST(min(score) AS BIGINT) AS lo_score,
+        |    CAST(max(score) AS BIGINT) AS hi_score,
+        |    CAST(sum(kh) AS BIGINT) AS kept_h_docs,
+        |    (CAST(sum(kh) AS BIGINT) * 1000000) // CAST(sum(n) AS BIGINT) AS kept_h_ppm
+        |  FROM dc GROUP BY decile)""".stripMargin
 
   /** The exact-ppm keep-share formula — defined ONCE so the curve readout
     * (c110/c112) and the advisor's ranking input (c115) can never diverge. */
@@ -7077,24 +7134,23 @@ object SparkEntry {
     // (((cum−1)·10) // N + 1) — the identical rule the Spark side applies,
     // so ties never split across bins; BIGINT end to end
     "c114_classifier_calibration" -> (classifierScoreCteWhere("") +
-      heuristicGateCteSql + """,
-        |ps AS (
-        |  SELECT s.score, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(CASE WHEN hq.kept_h THEN 1 ELSE 0 END) AS BIGINT) AS kh
-        |  FROM cscore s JOIN hq USING (doc_id) GROUP BY s.score),
-        |cm AS (
-        |  SELECT score, n, kh,
-        |    sum(n) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum,
-        |    sum(n) OVER () AS nn
-        |  FROM ps),
-        |dc AS (SELECT *, ((cum - 1) * 10) // nn + 1 AS decile FROM cm)
-        |SELECT CAST(decile AS BIGINT) AS decile,
-        |  CAST(sum(n) AS BIGINT) AS n_docs,
-        |  CAST(min(score) AS BIGINT) AS lo_score,
-        |  CAST(max(score) AS BIGINT) AS hi_score,
-        |  CAST(sum(kh) AS BIGINT) AS kept_h_docs,
-        |  (CAST(sum(kh) AS BIGINT) * 1000000) // CAST(sum(n) AS BIGINT) AS kept_h_ppm
-        |FROM dc GROUP BY decile ORDER BY decile""".stripMargin),
+      heuristicGateCteSql + calibrationCteSql + """
+        |SELECT decile, n_docs, lo_score, hi_score, kept_h_docs, kept_h_ppm
+        |FROM cal ORDER BY decile""".stripMargin),
+
+    // the audit replays the SAME cal CTE + a lag window over the 10-row
+    // decile frame; first decile vacuously monotone (prev_ppm = -1)
+    "c116_calibration_audit" -> (classifierScoreCteWhere("") +
+      heuristicGateCteSql + calibrationCteSql + """,
+        |lg AS (
+        |  SELECT decile, n_docs, kept_h_ppm,
+        |    COALESCE(lag(kept_h_ppm) OVER (ORDER BY decile), -1) AS prev_ppm
+        |  FROM cal)
+        |SELECT decile, n_docs, kept_h_ppm, prev_ppm,
+        |  (prev_ppm = -1 OR kept_h_ppm >= prev_ppm) AS monotone_up,
+        |  CAST(sum(CASE WHEN prev_ppm = -1 OR kept_h_ppm >= prev_ppm
+        |    THEN 0 ELSE 1 END) OVER () AS BIGINT) AS violations_total
+        |FROM lg ORDER BY decile""".stripMargin),
 
     // advisor = ONE rank over the shared curve body: qualifying rows
     // first (tightest thr wins), else the loosest thr with
