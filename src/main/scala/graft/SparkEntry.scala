@@ -1238,11 +1238,20 @@ object SparkEntry {
       // a cleared ratio-of-ratios in basis points:
       //   rev_lift_bp = (trt_c·ctrl_u1·10000) div (ctrl_c·trt_u1)
       // computed in DECIMAL(38,0) / HUGEINT (the b121 floor rule — both
-      // engines floor, never round). Plan: the stage windows and the
-      // purchase join both hash on user_id — ONE user exchange
-      // (plan-asserted); the per-arm aggregate partial-compacts to ≤2
-      // rows per task; the lift pivot runs on a 1-row frame. −1 sentinel
-      // when an arm has no starters.
+      // engines floor, never round). The single division is load-bearing:
+      // splitting it (div by trt_users first) compounds two floors and
+      // changes the value, so exactness requires the full products. Plan:
+      // the stage windows and the purchase join both hash on user_id —
+      // ONE user exchange (plan-asserted); the per-arm aggregate
+      // partial-compacts to ≤2 rows per task; the lift pivot runs on a
+      // 1-row frame. −1 sentinel when an arm has no starters or ctrl
+      // revenue is zero — and, on the Spark side only, if the 38-digit
+      // product ever overflowed (non-ANSI DECIMAL overflow → null →
+      // coalesce; DuckDB's HUGEINT would raise instead, r14 ADVICE).
+      // That path needs rev_cents·users ≥ 10^34 — at full-planet scale
+      // (10^10 users × $10^11 in cents) the product is ~10^23, eleven
+      // orders below the cliff, so the overload is documented rather
+      // than disambiguated.
       val stages = Seq("view", "click", "signup", "purchase")
       val ev = t(s, d, "events").where(col("event_type").isin(stages: _*))
       val staged = graft.operators.Series.funnelStageTimes(

@@ -516,29 +516,31 @@ object Streams {
         f.dropped_events))
   }
 
-  /** Run `body` — which should call `.start()` on a query whose shape is
-    * proven safe for Spark's stateful-operator static checker (see
-    * [[streamFunnelAbConversion]]'s scaladoc) — with
-    * `statefulOperator.checkCorrectness.enabled=false`, restoring the
-    * caller's prior value in a finally. The checker runs ONCE, during the
-    * analysis `start()` performs, so the flag's effective scope is exactly
-    * the start call: queries started before or after keep the checker.
-    * The set/body/restore window is serialized under a global lock, so
-    * overlapping wrapped starts (even from different threads) can never
-    * interleave their save/restore and strand the flag at false. A query
-    * started concurrently OUTSIDE the wrapper but inside a window would
-    * still skip the check — callers needing that guarantee should build
-    * the stream on a `Sessions.isolated` clone, whose conf the wrapper
-    * then touches instead of the caller's. */
-  def withCheckerDisabled[T](spark: SparkSession)(body: => T): T =
-    checkerLock.synchronized {
-      val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-      val prev = spark.conf.get(key, "true")
-      spark.conf.set(key, "false")
-      try body finally spark.conf.set(key, prev)
-    }
-
-  private[this] val checkerLock = new Object
+  /** Run `body` with a session on which Spark's stateful-operator static
+    * checker is disabled — for query shapes PROVEN safe despite the
+    * checker's conservative rejection (see [[streamFunnelAbConversion]]'s
+    * scaladoc for the proof obligation).
+    *
+    * The body receives a `Sessions.isolated` CLONE of `spark` (same
+    * SparkContext, caller's modifiable conf copied over, plus
+    * `statefulOperator.checkCorrectness.enabled=false`) and must BUILD the
+    * stream and call `.start()` on that clone: Spark reads the flag from
+    * the DataFrame's own session at start-time analysis, so a stream built
+    * on the original session would still be checked — and, symmetrically,
+    * nothing this wrapper does can ever affect the original session. That
+    * is the r14 ADVICE fix: the previous implementation set/restored the
+    * flag on the CALLER's session under a lock, which was scoped but still
+    * a shared-conf mutation — a query started concurrently outside the
+    * wrapper during the window silently skipped the checker. With the
+    * clone built internally there is no shared state, hence no lock and no
+    * restore; unrelated queries on the caller's session keep the checker
+    * unconditionally. Memory-sink tables the started query registers live
+    * in the CLONE's catalog (temp views are per-session) — readers must go
+    * through the clone, so bodies typically return it alongside the query
+    * handle. */
+  def withCheckerDisabled[T](spark: SparkSession)(body: SparkSession => T): T =
+    body(graft.operators.Sessions.isolated(spark,
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled" -> "false"))
 
   /** Per-arm A/B funnel conversion MAINTAINED ON THE LIVE STREAM — the
     * streaming counterpart of the batch b121 readout and the next
@@ -573,12 +575,11 @@ object Streams {
     * start the query with
     * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
     * (Spark's own documented escape hatch for exactly this understood-risk
-    * case) — wrap the `start()` in [[withCheckerDisabled]], which scopes
-    * the flag to exactly the start call and restores the caller's prior
-    * value in a finally, so other streaming queries on the session keep
-    * the checker (r13 ADVICE). For complete isolation (concurrent starts
-    * on the same session during the window), build the input on a
-    * `Sessions.isolated` clone instead; StreamingSpec uses the wrapper. */
+    * case) — build AND `start()` the stream inside [[withCheckerDisabled]],
+    * which hands the body a conf-isolated session clone carrying the flag,
+    * so the caller's session is never touched and every other query keeps
+    * the checker unconditionally (r13+r14 ADVICE); StreamingSpec uses the
+    * wrapper. */
   def streamFunnelAbConversion(events: DataFrame, stages: Seq[String],
                                gapMs: Long, delay: String,
                                maxBuffer: Int = 10000): DataFrame = {

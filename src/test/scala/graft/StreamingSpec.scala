@@ -331,27 +331,30 @@ class StreamingSpec extends SparkSpec {
     // later, inside the allowed lateness) — buffer-until-close must
     // revise s1 and qualify the click, so trt's u2 count includes u4.
     val s = spark; import s.implicits._
-    implicit val sqlCtx = s.sqlContext
     val stages = Seq("view", "click", "signup", "purchase")
     // the downstream aggregate is GLOBAL (no event-time column), so the
     // late-row risk Spark's static checker guards against cannot occur —
-    // see the streamFunnelAbConversion scaladoc; withCheckerDisabled
-    // scopes the flag to the start() call and restores it
-    val mem = MemoryStream[Ev]
-    mem.addData(
-      Ev(1, 1, "view", 0, ts(1)), Ev(2, 1, "click", 0, ts(2)),
-      Ev(3, 1, "signup", 0, ts(3)), Ev(4, 1, "purchase", 0, ts(4)),
-      Ev(5, 2, "view", 0, ts(1)), Ev(6, 2, "click", 0, ts(3)),
-      Ev(7, 5, "view", 0, ts(2)),
-      Ev(8, 3, "view", 0, ts(1)), Ev(9, 3, "click", 0, ts(2)),
-      Ev(10, 3, "signup", 0, ts(4)), Ev(11, 3, "purchase", 0, ts(5)),
-      Ev(12, 4, "click", 0, ts(2)), // u4: click first...
-      Ev(13, 7, "view", 0, ts(3)))
-    val out = Streams.streamFunnelAbConversion(mem.toDF(), stages,
-      gapMs = 10 * 60 * 1000, delay = "30 minutes")
-    val q = Streams.withCheckerDisabled(s) {
-      out.writeStream.format("memory").queryName("funnelab")
-        .outputMode("complete").start()
+    // see the streamFunnelAbConversion scaladoc; withCheckerDisabled hands
+    // the body a conf-isolated clone carrying the disabled flag, and the
+    // stream must be BUILT on that clone (Spark reads the flag from the
+    // DataFrame's session at start), so `s` keeps the checker throughout.
+    // The memory sink registers in the clone's catalog → reads go via cs.
+    val (q, mem, cs) = Streams.withCheckerDisabled(s) { cs =>
+      implicit val sqlCtx = cs.sqlContext
+      val mem = MemoryStream[Ev]
+      mem.addData(
+        Ev(1, 1, "view", 0, ts(1)), Ev(2, 1, "click", 0, ts(2)),
+        Ev(3, 1, "signup", 0, ts(3)), Ev(4, 1, "purchase", 0, ts(4)),
+        Ev(5, 2, "view", 0, ts(1)), Ev(6, 2, "click", 0, ts(3)),
+        Ev(7, 5, "view", 0, ts(2)),
+        Ev(8, 3, "view", 0, ts(1)), Ev(9, 3, "click", 0, ts(2)),
+        Ev(10, 3, "signup", 0, ts(4)), Ev(11, 3, "purchase", 0, ts(5)),
+        Ev(12, 4, "click", 0, ts(2)), // u4: click first...
+        Ev(13, 7, "view", 0, ts(3)))
+      val out = Streams.streamFunnelAbConversion(mem.toDF(), stages,
+        gapMs = 10 * 60 * 1000, delay = "30 minutes")
+      (out.writeStream.format("memory").queryName("funnelab")
+        .outputMode("complete").start(), mem, cs)
     }
     try {
       q.processAllAvailable()
@@ -363,7 +366,7 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData(Ev(16, 11, "click", 0, Timestamp.valueOf("2024-01-01 12:01:00")))
       q.processAllAvailable()
-      val streamed = s.sql(
+      val streamed = cs.sql(
           "SELECT arm, u1, u2, u3, u4, dropped_events FROM funnelab")
         .orderBy("arm").collect().map(_.toSeq).toSeq
       // hand expectation: both arms 3 starters, 2 clickers (u4 ONLY via
@@ -445,32 +448,35 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("documents.parquet"), java.nio.file.Paths.get(s"$sf/documents.parquet"))
     val schema = s.read.parquet(s"$sf/documents.parquet").schema
-    val stream = s.readStream.schema(schema).parquet(dir.toString)
-    val dims = s.read.parquet(s"$sf/documents.parquet")
-      .select(col("doc_id"), col("source"), col("n_chars"))
-    val out = graft.operators.Pipeline.linearClassifierScore(
-        stream, "doc_id", "text",
-        graft.operators.Pipeline.demoClassifierWeights(s, 65536), 65536)
-      .withColumnRenamed("id", "doc_id")
-      .join(dims, "doc_id")
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("total_docs"),
-        sum(when(col("score") >= 0L, 1L).otherwise(0L)).as("kept_docs"),
-        sum(when(col("score") >= 0L, col("n_chars")).otherwise(0L)).as("kept_chars"))
-      .withColumn("kept_ppm", expr("(kept_docs * 1000000) div total_docs"))
     // two chained stateful aggregates (per-doc score, per-source counts):
     // the static checker flags the global-watermark pattern, but NO
     // event-time column exists anywhere in this query (no watermark, no
     // late discard is possible) — the streamFunnelAbConversion case, so
-    // the same scoped escape hatch; parity below proves the drained
-    // result is exact
-    val q = Streams.withCheckerDisabled(s) {
-      out.writeStream.format("memory").queryName("clsgate")
-        .outputMode("complete").start()
+    // the same scoped escape hatch: the whole stream is built on the
+    // wrapper's conf-isolated clone (the flag is read from the
+    // DataFrame's session at start; s keeps the checker) and the memory
+    // sink lands in the clone's catalog. Parity below proves the drained
+    // result is exact.
+    val (q, cs) = Streams.withCheckerDisabled(s) { cs =>
+      val stream = cs.readStream.schema(schema).parquet(dir.toString)
+      val dims = cs.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val out = graft.operators.Pipeline.linearClassifierScore(
+          stream, "doc_id", "text",
+          graft.operators.Pipeline.demoClassifierWeights(cs, 65536), 65536)
+        .withColumnRenamed("id", "doc_id")
+        .join(dims, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("total_docs"),
+          sum(when(col("score") >= 0L, 1L).otherwise(0L)).as("kept_docs"),
+          sum(when(col("score") >= 0L, col("n_chars")).otherwise(0L)).as("kept_chars"))
+        .withColumn("kept_ppm", expr("(kept_docs * 1000000) div total_docs"))
+      (out.writeStream.format("memory").queryName("clsgate")
+        .outputMode("complete").start(), cs)
     }
     try {
       q.processAllAvailable()
-      val streamed = s.sql(
+      val streamed = cs.sql(
           "SELECT source, total_docs, kept_docs, kept_chars, kept_ppm FROM clsgate")
         .orderBy("source").collect().map(_.toSeq).toSeq
       val batch = SparkEntry.queries("b122_stream_classifier_parity")(s, sf)
