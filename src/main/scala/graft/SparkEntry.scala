@@ -171,13 +171,35 @@ object SparkEntry {
     calibCache.getOrElseUpdate((s, d)) { buildCalibrationTable(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) }
 
-  private def buildCalibrationTable(s: SparkSession, d: String): DataFrame = {
-    val perScore = t(s, d, "documents")
-      .select(col("doc_id"),
-        (Text.qualityScoreNano(coalesce(col("text"), lit(""))) >=
-          395000000L).as("kept_h"))
-      .join(docClassifierScores(s, d)
-        .select(col("doc_id"), col("score")), "doc_id")
+  /** Per-doc (doc_id, kept_h, score) gate bits — the narrow frame every
+    * calibration-family consumer aggregates. MEMOIZED separately from the
+    * 10-row table (r15, for the c117 drift readout): the drift query needs
+    * the SAME bits re-aggregated under a corpus-slice filter, and without
+    * this memo each slice would re-pay the heuristic full-text scan — the
+    * dominant cost of the family. ~3 narrow columns × |docs| rows persisted;
+    * raw text never leaves the scan. */
+  private val gateBitsCache = new graft.sources.Memo()
+
+  private def docGateBits(s: SparkSession, d: String): DataFrame =
+    gateBitsCache.getOrElseUpdate((s, d)) {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          (Text.qualityScoreNano(coalesce(col("text"), lit(""))) >=
+            395000000L).as("kept_h"))
+        .join(docClassifierScores(s, d)
+          .select(col("doc_id"), col("score")), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private def buildCalibrationTable(s: SparkSession, d: String): DataFrame =
+    calibrationTableOf(docGateBits(s, d))
+
+  /** The c114 decile machinery over any (score, kept_h) bits frame — ONE
+    * definition shared by the full-corpus table (c114/c116 via the memo)
+    * and the c117 drift readout's per-generation slices, so a generation's
+    * table can never be computed by a different rule than the current one. */
+  private def calibrationTableOf(bits: DataFrame): DataFrame = {
+    val perScore = bits
       .groupBy(col("score"))
       .agg(count(lit(1)).as("n"), sum(col("kept_h").cast("long")).as("kh"))
     val wCum = Window.orderBy(col("score"))
@@ -192,6 +214,60 @@ object SparkEntry {
         max(col("score")).as("hi_score"), sum(col("kh")).as("kept_h_docs"))
       .withColumn("kept_h_ppm", expr("(kept_h_docs * 1000000) div n_docs"))
       .orderBy(col("decile"))
+  }
+
+  /** The b124 per-(arm, transition, hour-bucket) cumulative-coverage frame
+    * — funnel stage times (ONE user_id exchange), md5 arm split, the
+    * 3-row-per-user transition stack, per-bucket histogram, then
+    * from/conv/cum window sums on the (arm,t,hrs)-bounded frame. ONE
+    * definition shared by the b124 per-arm readout and the b125 contrast
+    * so the two can never disagree on the bucketing or coverage rule.
+    * `from_users` is computed BEFORE the non-converter (null-hrs) rows
+    * drop; `conv_users`/`cum` after — the b124 oracle's f/k split.
+    *
+    * MEMOIZED (the docClassifierScores posture, r15): the b125 verdict
+    * consumes the frame three times (per-arm percentiles, the pivot, the
+    * coverage leg) — unmemoized, each consumption replays the whole
+    * user-exchange funnel machinery from the parquet scan (measured: 3
+    * events scans + 3 user exchanges in the static plan). The frame is
+    * the family's materialized view: ≤ 2 arms × 3 transitions × horizon
+    * hours rows persisted, the user-scale work paid once per
+    * (session, sfDir). */
+  private val ttcFrameCache = new graft.sources.Memo()
+
+  private def funnelAbTtcCumFrame(s: SparkSession, d: String): DataFrame =
+    ttcFrameCache.getOrElseUpdate((s, d)) {
+      buildFunnelAbTtcCumFrame(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private def buildFunnelAbTtcCumFrame(s: SparkSession, d: String): DataFrame = {
+    val stages = Seq("view", "click", "signup", "purchase")
+    val staged = graft.operators.Series.funnelStageTimes(
+      t(s, d, "events").where(col("event_type").isin(stages: _*)),
+      "user_id", "event_type", "ts", stages)
+    val trans = staged
+      .withColumn("arm",
+        pmod(Text.tokenHash(col("user_id").cast("string")), lit(2L)))
+      .select(col("arm"), expr(
+        "stack(3, " +
+          "1, 'view_click',      unix_micros(s1), unix_micros(s2), " +
+          "2, 'click_signup',    unix_micros(s2), unix_micros(s3), " +
+          "3, 'signup_purchase', unix_micros(s3), unix_micros(s4)) " +
+          "AS (t, transition, from_us, to_us)"))
+      .where(col("from_us").isNotNull)
+      .select(col("arm"), col("t"), col("transition"),
+        when(col("to_us").isNotNull,
+          expr("(to_us - from_us) div 3600000000")).as("hrs"))
+    val hist = trans.groupBy(col("arm"), col("t"), col("transition"), col("hrs"))
+      .agg(count(lit(1)).as("n_users"))
+    val wAll = Window.partitionBy(col("arm"), col("t"))
+    val wCum = Window.partitionBy(col("arm"), col("t")).orderBy(col("hrs"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("from_users", sum(col("n_users")).over(wAll))
+      .where(col("hrs").isNotNull)
+      .withColumn("conv_users", sum(col("n_users")).over(wAll))
+      .withColumn("cum", sum(col("n_users")).over(wCum))
   }
 
   /** The exact cosine pair graph over embeddings, shared by c05 (pair
@@ -226,7 +302,9 @@ object SparkEntry {
     embeddingPairGraph(s, d).count()
     psDerived(s, d).count()
     docClassifierScores(s, d).count()
+    docGateBits(s, d).count()
     classifierCalibrationTable(s, d).count()
+    funnelAbTtcCumFrame(s, d).count()
     // One-time builds that live INSIDE query builders rather than in a
     // named memo (r11 VERDICT #1: at runs=1 these landed in the timed
     // ledger — c36 paid its corpus band-index persist, c63 its
@@ -1305,39 +1383,18 @@ object SparkEntry {
       // bucket whose cumulative converter count clears N% of converters
       // (2·cum ≥ n and 10·cum ≥ 9·n in pure BIGINT — no interpolation,
       // both engines floor identically). Plan: the b120 shape with arm
-      // in every key — ONE user_id exchange for the stage windows
-      // (plan-asserted), the 3-row stack map-side, then windows +
-      // aggregate over the (arm, t, hrs)-bucketed frame, bounded by
-      // 2 arms × 3 transitions × horizon hours, never by user count.
+      // in every key — ONE user_id exchange for the stage windows, the
+      // 3-row stack map-side, then windows + aggregate over the
+      // (arm, t, hrs)-bucketed frame, bounded by 2 arms × 3 transitions
+      // × horizon hours, never by user count. Since r15 that machinery
+      // lives in the MEMOIZED funnelAbTtcCumFrame (the b125 contrast
+      // consumes it three times); this readout is a cache read + one
+      // bounded-frame aggregate, and the user-exchange assert runs
+      // against the frame's embedded build plan (PlanSpec).
       // An (arm, transition) with zero converters has no latency rows
       // and drops out in BOTH engines (from_users would be its only
       // content; b120 publishes that population).
-      val stages = Seq("view", "click", "signup", "purchase")
-      val staged = graft.operators.Series.funnelStageTimes(
-        t(s, d, "events").where(col("event_type").isin(stages: _*)),
-        "user_id", "event_type", "ts", stages)
-      val trans = staged
-        .withColumn("arm",
-          pmod(Text.tokenHash(col("user_id").cast("string")), lit(2L)))
-        .select(col("arm"), expr(
-          "stack(3, " +
-            "1, 'view_click',      unix_micros(s1), unix_micros(s2), " +
-            "2, 'click_signup',    unix_micros(s2), unix_micros(s3), " +
-            "3, 'signup_purchase', unix_micros(s3), unix_micros(s4)) " +
-            "AS (t, transition, from_us, to_us)"))
-        .where(col("from_us").isNotNull)
-        .select(col("arm"), col("t"), col("transition"),
-          when(col("to_us").isNotNull,
-            expr("(to_us - from_us) div 3600000000")).as("hrs"))
-      val hist = trans.groupBy(col("arm"), col("t"), col("transition"), col("hrs"))
-        .agg(count(lit(1)).as("n_users"))
-      val wAll = Window.partitionBy(col("arm"), col("t"))
-      val wCum = Window.partitionBy(col("arm"), col("t")).orderBy(col("hrs"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      hist.withColumn("from_users", sum(col("n_users")).over(wAll))
-        .where(col("hrs").isNotNull)
-        .withColumn("conv_users", sum(col("n_users")).over(wAll))
-        .withColumn("cum", sum(col("n_users")).over(wCum))
+      funnelAbTtcCumFrame(s, d)
         .groupBy(col("arm"), col("t"), col("transition"),
           col("from_users"), col("conv_users"))
         .agg(min(when(col("cum") * 2 >= col("conv_users"), col("hrs"))).as("p50_hrs"),
@@ -1347,6 +1404,71 @@ object SparkEntry {
           expr("(conv_users * 1000000) div from_users").as("conv_ppm"),
           col("p50_hrs"), col("p90_hrs"))
         .orderBy(col("arm"), col("t"))
+    }),
+
+    "b125_funnel_ab_ttc_contrast" -> ((s, d) => {
+      // the per-arm TTC percentile CONTRAST — "is the speedup real?", the
+      // decision readout over b124's raw per-arm table (r14 roadmap): one
+      // row per funnel transition with both arms' converter counts and
+      // p50/p90 hour buckets side by side, the percentile deltas, and two
+      // integer-cleared verdict booleans. The significance device is
+      // stochastic-dominance-at-the-median, all in cleared BIGINT
+      // products (never a ratio): trt_cov_at_ctrl_p50 = treatment
+      // converters landing at or under CONTROL's p50 bucket, then
+      //   trt_faster_at_median: 2·cov ≥ trt_convs     (≥50 % — the sign)
+      //   speedup_cleared:     20·cov ≥ 11·trt_convs  (≥55 % — 5-pt
+      //     margin) AND both arms ≥ 20 converters (the sample floor; an
+      //     underpowered transition can never clear, it reports sign
+      //     only). On the fixture the md5 split is iid — no real
+      //     treatment effect exists — so cleared=false on every
+      //     transition at every sf IS the truthful verdict (the sign
+      //     boolean flips by noise: 2 true / 1 false at sf0.1), and the
+      //     margin comparison sits within 4 % of the bar at sf0.1, so a
+      //     broken clearing product still flips the oracle.
+      //     Sentinel propagation: an arm absent from a transition
+      //     surfaces as convs=0 / percentiles −1 and both booleans false;
+      //     the deltas are then vs −1 and meaningless — a consumer gates
+      //     on the convs columns first (the b120 population discipline).
+      // Plan: three cache reads of the MEMOIZED funnelAbTtcCumFrame (the
+      // user-scale funnel machinery — one user_id exchange — is paid once
+      // in the memo build, plan-asserted there); everything here (pivot,
+      // coverage join, verdicts) runs on the (arm,t,hrs)-bounded frame:
+      // ≤ 2 arms × 3 transitions × horizon hours rows, never user count;
+      // the coverage leg joins two sub-frames of that same bounded frame
+      // on t (≤3 keys, broadcast).
+      val k = funnelAbTtcCumFrame(s, d)
+      val pct = k.groupBy(col("arm"), col("t"), col("transition"),
+          col("conv_users"))
+        .agg(min(when(col("cum") * 2 >= col("conv_users"), col("hrs"))).as("p50_hrs"),
+          min(when(col("cum") * 10 >= col("conv_users") * 9, col("hrs"))).as("p90_hrs"))
+      val pv = pct.groupBy(col("t"), col("transition"))
+        .agg(
+          coalesce(max(when(col("arm") === 0, col("conv_users"))), lit(0L)).as("ctrl_convs"),
+          coalesce(max(when(col("arm") === 1, col("conv_users"))), lit(0L)).as("trt_convs"),
+          coalesce(max(when(col("arm") === 0, col("p50_hrs"))), lit(-1L)).as("ctrl_p50_hrs"),
+          coalesce(max(when(col("arm") === 1, col("p50_hrs"))), lit(-1L)).as("trt_p50_hrs"),
+          coalesce(max(when(col("arm") === 0, col("p90_hrs"))), lit(-1L)).as("ctrl_p90_hrs"),
+          coalesce(max(when(col("arm") === 1, col("p90_hrs"))), lit(-1L)).as("trt_p90_hrs"))
+      val cov = pv.select(col("t"), col("ctrl_p50_hrs"))
+        .join(k.where(col("arm") === 1)
+          .select(col("t"), col("hrs"), col("n_users")), Seq("t"), "left_outer")
+        .groupBy(col("t"))
+        .agg(coalesce(sum(when(col("hrs") <= col("ctrl_p50_hrs"),
+          col("n_users"))), lit(0L)).as("trt_cov_at_ctrl_p50"))
+      pv.join(cov, Seq("t"))
+        .select(col("t"), col("transition"), col("ctrl_convs"), col("trt_convs"),
+          col("ctrl_p50_hrs"), col("trt_p50_hrs"),
+          col("ctrl_p90_hrs"), col("trt_p90_hrs"),
+          (col("trt_p50_hrs") - col("ctrl_p50_hrs")).as("d_p50_hrs"),
+          (col("trt_p90_hrs") - col("ctrl_p90_hrs")).as("d_p90_hrs"),
+          col("trt_cov_at_ctrl_p50"),
+          (col("ctrl_convs") > 0L && col("trt_convs") > 0L &&
+            col("trt_cov_at_ctrl_p50") * 2 >= col("trt_convs"))
+            .as("trt_faster_at_median"),
+          (col("ctrl_convs") >= 20L && col("trt_convs") >= 20L &&
+            col("trt_cov_at_ctrl_p50") * 20 >= col("trt_convs") * 11)
+            .as("speedup_cleared"))
+        .orderBy(col("t"))
     }),
 
     "b02_join_broadcast" -> ((s, d) =>
@@ -2929,6 +3051,45 @@ object SparkEntry {
         .orderBy(col("custkey"))
     }))
 
+  /** The b124 oracle CTE chain (funnel stage windows → md5 arm → the
+    * 3-row transition stack → hour-bucket histogram → from/conv/cum
+    * coverage frame `k`), shared by the b124 per-arm readout and the b125
+    * contrast so the bucketing and coverage rules can never fork between
+    * the table and its verdict. */
+  private val funnelAbTtcOracleCtes =
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_type FROM events
+      |  WHERE event_type IN ('view','click','signup','purchase')),
+      |s1t AS (SELECT user_id, ts, event_type,
+      |    min(CASE WHEN event_type = 'view' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS s1 FROM ev),
+      |s2t AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
+      |      OVER (PARTITION BY user_id) AS s2 FROM s1t),
+      |s3t AS (SELECT *, min(CASE WHEN event_type = 'signup' AND ts > s2 THEN ts END)
+      |      OVER (PARTITION BY user_id) AS s3 FROM s2t),
+      |s4t AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s3 THEN ts END)
+      |      OVER (PARTITION BY user_id) AS s4 FROM s3t),
+      |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s3) AS s3, max(s4) AS s4
+      |      FROM s4t GROUP BY user_id),
+      |a AS (SELECT *, CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |        AS BIGINT) % 2 AS arm FROM u),
+      |tr AS (
+      |  SELECT arm, 1 AS t, 'view_click' AS transition,
+      |    epoch_us(s1) AS from_us, epoch_us(s2) AS to_us FROM a
+      |  UNION ALL SELECT arm, 2, 'click_signup', epoch_us(s2), epoch_us(s3) FROM a
+      |  UNION ALL SELECT arm, 3, 'signup_purchase', epoch_us(s3), epoch_us(s4) FROM a),
+      |r AS (SELECT arm, t, transition,
+      |        CASE WHEN to_us IS NOT NULL THEN (to_us - from_us) // 3600000000 END AS hrs
+      |      FROM tr WHERE from_us IS NOT NULL),
+      |h AS (SELECT arm, t, transition, hrs, CAST(count(*) AS BIGINT) AS n_users
+      |      FROM r GROUP BY 1,2,3,4),
+      |f AS (SELECT *, CAST(sum(n_users) OVER (PARTITION BY arm, t) AS BIGINT) AS from_users
+      |      FROM h),
+      |k AS (SELECT *, CAST(sum(n_users) OVER (PARTITION BY arm, t) AS BIGINT) AS conv_users,
+      |        CAST(sum(n_users) OVER (PARTITION BY arm, t ORDER BY hrs
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |      FROM f WHERE hrs IS NOT NULL)""".stripMargin
+
   private val bOracles: Map[String, String] = Map(
     "b115_tpch_q2" ->
       s"""WITH $psCte,
@@ -3236,45 +3397,52 @@ object SparkEntry {
         |FROM p""".stripMargin,
 
     // b120's TTC machinery with the md5 arm in every key; pN = smallest
-    // hour bucket with N% cumulative coverage, pure BIGINT comparisons
-    "b124_funnel_ab_ttc" ->
-      """WITH ev AS (
-        |  SELECT user_id, ts, event_type FROM events
-        |  WHERE event_type IN ('view','click','signup','purchase')),
-        |s1t AS (SELECT user_id, ts, event_type,
-        |    min(CASE WHEN event_type = 'view' THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s1 FROM ev),
-        |s2t AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s2 FROM s1t),
-        |s3t AS (SELECT *, min(CASE WHEN event_type = 'signup' AND ts > s2 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s3 FROM s2t),
-        |s4t AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s3 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s4 FROM s3t),
-        |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s3) AS s3, max(s4) AS s4
-        |      FROM s4t GROUP BY user_id),
-        |a AS (SELECT *, CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
-        |        AS BIGINT) % 2 AS arm FROM u),
-        |tr AS (
-        |  SELECT arm, 1 AS t, 'view_click' AS transition,
-        |    epoch_us(s1) AS from_us, epoch_us(s2) AS to_us FROM a
-        |  UNION ALL SELECT arm, 2, 'click_signup', epoch_us(s2), epoch_us(s3) FROM a
-        |  UNION ALL SELECT arm, 3, 'signup_purchase', epoch_us(s3), epoch_us(s4) FROM a),
-        |r AS (SELECT arm, t, transition,
-        |        CASE WHEN to_us IS NOT NULL THEN (to_us - from_us) // 3600000000 END AS hrs
-        |      FROM tr WHERE from_us IS NOT NULL),
-        |h AS (SELECT arm, t, transition, hrs, CAST(count(*) AS BIGINT) AS n_users
-        |      FROM r GROUP BY 1,2,3,4),
-        |f AS (SELECT *, CAST(sum(n_users) OVER (PARTITION BY arm, t) AS BIGINT) AS from_users
-        |      FROM h),
-        |k AS (SELECT *, CAST(sum(n_users) OVER (PARTITION BY arm, t) AS BIGINT) AS conv_users,
-        |        CAST(sum(n_users) OVER (PARTITION BY arm, t ORDER BY hrs
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-        |      FROM f WHERE hrs IS NOT NULL)
+    // hour bucket with N% cumulative coverage, pure BIGINT comparisons.
+    // The WITH chain lives in [[funnelAbTtcOracleCtes]], shared with the
+    // b125 contrast so the bucketing rule can never fork.
+    "b124_funnel_ab_ttc" -> (funnelAbTtcOracleCtes + """
         |SELECT arm, t, transition, from_users, conv_users,
         |  CAST((conv_users * 1000000) // from_users AS BIGINT) AS conv_ppm,
         |  CAST(min(CASE WHEN cum * 2 >= conv_users THEN hrs END) AS BIGINT) AS p50_hrs,
         |  CAST(min(CASE WHEN cum * 10 >= conv_users * 9 THEN hrs END) AS BIGINT) AS p90_hrs
-        |FROM k GROUP BY 1,2,3,4,5 ORDER BY arm, t""".stripMargin,
+        |FROM k GROUP BY 1,2,3,4,5 ORDER BY arm, t""".stripMargin),
+
+    // the contrast: per-arm percentiles off the SAME k frame, pivoted to
+    // one row per transition; the verdict booleans are cleared-BIGINT
+    // products (cov·2 ≥ n for the sign, cov·20 ≥ 11·n + a 20-converter
+    // floor for the cleared margin) — never a ratio, both engines floor
+    // nothing because nothing divides
+    "b125_funnel_ab_ttc_contrast" -> (funnelAbTtcOracleCtes + """,
+        |pct AS (
+        |  SELECT arm, t, transition, conv_users,
+        |    CAST(min(CASE WHEN cum * 2 >= conv_users THEN hrs END) AS BIGINT) AS p50_hrs,
+        |    CAST(min(CASE WHEN cum * 10 >= conv_users * 9 THEN hrs END) AS BIGINT) AS p90_hrs
+        |  FROM k GROUP BY 1,2,3,4),
+        |pv AS (
+        |  SELECT t, transition,
+        |    COALESCE(CAST(max(CASE WHEN arm = 0 THEN conv_users END) AS BIGINT), 0) AS ctrl_convs,
+        |    COALESCE(CAST(max(CASE WHEN arm = 1 THEN conv_users END) AS BIGINT), 0) AS trt_convs,
+        |    COALESCE(CAST(max(CASE WHEN arm = 0 THEN p50_hrs END) AS BIGINT), -1) AS ctrl_p50_hrs,
+        |    COALESCE(CAST(max(CASE WHEN arm = 1 THEN p50_hrs END) AS BIGINT), -1) AS trt_p50_hrs,
+        |    COALESCE(CAST(max(CASE WHEN arm = 0 THEN p90_hrs END) AS BIGINT), -1) AS ctrl_p90_hrs,
+        |    COALESCE(CAST(max(CASE WHEN arm = 1 THEN p90_hrs END) AS BIGINT), -1) AS trt_p90_hrs
+        |  FROM pct GROUP BY 1, 2),
+        |cv AS (
+        |  SELECT pv.t,
+        |    COALESCE(CAST(sum(CASE WHEN k.hrs <= pv.ctrl_p50_hrs THEN k.n_users END)
+        |      AS BIGINT), 0) AS trt_cov_at_ctrl_p50
+        |  FROM pv LEFT JOIN k ON k.t = pv.t AND k.arm = 1
+        |  GROUP BY pv.t)
+        |SELECT pv.t, pv.transition, ctrl_convs, trt_convs,
+        |  ctrl_p50_hrs, trt_p50_hrs, ctrl_p90_hrs, trt_p90_hrs,
+        |  trt_p50_hrs - ctrl_p50_hrs AS d_p50_hrs,
+        |  trt_p90_hrs - ctrl_p90_hrs AS d_p90_hrs,
+        |  cv.trt_cov_at_ctrl_p50,
+        |  (ctrl_convs > 0 AND trt_convs > 0
+        |   AND cv.trt_cov_at_ctrl_p50 * 2 >= trt_convs) AS trt_faster_at_median,
+        |  (ctrl_convs >= 20 AND trt_convs >= 20
+        |   AND cv.trt_cov_at_ctrl_p50 * 20 >= trt_convs * 11) AS speedup_cleared
+        |FROM pv JOIN cv ON pv.t = cv.t ORDER BY pv.t""".stripMargin),
 
     "b106_tpch_q4" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
@@ -5209,6 +5377,58 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "c117_calibration_drift" -> ((s, d) => {
+      // calibration DRIFT over corpus generations (the r14-roadmap c114
+      // consumer): the nightly signal a deployed gate needs is not one
+      // reliability table but the DELTA between two generations of it —
+      // the b87 snapshot-diff discipline applied to the 10-row decile
+      // frame. Generations are the c112 CDC convention: "previous" = the
+      // corpus before the insert batch (doc_id%10 != 3), "current" = the
+      // full corpus; both tables come from the ONE calibrationTableOf
+      // rule over the ONE memoized per-doc gate-bits frame, so a
+      // generation can never be computed by a drifted rule. Each
+      // generation self-normalizes its own deciles (a reliability table
+      // is a within-corpus object — comparing decile k of gen A to
+      // decile k of gen B is the standard calibration-drift readout).
+      // Per decile: doc mass and keep-rate ppm on both sides, the ppm
+      // delta, a drift boolean (|delta| > 10000 ppm — one point, chosen
+      // against the measured fixture deltas so both verdicts populate at
+      // every sf: 8/2 at sf0.001, 6/4 at 0.01, 2/8 at 0.1 — or a decile
+      // missing from either side, possible only under extreme
+      // score-tie mass),
+      // and the table-wide drifted-decile count (the c116 audit-boolean
+      // discipline: a nightly alerts on drifted_total, never on a human
+      // reading 10 ppm numbers). All BIGINT; full-outer decile join with
+      // 0/−1 sentinels (ppm_delta is then computed vs −1 and meaningless
+      // — drifted is already forced true by the missing side, which is
+      // the value a consumer gates on). Plan: two cache reads (the
+      // memoized 10-row table + one re-aggregate of the memoized bits
+      // frame under the slice filter — one score exchange, the c114
+      // class), windows on ≤10-row frames; zero new exchange classes.
+      val prev = calibrationTableOf(
+          docGateBits(s, d).where(pmod(col("doc_id"), lit(10)) =!= 3))
+        .select(col("decile"), col("n_docs").as("n_docs_prev"),
+          col("kept_h_ppm").as("kept_h_ppm_prev"))
+      val curr = classifierCalibrationTable(s, d)
+        .select(col("decile"), col("n_docs").as("n_docs_curr"),
+          col("kept_h_ppm").as("kept_h_ppm_curr"))
+      val wAll = Window.partitionBy()
+      curr.join(prev, Seq("decile"), "full_outer")
+        .select(col("decile"),
+          coalesce(col("n_docs_prev"), lit(0L)).as("n_docs_prev"),
+          coalesce(col("n_docs_curr"), lit(0L)).as("n_docs_curr"),
+          coalesce(col("kept_h_ppm_prev"), lit(-1L)).as("kept_h_ppm_prev"),
+          coalesce(col("kept_h_ppm_curr"), lit(-1L)).as("kept_h_ppm_curr"))
+        .withColumn("ppm_delta",
+          col("kept_h_ppm_curr") - col("kept_h_ppm_prev"))
+        .withColumn("drifted",
+          abs(col("ppm_delta")) > 10000L ||
+            col("kept_h_ppm_prev") < 0L || col("kept_h_ppm_curr") < 0L)
+        .withColumn("drifted_total",
+          sum(when(col("drifted"), 1L).otherwise(0L)).over(wAll))
+        .orderBy(col("decile"))
+    }),
+
     "c106_epoch_allocation" -> ((s, d) =>
       // token-budget epoch allocator: distribute a 2×-corpus token
       // budget across sources ∝ doc count, each source capped at 4
@@ -6147,28 +6367,34 @@ object SparkEntry {
         |  UNION ALL SELECT lang, 2000, total_docs, kd4, kc4 FROM cg)""".stripMargin
 
   /** The c114 reliability-table CTE chain (per-score counts → cumulative
-    * rank → last-row deciles → the grouped `cal` frame), shared by the
-    * c114 readout and the c116 monotonicity audit so the table and its
-    * audit can never drift. Appends after [[heuristicGateCteSql]]. */
-  private val calibrationCteSql = """,
-        |ps AS (
+    * rank → last-row deciles → the grouped `cal$sfx` frame), shared by the
+    * c114 readout, the c116 monotonicity audit, and BOTH generations of
+    * the c117 drift readout so the table and its consumers can never
+    * drift. Appends after [[heuristicGateCteSql]]; `sfx` renames the CTE
+    * chain so two generations coexist in one query, `docWhere` restricts
+    * the generation's corpus slice (identical rule, different slice —
+    * mirroring the Spark side's single calibrationTableOf). */
+  private def calibrationCteSfx(sfx: String, docWhere: String): String = s""",
+        |ps$sfx AS (
         |  SELECT s.score, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(CASE WHEN hq.kept_h THEN 1 ELSE 0 END) AS BIGINT) AS kh
-        |  FROM cscore s JOIN hq USING (doc_id) GROUP BY s.score),
-        |cm AS (
+        |  FROM cscore s JOIN hq USING (doc_id)$docWhere GROUP BY s.score),
+        |cm$sfx AS (
         |  SELECT score, n, kh,
         |    sum(n) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum,
         |    sum(n) OVER () AS nn
-        |  FROM ps),
-        |dc AS (SELECT *, ((cum - 1) * 10) // nn + 1 AS decile FROM cm),
-        |cal AS (
+        |  FROM ps$sfx),
+        |dc$sfx AS (SELECT *, ((cum - 1) * 10) // nn + 1 AS decile FROM cm$sfx),
+        |cal$sfx AS (
         |  SELECT CAST(decile AS BIGINT) AS decile,
         |    CAST(sum(n) AS BIGINT) AS n_docs,
         |    CAST(min(score) AS BIGINT) AS lo_score,
         |    CAST(max(score) AS BIGINT) AS hi_score,
         |    CAST(sum(kh) AS BIGINT) AS kept_h_docs,
         |    (CAST(sum(kh) AS BIGINT) * 1000000) // CAST(sum(n) AS BIGINT) AS kept_h_ppm
-        |  FROM dc GROUP BY decile)""".stripMargin
+        |  FROM dc$sfx GROUP BY decile)""".stripMargin
+
+  private val calibrationCteSql = calibrationCteSfx("", "")
 
   /** The exact-ppm keep-share formula — defined ONCE so the curve readout
     * (c110/c112) and the advisor's ranking input (c115) can never diverge. */
@@ -7173,6 +7399,29 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN monotone_up THEN 0 ELSE 1 END) OVER ()
         |    AS BIGINT) AS violations_total
         |FROM au ORDER BY decile""".stripMargin),
+
+    // drift = the SAME cal chain instantiated twice (suffix-renamed CTEs;
+    // prev = the pre-insert c112 slice), full-outer decile join with
+    // 0/−1 sentinels; drifted is defined ONCE (in dj) and the table-wide
+    // count derives from it, never a second predicate copy
+    "c117_calibration_drift" -> (classifierScoreCteWhere("") +
+      heuristicGateCteSql + calibrationCteSfx("", "") +
+      calibrationCteSfx("p", " WHERE doc_id % 10 != 3") + """,
+        |dj AS (
+        |  SELECT COALESCE(c.decile, p.decile) AS decile,
+        |    COALESCE(p.n_docs, 0) AS n_docs_prev,
+        |    COALESCE(c.n_docs, 0) AS n_docs_curr,
+        |    COALESCE(p.kept_h_ppm, -1) AS kept_h_ppm_prev,
+        |    COALESCE(c.kept_h_ppm, -1) AS kept_h_ppm_curr,
+        |    COALESCE(c.kept_h_ppm, -1) - COALESCE(p.kept_h_ppm, -1) AS ppm_delta,
+        |    (abs(COALESCE(c.kept_h_ppm, -1) - COALESCE(p.kept_h_ppm, -1)) > 10000
+        |     OR p.kept_h_ppm IS NULL OR c.kept_h_ppm IS NULL) AS drifted
+        |  FROM cal c FULL OUTER JOIN calp p ON c.decile = p.decile)
+        |SELECT decile, n_docs_prev, n_docs_curr, kept_h_ppm_prev,
+        |  kept_h_ppm_curr, ppm_delta, drifted,
+        |  CAST(sum(CASE WHEN drifted THEN 1 ELSE 0 END) OVER ()
+        |    AS BIGINT) AS drifted_total
+        |FROM dj ORDER BY decile""".stripMargin),
 
     // advisor = ONE rank over the shared curve body: qualifying rows
     // first (tightest thr wins), else the loosest thr with
