@@ -1471,6 +1471,78 @@ object SparkEntry {
         .orderBy(col("t"))
     }),
 
+    "b126_stream_funnel_ab_revenue" -> ((s, d) => {
+      // batch parity for the STREAMING A/B revenue readout
+      // (Streams.streamFunnelAbRevenue — r14 VERDICT #4 resolved with the
+      // honest shape: attribution computed INSIDE the funnel state machine
+      // from the per-user buffer, never a stream-stream self-join; the
+      // honesty constraint attrWindow <= gap is why this key's window is
+      // 12 HOURS, not b123's 30 days — a 12 h horizon closes 6/52/593
+      // fixture users at the three sfs while 30 d would close none).
+      // This replicates the watermark-cut output in batch, the b99
+      // discipline: stage kernel + horizon cut in integer MILLISECONDS
+      // (the stream's timeout clock), then b123's attribution +
+      // per-arm pivot + DECIMAL(38,0)-floored lift verbatim on the
+      // CLOSED-user population. At sf0.001 control's closed revenue is
+      // zero, so the oracle exercises the -1 lift sentinel; sf0.01/0.1
+      // exercise real lift values. StreamingSpec asserts the live drained
+      // stream equals this query column-for-column.
+      // Plan: ONE user exchange shared by the stage windows (now also
+      // carrying the last_ts horizon — the funnelStageTimes lastTsCol
+      // extension, no second aggregate), the per-user compaction, and the
+      // purchase attribution join; the watermark bound is the audited b65
+      // one-row broadcast (the plan's single BNLJ); the arm pivot runs on
+      // a 1-row frame.
+      val stages = Seq("view", "click", "signup", "purchase")
+      val gapMs = 43200000L // 12 h horizon = attribution window (honesty bound)
+      val ev = t(s, d, "events")
+      val f = ev.where(col("event_type").isin(stages: _*))
+      val wm = broadcast(ev.agg(
+        (unix_millis(max(col("ts"))) - lit(1800000L)).as("wm_ms")))
+      val closed = graft.operators.Series.funnelStageTimes(
+          f, "user_id", "event_type", "ts", stages, lastTsCol = Some("last_ts"))
+        .crossJoin(wm)
+        .where(unix_millis(col("last_ts")) + lit(gapMs) < col("wm_ms"))
+      val purRows = f.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          floor(col("value") * 100 + 0.5).cast("long").as("pc"))
+      val attrWin = col("ts") > col("s2") &&
+        col("ts") <= col("s2") + expr("INTERVAL 12 HOURS")
+      val perUser = closed.join(purRows, Seq("user_id"), "left_outer")
+        .groupBy(col("user_id"), col("s1"), col("s2"), col("s4"))
+        .agg(sum(when(attrWin, col("pc"))).as("attr_c"))
+      val perArm = perUser
+        .withColumn("arm",
+          pmod(Text.tokenHash(col("user_id").cast("string")), lit(2L)))
+        .groupBy(col("arm"))
+        .agg(count(col("s1")).as("starters"),
+          count(col("s4")).as("purchasers"),
+          sum(coalesce(col("attr_c"), lit(0L))).as("attr_rev_c"))
+      val pivCols = Seq(
+        sum(when(col("arm") === 0, col("starters"))).as("cu"),
+        sum(when(col("arm") === 1, col("starters"))).as("tu"),
+        sum(when(col("arm") === 0, col("purchasers"))).as("cp"),
+        sum(when(col("arm") === 1, col("purchasers"))).as("tp"),
+        sum(when(col("arm") === 0, col("attr_rev_c"))).as("cc"),
+        sum(when(col("arm") === 1, col("attr_rev_c"))).as("tc"))
+      perArm.agg(pivCols.head, pivCols.tail: _*)
+        .select(
+          coalesce(col("cu"), lit(0L)).as("ctrl_users"),
+          coalesce(col("tu"), lit(0L)).as("trt_users"),
+          coalesce(col("cp"), lit(0L)).as("ctrl_purchasers"),
+          coalesce(col("tp"), lit(0L)).as("trt_purchasers"),
+          coalesce(col("cc"), lit(0L)).as("ctrl_rev_c"),
+          coalesce(col("tc"), lit(0L)).as("trt_rev_c"))
+        .withColumn("ctrl_rev_per_user_uc", coalesce(
+          expr("(ctrl_rev_c * 10000) div nullif(ctrl_users, 0)"), lit(-1L)))
+        .withColumn("trt_rev_per_user_uc", coalesce(
+          expr("(trt_rev_c * 10000) div nullif(trt_users, 0)"), lit(-1L)))
+        .withColumn("rev_lift_bp", coalesce(
+          expr("(CAST(trt_rev_c AS DECIMAL(38,0)) * ctrl_users * 10000) " +
+            "div nullif(CAST(ctrl_rev_c AS DECIMAL(38,0)) * trt_users, 0)"),
+          lit(-1L)))
+    }),
+
     "b02_join_broadcast" -> ((s, d) =>
       t(s, d, "lineitem")
         .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
@@ -3374,6 +3446,57 @@ object SparkEntry {
         |    COALESCE(sum(CASE WHEN p.ts > u.s2
         |      AND p.ts <= u.s2 + INTERVAL 30 DAY THEN p.pc END), 0) AS attr_c
         |  FROM u LEFT JOIN pr p USING (user_id)
+        |  GROUP BY u.user_id, u.s1, u.s2, u.s4),
+        |a AS (SELECT *, CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 2 AS arm FROM pu),
+        |p AS (SELECT
+        |  COALESCE(CAST(count(CASE WHEN arm = 0 THEN s1 END) AS BIGINT), 0) AS ctrl_users,
+        |  COALESCE(CAST(count(CASE WHEN arm = 1 THEN s1 END) AS BIGINT), 0) AS trt_users,
+        |  COALESCE(CAST(count(CASE WHEN arm = 0 THEN s4 END) AS BIGINT), 0) AS ctrl_purchasers,
+        |  COALESCE(CAST(count(CASE WHEN arm = 1 THEN s4 END) AS BIGINT), 0) AS trt_purchasers,
+        |  COALESCE(CAST(sum(CASE WHEN arm = 0 THEN attr_c END) AS BIGINT), 0) AS ctrl_rev_c,
+        |  COALESCE(CAST(sum(CASE WHEN arm = 1 THEN attr_c END) AS BIGINT), 0) AS trt_rev_c
+        |  FROM a)
+        |SELECT ctrl_users, trt_users, ctrl_purchasers, trt_purchasers,
+        |  ctrl_rev_c, trt_rev_c,
+        |  COALESCE((ctrl_rev_c * 10000) // NULLIF(ctrl_users, 0), -1)
+        |    AS ctrl_rev_per_user_uc,
+        |  COALESCE((trt_rev_c * 10000) // NULLIF(trt_users, 0), -1)
+        |    AS trt_rev_per_user_uc,
+        |  COALESCE(CAST((CAST(trt_rev_c AS HUGEINT) * ctrl_users * 10000)
+        |    // NULLIF(CAST(ctrl_rev_c AS HUGEINT) * trt_users, 0) AS BIGINT), -1)
+        |    AS rev_lift_bp
+        |FROM p""".stripMargin,
+
+    // b123's funnel + attribution CTEs restricted to the watermark-CLOSED
+    // population (the b99 epoch_ms horizon convention) with the 12 h
+    // attribution window matching the streaming honesty bound
+    "b126_stream_funnel_ab_revenue" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_type, value FROM events
+        |  WHERE event_type IN ('view','click','signup','purchase')),
+        |wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM events),
+        |hz AS (SELECT user_id, epoch_ms(max(ts)) AS last_ms FROM ev GROUP BY 1),
+        |s1t AS (SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s1 FROM ev),
+        |s2t AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s2 FROM s1t),
+        |s3t AS (SELECT *, min(CASE WHEN event_type = 'signup' AND ts > s2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s3 FROM s2t),
+        |s4t AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s3 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s4 FROM s3t),
+        |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s4) AS s4
+        |      FROM s4t GROUP BY user_id),
+        |cl AS (SELECT u.* FROM u JOIN hz USING (user_id) CROSS JOIN wm
+        |       WHERE hz.last_ms + 43200000 < wm.wm_ms),
+        |pr AS (SELECT user_id, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS pc
+        |  FROM events WHERE event_type = 'purchase'),
+        |pu AS (SELECT u.user_id, u.s1, u.s4,
+        |    COALESCE(sum(CASE WHEN p.ts > u.s2
+        |      AND p.ts <= u.s2 + INTERVAL 12 HOUR THEN p.pc END), 0) AS attr_c
+        |  FROM cl u LEFT JOIN pr p USING (user_id)
         |  GROUP BY u.user_id, u.s1, u.s2, u.s4),
         |a AS (SELECT *, CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
         |        AS BIGINT) % 2 AS arm FROM pu),

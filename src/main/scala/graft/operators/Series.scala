@@ -47,7 +47,8 @@ object Series {
     * reuses. [[graft.streaming.Streams.funnelWithState]] computes the
     * identical machine per user on a stream. */
   def funnelStageTimes(events: DataFrame, userCol: String, typeCol: String,
-                       tsCol: String, stages: Seq[String]): DataFrame = {
+                       tsCol: String, stages: Seq[String],
+                       lastTsCol: Option[String] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val wu = Window.partitionBy(col(userCol))
     val staged = stages.zipWithIndex.foldLeft(events) { case (df, (st, i)) =>
@@ -56,9 +57,14 @@ object Series {
         else col(typeCol) === st && col(tsCol) > col(s"s$i")
       df.withColumn(s"s${i + 1}", min(when(hit, col(tsCol))).over(wu))
     }
+    // lastTsCol: opt-in per-user horizon column (max stage-event time) —
+    // consumers that cut on a funnel horizon (b126's watermark replica)
+    // get it from the SAME per-user compaction instead of paying a second
+    // aggregate + join on the user key.
+    val tailAggs = stages.indices.drop(1).map(i => max(col(s"s${i + 1}")).as(s"s${i + 1}")) ++
+      lastTsCol.map(n => max(col(tsCol)).as(n))
     staged.groupBy(col(userCol))
-      .agg(max(col("s1")).as("s1"),
-        stages.indices.drop(1).map(i => max(col(s"s${i + 1}")).as(s"s${i + 1}")): _*)
+      .agg(max(col("s1")).as("s1"), tailAggs: _*)
   }
 
   /** Per-`keyCol` hourly grid over the key's observed span; each hour

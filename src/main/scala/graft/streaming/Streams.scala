@@ -595,6 +595,182 @@ object Streams {
         (stageCounts.tail :+ sum(col("dropped_events")).as("dropped_events")): _*)
   }
 
+  /** [[funnelRevenueWithState]] output: stage times as in [[FunnelStages]],
+    * plus the user's ATTRIBUTED purchase cents (last-stage events with
+    * event time strictly after the anchor stage and within the attribution
+    * window — b123's window semantics) and the buffer-cap truncation
+    * signal. */
+  case class FunnelRevenue(user_id: Long, stage_us: Seq[Option[Long]],
+                           attr_cents: Long, dropped_events: Long)
+
+  /** Internal revenue-funnel buffer: (ts µs, stageIdx, cents) — cents is
+    * nonzero only on last-stage (purchase) rows; `last`/`dropped` as in
+    * [[FunnelBuf]]. */
+  case class FunnelRevBuf(evs: Seq[(Long, Int, Long)], last: Long, dropped: Long)
+
+  /** Revenue-attributing sibling of [[funnelStagesWithState]] — the state
+    * machine behind the STREAMING A/B revenue readout (b126): per user,
+    * buffer the stage-relevant events (purchase rows carry their cents),
+    * and at horizon close run the same buffered-sort stage machine, then
+    * sum the cents of purchase events with event time strictly after the
+    * user's anchor-stage time (default: stage 2, the click — b114/b123's
+    * attribution anchor) and at most `attrWindowMs` later.
+    *
+    * HONESTY CONTRACT (why this is not a stream-stream self-join): the
+    * purchase leg of the revenue readout is the SAME event stream, and the
+    * per-user keyed state ALREADY holds every stage-relevant event until
+    * the horizon closes — attribution is a pure function of that buffer.
+    * The one obligation is that every attributable purchase reaches the
+    * buffer before the close fires, which `attrWindowMs <= gapMs`
+    * guarantees under the watermark contract: the close fires when the
+    * watermark passes last + gap; an attributable purchase has event time
+    * ts <= anchor + attrWindow <= last + gap (anchor <= last), so a
+    * non-late arrival (watermark has not passed ts) always lands before
+    * the timeout — and the purchase row itself extends `last`, pushing the
+    * close further out. The require below enforces the inequality rather
+    * than silently under-attributing. (A 30-day attribution window would
+    * need a 30-day horizon — state cost grows with the window, which is
+    * the honest price of exact attribution on one stream; callers wanting
+    * b123's 30-day window at lower state cost should run it in batch.)
+    *
+    * State format: a NEW encoding (cents in the tuple) — never restart
+    * this operator from a [[funnelStagesWithState]] checkpoint (the same
+    * fresh-checkpoint migration contract documented there).
+    *
+    * Scale: identical to [[funnelStagesWithState]] — one user_id shuffle,
+    * per-user state bounded by the horizon's stage rows and `maxBuffer`
+    * (answers for capped users may be truncated; `dropped_events`
+    * surfaces it). */
+  def funnelRevenueWithState(events: DataFrame, stages: Seq[String], gapMs: Long,
+                             delay: String, attrWindowMs: Long,
+                             anchorIdx: Int = 1, maxBuffer: Int = 10000):
+      org.apache.spark.sql.Dataset[FunnelRevenue] = {
+    require(stages.size >= 2, s"a funnel needs at least 2 stages, got $stages")
+    require(stages.distinct.size == stages.size, s"duplicate stage in $stages")
+    require(gapMs > 0, s"gapMs must be positive, got $gapMs")
+    require(attrWindowMs > 0 && attrWindowMs <= gapMs,
+      s"attribution window ($attrWindowMs ms) must be positive and <= the " +
+        s"horizon gap ($gapMs ms) — a wider window could attribute purchases " +
+        "that arrive after the user's state closed (see scaladoc)")
+    require(anchorIdx >= 0 && anchorIdx < stages.size - 1,
+      s"anchorIdx $anchorIdx must name a stage before the revenue stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    val nStages = stages.size
+    val attrUs = attrWindowMs * 1000L
+    def close(userId: Long, buf: FunnelRevBuf): FunnelRevenue = {
+      val s = Array.fill(nStages)(Option.empty[Long])
+      val sorted = buf.evs.sortBy(e => (e._1, e._2))
+      sorted.foreach { case (ts, st, _) =>
+        if (s(st).isEmpty && (st == 0 || s(st - 1).exists(ts > _))) s(st) = Some(ts)
+      }
+      // every buffered purchase row inside (anchor, anchor + window]
+      // counts (not only the stage-qualifying one) — b123's batch
+      // semantics, where the attribution join scans ALL purchase events
+      val attr = s(anchorIdx).fold(0L) { a =>
+        sorted.iterator
+          .filter { case (ts, st, _) => st == nStages - 1 && ts > a && ts <= a + attrUs }
+          .map(_._3).sum
+      }
+      FunnelRevenue(userId, s.toSeq, attr, buf.dropped)
+    }
+
+    val stageIdx = stages.zipWithIndex.toMap
+    val idxCol = stages.foldLeft(lit(-1)) { (acc, st) =>
+      when(col("event_type") === st, lit(stageIdx(st))).otherwise(acc)
+    }
+    val centsCol = when(col("event_type") === stages.last,
+      floor(col("value") * 100 + 0.5).cast("long")).otherwise(lit(0L))
+    events.withWatermark("ts", delay)
+      .where(col("event_type").isin(stages: _*))
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("us"), idxCol.as("stage"),
+        centsCol.as("cents"), col("ts"))
+      .as[(Long, Long, Int, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelRevBuf, FunnelRevenue](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[(Long, Long, Int, Long, java.sql.Timestamp)],
+         state: GroupState[FunnelRevBuf]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close(userId, _))
+            state.remove()
+            out.iterator
+          } else {
+            val incoming = rows.map(r => (r._2, r._3, r._4)).toArray
+            val prev = state.getOption.getOrElse(FunnelRevBuf(Seq.empty, Long.MinValue, 0L))
+            val room = math.max(0, maxBuffer - prev.evs.size)
+            val st = FunnelRevBuf(prev.evs ++ incoming.take(room),
+              math.max(prev.last, incoming.iterator.map(_._1).max),
+              prev.dropped + math.max(0, incoming.length - room))
+            state.update(st)
+            // horizon clock — the funnelStagesWithState clamp (never
+            // set at-or-before the current watermark)
+            val target = st.last / 1000L + gapMs
+            try {
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(target, wm + 1L))
+            } catch {
+              case _: UnsupportedOperationException => // batch: no watermark clock
+            }
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Per-arm A/B REVENUE readout MAINTAINED ON THE LIVE STREAM — the
+    * streaming twin of the batch b123/b126 readout (r14 VERDICT #4,
+    * resolved with the honest shape): [[funnelRevenueWithState]] closes
+    * each user's funnel with their attributed purchase cents already
+    * computed inside the per-user state, then a downstream GLOBAL
+    * aggregate pivots both arms' starters / purchasers / attributed
+    * revenue into ONE row with the exact-integer per-user rates and the
+    * DECIMAL(38,0)-floored revenue lift — column-for-column the b126
+    * batch key, plus the summed `dropped_events` truncation signal.
+    *
+    * Emission semantics as [[streamFunnelAbConversion]]: a user enters the
+    * counts once, at horizon close, so the aggregate never retracts; the
+    * md5 tokenHash arm split is deterministic, which is what makes
+    * stream ≡ batch parity checkable (StreamingSpec asserts it live).
+    *
+    * Scale: the state machine's one user_id shuffle; the readout is a
+    * global aggregate with map-side partial counts — O(1) state. Sink
+    * runs in Complete mode (1 row).
+    *
+    * Static-checker note: same shape as [[streamFunnelAbConversion]] (a
+    * global, non-event-time aggregate downstream of
+    * flatMapGroupsWithState — provably never late-filtered) — build AND
+    * start inside [[withCheckerDisabled]]. */
+  def streamFunnelAbRevenue(events: DataFrame, stages: Seq[String],
+                            gapMs: Long, delay: String, attrWindowMs: Long,
+                            maxBuffer: Int = 10000): DataFrame = {
+    val closed = funnelRevenueWithState(events, stages, gapMs, delay,
+      attrWindowMs, maxBuffer = maxBuffer).toDF()
+    val n = stages.size
+    val armed = closed.withColumn("arm",
+      pmod(graft.functions.Text.tokenHash(col("user_id").cast("string")), lit(2L)))
+    val s1c = col("stage_us").getItem(0)
+    val s4c = col("stage_us").getItem(n - 1)
+    armed.agg(
+        count(when(col("arm") === 0, s1c)).as("ctrl_users"),
+        count(when(col("arm") === 1, s1c)).as("trt_users"),
+        count(when(col("arm") === 0, s4c)).as("ctrl_purchasers"),
+        count(when(col("arm") === 1, s4c)).as("trt_purchasers"),
+        coalesce(sum(when(col("arm") === 0, col("attr_cents"))), lit(0L)).as("ctrl_rev_c"),
+        coalesce(sum(when(col("arm") === 1, col("attr_cents"))), lit(0L)).as("trt_rev_c"),
+        coalesce(sum(col("dropped_events")), lit(0L)).as("dropped_events"))
+      .withColumn("ctrl_rev_per_user_uc", coalesce(
+        expr("(ctrl_rev_c * 10000) div nullif(ctrl_users, 0)"), lit(-1L)))
+      .withColumn("trt_rev_per_user_uc", coalesce(
+        expr("(trt_rev_c * 10000) div nullif(trt_users, 0)"), lit(-1L)))
+      .withColumn("rev_lift_bp", coalesce(
+        expr("(CAST(trt_rev_c AS DECIMAL(38,0)) * ctrl_users * 10000) " +
+          "div nullif(CAST(ctrl_rev_c AS DECIMAL(38,0)) * trt_users, 0)"),
+        lit(-1L)))
+  }
+
   /** Stream-stream event-time interval join — the impressions ⋈ clicks
     * shape (SURVEY.md §8 roadmap item 5): every (left, right) pair with
     * equal `keyCol` and `rightTs ∈ [leftTs, leftTs + window)`. Both sides

@@ -992,6 +992,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("b126 stream-parity revenue: one user exchange; only the 1-row watermark broadcast") {
+    // the b123 exchange contract on the watermark-cut population: stage
+    // windows (now also carrying last_ts — the funnelStageTimes lastTsCol
+    // extension, no second horizon aggregate), per-user compaction, and
+    // the purchase attribution join share ONE user exchange; the horizon
+    // cut's only non-equi join is the audited b65 1-row watermark
+    // broadcast (BNLJ count exactly 1, never a cartesian)
+    val plan = physicalPlan(SparkEntry.queries("b126_stream_funnel_ab_revenue")(spark, sf))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length == 1,
+      s"stage windows + horizon + purchase join share ONE user exchange:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length == 1,
+      s"exactly the 1-row watermark broadcast may nest-loop:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"per-arm sums must map-side combine before their shuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("c114 calibration: windows run on the per-score frame after a combined aggregate") {
     // the decile machinery must never globally sort DOCS: the per-score
     // aggregate partial-combines map-side, and the cumulative/total

@@ -405,6 +405,97 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming A/B revenue readout: attribution window edges and late revision") {
+    // b126's state machine on a hand-built stream (ctrl = 1,2,5; trt =
+    // 3,4,7 — the md5-split fixture; u11 is the watermark mover and stays
+    // open). Edge cases the fixture pins down: a purchase AFTER the
+    // attribution window (u1's purchase@8 vs window (10:02, 10:07]) and a
+    // purchase BEFORE the anchor click (u3's purchase@1) both contribute
+    // ZERO attributed cents; the half-cent rounding is floor(v*100 + 0.5)
+    // (u1's 10.005 -> 1001); u4's late-arriving earlier view revises s1
+    // inside the buffer and makes u4 a starter. gap 10 min, attribution
+    // window 5 min (<= gap, the honesty bound).
+    val s = spark; import s.implicits._
+    val stages = Seq("view", "click", "signup", "purchase")
+    val (q, mem, cs) = Streams.withCheckerDisabled(s) { cs =>
+      implicit val sqlCtx = cs.sqlContext
+      val mem = MemoryStream[Ev]
+      mem.addData(
+        Ev(1, 1, "view", 0, ts(1)), Ev(2, 1, "click", 0, ts(2)),
+        Ev(3, 1, "signup", 0, ts(3)), Ev(4, 1, "purchase", 10.005, ts(4)),
+        Ev(5, 1, "purchase", 5.0, ts(8)), // outside (10:02, 10:07] — 0 attr
+        Ev(6, 2, "view", 0, ts(1)), Ev(7, 2, "click", 0, ts(3)),
+        Ev(8, 5, "view", 0, ts(2)),
+        Ev(9, 3, "view", 0, ts(1)), Ev(10, 3, "purchase", 3.0, ts(1)), // pre-anchor
+        Ev(11, 3, "click", 0, ts(2)), Ev(12, 3, "signup", 0, ts(4)),
+        Ev(13, 3, "purchase", 20.0, ts(5)),
+        Ev(14, 4, "click", 0, ts(2)), // u4: click first...
+        Ev(15, 7, "view", 0, ts(3)))
+      val out = Streams.streamFunnelAbRevenue(mem.toDF(), stages,
+        gapMs = 10 * 60 * 1000, delay = "30 minutes",
+        attrWindowMs = 5 * 60 * 1000)
+      (out.writeStream.format("memory").queryName("funnelabrev")
+        .outputMode("complete").start(), mem, cs)
+    }
+    try {
+      q.processAllAvailable()
+      // ...u4's earlier view arrives late but inside lateness; u11 moves
+      // the watermark past everyone else's horizon and stays open
+      mem.addData(Ev(16, 4, "view", 0, ts(1)),
+        Ev(17, 11, "view", 0, Timestamp.valueOf("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val got = cs.sql(
+          """SELECT ctrl_users, trt_users, ctrl_purchasers, trt_purchasers,
+            |ctrl_rev_c, trt_rev_c, ctrl_rev_per_user_uc, trt_rev_per_user_uc,
+            |rev_lift_bp, dropped_events FROM funnelabrev""".stripMargin)
+        .collect().map(_.toSeq).toSeq
+      // ctrl: u1/u2/u5 start, u1 purchases 1001c attributed; trt: u3/u4/u7
+      // start (u4 only via revision), u3 purchases 2000c attributed.
+      // lift = (2000*3*10000) div (1001*3) = 19980 (floored)
+      assert(got == Seq(Seq(3L, 3L, 1L, 1L, 1001L, 2000L,
+        3336666L, 6666666L, 19980L, 0L)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("b126: drained streaming A/B revenue readout equals the batch parity query") {
+    // the graduation contract (r14 VERDICT #4): the live stream over the
+    // real sf0.001 events — funnel state machine with in-state revenue
+    // attribution, per-arm global pivot — must equal the oracle-gated
+    // b126 batch key column-for-column (12 h horizon = 12 h attribution
+    // window, 30 min delay; at this sf control's closed revenue is zero,
+    // so the -1 lift sentinel path is exercised live).
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    val dir = tempDir("graft-funnel-rev-stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
+    val schema = s.read.parquet(s"$sf/events.parquet").schema
+    val (q, cs) = Streams.withCheckerDisabled(s) { cs =>
+      val stream = graft.sources.Tables.normalizeEventsTs(
+        cs.readStream.schema(schema).parquet(dir.toString))
+      val out = Streams.streamFunnelAbRevenue(stream,
+        Seq("view", "click", "signup", "purchase"),
+        gapMs = 43200000L, delay = "30 minutes", attrWindowMs = 43200000L)
+      (out.writeStream.format("memory").queryName("funnelrevparity")
+        .outputMode("complete").start(), cs)
+    }
+    try {
+      q.processAllAvailable()
+      val streamed = cs.sql(
+          """SELECT ctrl_users, trt_users, ctrl_purchasers, trt_purchasers,
+            |ctrl_rev_c, trt_rev_c, ctrl_rev_per_user_uc, trt_rev_per_user_uc,
+            |rev_lift_bp FROM funnelrevparity""".stripMargin)
+        .collect().map(_.toSeq).toSeq
+      val batch = SparkEntry.queries("b126_stream_funnel_ab_revenue")(s, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"stream=$streamed != batch=$batch")
+      val dropped = cs.sql("SELECT dropped_events FROM funnelrevparity")
+        .collect()(0).getLong(0)
+      assert(dropped == 0L, s"$dropped events unexpectedly hit the buffer cap")
+    } finally q.stop()
+  }
+
   test("classifier inference on a stream equals the batch scored frame") {
     // the unified-API claim behind the c109 family: the SAME
     // Pipeline.linearClassifierScore runs unchanged on a readStream —
