@@ -1,0 +1,3768 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.{Ann, Dedup, Multimodal, Nested, Pipeline, Scale, Variant}
+import graft.functions.{Similarity, Text}
+import graft.sources.Tables
+import graft.streaming.Streams
+import graft.EntryShared._
+
+/** §2B query/oracle family of the [[SparkEntry]] driver contract — the
+  * relational surface (mechanical r15 split; bodies verbatim). */
+private[graft] object EntryB {
+
+  // =================================================================
+  // §2B — relational surface (Spark built-ins)
+  // =================================================================
+
+  private[graft] val bQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b01_tpch_q1" -> ((s, d) => q1Agg(s, d)),
+
+    // ── r11 continuation wave 1: TPC-H completion (Q4/Q12/Q13/Q15/Q19).
+    // The fixture has no commit/receipt dates, shipmodes, or comments;
+    // adapted predicates are documented per query and in SURVEY §2D.
+    "b106_tpch_q4" -> ((s, d) => {
+      // TPC-H Q4 shape (order-priority checking): orders in one quarter
+      // having at least one "late" lineitem. The fixture carries no
+      // commit/receipt dates, so late := shipped >60 days after the
+      // order date — same EXISTS structure, adapted predicate. Plan:
+      // the quarter window is PUSHED to the orders scan; the EXISTS is
+      // a left_semi join on orderkey with the late test a residual on
+      // the join — never a correlated per-order re-scan. At 100 TB both
+      // sides shuffle once on orderkey; the final agg is 5 rows.
+      t(s, d, "orders")
+        .where(col("o_orderdate").cast("date") >= lit("1997-01-01").cast("date") &&
+          col("o_orderdate").cast("date") < lit("1997-04-01").cast("date"))
+        .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate").cast("date") > date_add(col("o_orderdate").cast("date"), 60),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "b107_tpch_q12" -> ((s, d) => {
+      // TPC-H Q12 shape (shipping classes vs order priority): among
+      // late-shipped lines in one ship-year, count critical- vs
+      // normal-priority orders per l_linestatus (the fixture's shipmode
+      // stand-in; late := >30 days after order date). Plan: the
+      // ship-year window is PUSHED to the lineitem scan BEFORE the
+      // join, the priority CASE folds into conditional partial aggs —
+      // one orderkey shuffle, then a 2-row final. A NULL priority is
+      // EXPLICITLY a low line on both engines (coalesce to false here,
+      // the same COALESCE in the oracle): without it Spark's
+      // when/otherwise counts NULL as low while SQL's NOT IN drops it
+      // into neither bucket — benign on this fixture (no null
+      // priorities) but a latent cross-engine divergence (r11 ADVICE).
+      val high = coalesce(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(false))
+      t(s, d, "orders")
+        .join(t(s, d, "lineitem")
+            .where(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
+              col("l_shipdate").cast("date") < lit("1998-01-01").cast("date"))
+            .select(col("l_orderkey"), col("l_shipdate"), col("l_linestatus")),
+          col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_shipdate").cast("date") > date_add(col("o_orderdate").cast("date"), 30))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    "b108_tpch_q13" -> ((s, d) => {
+      // TPC-H Q13 shape (customer order-count distribution): two-level
+      // aggregate preserving zero-order customers. The textbook form
+      // left-outer-joins RAW orders then counts per customer; here
+      // orders pre-aggregate to (custkey, cnt) BELOW the join — legal
+      // because the join key is the group key — so the big side shrinks
+      // to ≤1 row per customer before it shuffles against customer. The
+      // excluded priority class (the fixture's comment-filter stand-in)
+      // is pushed to the orders scan; the second aggregate groups a few
+      // dozen distinct counts — a tiny final exchange.
+      val oc = t(s, d, "orders")
+        .where(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      t(s, d, "customer").select(col("c_custkey"))
+        .join(oc, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    "b109_tpch_q15" -> ((s, d) => {
+      // TPC-H Q15 shape (top supplier): per-supplier quarter revenue,
+      // keep the max. Revenue is exact cent·percent integers so the
+      // max-equality probe is bit-safe in both engines. Plan: ONE
+      // suppkey aggregate whose exchange feeds both the 1-row global
+      // max (the audited one-row broadcast gate) and the equality
+      // probe — Spark's exchange reuse deduplicates the lineitem scan;
+      // the ≈1-row surviving side then BROADCASTS against supplier
+      // (never supplier broadcast: at 100 TB supplier is SF-scaled,
+      // the max-revenue winner set is not).
+      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val rev = t(s, d, "lineitem")
+        .where(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1997-04-01").cast("date"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(cents * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+          .as("total_revenue_c100"))
+      val mx = broadcast(rev.agg(max(col("total_revenue_c100")).as("mx")))
+      val top = rev.crossJoin(mx).where(col("total_revenue_c100") === col("mx"))
+      broadcast(top)
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue_c100"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    "b110_tpch_q19" -> ((s, d) => {
+      // TPC-H Q19 shape (discounted revenue from three brand/size/
+      // quantity classes): the canonical OR-of-ANDs mixed-side
+      // predicate. Plan: a plain partkey equi-join (both sides SF-scale
+      // at 100 TB — AQE picks broadcast vs shuffle from runtime sizes,
+      // the b100 discipline) with the disjunction one codegen'd
+      // residual; part prunes to 3 columns at the scan. Each scan also
+      // carries the disjunction's derivable HULL (r11 VERDICT #4):
+      // `l_quantity BETWEEN 1 AND 30` on lineitem and the brand-IN/size
+      // range on part — implied by the OR-of-ANDs, so semantics are
+      // unchanged, but as single-column conjuncts they PUSH to the
+      // parquet scans (PlanSpec asserts lineitem's PushedFilters), and
+      // at 100 TB row-group min/max skipping on the quantity hull is
+      // the difference between reading every lineitem row group and
+      // only the matching ones. The exact disjunction stays as the
+      // post-join residual. Exact-integer 1-row output.
+      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val rev = cents * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
+      t(s, d, "lineitem")
+        .where(col("l_quantity") >= 1.0 && col("l_quantity") <= 30.0)
+        .join(t(s, d, "part")
+            .where(col("p_brand").isin("Brand#12", "Brand#23", "Brand#3") &&
+              col("p_size").between(1, 15))
+            .select(col("p_partkey"), col("p_brand"), col("p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity") >= 1.0 && col("l_quantity") <= 11.0) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity") >= 10.0 && col("l_quantity") <= 20.0) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity") >= 20.0 && col("l_quantity") <= 30.0))
+        .agg(sum(rev).as("revenue_c100"), count(lit(1)).as("n_items"))
+    }),
+
+    // ── r11 continuation wave 3: TPC-H partsupp family on the derived
+    // catalog (psDerived — the fixture has no partsupp table).
+    "b115_tpch_q2" -> ((s, d) => {
+      // TPC-H Q2 shape (minimum-cost supplier): for small LARGE-type
+      // parts, the European supplier(s) at the per-part minimum supply
+      // cost. The textbook correlated-min subquery re-scans partsupp
+      // per part; this is the window form — ONE region-filtered
+      // ps⋈supplier build, a per-partkey min window, filter cost==min
+      // (bit-safe integer cents), then the part dim join. nation/region
+      // fold into a tiny broadcast; the size/type filter prunes part at
+      // its scan; ordered with a full tiebreak so LIMIT is stable.
+      val eur = broadcast(t(s, d, "nation")
+        .join(t(s, d, "region").where(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+      val cost = psDerived(s, d)
+        .join(t(s, d, "supplier"), col("ps_suppkey") === col("s_suppkey"))
+        .join(eur, col("s_nationkey") === col("n_nationkey"))
+      val wmin = Window.partitionBy(col("ps_partkey"))
+      cost.withColumn("min_cost", min(col("ps_supplycost_c")).over(wmin))
+        .where(col("ps_supplycost_c") === col("min_cost"))
+        .join(t(s, d, "part").where(col("p_size") <= 10 && col("p_type") === "LARGE")
+            .select(col("p_partkey"), col("p_type")),
+          col("ps_partkey") === col("p_partkey"))
+        .select(floor(col("s_acctbal") * 100 + 0.5).cast("long").as("s_acctbal_c"),
+          col("s_name"), col("n_name"), col("p_partkey"), col("p_type"),
+          col("ps_supplycost_c"))
+        .orderBy(col("s_acctbal_c").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+
+    "b116_tpch_q9" -> ((s, d) => {
+      // TPC-H Q9 shape (product-type profit): profit per (supplier
+      // nation, order year) for one part family. Cost of a line := its
+      // (part, supplier)'s historical-minimum line price (psDerived),
+      // so profit = rev_c100 − 100·cost_c stays exact integers in 10⁻⁴
+      // dollars. Plan: lineitem joins ps on the COMPOSITE key ps was
+      // grouped on (its exchange feeds the join directly); the part
+      // family filters before its join; nation broadcast; one
+      // (nation, year) aggregate.
+      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val rev = cents * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
+      t(s, d, "lineitem")
+        .join(psDerived(s, d), col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+        .join(t(s, d, "part").where(col("p_name").contains("red"))
+          .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate").cast("date")).cast("long").as("o_year"))
+        .agg(sum(rev - lit(100L) * col("ps_supplycost_c")).as("profit_c100"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    "b117_tpch_q11" -> ((s, d) => {
+      // TPC-H Q11 shape (important stock): per-part inventory value
+      // within one nation's suppliers, kept where the part's share
+      // clears 3× the MEAN share (TPC-H's fixed fraction is 1/SF-scaled
+      // precisely because a constant goes vacuous as the part count
+      // grows; the mean-relative form self-scales to any SF). The
+      // global (total, count) arrives as the audited one-row broadcast
+      // with the fraction INTEGER-CLEARED (value·n > 3·total — no float
+      // division); the per-part aggregate's subtree feeds both the
+      // total and the probe, so exchange reuse builds it once. The
+      // cleared products run in DECIMAL(38,0) (r11 ADVICE): value_cd is
+      // already a sum of cost_c×availqty_deci products (~1e14 at sf1),
+      // so value_cd·n_parts and 3·tot both clear BIGINT's 9.2e18 well
+      // before 100 TB — and the two engines fail DIFFERENTLY on
+      // overflow (Spark wraps silently, DuckDB raises), the worst
+      // cross-engine failure mode. DECIMAL(38,0) holds to 1e38;
+      // the safe regime is value_cd·n_parts < 1e38, i.e. any
+      // conceivable SF.
+      val natSupp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").where(col("n_name") === "NATION_5")
+          .select(col("n_nationkey"))), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val v = psDerived(s, d)
+        .join(natSupp, col("ps_suppkey") === col("s_suppkey"))
+        .groupBy(col("ps_partkey"))
+        .agg(sum(col("ps_supplycost_c") * col("ps_availqty_deci")).as("value_cd"))
+      val tot = broadcast(v.agg(sum(col("value_cd")).as("tot"),
+        count(lit(1)).as("n_parts")))
+      v.crossJoin(tot).where(col("value_cd").cast("decimal(38,0)") * col("n_parts")
+          > lit(3L) * col("tot").cast("decimal(38,0)"))
+        .select(col("ps_partkey"), col("value_cd"))
+        .orderBy(col("value_cd").desc, col("ps_partkey"))
+    }),
+
+    "b118_tpch_q16" -> ((s, d) => {
+      // TPC-H Q16 shape (suppliers per part class): distinct suppliers
+      // per (brand, type, size) class, excluding one brand, one type,
+      // and flagged suppliers (negative balance — the fixture's
+      // complaint stand-in). The exclusion is a left_anti join with the
+      // balance filter pushed to the supplier scan (never NOT IN with a
+      // rescan; anti side is SF-scaled, so no forced broadcast — AQE
+      // sizes it); part's IN-list/inequality filters prune at its scan;
+      // count(DISTINCT) runs the standard two-phase partial expand.
+      psDerived(s, d)
+        .join(t(s, d, "supplier").where(col("s_acctbal") < 0)
+          .select(col("s_suppkey")), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .join(t(s, d, "part")
+          .where(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49)),
+          col("ps_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    "b119_tpch_q20" -> ((s, d) => {
+      // TPC-H Q20 shape (potential part promotion): suppliers in one
+      // nation holding excess stock of a part family — availqty above
+      // 4× the 1997 shipped quantity. (The derived ps_availqty is
+      // LIFETIME shipped, so the textbook 0.5× test would be vacuously
+      // true; 4× keeps the nested-IN cascade and cuts both ways.)
+      // Plan: the year aggregate left-joins ps on ps's own grouping
+      // key; the part-family test is a left_semi (no row duplication);
+      // the qualified supplier set reaches supplier as a final
+      // left_semi — the textbook nested IN chain flattened to joins
+      // with no correlated re-scan; nation broadcast.
+      val yq = t(s, d, "lineitem")
+        .where(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1998-01-01").cast("date"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(floor(col("l_quantity") * 10 + 0.5).cast("long")).as("year_qty_deci"))
+      val qualified = psDerived(s, d)
+        .join(t(s, d, "part").where(col("p_name").startsWith("blue"))
+          .select(col("p_partkey")), col("ps_partkey") === col("p_partkey"), "left_semi")
+        .join(yq, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"), "left_outer")
+        .where(col("ps_availqty_deci") > lit(4L) * coalesce(col("year_qty_deci"), lit(0L)))
+        .select(col("ps_suppkey"))
+      t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").where(col("n_name") === "NATION_7")
+          .select(col("n_nationkey"))), col("s_nationkey") === col("n_nationkey"))
+        .join(qualified, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select(col("s_name"),
+          floor(col("s_acctbal") * 100 + 0.5).cast("long").as("s_acctbal_c"))
+        .orderBy(col("s_name"))
+    }),
+
+    // ── r11 continuation wave 2: TPC-H Q7/Q8/Q21 + funnel attribution.
+    "b111_tpch_q7" -> ((s, d) => {
+      // TPC-H Q7 shape (volume shipping between two nations): revenue
+      // by (supplier nation, customer nation, ship year) for one nation
+      // pair over two years. Plan: nation is a provably-tiny broadcast
+      // pre-filtered to the pair on BOTH legs, so supplier and customer
+      // prune to two nations BEFORE the big joins; the ship window is
+      // PUSHED to the lineitem scan; lineitem⋈orders shuffles on
+      // orderkey then custkey; the pair-direction residual runs on the
+      // joined row. Exact cent·percent revenue.
+      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val rev = cents * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
+      val pair = Seq("NATION_1", "NATION_2")
+      val supp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation").where(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation").where(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("c_nk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      t(s, d, "lineitem")
+        .where(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1998-01-01").cast("date"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate").cast("date")).cast("long").as("l_year"))
+        .agg(sum(rev).as("revenue_c100"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    "b112_tpch_q8" -> ((s, d) => {
+      // TPC-H Q8 shape (national market share): the target nation's
+      // share of one region's market for one part type, by order year,
+      // in integer basis points. Plan: region/nation fold into tiny
+      // broadcasts on the customer (market) and supplier (share) legs;
+      // part filters on type before joining lineitem (AQE sizes the
+      // exchange); the share is TWO conditional sums in ONE final
+      // aggregate — never a second pass over the join.
+      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val rev = cents * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
+      val mktNk = broadcast(t(s, d, "nation")
+        .join(t(s, d, "region").where(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("mkt_nk")))
+      val cust = t(s, d, "customer").join(mktNk, col("c_nationkey") === col("mkt_nk"))
+        .select(col("c_custkey"))
+      val supp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")
+          .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("supp_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "part").where(col("p_type") === "STANDARD").select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders")
+            .where(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
+              col("o_orderdate").cast("date") < lit("1998-01-01").cast("date"))
+            .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate").cast("date")).cast("long").as("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_3", rev).otherwise(0L))
+            .as("nation_rev_c100"),
+          sum(rev).as("total_rev_c100"))
+        .withColumn("mkt_share_bp", expr("(nation_rev_c100 * 10000) div total_rev_c100"))
+        .orderBy(col("o_year"))
+    }),
+
+    "b113_tpch_q21" -> ((s, d) => {
+      // TPC-H Q21 shape (suppliers who kept orders waiting): finished
+      // orders where EXACTLY ONE supplier shipped late (>90 days after
+      // the order date — the fixture's receipt-date stand-in) with at
+      // least one other supplier on the order; per late supplier in one
+      // region, count their late lines on such orders. The textbook
+      // EXISTS + NOT-EXISTS pair is TWO lineitem self-joins — the plan
+      // that dies first at 100 TB; this is the aggregated rewrite: one
+      // orderkey shuffle computing (distinct suppliers, distinct late
+      // suppliers, the unique late supplier, late-line count) per
+      // order, then a filter and a tiny dim join. The oracle runs the
+      // textbook EXISTS form, checking the rewrite's equivalence.
+      val late = col("l_shipdate").cast("date") >
+        date_add(col("o_orderdate").cast("date"), 90)
+      val perOrder = t(s, d, "lineitem")
+        .join(t(s, d, "orders").where(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"), late.as("is_late"))
+        .groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"),
+          min(when(col("is_late"), col("l_suppkey"))).as("late_supp"),
+          sum(when(col("is_late"), 1L).otherwise(0L)).as("n_late_lines"))
+        .where(col("n_supp") >= 2 && col("n_late") === 1)
+      val suppR = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")
+          .join(t(s, d, "region").where(col("r_name") === "AFRICA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      perOrder.join(suppR, col("late_supp") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(sum(col("n_late_lines")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    }),
+
+    "b114_funnel_attribution" -> ((s, d) => {
+      // funnel → revenue attribution (the r12-roadmap consumer of the
+      // funnel family): join the b94 stage-time kernel back to purchase
+      // revenue. Per user: highest stage reached, total purchase cents,
+      // and ATTRIBUTED cents — purchases inside the 30-day window
+      // strictly after the user's click time (the kernel's own
+      // strictly-after semantics bound by a campaign horizon). Plan:
+      // the stage windows and the purchase-row join both hash on
+      // user_id — the left join adds no new exchange key; the per-user
+      // share is integer ppm, null-free via a −1 sentinel.
+      val stages = Seq("view", "click", "purchase")
+      val ev = t(s, d, "events").where(col("event_type").isin(stages: _*))
+      val staged = graft.operators.Series.funnelStageTimes(
+        ev, "user_id", "event_type", "ts", stages)
+      val purRows = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          floor(col("value") * 100 + 0.5).cast("long").as("pc"))
+      val attrWin = col("ts") > col("s2") &&
+        col("ts") <= col("s2") + expr("INTERVAL 30 DAYS")
+      staged.join(purRows, Seq("user_id"), "left_outer")
+        .groupBy(col("user_id"), col("s1"), col("s2"), col("s3"))
+        .agg(sum(col("pc")).as("purch_c"),
+          sum(when(attrWin, col("pc"))).as("attr_c"))
+        .select(col("user_id"),
+          when(col("s3").isNotNull, 3).when(col("s2").isNotNull, 2)
+            .when(col("s1").isNotNull, 1).otherwise(0).as("cohort"),
+          coalesce(col("purch_c"), lit(0L)).as("purchase_c"),
+          coalesce(col("attr_c"), lit(0L)).as("attributed_c"))
+        .withColumn("attr_share_ppm",
+          coalesce(expr("(attributed_c * 1000000) div nullif(purchase_c, 0)"), lit(-1L)))
+        .orderBy(col("user_id"))
+    }),
+
+    "b120_funnel_ttc" -> ((s, d) => {
+      // per-transition TIME-TO-CONVERT distribution + drop-off (the r11
+      // VERDICT's depth item): for each funnel transition i → i+1, the
+      // hour-bucketed latency histogram of converting users with a
+      // cumulative CDF in integer ppm OF THE POPULATION THAT REACHED
+      // stage i — so the last row of each transition reads off the
+      // conversion rate and every row before it answers "what share
+      // converted within h hours". Plan: the b94/b102 kernel's ONE
+      // user_id exchange (plan-asserted), a 3-rows-per-user stack
+      // (map-side), then the b71 cumulative-window machinery on the
+      // BUCKETED frame — groupBy (t, hrs) partial-aggregates map-side
+      // and the cumulative window runs over transitions × distinct
+      // hour buckets, bounded by the funnel horizon in hours, never by
+      // user count. Exact integers end to end: micros deltas are
+      // non-negative (strictly-after kernel semantics), so `div` floors
+      // identically in both engines; dropped users (null next stage)
+      // count in users_from via a pre-filter window over the same
+      // t-partitioning and never enter the CDF.
+      val stages = Seq("view", "click", "signup", "purchase")
+      val staged = graft.operators.Series.funnelStageTimes(
+        t(s, d, "events").where(col("event_type").isin(stages: _*)),
+        "user_id", "event_type", "ts", stages)
+      val trans = staged.select(expr(
+          "stack(3, " +
+            "1, 'view_click',      unix_micros(s1), unix_micros(s2), " +
+            "2, 'click_signup',    unix_micros(s2), unix_micros(s3), " +
+            "3, 'signup_purchase', unix_micros(s3), unix_micros(s4)) " +
+            "AS (t, transition, from_us, to_us)"))
+        .where(col("from_us").isNotNull)
+        .select(col("t"), col("transition"),
+          when(col("to_us").isNotNull,
+            expr("(to_us - from_us) div 3600000000")).as("hrs"))
+      val hist = trans.groupBy(col("t"), col("transition"), col("hrs"))
+        .agg(count(lit(1)).as("n_users"))
+      val wAll = Window.partitionBy(col("t"))
+      val wCum = Window.partitionBy(col("t")).orderBy(col("hrs"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("users_from", sum(col("n_users")).over(wAll))
+        .where(col("hrs").isNotNull)
+        .withColumn("cum_users", sum(col("n_users")).over(wCum))
+        .select(col("t"), col("transition"), col("hrs"), col("n_users"),
+          col("cum_users"), col("users_from"),
+          expr("(cum_users * 1000000) div users_from").as("ttc_cum_ppm"))
+        .orderBy(col("t"), col("hrs"))
+    }),
+
+    "b121_funnel_ab" -> ((s, d) => {
+      // deterministic A/B experiment readout over the funnel: users
+      // split into control/treatment by the md5 tokenHash convention
+      // (never rand() — the split is reproducible in any engine and
+      // stable across runs, the c23 train/test discipline), per-arm
+      // stage conversion in ppm, and the per-stage treatment LIFT as a
+      // cleared-fraction ratio-of-ratios in integer basis points:
+      // lift_bp = (trt_i·ctrl_1·10000) div (trt_1·ctrl_i), computed in
+      // DECIMAL(38,0) (the b117 rule: at 1e9 users the BIGINT product
+      // wraps in Spark but raises in DuckDB). CROSS-ENGINE FLOOR RULE
+      // (r12 ADVICE): Spark's `div` on DECIMAL is exact floor on
+      // non-negative operands, but DuckDB's `//` on DECIMAL operands is
+      // plain double division + round-half-even — the oracle therefore
+      // computes the lift in HUGEINT, whose `//` is exact integer floor
+      // division. FloorDivSpec exercises a non-degenerate funnel where
+      // the lift fraction is >= 0.5 so floor-vs-round actually bites.
+      // Plan: the kernel's one
+      // user_id exchange; the arm aggregate partial-compacts to ≤2
+      // rows per task before its (tiny) shuffle; the pivot + stack run
+      // on a 1-row frame. −1 sentinel when a denominator is empty.
+      val stages = Seq("view", "click", "signup", "purchase")
+      val staged = graft.operators.Series.funnelStageTimes(
+        t(s, d, "events").where(col("event_type").isin(stages: _*)),
+        "user_id", "event_type", "ts", stages)
+      val perArm = staged
+        .withColumn("arm",
+          pmod(Text.tokenHash(col("user_id").cast("string")), lit(2L)))
+        .groupBy(col("arm"))
+        .agg(count(col("s1")).as("u1"), count(col("s2")).as("u2"),
+          count(col("s3")).as("u3"), count(col("s4")).as("u4"))
+      val pivCols = (1 to 4).flatMap(i => Seq(
+        sum(when(col("arm") === 0, col(s"u$i"))).as(s"c$i"),
+        sum(when(col("arm") === 1, col(s"u$i"))).as(s"t$i")))
+      val piv = perArm.agg(pivCols.head, pivCols.tail: _*)
+      piv.select(expr(
+          "stack(4, " +
+            "1, 'view',     c1, t1, " +
+            "2, 'click',    c2, t2, " +
+            "3, 'signup',   c3, t3, " +
+            "4, 'purchase', c4, t4) " +
+            "AS (stage, event_type, cu, tu)"),
+          col("c1"), col("t1"))
+        .select(col("stage"), col("event_type"),
+          coalesce(col("cu"), lit(0L)).as("ctrl_users"),
+          coalesce(col("tu"), lit(0L)).as("trt_users"),
+          coalesce(col("c1"), lit(0L)).as("cb"),
+          coalesce(col("t1"), lit(0L)).as("tb"))
+        .withColumn("ctrl_ppm", coalesce(
+          expr("(ctrl_users * 1000000) div nullif(cb, 0)"), lit(-1L)))
+        .withColumn("trt_ppm", coalesce(
+          expr("(trt_users * 1000000) div nullif(tb, 0)"), lit(-1L)))
+        .withColumn("lift_bp", coalesce(
+          expr("(CAST(trt_users AS DECIMAL(38,0)) * cb * 10000) " +
+            "div nullif(CAST(ctrl_users AS DECIMAL(38,0)) * tb, 0)"),
+          lit(-1L)))
+        .drop("cb", "tb")
+        .orderBy(col("stage"))
+    }),
+
+    "b122_stream_classifier_parity" -> ((s, d) =>
+      // batch parity for STREAMING classifier inference (the r13 graduate:
+      // StreamingSpec proves Pipeline.linearClassifierScore runs UNCHANGED
+      // on a readStream — stateless broadcast weight join + one per-doc
+      // aggregate — and that the drained stream's per-SOURCE gate monitor
+      // equals this query). The readout is the live dashboard a streaming
+      // gate deployment publishes: per ingest source, docs scored, docs
+      // and chars passing the gate, and the exact-ppm keep rate — the
+      // per-source view the c110 lang-yield curve intentionally does not
+      // cover (roadmap 8n-3d's "real consumer shape": an ingest monitor is
+      // keyed by source, not language). Batch side reads the memoized
+      // scored frame + ONE slim (doc_id, source) parquet scan
+      // (plan-asserted, the c111 leaf discipline); at 100 TB the stream
+      // pays the same plan per micro-batch with O(|sources|) state.
+      t(s, d, "documents").select(col("doc_id"), col("source"))
+        .join(docClassifierScores(s, d)
+          .select(col("doc_id"), col("n_chars"), col("score")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("total_docs"),
+          sum(when(col("score") >= 0L, 1L).otherwise(0L)).as("kept_docs"),
+          sum(when(col("score") >= 0L, col("n_chars")).otherwise(0L)).as("kept_chars"))
+        .withColumn("kept_ppm", expr("(kept_docs * 1000000) div total_docs"))
+        .orderBy(col("source"))),
+
+    "b123_funnel_ab_revenue" -> ((s, d) => {
+      // the A/B readout in REVENUE terms (the r13-roadmap b102 consumer):
+      // per experiment arm — md5 tokenHash split, the b121 convention —
+      // funnel starters, purchasers, and ATTRIBUTED revenue (purchase
+      // cents inside the 30-day window strictly after the user's click,
+      // b114's attribution window verbatim), then revenue-per-starter in
+      // exact micro-cents-per-user and the treatment lift on that rate as
+      // a cleared ratio-of-ratios in basis points:
+      //   rev_lift_bp = (trt_c·ctrl_u1·10000) div (ctrl_c·trt_u1)
+      // computed in DECIMAL(38,0) / HUGEINT (the b121 floor rule — both
+      // engines floor, never round). The single division is load-bearing:
+      // splitting it (div by trt_users first) compounds two floors and
+      // changes the value, so exactness requires the full products. Plan:
+      // the stage windows and the purchase join both hash on user_id —
+      // ONE user exchange (plan-asserted); the per-arm aggregate
+      // partial-compacts to ≤2 rows per task; the lift pivot runs on a
+      // 1-row frame. −1 sentinel when an arm has no starters or ctrl
+      // revenue is zero — and, on the Spark side only, if the 38-digit
+      // product ever overflowed (non-ANSI DECIMAL overflow → null →
+      // coalesce; DuckDB's HUGEINT would raise instead, r14 ADVICE).
+      // That path needs rev_cents·users ≥ 10^34 — at full-planet scale
+      // (10^10 users × $10^11 in cents) the product is ~10^23, eleven
+      // orders below the cliff, so the overload is documented rather
+      // than disambiguated.
+      val stages = Seq("view", "click", "signup", "purchase")
+      val ev = t(s, d, "events").where(col("event_type").isin(stages: _*))
+      val staged = graft.operators.Series.funnelStageTimes(
+        ev, "user_id", "event_type", "ts", stages)
+      val purRows = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          floor(col("value") * 100 + 0.5).cast("long").as("pc"))
+      val attrWin = col("ts") > col("s2") &&
+        col("ts") <= col("s2") + expr("INTERVAL 30 DAYS")
+      val perUser = staged.join(purRows, Seq("user_id"), "left_outer")
+        .groupBy(col("user_id"), col("s1"), col("s2"), col("s4"))
+        .agg(sum(when(attrWin, col("pc"))).as("attr_c"))
+      val perArm = perUser
+        .withColumn("arm",
+          pmod(Text.tokenHash(col("user_id").cast("string")), lit(2L)))
+        .groupBy(col("arm"))
+        .agg(count(col("s1")).as("starters"),
+          count(col("s4")).as("purchasers"),
+          sum(coalesce(col("attr_c"), lit(0L))).as("attr_rev_c"))
+      val pivCols = Seq(
+        sum(when(col("arm") === 0, col("starters"))).as("cu"),
+        sum(when(col("arm") === 1, col("starters"))).as("tu"),
+        sum(when(col("arm") === 0, col("purchasers"))).as("cp"),
+        sum(when(col("arm") === 1, col("purchasers"))).as("tp"),
+        sum(when(col("arm") === 0, col("attr_rev_c"))).as("cc"),
+        sum(when(col("arm") === 1, col("attr_rev_c"))).as("tc"))
+      perArm.agg(pivCols.head, pivCols.tail: _*)
+        .select(
+          coalesce(col("cu"), lit(0L)).as("ctrl_users"),
+          coalesce(col("tu"), lit(0L)).as("trt_users"),
+          coalesce(col("cp"), lit(0L)).as("ctrl_purchasers"),
+          coalesce(col("tp"), lit(0L)).as("trt_purchasers"),
+          coalesce(col("cc"), lit(0L)).as("ctrl_rev_c"),
+          coalesce(col("tc"), lit(0L)).as("trt_rev_c"))
+        .withColumn("ctrl_rev_per_user_uc", coalesce(
+          expr("(ctrl_rev_c * 10000) div nullif(ctrl_users, 0)"), lit(-1L)))
+        .withColumn("trt_rev_per_user_uc", coalesce(
+          expr("(trt_rev_c * 10000) div nullif(trt_users, 0)"), lit(-1L)))
+        .withColumn("rev_lift_bp", coalesce(
+          expr("(CAST(trt_rev_c AS DECIMAL(38,0)) * ctrl_users * 10000) " +
+            "div nullif(CAST(ctrl_rev_c AS DECIMAL(38,0)) * trt_users, 0)"),
+          lit(-1L)))
+    }),
+
+    "b124_funnel_ab_ttc" -> ((s, d) => {
+      // per-ARM time-to-convert — "did treatment speed conversions up,
+      // not just raise them?", the latency readout next to b121's rate
+      // readout: for each arm × funnel transition, users reaching the
+      // from-stage, converting users, exact-ppm conversion, and exact
+      // discrete p50/p90 latency hour buckets — pN = the SMALLEST hour
+      // bucket whose cumulative converter count clears N% of converters
+      // (2·cum ≥ n and 10·cum ≥ 9·n in pure BIGINT — no interpolation,
+      // both engines floor identically). Plan: the b120 shape with arm
+      // in every key — ONE user_id exchange for the stage windows, the
+      // 3-row stack map-side, then windows + aggregate over the
+      // (arm, t, hrs)-bucketed frame, bounded by 2 arms × 3 transitions
+      // × horizon hours, never by user count. Since r15 that machinery
+      // lives in the MEMOIZED funnelAbTtcCumFrame (the b125 contrast
+      // consumes it three times); this readout is a cache read + one
+      // bounded-frame aggregate, and the user-exchange assert runs
+      // against the frame's embedded build plan (PlanSpec).
+      // An (arm, transition) with zero converters has no latency rows
+      // and drops out in BOTH engines (from_users would be its only
+      // content; b120 publishes that population).
+      funnelAbTtcCumFrame(s, d)
+        .groupBy(col("arm"), col("t"), col("transition"),
+          col("from_users"), col("conv_users"))
+        .agg(min(when(col("cum") * 2 >= col("conv_users"), col("hrs"))).as("p50_hrs"),
+          min(when(col("cum") * 10 >= col("conv_users") * 9, col("hrs"))).as("p90_hrs"))
+        .select(col("arm"), col("t"), col("transition"),
+          col("from_users"), col("conv_users"),
+          expr("(conv_users * 1000000) div from_users").as("conv_ppm"),
+          col("p50_hrs"), col("p90_hrs"))
+        .orderBy(col("arm"), col("t"))
+    }),
+
+    "b125_funnel_ab_ttc_contrast" -> ((s, d) => {
+      // the per-arm TTC percentile CONTRAST — "is the speedup real?", the
+      // decision readout over b124's raw per-arm table (r14 roadmap): one
+      // row per funnel transition with both arms' converter counts and
+      // p50/p90 hour buckets side by side, the percentile deltas, and two
+      // integer-cleared verdict booleans. The significance device is
+      // stochastic-dominance-at-the-median, all in cleared BIGINT
+      // products (never a ratio): trt_cov_at_ctrl_p50 = treatment
+      // converters landing at or under CONTROL's p50 bucket, then
+      //   trt_faster_at_median: 2·cov ≥ trt_convs     (≥50 % — the sign)
+      //   speedup_cleared:     20·cov ≥ 11·trt_convs  (≥55 % — 5-pt
+      //     margin) AND both arms ≥ 20 converters (the sample floor; an
+      //     underpowered transition can never clear, it reports sign
+      //     only). On the fixture the md5 split is iid — no real
+      //     treatment effect exists — so cleared=false on every
+      //     transition at every sf IS the truthful verdict (the sign
+      //     boolean flips by noise: 2 true / 1 false at sf0.1), and the
+      //     margin comparison sits within 4 % of the bar at sf0.1, so a
+      //     broken clearing product still flips the oracle.
+      //     Sentinel propagation: an arm absent from a transition
+      //     surfaces as convs=0 / percentiles −1 and both booleans false;
+      //     the deltas are then vs −1 and meaningless — a consumer gates
+      //     on the convs columns first (the b120 population discipline).
+      // Plan: three cache reads of the MEMOIZED funnelAbTtcCumFrame (the
+      // user-scale funnel machinery — one user_id exchange — is paid once
+      // in the memo build, plan-asserted there); everything here (pivot,
+      // coverage join, verdicts) runs on the (arm,t,hrs)-bounded frame:
+      // ≤ 2 arms × 3 transitions × horizon hours rows, never user count;
+      // the coverage leg joins two sub-frames of that same bounded frame
+      // on t (≤3 keys, broadcast).
+      val k = funnelAbTtcCumFrame(s, d)
+      val pct = k.groupBy(col("arm"), col("t"), col("transition"),
+          col("conv_users"))
+        .agg(min(when(col("cum") * 2 >= col("conv_users"), col("hrs"))).as("p50_hrs"),
+          min(when(col("cum") * 10 >= col("conv_users") * 9, col("hrs"))).as("p90_hrs"))
+      val pv = pct.groupBy(col("t"), col("transition"))
+        .agg(
+          coalesce(max(when(col("arm") === 0, col("conv_users"))), lit(0L)).as("ctrl_convs"),
+          coalesce(max(when(col("arm") === 1, col("conv_users"))), lit(0L)).as("trt_convs"),
+          coalesce(max(when(col("arm") === 0, col("p50_hrs"))), lit(-1L)).as("ctrl_p50_hrs"),
+          coalesce(max(when(col("arm") === 1, col("p50_hrs"))), lit(-1L)).as("trt_p50_hrs"),
+          coalesce(max(when(col("arm") === 0, col("p90_hrs"))), lit(-1L)).as("ctrl_p90_hrs"),
+          coalesce(max(when(col("arm") === 1, col("p90_hrs"))), lit(-1L)).as("trt_p90_hrs"))
+      val cov = pv.select(col("t"), col("ctrl_p50_hrs"))
+        .join(k.where(col("arm") === 1)
+          .select(col("t"), col("hrs"), col("n_users")), Seq("t"), "left_outer")
+        .groupBy(col("t"))
+        .agg(coalesce(sum(when(col("hrs") <= col("ctrl_p50_hrs"),
+          col("n_users"))), lit(0L)).as("trt_cov_at_ctrl_p50"))
+      pv.join(cov, Seq("t"))
+        .select(col("t"), col("transition"), col("ctrl_convs"), col("trt_convs"),
+          col("ctrl_p50_hrs"), col("trt_p50_hrs"),
+          col("ctrl_p90_hrs"), col("trt_p90_hrs"),
+          (col("trt_p50_hrs") - col("ctrl_p50_hrs")).as("d_p50_hrs"),
+          (col("trt_p90_hrs") - col("ctrl_p90_hrs")).as("d_p90_hrs"),
+          col("trt_cov_at_ctrl_p50"),
+          (col("ctrl_convs") > 0L && col("trt_convs") > 0L &&
+            col("trt_cov_at_ctrl_p50") * 2 >= col("trt_convs"))
+            .as("trt_faster_at_median"),
+          (col("ctrl_convs") >= 20L && col("trt_convs") >= 20L &&
+            col("trt_cov_at_ctrl_p50") * 20 >= col("trt_convs") * 11)
+            .as("speedup_cleared"))
+        .orderBy(col("t"))
+    }),
+
+    "b126_stream_funnel_ab_revenue" -> ((s, d) => {
+      // batch parity for the STREAMING A/B revenue readout
+      // (Streams.streamFunnelAbRevenue — r14 VERDICT #4 resolved with the
+      // honest shape: attribution computed INSIDE the funnel state machine
+      // from the per-user buffer, never a stream-stream self-join; the
+      // honesty constraint attrWindow <= gap is why this key's window is
+      // 12 HOURS, not b123's 30 days — a 12 h horizon closes 6/52/593
+      // fixture users at the three sfs while 30 d would close none).
+      // This replicates the watermark-cut output in batch, the b99
+      // discipline: stage kernel + horizon cut in integer MILLISECONDS
+      // (the stream's timeout clock), then b123's attribution +
+      // per-arm pivot + DECIMAL(38,0)-floored lift verbatim on the
+      // CLOSED-user population. At sf0.001 control's closed revenue is
+      // zero, so the oracle exercises the -1 lift sentinel; sf0.01/0.1
+      // exercise real lift values. StreamingSpec asserts the live drained
+      // stream equals this query column-for-column.
+      // Plan: ONE user exchange shared by the stage windows (now also
+      // carrying the last_ts horizon — the funnelStageTimes lastTsCol
+      // extension, no second aggregate), the per-user compaction, and the
+      // purchase attribution join; the watermark bound is the audited b65
+      // one-row broadcast (the plan's single BNLJ); the arm pivot runs on
+      // a 1-row frame.
+      val stages = Seq("view", "click", "signup", "purchase")
+      val gapMs = 43200000L // 12 h horizon = attribution window (honesty bound)
+      val ev = t(s, d, "events")
+      val f = ev.where(col("event_type").isin(stages: _*))
+      val wm = broadcast(ev.agg(
+        (unix_millis(max(col("ts"))) - lit(1800000L)).as("wm_ms")))
+      val closed = graft.operators.Series.funnelStageTimes(
+          f, "user_id", "event_type", "ts", stages, lastTsCol = Some("last_ts"))
+        .crossJoin(wm)
+        .where(unix_millis(col("last_ts")) + lit(gapMs) < col("wm_ms"))
+      val purRows = f.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          floor(col("value") * 100 + 0.5).cast("long").as("pc"))
+      val attrWin = col("ts") > col("s2") &&
+        col("ts") <= col("s2") + expr("INTERVAL 12 HOURS")
+      val perUser = closed.join(purRows, Seq("user_id"), "left_outer")
+        .groupBy(col("user_id"), col("s1"), col("s2"), col("s4"))
+        .agg(sum(when(attrWin, col("pc"))).as("attr_c"))
+      val perArm = perUser
+        .withColumn("arm",
+          pmod(Text.tokenHash(col("user_id").cast("string")), lit(2L)))
+        .groupBy(col("arm"))
+        .agg(count(col("s1")).as("starters"),
+          count(col("s4")).as("purchasers"),
+          sum(coalesce(col("attr_c"), lit(0L))).as("attr_rev_c"))
+      val pivCols = Seq(
+        sum(when(col("arm") === 0, col("starters"))).as("cu"),
+        sum(when(col("arm") === 1, col("starters"))).as("tu"),
+        sum(when(col("arm") === 0, col("purchasers"))).as("cp"),
+        sum(when(col("arm") === 1, col("purchasers"))).as("tp"),
+        sum(when(col("arm") === 0, col("attr_rev_c"))).as("cc"),
+        sum(when(col("arm") === 1, col("attr_rev_c"))).as("tc"))
+      perArm.agg(pivCols.head, pivCols.tail: _*)
+        .select(
+          coalesce(col("cu"), lit(0L)).as("ctrl_users"),
+          coalesce(col("tu"), lit(0L)).as("trt_users"),
+          coalesce(col("cp"), lit(0L)).as("ctrl_purchasers"),
+          coalesce(col("tp"), lit(0L)).as("trt_purchasers"),
+          coalesce(col("cc"), lit(0L)).as("ctrl_rev_c"),
+          coalesce(col("tc"), lit(0L)).as("trt_rev_c"))
+        .withColumn("ctrl_rev_per_user_uc", coalesce(
+          expr("(ctrl_rev_c * 10000) div nullif(ctrl_users, 0)"), lit(-1L)))
+        .withColumn("trt_rev_per_user_uc", coalesce(
+          expr("(trt_rev_c * 10000) div nullif(trt_users, 0)"), lit(-1L)))
+        .withColumn("rev_lift_bp", coalesce(
+          expr("(CAST(trt_rev_c AS DECIMAL(38,0)) * ctrl_users * 10000) " +
+            "div nullif(CAST(ctrl_rev_c AS DECIMAL(38,0)) * trt_users, 0)"),
+          lit(-1L)))
+    }),
+
+    "b02_join_broadcast" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("p_brand"))),
+
+    "b03_join_multi" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("r_name"))
+    }),
+
+    "b04_join_left" -> ((s, d) =>
+      t(s, d, "customer").as("c")
+        .join(t(s, d, "orders").as("o"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total"))
+        .orderBy(col("c_custkey"))),
+
+    "b05_join_semi" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").where(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    "b06_join_anti" -> ((s, d) =>
+      // customers with no high-value order (plain no-orders anti join is
+      // empty in the testdata; the filtered form keeps the result non-empty)
+      t(s, d, "customer")
+        .join(t(s, d, "orders").where(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    "b07_join_theta" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey") && col("o_totalprice") > col("c_acctbal") * 50)
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("c_custkey"))),
+
+    "b08_join_asof" -> ((s, d) => {
+      // for each purchase event: the user's most recent click at-or-before
+      // it. Linear as-of: union both event kinds into ONE per-user sorted
+      // stream and carry the running last click — one shuffle on user_id,
+      // O(events) work. The join-then-rank alternative is quadratic per
+      // user (every purchase pairs with every earlier click), which is the
+      // plan that falls over at 100 TB.
+      val e = t(s, d, "events")
+      val tagged = e.where(col("event_type").isin("purchase", "click"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          // clicks sort before purchases at equal ts: cts <= ts is inclusive
+          when(col("event_type") === "click", 0).otherwise(1).as("kind"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("click_id",
+          last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .where(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("click_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    "b09_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+        .orderBy(col("o_custkey"), col("rk"))
+    }),
+
+    "b10_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "b11_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).cast("long").as("days_since_prev"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "b27_window_range" -> ((s, d) => {
+      // RANGE frame: for each order, how many of the same customer's orders
+      // fall within 50,000 of its total price (value-based frame, not row
+      // count) — the range/rows distinction of SURVEY §2B windows.
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+        .rangeBetween(-50000L, 50000L)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(w).as("n_similar"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "b12_topk" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)),
+
+    "b13_setops" -> ((s, d) => {
+      val oc = t(s, d, "orders").select(col("o_custkey").as("k")).distinct()
+      val ec = t(s, d, "events").select(col("user_id").as("k")).distinct()
+      val onlyOrders = oc.except(ec).agg(count(lit(1)).as("n")).withColumn("tag", lit("only_orders"))
+      val both = oc.intersect(ec).agg(count(lit(1)).as("n")).withColumn("tag", lit("both"))
+      val all = oc.union(ec).distinct().agg(count(lit(1)).as("n")).withColumn("tag", lit("union"))
+      onlyOrders.union(both).union(all).select(col("tag"), col("n")).orderBy(col("tag"))
+    }),
+
+    "b31_setops_all" -> ((s, d) => {
+      // bag-semantics set ops: duplicates preserved/subtracted by multiplicity
+      val a = t(s, d, "lineitem").select(col("l_returnflag").as("f"))
+      val b = t(s, d, "lineitem").where(col("l_quantity") > 25)
+        .select(col("l_returnflag").as("f"))
+      val inter = a.intersectAll(b).groupBy(col("f")).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("intersect_all"))
+      val exc = a.exceptAll(b).groupBy(col("f")).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("except_all"))
+      inter.union(exc).select(col("op"), col("f"), col("n")).orderBy(col("op"), col("f"))
+    }),
+
+    "b32_window_nav" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey")).over(w).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "b14_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "b15_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls"))),
+
+    "b21_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube(col("o_orderpriority"), year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          coalesce(col("yr"), lit(-1)).as("yr"),
+          col("n"), col("total"))
+        .orderBy(col("prio"), col("yr"))),
+
+    "b28_pivot" -> ((s, d) =>
+      // pivot = groupBy + fixed pivot values (declared, not inferred, so the
+      // output schema is deterministic and no extra pass over the data runs)
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"))
+        .orderBy(col("l_returnflag"))),
+
+    "b29_percentile_disc" -> ((s, d) =>
+      // discrete percentiles return actual data values — exact across
+      // engines, unlike interpolated percentile_cont
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90"))
+        .orderBy(col("o_orderpriority"))),
+
+    "b30_math_fns" -> ((s, d) =>
+      // math-function surface restricted to IEEE-exact ops (abs/sqrt/floor/
+      // ceil/sign/mod) so results are bit-identical across engines
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").as("ln"),
+          abs(col("l_discount") - 0.05).as("d_abs"),
+          sqrt(col("l_quantity")).as("q_sqrt"),
+          floor(col("l_extendedprice") / 100).cast("long").as("p_floor"),
+          ceil(col("l_extendedprice") / 100).cast("long").as("p_ceil"),
+          signum(col("l_discount") - 0.05).as("d_sign"),
+          pmod(col("l_linenumber"), lit(3)).as("ln_mod"))
+        .orderBy(col("l_orderkey"), col("ln"), col("d_abs"), col("q_sqrt"))),
+
+    "b16_string_fns" -> ((s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          lower(col("p_brand")).as("brand_lower"),
+          substring(col("p_name"), 1, 5).as("name5"),
+          regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+          size(split(col("p_type"), " ")).cast("long").as("type_words"))
+        .orderBy(col("p_partkey"))),
+
+    "b17_date_fns" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("month"))),
+
+    "b18_approx_distinct" -> ((s, d) =>
+      // exact count-distinct is oracle-checked directly; the HLL estimate is
+      // engine-specific, so its correctness evidence is a relative-error
+      // bound (|approx-exact|/exact ≤ 5%) that the oracle asserts as TRUE —
+      // if Spark's sketch drifted out of tolerance the hash would go red.
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx_orders") - col("exact_orders"))
+            <= col("exact_orders") * 0.05).as("approx_ok"))
+        .orderBy(col("l_returnflag"))),
+
+    "b19_window_tumbling" -> ((s, d) =>
+      Streams.tumblingCounts(t(s, d, "events"), "1 hour")
+        .orderBy(col("window_start"), col("event_type"))),
+
+    "b20_sessionize" -> ((s, d) =>
+      Streams.sessionCounts(t(s, d, "events"), "30 minutes")
+        .orderBy(col("user_id"), col("session_start"))),
+
+    "b22_window_sliding" -> ((s, d) =>
+      Streams.slidingCounts(t(s, d, "events"), "1 hour", "30 minutes")
+        .orderBy(col("window_start"), col("event_type"))),
+
+    "b26_grouping_sets" -> ((s, d) =>
+      // explicit GROUPING SETS through the SQL front end (rollup/cube's
+      // general form); same syntax runs on the oracle.
+      graft.sources.Catalog.sql(s, d,
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          |  coalesce(l_linestatus, 'ALL') AS ls,
+          |  count(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY rf, ls""".stripMargin)),
+
+    "b24_sql" -> ((s, d) =>
+      // SQL entry point over the catalog layer (oamap database analogue):
+      // same engine, text frontend.
+      graft.sources.Catalog.sql(s, d,
+        """SELECT o_orderpriority, count(*) AS n, min(o_orderkey) AS first_key
+          |FROM orders WHERE o_totalprice > 100000
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    "b25_skew_distinct" -> ((s, d) =>
+      graft.operators.Scale.skewSafeCountDistinct(
+          t(s, d, "lineitem"), "l_returnflag", "l_orderkey")
+        .orderBy(col("l_returnflag"))),
+
+    "b23_join_supplier" -> ((s, d) =>
+      // lineitem→supplier→nation: the remaining star-schema arm; supplier is
+      // mid-size (broadcastable at any realistic dim scale), nation tiny.
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("n_name"))),
+
+    "b33_orc_roundtrip" -> ((s, d) => {
+      // ORC source+sink (SURVEY §1.6 backends): write supplier as ORC,
+      // read it back, aggregate the REREAD data — the oracle aggregates the
+      // original parquet, so any value/type drift through the format fails
+      // the hash. Parallel per-partition write, splittable column-pruned
+      // read; no driver funnel.
+      val dir = graft.sources.Formats.scratchDir(s, "orc_supplier", d)
+      graft.sources.Formats.ensureWritten(s, dir) {
+        graft.sources.Formats.writeOrc(t(s, d, "supplier"), dir)
+      }
+      graft.sources.Formats.readOrc(s, dir)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_sup"), dsum(col("s_acctbal")).as("sum_bal"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    "b34_csv_roundtrip" -> ((s, d) => {
+      // CSV interchange roundtrip with a DECLARED read schema (never
+      // inferSchema — that's an extra full pass at 100 TB). Money goes
+      // through the format as decimal(18,2) text, so the roundtrip is
+      // value-exact; the oracle aggregates the original parquet.
+      val dir = graft.sources.Formats.scratchDir(s, "csv_part", d)
+      graft.sources.Formats.ensureWritten(s, dir) {
+        graft.sources.Formats.writeCsv(
+          t(s, d, "part").select(col("p_partkey"), col("p_brand"), col("p_size"),
+            col("p_retailprice").cast("decimal(18,2)").as("p_retailprice")), dir)
+      }
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "p_partkey LONG, p_brand STRING, p_size INT, p_retailprice DECIMAL(18,2)")
+      graft.sources.Formats.readCsv(s, dir, schema)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          max(col("p_size")).as("max_size"),
+          sum(col("p_retailprice")).cast("double").as("sum_price"))
+        .orderBy(col("p_brand"))
+    }),
+
+    "b54_percentile_cont" -> ((s, d) =>
+      // continuous (interpolated) percentiles complete the quantile
+      // surface next to discrete b29 and sketched b36. Engine-safe by
+      // construction: l_quantity is integer-valued and the requested
+      // fractions are powers of two, so the R-7 interpolation
+      // x + (y−x)·frac is EXACT in both engines no matter how each
+      // arranges the formula — no 1-ulp wobble (the pow()/round()
+      // lesson applied to quantiles). Exact percentile is a full
+      // per-group sort at scale; b36's GK sketch is the 100 TB default,
+      // this is the exact-answer option.
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(q, 0.25D)").as("q25"),
+          expr("percentile(q, 0.5D)").as("median"),
+          expr("percentile(q, 0.75D)").as("q75"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
+    "b55_unpivot" -> ((s, d) =>
+      // wide→long reshape (melt): the inverse of b28's pivot, via the
+      // native Dataset.unpivot (an Expand node — each input row fans out
+      // to one row per measure BEFORE the aggregate, and the partial
+      // aggregation absorbs the 3× row blow-up map-side; nothing extra
+      // crosses the shuffle). Long-typed measures only, so every
+      // aggregate is exact integer arithmetic.
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"))
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_partkey"), col("l_suppkey"), col("l_linenumber")),
+          "measure", "value")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"),
+          min(col("value")).as("mn"), max(col("value")).as("mx"))
+        .orderBy(col("measure"))),
+
+    "b56_recursive_cte" -> ((s, d) =>
+      // recursive CTE (Spark 4 WITH RECURSIVE): ancestor walk over the
+      // implicit binary tree parent(k) = k div 2 rooted at custkey 1 —
+      // per node, the depth and the sum of its strict-ancestor keys,
+      // aggregated per depth. Pure BIGINT floor division on both engines
+      // (Spark `div`, DuckDB `//`), so the recursion is integer-exact.
+      // Scale: the frontier HALVES each level (cur div 2), so the
+      // recursion does O(V log V) total row-work across ~log2(max key)
+      // narrow map+filter steps; the only shuffle is the final
+      // depth aggregate. Recursion depth at 100 TB key ranges (~2^40)
+      // stays far under Spark's level limit.
+      graft.sources.Catalog.sql(s, d,
+        """WITH RECURSIVE walk(node, cur, path_sum, depth) AS (
+          |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT), 0 FROM customer
+          |  UNION ALL
+          |  SELECT node, cur div 2, path_sum + (cur div 2), depth + 1
+          |  FROM walk WHERE cur > 1)
+          |SELECT depth, count(*) AS n_nodes, sum(path_sum) AS ancestor_key_sum
+          |FROM walk WHERE cur = 1
+          |GROUP BY depth ORDER BY depth""".stripMargin)),
+
+    "b57_locf" -> ((s, d) => {
+      // last-observation-carried-forward: every event carries the most
+      // recent purchase value seen so far for its user (the time-series
+      // forward-fill that b53's zero-fill spine cannot express). The
+      // filled value is a raw stored double PASSED THROUGH — chosen by
+      // window position, never arithmetic — so both engines emit the
+      // identical bits. ROWS frame pinned explicitly (ties are already
+      // broken by event_id, making RANGE==ROWS, but pinning removes the
+      // default-frame dependency). One shuffle+sort per user partition —
+      // the unavoidable window cost; no self-join.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          col("ts"),
+          when(col("event_type") === "purchase", col("value")).as("pv"))
+        .withColumn("filled", last(col("pv"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("event_id"), col("filled"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "b58_latest_state" -> ((s, d) =>
+      // CDC log compaction: the latest event per user, picked by the
+      // lexicographic max of (ts, event_id), via ONE partial+final
+      // max_by aggregate — no per-key sort, no window, no join. The
+      // upsert/compaction shape at 100 TB: a row_number window would
+      // shuffle AND fully sort the log to keep one row per key; max_by
+      // keeps a single struct per key in the aggregation state and
+      // combines map-side. Payload values pass through untouched.
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max_by(
+            struct(col("event_id"), col("event_type"), col("value")),
+            struct(col("ts"), col("event_id"))).as("st"))
+        .select(col("user_id"), col("st.event_id").as("event_id"),
+          col("st.event_type").as("event_type"), col("st.value").as("value"))
+        .orderBy(col("user_id"))),
+
+    "b60_scd2" -> ((s, d) => {
+      // slowly-changing-dimension type 2: the per-user event log becomes
+      // validity intervals [valid_from, valid_to) with an is_current
+      // flag — one lead() window per user partition, the standard
+      // change-log → dimension-table build. Timestamps emitted as epoch
+      // MICROS longs (the testdata is µs-precision, lossless in both
+      // engines); ties broken by event_id.
+      val us = unix_micros(col("ts"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("valid_from_us", us)
+        .withColumn("valid_to_us", lead(us, 1).over(w))
+        .select(col("user_id"), col("event_id"), col("valid_from_us"),
+          col("valid_to_us"), col("valid_to_us").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "b61_zorder_key" -> ((s, d) =>
+      // multi-dimensional at-rest clustering: the Morton key over
+      // (custkey, order day) that a 2-D-skipping layout sorts by at
+      // write time — every file then has a tight min/max envelope in
+      // both dimensions. The key is pure builtin bitwise arithmetic
+      // (see Scale.zOrderKey), narrow and codegen'd; the 2000-row cut
+      // is total-ordered on (zkey, orderkey).
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          Scale.zOrderKey(col("o_custkey"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1992-01-01").cast("date"))).as("zkey"))
+        .orderBy(col("zkey"), col("o_orderkey"))
+        .limit(2000)),
+
+    "b92_hilbert_key" -> ((s, d) =>
+      // the Hilbert sibling of b61's Morton key: same (custkey, order
+      // day) dimensions, same codegen discipline (one static-kernel
+      // call per row inside whole-stage codegen — the rotate/reflect
+      // state machine can't unroll as a column ladder, see
+      // Scale.hilbertKey), oracle = the identical 16-plane algebra as
+      // a CTE ladder. Pure integer, bit-identical cross-engine.
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          Scale.hilbertKey(col("o_custkey"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1992-01-01").cast("date"))).as("hkey"))
+        .orderBy(col("hkey"), col("o_orderkey"))
+        .limit(2000)),
+
+    "b93_hilbert_prune" -> ((s, d) => {
+      // b64's 2-D skipping layout re-clustered on the HILBERT key —
+      // identical write shape (range-partition + sort on the curve key),
+      // identical 2-D box query, different curve: Hilbert's unit-step
+      // locality gives files tighter min/max envelopes than Morton's
+      // diagonal jumps, so the same predicate skips more files
+      // (graft.SkipRate prints both curves' measured skip rates;
+      // docs/PLANS.md records them). Same zday non-negativity guard as
+      // b64 — a negative day would wrap to the top of the key range and
+      // kill the envelope.
+      val dir = graft.sources.Formats.scratchDir(s, "orders_hilbert", d)
+      graft.sources.Formats.ensureWritten(s, dir) {
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderstatus"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1995-01-01").cast("date")).cast("int").as("o_day"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1992-01-01").cast("date")).cast("int").as("zday"))
+          .withColumn("hkey", Scale.hilbertKey(col("o_custkey"), col("zday")))
+          .drop("zday")
+          .repartitionByRange(16, col("hkey"))
+          .sortWithinPartitions("hkey")
+          .write.parquet(dir)
+      }
+      s.read.parquet(dir)
+        .where(col("o_custkey") < 80 && col("o_day") < 730)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "b62_share_of_group" -> ((s, d) => {
+      // percent-of-total analytics: each nation's revenue share within
+      // its region as integer ppm — exact cents aggregation (b51
+      // convention), window total per region over the tiny aggregated
+      // relation (|nations| rows, never the fact table), floor division
+      // both engines. cents·10⁶ stays far under int64 at any realistic
+      // region size; ANSI mode would error, not corrupt, if exceeded.
+      val rev = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("cents"))
+      rev
+        .withColumn("total",
+          sum(col("cents")).over(Window.partitionBy(col("r_name"))))
+        .select(col("r_name"), col("n_name"), col("cents"),
+          expr("CAST((cents * 1000000L) div total AS BIGINT)").as("share_ppm"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    "b63_partitioned_bucketed" -> ((s, d) => {
+      // The two at-rest layout dimensions on ONE table (b37 buckets by
+      // join key, b38 partitions by filter column — this combines them):
+      // orders written partitionBy(o_orderpriority) + bucketBy(8,
+      // o_custkey). The priority filter prunes 4/5 of the directories at
+      // planning time (PartitionFilters) AND the customer join reads
+      // co-located pre-sorted buckets with zero Exchange on either side —
+      // both plan-asserted in PlanSpec. At 100 TB this is the full
+      // ingest-once contract: scan only the predicate's partitions, join
+      // on the key for free, forever. The merge hint keeps the small-SF
+      // demo honest (auto-broadcast would hide the bucketing; at real
+      // scale neither fact side broadcasts).
+      val ob = graft.sources.Formats.partitionedBucketedTable(s, "orders_pb", d,
+        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority")),
+        partCol = "o_orderpriority", key = "o_custkey", buckets = 8)
+      val cb = graft.sources.Formats.bucketedTable(s, "customer_by_cust", d,
+        t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        "c_custkey", buckets = 8)
+      ob.where(col("o_orderpriority") === "1-URGENT")
+        .hint("merge").join(cb, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "b64_zorder_prune" -> ((s, d) => {
+      // b61 computed the Morton key; this is the key DOING ITS JOB: orders
+      // rewritten range-partitioned + sorted on zOrderKey(custkey, day),
+      // so every parquet file carries a tight min/max envelope in BOTH
+      // dimensions, and a 2-D predicate box skips most files on footer
+      // stats alone (row-group skipping inside the survivors comes free
+      // from the same sort). ScaleSpec measures the file-level skip rate
+      // from each file's actual min/max; the filters are plan-asserted as
+      // PushedFilters. This is the layout for the 100 TB two-dimension
+      // scan problem partitionBy can't solve (both dims high-cardinality:
+      // partitionBy(custkey) shatters into tiny files, partitionBy(day)
+      // leaves custkey scans full — interleaved bits cluster both).
+      val dir = graft.sources.Formats.scratchDir(s, "orders_zorder", d)
+      graft.sources.Formats.ensureWritten(s, dir) {
+        // The interleaved day MUST be non-negative: zOrderKey masks to 16
+        // bits, so a negative day (pre-epoch order) wraps to the TOP of
+        // the z-range and its file's min-day envelope covers everything —
+        // pruning dies. Interleave days since 1992-01-01 (before the
+        // earliest TPC-H order, b61 convention); the *predicate* column
+        // o_day stays on the 1995 epoch the query box is written against.
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderstatus"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1995-01-01").cast("date")).cast("int").as("o_day"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1992-01-01").cast("date")).cast("int").as("zday"))
+          .withColumn("zkey", Scale.zOrderKey(col("o_custkey"), col("zday")))
+          .drop("zday")
+          .repartitionByRange(16, col("zkey"))
+          .sortWithinPartitions("zkey")
+          .write.parquet(dir)
+      }
+      s.read.parquet(dir)
+        .where(col("o_custkey") < 80 && col("o_day") < 730)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "b65_stream_session_parity" -> ((s, d) => {
+      // batch parity for the RUNNING native session_window stream
+      // (Streams.streamSessionCounts, gap 30 min, watermark delay
+      // 30 min): after a file-source stream drains the whole table,
+      // append mode has emitted exactly the sessions whose end the final
+      // watermark (max ts - delay) passed — open/too-recent sessions
+      // stay in state. This query replicates that output shape in batch:
+      // the same session_window aggregation, filtered to
+      // session_end <= max(ts) - delay. StreamingSpec asserts the live
+      // stream's collected output equals this query on the same data.
+      // Plan: sessionization shuffles once on user_id; the watermark
+      // bound is a one-row broadcast cross join (the audited c19
+      // bounded-broadcast shape) — at true streaming scale the engine
+      // enforces the watermark in-state; this filter exists only to make
+      // the running stream's output oracle-checkable.
+      val ev = t(s, d, "events")
+      val wm = broadcast(ev.agg(
+        (max(col("ts")) - expr("INTERVAL 30 MINUTES")).as("wm")))
+      Streams.sessionCounts(ev, "30 minutes")
+        .crossJoin(wm)
+        .where(col("session_end") <= col("wm"))
+        .select(col("session_start"), col("session_end"), col("user_id"), col("n"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    "b68_sketch_rollup" -> ((s, d) => {
+      // sketch MERGEABILITY — the property that makes sketches matter at
+      // 100 TB: per-day DataSketches-HLL user sketches (what an ingest
+      // would persist in a daily rollup table) are UNIONED into weekly
+      // estimates without ever revisiting the raw events. b18 bounds a
+      // one-shot estimate; this bounds the union-of-partials path:
+      // |union-estimate − exact| ≤ 5% · exact, asserted as a boolean the
+      // oracle expects TRUE (exact weekly distinct is hash-checked
+      // directly). Plan: daily sketch agg is partial+final on day;
+      // weekly union shuffles only |days| sketch blobs — the raw table
+      // is read once, ever, which is the entire point of the rollup.
+      val ev = t(s, d, "events")
+      val daily = ev
+        .select(date_trunc("week", col("ts")).cast("date").as("week"),
+          date_trunc("day", col("ts")).cast("date").as("day"), col("user_id"))
+        .groupBy(col("week"), col("day"))
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      val weekly = daily.groupBy(col("week"))
+        .agg(count(lit(1)).cast("long").as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = ev
+        .select(date_trunc("week", col("ts")).cast("date").as("week"), col("user_id"))
+        .groupBy(col("week"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      weekly.join(exact, Seq("week"))
+        .select(col("week"), col("n_days"), col("exact_users"),
+          (abs(col("est") - col("exact_users"))
+            <= col("exact_users") * 0.05).as("rollup_ok"))
+        .orderBy(col("week"))
+    }),
+
+    "b66_merge_apply" -> ((s, d) => {
+      // MERGE INTO expressed relationally (operators/Merge): base = the
+      // compacted pre-cutoff snapshot (b58 max_by shape), changes = the
+      // compacted post-cutoff changelog with error-events as delete
+      // tombstones; apply = one full-outer equi-join on the key — update /
+      // insert / carry / delete, payload passed through untouched. Both
+      // sides arrive hash-partitioned on user_id from their compaction
+      // aggregates. The nightly snapshot⊕changelog shape at 100 TB.
+      val cutoff = lit("2024-01-16").cast("timestamp")
+      def compact(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("st"))
+        .select(col("user_id"), col("st.event_type").as("event_type"),
+          col("st.value").as("value"))
+      val ev = t(s, d, "events")
+      val base = compact(ev.where(col("ts") < cutoff)).drop("event_type")
+      val changes = compact(ev.where(col("ts") >= cutoff))
+        .select(col("user_id"), col("value"),
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"))
+      graft.operators.Merge.mergeApply(base, changes, "user_id")
+        .orderBy(col("user_id"))
+    }),
+
+    "b67_interval_coverage" -> ((s, d) => {
+      // interval-union coverage: each event opens a 30-minute activity
+      // interval; per user, merge overlaps (the classic sweep: an island
+      // starts where ts exceeds the running max of prior ends) and report
+      // islands + total covered time. Pure integer epoch-micros
+      // arithmetic. One shuffle+sort per user partition (the window),
+      // then partial+final aggregates — no self-join, no driver state;
+      // the standard interval-union plan at any scale.
+      val span = 1800000000L // 30 min in micros
+      val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+      val iv = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("s"))
+        .withColumn("e", col("s") + lit(span))
+      val marked = iv
+        .withColumn("pme", max(col("e")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("brk",
+          when(col("pme").isNull || col("s") > col("pme"), lit(1)).otherwise(lit(0)))
+        .withColumn("island",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      marked.groupBy(col("user_id"), col("island"))
+        .agg((max(col("e")) - min(col("s"))).as("cov"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_islands"),
+          sum(col("cov")).cast("long").as("covered_micros"))
+        .orderBy(col("user_id"))
+    }),
+
+    "b69_ivm_merge" -> ((s, d) => {
+      // incremental view maintenance: the materialized per-user rollup
+      // absorbs a new batch by merging PARTIAL STATES (operators/Ivm) —
+      // never re-reading history. The oracle is the full recompute over
+      // all rows: merge ≡ recompute is exactly the monoid property the
+      // operator exploits (b66 is the row-level sibling; b68 the sketch
+      // sibling). States are integer cents/counts — order-free,
+      // engine-exact; the derived avg is a read-time floor division.
+      val ev = t(s, d, "events")
+      val cutoff = lit("2024-01-20").cast("timestamp")
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      def state(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(cents).as("sum_cents"),
+          min(cents).as("min_cents"), max(cents).as("max_cents"))
+      graft.operators.Ivm.mergeStates(
+          Seq(state(ev.where(col("ts") < cutoff)),
+            state(ev.where(col("ts") >= cutoff))),
+          Seq("user_id"),
+          Map("n_events" -> "sum", "sum_cents" -> "sum",
+            "min_cents" -> "min", "max_cents" -> "max"))
+        .withColumn("avg_cents_floor", expr("sum_cents div n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    "b70_interpolate" -> ((s, d) =>
+      // linear-interpolation gap fill onto the per-user hourly grid — the
+      // step past b57's LOCF; integer cleared-denominator weighted mean,
+      // grid bounded by each key's own observed span (operators/Series).
+      graft.operators.Series.interpolateHourlyCents(
+          t(s, d, "events"), "user_id", "ts", "event_id", "value")
+        .orderBy(col("user_id"), col("hour_id"))),
+
+    "b71_equidepth_hist" -> ((s, d) =>
+      // exact 16-bucket equi-depth histogram of lineitem price cents
+      // WITHOUT a global row sort: per-distinct-value counts (one
+      // map-side-combined shuffle), then the cumulative window runs over
+      // the distinct-value frame only — bounded by the price DOMAIN, not
+      // the row count (operators/Scale.equiDepthHistogram scaladoc).
+      graft.operators.Scale.equiDepthHistogram(
+          t(s, d, "lineitem"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long"), bins = 16)
+        .orderBy(col("bin"))),
+
+    "b79_dynamic_partition_prune" -> ((s, d) => {
+      // DYNAMIC partition pruning: the fact side is the b38 at-rest
+      // layout (orders partitionBy(o_orderpriority)), but the predicate
+      // lives on the DIM side ("urgency = high"), so planning-time
+      // pruning is impossible — Catalyst must inject the runtime
+      // dynamicpruning subquery (fed by the reused dim broadcast) into
+      // the fact scan's PartitionFilters, and only then do 3/5 of the
+      // directories go unread. Plan-asserted. At 100 TB this is how a
+      // star-schema query skips partitions it can't name until the dim
+      // filter runs — the complement of b38's static prune.
+      val dir = graft.sources.Formats.scratchDir(s, "orders_bypriority", d)
+      graft.sources.Formats.ensureWritten(s, dir) {
+        t(s, d, "orders").write.mode("overwrite")
+          .partitionBy("o_orderpriority").parquet(dir)
+      }
+      // the dim must be an at-rest table with a REAL runtime filter: a
+      // driver-literal relation gets constant-folded into a pre-filtered
+      // LocalTableScan, leaving the DPP rule no selective predicate to
+      // reuse (observed; that variant planned a static 5-partition scan)
+      val dimDir = graft.sources.Formats.scratchDir(s, "priority_dim", d)
+      graft.sources.Formats.ensureWritten(s, dimDir) {
+        val sess = s; import sess.implicits._
+        Seq(("1-URGENT", "high"), ("2-HIGH", "high"), ("3-MEDIUM", "low"),
+          ("4-NOT SPECIFIED", "low"), ("5-LOW", "low")).toDF("p", "urgency")
+          .write.mode("overwrite").parquet(dimDir)
+      }
+      s.read.parquet(dir)
+        .join(s.read.parquet(dimDir).where(col("urgency") === "high"),
+          col("o_orderpriority") === col("p"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("rev_cents"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "b78_stream_hll_parity" -> ((s, d) => {
+      // batch parity for the STREAMING windowed approx-distinct
+      // (Streams.streamTumblingDistinct, 1 h tumbling, 30 min delay):
+      // the HLL sketch merges by register max — arrival-order
+      // insensitive — so the drained stream's append output equals this
+      // batch aggregation on the closed windows (w_end <= max ts −
+      // delay; the one-row watermark bound is the audited b65 broadcast
+      // shape). The estimate is oracle-checked as a combined bound
+      // boolean vs the exact distinct (b18 pattern): |err| ≤
+      // max(4, 0.15·exact) — HLL's relative rsd guarantee only holds
+      // asymptotically, and these windows hold 4–28 users where the
+      // measured deviation is ≤3 absolute (≤15 at sf0.1's larger
+      // windows, ≤10.8 % relative); StreamingSpec asserts the live
+      // stream's estimates equal batch bit-for-bit.
+      val ev = t(s, d, "events")
+      val wm = broadcast(ev.agg(
+        (max(col("ts")) - expr("INTERVAL 30 MINUTES")).as("wm")))
+      ev.groupBy(window(col("ts"), "1 hour"))
+        .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .crossJoin(wm)
+        .where(col("window.end") <= col("wm"))
+        .select(unix_micros(col("window.start")).as("w_start_us"),
+          col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            greatest(lit(4.0), col("exact_users") * 0.15)).as("approx_ok"))
+        .orderBy(col("w_start_us"))
+    }),
+
+    "b95_tpch_q3" -> ((s, d) => {
+      // TPC-H Q3 (shipping priority) on the fixture's column subset
+      // (o_orderpriority stands in for o_shippriority): revenue of
+      // unshipped BUILDING orders as of the cut date. Revenue is the
+      // exact integer Σ cents·(100−disc_pct) — cent·percent units, no
+      // double accumulation (the b51 convention extended to the
+      // discount factor). Joins stay declarative: at 100 TB both fact
+      // sides shuffle on their keys and AQE picks build sides; at test
+      // scale Catalyst broadcasts the filtered dims on its own — no
+      // hand-hinting either way. Top-10 is TakeOrdered with a total
+      // (revenue, orderkey) tie order.
+      val cut = lit("1996-06-30").cast("date")
+      val rev = (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+        (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+      t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate").cast("date") < cut)
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_shipdate").cast("date") > cut)
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(rev).as("revenue_c100"))
+        .orderBy(col("revenue_c100").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "b96_tpch_q5" -> ((s, d) => {
+      // TPC-H Q5 (local supplier volume): revenue per ASIA nation from
+      // 1997 orders where the supplier and customer share the nation —
+      // the classic 6-table star-plus-selective-equality join. Same
+      // exact cent·percent revenue; region/nation broadcast (provably
+      // tiny dims), the fact-fact chain shuffles on its keys.
+      val rev = (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+        (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate").cast("date") >= lit("1997-01-01").cast("date") &&
+          col("o_orderdate").cast("date") < lit("1998-01-01").cast("date"))
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(sum(rev).as("revenue_c100"))
+        .orderBy(col("revenue_c100").desc, col("n_name"))
+    }),
+
+    "b97_tpch_q10" -> ((s, d) => {
+      // TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+      // lost to returns in one quarter. Exact cent·percent revenue;
+      // nation broadcast; the returned-flag and date predicates reach
+      // the scans. Grouping carries the per-customer constants
+      // (name, acctbal, nation) through — c_acctbal is an untouched
+      // stored double (pass-through, hash-safe), never arithmetic.
+      val rev = (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+        (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .where(col("o_orderdate").cast("date") >= lit("1997-01-01").cast("date") &&
+          col("o_orderdate").cast("date") < lit("1997-04-01").cast("date"))
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .where(col("l_returnflag") === "R")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(rev).as("revenue_c100"))
+        .orderBy(col("revenue_c100").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    "b98_tpch_q18" -> ((s, d) => {
+      // TPC-H Q18 (large-volume customers): orders whose total quantity
+      // clears a threshold, with customer identity and the order's
+      // line-quantity total. The filter subquery is the aggregated
+      // semi-join shape (groupBy lineitem ONCE, filter on the aggregate,
+      // then join orders/customer to the qualifying keys) — never a
+      // correlated per-order re-scan. Quantities are exact integer
+      // deci-units (l_quantity is at most 1dp in the fixture; ·10
+      // round-trips exactly). At 100 TB the qualifying-key set is tiny
+      // (the HAVING cuts hard) so AQE broadcasts it back against
+      // orders; lineitem aggregates once with map-side partials.
+      val qty = floor(col("l_quantity") * 10 + 0.5).cast("long")
+      val big = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(qty).as("total_qty_deci"))
+        .where(col("total_qty_deci") > 3000)
+      t(s, d, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("totalprice_cents"),
+          col("total_qty_deci"))
+        .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    "b99_stream_funnel_parity" -> ((s, d) => {
+      // batch parity for the STREAMING ordered funnel
+      // (Streams.funnelWithState, gap 30 min, delay 30 min): after the
+      // stream drains, the event-time timeout has fired for exactly the
+      // users whose last stage event + gap the final watermark
+      // (max ts − delay) passed — their buffered machine emitted one
+      // (user, s1, s2, s3) row; open-horizon users stay in state. This
+      // replicates that output in batch: the b94 stage kernel
+      // (Series.funnelStageTimes — the stream runs the identical
+      // strictly-after machine per user) + the horizon cut in integer
+      // MILLISECONDS, the stream's own timeout clock granularity.
+      // StreamingSpec asserts the live drained stream equals this query.
+      // Plan: one user shuffle for the stage windows, one for the
+      // horizon max — same partitioning, and the watermark bound is the
+      // audited b65 one-row broadcast.
+      val stages = Seq("view", "click", "purchase")
+      val ev = t(s, d, "events")
+      val f = ev.where(col("event_type").isin(stages: _*))
+      val wm = broadcast(ev.agg(
+        (unix_millis(max(col("ts"))) - lit(1800000L)).as("wm_ms")))
+      val horizon = f.groupBy(col("user_id"))
+        .agg(unix_millis(max(col("ts"))).as("last_ms"))
+      graft.operators.Series.funnelStageTimes(f, "user_id", "event_type", "ts", stages)
+        .join(horizon, Seq("user_id"))
+        .crossJoin(wm)
+        .where(col("last_ms") + lit(1800000L) < col("wm_ms"))
+        .select(col("user_id"), unix_micros(col("s1")).as("s1_us"),
+          unix_micros(col("s2")).as("s2_us"), unix_micros(col("s3")).as("s3_us"))
+        .orderBy(col("user_id"))
+    }),
+
+    "b100_tpch_q14" -> ((s, d) => {
+      // TPC-H Q14 shape (promotion-revenue share), per ship month: the
+      // fact-dim join on partkey carries only (p_partkey, is_promo) —
+      // column pruning reaches the part scan; at 100 TB both sides are
+      // big, so the equi-join is the declarative shuffle-hash/broadcast
+      // decision AQE makes from runtime sizes (the b96 discipline).
+      // Revenue in exact cent·percent integers (the b95 rule), the share
+      // in basis points by non-negative integer floor division — both
+      // engines agree bit-for-bit.
+      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val rev = cents * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "part")
+          .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("month"))
+        .agg(sum(when(col("is_promo"), rev).otherwise(lit(0L))).as("promo_rev_c100"),
+          sum(rev).as("total_rev_c100"))
+        .select(col("month"), col("promo_rev_c100"), col("total_rev_c100"),
+          expr("(promo_rev_c100 * 10000) div total_rev_c100").as("promo_bp"))
+        .orderBy(col("month"))
+    }),
+
+    "b101_tpch_q22" -> ((s, d) => {
+      // TPC-H Q22 shape (global sales opportunity): customers with
+      // above-average positive balance and no URGENT orders (the fixture
+      // gives every customer SOME order, so the anti leg is filtered —
+      // same plan, non-vacuous result), aggregated by nation. The
+      // average gate clears denominators — bal·n > sum over exact cents,
+      // pure BIGINT, no float mean — delivered as the audited one-row
+      // broadcast; the no-urgent-orders test is a left_anti join
+      // shuffling both sides on custkey with the priority filter PUSHED
+      // to the orders scan (never NOT IN with a subquery rescan); nation
+      // is a provably-tiny broadcast.
+      val cents = floor(col("c_acctbal") * 100 + 0.5).cast("long")
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), cents.as("bal_c"))
+      val posAvg = broadcast(cust.where(col("bal_c") > 0)
+        .agg(sum(col("bal_c")).as("s"), count(lit(1)).as("n")))
+      cust.crossJoin(posAvg)
+        .where(col("bal_c") * col("n") > col("s"))
+        .join(t(s, d, "orders").where(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totacctbal_c"))
+        .orderBy(col("n_name"))
+    }),
+
+    "b94_funnel" -> ((s, d) => {
+      // ordered-funnel conversion (view → click → purchase): a user
+      // reaches stage n at the EARLIEST event of that type strictly
+      // after their stage-(n−1) time — the standard product-analytics
+      // funnel with event-order semantics, not mere type presence.
+      // Plan: ONE shuffle on user_id; the three stage times are chained
+      // conditional mins over the same user partition window (no joins,
+      // no per-user sort materialized beyond the window), then a
+      // per-user compaction and a 1-row stage-count aggregate unpivoted
+      // to (stage, users, conv_ppm). Integer ppm division floors
+      // identically in both engines.
+      val staged = graft.operators.Series.funnelStageTimes(
+        t(s, d, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      val counts = staged.agg(
+        count(col("s1")).as("u1"), count(col("s2")).as("u2"), count(col("s3")).as("u3"))
+      // stack, not a 3-way union: a union of selects over `counts` would
+      // re-derive the whole staged pipeline once per branch (3 full
+      // scans at 100 TB); stack unpivots the ONE materialized row
+      counts.select(expr(
+          "stack(3, " +
+            "1, 'view',     u1, (u1 * 1000000) div nullif(u1, 0), " +
+            "2, 'click',    u2, (u2 * 1000000) div nullif(u1, 0), " +
+            "3, 'purchase', u3, (u3 * 1000000) div nullif(u1, 0)) " +
+            "AS (stage, event_type, users, conv_ppm)"))
+        .orderBy(col("stage"))
+    }),
+
+    "b91_stream_sliding_hll" -> ((s, d) => {
+      // batch parity for the SLIDING-window streaming approx-distinct
+      // (Streams.streamSlidingDistinct, 1 h window / 30 min slide,
+      // 30 min delay): every event feeds width/slide = 2 overlapping
+      // windows — a deterministic assignment that leaves the per-window
+      // HLL register-max merge algebra untouched, so the drained
+      // stream's append output still equals this batch aggregation
+      // bit-for-bit on closed windows (StreamingSpec asserts it live;
+      // no audit-boolean formulation turned out to be needed). Estimate
+      // checked as the b78/b18 bound boolean vs exact distinct.
+      val ev = t(s, d, "events")
+      val wm = broadcast(ev.agg(
+        (max(col("ts")) - expr("INTERVAL 30 MINUTES")).as("wm")))
+      ev.groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .crossJoin(wm)
+        .where(col("window.end") <= col("wm"))
+        .select(unix_micros(col("window.start")).as("w_start_us"),
+          col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            greatest(lit(4.0), col("exact_users") * 0.15)).as("approx_ok"))
+        .orderBy(col("w_start_us"))
+    }),
+
+    "b77_period_over_period" -> ((s, d) => {
+      // month-over-month revenue: per-month cents totals, previous
+      // month's total (lag over the month-ordered frame — the frame is
+      // CALENDAR-sized, not row-sized, so the unpartitioned window is
+      // bounded by the date domain like b71's), absolute delta, and the
+      // relative change in integer basis points. bps divides
+      // MAGNITUDES and reapplies the sign: DuckDB's // floors while
+      // Spark's div truncates, so negative quotients would differ by
+      // one — sign-splitting keeps both engines on the same
+      // non-negative division (the b70 rule).
+      val o = t(s, d, "orders")
+      val monthly = o
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("rev_cents"))
+      val w = Window.orderBy(col("month"))
+      monthly
+        .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+        .withColumn("delta_cents", col("rev_cents") - col("prev_cents"))
+        .select(col("month"), col("rev_cents"), col("prev_cents"), col("delta_cents"),
+          // prev_cents = 0 → NULL bps (mirrored by NULLIF in the oracle):
+          // Spark's div-by-zero yields null but DuckDB's // raises, so the
+          // guard keeps both engines defined on a zero-revenue month.
+          (signum(col("delta_cents")).cast("long") *
+            expr("(abs(delta_cents) * 10000) div nullif(prev_cents, 0)"))
+            .as("change_bps"))
+        .orderBy(col("month"))
+    }),
+
+    "b76_expectations" -> ((s, d) => {
+      // data-quality contract audit (the expectations gate an ingest runs
+      // before publishing a table): 7 named constraints -> violation
+      // counts. The five row-local checks share ONE map-side-combined
+      // aggregate pass (CASE sums, then unpivot of the 1-row frame); the
+      // referential check is a broadcast anti-join count; uniqueness is a
+      // key-partitioned group-count. Nothing buffers rows; each leg is an
+      // O(n) scan-and-count. totalprice_le_100k is the deliberately tight
+      // SLA bound that FIRES on this data — proving the counter counts.
+      val o = t(s, d, "orders")
+      val prio = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val od = col("o_orderdate").cast("date")
+      val rowChecks = o.agg(
+          sum(when(col("o_orderkey").isNull || col("o_custkey").isNull ||
+            col("o_totalprice").isNull, 1L).otherwise(0L)).as("not_null_keys"),
+          sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("totalprice_positive"),
+          sum(when(col("o_totalprice") > 100000.0, 1L).otherwise(0L)).as("totalprice_le_100k"),
+          sum(when(od < lit("1992-01-01").cast("date") ||
+            od >= lit("2002-01-01").cast("date"), 1L).otherwise(0L)).as("orderdate_in_range"),
+          sum(when(!col("o_orderpriority").isin(prio: _*), 1L).otherwise(0L)).as("priority_domain"))
+        .unpivot(Array.empty[Column], Array("not_null_keys", "totalprice_positive",
+          "totalprice_le_100k", "orderdate_in_range", "priority_domain").map(col),
+          "check", "n_viol")
+      val fk = o.join(broadcast(t(s, d, "customer").select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_viol"))
+        .select(lit("custkey_fk").as("check"), col("n_viol"))
+      val uniq = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+        .where(col("c") > 1)
+        .agg(coalesce(sum(col("c") - 1), lit(0L)).cast("long").as("n_viol"))
+        .select(lit("orderkey_unique").as("check"), col("n_viol"))
+      rowChecks.unionByName(fk).unionByName(uniq).orderBy(col("check"))
+    }),
+
+    "b75_winsorize" -> ((s, d) => {
+      // winsorized robust stats: clamp each group's prices into its own
+      // [p05, p95] before summing — outlier-proof aggregates. The edges
+      // come from the b71 trick, NOT percentile_disc: a cumulative window
+      // over the per-DISTINCT-value count frame (bounded by the price
+      // domain, never row count — percentile_disc would buffer whole
+      // groups), with the inverse-CDF rule in exact integers
+      // (cum·20 ≥ n ⟺ cdf ≥ 0.05). Edges broadcast back; map-side clamp.
+      val li = t(s, d, "lineitem").select(col("l_returnflag").as("flag"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      val vc = li.groupBy(col("flag"), col("cents")).agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy(col("flag")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cdf = vc
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("flag"))))
+      val edges = cdf.groupBy(col("flag")).agg(
+        min(when(col("cum") * 20 >= col("n"), col("cents"))).as("lo"),
+        min(when(col("cum") * 20 >= col("n") * 19, col("cents"))).as("hi"))
+      li.join(broadcast(edges), "flag")
+        .select(col("flag"), col("cents"), col("lo"), col("hi"),
+          greatest(col("lo"), least(col("hi"), col("cents"))).as("w"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("sum_cents"),
+          sum(col("w")).as("sum_winsorized"),
+          sum((col("cents") < col("lo")).cast("long")).as("n_lo"),
+          sum((col("cents") > col("hi")).cast("long")).as("n_hi"))
+        .orderBy(col("flag"))
+    }),
+
+    "b74_attribution" -> ((s, d) => {
+      // last-touch attribution: each purchase credited to the same
+      // user's most recent preceding click, but only within a 7-day
+      // lookback. No self-join: the event log is already interleaved per
+      // user, so one user-partitioned window with last(_, ignoreNulls)
+      // carries the latest click forward — the as-of-join-shaped staple
+      // as a single window pass. Scales on the user key (millions of
+      // small partitions); ties broken by event_id; epoch-µs longs on
+      // every compared column (b60 convention).
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val us = unix_micros(col("ts"))
+      val weekUs = 7L * 86400L * 1000000L
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .withColumn("click_id0",
+          last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("click_us0",
+          last(when(col("event_type") === "click", us), ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .withColumn("hit", col("click_us0").isNotNull && (us - col("click_us0") <= weekUs))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          when(col("hit"), col("click_id0")).as("click_id"),
+          when(col("hit"), us - col("click_us0")).as("gap_us"))
+        .orderBy(col("purchase_id"))
+    }),
+
+    "b73_twap" -> ((s, d) =>
+      // time-weighted average value per user over the observed span —
+      // LOCF-weighted integration in pure integer cents×micros
+      // (operators/Series.twapCents: one lead window + one aggregate,
+      // no row expansion); plain avg would over-weight reading bursts
+      graft.operators.Series.twapCents(
+          t(s, d, "events"), "user_id", "ts", "event_id", "value")
+        .orderBy(col("user_id"))),
+
+    "b72_stream_ivm_parity" -> ((s, d) =>
+      // the batch face of the CONTINUOUS IVM materialization
+      // (streaming/Streams.ivmMergeBatch): per-user-per-day event stats.
+      // StreamingSpec drains a multi-batch file-source stream through the
+      // foreachBatch state merge and asserts its final generation equals
+      // THIS query row-for-row; the oracle proves the same recompute
+      // against DuckDB. Integer cents states (order-free, engine-exact).
+      t(s, d, "events")
+        .groupBy(col("user_id"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
+        .orderBy(col("user_id"), col("day"))),
+
+    "b59_cohort_retention" -> ((s, d) => {
+      // cohort retention matrix: customers grouped by first-order
+      // quarter (the cohort), counted as active in each later quarter —
+      // the standard product-analytics triangle. Three aggregations on
+      // explicit keys (per-customer min, distinct activity, matrix
+      // count-distinct), all partial+final; the cohort join is on
+      // custkey, a well-distributed key. Integer counts and truncated
+      // dates only.
+      val o = t(s, d, "orders")
+      val cohort = o.groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("first_order"))
+        .select(col("o_custkey"),
+          date_trunc("quarter", col("first_order")).cast("date").as("cohort"))
+      val active = o.select(col("o_custkey"),
+          date_trunc("quarter", col("o_orderdate")).cast("date").as("q"))
+        .distinct()
+      active.join(cohort, Seq("o_custkey"))
+        .groupBy(col("cohort"), col("q"))
+        .agg(count_distinct(col("o_custkey")).as("n_active"))
+        .orderBy(col("cohort"), col("q"))
+    }),
+
+    "b53_date_spine" -> ((s, d) => {
+      // time-series gap fill: per-priority daily order counts with every
+      // missing day restored as an explicit zero row. The spine explodes
+      // from each group's OWN [min, max] bounds (one aggregate + one
+      // sequence — never a cartesian priorities × calendar join, which
+      // would both plan a CartesianProduct and invent days outside a
+      // group's lifetime). Left join + coalesce(0) fills the gaps;
+      // ~28% of this spine is filled zeros at sf0.01.
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_orderpriority"),
+          date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      val spine = daily.groupBy(col("o_orderpriority"))
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(col("o_orderpriority"),
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+      spine.join(daily, Seq("o_orderpriority", "day"), "left")
+        .select(col("o_orderpriority"), col("day").cast("date").as("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("o_orderpriority"), col("day"))
+    }),
+
+    "b52_union_evolve" -> ((s, d) => {
+      // schema-evolution union: an "old" extract (no o_orderpriority)
+      // unioned BY NAME with a "new" extract that added the column —
+      // allowMissingColumns null-fills the old rows, positional union
+      // would silently misalign. The daily reality of a 100 TB lake
+      // where old partitions predate a schema change. Narrow op: both
+      // legs stay columnar scans; the aggregate is the usual
+      // partial+final.
+      val o = t(s, d, "orders")
+      val oldExtract = o.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val newExtract = o.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      oldExtract.unionByName(newExtract, allowMissingColumns = true)
+        .groupBy(coalesce(col("o_orderpriority"), lit("LEGACY")).as("prio"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("prio"))
+    }),
+
+    "b51_exact_moments" -> ((s, d) => {
+      // distributed mean/variance WITHOUT distributed float sums: the
+      // moments (n, Σx, Σx²) are exact integers — quantity as long,
+      // price as cents in DECIMAL(38,0) so Σcents² (~10²⁰) can't wrap —
+      // and the textbook finite-sample formula
+      // var = (n·Σx² − (Σx)²) / (n·(n−1)) runs as ONE fixed IEEE
+      // sequence per output row on those exact values. Order-free at any
+      // parallelism; the doctrine-compliant route to second moments.
+      val li = t(s, d, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("q"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("decimal(38,0)").as("cents"))
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("q")).as("sum_q"),
+          sum(col("q") * col("q")).as("sum_q2"),
+          sum(col("cents")).as("sum_cents"),
+          sum(col("cents") * col("cents")).as("sum_cents2"))
+        .select(col("l_returnflag"), col("n"), col("sum_q"),
+          (col("sum_q").cast("double") / col("n").cast("double")).as("mean_q"),
+          ((col("n") * col("sum_q2") - col("sum_q") * col("sum_q")).cast("double")
+            / (col("n").cast("double") * (col("n") - 1).cast("double"))).as("var_q"),
+          ((col("n") * col("sum_cents2") - col("sum_cents") * col("sum_cents")).cast("double")
+            / (col("n").cast("double") * (col("n") - 1).cast("double")) / lit(10000.0)).as("var_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "b50_funnel" -> ((s, d) => {
+      // per-view conversion funnel: view → FIRST click within 30 min →
+      // purchase within 2 h of that click, attributed back per user.
+      // Funnel = the b42 interval-join operator CHAINED: each stage is
+      // an equi-join on user_id with the time range as post-filter
+      // (never a BNLJ), and on live streams the identical chain runs
+      // with watermarks end-to-end. Left-join attribution keeps every
+      // view; counts are exact integers.
+      val e = t(s, d, "events")
+      val views = e.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"))
+      val vc = Streams.streamIntervalJoin(views, clicks, "user_id",
+          "vts", "cts", window = "30 minutes", delay = "10 minutes")
+        .groupBy(col("view_id"), col("user_id")).agg(min(col("cts")).as("fc"))
+      val vcp = Streams.streamIntervalJoin(vc, purchases, "user_id",
+          "fc", "pts", window = "2 hours", delay = "10 minutes")
+        .select(col("view_id"), col("user_id")).distinct()
+      views
+        .join(vc.select(col("view_id"), col("user_id"), lit(1).as("clk")),
+          Seq("view_id", "user_id"), "left")
+        .join(vcp.withColumn("pur", lit(1)), Seq("view_id", "user_id"), "left")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_views"),
+          count(col("clk")).as("n_clicked"),
+          count(col("pur")).as("n_purchased"))
+        .orderBy(col("user_id"))
+    }),
+
+    "b49_json_roundtrip" -> ((s, d) => {
+      // JSON-lines source+sink roundtrip (completes the format matrix:
+      // parquet/ORC/CSV/JSON all both ways); declared read schema, money
+      // as decimal text, aggregate the REREAD data against the oracle's
+      // original parquet — any drift through the format fails the hash
+      val dir = graft.sources.Formats.scratchDir(s, "json_customer", d)
+      graft.sources.Formats.ensureWritten(s, dir) {
+        graft.sources.Formats.writeJsonLines(
+          t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").cast("decimal(18,2)").as("c_acctbal")), dir)
+      }
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "c_custkey LONG, c_mktsegment STRING, c_acctbal DECIMAL(18,2)")
+      graft.sources.Formats.readJsonLines(s, dir, schema)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal")).cast("double").as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "b35_range_join" -> ((s, d) => {
+      // windowed interval join: clicks in the minute before each purchase,
+      // per user. Binned into window-width time buckets so the plan is a
+      // plain equi-join on (user, bin) — never a BroadcastNestedLoopJoin
+      // (PlanSpec-asserted); b08's as-of join is the 1-NN sibling of this
+      // windowed-count shape. Epoch-micros arithmetic (testdata is
+      // µs-precision, so DuckDB's ns interval arithmetic agrees exactly).
+      val e = t(s, d, "events")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("pt"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("ct"))
+      graft.operators.Intervals.countInWindow(purchases, clicks, "user_id",
+          "event_id", "pt", "ct", lo = -60000000L, hi = 0L)
+        .select(col("event_id"), col("user_id"), col("n_in_window").as("n_clicks_60s"))
+        .orderBy(col("event_id"))
+    }),
+
+    "b36_approx_quantile" -> ((s, d) =>
+      // b18 pattern for sketches: the exact discrete median is
+      // oracle-checked directly; the GK-sketch estimate is engine-specific,
+      // so its evidence is a rank-bound boolean — with accuracy 10000 the
+      // rank error is ≤ n/10000 ≈ 60 rows, far inside the p49–p51 band the
+      // bound allows, so a drifting sketch turns the hash red.
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("median_price"),
+          expr("percentile_disc(0.49) WITHIN GROUP (ORDER BY l_extendedprice)").as("p49"),
+          expr("percentile_disc(0.51) WITHIN GROUP (ORDER BY l_extendedprice)").as("p51"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx"))
+        .select(col("l_returnflag"), col("median_price"),
+          (col("approx") >= col("p49") && col("approx") <= col("p51")).as("approx_ok"))
+        .orderBy(col("l_returnflag"))),
+
+    "b37_bucketed_join" -> ((s, d) => {
+      // Co-located fact-fact join: both sides bucketed + sorted on the join
+      // key at write time (Formats.bucketedTable), so the SortMergeJoin
+      // runs with ZERO Exchange on either side — the at-rest layout that
+      // makes a 100 TB fact-fact join shuffle-free (bucket once at ingest,
+      // join for free thereafter). The merge hint keeps the small-SF demo
+      // honest: auto-broadcast would hide the bucketing, and at real scale
+      // neither fact side broadcasts. Exchange-freeness is plan-asserted
+      // in PlanSpec.
+      val ob = graft.sources.Formats.bucketedTable(s, "orders_by_cust", d,
+        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        "o_custkey", buckets = 8)
+      val cb = graft.sources.Formats.bucketedTable(s, "customer_by_cust", d,
+        t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        "c_custkey", buckets = 8)
+      ob.hint("merge").join(cb, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "b38_partition_prune" -> ((s, d) => {
+      // Partition-pruned scan: orders laid out partitionBy(o_orderpriority)
+      // at write time; the equality filter then prunes 4/5 of the
+      // directories at PLANNING time (PartitionFilters, plan-asserted) —
+      // the predicate-column half of the at-rest layout story (b37 buckets
+      // by join key, b38 partitions by filter column). At 100 TB this is
+      // the difference between scanning 20 TB and scanning 100 TB.
+      val dir = graft.sources.Formats.scratchDir(s, "orders_bypriority", d)
+      graft.sources.Formats.ensureWritten(s, dir) {
+        t(s, d, "orders").write.mode("overwrite")
+          .partitionBy("o_orderpriority").parquet(dir)
+      }
+      s.read.parquet(dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "b39_exists_subquery" -> ((s, d) => {
+      // correlated EXISTS via the Spark 4 DataFrame subquery API
+      // (Dataset.exists + Column.outer); Catalyst rewrites it to a
+      // left-semi hash join on o_custkey — no per-row subquery execution,
+      // same shuffle shape as an explicit semi join at any scale
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.where(o.where(col("o_custkey") === col("c_custkey").outer() &&
+            col("o_orderpriority") === "1-URGENT").exists())
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "b41_lateral_join" -> ((s, d) =>
+      // correlated LATERAL subquery through the SQL frontend: each
+      // nation's two highest-balance suppliers. Catalyst decorrelates the
+      // lateral into a ranked join (DecorrelateInnerQuery) — no per-row
+      // re-execution of the subquery, same shuffle shape as a window
+      // top-k at any scale.
+      graft.sources.Catalog.sql(s, d,
+        """SELECT n.n_name, t.s_name, t.s_acctbal
+          |FROM nation n,
+          |LATERAL (SELECT s_name, s_acctbal FROM supplier
+          |         WHERE s_nationkey = n.n_nationkey
+          |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+          |ORDER BY n.n_name, t.s_acctbal DESC, t.s_name""".stripMargin)),
+
+    "b40_scalar_subquery" -> ((s, d) => {
+      // orders above 1.5× the global mean price, the mean delivered as an
+      // uncorrelated scalar subquery (one aggregate, result embedded into
+      // the filter — no second pass over the data, no driver round-trip in
+      // the query definition). Exact integer arithmetic (cents, cross-
+      // multiplied) so the comparison is order- and engine-reproducible —
+      // a distributed avg(double) would not be. Cents via a decimal(18,2)
+      // cast, not round(double·100): 2-decimal money sits ~1e-13 from the
+      // decimal, so every engine's double→decimal conversion agrees, while
+      // round()'s half-ulp behavior is engine-specific (the c35 lesson).
+      val oc = t(s, d, "orders").withColumn("cents",
+        (col("o_totalprice").cast("decimal(18,2)") * lit(100)).cast("long"))
+      val sumCents = oc.agg(sum(col("cents"))).scalar()
+      val n = oc.agg(count(lit(1))).scalar()
+      oc.where(col("cents") * lit(2L) * n > lit(3L) * sumCents)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "b43_window_dist" -> ((s, d) => {
+      // distribution window functions (ntile / percent_rank / cume_dist)
+      // complete the §2B window surface next to rank (b09), frames
+      // (b10/b27), nav (b32). Unique orderBy key ⇒ deterministic ranks;
+      // percent_rank/cume_dist are single IEEE divisions of exact integer
+      // rank/count, identical in any engine. One shuffle on the partition
+      // key, no driver state — the standard window shape at any scale.
+      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+      t(s, d, "orders").where(col("o_totalprice") > 150000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "b44_variant_json" -> ((s, d) =>
+      // Spark 4 VARIANT for semi-structured columns: parse_json once into
+      // the binary variant encoding, then typed-path extraction via
+      // variant_get — the shredding-friendly successor to re-parsing JSON
+      // strings per query with from_json (a20) / get_json_object. Narrow
+      // codegen'd pass, no shuffle; pushdown-friendly at rest once
+      // variant shredding lands in the writer.
+      t(s, d, "events")
+        .select(col("event_id"),
+          variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+        .where(col("k") >= 50)
+        .orderBy(col("event_id"))),
+
+    "b42_stream_interval_join" -> ((s, d) => {
+      // stream-stream interval join, batch parity: every click within
+      // 30 minutes AFTER a view by the same user. The SAME operator
+      // (Streams.streamIntervalJoin — watermarks + time-range condition)
+      // runs on live streams with bounded state; on these static frames
+      // the watermark is a no-op and the plan is an equi-join on user_id
+      // with the range as post-filter (plan-asserted no-BNLJ). Timestamps
+      // are µs-precision so interval arithmetic agrees exactly with the
+      // oracle.
+      val e = t(s, d, "events")
+      val views = e.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("view_ts"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      Streams.streamIntervalJoin(views, clicks, "user_id",
+          "view_ts", "click_ts", window = "30 minutes", delay = "10 minutes")
+        .select(col("view_id"), col("user_id"), col("click_id"))
+        .orderBy(col("view_id"), col("click_id"))
+    }),
+
+    "b48_stream_interval_left" -> ((s, d) => {
+      // left-outer variant of b42: every view, with its in-window clicks
+      // or a -1 sentinel when none arrived (null-free for the hash gate).
+      // Same operator, joinType="left_outer" — on a live stream the
+      // unmatched views are emitted once the watermark proves no click
+      // can still arrive (see Streams.streamIntervalJoin).
+      val e = t(s, d, "events")
+      val views = e.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("view_ts"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      Streams.streamIntervalJoin(views, clicks, "user_id",
+          "view_ts", "click_ts", window = "30 minutes", delay = "10 minutes",
+          joinType = "left_outer")
+        .select(col("view_id"), col("user_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"))
+        .orderBy(col("view_id"), col("click_id"))
+    }),
+
+    "b47_salted_skew_join" -> ((s, d) => {
+      // lineitem ⋈ supplier through Scale.saltedJoin: the hot-key-proof
+      // shuffle shape (salt spreads each suppkey over 8 reducers; supplier
+      // replicated 8×). Salting is semantics-preserving, so the oracle is
+      // the PLAIN join — the strongest possible check that the rewrite
+      // changes only where rows move, never what they are.
+      val li = t(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_extendedprice"))
+      val sup = t(s, d, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      Scale.saltedJoin(li, sup, "l_suppkey", salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    "b46_map_type" -> ((s, d) => {
+      // MapType surface: per-priority map of status → order count built
+      // with map_from_entries over a sorted entry array (collect_list
+      // order is partition-dependent; array_sort makes the map layout —
+      // and therefore map_keys order — deterministic), then probed with
+      // element_at / map_filter / map_values / map_keys. The output is
+      // flat scalars only: map columns never reach the hash gate, where
+      // engine-specific key order would be unhashable. Scale: maps are
+      // per-group and bounded by |statuses|; both groupBys are ordinary
+      // partial+final aggregates; every map op is a narrow codegen'd pass.
+      val pc = t(s, d, "orders")
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      pc.groupBy(col("o_orderpriority"))
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("o_orderstatus"), col("n"))))).as("m"))
+        .select(col("o_orderpriority"),
+          size(col("m")).as("n_statuses"),
+          coalesce(element_at(col("m"), "F"), lit(0L)).as("n_f"),
+          aggregate(map_values(map_filter(col("m"), (_, v) => v >= 100)),
+            lit(0L), _ + _).as("big_total"),
+          concat_ws(",", map_keys(col("m"))).as("keys_csv"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "b45_join_full_outer" -> ((s, d) => {
+      // full outer join of two independently aggregated sides: customers
+      // with ≥1 big order vs customers in arrears. Full outer cannot
+      // broadcast either side (both must surface their unmatched rows),
+      // so the right plan at any scale is the shuffle-both-sides
+      // SortMergeJoin on the shared key — which is what Catalyst picks.
+      // Outer-side nulls are coalesced to sentinels (null-free output for
+      // the hash gate); side membership is kept as booleans.
+      val big = t(s, d, "orders").where(col("o_totalprice") > 400000)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+      val neg = t(s, d, "customer").where(col("c_acctbal") < 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      big.join(neg, col("o_custkey") === col("c_custkey"), "full_outer")
+        .select(
+          coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+          coalesce(col("n_big"), lit(0L)).as("n_big"),
+          col("n_big").isNotNull.as("has_big"),
+          col("c_acctbal").isNotNull.as("in_arrears"),
+          coalesce(col("c_acctbal"), lit(0.0)).as("acctbal"))
+        .orderBy(col("custkey"))
+    }))
+
+  /** The b124 oracle CTE chain (funnel stage windows → md5 arm → the
+    * 3-row transition stack → hour-bucket histogram → from/conv/cum
+    * coverage frame `k`), shared by the b124 per-arm readout and the b125
+    * contrast so the bucketing and coverage rules can never fork between
+    * the table and its verdict. */
+  private[graft] val funnelAbTtcOracleCtes =
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_type FROM events
+      |  WHERE event_type IN ('view','click','signup','purchase')),
+      |s1t AS (SELECT user_id, ts, event_type,
+      |    min(CASE WHEN event_type = 'view' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS s1 FROM ev),
+      |s2t AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
+      |      OVER (PARTITION BY user_id) AS s2 FROM s1t),
+      |s3t AS (SELECT *, min(CASE WHEN event_type = 'signup' AND ts > s2 THEN ts END)
+      |      OVER (PARTITION BY user_id) AS s3 FROM s2t),
+      |s4t AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s3 THEN ts END)
+      |      OVER (PARTITION BY user_id) AS s4 FROM s3t),
+      |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s3) AS s3, max(s4) AS s4
+      |      FROM s4t GROUP BY user_id),
+      |a AS (SELECT *, CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |        AS BIGINT) % 2 AS arm FROM u),
+      |tr AS (
+      |  SELECT arm, 1 AS t, 'view_click' AS transition,
+      |    epoch_us(s1) AS from_us, epoch_us(s2) AS to_us FROM a
+      |  UNION ALL SELECT arm, 2, 'click_signup', epoch_us(s2), epoch_us(s3) FROM a
+      |  UNION ALL SELECT arm, 3, 'signup_purchase', epoch_us(s3), epoch_us(s4) FROM a),
+      |r AS (SELECT arm, t, transition,
+      |        CASE WHEN to_us IS NOT NULL THEN (to_us - from_us) // 3600000000 END AS hrs
+      |      FROM tr WHERE from_us IS NOT NULL),
+      |h AS (SELECT arm, t, transition, hrs, CAST(count(*) AS BIGINT) AS n_users
+      |      FROM r GROUP BY 1,2,3,4),
+      |f AS (SELECT *, CAST(sum(n_users) OVER (PARTITION BY arm, t) AS BIGINT) AS from_users
+      |      FROM h),
+      |k AS (SELECT *, CAST(sum(n_users) OVER (PARTITION BY arm, t) AS BIGINT) AS conv_users,
+      |        CAST(sum(n_users) OVER (PARTITION BY arm, t ORDER BY hrs
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |      FROM f WHERE hrs IS NOT NULL)""".stripMargin
+
+  private[graft] val bOracles: Map[String, String] = Map(
+    "b115_tpch_q2" ->
+      s"""WITH $psCte,
+        |cost AS (
+        |  SELECT ps_partkey, ps_suppkey, ps_supplycost_c
+        |  FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT CAST(floor(s_acctbal*100+0.5) AS BIGINT) AS s_acctbal_c, s_name, n_name,
+        |  p_partkey, p_type, ps_supplycost_c
+        |FROM part JOIN cost ON p_partkey = ps_partkey
+        |JOIN supplier ON s_suppkey = ps_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_size <= 10 AND p_type = 'LARGE'
+        |  AND ps_supplycost_c = (SELECT min(c2.ps_supplycost_c) FROM cost c2
+        |                         WHERE c2.ps_partkey = p_partkey)
+        |ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    "b116_tpch_q9" ->
+      s"""WITH $psCte
+        |SELECT n_name AS nation, CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))
+        |    - 100 * ps_supplycost_c) AS BIGINT) AS profit_c100
+        |FROM lineitem JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1,2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "b117_tpch_q11" ->
+      s"""WITH $psCte,
+        |v AS (
+        |  SELECT ps_partkey, CAST(sum(ps_supplycost_c * ps_availqty_deci) AS BIGINT) AS value_cd
+        |  FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_5'
+        |  GROUP BY ps_partkey),
+        |tt AS (SELECT CAST(sum(value_cd) AS BIGINT) AS tot,
+        |         CAST(count(*) AS BIGINT) AS n_parts FROM v)
+        |SELECT ps_partkey, value_cd FROM v CROSS JOIN tt
+        |WHERE CAST(value_cd AS DECIMAL(38,0)) * n_parts > 3 * CAST(tot AS DECIMAL(38,0))
+        |ORDER BY value_cd DESC, ps_partkey""".stripMargin,
+
+    "b118_tpch_q16" ->
+      s"""WITH $psCte
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ps JOIN part ON p_partkey = ps_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1,2,3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "b119_tpch_q20" ->
+      s"""WITH $psCte,
+        |yq AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(floor(l_quantity*10+0.5) AS BIGINT)) AS BIGINT) AS year_qty_deci
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |  GROUP BY 1,2)
+        |SELECT s_name, CAST(floor(s_acctbal*100+0.5) AS BIGINT) AS s_acctbal_c
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_7'
+        |  AND s_suppkey IN (
+        |    SELECT ps_suppkey FROM ps LEFT JOIN yq ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+        |      AND ps_availqty_deci > 4 * COALESCE(year_qty_deci, 0))
+        |ORDER BY s_name""".stripMargin,
+
+    "b111_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) AS BIGINT) AS revenue_c100
+        |FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+
+    "b112_tpch_q8" ->
+      """WITH all_nations AS (
+        |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+        |    CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT)) AS volume,
+        |    n2.n_name AS nation
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+        |    AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(o_orderdate AS DATE) < DATE '1998-01-01')
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS BIGINT)
+        |    AS nation_rev_c100,
+        |  CAST(sum(volume) AS BIGINT) AS total_rev_c100,
+        |  (CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS BIGINT) * 10000)
+        |    // CAST(sum(volume) AS BIGINT) AS mkt_share_bp
+        |FROM all_nations GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    // textbook EXISTS/NOT-EXISTS form — independently checks the
+    // builder's single-shuffle aggregated rewrite
+    "b113_tpch_q21" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderstatus = 'F' AND r_name = 'AFRICA'
+        |  AND CAST(l1.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey
+        |              AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                  AND CAST(l3.l_shipdate AS DATE) > CAST(o3.o_orderdate AS DATE) + INTERVAL 90 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+
+    "b114_funnel_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_type, value FROM events
+        |  WHERE event_type IN ('view','click','purchase')),
+        |s1t AS (
+        |  SELECT user_id, ts, event_type, value,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s1
+        |  FROM ev),
+        |s2t AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s2
+        |  FROM s1t),
+        |s3t AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s3
+        |  FROM s2t),
+        |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s3) AS s3
+        |      FROM s3t GROUP BY user_id),
+        |p AS (SELECT user_id, ts, CAST(floor(value*100+0.5) AS BIGINT) AS pc
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT u.user_id, s1, s2, s3,
+        |        COALESCE(sum(pc), 0) AS purch_c,
+        |        COALESCE(sum(CASE WHEN p.ts > s2 AND p.ts <= s2 + INTERVAL 30 DAY
+        |          THEN pc END), 0) AS attr_c
+        |      FROM u LEFT JOIN p ON u.user_id = p.user_id
+        |      GROUP BY 1,2,3,4)
+        |SELECT user_id,
+        |  CASE WHEN s3 IS NOT NULL THEN 3 WHEN s2 IS NOT NULL THEN 2
+        |    WHEN s1 IS NOT NULL THEN 1 ELSE 0 END AS cohort,
+        |  CAST(purch_c AS BIGINT) AS purchase_c,
+        |  CAST(attr_c AS BIGINT) AS attributed_c,
+        |  COALESCE((CAST(attr_c AS BIGINT) * 1000000)
+        |    // NULLIF(CAST(purch_c AS BIGINT), 0), -1) AS attr_share_ppm
+        |FROM j ORDER BY user_id""".stripMargin,
+
+    "b120_funnel_ttc" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('view','click','signup','purchase')),
+        |s1t AS (SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s1 FROM ev),
+        |s2t AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s2 FROM s1t),
+        |s3t AS (SELECT *, min(CASE WHEN event_type = 'signup' AND ts > s2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s3 FROM s2t),
+        |s4t AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s3 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s4 FROM s3t),
+        |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s3) AS s3, max(s4) AS s4
+        |      FROM s4t GROUP BY user_id),
+        |tr AS (
+        |  SELECT 1 AS t, 'view_click' AS transition,
+        |    epoch_us(s1) AS from_us, epoch_us(s2) AS to_us FROM u
+        |  UNION ALL SELECT 2, 'click_signup', epoch_us(s2), epoch_us(s3) FROM u
+        |  UNION ALL SELECT 3, 'signup_purchase', epoch_us(s3), epoch_us(s4) FROM u),
+        |r AS (SELECT t, transition,
+        |        CASE WHEN to_us IS NOT NULL THEN (to_us - from_us) // 3600000000 END AS hrs
+        |      FROM tr WHERE from_us IS NOT NULL),
+        |h AS (SELECT t, transition, hrs, CAST(count(*) AS BIGINT) AS n_users
+        |      FROM r GROUP BY 1,2,3),
+        |f AS (SELECT *, CAST(sum(n_users) OVER (PARTITION BY t) AS BIGINT) AS users_from
+        |      FROM h),
+        |k AS (SELECT t, transition, hrs, n_users, users_from,
+        |        CAST(sum(n_users) OVER (PARTITION BY t ORDER BY hrs
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |      FROM f WHERE hrs IS NOT NULL)
+        |SELECT t, transition, hrs, n_users, cum_users, users_from,
+        |  CAST((cum_users * 1000000) // users_from AS BIGINT) AS ttc_cum_ppm
+        |FROM k ORDER BY t, hrs""".stripMargin,
+
+    "b121_funnel_ab" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('view','click','signup','purchase')),
+        |s1t AS (SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s1 FROM ev),
+        |s2t AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s2 FROM s1t),
+        |s3t AS (SELECT *, min(CASE WHEN event_type = 'signup' AND ts > s2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s3 FROM s2t),
+        |s4t AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s3 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s4 FROM s3t),
+        |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s3) AS s3, max(s4) AS s4
+        |      FROM s4t GROUP BY user_id),
+        |a AS (SELECT *, CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 2 AS arm FROM u),
+        |pa AS (SELECT arm, CAST(count(s1) AS BIGINT) AS u1, CAST(count(s2) AS BIGINT) AS u2,
+        |         CAST(count(s3) AS BIGINT) AS u3, CAST(count(s4) AS BIGINT) AS u4
+        |       FROM a GROUP BY arm),
+        |p AS (SELECT
+        |  COALESCE(CAST(sum(CASE WHEN arm = 0 THEN u1 END) AS BIGINT), 0) AS c1,
+        |  COALESCE(CAST(sum(CASE WHEN arm = 1 THEN u1 END) AS BIGINT), 0) AS t1,
+        |  COALESCE(CAST(sum(CASE WHEN arm = 0 THEN u2 END) AS BIGINT), 0) AS c2,
+        |  COALESCE(CAST(sum(CASE WHEN arm = 1 THEN u2 END) AS BIGINT), 0) AS t2,
+        |  COALESCE(CAST(sum(CASE WHEN arm = 0 THEN u3 END) AS BIGINT), 0) AS c3,
+        |  COALESCE(CAST(sum(CASE WHEN arm = 1 THEN u3 END) AS BIGINT), 0) AS t3,
+        |  COALESCE(CAST(sum(CASE WHEN arm = 0 THEN u4 END) AS BIGINT), 0) AS c4,
+        |  COALESCE(CAST(sum(CASE WHEN arm = 1 THEN u4 END) AS BIGINT), 0) AS t4
+        |  FROM pa),
+        |st AS (
+        |  SELECT 1 AS stage, 'view' AS event_type, c1 AS ctrl_users, t1 AS trt_users,
+        |    c1 AS cb, t1 AS tb FROM p
+        |  UNION ALL SELECT 2, 'click', c2, t2, c1, t1 FROM p
+        |  UNION ALL SELECT 3, 'signup', c3, t3, c1, t1 FROM p
+        |  UNION ALL SELECT 4, 'purchase', c4, t4, c1, t1 FROM p)
+        |SELECT stage, event_type, ctrl_users, trt_users,
+        |  COALESCE((ctrl_users * 1000000) // NULLIF(cb, 0), -1) AS ctrl_ppm,
+        |  COALESCE((trt_users * 1000000) // NULLIF(tb, 0), -1) AS trt_ppm,
+        |  COALESCE(CAST((CAST(trt_users AS HUGEINT) * cb * 10000)
+        |    // NULLIF(CAST(ctrl_users AS HUGEINT) * tb, 0) AS BIGINT), -1) AS lift_bp
+        |FROM st ORDER BY stage""".stripMargin,
+
+    // per-source gate monitor: the classifier score CTE + one slim
+    // documents projection, exact-ppm keep rate by BIGINT floor division
+    "b122_stream_classifier_parity" -> (classifierScoreCteWhere("") + """,
+        |cj AS (
+        |  SELECT d.source, d.n_chars, s.score
+        |  FROM documents d JOIN cscore s USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS total_docs,
+        |  CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+        |  CAST(sum(CASE WHEN score >= 0 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+        |  (CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // CAST(count(*) AS BIGINT) AS kept_ppm
+        |FROM cj GROUP BY source ORDER BY source""".stripMargin),
+
+    // b121's funnel CTE + b114's attribution window; the rate lift is
+    // floored in HUGEINT (the b121 rule — DuckDB's // on DECIMAL rounds)
+    "b123_funnel_ab_revenue" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_type, value FROM events
+        |  WHERE event_type IN ('view','click','signup','purchase')),
+        |s1t AS (SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s1 FROM ev),
+        |s2t AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s2 FROM s1t),
+        |s3t AS (SELECT *, min(CASE WHEN event_type = 'signup' AND ts > s2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s3 FROM s2t),
+        |s4t AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s3 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s4 FROM s3t),
+        |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s4) AS s4
+        |      FROM s4t GROUP BY user_id),
+        |pr AS (SELECT user_id, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS pc
+        |  FROM events WHERE event_type = 'purchase'),
+        |pu AS (SELECT u.user_id, u.s1, u.s4,
+        |    COALESCE(sum(CASE WHEN p.ts > u.s2
+        |      AND p.ts <= u.s2 + INTERVAL 30 DAY THEN p.pc END), 0) AS attr_c
+        |  FROM u LEFT JOIN pr p USING (user_id)
+        |  GROUP BY u.user_id, u.s1, u.s2, u.s4),
+        |a AS (SELECT *, CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 2 AS arm FROM pu),
+        |p AS (SELECT
+        |  COALESCE(CAST(count(CASE WHEN arm = 0 THEN s1 END) AS BIGINT), 0) AS ctrl_users,
+        |  COALESCE(CAST(count(CASE WHEN arm = 1 THEN s1 END) AS BIGINT), 0) AS trt_users,
+        |  COALESCE(CAST(count(CASE WHEN arm = 0 THEN s4 END) AS BIGINT), 0) AS ctrl_purchasers,
+        |  COALESCE(CAST(count(CASE WHEN arm = 1 THEN s4 END) AS BIGINT), 0) AS trt_purchasers,
+        |  COALESCE(CAST(sum(CASE WHEN arm = 0 THEN attr_c END) AS BIGINT), 0) AS ctrl_rev_c,
+        |  COALESCE(CAST(sum(CASE WHEN arm = 1 THEN attr_c END) AS BIGINT), 0) AS trt_rev_c
+        |  FROM a)
+        |SELECT ctrl_users, trt_users, ctrl_purchasers, trt_purchasers,
+        |  ctrl_rev_c, trt_rev_c,
+        |  COALESCE((ctrl_rev_c * 10000) // NULLIF(ctrl_users, 0), -1)
+        |    AS ctrl_rev_per_user_uc,
+        |  COALESCE((trt_rev_c * 10000) // NULLIF(trt_users, 0), -1)
+        |    AS trt_rev_per_user_uc,
+        |  COALESCE(CAST((CAST(trt_rev_c AS HUGEINT) * ctrl_users * 10000)
+        |    // NULLIF(CAST(ctrl_rev_c AS HUGEINT) * trt_users, 0) AS BIGINT), -1)
+        |    AS rev_lift_bp
+        |FROM p""".stripMargin,
+
+    // b123's funnel + attribution CTEs restricted to the watermark-CLOSED
+    // population (the b99 epoch_ms horizon convention) with the 12 h
+    // attribution window matching the streaming honesty bound
+    "b126_stream_funnel_ab_revenue" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_type, value FROM events
+        |  WHERE event_type IN ('view','click','signup','purchase')),
+        |wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM events),
+        |hz AS (SELECT user_id, epoch_ms(max(ts)) AS last_ms FROM ev GROUP BY 1),
+        |s1t AS (SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s1 FROM ev),
+        |s2t AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s2 FROM s1t),
+        |s3t AS (SELECT *, min(CASE WHEN event_type = 'signup' AND ts > s2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s3 FROM s2t),
+        |s4t AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s3 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s4 FROM s3t),
+        |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s4) AS s4
+        |      FROM s4t GROUP BY user_id),
+        |cl AS (SELECT u.* FROM u JOIN hz USING (user_id) CROSS JOIN wm
+        |       WHERE hz.last_ms + 43200000 < wm.wm_ms),
+        |pr AS (SELECT user_id, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS pc
+        |  FROM events WHERE event_type = 'purchase'),
+        |pu AS (SELECT u.user_id, u.s1, u.s4,
+        |    COALESCE(sum(CASE WHEN p.ts > u.s2
+        |      AND p.ts <= u.s2 + INTERVAL 12 HOUR THEN p.pc END), 0) AS attr_c
+        |  FROM cl u LEFT JOIN pr p USING (user_id)
+        |  GROUP BY u.user_id, u.s1, u.s2, u.s4),
+        |a AS (SELECT *, CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 2 AS arm FROM pu),
+        |p AS (SELECT
+        |  COALESCE(CAST(count(CASE WHEN arm = 0 THEN s1 END) AS BIGINT), 0) AS ctrl_users,
+        |  COALESCE(CAST(count(CASE WHEN arm = 1 THEN s1 END) AS BIGINT), 0) AS trt_users,
+        |  COALESCE(CAST(count(CASE WHEN arm = 0 THEN s4 END) AS BIGINT), 0) AS ctrl_purchasers,
+        |  COALESCE(CAST(count(CASE WHEN arm = 1 THEN s4 END) AS BIGINT), 0) AS trt_purchasers,
+        |  COALESCE(CAST(sum(CASE WHEN arm = 0 THEN attr_c END) AS BIGINT), 0) AS ctrl_rev_c,
+        |  COALESCE(CAST(sum(CASE WHEN arm = 1 THEN attr_c END) AS BIGINT), 0) AS trt_rev_c
+        |  FROM a)
+        |SELECT ctrl_users, trt_users, ctrl_purchasers, trt_purchasers,
+        |  ctrl_rev_c, trt_rev_c,
+        |  COALESCE((ctrl_rev_c * 10000) // NULLIF(ctrl_users, 0), -1)
+        |    AS ctrl_rev_per_user_uc,
+        |  COALESCE((trt_rev_c * 10000) // NULLIF(trt_users, 0), -1)
+        |    AS trt_rev_per_user_uc,
+        |  COALESCE(CAST((CAST(trt_rev_c AS HUGEINT) * ctrl_users * 10000)
+        |    // NULLIF(CAST(ctrl_rev_c AS HUGEINT) * trt_users, 0) AS BIGINT), -1)
+        |    AS rev_lift_bp
+        |FROM p""".stripMargin,
+
+    // b120's TTC machinery with the md5 arm in every key; pN = smallest
+    // hour bucket with N% cumulative coverage, pure BIGINT comparisons.
+    // The WITH chain lives in [[funnelAbTtcOracleCtes]], shared with the
+    // b125 contrast so the bucketing rule can never fork.
+    "b124_funnel_ab_ttc" -> (funnelAbTtcOracleCtes + """
+        |SELECT arm, t, transition, from_users, conv_users,
+        |  CAST((conv_users * 1000000) // from_users AS BIGINT) AS conv_ppm,
+        |  CAST(min(CASE WHEN cum * 2 >= conv_users THEN hrs END) AS BIGINT) AS p50_hrs,
+        |  CAST(min(CASE WHEN cum * 10 >= conv_users * 9 THEN hrs END) AS BIGINT) AS p90_hrs
+        |FROM k GROUP BY 1,2,3,4,5 ORDER BY arm, t""".stripMargin),
+
+    // the contrast: per-arm percentiles off the SAME k frame, pivoted to
+    // one row per transition; the verdict booleans are cleared-BIGINT
+    // products (cov·2 ≥ n for the sign, cov·20 ≥ 11·n + a 20-converter
+    // floor for the cleared margin) — never a ratio, both engines floor
+    // nothing because nothing divides
+    "b125_funnel_ab_ttc_contrast" -> (funnelAbTtcOracleCtes + """,
+        |pct AS (
+        |  SELECT arm, t, transition, conv_users,
+        |    CAST(min(CASE WHEN cum * 2 >= conv_users THEN hrs END) AS BIGINT) AS p50_hrs,
+        |    CAST(min(CASE WHEN cum * 10 >= conv_users * 9 THEN hrs END) AS BIGINT) AS p90_hrs
+        |  FROM k GROUP BY 1,2,3,4),
+        |pv AS (
+        |  SELECT t, transition,
+        |    COALESCE(CAST(max(CASE WHEN arm = 0 THEN conv_users END) AS BIGINT), 0) AS ctrl_convs,
+        |    COALESCE(CAST(max(CASE WHEN arm = 1 THEN conv_users END) AS BIGINT), 0) AS trt_convs,
+        |    COALESCE(CAST(max(CASE WHEN arm = 0 THEN p50_hrs END) AS BIGINT), -1) AS ctrl_p50_hrs,
+        |    COALESCE(CAST(max(CASE WHEN arm = 1 THEN p50_hrs END) AS BIGINT), -1) AS trt_p50_hrs,
+        |    COALESCE(CAST(max(CASE WHEN arm = 0 THEN p90_hrs END) AS BIGINT), -1) AS ctrl_p90_hrs,
+        |    COALESCE(CAST(max(CASE WHEN arm = 1 THEN p90_hrs END) AS BIGINT), -1) AS trt_p90_hrs
+        |  FROM pct GROUP BY 1, 2),
+        |cv AS (
+        |  SELECT pv.t,
+        |    COALESCE(CAST(sum(CASE WHEN k.hrs <= pv.ctrl_p50_hrs THEN k.n_users END)
+        |      AS BIGINT), 0) AS trt_cov_at_ctrl_p50
+        |  FROM pv LEFT JOIN k ON k.t = pv.t AND k.arm = 1
+        |  GROUP BY pv.t)
+        |SELECT pv.t, pv.transition, ctrl_convs, trt_convs,
+        |  ctrl_p50_hrs, trt_p50_hrs, ctrl_p90_hrs, trt_p90_hrs,
+        |  trt_p50_hrs - ctrl_p50_hrs AS d_p50_hrs,
+        |  trt_p90_hrs - ctrl_p90_hrs AS d_p90_hrs,
+        |  cv.trt_cov_at_ctrl_p50,
+        |  (ctrl_convs > 0 AND trt_convs > 0
+        |   AND cv.trt_cov_at_ctrl_p50 * 2 >= trt_convs) AS trt_faster_at_median,
+        |  (ctrl_convs >= 20 AND trt_convs >= 20
+        |   AND cv.trt_cov_at_ctrl_p50 * 20 >= trt_convs * 11) AS speedup_cleared
+        |FROM pv JOIN cv ON pv.t = cv.t ORDER BY pv.t""".stripMargin),
+
+    "b106_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+        |              AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "b107_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN COALESCE(o_orderpriority IN ('1-URGENT','2-HIGH'), FALSE) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS high_line_count,
+        |  CAST(sum(CASE WHEN COALESCE(o_orderpriority IN ('1-URGENT','2-HIGH'), FALSE) THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 30 DAY
+        |  AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "b108_tpch_q13" ->
+      """WITH oc AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt FROM orders
+        |  WHERE o_orderpriority <> '4-NOT SPECIFIED' GROUP BY o_custkey)
+        |SELECT COALESCE(cnt, 0) AS c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "b109_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) AS BIGINT) AS total_revenue_c100
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue_c100
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue_c100 = (SELECT max(total_revenue_c100) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "b110_tpch_q19" ->
+      """SELECT
+        |  CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) AS BIGINT) AS revenue_c100,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
+
+    "b33_orc_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n_sup,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "b34_csv_roundtrip" ->
+      """SELECT p_brand, count(*) AS n_parts, max(p_size) AS max_size,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "b54_percentile_cont" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS q25,
+        |  quantile_cont(CAST(l_quantity AS BIGINT), 0.5) AS median,
+        |  quantile_cont(CAST(l_quantity AS BIGINT), 0.75) AS q75,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "b55_unpivot" ->
+      """SELECT measure, count(*) AS n, CAST(sum(value) AS BIGINT) AS total,
+        |  min(value) AS mn, max(value) AS mx
+        |FROM (
+        |  SELECT 'l_linenumber' AS measure, CAST(l_linenumber AS BIGINT) AS value FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem)
+        |GROUP BY measure ORDER BY measure""".stripMargin,
+
+    "b56_recursive_cte" ->
+      """WITH RECURSIVE walk(node, cur, path_sum, depth) AS (
+        |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT), 0 FROM customer
+        |  UNION ALL
+        |  SELECT node, cur // 2, path_sum + (cur // 2), depth + 1
+        |  FROM walk WHERE cur > 1)
+        |SELECT depth, count(*) AS n_nodes, CAST(sum(path_sum) AS BIGINT) AS ancestor_key_sum
+        |FROM walk WHERE cur = 1
+        |GROUP BY depth ORDER BY depth""".stripMargin,
+
+    "b60_scd2" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
+        |  lead(epoch_us(ts), 1) OVER w AS valid_to_us,
+        |  lead(epoch_us(ts), 1) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "b61_zorder_key" ->
+      // the same spread-bits ladder, stepwise; pure integer & | << so the
+      // key is bit-identical
+      """WITH s0 AS (
+        |  SELECT o_orderkey,
+        |    (o_custkey & 65535) AS x,
+        |    (date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) & 65535) AS y
+        |  FROM orders),
+        |s1 AS (SELECT o_orderkey, ((x | (x << 8)) & 16711935) AS x, ((y | (y << 8)) & 16711935) AS y FROM s0),
+        |s2 AS (SELECT o_orderkey, ((x | (x << 4)) & 252645135) AS x, ((y | (y << 4)) & 252645135) AS y FROM s1),
+        |s3 AS (SELECT o_orderkey, ((x | (x << 2)) & 858993459) AS x, ((y | (y << 2)) & 858993459) AS y FROM s2),
+        |s4 AS (SELECT o_orderkey, ((x | (x << 1)) & 1431655765) AS x, ((y | (y << 1)) & 1431655765) AS y FROM s3)
+        |SELECT o_orderkey, CAST(x | (y << 1) AS BIGINT) AS zkey
+        |FROM s4 ORDER BY zkey, o_orderkey LIMIT 2000""".stripMargin,
+
+    "b62_share_of_group" ->
+      """WITH rev AS (
+        |  SELECT r_name, n_name,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name, n_name, cents,
+        |  CAST((cents * 1000000) // sum(cents) OVER (PARTITION BY r_name) AS BIGINT) AS share_ppm
+        |FROM rev ORDER BY r_name, n_name""".stripMargin,
+
+    "b59_cohort_retention" ->
+      """WITH cohort AS (
+        |  SELECT o_custkey, CAST(date_trunc('quarter', min(o_orderdate)) AS DATE) AS cohort
+        |  FROM orders GROUP BY o_custkey),
+        |active AS (
+        |  SELECT DISTINCT o_custkey, CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q
+        |  FROM orders)
+        |SELECT c.cohort, a.q, count(DISTINCT a.o_custkey) AS n_active
+        |FROM active a JOIN cohort c ON a.o_custkey = c.o_custkey
+        |GROUP BY c.cohort, a.q ORDER BY c.cohort, a.q""".stripMargin,
+
+    "b57_locf" ->
+      """SELECT user_id, event_id,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "b58_latest_state" ->
+      """SELECT user_id, event_id, event_type, value
+        |FROM (SELECT user_id, event_id, event_type, value,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "b53_date_spine" ->
+      """WITH m AS (SELECT o_orderpriority, date_trunc('day', o_orderdate) AS day, count(*) AS n_orders
+        |           FROM orders GROUP BY 1, 2),
+        |b AS (SELECT o_orderpriority, min(day) AS lo, max(day) AS hi FROM m GROUP BY 1),
+        |sp AS (SELECT o_orderpriority, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b)
+        |SELECT sp.o_orderpriority, CAST(sp.day AS DATE) AS day,
+        |  coalesce(m.n_orders, 0) AS n_orders
+        |FROM sp LEFT JOIN m USING (o_orderpriority, day)
+        |ORDER BY sp.o_orderpriority, sp.day""".stripMargin,
+    "b52_union_evolve" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT coalesce(o_orderpriority, 'LEGACY') AS prio, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM u GROUP BY 1 ORDER BY prio""".stripMargin,
+    "b51_exact_moments" ->
+      // HUGEINT moments in DuckDB ≡ DECIMAL(38,0) in Spark: both exact,
+      // both cast-to-double at the same single point in the formula
+      """WITH li AS (SELECT l_returnflag,
+        |  CAST(l_quantity AS BIGINT) AS q,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |FROM lineitem),
+        |a AS (SELECT l_returnflag, count(*) AS n,
+        |  sum(q) AS sum_q, sum(q * q) AS sum_q2,
+        |  sum(cents) AS sum_cents, sum(cents * cents) AS sum_cents2
+        |  FROM li GROUP BY 1)
+        |SELECT l_returnflag, n, CAST(sum_q AS BIGINT) AS sum_q,
+        |  CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+        |  CAST(n * sum_q2 - sum_q * sum_q AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_q,
+        |  CAST(n * sum_cents2 - sum_cents * sum_cents AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000.0 AS var_price
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "b50_funnel" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, ts AS vts FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+        |pu AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+        |vc AS (SELECT v.view_id, v.user_id, min(c.cts) AS fc
+        |       FROM v JOIN c ON c.user_id = v.user_id
+        |         AND c.cts >= v.vts AND c.cts < v.vts + INTERVAL 30 MINUTE
+        |       GROUP BY v.view_id, v.user_id),
+        |vcp AS (SELECT DISTINCT vc.view_id, vc.user_id
+        |        FROM vc JOIN pu ON pu.user_id = vc.user_id
+        |          AND pu.pts >= vc.fc AND pu.pts < vc.fc + INTERVAL 2 HOUR)
+        |SELECT v.user_id, count(*) AS n_views,
+        |  count(vc.view_id) AS n_clicked, count(vcp.view_id) AS n_purchased
+        |FROM v LEFT JOIN vc USING (view_id, user_id)
+        |       LEFT JOIN vcp USING (view_id, user_id)
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
+    "b49_json_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "b35_range_join" ->
+      """SELECT p.event_id, p.user_id, count(c.user_id) AS n_clicks_60s
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts - INTERVAL 1 MINUTE AND c.ts < p.ts
+        |GROUP BY p.event_id, p.user_id ORDER BY p.event_id""".stripMargin,
+    "b36_approx_quantile" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_extendedprice, 0.5) AS median_price,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "b37_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "b38_partition_prune" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "b63_partitioned_bucketed" ->
+      // layout changes the plan, never the answer: plain filter+join+agg
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "b92_hilbert_key" -> hilbertKeySql,
+
+    "b93_hilbert_prune" ->
+      // identical to b64's: the curve rewrite is pure layout, the 2-D
+      // box aggregate is the answer — one oracle, two at-rest layouts
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_custkey < 80
+        |  AND date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) < 730
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "b64_zorder_prune" ->
+      // the z-ordered rewrite is pure layout; the 2-D box is the answer
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |WHERE o_custkey < 80
+        |  AND date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) < 730
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "b39_exists_subquery" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "b40_scalar_subquery" ->
+      """WITH c AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders),
+        |st AS (SELECT sum(cents) AS sc, count(*) AS n FROM c)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM c, st
+        |WHERE cents * 2 * n > 3 * sc ORDER BY o_orderkey""".stripMargin,
+    "b41_lateral_join" ->
+      """SELECT n.n_name, t.s_name, t.s_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT s_name, s_acctbal FROM supplier
+        |         WHERE s_nationkey = n.n_nationkey
+        |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+        |ORDER BY n.n_name, t.s_acctbal DESC, t.s_name""".stripMargin,
+    "b42_stream_interval_join" ->
+      """SELECT v.event_id AS view_id, v.user_id, c.event_id AS click_id
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = v.user_id
+        |  AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 30 MINUTE
+        |ORDER BY view_id, click_id""".stripMargin,
+    "b48_stream_interval_left" ->
+      """SELECT v.event_id AS view_id, v.user_id, coalesce(c.event_id, -1) AS click_id
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = v.user_id
+        |  AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 30 MINUTE
+        |ORDER BY view_id, click_id""".stripMargin,
+    "b47_salted_skew_join" ->
+      // plain join: salting must be invisible in the result
+      """SELECT s_nationkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "b46_map_type" ->
+      // the map is an engine-side container; its observable content is
+      // exactly this per-(priority,status) count relation
+      """WITH pc AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |            FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority,
+        |  CAST(count(*) AS INTEGER) AS n_statuses,
+        |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN n END), 0) AS BIGINT) AS n_f,
+        |  CAST(coalesce(sum(CASE WHEN n >= 100 THEN n END), 0) AS BIGINT) AS big_total,
+        |  string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS keys_csv
+        |FROM pc GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "b45_join_full_outer" ->
+      """WITH big AS (SELECT o_custkey, count(*) AS n_big FROM orders
+        |             WHERE o_totalprice > 400000 GROUP BY o_custkey),
+        |neg AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0)
+        |SELECT coalesce(o_custkey, c_custkey) AS custkey,
+        |  coalesce(n_big, 0) AS n_big,
+        |  n_big IS NOT NULL AS has_big,
+        |  c_acctbal IS NOT NULL AS in_arrears,
+        |  coalesce(c_acctbal, 0.0) AS acctbal
+        |FROM big FULL OUTER JOIN neg ON o_custkey = c_custkey
+        |ORDER BY custkey""".stripMargin,
+    "b43_window_dist" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders WHERE o_totalprice > 150000
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "b44_variant_json" ->
+      // props is strictly {"k": int}, so a portable RE2 digit-run extract
+      // reproduces the typed variant_get path without requiring a JSON
+      // extension in the oracle engine
+      """SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(regexp_extract(props, '[0-9]+') AS BIGINT) >= 50
+        |ORDER BY event_id""".stripMargin,
+    "b01_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  count(*) AS count_order,
+        |  sum(l_quantity) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "b02_join_broadcast" ->
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "b03_join_multi" ->
+      """SELECT r_name, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "b04_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "b05_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "b06_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "b07_join_theta" ->
+      """SELECT c_custkey, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey AND o_totalprice > c_acctbal * 50
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "b08_join_asof" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS cu, ts AS cts, event_id AS click_id FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.event_id, p.user_id, c.click_id,
+        |  row_number() OVER (PARTITION BY p.event_id ORDER BY c.cts DESC NULLS LAST, c.click_id DESC NULLS LAST) AS rn
+        |  FROM p LEFT JOIN c ON p.user_id = c.cu AND c.cts <= p.ts)
+        |SELECT event_id, user_id, click_id FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "b09_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "b10_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "b11_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  date_diff('day', lag(o_orderdate, 1) OVER w, o_orderdate) AS days_since_prev,
+        |  lead(o_orderkey, 1) OVER w AS next_order
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "b27_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 50000 PRECEDING AND 50000 FOLLOWING) AS n_similar
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "b12_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "b13_setops" ->
+      """WITH oc AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        |ec AS (SELECT DISTINCT user_id AS k FROM events)
+        |SELECT 'both' AS tag, count(*) AS n FROM (SELECT k FROM oc INTERSECT SELECT k FROM ec)
+        |UNION ALL
+        |SELECT 'only_orders' AS tag, count(*) AS n FROM (SELECT k FROM oc EXCEPT SELECT k FROM ec)
+        |UNION ALL
+        |SELECT 'union' AS tag, count(*) AS n FROM (SELECT k FROM oc UNION SELECT k FROM ec)
+        |ORDER BY tag""".stripMargin,
+    "b31_setops_all" ->
+      """WITH a AS (SELECT l_returnflag AS f FROM lineitem),
+        |b AS (SELECT l_returnflag AS f FROM lineitem WHERE l_quantity > 25)
+        |SELECT 'intersect_all' AS op, f, count(*) AS n
+        |FROM (SELECT f FROM a INTERSECT ALL SELECT f FROM b) GROUP BY f
+        |UNION ALL
+        |SELECT 'except_all' AS op, f, count(*) AS n
+        |FROM (SELECT f FROM a EXCEPT ALL SELECT f FROM b) GROUP BY f
+        |ORDER BY op, f""".stripMargin,
+    "b32_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  last_value(o_orderkey) OVER w AS last_order,
+        |  nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "b14_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "b15_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "b21_cube" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS prio,
+        |  coalesce(CAST(year(o_orderdate) AS INTEGER), -1) AS yr,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderpriority, year(o_orderdate))
+        |ORDER BY prio, yr""".stripMargin,
+    "b30_math_fns" ->
+      """SELECT l_orderkey, l_linenumber AS ln,
+        |  abs(l_discount - 0.05) AS d_abs,
+        |  sqrt(l_quantity) AS q_sqrt,
+        |  CAST(floor(l_extendedprice / 100) AS BIGINT) AS p_floor,
+        |  CAST(ceil(l_extendedprice / 100) AS BIGINT) AS p_ceil,
+        |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS d_sign,
+        |  l_linenumber % 3 AS ln_mod
+        |FROM lineitem ORDER BY l_orderkey, ln, d_abs, q_sqrt""".stripMargin,
+    "b28_pivot" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE l_linestatus = 'O') AS n_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "b29_percentile_disc" ->
+      """SELECT o_orderpriority,
+        |  quantile_disc(o_totalprice, 0.5) AS p50,
+        |  quantile_disc(o_totalprice, 0.9) AS p90
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "b16_string_fns" ->
+      """SELECT p_partkey, lower(p_brand) AS brand_lower, substring(p_name, 1, 5) AS name5,
+        |  regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+        |  CAST(len(string_split(p_type, ' ')) AS BIGINT) AS type_words
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "b17_date_fns" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY month ORDER BY month""".stripMargin,
+    "b18_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "b19_window_tumbling" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin,
+    // Spark's sliding window(ts, 1h, 30m) assigns each event to the two
+    // epoch-aligned 30-minute starts within the hour before it; reproduced
+    // with integer epoch-millisecond arithmetic (no engine-specific
+    // time_bucket origins).
+    "b22_window_sliding" ->
+      """WITH w AS (
+        |  SELECT unnest(ARRAY[
+        |      make_timestamp((epoch_ms(ts) // 1800000) * 1800000 * 1000),
+        |      make_timestamp(((epoch_ms(ts) // 1800000) - 1) * 1800000 * 1000)
+        |    ]) AS window_start,
+        |    event_type
+        |  FROM events)
+        |SELECT window_start, event_type, count(*) AS n
+        |FROM w GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+    "b26_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin,
+    "b24_sql" ->
+      """SELECT o_orderpriority, count(*) AS n, min(o_orderkey) AS first_key
+        |FROM orders WHERE o_totalprice > 100000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "b25_skew_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_distinct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "b23_join_supplier" ->
+      """SELECT n_name, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "b20_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+        |  user_id, count(*) AS n
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "b68_sketch_rollup" ->
+      // exact weekly distinct hash-checked; the union-of-daily-sketches
+      // estimate is engine-specific, so (as b18) its evidence is the
+      // 5% bound the oracle asserts TRUE. date_trunc('week') is
+      // Monday-anchored in both engines.
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+        |  count(DISTINCT date_trunc('day', ts)) AS n_days,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS rollup_ok
+        |FROM events GROUP BY week ORDER BY week""".stripMargin,
+
+    "b66_merge_apply" ->
+      // same compaction (row_number ≡ max_by on the same total order) and
+      // the same merge CASE branches; payload doubles pass through raw
+      """WITH base AS (
+        |  SELECT user_id, value FROM (
+        |    SELECT user_id, value,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-16') WHERE rn = 1),
+        |chg AS (
+        |  SELECT user_id, value,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op FROM (
+        |    SELECT user_id, event_type, value,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts >= TIMESTAMP '2024-01-16') WHERE rn = 1)
+        |SELECT coalesce(b.user_id, c.user_id) AS user_id,
+        |  CASE WHEN c.op = 'U' THEN c.value ELSE b.value END AS value,
+        |  CASE WHEN c.op IS NULL THEN 'carry'
+        |       WHEN b.user_id IS NULL THEN 'insert'
+        |       ELSE 'update' END AS src
+        |FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+        |WHERE c.op IS NULL OR c.op <> 'D'
+        |ORDER BY user_id""".stripMargin,
+
+    "b67_interval_coverage" ->
+      // identical sweep in integer epoch-micros: island break when s
+      // exceeds the running max of prior interval ends
+      """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+        |              epoch_us(ts) + 1800000000 AS e FROM events),
+        |x AS (SELECT user_id, event_id, s, e,
+        |        max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |      FROM iv),
+        |y AS (SELECT user_id, event_id, s, e,
+        |        CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk FROM x),
+        |z AS (SELECT user_id, s, e,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS island FROM y),
+        |i AS (SELECT user_id, island, max(e) - min(s) AS cov
+        |      FROM z GROUP BY user_id, island)
+        |SELECT user_id, count(*) AS n_islands, CAST(sum(cov) AS BIGINT) AS covered_micros
+        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "b69_ivm_merge" ->
+      // the FULL recompute — equality with the state merge is the claim
+      """WITH e AS (SELECT user_id,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(cents) AS min_cents, max(cents) AS max_cents,
+        |  CAST(sum(cents) // count(*) AS BIGINT) AS avg_cents_floor
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "b70_interpolate" ->
+      // same grid + bracketing windows + cleared-denominator weighted
+      // mean; all operands non-negative BIGINTs so // ≡ div
+      """WITH obs0 AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 3600000000
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |k AS (SELECT user_id, h, cents FROM obs0 WHERE rn = 1),
+        |span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM k GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM span),
+        |j AS (SELECT g.user_id, g.h, k.cents FROM grid g
+        |      LEFT JOIN k ON k.user_id = g.user_id AND k.h = g.h),
+        |w AS (SELECT user_id, h, cents,
+        |  last_value(cents IGNORE NULLS) OVER back AS pv,
+        |  last_value(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS) OVER back AS ph,
+        |  first_value(cents IGNORE NULLS) OVER fwd AS nv,
+        |  first_value(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS) OVER fwd AS nh
+        |  FROM j WINDOW
+        |    back AS (PARTITION BY user_id ORDER BY h
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    fwd AS (PARTITION BY user_id ORDER BY h
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, h AS hour_id,
+        |  CAST(CASE WHEN cents IS NOT NULL THEN cents
+        |       ELSE (pv * (nh - h) + nv * (h - ph)) // (nh - ph) END AS BIGINT) AS val_cents,
+        |  CASE WHEN cents IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
+        |FROM w ORDER BY user_id, hour_id""".stripMargin,
+
+    "b71_equidepth_hist" ->
+      // identical integer bucket rule over the distinct-value frame
+      """WITH vc AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+        |              count(*) AS cnt
+        |            FROM lineitem GROUP BY 1),
+        |c AS (SELECT v, cnt,
+        |        sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |                       AND CURRENT ROW) AS cum,
+        |        sum(cnt) OVER () AS n
+        |      FROM vc)
+        |SELECT CAST(((cum - 1) * 16) // n AS BIGINT) AS bin,
+        |  min(v) AS lo, max(v) AS hi, CAST(sum(cnt) AS BIGINT) AS n_rows
+        |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "b79_dynamic_partition_prune" ->
+      """WITH dim(p, urgency) AS (VALUES
+        |  ('1-URGENT', 'high'), ('2-HIGH', 'high'), ('3-MEDIUM', 'low'),
+        |  ('4-NOT SPECIFIED', 'low'), ('5-LOW', 'low'))
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM orders JOIN dim ON o_orderpriority = p
+        |WHERE urgency = 'high'
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "b78_stream_hll_parity" ->
+      // exact distinct per closed hour window; the HLL estimate is
+      // checked Spark-side as the bound boolean (b18 pattern)
+      """WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM events),
+        |w AS (SELECT date_trunc('hour', ts) AS ws, user_id FROM events)
+        |SELECT epoch_us(ws) AS w_start_us,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS approx_ok
+        |FROM w CROSS JOIN wm
+        |WHERE ws + INTERVAL 1 HOUR <= wm.wm
+        |GROUP BY ws ORDER BY w_start_us""".stripMargin,
+
+    "b98_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(floor(l_quantity * 10 + 0.5) AS BIGINT)) AS BIGINT) AS total_qty_deci
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(floor(l_quantity * 10 + 0.5) AS BIGINT)) > 3000)
+        |SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
+        |  total_qty_deci
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    // the Series.funnelStageTimes machine in SQL (chained strictly-after
+    // mins) + the ms-granular horizon cut the stream's timeout clock uses
+    "b99_stream_funnel_parity" ->
+      """WITH f AS (SELECT user_id, event_type, ts FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS s1 FROM f WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT f.user_id, min(f.ts) AS s2 FROM f JOIN s1 USING (user_id)
+        |       WHERE f.event_type = 'click' AND f.ts > s1.s1 GROUP BY 1),
+        |s3 AS (SELECT f.user_id, min(f.ts) AS s3 FROM f JOIN s2 USING (user_id)
+        |       WHERE f.event_type = 'purchase' AND f.ts > s2.s2 GROUP BY 1),
+        |hz AS (SELECT user_id, epoch_ms(max(ts)) AS last_ms FROM f GROUP BY 1)
+        |SELECT hz.user_id, epoch_us(s1.s1) AS s1_us, epoch_us(s2.s2) AS s2_us,
+        |  epoch_us(s3.s3) AS s3_us
+        |FROM hz LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id) CROSS JOIN wm
+        |WHERE hz.last_ms + 1800000 < wm.wm_ms
+        |ORDER BY hz.user_id""".stripMargin,
+
+    "b100_tpch_q14" ->
+      """WITH r AS (
+        |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev,
+        |    p_type = 'PROMO' AS is_promo
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT month,
+        |  CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END) AS BIGINT) AS promo_rev_c100,
+        |  CAST(sum(rev) AS BIGINT) AS total_rev_c100,
+        |  (CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END) AS BIGINT) * 10000)
+        |    // CAST(sum(rev) AS BIGINT) AS promo_bp
+        |FROM r GROUP BY month ORDER BY month""".stripMargin,
+
+    // the mean gate clears denominators (bal·n > sum) — no float average
+    "b101_tpch_q22" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c FROM customer),
+        |a AS (SELECT CAST(sum(bal_c) AS BIGINT) AS s, count(*) AS n FROM c WHERE bal_c > 0)
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+        |FROM c CROSS JOIN a
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE bal_c * a.n > a.s
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "b95_tpch_q3" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_c100
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-06-30'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1996-06-30'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_c100 DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "b96_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_c100
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue_c100 DESC, n_name""".stripMargin,
+
+    "b97_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_c100
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue_c100 DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // identical chained conditional-min windows; DuckDB's FILTER clause
+    // is the CASE form's equivalent, kept as CASE for symmetry
+    "b94_funnel" ->
+      """WITH s1t AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s1
+        |  FROM events),
+        |s2t AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s2
+        |  FROM s1t),
+        |s3t AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s3
+        |  FROM s2t),
+        |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s3) AS s3
+        |      FROM s3t GROUP BY user_id),
+        |c AS (SELECT CAST(count(s1) AS BIGINT) AS u1, CAST(count(s2) AS BIGINT) AS u2,
+        |        CAST(count(s3) AS BIGINT) AS u3 FROM u)
+        |SELECT 1 AS stage, 'view' AS event_type, u1 AS users,
+        |  (u1 * 1000000) // NULLIF(u1, 0) AS conv_ppm FROM c
+        |UNION ALL SELECT 2, 'click', u2, (u2 * 1000000) // NULLIF(u1, 0) FROM c
+        |UNION ALL SELECT 3, 'purchase', u3, (u3 * 1000000) // NULLIF(u1, 0) FROM c
+        |ORDER BY stage""".stripMargin,
+
+    "b91_stream_sliding_hll" ->
+      // sliding windows unrolled as the k ∈ {0,1} slide offsets of the
+      // event's 30-min bucket: start ≡ 0 (mod slide) and ts ∈
+      // [start, start + 1h) — exactly Spark's window(ts, 1h, 30m)
+      // assignment; closed = end ≤ max(ts) − delay, the b78 shape
+      """WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM events),
+        |w AS (SELECT time_bucket(INTERVAL '30 minutes', ts)
+        |        - k.k * INTERVAL '30 minutes' AS ws, user_id
+        |      FROM events CROSS JOIN (VALUES (0), (1)) k(k))
+        |SELECT epoch_us(ws) AS w_start_us,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS approx_ok
+        |FROM w CROSS JOIN wm
+        |WHERE ws + INTERVAL 1 HOUR <= wm.wm
+        |GROUP BY ws ORDER BY w_start_us""".stripMargin,
+
+    "b77_period_over_period" ->
+      // same sign-split bps rule (magnitude // then sign) — see the
+      // Spark-side comment on the DuckDB-floor vs Spark-trunc difference
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |x AS (SELECT month, rev_cents,
+        |        lag(rev_cents, 1) OVER (ORDER BY month) AS prev_cents FROM m)
+        |SELECT month, rev_cents, prev_cents,
+        |  rev_cents - prev_cents AS delta_cents,
+        |  CAST(CASE WHEN rev_cents - prev_cents >= 0 THEN 1 ELSE -1 END
+        |    * ((abs(rev_cents - prev_cents) * 10000) // NULLIF(prev_cents, 0)) AS BIGINT) AS change_bps
+        |FROM x ORDER BY month""".stripMargin,
+
+    "b76_expectations" ->
+      """WITH rc AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL OR o_custkey IS NULL
+        |                    OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null_keys,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS totalprice_positive,
+        |    CAST(sum(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS BIGINT) AS totalprice_le_100k,
+        |    CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1992-01-01'
+        |                    OR CAST(o_orderdate AS DATE) >= DATE '2002-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS orderdate_in_range,
+        |    CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM',
+        |                    '4-NOT SPECIFIED', '5-LOW') THEN 1 ELSE 0 END) AS BIGINT) AS priority_domain
+        |  FROM orders),
+        |up AS (
+        |  SELECT 'not_null_keys' AS "check", not_null_keys AS n_viol FROM rc
+        |  UNION ALL SELECT 'totalprice_positive', totalprice_positive FROM rc
+        |  UNION ALL SELECT 'totalprice_le_100k', totalprice_le_100k FROM rc
+        |  UNION ALL SELECT 'orderdate_in_range', orderdate_in_range FROM rc
+        |  UNION ALL SELECT 'priority_domain', priority_domain FROM rc
+        |  UNION ALL SELECT 'custkey_fk', CAST(count(*) AS BIGINT) FROM orders o
+        |    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL SELECT 'orderkey_unique', CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+        |    (SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
+        |SELECT "check", n_viol FROM up ORDER BY "check"""".stripMargin,
+
+    "b75_winsorize" ->
+      // the same explicit inverse-CDF rule over the distinct-value frame
+      // (NOT quantile_disc — one shared integer definition on both
+      // engines), then the same clamp
+      """WITH li AS (SELECT l_returnflag AS flag,
+        |              CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |            FROM lineitem),
+        |vc AS (SELECT flag, cents, count(*) AS cnt FROM li GROUP BY 1, 2),
+        |c AS (SELECT flag, cents, cnt,
+        |        sum(cnt) OVER (PARTITION BY flag ORDER BY cents) AS cum,
+        |        sum(cnt) OVER (PARTITION BY flag) AS n
+        |      FROM vc),
+        |e AS (SELECT flag, min(CASE WHEN cum * 20 >= n THEN cents END) AS lo,
+        |             min(CASE WHEN cum * 20 >= 19 * n THEN cents END) AS hi
+        |      FROM c GROUP BY flag)
+        |SELECT li.flag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(greatest(lo, least(hi, cents))) AS BIGINT) AS sum_winsorized,
+        |  CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+        |FROM li JOIN e USING (flag) GROUP BY li.flag ORDER BY flag""".stripMargin,
+
+    "b74_attribution" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER lb AS click_id0,
+        |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER lb AS click_us0
+        |  FROM events
+        |  WINDOW lb AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id AS purchase_id, user_id,
+        |  CASE WHEN click_us0 IS NOT NULL AND us - click_us0 <= 604800000000 THEN click_id0 END AS click_id,
+        |  CASE WHEN click_us0 IS NOT NULL AND us - click_us0 <= 604800000000 THEN us - click_us0 END AS gap_us
+        |FROM w WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
+
+    "b73_twap" ->
+      // identical lead-window areas; durations tile the span so the sum
+      // is bounded by max_cents · span — no overflow at any row count
+      """WITH o AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |x AS (SELECT user_id, us, cents,
+        |        lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt FROM o),
+        |g AS (SELECT user_id, count(*) AS n_obs,
+        |        max(us) - min(us) AS span_micros,
+        |        CAST(sum(CASE WHEN nxt IS NOT NULL THEN cents * (nxt - us) ELSE 0 END) AS BIGINT) AS area
+        |      FROM x GROUP BY user_id)
+        |SELECT user_id, n_obs, span_micros,
+        |  CAST(area // span_micros AS BIGINT) AS twap_cents
+        |FROM g WHERE span_micros > 0 ORDER BY user_id""".stripMargin,
+
+    "b72_stream_ivm_parity" ->
+      """SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
+
+    "b65_stream_session_parity" ->
+      // b20's gaps-and-islands sessionization + the final-watermark cut:
+      // only sessions whose end (last event + gap) the watermark
+      // (max ts - delay) passed — i.e. exactly what the append-mode
+      // native session_window stream has emitted after draining the table
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x),
+        |sess AS (
+        |  SELECT CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |    CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+        |    user_id, count(*) AS n
+        |  FROM y GROUP BY user_id, sid)
+        |SELECT session_start, session_end, user_id, n FROM sess
+        |WHERE session_end <= (SELECT max(ts) - INTERVAL 30 MINUTE FROM events)
+        |ORDER BY user_id, session_start""".stripMargin)
+}

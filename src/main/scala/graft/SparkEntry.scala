@@ -8,6 +8,7 @@ import graft.operators.{Ann, Dedup, Multimodal, Nested, Pipeline, Scale, Variant
 import graft.functions.{Similarity, Text}
 import graft.sources.Tables
 import graft.streaming.Streams
+import graft.EntryShared._
 
 /** Driver contract (SURVEY.md §7.0): one `queries` entry per implemented
   * operator from SURVEY.md §2, with a DuckDB-equivalent `oracleSql` for every
@@ -22,264 +23,6 @@ import graft.streaming.Streams
   * thresholds sitting in empirically wide gaps of the data's distribution).
   */
 object SparkEntry {
-
-  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.t(s, d, n)
-
-  /** Exact, order-independent sum of a 2dp-double column, as double. */
-  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
-
-  /** Derived supplier-part catalog — the fixture ships no partsupp table,
-    * so the TPC-H partsupp queries (b115–b119) build on the catalog the
-    * lineitems themselves imply: per (partkey, suppkey),
-    * ps_availqty_deci := total shipped deci-quantity and
-    * ps_supplycost_c := the historical-minimum line price in cents. Both
-    * are exact-integer aggregates (sum/min of longs), so the derivation is
-    * engine-identical; one lineitem groupBy whose (partkey, suppkey)
-    * exchange feeds the composite-key joins above it directly. The DuckDB
-    * twin is `psCte`.
-    *
-    * Memoized per (session, sfDir) like the other shared intermediates
-    * (r11 VERDICT #3): five queries consume this catalog, and without the
-    * cache each re-ran the full lineitem aggregate (~84 MB of repeated
-    * shuffle across the partsupp TPC-H family at sf0.1). One persisted
-    * build per (session, sfDir) — warmed untimed by
-    * [[warmSharedIntermediates]] — makes every consumer's byte ledger
-    * measure its OWN joins, not the shared derivation. A real deployment
-    * has a real partsupp table, so per-query standalone cost was never the
-    * scale story; the memo is measurement hygiene plus the
-    * materialized-view posture the catalog would have at ingest. */
-  private val psCache = new graft.sources.Memo()
-
-  private def psDerived(s: SparkSession, d: String): DataFrame =
-    psCache.getOrElseUpdate((s, d)) {
-      t(s, d, "lineitem")
-        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
-        .agg(sum(floor(col("l_quantity") * 10 + 0.5).cast("long")).as("ps_availqty_deci"),
-          min(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("ps_supplycost_c"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
-
-  /** DuckDB twin of [[psDerived]] — splice as `WITH $psCte, ...`. */
-  private val psCte =
-    """ps AS (
-      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-      |    CAST(sum(CAST(floor(l_quantity*10+0.5) AS BIGINT)) AS BIGINT) AS ps_availqty_deci,
-      |    CAST(min(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) AS BIGINT) AS ps_supplycost_c
-      |  FROM lineitem GROUP BY 1,2)""".stripMargin
-
-  /** Near-dup cluster labels over documents, memoized per (session, sfDir):
-    * c17 and c18 share the pair graph and the CC iterations (same
-    * materialized-view pattern as Tables.orderItems; bounded LRU, evicted
-    * entries unpersisted). */
-  private val clustersCache = new graft.sources.Memo()
-
-  /** The documents shingle index, shared by c02 (minhash), c04 (jaccard)
-    * and c17/c18 (clusters over jaccard pairs): one persisted kernel pass
-    * per (session, sfDir) instead of three. */
-  private val shingleCache = new graft.sources.Memo()
-
-  private def docShingleSets(s: SparkSession, d: String): DataFrame =
-    shingleCache.getOrElseUpdate((s, d)) {
-      Dedup.shingleSets(t(s, d, "documents"), "doc_id", "text", shingleN = 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
-
-  /** The exact-jaccard near-dup pair graph over documents, shared by c04
-    * (pair list) and c17/c18 (clusters): the inverted-index join runs once
-    * per (session, sfDir). */
-  private val jaccardPairsCache = new graft.sources.Memo()
-
-  private def docJaccardPairs(s: SparkSession, d: String): DataFrame =
-    jaccardPairsCache.getOrElseUpdate((s, d)) {
-      Dedup.ngramJaccardPairsOf(docShingleSets(s, d), threshold = 0.8)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
-
-  private def docClusters(s: SparkSession, d: String): DataFrame =
-    clustersCache.getOrElseUpdate((s, d)) {
-      Dedup.clusters(docJaccardPairs(s, d))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
-
-  /** The documents bigram-position table (doc_id, source, w1, w2), shared
-    * by c58 (corpus LM: three consumers — two count aggregates + the
-    * scoring join) and c64 (reference LM: the reference slice filters off
-    * this frame instead of re-scanning the corpus): one explode pass per
-    * (session, sfDir) — the "position table cached at ingest" posture the
-    * c58 scaladoc promises at 100 TB. */
-  private val bigramCache = new graft.sources.Memo()
-
-  private def docBigramsWithSource(s: SparkSession, d: String): DataFrame =
-    bigramCache.getOrElseUpdate((s, d)) {
-      val toks = Text.tokens(col("text"))
-      t(s, d, "documents")
-        .where(size(toks) >= 2)
-        .select(col("doc_id"), col("source"),
-          explode(transform(slice(toks, lit(1), size(toks) - 1),
-            (x, i) => struct(x.as("w1"),
-              element_at(toks, i + lit(2)).as("w2")))).as("p"))
-        .select(col("doc_id"), col("source"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
-
-  /** Per-doc classifier scores + the metadata the consumers read —
-    * (doc_id, lang, n_chars, n_feats, score) — shared by the whole
-    * c109–c112 family (scores are per-doc, so every family member —
-    * point lookup, yield curve, agreement matrix, IVM slices — is a
-    * filter/aggregate over this one frame). The materialized-view
-    * posture a real pipeline would keep for its learned gate: score on
-    * ingest, consume everywhere. */
-  private val docScoresCache = new graft.sources.Memo()
-
-  private def docClassifierScores(s: SparkSession, d: String): DataFrame =
-    docScoresCache.getOrElseUpdate((s, d)) {
-      t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
-        .join(graft.operators.Pipeline.linearClassifierScore(
-            t(s, d, "documents"), "doc_id", "text",
-            graft.operators.Pipeline.demoClassifierWeights(s, 65536),
-            buckets = 65536)
-          .withColumnRenamed("id", "doc_id"), "doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
-
-  /** The c110/c112 readout tail: unstack the wide per-lang yield state
-    * into (lang, thr, total_docs, kept_docs, kept_chars, kept_ppm) rows —
-    * ONE definition so the IVM twin (c112, whose contract is
-    * merge ≡ recompute) can never desynchronize from the direct curve
-    * (c110); stack arity derives from the threshold grid. */
-  private def classifierYieldCurve(state: DataFrame, thr: Seq[Long]): DataFrame =
-    state.select(col("lang"), col("total_docs"), expr(
-        s"stack(${thr.size}, " + thr.zipWithIndex.map { case (tv, i) =>
-          s"CAST($tv AS BIGINT), kd$i, kc$i" }.mkString(", ") +
-        ") AS (thr, kept_docs, kept_chars)"))
-      .select(col("lang"), col("thr"), col("total_docs"),
-        col("kept_docs"), col("kept_chars"),
-        expr("(kept_docs * 1000000) div total_docs").as("kept_ppm"))
-      .orderBy(col("lang"), col("thr"))
-
-  /** The c114 score-decile × heuristic-keep-rate reliability table,
-    * shared with its c116 monotonicity audit so the two can never
-    * diverge. MEMOIZED (the docClassifierScores pattern, r14 review):
-    * without the memo each consumer re-pays the heuristic full-text
-    * scan — the dominant cost of the pair at corpus scale. Decile
-    * machinery per the c114 scaladoc: per-score-value aggregate (one
-    * score exchange), cumulative windows on the |distinct scores|-row
-    * frame, last-row decile rule. */
-  private val calibCache = new graft.sources.Memo()
-
-  private def classifierCalibrationTable(s: SparkSession, d: String): DataFrame =
-    calibCache.getOrElseUpdate((s, d)) { buildCalibrationTable(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) }
-
-  /** Per-doc (doc_id, kept_h, score) gate bits — the narrow frame every
-    * calibration-family consumer aggregates. MEMOIZED separately from the
-    * 10-row table (r15, for the c117 drift readout): the drift query needs
-    * the SAME bits re-aggregated under a corpus-slice filter, and without
-    * this memo each slice would re-pay the heuristic full-text scan — the
-    * dominant cost of the family. ~3 narrow columns × |docs| rows persisted;
-    * raw text never leaves the scan. */
-  private val gateBitsCache = new graft.sources.Memo()
-
-  private def docGateBits(s: SparkSession, d: String): DataFrame =
-    gateBitsCache.getOrElseUpdate((s, d)) {
-      t(s, d, "documents")
-        .select(col("doc_id"),
-          (Text.qualityScoreNano(coalesce(col("text"), lit(""))) >=
-            395000000L).as("kept_h"))
-        .join(docClassifierScores(s, d)
-          .select(col("doc_id"), col("score")), "doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
-
-  private def buildCalibrationTable(s: SparkSession, d: String): DataFrame =
-    calibrationTableOf(docGateBits(s, d))
-
-  /** The c114 decile machinery over any (score, kept_h) bits frame — ONE
-    * definition shared by the full-corpus table (c114/c116 via the memo)
-    * and the c117 drift readout's per-generation slices, so a generation's
-    * table can never be computed by a different rule than the current one. */
-  private def calibrationTableOf(bits: DataFrame): DataFrame = {
-    val perScore = bits
-      .groupBy(col("score"))
-      .agg(count(lit(1)).as("n"), sum(col("kept_h").cast("long")).as("kh"))
-    val wCum = Window.orderBy(col("score"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wTot = Window.partitionBy()
-    perScore
-      .withColumn("cum", sum(col("n")).over(wCum))
-      .withColumn("nn", sum(col("n")).over(wTot))
-      .withColumn("decile", expr("((cum - 1) * 10) div nn + 1"))
-      .groupBy(col("decile"))
-      .agg(sum(col("n")).as("n_docs"), min(col("score")).as("lo_score"),
-        max(col("score")).as("hi_score"), sum(col("kh")).as("kept_h_docs"))
-      .withColumn("kept_h_ppm", expr("(kept_h_docs * 1000000) div n_docs"))
-      .orderBy(col("decile"))
-  }
-
-  /** The b124 per-(arm, transition, hour-bucket) cumulative-coverage frame
-    * — funnel stage times (ONE user_id exchange), md5 arm split, the
-    * 3-row-per-user transition stack, per-bucket histogram, then
-    * from/conv/cum window sums on the (arm,t,hrs)-bounded frame. ONE
-    * definition shared by the b124 per-arm readout and the b125 contrast
-    * so the two can never disagree on the bucketing or coverage rule.
-    * `from_users` is computed BEFORE the non-converter (null-hrs) rows
-    * drop; `conv_users`/`cum` after — the b124 oracle's f/k split.
-    *
-    * MEMOIZED (the docClassifierScores posture, r15): the b125 verdict
-    * consumes the frame three times (per-arm percentiles, the pivot, the
-    * coverage leg) — unmemoized, each consumption replays the whole
-    * user-exchange funnel machinery from the parquet scan (measured: 3
-    * events scans + 3 user exchanges in the static plan). The frame is
-    * the family's materialized view: ≤ 2 arms × 3 transitions × horizon
-    * hours rows persisted, the user-scale work paid once per
-    * (session, sfDir). */
-  private val ttcFrameCache = new graft.sources.Memo()
-
-  private def funnelAbTtcCumFrame(s: SparkSession, d: String): DataFrame =
-    ttcFrameCache.getOrElseUpdate((s, d)) {
-      buildFunnelAbTtcCumFrame(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
-
-  private def buildFunnelAbTtcCumFrame(s: SparkSession, d: String): DataFrame = {
-    val stages = Seq("view", "click", "signup", "purchase")
-    val staged = graft.operators.Series.funnelStageTimes(
-      t(s, d, "events").where(col("event_type").isin(stages: _*)),
-      "user_id", "event_type", "ts", stages)
-    val trans = staged
-      .withColumn("arm",
-        pmod(Text.tokenHash(col("user_id").cast("string")), lit(2L)))
-      .select(col("arm"), expr(
-        "stack(3, " +
-          "1, 'view_click',      unix_micros(s1), unix_micros(s2), " +
-          "2, 'click_signup',    unix_micros(s2), unix_micros(s3), " +
-          "3, 'signup_purchase', unix_micros(s3), unix_micros(s4)) " +
-          "AS (t, transition, from_us, to_us)"))
-      .where(col("from_us").isNotNull)
-      .select(col("arm"), col("t"), col("transition"),
-        when(col("to_us").isNotNull,
-          expr("(to_us - from_us) div 3600000000")).as("hrs"))
-    val hist = trans.groupBy(col("arm"), col("t"), col("transition"), col("hrs"))
-      .agg(count(lit(1)).as("n_users"))
-    val wAll = Window.partitionBy(col("arm"), col("t"))
-    val wCum = Window.partitionBy(col("arm"), col("t")).orderBy(col("hrs"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hist.withColumn("from_users", sum(col("n_users")).over(wAll))
-      .where(col("hrs").isNotNull)
-      .withColumn("conv_users", sum(col("n_users")).over(wAll))
-      .withColumn("cum", sum(col("n_users")).over(wCum))
-  }
-
-  /** The exact cosine pair graph over embeddings, shared by c05 (pair
-    * list) and c20 (semantic dedup clusters). */
-  private val embPairsCache = new graft.sources.Memo()
-
-  private def embeddingPairGraph(s: SparkSession, d: String): DataFrame =
-    embPairsCache.getOrElseUpdate((s, d)) {
-      Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding",
-          threshold = 0.35)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
 
   /** Materialize every shared memoized intermediate for (session, sfDir).
     *
@@ -329,8635 +72,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     q1Agg(spark, "/root/testdata/sf0.001")
 
-  private def q1Agg(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
-      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        sum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
-        count(lit(1)).as("count_order"),
-        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
-        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
-
-  // =================================================================
-  // §2A — oamap operator surface (nested fixture = Tables.orderItems)
-  // =================================================================
-
-  private val aQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "a01_fieldname" -> ((s, d) => {
-      val renamed = Nested.fieldname(
-        Nested.fieldname(t(s, d, "lineitem"), "", "l_orderkey", "okey"),
-        "", "l_quantity", "qty")
-      renamed.select(col("okey"), col("l_linenumber").as("ln"), col("qty"))
-        .orderBy(col("okey"), col("ln"), col("qty"))
-    }),
-
-    "a02_recordname" -> ((s, d) => {
-      val df = t(s, d, "orders")
-        .withColumn("rec", struct(col("o_orderkey").as("k"), col("o_totalprice").as("p")))
-      val named = Nested.recordname(df, "rec", "Order")
-      named.select(col("rec.k").as("o_orderkey"), col("rec.p").as("o_totalprice"))
-        .orderBy(col("o_orderkey"))
-    }),
-
-    "a03_project" -> ((s, d) => {
-      val items = Tables.orderItems(s, d)
-      val qtys = items.withColumn("qtys", Nested.project(col("items"), "qty"))
-      qtys.select(col("l_orderkey"),
-          size(col("qtys")).cast("long").as("n"),
-          aggregate(col("qtys"), lit(0.0), (a, x) => a + x).as("total_qty"))
-        .orderBy(col("l_orderkey"))
-    }),
-
-    "a04_keep" -> ((s, d) =>
-      Nested.keep(t(s, d, "lineitem"), "l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
-
-    "a05_drop" -> ((s, d) =>
-      Nested.drop(t(s, d, "lineitem"),
-          "l_partkey", "l_suppkey", "l_extendedprice", "l_discount", "l_tax",
-          "l_returnflag", "l_linestatus", "l_shipdate")
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
-
-    "a06_split" -> ((s, d) => {
-      val soa = Nested.split(Tables.orderItems(s, d), "items", "qty", "price")
-      soa.select(col("l_orderkey"),
-          size(col("qty")).cast("long").as("n"),
-          aggregate(col("qty"), lit(0.0), (a, x) => a + x).as("sum_qty"),
-          aggregate(col("price"), lit(0.0).cast("decimal(20,2)"),
-            (a, x) => (a + x.cast("decimal(18,2)")).cast("decimal(20,2)"))
-            .cast("double").as("sum_price"))
-        .orderBy(col("l_orderkey"))
-    }),
-
-    "a07_merge" -> ((s, d) => {
-      // split → merge roundtrip, then consume the zipped structs
-      val soa = Nested.split(Tables.orderItems(s, d), "items", "qty", "price")
-      val aos = Nested.merge(soa, "items", "qty", "price")
-      aos.select(col("l_orderkey"),
-          aggregate(col("items"), lit(0.0).cast("decimal(30,4)"),
-            (a, x) => (a + x.getField("qty").cast("decimal(18,2)") *
-              x.getField("price").cast("decimal(18,2)")).cast("decimal(30,4)"))
-            .cast("double").as("sum_qty_price"))
-        .orderBy(col("l_orderkey"))
-    }),
-
-    "a08_parent" -> ((s, d) => {
-      val withParent = Nested.parent(Tables.orderItems(s, d), "items", "okey", col("l_orderkey"))
-      withParent.select(explode(col("items")).as("it"))
-        .select(col("it.okey").as("okey"), col("it.ln").as("ln"), col("it.qty").as("qty"))
-        .orderBy(col("okey"), col("ln"), col("qty"))
-    }),
-
-    "a09_index" -> ((s, d) => {
-      val indexed = Nested.index(Tables.orderItems(s, d), "items", "idx")
-      indexed.select(col("l_orderkey"), explode(col("items")).as("it"))
-        .select(col("l_orderkey"), col("it.idx").cast("long").as("idx"),
-          col("it.ln").as("ln"), col("it.qty").as("qty"))
-        .orderBy(col("l_orderkey"), col("idx"))
-    }),
-
-    "a10_tomask" -> ((s, d) =>
-      t(s, d, "lineitem").select(
-          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-          Nested.tomask(col("l_discount"), lit(0.02), lit(0.04)).as("disc_masked"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("disc_masked"))),
-
-    "a11_flatten" -> ((s, d) => {
-      val soa = Nested.split(Tables.orderItems(s, d), "items", "qty", "disc")
-      soa.select(col("l_orderkey"),
-          Nested.flattenList(array(col("qty"), col("disc"))).as("flat"))
-        .select(col("l_orderkey"), size(col("flat")).cast("long").as("n_flat"),
-          aggregate(col("flat"), lit(0.0).cast("decimal(20,2)"),
-            (a, x) => (a + x.cast("decimal(18,2)")).cast("decimal(20,2)"))
-            .cast("double").as("sum_flat"))
-        .orderBy(col("l_orderkey"))
-    }),
-
-    "a12_filter" -> ((s, d) => {
-      val filtered = Tables.orderItems(s, d)
-        .withColumn("big", Nested.filterElements(col("items"), x => x.getField("qty") > 25))
-      filtered.select(col("l_orderkey"), size(col("big")).cast("long").as("n_big"))
-        .orderBy(col("l_orderkey"))
-    }),
-
-    "a13_define" -> ((s, d) => {
-      val defined = Tables.orderItems(s, d).withColumn("items",
-        Nested.defineElements(col("items"), "revenue",
-          x => x.getField("qty") * x.getField("price") * (lit(1.0) - x.getField("disc"))))
-      defined.select(col("l_orderkey"), explode(col("items")).as("it"))
-        .select(col("l_orderkey"), col("it.ln").as("ln"), col("it.qty").as("qty"),
-          col("it.revenue").as("revenue"))
-        .orderBy(col("l_orderkey"), col("ln"), col("qty"), col("revenue"))
-    }),
-
-    "a14_map" -> ((s, d) =>
-      // table-level map: elementwise expressions, flat output
-      t(s, d, "lineitem").select(
-          col("l_orderkey"),
-          col("l_linenumber").as("ln"),
-          (col("l_quantity") * col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-        .orderBy(col("l_orderkey"), col("ln"), col("revenue"))),
-
-    "a15_reduce" -> ((s, d) =>
-      Tables.orderItems(s, d).select(col("l_orderkey"),
-          Nested.reduceElements(
-            transform(col("items"), _.getField("qty")), lit(0.0), (a, x) => a + x)
-            .as("total_qty"))
-        .orderBy(col("l_orderkey"))),
-
-    "a17_slice" -> ((s, d) => {
-      val items = Tables.orderItems(s, d)
-      items.select(col("l_orderkey"),
-          Nested.at(Nested.sliceList(col("items"), 1, 2), 1).getField("ln").as("first_ln"),
-          size(Nested.sliceList(col("items"), 1, 2)).cast("long").as("n_first2"))
-        .orderBy(col("l_orderkey"))
-    }),
-
-    "a18_union_case" -> ((s, d) => {
-      val e = t(s, d, "events")
-      val u = e.withColumn("u", Variant.union2(
-        when(col("event_type") === "purchase", lit(0)).otherwise(lit(1)),
-        col("value"),
-        regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1).cast("int")))
-      u.select(col("event_id"),
-          col("u.tag").as("tag"),
-          Variant.castCase(col("u"), 0).as("purchase_value"),
-          Variant.castCase(col("u"), 1).as("other_k"))
-        .where(Variant.isCase(col("u"), 0) || Variant.isCase(col("u"), 1))
-        .orderBy(col("event_id"))
-    }),
-
-    "a19_pointer_gather" -> ((s, d) => {
-      val e = t(s, d, "events").select(col("event_id"), col("user_id"))
-      Variant.gather(e, "user_id", t(s, d, "customer").select(col("c_custkey"), col("c_name")),
-          "c_custkey", broadcastTarget = true)
-        .select(col("event_id"), col("user_id"), col("c_name"))
-        .orderBy(col("event_id"))
-    }),
-
-    "a16_lazy_scan" -> ((s, d) =>
-      // lazy per-column fetch (oamap generator.Cache): a 2-column projection
-      // + pushed filter; PlanSpec asserts the scan's ReadSchema/PushedFilters
-      // actually prune to exactly this.
-      t(s, d, "lineitem")
-        .where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
-        .select(col("l_orderkey"), col("l_quantity"))
-        .orderBy(col("l_orderkey"), col("l_quantity"))),
-
-    "a20_ingest_json" -> ((s, d) =>
-      // both JSON access paths: parsed struct (from_json with a declared
-      // schema) and direct path extraction (get_json_object)
-      t(s, d, "events")
-        .select(col("event_id"),
-          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"),
-          get_json_object(col("props"), "$.k").cast("int").as("k2"))
-        .orderBy(col("event_id"))),
-
-    "a21_inference" -> ((s, d) => {
-      // schema inference over raw JSON strings (oamap inference.fromdata analogue)
-      import s.implicits._
-      val raw = t(s, d, "events").select(col("props")).as[String]
-      // inference over a deterministic 5% sample (seeded), then one parse
-      // pass — at 100 TB you never full-scan twice to learn a schema; the
-      // sample only has to see every field once
-      val inferred = s.read.option("samplingRatio", "0.05").json(raw)
-      inferred.groupBy(col("k")).agg(count(lit(1)).as("n")).orderBy(col("k"))
-    }),
-
-    "a23_explode_outer" -> ((s, d) => {
-      // outer unnest: parents with empty/missing lists survive as null rows
-      // (257 orders have no lineitems in the testdata)
-      val items = Tables.orderItems(s, d)
-      t(s, d, "orders").select(col("o_orderkey"))
-        .join(items, col("o_orderkey") === col("l_orderkey"), "left")
-        .select(col("o_orderkey"), explode_outer(col("items")).as("it"))
-        .select(col("o_orderkey"), col("it.ln").as("ln"), col("it.qty").as("qty"))
-        .orderBy(col("o_orderkey"), col("ln").asc_nulls_first, col("qty"))
-    }),
-
-    "a24_union_n" -> ((s, d) => {
-      // arbitrary-arity union (oamap Union(possibilities)): 3-way variant
-      // over event kinds — purchase carries its value, click carries the
-      // parsed props key, everything else carries the raw type string
-      val e = t(s, d, "events")
-      val tag = when(col("event_type") === "purchase", 0)
-        .when(col("event_type") === "click", 1)
-        .otherwise(2)
-      val u = e.withColumn("u", Variant.unionN(tag,
-        col("value"),
-        regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1).cast("int"),
-        col("event_type")))
-      u.select(col("event_id"),
-          col("u.tag").as("tag"),
-          Variant.castCase(col("u"), 0).as("purchase_value"),
-          Variant.castCase(col("u"), 1).as("click_k"),
-          Variant.castCase(col("u"), 2).as("other_type"))
-        .orderBy(col("event_id"))
-    }),
-
-    "a25_tensor_dims" -> ((s, d) => {
-      // fixed-dims tensor leaf (oamap Primitive(dtype, dims)): enforce the
-      // declared 64-dim shape at ingest (ragged rows would fail the job),
-      // then aggregate per label with order-independent exact stats
-      val emb = t(s, d, "embeddings")
-        .withColumn("embedding", Nested.fixedDims(col("embedding"), Seq(64)))
-      emb.groupBy(col("label"))
-        .agg(count(lit(1)).as("n"),
-          min(element_at(col("embedding"), 1)).as("min_e0"),
-          max(element_at(col("embedding"), 1)).as("max_e0"))
-        .orderBy(col("label"))
-    }),
-
-    "a26_normalize" -> ((s, d) => {
-      // ingest-side pointer normalization roundtrip (oamap fill-time
-      // identity dedup): shared (lang, source) sub-objects split into a
-      // dimension table + content key, then gathered back — the oracle is
-      // the identity, proving the roundtrip is lossless
-      val (fact, dim) = Variant.normalize(
-        t(s, d, "documents"), Seq("lang", "source"), "ls_key")
-      Variant.denormalize(fact, dim, "ls_key")
-        .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy(col("doc_id"))
-    }),
-
-    "a27_union_infer" -> ((s, d) => {
-      // oamap inference unifies heterogeneous records into a Union
-      // (`oamap/inference.py::fromdata` — heterogeneous lists → Union
-      // possibilities). Spark's analogue: schema inference over mixed-shape
-      // JSON unifies into one struct with nullable fields; the union tag is
-      // recovered from which possibility is populated.
-      import s.implicits._
-      val e = t(s, d, "events")
-      val mixed = e.select(
-        when(col("event_type") === "purchase",
-            concat(lit("{\"amount\": "), col("value"), lit("}")))
-          .otherwise(concat(lit("{\"kind\": \""), col("event_type"), lit("\"}")))
-          .as("j")).as[String]
-      // sampled inference (see a21) — both shapes are dense, so a 5%
-      // seeded sample always witnesses each union possibility
-      val inferred = s.read.option("samplingRatio", "0.05")
-        .json(mixed) // unified {amount: double, kind: string}
-      inferred
-        .select(when(col("amount").isNotNull, 0).otherwise(1).as("tag"),
-          col("amount"), col("kind"))
-        .groupBy(col("tag"))
-        .agg(count(lit(1)).as("n"),
-          coalesce(dsum(col("amount")), lit(0.0)).as("amount_total"),
-          countDistinct(col("kind")).as("n_kinds"))
-        .orderBy(col("tag"))
-    }),
-
-    "a22_compiled_expr" -> ((s, d) => {
-      // the compiled-UDF surface (oamap compiler.py → Catalyst codegen):
-      // first minhash permutation per document through the codegen'd
-      // ShingleHashes + MinHashSig expressions — exact integer output the
-      // oracle reproduces with the same affine-permutation arithmetic.
-      docShingleSets(s, d)
-        .select(col("id").as("doc_id"),
-          element_at(graft.operators.Dedup.minhashSignature(col("hs"), 1), 1).as("sig0"))
-        .orderBy(col("doc_id"))
-    }))
-
-  private val aOracles: Map[String, String] = Map(
-    "a01_fieldname" ->
-      """SELECT l_orderkey AS okey, l_linenumber AS ln, l_quantity AS qty
-        |FROM lineitem ORDER BY okey, ln, qty""".stripMargin,
-    "a02_recordname" ->
-      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey",
-    "a03_project" ->
-      """SELECT l_orderkey, count(*) AS n, sum(l_quantity) AS total_qty
-        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
-    "a04_keep" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
-    "a05_drop" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
-    "a06_split" ->
-      """SELECT l_orderkey, count(*) AS n, sum(l_quantity) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
-    "a07_merge" ->
-      """SELECT l_orderkey,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty_price
-        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
-    "a08_parent" ->
-      """SELECT l_orderkey AS okey, l_linenumber AS ln, l_quantity AS qty
-        |FROM lineitem ORDER BY okey, ln, qty""".stripMargin,
-    "a09_index" ->
-      """SELECT l_orderkey,
-        |  row_number() OVER (PARTITION BY l_orderkey
-        |    ORDER BY l_linenumber, l_quantity, l_extendedprice, l_discount) - 1 AS idx,
-        |  l_linenumber AS ln, l_quantity AS qty
-        |FROM lineitem ORDER BY l_orderkey, idx""".stripMargin,
-    "a10_tomask" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity,
-        |  CASE WHEN l_discount BETWEEN 0.02 AND 0.04 THEN NULL ELSE l_discount END AS disc_masked
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, disc_masked NULLS FIRST""".stripMargin,
-    "a11_flatten" ->
-      """SELECT l_orderkey, 2*count(*) AS n_flat,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) + CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_flat
-        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
-    "a12_filter" ->
-      """SELECT l_orderkey, count(*) FILTER (WHERE l_quantity > 25) AS n_big
-        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
-    "a13_define" ->
-      """SELECT l_orderkey, l_linenumber AS ln, l_quantity AS qty,
-        |  l_quantity * l_extendedprice * (1.0 - l_discount) AS revenue
-        |FROM lineitem ORDER BY l_orderkey, ln, qty, revenue""".stripMargin,
-    "a14_map" ->
-      """SELECT l_orderkey, l_linenumber AS ln,
-        |  l_quantity * l_extendedprice * (1.0 - l_discount) AS revenue
-        |FROM lineitem ORDER BY l_orderkey, ln, revenue""".stripMargin,
-    "a15_reduce" ->
-      """SELECT l_orderkey, sum(l_quantity) AS total_qty
-        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
-    "a16_lazy_scan" ->
-      """SELECT l_orderkey, l_quantity FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
-        |ORDER BY l_orderkey, l_quantity""".stripMargin,
-    "a17_slice" ->
-      """SELECT l_orderkey, min(l_linenumber) AS first_ln,
-        |  least(count(*), 2) AS n_first2
-        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
-    "a18_union_case" ->
-      """SELECT event_id,
-        |  CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS tag,
-        |  CASE WHEN event_type = 'purchase' THEN value ELSE NULL END AS purchase_value,
-        |  CASE WHEN event_type = 'purchase' THEN NULL
-        |       ELSE CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS INTEGER) END AS other_k
-        |FROM events ORDER BY event_id""".stripMargin,
-    "a19_pointer_gather" ->
-      """SELECT e.event_id, e.user_id, c.c_name
-        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-        |ORDER BY e.event_id""".stripMargin,
-    "a20_ingest_json" ->
-      """SELECT event_id,
-        |  CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS INTEGER) AS k,
-        |  CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS INTEGER) AS k2
-        |FROM events ORDER BY event_id""".stripMargin,
-    "a21_inference" ->
-      """SELECT CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT) AS k,
-        |  count(*) AS n
-        |FROM events GROUP BY k ORDER BY k""".stripMargin,
-    "a23_explode_outer" ->
-      """SELECT o_orderkey, l_linenumber AS ln, l_quantity AS qty
-        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
-        |ORDER BY o_orderkey, ln ASC NULLS FIRST, qty""".stripMargin,
-    "a24_union_n" ->
-      """SELECT event_id,
-        |  CASE event_type WHEN 'purchase' THEN 0 WHEN 'click' THEN 1 ELSE 2 END AS tag,
-        |  CASE WHEN event_type = 'purchase' THEN value ELSE NULL END AS purchase_value,
-        |  CASE WHEN event_type = 'click'
-        |    THEN CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS INTEGER)
-        |    ELSE NULL END AS click_k,
-        |  CASE WHEN event_type NOT IN ('purchase', 'click') THEN event_type
-        |    ELSE NULL END AS other_type
-        |FROM events ORDER BY event_id""".stripMargin,
-    "a25_tensor_dims" ->
-      """SELECT label, count(*) AS n,
-        |  min(embedding[1]) AS min_e0, max(embedding[1]) AS max_e0
-        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
-    "a26_normalize" ->
-      """SELECT doc_id, lang, source FROM documents ORDER BY doc_id""".stripMargin,
-    "a27_union_infer" ->
-      """SELECT CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS tag,
-        |  count(*) AS n,
-        |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
-        |    THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS amount_total,
-        |  count(DISTINCT CASE WHEN event_type != 'purchase' THEN event_type END) AS n_kinds
-        |FROM events GROUP BY tag ORDER BY tag""".stripMargin,
-    // affine minhash permutation 0: a=coeffA(0)=1103527590, b=coeffB(0)=69070,
-    // over the same md5-derived 60-bit shingle hashes (mod P = 2^31-1).
-    "a22_compiled_expr" ->
-      """WITH s AS (
-        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-        |  WHERE len(t) >= 3),
-        |h AS (
-        |  SELECT doc_id, CAST(('0x' || substring(md5(unnest(sh)), 1, 15)) AS BIGINT) AS h
-        |  FROM s)
-        |SELECT doc_id,
-        |  min((1103527590 * (h % 2147483647) + 69070) % 2147483647) AS sig0
-        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin)
-
-  // =================================================================
-  // §2B — relational surface (Spark built-ins)
-  // =================================================================
-
-  private val bQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "b01_tpch_q1" -> ((s, d) => q1Agg(s, d)),
-
-    // ── r11 continuation wave 1: TPC-H completion (Q4/Q12/Q13/Q15/Q19).
-    // The fixture has no commit/receipt dates, shipmodes, or comments;
-    // adapted predicates are documented per query and in SURVEY §2D.
-    "b106_tpch_q4" -> ((s, d) => {
-      // TPC-H Q4 shape (order-priority checking): orders in one quarter
-      // having at least one "late" lineitem. The fixture carries no
-      // commit/receipt dates, so late := shipped >60 days after the
-      // order date — same EXISTS structure, adapted predicate. Plan:
-      // the quarter window is PUSHED to the orders scan; the EXISTS is
-      // a left_semi join on orderkey with the late test a residual on
-      // the join — never a correlated per-order re-scan. At 100 TB both
-      // sides shuffle once on orderkey; the final agg is 5 rows.
-      t(s, d, "orders")
-        .where(col("o_orderdate").cast("date") >= lit("1997-01-01").cast("date") &&
-          col("o_orderdate").cast("date") < lit("1997-04-01").cast("date"))
-        .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate")),
-          col("o_orderkey") === col("l_orderkey") &&
-            col("l_shipdate").cast("date") > date_add(col("o_orderdate").cast("date"), 60),
-          "left_semi")
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("order_count"))
-        .orderBy(col("o_orderpriority"))
-    }),
-
-    "b107_tpch_q12" -> ((s, d) => {
-      // TPC-H Q12 shape (shipping classes vs order priority): among
-      // late-shipped lines in one ship-year, count critical- vs
-      // normal-priority orders per l_linestatus (the fixture's shipmode
-      // stand-in; late := >30 days after order date). Plan: the
-      // ship-year window is PUSHED to the lineitem scan BEFORE the
-      // join, the priority CASE folds into conditional partial aggs —
-      // one orderkey shuffle, then a 2-row final. A NULL priority is
-      // EXPLICITLY a low line on both engines (coalesce to false here,
-      // the same COALESCE in the oracle): without it Spark's
-      // when/otherwise counts NULL as low while SQL's NOT IN drops it
-      // into neither bucket — benign on this fixture (no null
-      // priorities) but a latent cross-engine divergence (r11 ADVICE).
-      val high = coalesce(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(false))
-      t(s, d, "orders")
-        .join(t(s, d, "lineitem")
-            .where(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
-              col("l_shipdate").cast("date") < lit("1998-01-01").cast("date"))
-            .select(col("l_orderkey"), col("l_shipdate"), col("l_linestatus")),
-          col("o_orderkey") === col("l_orderkey"))
-        .where(col("l_shipdate").cast("date") > date_add(col("o_orderdate").cast("date"), 30))
-        .groupBy(col("l_linestatus"))
-        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
-          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
-        .orderBy(col("l_linestatus"))
-    }),
-
-    "b108_tpch_q13" -> ((s, d) => {
-      // TPC-H Q13 shape (customer order-count distribution): two-level
-      // aggregate preserving zero-order customers. The textbook form
-      // left-outer-joins RAW orders then counts per customer; here
-      // orders pre-aggregate to (custkey, cnt) BELOW the join — legal
-      // because the join key is the group key — so the big side shrinks
-      // to ≤1 row per customer before it shuffles against customer. The
-      // excluded priority class (the fixture's comment-filter stand-in)
-      // is pushed to the orders scan; the second aggregate groups a few
-      // dozen distinct counts — a tiny final exchange.
-      val oc = t(s, d, "orders")
-        .where(col("o_orderpriority") =!= "4-NOT SPECIFIED")
-        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
-      t(s, d, "customer").select(col("c_custkey"))
-        .join(oc, col("c_custkey") === col("o_custkey"), "left_outer")
-        .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
-        .groupBy(col("c_count"))
-        .agg(count(lit(1)).as("custdist"))
-        .orderBy(col("custdist").desc, col("c_count").desc)
-    }),
-
-    "b109_tpch_q15" -> ((s, d) => {
-      // TPC-H Q15 shape (top supplier): per-supplier quarter revenue,
-      // keep the max. Revenue is exact cent·percent integers so the
-      // max-equality probe is bit-safe in both engines. Plan: ONE
-      // suppkey aggregate whose exchange feeds both the 1-row global
-      // max (the audited one-row broadcast gate) and the equality
-      // probe — Spark's exchange reuse deduplicates the lineitem scan;
-      // the ≈1-row surviving side then BROADCASTS against supplier
-      // (never supplier broadcast: at 100 TB supplier is SF-scaled,
-      // the max-revenue winner set is not).
-      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
-      val rev = t(s, d, "lineitem")
-        .where(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
-          col("l_shipdate").cast("date") < lit("1997-04-01").cast("date"))
-        .groupBy(col("l_suppkey"))
-        .agg(sum(cents * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
-          .as("total_revenue_c100"))
-      val mx = broadcast(rev.agg(max(col("total_revenue_c100")).as("mx")))
-      val top = rev.crossJoin(mx).where(col("total_revenue_c100") === col("mx"))
-      broadcast(top)
-        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
-        .select(col("s_suppkey"), col("s_name"), col("total_revenue_c100"))
-        .orderBy(col("s_suppkey"))
-    }),
-
-    "b110_tpch_q19" -> ((s, d) => {
-      // TPC-H Q19 shape (discounted revenue from three brand/size/
-      // quantity classes): the canonical OR-of-ANDs mixed-side
-      // predicate. Plan: a plain partkey equi-join (both sides SF-scale
-      // at 100 TB — AQE picks broadcast vs shuffle from runtime sizes,
-      // the b100 discipline) with the disjunction one codegen'd
-      // residual; part prunes to 3 columns at the scan. Each scan also
-      // carries the disjunction's derivable HULL (r11 VERDICT #4):
-      // `l_quantity BETWEEN 1 AND 30` on lineitem and the brand-IN/size
-      // range on part — implied by the OR-of-ANDs, so semantics are
-      // unchanged, but as single-column conjuncts they PUSH to the
-      // parquet scans (PlanSpec asserts lineitem's PushedFilters), and
-      // at 100 TB row-group min/max skipping on the quantity hull is
-      // the difference between reading every lineitem row group and
-      // only the matching ones. The exact disjunction stays as the
-      // post-join residual. Exact-integer 1-row output.
-      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
-      val rev = cents * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
-      t(s, d, "lineitem")
-        .where(col("l_quantity") >= 1.0 && col("l_quantity") <= 30.0)
-        .join(t(s, d, "part")
-            .where(col("p_brand").isin("Brand#12", "Brand#23", "Brand#3") &&
-              col("p_size").between(1, 15))
-            .select(col("p_partkey"), col("p_brand"), col("p_size")),
-          col("l_partkey") === col("p_partkey"))
-        .where(
-          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
-            col("l_quantity") >= 1.0 && col("l_quantity") <= 11.0) ||
-          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
-            col("l_quantity") >= 10.0 && col("l_quantity") <= 20.0) ||
-          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
-            col("l_quantity") >= 20.0 && col("l_quantity") <= 30.0))
-        .agg(sum(rev).as("revenue_c100"), count(lit(1)).as("n_items"))
-    }),
-
-    // ── r11 continuation wave 3: TPC-H partsupp family on the derived
-    // catalog (psDerived — the fixture has no partsupp table).
-    "b115_tpch_q2" -> ((s, d) => {
-      // TPC-H Q2 shape (minimum-cost supplier): for small LARGE-type
-      // parts, the European supplier(s) at the per-part minimum supply
-      // cost. The textbook correlated-min subquery re-scans partsupp
-      // per part; this is the window form — ONE region-filtered
-      // ps⋈supplier build, a per-partkey min window, filter cost==min
-      // (bit-safe integer cents), then the part dim join. nation/region
-      // fold into a tiny broadcast; the size/type filter prunes part at
-      // its scan; ordered with a full tiebreak so LIMIT is stable.
-      val eur = broadcast(t(s, d, "nation")
-        .join(t(s, d, "region").where(col("r_name") === "EUROPE"),
-          col("n_regionkey") === col("r_regionkey"))
-        .select(col("n_nationkey"), col("n_name")))
-      val cost = psDerived(s, d)
-        .join(t(s, d, "supplier"), col("ps_suppkey") === col("s_suppkey"))
-        .join(eur, col("s_nationkey") === col("n_nationkey"))
-      val wmin = Window.partitionBy(col("ps_partkey"))
-      cost.withColumn("min_cost", min(col("ps_supplycost_c")).over(wmin))
-        .where(col("ps_supplycost_c") === col("min_cost"))
-        .join(t(s, d, "part").where(col("p_size") <= 10 && col("p_type") === "LARGE")
-            .select(col("p_partkey"), col("p_type")),
-          col("ps_partkey") === col("p_partkey"))
-        .select(floor(col("s_acctbal") * 100 + 0.5).cast("long").as("s_acctbal_c"),
-          col("s_name"), col("n_name"), col("p_partkey"), col("p_type"),
-          col("ps_supplycost_c"))
-        .orderBy(col("s_acctbal_c").desc, col("n_name"), col("s_name"), col("p_partkey"))
-        .limit(100)
-    }),
-
-    "b116_tpch_q9" -> ((s, d) => {
-      // TPC-H Q9 shape (product-type profit): profit per (supplier
-      // nation, order year) for one part family. Cost of a line := its
-      // (part, supplier)'s historical-minimum line price (psDerived),
-      // so profit = rev_c100 − 100·cost_c stays exact integers in 10⁻⁴
-      // dollars. Plan: lineitem joins ps on the COMPOSITE key ps was
-      // grouped on (its exchange feeds the join directly); the part
-      // family filters before its join; nation broadcast; one
-      // (nation, year) aggregate.
-      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
-      val rev = cents * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
-      t(s, d, "lineitem")
-        .join(psDerived(s, d), col("l_partkey") === col("ps_partkey") &&
-          col("l_suppkey") === col("ps_suppkey"))
-        .join(t(s, d, "part").where(col("p_name").contains("red"))
-          .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
-        .join(t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey")),
-          col("l_suppkey") === col("s_suppkey"))
-        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name").as("nation"),
-          year(col("o_orderdate").cast("date")).cast("long").as("o_year"))
-        .agg(sum(rev - lit(100L) * col("ps_supplycost_c")).as("profit_c100"))
-        .orderBy(col("nation"), col("o_year").desc)
-    }),
-
-    "b117_tpch_q11" -> ((s, d) => {
-      // TPC-H Q11 shape (important stock): per-part inventory value
-      // within one nation's suppliers, kept where the part's share
-      // clears 3× the MEAN share (TPC-H's fixed fraction is 1/SF-scaled
-      // precisely because a constant goes vacuous as the part count
-      // grows; the mean-relative form self-scales to any SF). The
-      // global (total, count) arrives as the audited one-row broadcast
-      // with the fraction INTEGER-CLEARED (value·n > 3·total — no float
-      // division); the per-part aggregate's subtree feeds both the
-      // total and the probe, so exchange reuse builds it once. The
-      // cleared products run in DECIMAL(38,0) (r11 ADVICE): value_cd is
-      // already a sum of cost_c×availqty_deci products (~1e14 at sf1),
-      // so value_cd·n_parts and 3·tot both clear BIGINT's 9.2e18 well
-      // before 100 TB — and the two engines fail DIFFERENTLY on
-      // overflow (Spark wraps silently, DuckDB raises), the worst
-      // cross-engine failure mode. DECIMAL(38,0) holds to 1e38;
-      // the safe regime is value_cd·n_parts < 1e38, i.e. any
-      // conceivable SF.
-      val natSupp = t(s, d, "supplier")
-        .join(broadcast(t(s, d, "nation").where(col("n_name") === "NATION_5")
-          .select(col("n_nationkey"))), col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"))
-      val v = psDerived(s, d)
-        .join(natSupp, col("ps_suppkey") === col("s_suppkey"))
-        .groupBy(col("ps_partkey"))
-        .agg(sum(col("ps_supplycost_c") * col("ps_availqty_deci")).as("value_cd"))
-      val tot = broadcast(v.agg(sum(col("value_cd")).as("tot"),
-        count(lit(1)).as("n_parts")))
-      v.crossJoin(tot).where(col("value_cd").cast("decimal(38,0)") * col("n_parts")
-          > lit(3L) * col("tot").cast("decimal(38,0)"))
-        .select(col("ps_partkey"), col("value_cd"))
-        .orderBy(col("value_cd").desc, col("ps_partkey"))
-    }),
-
-    "b118_tpch_q16" -> ((s, d) => {
-      // TPC-H Q16 shape (suppliers per part class): distinct suppliers
-      // per (brand, type, size) class, excluding one brand, one type,
-      // and flagged suppliers (negative balance — the fixture's
-      // complaint stand-in). The exclusion is a left_anti join with the
-      // balance filter pushed to the supplier scan (never NOT IN with a
-      // rescan; anti side is SF-scaled, so no forced broadcast — AQE
-      // sizes it); part's IN-list/inequality filters prune at its scan;
-      // count(DISTINCT) runs the standard two-phase partial expand.
-      psDerived(s, d)
-        .join(t(s, d, "supplier").where(col("s_acctbal") < 0)
-          .select(col("s_suppkey")), col("ps_suppkey") === col("s_suppkey"), "left_anti")
-        .join(t(s, d, "part")
-          .where(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
-            col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49)),
-          col("ps_partkey") === col("p_partkey"))
-        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
-        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
-        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
-    }),
-
-    "b119_tpch_q20" -> ((s, d) => {
-      // TPC-H Q20 shape (potential part promotion): suppliers in one
-      // nation holding excess stock of a part family — availqty above
-      // 4× the 1997 shipped quantity. (The derived ps_availqty is
-      // LIFETIME shipped, so the textbook 0.5× test would be vacuously
-      // true; 4× keeps the nested-IN cascade and cuts both ways.)
-      // Plan: the year aggregate left-joins ps on ps's own grouping
-      // key; the part-family test is a left_semi (no row duplication);
-      // the qualified supplier set reaches supplier as a final
-      // left_semi — the textbook nested IN chain flattened to joins
-      // with no correlated re-scan; nation broadcast.
-      val yq = t(s, d, "lineitem")
-        .where(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
-          col("l_shipdate").cast("date") < lit("1998-01-01").cast("date"))
-        .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(sum(floor(col("l_quantity") * 10 + 0.5).cast("long")).as("year_qty_deci"))
-      val qualified = psDerived(s, d)
-        .join(t(s, d, "part").where(col("p_name").startsWith("blue"))
-          .select(col("p_partkey")), col("ps_partkey") === col("p_partkey"), "left_semi")
-        .join(yq, col("ps_partkey") === col("l_partkey") &&
-          col("ps_suppkey") === col("l_suppkey"), "left_outer")
-        .where(col("ps_availqty_deci") > lit(4L) * coalesce(col("year_qty_deci"), lit(0L)))
-        .select(col("ps_suppkey"))
-      t(s, d, "supplier")
-        .join(broadcast(t(s, d, "nation").where(col("n_name") === "NATION_7")
-          .select(col("n_nationkey"))), col("s_nationkey") === col("n_nationkey"))
-        .join(qualified, col("s_suppkey") === col("ps_suppkey"), "left_semi")
-        .select(col("s_name"),
-          floor(col("s_acctbal") * 100 + 0.5).cast("long").as("s_acctbal_c"))
-        .orderBy(col("s_name"))
-    }),
-
-    // ── r11 continuation wave 2: TPC-H Q7/Q8/Q21 + funnel attribution.
-    "b111_tpch_q7" -> ((s, d) => {
-      // TPC-H Q7 shape (volume shipping between two nations): revenue
-      // by (supplier nation, customer nation, ship year) for one nation
-      // pair over two years. Plan: nation is a provably-tiny broadcast
-      // pre-filtered to the pair on BOTH legs, so supplier and customer
-      // prune to two nations BEFORE the big joins; the ship window is
-      // PUSHED to the lineitem scan; lineitem⋈orders shuffles on
-      // orderkey then custkey; the pair-direction residual runs on the
-      // joined row. Exact cent·percent revenue.
-      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
-      val rev = cents * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
-      val pair = Seq("NATION_1", "NATION_2")
-      val supp = t(s, d, "supplier")
-        .join(broadcast(t(s, d, "nation").where(col("n_name").isin(pair: _*))
-          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
-          col("s_nationkey") === col("s_nk"))
-        .select(col("s_suppkey"), col("supp_nation"))
-      val cust = t(s, d, "customer")
-        .join(broadcast(t(s, d, "nation").where(col("n_name").isin(pair: _*))
-          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))),
-          col("c_nationkey") === col("c_nk"))
-        .select(col("c_custkey"), col("cust_nation"))
-      t(s, d, "lineitem")
-        .where(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
-          col("l_shipdate").cast("date") < lit("1998-01-01").cast("date"))
-        .join(supp, col("l_suppkey") === col("s_suppkey"))
-        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
-        .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
-        .groupBy(col("supp_nation"), col("cust_nation"),
-          year(col("l_shipdate").cast("date")).cast("long").as("l_year"))
-        .agg(sum(rev).as("revenue_c100"))
-        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
-    }),
-
-    "b112_tpch_q8" -> ((s, d) => {
-      // TPC-H Q8 shape (national market share): the target nation's
-      // share of one region's market for one part type, by order year,
-      // in integer basis points. Plan: region/nation fold into tiny
-      // broadcasts on the customer (market) and supplier (share) legs;
-      // part filters on type before joining lineitem (AQE sizes the
-      // exchange); the share is TWO conditional sums in ONE final
-      // aggregate — never a second pass over the join.
-      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
-      val rev = cents * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
-      val mktNk = broadcast(t(s, d, "nation")
-        .join(t(s, d, "region").where(col("r_name") === "EUROPE"),
-          col("n_regionkey") === col("r_regionkey"))
-        .select(col("n_nationkey").as("mkt_nk")))
-      val cust = t(s, d, "customer").join(mktNk, col("c_nationkey") === col("mkt_nk"))
-        .select(col("c_custkey"))
-      val supp = t(s, d, "supplier")
-        .join(broadcast(t(s, d, "nation")
-          .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))),
-          col("s_nationkey") === col("supp_nk"))
-        .select(col("s_suppkey"), col("supp_nation"))
-      t(s, d, "lineitem")
-        .join(t(s, d, "part").where(col("p_type") === "STANDARD").select(col("p_partkey")),
-          col("l_partkey") === col("p_partkey"))
-        .join(supp, col("l_suppkey") === col("s_suppkey"))
-        .join(t(s, d, "orders")
-            .where(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
-              col("o_orderdate").cast("date") < lit("1998-01-01").cast("date"))
-            .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
-        .groupBy(year(col("o_orderdate").cast("date")).cast("long").as("o_year"))
-        .agg(sum(when(col("supp_nation") === "NATION_3", rev).otherwise(0L))
-            .as("nation_rev_c100"),
-          sum(rev).as("total_rev_c100"))
-        .withColumn("mkt_share_bp", expr("(nation_rev_c100 * 10000) div total_rev_c100"))
-        .orderBy(col("o_year"))
-    }),
-
-    "b113_tpch_q21" -> ((s, d) => {
-      // TPC-H Q21 shape (suppliers who kept orders waiting): finished
-      // orders where EXACTLY ONE supplier shipped late (>90 days after
-      // the order date — the fixture's receipt-date stand-in) with at
-      // least one other supplier on the order; per late supplier in one
-      // region, count their late lines on such orders. The textbook
-      // EXISTS + NOT-EXISTS pair is TWO lineitem self-joins — the plan
-      // that dies first at 100 TB; this is the aggregated rewrite: one
-      // orderkey shuffle computing (distinct suppliers, distinct late
-      // suppliers, the unique late supplier, late-line count) per
-      // order, then a filter and a tiny dim join. The oracle runs the
-      // textbook EXISTS form, checking the rewrite's equivalence.
-      val late = col("l_shipdate").cast("date") >
-        date_add(col("o_orderdate").cast("date"), 90)
-      val perOrder = t(s, d, "lineitem")
-        .join(t(s, d, "orders").where(col("o_orderstatus") === "F")
-            .select(col("o_orderkey"), col("o_orderdate")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey"), col("l_suppkey"), late.as("is_late"))
-        .groupBy(col("l_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"),
-          min(when(col("is_late"), col("l_suppkey"))).as("late_supp"),
-          sum(when(col("is_late"), 1L).otherwise(0L)).as("n_late_lines"))
-        .where(col("n_supp") >= 2 && col("n_late") === 1)
-      val suppR = t(s, d, "supplier")
-        .join(broadcast(t(s, d, "nation")
-          .join(t(s, d, "region").where(col("r_name") === "AFRICA"),
-            col("n_regionkey") === col("r_regionkey"))
-          .select(col("n_nationkey"))),
-          col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("s_name"))
-      perOrder.join(suppR, col("late_supp") === col("s_suppkey"))
-        .groupBy(col("s_name"))
-        .agg(sum(col("n_late_lines")).as("numwait"))
-        .orderBy(col("numwait").desc, col("s_name"))
-    }),
-
-    "b114_funnel_attribution" -> ((s, d) => {
-      // funnel → revenue attribution (the r12-roadmap consumer of the
-      // funnel family): join the b94 stage-time kernel back to purchase
-      // revenue. Per user: highest stage reached, total purchase cents,
-      // and ATTRIBUTED cents — purchases inside the 30-day window
-      // strictly after the user's click time (the kernel's own
-      // strictly-after semantics bound by a campaign horizon). Plan:
-      // the stage windows and the purchase-row join both hash on
-      // user_id — the left join adds no new exchange key; the per-user
-      // share is integer ppm, null-free via a −1 sentinel.
-      val stages = Seq("view", "click", "purchase")
-      val ev = t(s, d, "events").where(col("event_type").isin(stages: _*))
-      val staged = graft.operators.Series.funnelStageTimes(
-        ev, "user_id", "event_type", "ts", stages)
-      val purRows = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"),
-          floor(col("value") * 100 + 0.5).cast("long").as("pc"))
-      val attrWin = col("ts") > col("s2") &&
-        col("ts") <= col("s2") + expr("INTERVAL 30 DAYS")
-      staged.join(purRows, Seq("user_id"), "left_outer")
-        .groupBy(col("user_id"), col("s1"), col("s2"), col("s3"))
-        .agg(sum(col("pc")).as("purch_c"),
-          sum(when(attrWin, col("pc"))).as("attr_c"))
-        .select(col("user_id"),
-          when(col("s3").isNotNull, 3).when(col("s2").isNotNull, 2)
-            .when(col("s1").isNotNull, 1).otherwise(0).as("cohort"),
-          coalesce(col("purch_c"), lit(0L)).as("purchase_c"),
-          coalesce(col("attr_c"), lit(0L)).as("attributed_c"))
-        .withColumn("attr_share_ppm",
-          coalesce(expr("(attributed_c * 1000000) div nullif(purchase_c, 0)"), lit(-1L)))
-        .orderBy(col("user_id"))
-    }),
-
-    "b120_funnel_ttc" -> ((s, d) => {
-      // per-transition TIME-TO-CONVERT distribution + drop-off (the r11
-      // VERDICT's depth item): for each funnel transition i → i+1, the
-      // hour-bucketed latency histogram of converting users with a
-      // cumulative CDF in integer ppm OF THE POPULATION THAT REACHED
-      // stage i — so the last row of each transition reads off the
-      // conversion rate and every row before it answers "what share
-      // converted within h hours". Plan: the b94/b102 kernel's ONE
-      // user_id exchange (plan-asserted), a 3-rows-per-user stack
-      // (map-side), then the b71 cumulative-window machinery on the
-      // BUCKETED frame — groupBy (t, hrs) partial-aggregates map-side
-      // and the cumulative window runs over transitions × distinct
-      // hour buckets, bounded by the funnel horizon in hours, never by
-      // user count. Exact integers end to end: micros deltas are
-      // non-negative (strictly-after kernel semantics), so `div` floors
-      // identically in both engines; dropped users (null next stage)
-      // count in users_from via a pre-filter window over the same
-      // t-partitioning and never enter the CDF.
-      val stages = Seq("view", "click", "signup", "purchase")
-      val staged = graft.operators.Series.funnelStageTimes(
-        t(s, d, "events").where(col("event_type").isin(stages: _*)),
-        "user_id", "event_type", "ts", stages)
-      val trans = staged.select(expr(
-          "stack(3, " +
-            "1, 'view_click',      unix_micros(s1), unix_micros(s2), " +
-            "2, 'click_signup',    unix_micros(s2), unix_micros(s3), " +
-            "3, 'signup_purchase', unix_micros(s3), unix_micros(s4)) " +
-            "AS (t, transition, from_us, to_us)"))
-        .where(col("from_us").isNotNull)
-        .select(col("t"), col("transition"),
-          when(col("to_us").isNotNull,
-            expr("(to_us - from_us) div 3600000000")).as("hrs"))
-      val hist = trans.groupBy(col("t"), col("transition"), col("hrs"))
-        .agg(count(lit(1)).as("n_users"))
-      val wAll = Window.partitionBy(col("t"))
-      val wCum = Window.partitionBy(col("t")).orderBy(col("hrs"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      hist.withColumn("users_from", sum(col("n_users")).over(wAll))
-        .where(col("hrs").isNotNull)
-        .withColumn("cum_users", sum(col("n_users")).over(wCum))
-        .select(col("t"), col("transition"), col("hrs"), col("n_users"),
-          col("cum_users"), col("users_from"),
-          expr("(cum_users * 1000000) div users_from").as("ttc_cum_ppm"))
-        .orderBy(col("t"), col("hrs"))
-    }),
-
-    "b121_funnel_ab" -> ((s, d) => {
-      // deterministic A/B experiment readout over the funnel: users
-      // split into control/treatment by the md5 tokenHash convention
-      // (never rand() — the split is reproducible in any engine and
-      // stable across runs, the c23 train/test discipline), per-arm
-      // stage conversion in ppm, and the per-stage treatment LIFT as a
-      // cleared-fraction ratio-of-ratios in integer basis points:
-      // lift_bp = (trt_i·ctrl_1·10000) div (trt_1·ctrl_i), computed in
-      // DECIMAL(38,0) (the b117 rule: at 1e9 users the BIGINT product
-      // wraps in Spark but raises in DuckDB). CROSS-ENGINE FLOOR RULE
-      // (r12 ADVICE): Spark's `div` on DECIMAL is exact floor on
-      // non-negative operands, but DuckDB's `//` on DECIMAL operands is
-      // plain double division + round-half-even — the oracle therefore
-      // computes the lift in HUGEINT, whose `//` is exact integer floor
-      // division. FloorDivSpec exercises a non-degenerate funnel where
-      // the lift fraction is >= 0.5 so floor-vs-round actually bites.
-      // Plan: the kernel's one
-      // user_id exchange; the arm aggregate partial-compacts to ≤2
-      // rows per task before its (tiny) shuffle; the pivot + stack run
-      // on a 1-row frame. −1 sentinel when a denominator is empty.
-      val stages = Seq("view", "click", "signup", "purchase")
-      val staged = graft.operators.Series.funnelStageTimes(
-        t(s, d, "events").where(col("event_type").isin(stages: _*)),
-        "user_id", "event_type", "ts", stages)
-      val perArm = staged
-        .withColumn("arm",
-          pmod(Text.tokenHash(col("user_id").cast("string")), lit(2L)))
-        .groupBy(col("arm"))
-        .agg(count(col("s1")).as("u1"), count(col("s2")).as("u2"),
-          count(col("s3")).as("u3"), count(col("s4")).as("u4"))
-      val pivCols = (1 to 4).flatMap(i => Seq(
-        sum(when(col("arm") === 0, col(s"u$i"))).as(s"c$i"),
-        sum(when(col("arm") === 1, col(s"u$i"))).as(s"t$i")))
-      val piv = perArm.agg(pivCols.head, pivCols.tail: _*)
-      piv.select(expr(
-          "stack(4, " +
-            "1, 'view',     c1, t1, " +
-            "2, 'click',    c2, t2, " +
-            "3, 'signup',   c3, t3, " +
-            "4, 'purchase', c4, t4) " +
-            "AS (stage, event_type, cu, tu)"),
-          col("c1"), col("t1"))
-        .select(col("stage"), col("event_type"),
-          coalesce(col("cu"), lit(0L)).as("ctrl_users"),
-          coalesce(col("tu"), lit(0L)).as("trt_users"),
-          coalesce(col("c1"), lit(0L)).as("cb"),
-          coalesce(col("t1"), lit(0L)).as("tb"))
-        .withColumn("ctrl_ppm", coalesce(
-          expr("(ctrl_users * 1000000) div nullif(cb, 0)"), lit(-1L)))
-        .withColumn("trt_ppm", coalesce(
-          expr("(trt_users * 1000000) div nullif(tb, 0)"), lit(-1L)))
-        .withColumn("lift_bp", coalesce(
-          expr("(CAST(trt_users AS DECIMAL(38,0)) * cb * 10000) " +
-            "div nullif(CAST(ctrl_users AS DECIMAL(38,0)) * tb, 0)"),
-          lit(-1L)))
-        .drop("cb", "tb")
-        .orderBy(col("stage"))
-    }),
-
-    "b122_stream_classifier_parity" -> ((s, d) =>
-      // batch parity for STREAMING classifier inference (the r13 graduate:
-      // StreamingSpec proves Pipeline.linearClassifierScore runs UNCHANGED
-      // on a readStream — stateless broadcast weight join + one per-doc
-      // aggregate — and that the drained stream's per-SOURCE gate monitor
-      // equals this query). The readout is the live dashboard a streaming
-      // gate deployment publishes: per ingest source, docs scored, docs
-      // and chars passing the gate, and the exact-ppm keep rate — the
-      // per-source view the c110 lang-yield curve intentionally does not
-      // cover (roadmap 8n-3d's "real consumer shape": an ingest monitor is
-      // keyed by source, not language). Batch side reads the memoized
-      // scored frame + ONE slim (doc_id, source) parquet scan
-      // (plan-asserted, the c111 leaf discipline); at 100 TB the stream
-      // pays the same plan per micro-batch with O(|sources|) state.
-      t(s, d, "documents").select(col("doc_id"), col("source"))
-        .join(docClassifierScores(s, d)
-          .select(col("doc_id"), col("n_chars"), col("score")), "doc_id")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("total_docs"),
-          sum(when(col("score") >= 0L, 1L).otherwise(0L)).as("kept_docs"),
-          sum(when(col("score") >= 0L, col("n_chars")).otherwise(0L)).as("kept_chars"))
-        .withColumn("kept_ppm", expr("(kept_docs * 1000000) div total_docs"))
-        .orderBy(col("source"))),
-
-    "b123_funnel_ab_revenue" -> ((s, d) => {
-      // the A/B readout in REVENUE terms (the r13-roadmap b102 consumer):
-      // per experiment arm — md5 tokenHash split, the b121 convention —
-      // funnel starters, purchasers, and ATTRIBUTED revenue (purchase
-      // cents inside the 30-day window strictly after the user's click,
-      // b114's attribution window verbatim), then revenue-per-starter in
-      // exact micro-cents-per-user and the treatment lift on that rate as
-      // a cleared ratio-of-ratios in basis points:
-      //   rev_lift_bp = (trt_c·ctrl_u1·10000) div (ctrl_c·trt_u1)
-      // computed in DECIMAL(38,0) / HUGEINT (the b121 floor rule — both
-      // engines floor, never round). The single division is load-bearing:
-      // splitting it (div by trt_users first) compounds two floors and
-      // changes the value, so exactness requires the full products. Plan:
-      // the stage windows and the purchase join both hash on user_id —
-      // ONE user exchange (plan-asserted); the per-arm aggregate
-      // partial-compacts to ≤2 rows per task; the lift pivot runs on a
-      // 1-row frame. −1 sentinel when an arm has no starters or ctrl
-      // revenue is zero — and, on the Spark side only, if the 38-digit
-      // product ever overflowed (non-ANSI DECIMAL overflow → null →
-      // coalesce; DuckDB's HUGEINT would raise instead, r14 ADVICE).
-      // That path needs rev_cents·users ≥ 10^34 — at full-planet scale
-      // (10^10 users × $10^11 in cents) the product is ~10^23, eleven
-      // orders below the cliff, so the overload is documented rather
-      // than disambiguated.
-      val stages = Seq("view", "click", "signup", "purchase")
-      val ev = t(s, d, "events").where(col("event_type").isin(stages: _*))
-      val staged = graft.operators.Series.funnelStageTimes(
-        ev, "user_id", "event_type", "ts", stages)
-      val purRows = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"),
-          floor(col("value") * 100 + 0.5).cast("long").as("pc"))
-      val attrWin = col("ts") > col("s2") &&
-        col("ts") <= col("s2") + expr("INTERVAL 30 DAYS")
-      val perUser = staged.join(purRows, Seq("user_id"), "left_outer")
-        .groupBy(col("user_id"), col("s1"), col("s2"), col("s4"))
-        .agg(sum(when(attrWin, col("pc"))).as("attr_c"))
-      val perArm = perUser
-        .withColumn("arm",
-          pmod(Text.tokenHash(col("user_id").cast("string")), lit(2L)))
-        .groupBy(col("arm"))
-        .agg(count(col("s1")).as("starters"),
-          count(col("s4")).as("purchasers"),
-          sum(coalesce(col("attr_c"), lit(0L))).as("attr_rev_c"))
-      val pivCols = Seq(
-        sum(when(col("arm") === 0, col("starters"))).as("cu"),
-        sum(when(col("arm") === 1, col("starters"))).as("tu"),
-        sum(when(col("arm") === 0, col("purchasers"))).as("cp"),
-        sum(when(col("arm") === 1, col("purchasers"))).as("tp"),
-        sum(when(col("arm") === 0, col("attr_rev_c"))).as("cc"),
-        sum(when(col("arm") === 1, col("attr_rev_c"))).as("tc"))
-      perArm.agg(pivCols.head, pivCols.tail: _*)
-        .select(
-          coalesce(col("cu"), lit(0L)).as("ctrl_users"),
-          coalesce(col("tu"), lit(0L)).as("trt_users"),
-          coalesce(col("cp"), lit(0L)).as("ctrl_purchasers"),
-          coalesce(col("tp"), lit(0L)).as("trt_purchasers"),
-          coalesce(col("cc"), lit(0L)).as("ctrl_rev_c"),
-          coalesce(col("tc"), lit(0L)).as("trt_rev_c"))
-        .withColumn("ctrl_rev_per_user_uc", coalesce(
-          expr("(ctrl_rev_c * 10000) div nullif(ctrl_users, 0)"), lit(-1L)))
-        .withColumn("trt_rev_per_user_uc", coalesce(
-          expr("(trt_rev_c * 10000) div nullif(trt_users, 0)"), lit(-1L)))
-        .withColumn("rev_lift_bp", coalesce(
-          expr("(CAST(trt_rev_c AS DECIMAL(38,0)) * ctrl_users * 10000) " +
-            "div nullif(CAST(ctrl_rev_c AS DECIMAL(38,0)) * trt_users, 0)"),
-          lit(-1L)))
-    }),
-
-    "b124_funnel_ab_ttc" -> ((s, d) => {
-      // per-ARM time-to-convert — "did treatment speed conversions up,
-      // not just raise them?", the latency readout next to b121's rate
-      // readout: for each arm × funnel transition, users reaching the
-      // from-stage, converting users, exact-ppm conversion, and exact
-      // discrete p50/p90 latency hour buckets — pN = the SMALLEST hour
-      // bucket whose cumulative converter count clears N% of converters
-      // (2·cum ≥ n and 10·cum ≥ 9·n in pure BIGINT — no interpolation,
-      // both engines floor identically). Plan: the b120 shape with arm
-      // in every key — ONE user_id exchange for the stage windows, the
-      // 3-row stack map-side, then windows + aggregate over the
-      // (arm, t, hrs)-bucketed frame, bounded by 2 arms × 3 transitions
-      // × horizon hours, never by user count. Since r15 that machinery
-      // lives in the MEMOIZED funnelAbTtcCumFrame (the b125 contrast
-      // consumes it three times); this readout is a cache read + one
-      // bounded-frame aggregate, and the user-exchange assert runs
-      // against the frame's embedded build plan (PlanSpec).
-      // An (arm, transition) with zero converters has no latency rows
-      // and drops out in BOTH engines (from_users would be its only
-      // content; b120 publishes that population).
-      funnelAbTtcCumFrame(s, d)
-        .groupBy(col("arm"), col("t"), col("transition"),
-          col("from_users"), col("conv_users"))
-        .agg(min(when(col("cum") * 2 >= col("conv_users"), col("hrs"))).as("p50_hrs"),
-          min(when(col("cum") * 10 >= col("conv_users") * 9, col("hrs"))).as("p90_hrs"))
-        .select(col("arm"), col("t"), col("transition"),
-          col("from_users"), col("conv_users"),
-          expr("(conv_users * 1000000) div from_users").as("conv_ppm"),
-          col("p50_hrs"), col("p90_hrs"))
-        .orderBy(col("arm"), col("t"))
-    }),
-
-    "b125_funnel_ab_ttc_contrast" -> ((s, d) => {
-      // the per-arm TTC percentile CONTRAST — "is the speedup real?", the
-      // decision readout over b124's raw per-arm table (r14 roadmap): one
-      // row per funnel transition with both arms' converter counts and
-      // p50/p90 hour buckets side by side, the percentile deltas, and two
-      // integer-cleared verdict booleans. The significance device is
-      // stochastic-dominance-at-the-median, all in cleared BIGINT
-      // products (never a ratio): trt_cov_at_ctrl_p50 = treatment
-      // converters landing at or under CONTROL's p50 bucket, then
-      //   trt_faster_at_median: 2·cov ≥ trt_convs     (≥50 % — the sign)
-      //   speedup_cleared:     20·cov ≥ 11·trt_convs  (≥55 % — 5-pt
-      //     margin) AND both arms ≥ 20 converters (the sample floor; an
-      //     underpowered transition can never clear, it reports sign
-      //     only). On the fixture the md5 split is iid — no real
-      //     treatment effect exists — so cleared=false on every
-      //     transition at every sf IS the truthful verdict (the sign
-      //     boolean flips by noise: 2 true / 1 false at sf0.1), and the
-      //     margin comparison sits within 4 % of the bar at sf0.1, so a
-      //     broken clearing product still flips the oracle.
-      //     Sentinel propagation: an arm absent from a transition
-      //     surfaces as convs=0 / percentiles −1 and both booleans false;
-      //     the deltas are then vs −1 and meaningless — a consumer gates
-      //     on the convs columns first (the b120 population discipline).
-      // Plan: three cache reads of the MEMOIZED funnelAbTtcCumFrame (the
-      // user-scale funnel machinery — one user_id exchange — is paid once
-      // in the memo build, plan-asserted there); everything here (pivot,
-      // coverage join, verdicts) runs on the (arm,t,hrs)-bounded frame:
-      // ≤ 2 arms × 3 transitions × horizon hours rows, never user count;
-      // the coverage leg joins two sub-frames of that same bounded frame
-      // on t (≤3 keys, broadcast).
-      val k = funnelAbTtcCumFrame(s, d)
-      val pct = k.groupBy(col("arm"), col("t"), col("transition"),
-          col("conv_users"))
-        .agg(min(when(col("cum") * 2 >= col("conv_users"), col("hrs"))).as("p50_hrs"),
-          min(when(col("cum") * 10 >= col("conv_users") * 9, col("hrs"))).as("p90_hrs"))
-      val pv = pct.groupBy(col("t"), col("transition"))
-        .agg(
-          coalesce(max(when(col("arm") === 0, col("conv_users"))), lit(0L)).as("ctrl_convs"),
-          coalesce(max(when(col("arm") === 1, col("conv_users"))), lit(0L)).as("trt_convs"),
-          coalesce(max(when(col("arm") === 0, col("p50_hrs"))), lit(-1L)).as("ctrl_p50_hrs"),
-          coalesce(max(when(col("arm") === 1, col("p50_hrs"))), lit(-1L)).as("trt_p50_hrs"),
-          coalesce(max(when(col("arm") === 0, col("p90_hrs"))), lit(-1L)).as("ctrl_p90_hrs"),
-          coalesce(max(when(col("arm") === 1, col("p90_hrs"))), lit(-1L)).as("trt_p90_hrs"))
-      val cov = pv.select(col("t"), col("ctrl_p50_hrs"))
-        .join(k.where(col("arm") === 1)
-          .select(col("t"), col("hrs"), col("n_users")), Seq("t"), "left_outer")
-        .groupBy(col("t"))
-        .agg(coalesce(sum(when(col("hrs") <= col("ctrl_p50_hrs"),
-          col("n_users"))), lit(0L)).as("trt_cov_at_ctrl_p50"))
-      pv.join(cov, Seq("t"))
-        .select(col("t"), col("transition"), col("ctrl_convs"), col("trt_convs"),
-          col("ctrl_p50_hrs"), col("trt_p50_hrs"),
-          col("ctrl_p90_hrs"), col("trt_p90_hrs"),
-          (col("trt_p50_hrs") - col("ctrl_p50_hrs")).as("d_p50_hrs"),
-          (col("trt_p90_hrs") - col("ctrl_p90_hrs")).as("d_p90_hrs"),
-          col("trt_cov_at_ctrl_p50"),
-          (col("ctrl_convs") > 0L && col("trt_convs") > 0L &&
-            col("trt_cov_at_ctrl_p50") * 2 >= col("trt_convs"))
-            .as("trt_faster_at_median"),
-          (col("ctrl_convs") >= 20L && col("trt_convs") >= 20L &&
-            col("trt_cov_at_ctrl_p50") * 20 >= col("trt_convs") * 11)
-            .as("speedup_cleared"))
-        .orderBy(col("t"))
-    }),
-
-    "b126_stream_funnel_ab_revenue" -> ((s, d) => {
-      // batch parity for the STREAMING A/B revenue readout
-      // (Streams.streamFunnelAbRevenue — r14 VERDICT #4 resolved with the
-      // honest shape: attribution computed INSIDE the funnel state machine
-      // from the per-user buffer, never a stream-stream self-join; the
-      // honesty constraint attrWindow <= gap is why this key's window is
-      // 12 HOURS, not b123's 30 days — a 12 h horizon closes 6/52/593
-      // fixture users at the three sfs while 30 d would close none).
-      // This replicates the watermark-cut output in batch, the b99
-      // discipline: stage kernel + horizon cut in integer MILLISECONDS
-      // (the stream's timeout clock), then b123's attribution +
-      // per-arm pivot + DECIMAL(38,0)-floored lift verbatim on the
-      // CLOSED-user population. At sf0.001 control's closed revenue is
-      // zero, so the oracle exercises the -1 lift sentinel; sf0.01/0.1
-      // exercise real lift values. StreamingSpec asserts the live drained
-      // stream equals this query column-for-column.
-      // Plan: ONE user exchange shared by the stage windows (now also
-      // carrying the last_ts horizon — the funnelStageTimes lastTsCol
-      // extension, no second aggregate), the per-user compaction, and the
-      // purchase attribution join; the watermark bound is the audited b65
-      // one-row broadcast (the plan's single BNLJ); the arm pivot runs on
-      // a 1-row frame.
-      val stages = Seq("view", "click", "signup", "purchase")
-      val gapMs = 43200000L // 12 h horizon = attribution window (honesty bound)
-      val ev = t(s, d, "events")
-      val f = ev.where(col("event_type").isin(stages: _*))
-      val wm = broadcast(ev.agg(
-        (unix_millis(max(col("ts"))) - lit(1800000L)).as("wm_ms")))
-      val closed = graft.operators.Series.funnelStageTimes(
-          f, "user_id", "event_type", "ts", stages, lastTsCol = Some("last_ts"))
-        .crossJoin(wm)
-        .where(unix_millis(col("last_ts")) + lit(gapMs) < col("wm_ms"))
-      val purRows = f.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"),
-          floor(col("value") * 100 + 0.5).cast("long").as("pc"))
-      val attrWin = col("ts") > col("s2") &&
-        col("ts") <= col("s2") + expr("INTERVAL 12 HOURS")
-      val perUser = closed.join(purRows, Seq("user_id"), "left_outer")
-        .groupBy(col("user_id"), col("s1"), col("s2"), col("s4"))
-        .agg(sum(when(attrWin, col("pc"))).as("attr_c"))
-      val perArm = perUser
-        .withColumn("arm",
-          pmod(Text.tokenHash(col("user_id").cast("string")), lit(2L)))
-        .groupBy(col("arm"))
-        .agg(count(col("s1")).as("starters"),
-          count(col("s4")).as("purchasers"),
-          sum(coalesce(col("attr_c"), lit(0L))).as("attr_rev_c"))
-      val pivCols = Seq(
-        sum(when(col("arm") === 0, col("starters"))).as("cu"),
-        sum(when(col("arm") === 1, col("starters"))).as("tu"),
-        sum(when(col("arm") === 0, col("purchasers"))).as("cp"),
-        sum(when(col("arm") === 1, col("purchasers"))).as("tp"),
-        sum(when(col("arm") === 0, col("attr_rev_c"))).as("cc"),
-        sum(when(col("arm") === 1, col("attr_rev_c"))).as("tc"))
-      perArm.agg(pivCols.head, pivCols.tail: _*)
-        .select(
-          coalesce(col("cu"), lit(0L)).as("ctrl_users"),
-          coalesce(col("tu"), lit(0L)).as("trt_users"),
-          coalesce(col("cp"), lit(0L)).as("ctrl_purchasers"),
-          coalesce(col("tp"), lit(0L)).as("trt_purchasers"),
-          coalesce(col("cc"), lit(0L)).as("ctrl_rev_c"),
-          coalesce(col("tc"), lit(0L)).as("trt_rev_c"))
-        .withColumn("ctrl_rev_per_user_uc", coalesce(
-          expr("(ctrl_rev_c * 10000) div nullif(ctrl_users, 0)"), lit(-1L)))
-        .withColumn("trt_rev_per_user_uc", coalesce(
-          expr("(trt_rev_c * 10000) div nullif(trt_users, 0)"), lit(-1L)))
-        .withColumn("rev_lift_bp", coalesce(
-          expr("(CAST(trt_rev_c AS DECIMAL(38,0)) * ctrl_users * 10000) " +
-            "div nullif(CAST(ctrl_rev_c AS DECIMAL(38,0)) * trt_users, 0)"),
-          lit(-1L)))
-    }),
-
-    "b02_join_broadcast" -> ((s, d) =>
-      t(s, d, "lineitem")
-        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
-        .groupBy(col("p_brand"))
-        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
-        .orderBy(col("p_brand"))),
-
-    "b03_join_multi" -> ((s, d) => {
-      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
-      val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name"))
-        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
-        .orderBy(col("r_name"))
-    }),
-
-    "b04_join_left" -> ((s, d) =>
-      t(s, d, "customer").as("c")
-        .join(t(s, d, "orders").as("o"), col("c_custkey") === col("o_custkey"), "left")
-        .groupBy(col("c_custkey"))
-        .agg(count(col("o_orderkey")).as("n_orders"),
-          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total"))
-        .orderBy(col("c_custkey"))),
-
-    "b05_join_semi" -> ((s, d) =>
-      t(s, d, "customer")
-        .join(t(s, d, "orders").where(col("o_totalprice") > 400000),
-          col("c_custkey") === col("o_custkey"), "left_semi")
-        .select(col("c_custkey"), col("c_name"))
-        .orderBy(col("c_custkey"))),
-
-    "b06_join_anti" -> ((s, d) =>
-      // customers with no high-value order (plain no-orders anti join is
-      // empty in the testdata; the filtered form keeps the result non-empty)
-      t(s, d, "customer")
-        .join(t(s, d, "orders").where(col("o_totalprice") > 400000),
-          col("c_custkey") === col("o_custkey"), "left_anti")
-        .select(col("c_custkey"), col("c_name"))
-        .orderBy(col("c_custkey"))),
-
-    "b07_join_theta" -> ((s, d) =>
-      t(s, d, "orders")
-        .join(t(s, d, "customer"),
-          col("o_custkey") === col("c_custkey") && col("o_totalprice") > col("c_acctbal") * 50)
-        .groupBy(col("c_custkey"))
-        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
-        .orderBy(col("c_custkey"))),
-
-    "b08_join_asof" -> ((s, d) => {
-      // for each purchase event: the user's most recent click at-or-before
-      // it. Linear as-of: union both event kinds into ONE per-user sorted
-      // stream and carry the running last click — one shuffle on user_id,
-      // O(events) work. The join-then-rank alternative is quadratic per
-      // user (every purchase pairs with every earlier click), which is the
-      // plan that falls over at 100 TB.
-      val e = t(s, d, "events")
-      val tagged = e.where(col("event_type").isin("purchase", "click"))
-        .select(col("event_id"), col("user_id"), col("ts"),
-          // clicks sort before purchases at equal ts: cts <= ts is inclusive
-          when(col("event_type") === "click", 0).otherwise(1).as("kind"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("kind"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      tagged
-        .withColumn("click_id",
-          last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
-        .where(col("kind") === 1)
-        .select(col("event_id"), col("user_id"), col("click_id"))
-        .orderBy(col("event_id"))
-    }),
-
-    "b09_window_rank" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      t(s, d, "orders")
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") <= 3)
-        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
-        .orderBy(col("o_custkey"), col("rk"))
-    }),
-
-    "b10_window_running" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, d, "orders")
-        .select(col("o_custkey"), col("o_orderkey"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("running_total"))
-        .orderBy(col("o_custkey"), col("o_orderkey"))
-    }),
-
-    "b11_lag_lead" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
-      t(s, d, "orders")
-        .select(col("o_custkey"), col("o_orderkey"),
-          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).cast("long").as("days_since_prev"),
-          lead(col("o_orderkey"), 1).over(w).as("next_order"))
-        .orderBy(col("o_custkey"), col("o_orderkey"))
-    }),
-
-    "b27_window_range" -> ((s, d) => {
-      // RANGE frame: for each order, how many of the same customer's orders
-      // fall within 50,000 of its total price (value-based frame, not row
-      // count) — the range/rows distinction of SURVEY §2B windows.
-      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
-        .rangeBetween(-50000L, 50000L)
-      t(s, d, "orders")
-        .select(col("o_custkey"), col("o_orderkey"),
-          count(lit(1)).over(w).as("n_similar"))
-        .orderBy(col("o_custkey"), col("o_orderkey"))
-    }),
-
-    "b12_topk" -> ((s, d) =>
-      t(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-        .limit(100)),
-
-    "b13_setops" -> ((s, d) => {
-      val oc = t(s, d, "orders").select(col("o_custkey").as("k")).distinct()
-      val ec = t(s, d, "events").select(col("user_id").as("k")).distinct()
-      val onlyOrders = oc.except(ec).agg(count(lit(1)).as("n")).withColumn("tag", lit("only_orders"))
-      val both = oc.intersect(ec).agg(count(lit(1)).as("n")).withColumn("tag", lit("both"))
-      val all = oc.union(ec).distinct().agg(count(lit(1)).as("n")).withColumn("tag", lit("union"))
-      onlyOrders.union(both).union(all).select(col("tag"), col("n")).orderBy(col("tag"))
-    }),
-
-    "b31_setops_all" -> ((s, d) => {
-      // bag-semantics set ops: duplicates preserved/subtracted by multiplicity
-      val a = t(s, d, "lineitem").select(col("l_returnflag").as("f"))
-      val b = t(s, d, "lineitem").where(col("l_quantity") > 25)
-        .select(col("l_returnflag").as("f"))
-      val inter = a.intersectAll(b).groupBy(col("f")).agg(count(lit(1)).as("n"))
-        .withColumn("op", lit("intersect_all"))
-      val exc = a.exceptAll(b).groupBy(col("f")).agg(count(lit(1)).as("n"))
-        .withColumn("op", lit("except_all"))
-      inter.union(exc).select(col("op"), col("f"), col("n")).orderBy(col("op"), col("f"))
-    }),
-
-    "b32_window_nav" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      t(s, d, "orders")
-        .select(col("o_custkey"), col("o_orderkey"),
-          first(col("o_orderkey")).over(w).as("first_order"),
-          last(col("o_orderkey")).over(w).as("last_order"),
-          nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
-        .orderBy(col("o_custkey"), col("o_orderkey"))
-    }),
-
-    "b14_distinct" -> ((s, d) =>
-      t(s, d, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()
-        .orderBy(col("l_returnflag"), col("l_linestatus"))),
-
-    "b15_rollup" -> ((s, d) =>
-      t(s, d, "lineitem")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
-        .select(
-          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
-          col("n"), col("sum_qty"))
-        .orderBy(col("rf"), col("ls"))),
-
-    "b21_cube" -> ((s, d) =>
-      t(s, d, "orders")
-        .cube(col("o_orderpriority"), year(col("o_orderdate")).as("yr"))
-        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
-        .select(
-          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
-          coalesce(col("yr"), lit(-1)).as("yr"),
-          col("n"), col("total"))
-        .orderBy(col("prio"), col("yr"))),
-
-    "b28_pivot" -> ((s, d) =>
-      // pivot = groupBy + fixed pivot values (declared, not inferred, so the
-      // output schema is deterministic and no extra pass over the data runs)
-      t(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .pivot("l_linestatus", Seq("F", "O"))
-        .agg(count(lit(1)))
-        .select(col("l_returnflag"),
-          coalesce(col("F"), lit(0L)).as("n_f"),
-          coalesce(col("O"), lit(0L)).as("n_o"))
-        .orderBy(col("l_returnflag"))),
-
-    "b29_percentile_disc" -> ((s, d) =>
-      // discrete percentiles return actual data values — exact across
-      // engines, unlike interpolated percentile_cont
-      t(s, d, "orders")
-        .groupBy(col("o_orderpriority"))
-        .agg(
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
-          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90"))
-        .orderBy(col("o_orderpriority"))),
-
-    "b30_math_fns" -> ((s, d) =>
-      // math-function surface restricted to IEEE-exact ops (abs/sqrt/floor/
-      // ceil/sign/mod) so results are bit-identical across engines
-      t(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber").as("ln"),
-          abs(col("l_discount") - 0.05).as("d_abs"),
-          sqrt(col("l_quantity")).as("q_sqrt"),
-          floor(col("l_extendedprice") / 100).cast("long").as("p_floor"),
-          ceil(col("l_extendedprice") / 100).cast("long").as("p_ceil"),
-          signum(col("l_discount") - 0.05).as("d_sign"),
-          pmod(col("l_linenumber"), lit(3)).as("ln_mod"))
-        .orderBy(col("l_orderkey"), col("ln"), col("d_abs"), col("q_sqrt"))),
-
-    "b16_string_fns" -> ((s, d) =>
-      t(s, d, "part")
-        .select(col("p_partkey"),
-          lower(col("p_brand")).as("brand_lower"),
-          substring(col("p_name"), 1, 5).as("name5"),
-          regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
-          size(split(col("p_type"), " ")).cast("long").as("type_words"))
-        .orderBy(col("p_partkey"))),
-
-    "b17_date_fns" -> ((s, d) =>
-      t(s, d, "orders")
-        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
-        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
-        .orderBy(col("month"))),
-
-    "b18_approx_distinct" -> ((s, d) =>
-      // exact count-distinct is oracle-checked directly; the HLL estimate is
-      // engine-specific, so its correctness evidence is a relative-error
-      // bound (|approx-exact|/exact ≤ 5%) that the oracle asserts as TRUE —
-      // if Spark's sketch drifted out of tolerance the hash would go red.
-      t(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
-        .select(col("l_returnflag"), col("exact_orders"),
-          (abs(col("approx_orders") - col("exact_orders"))
-            <= col("exact_orders") * 0.05).as("approx_ok"))
-        .orderBy(col("l_returnflag"))),
-
-    "b19_window_tumbling" -> ((s, d) =>
-      Streams.tumblingCounts(t(s, d, "events"), "1 hour")
-        .orderBy(col("window_start"), col("event_type"))),
-
-    "b20_sessionize" -> ((s, d) =>
-      Streams.sessionCounts(t(s, d, "events"), "30 minutes")
-        .orderBy(col("user_id"), col("session_start"))),
-
-    "b22_window_sliding" -> ((s, d) =>
-      Streams.slidingCounts(t(s, d, "events"), "1 hour", "30 minutes")
-        .orderBy(col("window_start"), col("event_type"))),
-
-    "b26_grouping_sets" -> ((s, d) =>
-      // explicit GROUPING SETS through the SQL front end (rollup/cube's
-      // general form); same syntax runs on the oracle.
-      graft.sources.Catalog.sql(s, d,
-        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
-          |  coalesce(l_linestatus, 'ALL') AS ls,
-          |  count(*) AS n
-          |FROM lineitem
-          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-          |ORDER BY rf, ls""".stripMargin)),
-
-    "b24_sql" -> ((s, d) =>
-      // SQL entry point over the catalog layer (oamap database analogue):
-      // same engine, text frontend.
-      graft.sources.Catalog.sql(s, d,
-        """SELECT o_orderpriority, count(*) AS n, min(o_orderkey) AS first_key
-          |FROM orders WHERE o_totalprice > 100000
-          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
-
-    "b25_skew_distinct" -> ((s, d) =>
-      graft.operators.Scale.skewSafeCountDistinct(
-          t(s, d, "lineitem"), "l_returnflag", "l_orderkey")
-        .orderBy(col("l_returnflag"))),
-
-    "b23_join_supplier" -> ((s, d) =>
-      // lineitem→supplier→nation: the remaining star-schema arm; supplier is
-      // mid-size (broadcastable at any realistic dim scale), nation tiny.
-      t(s, d, "lineitem")
-        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name"))
-        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
-        .orderBy(col("n_name"))),
-
-    "b33_orc_roundtrip" -> ((s, d) => {
-      // ORC source+sink (SURVEY §1.6 backends): write supplier as ORC,
-      // read it back, aggregate the REREAD data — the oracle aggregates the
-      // original parquet, so any value/type drift through the format fails
-      // the hash. Parallel per-partition write, splittable column-pruned
-      // read; no driver funnel.
-      val dir = graft.sources.Formats.scratchDir(s, "orc_supplier", d)
-      graft.sources.Formats.ensureWritten(s, dir) {
-        graft.sources.Formats.writeOrc(t(s, d, "supplier"), dir)
-      }
-      graft.sources.Formats.readOrc(s, dir)
-        .groupBy(col("s_nationkey"))
-        .agg(count(lit(1)).as("n_sup"), dsum(col("s_acctbal")).as("sum_bal"))
-        .orderBy(col("s_nationkey"))
-    }),
-
-    "b34_csv_roundtrip" -> ((s, d) => {
-      // CSV interchange roundtrip with a DECLARED read schema (never
-      // inferSchema — that's an extra full pass at 100 TB). Money goes
-      // through the format as decimal(18,2) text, so the roundtrip is
-      // value-exact; the oracle aggregates the original parquet.
-      val dir = graft.sources.Formats.scratchDir(s, "csv_part", d)
-      graft.sources.Formats.ensureWritten(s, dir) {
-        graft.sources.Formats.writeCsv(
-          t(s, d, "part").select(col("p_partkey"), col("p_brand"), col("p_size"),
-            col("p_retailprice").cast("decimal(18,2)").as("p_retailprice")), dir)
-      }
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(
-        "p_partkey LONG, p_brand STRING, p_size INT, p_retailprice DECIMAL(18,2)")
-      graft.sources.Formats.readCsv(s, dir, schema)
-        .groupBy(col("p_brand"))
-        .agg(count(lit(1)).as("n_parts"),
-          max(col("p_size")).as("max_size"),
-          sum(col("p_retailprice")).cast("double").as("sum_price"))
-        .orderBy(col("p_brand"))
-    }),
-
-    "b54_percentile_cont" -> ((s, d) =>
-      // continuous (interpolated) percentiles complete the quantile
-      // surface next to discrete b29 and sketched b36. Engine-safe by
-      // construction: l_quantity is integer-valued and the requested
-      // fractions are powers of two, so the R-7 interpolation
-      // x + (y−x)·frac is EXACT in both engines no matter how each
-      // arranges the formula — no 1-ulp wobble (the pow()/round()
-      // lesson applied to quantiles). Exact percentile is a full
-      // per-group sort at scale; b36's GK sketch is the 100 TB default,
-      // this is the exact-answer option.
-      t(s, d, "lineitem")
-        .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
-        .groupBy(col("l_returnflag"))
-        .agg(expr("percentile(q, 0.25D)").as("q25"),
-          expr("percentile(q, 0.5D)").as("median"),
-          expr("percentile(q, 0.75D)").as("q75"),
-          count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag"))),
-
-    "b55_unpivot" -> ((s, d) =>
-      // wide→long reshape (melt): the inverse of b28's pivot, via the
-      // native Dataset.unpivot (an Expand node — each input row fans out
-      // to one row per measure BEFORE the aggregate, and the partial
-      // aggregation absorbs the 3× row blow-up map-side; nothing extra
-      // crosses the shuffle). Long-typed measures only, so every
-      // aggregate is exact integer arithmetic.
-      t(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-          col("l_linenumber").cast("long").as("l_linenumber"))
-        .unpivot(Array(col("l_orderkey")),
-          Array(col("l_partkey"), col("l_suppkey"), col("l_linenumber")),
-          "measure", "value")
-        .groupBy(col("measure"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("total"),
-          min(col("value")).as("mn"), max(col("value")).as("mx"))
-        .orderBy(col("measure"))),
-
-    "b56_recursive_cte" -> ((s, d) =>
-      // recursive CTE (Spark 4 WITH RECURSIVE): ancestor walk over the
-      // implicit binary tree parent(k) = k div 2 rooted at custkey 1 —
-      // per node, the depth and the sum of its strict-ancestor keys,
-      // aggregated per depth. Pure BIGINT floor division on both engines
-      // (Spark `div`, DuckDB `//`), so the recursion is integer-exact.
-      // Scale: the frontier HALVES each level (cur div 2), so the
-      // recursion does O(V log V) total row-work across ~log2(max key)
-      // narrow map+filter steps; the only shuffle is the final
-      // depth aggregate. Recursion depth at 100 TB key ranges (~2^40)
-      // stays far under Spark's level limit.
-      graft.sources.Catalog.sql(s, d,
-        """WITH RECURSIVE walk(node, cur, path_sum, depth) AS (
-          |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT), 0 FROM customer
-          |  UNION ALL
-          |  SELECT node, cur div 2, path_sum + (cur div 2), depth + 1
-          |  FROM walk WHERE cur > 1)
-          |SELECT depth, count(*) AS n_nodes, sum(path_sum) AS ancestor_key_sum
-          |FROM walk WHERE cur = 1
-          |GROUP BY depth ORDER BY depth""".stripMargin)),
-
-    "b57_locf" -> ((s, d) => {
-      // last-observation-carried-forward: every event carries the most
-      // recent purchase value seen so far for its user (the time-series
-      // forward-fill that b53's zero-fill spine cannot express). The
-      // filled value is a raw stored double PASSED THROUGH — chosen by
-      // window position, never arithmetic — so both engines emit the
-      // identical bits. ROWS frame pinned explicitly (ties are already
-      // broken by event_id, making RANGE==ROWS, but pinning removes the
-      // default-frame dependency). One shuffle+sort per user partition —
-      // the unavoidable window cost; no self-join.
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, d, "events")
-        .select(col("user_id"), col("event_id"),
-          col("ts"),
-          when(col("event_type") === "purchase", col("value")).as("pv"))
-        .withColumn("filled", last(col("pv"), ignoreNulls = true).over(w))
-        .select(col("user_id"), col("event_id"), col("filled"))
-        .orderBy(col("user_id"), col("event_id"))
-    }),
-
-    "b58_latest_state" -> ((s, d) =>
-      // CDC log compaction: the latest event per user, picked by the
-      // lexicographic max of (ts, event_id), via ONE partial+final
-      // max_by aggregate — no per-key sort, no window, no join. The
-      // upsert/compaction shape at 100 TB: a row_number window would
-      // shuffle AND fully sort the log to keep one row per key; max_by
-      // keeps a single struct per key in the aggregation state and
-      // combines map-side. Payload values pass through untouched.
-      t(s, d, "events")
-        .groupBy(col("user_id"))
-        .agg(max_by(
-            struct(col("event_id"), col("event_type"), col("value")),
-            struct(col("ts"), col("event_id"))).as("st"))
-        .select(col("user_id"), col("st.event_id").as("event_id"),
-          col("st.event_type").as("event_type"), col("st.value").as("value"))
-        .orderBy(col("user_id"))),
-
-    "b60_scd2" -> ((s, d) => {
-      // slowly-changing-dimension type 2: the per-user event log becomes
-      // validity intervals [valid_from, valid_to) with an is_current
-      // flag — one lead() window per user partition, the standard
-      // change-log → dimension-table build. Timestamps emitted as epoch
-      // MICROS longs (the testdata is µs-precision, lossless in both
-      // engines); ties broken by event_id.
-      val us = unix_micros(col("ts"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      t(s, d, "events")
-        .select(col("user_id"), col("event_id"), col("ts"))
-        .withColumn("valid_from_us", us)
-        .withColumn("valid_to_us", lead(us, 1).over(w))
-        .select(col("user_id"), col("event_id"), col("valid_from_us"),
-          col("valid_to_us"), col("valid_to_us").isNull.as("is_current"))
-        .orderBy(col("user_id"), col("event_id"))
-    }),
-
-    "b61_zorder_key" -> ((s, d) =>
-      // multi-dimensional at-rest clustering: the Morton key over
-      // (custkey, order day) that a 2-D-skipping layout sorts by at
-      // write time — every file then has a tight min/max envelope in
-      // both dimensions. The key is pure builtin bitwise arithmetic
-      // (see Scale.zOrderKey), narrow and codegen'd; the 2000-row cut
-      // is total-ordered on (zkey, orderkey).
-      t(s, d, "orders")
-        .select(col("o_orderkey"),
-          Scale.zOrderKey(col("o_custkey"),
-            datediff(col("o_orderdate").cast("date"),
-              lit("1992-01-01").cast("date"))).as("zkey"))
-        .orderBy(col("zkey"), col("o_orderkey"))
-        .limit(2000)),
-
-    "b92_hilbert_key" -> ((s, d) =>
-      // the Hilbert sibling of b61's Morton key: same (custkey, order
-      // day) dimensions, same codegen discipline (one static-kernel
-      // call per row inside whole-stage codegen — the rotate/reflect
-      // state machine can't unroll as a column ladder, see
-      // Scale.hilbertKey), oracle = the identical 16-plane algebra as
-      // a CTE ladder. Pure integer, bit-identical cross-engine.
-      t(s, d, "orders")
-        .select(col("o_orderkey"),
-          Scale.hilbertKey(col("o_custkey"),
-            datediff(col("o_orderdate").cast("date"),
-              lit("1992-01-01").cast("date"))).as("hkey"))
-        .orderBy(col("hkey"), col("o_orderkey"))
-        .limit(2000)),
-
-    "b93_hilbert_prune" -> ((s, d) => {
-      // b64's 2-D skipping layout re-clustered on the HILBERT key —
-      // identical write shape (range-partition + sort on the curve key),
-      // identical 2-D box query, different curve: Hilbert's unit-step
-      // locality gives files tighter min/max envelopes than Morton's
-      // diagonal jumps, so the same predicate skips more files
-      // (graft.SkipRate prints both curves' measured skip rates;
-      // docs/PLANS.md records them). Same zday non-negativity guard as
-      // b64 — a negative day would wrap to the top of the key range and
-      // kill the envelope.
-      val dir = graft.sources.Formats.scratchDir(s, "orders_hilbert", d)
-      graft.sources.Formats.ensureWritten(s, dir) {
-        t(s, d, "orders")
-          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-            col("o_orderstatus"),
-            datediff(col("o_orderdate").cast("date"),
-              lit("1995-01-01").cast("date")).cast("int").as("o_day"),
-            datediff(col("o_orderdate").cast("date"),
-              lit("1992-01-01").cast("date")).cast("int").as("zday"))
-          .withColumn("hkey", Scale.hilbertKey(col("o_custkey"), col("zday")))
-          .drop("zday")
-          .repartitionByRange(16, col("hkey"))
-          .sortWithinPartitions("hkey")
-          .write.parquet(dir)
-      }
-      s.read.parquet(dir)
-        .where(col("o_custkey") < 80 && col("o_day") < 730)
-        .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
-        .orderBy(col("o_orderstatus"))
-    }),
-
-    "b62_share_of_group" -> ((s, d) => {
-      // percent-of-total analytics: each nation's revenue share within
-      // its region as integer ppm — exact cents aggregation (b51
-      // convention), window total per region over the tiny aggregated
-      // relation (|nations| rows, never the fact table), floor division
-      // both engines. cents·10⁶ stays far under int64 at any realistic
-      // region size; ANSI mode would error, not corrupt, if exceeded.
-      val rev = t(s, d, "lineitem")
-        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name"), col("n_name"))
-        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
-          .cast("long")).as("cents"))
-      rev
-        .withColumn("total",
-          sum(col("cents")).over(Window.partitionBy(col("r_name"))))
-        .select(col("r_name"), col("n_name"), col("cents"),
-          expr("CAST((cents * 1000000L) div total AS BIGINT)").as("share_ppm"))
-        .orderBy(col("r_name"), col("n_name"))
-    }),
-
-    "b63_partitioned_bucketed" -> ((s, d) => {
-      // The two at-rest layout dimensions on ONE table (b37 buckets by
-      // join key, b38 partitions by filter column — this combines them):
-      // orders written partitionBy(o_orderpriority) + bucketBy(8,
-      // o_custkey). The priority filter prunes 4/5 of the directories at
-      // planning time (PartitionFilters) AND the customer join reads
-      // co-located pre-sorted buckets with zero Exchange on either side —
-      // both plan-asserted in PlanSpec. At 100 TB this is the full
-      // ingest-once contract: scan only the predicate's partitions, join
-      // on the key for free, forever. The merge hint keeps the small-SF
-      // demo honest (auto-broadcast would hide the bucketing; at real
-      // scale neither fact side broadcasts).
-      val ob = graft.sources.Formats.partitionedBucketedTable(s, "orders_pb", d,
-        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
-          col("o_totalprice"), col("o_orderpriority")),
-        partCol = "o_orderpriority", key = "o_custkey", buckets = 8)
-      val cb = graft.sources.Formats.bucketedTable(s, "customer_by_cust", d,
-        t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
-        "c_custkey", buckets = 8)
-      ob.where(col("o_orderpriority") === "1-URGENT")
-        .hint("merge").join(cb, col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
-        .orderBy(col("c_mktsegment"))
-    }),
-
-    "b64_zorder_prune" -> ((s, d) => {
-      // b61 computed the Morton key; this is the key DOING ITS JOB: orders
-      // rewritten range-partitioned + sorted on zOrderKey(custkey, day),
-      // so every parquet file carries a tight min/max envelope in BOTH
-      // dimensions, and a 2-D predicate box skips most files on footer
-      // stats alone (row-group skipping inside the survivors comes free
-      // from the same sort). ScaleSpec measures the file-level skip rate
-      // from each file's actual min/max; the filters are plan-asserted as
-      // PushedFilters. This is the layout for the 100 TB two-dimension
-      // scan problem partitionBy can't solve (both dims high-cardinality:
-      // partitionBy(custkey) shatters into tiny files, partitionBy(day)
-      // leaves custkey scans full — interleaved bits cluster both).
-      val dir = graft.sources.Formats.scratchDir(s, "orders_zorder", d)
-      graft.sources.Formats.ensureWritten(s, dir) {
-        // The interleaved day MUST be non-negative: zOrderKey masks to 16
-        // bits, so a negative day (pre-epoch order) wraps to the TOP of
-        // the z-range and its file's min-day envelope covers everything —
-        // pruning dies. Interleave days since 1992-01-01 (before the
-        // earliest TPC-H order, b61 convention); the *predicate* column
-        // o_day stays on the 1995 epoch the query box is written against.
-        t(s, d, "orders")
-          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-            col("o_orderstatus"),
-            datediff(col("o_orderdate").cast("date"),
-              lit("1995-01-01").cast("date")).cast("int").as("o_day"),
-            datediff(col("o_orderdate").cast("date"),
-              lit("1992-01-01").cast("date")).cast("int").as("zday"))
-          .withColumn("zkey", Scale.zOrderKey(col("o_custkey"), col("zday")))
-          .drop("zday")
-          .repartitionByRange(16, col("zkey"))
-          .sortWithinPartitions("zkey")
-          .write.parquet(dir)
-      }
-      s.read.parquet(dir)
-        .where(col("o_custkey") < 80 && col("o_day") < 730)
-        .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
-        .orderBy(col("o_orderstatus"))
-    }),
-
-    "b65_stream_session_parity" -> ((s, d) => {
-      // batch parity for the RUNNING native session_window stream
-      // (Streams.streamSessionCounts, gap 30 min, watermark delay
-      // 30 min): after a file-source stream drains the whole table,
-      // append mode has emitted exactly the sessions whose end the final
-      // watermark (max ts - delay) passed — open/too-recent sessions
-      // stay in state. This query replicates that output shape in batch:
-      // the same session_window aggregation, filtered to
-      // session_end <= max(ts) - delay. StreamingSpec asserts the live
-      // stream's collected output equals this query on the same data.
-      // Plan: sessionization shuffles once on user_id; the watermark
-      // bound is a one-row broadcast cross join (the audited c19
-      // bounded-broadcast shape) — at true streaming scale the engine
-      // enforces the watermark in-state; this filter exists only to make
-      // the running stream's output oracle-checkable.
-      val ev = t(s, d, "events")
-      val wm = broadcast(ev.agg(
-        (max(col("ts")) - expr("INTERVAL 30 MINUTES")).as("wm")))
-      Streams.sessionCounts(ev, "30 minutes")
-        .crossJoin(wm)
-        .where(col("session_end") <= col("wm"))
-        .select(col("session_start"), col("session_end"), col("user_id"), col("n"))
-        .orderBy(col("user_id"), col("session_start"))
-    }),
-
-    "b68_sketch_rollup" -> ((s, d) => {
-      // sketch MERGEABILITY — the property that makes sketches matter at
-      // 100 TB: per-day DataSketches-HLL user sketches (what an ingest
-      // would persist in a daily rollup table) are UNIONED into weekly
-      // estimates without ever revisiting the raw events. b18 bounds a
-      // one-shot estimate; this bounds the union-of-partials path:
-      // |union-estimate − exact| ≤ 5% · exact, asserted as a boolean the
-      // oracle expects TRUE (exact weekly distinct is hash-checked
-      // directly). Plan: daily sketch agg is partial+final on day;
-      // weekly union shuffles only |days| sketch blobs — the raw table
-      // is read once, ever, which is the entire point of the rollup.
-      val ev = t(s, d, "events")
-      val daily = ev
-        .select(date_trunc("week", col("ts")).cast("date").as("week"),
-          date_trunc("day", col("ts")).cast("date").as("day"), col("user_id"))
-        .groupBy(col("week"), col("day"))
-        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
-      val weekly = daily.groupBy(col("week"))
-        .agg(count(lit(1)).cast("long").as("n_days"),
-          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
-      val exact = ev
-        .select(date_trunc("week", col("ts")).cast("date").as("week"), col("user_id"))
-        .groupBy(col("week"))
-        .agg(countDistinct(col("user_id")).as("exact_users"))
-      weekly.join(exact, Seq("week"))
-        .select(col("week"), col("n_days"), col("exact_users"),
-          (abs(col("est") - col("exact_users"))
-            <= col("exact_users") * 0.05).as("rollup_ok"))
-        .orderBy(col("week"))
-    }),
-
-    "b66_merge_apply" -> ((s, d) => {
-      // MERGE INTO expressed relationally (operators/Merge): base = the
-      // compacted pre-cutoff snapshot (b58 max_by shape), changes = the
-      // compacted post-cutoff changelog with error-events as delete
-      // tombstones; apply = one full-outer equi-join on the key — update /
-      // insert / carry / delete, payload passed through untouched. Both
-      // sides arrive hash-partitioned on user_id from their compaction
-      // aggregates. The nightly snapshot⊕changelog shape at 100 TB.
-      val cutoff = lit("2024-01-16").cast("timestamp")
-      def compact(df: org.apache.spark.sql.DataFrame) = df
-        .groupBy(col("user_id"))
-        .agg(max_by(struct(col("event_type"), col("value")),
-          struct(col("ts"), col("event_id"))).as("st"))
-        .select(col("user_id"), col("st.event_type").as("event_type"),
-          col("st.value").as("value"))
-      val ev = t(s, d, "events")
-      val base = compact(ev.where(col("ts") < cutoff)).drop("event_type")
-      val changes = compact(ev.where(col("ts") >= cutoff))
-        .select(col("user_id"), col("value"),
-          when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"))
-      graft.operators.Merge.mergeApply(base, changes, "user_id")
-        .orderBy(col("user_id"))
-    }),
-
-    "b67_interval_coverage" -> ((s, d) => {
-      // interval-union coverage: each event opens a 30-minute activity
-      // interval; per user, merge overlaps (the classic sweep: an island
-      // starts where ts exceeds the running max of prior ends) and report
-      // islands + total covered time. Pure integer epoch-micros
-      // arithmetic. One shuffle+sort per user partition (the window),
-      // then partial+final aggregates — no self-join, no driver state;
-      // the standard interval-union plan at any scale.
-      val span = 1800000000L // 30 min in micros
-      val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
-      val iv = t(s, d, "events")
-        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("s"))
-        .withColumn("e", col("s") + lit(span))
-      val marked = iv
-        .withColumn("pme", max(col("e")).over(
-          w.rowsBetween(Window.unboundedPreceding, -1)))
-        .withColumn("brk",
-          when(col("pme").isNull || col("s") > col("pme"), lit(1)).otherwise(lit(0)))
-        .withColumn("island",
-          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      marked.groupBy(col("user_id"), col("island"))
-        .agg((max(col("e")) - min(col("s"))).as("cov"))
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).cast("long").as("n_islands"),
-          sum(col("cov")).cast("long").as("covered_micros"))
-        .orderBy(col("user_id"))
-    }),
-
-    "b69_ivm_merge" -> ((s, d) => {
-      // incremental view maintenance: the materialized per-user rollup
-      // absorbs a new batch by merging PARTIAL STATES (operators/Ivm) —
-      // never re-reading history. The oracle is the full recompute over
-      // all rows: merge ≡ recompute is exactly the monoid property the
-      // operator exploits (b66 is the row-level sibling; b68 the sketch
-      // sibling). States are integer cents/counts — order-free,
-      // engine-exact; the derived avg is a read-time floor division.
-      val ev = t(s, d, "events")
-      val cutoff = lit("2024-01-20").cast("timestamp")
-      val cents = floor(col("value") * 100 + 0.5).cast("long")
-      def state(df: org.apache.spark.sql.DataFrame) = df
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"), sum(cents).as("sum_cents"),
-          min(cents).as("min_cents"), max(cents).as("max_cents"))
-      graft.operators.Ivm.mergeStates(
-          Seq(state(ev.where(col("ts") < cutoff)),
-            state(ev.where(col("ts") >= cutoff))),
-          Seq("user_id"),
-          Map("n_events" -> "sum", "sum_cents" -> "sum",
-            "min_cents" -> "min", "max_cents" -> "max"))
-        .withColumn("avg_cents_floor", expr("sum_cents div n_events"))
-        .orderBy(col("user_id"))
-    }),
-
-    "b70_interpolate" -> ((s, d) =>
-      // linear-interpolation gap fill onto the per-user hourly grid — the
-      // step past b57's LOCF; integer cleared-denominator weighted mean,
-      // grid bounded by each key's own observed span (operators/Series).
-      graft.operators.Series.interpolateHourlyCents(
-          t(s, d, "events"), "user_id", "ts", "event_id", "value")
-        .orderBy(col("user_id"), col("hour_id"))),
-
-    "b71_equidepth_hist" -> ((s, d) =>
-      // exact 16-bucket equi-depth histogram of lineitem price cents
-      // WITHOUT a global row sort: per-distinct-value counts (one
-      // map-side-combined shuffle), then the cumulative window runs over
-      // the distinct-value frame only — bounded by the price DOMAIN, not
-      // the row count (operators/Scale.equiDepthHistogram scaladoc).
-      graft.operators.Scale.equiDepthHistogram(
-          t(s, d, "lineitem"),
-          floor(col("l_extendedprice") * 100 + 0.5).cast("long"), bins = 16)
-        .orderBy(col("bin"))),
-
-    "b79_dynamic_partition_prune" -> ((s, d) => {
-      // DYNAMIC partition pruning: the fact side is the b38 at-rest
-      // layout (orders partitionBy(o_orderpriority)), but the predicate
-      // lives on the DIM side ("urgency = high"), so planning-time
-      // pruning is impossible — Catalyst must inject the runtime
-      // dynamicpruning subquery (fed by the reused dim broadcast) into
-      // the fact scan's PartitionFilters, and only then do 3/5 of the
-      // directories go unread. Plan-asserted. At 100 TB this is how a
-      // star-schema query skips partitions it can't name until the dim
-      // filter runs — the complement of b38's static prune.
-      val dir = graft.sources.Formats.scratchDir(s, "orders_bypriority", d)
-      graft.sources.Formats.ensureWritten(s, dir) {
-        t(s, d, "orders").write.mode("overwrite")
-          .partitionBy("o_orderpriority").parquet(dir)
-      }
-      // the dim must be an at-rest table with a REAL runtime filter: a
-      // driver-literal relation gets constant-folded into a pre-filtered
-      // LocalTableScan, leaving the DPP rule no selective predicate to
-      // reuse (observed; that variant planned a static 5-partition scan)
-      val dimDir = graft.sources.Formats.scratchDir(s, "priority_dim", d)
-      graft.sources.Formats.ensureWritten(s, dimDir) {
-        val sess = s; import sess.implicits._
-        Seq(("1-URGENT", "high"), ("2-HIGH", "high"), ("3-MEDIUM", "low"),
-          ("4-NOT SPECIFIED", "low"), ("5-LOW", "low")).toDF("p", "urgency")
-          .write.mode("overwrite").parquet(dimDir)
-      }
-      s.read.parquet(dir)
-        .join(s.read.parquet(dimDir).where(col("urgency") === "high"),
-          col("o_orderpriority") === col("p"))
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("rev_cents"))
-        .orderBy(col("o_orderpriority"))
-    }),
-
-    "b78_stream_hll_parity" -> ((s, d) => {
-      // batch parity for the STREAMING windowed approx-distinct
-      // (Streams.streamTumblingDistinct, 1 h tumbling, 30 min delay):
-      // the HLL sketch merges by register max — arrival-order
-      // insensitive — so the drained stream's append output equals this
-      // batch aggregation on the closed windows (w_end <= max ts −
-      // delay; the one-row watermark bound is the audited b65 broadcast
-      // shape). The estimate is oracle-checked as a combined bound
-      // boolean vs the exact distinct (b18 pattern): |err| ≤
-      // max(4, 0.15·exact) — HLL's relative rsd guarantee only holds
-      // asymptotically, and these windows hold 4–28 users where the
-      // measured deviation is ≤3 absolute (≤15 at sf0.1's larger
-      // windows, ≤10.8 % relative); StreamingSpec asserts the live
-      // stream's estimates equal batch bit-for-bit.
-      val ev = t(s, d, "events")
-      val wm = broadcast(ev.agg(
-        (max(col("ts")) - expr("INTERVAL 30 MINUTES")).as("wm")))
-      ev.groupBy(window(col("ts"), "1 hour"))
-        .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))
-        .crossJoin(wm)
-        .where(col("window.end") <= col("wm"))
-        .select(unix_micros(col("window.start")).as("w_start_us"),
-          col("exact_users"),
-          (abs(col("approx_users") - col("exact_users")) <=
-            greatest(lit(4.0), col("exact_users") * 0.15)).as("approx_ok"))
-        .orderBy(col("w_start_us"))
-    }),
-
-    "b95_tpch_q3" -> ((s, d) => {
-      // TPC-H Q3 (shipping priority) on the fixture's column subset
-      // (o_orderpriority stands in for o_shippriority): revenue of
-      // unshipped BUILDING orders as of the cut date. Revenue is the
-      // exact integer Σ cents·(100−disc_pct) — cent·percent units, no
-      // double accumulation (the b51 convention extended to the
-      // discount factor). Joins stay declarative: at 100 TB both fact
-      // sides shuffle on their keys and AQE picks build sides; at test
-      // scale Catalyst broadcasts the filtered dims on its own — no
-      // hand-hinting either way. Top-10 is TakeOrdered with a total
-      // (revenue, orderkey) tie order.
-      val cut = lit("1996-06-30").cast("date")
-      val rev = (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
-        (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
-      t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
-        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
-        .where(col("o_orderdate").cast("date") < cut)
-        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .where(col("l_shipdate").cast("date") > cut)
-        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
-          col("o_orderpriority"))
-        .agg(sum(rev).as("revenue_c100"))
-        .orderBy(col("revenue_c100").desc, col("l_orderkey"))
-        .limit(10)
-    }),
-
-    "b96_tpch_q5" -> ((s, d) => {
-      // TPC-H Q5 (local supplier volume): revenue per ASIA nation from
-      // 1997 orders where the supplier and customer share the nation —
-      // the classic 6-table star-plus-selective-equality join. Same
-      // exact cent·percent revenue; region/nation broadcast (provably
-      // tiny dims), the fact-fact chain shuffles on its keys.
-      val rev = (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
-        (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
-      t(s, d, "customer")
-        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
-        .where(col("o_orderdate").cast("date") >= lit("1997-01-01").cast("date") &&
-          col("o_orderdate").cast("date") < lit("1998-01-01").cast("date"))
-        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey") &&
-          col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
-        .where(col("r_name") === "ASIA")
-        .groupBy(col("n_name"))
-        .agg(sum(rev).as("revenue_c100"))
-        .orderBy(col("revenue_c100").desc, col("n_name"))
-    }),
-
-    "b97_tpch_q10" -> ((s, d) => {
-      // TPC-H Q10 (returned-item reporting): top-20 customers by revenue
-      // lost to returns in one quarter. Exact cent·percent revenue;
-      // nation broadcast; the returned-flag and date predicates reach
-      // the scans. Grouping carries the per-customer constants
-      // (name, acctbal, nation) through — c_acctbal is an untouched
-      // stored double (pass-through, hash-safe), never arithmetic.
-      val rev = (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
-        (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
-      t(s, d, "customer")
-        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
-        .where(col("o_orderdate").cast("date") >= lit("1997-01-01").cast("date") &&
-          col("o_orderdate").cast("date") < lit("1997-04-01").cast("date"))
-        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .where(col("l_returnflag") === "R")
-        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-        .agg(sum(rev).as("revenue_c100"))
-        .orderBy(col("revenue_c100").desc, col("c_custkey"))
-        .limit(20)
-    }),
-
-    "b98_tpch_q18" -> ((s, d) => {
-      // TPC-H Q18 (large-volume customers): orders whose total quantity
-      // clears a threshold, with customer identity and the order's
-      // line-quantity total. The filter subquery is the aggregated
-      // semi-join shape (groupBy lineitem ONCE, filter on the aggregate,
-      // then join orders/customer to the qualifying keys) — never a
-      // correlated per-order re-scan. Quantities are exact integer
-      // deci-units (l_quantity is at most 1dp in the fixture; ·10
-      // round-trips exactly). At 100 TB the qualifying-key set is tiny
-      // (the HAVING cuts hard) so AQE broadcasts it back against
-      // orders; lineitem aggregates once with map-side partials.
-      val qty = floor(col("l_quantity") * 10 + 0.5).cast("long")
-      val big = t(s, d, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(sum(qty).as("total_qty_deci"))
-        .where(col("total_qty_deci") > 3000)
-      t(s, d, "orders")
-        .join(big, col("o_orderkey") === col("l_orderkey"))
-        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
-        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
-          col("o_orderdate").cast("date").as("o_orderdate"),
-          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("totalprice_cents"),
-          col("total_qty_deci"))
-        .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
-        .limit(100)
-    }),
-
-    "b99_stream_funnel_parity" -> ((s, d) => {
-      // batch parity for the STREAMING ordered funnel
-      // (Streams.funnelWithState, gap 30 min, delay 30 min): after the
-      // stream drains, the event-time timeout has fired for exactly the
-      // users whose last stage event + gap the final watermark
-      // (max ts − delay) passed — their buffered machine emitted one
-      // (user, s1, s2, s3) row; open-horizon users stay in state. This
-      // replicates that output in batch: the b94 stage kernel
-      // (Series.funnelStageTimes — the stream runs the identical
-      // strictly-after machine per user) + the horizon cut in integer
-      // MILLISECONDS, the stream's own timeout clock granularity.
-      // StreamingSpec asserts the live drained stream equals this query.
-      // Plan: one user shuffle for the stage windows, one for the
-      // horizon max — same partitioning, and the watermark bound is the
-      // audited b65 one-row broadcast.
-      val stages = Seq("view", "click", "purchase")
-      val ev = t(s, d, "events")
-      val f = ev.where(col("event_type").isin(stages: _*))
-      val wm = broadcast(ev.agg(
-        (unix_millis(max(col("ts"))) - lit(1800000L)).as("wm_ms")))
-      val horizon = f.groupBy(col("user_id"))
-        .agg(unix_millis(max(col("ts"))).as("last_ms"))
-      graft.operators.Series.funnelStageTimes(f, "user_id", "event_type", "ts", stages)
-        .join(horizon, Seq("user_id"))
-        .crossJoin(wm)
-        .where(col("last_ms") + lit(1800000L) < col("wm_ms"))
-        .select(col("user_id"), unix_micros(col("s1")).as("s1_us"),
-          unix_micros(col("s2")).as("s2_us"), unix_micros(col("s3")).as("s3_us"))
-        .orderBy(col("user_id"))
-    }),
-
-    "b100_tpch_q14" -> ((s, d) => {
-      // TPC-H Q14 shape (promotion-revenue share), per ship month: the
-      // fact-dim join on partkey carries only (p_partkey, is_promo) —
-      // column pruning reaches the part scan; at 100 TB both sides are
-      // big, so the equi-join is the declarative shuffle-hash/broadcast
-      // decision AQE makes from runtime sizes (the b96 discipline).
-      // Revenue in exact cent·percent integers (the b95 rule), the share
-      // in basis points by non-negative integer floor division — both
-      // engines agree bit-for-bit.
-      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
-      val rev = cents * (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
-      t(s, d, "lineitem")
-        .join(t(s, d, "part")
-          .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo")),
-          col("l_partkey") === col("p_partkey"))
-        .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("month"))
-        .agg(sum(when(col("is_promo"), rev).otherwise(lit(0L))).as("promo_rev_c100"),
-          sum(rev).as("total_rev_c100"))
-        .select(col("month"), col("promo_rev_c100"), col("total_rev_c100"),
-          expr("(promo_rev_c100 * 10000) div total_rev_c100").as("promo_bp"))
-        .orderBy(col("month"))
-    }),
-
-    "b101_tpch_q22" -> ((s, d) => {
-      // TPC-H Q22 shape (global sales opportunity): customers with
-      // above-average positive balance and no URGENT orders (the fixture
-      // gives every customer SOME order, so the anti leg is filtered —
-      // same plan, non-vacuous result), aggregated by nation. The
-      // average gate clears denominators — bal·n > sum over exact cents,
-      // pure BIGINT, no float mean — delivered as the audited one-row
-      // broadcast; the no-urgent-orders test is a left_anti join
-      // shuffling both sides on custkey with the priority filter PUSHED
-      // to the orders scan (never NOT IN with a subquery rescan); nation
-      // is a provably-tiny broadcast.
-      val cents = floor(col("c_acctbal") * 100 + 0.5).cast("long")
-      val cust = t(s, d, "customer")
-        .select(col("c_custkey"), col("c_nationkey"), cents.as("bal_c"))
-      val posAvg = broadcast(cust.where(col("bal_c") > 0)
-        .agg(sum(col("bal_c")).as("s"), count(lit(1)).as("n")))
-      cust.crossJoin(posAvg)
-        .where(col("bal_c") * col("n") > col("s"))
-        .join(t(s, d, "orders").where(col("o_orderpriority") === "1-URGENT")
-            .select(col("o_custkey")),
-          col("c_custkey") === col("o_custkey"), "left_anti")
-        .join(broadcast(t(s, d, "nation")),
-          col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name"))
-        .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totacctbal_c"))
-        .orderBy(col("n_name"))
-    }),
-
-    "b94_funnel" -> ((s, d) => {
-      // ordered-funnel conversion (view → click → purchase): a user
-      // reaches stage n at the EARLIEST event of that type strictly
-      // after their stage-(n−1) time — the standard product-analytics
-      // funnel with event-order semantics, not mere type presence.
-      // Plan: ONE shuffle on user_id; the three stage times are chained
-      // conditional mins over the same user partition window (no joins,
-      // no per-user sort materialized beyond the window), then a
-      // per-user compaction and a 1-row stage-count aggregate unpivoted
-      // to (stage, users, conv_ppm). Integer ppm division floors
-      // identically in both engines.
-      val staged = graft.operators.Series.funnelStageTimes(
-        t(s, d, "events"), "user_id", "event_type", "ts",
-        Seq("view", "click", "purchase"))
-      val counts = staged.agg(
-        count(col("s1")).as("u1"), count(col("s2")).as("u2"), count(col("s3")).as("u3"))
-      // stack, not a 3-way union: a union of selects over `counts` would
-      // re-derive the whole staged pipeline once per branch (3 full
-      // scans at 100 TB); stack unpivots the ONE materialized row
-      counts.select(expr(
-          "stack(3, " +
-            "1, 'view',     u1, (u1 * 1000000) div nullif(u1, 0), " +
-            "2, 'click',    u2, (u2 * 1000000) div nullif(u1, 0), " +
-            "3, 'purchase', u3, (u3 * 1000000) div nullif(u1, 0)) " +
-            "AS (stage, event_type, users, conv_ppm)"))
-        .orderBy(col("stage"))
-    }),
-
-    "b91_stream_sliding_hll" -> ((s, d) => {
-      // batch parity for the SLIDING-window streaming approx-distinct
-      // (Streams.streamSlidingDistinct, 1 h window / 30 min slide,
-      // 30 min delay): every event feeds width/slide = 2 overlapping
-      // windows — a deterministic assignment that leaves the per-window
-      // HLL register-max merge algebra untouched, so the drained
-      // stream's append output still equals this batch aggregation
-      // bit-for-bit on closed windows (StreamingSpec asserts it live;
-      // no audit-boolean formulation turned out to be needed). Estimate
-      // checked as the b78/b18 bound boolean vs exact distinct.
-      val ev = t(s, d, "events")
-      val wm = broadcast(ev.agg(
-        (max(col("ts")) - expr("INTERVAL 30 MINUTES")).as("wm")))
-      ev.groupBy(window(col("ts"), "1 hour", "30 minutes"))
-        .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))
-        .crossJoin(wm)
-        .where(col("window.end") <= col("wm"))
-        .select(unix_micros(col("window.start")).as("w_start_us"),
-          col("exact_users"),
-          (abs(col("approx_users") - col("exact_users")) <=
-            greatest(lit(4.0), col("exact_users") * 0.15)).as("approx_ok"))
-        .orderBy(col("w_start_us"))
-    }),
-
-    "b77_period_over_period" -> ((s, d) => {
-      // month-over-month revenue: per-month cents totals, previous
-      // month's total (lag over the month-ordered frame — the frame is
-      // CALENDAR-sized, not row-sized, so the unpartitioned window is
-      // bounded by the date domain like b71's), absolute delta, and the
-      // relative change in integer basis points. bps divides
-      // MAGNITUDES and reapplies the sign: DuckDB's // floors while
-      // Spark's div truncates, so negative quotients would differ by
-      // one — sign-splitting keeps both engines on the same
-      // non-negative division (the b70 rule).
-      val o = t(s, d, "orders")
-      val monthly = o
-        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
-        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("rev_cents"))
-      val w = Window.orderBy(col("month"))
-      monthly
-        .withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
-        .withColumn("delta_cents", col("rev_cents") - col("prev_cents"))
-        .select(col("month"), col("rev_cents"), col("prev_cents"), col("delta_cents"),
-          // prev_cents = 0 → NULL bps (mirrored by NULLIF in the oracle):
-          // Spark's div-by-zero yields null but DuckDB's // raises, so the
-          // guard keeps both engines defined on a zero-revenue month.
-          (signum(col("delta_cents")).cast("long") *
-            expr("(abs(delta_cents) * 10000) div nullif(prev_cents, 0)"))
-            .as("change_bps"))
-        .orderBy(col("month"))
-    }),
-
-    "b76_expectations" -> ((s, d) => {
-      // data-quality contract audit (the expectations gate an ingest runs
-      // before publishing a table): 7 named constraints -> violation
-      // counts. The five row-local checks share ONE map-side-combined
-      // aggregate pass (CASE sums, then unpivot of the 1-row frame); the
-      // referential check is a broadcast anti-join count; uniqueness is a
-      // key-partitioned group-count. Nothing buffers rows; each leg is an
-      // O(n) scan-and-count. totalprice_le_100k is the deliberately tight
-      // SLA bound that FIRES on this data — proving the counter counts.
-      val o = t(s, d, "orders")
-      val prio = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
-      val od = col("o_orderdate").cast("date")
-      val rowChecks = o.agg(
-          sum(when(col("o_orderkey").isNull || col("o_custkey").isNull ||
-            col("o_totalprice").isNull, 1L).otherwise(0L)).as("not_null_keys"),
-          sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("totalprice_positive"),
-          sum(when(col("o_totalprice") > 100000.0, 1L).otherwise(0L)).as("totalprice_le_100k"),
-          sum(when(od < lit("1992-01-01").cast("date") ||
-            od >= lit("2002-01-01").cast("date"), 1L).otherwise(0L)).as("orderdate_in_range"),
-          sum(when(!col("o_orderpriority").isin(prio: _*), 1L).otherwise(0L)).as("priority_domain"))
-        .unpivot(Array.empty[Column], Array("not_null_keys", "totalprice_positive",
-          "totalprice_le_100k", "orderdate_in_range", "priority_domain").map(col),
-          "check", "n_viol")
-      val fk = o.join(broadcast(t(s, d, "customer").select(col("c_custkey"))),
-          col("o_custkey") === col("c_custkey"), "left_anti")
-        .agg(count(lit(1)).as("n_viol"))
-        .select(lit("custkey_fk").as("check"), col("n_viol"))
-      val uniq = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
-        .where(col("c") > 1)
-        .agg(coalesce(sum(col("c") - 1), lit(0L)).cast("long").as("n_viol"))
-        .select(lit("orderkey_unique").as("check"), col("n_viol"))
-      rowChecks.unionByName(fk).unionByName(uniq).orderBy(col("check"))
-    }),
-
-    "b75_winsorize" -> ((s, d) => {
-      // winsorized robust stats: clamp each group's prices into its own
-      // [p05, p95] before summing — outlier-proof aggregates. The edges
-      // come from the b71 trick, NOT percentile_disc: a cumulative window
-      // over the per-DISTINCT-value count frame (bounded by the price
-      // domain, never row count — percentile_disc would buffer whole
-      // groups), with the inverse-CDF rule in exact integers
-      // (cum·20 ≥ n ⟺ cdf ≥ 0.05). Edges broadcast back; map-side clamp.
-      val li = t(s, d, "lineitem").select(col("l_returnflag").as("flag"),
-        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
-      val vc = li.groupBy(col("flag"), col("cents")).agg(count(lit(1)).as("cnt"))
-      val wCum = Window.partitionBy(col("flag")).orderBy(col("cents"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cdf = vc
-        .withColumn("cum", sum(col("cnt")).over(wCum))
-        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("flag"))))
-      val edges = cdf.groupBy(col("flag")).agg(
-        min(when(col("cum") * 20 >= col("n"), col("cents"))).as("lo"),
-        min(when(col("cum") * 20 >= col("n") * 19, col("cents"))).as("hi"))
-      li.join(broadcast(edges), "flag")
-        .select(col("flag"), col("cents"), col("lo"), col("hi"),
-          greatest(col("lo"), least(col("hi"), col("cents"))).as("w"))
-        .groupBy(col("flag"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("cents")).as("sum_cents"),
-          sum(col("w")).as("sum_winsorized"),
-          sum((col("cents") < col("lo")).cast("long")).as("n_lo"),
-          sum((col("cents") > col("hi")).cast("long")).as("n_hi"))
-        .orderBy(col("flag"))
-    }),
-
-    "b74_attribution" -> ((s, d) => {
-      // last-touch attribution: each purchase credited to the same
-      // user's most recent preceding click, but only within a 7-day
-      // lookback. No self-join: the event log is already interleaved per
-      // user, so one user-partitioned window with last(_, ignoreNulls)
-      // carries the latest click forward — the as-of-join-shaped staple
-      // as a single window pass. Scales on the user key (millions of
-      // small partitions); ties broken by event_id; epoch-µs longs on
-      // every compared column (b60 convention).
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val us = unix_micros(col("ts"))
-      val weekUs = 7L * 86400L * 1000000L
-      t(s, d, "events")
-        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
-        .withColumn("click_id0",
-          last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
-        .withColumn("click_us0",
-          last(when(col("event_type") === "click", us), ignoreNulls = true).over(w))
-        .where(col("event_type") === "purchase")
-        .withColumn("hit", col("click_us0").isNotNull && (us - col("click_us0") <= weekUs))
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          when(col("hit"), col("click_id0")).as("click_id"),
-          when(col("hit"), us - col("click_us0")).as("gap_us"))
-        .orderBy(col("purchase_id"))
-    }),
-
-    "b73_twap" -> ((s, d) =>
-      // time-weighted average value per user over the observed span —
-      // LOCF-weighted integration in pure integer cents×micros
-      // (operators/Series.twapCents: one lead window + one aggregate,
-      // no row expansion); plain avg would over-weight reading bursts
-      graft.operators.Series.twapCents(
-          t(s, d, "events"), "user_id", "ts", "event_id", "value")
-        .orderBy(col("user_id"))),
-
-    "b72_stream_ivm_parity" -> ((s, d) =>
-      // the batch face of the CONTINUOUS IVM materialization
-      // (streaming/Streams.ivmMergeBatch): per-user-per-day event stats.
-      // StreamingSpec drains a multi-batch file-source stream through the
-      // foreachBatch state merge and asserts its final generation equals
-      // THIS query row-for-row; the oracle proves the same recompute
-      // against DuckDB. Integer cents states (order-free, engine-exact).
-      t(s, d, "events")
-        .groupBy(col("user_id"),
-          date_trunc("day", col("ts")).cast("date").as("day"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
-        .orderBy(col("user_id"), col("day"))),
-
-    "b59_cohort_retention" -> ((s, d) => {
-      // cohort retention matrix: customers grouped by first-order
-      // quarter (the cohort), counted as active in each later quarter —
-      // the standard product-analytics triangle. Three aggregations on
-      // explicit keys (per-customer min, distinct activity, matrix
-      // count-distinct), all partial+final; the cohort join is on
-      // custkey, a well-distributed key. Integer counts and truncated
-      // dates only.
-      val o = t(s, d, "orders")
-      val cohort = o.groupBy(col("o_custkey"))
-        .agg(min(col("o_orderdate")).as("first_order"))
-        .select(col("o_custkey"),
-          date_trunc("quarter", col("first_order")).cast("date").as("cohort"))
-      val active = o.select(col("o_custkey"),
-          date_trunc("quarter", col("o_orderdate")).cast("date").as("q"))
-        .distinct()
-      active.join(cohort, Seq("o_custkey"))
-        .groupBy(col("cohort"), col("q"))
-        .agg(count_distinct(col("o_custkey")).as("n_active"))
-        .orderBy(col("cohort"), col("q"))
-    }),
-
-    "b53_date_spine" -> ((s, d) => {
-      // time-series gap fill: per-priority daily order counts with every
-      // missing day restored as an explicit zero row. The spine explodes
-      // from each group's OWN [min, max] bounds (one aggregate + one
-      // sequence — never a cartesian priorities × calendar join, which
-      // would both plan a CartesianProduct and invent days outside a
-      // group's lifetime). Left join + coalesce(0) fills the gaps;
-      // ~28% of this spine is filled zeros at sf0.01.
-      val daily = t(s, d, "orders")
-        .groupBy(col("o_orderpriority"),
-          date_trunc("day", col("o_orderdate")).as("day"))
-        .agg(count(lit(1)).as("n_orders"))
-      val spine = daily.groupBy(col("o_orderpriority"))
-        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
-        .select(col("o_orderpriority"),
-          explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
-      spine.join(daily, Seq("o_orderpriority", "day"), "left")
-        .select(col("o_orderpriority"), col("day").cast("date").as("day"),
-          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
-        .orderBy(col("o_orderpriority"), col("day"))
-    }),
-
-    "b52_union_evolve" -> ((s, d) => {
-      // schema-evolution union: an "old" extract (no o_orderpriority)
-      // unioned BY NAME with a "new" extract that added the column —
-      // allowMissingColumns null-fills the old rows, positional union
-      // would silently misalign. The daily reality of a 100 TB lake
-      // where old partitions predate a schema change. Narrow op: both
-      // legs stay columnar scans; the aggregate is the usual
-      // partial+final.
-      val o = t(s, d, "orders")
-      val oldExtract = o.where(col("o_orderkey") % 2 === 0)
-        .select(col("o_orderkey"), col("o_totalprice"))
-      val newExtract = o.where(col("o_orderkey") % 2 === 1)
-        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
-      oldExtract.unionByName(newExtract, allowMissingColumns = true)
-        .groupBy(coalesce(col("o_orderpriority"), lit("LEGACY")).as("prio"))
-        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
-        .orderBy(col("prio"))
-    }),
-
-    "b51_exact_moments" -> ((s, d) => {
-      // distributed mean/variance WITHOUT distributed float sums: the
-      // moments (n, Σx, Σx²) are exact integers — quantity as long,
-      // price as cents in DECIMAL(38,0) so Σcents² (~10²⁰) can't wrap —
-      // and the textbook finite-sample formula
-      // var = (n·Σx² − (Σx)²) / (n·(n−1)) runs as ONE fixed IEEE
-      // sequence per output row on those exact values. Order-free at any
-      // parallelism; the doctrine-compliant route to second moments.
-      val li = t(s, d, "lineitem").select(col("l_returnflag"),
-        col("l_quantity").cast("long").as("q"),
-        (col("l_extendedprice").cast("decimal(18,2)") * 100)
-          .cast("decimal(38,0)").as("cents"))
-      li.groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("q")).as("sum_q"),
-          sum(col("q") * col("q")).as("sum_q2"),
-          sum(col("cents")).as("sum_cents"),
-          sum(col("cents") * col("cents")).as("sum_cents2"))
-        .select(col("l_returnflag"), col("n"), col("sum_q"),
-          (col("sum_q").cast("double") / col("n").cast("double")).as("mean_q"),
-          ((col("n") * col("sum_q2") - col("sum_q") * col("sum_q")).cast("double")
-            / (col("n").cast("double") * (col("n") - 1).cast("double"))).as("var_q"),
-          ((col("n") * col("sum_cents2") - col("sum_cents") * col("sum_cents")).cast("double")
-            / (col("n").cast("double") * (col("n") - 1).cast("double")) / lit(10000.0)).as("var_price"))
-        .orderBy(col("l_returnflag"))
-    }),
-
-    "b50_funnel" -> ((s, d) => {
-      // per-view conversion funnel: view → FIRST click within 30 min →
-      // purchase within 2 h of that click, attributed back per user.
-      // Funnel = the b42 interval-join operator CHAINED: each stage is
-      // an equi-join on user_id with the time range as post-filter
-      // (never a BNLJ), and on live streams the identical chain runs
-      // with watermarks end-to-end. Left-join attribution keeps every
-      // view; counts are exact integers.
-      val e = t(s, d, "events")
-      val views = e.where(col("event_type") === "view")
-        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
-      val clicks = e.where(col("event_type") === "click")
-        .select(col("user_id"), col("ts").as("cts"))
-      val purchases = e.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts").as("pts"))
-      val vc = Streams.streamIntervalJoin(views, clicks, "user_id",
-          "vts", "cts", window = "30 minutes", delay = "10 minutes")
-        .groupBy(col("view_id"), col("user_id")).agg(min(col("cts")).as("fc"))
-      val vcp = Streams.streamIntervalJoin(vc, purchases, "user_id",
-          "fc", "pts", window = "2 hours", delay = "10 minutes")
-        .select(col("view_id"), col("user_id")).distinct()
-      views
-        .join(vc.select(col("view_id"), col("user_id"), lit(1).as("clk")),
-          Seq("view_id", "user_id"), "left")
-        .join(vcp.withColumn("pur", lit(1)), Seq("view_id", "user_id"), "left")
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_views"),
-          count(col("clk")).as("n_clicked"),
-          count(col("pur")).as("n_purchased"))
-        .orderBy(col("user_id"))
-    }),
-
-    "b49_json_roundtrip" -> ((s, d) => {
-      // JSON-lines source+sink roundtrip (completes the format matrix:
-      // parquet/ORC/CSV/JSON all both ways); declared read schema, money
-      // as decimal text, aggregate the REREAD data against the oracle's
-      // original parquet — any drift through the format fails the hash
-      val dir = graft.sources.Formats.scratchDir(s, "json_customer", d)
-      graft.sources.Formats.ensureWritten(s, dir) {
-        graft.sources.Formats.writeJsonLines(
-          t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"),
-            col("c_acctbal").cast("decimal(18,2)").as("c_acctbal")), dir)
-      }
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(
-        "c_custkey LONG, c_mktsegment STRING, c_acctbal DECIMAL(18,2)")
-      graft.sources.Formats.readJsonLines(s, dir, schema)
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_cust"),
-          sum(col("c_acctbal")).cast("double").as("sum_bal"))
-        .orderBy(col("c_mktsegment"))
-    }),
-
-    "b35_range_join" -> ((s, d) => {
-      // windowed interval join: clicks in the minute before each purchase,
-      // per user. Binned into window-width time buckets so the plan is a
-      // plain equi-join on (user, bin) — never a BroadcastNestedLoopJoin
-      // (PlanSpec-asserted); b08's as-of join is the 1-NN sibling of this
-      // windowed-count shape. Epoch-micros arithmetic (testdata is
-      // µs-precision, so DuckDB's ns interval arithmetic agrees exactly).
-      val e = t(s, d, "events")
-      val purchases = e.where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("pt"))
-      val clicks = e.where(col("event_type") === "click")
-        .select(col("user_id"), unix_micros(col("ts")).as("ct"))
-      graft.operators.Intervals.countInWindow(purchases, clicks, "user_id",
-          "event_id", "pt", "ct", lo = -60000000L, hi = 0L)
-        .select(col("event_id"), col("user_id"), col("n_in_window").as("n_clicks_60s"))
-        .orderBy(col("event_id"))
-    }),
-
-    "b36_approx_quantile" -> ((s, d) =>
-      // b18 pattern for sketches: the exact discrete median is
-      // oracle-checked directly; the GK-sketch estimate is engine-specific,
-      // so its evidence is a rank-bound boolean — with accuracy 10000 the
-      // rank error is ≤ n/10000 ≈ 60 rows, far inside the p49–p51 band the
-      // bound allows, so a drifting sketch turns the hash red.
-      t(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("median_price"),
-          expr("percentile_disc(0.49) WITHIN GROUP (ORDER BY l_extendedprice)").as("p49"),
-          expr("percentile_disc(0.51) WITHIN GROUP (ORDER BY l_extendedprice)").as("p51"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx"))
-        .select(col("l_returnflag"), col("median_price"),
-          (col("approx") >= col("p49") && col("approx") <= col("p51")).as("approx_ok"))
-        .orderBy(col("l_returnflag"))),
-
-    "b37_bucketed_join" -> ((s, d) => {
-      // Co-located fact-fact join: both sides bucketed + sorted on the join
-      // key at write time (Formats.bucketedTable), so the SortMergeJoin
-      // runs with ZERO Exchange on either side — the at-rest layout that
-      // makes a 100 TB fact-fact join shuffle-free (bucket once at ingest,
-      // join for free thereafter). The merge hint keeps the small-SF demo
-      // honest: auto-broadcast would hide the bucketing, and at real scale
-      // neither fact side broadcasts. Exchange-freeness is plan-asserted
-      // in PlanSpec.
-      val ob = graft.sources.Formats.bucketedTable(s, "orders_by_cust", d,
-        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
-        "o_custkey", buckets = 8)
-      val cb = graft.sources.Formats.bucketedTable(s, "customer_by_cust", d,
-        t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
-        "c_custkey", buckets = 8)
-      ob.hint("merge").join(cb, col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
-        .orderBy(col("c_mktsegment"))
-    }),
-
-    "b38_partition_prune" -> ((s, d) => {
-      // Partition-pruned scan: orders laid out partitionBy(o_orderpriority)
-      // at write time; the equality filter then prunes 4/5 of the
-      // directories at PLANNING time (PartitionFilters, plan-asserted) —
-      // the predicate-column half of the at-rest layout story (b37 buckets
-      // by join key, b38 partitions by filter column). At 100 TB this is
-      // the difference between scanning 20 TB and scanning 100 TB.
-      val dir = graft.sources.Formats.scratchDir(s, "orders_bypriority", d)
-      graft.sources.Formats.ensureWritten(s, dir) {
-        t(s, d, "orders").write.mode("overwrite")
-          .partitionBy("o_orderpriority").parquet(dir)
-      }
-      s.read.parquet(dir)
-        .where(col("o_orderpriority") === "1-URGENT")
-        .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
-        .orderBy(col("o_orderstatus"))
-    }),
-
-    "b39_exists_subquery" -> ((s, d) => {
-      // correlated EXISTS via the Spark 4 DataFrame subquery API
-      // (Dataset.exists + Column.outer); Catalyst rewrites it to a
-      // left-semi hash join on o_custkey — no per-row subquery execution,
-      // same shuffle shape as an explicit semi join at any scale
-      val c = t(s, d, "customer")
-      val o = t(s, d, "orders")
-      c.where(o.where(col("o_custkey") === col("c_custkey").outer() &&
-            col("o_orderpriority") === "1-URGENT").exists())
-        .select(col("c_custkey"), col("c_mktsegment"))
-        .orderBy(col("c_custkey"))
-    }),
-
-    "b41_lateral_join" -> ((s, d) =>
-      // correlated LATERAL subquery through the SQL frontend: each
-      // nation's two highest-balance suppliers. Catalyst decorrelates the
-      // lateral into a ranked join (DecorrelateInnerQuery) — no per-row
-      // re-execution of the subquery, same shuffle shape as a window
-      // top-k at any scale.
-      graft.sources.Catalog.sql(s, d,
-        """SELECT n.n_name, t.s_name, t.s_acctbal
-          |FROM nation n,
-          |LATERAL (SELECT s_name, s_acctbal FROM supplier
-          |         WHERE s_nationkey = n.n_nationkey
-          |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t
-          |ORDER BY n.n_name, t.s_acctbal DESC, t.s_name""".stripMargin)),
-
-    "b40_scalar_subquery" -> ((s, d) => {
-      // orders above 1.5× the global mean price, the mean delivered as an
-      // uncorrelated scalar subquery (one aggregate, result embedded into
-      // the filter — no second pass over the data, no driver round-trip in
-      // the query definition). Exact integer arithmetic (cents, cross-
-      // multiplied) so the comparison is order- and engine-reproducible —
-      // a distributed avg(double) would not be. Cents via a decimal(18,2)
-      // cast, not round(double·100): 2-decimal money sits ~1e-13 from the
-      // decimal, so every engine's double→decimal conversion agrees, while
-      // round()'s half-ulp behavior is engine-specific (the c35 lesson).
-      val oc = t(s, d, "orders").withColumn("cents",
-        (col("o_totalprice").cast("decimal(18,2)") * lit(100)).cast("long"))
-      val sumCents = oc.agg(sum(col("cents"))).scalar()
-      val n = oc.agg(count(lit(1))).scalar()
-      oc.where(col("cents") * lit(2L) * n > lit(3L) * sumCents)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-        .orderBy(col("o_orderkey"))
-    }),
-
-    "b43_window_dist" -> ((s, d) => {
-      // distribution window functions (ntile / percent_rank / cume_dist)
-      // complete the §2B window surface next to rank (b09), frames
-      // (b10/b27), nav (b32). Unique orderBy key ⇒ deterministic ranks;
-      // percent_rank/cume_dist are single IEEE divisions of exact integer
-      // rank/count, identical in any engine. One shuffle on the partition
-      // key, no driver state — the standard window shape at any scale.
-      val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
-      t(s, d, "orders").where(col("o_totalprice") > 150000)
-        .select(col("o_orderkey"), col("o_orderpriority"),
-          ntile(4).over(w).as("quartile"),
-          percent_rank().over(w).as("pr"),
-          cume_dist().over(w).as("cd"))
-        .orderBy(col("o_orderkey"))
-    }),
-
-    "b44_variant_json" -> ((s, d) =>
-      // Spark 4 VARIANT for semi-structured columns: parse_json once into
-      // the binary variant encoding, then typed-path extraction via
-      // variant_get — the shredding-friendly successor to re-parsing JSON
-      // strings per query with from_json (a20) / get_json_object. Narrow
-      // codegen'd pass, no shuffle; pushdown-friendly at rest once
-      // variant shredding lands in the writer.
-      t(s, d, "events")
-        .select(col("event_id"),
-          variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
-        .where(col("k") >= 50)
-        .orderBy(col("event_id"))),
-
-    "b42_stream_interval_join" -> ((s, d) => {
-      // stream-stream interval join, batch parity: every click within
-      // 30 minutes AFTER a view by the same user. The SAME operator
-      // (Streams.streamIntervalJoin — watermarks + time-range condition)
-      // runs on live streams with bounded state; on these static frames
-      // the watermark is a no-op and the plan is an equi-join on user_id
-      // with the range as post-filter (plan-asserted no-BNLJ). Timestamps
-      // are µs-precision so interval arithmetic agrees exactly with the
-      // oracle.
-      val e = t(s, d, "events")
-      val views = e.where(col("event_type") === "view")
-        .select(col("event_id").as("view_id"), col("user_id"),
-          col("ts").as("view_ts"))
-      val clicks = e.where(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"),
-          col("ts").as("click_ts"))
-      Streams.streamIntervalJoin(views, clicks, "user_id",
-          "view_ts", "click_ts", window = "30 minutes", delay = "10 minutes")
-        .select(col("view_id"), col("user_id"), col("click_id"))
-        .orderBy(col("view_id"), col("click_id"))
-    }),
-
-    "b48_stream_interval_left" -> ((s, d) => {
-      // left-outer variant of b42: every view, with its in-window clicks
-      // or a -1 sentinel when none arrived (null-free for the hash gate).
-      // Same operator, joinType="left_outer" — on a live stream the
-      // unmatched views are emitted once the watermark proves no click
-      // can still arrive (see Streams.streamIntervalJoin).
-      val e = t(s, d, "events")
-      val views = e.where(col("event_type") === "view")
-        .select(col("event_id").as("view_id"), col("user_id"),
-          col("ts").as("view_ts"))
-      val clicks = e.where(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"),
-          col("ts").as("click_ts"))
-      Streams.streamIntervalJoin(views, clicks, "user_id",
-          "view_ts", "click_ts", window = "30 minutes", delay = "10 minutes",
-          joinType = "left_outer")
-        .select(col("view_id"), col("user_id"),
-          coalesce(col("click_id"), lit(-1L)).as("click_id"))
-        .orderBy(col("view_id"), col("click_id"))
-    }),
-
-    "b47_salted_skew_join" -> ((s, d) => {
-      // lineitem ⋈ supplier through Scale.saltedJoin: the hot-key-proof
-      // shuffle shape (salt spreads each suppkey over 8 reducers; supplier
-      // replicated 8×). Salting is semantics-preserving, so the oracle is
-      // the PLAIN join — the strongest possible check that the rewrite
-      // changes only where rows move, never what they are.
-      val li = t(s, d, "lineitem")
-        .select(col("l_suppkey"), col("l_extendedprice"))
-      val sup = t(s, d, "supplier")
-        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
-      Scale.saltedJoin(li, sup, "l_suppkey", salts = 8)
-        .groupBy(col("s_nationkey"))
-        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
-        .orderBy(col("s_nationkey"))
-    }),
-
-    "b46_map_type" -> ((s, d) => {
-      // MapType surface: per-priority map of status → order count built
-      // with map_from_entries over a sorted entry array (collect_list
-      // order is partition-dependent; array_sort makes the map layout —
-      // and therefore map_keys order — deterministic), then probed with
-      // element_at / map_filter / map_values / map_keys. The output is
-      // flat scalars only: map columns never reach the hash gate, where
-      // engine-specific key order would be unhashable. Scale: maps are
-      // per-group and bounded by |statuses|; both groupBys are ordinary
-      // partial+final aggregates; every map op is a narrow codegen'd pass.
-      val pc = t(s, d, "orders")
-        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"))
-      pc.groupBy(col("o_orderpriority"))
-        .agg(map_from_entries(
-          array_sort(collect_list(struct(col("o_orderstatus"), col("n"))))).as("m"))
-        .select(col("o_orderpriority"),
-          size(col("m")).as("n_statuses"),
-          coalesce(element_at(col("m"), "F"), lit(0L)).as("n_f"),
-          aggregate(map_values(map_filter(col("m"), (_, v) => v >= 100)),
-            lit(0L), _ + _).as("big_total"),
-          concat_ws(",", map_keys(col("m"))).as("keys_csv"))
-        .orderBy(col("o_orderpriority"))
-    }),
-
-    "b45_join_full_outer" -> ((s, d) => {
-      // full outer join of two independently aggregated sides: customers
-      // with ≥1 big order vs customers in arrears. Full outer cannot
-      // broadcast either side (both must surface their unmatched rows),
-      // so the right plan at any scale is the shuffle-both-sides
-      // SortMergeJoin on the shared key — which is what Catalyst picks.
-      // Outer-side nulls are coalesced to sentinels (null-free output for
-      // the hash gate); side membership is kept as booleans.
-      val big = t(s, d, "orders").where(col("o_totalprice") > 400000)
-        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
-      val neg = t(s, d, "customer").where(col("c_acctbal") < 0)
-        .select(col("c_custkey"), col("c_acctbal"))
-      big.join(neg, col("o_custkey") === col("c_custkey"), "full_outer")
-        .select(
-          coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
-          coalesce(col("n_big"), lit(0L)).as("n_big"),
-          col("n_big").isNotNull.as("has_big"),
-          col("c_acctbal").isNotNull.as("in_arrears"),
-          coalesce(col("c_acctbal"), lit(0.0)).as("acctbal"))
-        .orderBy(col("custkey"))
-    }))
-
-  /** The b124 oracle CTE chain (funnel stage windows → md5 arm → the
-    * 3-row transition stack → hour-bucket histogram → from/conv/cum
-    * coverage frame `k`), shared by the b124 per-arm readout and the b125
-    * contrast so the bucketing and coverage rules can never fork between
-    * the table and its verdict. */
-  private val funnelAbTtcOracleCtes =
-    """WITH ev AS (
-      |  SELECT user_id, ts, event_type FROM events
-      |  WHERE event_type IN ('view','click','signup','purchase')),
-      |s1t AS (SELECT user_id, ts, event_type,
-      |    min(CASE WHEN event_type = 'view' THEN ts END)
-      |      OVER (PARTITION BY user_id) AS s1 FROM ev),
-      |s2t AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
-      |      OVER (PARTITION BY user_id) AS s2 FROM s1t),
-      |s3t AS (SELECT *, min(CASE WHEN event_type = 'signup' AND ts > s2 THEN ts END)
-      |      OVER (PARTITION BY user_id) AS s3 FROM s2t),
-      |s4t AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s3 THEN ts END)
-      |      OVER (PARTITION BY user_id) AS s4 FROM s3t),
-      |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s3) AS s3, max(s4) AS s4
-      |      FROM s4t GROUP BY user_id),
-      |a AS (SELECT *, CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
-      |        AS BIGINT) % 2 AS arm FROM u),
-      |tr AS (
-      |  SELECT arm, 1 AS t, 'view_click' AS transition,
-      |    epoch_us(s1) AS from_us, epoch_us(s2) AS to_us FROM a
-      |  UNION ALL SELECT arm, 2, 'click_signup', epoch_us(s2), epoch_us(s3) FROM a
-      |  UNION ALL SELECT arm, 3, 'signup_purchase', epoch_us(s3), epoch_us(s4) FROM a),
-      |r AS (SELECT arm, t, transition,
-      |        CASE WHEN to_us IS NOT NULL THEN (to_us - from_us) // 3600000000 END AS hrs
-      |      FROM tr WHERE from_us IS NOT NULL),
-      |h AS (SELECT arm, t, transition, hrs, CAST(count(*) AS BIGINT) AS n_users
-      |      FROM r GROUP BY 1,2,3,4),
-      |f AS (SELECT *, CAST(sum(n_users) OVER (PARTITION BY arm, t) AS BIGINT) AS from_users
-      |      FROM h),
-      |k AS (SELECT *, CAST(sum(n_users) OVER (PARTITION BY arm, t) AS BIGINT) AS conv_users,
-      |        CAST(sum(n_users) OVER (PARTITION BY arm, t ORDER BY hrs
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-      |      FROM f WHERE hrs IS NOT NULL)""".stripMargin
-
-  private val bOracles: Map[String, String] = Map(
-    "b115_tpch_q2" ->
-      s"""WITH $psCte,
-        |cost AS (
-        |  SELECT ps_partkey, ps_suppkey, ps_supplycost_c
-        |  FROM ps JOIN supplier ON s_suppkey = ps_suppkey
-        |  JOIN nation ON s_nationkey = n_nationkey
-        |  JOIN region ON n_regionkey = r_regionkey
-        |  WHERE r_name = 'EUROPE')
-        |SELECT CAST(floor(s_acctbal*100+0.5) AS BIGINT) AS s_acctbal_c, s_name, n_name,
-        |  p_partkey, p_type, ps_supplycost_c
-        |FROM part JOIN cost ON p_partkey = ps_partkey
-        |JOIN supplier ON s_suppkey = ps_suppkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |WHERE p_size <= 10 AND p_type = 'LARGE'
-        |  AND ps_supplycost_c = (SELECT min(c2.ps_supplycost_c) FROM cost c2
-        |                         WHERE c2.ps_partkey = p_partkey)
-        |ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
-
-    "b116_tpch_q9" ->
-      s"""WITH $psCte
-        |SELECT n_name AS nation, CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
-        |  CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
-        |      * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))
-        |    - 100 * ps_supplycost_c) AS BIGINT) AS profit_c100
-        |FROM lineitem JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
-        |JOIN part ON p_partkey = l_partkey
-        |JOIN supplier ON s_suppkey = l_suppkey
-        |JOIN orders ON o_orderkey = l_orderkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |WHERE p_name LIKE '%red%'
-        |GROUP BY 1,2 ORDER BY nation, o_year DESC""".stripMargin,
-
-    "b117_tpch_q11" ->
-      s"""WITH $psCte,
-        |v AS (
-        |  SELECT ps_partkey, CAST(sum(ps_supplycost_c * ps_availqty_deci) AS BIGINT) AS value_cd
-        |  FROM ps JOIN supplier ON s_suppkey = ps_suppkey
-        |  JOIN nation ON s_nationkey = n_nationkey
-        |  WHERE n_name = 'NATION_5'
-        |  GROUP BY ps_partkey),
-        |tt AS (SELECT CAST(sum(value_cd) AS BIGINT) AS tot,
-        |         CAST(count(*) AS BIGINT) AS n_parts FROM v)
-        |SELECT ps_partkey, value_cd FROM v CROSS JOIN tt
-        |WHERE CAST(value_cd AS DECIMAL(38,0)) * n_parts > 3 * CAST(tot AS DECIMAL(38,0))
-        |ORDER BY value_cd DESC, ps_partkey""".stripMargin,
-
-    "b118_tpch_q16" ->
-      s"""WITH $psCte
-        |SELECT p_brand, p_type, p_size,
-        |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
-        |FROM ps JOIN part ON p_partkey = ps_partkey
-        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
-        |  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
-        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-        |GROUP BY 1,2,3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
-
-    "b119_tpch_q20" ->
-      s"""WITH $psCte,
-        |yq AS (
-        |  SELECT l_partkey, l_suppkey,
-        |    CAST(sum(CAST(floor(l_quantity*10+0.5) AS BIGINT)) AS BIGINT) AS year_qty_deci
-        |  FROM lineitem
-        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
-        |    AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
-        |  GROUP BY 1,2)
-        |SELECT s_name, CAST(floor(s_acctbal*100+0.5) AS BIGINT) AS s_acctbal_c
-        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |WHERE n_name = 'NATION_7'
-        |  AND s_suppkey IN (
-        |    SELECT ps_suppkey FROM ps LEFT JOIN yq ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
-        |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
-        |      AND ps_availqty_deci > 4 * COALESCE(year_qty_deci, 0))
-        |ORDER BY s_name""".stripMargin,
-
-    "b111_tpch_q7" ->
-      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-        |  CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS l_year,
-        |  CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
-        |    * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) AS BIGINT) AS revenue_c100
-        |FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
-        |JOIN orders ON o_orderkey = l_orderkey
-        |JOIN customer ON c_custkey = o_custkey
-        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
-        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-        |  AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
-        |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
-        |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
-
-    "b112_tpch_q8" ->
-      """WITH all_nations AS (
-        |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
-        |    CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
-        |      * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT)) AS volume,
-        |    n2.n_name AS nation
-        |  FROM part JOIN lineitem ON p_partkey = l_partkey
-        |  JOIN supplier ON s_suppkey = l_suppkey
-        |  JOIN orders ON o_orderkey = l_orderkey
-        |  JOIN customer ON c_custkey = o_custkey
-        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
-        |  JOIN region ON n1.n_regionkey = r_regionkey
-        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
-        |  WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
-        |    AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
-        |    AND CAST(o_orderdate AS DATE) < DATE '1998-01-01')
-        |SELECT o_year,
-        |  CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS BIGINT)
-        |    AS nation_rev_c100,
-        |  CAST(sum(volume) AS BIGINT) AS total_rev_c100,
-        |  (CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS BIGINT) * 10000)
-        |    // CAST(sum(volume) AS BIGINT) AS mkt_share_bp
-        |FROM all_nations GROUP BY o_year ORDER BY o_year""".stripMargin,
-
-    // textbook EXISTS/NOT-EXISTS form — independently checks the
-    // builder's single-shuffle aggregated rewrite
-    "b113_tpch_q21" ->
-      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
-        |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-        |JOIN orders ON o_orderkey = l1.l_orderkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |WHERE o_orderstatus = 'F' AND r_name = 'AFRICA'
-        |  AND CAST(l1.l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
-        |  AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey
-        |              AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-        |                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
-        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-        |                  AND CAST(l3.l_shipdate AS DATE) > CAST(o3.o_orderdate AS DATE) + INTERVAL 90 DAY)
-        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
-
-    "b114_funnel_attribution" ->
-      """WITH ev AS (
-        |  SELECT user_id, ts, event_type, value FROM events
-        |  WHERE event_type IN ('view','click','purchase')),
-        |s1t AS (
-        |  SELECT user_id, ts, event_type, value,
-        |    min(CASE WHEN event_type = 'view' THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s1
-        |  FROM ev),
-        |s2t AS (
-        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s2
-        |  FROM s1t),
-        |s3t AS (
-        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s2 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s3
-        |  FROM s2t),
-        |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s3) AS s3
-        |      FROM s3t GROUP BY user_id),
-        |p AS (SELECT user_id, ts, CAST(floor(value*100+0.5) AS BIGINT) AS pc
-        |      FROM events WHERE event_type = 'purchase'),
-        |j AS (SELECT u.user_id, s1, s2, s3,
-        |        COALESCE(sum(pc), 0) AS purch_c,
-        |        COALESCE(sum(CASE WHEN p.ts > s2 AND p.ts <= s2 + INTERVAL 30 DAY
-        |          THEN pc END), 0) AS attr_c
-        |      FROM u LEFT JOIN p ON u.user_id = p.user_id
-        |      GROUP BY 1,2,3,4)
-        |SELECT user_id,
-        |  CASE WHEN s3 IS NOT NULL THEN 3 WHEN s2 IS NOT NULL THEN 2
-        |    WHEN s1 IS NOT NULL THEN 1 ELSE 0 END AS cohort,
-        |  CAST(purch_c AS BIGINT) AS purchase_c,
-        |  CAST(attr_c AS BIGINT) AS attributed_c,
-        |  COALESCE((CAST(attr_c AS BIGINT) * 1000000)
-        |    // NULLIF(CAST(purch_c AS BIGINT), 0), -1) AS attr_share_ppm
-        |FROM j ORDER BY user_id""".stripMargin,
-
-    "b120_funnel_ttc" ->
-      """WITH ev AS (
-        |  SELECT user_id, ts, event_type FROM events
-        |  WHERE event_type IN ('view','click','signup','purchase')),
-        |s1t AS (SELECT user_id, ts, event_type,
-        |    min(CASE WHEN event_type = 'view' THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s1 FROM ev),
-        |s2t AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s2 FROM s1t),
-        |s3t AS (SELECT *, min(CASE WHEN event_type = 'signup' AND ts > s2 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s3 FROM s2t),
-        |s4t AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s3 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s4 FROM s3t),
-        |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s3) AS s3, max(s4) AS s4
-        |      FROM s4t GROUP BY user_id),
-        |tr AS (
-        |  SELECT 1 AS t, 'view_click' AS transition,
-        |    epoch_us(s1) AS from_us, epoch_us(s2) AS to_us FROM u
-        |  UNION ALL SELECT 2, 'click_signup', epoch_us(s2), epoch_us(s3) FROM u
-        |  UNION ALL SELECT 3, 'signup_purchase', epoch_us(s3), epoch_us(s4) FROM u),
-        |r AS (SELECT t, transition,
-        |        CASE WHEN to_us IS NOT NULL THEN (to_us - from_us) // 3600000000 END AS hrs
-        |      FROM tr WHERE from_us IS NOT NULL),
-        |h AS (SELECT t, transition, hrs, CAST(count(*) AS BIGINT) AS n_users
-        |      FROM r GROUP BY 1,2,3),
-        |f AS (SELECT *, CAST(sum(n_users) OVER (PARTITION BY t) AS BIGINT) AS users_from
-        |      FROM h),
-        |k AS (SELECT t, transition, hrs, n_users, users_from,
-        |        CAST(sum(n_users) OVER (PARTITION BY t ORDER BY hrs
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
-        |      FROM f WHERE hrs IS NOT NULL)
-        |SELECT t, transition, hrs, n_users, cum_users, users_from,
-        |  CAST((cum_users * 1000000) // users_from AS BIGINT) AS ttc_cum_ppm
-        |FROM k ORDER BY t, hrs""".stripMargin,
-
-    "b121_funnel_ab" ->
-      """WITH ev AS (
-        |  SELECT user_id, ts, event_type FROM events
-        |  WHERE event_type IN ('view','click','signup','purchase')),
-        |s1t AS (SELECT user_id, ts, event_type,
-        |    min(CASE WHEN event_type = 'view' THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s1 FROM ev),
-        |s2t AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s2 FROM s1t),
-        |s3t AS (SELECT *, min(CASE WHEN event_type = 'signup' AND ts > s2 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s3 FROM s2t),
-        |s4t AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s3 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s4 FROM s3t),
-        |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s3) AS s3, max(s4) AS s4
-        |      FROM s4t GROUP BY user_id),
-        |a AS (SELECT *, CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
-        |        AS BIGINT) % 2 AS arm FROM u),
-        |pa AS (SELECT arm, CAST(count(s1) AS BIGINT) AS u1, CAST(count(s2) AS BIGINT) AS u2,
-        |         CAST(count(s3) AS BIGINT) AS u3, CAST(count(s4) AS BIGINT) AS u4
-        |       FROM a GROUP BY arm),
-        |p AS (SELECT
-        |  COALESCE(CAST(sum(CASE WHEN arm = 0 THEN u1 END) AS BIGINT), 0) AS c1,
-        |  COALESCE(CAST(sum(CASE WHEN arm = 1 THEN u1 END) AS BIGINT), 0) AS t1,
-        |  COALESCE(CAST(sum(CASE WHEN arm = 0 THEN u2 END) AS BIGINT), 0) AS c2,
-        |  COALESCE(CAST(sum(CASE WHEN arm = 1 THEN u2 END) AS BIGINT), 0) AS t2,
-        |  COALESCE(CAST(sum(CASE WHEN arm = 0 THEN u3 END) AS BIGINT), 0) AS c3,
-        |  COALESCE(CAST(sum(CASE WHEN arm = 1 THEN u3 END) AS BIGINT), 0) AS t3,
-        |  COALESCE(CAST(sum(CASE WHEN arm = 0 THEN u4 END) AS BIGINT), 0) AS c4,
-        |  COALESCE(CAST(sum(CASE WHEN arm = 1 THEN u4 END) AS BIGINT), 0) AS t4
-        |  FROM pa),
-        |st AS (
-        |  SELECT 1 AS stage, 'view' AS event_type, c1 AS ctrl_users, t1 AS trt_users,
-        |    c1 AS cb, t1 AS tb FROM p
-        |  UNION ALL SELECT 2, 'click', c2, t2, c1, t1 FROM p
-        |  UNION ALL SELECT 3, 'signup', c3, t3, c1, t1 FROM p
-        |  UNION ALL SELECT 4, 'purchase', c4, t4, c1, t1 FROM p)
-        |SELECT stage, event_type, ctrl_users, trt_users,
-        |  COALESCE((ctrl_users * 1000000) // NULLIF(cb, 0), -1) AS ctrl_ppm,
-        |  COALESCE((trt_users * 1000000) // NULLIF(tb, 0), -1) AS trt_ppm,
-        |  COALESCE(CAST((CAST(trt_users AS HUGEINT) * cb * 10000)
-        |    // NULLIF(CAST(ctrl_users AS HUGEINT) * tb, 0) AS BIGINT), -1) AS lift_bp
-        |FROM st ORDER BY stage""".stripMargin,
-
-    // per-source gate monitor: the classifier score CTE + one slim
-    // documents projection, exact-ppm keep rate by BIGINT floor division
-    "b122_stream_classifier_parity" -> (classifierScoreCteWhere("") + """,
-        |cj AS (
-        |  SELECT d.source, d.n_chars, s.score
-        |  FROM documents d JOIN cscore s USING (doc_id))
-        |SELECT source, CAST(count(*) AS BIGINT) AS total_docs,
-        |  CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
-        |  CAST(sum(CASE WHEN score >= 0 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
-        |  (CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
-        |    // CAST(count(*) AS BIGINT) AS kept_ppm
-        |FROM cj GROUP BY source ORDER BY source""".stripMargin),
-
-    // b121's funnel CTE + b114's attribution window; the rate lift is
-    // floored in HUGEINT (the b121 rule — DuckDB's // on DECIMAL rounds)
-    "b123_funnel_ab_revenue" ->
-      """WITH ev AS (
-        |  SELECT user_id, ts, event_type, value FROM events
-        |  WHERE event_type IN ('view','click','signup','purchase')),
-        |s1t AS (SELECT user_id, ts, event_type,
-        |    min(CASE WHEN event_type = 'view' THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s1 FROM ev),
-        |s2t AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s2 FROM s1t),
-        |s3t AS (SELECT *, min(CASE WHEN event_type = 'signup' AND ts > s2 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s3 FROM s2t),
-        |s4t AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s3 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s4 FROM s3t),
-        |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s4) AS s4
-        |      FROM s4t GROUP BY user_id),
-        |pr AS (SELECT user_id, ts,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS pc
-        |  FROM events WHERE event_type = 'purchase'),
-        |pu AS (SELECT u.user_id, u.s1, u.s4,
-        |    COALESCE(sum(CASE WHEN p.ts > u.s2
-        |      AND p.ts <= u.s2 + INTERVAL 30 DAY THEN p.pc END), 0) AS attr_c
-        |  FROM u LEFT JOIN pr p USING (user_id)
-        |  GROUP BY u.user_id, u.s1, u.s2, u.s4),
-        |a AS (SELECT *, CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
-        |        AS BIGINT) % 2 AS arm FROM pu),
-        |p AS (SELECT
-        |  COALESCE(CAST(count(CASE WHEN arm = 0 THEN s1 END) AS BIGINT), 0) AS ctrl_users,
-        |  COALESCE(CAST(count(CASE WHEN arm = 1 THEN s1 END) AS BIGINT), 0) AS trt_users,
-        |  COALESCE(CAST(count(CASE WHEN arm = 0 THEN s4 END) AS BIGINT), 0) AS ctrl_purchasers,
-        |  COALESCE(CAST(count(CASE WHEN arm = 1 THEN s4 END) AS BIGINT), 0) AS trt_purchasers,
-        |  COALESCE(CAST(sum(CASE WHEN arm = 0 THEN attr_c END) AS BIGINT), 0) AS ctrl_rev_c,
-        |  COALESCE(CAST(sum(CASE WHEN arm = 1 THEN attr_c END) AS BIGINT), 0) AS trt_rev_c
-        |  FROM a)
-        |SELECT ctrl_users, trt_users, ctrl_purchasers, trt_purchasers,
-        |  ctrl_rev_c, trt_rev_c,
-        |  COALESCE((ctrl_rev_c * 10000) // NULLIF(ctrl_users, 0), -1)
-        |    AS ctrl_rev_per_user_uc,
-        |  COALESCE((trt_rev_c * 10000) // NULLIF(trt_users, 0), -1)
-        |    AS trt_rev_per_user_uc,
-        |  COALESCE(CAST((CAST(trt_rev_c AS HUGEINT) * ctrl_users * 10000)
-        |    // NULLIF(CAST(ctrl_rev_c AS HUGEINT) * trt_users, 0) AS BIGINT), -1)
-        |    AS rev_lift_bp
-        |FROM p""".stripMargin,
-
-    // b123's funnel + attribution CTEs restricted to the watermark-CLOSED
-    // population (the b99 epoch_ms horizon convention) with the 12 h
-    // attribution window matching the streaming honesty bound
-    "b126_stream_funnel_ab_revenue" ->
-      """WITH ev AS (
-        |  SELECT user_id, ts, event_type, value FROM events
-        |  WHERE event_type IN ('view','click','signup','purchase')),
-        |wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM events),
-        |hz AS (SELECT user_id, epoch_ms(max(ts)) AS last_ms FROM ev GROUP BY 1),
-        |s1t AS (SELECT user_id, ts, event_type,
-        |    min(CASE WHEN event_type = 'view' THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s1 FROM ev),
-        |s2t AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s2 FROM s1t),
-        |s3t AS (SELECT *, min(CASE WHEN event_type = 'signup' AND ts > s2 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s3 FROM s2t),
-        |s4t AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s3 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s4 FROM s3t),
-        |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s4) AS s4
-        |      FROM s4t GROUP BY user_id),
-        |cl AS (SELECT u.* FROM u JOIN hz USING (user_id) CROSS JOIN wm
-        |       WHERE hz.last_ms + 43200000 < wm.wm_ms),
-        |pr AS (SELECT user_id, ts,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS pc
-        |  FROM events WHERE event_type = 'purchase'),
-        |pu AS (SELECT u.user_id, u.s1, u.s4,
-        |    COALESCE(sum(CASE WHEN p.ts > u.s2
-        |      AND p.ts <= u.s2 + INTERVAL 12 HOUR THEN p.pc END), 0) AS attr_c
-        |  FROM cl u LEFT JOIN pr p USING (user_id)
-        |  GROUP BY u.user_id, u.s1, u.s2, u.s4),
-        |a AS (SELECT *, CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
-        |        AS BIGINT) % 2 AS arm FROM pu),
-        |p AS (SELECT
-        |  COALESCE(CAST(count(CASE WHEN arm = 0 THEN s1 END) AS BIGINT), 0) AS ctrl_users,
-        |  COALESCE(CAST(count(CASE WHEN arm = 1 THEN s1 END) AS BIGINT), 0) AS trt_users,
-        |  COALESCE(CAST(count(CASE WHEN arm = 0 THEN s4 END) AS BIGINT), 0) AS ctrl_purchasers,
-        |  COALESCE(CAST(count(CASE WHEN arm = 1 THEN s4 END) AS BIGINT), 0) AS trt_purchasers,
-        |  COALESCE(CAST(sum(CASE WHEN arm = 0 THEN attr_c END) AS BIGINT), 0) AS ctrl_rev_c,
-        |  COALESCE(CAST(sum(CASE WHEN arm = 1 THEN attr_c END) AS BIGINT), 0) AS trt_rev_c
-        |  FROM a)
-        |SELECT ctrl_users, trt_users, ctrl_purchasers, trt_purchasers,
-        |  ctrl_rev_c, trt_rev_c,
-        |  COALESCE((ctrl_rev_c * 10000) // NULLIF(ctrl_users, 0), -1)
-        |    AS ctrl_rev_per_user_uc,
-        |  COALESCE((trt_rev_c * 10000) // NULLIF(trt_users, 0), -1)
-        |    AS trt_rev_per_user_uc,
-        |  COALESCE(CAST((CAST(trt_rev_c AS HUGEINT) * ctrl_users * 10000)
-        |    // NULLIF(CAST(ctrl_rev_c AS HUGEINT) * trt_users, 0) AS BIGINT), -1)
-        |    AS rev_lift_bp
-        |FROM p""".stripMargin,
-
-    // b120's TTC machinery with the md5 arm in every key; pN = smallest
-    // hour bucket with N% cumulative coverage, pure BIGINT comparisons.
-    // The WITH chain lives in [[funnelAbTtcOracleCtes]], shared with the
-    // b125 contrast so the bucketing rule can never fork.
-    "b124_funnel_ab_ttc" -> (funnelAbTtcOracleCtes + """
-        |SELECT arm, t, transition, from_users, conv_users,
-        |  CAST((conv_users * 1000000) // from_users AS BIGINT) AS conv_ppm,
-        |  CAST(min(CASE WHEN cum * 2 >= conv_users THEN hrs END) AS BIGINT) AS p50_hrs,
-        |  CAST(min(CASE WHEN cum * 10 >= conv_users * 9 THEN hrs END) AS BIGINT) AS p90_hrs
-        |FROM k GROUP BY 1,2,3,4,5 ORDER BY arm, t""".stripMargin),
-
-    // the contrast: per-arm percentiles off the SAME k frame, pivoted to
-    // one row per transition; the verdict booleans are cleared-BIGINT
-    // products (cov·2 ≥ n for the sign, cov·20 ≥ 11·n + a 20-converter
-    // floor for the cleared margin) — never a ratio, both engines floor
-    // nothing because nothing divides
-    "b125_funnel_ab_ttc_contrast" -> (funnelAbTtcOracleCtes + """,
-        |pct AS (
-        |  SELECT arm, t, transition, conv_users,
-        |    CAST(min(CASE WHEN cum * 2 >= conv_users THEN hrs END) AS BIGINT) AS p50_hrs,
-        |    CAST(min(CASE WHEN cum * 10 >= conv_users * 9 THEN hrs END) AS BIGINT) AS p90_hrs
-        |  FROM k GROUP BY 1,2,3,4),
-        |pv AS (
-        |  SELECT t, transition,
-        |    COALESCE(CAST(max(CASE WHEN arm = 0 THEN conv_users END) AS BIGINT), 0) AS ctrl_convs,
-        |    COALESCE(CAST(max(CASE WHEN arm = 1 THEN conv_users END) AS BIGINT), 0) AS trt_convs,
-        |    COALESCE(CAST(max(CASE WHEN arm = 0 THEN p50_hrs END) AS BIGINT), -1) AS ctrl_p50_hrs,
-        |    COALESCE(CAST(max(CASE WHEN arm = 1 THEN p50_hrs END) AS BIGINT), -1) AS trt_p50_hrs,
-        |    COALESCE(CAST(max(CASE WHEN arm = 0 THEN p90_hrs END) AS BIGINT), -1) AS ctrl_p90_hrs,
-        |    COALESCE(CAST(max(CASE WHEN arm = 1 THEN p90_hrs END) AS BIGINT), -1) AS trt_p90_hrs
-        |  FROM pct GROUP BY 1, 2),
-        |cv AS (
-        |  SELECT pv.t,
-        |    COALESCE(CAST(sum(CASE WHEN k.hrs <= pv.ctrl_p50_hrs THEN k.n_users END)
-        |      AS BIGINT), 0) AS trt_cov_at_ctrl_p50
-        |  FROM pv LEFT JOIN k ON k.t = pv.t AND k.arm = 1
-        |  GROUP BY pv.t)
-        |SELECT pv.t, pv.transition, ctrl_convs, trt_convs,
-        |  ctrl_p50_hrs, trt_p50_hrs, ctrl_p90_hrs, trt_p90_hrs,
-        |  trt_p50_hrs - ctrl_p50_hrs AS d_p50_hrs,
-        |  trt_p90_hrs - ctrl_p90_hrs AS d_p90_hrs,
-        |  cv.trt_cov_at_ctrl_p50,
-        |  (ctrl_convs > 0 AND trt_convs > 0
-        |   AND cv.trt_cov_at_ctrl_p50 * 2 >= trt_convs) AS trt_faster_at_median,
-        |  (ctrl_convs >= 20 AND trt_convs >= 20
-        |   AND cv.trt_cov_at_ctrl_p50 * 20 >= trt_convs * 11) AS speedup_cleared
-        |FROM pv JOIN cv ON pv.t = cv.t ORDER BY pv.t""".stripMargin),
-
-    "b106_tpch_q4" ->
-      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
-        |FROM orders
-        |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
-        |  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
-        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
-        |              AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY)
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-
-    "b107_tpch_q12" ->
-      """SELECT l_linestatus,
-        |  CAST(sum(CASE WHEN COALESCE(o_orderpriority IN ('1-URGENT','2-HIGH'), FALSE) THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS high_line_count,
-        |  CAST(sum(CASE WHEN COALESCE(o_orderpriority IN ('1-URGENT','2-HIGH'), FALSE) THEN 0 ELSE 1 END) AS BIGINT)
-        |    AS low_line_count
-        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |WHERE CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 30 DAY
-        |  AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
-        |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
-        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
-
-    "b108_tpch_q13" ->
-      """WITH oc AS (
-        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt FROM orders
-        |  WHERE o_orderpriority <> '4-NOT SPECIFIED' GROUP BY o_custkey)
-        |SELECT COALESCE(cnt, 0) AS c_count, CAST(count(*) AS BIGINT) AS custdist
-        |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
-        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
-
-    "b109_tpch_q15" ->
-      """WITH revenue AS (
-        |  SELECT l_suppkey AS supplier_no,
-        |    CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
-        |      * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) AS BIGINT) AS total_revenue_c100
-        |  FROM lineitem
-        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
-        |    AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
-        |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, total_revenue_c100
-        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
-        |WHERE total_revenue_c100 = (SELECT max(total_revenue_c100) FROM revenue)
-        |ORDER BY s_suppkey""".stripMargin,
-
-    "b110_tpch_q19" ->
-      """SELECT
-        |  CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
-        |    * (100 - CAST(floor(l_discount*100+0.5) AS BIGINT))) AS BIGINT) AS revenue_c100,
-        |  CAST(count(*) AS BIGINT) AS n_items
-        |FROM lineitem JOIN part ON p_partkey = l_partkey
-        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
-        |       AND l_quantity >= 1 AND l_quantity <= 11)
-        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
-        |       AND l_quantity >= 10 AND l_quantity <= 20)
-        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
-        |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
-
-    "b33_orc_roundtrip" ->
-      """SELECT s_nationkey, count(*) AS n_sup,
-        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
-        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
-    "b34_csv_roundtrip" ->
-      """SELECT p_brand, count(*) AS n_parts, max(p_size) AS max_size,
-        |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
-    "b54_percentile_cont" ->
-      """SELECT l_returnflag,
-        |  quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS q25,
-        |  quantile_cont(CAST(l_quantity AS BIGINT), 0.5) AS median,
-        |  quantile_cont(CAST(l_quantity AS BIGINT), 0.75) AS q75,
-        |  count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    "b55_unpivot" ->
-      """SELECT measure, count(*) AS n, CAST(sum(value) AS BIGINT) AS total,
-        |  min(value) AS mn, max(value) AS mx
-        |FROM (
-        |  SELECT 'l_linenumber' AS measure, CAST(l_linenumber AS BIGINT) AS value FROM lineitem
-        |  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
-        |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem)
-        |GROUP BY measure ORDER BY measure""".stripMargin,
-
-    "b56_recursive_cte" ->
-      """WITH RECURSIVE walk(node, cur, path_sum, depth) AS (
-        |  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT), 0 FROM customer
-        |  UNION ALL
-        |  SELECT node, cur // 2, path_sum + (cur // 2), depth + 1
-        |  FROM walk WHERE cur > 1)
-        |SELECT depth, count(*) AS n_nodes, CAST(sum(path_sum) AS BIGINT) AS ancestor_key_sum
-        |FROM walk WHERE cur = 1
-        |GROUP BY depth ORDER BY depth""".stripMargin,
-
-    "b60_scd2" ->
-      """SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
-        |  lead(epoch_us(ts), 1) OVER w AS valid_to_us,
-        |  lead(epoch_us(ts), 1) OVER w IS NULL AS is_current
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY user_id, event_id""".stripMargin,
-
-    "b61_zorder_key" ->
-      // the same spread-bits ladder, stepwise; pure integer & | << so the
-      // key is bit-identical
-      """WITH s0 AS (
-        |  SELECT o_orderkey,
-        |    (o_custkey & 65535) AS x,
-        |    (date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) & 65535) AS y
-        |  FROM orders),
-        |s1 AS (SELECT o_orderkey, ((x | (x << 8)) & 16711935) AS x, ((y | (y << 8)) & 16711935) AS y FROM s0),
-        |s2 AS (SELECT o_orderkey, ((x | (x << 4)) & 252645135) AS x, ((y | (y << 4)) & 252645135) AS y FROM s1),
-        |s3 AS (SELECT o_orderkey, ((x | (x << 2)) & 858993459) AS x, ((y | (y << 2)) & 858993459) AS y FROM s2),
-        |s4 AS (SELECT o_orderkey, ((x | (x << 1)) & 1431655765) AS x, ((y | (y << 1)) & 1431655765) AS y FROM s3)
-        |SELECT o_orderkey, CAST(x | (y << 1) AS BIGINT) AS zkey
-        |FROM s4 ORDER BY zkey, o_orderkey LIMIT 2000""".stripMargin,
-
-    "b62_share_of_group" ->
-      """WITH rev AS (
-        |  SELECT r_name, n_name,
-        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
-        |  FROM lineitem
-        |  JOIN supplier ON l_suppkey = s_suppkey
-        |  JOIN nation ON s_nationkey = n_nationkey
-        |  JOIN region ON n_regionkey = r_regionkey
-        |  GROUP BY r_name, n_name)
-        |SELECT r_name, n_name, cents,
-        |  CAST((cents * 1000000) // sum(cents) OVER (PARTITION BY r_name) AS BIGINT) AS share_ppm
-        |FROM rev ORDER BY r_name, n_name""".stripMargin,
-
-    "b59_cohort_retention" ->
-      """WITH cohort AS (
-        |  SELECT o_custkey, CAST(date_trunc('quarter', min(o_orderdate)) AS DATE) AS cohort
-        |  FROM orders GROUP BY o_custkey),
-        |active AS (
-        |  SELECT DISTINCT o_custkey, CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q
-        |  FROM orders)
-        |SELECT c.cohort, a.q, count(DISTINCT a.o_custkey) AS n_active
-        |FROM active a JOIN cohort c ON a.o_custkey = c.o_custkey
-        |GROUP BY c.cohort, a.q ORDER BY c.cohort, a.q""".stripMargin,
-
-    "b57_locf" ->
-      """SELECT user_id, event_id,
-        |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
-        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
-        |FROM events
-        |ORDER BY user_id, event_id""".stripMargin,
-
-    "b58_latest_state" ->
-      """SELECT user_id, event_id, event_type, value
-        |FROM (SELECT user_id, event_id, event_type, value,
-        |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |      FROM events)
-        |WHERE rn = 1
-        |ORDER BY user_id""".stripMargin,
-    "b53_date_spine" ->
-      """WITH m AS (SELECT o_orderpriority, date_trunc('day', o_orderdate) AS day, count(*) AS n_orders
-        |           FROM orders GROUP BY 1, 2),
-        |b AS (SELECT o_orderpriority, min(day) AS lo, max(day) AS hi FROM m GROUP BY 1),
-        |sp AS (SELECT o_orderpriority, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b)
-        |SELECT sp.o_orderpriority, CAST(sp.day AS DATE) AS day,
-        |  coalesce(m.n_orders, 0) AS n_orders
-        |FROM sp LEFT JOIN m USING (o_orderpriority, day)
-        |ORDER BY sp.o_orderpriority, sp.day""".stripMargin,
-    "b52_union_evolve" ->
-      """WITH u AS (
-        |  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
-        |  FROM orders WHERE o_orderkey % 2 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, o_totalprice, o_orderpriority
-        |  FROM orders WHERE o_orderkey % 2 = 1)
-        |SELECT coalesce(o_orderpriority, 'LEGACY') AS prio, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM u GROUP BY 1 ORDER BY prio""".stripMargin,
-    "b51_exact_moments" ->
-      // HUGEINT moments in DuckDB ≡ DECIMAL(38,0) in Spark: both exact,
-      // both cast-to-double at the same single point in the formula
-      """WITH li AS (SELECT l_returnflag,
-        |  CAST(l_quantity AS BIGINT) AS q,
-        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |FROM lineitem),
-        |a AS (SELECT l_returnflag, count(*) AS n,
-        |  sum(q) AS sum_q, sum(q * q) AS sum_q2,
-        |  sum(cents) AS sum_cents, sum(cents * cents) AS sum_cents2
-        |  FROM li GROUP BY 1)
-        |SELECT l_returnflag, n, CAST(sum_q AS BIGINT) AS sum_q,
-        |  CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
-        |  CAST(n * sum_q2 - sum_q * sum_q AS DOUBLE)
-        |    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_q,
-        |  CAST(n * sum_cents2 - sum_cents * sum_cents AS DOUBLE)
-        |    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 10000.0 AS var_price
-        |FROM a ORDER BY l_returnflag""".stripMargin,
-    "b50_funnel" ->
-      """WITH v AS (SELECT event_id AS view_id, user_id, ts AS vts FROM events WHERE event_type = 'view'),
-        |c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
-        |pu AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
-        |vc AS (SELECT v.view_id, v.user_id, min(c.cts) AS fc
-        |       FROM v JOIN c ON c.user_id = v.user_id
-        |         AND c.cts >= v.vts AND c.cts < v.vts + INTERVAL 30 MINUTE
-        |       GROUP BY v.view_id, v.user_id),
-        |vcp AS (SELECT DISTINCT vc.view_id, vc.user_id
-        |        FROM vc JOIN pu ON pu.user_id = vc.user_id
-        |          AND pu.pts >= vc.fc AND pu.pts < vc.fc + INTERVAL 2 HOUR)
-        |SELECT v.user_id, count(*) AS n_views,
-        |  count(vc.view_id) AS n_clicked, count(vcp.view_id) AS n_purchased
-        |FROM v LEFT JOIN vc USING (view_id, user_id)
-        |       LEFT JOIN vcp USING (view_id, user_id)
-        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
-    "b49_json_roundtrip" ->
-      """SELECT c_mktsegment, count(*) AS n_cust,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
-        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-    "b35_range_join" ->
-      """SELECT p.event_id, p.user_id, count(c.user_id) AS n_clicks_60s
-        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
-        |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
-        |  ON c.user_id = p.user_id AND c.ts >= p.ts - INTERVAL 1 MINUTE AND c.ts < p.ts
-        |GROUP BY p.event_id, p.user_id ORDER BY p.event_id""".stripMargin,
-    "b36_approx_quantile" ->
-      """SELECT l_returnflag,
-        |  quantile_disc(l_extendedprice, 0.5) AS median_price,
-        |  TRUE AS approx_ok
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "b37_bucketed_join" ->
-      """SELECT c_mktsegment, count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-    "b38_partition_prune" ->
-      """SELECT o_orderstatus, count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM orders WHERE o_orderpriority = '1-URGENT'
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
-    "b63_partitioned_bucketed" ->
-      // layout changes the plan, never the answer: plain filter+join+agg
-      """SELECT c_mktsegment, count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |WHERE o_orderpriority = '1-URGENT'
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-    "b92_hilbert_key" -> hilbertKeySql,
-
-    "b93_hilbert_prune" ->
-      // identical to b64's: the curve rewrite is pure layout, the 2-D
-      // box aggregate is the answer — one oracle, two at-rest layouts
-      """SELECT o_orderstatus, count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM orders
-        |WHERE o_custkey < 80
-        |  AND date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) < 730
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
-
-    "b64_zorder_prune" ->
-      // the z-ordered rewrite is pure layout; the 2-D box is the answer
-      """SELECT o_orderstatus, count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM orders
-        |WHERE o_custkey < 80
-        |  AND date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) < 730
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
-    "b39_exists_subquery" ->
-      """SELECT c_custkey, c_mktsegment FROM customer
-        |WHERE EXISTS (SELECT 1 FROM orders
-        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
-        |ORDER BY c_custkey""".stripMargin,
-    "b40_scalar_subquery" ->
-      """WITH c AS (SELECT o_orderkey, o_custkey, o_totalprice,
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM orders),
-        |st AS (SELECT sum(cents) AS sc, count(*) AS n FROM c)
-        |SELECT o_orderkey, o_custkey, o_totalprice FROM c, st
-        |WHERE cents * 2 * n > 3 * sc ORDER BY o_orderkey""".stripMargin,
-    "b41_lateral_join" ->
-      """SELECT n.n_name, t.s_name, t.s_acctbal
-        |FROM nation n,
-        |LATERAL (SELECT s_name, s_acctbal FROM supplier
-        |         WHERE s_nationkey = n.n_nationkey
-        |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t
-        |ORDER BY n.n_name, t.s_acctbal DESC, t.s_name""".stripMargin,
-    "b42_stream_interval_join" ->
-      """SELECT v.event_id AS view_id, v.user_id, c.event_id AS click_id
-        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
-        |JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
-        |  ON c.user_id = v.user_id
-        |  AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 30 MINUTE
-        |ORDER BY view_id, click_id""".stripMargin,
-    "b48_stream_interval_left" ->
-      """SELECT v.event_id AS view_id, v.user_id, coalesce(c.event_id, -1) AS click_id
-        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
-        |LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
-        |  ON c.user_id = v.user_id
-        |  AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 30 MINUTE
-        |ORDER BY view_id, click_id""".stripMargin,
-    "b47_salted_skew_join" ->
-      // plain join: salting must be invisible in the result
-      """SELECT s_nationkey, count(*) AS n_items,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
-    "b46_map_type" ->
-      // the map is an engine-side container; its observable content is
-      // exactly this per-(priority,status) count relation
-      """WITH pc AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n
-        |            FROM orders GROUP BY 1, 2)
-        |SELECT o_orderpriority,
-        |  CAST(count(*) AS INTEGER) AS n_statuses,
-        |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN n END), 0) AS BIGINT) AS n_f,
-        |  CAST(coalesce(sum(CASE WHEN n >= 100 THEN n END), 0) AS BIGINT) AS big_total,
-        |  string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS keys_csv
-        |FROM pc GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    "b45_join_full_outer" ->
-      """WITH big AS (SELECT o_custkey, count(*) AS n_big FROM orders
-        |             WHERE o_totalprice > 400000 GROUP BY o_custkey),
-        |neg AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0)
-        |SELECT coalesce(o_custkey, c_custkey) AS custkey,
-        |  coalesce(n_big, 0) AS n_big,
-        |  n_big IS NOT NULL AS has_big,
-        |  c_acctbal IS NOT NULL AS in_arrears,
-        |  coalesce(c_acctbal, 0.0) AS acctbal
-        |FROM big FULL OUTER JOIN neg ON o_custkey = c_custkey
-        |ORDER BY custkey""".stripMargin,
-    "b43_window_dist" ->
-      """SELECT o_orderkey, o_orderpriority,
-        |  ntile(4) OVER w AS quartile,
-        |  percent_rank() OVER w AS pr,
-        |  cume_dist() OVER w AS cd
-        |FROM orders WHERE o_totalprice > 150000
-        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin,
-    "b44_variant_json" ->
-      // props is strictly {"k": int}, so a portable RE2 digit-run extract
-      // reproduces the typed variant_get path without requiring a JSON
-      // extension in the oracle engine
-      """SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
-        |FROM events
-        |WHERE CAST(regexp_extract(props, '[0-9]+') AS BIGINT) >= 50
-        |ORDER BY event_id""".stripMargin,
-    "b01_tpch_q1" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  sum(l_quantity) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  count(*) AS count_order,
-        |  sum(l_quantity) / count(*) AS avg_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
-        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
-    "b02_join_broadcast" ->
-      """SELECT p_brand, count(*) AS n,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
-    "b03_join_multi" ->
-      """SELECT r_name, count(*) AS n_items,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name ORDER BY r_name""".stripMargin,
-    "b04_join_left" ->
-      """SELECT c_custkey, count(o_orderkey) AS n_orders,
-        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total
-        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
-    "b05_join_semi" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
-        |ORDER BY c_custkey""".stripMargin,
-    "b06_join_anti" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders
-        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
-        |ORDER BY c_custkey""".stripMargin,
-    "b07_join_theta" ->
-      """SELECT c_custkey, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM orders JOIN customer ON o_custkey = c_custkey AND o_totalprice > c_acctbal * 50
-        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
-    "b08_join_asof" ->
-      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id AS cu, ts AS cts, event_id AS click_id FROM events WHERE event_type = 'click'),
-        |j AS (SELECT p.event_id, p.user_id, c.click_id,
-        |  row_number() OVER (PARTITION BY p.event_id ORDER BY c.cts DESC NULLS LAST, c.click_id DESC NULLS LAST) AS rn
-        |  FROM p LEFT JOIN c ON p.user_id = c.cu AND c.cts <= p.ts)
-        |SELECT event_id, user_id, click_id FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
-    "b09_window_rank" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
-        |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
-        |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
-    "b10_window_running" ->
-      """SELECT o_custkey, o_orderkey,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
-        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
-    "b11_lag_lead" ->
-      """SELECT o_custkey, o_orderkey,
-        |  date_diff('day', lag(o_orderdate, 1) OVER w, o_orderdate) AS days_since_prev,
-        |  lead(o_orderkey, 1) OVER w AS next_order
-        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin,
-    "b27_window_range" ->
-      """SELECT o_custkey, o_orderkey,
-        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
-        |    RANGE BETWEEN 50000 PRECEDING AND 50000 FOLLOWING) AS n_similar
-        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
-    "b12_topk" ->
-      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
-        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
-    "b13_setops" ->
-      """WITH oc AS (SELECT DISTINCT o_custkey AS k FROM orders),
-        |ec AS (SELECT DISTINCT user_id AS k FROM events)
-        |SELECT 'both' AS tag, count(*) AS n FROM (SELECT k FROM oc INTERSECT SELECT k FROM ec)
-        |UNION ALL
-        |SELECT 'only_orders' AS tag, count(*) AS n FROM (SELECT k FROM oc EXCEPT SELECT k FROM ec)
-        |UNION ALL
-        |SELECT 'union' AS tag, count(*) AS n FROM (SELECT k FROM oc UNION SELECT k FROM ec)
-        |ORDER BY tag""".stripMargin,
-    "b31_setops_all" ->
-      """WITH a AS (SELECT l_returnflag AS f FROM lineitem),
-        |b AS (SELECT l_returnflag AS f FROM lineitem WHERE l_quantity > 25)
-        |SELECT 'intersect_all' AS op, f, count(*) AS n
-        |FROM (SELECT f FROM a INTERSECT ALL SELECT f FROM b) GROUP BY f
-        |UNION ALL
-        |SELECT 'except_all' AS op, f, count(*) AS n
-        |FROM (SELECT f FROM a EXCEPT ALL SELECT f FROM b) GROUP BY f
-        |ORDER BY op, f""".stripMargin,
-    "b32_window_nav" ->
-      """SELECT o_custkey, o_orderkey,
-        |  first_value(o_orderkey) OVER w AS first_order,
-        |  last_value(o_orderkey) OVER w AS last_order,
-        |  nth_value(o_orderkey, 2) OVER w AS second_order
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin,
-    "b14_distinct" ->
-      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-    "b15_rollup" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
-        |  count(*) AS n, sum(l_quantity) AS sum_qty
-        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY rf, ls""".stripMargin,
-    "b21_cube" ->
-      """SELECT coalesce(o_orderpriority, 'ALL') AS prio,
-        |  coalesce(CAST(year(o_orderdate) AS INTEGER), -1) AS yr,
-        |  count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM orders GROUP BY CUBE (o_orderpriority, year(o_orderdate))
-        |ORDER BY prio, yr""".stripMargin,
-    "b30_math_fns" ->
-      """SELECT l_orderkey, l_linenumber AS ln,
-        |  abs(l_discount - 0.05) AS d_abs,
-        |  sqrt(l_quantity) AS q_sqrt,
-        |  CAST(floor(l_extendedprice / 100) AS BIGINT) AS p_floor,
-        |  CAST(ceil(l_extendedprice / 100) AS BIGINT) AS p_ceil,
-        |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS d_sign,
-        |  l_linenumber % 3 AS ln_mod
-        |FROM lineitem ORDER BY l_orderkey, ln, d_abs, q_sqrt""".stripMargin,
-    "b28_pivot" ->
-      """SELECT l_returnflag,
-        |  count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
-        |  count(*) FILTER (WHERE l_linestatus = 'O') AS n_o
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "b29_percentile_disc" ->
-      """SELECT o_orderpriority,
-        |  quantile_disc(o_totalprice, 0.5) AS p50,
-        |  quantile_disc(o_totalprice, 0.9) AS p90
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    "b16_string_fns" ->
-      """SELECT p_partkey, lower(p_brand) AS brand_lower, substring(p_name, 1, 5) AS name5,
-        |  regexp_extract(p_type, '^(\w+)', 1) AS type_head,
-        |  CAST(len(string_split(p_type, ' ')) AS BIGINT) AS type_words
-        |FROM part ORDER BY p_partkey""".stripMargin,
-    "b17_date_fns" ->
-      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-        |FROM orders GROUP BY month ORDER BY month""".stripMargin,
-    "b18_approx_distinct" ->
-      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
-        |  TRUE AS approx_ok
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "b19_window_tumbling" ->
-      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
-        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY window_start, event_type ORDER BY window_start, event_type""".stripMargin,
-    // Spark's sliding window(ts, 1h, 30m) assigns each event to the two
-    // epoch-aligned 30-minute starts within the hour before it; reproduced
-    // with integer epoch-millisecond arithmetic (no engine-specific
-    // time_bucket origins).
-    "b22_window_sliding" ->
-      """WITH w AS (
-        |  SELECT unnest(ARRAY[
-        |      make_timestamp((epoch_ms(ts) // 1800000) * 1800000 * 1000),
-        |      make_timestamp(((epoch_ms(ts) // 1800000) - 1) * 1800000 * 1000)
-        |    ]) AS window_start,
-        |    event_type
-        |  FROM events)
-        |SELECT window_start, event_type, count(*) AS n
-        |FROM w GROUP BY window_start, event_type
-        |ORDER BY window_start, event_type""".stripMargin,
-    "b26_grouping_sets" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
-        |  coalesce(l_linestatus, 'ALL') AS ls,
-        |  count(*) AS n
-        |FROM lineitem
-        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        |ORDER BY rf, ls""".stripMargin,
-    "b24_sql" ->
-      """SELECT o_orderpriority, count(*) AS n, min(o_orderkey) AS first_key
-        |FROM orders WHERE o_totalprice > 100000
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    "b25_skew_distinct" ->
-      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_distinct
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "b23_join_supplier" ->
-      """SELECT n_name, count(*) AS n_items,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin,
-    "b20_sessionize" ->
-      """WITH x AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |y AS (
-        |  SELECT user_id, ts,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM x)
-        |SELECT CAST(min(ts) AS TIMESTAMP) AS session_start,
-        |  CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
-        |  user_id, count(*) AS n
-        |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
-
-    "b68_sketch_rollup" ->
-      // exact weekly distinct hash-checked; the union-of-daily-sketches
-      // estimate is engine-specific, so (as b18) its evidence is the
-      // 5% bound the oracle asserts TRUE. date_trunc('week') is
-      // Monday-anchored in both engines.
-      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
-        |  count(DISTINCT date_trunc('day', ts)) AS n_days,
-        |  count(DISTINCT user_id) AS exact_users,
-        |  TRUE AS rollup_ok
-        |FROM events GROUP BY week ORDER BY week""".stripMargin,
-
-    "b66_merge_apply" ->
-      // same compaction (row_number ≡ max_by on the same total order) and
-      // the same merge CASE branches; payload doubles pass through raw
-      """WITH base AS (
-        |  SELECT user_id, value FROM (
-        |    SELECT user_id, value,
-        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |    FROM events WHERE ts < TIMESTAMP '2024-01-16') WHERE rn = 1),
-        |chg AS (
-        |  SELECT user_id, value,
-        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op FROM (
-        |    SELECT user_id, event_type, value,
-        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |    FROM events WHERE ts >= TIMESTAMP '2024-01-16') WHERE rn = 1)
-        |SELECT coalesce(b.user_id, c.user_id) AS user_id,
-        |  CASE WHEN c.op = 'U' THEN c.value ELSE b.value END AS value,
-        |  CASE WHEN c.op IS NULL THEN 'carry'
-        |       WHEN b.user_id IS NULL THEN 'insert'
-        |       ELSE 'update' END AS src
-        |FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
-        |WHERE c.op IS NULL OR c.op <> 'D'
-        |ORDER BY user_id""".stripMargin,
-
-    "b67_interval_coverage" ->
-      // identical sweep in integer epoch-micros: island break when s
-      // exceeds the running max of prior interval ends
-      """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s,
-        |              epoch_us(ts) + 1800000000 AS e FROM events),
-        |x AS (SELECT user_id, event_id, s, e,
-        |        max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
-        |      FROM iv),
-        |y AS (SELECT user_id, event_id, s, e,
-        |        CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS brk FROM x),
-        |z AS (SELECT user_id, s, e,
-        |        sum(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
-        |          ROWS UNBOUNDED PRECEDING) AS island FROM y),
-        |i AS (SELECT user_id, island, max(e) - min(s) AS cov
-        |      FROM z GROUP BY user_id, island)
-        |SELECT user_id, count(*) AS n_islands, CAST(sum(cov) AS BIGINT) AS covered_micros
-        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    "b69_ivm_merge" ->
-      // the FULL recompute — equality with the state merge is the claim
-      """WITH e AS (SELECT user_id,
-        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
-        |SELECT user_id, count(*) AS n_events,
-        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
-        |  min(cents) AS min_cents, max(cents) AS max_cents,
-        |  CAST(sum(cents) // count(*) AS BIGINT) AS avg_cents_floor
-        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    "b70_interpolate" ->
-      // same grid + bracketing windows + cleared-denominator weighted
-      // mean; all operands non-negative BIGINTs so // ≡ div
-      """WITH obs0 AS (
-        |  SELECT user_id, epoch_us(ts) // 3600000000 AS h,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
-        |    row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 3600000000
-        |      ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events),
-        |k AS (SELECT user_id, h, cents FROM obs0 WHERE rn = 1),
-        |span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM k GROUP BY user_id),
-        |grid AS (SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM span),
-        |j AS (SELECT g.user_id, g.h, k.cents FROM grid g
-        |      LEFT JOIN k ON k.user_id = g.user_id AND k.h = g.h),
-        |w AS (SELECT user_id, h, cents,
-        |  last_value(cents IGNORE NULLS) OVER back AS pv,
-        |  last_value(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS) OVER back AS ph,
-        |  first_value(cents IGNORE NULLS) OVER fwd AS nv,
-        |  first_value(CASE WHEN cents IS NOT NULL THEN h END IGNORE NULLS) OVER fwd AS nh
-        |  FROM j WINDOW
-        |    back AS (PARTITION BY user_id ORDER BY h
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |    fwd AS (PARTITION BY user_id ORDER BY h
-        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-        |SELECT user_id, h AS hour_id,
-        |  CAST(CASE WHEN cents IS NOT NULL THEN cents
-        |       ELSE (pv * (nh - h) + nv * (h - ph)) // (nh - ph) END AS BIGINT) AS val_cents,
-        |  CASE WHEN cents IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
-        |FROM w ORDER BY user_id, hour_id""".stripMargin,
-
-    "b71_equidepth_hist" ->
-      // identical integer bucket rule over the distinct-value frame
-      """WITH vc AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
-        |              count(*) AS cnt
-        |            FROM lineitem GROUP BY 1),
-        |c AS (SELECT v, cnt,
-        |        sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
-        |                       AND CURRENT ROW) AS cum,
-        |        sum(cnt) OVER () AS n
-        |      FROM vc)
-        |SELECT CAST(((cum - 1) * 16) // n AS BIGINT) AS bin,
-        |  min(v) AS lo, max(v) AS hi, CAST(sum(cnt) AS BIGINT) AS n_rows
-        |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
-
-    "b79_dynamic_partition_prune" ->
-      """WITH dim(p, urgency) AS (VALUES
-        |  ('1-URGENT', 'high'), ('2-HIGH', 'high'), ('3-MEDIUM', 'low'),
-        |  ('4-NOT SPECIFIED', 'low'), ('5-LOW', 'low'))
-        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
-        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
-        |FROM orders JOIN dim ON o_orderpriority = p
-        |WHERE urgency = 'high'
-        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
-
-    "b78_stream_hll_parity" ->
-      // exact distinct per closed hour window; the HLL estimate is
-      // checked Spark-side as the bound boolean (b18 pattern)
-      """WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM events),
-        |w AS (SELECT date_trunc('hour', ts) AS ws, user_id FROM events)
-        |SELECT epoch_us(ws) AS w_start_us,
-        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
-        |  TRUE AS approx_ok
-        |FROM w CROSS JOIN wm
-        |WHERE ws + INTERVAL 1 HOUR <= wm.wm
-        |GROUP BY ws ORDER BY w_start_us""".stripMargin,
-
-    "b98_tpch_q18" ->
-      """WITH big AS (
-        |  SELECT l_orderkey,
-        |    CAST(sum(CAST(floor(l_quantity * 10 + 0.5) AS BIGINT)) AS BIGINT) AS total_qty_deci
-        |  FROM lineitem GROUP BY l_orderkey
-        |  HAVING sum(CAST(floor(l_quantity * 10 + 0.5) AS BIGINT)) > 3000)
-        |SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
-        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
-        |  total_qty_deci
-        |FROM orders
-        |JOIN big ON o_orderkey = l_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100""".stripMargin,
-
-    // the Series.funnelStageTimes machine in SQL (chained strictly-after
-    // mins) + the ms-granular horizon cut the stream's timeout clock uses
-    "b99_stream_funnel_parity" ->
-      """WITH f AS (SELECT user_id, event_type, ts FROM events
-        |           WHERE event_type IN ('view', 'click', 'purchase')),
-        |wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM events),
-        |s1 AS (SELECT user_id, min(ts) AS s1 FROM f WHERE event_type = 'view' GROUP BY 1),
-        |s2 AS (SELECT f.user_id, min(f.ts) AS s2 FROM f JOIN s1 USING (user_id)
-        |       WHERE f.event_type = 'click' AND f.ts > s1.s1 GROUP BY 1),
-        |s3 AS (SELECT f.user_id, min(f.ts) AS s3 FROM f JOIN s2 USING (user_id)
-        |       WHERE f.event_type = 'purchase' AND f.ts > s2.s2 GROUP BY 1),
-        |hz AS (SELECT user_id, epoch_ms(max(ts)) AS last_ms FROM f GROUP BY 1)
-        |SELECT hz.user_id, epoch_us(s1.s1) AS s1_us, epoch_us(s2.s2) AS s2_us,
-        |  epoch_us(s3.s3) AS s3_us
-        |FROM hz LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
-        |  LEFT JOIN s3 USING (user_id) CROSS JOIN wm
-        |WHERE hz.last_ms + 1800000 < wm.wm_ms
-        |ORDER BY hz.user_id""".stripMargin,
-
-    "b100_tpch_q14" ->
-      """WITH r AS (
-        |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
-        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-        |      * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev,
-        |    p_type = 'PROMO' AS is_promo
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
-        |SELECT month,
-        |  CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END) AS BIGINT) AS promo_rev_c100,
-        |  CAST(sum(rev) AS BIGINT) AS total_rev_c100,
-        |  (CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END) AS BIGINT) * 10000)
-        |    // CAST(sum(rev) AS BIGINT) AS promo_bp
-        |FROM r GROUP BY month ORDER BY month""".stripMargin,
-
-    // the mean gate clears denominators (bal·n > sum) — no float average
-    "b101_tpch_q22" ->
-      """WITH c AS (SELECT c_custkey, c_nationkey,
-        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c FROM customer),
-        |a AS (SELECT CAST(sum(bal_c) AS BIGINT) AS s, count(*) AS n FROM c WHERE bal_c > 0)
-        |SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
-        |  CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
-        |FROM c CROSS JOIN a
-        |JOIN nation ON c_nationkey = n_nationkey
-        |WHERE bal_c * a.n > a.s
-        |  AND NOT EXISTS (SELECT 1 FROM orders
-        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
-        |GROUP BY n_name ORDER BY n_name""".stripMargin,
-
-    "b95_tpch_q3" ->
-      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
-        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-        |    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_c100
-        |FROM customer
-        |JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON o_orderkey = l_orderkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND CAST(o_orderdate AS DATE) < DATE '1996-06-30'
-        |  AND CAST(l_shipdate AS DATE) > DATE '1996-06-30'
-        |GROUP BY 1, 2, 3
-        |ORDER BY revenue_c100 DESC, l_orderkey LIMIT 10""".stripMargin,
-
-    "b96_tpch_q5" ->
-      """SELECT n_name,
-        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-        |    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_c100
-        |FROM customer
-        |JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON o_orderkey = l_orderkey
-        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'ASIA'
-        |  AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
-        |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
-        |GROUP BY n_name
-        |ORDER BY revenue_c100 DESC, n_name""".stripMargin,
-
-    "b97_tpch_q10" ->
-      """SELECT c_custkey, c_name, c_acctbal, n_name,
-        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-        |    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_c100
-        |FROM customer
-        |JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON o_orderkey = l_orderkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |WHERE l_returnflag = 'R'
-        |  AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
-        |  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
-        |GROUP BY 1, 2, 3, 4
-        |ORDER BY revenue_c100 DESC, c_custkey LIMIT 20""".stripMargin,
-
-    // identical chained conditional-min windows; DuckDB's FILTER clause
-    // is the CASE form's equivalent, kept as CASE for symmetry
-    "b94_funnel" ->
-      """WITH s1t AS (
-        |  SELECT user_id, ts, event_type,
-        |    min(CASE WHEN event_type = 'view' THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s1
-        |  FROM events),
-        |s2t AS (
-        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s2
-        |  FROM s1t),
-        |s3t AS (
-        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s2 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s3
-        |  FROM s2t),
-        |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s3) AS s3
-        |      FROM s3t GROUP BY user_id),
-        |c AS (SELECT CAST(count(s1) AS BIGINT) AS u1, CAST(count(s2) AS BIGINT) AS u2,
-        |        CAST(count(s3) AS BIGINT) AS u3 FROM u)
-        |SELECT 1 AS stage, 'view' AS event_type, u1 AS users,
-        |  (u1 * 1000000) // NULLIF(u1, 0) AS conv_ppm FROM c
-        |UNION ALL SELECT 2, 'click', u2, (u2 * 1000000) // NULLIF(u1, 0) FROM c
-        |UNION ALL SELECT 3, 'purchase', u3, (u3 * 1000000) // NULLIF(u1, 0) FROM c
-        |ORDER BY stage""".stripMargin,
-
-    "b91_stream_sliding_hll" ->
-      // sliding windows unrolled as the k ∈ {0,1} slide offsets of the
-      // event's 30-min bucket: start ≡ 0 (mod slide) and ts ∈
-      // [start, start + 1h) — exactly Spark's window(ts, 1h, 30m)
-      // assignment; closed = end ≤ max(ts) − delay, the b78 shape
-      """WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM events),
-        |w AS (SELECT time_bucket(INTERVAL '30 minutes', ts)
-        |        - k.k * INTERVAL '30 minutes' AS ws, user_id
-        |      FROM events CROSS JOIN (VALUES (0), (1)) k(k))
-        |SELECT epoch_us(ws) AS w_start_us,
-        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
-        |  TRUE AS approx_ok
-        |FROM w CROSS JOIN wm
-        |WHERE ws + INTERVAL 1 HOUR <= wm.wm
-        |GROUP BY ws ORDER BY w_start_us""".stripMargin,
-
-    "b77_period_over_period" ->
-      // same sign-split bps rule (magnitude // then sign) — see the
-      // Spark-side comment on the DuckDB-floor vs Spark-trunc difference
-      """WITH m AS (
-        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
-        |  FROM orders GROUP BY 1),
-        |x AS (SELECT month, rev_cents,
-        |        lag(rev_cents, 1) OVER (ORDER BY month) AS prev_cents FROM m)
-        |SELECT month, rev_cents, prev_cents,
-        |  rev_cents - prev_cents AS delta_cents,
-        |  CAST(CASE WHEN rev_cents - prev_cents >= 0 THEN 1 ELSE -1 END
-        |    * ((abs(rev_cents - prev_cents) * 10000) // NULLIF(prev_cents, 0)) AS BIGINT) AS change_bps
-        |FROM x ORDER BY month""".stripMargin,
-
-    "b76_expectations" ->
-      """WITH rc AS (
-        |  SELECT
-        |    CAST(sum(CASE WHEN o_orderkey IS NULL OR o_custkey IS NULL
-        |                    OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null_keys,
-        |    CAST(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS totalprice_positive,
-        |    CAST(sum(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS BIGINT) AS totalprice_le_100k,
-        |    CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1992-01-01'
-        |                    OR CAST(o_orderdate AS DATE) >= DATE '2002-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS orderdate_in_range,
-        |    CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM',
-        |                    '4-NOT SPECIFIED', '5-LOW') THEN 1 ELSE 0 END) AS BIGINT) AS priority_domain
-        |  FROM orders),
-        |up AS (
-        |  SELECT 'not_null_keys' AS "check", not_null_keys AS n_viol FROM rc
-        |  UNION ALL SELECT 'totalprice_positive', totalprice_positive FROM rc
-        |  UNION ALL SELECT 'totalprice_le_100k', totalprice_le_100k FROM rc
-        |  UNION ALL SELECT 'orderdate_in_range', orderdate_in_range FROM rc
-        |  UNION ALL SELECT 'priority_domain', priority_domain FROM rc
-        |  UNION ALL SELECT 'custkey_fk', CAST(count(*) AS BIGINT) FROM orders o
-        |    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
-        |  UNION ALL SELECT 'orderkey_unique', CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
-        |    (SELECT count(*) AS c FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
-        |SELECT "check", n_viol FROM up ORDER BY "check"""".stripMargin,
-
-    "b75_winsorize" ->
-      // the same explicit inverse-CDF rule over the distinct-value frame
-      // (NOT quantile_disc — one shared integer definition on both
-      // engines), then the same clamp
-      """WITH li AS (SELECT l_returnflag AS flag,
-        |              CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
-        |            FROM lineitem),
-        |vc AS (SELECT flag, cents, count(*) AS cnt FROM li GROUP BY 1, 2),
-        |c AS (SELECT flag, cents, cnt,
-        |        sum(cnt) OVER (PARTITION BY flag ORDER BY cents) AS cum,
-        |        sum(cnt) OVER (PARTITION BY flag) AS n
-        |      FROM vc),
-        |e AS (SELECT flag, min(CASE WHEN cum * 20 >= n THEN cents END) AS lo,
-        |             min(CASE WHEN cum * 20 >= 19 * n THEN cents END) AS hi
-        |      FROM c GROUP BY flag)
-        |SELECT li.flag, CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
-        |  CAST(sum(greatest(lo, least(hi, cents))) AS BIGINT) AS sum_winsorized,
-        |  CAST(sum(CASE WHEN cents < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
-        |  CAST(sum(CASE WHEN cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
-        |FROM li JOIN e USING (flag) GROUP BY li.flag ORDER BY flag""".stripMargin,
-
-    "b74_attribution" ->
-      """WITH w AS (
-        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
-        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
-        |      OVER lb AS click_id0,
-        |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
-        |      OVER lb AS click_us0
-        |  FROM events
-        |  WINDOW lb AS (PARTITION BY user_id ORDER BY ts, event_id
-        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-        |SELECT event_id AS purchase_id, user_id,
-        |  CASE WHEN click_us0 IS NOT NULL AND us - click_us0 <= 604800000000 THEN click_id0 END AS click_id,
-        |  CASE WHEN click_us0 IS NOT NULL AND us - click_us0 <= 604800000000 THEN us - click_us0 END AS gap_us
-        |FROM w WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin,
-
-    "b73_twap" ->
-      // identical lead-window areas; durations tile the span so the sum
-      // is bounded by max_cents · span — no overflow at any row count
-      """WITH o AS (SELECT user_id, epoch_us(ts) AS us, event_id,
-        |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
-        |x AS (SELECT user_id, us, cents,
-        |        lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt FROM o),
-        |g AS (SELECT user_id, count(*) AS n_obs,
-        |        max(us) - min(us) AS span_micros,
-        |        CAST(sum(CASE WHEN nxt IS NOT NULL THEN cents * (nxt - us) ELSE 0 END) AS BIGINT) AS area
-        |      FROM x GROUP BY user_id)
-        |SELECT user_id, n_obs, span_micros,
-        |  CAST(area // span_micros AS BIGINT) AS twap_cents
-        |FROM g WHERE span_micros > 0 ORDER BY user_id""".stripMargin,
-
-    "b72_stream_ivm_parity" ->
-      """SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
-        |  count(*) AS n_events,
-        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
-        |FROM events GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
-
-    "b65_stream_session_parity" ->
-      // b20's gaps-and-islands sessionization + the final-watermark cut:
-      // only sessions whose end (last event + gap) the watermark
-      // (max ts - delay) passed — i.e. exactly what the append-mode
-      // native session_window stream has emitted after draining the table
-      """WITH x AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |y AS (
-        |  SELECT user_id, ts,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM x),
-        |sess AS (
-        |  SELECT CAST(min(ts) AS TIMESTAMP) AS session_start,
-        |    CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
-        |    user_id, count(*) AS n
-        |  FROM y GROUP BY user_id, sid)
-        |SELECT session_start, session_end, user_id, n FROM sess
-        |WHERE session_end <= (SELECT max(ts) - INTERVAL 30 MINUTE FROM events)
-        |ORDER BY user_id, session_start""".stripMargin)
-
-  // =================================================================
-  // §2C — LLM-pipeline extensions
-  // =================================================================
-
-  private val cQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c01_dedup_exact" -> ((s, d) =>
-      Dedup.exact(t(s, d, "documents"), "text", "doc_id")
-        .select(col("rep_id"), col("n_dups"))
-        .orderBy(col("rep_id"))),
-
-    "c02_dedup_minhash" -> ((s, d) =>
-      Dedup.minhashPairsOf(docShingleSets(s, d),
-          numPerm = 64, bands = 16, threshold = 0.8)
-        .orderBy(col("a"), col("b"))),
-
-    "c03_dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
-        .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
-        .orderBy(col("a"), col("b"))),
-
-    "c04_ngram_jaccard" -> ((s, d) =>
-      docJaccardPairs(s, d)
-        .orderBy(col("a"), col("b"))),
-
-    "c05_dedup_embedding" -> ((s, d) =>
-      embeddingPairGraph(s, d)
-        .select(col("a"), col("b"))
-        .orderBy(col("a"), col("b"))),
-
-    "c06_ann_brute" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val queries = emb.where(col("vec_id") < 5)
-      Ann.bruteTopK(emb, queries, "vec_id", "embedding", k = 10)
-        .select(col("query_id"), col("item_id"), col("rank"))
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    "c07_ann_ivf" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val queries = emb.where(col("vec_id") < 5)
-      val centroids = emb.where(pmod(col("vec_id"), lit(97)) === 0)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
-      Ann.ivfTopK(emb, queries, centroids, "vec_id", "embedding", k = 10, nprobe = 2)
-        .select(col("query_id"), col("item_id"), col("rank"))
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    "c22_ann_lsh" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val queries = emb.where(col("vec_id") < 5)
-      Ann.lshTopK(emb, queries, "vec_id", "embedding", dim = 64, bits = 5, k = 10)
-        .select(col("query_id"), col("item_id"), col("rank"))
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    "c39_ann_int8_rerank" -> ((s, d) => {
-      // coarse int8-code scan → exact float rerank of the 50 survivors
-      // per query; see Ann.int8Rerank for the determinism + I/O story
-      val emb = t(s, d, "embeddings")
-      val queries = emb.where(col("vec_id") < 5)
-      Ann.int8Rerank(emb, queries, "vec_id", "embedding", k = 10, candidates = 50)
-        .select(col("query_id"), col("item_id"), col("rank"))
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    "c23_split_assign" -> ((s, d) =>
-      Pipeline.split(t(s, d, "documents").select(col("doc_id")), "doc_id")
-        .orderBy(col("doc_id"))),
-
-    "c24_pack_shards" -> ((s, d) =>
-      Pipeline.packByBudget(
-        t(s, d, "documents").select(col("doc_id"),
-          Text.tokenCount(col("text")).cast("long").as("ws_tokens")),
-        "doc_id", "ws_tokens", budget = 10000L)
-        .orderBy(col("doc_id"))),
-
-    "c25_contamination" -> ((s, d) =>
-      Pipeline.contamination(docShingleSets(s, d),
-          pmod(col("id"), lit(10)) === 7, minShingles = 5)
-        .orderBy(col("train_id"))),
-
-    "c26_stratified_sample" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), Text.langId(col("text")).as("lang"))
-      Pipeline.stratifiedSample(docs, col("lang"), "doc_id", Map("en" -> 30))
-        .orderBy(col("doc_id"))
-    }),
-
-    "c27_dedup_best" -> ((s, d) => {
-      val scores = t(s, d, "documents")
-        .select(col("doc_id"), Text.qualityScore(col("text")).as("score"))
-      Pipeline.bestRepresentative(docClusters(s, d), scores)
-        .orderBy(col("cluster_rep"))
-    }),
-
-    "c28_boilerplate" -> ((s, d) =>
-      // cross-document boilerplate: shingles shared by >= 5 docs (reuses
-      // the persisted shingle index; cross-doc counterpart of c16)
-      Pipeline.boilerplateStats(docShingleSets(s, d), minDf = 5)
-        .select(col("id").as("doc_id"), col("n_sh"), col("n_boiler"), col("boiler_ratio"))
-        .orderBy(col("doc_id"))),
-
-    "c29_length_filter" -> ((s, d) =>
-      // per-language length-band trim: drop each lang's shortest/longest
-      // 5% by n_chars (percentile_disc band, integer-exact cutoffs)
-      Pipeline.lengthBandFilter(t(s, d, "documents"), "lang", "n_chars")
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-        .orderBy(col("doc_id"))),
-
-    "c41_quality_gate" -> ((s, d) =>
-      // keep each language's top-half quality (milli-bucketed integer
-      // rank cut — see Pipeline.qualityGate for why not exact percent_rank)
-      Pipeline.qualityGate(
-          t(s, d, "documents").select(col("doc_id"), col("lang"),
-            Text.qualityScoreNano(col("text")).as("qn")),
-          "lang", col("qn"), keepPct = 50)
-        .select(col("doc_id"), col("lang"), col("qn"), col("qmilli"))
-        .orderBy(col("doc_id"))),
-
-    "c08_lang_id" -> ((s, d) =>
-      t(s, d, "documents")
-        .select(col("doc_id"), Text.langId(col("text")).as("pred_lang"))
-        .orderBy(col("doc_id"))),
-
-    "c09_quality" -> ((s, d) => {
-      val toks = Text.tokens(col("text"))
-      t(s, d, "documents")
-        .select(col("doc_id"),
-          size(toks).cast("long").as("n_tokens"),
-          size(array_distinct(toks)).cast("long").as("n_distinct"),
-          size(filter(toks, tk => tk.isInCollection(Text.stopwordsEn))).cast("long").as("n_stop"),
-          Text.qualityScore(col("text")).as("score"))
-        .orderBy(col("doc_id"))
-    }),
-
-    "c10_token_count" -> ((s, d) =>
-      t(s, d, "documents")
-        .select(col("doc_id"),
-          Text.tokenCount(col("text")).cast("long").as("ws_tokens"),
-          Text.subwordCount(col("text")).cast("long").as("subwords"))
-        .orderBy(col("doc_id"))),
-
-    "c11_fingerprint" -> ((s, d) =>
-      t(s, d, "documents")
-        .select(col("doc_id"), Text.fingerprint(Text.tokens(col("text"))).as("fp"))
-        .orderBy(col("doc_id"))),
-
-    "c17_dedup_clusters" -> ((s, d) =>
-      // near-dup pairs -> connected components -> min-id representative
-      docClusters(s, d)
-        .select(col("id").as("doc_id"), col("cluster_rep"))
-        .orderBy(col("doc_id"))),
-
-    "c18_dedup_apply" -> ((s, d) => {
-      // the actual dedup output: keep every document that is not a
-      // non-representative member of a near-dup cluster
-      val docs = t(s, d, "documents")
-      val members = docClusters(s, d)
-        .where(col("id") =!= col("cluster_rep"))
-        .select(col("id"))
-      docs.join(members, docs("doc_id") === members("id"), "left_anti")
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-        .orderBy(col("doc_id"))
-    }),
-
-    "c19_tfidf" -> ((s, d) => {
-      // corpus TF-IDF, top-3 terms per document. Arithmetic is kept to
-      // IEEE +,*,/ (no transcendental log) so the score ordering is
-      // bit-identical across engines: score = tf · N / df, which ranks
-      // the same as tf · idf for any monotone idf of N/df.
-      val docs = t(s, d, "documents")
-      val tf = docs.select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val n = docs.agg(count(lit(1)).as("n"))
-      val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
-        .withColumn("score", col("tf").cast("double") * col("n") / col("df"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
-      scored.withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 3)
-        .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("rank"))
-        .orderBy(col("doc_id"), col("rank"))
-    }),
-
-    "c20_embedding_clusters" -> ((s, d) =>
-      // semantic dedup: connected components over the exact cosine pair
-      // graph at a tighter threshold — derived for free from the memoized
-      // c05 tile join (its cos column), so no second pairwise pass; the
-      // tighter cut keeps dedup groups tight instead of one giant blob
-      Dedup.clusters(
-          embeddingPairGraph(s, d).where(col("cos") >= 0.42).select(col("a"), col("b")))
-        .select(col("id").as("vec_id"), col("cluster_rep"))
-        .orderBy(col("vec_id"))),
-
-    "c43_weighted_sample" -> ((s, d) =>
-      // 100 docs drawn ∝ token count (longer docs proportionally more
-      // likely) — the token-budget-aware counterpart of c26's uniform
-      // stratified draw; see Pipeline.weightedSample for the integer
-      // ticket construction
-      Pipeline.weightedSample(
-          t(s, d, "documents").select(col("doc_id"),
-            Text.tokenCount(col("text")).cast("long").as("ws_tokens")),
-          "doc_id", col("ws_tokens"), k = 100)
-        .orderBy(col("tick_min"), col("doc_id"))),
-
-    "c44_dup_spans" -> ((s, d) =>
-      // substring-level duplication signal: per doc, total 5-token span
-      // positions and how many of them occur in ≥ 2 distinct docs — the
-      // span/line-dedup quality feature (a doc can be pair-unique yet
-      // mostly built of copied spans). See Dedup.dupSpanStats for the
-      // hash-only shuffle story.
-      Dedup.dupSpanStats(t(s, d, "documents"), "doc_id", "text", spanN = 5)
-        .select(col("id").as("doc_id"), col("n_spans"), col("dup_spans"))
-        .orderBy(col("doc_id"))),
-
-    "c45_pagerank" -> ((s, d) => {
-      // centrality weighting over the real customer↔supplier bipartite
-      // trade graph (distinct (o_custkey, l_suppkey) pairs via
-      // orders ⋈ lineitem, both directions; key namespaces disjoint by
-      // parity). 3 fixed rounds of exact integer PageRank — see
-      // Graph.pageRankNano for the formula and per-round shuffle cost.
-      val li = t(s, d, "lineitem")
-      val eBase = li
-        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
-      val edges = eBase.union(
-        eBase.select(col("dst").as("src"), col("src").as("dst")))
-      val nodes = t(s, d, "customer")
-        .select((col("c_custkey") * 2).as("node"))
-        .union(t(s, d, "supplier").select((col("s_suppkey") * 2 + 1).as("node")))
-      graft.operators.Graph.pageRankNano(edges, nodes, iters = 3)
-        .orderBy(col("node"))
-    }),
-
-    "c47_dup_run" -> ((s, d) =>
-      // longest copied-block extent per doc: max run of consecutive
-      // duplicated 5-token span positions (run r = copied substring of
-      // r+4 tokens) — the "strip long exact substrings" dedup policy
-      // signal, finer than c44's position counts. See Dedup.dupSpanRuns.
-      Dedup.dupSpanRuns(t(s, d, "documents"), "doc_id", "text", spanN = 5)
-        .select(col("id").as("doc_id"), col("max_dup_run"))
-        .orderBy(col("doc_id"))),
-
-    "c48_source_overlap" -> ((s, d) =>
-      // provenance matrix: distinct 5-token spans shared per source pair
-      // (who copies from whom) — the view that decides where
-      // cross-source dedup effort goes. See Dedup.sourceSpanOverlap:
-      // per-hash join fan-out bounded by |sources|, never doc count.
-      Dedup.sourceSpanOverlap(t(s, d, "documents"), "source", "text", spanN = 5)
-        .orderBy(col("source_a"), col("source_b"))),
-
-    "c49_containment" -> ((s, d) =>
-      // directed near-containment (≥90% of the contained doc's distinct
-      // shingles inside the container) — catches short-doc-quoted-in-
-      // long-doc dedup cases whose symmetric jaccard is tiny. Pure
-      // integer threshold; capped inverted index. See
-      // Dedup.containmentPairs.
-      Dedup.containmentPairs(docShingleSets(s, d), containPct = 90)
-        .orderBy(col("contained"), col("container"))),
-
-    "c55_leakproof_split" -> ((s, d) => {
-      // leakage-proof train/val/test split: near-dup docs MUST share a
-      // split — splitting by doc id (c23) can put one copy of a near-
-      // dup pair in train and the other in test, silently inflating
-      // eval. Split key = cluster representative for clustered docs
-      // (own id otherwise), then the same md5 bucketing as c23 — so
-      // whole clusters move between splits as a unit. One left join of
-      // the memoized cluster labels onto the doc list; everything else
-      // is the narrow c23 map.
-      val docs = t(s, d, "documents").select(col("doc_id"))
-      val m = docClusters(s, d).select(col("id").as("doc_id"), col("cluster_rep"))
-      docs.join(m, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cluster_rep"), col("doc_id")).as("skey"))
-        .transform(df => Pipeline.split(df, "skey"))
-        .select(col("doc_id"), col("split"))
-        .orderBy(col("doc_id"))
-    }),
-
-    "c56_bm25_rank" -> ((s, d) =>
-      // integer-exact BM25-lite retrieval scoring against a fixed term
-      // bag (one rare + three head terms, so the idf spread does visible
-      // work): per-(doc, term) rational score with denominators cleared
-      // to a single BIGINT floor division, corpus stats via scalar
-      // subqueries, idf as a |terms|-row broadcast — identical bits in
-      // any engine (see Pipeline.bm25LiteMilli).
-      Pipeline.bm25LiteMilli(t(s, d, "documents"), "doc_id", "text",
-          Seq("dup", "merge", "stream", "window"))
-        .orderBy(col("doc_id"))),
-
-    "c57_hybrid_rrf" -> ((s, d) => {
-      // hybrid retrieval fusion: c56's integer BM25 leg (lexical) and a
-      // dense leg (6dp-rounded cosine to a fixed query vector, the green
-      // c06 cross-engine pattern) are each cut to top-100 by
-      // TakeOrderedAndProject, densely ranked, and fused by
-      // reciprocal-rank fusion — Σ 10⁹ div (60 + rank) BIGINT rationals,
-      // absent leg ⇒ 0 (Pipeline.rrfFuse). The one-row query vector is a
-      // broadcast cross join (bounded-broadcast, audited in
-      // docs/PLANS.md); the fusion join touches only the two 100-row
-      // legs on doc_id. documents.doc_id ≡ embeddings.vec_id by
-      // construction (TESTDATA.md synthetic corpus).
-      val bmLeg = Pipeline.topKRanks(
-        Pipeline.bm25LiteMilli(t(s, d, "documents"), "doc_id", "text",
-            Seq("dup", "merge", "stream", "window"))
-          .select(col("doc_id"), col("score_milli")),
-        "doc_id", "score_milli", 100, "bm25_rank")
-      val emb = t(s, d, "embeddings")
-      val qv = broadcast(
-        emb.where(col("vec_id") === 0).select(col("embedding").as("qv")))
-      val cosLeg = Pipeline.topKRanks(
-        emb.crossJoin(qv).select(col("vec_id").as("doc_id"),
-          Similarity.cosineRounded(col("embedding"), col("qv")).as("cos")),
-        "doc_id", "cos", 100, "cos_rank")
-      Pipeline.rrfFuse(Seq(bmLeg, cosLeg), "doc_id")
-        .withColumn("fused_rank", row_number().over(
-          Window.orderBy(col("rrf_ppb").desc, col("doc_id"))))
-        .orderBy(col("fused_rank"))
-    }),
-
-    "c61_source_cap" -> ((s, d) =>
-      // per-source document cap: at most 5 docs per source, best-first by
-      // the c09 quality score (engine-identical doubles, doc_id
-      // tiebreak) — the "no single domain dominates the mix" curation
-      // guard. Rank-filter shape → WindowGroupLimit: per-task top-5
-      // heaps per source BEFORE the shuffle (plan-asserted).
-      Pipeline.capPerGroup(
-          t(s, d, "documents")
-            .select(col("doc_id"), col("source"),
-              Text.qualityScore(col("text")).as("score")),
-          col("source"), Seq(col("score").desc, col("doc_id").asc), n = 5)
-        .orderBy(col("source"), col("rank"))),
-
-    "c62_triangles" -> ((s, d) =>
-      // per-node triangle counts over the near-dup pair graph — cluster
-      // cohesion (tight cliques vs chains glued by one borderline pair).
-      // Degree-oriented wedge join: no hub blow-up, equi-joins only
-      // (Graph.triangleCounts scaladoc); reuses the memoized c04 pair
-      // graph, so no second shingle pass.
-      graft.operators.Graph.triangleCounts(docJaccardPairs(s, d))
-        .orderBy(col("node"))),
-
-    "c63_semantic_dedup" -> ((s, d) => {
-      // SemDeDup (cluster-then-dedup): nearest-centroid cells (the c07
-      // modulo-97 centroid convention), keep-lowest-id greedy within each
-      // cell at the c05 cosine threshold — the hard-bounded-work point on
-      // the embedding-dedup frontier (exact c05 / LSH c31 / blocked
-      // c63). Centroids broadcast; shuffles only on cell and id.
-      val emb = t(s, d, "embeddings")
-      val cent = emb.where(col("vec_id") % 97 === 0)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
-      Dedup.semanticDedupBlocked(emb, "vec_id", "embedding", cent,
-          threshold = 0.35)
-        .select(col("id").as("vec_id"), col("cell"), col("kept"))
-        .orderBy(col("vec_id"))
-    }),
-
-    "c64_ref_lm_filter" -> ((s, d) => {
-      // CCNet-style importance filtering: score EVERY document under a
-      // bigram LM whose counts come from a REFERENCE slice only (sources
-      // src0–src3 — the "clean corpus" stand-in); low surprisal = close
-      // to the reference domain. The c58 integer floor-log2 arithmetic
-      // with +1 smoothing: surp = flog2(r1+1) − flog2(r12+1) ≥ 0 (r12 ≤
-      // r1 structurally); an unseen transition after a common reference
-      // context scores high, an unseen context scores 0 (uninformative —
-      // the backoff-to-ignorance rule, documented). Plan: reference
-      // lookups are vocab-bounded partial aggregates; the score join
-      // shuffles the position table once on (w1,w2) + once on w1; per-doc
-      // sum on doc_id. At 100 TB the reference-head lookup broadcasts.
-      val bg = docBigramsWithSource(s, d)
-      val all = bg.drop("source")
-      val ref = bg.where(col("source").isin("src0", "src1", "src2", "src3"))
-        .drop("source")
-      val r2 = ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("r2"))
-      val r1 = ref.groupBy(col("w1")).agg(count(lit(1)).as("r1"))
-      all.join(r2, Seq("w1", "w2"), "left").join(r1, Seq("w1"), "left")
-        .select(col("doc_id"),
-          (length(conv(coalesce(col("r1"), lit(0L)) + 1, 10, 2))
-            - length(conv(coalesce(col("r2"), lit(0L)) + 1, 10, 2))).as("surp"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(col("surp")).cast("long").as("ref_surprisal_sum"))
-        .withColumn("surp_milli",
-          expr("(1000 * ref_surprisal_sum) div n_bigrams"))
-        .orderBy(col("doc_id"))
-    }),
-
-    "c78_stream_cms_parity" -> ((s, d) =>
-      // batch parity for the STREAM-maintained count-min sketch
-      // (Streams.streamCountMinCells over user ids, d=4 × width=64):
-      // cell addition commutes, so the drained complete-mode stream
-      // equals this batch build cell-for-cell (StreamingSpec). The
-      // engine-portable md5 bucket hash makes the whole grid
-      // oracle-checkable — exact cells, not just bounds.
-      graft.functions.CountMin.build(
-          t(s, d, "events").select(col("user_id").cast("string").as("tok")),
-          "tok", d = 4, width = 64)
-        .orderBy(col("r"), col("bucket"))),
-
-    "c79_cms_join_size" -> ((s, d) =>
-      // self-join size (F2) read off the c78 count-min cells — the
-      // query-planner "will this join explode, do I need b47 salting"
-      // estimate from d·width integers instead of running the join.
-      // 150 distinct users > width 64 forces collisions, so est > exact
-      // strictly (non-vacuous); both bound booleans are theorem-
-      // guaranteed and the estimate itself is a deterministic integer
-      // under the portable md5 bucket rule (CountMin.selfJoinSizeAudit
-      // scaladoc)
-      graft.functions.CountMin.selfJoinSizeAudit(
-        t(s, d, "events").select(col("user_id").cast("string").as("tok")),
-        "tok", d = 4, width = 64)),
-
-    "b80_heavy_hitters" -> ((s, d) => {
-      // Misra–Gries bounded-state heavy hitters over the lang column
-      // (en ≈ 44% by construction — a real heavy hitter at every sf):
-      // k = 2 < 5 distinct values forces constant evictions/merge
-      // truncations, and the output is the THEOREM-GUARANTEED audit
-      // (capture of every lang with cnt·(k+1) > n; error ≤ n/(k+1)) —
-      // never the order-dependent raw estimates (Folds.MisraGries
-      // scaladoc). Oracle = exact counts + literal TRUE booleans.
-      val docs = t(s, d, "documents").select(coalesce(col("lang"), lit("")).as("lang"))
-      val mg = udaf(new graft.functions.Folds.MisraGries(2))
-      val summary = docs.agg(mg(col("lang")).as("mg"))
-        .select(explode(col("mg.entries")).as("e"))
-        .select(col("e.tok").as("lang"), col("e.est").as("est"))
-      val est0 = coalesce(col("est"), lit(0L))
-      docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
-        .join(summary, Seq("lang"), "left")
-        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
-        .select(col("lang"), col("cnt"),
-          (col("cnt") * 3 > col("n")).as("is_heavy"),
-          (!(col("cnt") * 3 > col("n")) || est0 > 0).as("captured"),
-          (est0 <= col("cnt") && (col("cnt") - est0) * 3 <= col("n")).as("bound_ok"))
-        .orderBy(col("lang"))
-    }),
-
-    "c80_jl_projection" -> ((s, d) =>
-      // hash-sign Johnson–Lindenstrauss projection 64 → 16 dims — the
-      // seed-free, matrix-free pre-LSH dimensionality reducer
-      // (Ann.jlProjectHashSign scaladoc: sign matrix computed once on a
-      // 1-row broadcast, per-row integer fold, zero shuffle)
-      graft.operators.Ann.jlProjectHashSign(
-          t(s, d, "embeddings"), "vec_id", "embedding", outDims = 16)
-        .orderBy(col("vec_id"), col("j"))),
-
-    "c81_cms_join_size_2t" -> ((s, d) =>
-      // cross-table join-size estimate — |events ⋈ customer| on the user
-      // key as the INNER PRODUCT of two c78-style sketches (min_r over
-      // Σ_b cellA·cellB): the two-100-TB-tables planner estimate from
-      // 2·d·width integers, no raw-row join executed
-      // (CountMin.joinSizeAudit scaladoc). Domains overlap partially
-      // (user_id 0..149 vs c_custkey 1..N), so exact_join is nontrivial.
-      graft.functions.CountMin.joinSizeAudit(
-        t(s, d, "events").select(col("user_id").cast("string").as("tok")),
-        t(s, d, "customer").select(col("c_custkey").cast("string").as("tok")),
-        "tok", d = 4, width = 64)),
-
-    "b81_skew_profile" -> ((s, d) =>
-      // key-skew diagnostic (Scale.keySkewProfile scaladoc): max/mean
-      // ratio + Gini over the key distribution, integer-exact and
-      // tie-insensitive — what you read before choosing b47 salting /
-      // AQE skew split, next to c79's join-size estimate
-      graft.operators.Scale.keySkewProfile(
-        t(s, d, "events").select(col("user_id")), "user_id")),
-
-    "c82_jl_lsh_pairs" -> ((s, d) =>
-      // the scale path COMPOSED end-to-end: JL 64→16 integer projection
-      // (c80) → exact-integer hyperplane signatures → banded bucket
-      // self-join → in-stream exact cosine verify on the ORIGINAL
-      // vectors, c05's 6dp contract (Ann.jlLshPairs scaladoc). Fully
-      // deterministic — the oracle replays the identical integer
-      // signature pipeline, so this checks the composition exactly, not
-      // just its recall.
-      graft.operators.Ann.jlLshPairs(
-          t(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.35)
-        .orderBy(col("a"), col("b"))),
-
-    "b82_event_paths" -> ((s, d) => {
-      // sequential path mining: the top-10 most common 3-event sequences
-      // (the product-analytics generalization of b50's fixed funnel) —
-      // ONE window pass per user (two leads over the same (ts, event_id)
-      // total order), partial-aggregated path counts, TakeOrdered cut.
-      // Ties broken by the full path for a total order.
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      t(s, d, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type").as("e1"))
-        .withColumn("e2", lead(col("e1"), 1).over(w))
-        .withColumn("e3", lead(col("e1"), 2).over(w))
-        .where(col("e2").isNotNull && col("e3").isNotNull)
-        .groupBy(col("e1"), col("e2"), col("e3"))
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("e1"), col("e2"), col("e3"))
-        .limit(10)
-    }),
-
-    "b83_analyze_stats" -> ((s, d) =>
-      // ANALYZE-style catalog statistics over orders in one pass
-      // (Scale.analyzeStats scaladoc: exact NDV via the Expand one-pass
-      // shape; canonical BIGINT envelopes — cents, epoch days — dodge
-      // float/collation traps)
-      graft.operators.Scale.analyzeStats(t(s, d, "orders"), Seq(
-          "o_orderkey" -> col("o_orderkey"),
-          "o_custkey" -> col("o_custkey"),
-          "o_totalprice_cents" -> floor(col("o_totalprice") * 100 + 0.5),
-          "o_orderdate_day" -> datediff(to_date(col("o_orderdate")),
-            lit("1970-01-01").cast("date"))))
-        .orderBy(col("col_name"))),
-
-    "b87_snapshot_diff" -> ((s, d) => {
-      // data-versioning audit: diff two table versions (b66's base
-      // snapshot vs its merged successor) into added / removed /
-      // changed / unchanged per key — run against mergeApply's own
-      // output, the diff RECOVERS the changelog classification
-      // (Merge.snapshotDiff scaladoc). One full-outer join; null-safe
-      // payload equality, no arithmetic.
-      val cutoff = lit("2024-01-16").cast("timestamp")
-      def compact(df: org.apache.spark.sql.DataFrame) = df
-        .groupBy(col("user_id"))
-        .agg(max_by(struct(col("event_type"), col("value")),
-          struct(col("ts"), col("event_id"))).as("st"))
-        .select(col("user_id"), col("st.event_type").as("event_type"),
-          col("st.value").as("value"))
-      val ev = t(s, d, "events")
-      val base = compact(ev.where(col("ts") < cutoff)).drop("event_type")
-      val changes = compact(ev.where(col("ts") >= cutoff))
-        .select(col("user_id"), col("value"),
-          when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"))
-      val neu = graft.operators.Merge.mergeApply(base, changes, "user_id")
-        .select(col("user_id"), col("value"))
-      graft.operators.Merge.snapshotDiff(base, neu, "user_id")
-        .orderBy(col("user_id"))
-    }),
-
-    "c89_ann_precision" -> ((s, d) => {
-      // retrieval evaluation ON the engine: precision@10 of the
-      // multiprobe-LSH ANN (c22) against the exact brute-force top-10
-      // (c06), per query — both sides deterministic (6dp-rounded cosine,
-      // id tiebreak), so the hit counts are oracle-exact, unlike a
-      // sampled recall estimate. The eval every ANN deployment needs
-      // before trusting its index.
-      val emb = t(s, d, "embeddings")
-      val queries = emb.where(col("vec_id") < 5)
-      val brute = Ann.bruteTopK(emb, queries, "vec_id", "embedding", k = 10)
-        .select(col("query_id"), col("item_id"))
-      val lsh = Ann.lshTopK(emb, queries, "vec_id", "embedding",
-          dim = 64, bits = 5, k = 10)
-        .select(col("query_id"), col("item_id"))
-      val hits = brute.join(lsh, Seq("query_id", "item_id"))
-        .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
-      queries.select(col("vec_id").as("query_id"))
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"), coalesce(col("h"), lit(0L)).as("hits_at_10"))
-        .orderBy(col("query_id"))
-    }),
-
-    "b86_bucketed_agg" -> ((s, d) => {
-      // the aggregation half of the b37 at-rest-layout story: a groupBy
-      // on the BUCKET KEY of a bucketed table plans with ZERO hash
-      // exchange — the scan's bucket distribution already satisfies the
-      // aggregate's requirement, so a 100 TB per-key rollup on a
-      // bucketed-at-ingest table is shuffle-free (plan-asserted)
-      val ob = graft.sources.Formats.bucketedTable(s, "orders_by_cust", d,
-        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
-        "o_custkey", buckets = 8)
-      ob.groupBy(col("o_custkey"))
-        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
-        .orderBy(col("o_custkey"))
-    }),
-
-    "b90_grouped_mad" -> ((s, d) => {
-      // per-language median + MAD of document length — the GROUPED
-      // robust stats b88's scaladoc routes here: both medians via
-      // Scale.groupedMedianDisc (cumulative window partitioned by
-      // group — no per-group row buffering), deviations joined through
-      // a broadcast of the tiny per-group median table.
-      val docs = t(s, d, "documents")
-        .select(coalesce(col("lang"), lit("")).as("lang"), col("n_chars"))
-      val med = graft.operators.Scale.groupedMedianDisc(docs, "lang", "n_chars")
-        .withColumnRenamed("med", "med_chars")
-      val dev = docs.join(broadcast(med), Seq("lang"))
-        .select(col("lang"), abs(col("n_chars") - col("med_chars")).as("ad"))
-      val mad = graft.operators.Scale.groupedMedianDisc(dev, "lang", "ad")
-        .withColumnRenamed("med", "mad_chars")
-      med.join(mad, Seq("lang")).orderBy(col("lang"))
-    }),
-
-    "b89_scd2_asof" -> ((s, d) => {
-      // point-in-time (AS OF) read over the b60 SCD2 dimension: each
-      // user's row whose validity interval contains T — computed the
-      // scale-right way: the time predicate pushes into the SCAN
-      // (plan-asserted) and one max_by compaction per user replaces
-      // interval construction entirely; provably equal to filtering
-      // b60's [from, to) intervals because max_by on (ts, event_id) ≤ T
-      // picks exactly the interval containing T under b60's tie order.
-      val cutoff = lit("2024-01-16").cast("timestamp")
-      t(s, d, "events").where(col("ts") <= cutoff)
-        .groupBy(col("user_id"))
-        .agg(max_by(struct(col("event_id").as("eid"), unix_micros(col("ts")).as("vf")),
-          struct(col("ts"), col("event_id"))).as("st"))
-        .select(col("user_id"), col("st.eid").as("event_id"),
-          col("st.vf").as("valid_from_us"))
-        .orderBy(col("user_id"))
-    }),
-
-    "b88_mad_robust" -> ((s, d) => {
-      // median absolute deviation — the robust scale estimate b75's
-      // winsorize pairs with (outlier gates as med ± k·MAD survive the
-      // heavy tails that wreck stddev): exact integer cents, two
-      // percentile_disc passes with the 1-row median broadcast between
-      // them. percentile_disc buffers per group — fine for ONE global
-      // group; grouped variants at 100 TB go through b71's cumulative-
-      // window trick instead (see c29's note). percentile_disc returns
-      // DOUBLE; the inputs are exact longs so the cast back to long is
-      // lossless — and required, because the oracle emits BIGINT and
-      // the driver hashes rendered types (r8's one red cell).
-      val cents = t(s, d, "lineitem")
-        .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("v"))
-      val med = cents
-        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
-          .cast("long").as("med"))
-      cents.crossJoin(broadcast(med))
-        .select(abs(col("v") - col("med")).as("ad"), col("med"))
-        .agg(max(col("med")).as("median_cents"),
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)")
-            .cast("long").as("mad_cents"),
-          count(lit(1)).as("n"))
-    }),
-
-    "c100_join_order" -> ((s, d) =>
-      // the c83 planner story at the MULTI-WAY level: all three pairwise
-      // join sizes of (events, orders, customer) on the shared customer
-      // key estimated from CMS inner products (2·d·width integers per
-      // table, no raw join executed), and join_first = the smallest
-      // estimated intermediate — the greedy first step of cost-based
-      // join reordering, reproduced bit-for-bit by the oracle
-      graft.functions.CountMin.joinOrderAdvisor(Seq(
-          "events" -> t(s, d, "events").select(col("user_id").cast("string").as("tok")),
-          "orders" -> t(s, d, "orders").select(col("o_custkey").cast("string").as("tok")),
-          "customer" -> t(s, d, "customer").select(col("c_custkey").cast("string").as("tok"))),
-          "tok", d = 4, width = 64)
-        .orderBy(col("left_table"), col("right_table"))),
-
-    "c101_temperature_mix" -> ((s, d) =>
-      // temperature-scaled mixture sampling (T=2): kept mass per lang
-      // ∝ sqrt(w_lang) — the multilingual exponent-smoothing recipe as a
-      // downsample-only pass. The water-filling normalizer cancels
-      // (Pipeline.temperatureMix scaladoc), so the ONLY float ops are
-      // correctly-rounded IEEE sqrt/div/mul in a fixed order — the c33
-      // determinism discipline with nothing left to order. md5 ppm
-      // bucketing; the per-stratum ppm is in the output so the mix math
-      // itself is oracle-checked.
-      Pipeline.temperatureMix(
-          t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
-          "lang", "doc_id", "n_chars")
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("ppm"))
-        .orderBy(col("doc_id"))),
-
-    "c102_hard_negatives" -> ((s, d) => {
-      // contrastive hard-negative mining: per query vector, the top-10
-      // nearest items of a DIFFERENT label (near-miss negatives — what
-      // an embedding trainer pairs against positives). The c06 broadcast
-      // + window shape with the label-inequality predicate evaluated
-      // row-local inside the broadcast join; ranks are the output (the
-      // c06 float discipline: rounded cosine breaks ties before id).
-      val emb = t(s, d, "embeddings")
-      val queries = emb.where(col("vec_id") < 5)
-      graft.operators.Ann.hardNegatives(emb, queries, "vec_id", "embedding",
-          "label", k = 10)
-        .select(col("query_id"), col("item_id"), col("item_label"), col("rank"))
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    "c103_keep_best" -> ((s, d) =>
-      // dedup survivorship policy: within each canonical-dup group keep
-      // the best member by (n_chars desc, doc_id asc) — the "keep the
-      // longest variant" rule, vs c71's min-id representative. One
-      // shuffle on the 60-bit canonical hash; rank + group size share
-      // one window partitioning.
-      graft.operators.Dedup.keepBest(
-          t(s, d, "documents"), "doc_id", "text", "n_chars")
-        .orderBy(col("doc_id"))),
-
-    "b102_funnel4" -> ((s, d) => {
-      // 4-stage ordered funnel (view → click → signup → purchase): the
-      // N-stage generalization of b94's kernel in the oracle gate, not
-      // just unit tests — same ONE user shuffle shared by all four
-      // chained conditional-min windows, same stack unpivot of the one
-      // materialized count row (a union would re-derive the staged
-      // pipeline per branch). Streams.funnelStagesWithState runs the
-      // identical machine on a stream at any N.
-      val staged = graft.operators.Series.funnelStageTimes(
-        t(s, d, "events"), "user_id", "event_type", "ts",
-        Seq("view", "click", "signup", "purchase"))
-      val counts = staged.agg(
-        count(col("s1")).as("u1"), count(col("s2")).as("u2"),
-        count(col("s3")).as("u3"), count(col("s4")).as("u4"))
-      counts.select(expr(
-        "stack(4, " +
-          "1, 'view',     u1, (u1 * 1000000) div nullif(u1, 0), " +
-          "2, 'click',    u2, (u2 * 1000000) div nullif(u1, 0), " +
-          "3, 'signup',   u3, (u3 * 1000000) div nullif(u1, 0), " +
-          "4, 'purchase', u4, (u4 * 1000000) div nullif(u1, 0)) " +
-          "AS (stage, event_type, users, conv_ppm)"))
-        .orderBy(col("stage"))
-    }),
-
-    "b103_tpch_q6" -> ((s, d) => {
-      // TPC-H Q6 shape (forecast revenue change): the pure-scan query —
-      // every predicate on a RAW column so all three reach the parquet
-      // reader (date range, discount band, quantity cut; PushedFilters
-      // carries them all — double literals compare exactly against the
-      // stored doubles in both engines), one map-side partial aggregate,
-      // a 1-row final. Zero joins, zero wide shuffles: at 100 TB this is
-      // the scan-bound query AQE cannot improve and pushdown decides.
-      // Revenue in exact cent·percent integers (the b95/b100 rule).
-      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
-      val disc = floor(col("l_discount") * 100 + 0.5).cast("long")
-      t(s, d, "lineitem")
-        .where(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
-          col("l_shipdate").cast("date") < lit("1997-01-01").cast("date") &&
-          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
-          col("l_quantity") < 24.0)
-        .agg(sum(cents * disc).as("revenue_cents_pct"),
-          count(lit(1)).as("n_items"))
-    }),
-
-    "b104_tpch_q17" -> ((s, d) => {
-      // TPC-H Q17 shape (small-quantity-order revenue): revenue from
-      // lineitems whose quantity is below 20 % of their part's average.
-      // The textbook form scans lineitem twice (a correlated per-part
-      // avg subquery + the probe); this is the ONE-scan window form —
-      // broadcast the filtered part keys, one l_partkey exchange serves
-      // the per-part (sum, count) window AND the row filter. The 20 %
-      // test is cleared-denominator integers (qty < sum/(5·cnt) ⟺
-      // 5·qty·cnt < sum in deci-quantities — no division, no doubles),
-      // so both engines agree bit-for-bit.
-      val parts = t(s, d, "part").where(col("p_type") === "ECONOMY")
-        .select(col("p_partkey"))
-      val qtyDeci = floor(col("l_quantity") * 10 + 0.5).cast("long")
-      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
-      val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
-      t(s, d, "lineitem")
-        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-        .select(col("l_partkey"), qtyDeci.as("qty_deci"), cents.as("cents"))
-        .withColumn("sum_deci", sum(col("qty_deci")).over(wp))
-        .withColumn("cnt", count(lit(1)).over(wp))
-        .where(col("qty_deci") * col("cnt") * 5 < col("sum_deci"))
-        .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n_small"))
-        .select(expr("sum_cents div 7").as("avg_yearly_cents"), col("n_small"))
-    }),
-
-    "c104_edit_distance_pairs" -> ((s, d) =>
-      // typo-granular near-dup pairs: Levenshtein ≤ 14 on the first-8-
-      // token "title", candidates blocked by lead token + the length
-      // theorem |len(a)−len(b)| ≤ maxDist (a necessary condition for
-      // lev ≤ maxDist, filtered before any DP runs). The character-edit
-      // member of the dedup family next to set-overlap c02/c04 and
-      // bit-distance c03; exact integer distances both engines compute
-      // with the same Wagner–Fischer recurrence.
-      graft.operators.Dedup.editDistancePairs(
-          t(s, d, "documents"), "doc_id", "text", keyTokens = 8, maxDist = 14)
-        .orderBy(col("doc_a"), col("doc_b"))),
-
-    "c105_ivf_probe_advisor" -> ((s, d) => {
-      // IVF nprobe advisor (the c94/c96/c100 measured-curve→decision
-      // family): exact recall@10 vs the brute-force truth at nprobe ∈
-      // {1,2,4} from ONE candidate pass — probe sets nest, so the
-      // per-probe candidate rank is a running conditional count over the
-      // same per-query sort — then choose the smallest probe count
-      // reaching 90 % recall. Pure-integer hits/ppm, rounded-cosine +
-      // id tiebreaks; the decision runs on a 3-row frame.
-      val emb = t(s, d, "embeddings")
-      val queries = emb.where(col("vec_id") < 5)
-      val centroids = emb.where(pmod(col("vec_id"), lit(97)) === 0)
-        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
-      graft.operators.Ann.ivfProbeAdvisor(emb, queries, centroids,
-          "vec_id", "embedding", k = 10, probes = Seq(1, 2, 4),
-          targetPpm = 900000L)
-        .orderBy(col("nprobe"))
-    }),
-
-    "b105_trailing_days" -> ((s, d) => {
-      // time-INTERVAL range frame (the missing sibling of b27's numeric
-      // range frame): per customer, each order's trailing-7-day order
-      // count and spend. The frame bound is event time, not row count —
-      // a burst of same-day orders all enter each other's frame. Ordering
-      // key = exact epoch micros (integer RANGE bounds are engine-
-      // portable; INTERVAL literals in a frame are not everywhere), cents
-      // exact. One customer shuffle, one sort, both aggregates share the
-      // frame.
-      val spanUs = 7L * 24 * 3600 * 1000000L
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("o_custkey")).orderBy(col("ts_us"))
-        .rangeBetween(-spanUs, 0L)
-      t(s, d, "orders")
-        .select(col("o_custkey"), col("o_orderkey"),
-          unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"),
-          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-        .select(col("o_custkey"), col("o_orderkey"),
-          count(lit(1)).over(w).as("n_trailing"),
-          sum(col("cents")).over(w).as("cents_trailing"))
-        .orderBy(col("o_custkey"), col("o_orderkey"))
-    }),
-
-    "c107_bootstrap_stats" -> ((s, d) =>
-      // one-pass Poisson(1) bootstrap of corpus statistics: 8 replicates
-      // of (docs drawn, total chars, mean chars) from deterministic
-      // md5-ppm multiplicities — the sampling-variance error bar for
-      // corpus metrics WITHOUT 8 corpus passes. Replicate explode is
-      // map-side only (partial aggregation compacts to 8 rows per task).
-      graft.operators.Pipeline.bootstrapStats(
-          t(s, d, "documents"), "doc_id", "n_chars", replicates = 8)
-        .orderBy(col("replicate"))),
-
-    "c108_random_negatives" -> ((s, d) => {
-      // uniform (hash-ranked) negative sampling — the unbiased partner
-      // of c102's hard negatives, same plan shape and schema: per query,
-      // 10 different-label items ranked by md5("query:item"). Unlike
-      // geometry-ranked mining, sampling thins for free at 100 TB
-      // (pre-filter items on hash mod m before ranking).
-      val emb = t(s, d, "embeddings")
-      val queries = emb.where(col("vec_id") < 5)
-      graft.operators.Ann.randomNegatives(emb, queries, "vec_id", "label", k = 10)
-        .orderBy(col("query_id"), col("rank"))
-    }),
-
-    "c109_quality_classifier" -> ((s, d) =>
-      // fastText-style hashed-ngram linear classifier inference (the r12
-      // VERDICT #5 depth item): unigram+bigram features → 2^16 md5 hash
-      // buckets → broadcast integer-weight lookup → exact integer score,
-      // gate = score >= 0. The learned quality gate next to the c09
-      // heuristic and c64's count-based CCNet filter; weights-as-data
-      // (Pipeline.demoClassifierWeights stands in for an exported
-      // checkpoint). One broadcast join + one doc_id partial-sum exchange
-      // — no new exchange classes (plan-asserted).
-      docClassifierScores(s, d)
-        .select(col("doc_id"), col("n_feats"), col("score"),
-          (col("score") >= 0L).as("kept"))
-        .orderBy(col("doc_id"))),
-
-    "c110_classifier_yield" -> ((s, d) => {
-      // the gate's YIELD CURVE — "if I move the quality bar, what do I
-      // keep, per language?": conditional sums over a fixed threshold
-      // grid computed in ONE pass over the scored frame (no per-threshold
-      // re-scan; the 5-way stack runs on the |langs|-row aggregate), docs
-      // + chars retained and the exact-ppm doc share. The report every
-      // curation run publishes before committing to a threshold. Plan:
-      // the c109 inference plan + one doc_id join + one lang exchange.
-      val thr = Seq(-2000L, -1000L, 0L, 1000L, 2000L)
-      val perLang = graft.operators.Pipeline.classifierYieldStateFromScored(
-        docClassifierScores(s, d), "lang", "n_chars", thr)
-      classifierYieldCurve(perLang, thr)
-    }),
-
-    "c113_eval_apportionment" -> ((s, d) =>
-      // exactly-k stratified eval-set selection: per-language quotas by
-      // largest-remainder (Hamilton) apportionment in pure BIGINT (floor
-      // quotas + bonuses to the largest k*n mod N remainders, lang
-      // tiebreak), membership = bottom-alloc docs per language by the md5
-      // tokenHash (the c23 split doctrine). Output is exactly min(k, N)
-      // rows — the property floor-only quotas lose. Plan: one count
-      // exchange, the apportionment on the |langs|-row frame, one
-      // lang-window membership pass (Pipeline.apportionedSample scaladoc).
-      graft.operators.Pipeline.apportionedSample(
-          t(s, d, "documents"), "lang", "doc_id", k = 100L)
-        .orderBy(col("lang"), col("rk"))),
-
-    "c112_yield_ivm" -> ((s, d) => {
-      // the c110 yield report MAINTAINED INCREMENTALLY under a CDC batch
-      // (the b69 IVM algebra applied to the classifier gate): the standing
-      // corpus's per-lang yield STATE absorbs an insert batch (doc_id%10=3,
-      // the c36 arrival convention) and a retraction batch (doc_id%10=7)
-      // by monoid addition — retractions enter as the NEGATED state. Every
-      // state column is a sum, so merge ≡ recompute exactly (the oracle IS
-      // the full recompute over the post-CDC corpus). At 100 TB the nightly
-      // cost is scoring the two small batches — the corpus is never
-      // rescanned; here all three slices are filters over the one
-      // memoized scored frame (docClassifierScores — the per-doc-score
-      // materialized view this IVM maintains the rollup of). A fully-
-      // retracted stratum leaves a zero state row the recompute has no
-      // group for — filtered by total_docs > 0.
-      val thr = Seq(-2000L, -1000L, 0L, 1000L, 2000L)
-      val scored = docClassifierScores(s, d)
-      def st(df: org.apache.spark.sql.DataFrame) =
-        graft.operators.Pipeline.classifierYieldStateFromScored(
-          df, "lang", "n_chars", thr)
-      val stateCols = Seq("total_docs") ++
-        thr.indices.flatMap(i => Seq(s"kd$i", s"kc$i"))
-      val negDel = st(scored.where(pmod(col("doc_id"), lit(10)) === 7))
-        .select(col("lang") +: stateCols.map(c => (-col(c)).as(c)): _*)
-      val merged = graft.operators.Ivm.mergeStates(
-        Seq(st(scored.where(pmod(col("doc_id"), lit(10)) =!= 3)), // base
-          st(scored.where(pmod(col("doc_id"), lit(10)) === 3)),   // inserts
-          negDel),                                                // retractions
-        Seq("lang"), stateCols.map(_ -> "sum").toMap)
-      classifierYieldCurve(merged.where(col("total_docs") > 0), thr)
-    }),
-
-    "c111_gate_agreement" -> ((s, d) => {
-      // learned gate vs heuristic gate, the 2×2 agreement matrix a
-      // pipeline reads before letting a trained filter replace a
-      // hand-tuned one: kept-by-both / only-classifier / only-heuristic /
-      // neither, with doc and char mass in each cell. Both gates are
-      // exact integers (c109 score ≥ 0; qualityScoreNano ≥ 0.395 in nanos
-      // — c35's bar, near the fixture median so all four cells populate),
-      // so the matrix is engine-reproducible. Plan: the c109 inference
-      // plan + the narrow heuristic projection + one doc_id join + a
-      // 4-row aggregate.
-      t(s, d, "documents")
-        .select(col("doc_id"), col("n_chars"),
-          (Text.qualityScoreNano(coalesce(col("text"), lit(""))) >=
-            395000000L).as("kept_h"))
-        .join(docClassifierScores(s, d)
-          .select(col("doc_id"), (col("score") >= 0L).as("kept_c")),
-          "doc_id")
-        .groupBy(col("kept_c"), col("kept_h"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-        .orderBy(col("kept_c"), col("kept_h"))
-    }),
-
-    "c114_classifier_calibration" -> ((s, d) => {
-      // CALIBRATION readout of the learned gate (the natural c109
-      // consumer after the c111 agreement matrix): score-decile ×
-      // empirical keep-rate reliability table, the heuristic gate
-      // (c35's qualityScoreNano ≥ 0.395) standing in for labels — a
-      // well-calibrated quality score should keep monotonically more
-      // heuristic-passing docs per decile. Deciles are EXACT and
-      // engine-reproducible without a per-doc global sort: docs
-      // aggregate per integer score value first (one score exchange,
-      // map-side combined), the cumulative rank runs over the
-      // |distinct scores|-row frame (the c113 small-frame window
-      // discipline — score is a bounded integer sum, so this frame is
-      // tiny at any corpus size), and a score value's docs all land in
-      // the decile of its LAST row: decile = ((cum−1)·10) div N + 1 —
-      // ties never split across calibration bins. Everything BIGINT;
-      // ppm is exact floor division. Off the memoized scored frame +
-      // the c111 heuristic projection — zero new exchange classes.
-      // Parallelism note (the c104/c31 1-file-scan rule, disposed): the
-      // heuristic leg runs at SCAN parallelism before its narrow
-      // (doc_id, kept_h) result broadcasts — at production scale that is
-      // many-files-parallel; on the single-file testdata it is one task,
-      // the same audited shape as c111 (~0.5 s at sf0.1). The alternative
-      // — repartitioning (doc_id, text) — would shuffle raw text, the
-      // worse standing-rule violation; raw text never shuffles.
-      classifierCalibrationTable(s, d)
-    }),
-
-    "c116_calibration_audit" -> ((s, d) => {
-      // the b80 audit-boolean discipline applied to c114: per decile,
-      // is the empirical keep-rate monotone non-decreasing vs the
-      // previous decile, plus the table-wide violation count — so the
-      // calibration table becomes a machine-checkable regression signal
-      // (a nightly pipeline alerts on violations_total > 0 instead of a
-      // human reading ten ppm numbers). Both engines compute the SAME
-      // booleans from the same exact-integer table — never a "close
-      // enough" float comparison. Plan: the c114 plan + a lag window
-      // and a count window on the 10-row decile frame (the c113
-      // small-frame discipline); first decile is vacuously monotone.
-      val wLag = Window.orderBy(col("decile"))
-      val wAll = Window.partitionBy()
-      classifierCalibrationTable(s, d)
-        .select(col("decile"), col("n_docs"), col("kept_h_ppm"))
-        .withColumn("prev_ppm",
-          coalesce(lag(col("kept_h_ppm"), 1).over(wLag), lit(-1L)))
-        // ppm ≥ 0 > −1, so the first decile's sentinel is vacuously
-        // monotone under the plain comparison — no special case needed
-        .withColumn("monotone_up", col("kept_h_ppm") >= col("prev_ppm"))
-        .withColumn("violations_total",
-          sum(when(col("monotone_up"), 0L).otherwise(1L)).over(wAll))
-        .orderBy(col("decile"))
-    }),
-
-    "c115_gate_threshold_advisor" -> ((s, d) => {
-      // threshold ADVISOR for the learned gate — the planner-advisor
-      // pattern (c83 join strategy, c94 LSH params, c105 IVF probes)
-      // applied to the classifier family: per language, the TIGHTEST
-      // threshold on the c110 grid that still keeps at least the target
-      // doc share (500000 ppm = half), i.e. "raise the quality bar as
-      // far as the yield budget allows". Languages where even the
-      // loosest threshold misses the target fall back to that loosest
-      // threshold with qualifies=false — the advisor always answers.
-      // Decision logic is ONE deterministic rank over the curve:
-      // qualifying rows first, tightest (max thr) among them, loosest
-      // (min thr) otherwise. Plan: the c110 plan + one rank window on
-      // the |langs×5|-row curve frame (the c113 small-frame discipline);
-      // reads the memoized scored frame, leaf-asserted.
-      val thr = Seq(-2000L, -1000L, 0L, 1000L, 2000L)
-      val curve = classifierYieldCurve(
-        graft.operators.Pipeline.classifierYieldStateFromScored(
-          docClassifierScores(s, d), "lang", "n_chars", thr), thr)
-      val w = Window.partitionBy(col("lang")).orderBy(
-        col("qualifies").desc,
-        when(col("qualifies"), -col("thr")).otherwise(col("thr")))
-      curve.withColumn("qualifies", col("kept_ppm") >= 500000L)
-        .withColumn("rk", row_number().over(w))
-        .where(col("rk") === 1)
-        .select(col("lang"), col("thr").as("chosen_thr"), col("total_docs"),
-          col("kept_docs"), col("kept_ppm"), col("qualifies"))
-        .orderBy(col("lang"))
-    }),
-
-    "c117_calibration_drift" -> ((s, d) => {
-      // calibration DRIFT over corpus generations (the r14-roadmap c114
-      // consumer): the nightly signal a deployed gate needs is not one
-      // reliability table but the DELTA between two generations of it —
-      // the b87 snapshot-diff discipline applied to the 10-row decile
-      // frame. Generations are the c112 CDC convention: "previous" = the
-      // corpus before the insert batch (doc_id%10 != 3), "current" = the
-      // full corpus; both tables come from the ONE calibrationTableOf
-      // rule over the ONE memoized per-doc gate-bits frame, so a
-      // generation can never be computed by a drifted rule. Each
-      // generation self-normalizes its own deciles (a reliability table
-      // is a within-corpus object — comparing decile k of gen A to
-      // decile k of gen B is the standard calibration-drift readout).
-      // Per decile: doc mass and keep-rate ppm on both sides, the ppm
-      // delta, a drift boolean (|delta| > 10000 ppm — one point, chosen
-      // against the measured fixture deltas so both verdicts populate at
-      // every sf: 8/2 at sf0.001, 6/4 at 0.01, 2/8 at 0.1 — or a decile
-      // missing from either side, possible only under extreme
-      // score-tie mass),
-      // and the table-wide drifted-decile count (the c116 audit-boolean
-      // discipline: a nightly alerts on drifted_total, never on a human
-      // reading 10 ppm numbers). All BIGINT; full-outer decile join with
-      // 0/−1 sentinels (ppm_delta is then computed vs −1 and meaningless
-      // — drifted is already forced true by the missing side, which is
-      // the value a consumer gates on). Plan: two cache reads (the
-      // memoized 10-row table + one re-aggregate of the memoized bits
-      // frame under the slice filter — one score exchange, the c114
-      // class), windows on ≤10-row frames; zero new exchange classes.
-      val prev = calibrationTableOf(
-          docGateBits(s, d).where(pmod(col("doc_id"), lit(10)) =!= 3))
-        .select(col("decile"), col("n_docs").as("n_docs_prev"),
-          col("kept_h_ppm").as("kept_h_ppm_prev"))
-      val curr = classifierCalibrationTable(s, d)
-        .select(col("decile"), col("n_docs").as("n_docs_curr"),
-          col("kept_h_ppm").as("kept_h_ppm_curr"))
-      val wAll = Window.partitionBy()
-      curr.join(prev, Seq("decile"), "full_outer")
-        .select(col("decile"),
-          coalesce(col("n_docs_prev"), lit(0L)).as("n_docs_prev"),
-          coalesce(col("n_docs_curr"), lit(0L)).as("n_docs_curr"),
-          coalesce(col("kept_h_ppm_prev"), lit(-1L)).as("kept_h_ppm_prev"),
-          coalesce(col("kept_h_ppm_curr"), lit(-1L)).as("kept_h_ppm_curr"))
-        .withColumn("ppm_delta",
-          col("kept_h_ppm_curr") - col("kept_h_ppm_prev"))
-        .withColumn("drifted",
-          abs(col("ppm_delta")) > 10000L ||
-            col("kept_h_ppm_prev") < 0L || col("kept_h_ppm_curr") < 0L)
-        .withColumn("drifted_total",
-          sum(when(col("drifted"), 1L).otherwise(0L)).over(wAll))
-        .orderBy(col("decile"))
-    }),
-
-    "c106_epoch_allocation" -> ((s, d) =>
-      // token-budget epoch allocator: distribute a 2×-corpus token
-      // budget across sources ∝ doc count, each source capped at 4
-      // epochs of its own tokens; the water-filling split is a CLOSED
-      // FORM on the |sources|-row frame (sort by cap/weight, prefix
-      // sums, cleared-BIGINT validity products — no iteration, no
-      // doubles in any decision). The data-recipe planning step next to
-      // c33's target mix and c101's temperature mix.
-      graft.operators.Pipeline.epochAllocation(
-          t(s, d, "documents"), "source", "n_chars",
-          maxEpochs = 4, budgetNum = 2L, budgetDen = 1L)
-        .orderBy(col("source"))),
-
-    "c99_sliding_topk" -> ((s, d) => {
-      // batch parity for the SLIDING-window streaming Misra–Gries
-      // heavy hitters (Streams.streamSlidingHeavyHitters, 1 h / 30 min,
-      // k=2 over 5 event types — constant evictions by construction):
-      // per closed window, exact per-type counts next to the
-      // THEOREM-GUARANTEED audit booleans (capture of every type with
-      // cnt·3 > n; error ≤ n/3) — never the merge-order-dependent raw
-      // estimates, the b80 discipline applied per window. The exact
-      // side is one grouped count; the summary side is one windowed MG
-      // aggregate whose state is O(k) per window.
-      val ev = t(s, d, "events")
-      val wm = broadcast(ev.agg(
-        (max(col("ts")) - expr("INTERVAL 30 MINUTES")).as("wm")))
-      val mg = udaf(new graft.functions.Folds.MisraGries(2))
-      val base = ev.select(window(col("ts"), "1 hour", "30 minutes").as("w"),
-        coalesce(col("event_type"), lit("")).as("event_type"))
-      val summary = base.groupBy(col("w")).agg(mg(col("event_type")).as("mg"))
-        .select(col("w"), explode(col("mg.entries")).as("e"))
-        .select(col("w"), col("e.tok").as("event_type"), col("e.est").as("est"))
-      val exact = base.groupBy(col("w"), col("event_type")).agg(count(lit(1)).as("cnt"))
-      val est0 = coalesce(col("est"), lit(0L))
-      // n = window total, derived as a window SUM over the exact per-type
-      // counts (r9 ADVICE): the exact frame already partitions every base
-      // row into exactly one (w, event_type) cell, so sum(cnt) over w IS n
-      // — one fewer full pass over the fact table than a third groupBy.
-      exact.join(summary, Seq("w", "event_type"), "left")
-        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("w"))))
-        .crossJoin(wm).where(col("w.end") <= col("wm"))
-        .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
-          col("cnt"),
-          (col("cnt") * 3 > col("n")).as("is_heavy"),
-          (!(col("cnt") * 3 > col("n")) || est0 > 0).as("captured"),
-          (est0 <= col("cnt") && (col("cnt") - est0) * 3 <= col("n")).as("bound_ok"))
-        .orderBy(col("w_start_us"), col("event_type"))
-    }),
-
-    "c98_sliding_cms" -> ((s, d) => {
-      // batch parity for the SLIDING-window streaming CMS
-      // (Streams.streamSlidingCmsCells, 1 h / 30 min, 4×64 grid): the
-      // b91 sliding assignment composed with c78's counting-monoid cell
-      // algebra — closed windows' grids are arrival-order-proof, so the
-      // drained stream equals this batch aggregation cell-for-cell
-      // (StreamingSpec asserts it live). Every cell is an exact integer
-      // under the shared md5 bucket rule — fully hash-verified, no bound
-      // booleans needed.
-      val ev = t(s, d, "events")
-      val wm = broadcast(ev.agg(
-        (max(col("ts")) - expr("INTERVAL 30 MINUTES")).as("wm")))
-      ev.select(window(col("ts"), "1 hour", "30 minutes").as("w"),
-          col("user_id").cast("string").as("tok"))
-        .select(col("w"), col("tok"), explode(sequence(lit(0), lit(3))).as("r"))
-        .groupBy(col("w"), col("r"),
-          graft.functions.CountMin.bucketOf(col("r"), col("tok"), 64).as("bucket"))
-        .agg(count(lit(1)).as("cnt"))
-        .crossJoin(wm)
-        .where(col("w.end") <= col("wm"))
-        .select(unix_micros(col("w.start")).as("w_start_us"), col("r"),
-          col("bucket"), col("cnt"))
-        .orderBy(col("w_start_us"), col("r"), col("bucket"))
-    }),
-
-    "c97_anomaly_days" -> ((s, d) => {
-      // robust ingest monitoring — the "did a feed drop or spike" check a
-      // 100 TB pipeline runs per partition-day: daily event counts per
-      // type, then median ± MAD gating (b88/b90's robust stats — a mean/
-      // stddev gate is wrecked by exactly the outliers it should catch).
-      // The fact table compacts to the (type × day) frame in ONE
-      // map-side-combined shuffle before any window; the robust stats run
-      // on that tiny frame via Scale.groupedMedianDisc (group-partitioned
-      // cumulative windows, no per-group buffering) and broadcast back.
-      // anomaly = |cnt − med| > 3·MAD, pure integers end to end.
-      val daily = t(s, d, "events")
-        .groupBy(col("event_type"),
-          date_trunc("day", col("ts")).cast("date").as("day"))
-        .agg(count(lit(1)).as("cnt"))
-      val med = graft.operators.Scale.groupedMedianDisc(
-        daily.select(col("event_type"), col("cnt")), "event_type", "cnt")
-      val dev = daily.join(broadcast(med), Seq("event_type"))
-        .select(col("event_type"), abs(col("cnt") - col("med")).as("ad"))
-      val mad = graft.operators.Scale.groupedMedianDisc(dev, "event_type", "ad")
-        .withColumnRenamed("med", "mad")
-      daily.join(broadcast(med), Seq("event_type"))
-        .join(broadcast(mad), Seq("event_type"))
-        .select(col("event_type"), col("day"), col("cnt"), col("med"), col("mad"),
-          (abs(col("cnt") - col("med")) > col("mad") * 3).as("anomaly"))
-        .orderBy(col("event_type"), col("day"))
-    }),
-
-    "c96_bloom_advisor" -> ((s, d) =>
-      // Bloom sizing closed-loop: the integer m >= n·k/ln2 rule decides,
-      // and the engine BUILDS each candidate filter and measures its
-      // false-positive rate on provably-disjoint probes (prefix-split
-      // hashes + anti-join) — fp bounds certified as the b18/b78
-      // boolean pattern, the sizing itself exact-integer-verified.
-      // chosen adapts with scale: 2^14 at sf0.001, 2^16 at sf0.01,
-      // 2^18 at sf0.1 (customer grows 10x per sf).
-      // fp_count is library-reported but NOT oracle-verified (r9 ADVICE:
-      // monotonicity across independently hashed filters is expected, not
-      // theorem-backed; only the fp_ok BOUND is certifiable) — select the
-      // theorem-backed column set for the gate.
-      graft.operators.Pipeline.bloomAdvisor(
-        t(s, d, "customer"),
-        graft.functions.Text.tokenHash(
-          concat(lit("m"), col("c_custkey").cast("string"))))
-        .select(col("m_bits"), col("k_hashes"), col("n_keys"), col("min_bits"),
-          col("eligible"), col("chosen"), col("fp_ok"))
-        .orderBy(col("m_bits"))),
-
-    "c94_lsh_advisor" -> ((s, d) =>
-      // the c83 "measure, then decide" pattern pointed at LSH's own
-      // dials: per candidate banding, MEASURED bucket occupancy and
-      // candidate-pair volume on the real corpus signatures next to the
-      // analytic S-curve (threshold + recall at j=0.8), and a chosen
-      // flag = cheapest config clearing the 99% recall floor within the
-      // pair budget. Selects bands=16 — exactly c02's proven operating
-      // point (measured recall table in docs/PLANS.md). Shares the
-      // memoized shingle index; no pair is ever materialized.
-      Dedup.lshParamAdvisor(docShingleSets(s, d))
-        .orderBy(col("bands"))),
-
-    "c93_cluster_size_dist" -> ((s, d) =>
-      // duplicate-cluster size distribution, log₂-binned (the c87 shape
-      // over c71's canonical groups): the dedup-impact report a corpus
-      // owner reads — mass in bin 0 = unique docs, a heavy tail = a few
-      // giant boilerplate families dominating removal
-      graft.operators.Dedup.canonicalExact(t(s, d, "documents"), "doc_id", "text")
-        .select(col("n_dups"), (length(bin(col("n_dups"))) - 1).as("size_bin"))
-        .groupBy(col("size_bin"))
-        .agg(count(lit(1)).as("n_clusters"), sum(col("n_dups")).as("n_docs"),
-          max(col("n_dups")).as("max_size"))
-        .orderBy(col("size_bin"))),
-
-    "c91_corpus_diversity" -> ((s, d) => {
-      // Gini–Simpson diversity index per grouping dimension — the
-      // corpus-mix KPI next to c85's per-source card: 1 − Σ pᵢ² as the
-      // exact rational (1000·(n² − Σnᵢ²)) div n², no float, no log
-      // (Shannon entropy would need one). 1000·(1−1/k) is the ceiling
-      // for k equal groups; collapse toward 0 = concentration.
-      def div(dim: String) = t(s, d, "documents")
-        .select(coalesce(col(dim), lit("")).as("g"))
-        .groupBy(col("g")).agg(count(lit(1)).as("c"))
-        .agg(count(lit(1)).as("n_groups"), sum(col("c")).as("n"),
-          sum(col("c") * col("c")).as("ss"))
-        .select(lit(dim).as("dimension"), col("n_groups"),
-          expr("(1000 * (n * n - ss)) div (n * n)").as("diversity_milli"))
-      div("source").union(div("lang")).orderBy(col("dimension"))
-    }),
-
-    "c92_langid_confusion" -> ((s, d) =>
-      // classifier evaluation ON the engine: c08's n-gram/stopword
-      // language-ID scored against the declared lang column as a full
-      // confusion matrix — the precision/recall raw material every
-      // heuristic filter needs before it gates a 100 TB corpus. One
-      // grouped pass; both the predictor and the truth are
-      // deterministic columns.
-      t(s, d, "documents")
-        .select(coalesce(col("lang"), lit("")).as("true_lang"),
-          Text.langId(col("text")).as("pred_lang"))
-        .groupBy(col("true_lang"), col("pred_lang"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("true_lang"), col("pred_lang"))),
-
-    "c90_bpe_compression" -> ((s, d) => {
-      // what the learned merges BUY: corpus symbol count before vs after
-      // applying c88's three rules (Bpe.applyMerges — same pipeline that
-      // learned them), with the saving in integer milli units. The
-      // tokenizer-training feedback metric: merge yield flattening ⇒
-      // stop learning rules.
-      val docs = t(s, d, "documents")
-      val before = docs
-        .select(posexplode(Text.tokens(coalesce(col("text"), lit(""))))
-          .as(Seq("p", "tk")))
-        .where(col("tk") =!= "")
-        .agg(count(lit(1)).as("toks_before"))
-      val after = graft.operators.Bpe.applyMerges(docs, "doc_id", "text", k = 3)
-        .agg(count(lit(1)).as("toks_after"))
-      before.crossJoin(broadcast(after))
-        .select(col("toks_before"), col("toks_after"),
-          expr("(1000 * (toks_before - toks_after)) div toks_before").as("saved_milli"))
-    }),
-
-    "c88_bpe_merges" -> ((s, d) =>
-      // tokenizer training ON THE ENGINE: the first 3 BPE merge rules
-      // learned from the corpus — exact leftmost-greedy merge semantics
-      // via gaps-and-islands parity, every per-round window sharing one
-      // doc shuffle, winner = 1-row broadcast (Bpe.merges scaladoc);
-      // oracle unrolls the identical three rounds
-      graft.operators.Bpe.merges(t(s, d, "documents"), "doc_id", "text", k = 3)
-        .orderBy(col("rank"))),
-
-    "c95_bpe_merges_k16" -> ((s, d) =>
-      // the c88 pipeline driven to DEPTH — 16 rounds, the regime where
-      // the per-round lineage-truncation discipline is what keeps the
-      // plan flat (without it plan size doubles per round; the c82
-      // lesson). The oracle is GENERATED: the same CTE chain c88
-      // hand-writes at k=3, mechanically unrolled to k=16 — the "oracle
-      // strategy past k≈8" the r8 ledger left open, resolved as full
-      // exact verification rather than a weaker law/rows-only check.
-      // Runs on the doc_id ≡ 0 (mod 16) corpus slice to bound the
-      // 16-round wall cost in the bench suite — the demo value here is
-      // DEPTH, and per-round cost at local scale is scheduling-floor-
-      // dominated, not data-dominated (measured in docs/PLANS.md).
-      graft.operators.Bpe.merges(
-        t(s, d, "documents").where(pmod(col("doc_id"), lit(16)) === 0),
-        "doc_id", "text", k = 16)
-        .orderBy(col("rank"))),
-
-    "c86_personalized_ppr" -> ((s, d) => {
-      // proximity-to-seeds ranking over the c45 trade graph: restart
-      // mass only on the seed customers (c_custkey ≡ 0 mod 20) — the
-      // "related accounts" recommendation signal, exact nano-integer
-      // recurrence (Graph.personalizedPageRankNano scaladoc)
-      val li = t(s, d, "lineitem")
-      val eBase = li
-        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
-      val edges = eBase.union(
-        eBase.select(col("dst").as("src"), col("src").as("dst")))
-      val nodes = t(s, d, "customer")
-        .select((col("c_custkey") * 2).as("node"),
-          (pmod(col("c_custkey"), lit(20)) === 0).cast("long").as("seed"))
-        .union(t(s, d, "supplier")
-          .select((col("s_suppkey") * 2 + 1).as("node"), lit(0L).as("seed")))
-      graft.operators.Graph.personalizedPageRankNano(edges, nodes, iters = 3)
-        .orderBy(col("node"))
-    }),
-
-    "b85_asof_tolerance" -> ((s, d) => {
-      // as-of join WITH TOLERANCE (the merge_asof tolerance/direction
-      // surface): each purchase gets the user's most recent click only
-      // if it happened within 1 hour — b08's linear one-window shape,
-      // the click timestamp carried alongside the id so the gap test
-      // never re-joins. Gap in whole seconds (floor of the micros
-      // difference — exact integers both engines).
-      val e = t(s, d, "events")
-      val tagged = e.where(col("event_type").isin("purchase", "click"))
-        .select(col("event_id"), col("user_id"), col("ts"),
-          when(col("event_type") === "click", 0).otherwise(1).as("kind"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("kind"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val gapUs = unix_micros(col("ts")) - unix_micros(col("cts"))
-      val inTol = col("cts").isNotNull && gapUs <= 3600000000L
-      tagged
-        .withColumn("click_id",
-          last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
-        .withColumn("cts",
-          last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
-        .where(col("kind") === 1)
-        .select(col("event_id"), col("user_id"),
-          when(inTol, col("click_id")).as("click_id"),
-          when(inTol, expr("(unix_micros(ts) - unix_micros(cts)) div 1000000"))
-            .as("gap_s"))
-        .orderBy(col("event_id"))
-    }),
-
-    "c87_degree_dist" -> ((s, d) => {
-      // log₂-binned degree distribution of the trade graph — the
-      // power-law diagnostic read before graph work is scheduled (a
-      // heavy tail predicts hot reducers in any per-node aggregation;
-      // pairs with b81's key-skew read). Bin = ⌊log₂ deg⌋ via binary
-      // string length — exact integers, no float log.
-      val li = t(s, d, "lineitem")
-      val eBase = li
-        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
-      val edges = eBase.union(
-        eBase.select(col("dst").as("src"), col("src").as("dst")))
-      edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .select(col("deg"), (length(bin(col("deg"))) - 1).as("deg_bin"))
-        .groupBy(col("deg_bin"))
-        .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
-          max(col("deg")).as("max_deg"))
-        .orderBy(col("deg_bin"))
-    }),
-
-    "b84_weighted_pctile" -> ((s, d) =>
-      // exact weighted percentiles — spend-weighted price points over
-      // lineitem: the smallest price (cents) covering p% of total
-      // quantity (Scale.weightedPercentiles scaladoc: distinct-value
-      // compaction then a values-universe window, all-integer)
-      graft.operators.Scale.weightedPercentiles(
-          t(s, d, "lineitem"),
-          floor(col("l_extendedprice") * 100 + 0.5).cast("long"),
-          floor(col("l_quantity")).cast("long"),
-          Seq(50, 90, 99))
-        .orderBy(col("pct"))),
-
-    "c84_contiguous_ids" -> ((s, d) =>
-      // contiguous 0..n-1 enumeration by doc_id WITHOUT a global
-      // single-partition window (Scale.contiguousIds scaladoc: bucketed
-      // rank + cumsum'd bucket offsets broadcast back) — the stable
-      // sample-id assignment a 100 TB shard writer needs
-      graft.operators.Scale.contiguousIds(
-          t(s, d, "documents").select(col("doc_id")), "doc_id", bucketWidth = 1024L)
-        .orderBy(col("doc_id"))),
-
-    "c85_source_report" -> ((s, d) => {
-      // per-source data card — the corpus-governance report: volume,
-      // language mix, mean length, and canonical-dup rate per source in
-      // ONE pass over (source)-grouped integer aggregates; dup detection
-      // reuses c71's canonical 60-bit key (Dedup.canonicalKey), so raw
-      // text never shuffles
-      t(s, d, "documents")
-        .select(col("source"), col("n_chars"),
-          (coalesce(col("lang"), lit("")) === "en").cast("long").as("is_en"),
-          Dedup.canonicalKey(col("text")).as("ck"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
-          sum(col("is_en")).as("en_docs"), countDistinct(col("ck")).as("n_canonical"))
-        .select(col("source"), col("n_docs"), col("total_chars"),
-          expr("total_chars div n_docs").as("mean_chars"),
-          expr("(1000 * en_docs) div n_docs").as("pct_en_milli"),
-          expr("(1000 * (n_docs - n_canonical)) div n_docs").as("dup_rate_milli"))
-        .orderBy(col("source"))
-    }),
-
-    "c83_plan_advisor" -> ((s, d) => {
-      // the diagnostics COMPOSED into a decision — what a 100 TB planner
-      // does with c81's sketch join size and b81's skew profile before
-      // scheduling events ⋈ customer: broadcast if the build side is
-      // provably small, salt if the probe key is skewed, else plain SMJ.
-      // Every input is a deterministic integer, so the recommendation is
-      // engine-reproducible (thresholds in rows/milli-units).
-      val audit = graft.functions.CountMin.joinSizeAudit(
-        t(s, d, "events").select(col("user_id").cast("string").as("tok")),
-        t(s, d, "customer").select(col("c_custkey").cast("string").as("tok")),
-        "tok", d = 4, width = 64)
-      val skew = graft.operators.Scale.keySkewProfile(
-        t(s, d, "events").select(col("user_id")), "user_id")
-      audit.crossJoin(broadcast(skew.select(col("skew_milli"))))
-        .select(col("na"), col("nb"), col("est_join"), col("skew_milli"),
-          when(col("nb") <= 1000000L, lit("broadcast_build_right"))
-            .when(col("skew_milli") >= 5000L, lit("salted_smj"))
-            .otherwise(lit("smj")).as("strategy"))
-    }),
-
-    "c77_e2e_curation" -> ((s, d) => {
-      // the operators COMPOSED as a user would run them — the "prepare
-      // training shards" pipeline in one lazy plan: (1) canonicalizing
-      // dedup keeps each canonical group's min-id representative (c71's
-      // key, rank-1 window on the 60-bit hash); (2) a token-count
-      // quality band drops fragments (c29's shape); (3) survivors pack
-      // greedily into 128-token context windows per hash shard (c68).
-      // Every stage is the already-audited plan; composition adds no new
-      // shuffle class. Oracle = the same three stages in SQL.
-      val punct = ".,!?;:()\"'"
-      val canon = array_join(
-        filter(split(lower(translate(coalesce(col("text"), lit("")),
-          punct, " " * punct.length)), " "), x => x =!= ""), " ")
-      val ranked = t(s, d, "documents")
-        .select(col("doc_id"), col("text"),
-          graft.functions.Text.tokenHash(canon).as("ck"),
-          size(graft.functions.Text.tokens(coalesce(col("text"), lit("")))).as("n_tok"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("ck")).orderBy(col("doc_id"))))
-      val survivors = ranked
-        .where(col("rn") === 1 && col("n_tok").between(20, 500))
-        .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"), col("n_tok"))
-      graft.operators.Pipeline.packGreedy(survivors, "doc_id", "n_tok", capacity = 128L)
-        .select(col("doc_id"), col("shard"), col("pack"), col("n_tok"))
-        .orderBy(col("doc_id"))
-    }),
-
-    "c76_top_similar_pairs" -> ((s, d) =>
-      // threshold-free "worst near-dups" ranking: top-20 pairs by exact
-      // integer milli-jaccard over the memoized shingle index
-      // (Dedup.topSimilarPairs scaladoc: co-count kernel + TakeOrdered
-      // per-task heaps, no full sort)
-      Dedup.topSimilarPairs(docShingleSets(s, d), k = 20)
-        .orderBy(col("milli_jaccard").desc, col("a"), col("b"))),
-
-    "c75_cc_stars" -> ((s, d) =>
-      // the SAME cluster assignment as c17, by the alternating
-      // large-star/small-star edge contraction instead of pointer
-      // jumping (Graph.connectedComponentsStars scaladoc) — one CC
-      // semantics, two at-scale algorithms against one oracle, the
-      // c02/c04/c67 pattern applied to graphs. Memoized c04 pair graph.
-      graft.operators.Graph.connectedComponentsStars(docJaccardPairs(s, d))
-        .select(col("node").as("doc_id"), col("cluster_rep"))
-        .orderBy(col("doc_id"))),
-
-    "c74_embedding_standardize" -> ((s, d) =>
-      // per-dimension z-score feature standardization, milli-quantized
-      // CSV output (Ann.standardizeEmbeddings scaladoc: exact micro-int
-      // stats in any agg order, fixed IEEE order for mu/sigma/z, 64-row
-      // stats shuffle + broadcast-back narrow apply)
-      graft.operators.Ann.standardizeEmbeddings(
-          t(s, d, "embeddings"), "vec_id", "embedding")
-        .orderBy(col("vec_id"))),
-
-    "c72_embedding_decontam" -> ((s, d) => {
-      // semantic decontamination: training vectors flagged when cosine vs
-      // ANY eval vector (the modulo-97 held-out slice) reaches 0.35 —
-      // catches paraphrased leakage n-gram checks (c25/c34) miss. Exact
-      // broadcast check, recall-critical so no LSH
-      // (Pipeline.embeddingDecontam scaladoc)
-      val emb = t(s, d, "embeddings")
-      graft.operators.Pipeline.embeddingDecontam(
-          emb.where(pmod(col("vec_id"), lit(97)) =!= 1),
-          emb.where(pmod(col("vec_id"), lit(97)) === 1),
-          "vec_id", "embedding", threshold = 0.35)
-        .select(col("id").as("vec_id"), col("n_hits"))
-        .orderBy(col("vec_id"))
-    }),
-
-    "c73_vocab_growth" -> ((s, d) => {
-      // Heaps-law vocabulary growth: distinct tokens first seen within
-      // the first N docs, at power-of-2 checkpoints — the corpus
-      // diversity diagnostic (a flattening curve = diminishing new
-      // content). One vocab agg keyed on the 60-bit token hash (never
-      // the token string), then an 8-way explode of the vocab-sized
-      // frame only
-      val firstSeen = t(s, d, "documents")
-        .select(col("doc_id"),
-          explode(graft.functions.Text.tokens(coalesce(col("text"), lit("")))).as("tok"))
-        .select(col("doc_id"), graft.functions.Text.tokenHash(col("tok")).as("th"))
-        .groupBy(col("th")).agg(min(col("doc_id")).as("first_doc"))
-      val cps = Seq(64L, 128L, 256L, 512L, 1024L, 2048L, 4096L, 8192L)
-      firstSeen
-        .select(explode(array(cps.map(lit(_)): _*)).as("checkpoint"), col("first_doc"))
-        .where(col("first_doc") < col("checkpoint"))
-        .groupBy(col("checkpoint")).agg(count(lit(1)).as("vocab"))
-        .orderBy(col("checkpoint"))
-    }),
-
-    "c71_canonical_dedup" -> ((s, d) =>
-      // normalization-aware exact dedup (lowercase + punctuation map +
-      // empty-token drop, grouped on the canonical 60-bit hash — never on
-      // raw text); n_variants counts distinct raw texts merged per group
-      // (Dedup.canonicalExact scaladoc)
-      Dedup.canonicalExact(t(s, d, "documents"), "doc_id", "text")
-        .select(col("rep_id"), col("n_dups"), col("n_variants"))
-        .orderBy(col("rep_id"))),
-
-    "c70_cdc_chunks" -> ((s, d) =>
-      // content-defined chunking dedup: variable chunks cut at rolling-
-      // hash boundaries (insert-shift-proof, unlike fixed strides), chunk
-      // identity = 60-bit hash of the chunk's ordered hash sequence,
-      // per-doc dup-chunk stats (Dedup.cdcChunkDedup scaladoc: one
-      // doc-id shuffle serves window + chunk agg, cross-doc agg on the
-      // uniform chunk hash — linear, nothing pairwise)
-      Dedup.cdcChunkDedup(t(s, d, "documents"), "doc_id", "text",
-          w = 2, gearMod = 8)
-        .select(col("id").as("doc_id"), col("n_chunks"), col("dup_chunks"),
-          col("dup_tokens"))
-        .orderBy(col("doc_id"))),
-
-    "c69_source_keyness" -> ((s, d) =>
-      // per-source over/under-represented tokens (one-cell chi-square vs
-      // the corpus rate): the source-drift diagnostic before mixing.
-      // Exact-long dev output; chi2 ranking doubles are bit-identical
-      // across engines by the documented two-op IEEE order
-      // (Pipeline.sourceKeyness scaladoc)
-      graft.operators.Pipeline.sourceKeyness(
-          t(s, d, "documents"), "source", "text", topK = 5)
-        .orderBy(col("source"), col("rnk"))),
-
-    "c68_pack_sequences" -> ((s, d) => {
-      // greedy whole-doc packing into 128-token context windows, 8 hash
-      // shards as the parallelism unit (Pipeline.packGreedy scaladoc:
-      // sequential fold per shard, one exchange, O(1) state) — the
-      // pretraining batch-packing step; c24 is the contiguous
-      // token-budget variant that splits docs, this one never does
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
-          size(graft.functions.Text.tokens(coalesce(col("text"), lit("")))).as("n_tok"))
-      graft.operators.Pipeline.packGreedy(docs, "doc_id", "n_tok", capacity = 128L)
-        .select(col("doc_id"), col("shard"), col("pack"), col("n_tok"))
-        .orderBy(col("doc_id"))
-    }),
-
-    "c67_prefix_jaccard" -> ((s, d) =>
-      // SAME result set as c04 (all pairs with shingle-jaccard ≥ 0.8) via
-      // the PPJoin prefix filter instead of the full inverted index: only
-      // each doc's rarest-first (1−t)-prefix is indexed, so the candidate
-      // join touches ~5× fewer postings and needs no hot-shingle cap for
-      // exactness (Dedup.prefixJaccardPairsOf scaladoc has the pigeonhole
-      // argument). Shares the memoized shingle index with c02/c04.
-      Dedup.prefixJaccardPairsOf(docShingleSets(s, d), tNum = 4, tDen = 5)
-        .orderBy(col("a"), col("b"))),
-
-    "c66_kcore" -> ((s, d) =>
-      // 2-core of the near-dup graph, 4 peel rounds: strips docs attached
-      // to a dup community by a single borderline pair — the cohesion
-      // filter above triangles (c62); bounded-round contract per
-      // Graph.kCoreApprox scaladoc, memoized c04 pair graph
-      graft.operators.Graph.kCoreApprox(docJaccardPairs(s, d), k = 2, rounds = 4)
-        .orderBy(col("node"))),
-
-    "c65_sorted_neighborhood" -> ((s, d) =>
-      // sorted-neighborhood (merge/purge) near-dup discovery: rank the
-      // corpus by its bottom-1 shingle sketch, compare each doc with its
-      // 8 rank-successors, verify by exact jaccard — the windowed-sort
-      // blocking alternative to banded LSH (Dedup.sortedNeighborhoodPairs
-      // scaladoc: measured 28/28 recall at window=4 on sf0.001; two-phase
-      // distributed rank, band equi-join, no global window).
-      Dedup.sortedNeighborhoodPairs(t(s, d, "documents"), "doc_id", "text",
-          window = 8, threshold = 0.8)
-        .orderBy(col("a"), col("b"))),
-
-    "c59_pq_encode" -> ((s, d) =>
-      // product quantization over the embedding store: 4 sub-codebooks of
-      // 16 codewords (the first-16-vectors convention), codes + the ADC
-      // squared distance to query vec 0 — integer-exact end to end (see
-      // Ann.pqEncode scaladoc). Zero-shuffle narrow-map encode; ~64×
-      // smaller search structure than the float column. Completes the ANN
-      // compression family: c38 int8 (flat), c59 PQ (codebook), c39 the
-      // rerank cascade that consumes such codes.
-      graft.operators.Ann.pqEncode(t(s, d, "embeddings"), "vec_id", "embedding")
-        .orderBy(col("vec_id"))),
-
-    "c60_pq_adc_rerank" -> ((s, d) => {
-      // the PQ SEARCH cascade c59's codes exist for: coarse pass ranks
-      // the whole corpus by integer ADC distance (reads only the 4-code
-      // column at rest — the 64×-smaller structure), cuts to 100
-      // candidates via TakeOrderedAndProject (per-partition heaps), and
-      // only survivors fetch their float vectors for the exact cosine
-      // rerank (c06 rounded-cosine pattern, c39 cascade shape). Coarse
-      // stage is the zero-shuffle c59 narrow map + top-k; rerank touches
-      // 100 rows. Integer ADC + 6dp-rounded per-row cosine keep every
-      // compared value engine-exact.
-      val emb = t(s, d, "embeddings")
-      val coarse = graft.operators.Ann.pqEncode(emb, "vec_id", "embedding")
-        .where(col("vec_id") =!= 0)
-        .orderBy(col("adc_micro2").asc, col("vec_id").asc).limit(100)
-        .select(col("vec_id"), col("adc_micro2"))
-      val qv = broadcast(emb.where(col("vec_id") === 0)
-        .select(col("embedding").as("qv")))
-      emb.join(broadcast(coarse), Seq("vec_id"))
-        .crossJoin(qv)
-        .select(col("vec_id"), col("adc_micro2"),
-          Similarity.cosineRounded(col("embedding"), col("qv")).as("cos"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("cos").desc, col("vec_id"))))
-        .orderBy(col("rank"))
-    }),
-
-    "c58_bigram_lm_score" -> ((s, d) => {
-      // bigram language-model quality scoring: per doc,
-      // Σ over bigram positions of floor(log2 c(w1·)) − floor(log2 c(w1 w2))
-      // — the integer-exact quantization of Σ −log2 P(w2|w1), a count-based
-      // LM surprisal (KenLM-style scoring without a trained model; c54's
-      // floor-log2 = binary-string-length trick, no float log anywhere).
-      // High = improbable word transitions (garbage/boilerplate-stitched
-      // text), low = formulaic. c(w1·) counts w1 as bigram-FIRST, so the
-      // conditional is a true probability (Σ_w2 c(w1 w2) = c(w1·)).
-      // Plan: bigram positions shuffle ONCE on (w1,w2) for the lookup
-      // join; the lookup itself is vocab²-bounded (c2 ⋈ c1 on w1, both
-      // partial-aggregated); final per-doc sum shuffles on doc_id. At
-      // 100 TB the head of the bigram vocabulary broadcasts and the
-      // position table would be cached at ingest (three scans here).
-      val pairs = docBigramsWithSource(s, d).drop("source")
-      val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-      val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      val lk = c2.join(c1, Seq("w1"))
-        .select(col("w1"), col("w2"),
-          (length(conv(col("c1"), 10, 2)) - length(conv(col("c2"), 10, 2))).as("surp"))
-      pairs.join(lk, Seq("w1", "w2"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(col("surp")).cast("long").as("surprisal_sum"))
-        .orderBy(col("doc_id"))
-    }),
-
-    "c54_token_rarity" -> ((s, d) => {
-      // token-rarity quality signal: per doc, Σ floor(log2(corpus tf))
-      // over its tokens — a low sum flags documents built from rare or
-      // garbage tokens (the integer-exact cousin of unigram log-prob
-      // scoring; floor(log2 n) = len(binary(n))−1, identical string
-      // arithmetic in both engines, no float log anywhere). The classic
-      // frequency join: corpus tf is vocab-sized (shuffle on token),
-      // then one partial+final per-doc aggregate. At 100 TB the head of
-      // the vocabulary broadcasts and only the long tail hash-joins.
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
-      val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-      toks.join(tf, Seq("tok"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(length(conv(col("tf"), 10, 2)) - 1).as("log_tf_sum"))
-        .orderBy(col("doc_id"))
-    }),
-
-    "c53_soft_dedup_weights" -> ((s, d) => {
-      // duplicate-aware training weights: instead of DROPPING near-dups
-      // (c18's keep-one), keep every doc and down-weight each cluster
-      // member to 1/k (integer ppm, floor div) so a 10-way duplicate
-      // contributes one document's worth of gradient in aggregate — the
-      // soft-dedup loss weighting. Two tiny aggregations + one join over
-      // the memoized c17 cluster labels.
-      val m = docClusters(s, d)
-      val sizes = m.groupBy(col("cluster_rep")).agg(count(lit(1)).as("k"))
-      m.join(sizes, Seq("cluster_rep"))
-        .select(col("id").as("doc_id"), col("k"),
-          expr("1000000L div k").as("weight_ppm"))
-        .orderBy(col("doc_id"))
-    }),
-
-    "c52_minhash_calibration" -> ((s, d) =>
-      // sketch-quality-as-columns (the b18/c42 pattern for minhash):
-      // per exact near-dup pair, exact |∩|/|∪| NEXT TO the 64-perm
-      // signature agreement — the estimator and its ground truth in one
-      // hash-checked row. See Dedup.jaccardCalibration.
-      Dedup.jaccardCalibration(docShingleSets(s, d), threshold = 0.8)
-        .orderBy(col("a"), col("b"))),
-
-    "c51_dedup_report" -> ((s, d) =>
-      // dedup impact report: for each near-dup cluster size k, how many
-      // clusters exist and how many docs a keep-one policy removes
-      // (k−1 per cluster) — the ops-facing summary of a dedup pass.
-      // Pure reuse of the memoized c17 cluster labels; two tiny
-      // aggregations on top.
-      docClusters(s, d)
-        .groupBy(col("cluster_rep")).agg(count(lit(1)).as("k"))
-        .groupBy(col("k"))
-        .agg(count(lit(1)).as("n_clusters"),
-          sum(col("k") - 1).as("docs_removed"))
-        .orderBy(col("k"))),
-
-    "c50_span_novelty" -> ((s, d) =>
-      // daily-ingest gate: per batch doc (the c25-style doc_id%10==7
-      // split), how many span positions carry a span the corpus has
-      // never seen — re-crawls and boilerplate ingests show ~0 novelty
-      // and drop out before paying full pipeline cost. Corpus is
-      // scanned+hashed once, never self-paired; batch anti-joins the
-      // distinct-hash index. See Dedup.spanNovelty.
-      Dedup.spanNovelty(t(s, d, "documents"), "doc_id", "text",
-          isNew = pmod(col("doc_id"), lit(10)) === 7, spanN = 5)
-        .select(col("id").as("doc_id"), col("n_spans"), col("novel_spans"))
-        .orderBy(col("doc_id"))),
-
-    "c46_bigrams" -> ((s, d) =>
-      // exact corpus-level top-50 adjacent-token bigram counts — the
-      // collocation table a tokenizer-merge (BPE) or stopword analysis
-      // starts from, next to c13's per-doc tf and c42's sketched
-      // heavy hitters. Positional spans (NOT per-doc distinct: corpus
-      // frequency needs every occurrence). One groupBy with map-side
-      // partial aggregation, then TakeOrdered for the top-k — no full
-      // sort; ties broken by the bigram text for a total order.
-      t(s, d, "documents")
-        .select(explode(Text.spanStrings(col("text"), 2)).as("bigram"))
-        .groupBy(col("bigram"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(desc("n"), asc("bigram"))
-        .limit(50)),
-
-    "c42_count_min" -> ((s, d) => {
-      // count-min sketch (4 × 256 cells) over all document tokens,
-      // point-estimates for the exact top-20 — the deterministic md5
-      // construction makes the one-sided guarantee (est ≥ tf, always)
-      // a hash-checked column, not a unit-test claim
-      val toks = t(s, d, "documents")
-        .select(explode(Text.tokens(col("text"))).as("tok"))
-      val sketch = graft.functions.CountMin.build(toks, "tok", d = 4, width = 256)
-      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-        .orderBy(col("tf").desc, col("tok")).limit(20)
-      graft.functions.CountMin.estimate(sketch, top, "tok", d = 4, width = 256)
-        .join(top, Seq("tok"))
-        .select(col("tok"), col("tf"), col("est"), (col("est") >= col("tf")).as("ok"))
-        .orderBy(col("tf").desc, col("tok"))
-    }),
-
-    "c40_cluster_centroids" -> ((s, d) =>
-      // exact nano-integer centroid of every c20 semantic-dedup cluster —
-      // the reproducible codebook-update step (see Ann.clusterCentroidsExact);
-      // reuses the memoized cosine pair graph, so no second pairwise pass
-      Ann.clusterCentroidsExact(
-          Dedup.clusters(
-            embeddingPairGraph(s, d).where(col("cos") >= 0.42).select(col("a"), col("b"))),
-          t(s, d, "embeddings"), "vec_id", "embedding")
-        .orderBy(col("cluster_rep"), col("pos"))),
-
-    "c16_repetition" -> ((s, d) =>
-      t(s, d, "documents")
-        .select(col("doc_id"),
-          Text.repetitionRatio(Text.tokens(col("text")), 2).as("rep2"),
-          Text.repetitionRatio(Text.tokens(col("text")), 3).as("rep3"))
-        .orderBy(col("doc_id"))),
-
-    "c13_term_freq" -> ((s, d) =>
-      // corpus term frequency (SURVEY.md §2C "tf = explode + groupBy"):
-      // one shuffle on the token (map-side partial counts first), top-100
-      // with deterministic tiebreak.
-      t(s, d, "documents")
-        .select(explode(Text.tokens(col("text"))).as("tok"))
-        .groupBy(col("tok"))
-        .agg(count(lit(1)).as("tf"))
-        .orderBy(col("tf").desc, col("tok"))
-        .limit(100)),
-
-    "c14_mm_join" -> ((s, d) =>
-      // multimodal columns: documents joined to their embedding vectors
-      // (documents.doc_id ↔ embeddings.vec_id); array<float> is first-class,
-      // text stats and vector stats in one row.
-      t(s, d, "documents")
-        .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("label"),
-          size(col("embedding")).cast("long").as("dim"))
-        .orderBy(col("doc_id"))),
-
-    "c15_frame_sample" -> ((s, d) => {
-      val docs = t(s, d, "documents").withColumn("payload", col("text").cast("binary"))
-      Multimodal.sampleFrames(docs, "doc_id", "payload", k = 4)
-        .select(col("media_id"), col("frame_idx"),
-          col("features.n_bytes").as("n_bytes"), col("features.byte_sum").as("byte_sum"))
-        .orderBy(col("media_id"), col("frame_idx"))
-    }),
-
-    "c21_mm_resize" -> ((s, d) => {
-      // media resize stage: nearest-neighbor byte downsample to ≤64 bytes
-      // (codec stubbed like c12; the narrow binary-in/binary-out plumbing
-      // is the real distributed shape)
-      val docs = t(s, d, "documents").withColumn("payload", col("text").cast("binary"))
-      Multimodal.resize(docs, "doc_id", "payload", target = 64)
-        .select(col("media_id"), col("n_bytes"), col("r_bytes"), col("r_sum"))
-        .orderBy(col("media_id"))
-    }),
-
-    "c12_multimodal" -> ((s, d) => {
-      val docs = t(s, d, "documents").withColumn("payload", col("text").cast("binary"))
-      Multimodal.extractFeatures(docs, "doc_id", "payload")
-        .select(col("media_id"),
-          col("features.n_bytes").as("n_bytes"), col("features.byte_sum").as("byte_sum"),
-          col("features.h0").as("h0"), col("features.h1").as("h1"),
-          col("features.h2").as("h2"), col("features.h3").as("h3"))
-        .orderBy(col("media_id"))
-    }),
-
-    "c30_redact" -> ((s, d) =>
-      // PII scrub stage over the event props payload (the one testdata
-      // column with digit runs): emails → <EMAIL>, digit runs → <NUM>.
-      // Byte-exact against the oracle's RE2 'g'-mode regexp_replace.
-      t(s, d, "events")
-        .select(col("event_id"), Text.redact(col("props")).as("props_scrubbed"))
-        .orderBy(col("event_id"))),
-
-    "c32_chunking" -> ((s, d) =>
-      // pretokenization relayout: 64-token chunks, 8-token overlap
-      // (stride 56); short docs yield exactly one chunk
-      Pipeline.chunk(t(s, d, "documents"), "doc_id", "text",
-          sizeTokens = 64, overlap = 8)
-        .select(col("id").as("doc_id"), col("chunk_idx"),
-          col("chunk_text"), col("n_tokens"))
-        .orderBy(col("doc_id"), col("chunk_idx"))),
-
-    "c31_embedding_lsh_pairs" -> ((s, d) =>
-      // The 100 TB route for c05: banded hyperplane-LSH candidates + exact
-      // cosine verify (sub-quadratic, no BNLJ). bits=4/tables=16 targets
-      // ~0.9 expected recall at the demo threshold 0.35; recall measured vs
-      // exact c05 in docs/PLANS.md. At real near-dup thresholds (≥0.8) the
-      // same machinery runs with bits=8+ and a far smaller candidate space.
-      Dedup.embeddingLshPairs(t(s, d, "embeddings"), "vec_id", "embedding",
-          threshold = 0.35, dim = 64, bits = 4, tables = 16)
-        .select(col("a"), col("b"))
-        .orderBy(col("a"), col("b"))),
-
-    "c33_target_mix" -> ((s, d) =>
-      // data-recipe rebalancing: downsample-only water-filling to a target
-      // language mix (40/20/20/10/10), deterministic md5 sampling; the
-      // per-stratum ppm rate is part of the output so the mix math itself
-      // is oracle-checked
-      Pipeline.targetMix(
-          t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
-          "lang", "doc_id", "n_chars",
-          Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1, "zh" -> 0.1))
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("ppm"))
-        .orderBy(col("doc_id"))),
-
-    "c34_bloom_decontaminate" -> ((s, d) =>
-      // exact 5-gram train/eval decontamination behind a Bloom prefilter:
-      // the bitmap (scalar subquery) drops non-member shingles before the
-      // verify join's shuffle; no false negatives ⇒ result is exactly the
-      // semi-join, which is what the oracle computes. 5-gram shingles (not
-      // the shared 3-gram dedup index) so a hit means copied text, not a
-      // common phrase.
-      Pipeline.bloomContaminated(
-          Dedup.shingleSets(t(s, d, "documents"), "doc_id", "text", shingleN = 5),
-          pmod(col("id"), lit(10)) === 7)
-        .select(col("id").as("doc_id"))
-        .orderBy(col("doc_id"))),
-
-    "c35_source_reputation" -> ((s, d) =>
-      // domain-level curation: drop every document from sources whose MEAN
-      // quality is below 0.395 (cutoff sits in a clear gap between source
-      // means at the test SFs); integer-exact end-to-end — pure-rational
-      // nano score (no round() on doubles), long sums, integer gate — so
-      // the result is bit-identical in any engine, any DuckDB version.
-      // NULL text scores as '' (one empty token → qn=5e8) on BOTH sides:
-      // Spark split(""," ") ≡ DuckDB string_split('',' ') ≡ [''] — keeps a
-      // NULL-text doc in src_docs AND in sum(qn) identically.
-      Pipeline.sourceReputation(t(s, d, "documents"), "source", "doc_id",
-          Text.qualityScoreNano(coalesce(col("text"), lit(""))), minMeanNano = 395000000L)
-        .orderBy(col("doc_id"))),
-
-    "c36_incremental_dedup" -> ((s, d) =>
-      // daily-ingest dedup: near-dups of a new batch (doc_id % 10 = 3)
-      // against the corpus + within the batch, candidates ∝ batch size,
-      // corpus never self-paired or shuffled; reuses the persisted shingle
-      // index; exact-verified ⇒ oracle = exact jaccard restricted to
-      // batch-touching pairs
-      Dedup.incrementalMinhashPairs(docShingleSets(s, d),
-          pmod(col("id"), lit(10)) === 3)
-        .orderBy(col("a"), col("b"))),
-
-    "c37_stream_dedup_parity" -> ((s, d) =>
-      // batch parity for the STREAMING near-dup detector: the same
-      // minhash signature-agreement criterion the stream checks in-state
-      // (n_agree >= 45 ⇔ est ≥ 0.7 exactly in IEEE doubles), arrival
-      // fixed to id order so the directed result is oracle-checkable;
-      // StreamingSpec asserts this query's semantics equal the live
-      // transformWithState operator's collected output
-      Dedup.signatureAgreementPairs(docShingleSets(s, d))
-        .orderBy(col("doc_id"), col("dup_of"))),
-
-    "c38_embedding_quantize" -> ((s, d) =>
-      // at-rest int8 compression for the embedding store: max-abs scaling,
-      // round-half-up via floor (bit-exact IEEE in every engine — never
-      // round()), reconstruction cosine bound-checked as a boolean. The
-      // int8 codes travel to the gate as one CSV string per vector: the
-      // driver's compare sorts/hashes pandas cells, and an array-typed
-      // cell is unhashable there (the r5 c38 failure) — same codes, flat
-      // representation.
-      graft.operators.Ann.quantizeInt8(t(s, d, "embeddings"), "vec_id", "embedding")
-        .select(col("vec_id"), col("scale"),
-          concat_ws(",", transform(col("q"), _.cast("string"))).as("q_csv"),
-          col("recon_ok"))
-        .orderBy(col("vec_id"))))
-
-  private val shingleCte =
-    """WITH s AS (
-      |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
-      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-      |  WHERE len(t) >= 3)""".stripMargin
-
-  /** Shared oracle CTE for the c109/c110/c111 classifier family: per-doc
-    * (doc_id, n_feats, score) — unigram ∪ bigram features, the 60-bit md5
-    * bucket, the closed-form integer weights (same formula as
-    * Pipeline.demoClassifierWeights; Spark reads them from the broadcast
-    * fixture table). All-BIGINT products (≤ 2^48); sums cast back from
-    * DuckDB's HUGEINT. */
-  private def classifierScoreCteWhere(docWhere: String): String =
-    s"""WITH ctoks AS (
-      |  SELECT doc_id,
-      |    generate_subscripts(string_split(coalesce(text, ''), ' '), 1) AS pos,
-      |    unnest(string_split(coalesce(text, ''), ' ')) AS tok
-      |  FROM documents$docWhere),""".stripMargin + """
-      |cbig AS (
-      |  SELECT doc_id, feat FROM (
-      |    SELECT doc_id,
-      |      tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS feat
-      |    FROM ctoks)
-      |  WHERE feat IS NOT NULL),
-      |cfeats AS (
-      |  SELECT doc_id, tok AS feat FROM ctoks
-      |  UNION ALL SELECT doc_id, feat FROM cbig),
-      |cws AS (
-      |  SELECT doc_id,
-      |    ((CAST(('0x' || substring(md5(feat), 1, 15)) AS BIGINT) % 65536)
-      |      * 2654435761) % 2001 - 1000 AS w
-      |  FROM cfeats),
-      |cscore AS (
-      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-      |    CAST(sum(w) AS BIGINT) AS score
-      |  FROM cws GROUP BY doc_id)""".stripMargin
-
-  /** The c35 heuristic-gate CTE chain (tokens → length/stopword/diversity
-    * rational → kept_h boolean at the 0.395-nano bar), shared by the c111
-    * agreement matrix and the c114 calibration table so the heuristic leg
-    * can never drift between the two oracles. Appends after a
-    * [[classifierScoreCteWhere]] chain. */
-  private val heuristicGateCteSql = """,
-        |htok AS (
-        |  SELECT doc_id, unnest(string_split(COALESCE(text, ''), ' ')) AS tk
-        |  FROM documents),
-        |hagg AS (
-        |  SELECT doc_id, count(*) AS n, count(DISTINCT tk) AS d,
-        |    sum(CASE WHEN tk IN ('the','a','of','and','to','in','is','it')
-        |        THEN 1 ELSE 0 END) AS st,
-        |    sum(length(tk)) AS l
-        |  FROM htok GROUP BY doc_id),
-        |hq AS (
-        |  SELECT doc_id,
-        |    CAST(((50 * d + 20 * st + 3 * least(l, 10 * n)) * 1000000000 + 50 * n)
-        |         // (100 * n) AS BIGINT) >= 395000000 AS kept_h
-        |  FROM hagg)""".stripMargin
-
-  /** The yield-curve oracle BODY shared by c110 (full corpus), c112
-    * (post-CDC corpus), and the c115 advisor: conditional sums per
-    * threshold, stacked into the `st` frame. The inner join to cscore
-    * restricts the documents side to the CTE's corpus slice (doc_id
-    * unique), so no second WHERE is needed. Consumers append either
-    * [[classifierYieldSelectSql]] (the curve readout) or their own
-    * ranking over `st` built on [[yieldPpmSql]]. */
-  private val classifierYieldBodySql = """,
-        |cj AS (
-        |  SELECT d.lang, d.n_chars, s.score
-        |  FROM documents d JOIN cscore s USING (doc_id)),
-        |cg AS (
-        |  SELECT lang, CAST(count(*) AS BIGINT) AS total_docs,
-        |    CAST(sum(CASE WHEN score >= -2000 THEN 1 ELSE 0 END) AS BIGINT) AS kd0,
-        |    CAST(sum(CASE WHEN score >= -2000 THEN n_chars ELSE 0 END) AS BIGINT) AS kc0,
-        |    CAST(sum(CASE WHEN score >= -1000 THEN 1 ELSE 0 END) AS BIGINT) AS kd1,
-        |    CAST(sum(CASE WHEN score >= -1000 THEN n_chars ELSE 0 END) AS BIGINT) AS kc1,
-        |    CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS kd2,
-        |    CAST(sum(CASE WHEN score >= 0 THEN n_chars ELSE 0 END) AS BIGINT) AS kc2,
-        |    CAST(sum(CASE WHEN score >= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS kd3,
-        |    CAST(sum(CASE WHEN score >= 1000 THEN n_chars ELSE 0 END) AS BIGINT) AS kc3,
-        |    CAST(sum(CASE WHEN score >= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS kd4,
-        |    CAST(sum(CASE WHEN score >= 2000 THEN n_chars ELSE 0 END) AS BIGINT) AS kc4
-        |  FROM cj GROUP BY lang),
-        |st AS (
-        |  SELECT lang, CAST(-2000 AS BIGINT) AS thr, total_docs,
-        |    kd0 AS kept_docs, kc0 AS kept_chars FROM cg
-        |  UNION ALL SELECT lang, -1000, total_docs, kd1, kc1 FROM cg
-        |  UNION ALL SELECT lang, 0, total_docs, kd2, kc2 FROM cg
-        |  UNION ALL SELECT lang, 1000, total_docs, kd3, kc3 FROM cg
-        |  UNION ALL SELECT lang, 2000, total_docs, kd4, kc4 FROM cg)""".stripMargin
-
-  /** The c114 reliability-table CTE chain (per-score counts → cumulative
-    * rank → last-row deciles → the grouped `cal$sfx` frame), shared by the
-    * c114 readout, the c116 monotonicity audit, and BOTH generations of
-    * the c117 drift readout so the table and its consumers can never
-    * drift. Appends after [[heuristicGateCteSql]]; `sfx` renames the CTE
-    * chain so two generations coexist in one query, `docWhere` restricts
-    * the generation's corpus slice (identical rule, different slice —
-    * mirroring the Spark side's single calibrationTableOf). */
-  private def calibrationCteSfx(sfx: String, docWhere: String): String = s""",
-        |ps$sfx AS (
-        |  SELECT s.score, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(CASE WHEN hq.kept_h THEN 1 ELSE 0 END) AS BIGINT) AS kh
-        |  FROM cscore s JOIN hq USING (doc_id)$docWhere GROUP BY s.score),
-        |cm$sfx AS (
-        |  SELECT score, n, kh,
-        |    sum(n) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum,
-        |    sum(n) OVER () AS nn
-        |  FROM ps$sfx),
-        |dc$sfx AS (SELECT *, ((cum - 1) * 10) // nn + 1 AS decile FROM cm$sfx),
-        |cal$sfx AS (
-        |  SELECT CAST(decile AS BIGINT) AS decile,
-        |    CAST(sum(n) AS BIGINT) AS n_docs,
-        |    CAST(min(score) AS BIGINT) AS lo_score,
-        |    CAST(max(score) AS BIGINT) AS hi_score,
-        |    CAST(sum(kh) AS BIGINT) AS kept_h_docs,
-        |    (CAST(sum(kh) AS BIGINT) * 1000000) // CAST(sum(n) AS BIGINT) AS kept_h_ppm
-        |  FROM dc$sfx GROUP BY decile)""".stripMargin
-
-  private val calibrationCteSql = calibrationCteSfx("", "")
-
-  /** The exact-ppm keep-share formula — defined ONCE so the curve readout
-    * (c110/c112) and the advisor's ranking input (c115) can never diverge. */
-  private val yieldPpmSql = "kept_docs * 1000000 // total_docs AS kept_ppm"
-
-  /** The c110/c112 final projection over the stacked `st` frame; split
-    * from [[classifierYieldBodySql]] so the c115 advisor oracle can rank
-    * the identical curve instead of re-deriving it. */
-  private val classifierYieldSelectSql = s"""
-        |SELECT lang, thr, total_docs, kept_docs, kept_chars,
-        |  $yieldPpmSql
-        |FROM st ORDER BY lang, thr""".stripMargin
-
-  /** The c88 BPE oracle CTE chain GENERATED for any k: per round an
-    * adjacency window (a_i), the DESC-tiebroken argmax pair (b_i), and —
-    * for every round but the last — the island-parity leftmost-greedy
-    * merge application (m_i/i_i/o_i → alive_{i+1}), algebra identical to
-    * [[graft.operators.Bpe.merges]] and byte-comparable to the
-    * hand-written k=3 oracle. SQL length grows linearly in k, which is
-    * free for a generated string — this resolves the "oracle strategy
-    * past k≈8" question as full exact verification (c95 gates k=16).
-    * The multiply-referenced CTEs (a_i feeds b_i AND m_i) are
-    * MATERIALIZED: DuckDB inlines plain CTEs per reference, which at
-    * k=16 is 2^16 expansions — the exact c04/c66 exponential-inlining
-    * lesson from the CLAUDE.md ledger (it surfaced here as "too many
-    * open files" before the hint). */
-  private def bpeMergesOracleSql(k: Int, docWhere: String): String = {
-    val sb = new StringBuilder
-    sb.append(
-      s"""WITH alive1 AS (
-         |  SELECT doc_id AS doc,
-         |    generate_subscripts(string_split(coalesce(text, ''), ' '), 1) AS pos,
-         |    unnest(string_split(coalesce(text, ''), ' ')) AS tok
-         |  FROM documents$docWhere),
-         |""".stripMargin)
-    for (i <- 1 to k) {
-      val src = if (i == 1) "(SELECT * FROM alive1 WHERE tok != '')" else s"alive$i"
-      sb.append(
-        s"""a$i AS MATERIALIZED (SELECT doc, pos, tok, lead(tok) OVER wd AS ntok, row_number() OVER wd AS seq
-           |       FROM $src WINDOW wd AS (PARTITION BY doc ORDER BY pos)),
-           |b$i AS MATERIALIZED (SELECT tok AS bt, ntok AS bn, CAST(count(*) AS BIGINT) AS bc
-           |       FROM a$i WHERE ntok IS NOT NULL GROUP BY 1, 2
-           |       ORDER BY bc DESC, bt DESC, bn DESC LIMIT 1)""".stripMargin)
-      if (i < k) sb.append(
-        s""",
-           |m$i AS (SELECT a.*, (a.ntok IS NOT NULL AND a.tok = b.bt AND a.ntok = b.bn) AS im
-           |       FROM a$i a CROSS JOIN b$i b),
-           |i$i AS (SELECT *, CASE WHEN im THEN seq - row_number()
-           |         OVER (PARTITION BY doc, im ORDER BY pos) END AS isl FROM m$i),
-           |o$i AS (SELECT *, im AND (row_number() OVER (PARTITION BY doc, isl ORDER BY pos) - 1) % 2 = 0 AS mg
-           |       FROM i$i),
-           |alive${i + 1} AS MATERIALIZED (SELECT doc, pos, CASE WHEN mg THEN tok || ' ' || ntok ELSE tok END AS tok
-           |           FROM (SELECT *, lag(mg) OVER (PARTITION BY doc ORDER BY pos) AS pm FROM o$i)
-           |           WHERE NOT coalesce(pm, FALSE)),
-           |""".stripMargin)
-    }
-    sb.append("\nSELECT 1 AS rank, bt AS lhs, bn AS rhs, bc AS pair_count FROM b1")
-    for (i <- 2 to k) sb.append(s"\nUNION ALL SELECT $i, bt, bn, bc FROM b$i")
-    sb.append("\nORDER BY rank")
-    sb.toString
-  }
-
-  /** The b92 Hilbert oracle: the identical 16-bit-plane rotate/reflect
-    * walk as [[graft.plans.SpatialExpressions.hilbertD]], generated as a
-    * CTE ladder (one CTE per plane, each referenced once — no
-    * MATERIALIZED needed). Pure integer CASE/xor/& algebra. */
-  private def hilbertKeySql: String = {
-    val sb = new StringBuilder
-    sb.append(
-      """WITH h0 AS (
-        |  SELECT o_orderkey, (o_custkey & 65535) AS x,
-        |    (date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) & 65535) AS y,
-        |    CAST(0 AS BIGINT) AS d
-        |  FROM orders)""".stripMargin)
-    for (i <- 1 to 16) {
-      val s = 1L << (16 - i)
-      val ss = s * s
-      sb.append(
-        s""",
-           |h$i AS (SELECT o_orderkey,
-           |  d + $ss * xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
-           |                CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d,
-           |  CASE WHEN (y & $s) = 0 THEN (CASE WHEN (x & $s) > 0 THEN $s - 1 - y ELSE y END) ELSE x END AS x,
-           |  CASE WHEN (y & $s) = 0 THEN (CASE WHEN (x & $s) > 0 THEN $s - 1 - x ELSE x END) ELSE y END AS y
-           |  FROM h${i - 1})""".stripMargin)
-    }
-    sb.append(
-      "\nSELECT o_orderkey, CAST(d AS BIGINT) AS hkey FROM h16 ORDER BY hkey, o_orderkey LIMIT 2000")
-    sb.toString
-  }
-
-  private val jaccardPairsSql =
-    shingleCte +
-      """
-        |SELECT a.doc_id AS a, b.doc_id AS b
-        |FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.sh, b.sh)) >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))
-        |ORDER BY a, b""".stripMargin
-
-  // recursive-CTE connected components over the c04 pair graph — shared by
-  // c17 (pointer jumping) and c75 (star contraction): one semantics, one
-  // oracle. INFEASIBLE in DuckDB at sf0.1 (35+ min) — sf0.01 gate only,
-  // see the CLAUDE.md ledger.
-  private val ccClustersSql =
-    shingleCte +
-      """,
-        |p AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sh, b.sh)) >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))),
-        |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
-        |r AS (
-        |  WITH RECURSIVE reach(id, x) AS (
-        |    SELECT src, src FROM e
-        |    UNION
-        |    SELECT e.src, reach.x FROM e JOIN reach ON reach.id = e.dst)
-        |  SELECT id, x FROM reach)
-        |SELECT id AS doc_id, min(x) AS cluster_rep
-        |FROM r GROUP BY id ORDER BY doc_id""".stripMargin
-
-  // shared PQ construction (c59 encode, c60 search): micro-quantized
-  // components, exact BIGINT squared L2, argmin tie-broken on code id,
-  // ADC vs vec 0 — ends in a `pq(vec_id, c0..c3, adc_micro2)` relation
-  private val pqCte =
-    """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-      |             x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS nv FROM embeddings),
-      |sub AS (SELECT vec_id, g.sm, nv[g.sm*16+1 : g.sm*16+16] AS sub
-      |        FROM e, generate_series(0, 3) g(sm)),
-      |seeds AS (SELECT vec_id AS code, sm, sub AS cw FROM sub WHERE vec_id < 16),
-      |cand AS (SELECT s.vec_id, s.sm, d.code,
-      |           CAST(list_sum(list_transform(generate_series(1, 16),
-      |             i -> (s.sub[i] - d.cw[i]) * (s.sub[i] - d.cw[i]))) AS BIGINT) AS d2
-      |         FROM sub s JOIN seeds d USING (sm)),
-      |best AS (SELECT vec_id, sm, code FROM (
-      |           SELECT *, row_number() OVER (PARTITION BY vec_id, sm
-      |             ORDER BY d2, code) AS rn FROM cand) WHERE rn = 1),
-      |q AS (SELECT sm, sub AS qsub FROM sub WHERE vec_id = 0),
-      |adc AS (SELECT b.vec_id, b.sm, b.code,
-      |          CAST(list_sum(list_transform(generate_series(1, 16),
-      |            i -> (q.qsub[i] - d.cw[i]) * (q.qsub[i] - d.cw[i]))) AS BIGINT) AS a2
-      |        FROM best b JOIN seeds d ON b.sm = d.sm AND b.code = d.code
-      |        JOIN q ON q.sm = b.sm),
-      |pq AS (SELECT vec_id,
-      |  max(CASE WHEN sm = 0 THEN code END) AS c0,
-      |  max(CASE WHEN sm = 1 THEN code END) AS c1,
-      |  max(CASE WHEN sm = 2 THEN code END) AS c2,
-      |  max(CASE WHEN sm = 3 THEN code END) AS c3,
-      |  CAST(sum(a2) AS BIGINT) AS adc_micro2
-      |FROM adc GROUP BY vec_id)""".stripMargin
-
-  private val cOracles: Map[String, String] = Map(
-    "c60_pq_adc_rerank" ->
-      // coarse = pq top-100 by integer ADC; rerank = c06's 6dp rounded
-      // cosine over the 100 survivors only
-      (pqCte + """,
-        |coarse AS (SELECT vec_id, adc_micro2 FROM pq WHERE vec_id <> 0
-        |           ORDER BY adc_micro2, vec_id LIMIT 100),
-        |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-        |rr AS (SELECT c.vec_id, c.adc_micro2,
-        |         round(list_cosine_similarity(CAST(e2.embedding AS DOUBLE[]), q.qv), 6) AS cos
-        |       FROM coarse c JOIN embeddings e2 ON e2.vec_id = c.vec_id, qv q)
-        |SELECT vec_id, adc_micro2, cos,
-        |  CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
-        |FROM rr ORDER BY rank""".stripMargin),
-    "c32_chunking" ->
-      // same arithmetic: stride 56, size 64; 1-based inclusive list slice
-      // == Spark's slice(start, length) incl. end-clamping; short/empty
-      // docs produce one chunk via greatest(1, ...)
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |n AS (SELECT doc_id, toks,
-        |        greatest(1, CAST(ceil((len(toks) - 8)::DOUBLE / 56) AS BIGINT)) AS nch FROM t),
-        |x AS (SELECT doc_id, toks, unnest(range(0, nch)) AS i FROM n)
-        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
-        |  array_to_string(toks[(i*56+1):(i*56+64)], ' ') AS chunk_text,
-        |  CAST(len(toks[(i*56+1):(i*56+64)]) AS INTEGER) AS n_tokens
-        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
-    "c31_embedding_lsh_pairs" ->
-      // Replicates the md5-plane construction (Ann.hyperplane) exactly:
-      // plane j component k = +1 iff first byte of md5('j:k') < 0x80;
-      // table = j // 4, local bit = j % 4. Candidates = same (table,
-      // bucket); verify = exact cosine ≥ 0.35 on candidates only.
-      """WITH hp AS (
-        |  SELECT j, list(CASE WHEN ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 2))::INTEGER < 128
-        |                 THEN 1.0 ELSE -1.0 END ORDER BY k) AS hvec
-        |  FROM generate_series(0,63) t1(j), generate_series(0,63) t2(k)
-        |  GROUP BY j),
-        |sig AS (
-        |  SELECT e.vec_id, (hp.j // 4) AS tbl,
-        |    CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), hp.hvec) >= 0
-        |             THEN (1::BIGINT << (hp.j % 4)) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM embeddings e, hp
-        |  GROUP BY e.vec_id, (hp.j // 4)),
-        |cand AS (
-        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-        |  FROM sig x JOIN sig y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
-        |SELECT c.a, c.b
-        |FROM cand c
-        |JOIN embeddings ea ON ea.vec_id = c.a
-        |JOIN embeddings eb ON eb.vec_id = c.b
-        |WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) >= 0.35
-        |ORDER BY a, b""".stripMargin,
-    "c30_redact" ->
-      """SELECT event_id,
-        |  regexp_replace(regexp_replace(props,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '[0-9]+', '<NUM>', 'g') AS props_scrubbed
-        |FROM events ORDER BY event_id""".stripMargin,
-    "c01_dedup_exact" ->
-      """SELECT min(doc_id) AS rep_id, count(*) AS n_dups FROM documents
-        |GROUP BY text ORDER BY rep_id""".stripMargin,
-    "c33_target_mix" ->
-      // Same water-filling arithmetic, SAME IEEE op order as
-      // Pipeline.targetMix: cap = w/t, T = min(cap),
-      // ppm = floor(((t*T)/w)*1e6); md5 bucketing as in c23.
-      """WITH a AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS w FROM documents GROUP BY lang),
-        |tgt(lang, t) AS (VALUES ('en', 0.4), ('de', 0.2), ('fr', 0.2), ('es', 0.1), ('zh', 0.1)),
-        |j AS (SELECT a.lang, a.w, tgt.t, CAST(a.w AS DOUBLE) / tgt.t AS cap
-        |      FROM a JOIN tgt USING (lang)),
-        |r AS (SELECT lang,
-        |        CAST(floor(t * (SELECT min(cap) FROM j) / CAST(w AS DOUBLE) * 1000000.0) AS BIGINT) AS ppm
-        |      FROM j)
-        |SELECT d.doc_id, d.lang, d.n_chars, r.ppm
-        |FROM documents d JOIN r USING (lang)
-        |WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < r.ppm
-        |ORDER BY d.doc_id""".stripMargin,
-    "c34_bloom_decontaminate" ->
-      // The Bloom prefilter is transparent (no false negatives): the exact
-      // answer is the plain 5-gram semi-join, which is what this computes.
-      """WITH t5 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-4),
-        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS sh
-        |      FROM t5 WHERE len(t) >= 5),
-        |e AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 10 = 7),
-        |tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 != 7)
-        |SELECT DISTINCT tr.doc_id FROM tr JOIN e USING (g) ORDER BY doc_id""".stripMargin,
-    "c35_source_reputation" ->
-      // integer-exact mirror of Text.qualityScoreNano: score is the
-      // rational (50d + 20s + 3*min(L,10n)) / (100n) in integer counts,
-      // so round-half-up nanos = (num*1e9 + 50n) // (100n) in pure BIGINT
-      // arithmetic — no doubles, no round(). Counts come from unnest +
-      // GROUP BY (count / count DISTINCT / sum CASE — primitives with one
-      // possible semantics in any engine version), NOT list lambdas: the
-      // r5 driver DuckDB disagreed with both Spark and DuckDB 1.0.0 on a
-      // list-kernel score sum while agreeing on every gated row. The
-      // output likewise exposes the gate decision, not the score sum.
-      // COALESCE keeps a NULL-text document as one empty-token row so it
-      // still reaches the per-source count(*) — unnest of an empty-less
-      // list would drop the doc and diverge from Spark's src_docs.
-      """WITH tok AS (
-        |  SELECT doc_id, source, unnest(string_split(COALESCE(text, ''), ' ')) AS tk
-        |  FROM documents),
-        |agg AS (
-        |  SELECT doc_id, source, count(*) AS n, count(DISTINCT tk) AS d,
-        |    sum(CASE WHEN tk IN ('the','a','of','and','to','in','is','it') THEN 1 ELSE 0 END) AS st,
-        |    sum(length(tk)) AS l
-        |  FROM tok GROUP BY doc_id, source),
-        |q AS (
-        |  SELECT doc_id, source,
-        |    CAST(((50 * d + 20 * st + 3 * least(l, 10 * n)) * 1000000000 + 50 * n)
-        |         // (100 * n) AS BIGINT) AS qn
-        |  FROM agg),
-        |rep AS (
-        |  SELECT source, count(*) AS src_docs
-        |  FROM q GROUP BY source
-        |  HAVING sum(qn) >= 395000000 * count(*))
-        |SELECT q.doc_id, q.source, rep.src_docs
-        |FROM q JOIN rep USING (source) ORDER BY doc_id""".stripMargin,
-    "c36_incremental_dedup" -> (shingleCte +
-      """
-        |SELECT a.doc_id AS a, b.doc_id AS b
-        |FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |WHERE (a.doc_id % 10 = 3 OR b.doc_id % 10 = 3)
-        |  AND len(list_intersect(a.sh, b.sh)) >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))
-        |ORDER BY a, b""".stripMargin),
-    "c37_stream_dedup_parity" ->
-      // full minhash replication: 60-bit md5 shingle hashes, the affine
-      // permutations h_i(x) = (a_i·x + b_i) mod P with the fixed-LCG
-      // constants (Dedup.coeffA/coeffB), banded 16×4, candidates = shared
-      // band, criterion = signature agreement on ≥ 45/64 permutations —
-      // pure integer arithmetic end to end (products < 2^62)
-      (shingleCte +
-      """,
-        |hs AS (SELECT doc_id, list_distinct(list_transform(sh, x ->
-        |        CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT))) AS hs FROM s),
-        |perm AS (SELECT i,
-        |        CASE WHEN (1103515245 * (i+1) + 12345) % 2147483647 = 0 THEN 1
-        |             ELSE (1103515245 * (i+1) + 12345) % 2147483647 END AS a,
-        |        (69069 * (i+1) + 1) % 2147483647 AS b
-        |        FROM generate_series(0, 63) g(i)),
-        |sig AS (SELECT h.doc_id, p.i,
-        |        min((p.a * (h.h % 2147483647) + p.b) % 2147483647) AS sg
-        |        FROM (SELECT doc_id, unnest(hs) AS h FROM hs) h CROSS JOIN perm p
-        |        GROUP BY h.doc_id, p.i),
-        |sigl AS (SELECT doc_id, list(sg ORDER BY i) AS sig FROM sig GROUP BY doc_id),
-        |band AS (SELECT doc_id, gb.b AS bd, sig[gb.b*4+1 : gb.b*4+4] AS bs, sig
-        |         FROM sigl CROSS JOIN generate_series(0, 15) gb(b)),
-        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sig AS siga, y.sig AS sigb
-        |         FROM band x JOIN band y ON x.bd = y.bd AND x.bs = y.bs AND x.doc_id < y.doc_id),
-        |pair AS (SELECT a, b,
-        |          len(list_filter(generate_series(1, 64), i -> siga[i] = sigb[i])) AS n_agree
-        |         FROM cand)
-        |SELECT b AS doc_id, a AS dup_of, CAST(n_agree AS INTEGER) AS n_agree
-        |FROM pair WHERE n_agree >= 45 ORDER BY doc_id, dup_of""".stripMargin),
-    "c38_embedding_quantize" ->
-      // identical arithmetic: scale = 127/max|v| (one IEEE division),
-      // q = floor(v*scale + 0.5) (exact), dequant = q/scale; the cosine
-      // round-trip check is a boolean bound so summation order is free
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
-        |sc AS (SELECT vec_id, v, mx,
-        |        CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale FROM m),
-        |qz AS (SELECT vec_id, v, mx, scale,
-        |        list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS q FROM sc),
-        |dq AS (SELECT vec_id, v, mx, scale, q,
-        |        list_transform(q, x -> CASE WHEN scale > 0 THEN x / scale ELSE 0.0 END) AS d FROM qz)
-        |SELECT vec_id, scale, array_to_string(q, ',') AS q_csv,
-        |  CASE WHEN mx = 0 THEN TRUE
-        |       ELSE list_inner_product(v, d)
-        |            / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(d, d))) >= 0.995
-        |  END AS recon_ok
-        |FROM dq ORDER BY vec_id""".stripMargin,
-    "c02_dedup_minhash" -> jaccardPairsSql,
-    "c03_dedup_simhash" ->
-      // 64-bit token hash taken as two positive 32-bit md5 halves (a single
-      // 16-hex-char parse can overflow signed BIGINT); the signature is
-      // likewise assembled and XOR-compared per half, so no value anywhere
-      // exceeds 2^32 — engine-portable with full 64-bit semantics.
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
-        |h AS (
-        |  SELECT doc_id,
-        |    CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS hhi,
-        |    CAST(('0x' || substring(md5(tok), 9, 8)) AS BIGINT) AS hlo
-        |  FROM tok),
-        |bits AS (
-        |  SELECT doc_id, j,
-        |    sum(CASE WHEN ((CASE WHEN j < 32 THEN hlo >> j ELSE hhi >> (j - 32) END) & 1) = 1
-        |        THEN 1 ELSE -1 END) AS vote
-        |  FROM h CROSS JOIN generate_series(0, 63) g(j) GROUP BY doc_id, j),
-        |sh AS (
-        |  SELECT doc_id,
-        |    sum(CASE WHEN vote > 0 AND j < 32 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS lo,
-        |    sum(CASE WHEN vote > 0 AND j >= 32 THEN (CAST(1 AS BIGINT) << (j - 32)) ELSE 0 END) AS hi
-        |  FROM bits GROUP BY doc_id)
-        |SELECT a.doc_id AS a, b.doc_id AS b,
-        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
-        |ORDER BY a, b""".stripMargin,
-    "c04_ngram_jaccard" -> jaccardPairsSql,
-    // c67 = the same pair set as c04, derived by prefix filtering — one
-    // semantic, three engines-worth of algorithms (c02 minhash approx,
-    // c04 inverted index, c67 prefix filter) against one exact oracle
-    "c67_prefix_jaccard" -> jaccardPairsSql,
-    // same micro-int stats, same two-step IEEE order (mu = s/n;
-    // var = ss/n - mu*mu; z = (m-mu)/sd), same milli round-half-up;
-    // dim is 1-based here vs 0-based in Spark but is only an
-    // engine-local join/order key, never output
-    "c74_embedding_standardize" ->
-      """WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-        |             x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS m FROM embeddings),
-        |p AS (SELECT vec_id, unnest(list_transform(generate_series(1, len(m)),
-        |        i -> struct_pack(dim := i, mv := m[i]))) AS s FROM e),
-        |q AS (SELECT vec_id, s.dim AS dim, s.mv AS mv FROM p),
-        |st AS (SELECT dim, count(*) AS n, CAST(sum(mv) AS BIGINT) AS sm,
-        |         CAST(sum(mv * mv) AS BIGINT) AS ss FROM q GROUP BY dim),
-        |sd AS (SELECT dim, CAST(sm AS DOUBLE) / n AS mu,
-        |         sqrt(CAST(ss AS DOUBLE) / n
-        |           - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n)) AS sd
-        |       FROM st),
-        |z AS (SELECT q.vec_id, q.dim,
-        |        CASE WHEN sd.sd = 0 THEN 0
-        |             ELSE CAST(floor(1000 * ((CAST(q.mv AS DOUBLE) - sd.mu) / sd.sd) + 0.5) AS BIGINT)
-        |        END AS zv
-        |      FROM q JOIN sd USING (dim))
-        |SELECT vec_id, string_agg(CAST(zv AS VARCHAR), ',' ORDER BY dim) AS z_csv
-        |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin,
-
-    // same split, same rounding convention as c05's cosine oracle
-    "c72_embedding_decontam" ->
-      """WITH ev AS (SELECT vec_id AS eid, embedding AS ev FROM embeddings WHERE vec_id % 97 = 1),
-        |tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 != 1)
-        |SELECT tr.vec_id, CAST(count(*) AS BIGINT) AS n_hits
-        |FROM tr JOIN ev ON round(list_cosine_similarity(
-        |  CAST(tr.embedding AS DOUBLE[]), CAST(ev.ev AS DOUBLE[])), 6) >= 0.35
-        |GROUP BY tr.vec_id ORDER BY vec_id""".stripMargin,
-
-    // same 60-bit hash vocabulary (both engines count hashes, so even a
-    // collision counts identically), same strict first_doc < checkpoint
-    "c73_vocab_growth" ->
-      """WITH tk AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
-        |            FROM documents),
-        |fs AS (SELECT CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS th,
-        |         min(doc_id) AS first_doc FROM tk GROUP BY 1),
-        |cp AS (SELECT unnest([64, 128, 256, 512, 1024, 2048, 4096, 8192]) AS checkpoint)
-        |SELECT CAST(checkpoint AS BIGINT) AS checkpoint, CAST(count(*) AS BIGINT) AS vocab
-        |FROM fs JOIN cp ON fs.first_doc < cp.checkpoint
-        |GROUP BY 1 ORDER BY checkpoint""".stripMargin,
-
-    // same md5 bucket rule ('r:tok' 60-bit mod width) — exact cell grid
-    "c78_stream_cms_parity" ->
-      """WITH tk AS (SELECT CAST(user_id AS VARCHAR) AS tok FROM events),
-        |x AS (SELECT CAST(g.r AS INTEGER) AS r,
-        |        CAST(('0x' || substring(md5(CAST(g.r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 64 AS bucket
-        |      FROM tk CROSS JOIN generate_series(0, 3) g(r))
-        |SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
-        |FROM x GROUP BY r, bucket ORDER BY r, bucket""".stripMargin,
-
-    // same cells as c78; est = min_r Σ_b cell², exact = Σ f² — both exact
-    // integers, so the audit booleans are engine-trivial
-    "c79_cms_join_size" ->
-      """WITH tk AS (SELECT CAST(user_id AS VARCHAR) AS tok FROM events),
-        |cells AS (SELECT g.r AS r,
-        |    CAST(('0x' || substring(md5(CAST(g.r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 64 AS bucket,
-        |    CAST(count(*) AS BIGINT) AS cnt
-        |  FROM tk CROSS JOIN generate_series(0, 3) g(r) GROUP BY 1, 2),
-        |re AS (SELECT r, CAST(sum(cnt * cnt) AS BIGINT) AS row_est FROM cells GROUP BY r),
-        |es AS (SELECT min(row_est) AS est_f2 FROM re),
-        |ex AS (SELECT CAST(sum(c) AS BIGINT) AS n_toks, CAST(sum(c * c) AS BIGINT) AS exact_f2
-        |       FROM (SELECT count(*) AS c FROM tk GROUP BY tok))
-        |SELECT n_toks, exact_f2, est_f2, est_f2 >= exact_f2 AS one_sided_ok,
-        |  (est_f2 - exact_f2) * 64 <= 4 * n_toks * n_toks AS bound_ok
-        |FROM ex, es""".stripMargin,
-
-    // exact counts + literal TRUE for the theorem-guaranteed audit bits
-    // (capture and error bound hold at ANY merge order — Folds.MisraGries)
-    "b80_heavy_hitters" ->
-      """WITH dl AS (SELECT coalesce(lang, '') AS lang FROM documents),
-        |n AS (SELECT count(*) AS nn FROM dl)
-        |SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
-        |  (count(*) * 3 > n.nn) AS is_heavy,
-        |  TRUE AS captured, TRUE AS bound_ok
-        |FROM dl, n GROUP BY lang, n.nn ORDER BY lang""".stripMargin,
-
-    // same micro-quantization (c74's grid) and the same md5 sign rule:
-    // sign(j,i) = 1 - 2*bit_{i mod 30}(md5_60('jl:j:' || i//30))
-    "c80_jl_projection" ->
-      """WITH x AS (SELECT vec_id, g.i AS i,
-        |    CAST(floor(CAST(embedding[g.i + 1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q
-        |  FROM embeddings CROSS JOIN generate_series(0, 63) g(i)),
-        |s AS (SELECT gj.j AS j, gi.i AS i,
-        |    1 - 2 * ((CAST(('0x' || substring(md5('jl:' || CAST(gj.j AS VARCHAR) || ':' ||
-        |        CAST((gi.i // 30) AS VARCHAR)), 1, 15)) AS BIGINT)
-        |      >> CAST((gi.i % 30) AS INTEGER)) & 1) AS sgn
-        |  FROM generate_series(0, 15) gj(j) CROSS JOIN generate_series(0, 63) gi(i))
-        |SELECT x.vec_id, CAST(s.j AS INTEGER) AS j, CAST(sum(s.sgn * x.q) AS BIGINT) AS y
-        |FROM x JOIN s ON x.i = s.i GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin,
-
-    // inner product of the two cell grids, same md5 bucket rule
-    "c81_cms_join_size_2t" ->
-      """WITH ta AS (SELECT CAST(user_id AS VARCHAR) AS tok FROM events),
-        |tb AS (SELECT CAST(c_custkey AS VARCHAR) AS tok FROM customer),
-        |ca AS (SELECT g.r AS r,
-        |    CAST(('0x' || substring(md5(CAST(g.r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 64 AS bucket,
-        |    CAST(count(*) AS BIGINT) AS ca
-        |  FROM ta CROSS JOIN generate_series(0, 3) g(r) GROUP BY 1, 2),
-        |cb AS (SELECT g.r AS r,
-        |    CAST(('0x' || substring(md5(CAST(g.r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 64 AS bucket,
-        |    CAST(count(*) AS BIGINT) AS cb
-        |  FROM tb CROSS JOIN generate_series(0, 3) g(r) GROUP BY 1, 2),
-        |re AS (SELECT ca.r, CAST(sum(ca.ca * cb.cb) AS BIGINT) AS row_est
-        |       FROM ca JOIN cb ON ca.r = cb.r AND ca.bucket = cb.bucket GROUP BY 1),
-        |es AS (SELECT min(row_est) AS est_join FROM re),
-        |fa AS (SELECT tok, count(*) AS fa FROM ta GROUP BY 1),
-        |fb AS (SELECT tok, count(*) AS fb FROM tb GROUP BY 1),
-        |ex AS (SELECT CAST(coalesce(sum(fa.fa * fb.fb), 0) AS BIGINT) AS exact_join
-        |       FROM fa JOIN fb ON fa.tok = fb.tok),
-        |sa AS (SELECT CAST(count(*) AS BIGINT) AS na FROM ta),
-        |sb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM tb)
-        |SELECT na, nb, exact_join, est_join, est_join >= exact_join AS one_sided_ok,
-        |  (est_join - exact_join) * 64 <= 4 * na * nb AS bound_ok
-        |FROM ex, sa, sb, es""".stripMargin,
-
-    // gini over counts sorted asc is tie-insensitive (equal counts commute
-    // in sum(i*c)), so row_number tie order is immaterial; all-integer with
-    // one final floor division of non-negative operands (the b77 note)
-    "b81_skew_profile" ->
-      """WITH c AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
-        |r AS (SELECT c, row_number() OVER (ORDER BY c, k) AS i FROM c),
-        |a AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(c) AS BIGINT) AS n,
-        |        CAST(max(c) AS BIGINT) AS mx, CAST(sum(i * c) AS BIGINT) AS s1 FROM r)
-        |SELECT m AS n_keys, n AS n_rows, mx AS max_cnt,
-        |  (1000 * mx * m) // n AS skew_milli,
-        |  (1000 * (2 * s1 - (m + 1) * n)) // (m * n) AS gini_milli
-        |FROM a""".stripMargin,
-
-    // replay of the full integer signature pipeline: c80's projection,
-    // the 'hp'-salted sign family, 4-bit band sigs, then c05's verify
-    "c82_jl_lsh_pairs" ->
-      """WITH e AS (SELECT vec_id AS id, embedding FROM embeddings),
-        |x AS (SELECT id, g.i AS i,
-        |    CAST(floor(CAST(embedding[g.i + 1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q
-        |  FROM e CROSS JOIN generate_series(0, 63) g(i)),
-        |sj AS (SELECT gj.j AS j, gi.i AS i,
-        |    1 - 2 * ((CAST(('0x' || substring(md5('jl:' || CAST(gj.j AS VARCHAR) || ':' ||
-        |        CAST((gi.i // 30) AS VARCHAR)), 1, 15)) AS BIGINT)
-        |      >> CAST((gi.i % 30) AS INTEGER)) & 1) AS sgn
-        |  FROM generate_series(0, 15) gj(j) CROSS JOIN generate_series(0, 63) gi(i)),
-        |y AS (SELECT x.id, sj.j AS j, CAST(sum(sj.sgn * x.q) AS BIGINT) AS y
-        |      FROM x JOIN sj ON x.i = sj.i GROUP BY 1, 2),
-        |hp AS (SELECT gt.t AS t, gj.j AS j,
-        |    1 - 2 * ((CAST(('0x' || substring(md5('hp:' || CAST(gt.t AS VARCHAR) || ':' ||
-        |        CAST((gj.j // 30) AS VARCHAR)), 1, 15)) AS BIGINT)
-        |      >> CAST((gj.j % 30) AS INTEGER)) & 1) AS sgn
-        |  FROM generate_series(0, 15) gt(t) CROSS JOIN generate_series(0, 15) gj(j)),
-        |bits AS (SELECT y.id, hp.t AS t,
-        |    CASE WHEN sum(hp.sgn * y.y) >= 0 THEN 1 ELSE 0 END AS bit
-        |  FROM y JOIN hp ON y.j = hp.j GROUP BY 1, 2),
-        |sigs AS (SELECT id, t // 4 AS band,
-        |    CAST(sum(bit * (1 << CAST(t % 4 AS INTEGER))) AS BIGINT) AS sig
-        |  FROM bits GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT sa.id AS a, sb.id AS b FROM sigs sa
-        |  JOIN sigs sb ON sa.band = sb.band AND sa.sig = sb.sig AND sa.id < sb.id)
-        |SELECT cand.a, cand.b FROM cand
-        |JOIN e ea ON ea.id = cand.a JOIN e eb ON eb.id = cand.b
-        |WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-        |  CAST(eb.embedding AS DOUBLE[])), 6) >= 0.35
-        |ORDER BY a, b""".stripMargin,
-
-    // same (ts, event_id) total order; full-path tiebreak makes the
-    // top-10 cut deterministic
-    "b82_event_paths" ->
-      """WITH e AS (SELECT event_type AS e1,
-        |    lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-        |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS cnt FROM e
-        |WHERE e2 IS NOT NULL AND e3 IS NOT NULL
-        |GROUP BY 1, 2, 3 ORDER BY cnt DESC, e1, e2, e3 LIMIT 10""".stripMargin,
-
-    // exact per-column stats; canonical BIGINT envelopes match the Spark
-    // side (cents, epoch days)
-    "b83_analyze_stats" ->
-      """WITH o AS (SELECT o_orderkey, o_custkey,
-        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
-        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS dday
-        |  FROM orders)
-        |SELECT 'o_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(count(o_custkey) AS BIGINT) AS n_non_null,
-        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv,
-        |  CAST(min(o_custkey) AS BIGINT) AS min_v, CAST(max(o_custkey) AS BIGINT) AS max_v FROM o
-        |UNION ALL SELECT 'o_orderdate_day', CAST(count(*) AS BIGINT), CAST(count(dday) AS BIGINT),
-        |  CAST(count(DISTINCT dday) AS BIGINT), CAST(min(dday) AS BIGINT), CAST(max(dday) AS BIGINT) FROM o
-        |UNION ALL SELECT 'o_orderkey', CAST(count(*) AS BIGINT), CAST(count(o_orderkey) AS BIGINT),
-        |  CAST(count(DISTINCT o_orderkey) AS BIGINT), CAST(min(o_orderkey) AS BIGINT), CAST(max(o_orderkey) AS BIGINT) FROM o
-        |UNION ALL SELECT 'o_totalprice_cents', CAST(count(*) AS BIGINT), CAST(count(cents) AS BIGINT),
-        |  CAST(count(DISTINCT cents) AS BIGINT), CAST(min(cents) AS BIGINT), CAST(max(cents) AS BIGINT) FROM o
-        |ORDER BY col_name""".stripMargin,
-
-    // b66's base/changes CTEs; diff = full-outer + IS NOT DISTINCT FROM
-    "b87_snapshot_diff" ->
-      """WITH base AS (
-        |  SELECT user_id, value FROM (
-        |    SELECT user_id, value,
-        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |    FROM events WHERE ts < TIMESTAMP '2024-01-16') WHERE rn = 1),
-        |chg AS (
-        |  SELECT user_id, value,
-        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op FROM (
-        |    SELECT user_id, event_type, value,
-        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |    FROM events WHERE ts >= TIMESTAMP '2024-01-16') WHERE rn = 1),
-        |neu AS (
-        |  SELECT coalesce(b.user_id, c.user_id) AS user_id,
-        |    CASE WHEN c.op = 'U' THEN c.value ELSE b.value END AS value
-        |  FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
-        |  WHERE c.op IS NULL OR c.op <> 'D')
-        |SELECT coalesce(o.user_id, n.user_id) AS user_id,
-        |  CASE WHEN o.user_id IS NULL THEN 'added'
-        |       WHEN n.user_id IS NULL THEN 'removed'
-        |       WHEN o.value IS NOT DISTINCT FROM n.value THEN 'unchanged'
-        |       ELSE 'changed' END AS change_type
-        |FROM base o FULL OUTER JOIN neu n ON o.user_id = n.user_id
-        |ORDER BY user_id""".stripMargin,
-
-    // c06's brute CTEs ∩ c22's multiprobe CTEs, counted per query
-    "c89_ann_precision" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.query_id, e.vec_id AS item_id,
-        |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos
-        |  FROM q JOIN embeddings e ON e.vec_id != q.query_id),
-        |brute AS (
-        |  SELECT query_id, item_id FROM (
-        |    SELECT query_id, item_id,
-        |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
-        |    FROM scored) WHERE rank <= 10),
-        |hp AS (
-        |  SELECT j, list(CASE WHEN ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 2))::INTEGER < 128
-        |                 THEN 1.0 ELSE -1.0 END ORDER BY k) AS hvec
-        |  FROM generate_series(0,4) t1(j), generate_series(0,63) t2(k)
-        |  GROUP BY j),
-        |sig AS (
-        |  SELECT e.vec_id, e.embedding,
-        |    CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), hp.hvec) >= 0
-        |             THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM embeddings e, hp
-        |  GROUP BY e.vec_id, e.embedding),
-        |probes AS (
-        |  SELECT vec_id AS query_id, embedding AS pqv,
-        |    CASE WHEN m < 0 THEN bucket ELSE xor(bucket, (1::BIGINT << m)) END AS pbucket
-        |  FROM sig, generate_series(-1,4) t(m)
-        |  WHERE vec_id < 5),
-        |cand AS (
-        |  SELECT p.query_id, s.vec_id AS item_id,
-        |    round(list_cosine_similarity(CAST(p.pqv AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])), 6) AS cos
-        |  FROM probes p JOIN sig s ON s.bucket = p.pbucket AND s.vec_id != p.query_id),
-        |lsh AS (
-        |  SELECT query_id, item_id FROM (
-        |    SELECT query_id, item_id,
-        |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
-        |    FROM cand) WHERE rank <= 10),
-        |h AS (SELECT b.query_id, CAST(count(*) AS BIGINT) AS h
-        |      FROM brute b JOIN lsh l ON b.query_id = l.query_id AND b.item_id = l.item_id
-        |      GROUP BY 1)
-        |SELECT q.query_id AS query_id, coalesce(h.h, 0) AS hits_at_10
-        |FROM q LEFT JOIN h ON h.query_id = q.query_id ORDER BY q.query_id""".stripMargin,
-
-    // bucketing is engine-local layout; the contract is the plain rollup
-    "b86_bucketed_agg" ->
-      """SELECT o_custkey, count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
-
-    // quantile_disc ≡ the cw*2 >= tot rule (smallest v with cdf >= 0.5)
-    "b90_grouped_mad" ->
-      """WITH d0 AS (SELECT coalesce(lang, '') AS lang, n_chars FROM documents),
-        |m AS (SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS med_chars
-        |      FROM d0 GROUP BY lang),
-        |dv AS (SELECT d0.lang, abs(d0.n_chars - m.med_chars) AS ad
-        |       FROM d0 JOIN m ON d0.lang = m.lang),
-        |md AS (SELECT lang, CAST(quantile_disc(ad, 0.5) AS BIGINT) AS mad_chars
-        |       FROM dv GROUP BY lang)
-        |SELECT m.lang AS lang, m.med_chars, md.mad_chars
-        |FROM m JOIN md ON m.lang = md.lang ORDER BY m.lang""".stripMargin,
-
-    // latest row at-or-before T per user (row_number ≡ max_by on the
-    // same (ts, event_id) total order)
-    "b89_scd2_asof" ->
-      """SELECT user_id, event_id, epoch_us(ts) AS valid_from_us FROM (
-        |  SELECT user_id, event_id, ts,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events WHERE ts <= TIMESTAMP '2024-01-16') t
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
-
-    // same two exact passes; quantile_disc = DuckDB's discrete percentile
-    "b88_mad_robust" ->
-      """WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v FROM lineitem),
-        |m AS (SELECT quantile_disc(v, 0.5) AS med FROM c)
-        |SELECT CAST(max(m.med) AS BIGINT) AS median_cents,
-        |  CAST(quantile_disc(abs(c.v - m.med), 0.5) AS BIGINT) AS mad_cents,
-        |  CAST(count(*) AS BIGINT) AS n
-        |FROM c CROSS JOIN m""".stripMargin,
-
-    // c71's canonical groups binned by binary-string length
-    // three c81-style sketch inner products + the argmin rank — every
-    // column a deterministic BIGINT under the shared md5 bucket rule
-    "c100_join_order" ->
-      """WITH ta AS (SELECT CAST(user_id AS VARCHAR) AS tok FROM events),
-        |tb AS (SELECT CAST(o_custkey AS VARCHAR) AS tok FROM orders),
-        |tc AS (SELECT CAST(c_custkey AS VARCHAR) AS tok FROM customer),
-        |ca AS (SELECT g.r AS r,
-        |    CAST(('0x' || substring(md5(CAST(g.r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 64 AS bucket,
-        |    CAST(count(*) AS BIGINT) AS cnt
-        |  FROM ta CROSS JOIN generate_series(0, 3) g(r) GROUP BY 1, 2),
-        |cb AS (SELECT g.r AS r,
-        |    CAST(('0x' || substring(md5(CAST(g.r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 64 AS bucket,
-        |    CAST(count(*) AS BIGINT) AS cnt
-        |  FROM tb CROSS JOIN generate_series(0, 3) g(r) GROUP BY 1, 2),
-        |cc AS (SELECT g.r AS r,
-        |    CAST(('0x' || substring(md5(CAST(g.r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 64 AS bucket,
-        |    CAST(count(*) AS BIGINT) AS cnt
-        |  FROM tc CROSS JOIN generate_series(0, 3) g(r) GROUP BY 1, 2),
-        |eab AS (SELECT coalesce(min(s), 0) AS est FROM (
-        |    SELECT a.r, sum(a.cnt * b.cnt) AS s FROM ca a JOIN cb b USING (r, bucket) GROUP BY a.r)),
-        |eac AS (SELECT coalesce(min(s), 0) AS est FROM (
-        |    SELECT a.r, sum(a.cnt * c.cnt) AS s FROM ca a JOIN cc c USING (r, bucket) GROUP BY a.r)),
-        |ebc AS (SELECT coalesce(min(s), 0) AS est FROM (
-        |    SELECT b.r, sum(b.cnt * c.cnt) AS s FROM cb b JOIN cc c USING (r, bucket) GROUP BY b.r)),
-        |p AS (
-        |  SELECT 'events' AS left_table, 'orders' AS right_table, CAST(est AS BIGINT) AS est_join FROM eab
-        |  UNION ALL SELECT 'events', 'customer', CAST(est AS BIGINT) FROM eac
-        |  UNION ALL SELECT 'orders', 'customer', CAST(est AS BIGINT) FROM ebc),
-        |rk AS (SELECT *, row_number() OVER (ORDER BY est_join, left_table, right_table) AS rn FROM p)
-        |SELECT left_table, right_table, est_join, rn = 1 AS join_first
-        |FROM rk ORDER BY left_table, right_table""".stripMargin,
-
-    // rate = sqrt(w_min)/sqrt(w): the water-filling normalizer cancels,
-    // leaving only correctly-rounded IEEE sqrt/div/mul in this exact order
-    "c101_temperature_mix" ->
-      """WITH a AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS w FROM documents GROUP BY lang),
-        |r AS (SELECT lang,
-        |        CAST(floor(sqrt(CAST((SELECT min(w) FROM a) AS DOUBLE))
-        |          / sqrt(CAST(w AS DOUBLE)) * 1000000.0) AS BIGINT) AS ppm
-        |      FROM a)
-        |SELECT d.doc_id, d.lang, d.n_chars, r.ppm
-        |FROM documents d JOIN r USING (lang)
-        |WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 < r.ppm
-        |ORDER BY d.doc_id""".stripMargin,
-
-    // c06's brute-force shape restricted to different-label items
-    "c102_hard_negatives" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
-        |           FROM embeddings WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.query_id, e.vec_id AS item_id, e.label AS item_label,
-        |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos
-        |  FROM q JOIN embeddings e ON e.vec_id != q.query_id AND e.label != q.ql),
-        |ranked AS (
-        |  SELECT query_id, item_id, item_label,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, item_id, item_label, CAST(rank AS INTEGER) AS rank FROM ranked
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-
-    // c71's canonical key; survivor = (n_chars desc, doc_id asc) per group
-    "c103_keep_best" ->
-      """WITH c AS (SELECT doc_id, n_chars,
-        |  CAST(('0x' || substring(md5(array_to_string(list_filter(
-        |    string_split(lower(translate(coalesce(text, ''), '.,!?;:()"''', '          ')), ' '),
-        |    x -> x != ''), ' ')), 1, 15)) AS BIGINT) AS ck
-        |  FROM documents),
-        |r AS (SELECT doc_id, n_chars,
-        |    row_number() OVER (PARTITION BY ck ORDER BY n_chars DESC, doc_id) AS rn,
-        |    count(*) OVER (PARTITION BY ck) AS gs
-        |  FROM c)
-        |SELECT doc_id, n_chars, CAST(gs AS BIGINT) AS group_size
-        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-
-    // b94's chained conditional-min windows extended to 4 stages
-    "b102_funnel4" ->
-      """WITH s1t AS (
-        |  SELECT user_id, ts, event_type,
-        |    min(CASE WHEN event_type = 'view' THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s1
-        |  FROM events),
-        |s2t AS (
-        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s2
-        |  FROM s1t),
-        |s3t AS (
-        |  SELECT *, min(CASE WHEN event_type = 'signup' AND ts > s2 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s3
-        |  FROM s2t),
-        |s4t AS (
-        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s3 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s4
-        |  FROM s3t),
-        |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s3) AS s3,
-        |        max(s4) AS s4
-        |      FROM s4t GROUP BY user_id),
-        |c AS (SELECT CAST(count(s1) AS BIGINT) AS u1, CAST(count(s2) AS BIGINT) AS u2,
-        |        CAST(count(s3) AS BIGINT) AS u3, CAST(count(s4) AS BIGINT) AS u4 FROM u)
-        |SELECT 1 AS stage, 'view' AS event_type, u1 AS users,
-        |  (u1 * 1000000) // NULLIF(u1, 0) AS conv_ppm FROM c
-        |UNION ALL SELECT 2, 'click', u2, (u2 * 1000000) // NULLIF(u1, 0) FROM c
-        |UNION ALL SELECT 3, 'signup', u3, (u3 * 1000000) // NULLIF(u1, 0) FROM c
-        |UNION ALL SELECT 4, 'purchase', u4, (u4 * 1000000) // NULLIF(u1, 0) FROM c
-        |ORDER BY stage""".stripMargin,
-
-    "b103_tpch_q6" ->
-      """SELECT
-        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-        |    * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
-        |    AS revenue_cents_pct,
-        |  count(*) AS n_items
-        |FROM lineitem
-        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
-        |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
-        |  AND l_discount >= 0.05 AND l_discount <= 0.07
-        |  AND l_quantity < 24.0""".stripMargin,
-
-    "b104_tpch_q17" ->
-      """WITH li AS (
-        |  SELECT l_partkey,
-        |    CAST(floor(l_quantity * 10 + 0.5) AS BIGINT) AS qty_deci,
-        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey
-        |  WHERE p_type = 'ECONOMY'),
-        |w AS (
-        |  SELECT *, sum(qty_deci) OVER (PARTITION BY l_partkey) AS sum_deci,
-        |    count(*) OVER (PARTITION BY l_partkey) AS cnt
-        |  FROM li),
-        |f AS (SELECT * FROM w WHERE qty_deci * cnt * 5 < sum_deci)
-        |SELECT CAST(CAST(sum(cents) AS BIGINT) // 7 AS BIGINT) AS avg_yearly_cents,
-        |  count(*) AS n_small FROM f""".stripMargin,
-
-    "c104_edit_distance_pairs" ->
-      """WITH k0 AS (
-        |  SELECT doc_id,
-        |    array_to_string(list_slice(string_split(lower(text), ' '), 1, 8), ' ') AS title,
-        |    string_split(lower(text), ' ')[1] AS blk
-        |  FROM documents WHERE text IS NOT NULL),
-        |k AS (
-        |  SELECT doc_id, title, blk FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY blk ORDER BY doc_id) AS rn
-        |    FROM k0) WHERE rn <= 4096)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist
-        |FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
-        |WHERE abs(length(a.title) - length(b.title)) <= 14
-        |  AND levenshtein(a.title, b.title) <= 14
-        |ORDER BY doc_a, doc_b""".stripMargin,
-
-    // c07's cell assignment at crank<=4 + c06's brute truth; per-probe
-    // ranks are running conditional counts over ONE per-query sort
-    "c105_ivf_probe_advisor" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-        |cent AS (
-        |  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id % 97 = 0),
-        |item_sc AS (
-        |  SELECT e.vec_id AS item_id, e.embedding AS iv, c.centroid_id,
-        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) AS csim
-        |  FROM embeddings e CROSS JOIN cent c),
-        |item_cell AS (
-        |  SELECT item_id, iv, centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY item_id ORDER BY csim DESC, centroid_id) AS crank
-        |    FROM item_sc) WHERE crank <= 1),
-        |q_sc AS (
-        |  SELECT q.query_id, q.qv, c.centroid_id,
-        |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) AS csim
-        |  FROM q CROSS JOIN cent c),
-        |q_cell AS (
-        |  SELECT query_id, qv, centroid_id, crank FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, centroid_id) AS crank
-        |    FROM q_sc) WHERE crank <= 4),
-        |b_scored AS (
-        |  SELECT q.query_id, e.vec_id AS item_id,
-        |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos
-        |  FROM q JOIN embeddings e ON e.vec_id != q.query_id),
-        |brute AS (
-        |  SELECT query_id, item_id FROM (
-        |    SELECT query_id, item_id,
-        |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
-        |    FROM b_scored) WHERE rank <= 10),
-        |cand AS (
-        |  SELECT qc.query_id, ic.item_id, qc.crank,
-        |    round(list_cosine_similarity(CAST(qc.qv AS DOUBLE[]), CAST(ic.iv AS DOUBLE[])), 6) AS cos
-        |  FROM item_cell ic JOIN q_cell qc USING (centroid_id)
-        |  WHERE ic.item_id != qc.query_id),
-        |ranked AS (
-        |  SELECT *,
-        |    sum(CASE WHEN crank <= 1 THEN 1 ELSE 0 END) OVER
-        |      (PARTITION BY query_id ORDER BY cos DESC, item_id
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1,
-        |    sum(CASE WHEN crank <= 2 THEN 1 ELSE 0 END) OVER
-        |      (PARTITION BY query_id ORDER BY cos DESC, item_id
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2,
-        |    sum(CASE WHEN crank <= 4 THEN 1 ELSE 0 END) OVER
-        |      (PARTITION BY query_id ORDER BY cos DESC, item_id
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r4
-        |  FROM cand),
-        |tot AS (
-        |  SELECT
-        |    sum(CASE WHEN crank <= 1 AND r1 <= 10 AND b.query_id IS NOT NULL THEN 1 ELSE 0 END) AS h1,
-        |    sum(CASE WHEN crank <= 2 AND r2 <= 10 AND b.query_id IS NOT NULL THEN 1 ELSE 0 END) AS h2,
-        |    sum(CASE WHEN crank <= 4 AND r4 <= 10 AND b.query_id IS NOT NULL THEN 1 ELSE 0 END) AS h4
-        |  FROM ranked r LEFT JOIN brute b USING (query_id, item_id)),
-        |bn AS (SELECT CAST(count(*) AS BIGINT) AS brute_n FROM brute),
-        |rows_ AS (
-        |  SELECT 1 AS nprobe, CAST(h1 AS BIGINT) AS hits FROM tot
-        |  UNION ALL SELECT 2, CAST(h2 AS BIGINT) FROM tot
-        |  UNION ALL SELECT 4, CAST(h4 AS BIGINT) FROM tot),
-        |curve AS (
-        |  SELECT nprobe, hits, brute_n,
-        |    CAST((hits * 1000000) // NULLIF(brute_n, 0) AS BIGINT) AS recall_ppm
-        |  FROM rows_ CROSS JOIN bn)
-        |SELECT nprobe, hits, brute_n, recall_ppm,
-        |  row_number() OVER (ORDER BY (recall_ppm >= 900000) DESC,
-        |    CASE WHEN recall_ppm >= 900000 THEN nprobe ELSE -nprobe END) = 1 AS chosen
-        |FROM curve ORDER BY nprobe""".stripMargin,
-
-    "b105_trailing_days" ->
-      """WITH o AS (
-        |  SELECT o_custkey, o_orderkey,
-        |    epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ts_us,
-        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-        |  FROM orders)
-        |SELECT o_custkey, o_orderkey,
-        |  count(*) OVER tw AS n_trailing,
-        |  CAST(sum(cents) OVER tw AS BIGINT) AS cents_trailing
-        |FROM o
-        |WINDOW tw AS (PARTITION BY o_custkey ORDER BY ts_us
-        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin,
-
-    // identical floored cumulative-Poisson ppm thresholds; the weight is
-    // a pure function of md5("doc:replicate") in both engines
-    "c107_bootstrap_stats" ->
-      """WITH r AS (
-        |  SELECT doc_id, n_chars, b.b AS replicate
-        |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b),
-        |w AS (
-        |  SELECT replicate, n_chars,
-        |    CASE WHEN bucket < 367879 THEN 0 WHEN bucket < 735758 THEN 1
-        |         WHEN bucket < 919698 THEN 2 WHEN bucket < 981011 THEN 3
-        |         WHEN bucket < 996340 THEN 4 ELSE 5 END AS w
-        |  FROM (SELECT *,
-        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
-        |      CAST(replicate AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS bucket
-        |    FROM r)),
-        |agg AS (
-        |  SELECT replicate, CAST(sum(w) AS BIGINT) AS drawn,
-        |    CAST(sum(w * n_chars) AS BIGINT) AS val_sum
-        |  FROM w GROUP BY replicate)
-        |SELECT CAST(replicate AS INTEGER) AS replicate, drawn, val_sum,
-        |  CAST((val_sum * 1000) // NULLIF(drawn, 0) AS BIGINT) AS mean_milli
-        |FROM agg ORDER BY replicate""".stripMargin,
-
-    // c102's different-label join ranked by the 60-bit md5 instead of
-    // cosine — the uniform-sampling partner
-    "c108_random_negatives" ->
-      """WITH q AS (SELECT vec_id AS query_id, label AS ql
-        |           FROM embeddings WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.query_id, e.vec_id AS item_id, e.label AS item_label,
-        |    CAST(('0x' || substring(md5(CAST(q.query_id AS VARCHAR) || ':' ||
-        |      CAST(e.vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-        |  FROM q JOIN embeddings e
-        |    ON e.vec_id != q.query_id AND e.label != q.ql),
-        |ranked AS (
-        |  SELECT query_id, item_id, item_label,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY h, item_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, item_id, item_label, CAST(rank AS INTEGER) AS rank
-        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-
-    // hashed-ngram linear classifier (shared classifierScoreCte)
-    "c109_quality_classifier" -> (classifierScoreCteWhere("") +
-      """
-        |SELECT doc_id, n_feats, score, (score >= 0) AS kept
-        |FROM cscore ORDER BY doc_id""".stripMargin),
-
-    // yield curve: conditional sums per threshold, stacked; ppm is exact
-    // BIGINT floor division on both engines
-    "c110_classifier_yield" -> (classifierScoreCteWhere("") +
-      classifierYieldBodySql + classifierYieldSelectSql),
-
-    // the IVM variant: same yield tail, corpus = post-CDC rows (base
-    // minus doc_id%10=7 retractions plus the %10=3 inserts = everything
-    // but the retracted tenth) — the full recompute the Spark-side
-    // monoid merge must equal exactly
-    // Hamilton apportionment replayed: integer floor quotas + remainder
-    // bonuses, rank windows with the identical (rem DESC, lang) tiebreak
-    "c113_eval_apportionment" ->
-      """WITH cnt AS (
-        |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
-        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cnt),
-        |ap AS (SELECT lang, n, nn, CAST((n * 100) // nn AS BIGINT) AS base,
-        |         CAST((n * 100) % nn AS BIGINT) AS rem
-        |       FROM cnt CROSS JOIN tot),
-        |lo AS (SELECT CAST(100 - sum(base) AS BIGINT) AS leftover FROM ap),
-        |al AS (SELECT lang,
-        |         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
-        |                       <= leftover THEN 1 ELSE 0 END AS alloc
-        |       FROM ap CROSS JOIN lo),
-        |rks AS (SELECT lang, doc_id,
-        |          row_number() OVER (PARTITION BY lang ORDER BY
-        |            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
-        |            doc_id) AS rk
-        |        FROM documents)
-        |SELECT r.lang, r.doc_id, CAST(r.rk AS INTEGER) AS rk,
-        |  CAST(a.alloc AS BIGINT) AS alloc
-        |FROM rks r JOIN al a USING (lang)
-        |WHERE r.rk <= a.alloc ORDER BY lang, rk""".stripMargin,
-
-    "c112_yield_ivm" -> (classifierScoreCteWhere(" WHERE doc_id % 10 != 7") +
-      classifierYieldBodySql + classifierYieldSelectSql),
-
-    // 2x2 agreement: the heuristic leg replays the c35 qualityScoreNano
-    // rational (GROUP-BY counts, never list lambdas — the r5 lesson);
-    // the 0.395-nano bar is c35's, near the fixture median so all four
-    // matrix cells are populated (the FloorDivSpec degeneracy lesson)
-    "c111_gate_agreement" -> (classifierScoreCteWhere("") +
-      heuristicGateCteSql + """,
-        |cd AS (SELECT doc_id, (score >= 0) AS kept_c FROM cscore)
-        |SELECT cd.kept_c, hq.kept_h, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
-        |FROM cd JOIN hq USING (doc_id) JOIN documents d USING (doc_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-
-    // reliability table: per-score-value counts first, cumulative rank on
-    // the distinct-score frame, a value's docs take its LAST row's decile
-    // (((cum−1)·10) // N + 1) — the identical rule the Spark side applies,
-    // so ties never split across bins; BIGINT end to end
-    "c114_classifier_calibration" -> (classifierScoreCteWhere("") +
-      heuristicGateCteSql + calibrationCteSql + """
-        |SELECT decile, n_docs, lo_score, hi_score, kept_h_docs, kept_h_ppm
-        |FROM cal ORDER BY decile""".stripMargin),
-
-    // the audit replays the SAME cal CTE + a lag window over the 10-row
-    // decile frame; monotone_up is defined ONCE (in au) and the
-    // violation count derives from it, never a second predicate copy;
-    // ppm >= 0 > -1, so the first decile's sentinel is vacuously monotone
-    "c116_calibration_audit" -> (classifierScoreCteWhere("") +
-      heuristicGateCteSql + calibrationCteSql + """,
-        |lg AS (
-        |  SELECT decile, n_docs, kept_h_ppm,
-        |    COALESCE(lag(kept_h_ppm) OVER (ORDER BY decile), -1) AS prev_ppm
-        |  FROM cal),
-        |au AS (SELECT *, (kept_h_ppm >= prev_ppm) AS monotone_up FROM lg)
-        |SELECT decile, n_docs, kept_h_ppm, prev_ppm, monotone_up,
-        |  CAST(sum(CASE WHEN monotone_up THEN 0 ELSE 1 END) OVER ()
-        |    AS BIGINT) AS violations_total
-        |FROM au ORDER BY decile""".stripMargin),
-
-    // drift = the SAME cal chain instantiated twice (suffix-renamed CTEs;
-    // prev = the pre-insert c112 slice), full-outer decile join with
-    // 0/−1 sentinels; drifted is defined ONCE (in dj) and the table-wide
-    // count derives from it, never a second predicate copy
-    "c117_calibration_drift" -> (classifierScoreCteWhere("") +
-      heuristicGateCteSql + calibrationCteSfx("", "") +
-      calibrationCteSfx("p", " WHERE doc_id % 10 != 3") + """,
-        |dj AS (
-        |  SELECT COALESCE(c.decile, p.decile) AS decile,
-        |    COALESCE(p.n_docs, 0) AS n_docs_prev,
-        |    COALESCE(c.n_docs, 0) AS n_docs_curr,
-        |    COALESCE(p.kept_h_ppm, -1) AS kept_h_ppm_prev,
-        |    COALESCE(c.kept_h_ppm, -1) AS kept_h_ppm_curr,
-        |    COALESCE(c.kept_h_ppm, -1) - COALESCE(p.kept_h_ppm, -1) AS ppm_delta,
-        |    (abs(COALESCE(c.kept_h_ppm, -1) - COALESCE(p.kept_h_ppm, -1)) > 10000
-        |     OR p.kept_h_ppm IS NULL OR c.kept_h_ppm IS NULL) AS drifted
-        |  FROM cal c FULL OUTER JOIN calp p ON c.decile = p.decile)
-        |SELECT decile, n_docs_prev, n_docs_curr, kept_h_ppm_prev,
-        |  kept_h_ppm_curr, ppm_delta, drifted,
-        |  CAST(sum(CASE WHEN drifted THEN 1 ELSE 0 END) OVER ()
-        |    AS BIGINT) AS drifted_total
-        |FROM dj ORDER BY decile""".stripMargin),
-
-    // advisor = ONE rank over the shared curve body: qualifying rows
-    // first (tightest thr wins), else the loosest thr with
-    // qualifies=false — identical ordering expression on both engines
-    "c115_gate_threshold_advisor" -> (classifierScoreCteWhere("") +
-      classifierYieldBodySql + s""",
-        |cv AS (
-        |  SELECT lang, thr, total_docs, kept_docs,
-        |    $yieldPpmSql
-        |  FROM st),
-        |qv AS (SELECT *, (kept_ppm >= 500000) AS qualifies FROM cv),
-        |rkd AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY
-        |    qualifies DESC,
-        |    CASE WHEN qualifies THEN -thr ELSE thr END) AS rk FROM qv)
-        |SELECT lang, CAST(thr AS BIGINT) AS chosen_thr, total_docs,
-        |  kept_docs, CAST(kept_ppm AS BIGINT) AS kept_ppm, qualifies
-        |FROM rkd WHERE rk = 1 ORDER BY lang""".stripMargin),
-
-    // closed-form water-filling: sort by cap/weight, prefix sums, the
-    // split validity cleared to BIGINT products, 1-row split crossed back
-    "c106_epoch_allocation" ->
-      """WITH strata AS (
-        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS tokens, count(*) AS docs
-        |  FROM documents GROUP BY source),
-        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot_tokens,
-        |          CAST(sum(docs) AS BIGINT) AS tot_w FROM strata),
-        |base AS (
-        |  SELECT s.*, t.tot_tokens, t.tot_w,
-        |    CAST((t.tot_tokens * 2) // 1 AS BIGINT) AS t_budget,
-        |    tokens * 4 AS cap_tokens,
-        |    CAST(tokens * 4 AS DOUBLE) / CAST(docs AS DOUBLE) AS r
-        |  FROM strata s CROSS JOIN tot t),
-        |pref AS (
-        |  SELECT *,
-        |    row_number() OVER (ORDER BY r, source) AS rk,
-        |    CAST(sum(cap_tokens) OVER (ORDER BY r, source
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pref_cap,
-        |    CAST(sum(docs) OVER (ORDER BY r, source
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pref_w,
-        |    lead(cap_tokens) OVER (ORDER BY r, source) AS next_cap,
-        |    lead(docs) OVER (ORDER BY r, source) AS next_w
-        |  FROM base),
-        |valid AS (
-        |  SELECT rk, pref_cap, pref_w FROM pref
-        |  WHERE cap_tokens * (tot_w - pref_w) <= (t_budget - pref_cap) * docs
-        |    AND (next_cap IS NULL OR
-        |         (t_budget - pref_cap) * next_w < next_cap * (tot_w - pref_w))),
-        |split AS (
-        |  SELECT coalesce(max(rk), 0) AS k_rank,
-        |    coalesce(arg_max(pref_cap, rk), 0) AS k_cap,
-        |    coalesce(arg_max(pref_w, rk), 0) AS k_w
-        |  FROM valid),
-        |alloc AS (
-        |  SELECT source, tokens, docs, cap_tokens,
-        |    CASE WHEN rk <= k_rank THEN cap_tokens
-        |         ELSE ((t_budget - k_cap) * docs) // NULLIF(tot_w - k_w, 0) END
-        |      AS alloc_tokens,
-        |    rk <= k_rank AS capped
-        |  FROM pref CROSS JOIN split)
-        |SELECT source, tokens, CAST(docs AS BIGINT) AS docs,
-        |  CAST(cap_tokens AS BIGINT) AS cap_tokens,
-        |  CAST(alloc_tokens AS BIGINT) AS alloc_tokens, capped,
-        |  CAST((alloc_tokens * 1000000) // NULLIF(tokens, 0) AS BIGINT) AS epochs_ppm
-        |FROM alloc ORDER BY source""".stripMargin,
-
-    // b91's sliding unroll; exact counts + literal TRUE audit booleans
-    // (the b80 pattern — the theorem facts are what cross engines)
-    "c99_sliding_topk" ->
-      """WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM events),
-        |w AS (SELECT time_bucket(INTERVAL '30 minutes', ts)
-        |        - k.k * INTERVAL '30 minutes' AS ws,
-        |        coalesce(event_type, '') AS event_type
-        |      FROM events CROSS JOIN (VALUES (0), (1)) k(k)),
-        |ex AS (SELECT ws, event_type, CAST(count(*) AS BIGINT) AS cnt
-        |       FROM w GROUP BY 1, 2),
-        |n AS (SELECT ws, count(*) AS n FROM w GROUP BY 1)
-        |SELECT epoch_us(ws) AS w_start_us, event_type, cnt,
-        |  cnt * 3 > n.n AS is_heavy, TRUE AS captured, TRUE AS bound_ok
-        |FROM ex JOIN n USING (ws) CROSS JOIN wm
-        |WHERE ws + INTERVAL 1 HOUR <= wm.wm
-        |ORDER BY w_start_us, event_type""".stripMargin,
-
-    // b91's sliding-window unroll composed with c78's md5 cell rule;
-    // closed windows only (the b78 watermark bound)
-    "c98_sliding_cms" ->
-      """WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM events),
-        |w AS (SELECT time_bucket(INTERVAL '30 minutes', ts)
-        |        - k.k * INTERVAL '30 minutes' AS ws,
-        |        CAST(user_id AS VARCHAR) AS tok
-        |      FROM events CROSS JOIN (VALUES (0), (1)) k(k)),
-        |x AS (SELECT ws, CAST(g.r AS INTEGER) AS r,
-        |        CAST(('0x' || substring(md5(CAST(g.r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 64 AS bucket
-        |      FROM w CROSS JOIN generate_series(0, 3) g(r))
-        |SELECT epoch_us(ws) AS w_start_us, r, bucket, CAST(count(*) AS BIGINT) AS cnt
-        |FROM x CROSS JOIN wm
-        |WHERE ws + INTERVAL 1 HOUR <= wm.wm
-        |GROUP BY ws, r, bucket ORDER BY w_start_us, r, bucket""".stripMargin,
-
-    // same two quantile_disc passes as b90, applied to the compacted
-    // (type × day) count frame; 3·MAD gate in pure integers
-    "c97_anomaly_days" ->
-      """WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-        |             CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
-        |m AS (SELECT event_type, CAST(quantile_disc(cnt, 0.5) AS BIGINT) AS med FROM d GROUP BY 1),
-        |dv AS (SELECT d.event_type, abs(d.cnt - m.med) AS ad FROM d JOIN m USING (event_type)),
-        |md AS (SELECT event_type, CAST(quantile_disc(ad, 0.5) AS BIGINT) AS mad FROM dv GROUP BY 1)
-        |SELECT d.event_type, d.day, d.cnt, m.med, md.mad,
-        |  abs(d.cnt - m.med) > 3 * md.mad AS anomaly
-        |FROM d JOIN m USING (event_type) JOIN md USING (event_type)
-        |ORDER BY d.event_type, d.day""".stripMargin,
-
-    // the sizing rule is exact-integer-verifiable (n from the data, the
-    // ln2 quantization fixed); the measured fp side crosses engines as
-    // bound booleans (b18 pattern) — DuckDB cannot rebuild the bitmap
-    // (64-bit two's-complement wrap in the probe walk has no BIGINT
-    // equivalent), but it fully verifies n_keys/min_bits/eligible/chosen
-    "c96_bloom_advisor" ->
-      """WITH n AS (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_keys FROM customer),
-        |cfg AS (SELECT * FROM (VALUES (16384), (65536), (262144)) c(m_bits)),
-        |r AS (SELECT m_bits, n_keys,
-        |        (n_keys * 10 * 10000 + 6930) // 6931 AS min_bits,
-        |        m_bits >= (n_keys * 10 * 10000 + 6930) // 6931 AS eligible
-        |      FROM cfg CROSS JOIN n),
-        |rk AS (SELECT *, row_number() OVER (ORDER BY eligible DESC, m_bits) AS rn FROM r)
-        |SELECT CAST(m_bits AS INTEGER) AS m_bits, CAST(10 AS INTEGER) AS k_hashes,
-        |  n_keys, CAST(min_bits AS BIGINT) AS min_bits, eligible, rn = 1 AS chosen,
-        |  TRUE AS fp_ok
-        |FROM rk ORDER BY m_bits""".stripMargin,
-
-    // the full minhash construction replicated: 60-bit md5 shingle
-    // hashes, the LCG-affine permutations (a·(h mod P)+b mod P — a,b
-    // products stay < 2^62, int64-safe), slide-r band signatures, then
-    // per-config bucket stats; threshold/recall milli literals are
-    // injected from the SAME Scala helpers the Spark side uses
-    "c94_lsh_advisor" -> {
-      val cfgRows = Seq(8, 16, 32).map { b =>
-        val r = 64 / b
-        s"($b, $r, ${graft.operators.Dedup.lshThresholdMilli(b, r)}, " +
-          s"${graft.operators.Dedup.lshRecallMilli(b, r, 800L)})"
-      }.mkString(", ")
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t)-2),
-        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
-        |      FROM t WHERE len(t) >= 3),
-        |hd AS (SELECT DISTINCT doc_id, CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS h FROM g),
-        |perm AS (SELECT i,
-        |    CASE WHEN (1103515245 * (i + 1) + 12345) % 2147483647 = 0 THEN 1
-        |         ELSE (1103515245 * (i + 1) + 12345) % 2147483647 END AS a,
-        |    (69069 * (i + 1) + 1) % 2147483647 AS b
-        |  FROM generate_series(0, 63) gs(i)),
-        |sig AS (SELECT doc_id, i, min((a * (h % 2147483647) + b) % 2147483647) AS s
-        |        FROM hd CROSS JOIN perm GROUP BY doc_id, i),
-        |cfg AS (SELECT * FROM (VALUES $cfgRows)
-        |        c(bands, r, threshold_milli, recall_milli)),
-        |bnd AS (SELECT c.bands, doc_id, (i // c.r) AS band,
-        |          string_agg(CAST(s AS VARCHAR), '_' ORDER BY i) AS bandsig
-        |        FROM sig CROSS JOIN cfg c GROUP BY 1, 2, 3),
-        |bk AS (SELECT bands, band, bandsig, count(*) AS n FROM bnd GROUP BY 1, 2, 3),
-        |st AS (SELECT bands,
-        |         CAST(coalesce(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS hot_buckets,
-        |         CAST(coalesce(max(n), 0) AS BIGINT) AS max_bucket,
-        |         CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT) AS cand_pairs
-        |       FROM bk GROUP BY 1),
-        |nd AS (SELECT count(*) AS n_docs FROM (SELECT DISTINCT doc_id FROM hd)),
-        |rk AS (SELECT c.bands, CAST(c.r AS INTEGER) AS rows_per_band,
-        |         CAST(c.threshold_milli AS BIGINT) AS threshold_milli,
-        |         CAST(c.recall_milli AS BIGINT) AS recall_milli,
-        |         st.hot_buckets, st.max_bucket, st.cand_pairs,
-        |         row_number() OVER (ORDER BY
-        |           (c.recall_milli >= 990 AND st.cand_pairs <= nd.n_docs * 20) DESC,
-        |           st.cand_pairs, c.bands) AS rn
-        |       FROM st JOIN cfg c USING (bands) CROSS JOIN nd)
-        |SELECT CAST(bands AS INTEGER) AS bands, rows_per_band, threshold_milli,
-        |  recall_milli, hot_buckets, max_bucket, cand_pairs, rn = 1 AS chosen
-        |FROM rk ORDER BY bands""".stripMargin
-    },
-
-    "c93_cluster_size_dist" ->
-      """WITH g AS (SELECT CAST(count(*) AS BIGINT) AS n_dups FROM (
-        |    SELECT CAST(('0x' || substring(md5(array_to_string(list_filter(
-        |      string_split(lower(translate(coalesce(text, ''), '.,!?;:()"''', '          ')), ' '),
-        |      x -> x != ''), ' ')), 1, 15)) AS BIGINT) AS ck
-        |    FROM documents) GROUP BY ck)
-        |SELECT CAST(length(bin(n_dups)) - 1 AS INTEGER) AS size_bin,
-        |  CAST(count(*) AS BIGINT) AS n_clusters, CAST(sum(n_dups) AS BIGINT) AS n_docs,
-        |  CAST(max(n_dups) AS BIGINT) AS max_size
-        |FROM g GROUP BY 1 ORDER BY size_bin""".stripMargin,
-
-    // same exact rational; two single-row aggregates unioned
-    "c91_corpus_diversity" ->
-      """WITH ds AS (SELECT coalesce(source, '') AS g FROM documents),
-        |dl AS (SELECT coalesce(lang, '') AS g FROM documents),
-        |a1 AS (SELECT CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(c) AS BIGINT) AS n,
-        |        CAST(sum(c * c) AS BIGINT) AS ss
-        |       FROM (SELECT g, count(*) AS c FROM ds GROUP BY g)),
-        |a2 AS (SELECT CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(c) AS BIGINT) AS n,
-        |        CAST(sum(c * c) AS BIGINT) AS ss
-        |       FROM (SELECT g, count(*) AS c FROM dl GROUP BY g))
-        |SELECT 'source' AS dimension, n_groups, (1000 * (n * n - ss)) // (n * n) AS diversity_milli FROM a1
-        |UNION ALL
-        |SELECT 'lang', n_groups, (1000 * (n * n - ss)) // (n * n) FROM a2
-        |ORDER BY dimension""".stripMargin,
-
-    // c08's predictor CASE against the declared column, cross-tabulated
-    "c92_langid_confusion" ->
-      """WITH p AS (
-        |  SELECT coalesce(lang, '') AS true_lang,
-        |    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
-        |      WHEN en > es AND en > 0 THEN 'en'
-        |      WHEN es > en AND es > 0 THEN 'es'
-        |      ELSE 'und' END AS pred_lang
-        |  FROM (
-        |    SELECT lang, text,
-        |      len(list_filter(string_split(text,' '), tk -> tk IN ('the','a','of','and','to','in','is','it'))) AS en,
-        |      len(list_filter(string_split(text,' '), tk -> tk IN ('el','la','de','y','que','en','un','es'))) AS es
-        |    FROM documents))
-        |SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
-        |FROM p GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin,
-
-    // the c88 chain extended by round 3's APPLICATION (m3/i3/o3/alive4);
-    // counts of the pre- and post-merge symbol streams
-    "c90_bpe_compression" ->
-      """WITH alive1 AS (
-        |  SELECT doc_id AS doc,
-        |    generate_subscripts(string_split(coalesce(text, ''), ' '), 1) AS pos,
-        |    unnest(string_split(coalesce(text, ''), ' ')) AS tok
-        |  FROM documents),
-        |a1 AS (SELECT doc, pos, tok, lead(tok) OVER wd AS ntok, row_number() OVER wd AS seq
-        |       FROM (SELECT * FROM alive1 WHERE tok != '') WINDOW wd AS (PARTITION BY doc ORDER BY pos)),
-        |b1 AS (SELECT tok AS bt, ntok AS bn FROM a1 WHERE ntok IS NOT NULL GROUP BY 1, 2
-        |       ORDER BY count(*) DESC, bt DESC, bn DESC LIMIT 1),
-        |m1 AS (SELECT a.*, (a.ntok IS NOT NULL AND a.tok = b.bt AND a.ntok = b.bn) AS im
-        |       FROM a1 a CROSS JOIN b1 b),
-        |i1 AS (SELECT *, CASE WHEN im THEN seq - row_number()
-        |         OVER (PARTITION BY doc, im ORDER BY pos) END AS isl FROM m1),
-        |o1 AS (SELECT *, im AND (row_number() OVER (PARTITION BY doc, isl ORDER BY pos) - 1) % 2 = 0 AS mg
-        |       FROM i1),
-        |alive2 AS (SELECT doc, pos, CASE WHEN mg THEN tok || ' ' || ntok ELSE tok END AS tok
-        |           FROM (SELECT *, lag(mg) OVER (PARTITION BY doc ORDER BY pos) AS pm FROM o1)
-        |           WHERE NOT coalesce(pm, FALSE)),
-        |a2 AS (SELECT doc, pos, tok, lead(tok) OVER wd AS ntok, row_number() OVER wd AS seq
-        |       FROM alive2 WINDOW wd AS (PARTITION BY doc ORDER BY pos)),
-        |b2 AS (SELECT tok AS bt, ntok AS bn FROM a2 WHERE ntok IS NOT NULL GROUP BY 1, 2
-        |       ORDER BY count(*) DESC, bt DESC, bn DESC LIMIT 1),
-        |m2 AS (SELECT a.*, (a.ntok IS NOT NULL AND a.tok = b.bt AND a.ntok = b.bn) AS im
-        |       FROM a2 a CROSS JOIN b2 b),
-        |i2 AS (SELECT *, CASE WHEN im THEN seq - row_number()
-        |         OVER (PARTITION BY doc, im ORDER BY pos) END AS isl FROM m2),
-        |o2 AS (SELECT *, im AND (row_number() OVER (PARTITION BY doc, isl ORDER BY pos) - 1) % 2 = 0 AS mg
-        |       FROM i2),
-        |alive3 AS (SELECT doc, pos, CASE WHEN mg THEN tok || ' ' || ntok ELSE tok END AS tok
-        |           FROM (SELECT *, lag(mg) OVER (PARTITION BY doc ORDER BY pos) AS pm FROM o2)
-        |           WHERE NOT coalesce(pm, FALSE)),
-        |a3 AS (SELECT doc, pos, tok, lead(tok) OVER wd AS ntok, row_number() OVER wd AS seq
-        |       FROM alive3 WINDOW wd AS (PARTITION BY doc ORDER BY pos)),
-        |b3 AS (SELECT tok AS bt, ntok AS bn FROM a3 WHERE ntok IS NOT NULL GROUP BY 1, 2
-        |       ORDER BY count(*) DESC, bt DESC, bn DESC LIMIT 1),
-        |m3 AS (SELECT a.*, (a.ntok IS NOT NULL AND a.tok = b.bt AND a.ntok = b.bn) AS im
-        |       FROM a3 a CROSS JOIN b3 b),
-        |i3 AS (SELECT *, CASE WHEN im THEN seq - row_number()
-        |         OVER (PARTITION BY doc, im ORDER BY pos) END AS isl FROM m3),
-        |o3 AS (SELECT *, im AND (row_number() OVER (PARTITION BY doc, isl ORDER BY pos) - 1) % 2 = 0 AS mg
-        |       FROM i3),
-        |alive4 AS (SELECT doc, pos FROM
-        |           (SELECT doc, pos, lag(mg) OVER (PARTITION BY doc ORDER BY pos) AS pm FROM o3)
-        |           WHERE NOT coalesce(pm, FALSE)),
-        |cb AS (SELECT CAST(count(*) AS BIGINT) AS toks_before FROM a1),
-        |ca AS (SELECT CAST(count(*) AS BIGINT) AS toks_after FROM alive4)
-        |SELECT toks_before, toks_after,
-        |  (1000 * (toks_before - toks_after)) // toks_before AS saved_milli
-        |FROM cb, ca""".stripMargin,
-
-    // the c88 CTE chain mechanically unrolled to k=16 on the quarter
-    // corpus — see bpeMergesOracleSql (generated SQL grows linearly in k;
-    // hand-writing stopped at 3)
-    "c95_bpe_merges_k16" -> bpeMergesOracleSql(16, " WHERE doc_id % 16 = 0"),
-
-    // three unrolled BPE rounds: adjacency lead + pair count + DESC-
-    // tiebroken argmax + island-parity leftmost-greedy merge, identical
-    // algebra to Bpe.merges (pos is engine-local: 1-based here, 0-based
-    // in Spark — only its order matters)
-    "c88_bpe_merges" ->
-      """WITH alive1 AS (
-        |  SELECT doc_id AS doc,
-        |    generate_subscripts(string_split(coalesce(text, ''), ' '), 1) AS pos,
-        |    unnest(string_split(coalesce(text, ''), ' ')) AS tok
-        |  FROM documents),
-        |a1 AS (SELECT doc, pos, tok, lead(tok) OVER wd AS ntok, row_number() OVER wd AS seq
-        |       FROM (SELECT * FROM alive1 WHERE tok != '') WINDOW wd AS (PARTITION BY doc ORDER BY pos)),
-        |b1 AS (SELECT tok AS bt, ntok AS bn, CAST(count(*) AS BIGINT) AS bc
-        |       FROM a1 WHERE ntok IS NOT NULL GROUP BY 1, 2
-        |       ORDER BY bc DESC, bt DESC, bn DESC LIMIT 1),
-        |m1 AS (SELECT a.*, (a.ntok IS NOT NULL AND a.tok = b.bt AND a.ntok = b.bn) AS im
-        |       FROM a1 a CROSS JOIN b1 b),
-        |i1 AS (SELECT *, CASE WHEN im THEN seq - row_number()
-        |         OVER (PARTITION BY doc, im ORDER BY pos) END AS isl FROM m1),
-        |o1 AS (SELECT *, im AND (row_number() OVER (PARTITION BY doc, isl ORDER BY pos) - 1) % 2 = 0 AS mg
-        |       FROM i1),
-        |alive2 AS (SELECT doc, pos, CASE WHEN mg THEN tok || ' ' || ntok ELSE tok END AS tok
-        |           FROM (SELECT *, lag(mg) OVER (PARTITION BY doc ORDER BY pos) AS pm FROM o1)
-        |           WHERE NOT coalesce(pm, FALSE)),
-        |a2 AS (SELECT doc, pos, tok, lead(tok) OVER wd AS ntok, row_number() OVER wd AS seq
-        |       FROM alive2 WINDOW wd AS (PARTITION BY doc ORDER BY pos)),
-        |b2 AS (SELECT tok AS bt, ntok AS bn, CAST(count(*) AS BIGINT) AS bc
-        |       FROM a2 WHERE ntok IS NOT NULL GROUP BY 1, 2
-        |       ORDER BY bc DESC, bt DESC, bn DESC LIMIT 1),
-        |m2 AS (SELECT a.*, (a.ntok IS NOT NULL AND a.tok = b.bt AND a.ntok = b.bn) AS im
-        |       FROM a2 a CROSS JOIN b2 b),
-        |i2 AS (SELECT *, CASE WHEN im THEN seq - row_number()
-        |         OVER (PARTITION BY doc, im ORDER BY pos) END AS isl FROM m2),
-        |o2 AS (SELECT *, im AND (row_number() OVER (PARTITION BY doc, isl ORDER BY pos) - 1) % 2 = 0 AS mg
-        |       FROM i2),
-        |alive3 AS (SELECT doc, pos, CASE WHEN mg THEN tok || ' ' || ntok ELSE tok END AS tok
-        |           FROM (SELECT *, lag(mg) OVER (PARTITION BY doc ORDER BY pos) AS pm FROM o2)
-        |           WHERE NOT coalesce(pm, FALSE)),
-        |a3 AS (SELECT doc, pos, tok, lead(tok) OVER wd AS ntok FROM alive3
-        |       WINDOW wd AS (PARTITION BY doc ORDER BY pos)),
-        |b3 AS (SELECT tok AS bt, ntok AS bn, CAST(count(*) AS BIGINT) AS bc
-        |       FROM a3 WHERE ntok IS NOT NULL GROUP BY 1, 2
-        |       ORDER BY bc DESC, bt DESC, bn DESC LIMIT 1)
-        |SELECT 1 AS rank, bt AS lhs, bn AS rhs, bc AS pair_count FROM b1
-        |UNION ALL SELECT 2, bt, bn, bc FROM b2
-        |UNION ALL SELECT 3, bt, bn, bc FROM b3
-        |ORDER BY rank""".stripMargin,
-
-    // c45's unrolled rounds with the seed restart term; seeds are
-    // customer nodes with c_custkey % 20 = 0
-    "c86_personalized_ppr" ->
-      """WITH e0 AS (
-        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-        |n AS (SELECT c_custkey * 2 AS node,
-        |        CASE WHEN c_custkey % 20 = 0 THEN 1 ELSE 0 END AS seed FROM customer
-        |      UNION ALL SELECT s_suppkey * 2 + 1, 0 FROM supplier),
-        |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-        |ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN d ON e.src = d.src),
-        |r0 AS (SELECT node, CAST(seed * 1000000000 AS BIGINT) AS r FROM n),
-        |c1 AS (SELECT ed.dst, CAST(sum((85 * r0.r) // (100 * ed.deg)) AS BIGINT) AS cs
-        |       FROM ed JOIN r0 ON r0.node = ed.src GROUP BY ed.dst),
-        |r1 AS (SELECT n.node, n.seed * 150000000 + coalesce(c1.cs, 0) AS r
-        |       FROM n LEFT JOIN c1 ON c1.dst = n.node),
-        |c2 AS (SELECT ed.dst, CAST(sum((85 * r1.r) // (100 * ed.deg)) AS BIGINT) AS cs
-        |       FROM ed JOIN r1 ON r1.node = ed.src GROUP BY ed.dst),
-        |r2 AS (SELECT n.node, n.seed * 150000000 + coalesce(c2.cs, 0) AS r
-        |       FROM n LEFT JOIN c2 ON c2.dst = n.node),
-        |c3 AS (SELECT ed.dst, CAST(sum((85 * r2.r) // (100 * ed.deg)) AS BIGINT) AS cs
-        |       FROM ed JOIN r2 ON r2.node = ed.src GROUP BY ed.dst)
-        |SELECT n.node, CAST(n.seed * 150000000 + coalesce(c3.cs, 0) AS BIGINT) AS ppr_nano
-        |FROM n LEFT JOIN c3 ON c3.dst = n.node ORDER BY n.node""".stripMargin,
-
-    // b08's window construction + the carried click ts and the 1-hour
-    // micros gap test; gap floored to whole seconds (non-negative ints)
-    "b85_asof_tolerance" ->
-      """WITH tg AS (SELECT event_id, user_id, ts,
-        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
-        |  FROM events WHERE event_type IN ('purchase', 'click')),
-        |wv AS (SELECT event_id, user_id, ts, kind,
-        |    last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER w AS click_id,
-        |    last_value(CASE WHEN kind = 0 THEN ts END IGNORE NULLS) OVER w AS cts
-        |  FROM tg WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT event_id, user_id,
-        |  CASE WHEN cts IS NOT NULL AND epoch_us(ts) - epoch_us(cts) <= 3600000000
-        |       THEN click_id END AS click_id,
-        |  CASE WHEN cts IS NOT NULL AND epoch_us(ts) - epoch_us(cts) <= 3600000000
-        |       THEN (epoch_us(ts) - epoch_us(cts)) // 1000000 END AS gap_s
-        |FROM wv WHERE kind = 1 ORDER BY event_id""".stripMargin,
-
-    // same symmetrized trade graph; bin via binary-string length, no
-    // float log
-    "c87_degree_dist" ->
-      """WITH e0 AS (
-        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-        |d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src)
-        |SELECT CAST(length(bin(deg)) - 1 AS INTEGER) AS deg_bin,
-        |  CAST(count(*) AS BIGINT) AS n_nodes,
-        |  CAST(min(deg) AS BIGINT) AS min_deg, CAST(max(deg) AS BIGINT) AS max_deg
-        |FROM d GROUP BY 1 ORDER BY deg_bin""".stripMargin,
-
-    // smallest v with cumweight*100 >= p*total; integer throughout
-    "b84_weighted_pctile" ->
-      """WITH g AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
-        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS w
-        |  FROM lineitem GROUP BY 1),
-        |c AS (SELECT v, CAST(sum(w) OVER (ORDER BY v) AS BIGINT) AS cw,
-        |        CAST(sum(w) OVER () AS BIGINT) AS tot FROM g),
-        |p AS (SELECT unnest([50, 90, 99]) AS pct)
-        |SELECT pct, CAST(min(CASE WHEN cw * 100 >= pct * tot THEN v END) AS BIGINT) AS value_v,
-        |  CAST(max(tot) AS BIGINT) AS total_w
-        |FROM c CROSS JOIN p GROUP BY pct ORDER BY pct""".stripMargin,
-
-    // the bucketed construction is engine-local; the CONTRACT is plain
-    // dense rank from zero
-    "c84_contiguous_ids" ->
-      """SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // same canonical-key rule as c71; integer milli rates, floor division
-    // of non-negative operands
-    "c85_source_report" ->
-      """WITH c AS (SELECT source, n_chars,
-        |    CASE WHEN coalesce(lang, '') = 'en' THEN 1 ELSE 0 END AS is_en,
-        |    CAST(('0x' || substring(md5(array_to_string(list_filter(
-        |      string_split(lower(translate(coalesce(text, ''), '.,!?;:()"''', '          ')), ' '),
-        |      x -> x != ''), ' ')), 1, 15)) AS BIGINT) AS ck
-        |  FROM documents),
-        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |        CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |        CAST(sum(is_en) AS BIGINT) AS en_docs,
-        |        CAST(count(DISTINCT ck) AS BIGINT) AS n_canonical
-        |      FROM c GROUP BY source)
-        |SELECT source, n_docs, total_chars, total_chars // n_docs AS mean_chars,
-        |  (1000 * en_docs) // n_docs AS pct_en_milli,
-        |  (1000 * (n_docs - n_canonical)) // n_docs AS dup_rate_milli
-        |FROM a ORDER BY source""".stripMargin,
-
-    // c81's sketch-size CTEs + b81's skew + the CASE decision
-    "c83_plan_advisor" ->
-      """WITH ta AS (SELECT CAST(user_id AS VARCHAR) AS tok FROM events),
-        |tb AS (SELECT CAST(c_custkey AS VARCHAR) AS tok FROM customer),
-        |ca AS (SELECT g.r AS r,
-        |    CAST(('0x' || substring(md5(CAST(g.r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 64 AS bucket,
-        |    CAST(count(*) AS BIGINT) AS ca
-        |  FROM ta CROSS JOIN generate_series(0, 3) g(r) GROUP BY 1, 2),
-        |cb AS (SELECT g.r AS r,
-        |    CAST(('0x' || substring(md5(CAST(g.r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 64 AS bucket,
-        |    CAST(count(*) AS BIGINT) AS cb
-        |  FROM tb CROSS JOIN generate_series(0, 3) g(r) GROUP BY 1, 2),
-        |re AS (SELECT ca.r, CAST(sum(ca.ca * cb.cb) AS BIGINT) AS row_est
-        |       FROM ca JOIN cb ON ca.r = cb.r AND ca.bucket = cb.bucket GROUP BY 1),
-        |es AS (SELECT min(row_est) AS est_join FROM re),
-        |sa AS (SELECT CAST(count(*) AS BIGINT) AS na FROM ta),
-        |sb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM tb),
-        |kc AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
-        |kr AS (SELECT c, row_number() OVER (ORDER BY c, k) AS i FROM kc),
-        |ka AS (SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(c) AS BIGINT) AS n,
-        |       CAST(max(c) AS BIGINT) AS mx FROM kr),
-        |sk AS (SELECT (1000 * mx * m) // n AS skew_milli FROM ka)
-        |SELECT na, nb, est_join, skew_milli,
-        |  CASE WHEN nb <= 1000000 THEN 'broadcast_build_right'
-        |       WHEN skew_milli >= 5000 THEN 'salted_smj'
-        |       ELSE 'smj' END AS strategy
-        |FROM sa, sb, es, sk""".stripMargin,
-
-    // the same three stages composed: c71's canonical key -> min-id rep
-    // (rank-1), c29-style token band, c68's per-shard recursive packing
-    "c77_e2e_curation" ->
-      """WITH RECURSIVE c AS (SELECT doc_id, text,
-        |  CAST(('0x' || substring(md5(array_to_string(list_filter(
-        |    string_split(lower(translate(coalesce(text, ''), '.,!?;:()"''', '          ')), ' '),
-        |    x -> x != ''), ' ')), 1, 15)) AS BIGINT) AS ck,
-        |  CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok
-        |  FROM documents),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY ck ORDER BY doc_id) AS rn FROM c),
-        |surv AS (SELECT doc_id, doc_id % 8 AS shard, n_tok FROM r
-        |         WHERE rn = 1 AND n_tok BETWEEN 20 AND 500),
-        |o AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS srn FROM surv),
-        |p(shard, doc_id, n_tok, srn, pack, fill) AS (
-        |  SELECT shard, doc_id, n_tok, srn, CAST(0 AS BIGINT), n_tok FROM o WHERE srn = 1
-        |  UNION ALL
-        |  SELECT o.shard, o.doc_id, o.n_tok, o.srn,
-        |    CASE WHEN p.fill + o.n_tok > 128 THEN p.pack + 1 ELSE p.pack END,
-        |    CASE WHEN p.fill + o.n_tok > 128 THEN o.n_tok ELSE p.fill + o.n_tok END
-        |  FROM p JOIN o ON o.shard = p.shard AND o.srn = p.srn + 1)
-        |SELECT doc_id, shard, pack, n_tok FROM p ORDER BY doc_id""".stripMargin,
-
-    // same fixed ASCII canonicalization (lower + 10-char punctuation map +
-    // empty-token drop), same 60-bit md5 group key
-    "c71_canonical_dedup" ->
-      """WITH c AS (SELECT doc_id,
-        |  CAST(('0x' || substring(md5(array_to_string(list_filter(
-        |    string_split(lower(translate(coalesce(text, ''), '.,!?;:()"''', '          ')), ' '),
-        |    x -> x != ''), ' ')), 1, 15)) AS BIGINT) AS ck,
-        |  CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS th
-        |  FROM documents)
-        |SELECT min(doc_id) AS rep_id, CAST(count(*) AS BIGINT) AS n_dups,
-        |  CAST(count(DISTINCT th) AS BIGINT) AS n_variants
-        |FROM c GROUP BY ck ORDER BY rep_id""".stripMargin,
-
-    // same rolling boundary rule (bigram md5-hash ≡ 0 mod 8), same chunk
-    // identity (md5 of the space-joined decimal hash sequence, ordered by
-    // position) — chunk numbers are engine-local, identities compare
-    "c70_cdc_chunks" ->
-      """WITH tk AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents),
-        |p0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
-        |         i -> struct_pack(pos := i,
-        |           h := CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1]), 1, 15)) AS BIGINT)))) AS s
-        |       FROM tk WHERE len(t) >= 2),
-        |p AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM p0),
-        |c AS (SELECT doc_id, pos, h,
-        |        sum(CASE WHEN h % 8 = 0 THEN 1 ELSE 0 END)
-        |          OVER (PARTITION BY doc_id ORDER BY pos) AS chunk
-        |      FROM p),
-        |ch AS (SELECT doc_id, chunk, CAST(count(*) AS BIGINT) AS chunk_len,
-        |         CAST(('0x' || substring(md5(string_agg(CAST(h AS VARCHAR), ' ' ORDER BY pos)), 1, 15)) AS BIGINT) AS ch
-        |       FROM c GROUP BY doc_id, chunk),
-        |nd AS (SELECT ch, count(DISTINCT doc_id) AS nd FROM ch GROUP BY ch)
-        |SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
-        |  CAST(sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
-        |  CAST(sum(CASE WHEN nd.nd > 1 THEN chunk_len ELSE 0 END) AS BIGINT) AS dup_tokens
-        |FROM ch JOIN nd USING (ch) GROUP BY ch.doc_id ORDER BY doc_id""".stripMargin,
-
-    // same exact-long dev; chi2 recomputed with the identical two-IEEE-op
-    // order (CAST·CAST then divide) so the per-source ranking agrees
-    "c69_source_keyness" ->
-      """WITH tk AS (SELECT source, unnest(string_split(coalesce(text, ''), ' ')) AS tok
-        |            FROM documents),
-        |obs AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS obs FROM tk GROUP BY 1, 2),
-        |gl AS (SELECT tok, CAST(sum(obs) AS BIGINT) AS glob FROM obs GROUP BY 1),
-        |st AS (SELECT source, CAST(sum(obs) AS BIGINT) AS src_tot FROM obs GROUP BY 1),
-        |g AS (SELECT CAST(sum(src_tot) AS BIGINT) AS grand FROM st),
-        |sc AS (SELECT o.source, o.tok, o.obs,
-        |         o.obs * g.grand - st.src_tot * gl.glob AS dev,
-        |         (CAST(o.obs * g.grand - st.src_tot * gl.glob AS DOUBLE) *
-        |          CAST(o.obs * g.grand - st.src_tot * gl.glob AS DOUBLE)) /
-        |         CAST(st.src_tot * gl.glob * g.grand AS DOUBLE) AS chi2
-        |       FROM obs o JOIN gl USING (tok) JOIN st USING (source) CROSS JOIN g),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY chi2 DESC, tok) AS rnk
-        |      FROM sc)
-        |SELECT source, tok, obs, dev, CAST(rnk AS INTEGER) AS rnk
-        |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
-
-    // the same greedy capacity-reset fold, expressed as a per-shard
-    // recursive CTE walking rn → rn+1 (DuckDB's only sequential-fold form)
-    "c68_pack_sequences" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id, doc_id % 8 AS shard,
-        |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok
-        |  FROM documents),
-        |o AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM d),
-        |p(shard, doc_id, n_tok, rn, pack, fill) AS (
-        |  SELECT shard, doc_id, n_tok, rn, CAST(0 AS BIGINT), n_tok FROM o WHERE rn = 1
-        |  UNION ALL
-        |  SELECT o.shard, o.doc_id, o.n_tok, o.rn,
-        |    CASE WHEN p.fill + o.n_tok > 128 THEN p.pack + 1 ELSE p.pack END,
-        |    CASE WHEN p.fill + o.n_tok > 128 THEN o.n_tok ELSE p.fill + o.n_tok END
-        |  FROM p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1)
-        |SELECT doc_id, shard, pack, n_tok FROM p ORDER BY doc_id""".stripMargin,
-    "c05_dedup_embedding" ->
-      """SELECT a.vec_id AS a, b.vec_id AS b
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
-        |ORDER BY a, b""".stripMargin,
-    "c06_ann_brute" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.query_id, e.vec_id AS item_id,
-        |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos
-        |  FROM q JOIN embeddings e ON e.vec_id != q.query_id),
-        |ranked AS (
-        |  SELECT query_id, item_id,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, item_id, CAST(rank AS INTEGER) AS rank FROM ranked
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-    "c07_ann_ivf" ->
-      """WITH cent AS (
-        |  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id % 97 = 0),
-        |item_sc AS (
-        |  SELECT e.vec_id AS item_id, e.embedding AS iv, c.centroid_id,
-        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) AS csim
-        |  FROM embeddings e CROSS JOIN cent c),
-        |item_cell AS (
-        |  SELECT item_id, iv, centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY item_id ORDER BY csim DESC, centroid_id) AS crank
-        |    FROM item_sc) WHERE crank <= 1),
-        |q_sc AS (
-        |  SELECT e.vec_id AS query_id, e.embedding AS qv, c.centroid_id,
-        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) AS csim
-        |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5),
-        |q_cell AS (
-        |  SELECT query_id, qv, centroid_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, centroid_id) AS crank
-        |    FROM q_sc) WHERE crank <= 2),
-        |scored AS (
-        |  SELECT q.query_id, i.item_id,
-        |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(i.iv AS DOUBLE[])), 6) AS cos
-        |  FROM item_cell i JOIN q_cell q USING (centroid_id)
-        |  WHERE i.item_id != q.query_id)
-        |SELECT query_id, item_id, CAST(rank AS INTEGER) AS rank FROM (
-        |  SELECT query_id, item_id,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
-        |  FROM scored) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-    "c22_ann_lsh" ->
-      """WITH hp AS (
-        |  SELECT j, list(CASE WHEN ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 2))::INTEGER < 128
-        |                 THEN 1.0 ELSE -1.0 END ORDER BY k) AS hvec
-        |  FROM generate_series(0,4) t1(j), generate_series(0,63) t2(k)
-        |  GROUP BY j),
-        |sig AS (
-        |  SELECT e.vec_id, e.embedding,
-        |    CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), hp.hvec) >= 0
-        |             THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM embeddings e, hp
-        |  GROUP BY e.vec_id, e.embedding),
-        |probes AS (
-        |  SELECT vec_id AS query_id, embedding AS qv,
-        |    CASE WHEN m < 0 THEN bucket ELSE xor(bucket, (1::BIGINT << m)) END AS pbucket
-        |  FROM sig, generate_series(-1,4) t(m)
-        |  WHERE vec_id < 5),
-        |cand AS (
-        |  SELECT p.query_id, s.vec_id AS item_id,
-        |    round(list_cosine_similarity(CAST(p.qv AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])), 6) AS cos
-        |  FROM probes p JOIN sig s ON s.bucket = p.pbucket AND s.vec_id != p.query_id)
-        |SELECT query_id, item_id, CAST(rank AS INTEGER) AS rank FROM (
-        |  SELECT query_id, item_id,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
-        |  FROM cand) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-    "c39_ann_int8_rerank" ->
-      // identical arithmetic to Ann.int8Rerank: the int8 dot/norms are
-      // exact integers (≤ 64·127² ≪ 2⁵³ — exact even when folded in
-      // doubles, any order), the coarse score one fixed IEEE sequence
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
-        |qz AS (SELECT vec_id, v,
-        |        list_transform(v, x -> CAST(floor(x * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END) + 0.5) AS BIGINT)) AS q
-        |       FROM m),
-        |n AS (SELECT vec_id, v, q,
-        |        CAST(list_inner_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[])) AS BIGINT) AS n2 FROM qz),
-        |qs AS (SELECT vec_id AS query_id, v AS qv, q AS qq, n2 AS qn2 FROM n WHERE vec_id < 5 AND n2 > 0),
-        |it AS (SELECT vec_id AS item_id, v AS iv, q AS iq, n2 AS in2 FROM n WHERE n2 > 0),
-        |coarse AS (
-        |  SELECT qs.query_id, it.item_id,
-        |    list_inner_product(CAST(it.iq AS DOUBLE[]), CAST(qs.qq AS DOUBLE[]))
-        |      / (sqrt(CAST(it.in2 AS DOUBLE)) * sqrt(CAST(qs.qn2 AS DOUBLE))) AS icos
-        |  FROM it JOIN qs ON it.item_id != qs.query_id),
-        |surv AS (SELECT query_id, item_id FROM (
-        |  SELECT query_id, item_id,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY icos DESC, item_id) AS crank
-        |  FROM coarse) WHERE crank <= 50),
-        |ex AS (SELECT s.query_id, s.item_id,
-        |    round(list_cosine_similarity(it.iv, qs.qv), 6) AS cos
-        |  FROM surv s JOIN it ON it.item_id = s.item_id JOIN qs ON qs.query_id = s.query_id)
-        |SELECT query_id, item_id, CAST(rank AS INTEGER) AS rank FROM (
-        |  SELECT query_id, item_id,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
-        |  FROM ex) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-    "c23_split_assign" ->
-      """SELECT doc_id,
-        |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
-        |FROM (SELECT doc_id,
-        |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
-        |  FROM documents)
-        |ORDER BY doc_id""".stripMargin,
-    "c24_pack_shards" ->
-      """WITH w AS (
-        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens FROM documents)
-        |SELECT doc_id, ws_tokens,
-        |  CAST(floor(coalesce(sum(ws_tokens) OVER (ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 10000.0) AS BIGINT) AS shard
-        |FROM w ORDER BY doc_id""".stripMargin,
-    "c28_boilerplate" -> (shingleCte +
-      """,
-        |ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
-        |boiler AS (SELECT g FROM (SELECT g, count(*) AS df FROM ex GROUP BY g) WHERE df >= 5),
-        |per AS (SELECT ex.doc_id, count(*) AS n_boiler FROM ex JOIN boiler USING (g) GROUP BY ex.doc_id)
-        |SELECT s.doc_id, CAST(len(s.sh) AS BIGINT) AS n_sh,
-        |  CAST(coalesce(per.n_boiler, 0) AS BIGINT) AS n_boiler,
-        |  CAST(coalesce(per.n_boiler, 0) AS DOUBLE) / CAST(len(s.sh) AS DOUBLE) AS boiler_ratio
-        |FROM s LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin),
-    "c29_length_filter" ->
-      """WITH hist AS (
-        |  SELECT lang, n_chars AS v, count(*) AS cnt FROM documents GROUP BY 1, 2),
-        |c AS (
-        |  SELECT lang, v, cnt,
-        |    sum(cnt) OVER (PARTITION BY lang ORDER BY v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |    sum(cnt) OVER (PARTITION BY lang) AS n
-        |  FROM hist),
-        |cuts AS (
-        |  SELECT lang,
-        |    min(v) FILTER (cum * 100 >= 5 * n) AS lo_cut,
-        |    min(v) FILTER (cum * 100 >= 95 * n) AS hi_cut
-        |  FROM c GROUP BY lang)
-        |SELECT d.doc_id, d.lang, d.n_chars
-        |FROM documents d JOIN cuts USING (lang)
-        |WHERE d.n_chars BETWEEN lo_cut AND hi_cut
-        |ORDER BY d.doc_id""".stripMargin,
-    "c41_quality_gate" ->
-      // qn mirrors c35's integer-exact rational; the cut is the c29
-      // histogram construction scanned from the top bucket
-      """WITH q AS (
-        |  SELECT doc_id, lang,
-        |    ((50 * len(list_distinct(t))
-        |      + 20 * len(list_filter(t, tk -> tk IN ('the','a','of','and','to','in','is','it')))
-        |      + 3 * least(CAST(list_sum(list_transform(t, tk -> length(tk))) AS BIGINT), 10 * len(t)))
-        |     * 1000000000 + 50 * len(t)) // (100 * len(t)) AS qn
-        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)),
-        |qb AS (SELECT doc_id, lang, qn, qn // 1000000 AS qmilli FROM q),
-        |hist AS (SELECT lang, qmilli, count(*) AS cnt FROM qb GROUP BY 1, 2),
-        |c AS (
-        |  SELECT lang, qmilli, cnt,
-        |    sum(cnt) OVER (PARTITION BY lang ORDER BY qmilli DESC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |    sum(cnt) OVER (PARTITION BY lang) AS n
-        |  FROM hist),
-        |cuts AS (
-        |  SELECT lang, max(qmilli) FILTER (cum * 100 >= 50 * n) AS q_cut
-        |  FROM c GROUP BY lang)
-        |SELECT qb.doc_id, qb.lang, qb.qn, qb.qmilli
-        |FROM qb JOIN cuts USING (lang)
-        |WHERE qb.qmilli >= q_cut
-        |ORDER BY qb.doc_id""".stripMargin,
-    "c25_contamination" -> (shingleCte +
-      """,
-        |e AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 = 7),
-        |tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 != 7),
-        |ov AS (
-        |  SELECT tr.doc_id AS train_id, e.doc_id AS eval_id, count(DISTINCT tr.g) AS novl
-        |  FROM tr JOIN e ON tr.g = e.g
-        |  GROUP BY tr.doc_id, e.doc_id
-        |  HAVING count(DISTINCT tr.g) >= 5)
-        |SELECT train_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
-        |  CAST(max(novl) AS BIGINT) AS max_overlap
-        |FROM ov GROUP BY train_id ORDER BY train_id""".stripMargin),
-    "c26_stratified_sample" ->
-      """WITH l AS (
-        |  SELECT doc_id,
-        |    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
-        |      WHEN en > es AND en > 0 THEN 'en'
-        |      WHEN es > en AND es > 0 THEN 'es'
-        |      ELSE 'und' END AS lang
-        |  FROM (
-        |    SELECT doc_id, text,
-        |      len(list_filter(string_split(text,' '), tk -> tk IN ('the','a','of','and','to','in','is','it'))) AS en,
-        |      len(list_filter(string_split(text,' '), tk -> tk IN ('el','la','de','y','que','en','un','es'))) AS es
-        |    FROM documents))
-        |SELECT doc_id, lang FROM l
-        |WHERE (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100)
-        |      < (CASE WHEN lang = 'en' THEN 30 ELSE 100 END)
-        |ORDER BY doc_id""".stripMargin,
-    "c27_dedup_best" -> (shingleCte +
-      """,
-        |p AS (
-        |  SELECT a.doc_id AS a, b.doc_id AS b
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sh, b.sh)) >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))),
-        |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
-        |r AS (
-        |  WITH RECURSIVE reach(id, x) AS (
-        |    SELECT src, src FROM e
-        |    UNION
-        |    SELECT e.src, reach.x FROM e JOIN reach ON reach.id = e.dst)
-        |  SELECT id, min(x) AS rep FROM reach GROUP BY id),
-        |q AS (
-        |  SELECT doc_id,
-        |    (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 0.5
-        |      + (CAST(len(list_filter(t, tk -> tk IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 0.2
-        |      + least(CAST(list_sum(list_transform(t, tk -> length(tk))) AS DOUBLE) / CAST(len(t) AS DOUBLE) / 10.0, 1.0) * 0.3 AS score
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
-        |SELECT rep AS cluster_rep, id AS best_doc, score AS best_score FROM (
-        |  SELECT r.rep, r.id, q.score,
-        |    row_number() OVER (PARTITION BY r.rep ORDER BY q.score DESC, r.id) AS rk
-        |  FROM r JOIN q ON q.doc_id = r.id)
-        |WHERE rk = 1 ORDER BY cluster_rep""".stripMargin),
-    "c08_lang_id" ->
-      """SELECT doc_id,
-        |  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
-        |    WHEN en > es AND en > 0 THEN 'en'
-        |    WHEN es > en AND es > 0 THEN 'es'
-        |    ELSE 'und' END AS pred_lang
-        |FROM (
-        |  SELECT doc_id, text,
-        |    len(list_filter(string_split(text,' '), tk -> tk IN ('the','a','of','and','to','in','is','it'))) AS en,
-        |    len(list_filter(string_split(text,' '), tk -> tk IN ('el','la','de','y','que','en','un','es'))) AS es
-        |  FROM documents)
-        |ORDER BY doc_id""".stripMargin,
-    "c09_quality" ->
-      """SELECT doc_id,
-        |  CAST(len(t) AS BIGINT) AS n_tokens,
-        |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
-        |  CAST(len(list_filter(t, tk -> tk IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS n_stop,
-        |  (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 0.5
-        |    + (CAST(len(list_filter(t, tk -> tk IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 0.2
-        |    + least(CAST(list_sum(list_transform(t, tk -> length(tk))) AS DOUBLE) / CAST(len(t) AS DOUBLE) / 10.0, 1.0) * 0.3 AS score
-        |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-        |ORDER BY doc_id""".stripMargin,
-    "c10_token_count" ->
-      """SELECT doc_id,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS subwords
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    // outer CAST(.. AS BIGINT): DuckDB's sum over BIGINT returns HUGEINT
-    // (decimal128); Spark writes int64 — same values, different physical type.
-    "c11_fingerprint" ->
-      """SELECT doc_id,
-        |  CAST(sum(((CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 2147483647)
-        |       * (((pos - 1) % 64) + 1)) % 2147483647) % 2147483647 AS BIGINT) AS fp
-        |FROM (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-        |    generate_subscripts(string_split(text, ' '), 1) AS pos
-        |  FROM documents)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // transitive closure of the exact-jaccard pair graph via recursive CTE;
-    // min reachable id = cluster representative
-    "c17_dedup_clusters" -> ccClustersSql,
-    // only pairs sharing >= 1 shingle can rank (jaccard > 0) — matches
-    // the Spark co-count kernel's support exactly; same integer milli
-    // score, same (a, b) tie-break
-    "c76_top_similar_pairs" ->
-      (shingleCte +
-        """,
-          |pp AS (
-          |  SELECT a.doc_id AS a, b.doc_id AS b,
-          |    len(list_intersect(a.sh, b.sh)) AS i,
-          |    len(list_distinct(list_concat(a.sh, b.sh))) AS u
-          |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
-          |SELECT a, b, CAST((1000 * i) // u AS BIGINT) AS milli_jaccard
-          |FROM pp WHERE i > 0
-          |ORDER BY milli_jaccard DESC, a, b LIMIT 20""".stripMargin),
-    // c75 = the identical cluster assignment derived by star contraction
-    // instead of pointer jumping — one CC semantics, one oracle
-    "c75_cc_stars" -> ccClustersSql,
-    "c18_dedup_apply" ->
-      (shingleCte +
-        """,
-          |p AS (
-          |  SELECT a.doc_id AS a, b.doc_id AS b
-          |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-          |  WHERE len(list_intersect(a.sh, b.sh)) >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))),
-          |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
-          |r AS (
-          |  WITH RECURSIVE reach(id, x) AS (
-          |    SELECT src, src FROM e
-          |    UNION
-          |    SELECT e.src, reach.x FROM e JOIN reach ON reach.id = e.dst)
-          |  SELECT id, min(x) AS rep FROM reach GROUP BY id)
-          |SELECT doc_id, lang, n_chars FROM documents
-          |WHERE doc_id NOT IN (SELECT id FROM r WHERE id != rep)
-          |ORDER BY doc_id""".stripMargin),
-    "c19_tfidf" ->
-      """WITH tk AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY doc_id, tok),
-        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-        |n AS (SELECT count(*) AS n FROM documents),
-        |sc AS (
-        |  SELECT doc_id, tok, tf, df, CAST(tf AS DOUBLE) * n / df AS score
-        |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
-        |r AS (
-        |  SELECT doc_id, tok, tf, df,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rank
-        |  FROM sc)
-        |SELECT doc_id, tok, tf, df, CAST(rank AS INTEGER) AS rank
-        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
-    "c20_embedding_clusters" ->
-      """WITH p AS (
-        |  SELECT a.vec_id AS a, b.vec_id AS b
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.42),
-        |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
-        |r AS (
-        |  WITH RECURSIVE reach(id, x) AS (
-        |    SELECT src, src FROM e
-        |    UNION
-        |    SELECT e.src, reach.x FROM e JOIN reach ON reach.id = e.dst)
-        |  SELECT id, x FROM reach)
-        |SELECT id AS vec_id, min(x) AS cluster_rep
-        |FROM r GROUP BY id ORDER BY vec_id""".stripMargin,
-    "c43_weighted_sample" ->
-      """WITH w AS (SELECT doc_id, least(len(string_split(text, ' ')), 64) AS w FROM documents),
-        |t AS (SELECT doc_id,
-        |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) AS ticket
-        |      FROM w CROSS JOIN generate_series(0, 63) g(j) WHERE j < w),
-        |k AS (SELECT doc_id, min(ticket) AS tick_min FROM t GROUP BY doc_id)
-        |SELECT doc_id, tick_min FROM k ORDER BY tick_min, doc_id LIMIT 100""".stripMargin,
-
-    "c44_dup_spans" ->
-      // positional (non-distinct) 5-token spans, the same 60-bit md5
-      // token-hash convention as the shingle CTE; dup = span text seen in
-      // >= 2 distinct docs, counted per position
-      """WITH sp AS (
-        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-4),
-        |    i -> CAST(('0x' || substring(md5(t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]), 1, 15)) AS BIGINT))) AS h
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-        |  WHERE len(t) >= 5),
-        |dup AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-        |tot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
-        |dc AS (SELECT sp.doc_id, count(*) AS dup_spans FROM sp JOIN dup USING (h) GROUP BY sp.doc_id)
-        |SELECT tot.doc_id, tot.n_spans, coalesce(dc.dup_spans, CAST(0 AS BIGINT)) AS dup_spans
-        |FROM tot LEFT JOIN dc USING (doc_id) ORDER BY doc_id""".stripMargin,
-
-    "c45_pagerank" ->
-      // 3 unrolled rounds of the exact integer recurrence
-      // r' = 150e6 + sum (85*r) // (100*deg) over the symmetrized distinct
-      // customer<->supplier trade edges; node namespaces disjoint by parity
-      """WITH e0 AS (
-        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-        |n AS (SELECT c_custkey * 2 AS node FROM customer
-        |      UNION ALL SELECT s_suppkey * 2 + 1 FROM supplier),
-        |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-        |ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN d ON e.src = d.src),
-        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM n),
-        |c1 AS (SELECT ed.dst, CAST(sum((85 * r0.r) // (100 * ed.deg)) AS BIGINT) AS cs
-        |       FROM ed JOIN r0 ON r0.node = ed.src GROUP BY ed.dst),
-        |r1 AS (SELECT n.node, 150000000 + coalesce(c1.cs, 0) AS r FROM n LEFT JOIN c1 ON c1.dst = n.node),
-        |c2 AS (SELECT ed.dst, CAST(sum((85 * r1.r) // (100 * ed.deg)) AS BIGINT) AS cs
-        |       FROM ed JOIN r1 ON r1.node = ed.src GROUP BY ed.dst),
-        |r2 AS (SELECT n.node, 150000000 + coalesce(c2.cs, 0) AS r FROM n LEFT JOIN c2 ON c2.dst = n.node),
-        |c3 AS (SELECT ed.dst, CAST(sum((85 * r2.r) // (100 * ed.deg)) AS BIGINT) AS cs
-        |       FROM ed JOIN r2 ON r2.node = ed.src GROUP BY ed.dst),
-        |r3 AS (SELECT n.node, 150000000 + coalesce(c3.cs, 0) AS r FROM n LEFT JOIN c3 ON c3.dst = n.node)
-        |SELECT node, CAST(r AS BIGINT) AS rank_nano FROM r3 ORDER BY node""".stripMargin,
-
-    "c46_bigrams" ->
-      """WITH b AS (
-        |  SELECT unnest(list_transform(generate_series(1, len(t)-1),
-        |    i -> t[i] || ' ' || t[i+1])) AS bigram
-        |  FROM (SELECT string_split(text, ' ') AS t FROM documents)
-        |  WHERE len(t) >= 2)
-        |SELECT bigram, count(*) AS n FROM b
-        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
-
-    "c47_dup_run" ->
-      // positional spans with 1-based positions; islands via
-      // pos - row_number per doc; docs with >= 5 tokens and no dup
-      // positions report 0
-      """WITH sp AS (
-        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-4),
-        |    i -> {'pos': i, 'h': CAST(('0x' || substring(md5(t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]), 1, 15)) AS BIGINT)})) AS u
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-        |  WHERE len(t) >= 5),
-        |sp2 AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM sp),
-        |dup AS (SELECT h FROM sp2 GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-        |dp AS (SELECT sp2.doc_id, sp2.pos FROM sp2 JOIN dup USING (h)),
-        |g AS (SELECT doc_id, pos,
-        |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dp),
-        |r AS (SELECT doc_id, grp, count(*) AS run FROM g GROUP BY 1, 2),
-        |m AS (SELECT doc_id, max(run) AS max_dup_run FROM r GROUP BY 1)
-        |SELECT d.doc_id, coalesce(m.max_dup_run, CAST(0 AS BIGINT)) AS max_dup_run
-        |FROM (SELECT DISTINCT doc_id FROM sp2) d LEFT JOIN m USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-
-    "c48_source_overlap" ->
-      """WITH sp AS (
-        |  SELECT DISTINCT source AS src, h FROM (
-        |    SELECT source, unnest(list_transform(generate_series(1, len(t)-4),
-        |      i -> CAST(('0x' || substring(md5(t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]), 1, 15)) AS BIGINT))) AS h
-        |    FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
-        |    WHERE len(t) >= 5))
-        |SELECT a.src AS source_a, b.src AS source_b, count(*) AS shared_spans
-        |FROM sp a JOIN sp b ON a.h = b.h AND a.src < b.src
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "c55_leakproof_split" ->
-      // c17's CC labels; split key = cluster rep (own id for unclustered
-      // docs); then exactly c23's md5 bucketing
-      (shingleCte +
-        """,
-          |p AS (
-          |  SELECT a.doc_id AS a, b.doc_id AS b
-          |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-          |  WHERE len(list_intersect(a.sh, b.sh)) >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))),
-          |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
-          |r AS (
-          |  WITH RECURSIVE reach(id, x) AS (
-          |    SELECT src, src FROM e
-          |    UNION
-          |    SELECT e.src, reach.x FROM e JOIN reach ON reach.id = e.dst)
-          |  SELECT id, x FROM reach),
-          |m AS (SELECT id, min(x) AS cluster_rep FROM r GROUP BY id),
-          |k AS (SELECT d.doc_id, coalesce(m.cluster_rep, d.doc_id) AS skey
-          |      FROM documents d LEFT JOIN m ON m.id = d.doc_id)
-          |SELECT doc_id,
-          |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
-          |FROM (SELECT doc_id,
-          |  CAST(('0x' || substring(md5(CAST(skey AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
-          |  FROM k)
-          |ORDER BY doc_id""".stripMargin),
-
-    "c56_bm25_rank" ->
-      // same cleared-denominator rationals in pure BIGINT floor division;
-      // HUGEINT sums cast back to BIGINT at every output/reuse point
-      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
-        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS a_tokens FROM dl),
-        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
-        |       WHERE tok IN ('dup','merge','stream','window') GROUP BY doc_id, tok),
-        |idf AS (SELECT tok,
-        |          (1000 * (2 * (st.n_docs - d.df_t) + 1)) // (2 * d.df_t + 1) AS idf_milli
-        |        FROM (SELECT tok, count(*) AS df_t FROM tf GROUP BY tok) d, st),
-        |term AS (SELECT tf.doc_id,
-        |           (idf.idf_milli * 44 * tf.tf * st.a_tokens)
-        |           // (20 * tf.tf * st.a_tokens + 6 * st.a_tokens
-        |              + 18 * dl.dl * st.n_docs) AS term_milli
-        |         FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id), st)
-        |SELECT doc_id, count(*) AS n_terms, CAST(sum(term_milli) AS BIGINT) AS score_milli
-        |FROM term GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "c57_hybrid_rrf" ->
-      // same c56 BM25 rationals for the lexical leg; c06's rounded
-      // list_cosine_similarity for the dense leg; ranks are
-      // row_number() over the identical (score DESC, doc_id) total
-      // order; fusion = the same 10⁹ // (60 + rank) floor divisions
-      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
-        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS a_tokens FROM dl),
-        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
-        |       WHERE tok IN ('dup','merge','stream','window') GROUP BY doc_id, tok),
-        |idf AS (SELECT tok,
-        |          (1000 * (2 * (st.n_docs - d.df_t) + 1)) // (2 * d.df_t + 1) AS idf_milli
-        |        FROM (SELECT tok, count(*) AS df_t FROM tf GROUP BY tok) d, st),
-        |term AS (SELECT tf.doc_id,
-        |           (idf.idf_milli * 44 * tf.tf * st.a_tokens)
-        |           // (20 * tf.tf * st.a_tokens + 6 * st.a_tokens
-        |              + 18 * dl.dl * st.n_docs) AS term_milli
-        |         FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id), st),
-        |bm AS (SELECT doc_id, CAST(sum(term_milli) AS BIGINT) AS score_milli
-        |       FROM term GROUP BY doc_id),
-        |bmr AS (SELECT doc_id, CAST(rn AS INTEGER) AS bm25_rank FROM (
-        |          SELECT doc_id, row_number() OVER (ORDER BY score_milli DESC, doc_id) AS rn
-        |          FROM bm) WHERE rn <= 100),
-        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-        |cs AS (SELECT e.vec_id AS doc_id,
-        |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos
-        |       FROM embeddings e, q),
-        |csr AS (SELECT doc_id, CAST(rn AS INTEGER) AS cos_rank FROM (
-        |          SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rn
-        |          FROM cs) WHERE rn <= 100),
-        |f AS (SELECT coalesce(b.doc_id, c.doc_id) AS doc_id, b.bm25_rank, c.cos_rank,
-        |        CAST(coalesce(1000000000 // (60 + b.bm25_rank), 0)
-        |           + coalesce(1000000000 // (60 + c.cos_rank), 0) AS BIGINT) AS rrf_ppb
-        |      FROM bmr b FULL OUTER JOIN csr c ON b.doc_id = c.doc_id)
-        |SELECT doc_id, bm25_rank, cos_rank, rrf_ppb,
-        |  CAST(row_number() OVER (ORDER BY rrf_ppb DESC, doc_id) AS INTEGER) AS fused_rank
-        |FROM f ORDER BY fused_rank""".stripMargin,
-
-    "c61_source_cap" ->
-      // c09's score formula + per-source row_number cap; the score
-      // doubles are bit-identical across engines (c09 hash-matches), so
-      // ranking on them is stable; doc_id breaks ties totally
-      """WITH q AS (
-        |  SELECT doc_id, source,
-        |    (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 0.5
-        |    + (CAST(len(list_filter(t, tk -> tk IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 0.2
-        |    + least(CAST(list_sum(list_transform(t, tk -> length(tk))) AS DOUBLE) / CAST(len(t) AS DOUBLE) / 10.0, 1.0) * 0.3 AS score
-        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents))
-        |SELECT doc_id, source, score, CAST(rank AS INTEGER) AS rank FROM (
-        |  SELECT doc_id, source, score,
-        |    row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rank
-        |  FROM q) WHERE rank <= 5
-        |ORDER BY source, rank""".stripMargin,
-
-    "c62_triangles" ->
-      // same degree orientation ((deg, id)-lesser endpoint first) and
-      // wedge-closure join over the c04 exact-jaccard pair graph.
-      // p is MATERIALIZED: deg/o reference it three times and DuckDB
-      // would otherwise inline (re-evaluate) the quadratic intersect
-      // join per reference — measured 3× the c04 CTE cost at sf0.1
-      // (~16 min materialized; fine at the sf0.01 gate)
-      (shingleCte +
-        """,
-          |p AS MATERIALIZED (
-          |  SELECT a.doc_id AS a, b.doc_id AS b
-          |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-          |  WHERE len(list_intersect(a.sh, b.sh)) >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))),
-          |deg AS (SELECT node, count(*) AS deg FROM (
-          |          SELECT a AS node FROM p UNION ALL SELECT b AS node FROM p)
-          |        GROUP BY node),
-          |o AS (SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND p.a < p.b)
-          |             THEN p.a ELSE p.b END AS u,
-          |             CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND p.a < p.b)
-          |             THEN p.b ELSE p.a END AS v
-          |      FROM p JOIN deg d1 ON d1.node = p.a JOIN deg d2 ON d2.node = p.b),
-          |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
-          |        FROM o e1 JOIN o e2 ON e1.v = e2.u
-          |        WHERE EXISTS (SELECT 1 FROM o e3 WHERE e3.u = e1.u AND e3.v = e2.v))
-          |SELECT node, count(*) AS n_tri FROM (
-          |  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
-          |  UNION ALL SELECT z FROM tri)
-          |GROUP BY node ORDER BY node""".stripMargin),
-
-    "c63_semantic_dedup" ->
-      // c07's centroid convention + argmax cell assignment; keep-lowest-id
-      // within-cell greedy at the c05 threshold
-      """WITH cent AS (
-        |  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id % 97 = 0),
-        |sc AS (
-        |  SELECT e.vec_id, e.embedding, c.centroid_id,
-        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) AS csim
-        |  FROM embeddings e CROSS JOIN cent c),
-        |cell AS (
-        |  SELECT vec_id, embedding, centroid_id AS cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) AS crank
-        |    FROM sc) WHERE crank = 1),
-        |dup AS (
-        |  SELECT DISTINCT y.vec_id
-        |  FROM cell x JOIN cell y ON x.cell = y.cell AND x.vec_id < y.vec_id
-        |  WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), CAST(y.embedding AS DOUBLE[])), 6) >= 0.35)
-        |SELECT c.vec_id, c.cell, d.vec_id IS NULL AS kept
-        |FROM cell c LEFT JOIN dup d ON d.vec_id = c.vec_id
-        |ORDER BY c.vec_id""".stripMargin,
-
-    "c64_ref_lm_filter" ->
-      // c58's bin-length arithmetic with +1 smoothing; reference counts
-      // filtered to src0–src3 on both engines
-      """WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
-        |bg AS (SELECT doc_id, source, unnest(list_transform(generate_series(1, len(t)-1),
-        |         i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
-        |       FROM tk WHERE len(t) >= 2),
-        |b AS (SELECT doc_id, source, p.w1 AS w1, p.w2 AS w2 FROM bg),
-        |r2 AS (SELECT w1, w2, count(*) AS r2 FROM b
-        |       WHERE source IN ('src0','src1','src2','src3') GROUP BY w1, w2),
-        |r1 AS (SELECT w1, count(*) AS r1 FROM b
-        |       WHERE source IN ('src0','src1','src2','src3') GROUP BY w1),
-        |sc AS (SELECT b.doc_id,
-        |        length(bin(coalesce(r2.r2, 0) + 1)) AS l2,
-        |        length(bin(coalesce(r1.r1, 0) + 1)) AS l1
-        |       FROM b LEFT JOIN r2 ON b.w1 = r2.w1 AND b.w2 = r2.w2
-        |              LEFT JOIN r1 ON b.w1 = r1.w1)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |  CAST(sum(l1 - l2) AS BIGINT) AS ref_surprisal_sum,
-        |  CAST((1000 * sum(l1 - l2)) // count(*) AS BIGINT) AS surp_milli
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "c66_kcore" ->
-      // the same 4 unrolled synchronized peels; every stage MATERIALIZED
-      // (each is referenced twice — inlined, DuckDB would re-evaluate the
-      // chain exponentially back to the quadratic pair join)
-      (shingleCte +
-        """,
-          |p AS MATERIALIZED (
-          |  SELECT a.doc_id AS a, b.doc_id AS b
-          |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-          |  WHERE len(list_intersect(a.sh, b.sh)) >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))),
-          |d0 AS (SELECT node, count(*) AS deg FROM (
-          |         SELECT a AS node FROM p UNION ALL SELECT b AS node FROM p) GROUP BY node),
-          |e1 AS MATERIALIZED (SELECT a, b FROM p
-          |  WHERE a IN (SELECT node FROM d0 WHERE deg >= 2)
-          |    AND b IN (SELECT node FROM d0 WHERE deg >= 2)),
-          |d1 AS (SELECT node, count(*) AS deg FROM (
-          |         SELECT a AS node FROM e1 UNION ALL SELECT b AS node FROM e1) GROUP BY node),
-          |e2 AS MATERIALIZED (SELECT a, b FROM e1
-          |  WHERE a IN (SELECT node FROM d1 WHERE deg >= 2)
-          |    AND b IN (SELECT node FROM d1 WHERE deg >= 2)),
-          |d2 AS (SELECT node, count(*) AS deg FROM (
-          |         SELECT a AS node FROM e2 UNION ALL SELECT b AS node FROM e2) GROUP BY node),
-          |e3 AS MATERIALIZED (SELECT a, b FROM e2
-          |  WHERE a IN (SELECT node FROM d2 WHERE deg >= 2)
-          |    AND b IN (SELECT node FROM d2 WHERE deg >= 2)),
-          |d3 AS (SELECT node, count(*) AS deg FROM (
-          |         SELECT a AS node FROM e3 UNION ALL SELECT b AS node FROM e3) GROUP BY node),
-          |e4 AS MATERIALIZED (SELECT a, b FROM e3
-          |  WHERE a IN (SELECT node FROM d3 WHERE deg >= 2)
-          |    AND b IN (SELECT node FROM d3 WHERE deg >= 2))
-          |SELECT node, count(*) AS deg FROM (
-          |  SELECT a AS node FROM e4 UNION ALL SELECT b AS node FROM e4)
-          |GROUP BY node ORDER BY node""".stripMargin),
-
-    "c65_sorted_neighborhood" ->
-      // identical bottom-1-sketch ordering (60-bit md5 shingle hashes,
-      // the Text.tokenHash convention), rank-window candidates, c04
-      // integer-size jaccard verify
-      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t)-2),
-        |        i -> CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT))) AS sh
-        |      FROM tk WHERE len(t) >= 3),
-        |r AS (SELECT doc_id, sh,
-        |        row_number() OVER (ORDER BY list_min(sh), doc_id) AS rn FROM s),
-        |cand AS (SELECT x.doc_id AS xa, x.sh AS xsh, y.doc_id AS yb, y.sh AS ysh
-        |         FROM r x JOIN r y ON y.rn > x.rn AND y.rn <= x.rn + 8)
-        |SELECT least(xa, yb) AS a, greatest(xa, yb) AS b
-        |FROM cand
-        |WHERE len(list_intersect(xsh, ysh)) >= 0.8 * len(list_distinct(list_concat(xsh, ysh)))
-        |ORDER BY a, b""".stripMargin,
-
-    "c59_pq_encode" ->
-      // identical integer arithmetic: micro-quantized components, exact
-      // BIGINT squared L2 per subspace, argmin tie-broken on code id; ADC
-      // = sum of the assigned codewords' distances to vec 0's subvectors
-      (pqCte +
-        "\nSELECT vec_id, c0, c1, c2, c3, adc_micro2 FROM pq ORDER BY vec_id"),
-
-    "c58_bigram_lm_score" ->
-      // identical integer arithmetic: surprisal per position =
-      // len(bin(c1)) - len(bin(c2)) (the floor-log2 -1s cancel); both
-      // counts >= 1 because every observed bigram is its own evidence
-      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
-        |         i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
-        |       FROM tk WHERE len(t) >= 2),
-        |b AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
-        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY w1, w2),
-        |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1),
-        |lk AS (SELECT c2.w1, c2.w2, length(bin(c1.c1)) - length(bin(c2.c2)) AS surp
-        |       FROM c2 JOIN c1 USING (w1))
-        |SELECT b.doc_id, count(*) AS n_bigrams,
-        |  CAST(sum(lk.surp) AS BIGINT) AS surprisal_sum
-        |FROM b JOIN lk ON b.w1 = lk.w1 AND b.w2 = lk.w2
-        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
-
-    "c54_token_rarity" ->
-      // floor(log2 n) = len(bin(n))-1 — DuckDB bin() mirrors Spark's
-      // conv(n,10,2) exactly for positive counts
-      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |tf AS (SELECT tok, count(*) AS tf FROM tk GROUP BY tok)
-        |SELECT tk.doc_id, count(*) AS n_tokens,
-        |  CAST(sum(length(bin(tf.tf)) - 1) AS BIGINT) AS log_tf_sum
-        |FROM tk JOIN tf ON tk.tok = tf.tok
-        |GROUP BY tk.doc_id ORDER BY doc_id""".stripMargin,
-
-    "c53_soft_dedup_weights" ->
-      // c17's recursive-CC oracle + per-cluster sizes; weight = 1e6 // k
-      (shingleCte +
-        """,
-          |p AS (
-          |  SELECT a.doc_id AS a, b.doc_id AS b
-          |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-          |  WHERE len(list_intersect(a.sh, b.sh)) >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))),
-          |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
-          |r AS (
-          |  WITH RECURSIVE reach(id, x) AS (
-          |    SELECT src, src FROM e
-          |    UNION
-          |    SELECT e.src, reach.x FROM e JOIN reach ON reach.id = e.dst)
-          |  SELECT id, x FROM reach),
-          |m AS (SELECT id, min(x) AS cluster_rep FROM r GROUP BY id),
-          |cl AS (SELECT cluster_rep, count(*) AS k FROM m GROUP BY cluster_rep)
-          |SELECT m.id AS doc_id, cl.k, CAST(1000000 // cl.k AS BIGINT) AS weight_ppm
-          |FROM m JOIN cl ON m.cluster_rep = cl.cluster_rep
-          |ORDER BY doc_id""".stripMargin),
-
-    "c52_minhash_calibration" ->
-      // exact inter/uni over the 60-bit HASH sets (identical collision
-      // behavior to Spark by construction) + the c37 full-minhash
-      // replication for the signature agreement
-      (shingleCte +
-        """,
-          |hs AS (SELECT doc_id, list_distinct(list_transform(sh, x ->
-          |        CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT))) AS hs FROM s),
-          |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
-          |        len(list_intersect(a.hs, b.hs)) AS inter,
-          |        len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)) AS uni
-          |      FROM hs a JOIN hs b ON a.doc_id < b.doc_id
-          |      WHERE len(list_intersect(a.hs, b.hs)) >=
-          |            0.8 * (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))),
-          |perm AS (SELECT i,
-          |        CASE WHEN (1103515245 * (i+1) + 12345) % 2147483647 = 0 THEN 1
-          |             ELSE (1103515245 * (i+1) + 12345) % 2147483647 END AS a,
-          |        (69069 * (i+1) + 1) % 2147483647 AS b
-          |        FROM generate_series(0, 63) g(i)),
-          |sig AS (SELECT h.doc_id, p.i,
-          |        min((p.a * (h.h % 2147483647) + p.b) % 2147483647) AS sg
-          |        FROM (SELECT doc_id, unnest(hs) AS h FROM hs) h CROSS JOIN perm p
-          |        GROUP BY h.doc_id, p.i),
-          |sigl AS (SELECT doc_id, list(sg ORDER BY i) AS sig FROM sig GROUP BY doc_id)
-          |SELECT p.a, p.b, CAST(p.inter AS BIGINT) AS inter, CAST(p.uni AS BIGINT) AS uni,
-          |  CAST(len(list_filter(generate_series(1, 64), i -> sa.sig[i] = sb.sig[i])) AS INTEGER) AS n_agree
-          |FROM p JOIN sigl sa ON sa.doc_id = p.a JOIN sigl sb ON sb.doc_id = p.b
-          |ORDER BY a, b""".stripMargin),
-
-    "c51_dedup_report" ->
-      // same recursive-CC oracle as c17, summarized to the per-size
-      // report: clusters of size k and the k-1 docs a keep-one removes
-      (shingleCte +
-        """,
-          |p AS (
-          |  SELECT a.doc_id AS a, b.doc_id AS b
-          |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-          |  WHERE len(list_intersect(a.sh, b.sh)) >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))),
-          |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
-          |r AS (
-          |  WITH RECURSIVE reach(id, x) AS (
-          |    SELECT src, src FROM e
-          |    UNION
-          |    SELECT e.src, reach.x FROM e JOIN reach ON reach.id = e.dst)
-          |  SELECT id, x FROM reach),
-          |cl AS (SELECT cluster_rep, count(*) AS k FROM (
-          |         SELECT id, min(x) AS cluster_rep FROM r GROUP BY id)
-          |       GROUP BY cluster_rep)
-          |SELECT k, count(*) AS n_clusters, CAST(sum(k - 1) AS BIGINT) AS docs_removed
-          |FROM cl GROUP BY k ORDER BY k""".stripMargin),
-
-    "c50_span_novelty" ->
-      """WITH sp AS (
-        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-4),
-        |    i -> CAST(('0x' || substring(md5(t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]), 1, 15)) AS BIGINT))) AS h
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-        |  WHERE len(t) >= 5),
-        |b AS (SELECT doc_id, h FROM sp WHERE doc_id % 10 = 7),
-        |ch AS (SELECT DISTINCT h FROM sp WHERE doc_id % 10 <> 7),
-        |tot AS (SELECT doc_id, count(*) AS n_spans FROM b GROUP BY doc_id),
-        |nv AS (SELECT b.doc_id, count(*) AS novel_spans
-        |       FROM b WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.h = b.h)
-        |       GROUP BY b.doc_id)
-        |SELECT tot.doc_id, tot.n_spans, coalesce(nv.novel_spans, CAST(0 AS BIGINT)) AS novel_spans
-        |FROM tot LEFT JOIN nv USING (doc_id) ORDER BY doc_id""".stripMargin,
-
-    "c49_containment" ->
-      // directed: >= 90% of the CONTAINED doc's distinct shingles appear
-      // in the container; integer test 100*inter >= 90*|A|
-      (shingleCte +
-        """
-          |SELECT a.doc_id AS contained, b.doc_id AS container
-          |FROM s a JOIN s b ON a.doc_id <> b.doc_id
-          |WHERE 100 * len(list_intersect(a.sh, b.sh)) >= 90 * len(a.sh)
-          |ORDER BY contained, container""".stripMargin),
-    "c42_count_min" ->
-      // identical md5 cell hashing; 15 hex chars = 60 bits, positive in
-      // both engines, so % and pmod agree
-      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-        |ex AS (SELECT tok, count(*) AS tf FROM tk GROUP BY tok
-        |       ORDER BY tf DESC, tok LIMIT 20),
-        |cells AS (
-        |  SELECT r, CAST(('0x' || substring(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 15)) AS BIGINT) % 256 AS bucket,
-        |         count(*) AS cnt
-        |  FROM tk CROSS JOIN generate_series(0, 3) g(r)
-        |  GROUP BY 1, 2),
-        |est AS (
-        |  SELECT ex.tok, ex.tf, min(coalesce(cells.cnt, 0)) AS est
-        |  FROM ex CROSS JOIN generate_series(0, 3) g(r)
-        |  LEFT JOIN cells ON cells.r = g.r
-        |    AND cells.bucket = CAST(('0x' || substring(md5(CAST(g.r AS VARCHAR) || ':' || ex.tok), 1, 15)) AS BIGINT) % 256
-        |  GROUP BY ex.tok, ex.tf)
-        |SELECT tok, tf, CAST(est AS BIGINT) AS est, est >= tf AS ok
-        |FROM est ORDER BY tf DESC, tok""".stripMargin,
-    "c40_cluster_centroids" ->
-      // same CC construction as c20, extended with the nano-integer
-      // component sums; floor(x·1e9 + 0.5) is per-row IEEE (exact in both
-      // engines), integer sums are order-free, the mean one IEEE division
-      """WITH p AS (
-        |  SELECT a.vec_id AS a, b.vec_id AS b
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.42),
-        |e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b, a FROM p),
-        |r AS (
-        |  WITH RECURSIVE reach(id, x) AS (
-        |    SELECT src, src FROM e
-        |    UNION
-        |    SELECT e.src, reach.x FROM e JOIN reach ON reach.id = e.dst)
-        |  SELECT id, x FROM reach),
-        |mem AS (SELECT id, min(x) AS cluster_rep FROM r GROUP BY id),
-        |ev AS (SELECT m.cluster_rep, CAST(emb.embedding AS DOUBLE[]) AS v
-        |       FROM mem m JOIN embeddings emb ON emb.vec_id = m.id),
-        |comp AS (SELECT cluster_rep, CAST(i - 1 AS INTEGER) AS pos,
-        |          CAST(floor(v[i] * 1000000000.0 + 0.5) AS BIGINT) AS nano
-        |         FROM ev CROSS JOIN generate_series(1, 64) g(i))
-        |SELECT cluster_rep, pos, count(*) AS n_members,
-        |  CAST(sum(nano) AS BIGINT) AS c_nano,
-        |  CAST(sum(nano) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000000.0) AS centroid
-        |FROM comp GROUP BY cluster_rep, pos ORDER BY cluster_rep, pos""".stripMargin,
-    "c16_repetition" ->
-      """SELECT doc_id,
-        |  CASE WHEN len(t)-1 > 0 THEN 1.0 - CAST(len(list_distinct(
-        |    list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])))
-        |    AS DOUBLE) / CAST(len(t)-1 AS DOUBLE) END AS rep2,
-        |  CASE WHEN len(t)-2 > 0 THEN 1.0 - CAST(len(list_distinct(
-        |    list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
-        |    AS DOUBLE) / CAST(len(t)-2 AS DOUBLE) END AS rep3
-        |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-        |ORDER BY doc_id""".stripMargin,
-    "c13_term_freq" ->
-      """SELECT tok, count(*) AS tf
-        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-        |GROUP BY tok ORDER BY tf DESC, tok LIMIT 100""".stripMargin,
-    "c14_mm_join" ->
-      """SELECT doc_id, lang, n_chars, label,
-        |  CAST(len(embedding) AS BIGINT) AS dim
-        |FROM documents JOIN embeddings ON doc_id = vec_id
-        |ORDER BY doc_id""".stripMargin,
-    // frame stride q = ceil(len/4); frame j covers [j*q, min((j+1)*q, len))
-    "c15_frame_sample" ->
-      """WITH f AS (
-        |  SELECT doc_id, j,
-        |    least(j * ((strlen(text)+3)//4), strlen(text)) AS s,
-        |    least((j+1) * ((strlen(text)+3)//4), strlen(text)) AS e,
-        |    text
-        |  FROM documents CROSS JOIN generate_series(0, 3) g(j)),
-        |fr AS (
-        |  SELECT doc_id, j, substring(text, CAST(s+1 AS INTEGER), CAST(e-s AS INTEGER)) AS frame
-        |  FROM f WHERE e > s)
-        |SELECT doc_id AS media_id, CAST(j AS INTEGER) AS frame_idx,
-        |  CAST(strlen(frame) AS BIGINT) AS n_bytes,
-        |  CAST(list_sum(list_transform(string_split(frame, ''), c -> ascii(c))) AS BIGINT) AS byte_sum
-        |FROM fr ORDER BY media_id, frame_idx""".stripMargin,
-    // stride s = ceil(len/64); kept byte positions are 1, 1+s, 1+2s, …
-    "c21_mm_resize" ->
-      """WITH f AS (
-        |  SELECT doc_id, text, strlen(text) AS len,
-        |    CAST(ceil(strlen(text) / 64.0) AS INTEGER) AS s
-        |  FROM documents),
-        |k AS (
-        |  SELECT doc_id, len,
-        |    CASE WHEN len <= 64 THEN text
-        |      ELSE list_aggregate(list_transform(
-        |        list_filter(generate_series(1, CAST(len AS INTEGER)), i -> (i-1) % s = 0),
-        |        i -> substring(text, i, 1)), 'string_agg', '')
-        |      END AS r
-        |  FROM f)
-        |SELECT doc_id AS media_id, CAST(len AS BIGINT) AS n_bytes,
-        |  CAST(strlen(r) AS BIGINT) AS r_bytes,
-        |  CAST(coalesce(list_sum(list_transform(string_split(r, ''), c -> ascii(c))), 0) AS BIGINT) AS r_sum
-        |FROM k ORDER BY media_id""".stripMargin,
-    "c12_multimodal" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
-        |  CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS BIGINT) AS byte_sum,
-        |  CAST(len(list_filter(string_split(text, ''), c -> ascii(c) // 64 = 0)) AS BIGINT) AS h0,
-        |  CAST(len(list_filter(string_split(text, ''), c -> ascii(c) // 64 = 1)) AS BIGINT) AS h1,
-        |  CAST(len(list_filter(string_split(text, ''), c -> ascii(c) // 64 = 2)) AS BIGINT) AS h2,
-        |  CAST(len(list_filter(string_split(text, ''), c -> ascii(c) // 64 = 3)) AS BIGINT) AS h3
-        |FROM documents ORDER BY media_id""".stripMargin)
-
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    aQueries ++ bQueries ++ cQueries
+    EntryA.aQueries ++ EntryB.bQueries ++ EntryC.cQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query key has an oracle. */
-  def oracleSql: Map[String, String] = aOracles ++ bOracles ++ cOracles
+  def oracleSql: Map[String, String] = EntryA.aOracles ++ EntryB.bOracles ++ EntryC.cOracles
 }
