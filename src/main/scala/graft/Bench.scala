@@ -257,12 +257,15 @@ object Bench {
     //   2b. per-query shuffle/spill metrics appended to
     //       docs/bench/metrics_history.jsonl + one per-family shuffle
     //       summary line (see the comment at the write below);
-    //   3. ONE final {"metric":"total",...} line, compact: per-query times
-    //      keyed by the unique short prefix (a01.., b01.., c01.. — prefixes
-    //      are unique by construction; full names are on the family lines
-    //      and in BASELINE.md), per-family subtotals, full-pass count +
-    //      sums + wall timestamps, retime count, and the heap — enough to
-    //      run a thrash-vs-stall post-mortem from the artifact alone.
+    //   3. per-query times keyed by the unique short prefix (a01.., b01..,
+    //      c01.. — prefixes are unique by construction; full names are on
+    //      the family lines and in BASELINE.md) on their own
+    //      {"per_query_sec":...,"part":"i/N"} lines in ASCENDING-cost
+    //      chunks (see the emission comment below);
+    //   4. ONE final {"metric":"total",...} line, compact: per-family
+    //      subtotals, full-pass count + sums + wall timestamps, retime
+    //      count, and the heap — enough to run a thrash-vs-stall
+    //      post-mortem from the artifact alone.
     // The final line is ~1.3 KB — well inside the capture window — and is
     // the only line starting with {"metric", so a parser scanning for the
     // summary cannot pick up a detail line instead.

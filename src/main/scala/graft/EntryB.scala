@@ -763,7 +763,11 @@ private[graft] object EntryB {
       // one-row broadcast (the plan's single BNLJ); the arm pivot runs on
       // a 1-row frame.
       val stages = Seq("view", "click", "signup", "purchase")
-      val gapMs = 43200000L // 12 h horizon = attribution window (honesty bound)
+      // ONE constant for horizon AND attribution window: the streaming
+      // side require()s attrWindow <= gap, and the batch replica must
+      // never drift from that invariant (the oracle hard-codes 43200000 /
+      // INTERVAL 12 HOUR — change all three together or the gate fails)
+      val gapMs = 43200000L
       val ev = t(s, d, "events")
       val f = ev.where(col("event_type").isin(stages: _*))
       val wm = broadcast(ev.agg(
@@ -776,7 +780,7 @@ private[graft] object EntryB {
         .select(col("user_id"), col("ts"),
           floor(col("value") * 100 + 0.5).cast("long").as("pc"))
       val attrWin = col("ts") > col("s2") &&
-        col("ts") <= col("s2") + expr("INTERVAL 12 HOURS")
+        col("ts") <= col("s2") + expr(s"INTERVAL $gapMs MILLISECONDS")
       val perUser = closed.join(purRows, Seq("user_id"), "left_outer")
         .groupBy(col("user_id"), col("s1"), col("s2"), col("s4"))
         .agg(sum(when(attrWin, col("pc"))).as("attr_c"))

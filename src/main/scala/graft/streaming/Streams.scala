@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
   * state size so a 1000-executor streaming job does not accumulate
   * unbounded per-key state.
   */
-object Streams {
+object Streams extends Serializable {
+  // Serializable: the funnel machines' flatMapGroupsWithState closures call
+  // the shared object-level helpers (stageTimesOf / armHorizonTimeout),
+  // which makes the closure capture this module; Scala modules serialize
+  // as a readResolve back to MODULE$, so the marker costs nothing.
 
   /** Tumbling event-time window aggregation (batch or stream). */
   def tumblingCounts(events: DataFrame, width: String): DataFrame =
@@ -383,6 +387,41 @@ object Streams {
   case class FunnelStages(user_id: Long, stage_us: Seq[Option[Long]],
                           dropped_events: Long)
 
+  /** The buffered-sort strictly-after stage machine — ONE implementation
+    * shared by [[funnelStagesWithState]] and [[funnelRevenueWithState]]
+    * so the b99- and b126-family close semantics can never fork: scan the
+    * user's buffered (ts µs, stageIdx) pairs in ascending (ts, stage)
+    * order (the stage tiebreak is cosmetic — strict inequalities make
+    * same-ts order irrelevant — but keeps the scan deterministic for a
+    * given buffer); stage k's time is the earliest event of stage k
+    * strictly after stage k−1's time. */
+  private def stageTimesOf(evs: Seq[(Long, Int)], nStages: Int): Array[Option[Long]] = {
+    val s = Array.fill(nStages)(Option.empty[Long])
+    evs.sortBy(identity).foreach { case (ts, st) =>
+      if (s(st).isEmpty && (st == 0 || s(st - 1).exists(ts > _))) s(st) = Some(ts)
+    }
+    s
+  }
+
+  /** Horizon-clock arm shared by both funnel machines. Never set
+    * at-or-before the current watermark (Spark rejects it, and a swallowed
+    * rejection would leave the state timeout-less = a silent leak): if a
+    * very late event computed a target the watermark already passed, clamp
+    * to watermark + 1 ms — "close at the next watermark advance", the
+    * correct semantics for an already-expired horizon. The only swallowed
+    * case is batch execution (no watermark clock exists; closing is then
+    * the caller's horizon cut, and timeouts never fire anyway). */
+  private def armHorizonTimeout(state: org.apache.spark.sql.streaming.GroupState[_],
+                                lastUs: Long, gapMs: Long): Unit = {
+    val target = lastUs / 1000L + gapMs
+    try {
+      val wm = state.getCurrentWatermarkMs()
+      state.setTimeoutTimestamp(math.max(target, wm + 1L))
+    } catch {
+      case _: UnsupportedOperationException => // batch: no watermark clock
+    }
+  }
+
   /** Internal funnel buffer: the user's stage-relevant events (ts µs,
     * stageIdx) within the horizon, the latest event time (µs), and the
     * count of events dropped by the `maxBuffer` cap. */
@@ -444,16 +483,8 @@ object Streams {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
     val nStages = stages.size
-    def close(userId: Long, buf: FunnelBuf): FunnelStages = {
-      val s = Array.fill(nStages)(Option.empty[Long])
-      // ascending (ts, stage) — the stage tiebreak is cosmetic (strict
-      // inequalities make same-ts order irrelevant), but keeps the scan
-      // deterministic for a given buffer
-      buf.evs.sortBy(identity).foreach { case (ts, st) =>
-        if (s(st).isEmpty && (st == 0 || s(st - 1).exists(ts > _))) s(st) = Some(ts)
-      }
-      FunnelStages(userId, s.toSeq, buf.dropped)
-    }
+    def close(userId: Long, buf: FunnelBuf): FunnelStages =
+      FunnelStages(userId, stageTimesOf(buf.evs, nStages).toSeq, buf.dropped)
 
     val stageIdx = stages.zipWithIndex.toMap
     val idxCol = stages.foldLeft(lit(-1)) { (acc, st) =>
@@ -481,22 +512,7 @@ object Streams {
               math.max(prev.last, incoming.iterator.map(_._1).max),
               prev.dropped + math.max(0, incoming.length - room))
             state.update(st)
-            // The horizon clock. Never set at-or-before the current
-            // watermark (Spark rejects it, and a swallowed rejection
-            // would leave the state timeout-less = a silent leak): if a
-            // very late event computed a target the watermark already
-            // passed, clamp to watermark + 1 ms — "close at the next
-            // watermark advance", which is the correct semantics for an
-            // already-expired horizon. The only swallowed case is batch
-            // execution (no watermark clock exists; closing is then the
-            // caller's horizon cut, and timeouts never fire anyway).
-            val target = st.last / 1000L + gapMs
-            try {
-              val wm = state.getCurrentWatermarkMs()
-              state.setTimeoutTimestamp(math.max(target, wm + 1L))
-            } catch {
-              case _: UnsupportedOperationException => // batch: no watermark clock
-            }
+            armHorizonTimeout(state, st.last, gapMs)
             Iterator.empty
           }
       }
@@ -661,16 +677,12 @@ object Streams {
     val nStages = stages.size
     val attrUs = attrWindowMs * 1000L
     def close(userId: Long, buf: FunnelRevBuf): FunnelRevenue = {
-      val s = Array.fill(nStages)(Option.empty[Long])
-      val sorted = buf.evs.sortBy(e => (e._1, e._2))
-      sorted.foreach { case (ts, st, _) =>
-        if (s(st).isEmpty && (st == 0 || s(st - 1).exists(ts > _))) s(st) = Some(ts)
-      }
+      val s = stageTimesOf(buf.evs.map(e => (e._1, e._2)), nStages)
       // every buffered purchase row inside (anchor, anchor + window]
       // counts (not only the stage-qualifying one) — b123's batch
       // semantics, where the attribution join scans ALL purchase events
       val attr = s(anchorIdx).fold(0L) { a =>
-        sorted.iterator
+        buf.evs.iterator
           .filter { case (ts, st, _) => st == nStages - 1 && ts > a && ts <= a + attrUs }
           .map(_._3).sum
       }
@@ -681,8 +693,11 @@ object Streams {
     val idxCol = stages.foldLeft(lit(-1)) { (acc, st) =>
       when(col("event_type") === st, lit(stageIdx(st))).otherwise(acc)
     }
-    val centsCol = when(col("event_type") === stages.last,
-      floor(col("value") * 100 + 0.5).cast("long")).otherwise(lit(0L))
+    // coalesce: a purchase row with NULL value must enter the buffer as 0
+    // cents, not crash the non-nullable tuple encoder — the batch twin's
+    // attribution sum is null-tolerant, so the stream must be too
+    val centsCol = coalesce(when(col("event_type") === stages.last,
+      floor(col("value") * 100 + 0.5).cast("long")), lit(0L))
     events.withWatermark("ts", delay)
       .where(col("event_type").isin(stages: _*))
       .select(col("user_id").cast("long").as("user_id"),
@@ -706,15 +721,7 @@ object Streams {
               math.max(prev.last, incoming.iterator.map(_._1).max),
               prev.dropped + math.max(0, incoming.length - room))
             state.update(st)
-            // horizon clock — the funnelStagesWithState clamp (never
-            // set at-or-before the current watermark)
-            val target = st.last / 1000L + gapMs
-            try {
-              val wm = state.getCurrentWatermarkMs()
-              state.setTimeoutTimestamp(math.max(target, wm + 1L))
-            } catch {
-              case _: UnsupportedOperationException => // batch: no watermark clock
-            }
+            armHorizonTimeout(state, st.last, gapMs)
             Iterator.empty
           }
       }

@@ -354,11 +354,7 @@ class PlanSpec extends SparkSpec {
         // (current generation) + the memoized per-doc gate bits frame
         // (re-aggregated under the previous-generation slice filter)
         ("c117_calibration_drift", 2, 0))) {
-      val exec = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          a.executedPlan // AQE wrapper is itself a leaf; unwrap to the real tree
-        case p => p
-      }
+      val exec = unwrapAqe(SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan)
       val leaves = exec.collectLeaves().map(_.nodeName)
       val mem = leaves.count(_.contains("InMemoryTableScan"))
       val pq = leaves.count(_.contains("Scan"))  - mem
