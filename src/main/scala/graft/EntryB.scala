@@ -816,6 +816,58 @@ private[graft] object EntryB {
           lit(-1L)))
     }),
 
+    "b127_stream_calibration_monitor" -> ((s, d) => {
+      // batch parity for the STREAMING calibration drift monitor
+      // (Streams.streamCalibrationMonitor — the b122 graduation pattern
+      // on the c114/c117 family): bucket every live doc's (score, kept_h)
+      // into the REFERENCE calibration table's score ranges and compare
+      // per-decile live keep ppm against the reference's. Reference =
+      // the prev-generation table (the c117 doc_id%10 != 3 slice); live
+      // = the full corpus — so the readout answers "does current traffic
+      // keep at the reference's promised rates per score band", the live
+      // complement of c117's generation-vs-generation delta (which
+      // self-normalizes deciles; this one holds the reference's
+      // boundaries FIXED, the monitor view). Bucket rule: decile d owns
+      // [lo_d, lo_{d+1}), decile 1 open below, decile 10 open above —
+      // total and deterministic, derived from lo_score alone (one lead
+      // over the 10-row frame) so the two sides can never disagree.
+      // drifted: |live − ref| > 10000 ppm (the c117 threshold; measured
+      // fixture split 6/4 at sf0.001, 8/2 at 0.01, 2/8 at 0.1 — both
+      // verdicts populate at every sf, nearest margin 22 ppm in exact
+      // BIGINT, so a broken ppm product flips the oracle);
+      // drifted_total = the c116 audit count. Live docs ⊇ the reference
+      // population on this fixture, so every bucket is non-empty and the
+      // inner bucket join loses nothing (the streaming twin documents
+      // the empty-bucket semantics). Plan: the per-score aggregate
+      // map-side combines over the memoized gate-bits cache (the c114
+      // small-frame discipline — docs never sort globally); the bucket
+      // join is a 10-row broadcast BNLJ against the |distinct scores|-row
+      // frame (audited, docs/PLANS.md); windows only on ≤10-row frames.
+      val ref = calibrationTableOf(
+        docGateBits(s, d).where(pmod(col("doc_id"), lit(10)) =!= 3))
+      val wLead = Window.orderBy(col("lo_score"))
+      val buck = ref.select(col("decile"), col("lo_score"),
+          col("kept_h_ppm").as("ref_kept_ppm"))
+        .withColumn("next_lo", lead(col("lo_score"), 1).over(wLead))
+      val perScore = docGateBits(s, d)
+        .groupBy(col("score"))
+        .agg(count(lit(1)).as("n"), sum(col("kept_h").cast("long")).as("kh"))
+      val inBucket = (col("decile") === 1L || col("score") >= col("lo_score")) &&
+        (col("next_lo").isNull || col("score") < col("next_lo"))
+      val wAll = Window.partitionBy()
+      perScore.join(broadcast(buck), inBucket)
+        .groupBy(col("decile"), col("ref_kept_ppm"))
+        .agg(sum(col("n")).as("n_docs_live"),
+          sum(col("kh")).as("kept_h_docs_live"))
+        .withColumn("kept_h_ppm_live",
+          expr("(kept_h_docs_live * 1000000) div n_docs_live"))
+        .withColumn("ppm_delta", col("kept_h_ppm_live") - col("ref_kept_ppm"))
+        .withColumn("drifted", abs(col("ppm_delta")) > 10000L)
+        .withColumn("drifted_total",
+          sum(when(col("drifted"), 1L).otherwise(0L)).over(wAll))
+        .orderBy(col("decile"))
+    }),
+
     "b02_join_broadcast" -> ((s, d) =>
       t(s, d, "lineitem")
         .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
@@ -2791,6 +2843,35 @@ private[graft] object EntryB {
         |    // NULLIF(CAST(ctrl_rev_c AS HUGEINT) * trt_users, 0) AS BIGINT), -1)
         |    AS rev_lift_bp
         |FROM p""".stripMargin,
+
+    // the c117 prev-generation calibration table as the REFERENCE, live =
+    // full corpus bucketed into the reference's [lo_d, lo_{d+1}) ranges
+    // (decile 1 open below, last open above — lead over the 10-row frame)
+    "b127_stream_calibration_monitor" -> (classifierScoreCteWhere("") +
+      heuristicGateCteSql +
+      calibrationCteSfx("p", " WHERE doc_id % 10 != 3") + """,
+        |bk AS (SELECT decile, lo_score, kept_h_ppm AS ref_kept_ppm,
+        |         lead(lo_score) OVER (ORDER BY lo_score) AS next_lo FROM calp),
+        |lb AS (SELECT s.score, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN hq.kept_h THEN 1 ELSE 0 END) AS BIGINT) AS kh
+        |       FROM cscore s JOIN hq USING (doc_id) GROUP BY s.score),
+        |bj AS (SELECT b.decile, b.ref_kept_ppm, l.n, l.kh
+        |       FROM lb l JOIN bk b
+        |         ON (b.decile = 1 OR l.score >= b.lo_score)
+        |        AND (b.next_lo IS NULL OR l.score < b.next_lo)),
+        |ag AS (SELECT decile, CAST(ref_kept_ppm AS BIGINT) AS ref_kept_ppm,
+        |         CAST(sum(n) AS BIGINT) AS n_docs_live,
+        |         CAST(sum(kh) AS BIGINT) AS kept_h_docs_live
+        |       FROM bj GROUP BY decile, ref_kept_ppm)
+        |SELECT decile, ref_kept_ppm, n_docs_live, kept_h_docs_live,
+        |  (kept_h_docs_live * 1000000) // n_docs_live AS kept_h_ppm_live,
+        |  (kept_h_docs_live * 1000000) // n_docs_live - ref_kept_ppm AS ppm_delta,
+        |  (abs((kept_h_docs_live * 1000000) // n_docs_live - ref_kept_ppm)
+        |    > 10000) AS drifted,
+        |  CAST(sum(CASE WHEN abs((kept_h_docs_live * 1000000) // n_docs_live
+        |    - ref_kept_ppm) > 10000 THEN 1 ELSE 0 END) OVER ()
+        |    AS BIGINT) AS drifted_total
+        |FROM ag ORDER BY decile""".stripMargin),
 
     // b120's TTC machinery with the md5 arm in every key; pN = smallest
     // hour bucket with N% cumulative coverage, pure BIGINT comparisons.

@@ -324,7 +324,8 @@ object Pipeline {
     * per-task). Raw text never shuffles.
     */
   def linearClassifierScore(df: DataFrame, idCol: String, textCol: String,
-                            weights: DataFrame, buckets: Int): DataFrame = {
+                            weights: DataFrame, buckets: Int,
+                            carryCols: Seq[String] = Nil): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val toks = Text.tokens(coalesce(col(textCol), lit("")))
     // unigrams ++ bigrams ("w1 w2"), same window convention as the
@@ -341,15 +342,20 @@ object Pipeline {
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat_ws(" ", a, b)))
       .otherwise(array().cast("array<string>"))
-    val feats = df.select(col(idCol).as("id"),
-        explode(concat(toks, bigrams)).as("feat"))
-      .select(col("id"),
-        pmod(Text.tokenHash(col("feat")), lit(buckets.toLong)).as("bucket"))
+    // carryCols: per-doc constants riding through the feature aggregate
+    // (b127's kept_h bit) — grouped alongside id, which keeps map-side
+    // combine at id cardinality and avoids a second pass over the text
+    // (on a STREAM, a second pass would be a stream-stream self-join).
+    val carried = carryCols.map(col)
+    val feats = df.select(col(idCol).as("id") +: carried :+
+        explode(concat(toks, bigrams)).as("feat"): _*)
+      .select(col("id") +: carried :+
+        pmod(Text.tokenHash(col("feat")), lit(buckets.toLong)).as("bucket"): _*)
     feats.join(broadcast(weights.select(col("bucket"), col("w"))), "bucket")
-      .groupBy(col("id"))
+      .groupBy(col("id") +: carried: _*)
       .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score"))
-      .select(col("id"), col("n_feats"), col("score"),
-        (col("score") >= 0L).as("kept"))
+      .select(col("id") +: carried :+ col("n_feats") :+ col("score") :+
+        (col("score") >= 0L).as("kept"): _*)
   }
 
   /** Per-stratum yield STATE of the classifier gate at each threshold —

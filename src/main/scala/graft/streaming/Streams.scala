@@ -778,6 +778,71 @@ object Streams extends Serializable {
         lit(-1L)))
   }
 
+  /** Streaming calibration DRIFT monitor — the b122 graduation pattern
+    * applied to the c114/c117 calibration family (r15 roadmap 4a): score
+    * the live document stream, bucket every doc into the REFERENCE
+    * calibration table's score ranges, and maintain per-reference-decile
+    * live keep rates with drift verdicts against the reference's rates.
+    * This is the LIVE half of the drift story: c117 answers "did the
+    * corpus drift between two nightly generations"; this answers "is the
+    * traffic arriving right now keeping at the rates the reference table
+    * promises" — same 10-row readout shape, same ppm threshold device.
+    *
+    * Bucketing rule (deterministic, total): reference decile d owns
+    * scores in [lo_d, lo_{d+1}), with decile 1 open below and the last
+    * decile open above — every live score lands in exactly one bucket,
+    * including scores outside the reference's observed range. The rule is
+    * derived from the reference table's lo_score column alone (one lead()
+    * over the static 10-row frame), so live and reference can never
+    * disagree on boundaries.
+    *
+    * Emitted per OBSERVED bucket: ref_kept_ppm, live doc/kept counts,
+    * live ppm (exact BIGINT floor), ppm_delta, drifted (|delta| >
+    * driftPpm), drifted_total. A reference decile with NO live docs emits
+    * no row (stream-static joins cannot preserve the static side; absence
+    * = "no traffic in this score band", which a monitor reads as a
+    * different signal than drift). Docs whose text yields zero classifier
+    * features carry no score and are outside the monitored population,
+    * exactly as in the batch scored frame.
+    *
+    * Scale: the classifier's per-doc aggregate is the only user-scale
+    * state (one in-flight row per doc, the b122 posture); the bucket join
+    * broadcasts the 10-row reference (stateless); the readout aggregate
+    * holds O(10) state. Complete-mode sink.
+    *
+    * Static-checker note: chained stateful aggregates with no event-time
+    * column anywhere — the b122 case exactly; build AND start inside
+    * [[withCheckerDisabled]].
+    *
+    * The table-wide `drifted_total` audit count (the c116 discipline) is
+    * NOT emitted here — a window over a streaming aggregate is
+    * unsupported, and a third stateful layer buys nothing over the
+    * consumer summing the 10-row `drifted` column at read time; the
+    * batch twin (b127) carries it. */
+  def streamCalibrationMonitor(docs: DataFrame, refTable: DataFrame,
+                               weights: DataFrame, buckets: Int,
+                               keptNano: Long, driftPpm: Long): DataFrame = {
+    val bits = docs.withColumn("kept_h",
+      (graft.functions.Text.qualityScoreNano(coalesce(col("text"), lit(""))) >=
+        keptNano).cast("long"))
+    val scored = graft.operators.Pipeline.linearClassifierScore(
+      bits, "doc_id", "text", weights, buckets, carryCols = Seq("kept_h"))
+    val wLead = org.apache.spark.sql.expressions.Window.orderBy(col("lo_score"))
+    val buck = refTable
+      .select(col("decile"), col("lo_score"), col("kept_h_ppm").as("ref_kept_ppm"))
+      .withColumn("next_lo", lead(col("lo_score"), 1).over(wLead))
+    val inBucket = (col("decile") === 1L || col("score") >= col("lo_score")) &&
+      (col("next_lo").isNull || col("score") < col("next_lo"))
+    scored.join(broadcast(buck), inBucket)
+      .groupBy(col("decile"), col("ref_kept_ppm"))
+      .agg(count(lit(1)).as("n_docs_live"),
+        sum(col("kept_h")).as("kept_h_docs_live"))
+      .withColumn("kept_h_ppm_live",
+        expr("(kept_h_docs_live * 1000000) div n_docs_live"))
+      .withColumn("ppm_delta", col("kept_h_ppm_live") - col("ref_kept_ppm"))
+      .withColumn("drifted", abs(col("ppm_delta")) > driftPpm)
+  }
+
   /** Stream-stream event-time interval join — the impressions ⋈ clicks
     * shape (SURVEY.md §8 roadmap item 5): every (left, right) pair with
     * equal `keyCol` and `rightTs ∈ [leftTs, leftTs + window)`. Both sides

@@ -1005,6 +1005,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("b127 calibration monitor: cache-fed small frames; only the 10-row bucket broadcast") {
+    // both legs (reference build + live per-score aggregate) must read
+    // the memoized gate-bits cache — zero parquet leaves, the heuristic
+    // text scan paid once in the memo build; the bucket join is the
+    // audited 10-row broadcast BNLJ (the only one); per-score counts
+    // map-side combine (docs never sort globally)
+    val exec = unwrapAqe(SparkEntry.queries("b127_stream_calibration_monitor")(spark, sf)
+      .queryExecution.executedPlan)
+    val leaves = exec.collectLeaves().map(_.nodeName)
+    assert(leaves.count(_.contains("InMemoryTableScan")) == 2 &&
+      !leaves.exists(_.contains("Scan parquet")),
+      s"b127 must feed both legs from the gate-bits memo, got $leaves")
+    val plan = exec.toString
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length == 1,
+      s"exactly the 10-row bucket broadcast may nest-loop:\n$plan")
+    assert("partial_(count|sum)".r.findFirstIn(plan).isDefined,
+      s"per-score counts must map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("c114 calibration: windows run on the per-score frame after a combined aggregate") {
     // the decile machinery must never globally sort DOCS: the per-score
     // aggregate partial-combines map-side, and the cumulative/total

@@ -577,6 +577,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("b127: streaming calibration drift monitor equals the batch parity query") {
+    // the b122 graduation pattern on the calibration family: score the
+    // live document stream, bucket into the REFERENCE (prev-generation)
+    // calibration table's score ranges via the broadcast 10-row frame,
+    // keep per-decile live keep rates + drift verdicts — the drained
+    // stream must equal the b127 batch key on every column it emits
+    // (drifted_total is batch-only by design: a window over a streaming
+    // aggregate is unsupported; the consumer sums the 10-row column).
+    // Same chained-stateful-aggregate shape as b122 (no event-time column
+    // anywhere), so the same scoped checker escape hatch.
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    val dir = tempDir("graft-cal-monitor-stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("documents.parquet"), java.nio.file.Paths.get(s"$sf/documents.parquet"))
+    val schema = s.read.parquet(s"$sf/documents.parquet").schema
+    val (q, cs) = Streams.withCheckerDisabled(s) { cs =>
+      val stream = cs.readStream.schema(schema).parquet(dir.toString)
+      val ref = EntryShared.calibrationTableOf(
+        EntryShared.docGateBits(cs, sf).where(pmod(col("doc_id"), lit(10)) =!= 3))
+      val out = Streams.streamCalibrationMonitor(stream, ref,
+        graft.operators.Pipeline.demoClassifierWeights(cs, 65536), 65536,
+        keptNano = 395000000L, driftPpm = 10000L)
+      (out.writeStream.format("memory").queryName("calmonitor")
+        .outputMode("complete").start(), cs)
+    }
+    try {
+      q.processAllAvailable()
+      val streamed = cs.sql(
+          """SELECT decile, ref_kept_ppm, n_docs_live, kept_h_docs_live,
+            |kept_h_ppm_live, ppm_delta, drifted FROM calmonitor""".stripMargin)
+        .orderBy("decile").collect().map(_.toSeq).toSeq
+      val batch = SparkEntry.queries("b127_stream_calibration_monitor")(s, sf)
+        .drop("drifted_total").collect().map(_.toSeq).toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"stream=$streamed != batch=$batch")
+    } finally q.stop()
+  }
+
   test("funnelStagesWithState N=2 and N=4 parity with the batch stage kernel") {
     // the N-stage machine against Series.funnelStageTimes + the b99
     // horizon cut, on the real events fixture, at two widths
