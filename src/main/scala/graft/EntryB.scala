@@ -843,26 +843,24 @@ private[graft] object EntryB {
       // small-frame discipline — docs never sort globally); the bucket
       // join is a 10-row broadcast BNLJ against the |distinct scores|-row
       // frame (audited, docs/PLANS.md); windows only on ≤10-row frames.
+      // bucket frame, membership predicate, and drift readout are the
+      // SAME definitions the streaming twin uses (Streams.calibration*
+      // — single-sourced per the r15 review so batch and stream can
+      // never disagree); only the per-score pre-aggregate (the c114
+      // small-frame discipline) and the batch-only drifted_total differ
       val ref = calibrationTableOf(
         docGateBits(s, d).where(pmod(col("doc_id"), lit(10)) =!= 3))
-      val wLead = Window.orderBy(col("lo_score"))
-      val buck = ref.select(col("decile"), col("lo_score"),
-          col("kept_h_ppm").as("ref_kept_ppm"))
-        .withColumn("next_lo", lead(col("lo_score"), 1).over(wLead))
       val perScore = docGateBits(s, d)
         .groupBy(col("score"))
         .agg(count(lit(1)).as("n"), sum(col("kept_h").cast("long")).as("kh"))
-      val inBucket = (col("decile") === 1L || col("score") >= col("lo_score")) &&
-        (col("next_lo").isNull || col("score") < col("next_lo"))
       val wAll = Window.partitionBy()
-      perScore.join(broadcast(buck), inBucket)
-        .groupBy(col("decile"), col("ref_kept_ppm"))
-        .agg(sum(col("n")).as("n_docs_live"),
-          sum(col("kh")).as("kept_h_docs_live"))
-        .withColumn("kept_h_ppm_live",
-          expr("(kept_h_docs_live * 1000000) div n_docs_live"))
-        .withColumn("ppm_delta", col("kept_h_ppm_live") - col("ref_kept_ppm"))
-        .withColumn("drifted", abs(col("ppm_delta")) > 10000L)
+      Streams.calibrationDriftCols(
+          perScore.join(broadcast(Streams.calibrationBuckets(ref)),
+              Streams.calibrationBucketCond)
+            .groupBy(col("decile"), col("ref_kept_ppm"))
+            .agg(sum(col("n")).as("n_docs_live"),
+              sum(col("kh")).as("kept_h_docs_live")),
+          driftPpm = 10000L)
         .withColumn("drifted_total",
           sum(when(col("drifted"), 1L).otherwise(0L)).over(wAll))
         .orderBy(col("decile"))
@@ -2851,13 +2849,15 @@ private[graft] object EntryB {
       heuristicGateCteSql +
       calibrationCteSfx("p", " WHERE doc_id % 10 != 3") + """,
         |bk AS (SELECT decile, lo_score, kept_h_ppm AS ref_kept_ppm,
-        |         lead(lo_score) OVER (ORDER BY lo_score) AS next_lo FROM calp),
+        |         lead(lo_score) OVER (ORDER BY lo_score) AS next_lo,
+        |         lag(lo_score) OVER (ORDER BY lo_score) IS NULL AS is_first
+        |       FROM calp),
         |lb AS (SELECT s.score, CAST(count(*) AS BIGINT) AS n,
         |         CAST(sum(CASE WHEN hq.kept_h THEN 1 ELSE 0 END) AS BIGINT) AS kh
         |       FROM cscore s JOIN hq USING (doc_id) GROUP BY s.score),
         |bj AS (SELECT b.decile, b.ref_kept_ppm, l.n, l.kh
         |       FROM lb l JOIN bk b
-        |         ON (b.decile = 1 OR l.score >= b.lo_score)
+        |         ON (b.is_first OR l.score >= b.lo_score)
         |        AND (b.next_lo IS NULL OR l.score < b.next_lo)),
         |ag AS (SELECT decile, CAST(ref_kept_ppm AS BIGINT) AS ref_kept_ppm,
         |         CAST(sum(n) AS BIGINT) AS n_docs_live,

@@ -326,6 +326,25 @@ object Pipeline {
   def linearClassifierScore(df: DataFrame, idCol: String, textCol: String,
                             weights: DataFrame, buckets: Int,
                             carryCols: Seq[String] = Nil): DataFrame = {
+    val feats = classifierFeatures(df, idCol, textCol, buckets, carryCols)
+    val carried = carryCols.map(col)
+    feats.join(broadcast(weights.select(col("bucket"), col("w"))), "bucket")
+      .groupBy(col("id") +: carried: _*)
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score"))
+      .select(col("id") +: carried :+ col("n_feats") :+ col("score") :+
+        (col("score") >= 0L).as("kept"): _*)
+  }
+
+  /** The classifier's feature pipeline — (id, carryCols…, bucket), one row
+    * per unigram/bigram feature — shared by [[linearClassifierScore]] (the
+    * batch kernel, re-aggregating per doc) and the streaming monitor's
+    * emit-once scorer (graft.streaming.Streams.streamCalibrationMonitor),
+    * so the feature definition can never fork between batch and stream.
+    * carryCols: per-doc constants riding alongside id (b127's kept_h bit)
+    * — avoids a second pass over the text, which on a STREAM would be a
+    * stream-stream self-join. */
+  def classifierFeatures(df: DataFrame, idCol: String, textCol: String,
+                         buckets: Int, carryCols: Seq[String] = Nil): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val toks = Text.tokens(coalesce(col(textCol), lit("")))
     // unigrams ++ bigrams ("w1 w2"), same window convention as the
@@ -342,20 +361,11 @@ object Pipeline {
         slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat_ws(" ", a, b)))
       .otherwise(array().cast("array<string>"))
-    // carryCols: per-doc constants riding through the feature aggregate
-    // (b127's kept_h bit) — grouped alongside id, which keeps map-side
-    // combine at id cardinality and avoids a second pass over the text
-    // (on a STREAM, a second pass would be a stream-stream self-join).
     val carried = carryCols.map(col)
-    val feats = df.select(col(idCol).as("id") +: carried :+
+    df.select(col(idCol).as("id") +: carried :+
         explode(concat(toks, bigrams)).as("feat"): _*)
       .select(col("id") +: carried :+
         pmod(Text.tokenHash(col("feat")), lit(buckets.toLong)).as("bucket"): _*)
-    feats.join(broadcast(weights.select(col("bucket"), col("w"))), "bucket")
-      .groupBy(col("id") +: carried: _*)
-      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score"))
-      .select(col("id") +: carried :+ col("n_feats") :+ col("score") :+
-        (col("score") >= 0L).as("kept"): _*)
   }
 
   /** Per-stratum yield STATE of the classifier gate at each threshold —

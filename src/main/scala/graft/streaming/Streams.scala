@@ -789,8 +789,10 @@ object Streams extends Serializable {
     * promises" — same 10-row readout shape, same ppm threshold device.
     *
     * Bucketing rule (deterministic, total): reference decile d owns
-    * scores in [lo_d, lo_{d+1}), with decile 1 open below and the last
-    * decile open above — every live score lands in exactly one bucket,
+    * scores in [lo_d, lo_{d+1}), with the LOWEST reference bucket open
+    * below (the min-lo row — not literal decile 1, which the reference
+    * may lack under heavy score ties) and the last open above — every
+    * live score lands in exactly one bucket,
     * including scores outside the reference's observed range. The rule is
     * derived from the reference table's lo_score column alone (one lead()
     * over the static 10-row frame), so live and reference can never
@@ -805,13 +807,18 @@ object Streams extends Serializable {
     * features carry no score and are outside the monitored population,
     * exactly as in the batch scored frame.
     *
-    * Scale: the classifier's per-doc aggregate is the only user-scale
-    * state (one in-flight row per doc, the b122 posture); the bucket join
-    * broadcasts the 10-row reference (stateless); the readout aggregate
-    * holds O(10) state. Complete-mode sink.
+    * Scale: per-doc scores are produced by an EMIT-ONCE
+    * flatMapGroupsWithState (see the inline comment — a plain aggregate
+    * double-counts across triggers in complete mode; the multi-trigger
+    * StreamingSpec case proves both directions), which retains ZERO
+    * per-doc state; the bucket join broadcasts the 10-row reference
+    * (stateless); the readout aggregate holds O(10) durable state.
+    * Complete-mode sink.
     *
-    * Static-checker note: chained stateful aggregates with no event-time
-    * column anywhere — the b122 case exactly; build AND start inside
+    * Static-checker note: a stateful aggregate downstream of
+    * flatMapGroupsWithState — the streamFunnelAbConversion case (the
+    * fMGWS output is append-once per doc with no event-time column, so
+    * nothing can be late-filtered or re-merged); build AND start inside
     * [[withCheckerDisabled]].
     *
     * The table-wide `drifted_total` audit count (the c116 discipline) is
@@ -819,28 +826,86 @@ object Streams extends Serializable {
     * unsupported, and a third stateful layer buys nothing over the
     * consumer summing the 10-row `drifted` column at read time; the
     * batch twin (b127) carries it. */
-  def streamCalibrationMonitor(docs: DataFrame, refTable: DataFrame,
-                               weights: DataFrame, buckets: Int,
-                               keptNano: Long, driftPpm: Long): DataFrame = {
-    val bits = docs.withColumn("kept_h",
-      (graft.functions.Text.qualityScoreNano(coalesce(col("text"), lit(""))) >=
-        keptNano).cast("long"))
-    val scored = graft.operators.Pipeline.linearClassifierScore(
-      bits, "doc_id", "text", weights, buckets, carryCols = Seq("kept_h"))
+  /** The reference-decile bucket frame — (decile, lo_score, ref_kept_ppm,
+    * next_lo, is_first) — and its membership predicate, defined ONCE for
+    * the streaming monitor and its batch key (b127) so the two can never
+    * disagree on boundaries: decile d owns [lo_d, lo_{d+1}); the open-
+    * below anchor is the MIN-lo row (is_first), NOT literal decile 1,
+    * which the reference may lack when its lowest distinct score holds
+    * >10% of the mass (the last-row decile rule; r15 review). */
+  def calibrationBuckets(refTable: DataFrame): DataFrame = {
     val wLead = org.apache.spark.sql.expressions.Window.orderBy(col("lo_score"))
-    val buck = refTable
+    refTable
       .select(col("decile"), col("lo_score"), col("kept_h_ppm").as("ref_kept_ppm"))
       .withColumn("next_lo", lead(col("lo_score"), 1).over(wLead))
-    val inBucket = (col("decile") === 1L || col("score") >= col("lo_score")) &&
+      .withColumn("is_first", lag(col("lo_score"), 1).over(wLead).isNull)
+  }
+
+  /** Membership predicate over [[calibrationBuckets]] columns vs a
+    * `score` column. */
+  val calibrationBucketCond: Column =
+    (col("is_first") || col("score") >= col("lo_score")) &&
       (col("next_lo").isNull || col("score") < col("next_lo"))
-    scored.join(broadcast(buck), inBucket)
-      .groupBy(col("decile"), col("ref_kept_ppm"))
-      .agg(count(lit(1)).as("n_docs_live"),
-        sum(col("kept_h")).as("kept_h_docs_live"))
+
+  /** The drift readout columns over a per-decile (n_docs_live,
+    * kept_h_docs_live, ref_kept_ppm) aggregate — exact BIGINT ppm floor,
+    * delta, and the |delta| > driftPpm verdict; ONE definition for the
+    * stream and the batch key. */
+  def calibrationDriftCols(agg: DataFrame, driftPpm: Long): DataFrame =
+    agg
       .withColumn("kept_h_ppm_live",
         expr("(kept_h_docs_live * 1000000) div n_docs_live"))
       .withColumn("ppm_delta", col("kept_h_ppm_live") - col("ref_kept_ppm"))
       .withColumn("drifted", abs(col("ppm_delta")) > driftPpm)
+
+  def streamCalibrationMonitor(docs: DataFrame, refTable: DataFrame,
+                               weights: DataFrame, buckets: Int,
+                               keptNano: Long, driftPpm: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val bits = docs.withColumn("kept_h",
+      (graft.functions.Text.qualityScoreNano(coalesce(col("text"), lit(""))) >=
+        keptNano).cast("long"))
+    // EMIT-ONCE scoring (r15 review, empirically forced): a plain per-doc
+    // AGGREGATE here double-counts across micro-batches — in complete
+    // mode the upstream aggregate re-emits its entire state every
+    // trigger and the downstream decile aggregate merges the re-emission
+    // additively (the multi-trigger StreamingSpec case measured 5 of 3).
+    // flatMapGroupsWithState emits each doc's summed score exactly once
+    // instead (the streamFunnelAbConversion append-once posture), so the
+    // downstream aggregate only ever sees new docs. Correctness leans on
+    // the ingest contract the batch side already assumes: doc_id arrives
+    // in exactly ONE source row (a doc's exploded features then never
+    // span triggers; re-delivery would re-emit). No state is ever
+    // stored — the group is consumed and forgotten, durable state stays
+    // O(deciles) for the whole query. Cost disposition: fMGWS has no
+    // map-side combine, so the doc_id exchange carries one slim
+    // (id, kept_h, w) row per FEATURE rather than a partial-sum row per
+    // doc — the price of multi-trigger correctness; raw text still never
+    // shuffles.
+    val feats = graft.operators.Pipeline.classifierFeatures(
+      bits, "doc_id", "text", buckets, carryCols = Seq("kept_h"))
+    val scored = feats
+      .join(broadcast(weights.select(col("bucket"), col("w"))), "bucket")
+      .select(col("id"), col("kept_h"), col("w"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (id: Long, rows: Iterator[(Long, Long, Long)],
+         _: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+          var keptH = 0L; var score = 0L
+          rows.foreach { r => keptH = r._2; score += r._3 }
+          Iterator((id, keptH, score))
+      }
+      .toDF("id", "kept_h", "score")
+    calibrationDriftCols(
+      scored.join(broadcast(calibrationBuckets(refTable)), calibrationBucketCond)
+        .groupBy(col("decile"), col("ref_kept_ppm"))
+        .agg(count(lit(1)).as("n_docs_live"),
+          sum(col("kept_h")).as("kept_h_docs_live")),
+      driftPpm)
   }
 
   /** Stream-stream event-time interval join — the impressions ⋈ clicks

@@ -616,6 +616,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("b127 monitor across MULTIPLE triggers: per-doc totals are not double-counted") {
+    // the chained-stateful-aggregate replay question (r15 review): in
+    // complete mode the upstream per-doc aggregate re-emits its ENTIRE
+    // state every trigger — if the downstream decile aggregate MERGED
+    // that re-emission additively, trigger-1 docs would count again in
+    // trigger 2 and the monitor would be wrong as a live query. This
+    // test feeds two triggers (docs 1,2 then doc 3) and asserts the
+    // decile counts cover each doc exactly once.
+    val s = spark; import s.implicits._
+    val ref = Seq((1L, -1000000L, 500000L), (2L, 0L, 500000L))
+      .toDF("decile", "lo_score", "kept_h_ppm")
+    val (q, mem, cs) = Streams.withCheckerDisabled(s) { cs =>
+      implicit val sqlCtx = cs.sqlContext
+      val mem = MemoryStream[(Long, String)]
+      mem.addData((1L, "the quick brown fox jumps"), (2L, "lazy dogs sleep all day"))
+      val out = Streams.streamCalibrationMonitor(
+        mem.toDF().toDF("doc_id", "text"), ref,
+        graft.operators.Pipeline.demoClassifierWeights(cs, 65536), 65536,
+        keptNano = 395000000L, driftPpm = 10000L)
+      (out.writeStream.format("memory").queryName("calmulti")
+        .outputMode("complete").start(), mem, cs)
+    }
+    try {
+      q.processAllAvailable()
+      val t1 = cs.sql("SELECT sum(n_docs_live) FROM calmulti").collect()(0).getLong(0)
+      assert(t1 == 2L, s"trigger 1 must cover docs 1-2 once, got $t1")
+      mem.addData((3L, "a third document arrives later"))
+      q.processAllAvailable()
+      val t2 = cs.sql("SELECT sum(n_docs_live) FROM calmulti").collect()(0).getLong(0)
+      assert(t2 == 3L, s"trigger 2 must cover docs 1-3 exactly once, got $t2")
+    } finally q.stop()
+  }
+
   test("funnelStagesWithState N=2 and N=4 parity with the batch stage kernel") {
     // the N-stage machine against Series.funnelStageTimes + the b99
     // horizon cut, on the real events fixture, at two widths
