@@ -807,10 +807,10 @@ object Streams extends Serializable {
     * features carry no score and are outside the monitored population,
     * exactly as in the batch scored frame.
     *
-    * Scale: per-doc scores are produced by an EMIT-ONCE
-    * flatMapGroupsWithState (see the inline comment — a plain aggregate
-    * double-counts across triggers in complete mode; the multi-trigger
-    * StreamingSpec case proves both directions), which retains ZERO
+    * Scale: per-doc scores are produced by the EMIT-ONCE
+    * flatMapGroupsWithState scorer ([[emitOnceDocScores]] — a plain
+    * aggregate double-counts across triggers in complete mode; the
+    * multi-trigger StreamingSpec case proves both directions), which retains ZERO
     * per-doc state; the bucket join broadcasts the 10-row reference
     * (stateless); the readout aggregate holds O(10) durable state.
     * Complete-mode sink.
@@ -858,48 +858,61 @@ object Streams extends Serializable {
       .withColumn("ppm_delta", col("kept_h_ppm_live") - col("ref_kept_ppm"))
       .withColumn("drifted", abs(col("ppm_delta")) > driftPpm)
 
-  def streamCalibrationMonitor(docs: DataFrame, refTable: DataFrame,
-                               weights: DataFrame, buckets: Int,
-                               keptNano: Long, driftPpm: Long): DataFrame = {
+  /** EMIT-ONCE per-doc classifier scoring for the streaming monitors —
+    * (id, carry, score), one output row per doc per query lifetime
+    * (r15 review, empirically forced): a plain per-doc AGGREGATE here
+    * double-counts across micro-batches — in complete mode the upstream
+    * aggregate re-emits its entire state every trigger and a downstream
+    * stateful aggregate merges the re-emission additively (the
+    * multi-trigger StreamingSpec cases measured 5 of 3).
+    * flatMapGroupsWithState emits each doc's summed score exactly once
+    * instead (the streamFunnelAbConversion append-once posture), so a
+    * downstream aggregate only ever sees new docs. Correctness leans on
+    * the ingest contract the batch side already assumes: doc_id arrives
+    * in exactly ONE source row (a doc's exploded features then never
+    * span triggers; re-delivery would re-emit). No state is ever
+    * stored — the group is consumed and forgotten, durable state stays
+    * bounded by the downstream readout for the whole query. Cost
+    * disposition: fMGWS has no map-side combine, so the doc_id exchange
+    * carries one slim (id, carry, w) row per FEATURE rather than a
+    * partial-sum row per doc — the price of multi-trigger correctness;
+    * raw text still never shuffles.
+    *
+    * `carry` is one per-doc Long constant riding alongside id (b127's
+    * kept_h bit; pass lit(0L) and drop when unused) — a second text pass
+    * on a STREAM would be a stream-stream self-join. */
+  def emitOnceDocScores(docs: DataFrame, idCol: String, textCol: String,
+                        weights: DataFrame, buckets: Int,
+                        carry: Column): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    val bits = docs.withColumn("kept_h",
-      (graft.functions.Text.qualityScoreNano(coalesce(col("text"), lit(""))) >=
-        keptNano).cast("long"))
-    // EMIT-ONCE scoring (r15 review, empirically forced): a plain per-doc
-    // AGGREGATE here double-counts across micro-batches — in complete
-    // mode the upstream aggregate re-emits its entire state every
-    // trigger and the downstream decile aggregate merges the re-emission
-    // additively (the multi-trigger StreamingSpec case measured 5 of 3).
-    // flatMapGroupsWithState emits each doc's summed score exactly once
-    // instead (the streamFunnelAbConversion append-once posture), so the
-    // downstream aggregate only ever sees new docs. Correctness leans on
-    // the ingest contract the batch side already assumes: doc_id arrives
-    // in exactly ONE source row (a doc's exploded features then never
-    // span triggers; re-delivery would re-emit). No state is ever
-    // stored — the group is consumed and forgotten, durable state stays
-    // O(deciles) for the whole query. Cost disposition: fMGWS has no
-    // map-side combine, so the doc_id exchange carries one slim
-    // (id, kept_h, w) row per FEATURE rather than a partial-sum row per
-    // doc — the price of multi-trigger correctness; raw text still never
-    // shuffles.
     val feats = graft.operators.Pipeline.classifierFeatures(
-      bits, "doc_id", "text", buckets, carryCols = Seq("kept_h"))
-    val scored = feats
+      docs.withColumn("__carry", carry), idCol, textCol, buckets,
+      carryCols = Seq("__carry"))
+    feats
       .join(broadcast(weights.select(col("bucket"), col("w"))), "bucket")
-      .select(col("id"), col("kept_h"), col("w"))
+      .select(col("id"), col("__carry"), col("w"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Boolean, (Long, Long, Long)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (id: Long, rows: Iterator[(Long, Long, Long)],
          _: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
-          var keptH = 0L; var score = 0L
-          rows.foreach { r => keptH = r._2; score += r._3 }
-          Iterator((id, keptH, score))
+          var carried = 0L; var score = 0L
+          rows.foreach { r => carried = r._2; score += r._3 }
+          Iterator((id, carried, score))
       }
-      .toDF("id", "kept_h", "score")
+      .toDF("id", "carry", "score")
+  }
+
+  def streamCalibrationMonitor(docs: DataFrame, refTable: DataFrame,
+                               weights: DataFrame, buckets: Int,
+                               keptNano: Long, driftPpm: Long): DataFrame = {
+    val scored = emitOnceDocScores(docs, "doc_id", "text", weights, buckets,
+        carry = (graft.functions.Text.qualityScoreNano(
+          coalesce(col("text"), lit(""))) >= keptNano).cast("long"))
+      .withColumnRenamed("carry", "kept_h")
     calibrationDriftCols(
       scored.join(broadcast(calibrationBuckets(refTable)), calibrationBucketCond)
         .groupBy(col("decile"), col("ref_kept_ppm"))
@@ -907,6 +920,39 @@ object Streams extends Serializable {
           sum(col("kept_h")).as("kept_h_docs_live")),
       driftPpm)
   }
+
+  /** Streaming per-SOURCE classifier gate monitor — the live half of the
+    * b122 batch key: score the document stream with the emit-once scorer,
+    * stream-static join the slim (doc_id, source, n_chars) dims (stateless
+    * — the static side re-reads per micro-batch), keep per-source totals,
+    * gate passes, kept chars, and the exact-ppm keep rate. Drained-stream
+    * ≡ batch parity and a multi-trigger no-double-count case live in
+    * StreamingSpec.
+    *
+    * Migrated from the chained-aggregate shape (r16 roadmap item 4): the
+    * original inline test stream used linearClassifierScore (a per-doc
+    * AGGREGATE) feeding the per-source aggregate — correct when all data
+    * arrives in one trigger, but across triggers the complete-mode re-
+    * emission double-counts (the defect the b127 multi-trigger case
+    * measured as 5 of 3). [[emitOnceDocScores]] emits each doc once, so
+    * the per-source aggregate's durable state stays O(|sources|) AND
+    * correct under any trigger schedule.
+    *
+    * Static-checker note: a stateful aggregate downstream of
+    * flatMapGroupsWithState with no event-time column anywhere (nothing
+    * can be late-filtered or re-merged) — build AND start inside
+    * [[withCheckerDisabled]]. Complete-mode sink. */
+  def streamClassifierGateMonitor(docs: DataFrame, dims: DataFrame,
+                                  weights: DataFrame, buckets: Int): DataFrame =
+    emitOnceDocScores(docs, "doc_id", "text", weights, buckets,
+        carry = lit(0L))
+      .select(col("id").as("doc_id"), col("score"))
+      .join(dims, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("total_docs"),
+        sum(when(col("score") >= 0L, 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("score") >= 0L, col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .withColumn("kept_ppm", expr("(kept_docs * 1000000) div total_docs"))
 
   /** Stream-stream event-time interval join — the impressions ⋈ clicks
     * shape (SURVEY.md §8 roadmap item 5): every (left, right) pair with

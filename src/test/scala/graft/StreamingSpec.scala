@@ -539,29 +539,23 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.createSymbolicLink(
       dir.resolve("documents.parquet"), java.nio.file.Paths.get(s"$sf/documents.parquet"))
     val schema = s.read.parquet(s"$sf/documents.parquet").schema
-    // two chained stateful aggregates (per-doc score, per-source counts):
-    // the static checker flags the global-watermark pattern, but NO
-    // event-time column exists anywhere in this query (no watermark, no
+    // emit-once scorer + ONE stateful aggregate (per-source counts): the
+    // static checker flags the aggregate-downstream-of-fMGWS pattern, but
+    // NO event-time column exists anywhere in this query (no watermark, no
     // late discard is possible) — the streamFunnelAbConversion case, so
     // the same scoped escape hatch: the whole stream is built on the
     // wrapper's conf-isolated clone (the flag is read from the
     // DataFrame's session at start; s keeps the checker) and the memory
     // sink lands in the clone's catalog. Parity below proves the drained
-    // result is exact.
+    // result is exact; the multi-trigger case below proves no
+    // double-counting under a split trigger schedule (the r16 roadmap
+    // migration off the chained-aggregate shape).
     val (q, cs) = Streams.withCheckerDisabled(s) { cs =>
       val stream = cs.readStream.schema(schema).parquet(dir.toString)
       val dims = cs.read.parquet(s"$sf/documents.parquet")
         .select(col("doc_id"), col("source"), col("n_chars"))
-      val out = graft.operators.Pipeline.linearClassifierScore(
-          stream, "doc_id", "text",
-          graft.operators.Pipeline.demoClassifierWeights(cs, 65536), 65536)
-        .withColumnRenamed("id", "doc_id")
-        .join(dims, "doc_id")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("total_docs"),
-          sum(when(col("score") >= 0L, 1L).otherwise(0L)).as("kept_docs"),
-          sum(when(col("score") >= 0L, col("n_chars")).otherwise(0L)).as("kept_chars"))
-        .withColumn("kept_ppm", expr("(kept_docs * 1000000) div total_docs"))
+      val out = Streams.streamClassifierGateMonitor(stream, dims,
+        graft.operators.Pipeline.demoClassifierWeights(cs, 65536), 65536)
       (out.writeStream.format("memory").queryName("clsgate")
         .outputMode("complete").start(), cs)
     }
@@ -574,6 +568,39 @@ class StreamingSpec extends SparkSpec {
         .collect().map(_.toSeq).toSeq
       assert(streamed.nonEmpty && streamed == batch,
         s"stream=$streamed != batch=$batch")
+    } finally q.stop()
+  }
+
+  test("gate monitor across MULTIPLE triggers: per-source totals are not double-counted") {
+    // the same replay question the b127 multi-trigger case answers, on the
+    // b122 shape (r16 roadmap item 4): before the emit-once migration the
+    // inline chained-aggregate stream double-counted trigger-1 docs when a
+    // second trigger fired (the 5-of-3 defect). Feed two triggers (docs
+    // 1,2 then doc 3) through TWO sources and assert each doc counts once.
+    val s = spark; import s.implicits._
+    val (q, mem, cs) = Streams.withCheckerDisabled(s) { cs =>
+      implicit val sqlCtx = cs.sqlContext
+      val mem = MemoryStream[(Long, String)]
+      mem.addData((1L, "the quick brown fox jumps"), (2L, "lazy dogs sleep all day"))
+      val dims = Seq((1L, "web", 25L), (2L, "web", 23L), (3L, "pdf", 30L))
+        .toDF("doc_id", "source", "n_chars")
+      val out = Streams.streamClassifierGateMonitor(
+        mem.toDF().toDF("doc_id", "text"), dims,
+        graft.operators.Pipeline.demoClassifierWeights(cs, 65536), 65536)
+      (out.writeStream.format("memory").queryName("gatemulti")
+        .outputMode("complete").start(), mem, cs)
+    }
+    try {
+      q.processAllAvailable()
+      val t1 = cs.sql("SELECT sum(total_docs) FROM gatemulti").collect()(0).getLong(0)
+      assert(t1 == 2L, s"trigger 1 must cover docs 1-2 once, got $t1")
+      mem.addData((3L, "a third document arrives later"))
+      q.processAllAvailable()
+      val t2 = cs.sql("SELECT sum(total_docs) FROM gatemulti").collect()(0).getLong(0)
+      assert(t2 == 3L, s"trigger 2 must cover docs 1-3 exactly once, got $t2")
+      val bySrc = cs.sql("SELECT source, total_docs FROM gatemulti ORDER BY source")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(bySrc == Seq(("pdf", 1L), ("web", 2L)), s"per-source split wrong: $bySrc")
     } finally q.stop()
   }
 
