@@ -598,22 +598,13 @@ private[graft] object EntryB {
       // That path needs rev_cents·users ≥ 10^34 — at full-planet scale
       // (10^10 users × $10^11 in cents) the product is ~10^23, eleven
       // orders below the cliff, so the overload is documented rather
-      // than disambiguated.
-      val stages = Seq("view", "click", "signup", "purchase")
-      val ev = t(s, d, "events").where(col("event_type").isin(stages: _*))
-      val staged = graft.operators.Series.funnelStageTimes(
-        ev, "user_id", "event_type", "ts", stages)
-      val purRows = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"),
-          floor(col("value") * 100 + 0.5).cast("long").as("pc"))
-      val attrWin = col("ts") > col("s2") &&
-        col("ts") <= col("s2") + expr("INTERVAL 30 DAYS")
-      val perUser = staged.join(purRows, Seq("user_id"), "left_outer")
-        .groupBy(col("user_id"), col("s1"), col("s2"), col("s4"))
-        .agg(sum(when(attrWin, col("pc"))).as("attr_c"))
-      val perArm = perUser
-        .withColumn("arm",
-          pmod(Text.tokenHash(col("user_id").cast("string")), lit(2L)))
+      // than disambiguated. Since the r15 extended session the per-user
+      // attributed frame lives in the MEMOIZED funnelAbRevUserFrame (the
+      // b128 contrast consumes it too); this readout is a cache read +
+      // the ≤2-row arm aggregate, and the user-exchange assert runs
+      // against the frame's embedded build plan (PlanSpec, the b124
+      // convention).
+      val perArm = funnelAbRevUserFrame(s, d)
         .groupBy(col("arm"))
         .agg(count(col("s1")).as("starters"),
           count(col("s4")).as("purchasers"),
@@ -738,6 +729,111 @@ private[graft] object EntryB {
             col("trt_cov_at_ctrl_p50") * 20 >= col("trt_convs") * 11)
             .as("speedup_cleared"))
         .orderBy(col("t"))
+    }),
+
+    "b128_funnel_ab_rev_contrast" -> ((s, d) => {
+      // the REVENUE A/B decision readout (roadmap-8r 5b: the b125 device
+      // applied to rev-per-user): one row joining b123's rate/lift pivot
+      // with a per-purchaser revenue-distribution contrast, and three
+      // integer-cleared verdicts. The rate device is the b125 margin rule
+      // on the rev-per-user ratio — lift_cleared ⟺ both arms ≥ 20
+      // purchasers AND ctrl revenue > 0 AND
+      //   20·trt_rev_c·ctrl_users ≥ 21·ctrl_rev_c·trt_users
+      // (≥5 % uplift as a cleared DECIMAL(38,0)/HUGEINT product, never a
+      // ratio; Spark-side decimal overflow → null → false, the documented
+      // b123 overload, unreachable below ~10^34). The distribution device
+      // is the whale guard a revenue A/B needs (one outlier purchase can
+      // drive the aggregate lift): per-purchaser attributed revenue in
+      // whole-dollar buckets (attr_c div 100 — exact, values non-negative
+      // by fixture audit), control's discrete median bucket = smallest
+      // rev_d with 2·cum ≥ tot, then trt_gt_ctrl_med = treatment
+      // purchasers STRICTLY above control's median —
+      //   trt_bigger_at_median: 2·gt ≥ trt_purchasers   (the sign)
+      //   median_shift_cleared: 20·gt ≥ 11·trt_purchasers AND both arms
+      //     ≥ 20 purchasers (the 5-pt margin + sample floor)
+      //   uplift_cleared = lift_cleared AND median_shift_cleared —
+      // "the rate moved AND the typical purchaser spends more". On the
+      // fixture the md5 split is iid, so cleared=false everywhere IS the
+      // truthful verdict; the sign booleans sit near the coin-flip line
+      // (measured per-sf splits in SURVEY §2D), so a broken product still
+      // flips the oracle. Sentinels: an arm with no purchasers reports
+      // med −1 / gt 0 and every verdict false (the b125 convention; d_med
+      // is then vs −1 and meaningless — gate on the purchaser columns).
+      // Plan: two cache reads of the MEMOIZED funnelAbRevUserFrame (the
+      // user-scale funnel machinery paid once, plan-asserted there); the
+      // distribution machinery runs on the (arm × distinct dollar
+      // buckets)-bounded frame — cum/total windows there, never a per-user
+      // global sort (the c114 discipline; the single-partition window is
+      // over that bounded frame only); the two 1-row legs meet in ONE
+      // explicit-broadcast BNLJ (the audited b65 1-row class).
+      val m = funnelAbRevUserFrame(s, d)
+      val perArm = m.groupBy(col("arm"))
+        .agg(count(col("s1")).as("starters"),
+          count(col("s4")).as("purchasers"),
+          sum(coalesce(col("attr_c"), lit(0L))).as("attr_rev_c"))
+      val pivCols = Seq(
+        sum(when(col("arm") === 0, col("starters"))).as("cu"),
+        sum(when(col("arm") === 1, col("starters"))).as("tu"),
+        sum(when(col("arm") === 0, col("purchasers"))).as("cp"),
+        sum(when(col("arm") === 1, col("purchasers"))).as("tp"),
+        sum(when(col("arm") === 0, col("attr_rev_c"))).as("cc"),
+        sum(when(col("arm") === 1, col("attr_rev_c"))).as("tc"))
+      val piv = perArm.agg(pivCols.head, pivCols.tail: _*)
+        .select(
+          coalesce(col("cu"), lit(0L)).as("ctrl_users"),
+          coalesce(col("tu"), lit(0L)).as("trt_users"),
+          coalesce(col("cp"), lit(0L)).as("ctrl_purchasers"),
+          coalesce(col("tp"), lit(0L)).as("trt_purchasers"),
+          coalesce(col("cc"), lit(0L)).as("ctrl_rev_c"),
+          coalesce(col("tc"), lit(0L)).as("trt_rev_c"))
+      val dist = m.where(col("s4").isNotNull)
+        .groupBy(col("arm"),
+          expr("coalesce(attr_c, 0) div 100").as("rev_d"))
+        .agg(count(lit(1)).as("n"))
+      val wCum = Window.partitionBy(col("arm")).orderBy(col("rev_d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wArm = Window.partitionBy(col("arm"))
+      val wAll = Window.partitionBy()
+      val flagged = dist
+        .withColumn("cum", sum(col("n")).over(wCum))
+        .withColumn("tot", sum(col("n")).over(wArm))
+        .withColumn("at_med", col("cum") * 2 >= col("tot"))
+        .withColumn("ctrl_med_g",
+          min(when(col("arm") === 0 && col("at_med"), col("rev_d"))).over(wAll))
+      val med = flagged.agg(
+        coalesce(min(when(col("arm") === 0 && col("at_med"), col("rev_d"))),
+          lit(-1L)).as("ctrl_med_rev_d"),
+        coalesce(min(when(col("arm") === 1 && col("at_med"), col("rev_d"))),
+          lit(-1L)).as("trt_med_rev_d"),
+        coalesce(sum(when(col("arm") === 1 && col("rev_d") > col("ctrl_med_g"),
+          col("n"))), lit(0L)).as("trt_gt_ctrl_med"))
+      piv.crossJoin(broadcast(med))
+        .withColumn("rev_lift_bp", coalesce(
+          expr("(CAST(trt_rev_c AS DECIMAL(38,0)) * ctrl_users * 10000) " +
+            "div nullif(CAST(ctrl_rev_c AS DECIMAL(38,0)) * trt_users, 0)"),
+          lit(-1L)))
+        .withColumn("d_med_rev_d", col("trt_med_rev_d") - col("ctrl_med_rev_d"))
+        .withColumn("lift_cleared", coalesce(
+          col("ctrl_purchasers") >= 20L && col("trt_purchasers") >= 20L &&
+            col("ctrl_rev_c") > 0L &&
+            expr("CAST(trt_rev_c AS DECIMAL(38,0)) * ctrl_users * 20 >= " +
+              "CAST(ctrl_rev_c AS DECIMAL(38,0)) * trt_users * 21"),
+          lit(false)))
+        .withColumn("trt_bigger_at_median",
+          col("ctrl_purchasers") > 0L && col("trt_purchasers") > 0L &&
+            col("trt_gt_ctrl_med") * 2 >= col("trt_purchasers"))
+        .withColumn("median_shift_cleared",
+          col("ctrl_purchasers") >= 20L && col("trt_purchasers") >= 20L &&
+            col("trt_gt_ctrl_med") * 20 >= col("trt_purchasers") * 11)
+        .withColumn("uplift_cleared",
+          col("lift_cleared") && col("median_shift_cleared"))
+        .select(col("ctrl_users"), col("trt_users"),
+          col("ctrl_purchasers"), col("trt_purchasers"),
+          col("ctrl_rev_c"), col("trt_rev_c"), col("rev_lift_bp"),
+          col("ctrl_med_rev_d"), col("trt_med_rev_d"), col("d_med_rev_d"),
+          col("trt_gt_ctrl_med"), col("lift_cleared"),
+          col("trt_bigger_at_median"), col("median_shift_cleared"),
+          col("uplift_cleared"))
     }),
 
     "b126_stream_funnel_ab_revenue" -> ((s, d) => {
@@ -2920,6 +3016,83 @@ private[graft] object EntryB {
         |  (ctrl_convs >= 20 AND trt_convs >= 20
         |   AND cv.trt_cov_at_ctrl_p50 * 20 >= trt_convs * 11) AS speedup_cleared
         |FROM pv JOIN cv ON pv.t = cv.t ORDER BY pv.t""".stripMargin),
+
+    // b123's funnel + attribution CTEs, then the b125 cleared-product
+    // devices on rev-per-user: the ≥5 % rate margin in HUGEINT products
+    // and the whale-guard median contrast over whole-dollar buckets
+    // (cum/tot window sums on the bounded distribution frame; control's
+    // discrete median = smallest bucket with 2·cum ≥ tot)
+    "b128_funnel_ab_rev_contrast" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_type, value FROM events
+        |  WHERE event_type IN ('view','click','signup','purchase')),
+        |s1t AS (SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s1 FROM ev),
+        |s2t AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s2 FROM s1t),
+        |s3t AS (SELECT *, min(CASE WHEN event_type = 'signup' AND ts > s2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s3 FROM s2t),
+        |s4t AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s3 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s4 FROM s3t),
+        |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s4) AS s4
+        |      FROM s4t GROUP BY user_id),
+        |pr AS (SELECT user_id, ts,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS pc
+        |  FROM events WHERE event_type = 'purchase'),
+        |pu AS (SELECT u.user_id, u.s1, u.s4,
+        |    COALESCE(sum(CASE WHEN p.ts > u.s2
+        |      AND p.ts <= u.s2 + INTERVAL 30 DAY THEN p.pc END), 0) AS attr_c
+        |  FROM u LEFT JOIN pr p USING (user_id)
+        |  GROUP BY u.user_id, u.s1, u.s2, u.s4),
+        |a AS (SELECT *, CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 2 AS arm FROM pu),
+        |p AS (SELECT
+        |  COALESCE(CAST(count(CASE WHEN arm = 0 THEN s1 END) AS BIGINT), 0) AS ctrl_users,
+        |  COALESCE(CAST(count(CASE WHEN arm = 1 THEN s1 END) AS BIGINT), 0) AS trt_users,
+        |  COALESCE(CAST(count(CASE WHEN arm = 0 THEN s4 END) AS BIGINT), 0) AS ctrl_purchasers,
+        |  COALESCE(CAST(count(CASE WHEN arm = 1 THEN s4 END) AS BIGINT), 0) AS trt_purchasers,
+        |  COALESCE(CAST(sum(CASE WHEN arm = 0 THEN attr_c END) AS BIGINT), 0) AS ctrl_rev_c,
+        |  COALESCE(CAST(sum(CASE WHEN arm = 1 THEN attr_c END) AS BIGINT), 0) AS trt_rev_c
+        |  FROM a),
+        |di AS (SELECT arm, COALESCE(attr_c, 0) // 100 AS rev_d,
+        |         CAST(count(*) AS BIGINT) AS n
+        |       FROM a WHERE s4 IS NOT NULL GROUP BY 1, 2),
+        |fl AS (SELECT arm, rev_d, n,
+        |         sum(n) OVER (PARTITION BY arm ORDER BY rev_d
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(n) OVER (PARTITION BY arm) AS tot
+        |       FROM di),
+        |f2 AS (SELECT arm, rev_d, n, (cum * 2 >= tot) AS at_med,
+        |         min(CASE WHEN arm = 0 AND cum * 2 >= tot THEN rev_d END)
+        |           OVER () AS ctrl_med_g
+        |       FROM fl),
+        |md AS (SELECT
+        |    COALESCE(CAST(min(CASE WHEN arm = 0 AND at_med THEN rev_d END)
+        |      AS BIGINT), -1) AS ctrl_med_rev_d,
+        |    COALESCE(CAST(min(CASE WHEN arm = 1 AND at_med THEN rev_d END)
+        |      AS BIGINT), -1) AS trt_med_rev_d,
+        |    COALESCE(CAST(sum(CASE WHEN arm = 1 AND rev_d > ctrl_med_g THEN n END)
+        |      AS BIGINT), 0) AS trt_gt_ctrl_med
+        |  FROM f2),
+        |v AS (SELECT ctrl_users, trt_users, ctrl_purchasers, trt_purchasers,
+        |  ctrl_rev_c, trt_rev_c,
+        |  COALESCE(CAST((CAST(trt_rev_c AS HUGEINT) * ctrl_users * 10000)
+        |    // NULLIF(CAST(ctrl_rev_c AS HUGEINT) * trt_users, 0) AS BIGINT), -1)
+        |    AS rev_lift_bp,
+        |  ctrl_med_rev_d, trt_med_rev_d,
+        |  trt_med_rev_d - ctrl_med_rev_d AS d_med_rev_d,
+        |  trt_gt_ctrl_med,
+        |  (ctrl_purchasers >= 20 AND trt_purchasers >= 20 AND ctrl_rev_c > 0
+        |   AND CAST(trt_rev_c AS HUGEINT) * ctrl_users * 20
+        |     >= CAST(ctrl_rev_c AS HUGEINT) * trt_users * 21) AS lift_cleared,
+        |  (ctrl_purchasers > 0 AND trt_purchasers > 0
+        |   AND trt_gt_ctrl_med * 2 >= trt_purchasers) AS trt_bigger_at_median,
+        |  (ctrl_purchasers >= 20 AND trt_purchasers >= 20
+        |   AND trt_gt_ctrl_med * 20 >= trt_purchasers * 11) AS median_shift_cleared
+        |  FROM p CROSS JOIN md)
+        |SELECT *, (lift_cleared AND median_shift_cleared) AS uplift_cleared
+        |FROM v""".stripMargin,
 
     "b106_tpch_q4" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count

@@ -266,6 +266,47 @@ private[graft] object EntryShared {
       .withColumn("cum", sum(col("n_users")).over(wCum))
   }
 
+  /** The b123 per-user 30-day attributed-revenue frame —
+    * (user_id, arm, s1, s4, attr_c): funnel stage times (ONE user_id
+    * exchange shared by the stage windows, the purchase attribution
+    * join, and the per-user compaction — plan-asserted on the embedded
+    * build), b114's strictly-after-click 30-day window, md5 arm split.
+    * ONE definition shared by the b123 rate/lift readout and the b128
+    * revenue contrast so the attribution rule can never fork.
+    *
+    * MEMOIZED (the funnelAbTtcCumFrame posture): b128 consumes the frame
+    * twice (the per-arm pivot and the purchaser-revenue distribution) —
+    * unmemoized, each consumption replays the whole user-exchange funnel
+    * machinery from the parquet scan. Unlike the TTC frame this memo is
+    * |users|-rows, not bucket-bounded — but it is 5 narrow integer/ts
+    * columns (the per-user materialized view any funnel deployment keeps),
+    * and raw events never persist. */
+  private[graft] val revUserCache = new graft.sources.Memo()
+
+  private[graft] def funnelAbRevUserFrame(s: SparkSession, d: String): DataFrame =
+    revUserCache.getOrElseUpdate((s, d)) {
+      buildFunnelAbRevUserFrame(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private[graft] def buildFunnelAbRevUserFrame(s: SparkSession, d: String): DataFrame = {
+    val stages = Seq("view", "click", "signup", "purchase")
+    val ev = t(s, d, "events").where(col("event_type").isin(stages: _*))
+    val staged = graft.operators.Series.funnelStageTimes(
+      ev, "user_id", "event_type", "ts", stages)
+    val purRows = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        floor(col("value") * 100 + 0.5).cast("long").as("pc"))
+    val attrWin = col("ts") > col("s2") &&
+      col("ts") <= col("s2") + expr("INTERVAL 30 DAYS")
+    staged.join(purRows, Seq("user_id"), "left_outer")
+      .groupBy(col("user_id"), col("s1"), col("s2"), col("s4"))
+      .agg(sum(when(attrWin, col("pc"))).as("attr_c"))
+      .withColumn("arm",
+        pmod(Text.tokenHash(col("user_id").cast("string")), lit(2L)))
+      .select(col("user_id"), col("arm"), col("s1"), col("s4"), col("attr_c"))
+  }
+
   /** The exact cosine pair graph over embeddings, shared by c05 (pair
     * list) and c20 (semantic dedup clusters). */
   private[graft] val embPairsCache = new graft.sources.Memo()

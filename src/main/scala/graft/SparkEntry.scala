@@ -48,6 +48,7 @@ object SparkEntry {
     docGateBits(s, d).count()
     classifierCalibrationTable(s, d).count()
     funnelAbTtcCumFrame(s, d).count()
+    funnelAbRevUserFrame(s, d).count()
     // One-time builds that live INSIDE query builders rather than in a
     // named memo (r11 VERDICT #1: at runs=1 these landed in the timed
     // ledger — c36 paid its corpus band-index persist, c63 its

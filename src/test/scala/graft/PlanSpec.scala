@@ -976,16 +976,46 @@ class PlanSpec extends SparkSpec {
   }
 
   test("funnel A/B revenue: one user exchange shared by stage windows and purchase join") {
-    // the b123 contract (r13 VERDICT #4): the attribution join adds NO new
-    // exchange key — stage windows, the purchase-row join, and the
-    // per-user compaction all hash on user_id; the only other exchanges
-    // are the ≤2-row arm aggregate and the 1-row pivot
-    val plan = physicalPlan(SparkEntry.queries("b123_funnel_ab_revenue")(spark, sf))
+    // the b123 contract (r13 VERDICT #4), r15-extended shape: the per-user
+    // attributed frame lives in the memoized funnelAbRevUserFrame (b123
+    // and b128 both consume it), so b123 itself is ONE cache read + the
+    // ≤2-row arm aggregate. The attribution join adds NO new exchange
+    // key — stage windows, the purchase-row join, and the per-user
+    // compaction all hash on user_id; asserted on the frame's embedded
+    // BUILD plan (the b124 convention), paid once per (session, sfDir).
+    val exec = unwrapAqe(SparkEntry.queries("b123_funnel_ab_revenue")(spark, sf)
+      .queryExecution.executedPlan)
+    val leaves = exec.collectLeaves().map(_.nodeName)
+    assert(leaves.count(_.contains("InMemoryTableScan")) == 1 &&
+      !leaves.exists(_.contains("Scan parquet")),
+      s"b123 must be one cache read of the memoized rev-user frame, got $leaves")
+    val plan = exec.toString
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length == 1,
-      s"stage windows + purchase join + compaction share ONE user exchange:\n$plan")
+      s"the embedded frame build pays exactly ONE user exchange:\n$plan")
     assert(plan.contains("partial_count") || plan.contains("partial_sum"),
       s"per-arm sums must map-side combine before their shuffle:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("b128 revenue contrast: cache reads only; one 1-row broadcast BNLJ joins the legs") {
+    // b128's two consumptions of the rev-user frame must both hit the
+    // memo — zero parquet leaves (the funnel machinery never replays per
+    // consumer); the distribution machinery (cum/tot windows, median
+    // flags) runs on the (arm × dollar-bucket)-bounded frame; the two
+    // 1-row legs meet in exactly ONE explicit-broadcast BNLJ (the audited
+    // b65 1-row class), never a cartesian
+    val exec = unwrapAqe(SparkEntry.queries("b128_funnel_ab_rev_contrast")(spark, sf)
+      .queryExecution.executedPlan)
+    val leaves = exec.collectLeaves().map(_.nodeName)
+    assert(leaves.count(_.contains("InMemoryTableScan")) == 2 &&
+      !leaves.exists(_.contains("Scan parquet")),
+      s"b128 must consume the memoized rev-user frame (2 cache reads), got $leaves")
+    val plan = exec.toString
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length == 1,
+      s"exactly the 1-row contrast-leg broadcast may nest-loop:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"distribution counts must map-side combine before the arm shuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 
   test("b126 stream-parity revenue: one user exchange; only the 1-row watermark broadcast") {
