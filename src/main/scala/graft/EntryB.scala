@@ -603,35 +603,10 @@ private[graft] object EntryB {
       // b128 contrast consumes it too); this readout is a cache read +
       // the ≤2-row arm aggregate, and the user-exchange assert runs
       // against the frame's embedded build plan (PlanSpec, the b124
-      // convention).
-      val perArm = funnelAbRevUserFrame(s, d)
-        .groupBy(col("arm"))
-        .agg(count(col("s1")).as("starters"),
-          count(col("s4")).as("purchasers"),
-          sum(coalesce(col("attr_c"), lit(0L))).as("attr_rev_c"))
-      val pivCols = Seq(
-        sum(when(col("arm") === 0, col("starters"))).as("cu"),
-        sum(when(col("arm") === 1, col("starters"))).as("tu"),
-        sum(when(col("arm") === 0, col("purchasers"))).as("cp"),
-        sum(when(col("arm") === 1, col("purchasers"))).as("tp"),
-        sum(when(col("arm") === 0, col("attr_rev_c"))).as("cc"),
-        sum(when(col("arm") === 1, col("attr_rev_c"))).as("tc"))
-      perArm.agg(pivCols.head, pivCols.tail: _*)
-        .select(
-          coalesce(col("cu"), lit(0L)).as("ctrl_users"),
-          coalesce(col("tu"), lit(0L)).as("trt_users"),
-          coalesce(col("cp"), lit(0L)).as("ctrl_purchasers"),
-          coalesce(col("tp"), lit(0L)).as("trt_purchasers"),
-          coalesce(col("cc"), lit(0L)).as("ctrl_rev_c"),
-          coalesce(col("tc"), lit(0L)).as("trt_rev_c"))
-        .withColumn("ctrl_rev_per_user_uc", coalesce(
-          expr("(ctrl_rev_c * 10000) div nullif(ctrl_users, 0)"), lit(-1L)))
-        .withColumn("trt_rev_per_user_uc", coalesce(
-          expr("(trt_rev_c * 10000) div nullif(trt_users, 0)"), lit(-1L)))
-        .withColumn("rev_lift_bp", coalesce(
-          expr("(CAST(trt_rev_c AS DECIMAL(38,0)) * ctrl_users * 10000) " +
-            "div nullif(CAST(ctrl_rev_c AS DECIMAL(38,0)) * trt_users, 0)"),
-          lit(-1L)))
+      // convention). Pivot + lift tail single-sourced in
+      // EntryShared.funnelAbRevReadout (shared with b126/b128 — r15
+      // extended review).
+      funnelAbRevReadout(funnelAbRevUserFrame(s, d))
     }),
 
     "b124_funnel_ab_ttc" -> ((s, d) => {
@@ -767,25 +742,7 @@ private[graft] object EntryB {
       // over that bounded frame only); the two 1-row legs meet in ONE
       // explicit-broadcast BNLJ (the audited b65 1-row class).
       val m = funnelAbRevUserFrame(s, d)
-      val perArm = m.groupBy(col("arm"))
-        .agg(count(col("s1")).as("starters"),
-          count(col("s4")).as("purchasers"),
-          sum(coalesce(col("attr_c"), lit(0L))).as("attr_rev_c"))
-      val pivCols = Seq(
-        sum(when(col("arm") === 0, col("starters"))).as("cu"),
-        sum(when(col("arm") === 1, col("starters"))).as("tu"),
-        sum(when(col("arm") === 0, col("purchasers"))).as("cp"),
-        sum(when(col("arm") === 1, col("purchasers"))).as("tp"),
-        sum(when(col("arm") === 0, col("attr_rev_c"))).as("cc"),
-        sum(when(col("arm") === 1, col("attr_rev_c"))).as("tc"))
-      val piv = perArm.agg(pivCols.head, pivCols.tail: _*)
-        .select(
-          coalesce(col("cu"), lit(0L)).as("ctrl_users"),
-          coalesce(col("tu"), lit(0L)).as("trt_users"),
-          coalesce(col("cp"), lit(0L)).as("ctrl_purchasers"),
-          coalesce(col("tp"), lit(0L)).as("trt_purchasers"),
-          coalesce(col("cc"), lit(0L)).as("ctrl_rev_c"),
-          coalesce(col("tc"), lit(0L)).as("trt_rev_c"))
+      val piv = funnelAbRevArmPivot(m)
       val dist = m.where(col("s4").isNotNull)
         .groupBy(col("arm"),
           expr("coalesce(attr_c, 0) div 100").as("rev_d"))
@@ -800,18 +757,18 @@ private[graft] object EntryB {
         .withColumn("at_med", col("cum") * 2 >= col("tot"))
         .withColumn("ctrl_med_g",
           min(when(col("arm") === 0 && col("at_med"), col("rev_d"))).over(wAll))
+      // ctrl_med_rev_d is DERIVED from the same ctrl_med_g the coverage
+      // count uses (constant across the frame, min = the value) — one
+      // median definition per engine, so the reported median and the
+      // coverage's reference can never diverge (r15 extended review)
       val med = flagged.agg(
-        coalesce(min(when(col("arm") === 0 && col("at_med"), col("rev_d"))),
-          lit(-1L)).as("ctrl_med_rev_d"),
+        coalesce(min(col("ctrl_med_g")), lit(-1L)).as("ctrl_med_rev_d"),
         coalesce(min(when(col("arm") === 1 && col("at_med"), col("rev_d"))),
           lit(-1L)).as("trt_med_rev_d"),
         coalesce(sum(when(col("arm") === 1 && col("rev_d") > col("ctrl_med_g"),
           col("n"))), lit(0L)).as("trt_gt_ctrl_med"))
       piv.crossJoin(broadcast(med))
-        .withColumn("rev_lift_bp", coalesce(
-          expr("(CAST(trt_rev_c AS DECIMAL(38,0)) * ctrl_users * 10000) " +
-            "div nullif(CAST(ctrl_rev_c AS DECIMAL(38,0)) * trt_users, 0)"),
-          lit(-1L)))
+        .withColumn("rev_lift_bp", revLiftBp)
         .withColumn("d_med_rev_d", col("trt_med_rev_d") - col("ctrl_med_rev_d"))
         .withColumn("lift_cleared", coalesce(
           col("ctrl_purchasers") >= 20L && col("trt_purchasers") >= 20L &&
@@ -880,36 +837,11 @@ private[graft] object EntryB {
       val perUser = closed.join(purRows, Seq("user_id"), "left_outer")
         .groupBy(col("user_id"), col("s1"), col("s2"), col("s4"))
         .agg(sum(when(attrWin, col("pc"))).as("attr_c"))
-      val perArm = perUser
         .withColumn("arm",
           pmod(Text.tokenHash(col("user_id").cast("string")), lit(2L)))
-        .groupBy(col("arm"))
-        .agg(count(col("s1")).as("starters"),
-          count(col("s4")).as("purchasers"),
-          sum(coalesce(col("attr_c"), lit(0L))).as("attr_rev_c"))
-      val pivCols = Seq(
-        sum(when(col("arm") === 0, col("starters"))).as("cu"),
-        sum(when(col("arm") === 1, col("starters"))).as("tu"),
-        sum(when(col("arm") === 0, col("purchasers"))).as("cp"),
-        sum(when(col("arm") === 1, col("purchasers"))).as("tp"),
-        sum(when(col("arm") === 0, col("attr_rev_c"))).as("cc"),
-        sum(when(col("arm") === 1, col("attr_rev_c"))).as("tc"))
-      perArm.agg(pivCols.head, pivCols.tail: _*)
-        .select(
-          coalesce(col("cu"), lit(0L)).as("ctrl_users"),
-          coalesce(col("tu"), lit(0L)).as("trt_users"),
-          coalesce(col("cp"), lit(0L)).as("ctrl_purchasers"),
-          coalesce(col("tp"), lit(0L)).as("trt_purchasers"),
-          coalesce(col("cc"), lit(0L)).as("ctrl_rev_c"),
-          coalesce(col("tc"), lit(0L)).as("trt_rev_c"))
-        .withColumn("ctrl_rev_per_user_uc", coalesce(
-          expr("(ctrl_rev_c * 10000) div nullif(ctrl_users, 0)"), lit(-1L)))
-        .withColumn("trt_rev_per_user_uc", coalesce(
-          expr("(trt_rev_c * 10000) div nullif(trt_users, 0)"), lit(-1L)))
-        .withColumn("rev_lift_bp", coalesce(
-          expr("(CAST(trt_rev_c AS DECIMAL(38,0)) * ctrl_users * 10000) " +
-            "div nullif(CAST(ctrl_rev_c AS DECIMAL(38,0)) * trt_users, 0)"),
-          lit(-1L)))
+      // pivot + rev-per-user + lift single-sourced with b123/b128
+      // (EntryShared.funnelAbRevReadout — r15 extended review)
+      funnelAbRevReadout(perUser)
     }),
 
     "b127_stream_calibration_monitor" -> ((s, d) => {
@@ -2581,6 +2513,79 @@ private[graft] object EntryB {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
       |      FROM f WHERE hrs IS NOT NULL)""".stripMargin
 
+  /** The b123 revenue-attribution oracle CTE chain (funnel stage windows
+    * → optional watermark-closed cut → purchase rows → per-user
+    * attribution → md5 arm → per-arm pivot `p`) — the SQL twin of
+    * `funnelAbRevUserFrame` + `funnelAbRevArmPivot`, ONE definition for
+    * the b123 readout, the b126 stream-parity replica, and the b128
+    * contrast so the attribution rule can never fork across the seven
+    * hand-copied chains it replaces (r15 extended review).
+    * `closedCut` inserts b126's watermark-closed population (wm/hz/cl)
+    * and swaps the attribution window to the 12 h honesty bound — the
+    * streaming require(attrWindow <= gap)'s 43200000 ms / INTERVAL 12
+    * HOUR constants live HERE and in the b126 builder; change them
+    * together or the gate fails. */
+  private[graft] def funnelAbRevOracleCtes(closedCut: Boolean): String = {
+    val closedCtes = if (closedCut) """
+      |wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM events),
+      |hz AS (SELECT user_id, epoch_ms(max(ts)) AS last_ms FROM ev GROUP BY 1),""".stripMargin
+      else ""
+    val clCte = if (closedCut) """
+      |cl AS (SELECT u.* FROM u JOIN hz USING (user_id) CROSS JOIN wm
+      |       WHERE hz.last_ms + 43200000 < wm.wm_ms),""".stripMargin
+      else ""
+    val puFrom = if (closedCut) "cl" else "u"
+    val attrIv = if (closedCut) "INTERVAL 12 HOUR" else "INTERVAL 30 DAY"
+    s"""WITH ev AS (
+      |  SELECT user_id, ts, event_type, value FROM events
+      |  WHERE event_type IN ('view','click','signup','purchase')),""".stripMargin +
+    closedCtes + """
+      |s1t AS (SELECT user_id, ts, event_type,
+      |    min(CASE WHEN event_type = 'view' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS s1 FROM ev),
+      |s2t AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
+      |      OVER (PARTITION BY user_id) AS s2 FROM s1t),
+      |s3t AS (SELECT *, min(CASE WHEN event_type = 'signup' AND ts > s2 THEN ts END)
+      |      OVER (PARTITION BY user_id) AS s3 FROM s2t),
+      |s4t AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s3 THEN ts END)
+      |      OVER (PARTITION BY user_id) AS s4 FROM s3t),
+      |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s4) AS s4
+      |      FROM s4t GROUP BY user_id),""".stripMargin +
+    clCte + s"""
+      |pr AS (SELECT user_id, ts,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS pc
+      |  FROM events WHERE event_type = 'purchase'),
+      |pu AS (SELECT u.user_id, u.s1, u.s4,
+      |    COALESCE(sum(CASE WHEN p.ts > u.s2
+      |      AND p.ts <= u.s2 + $attrIv THEN p.pc END), 0) AS attr_c
+      |  FROM $puFrom u LEFT JOIN pr p USING (user_id)
+      |  GROUP BY u.user_id, u.s2, u.s1, u.s4),
+      |a AS (SELECT *, CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |        AS BIGINT) % 2 AS arm FROM pu),
+      |p AS (SELECT
+      |  COALESCE(CAST(count(CASE WHEN arm = 0 THEN s1 END) AS BIGINT), 0) AS ctrl_users,
+      |  COALESCE(CAST(count(CASE WHEN arm = 1 THEN s1 END) AS BIGINT), 0) AS trt_users,
+      |  COALESCE(CAST(count(CASE WHEN arm = 0 THEN s4 END) AS BIGINT), 0) AS ctrl_purchasers,
+      |  COALESCE(CAST(count(CASE WHEN arm = 1 THEN s4 END) AS BIGINT), 0) AS trt_purchasers,
+      |  COALESCE(CAST(sum(CASE WHEN arm = 0 THEN attr_c END) AS BIGINT), 0) AS ctrl_rev_c,
+      |  COALESCE(CAST(sum(CASE WHEN arm = 1 THEN attr_c END) AS BIGINT), 0) AS trt_rev_c
+      |  FROM a)""".stripMargin
+  }
+
+  /** The nine-column readout SELECT over the pivot CTE `p` — rev-per-user
+    * micro-cents + the HUGEINT-floored lift; shared by b123 and b126. */
+  private[graft] val funnelAbRevOracleSelect: String = """
+    |SELECT ctrl_users, trt_users, ctrl_purchasers, trt_purchasers,
+    |  ctrl_rev_c, trt_rev_c,
+    |  COALESCE((ctrl_rev_c * 10000) // NULLIF(ctrl_users, 0), -1)
+    |    AS ctrl_rev_per_user_uc,
+    |  COALESCE((trt_rev_c * 10000) // NULLIF(trt_users, 0), -1)
+    |    AS trt_rev_per_user_uc,
+    |  COALESCE(CAST((CAST(trt_rev_c AS HUGEINT) * ctrl_users * 10000)
+    |    // NULLIF(CAST(ctrl_rev_c AS HUGEINT) * trt_users, 0) AS BIGINT), -1)
+    |    AS rev_lift_bp
+    |FROM p""".stripMargin
+
   private[graft] val bOracles: Map[String, String] = Map(
     "b115_tpch_q2" ->
       s"""WITH $psCte,
@@ -2842,101 +2847,17 @@ private[graft] object EntryB {
         |FROM cj GROUP BY source ORDER BY source""".stripMargin),
 
     // b121's funnel CTE + b114's attribution window; the rate lift is
-    // floored in HUGEINT (the b121 rule — DuckDB's // on DECIMAL rounds)
+    // floored in HUGEINT (the b121 rule — DuckDB's // on DECIMAL rounds).
+    // Chain + readout single-sourced with b126/b128 (funnelAbRevOracleCtes).
     "b123_funnel_ab_revenue" ->
-      """WITH ev AS (
-        |  SELECT user_id, ts, event_type, value FROM events
-        |  WHERE event_type IN ('view','click','signup','purchase')),
-        |s1t AS (SELECT user_id, ts, event_type,
-        |    min(CASE WHEN event_type = 'view' THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s1 FROM ev),
-        |s2t AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s2 FROM s1t),
-        |s3t AS (SELECT *, min(CASE WHEN event_type = 'signup' AND ts > s2 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s3 FROM s2t),
-        |s4t AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s3 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s4 FROM s3t),
-        |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s4) AS s4
-        |      FROM s4t GROUP BY user_id),
-        |pr AS (SELECT user_id, ts,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS pc
-        |  FROM events WHERE event_type = 'purchase'),
-        |pu AS (SELECT u.user_id, u.s1, u.s4,
-        |    COALESCE(sum(CASE WHEN p.ts > u.s2
-        |      AND p.ts <= u.s2 + INTERVAL 30 DAY THEN p.pc END), 0) AS attr_c
-        |  FROM u LEFT JOIN pr p USING (user_id)
-        |  GROUP BY u.user_id, u.s1, u.s2, u.s4),
-        |a AS (SELECT *, CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
-        |        AS BIGINT) % 2 AS arm FROM pu),
-        |p AS (SELECT
-        |  COALESCE(CAST(count(CASE WHEN arm = 0 THEN s1 END) AS BIGINT), 0) AS ctrl_users,
-        |  COALESCE(CAST(count(CASE WHEN arm = 1 THEN s1 END) AS BIGINT), 0) AS trt_users,
-        |  COALESCE(CAST(count(CASE WHEN arm = 0 THEN s4 END) AS BIGINT), 0) AS ctrl_purchasers,
-        |  COALESCE(CAST(count(CASE WHEN arm = 1 THEN s4 END) AS BIGINT), 0) AS trt_purchasers,
-        |  COALESCE(CAST(sum(CASE WHEN arm = 0 THEN attr_c END) AS BIGINT), 0) AS ctrl_rev_c,
-        |  COALESCE(CAST(sum(CASE WHEN arm = 1 THEN attr_c END) AS BIGINT), 0) AS trt_rev_c
-        |  FROM a)
-        |SELECT ctrl_users, trt_users, ctrl_purchasers, trt_purchasers,
-        |  ctrl_rev_c, trt_rev_c,
-        |  COALESCE((ctrl_rev_c * 10000) // NULLIF(ctrl_users, 0), -1)
-        |    AS ctrl_rev_per_user_uc,
-        |  COALESCE((trt_rev_c * 10000) // NULLIF(trt_users, 0), -1)
-        |    AS trt_rev_per_user_uc,
-        |  COALESCE(CAST((CAST(trt_rev_c AS HUGEINT) * ctrl_users * 10000)
-        |    // NULLIF(CAST(ctrl_rev_c AS HUGEINT) * trt_users, 0) AS BIGINT), -1)
-        |    AS rev_lift_bp
-        |FROM p""".stripMargin,
+      (funnelAbRevOracleCtes(closedCut = false) + funnelAbRevOracleSelect),
 
     // b123's funnel + attribution CTEs restricted to the watermark-CLOSED
     // population (the b99 epoch_ms horizon convention) with the 12 h
-    // attribution window matching the streaming honesty bound
+    // attribution window matching the streaming honesty bound — the
+    // closedCut=true branch of the shared funnelAbRevOracleCtes chain
     "b126_stream_funnel_ab_revenue" ->
-      """WITH ev AS (
-        |  SELECT user_id, ts, event_type, value FROM events
-        |  WHERE event_type IN ('view','click','signup','purchase')),
-        |wm AS (SELECT epoch_ms(max(ts)) - 1800000 AS wm_ms FROM events),
-        |hz AS (SELECT user_id, epoch_ms(max(ts)) AS last_ms FROM ev GROUP BY 1),
-        |s1t AS (SELECT user_id, ts, event_type,
-        |    min(CASE WHEN event_type = 'view' THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s1 FROM ev),
-        |s2t AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s2 FROM s1t),
-        |s3t AS (SELECT *, min(CASE WHEN event_type = 'signup' AND ts > s2 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s3 FROM s2t),
-        |s4t AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s3 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s4 FROM s3t),
-        |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s4) AS s4
-        |      FROM s4t GROUP BY user_id),
-        |cl AS (SELECT u.* FROM u JOIN hz USING (user_id) CROSS JOIN wm
-        |       WHERE hz.last_ms + 43200000 < wm.wm_ms),
-        |pr AS (SELECT user_id, ts,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS pc
-        |  FROM events WHERE event_type = 'purchase'),
-        |pu AS (SELECT u.user_id, u.s1, u.s4,
-        |    COALESCE(sum(CASE WHEN p.ts > u.s2
-        |      AND p.ts <= u.s2 + INTERVAL 12 HOUR THEN p.pc END), 0) AS attr_c
-        |  FROM cl u LEFT JOIN pr p USING (user_id)
-        |  GROUP BY u.user_id, u.s1, u.s2, u.s4),
-        |a AS (SELECT *, CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
-        |        AS BIGINT) % 2 AS arm FROM pu),
-        |p AS (SELECT
-        |  COALESCE(CAST(count(CASE WHEN arm = 0 THEN s1 END) AS BIGINT), 0) AS ctrl_users,
-        |  COALESCE(CAST(count(CASE WHEN arm = 1 THEN s1 END) AS BIGINT), 0) AS trt_users,
-        |  COALESCE(CAST(count(CASE WHEN arm = 0 THEN s4 END) AS BIGINT), 0) AS ctrl_purchasers,
-        |  COALESCE(CAST(count(CASE WHEN arm = 1 THEN s4 END) AS BIGINT), 0) AS trt_purchasers,
-        |  COALESCE(CAST(sum(CASE WHEN arm = 0 THEN attr_c END) AS BIGINT), 0) AS ctrl_rev_c,
-        |  COALESCE(CAST(sum(CASE WHEN arm = 1 THEN attr_c END) AS BIGINT), 0) AS trt_rev_c
-        |  FROM a)
-        |SELECT ctrl_users, trt_users, ctrl_purchasers, trt_purchasers,
-        |  ctrl_rev_c, trt_rev_c,
-        |  COALESCE((ctrl_rev_c * 10000) // NULLIF(ctrl_users, 0), -1)
-        |    AS ctrl_rev_per_user_uc,
-        |  COALESCE((trt_rev_c * 10000) // NULLIF(trt_users, 0), -1)
-        |    AS trt_rev_per_user_uc,
-        |  COALESCE(CAST((CAST(trt_rev_c AS HUGEINT) * ctrl_users * 10000)
-        |    // NULLIF(CAST(ctrl_rev_c AS HUGEINT) * trt_users, 0) AS BIGINT), -1)
-        |    AS rev_lift_bp
-        |FROM p""".stripMargin,
+      (funnelAbRevOracleCtes(closedCut = true) + funnelAbRevOracleSelect),
 
     // the c117 prev-generation calibration table as the REFERENCE, live =
     // full corpus bucketed into the reference's [lo_d, lo_{d+1}) ranges
@@ -3023,38 +2944,7 @@ private[graft] object EntryB {
     // (cum/tot window sums on the bounded distribution frame; control's
     // discrete median = smallest bucket with 2·cum ≥ tot)
     "b128_funnel_ab_rev_contrast" ->
-      """WITH ev AS (
-        |  SELECT user_id, ts, event_type, value FROM events
-        |  WHERE event_type IN ('view','click','signup','purchase')),
-        |s1t AS (SELECT user_id, ts, event_type,
-        |    min(CASE WHEN event_type = 'view' THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s1 FROM ev),
-        |s2t AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s2 FROM s1t),
-        |s3t AS (SELECT *, min(CASE WHEN event_type = 'signup' AND ts > s2 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s3 FROM s2t),
-        |s4t AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s3 THEN ts END)
-        |      OVER (PARTITION BY user_id) AS s4 FROM s3t),
-        |u AS (SELECT user_id, max(s1) AS s1, max(s2) AS s2, max(s4) AS s4
-        |      FROM s4t GROUP BY user_id),
-        |pr AS (SELECT user_id, ts,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS pc
-        |  FROM events WHERE event_type = 'purchase'),
-        |pu AS (SELECT u.user_id, u.s1, u.s4,
-        |    COALESCE(sum(CASE WHEN p.ts > u.s2
-        |      AND p.ts <= u.s2 + INTERVAL 30 DAY THEN p.pc END), 0) AS attr_c
-        |  FROM u LEFT JOIN pr p USING (user_id)
-        |  GROUP BY u.user_id, u.s1, u.s2, u.s4),
-        |a AS (SELECT *, CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
-        |        AS BIGINT) % 2 AS arm FROM pu),
-        |p AS (SELECT
-        |  COALESCE(CAST(count(CASE WHEN arm = 0 THEN s1 END) AS BIGINT), 0) AS ctrl_users,
-        |  COALESCE(CAST(count(CASE WHEN arm = 1 THEN s1 END) AS BIGINT), 0) AS trt_users,
-        |  COALESCE(CAST(count(CASE WHEN arm = 0 THEN s4 END) AS BIGINT), 0) AS ctrl_purchasers,
-        |  COALESCE(CAST(count(CASE WHEN arm = 1 THEN s4 END) AS BIGINT), 0) AS trt_purchasers,
-        |  COALESCE(CAST(sum(CASE WHEN arm = 0 THEN attr_c END) AS BIGINT), 0) AS ctrl_rev_c,
-        |  COALESCE(CAST(sum(CASE WHEN arm = 1 THEN attr_c END) AS BIGINT), 0) AS trt_rev_c
-        |  FROM a),
+      (funnelAbRevOracleCtes(closedCut = false) + """,
         |di AS (SELECT arm, COALESCE(attr_c, 0) // 100 AS rev_d,
         |         CAST(count(*) AS BIGINT) AS n
         |       FROM a WHERE s4 IS NOT NULL GROUP BY 1, 2),
@@ -3068,8 +2958,7 @@ private[graft] object EntryB {
         |           OVER () AS ctrl_med_g
         |       FROM fl),
         |md AS (SELECT
-        |    COALESCE(CAST(min(CASE WHEN arm = 0 AND at_med THEN rev_d END)
-        |      AS BIGINT), -1) AS ctrl_med_rev_d,
+        |    COALESCE(CAST(min(ctrl_med_g) AS BIGINT), -1) AS ctrl_med_rev_d,
         |    COALESCE(CAST(min(CASE WHEN arm = 1 AND at_med THEN rev_d END)
         |      AS BIGINT), -1) AS trt_med_rev_d,
         |    COALESCE(CAST(sum(CASE WHEN arm = 1 AND rev_d > ctrl_med_g THEN n END)
@@ -3092,7 +2981,7 @@ private[graft] object EntryB {
         |   AND trt_gt_ctrl_med * 20 >= trt_purchasers * 11) AS median_shift_cleared
         |  FROM p CROSS JOIN md)
         |SELECT *, (lift_cleared AND median_shift_cleared) AS uplift_cleared
-        |FROM v""".stripMargin,
+        |FROM v""".stripMargin),
 
     "b106_tpch_q4" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count

@@ -307,6 +307,55 @@ private[graft] object EntryShared {
       .select(col("user_id"), col("arm"), col("s1"), col("s4"), col("attr_c"))
   }
 
+  /** The b123 per-arm aggregate + six-column pivot over any per-user
+    * frame carrying (arm, s1, s4, attr_c) — ONE definition for the b123
+    * readout (full population), the b126 stream-parity readout (the
+    * watermark-closed population), and the b128 contrast's rate leg, so
+    * the pivot and coalesce conventions can never fork (r15 extended
+    * review). The per-arm aggregate partial-compacts to ≤2 rows per
+    * task; the pivot runs on the ≤2-row frame. */
+  private[graft] def funnelAbRevArmPivot(perUser: DataFrame): DataFrame = {
+    val perArm = perUser.groupBy(col("arm"))
+      .agg(count(col("s1")).as("starters"),
+        count(col("s4")).as("purchasers"),
+        sum(coalesce(col("attr_c"), lit(0L))).as("attr_rev_c"))
+    val pivCols = Seq(
+      sum(when(col("arm") === 0, col("starters"))).as("cu"),
+      sum(when(col("arm") === 1, col("starters"))).as("tu"),
+      sum(when(col("arm") === 0, col("purchasers"))).as("cp"),
+      sum(when(col("arm") === 1, col("purchasers"))).as("tp"),
+      sum(when(col("arm") === 0, col("attr_rev_c"))).as("cc"),
+      sum(when(col("arm") === 1, col("attr_rev_c"))).as("tc"))
+    perArm.agg(pivCols.head, pivCols.tail: _*)
+      .select(
+        coalesce(col("cu"), lit(0L)).as("ctrl_users"),
+        coalesce(col("tu"), lit(0L)).as("trt_users"),
+        coalesce(col("cp"), lit(0L)).as("ctrl_purchasers"),
+        coalesce(col("tp"), lit(0L)).as("trt_purchasers"),
+        coalesce(col("cc"), lit(0L)).as("ctrl_rev_c"),
+        coalesce(col("tc"), lit(0L)).as("trt_rev_c"))
+  }
+
+  /** The DECIMAL(38,0)-floored treatment lift on rev-per-user over the
+    * pivot's columns — the single-division exactness rule and the
+    * documented Spark-side overflow→null→−1 overload (b123 scaladoc);
+    * ONE expression for b123/b126/b128. */
+  private[graft] def revLiftBp: Column = coalesce(
+    expr("(CAST(trt_rev_c AS DECIMAL(38,0)) * ctrl_users * 10000) " +
+      "div nullif(CAST(ctrl_rev_c AS DECIMAL(38,0)) * trt_users, 0)"),
+    lit(-1L))
+
+  /** The full b123/b126 readout tail: pivot + exact rev-per-user
+    * micro-cents + lift — the nine-column one-row readout both keys
+    * publish. */
+  private[graft] def funnelAbRevReadout(perUser: DataFrame): DataFrame =
+    funnelAbRevArmPivot(perUser)
+      .withColumn("ctrl_rev_per_user_uc", coalesce(
+        expr("(ctrl_rev_c * 10000) div nullif(ctrl_users, 0)"), lit(-1L)))
+      .withColumn("trt_rev_per_user_uc", coalesce(
+        expr("(trt_rev_c * 10000) div nullif(trt_users, 0)"), lit(-1L)))
+      .withColumn("rev_lift_bp", revLiftBp)
+
   /** The exact cosine pair graph over embeddings, shared by c05 (pair
     * list) and c20 (semantic dedup clusters). */
   private[graft] val embPairsCache = new graft.sources.Memo()
