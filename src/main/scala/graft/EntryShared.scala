@@ -336,25 +336,18 @@ private[graft] object EntryShared {
         coalesce(col("tc"), lit(0L)).as("trt_rev_c"))
   }
 
-  /** The DECIMAL(38,0)-floored treatment lift on rev-per-user over the
-    * pivot's columns — the single-division exactness rule and the
-    * documented Spark-side overflow→null→−1 overload (b123 scaladoc);
-    * ONE expression for b123/b126/b128. */
-  private[graft] def revLiftBp: Column = coalesce(
-    expr("(CAST(trt_rev_c AS DECIMAL(38,0)) * ctrl_users * 10000) " +
-      "div nullif(CAST(ctrl_rev_c AS DECIMAL(38,0)) * trt_users, 0)"),
-    lit(-1L))
+  /** The DECIMAL(38,0)-floored treatment lift — lives in
+    * [[graft.operators.Series.revLiftBp]] (ONE definition for the batch
+    * keys AND Streams.streamFunnelAbRevenue; the rationale and overflow
+    * overload are documented there). */
+  private[graft] def revLiftBp: Column = graft.operators.Series.revLiftBp
 
   /** The full b123/b126 readout tail: pivot + exact rev-per-user
-    * micro-cents + lift — the nine-column one-row readout both keys
+    * micro-cents + lift (Series.revPerUserLiftCols — shared with the
+    * streaming readout) — the nine-column one-row readout both keys
     * publish. */
   private[graft] def funnelAbRevReadout(perUser: DataFrame): DataFrame =
-    funnelAbRevArmPivot(perUser)
-      .withColumn("ctrl_rev_per_user_uc", coalesce(
-        expr("(ctrl_rev_c * 10000) div nullif(ctrl_users, 0)"), lit(-1L)))
-      .withColumn("trt_rev_per_user_uc", coalesce(
-        expr("(trt_rev_c * 10000) div nullif(trt_users, 0)"), lit(-1L)))
-      .withColumn("rev_lift_bp", revLiftBp)
+    graft.operators.Series.revPerUserLiftCols(funnelAbRevArmPivot(perUser))
 
   /** The exact cosine pair graph over embeddings, shared by c05 (pair
     * list) and c20 (semantic dedup clusters). */

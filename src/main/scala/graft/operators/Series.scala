@@ -141,4 +141,34 @@ object Series {
         .as("val_cents"),
       when(col("cents").isNotNull, lit("obs")).otherwise(lit("interp")).as("src"))
   }
+
+  /** The treatment lift on rev-per-user over the A/B pivot's columns
+    * (ctrl_users, trt_users, ctrl_rev_c, trt_rev_c), as a cleared
+    * ratio-of-ratios in basis points computed as ONE DECIMAL(38,0)
+    * division — splitting it (div by trt_users first) compounds two
+    * floors and changes the value, so exactness requires the full
+    * products. −1 sentinel when an arm has no starters / ctrl revenue
+    * is zero — and, Spark-side only, if the 38-digit product ever
+    * overflowed (non-ANSI decimal overflow → null → coalesce; needs
+    * rev_cents·users ≥ 10^34, eleven orders above planet-scale
+    * products — documented, not disambiguated; DuckDB's HUGEINT twin
+    * raises instead). ONE definition for the batch keys (b123/b126/
+    * b128 via the EntryShared readout) and the streaming readout
+    * ([[graft.streaming.Streams.streamFunnelAbRevenue]]), so the lift
+    * rule can never fork between stream and batch. */
+  def revLiftBp: Column = coalesce(
+    expr("(CAST(trt_rev_c AS DECIMAL(38,0)) * ctrl_users * 10000) " +
+      "div nullif(CAST(ctrl_rev_c AS DECIMAL(38,0)) * trt_users, 0)"),
+    lit(-1L))
+
+  /** The full three-column A/B revenue readout tail over the six-column
+    * pivot: exact rev-per-user micro-cents (BIGINT floor, −1 when the
+    * arm has no starters) + [[revLiftBp]]. Extra input columns (e.g. the
+    * stream's dropped_events) pass through untouched. */
+  def revPerUserLiftCols(pivot: DataFrame): DataFrame = pivot
+    .withColumn("ctrl_rev_per_user_uc", coalesce(
+      expr("(ctrl_rev_c * 10000) div nullif(ctrl_users, 0)"), lit(-1L)))
+    .withColumn("trt_rev_per_user_uc", coalesce(
+      expr("(trt_rev_c * 10000) div nullif(trt_users, 0)"), lit(-1L)))
+    .withColumn("rev_lift_bp", revLiftBp)
 }

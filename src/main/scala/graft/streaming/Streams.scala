@@ -760,22 +760,18 @@ object Streams extends Serializable {
       pmod(graft.functions.Text.tokenHash(col("user_id").cast("string")), lit(2L)))
     val s1c = col("stage_us").getItem(0)
     val s4c = col("stage_us").getItem(n - 1)
-    armed.agg(
+    // rev-per-user + lift tail single-sourced with the batch keys
+    // (Series.revPerUserLiftCols — the lift rule cannot fork between
+    // stream and batch; StreamingSpec additionally pins live parity)
+    graft.operators.Series.revPerUserLiftCols(
+      armed.agg(
         count(when(col("arm") === 0, s1c)).as("ctrl_users"),
         count(when(col("arm") === 1, s1c)).as("trt_users"),
         count(when(col("arm") === 0, s4c)).as("ctrl_purchasers"),
         count(when(col("arm") === 1, s4c)).as("trt_purchasers"),
         coalesce(sum(when(col("arm") === 0, col("attr_cents"))), lit(0L)).as("ctrl_rev_c"),
         coalesce(sum(when(col("arm") === 1, col("attr_cents"))), lit(0L)).as("trt_rev_c"),
-        coalesce(sum(col("dropped_events")), lit(0L)).as("dropped_events"))
-      .withColumn("ctrl_rev_per_user_uc", coalesce(
-        expr("(ctrl_rev_c * 10000) div nullif(ctrl_users, 0)"), lit(-1L)))
-      .withColumn("trt_rev_per_user_uc", coalesce(
-        expr("(trt_rev_c * 10000) div nullif(trt_users, 0)"), lit(-1L)))
-      .withColumn("rev_lift_bp", coalesce(
-        expr("(CAST(trt_rev_c AS DECIMAL(38,0)) * ctrl_users * 10000) " +
-          "div nullif(CAST(ctrl_rev_c AS DECIMAL(38,0)) * trt_users, 0)"),
-        lit(-1L)))
+        coalesce(sum(col("dropped_events")), lit(0L)).as("dropped_events")))
   }
 
   /** Streaming calibration DRIFT monitor — the b122 graduation pattern
