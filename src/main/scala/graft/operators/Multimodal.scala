@@ -8,14 +8,30 @@ import org.apache.spark.sql.types._
   *
   * Media payloads are opaque `binary` columns with a typed metadata struct
   * alongside; decode/feature-extract runs per-partition over Arrow-sized
-  * batches. The actual codec is STUBBED (no image/audio libs in this
-  * container): [[decodeStub]] computes deterministic per-blob features
-  * (length, byte-sum, 4-bucket byte histogram) so the Spark-side plumbing —
-  * schema, partitioning, batch iteration, typed output — is real and
-  * testable, and a codec drop-in replaces only the inner function.
+  * batches.
   *
-  * Scale: `mapPartitions` keeps decode per-executor with zero shuffle;
-  * feature outputs are columnar structs, so downstream pruning still works.
+  * Codec status (r15 extended): IMAGES and WAV AUDIO decode for REAL via
+  * the pure-JDK codecs — [[decodeImage]] (javax.imageio: PNG/JPEG/BMP/GIF,
+  * exact integer per-channel pixel sums), [[resizeImagePng]] (explicit
+  * nearest-neighbor pixel mapping — deterministic on any JVM, unlike
+  * Graphics2D filtering — re-encoded as PNG), and [[decodeWavPcm]]
+  * (javax.sound.sampled: PCM frame/channel/rate + exact absolute-amplitude
+  * sum). No third-party media library is needed or used. VIDEO remains
+  * honestly stubbed ([[decodeStub]]/[[sampleFrames]] — the JDK ships no
+  * video codec): deterministic per-blob byte features keep the plumbing —
+  * schema, partitioning, batch iteration, typed output — real and
+  * testable, and a real codec drop-in replaces only the inner function
+  * (exactly what decodeImage does for images). The stub also remains the
+  * feature fn of the ORACLE-gated keys (c12/c14/c15/c21): byte-level
+  * features are DuckDB-replicable, decompressed pixels are not, so the
+  * real codecs are library surface with exact-pixel unit tests
+  * (MultimodalSpec) rather than oracle queries — the §2D declared-at-birth
+  * convention.
+  *
+  * Scale: `mapPartitions`/narrow map keeps decode per-executor with zero
+  * shuffle (the documented mapPartitions exception class); feature outputs
+  * are columnar structs, so downstream pruning still works. Decoded pixels
+  * never leave the executor — only fixed-width feature rows do.
   */
 object Multimodal {
 
@@ -85,6 +101,160 @@ object Multimodal {
         }
       }
       .toDF("media_id", "n_bytes", "resized", "r_bytes", "r_sum")
+  }
+
+  /** REAL image features via the JDK codec (javax.imageio —
+    * PNG/JPEG/BMP/GIF/WBMP). Exact integers over the decoded ARGB pixels:
+    * dimensions, per-channel sums, and a 4-bucket integer-luma histogram
+    * (luma = (r+g+b) div 3 ∈ [0,255], buckets of 64 — the byte-histogram
+    * convention of [[decodeStub]] lifted to pixels). Deterministic: the
+    * decoded pixel array is a pure function of the payload for a given
+    * codec, and every feature is an integer sum over it (no float
+    * accumulation). `ok = false` (all-zero features) for payloads ImageIO
+    * cannot parse — undecodable blobs are data, not exceptions, in a
+    * 100 TB ingest. */
+  case class ImageFeatures(ok: Boolean, width: Long, height: Long,
+                           r_sum: Long, g_sum: Long, b_sum: Long,
+                           l0: Long, l1: Long, l2: Long, l3: Long)
+
+  def decodeImage(payload: Array[Byte]): ImageFeatures = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) ImageFeatures(ok = false, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      var rs = 0L; var gs = 0L; var bs = 0L
+      val lh = new Array[Long](4)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+          rs += r; gs += g; bs += b
+          lh(((r + g + b) / 3) >> 6) += 1
+          x += 1
+        }
+        y += 1
+      }
+      ImageFeatures(ok = true, w.toLong, h.toLong, rs, gs, bs,
+        lh(0), lh(1), lh(2), lh(3))
+    }
+  }
+
+  /** Attach REAL decoded image features — the [[extractFeatures]] plumbing
+    * with [[decodeImage]] as the inner function. Narrow map, no shuffle;
+    * pixels never leave the executor. */
+  def extractImageFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          (id, decodeImage(if (payload == null) Array.emptyByteArray else payload))
+        }
+      }
+      .toDF("media_id", "features")
+  }
+
+  /** REAL image resize: decode (JDK codec), explicit nearest-neighbor
+    * sample onto the target grid — src pixel (x·sw div tw, y·sh div th),
+    * integer math only, so the OUTPUT PIXELS are bit-identical on any JVM
+    * (Graphics2D filtering would be implementation-defined) — and
+    * re-encode as PNG (lossless; byte stream may differ across encoder
+    * versions, pixels cannot — tests assert via re-decode). Returns None
+    * for undecodable payloads. */
+  def resizeImagePng(payload: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    require(tw > 0 && th > 0, "resize target must be positive")
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      val sw = img.getWidth; val sh = img.getHeight
+      val out = new java.awt.image.BufferedImage(
+        tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < th) {
+        var x = 0
+        while (x < tw) {
+          out.setRGB(x, y, img.getRGB(x * sw / tw, y * sh / th))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    }
+  }
+
+  /** REAL WAV/AIFF audio features via the JDK codec (javax.sound.sampled).
+    * Exact integers over the PCM stream: frame count, channels, sample
+    * rate (Hz, floored), and the sum of absolute sample amplitudes across
+    * all channels (16-bit signed samples read per the stream's declared
+    * endianness; 8-bit streams are unsigned-centered per the WAV spec).
+    * PCM is raw — decode is exact on any engine. `ok = false` zeros for
+    * payloads the codec cannot parse or non-PCM encodings. */
+  case class AudioFeatures(ok: Boolean, n_frames: Long, channels: Long,
+                           rate_hz: Long, amp_abs_sum: Long)
+
+  def decodeWavPcm(payload: Array[Byte]): AudioFeatures = {
+    import javax.sound.sampled.{AudioSystem, AudioFormat}
+    val in =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
+    if (in == null) AudioFeatures(ok = false, 0, 0, 0, 0)
+    else
+      try {
+        val f = in.getFormat
+        val pcmSigned = f.getEncoding == AudioFormat.Encoding.PCM_SIGNED
+        val pcmUnsigned = f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+        val bits = f.getSampleSizeInBits
+        if (!(pcmSigned || pcmUnsigned) || (bits != 8 && bits != 16))
+          AudioFeatures(ok = false, 0, 0, 0, 0)
+        else {
+          val bytes = in.readAllBytes()
+          val bytesPerSample = bits / 8
+          var sum = 0L
+          var i = 0
+          while (i + bytesPerSample <= bytes.length) {
+            val v =
+              if (bits == 8) {
+                val raw = bytes(i) & 0xff
+                if (pcmUnsigned) raw - 128 else bytes(i).toInt
+              } else {
+                val lo = if (f.isBigEndian) bytes(i + 1) & 0xff else bytes(i) & 0xff
+                val hi = if (f.isBigEndian) bytes(i) else bytes(i + 1)
+                (hi << 8) | lo
+              }
+            sum += math.abs(v.toLong)
+            i += bytesPerSample
+          }
+          AudioFeatures(ok = true,
+            bytes.length.toLong / f.getFrameSize, f.getChannels.toLong,
+            f.getSampleRate.toLong, sum)
+        }
+      } finally in.close()
+  }
+
+  /** Attach REAL decoded audio features — same narrow-map plumbing. */
+  def extractAudioFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          (id, decodeWavPcm(if (payload == null) Array.emptyByteArray else payload))
+        }
+      }
+      .toDF("media_id", "features")
   }
 
   /** Typed metadata a real media table would carry next to the payload. */

@@ -298,4 +298,90 @@ class TextAndVariantSpec extends SparkSpec {
     val feat = out.getStruct(1)
     assert(feat.getLong(0) == 7 && feat.getLong(1) == f.byte_sum)
   }
+
+  // deterministic 8x5 RGB test pattern shared by the real-codec cases
+  private def patRgb(x: Int, y: Int): (Int, Int, Int) =
+    ((x * 31) % 256, (y * 57) % 256, ((x + y) * 13) % 256)
+
+  private def patPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = patRgb(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real image decode (JDK codec): exact pixel sums off a generated PNG") {
+    // the codec is REAL (javax.imageio), the assert is exact: every
+    // feature is an integer sum over the decoded pixels, recomputed here
+    // independently from the pattern the PNG was encoded from
+    val (w, h) = (8, 5)
+    val png = patPng(w, h)
+    val f = Multimodal.decodeImage(png)
+    val pix = for (y <- 0 until h; x <- 0 until w) yield patRgb(x, y)
+    assert(f.ok && f.width == w && f.height == h)
+    assert(f.r_sum == pix.map(_._1.toLong).sum)
+    assert(f.g_sum == pix.map(_._2.toLong).sum)
+    assert(f.b_sum == pix.map(_._3.toLong).sum)
+    val hist = new Array[Long](4)
+    pix.foreach { case (r, g, b) => hist(((r + g + b) / 3) >> 6) += 1 }
+    assert(Seq(f.l0, f.l1, f.l2, f.l3) == hist.toSeq &&
+      f.l0 + f.l1 + f.l2 + f.l3 == w.toLong * h)
+    // distributed plumbing: decodable + corrupt payloads side by side —
+    // an undecodable blob is data (ok=false), never an executor exception
+    val s = spark; import s.implicits._
+    val df = Seq((1L, png), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val rows = Multimodal.extractImageFeatures(df, "id", "payload")
+      .orderBy("media_id").collect()
+    assert(rows(0).getStruct(1).getBoolean(0) &&
+      rows(0).getStruct(1).getLong(3) == f.r_sum)
+    assert(!rows(1).getStruct(1).getBoolean(0))
+  }
+
+  test("real image resize: nearest-neighbor pixels are exact after PNG re-decode") {
+    // output pixels must equal src(x*sw div tw, y*sh div th) — the
+    // explicit integer mapping documented as JVM-independent; asserted by
+    // re-decoding the resized PNG (lossless) pixel by pixel
+    val (sw, sh, tw, th) = (8, 5, 4, 3)
+    val resized = Multimodal.resizeImagePng(patPng(sw, sh), tw, th)
+    assert(resized.isDefined)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized.get))
+    assert(img.getWidth == tw && img.getHeight == th)
+    for (y <- 0 until th; x <- 0 until tw) {
+      val (r, g, b) = patRgb(x * sw / tw, y * sh / th)
+      assert((img.getRGB(x, y) & 0xffffff) == ((r << 16) | (g << 8) | b),
+        s"pixel ($x,$y) diverged from the nearest-neighbor rule")
+    }
+    assert(Multimodal.resizeImagePng("junk".getBytes("UTF-8"), 2, 2).isEmpty)
+  }
+
+  test("real WAV decode (JDK codec): exact PCM amplitude sum and format fields") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val samples = Seq[Short](0, 1000, -1000, 32767, -32768, 12345)
+    val pcm = new Array[Byte](samples.length * 2) // 16-bit LE mono
+    samples.zipWithIndex.foreach { case (v, i) =>
+      pcm(2 * i) = (v & 0xff).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, samples.length),
+      AudioFileFormat.Type.WAVE, bos)
+    val f = Multimodal.decodeWavPcm(bos.toByteArray)
+    assert(f.ok && f.n_frames == 6 && f.channels == 1 && f.rate_hz == 8000)
+    assert(f.amp_abs_sum == samples.map(v => math.abs(v.toLong)).sum)
+    assert(!Multimodal.decodeWavPcm("not audio".getBytes("UTF-8")).ok)
+    // distributed plumbing over the same payloads
+    val s = spark; import s.implicits._
+    val df = Seq((1L, bos.toByteArray)).toDF("id", "payload")
+    val row = Multimodal.extractAudioFeatures(df, "id", "payload").first()
+    assert(row.getStruct(1).getBoolean(0) &&
+      row.getStruct(1).getLong(4) == f.amp_abs_sum)
+  }
 }
