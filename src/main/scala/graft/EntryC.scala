@@ -1069,6 +1069,50 @@ private[graft] object EntryC {
         .orderBy(col("decile"))
     }),
 
+    "c118_image_codec_roundtrip" -> ((s, d) => {
+      // REAL image codec under the driver's gate (r15 extended — the JDK
+      // ships javax.imageio, so the long-standing "codec stubbed" gap
+      // closes for images): per doc, ENCODE the deterministic
+      // Multimodal.patternPng RGB pattern as PNG and DECODE it back with
+      // the real codec (decodeImage), emitting the exact integer pixel
+      // features. PNG is lossless, so decode∘encode is the identity on
+      // pixels — the oracle recomputes every feature in CLOSED FORM from
+      // the pattern (an 8×6 bounded series join, no codec in SQL); any
+      // codec defect (channel order, row order, color-space mangling,
+      // dimension swap) breaks the hash. Plan: 1-column doc_id scan →
+      // narrow per-row encode+decode (pixels never leave the executor,
+      // the documented Multimodal mapPartitions class) → determinism
+      // orderBy; zero joins, zero aggregates, bounded 4–8 × 3–6 px
+      // images, ~1 KB per row of transient codec work.
+      import s.implicits._
+      t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val f = Multimodal.decodeImage(Multimodal.patternPng(id))
+          (id, f.ok, f.width, f.height, f.r_sum, f.g_sum, f.b_sum,
+            f.l0, f.l1, f.l2, f.l3)
+        })
+        .toDF("doc_id", "ok", "width", "height", "r_sum", "g_sum", "b_sum",
+          "l0", "l1", "l2", "l3")
+        .orderBy(col("doc_id"))
+    }),
+
+    "c119_audio_codec_roundtrip" -> ((s, d) => {
+      // the c118 discipline for REAL WAV audio (javax.sound.sampled):
+      // encode the deterministic Multimodal.patternWav 16-bit PCM
+      // fixture, decode with the real codec, emit exact frame/format/
+      // amplitude features; PCM is raw so the roundtrip is exact and the
+      // oracle is the closed form over the sample formula (negative
+      // amplitudes exercised). Same narrow no-shuffle plan as c118.
+      import s.implicits._
+      t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val f = Multimodal.decodeWavPcm(Multimodal.patternWav(id))
+          (id, f.ok, f.n_frames, f.channels, f.rate_hz, f.amp_abs_sum)
+        })
+        .toDF("doc_id", "ok", "n_frames", "channels", "rate_hz", "amp_abs_sum")
+        .orderBy(col("doc_id"))
+    }),
+
     "c106_epoch_allocation" -> ((s, d) =>
       // token-budget epoch allocator: distribute a 2×-corpus token
       // budget across sources ∝ doc count, each source capped at 4
@@ -2792,6 +2836,50 @@ private[graft] object EntryC {
         |  CAST(sum(CASE WHEN drifted THEN 1 ELSE 0 END) OVER ()
         |    AS BIGINT) AS drifted_total
         |FROM dj ORDER BY decile""".stripMargin),
+
+    // CLOSED FORM of the Multimodal.patternPng pixels (PNG lossless ⇒
+    // decode∘encode = identity): bounded 8×6 series join, per-pixel
+    // modular formulas in lockstep with patternPng, exact integer sums.
+    // No codec runs in SQL — that asymmetry is the point: the Spark side
+    // must push real bytes through javax.imageio and land on these exact
+    // numbers.
+    "c118_image_codec_roundtrip" ->
+      """WITH xs(x) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7)),
+        |ys(y) AS (VALUES (0),(1),(2),(3),(4),(5)),
+        |dm AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+        |         doc_id % 256 AS ro FROM documents),
+        |px AS (SELECT dm.doc_id, dm.w, dm.h,
+        |         (xs.x * 31 + ro) % 256 AS r,
+        |         (ys.y * 57 + 2 * ro) % 256 AS g,
+        |         ((xs.x + ys.y) * 13 + 3 * ro) % 256 AS b
+        |       FROM dm JOIN xs ON xs.x < dm.w JOIN ys ON ys.y < dm.h)
+        |SELECT doc_id, TRUE AS ok,
+        |  CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+        |  CAST(sum(r) AS BIGINT) AS r_sum,
+        |  CAST(sum(g) AS BIGINT) AS g_sum,
+        |  CAST(sum(b) AS BIGINT) AS b_sum,
+        |  CAST(sum(CASE WHEN (r+g+b) // 3 < 64 THEN 1 ELSE 0 END) AS BIGINT) AS l0,
+        |  CAST(sum(CASE WHEN (r+g+b) // 3 >= 64 AND (r+g+b) // 3 < 128
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS l1,
+        |  CAST(sum(CASE WHEN (r+g+b) // 3 >= 128 AND (r+g+b) // 3 < 192
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS l2,
+        |  CAST(sum(CASE WHEN (r+g+b) // 3 >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS l3
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // CLOSED FORM of the Multimodal.patternWav samples (PCM raw ⇒
+    // roundtrip exact); the sample formula in lockstep with patternWav,
+    // negative amplitudes through ABS
+    "c119_audio_codec_roundtrip" ->
+      """WITH si(i) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7)),
+        |dm AS (SELECT doc_id, 4 + doc_id % 5 AS n, doc_id % 97 AS sd
+        |       FROM documents),
+        |sm AS (SELECT dm.doc_id, dm.n,
+        |         (sd * 131 + si.i * 257) % 20000 - 10000 AS v
+        |       FROM dm JOIN si ON si.i < dm.n)
+        |SELECT doc_id, TRUE AS ok, CAST(max(n) AS BIGINT) AS n_frames,
+        |  CAST(1 AS BIGINT) AS channels, CAST(8000 AS BIGINT) AS rate_hz,
+        |  CAST(sum(ABS(v)) AS BIGINT) AS amp_abs_sum
+        |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // advisor = ONE rank over the shared curve body: qualifying rows
     // first (tightest thr wins), else the loosest thr with

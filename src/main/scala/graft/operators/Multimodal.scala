@@ -21,12 +21,13 @@ import org.apache.spark.sql.types._
   * video codec): deterministic per-blob byte features keep the plumbing —
   * schema, partitioning, batch iteration, typed output — real and
   * testable, and a real codec drop-in replaces only the inner function
-  * (exactly what decodeImage does for images). The stub also remains the
-  * feature fn of the ORACLE-gated keys (c12/c14/c15/c21): byte-level
-  * features are DuckDB-replicable, decompressed pixels are not, so the
-  * real codecs are library surface with exact-pixel unit tests
-  * (MultimodalSpec) rather than oracle queries — the §2D declared-at-birth
-  * convention.
+  * (exactly what decodeImage does for images). The stub remains the
+  * feature fn of the byte-level keys (c12/c14/c15/c21, DuckDB-replicable
+  * as-is); the REAL codecs are oracle-gated by the c118/c119 ROUNDTRIP
+  * keys — encode [[patternPng]]/[[patternWav]], decode with the real
+  * codec, and match a closed-form SQL oracle that never runs a codec
+  * (losslessness makes decode∘encode the identity) — plus exact-pixel
+  * unit tests (TextAndVariantSpec).
   *
   * Scale: `mapPartitions`/narrow map keeps decode per-executor with zero
   * shuffle (the documented mapPartitions exception class); feature outputs
@@ -255,6 +256,65 @@ object Multimodal {
         }
       }
       .toDF("media_id", "features")
+  }
+
+  /** Deterministic RGB test-pattern PNG keyed by id — the fixture
+    * generator of the codec-roundtrip oracle key (c118): w = 4 + id%5,
+    * h = 3 + id%4, and with ro = id%256,
+    *   r(x,y) = (x·31 + ro) % 256
+    *   g(x,y) = (y·57 + 2·ro) % 256
+    *   b(x,y) = ((x+y)·13 + 3·ro) % 256.
+    * PNG is lossless, so decode(patternPng(id)) returns EXACTLY these
+    * pixels — which is what lets a SQL oracle recompute
+    * [[decodeImage]]'s features in closed form without any codec. Keep
+    * the formulas in lockstep with the c118 oracle SQL. */
+  def patternPng(id: Long): Array[Byte] = {
+    val w = (4 + java.lang.Math.floorMod(id, 5L)).toInt
+    val h = (3 + java.lang.Math.floorMod(id, 4L)).toInt
+    val ro = java.lang.Math.floorMod(id, 256L).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (x * 31 + ro) % 256
+        val g = (y * 57 + 2 * ro) % 256
+        val b = ((x + y) * 13 + 3 * ro) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic 16-bit LE mono 8000 Hz WAV keyed by id — the c119
+    * roundtrip fixture: n = 4 + id%5 samples,
+    *   s_i = (sd·131 + i·257) % 20000 − 10000, sd = id%97
+    * (∈ [−10000, 4375], exercises negative amplitudes). PCM is raw, so
+    * [[decodeWavPcm]] recovers exactly these samples; keep in lockstep
+    * with the c119 oracle SQL. */
+  def patternWav(id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = (4 + java.lang.Math.floorMod(id, 5L)).toInt
+    val sd = java.lang.Math.floorMod(id, 97L).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (sd * 131 + i * 257) % 20000 - 10000
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** Typed metadata a real media table would carry next to the payload. */

@@ -997,6 +997,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("codec roundtrips c118/c119: 1-column scan, narrow map, no joins or hash exchanges") {
+    // the real-codec keys must stay embarrassingly parallel: one parquet
+    // scan pruned to doc_id, the encode+decode inside a narrow map
+    // (pixels/PCM never leave the executor), and NO exchange besides the
+    // determinism sort's range partition — at 100 TB this is a pure
+    // per-partition pass
+    for (k <- Seq("c118_image_codec_roundtrip", "c119_audio_codec_roundtrip")) {
+      val plan = physicalPlan(SparkEntry.queries(k)(spark, sf))
+      assert("Scan parquet".r.findAllIn(plan).length == 1, s"$k: one scan:\n$plan")
+      assert(plan.contains("ReadSchema: struct<doc_id"),
+        s"$k: scan must prune to doc_id only:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$k: no hash exchange may appear:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$k:\n$plan")
+    }
+  }
+
   test("b128 revenue contrast: cache reads only; one 1-row broadcast BNLJ joins the legs") {
     // b128's two consumptions of the rev-user frame must both hit the
     // memo — zero parquet leaves (the funnel machinery never replays per
