@@ -36,6 +36,13 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ~1 KB media payloads never need ImageIO's temp-FILE stream cache;
+  // with the default useCache=true every encode/decode creates and
+  // deletes a temp file per row — pure wasted I/O plus temp-dir
+  // contention across executor threads on the c118 hot path. JVM-global,
+  // set at object init (runs once per executor JVM on first use).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Feature schema produced by the (stubbed) decoder. */
   case class MediaFeatures(n_bytes: Long, byte_sum: Long,
                            h0: Long, h1: Long, h2: Long, h3: Long)
@@ -54,20 +61,30 @@ object Multimodal {
     MediaFeatures(payload.length.toLong, sum, hist(0), hist(1), hist(2), hist(3))
   }
 
-  /** Attach decoded features to a DataFrame with an id column and a binary
-    * payload column. Typed per-partition iteration (the Scala analogue of
-    * `mapInPandas` batch plumbing), no shuffle. */
-  def extractFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+  /** The shared feature-extraction plumbing: typed per-partition
+    * iteration over (id, payload) with a null-guard, one decode fn per
+    * media type (the Scala analogue of `mapInPandas` batch plumbing), no
+    * shuffle. ONE definition so the null-guard and output naming cannot
+    * drift across the stub/image/audio extractors. */
+  private def extractWith[T](df: DataFrame, idCol: String, payloadCol: String,
+                             decode: Array[Byte] => T)(
+      implicit in: org.apache.spark.sql.Encoder[(Long, Array[Byte])],
+      out: org.apache.spark.sql.Encoder[(Long, T)]): DataFrame =
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>
-          (id, decodeStub(if (payload == null) Array.emptyByteArray else payload))
+          (id, decode(if (payload == null) Array.emptyByteArray else payload))
         }
       }
       .toDF("media_id", "features")
+
+  /** Attach decoded (stub) features to a DataFrame with an id column and
+    * a binary payload column. */
+  def extractFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    extractWith(df, idCol, payloadCol, decodeStub)
   }
 
   /** Deterministic fake resize — nearest-neighbor downsample of the byte
@@ -118,46 +135,45 @@ object Multimodal {
                            r_sum: Long, g_sum: Long, b_sum: Long,
                            l0: Long, l1: Long, l2: Long, l3: Long)
 
-  def decodeImage(payload: Array[Byte]): ImageFeatures = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
-    if (img == null) ImageFeatures(ok = false, 0, 0, 0, 0, 0, 0, 0, 0, 0)
-    else {
-      val w = img.getWidth; val h = img.getHeight
-      var rs = 0L; var gs = 0L; var bs = 0L
-      val lh = new Array[Long](4)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val p = img.getRGB(x, y)
-          val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
-          rs += r; gs += g; bs += b
-          lh(((r + g + b) / 3) >> 6) += 1
-          x += 1
+  def decodeImage(payload: Array[Byte]): ImageFeatures =
+    // catch NonFatal, not just IOException: JDK ImageReaders are known to
+    // throw unchecked exceptions (ArrayIndexOutOfBounds, NegativeArraySize,
+    // IllegalArgument) on crafted/corrupt headers — an undecodable blob
+    // must surface as ok=false data, never as an executor task failure
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) ImageFeatures(ok = false, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        var rs = 0L; var gs = 0L; var bs = 0L
+        val lh = new Array[Long](4)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+            rs += r; gs += g; bs += b
+            lh(((r + g + b) / 3) >> 6) += 1
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        ImageFeatures(ok = true, w.toLong, h.toLong, rs, gs, bs,
+          lh(0), lh(1), lh(2), lh(3))
       }
-      ImageFeatures(ok = true, w.toLong, h.toLong, rs, gs, bs,
-        lh(0), lh(1), lh(2), lh(3))
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        ImageFeatures(ok = false, 0, 0, 0, 0, 0, 0, 0, 0, 0)
     }
-  }
 
-  /** Attach REAL decoded image features — the [[extractFeatures]] plumbing
+  /** Attach REAL decoded image features — the [[extractWith]] plumbing
     * with [[decodeImage]] as the inner function. Narrow map, no shuffle;
     * pixels never leave the executor. */
   def extractImageFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, payload) =>
-          (id, decodeImage(if (payload == null) Array.emptyByteArray else payload))
-        }
-      }
-      .toDF("media_id", "features")
+    extractWith(df, idCol, payloadCol, decodeImage)
   }
 
   /** REAL image resize: decode (JDK codec), explicit nearest-neighbor
@@ -171,7 +187,7 @@ object Multimodal {
     require(tw > 0 && th > 0, "resize target must be positive")
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null } // see decodeImage
     if (img == null) None
     else {
       val sw = img.getWidth; val sh = img.getHeight
@@ -202,16 +218,14 @@ object Multimodal {
   case class AudioFeatures(ok: Boolean, n_frames: Long, channels: Long,
                            rate_hz: Long, amp_abs_sum: Long)
 
-  def decodeWavPcm(payload: Array[Byte]): AudioFeatures = {
-    import javax.sound.sampled.{AudioSystem, AudioFormat}
-    val in =
-      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
-      catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => null
-        case _: java.io.IOException => null
-      }
-    if (in == null) AudioFeatures(ok = false, 0, 0, 0, 0)
-    else
+  def decodeWavPcm(payload: Array[Byte]): AudioFeatures =
+    // NonFatal over the WHOLE body (incl. the stream read): undecodable
+    // or truncated blobs are ok=false data, never executor task failures
+    // — the decodeImage contract
+    try {
+      import javax.sound.sampled.{AudioSystem, AudioFormat}
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
       try {
         val f = in.getFormat
         val pcmSigned = f.getEncoding == AudioFormat.Encoding.PCM_SIGNED
@@ -222,40 +236,42 @@ object Multimodal {
         else {
           val bytes = in.readAllBytes()
           val bytesPerSample = bits / 8
+          val nFrames = bytes.length.toLong / f.getFrameSize
+          // bound the sample walk at whole frames so amp_abs_sum and
+          // n_frames describe the SAME population (a truncated
+          // multi-channel tail otherwise leaks partial-frame samples
+          // into the sum)
+          val limit = (nFrames * f.getFrameSize).toInt
           var sum = 0L
           var i = 0
-          while (i + bytesPerSample <= bytes.length) {
+          while (i + bytesPerSample <= limit) {
             val v =
               if (bits == 8) {
                 val raw = bytes(i) & 0xff
                 if (pcmUnsigned) raw - 128 else bytes(i).toInt
               } else {
-                val lo = if (f.isBigEndian) bytes(i + 1) & 0xff else bytes(i) & 0xff
-                val hi = if (f.isBigEndian) bytes(i) else bytes(i + 1)
-                (hi << 8) | lo
+                val b0 = bytes(i) & 0xff; val b1 = bytes(i + 1) & 0xff
+                val raw = if (f.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+                // unsigned 16-bit centers on 32768 (silence = 32768 raw);
+                // signed sign-extends via Short
+                if (pcmUnsigned) raw - 32768 else raw.toShort.toInt
               }
             sum += math.abs(v.toLong)
             i += bytesPerSample
           }
-          AudioFeatures(ok = true,
-            bytes.length.toLong / f.getFrameSize, f.getChannels.toLong,
+          AudioFeatures(ok = true, nFrames, f.getChannels.toLong,
             f.getSampleRate.toLong, sum)
         }
       } finally in.close()
-  }
+    } catch {
+      case scala.util.control.NonFatal(_) => AudioFeatures(ok = false, 0, 0, 0, 0)
+    }
 
-  /** Attach REAL decoded audio features — same narrow-map plumbing. */
+  /** Attach REAL decoded audio features — same [[extractWith]] plumbing. */
   def extractAudioFeatures(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, payload) =>
-          (id, decodeWavPcm(if (payload == null) Array.emptyByteArray else payload))
-        }
-      }
-      .toDF("media_id", "features")
+    extractWith(df, idCol, payloadCol, decodeWavPcm)
   }
 
   /** Deterministic RGB test-pattern PNG keyed by id — the fixture

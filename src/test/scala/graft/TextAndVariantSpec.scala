@@ -377,6 +377,20 @@ class TextAndVariantSpec extends SparkSpec {
     assert(f.ok && f.n_frames == 6 && f.channels == 1 && f.rate_hz == 8000)
     assert(f.amp_abs_sum == samples.map(v => math.abs(v.toLong)).sum)
     assert(!Multimodal.decodeWavPcm("not audio".getBytes("UTF-8")).ok)
+    // stereo: frameSize = 4, samples walk per-channel but frames count
+    // per-frame — 2 frames, 4 samples
+    val st = Seq[Short](100, -200, 300, -400)
+    val pcm2 = new Array[Byte](st.length * 2)
+    st.zipWithIndex.foreach { case (v, i) =>
+      pcm2(2 * i) = (v & 0xff).toByte; pcm2(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val bos2 = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm2),
+        new AudioFormat(8000f, 16, 2, true, false), 2),
+      AudioFileFormat.Type.WAVE, bos2)
+    val f2 = Multimodal.decodeWavPcm(bos2.toByteArray)
+    assert(f2.ok && f2.n_frames == 2 && f2.channels == 2 && f2.amp_abs_sum == 1000L)
     // distributed plumbing over the same payloads
     val s = spark; import s.implicits._
     val df = Seq((1L, bos.toByteArray)).toDF("id", "payload")
