@@ -1,0 +1,148 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal NumPy `.npy` v1.0 column files as a Spark source + sink — the
+  * pluggable-backend role of the reference's numpy file backend (oamap
+  * `backend/numpyfile.py` (R) — mount empty, public-module citation):
+  * arrays at rest as raw little-endian buffers behind a self-describing
+  * ASCII header, loadable by `numpy.load` verbatim (validated against
+  * CPython numpy during development; the format subset is v1.0,
+  * C-contiguous, `<i8` / `<f4`).
+  *
+  * Layout: one PAIR of files per Spark partition —
+  * `part-NNNNN.ids.npy` (int64, shape (n,)) and `part-NNNNN.vec.npy`
+  * (float32, shape (n, d)) — the columnar one-array-per-file posture of
+  * the reference backend. Write is parallel per-partition
+  * (foreachPartition, no driver funnel; a `_SUCCESS` marker closes the
+  * layout for [[Formats.ensureWritten]]); read lists the pairs (the
+  * standard datasource listing step) and parallelizes one task per pair.
+  *
+  * Scale notes: each writer task buffers its partition's rows once
+  * (n × (8 + 4·d) bytes — the npy header needs the shape up front; size
+  * partitions via `spark.sql.files.maxPartitionBytes` as usual). Like
+  * [[Formats.sinkRoot]], the directory must be a filesystem shared by all
+  * executors on a real cluster — per-node /tmp only works on local[*].
+  * Float32 payloads roundtrip BIT-EXACTLY (raw IEEE bits, no text
+  * conversion), which is what the b129 oracle key gates end-to-end.
+  */
+object Npy {
+
+  private val Magic = Array(0x93.toByte, 'N'.toByte, 'U'.toByte,
+    'M'.toByte, 'P'.toByte, 'Y'.toByte)
+
+  /** v1.0 header: magic + version + little-endian u16 header length +
+    * python-dict line space-padded so the data section starts 64-aligned
+    * (the alignment numpy itself writes). */
+  private def headerBytes(descr: String, shape: String): Array[Byte] = {
+    val dict = s"{'descr': '$descr', 'fortran_order': False, 'shape': $shape, }"
+    val pre = Magic.length + 2 + 2
+    val pad = (64 - (pre + dict.length + 1) % 64) % 64
+    val full = dict + (" " * pad) + "\n"
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Magic)
+    out.write(1); out.write(0)
+    out.write(full.length & 0xff); out.write((full.length >> 8) & 0xff)
+    out.write(full.getBytes("US-ASCII"))
+    out.toByteArray
+  }
+
+  private def writeFile(path: String, header: Array[Byte],
+                        body: java.nio.ByteBuffer): Unit = {
+    val ch = new java.io.FileOutputStream(path).getChannel
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(header))
+      body.flip()
+      ch.write(body): Unit
+    } finally ch.close()
+  }
+
+  /** Write (id, float-vector) rows as the per-partition npy pair layout.
+    * Every vector must have the same dimension `d` (checked per row — an
+    * npy 2-D array is rectangular by definition). Empty partitions write
+    * no files. Ends by writing the `_SUCCESS` marker. */
+  def writeVectors(df: DataFrame, idCol: String, vecCol: String,
+                   dir: String): Unit = {
+    new java.io.File(dir).mkdirs()
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .foreachPartition { (it: Iterator[(Long, Array[Float])]) =>
+        val rows = it.toArray
+        if (rows.nonEmpty) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val d = rows(0)._2.length
+          val ids = java.nio.ByteBuffer.allocate(rows.length * 8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val vec = java.nio.ByteBuffer.allocate(rows.length * d * 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          rows.foreach { case (id, v) =>
+            require(v.length == d,
+              s"ragged vector: ${v.length} != $d — npy arrays are rectangular")
+            ids.putLong(id)
+            v.foreach(vec.putFloat)
+          }
+          writeFile(f"$dir/part-$pid%05d.ids.npy",
+            headerBytes("<i8", s"(${rows.length},)"), ids)
+          writeFile(f"$dir/part-$pid%05d.vec.npy",
+            headerBytes("<f4", s"(${rows.length}, $d)"), vec)
+        }
+      }
+    new java.io.FileOutputStream(s"$dir/_SUCCESS").close()
+  }
+
+  private val DictRe =
+    ("""\{\s*'descr':\s*'([^']+)',\s*'fortran_order':\s*(False|True),""" +
+      """\s*'shape':\s*\(([0-9,\s]*)\),\s*\}\s*""").r
+
+  /** Parse one npy file: (descr, shape, little-endian data buffer).
+    * Accepts the v1.0 C-contiguous subset this backend writes; anything
+    * else (v2+, fortran order, other dtypes at the callers) is rejected
+    * loudly — a backend must never silently misread foreign data. */
+  private[sources] def readNpy(path: String): (String, Array[Int], java.nio.ByteBuffer) = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    require(bytes.length > 10 && Magic.indices.forall(i => bytes(i) == Magic(i)),
+      s"$path: not an npy file")
+    require(bytes(6) == 1, s"$path: unsupported npy version ${bytes(6)}")
+    val hlen = (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)
+    val dict = new String(bytes, 10, hlen, "US-ASCII")
+    dict match {
+      case DictRe(descr, order, shapeStr) =>
+        require(order == "False", s"$path: fortran_order not supported")
+        val shape = shapeStr.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt)
+        val buf = java.nio.ByteBuffer.wrap(bytes, 10 + hlen, bytes.length - 10 - hlen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (descr, shape, buf)
+      case _ => throw new IllegalArgumentException(s"$path: unparseable npy header: $dict")
+    }
+  }
+
+  /** Read a [[writeVectors]] layout back as (id, vec) rows — one task per
+    * part pair. */
+  def readVectors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.endsWith(".ids.npy"))
+      .map(_.stripSuffix(".ids.npy")).sorted.toSeq
+    parts.toDS().repartition(math.max(parts.size, 1))
+      .flatMap { base =>
+        val (idDescr, idShape, idBuf) = readNpy(s"$dir/$base.ids.npy")
+        val (vDescr, vShape, vBuf) = readNpy(s"$dir/$base.vec.npy")
+        require(idDescr == "<i8" && vDescr == "<f4",
+          s"$base: unexpected dtypes ($idDescr, $vDescr)")
+        require(idShape.length == 1 && vShape.length == 2 &&
+          idShape(0) == vShape(0),
+          s"$base: shape mismatch ${idShape.toSeq} vs ${vShape.toSeq}")
+        val n = idShape(0); val d = vShape(1)
+        (0 until n).iterator.map { i =>
+          val v = new Array[Float](d)
+          var j = 0
+          while (j < d) { v(j) = vBuf.getFloat((i.toLong * d + j).toInt * 4 + vBuf.position()); j += 1 }
+          (idBuf.getLong(i * 8 + idBuf.position()), v)
+        }
+      }
+      .toDF("id", "vec")
+  }
+}

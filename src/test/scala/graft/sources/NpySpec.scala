@@ -1,0 +1,60 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** The npy backend's two correctness contracts: (1) the READER parses
+  * genuine `numpy.save` output bit-exactly (the checked-in
+  * src/test/resources/npy fixtures were written by CPython numpy — this
+  * is the cross-engine compatibility evidence behind the scaladoc's
+  * "loadable by numpy.load" claim, exercised in the reader direction);
+  * (2) the Spark write→read roundtrip preserves float32 BITS, including
+  * the awkward values (−0.0, NaN, min-subnormal, near-max) that would
+  * die in any text format. */
+class NpySpec extends SparkSpec {
+
+  test("npy reader parses genuine numpy.save output bit-exactly") {
+    val (d1, s1, ids) = Npy.readNpy("src/test/resources/npy/fixture.ids.npy")
+    assert(d1 == "<i8" && s1.toSeq == Seq(3))
+    val idVals = (0 until 3).map(i => ids.getLong(ids.position() + i * 8))
+    assert(idVals == Seq(11L, -22L, 3000000000L))
+    val (d2, s2, vec) = Npy.readNpy("src/test/resources/npy/fixture.vec.npy")
+    assert(d2 == "<f4" && s2.toSeq == Seq(3, 3))
+    val got = (0 until 9).map(i => vec.getFloat(vec.position() + i * 4))
+    assert(got.take(3) == Seq(1.5f, -2.25f, 3.125f))
+    assert(java.lang.Float.floatToRawIntBits(got(3)) ==
+      java.lang.Float.floatToRawIntBits(0.1f))
+    assert(java.lang.Float.floatToRawIntBits(got(6)) ==
+      java.lang.Float.floatToRawIntBits(-0.0f), "-0.0 must keep its sign bit")
+    assert(got(7).isPosInfinity)
+    assert(java.lang.Float.floatToRawIntBits(got(8)) ==
+      java.lang.Float.floatToRawIntBits(1e-7f))
+  }
+
+  test("npy Spark write/read roundtrip is bit-exact incl. awkward floats") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("graft-npy").toString
+    val rows = Seq(
+      (1L, Array(0.1f, -0.0f, java.lang.Float.MIN_VALUE, 3.4e38f)),
+      (2L, Array(1.5f, 2.5f, -2.5f, Float.NaN)),
+      (7L, Array(0f, 0f, 0f, 0f)))
+    Npy.writeVectors(rows.toDF("id", "v").repartition(2), "id", "v", dir)
+    assert(new java.io.File(dir, "_SUCCESS").exists(), "layout marker missing")
+    val back = Npy.readVectors(s, dir).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    assert(back.map(_._1).toSeq == Seq(1L, 2L, 7L))
+    back.zip(rows.sortBy(_._1)).foreach { case ((_, got), (_, exp)) =>
+      assert(got.length == exp.length)
+      got.zip(exp).foreach { case (g, e) =>
+        assert(java.lang.Float.floatToRawIntBits(g) ==
+          java.lang.Float.floatToRawIntBits(e),
+          s"bit drift: $g vs $e") }
+    }
+  }
+
+  test("npy reader rejects foreign shapes loudly, never misreads") {
+    val dir = tempDir("graft-npy-bad")
+    val bad = dir.resolve("x.npy")
+    java.nio.file.Files.write(bad, "not an npy file at all".getBytes("UTF-8"))
+    intercept[IllegalArgumentException](Npy.readNpy(bad.toString))
+  }
+}
