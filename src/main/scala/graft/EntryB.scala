@@ -1215,18 +1215,27 @@ private[graft] object EntryB {
       // backend breaks rows or the hash. Write-once per (purpose, input,
       // app) via the _SUCCESS marker (the b33 layout-write class,
       // bench-warmed untimed). Plan: parallel per-partition write;
-      // listing + one task per pair on read; one vec_id hash join
-      // (testdata's embeddings are single-file/tiny — at scale both
-      // sides partition by the layout).
+      // listing + one task per pair on read. The comparison join is
+      // FORCED to a shuffle merge join with both inputs
+      // numbered-repartitioned (the c104 discipline, r15 extended
+      // review): the npy side's size estimate descends from a
+      // LocalRelation of file NAMES, so Spark would otherwise broadcast
+      // the ENTIRE read-back (driver OOM at scale) and stream the
+      // single-file parquet probe in one task — bytes wildly understate
+      // work on both sides here.
       val dir = graft.sources.Formats.scratchDir(s, "npy_embeddings", d)
       graft.sources.Formats.ensureWritten(s, dir) {
         graft.sources.Npy.writeVectors(
           t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
           "vec_id", "embedding", dir)
       }
+      val parts = s.sessionState.conf.numShufflePartitions
       val back = graft.sources.Npy.readVectors(s, dir)
         .select(col("id").as("vec_id"), col("vec").as("npy_emb"))
+        .repartition(parts)
+        .hint("merge")
       t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        .repartition(parts)
         .join(back, "vec_id")
         .select(col("vec_id"),
           size(col("embedding")).cast("long").as("dim"),

@@ -37,11 +37,28 @@ import org.apache.spark.sql.types._
 object Multimodal {
 
   // ~1 KB media payloads never need ImageIO's temp-FILE stream cache;
-  // with the default useCache=true every encode/decode creates and
-  // deletes a temp file per row — pure wasted I/O plus temp-dir
-  // contention across executor threads on the c118 hot path. JVM-global,
-  // set at object init (runs once per executor JVM on first use).
-  javax.imageio.ImageIO.setUseCache(false)
+  // with the default useCache=true every ImageIO.read(InputStream) /
+  // write(…, OutputStream) creates and deletes a temp file per row —
+  // pure wasted I/O plus temp-dir contention across executor threads on
+  // the c118 hot path. Scoped fix (NOT the JVM-global setUseCache, which
+  // would mutate host-process behavior as a class-load side effect):
+  // hand ImageIO explicit memory-backed image streams.
+  private def readImg(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    // ImageIO.read(ImageInputStream) CLOSES the stream itself when a
+    // reader ran (unlike every other overload) — but not when it returns
+    // null; the swallow covers the double-close
+    try javax.imageio.ImageIO.read(iis)
+    finally (try iis.close() catch { case _: java.io.IOException => () })
+  }
+
+  private def writePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try { javax.imageio.ImageIO.write(img, "png", ios); () } finally ios.close()
+    bos.toByteArray
+  }
 
   /** Feature schema produced by the (stubbed) decoder. */
   case class MediaFeatures(n_bytes: Long, byte_sum: Long,
@@ -141,7 +158,7 @@ object Multimodal {
     // IllegalArgument) on crafted/corrupt headers — an undecodable blob
     // must surface as ok=false data, never as an executor task failure
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      val img = readImg(payload)
       if (img == null) ImageFeatures(ok = false, 0, 0, 0, 0, 0, 0, 0, 0, 0)
       else {
         val w = img.getWidth; val h = img.getHeight
@@ -186,7 +203,7 @@ object Multimodal {
   def resizeImagePng(payload: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
     require(tw > 0 && th > 0, "resize target must be positive")
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      try readImg(payload)
       catch { case scala.util.control.NonFatal(_) => null } // see decodeImage
     if (img == null) None
     else {
@@ -202,9 +219,7 @@ object Multimodal {
         }
         y += 1
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(out, "png", bos)
-      Some(bos.toByteArray)
+      Some(writePng(out))
     }
   }
 
@@ -302,9 +317,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    writePng(img)
   }
 
   /** Deterministic 16-bit LE mono 8000 Hz WAV keyed by id — the c119

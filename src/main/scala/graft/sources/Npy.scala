@@ -52,25 +52,37 @@ object Npy {
                         body: java.nio.ByteBuffer): Unit = {
     val ch = new java.io.FileOutputStream(path).getChannel
     try {
-      ch.write(java.nio.ByteBuffer.wrap(header))
+      // drain loops: FileChannel.write may write fewer bytes than
+      // remaining (interrupt, disk-full boundary) — a discarded short
+      // write would leave a truncated file with a VALID header, failing
+      // much later in an unrelated read job
+      val h = java.nio.ByteBuffer.wrap(header)
+      while (h.hasRemaining) ch.write(h)
       body.flip()
-      ch.write(body): Unit
+      while (body.hasRemaining) ch.write(body)
     } finally ch.close()
   }
 
   /** Write (id, float-vector) rows as the per-partition npy pair layout.
-    * Every vector must have the same dimension `d` (checked per row — an
-    * npy 2-D array is rectangular by definition). Empty partitions write
+    * Nulls (id or vector) are rejected with a named error — npy arrays
+    * cannot hold nulls, and a backend must reject loudly, never NPE.
+    * Every vector in a partition must share its dimension (an npy 2-D
+    * array is rectangular); cross-partition uniformity is enforced at
+    * READ time ([[readVectors]] checks every pair's header against the
+    * first), which also covers foreign layouts. Empty partitions write
     * no files. Ends by writing the `_SUCCESS` marker. */
   def writeVectors(df: DataFrame, idCol: String, vecCol: String,
                    dir: String): Unit = {
     new java.io.File(dir).mkdirs()
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
-      .as[(Long, Array[Float])]
-      .foreachPartition { (it: Iterator[(Long, Array[Float])]) =>
-        val rows = it.toArray
+    df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val rows = it.map { r =>
+          require(!r.isNullAt(0), "null id — npy column files cannot hold nulls")
+          require(!r.isNullAt(1),
+            s"null vector for id=${r.getLong(0)} — npy arrays cannot hold nulls")
+          (r.getLong(0), r.getSeq[Float](1).toArray)
+        }.toArray
         if (rows.nonEmpty) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val d = rows(0)._2.length
@@ -119,13 +131,47 @@ object Npy {
     }
   }
 
+  /** Header-only parse (first bytes via stream, never the body) — the
+    * driver-side schema step of [[readVectors]]. */
+  private def readNpyHeader(path: String): (String, Array[Int]) = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(path)))
+    try {
+      val pre = new Array[Byte](10)
+      in.readFully(pre)
+      require(Magic.indices.forall(i => pre(i) == Magic(i)), s"$path: not an npy file")
+      require(pre(6) == 1, s"$path: unsupported npy version ${pre(6)}")
+      val hlen = (pre(8) & 0xff) | ((pre(9) & 0xff) << 8)
+      val hdr = new Array[Byte](hlen)
+      in.readFully(hdr)
+      new String(hdr, "US-ASCII") match {
+        case DictRe(descr, order, shapeStr) =>
+          require(order == "False", s"$path: fortran_order not supported")
+          (descr, shapeStr.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt))
+        case d => throw new IllegalArgumentException(s"$path: unparseable npy header: $d")
+      }
+    } finally in.close()
+  }
+
   /** Read a [[writeVectors]] layout back as (id, vec) rows — one task per
-    * part pair. */
+    * part pair. The listing step (the standard datasource schema pass)
+    * also reads every pair's HEADER on the driver and requires one
+    * uniform vector dimension across files — a layout whose parts
+    * disagree on d (foreign data, or a write from a ragged input) is
+    * rejected loudly instead of silently yielding mixed-width rows. */
   def readVectors(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val parts = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .map(_.getName).filter(_.endsWith(".ids.npy"))
       .map(_.stripSuffix(".ids.npy")).sorted.toSeq
+    val dims = parts.map { base =>
+      val (descr, shape) = readNpyHeader(s"$dir/$base.vec.npy")
+      require(descr == "<f4" && shape.length == 2,
+        s"$base: expected <f4 (n,d), got $descr ${shape.toSeq}")
+      shape(1)
+    }
+    require(dims.distinct.size <= 1,
+      s"mixed vector dimensions across part files: ${dims.distinct.sorted}")
     parts.toDS().repartition(math.max(parts.size, 1))
       .flatMap { base =>
         val (idDescr, idShape, idBuf) = readNpy(s"$dir/$base.ids.npy")

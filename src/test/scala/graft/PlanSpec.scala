@@ -1015,6 +1015,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("b129 npy roundtrip: forced shuffle merge join, no broadcast of the read-back") {
+    // the npy read-back's size estimate descends from a LocalRelation of
+    // file NAMES — Spark would broadcast the ENTIRE dataset (driver OOM
+    // at scale) and run the single-file parquet probe in one task; the
+    // builder forces numbered repartitions on both inputs and a merge
+    // join (the c104 discipline)
+    val plan = physicalPlan(SparkEntry.queries("b129_npy_roundtrip")(spark, sf))
+    assert(plan.contains("SortMergeJoin"),
+      s"the roundtrip compare must shuffle-merge, never broadcast:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+      s"no side may broadcast (npy stats are file-name sized):\n$plan")
+    assert("Exchange RoundRobinPartitioning".r.findAllIn(plan).length == 2,
+      s"both inputs carry the user-specified numbered repartition:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("b128 revenue contrast: cache reads only; one 1-row broadcast BNLJ joins the legs") {
     // b128's two consumptions of the rev-user frame must both hit the
     // memo — zero parquet leaves (the funnel machinery never replays per
