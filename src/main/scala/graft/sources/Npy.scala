@@ -109,26 +109,92 @@ object Npy {
     ("""\{\s*'descr':\s*'([^']+)',\s*'fortran_order':\s*(False|True),""" +
       """\s*'shape':\s*\(([0-9,\s]*)\),\s*\}\s*""").r
 
-  /** Parse one npy file: (descr, shape, little-endian data buffer).
+  /** Parse npy bytes: (descr, shape, little-endian data buffer).
     * Accepts the v1.0 C-contiguous subset this backend writes; anything
     * else (v2+, fortran order, other dtypes at the callers) is rejected
     * loudly — a backend must never silently misread foreign data. */
-  private[sources] def readNpy(path: String): (String, Array[Int], java.nio.ByteBuffer) = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+  private[sources] def parseNpy(bytes: Array[Byte],
+                                label: String): (String, Array[Int], java.nio.ByteBuffer) = {
     require(bytes.length > 10 && Magic.indices.forall(i => bytes(i) == Magic(i)),
-      s"$path: not an npy file")
-    require(bytes(6) == 1, s"$path: unsupported npy version ${bytes(6)}")
+      s"$label: not an npy file")
+    require(bytes(6) == 1, s"$label: unsupported npy version ${bytes(6)}")
     val hlen = (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)
     val dict = new String(bytes, 10, hlen, "US-ASCII")
     dict match {
       case DictRe(descr, order, shapeStr) =>
-        require(order == "False", s"$path: fortran_order not supported")
+        require(order == "False", s"$label: fortran_order not supported")
         val shape = shapeStr.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt)
         val buf = java.nio.ByteBuffer.wrap(bytes, 10 + hlen, bytes.length - 10 - hlen)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         (descr, shape, buf)
-      case _ => throw new IllegalArgumentException(s"$path: unparseable npy header: $dict")
+      case _ => throw new IllegalArgumentException(s"$label: unparseable npy header: $dict")
     }
+  }
+
+  private[sources] def readNpy(path: String): (String, Array[Int], java.nio.ByteBuffer) =
+    parseNpy(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), path)
+
+  /** Single-archive `.npz` variant (the numpy.savez convention: a ZIP
+    * whose entries are `.npy` files). This is the INTERCHANGE form of
+    * the backend — one archive is inherently one stream, so read/write
+    * are small driver-side byte operations (advisor tables, calibration
+    * snapshots, eval manifests), never the data path; the SCALE form is
+    * the per-partition pair layout ([[writeVectors]]/[[readVectors]],
+    * gated by b129). Entries are written STORED (numpy.savez's own
+    * choice; savez_compressed's DEFLATE also parses on read — ZipFile
+    * inflates transparently), and a savez-written fixture round-trips
+    * through [[readNpz]] in NpySpec. */
+  def readNpz(path: String): Map[String, (String, Array[Int], java.nio.ByteBuffer)] = {
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      val entries = scala.jdk.CollectionConverters.EnumerationHasAsScala(zf.entries()).asScala.toSeq
+      entries.map { e =>
+        val name = e.getName.stripSuffix(".npy")
+        val in = zf.getInputStream(e)
+        val bytes = try in.readAllBytes() finally in.close()
+        name -> parseNpy(bytes, s"$path!${e.getName}")
+      }.toMap
+    } finally zf.close()
+  }
+
+  /** Write named npy payloads as a STORED zip — byte-identical framing
+    * to numpy.savez (entry name + ".npy", no compression). */
+  def writeNpz(path: String, arrays: Seq[(String, Array[Byte])]): Unit = {
+    val out = new java.util.zip.ZipOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(path)))
+    try {
+      out.setMethod(java.util.zip.ZipOutputStream.STORED)
+      arrays.foreach { case (name, bytes) =>
+        val e = new java.util.zip.ZipEntry(s"$name.npy")
+        e.setMethod(java.util.zip.ZipEntry.STORED)
+        e.setSize(bytes.length.toLong)
+        e.setCompressedSize(bytes.length.toLong)
+        val crc = new java.util.zip.CRC32(); crc.update(bytes)
+        e.setCrc(crc.getValue)
+        out.putNextEntry(e); out.write(bytes); out.closeEntry()
+      }
+    } finally out.close()
+  }
+
+  /** npy bytes for an int64 1-D array / a float32 2-D rectangular array
+    * — the building blocks of [[writeNpz]] payloads. */
+  def npyBytesI64(values: Array[Long]): Array[Byte] = {
+    val body = java.nio.ByteBuffer.allocate(values.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    values.foreach(body.putLong)
+    headerBytes("<i8", s"(${values.length},)") ++ body.array()
+  }
+
+  def npyBytesF32(rows: Array[Array[Float]]): Array[Byte] = {
+    require(rows.nonEmpty, "npy 2-D array needs at least one row")
+    val d = rows(0).length
+    val body = java.nio.ByteBuffer.allocate(rows.length * d * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    rows.foreach { r =>
+      require(r.length == d, s"ragged row: ${r.length} != $d")
+      r.foreach(body.putFloat)
+    }
+    headerBytes("<f4", s"(${rows.length}, $d)") ++ body.array()
   }
 
   /** Header-only parse (first bytes via stream, never the body) — the

@@ -51,6 +51,53 @@ class NpySpec extends SparkSpec {
     }
   }
 
+  test("npz: parses a genuine numpy.savez archive and roundtrips its own writes") {
+    // the fixture was written by CPython numpy.savez (ids <i8, vec <f4)
+    val fx = Npy.readNpz("src/test/resources/npy/fixture.npz")
+    assert(fx.keySet == Set("ids", "vec"))
+    val (d1, s1, ids) = fx("ids")
+    assert(d1 == "<i8" && s1.toSeq == Seq(3))
+    assert((0 until 3).map(i => ids.getLong(ids.position() + i * 8)) == Seq(5L, 6L, 7L))
+    val (d2, s2, vec) = fx("vec")
+    assert(d2 == "<f4" && s2.toSeq == Seq(3, 2))
+    assert(java.lang.Float.floatToRawIntBits(
+      vec.getFloat(vec.position() + 5 * 4)) ==
+      java.lang.Float.floatToRawIntBits(1e-7f))
+    // write our own npz from the parsed values and read it back bit-exactly
+    val dir = tempDir("graft-npz")
+    val p = dir.resolve("out.npz").toString
+    Npy.writeNpz(p, Seq(
+      "ids" -> Npy.npyBytesI64(Array(5L, 6L, 7L)),
+      "vec" -> Npy.npyBytesF32(Array(
+        Array(1.0f, 2.0f), Array(3.5f, -4.5f), Array(0.25f, 1e-7f)))))
+    val back = Npy.readNpz(p)
+    assert(back.keySet == Set("ids", "vec"))
+    val (_, bs, bv) = back("vec")
+    assert(bs.toSeq == Seq(3, 2))
+    (0 until 6).foreach { i =>
+      assert(java.lang.Float.floatToRawIntBits(bv.getFloat(bv.position() + i * 4)) ==
+        java.lang.Float.floatToRawIntBits(vec.getFloat(vec.position() + i * 4)),
+        s"element $i drifted")
+    }
+    // strongest compatibility evidence: our npy FRAMING is byte-identical
+    // to CPython numpy's own writer for the same values (same dict text,
+    // same 64-byte alignment, same raw LE payload) — compare against the
+    // savez fixture's raw entries
+    val zf = new java.util.zip.ZipFile("src/test/resources/npy/fixture.npz")
+    try {
+      def entryBytes(n: String): Array[Byte] = {
+        val in = zf.getInputStream(zf.getEntry(n))
+        try in.readAllBytes() finally in.close()
+      }
+      assert(Npy.npyBytesI64(Array(5L, 6L, 7L)).toSeq == entryBytes("ids.npy").toSeq,
+        "ids framing diverged from numpy's writer")
+      assert(Npy.npyBytesF32(Array(
+        Array(1.0f, 2.0f), Array(3.5f, -4.5f), Array(0.25f, 1e-7f))).toSeq ==
+        entryBytes("vec.npy").toSeq,
+        "vec framing diverged from numpy's writer")
+    } finally zf.close()
+  }
+
   test("npy reader rejects foreign shapes loudly, never misreads") {
     val dir = tempDir("graft-npy-bad")
     val bad = dir.resolve("x.npy")
