@@ -81,7 +81,13 @@ object Npy {
           require(!r.isNullAt(0), "null id — npy column files cannot hold nulls")
           require(!r.isNullAt(1),
             s"null vector for id=${r.getLong(0)} — npy arrays cannot hold nulls")
-          (r.getLong(0), r.getSeq[Float](1).toArray)
+          // inspect BOXED elements: getSeq[Float] would silently unbox a
+          // null ELEMENT to 0.0f — fabricated data, the opposite of the
+          // reject-loudly contract
+          val boxed = r.getSeq[java.lang.Float](1)
+          require(!boxed.contains(null),
+            s"null vector element for id=${r.getLong(0)} — npy arrays cannot hold nulls")
+          (r.getLong(0), boxed.map(_.floatValue()).toArray)
         }.toArray
         if (rows.nonEmpty) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -119,11 +125,22 @@ object Npy {
       s"$label: not an npy file")
     require(bytes(6) == 1, s"$label: unsupported npy version ${bytes(6)}")
     val hlen = (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)
+    require(bytes.length >= 10 + hlen, s"$label: truncated npy header")
     val dict = new String(bytes, 10, hlen, "US-ASCII")
     dict match {
       case DictRe(descr, order, shapeStr) =>
         require(order == "False", s"$label: fortran_order not supported")
         val shape = shapeStr.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt)
+        // reject truncated BODIES here, by name — a short data section
+        // (the exact failure the writeFile drain-loop guards against on
+        // our own writes, still reachable via foreign/corrupt files)
+        // would otherwise surface as a bare IndexOutOfBounds deep inside
+        // a read task much later
+        val itemSize = descr.filter(_.isDigit).toInt
+        val elems = shape.foldLeft(1L)(_ * _)
+        require(bytes.length.toLong - 10 - hlen >= elems * itemSize,
+          s"$label: truncated npy body (${bytes.length - 10 - hlen} bytes " +
+            s"< ${elems * itemSize} for shape ${shape.mkString("(", ",", ")")} $descr)")
         val buf = java.nio.ByteBuffer.wrap(bytes, 10 + hlen, bytes.length - 10 - hlen)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         (descr, shape, buf)

@@ -103,5 +103,28 @@ class NpySpec extends SparkSpec {
     val bad = dir.resolve("x.npy")
     java.nio.file.Files.write(bad, "not an npy file at all".getBytes("UTF-8"))
     intercept[IllegalArgumentException](Npy.readNpy(bad.toString))
+    // truncated BODY (valid header, short data): rejected by name at
+    // parse time, never a bare IndexOutOfBounds in a later read task
+    val full = Npy.npyBytesI64(Array(1L, 2L, 3L))
+    val cut = dir.resolve("cut.npy")
+    java.nio.file.Files.write(cut, full.dropRight(9))
+    val e = intercept[IllegalArgumentException](Npy.readNpy(cut.toString))
+    assert(e.getMessage.contains("truncated npy body"), e.getMessage)
+  }
+
+  test("npy writer rejects null vector ELEMENTS by name, never fabricates 0.0") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val dir = tempDir("graft-npy-nullelem").toString
+    // array(1.0, NULL, 2.0): a whole-null guard alone would let getSeq
+    // unbox the null element to 0.0f and write fabricated data
+    val df = s.range(1).select(col("id"),
+      array(lit(1.0f), lit(null).cast("float"), lit(2.0f)).as("v"))
+    val err = intercept[org.apache.spark.SparkException] {
+      Npy.writeVectors(df, "id", "v", dir)
+    }
+    val root = org.apache.commons.lang3.exception.ExceptionUtils.getRootCause(err)
+    assert(String.valueOf(root.getMessage).contains("null vector element"),
+      s"wrong failure: $root")
   }
 }
