@@ -719,8 +719,13 @@ private[graft] object EntryB {
       // b123 overload, unreachable below ~10^34). The distribution device
       // is the whale guard a revenue A/B needs (one outlier purchase can
       // drive the aggregate lift): per-purchaser attributed revenue in
-      // whole-dollar buckets (attr_c div 100 — exact, values non-negative
-      // by fixture audit), control's discrete median bucket = smallest
+      // whole-dollar buckets (greatest(attr_c, 0) div 100 — exact; the
+      // greatest() ENFORCES the non-negative invariant the bucketing
+      // needs rather than trusting fixture audit: Spark's div truncates
+      // toward zero while DuckDB's // floors, so a refund-style negative
+      // cents value would silently diverge between engines — clamped
+      // identically on BOTH sides, refunds land in bucket 0 and the
+      // engines cannot disagree), control's discrete median bucket = smallest
       // rev_d with 2·cum ≥ tot, then trt_gt_ctrl_med = treatment
       // purchasers STRICTLY above control's median —
       //   trt_bigger_at_median: 2·gt ≥ trt_purchasers   (the sign)
@@ -745,7 +750,7 @@ private[graft] object EntryB {
       val piv = funnelAbRevArmPivot(m)
       val dist = m.where(col("s4").isNotNull)
         .groupBy(col("arm"),
-          expr("coalesce(attr_c, 0) div 100").as("rev_d"))
+          expr("greatest(coalesce(attr_c, 0), 0) div 100").as("rev_d"))
         .agg(count(lit(1)).as("n"))
       val wCum = Window.partitionBy(col("arm")).orderBy(col("rev_d"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2990,7 +2995,7 @@ private[graft] object EntryB {
     // discrete median = smallest bucket with 2·cum ≥ tot)
     "b128_funnel_ab_rev_contrast" ->
       (funnelAbRevOracleCtes(closedCut = false) + """,
-        |di AS (SELECT arm, COALESCE(attr_c, 0) // 100 AS rev_d,
+        |di AS (SELECT arm, greatest(COALESCE(attr_c, 0), 0) // 100 AS rev_d,
         |         CAST(count(*) AS BIGINT) AS n
         |       FROM a WHERE s4 IS NOT NULL GROUP BY 1, 2),
         |fl AS (SELECT arm, rev_d, n,

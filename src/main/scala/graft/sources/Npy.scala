@@ -35,11 +35,16 @@ object Npy {
   /** v1.0 header: magic + version + little-endian u16 header length +
     * python-dict line space-padded so the data section starts 64-aligned
     * (the alignment numpy itself writes). */
-  private def headerBytes(descr: String, shape: String): Array[Byte] = {
+  private[sources] def headerBytes(descr: String, shape: String): Array[Byte] = {
     val dict = s"{'descr': '$descr', 'fortran_order': False, 'shape': $shape, }"
     val pre = Magic.length + 2 + 2
     val pad = (64 - (pre + dict.length + 1) % 64) % 64
     val full = dict + (" " * pad) + "\n"
+    // a v1.0 header length is an unsigned 16-bit field; unreachable for
+    // the dicts this writer emits today, but a future large-shape caller
+    // must fail HERE, at write time, not produce a silently corrupt file
+    require(full.length <= 0xFFFF,
+      s"npy v1.0 header overflow: ${full.length} bytes > 65535 (dict: ${dict.take(80)}…)")
     val out = new java.io.ByteArrayOutputStream()
     out.write(Magic)
     out.write(1); out.write(0)
@@ -63,6 +68,28 @@ object Npy {
     } finally ch.close()
   }
 
+  /** Task-side commit protocol: write to a task-attempt-suffixed temp
+    * name, then rename atomically into the final path. Two speculative
+    * attempts of the same partition each write their OWN temp file and
+    * race only on the rename — the final file is always one complete
+    * attempt's bytes, never an interleaving (the failure mode of writing
+    * final paths directly under spark.speculation=true). Same-directory
+    * rename, so ATOMIC_MOVE holds on any POSIX filesystem; the temp file
+    * is removed on any failure path. */
+  private def commitFile(dir: String, finalName: String, attempt: Long,
+                         header: Array[Byte], body: java.nio.ByteBuffer): Unit = {
+    val tmp = new java.io.File(dir, s".$finalName.$attempt.tmp")
+    var committed = false
+    try {
+      writeFile(tmp.getPath, header, body)
+      java.nio.file.Files.move(tmp.toPath,
+        new java.io.File(dir, finalName).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      committed = true
+    } finally if (!committed) tmp.delete()
+  }
+
   /** Write (id, float-vector) rows as the per-partition npy pair layout.
     * Nulls (id or vector) are rejected with a named error — npy arrays
     * cannot hold nulls, and a backend must reject loudly, never NPE.
@@ -70,7 +97,9 @@ object Npy {
     * array is rectangular); cross-partition uniformity is enforced at
     * READ time ([[readVectors]] checks every pair's header against the
     * first), which also covers foreign layouts. Empty partitions write
-    * no files. Ends by writing the `_SUCCESS` marker. */
+    * no files. Each task commits via temp-name + atomic rename
+    * ([[commitFile]] — safe under spark.speculation). Ends by writing
+    * the `_SUCCESS` marker, which [[readVectors]] requires. */
   def writeVectors(df: DataFrame, idCol: String, vecCol: String,
                    dir: String): Unit = {
     new java.io.File(dir).mkdirs()
@@ -90,7 +119,9 @@ object Npy {
           (r.getLong(0), boxed.map(_.floatValue()).toArray)
         }.toArray
         if (rows.nonEmpty) {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          val attempt = tc.taskAttemptId()
           val d = rows(0)._2.length
           val ids = java.nio.ByteBuffer.allocate(rows.length * 8)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -102,9 +133,9 @@ object Npy {
             ids.putLong(id)
             v.foreach(vec.putFloat)
           }
-          writeFile(f"$dir/part-$pid%05d.ids.npy",
+          commitFile(dir, f"part-$pid%05d.ids.npy", attempt,
             headerBytes("<i8", s"(${rows.length},)"), ids)
-          writeFile(f"$dir/part-$pid%05d.vec.npy",
+          commitFile(dir, f"part-$pid%05d.vec.npy", attempt,
             headerBytes("<f4", s"(${rows.length}, $d)"), vec)
         }
       }
@@ -165,12 +196,21 @@ object Npy {
     val zf = new java.util.zip.ZipFile(path)
     try {
       val entries = scala.jdk.CollectionConverters.EnumerationHasAsScala(zf.entries()).asScala.toSeq
-      entries.map { e =>
+      val parsed = entries.map { e =>
         val name = e.getName.stripSuffix(".npy")
         val in = zf.getInputStream(e)
         val bytes = try in.readAllBytes() finally in.close()
         name -> parseNpy(bytes, s"$path!${e.getName}")
-      }.toMap
+      }
+      // reject-loudly, never last-entry-wins: a foreign archive with
+      // duplicate entry names (or a pair like "a.npy" + "a" colliding
+      // after suffix-stripping) must not silently drop an array via toMap
+      val dup = parsed.map(_._1).groupBy(identity).collect {
+        case (n, g) if g.size > 1 => n
+      }
+      require(dup.isEmpty,
+        s"$path: duplicate npz entry name(s) after .npy-suffix normalization: ${dup.mkString(", ")}")
+      parsed.toMap
     } finally zf.close()
   }
 
@@ -236,17 +276,38 @@ object Npy {
     } finally in.close()
   }
 
+  /** Default per-part-file size bound for [[readVectors]] (1 GiB): each
+    * read task buffers one whole pair ([[readNpy]] is readAllBytes), so
+    * an unbounded foreign part could OOM a task. Our own writer's parts
+    * are writer-partition-sized (pin via `spark.sql.files
+    * .maxPartitionBytes`), far under this; a layout that trips the bound
+    * was not written for this reader and is rejected BY NAME at listing
+    * time, before any task launches. */
+  val DefaultMaxPartBytes: Long = 1L << 30
+
   /** Read a [[writeVectors]] layout back as (id, vec) rows — one task per
     * part pair. The listing step (the standard datasource schema pass)
-    * also reads every pair's HEADER on the driver and requires one
-    * uniform vector dimension across files — a layout whose parts
-    * disagree on d (foreign data, or a write from a ragged input) is
-    * rejected loudly instead of silently yielding mixed-width rows. */
-  def readVectors(spark: SparkSession, dir: String): DataFrame = {
+    * requires the writer's `_SUCCESS` marker (a half-written layout from
+    * a crashed app must not be silently readable), reads every pair's
+    * HEADER on the driver and requires one uniform vector dimension
+    * across files — a layout whose parts disagree on d (foreign data, or
+    * a write from a ragged input) is rejected loudly instead of silently
+    * yielding mixed-width rows — and bounds every part file's size by
+    * `maxPartBytes` (see [[DefaultMaxPartBytes]]). */
+  def readVectors(spark: SparkSession, dir: String,
+                  maxPartBytes: Long = DefaultMaxPartBytes): DataFrame = {
     import spark.implicits._
-    val parts = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .map(_.getName).filter(_.endsWith(".ids.npy"))
+    require(new java.io.File(dir, "_SUCCESS").exists(),
+      s"$dir: no _SUCCESS marker — layout absent or not closed by its writer")
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    val parts = files.map(_.getName).filter(_.endsWith(".ids.npy"))
       .map(_.stripSuffix(".ids.npy")).sorted.toSeq
+    val oversized = files.filter(f => f.getName.endsWith(".npy") &&
+      f.length() > maxPartBytes)
+    require(oversized.isEmpty,
+      s"part file(s) over the $maxPartBytes-byte per-task read bound " +
+        s"(each read task buffers one whole pair): " +
+        oversized.map(f => s"${f.getName} (${f.length()} B)").mkString(", "))
     val dims = parts.map { base =>
       val (descr, shape) = readNpyHeader(s"$dir/$base.vec.npy")
       require(descr == "<f4" && shape.length == 2,
@@ -273,5 +334,34 @@ object Npy {
         }
       }
       .toDF("id", "vec")
+  }
+
+  /** Column-pruned read of a [[writeVectors]] layout: ONLY the id files.
+    * This is the one-array-per-file layout's projection payoff — a
+    * consumer selecting just ids opens none of the `.vec.npy` payloads
+    * and reads 8/(8+4·d) of the layout's bytes (measured at two sfs in
+    * docs/PLANS.md). Same contracts as [[readVectors]]: `_SUCCESS`
+    * required, per-task buffering bounded by `maxPartBytes` over the
+    * files THIS read touches (the id files), one task per part. */
+  def readIds(spark: SparkSession, dir: String,
+              maxPartBytes: Long = DefaultMaxPartBytes): DataFrame = {
+    import spark.implicits._
+    require(new java.io.File(dir, "_SUCCESS").exists(),
+      s"$dir: no _SUCCESS marker — layout absent or not closed by its writer")
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".ids.npy"))
+    val oversized = files.filter(_.length() > maxPartBytes)
+    require(oversized.isEmpty,
+      s"part file(s) over the $maxPartBytes-byte per-task read bound: " +
+        oversized.map(f => s"${f.getName} (${f.length()} B)").mkString(", "))
+    val parts = files.map(_.getName).sorted.toSeq
+    parts.toDS().repartition(math.max(parts.size, 1))
+      .flatMap { name =>
+        val (descr, shape, buf) = readNpy(s"$dir/$name")
+        require(descr == "<i8" && shape.length == 1,
+          s"$name: expected <i8 (n,), got $descr ${shape.toSeq}")
+        (0 until shape(0)).iterator.map(i => buf.getLong(i * 8 + buf.position()))
+      }
+      .toDF("id")
   }
 }

@@ -112,6 +112,75 @@ class NpySpec extends SparkSpec {
     assert(e.getMessage.contains("truncated npy body"), e.getMessage)
   }
 
+  test("readVectors requires _SUCCESS and bounds per-task buffering by name") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("graft-npy-guards").toString
+    val rows = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)))
+    Npy.writeVectors(rows.toDF("id", "v").repartition(1), "id", "v", dir)
+    // the commit protocol leaves no task-attempt temp files behind
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.endsWith(".tmp"))
+    assert(leftovers.isEmpty, s"uncommitted temp files: ${leftovers.toSeq}")
+    // a part over the per-task read bound is rejected BY NAME at listing
+    // time (each read task buffers one whole pair — readAllBytes), before
+    // any task launches; same contract on the ids-only path
+    val e1 = intercept[IllegalArgumentException](
+      Npy.readVectors(s, dir, maxPartBytes = 64).collect())
+    assert(e1.getMessage.contains("per-task read bound") &&
+      e1.getMessage.contains("part-00000"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Npy.readIds(s, dir, maxPartBytes = 16).collect())
+    assert(e2.getMessage.contains("per-task read bound"), e2.getMessage)
+    // a layout whose writer never closed it (no _SUCCESS — crashed app)
+    // is not silently readable, even though its part pairs parse fine
+    assert(new java.io.File(dir, "_SUCCESS").delete())
+    val e3 = intercept[IllegalArgumentException](Npy.readVectors(s, dir).collect())
+    assert(e3.getMessage.contains("_SUCCESS"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException](Npy.readIds(s, dir).collect())
+    assert(e4.getMessage.contains("_SUCCESS"), e4.getMessage)
+  }
+
+  test("readIds projects the id column reading only the .ids.npy files") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("graft-npy-ids").toString
+    val rows = Seq((5L, Array(1.0f)), (6L, Array(2.0f)), (7L, Array(3.0f)))
+    Npy.writeVectors(rows.toDF("id", "v").repartition(2), "id", "v", dir)
+    // corrupt every vec payload: the ids-only path must never open them
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".vec.npy"))
+      .foreach { f =>
+        java.nio.file.Files.write(f.toPath, "garbage".getBytes("US-ASCII"))
+      }
+    val ids = Npy.readIds(s, dir).as[Long].collect().sorted.toSeq
+    assert(ids == Seq(5L, 6L, 7L))
+  }
+
+  test("readNpz rejects duplicate entry names after suffix normalization") {
+    val dir = tempDir("graft-npz-dup")
+    val p = dir.resolve("dup.npz").toString
+    // "a.npy" and "a" collide after .npy-suffix stripping: last-entry-wins
+    // via toMap would silently drop an array (ZipOutputStream itself
+    // rejects LITERAL duplicate names, so the normalization collision is
+    // the constructible foreign-archive case)
+    val out = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(p))
+    try {
+      Seq("a.npy", "a").foreach { n =>
+        out.putNextEntry(new java.util.zip.ZipEntry(n))
+        out.write(Npy.npyBytesI64(Array(1L)))
+        out.closeEntry()
+      }
+    } finally out.close()
+    val e = intercept[IllegalArgumentException](Npy.readNpz(p))
+    assert(e.getMessage.contains("duplicate npz entry"), e.getMessage)
+  }
+
+  test("headerBytes fails loudly on v1.0 u16 header-length overflow") {
+    // unreachable for this writer's dicts; a future large-shape caller
+    // must fail at write time, not produce a corrupt header
+    val e = intercept[IllegalArgumentException](
+      Npy.headerBytes("<i8", "(" + ("1," * 40000) + ")"))
+    assert(e.getMessage.contains("header overflow"), e.getMessage)
+  }
+
   test("npy writer rejects null vector ELEMENTS by name, never fabricates 0.0") {
     val s = spark
     import org.apache.spark.sql.functions._
