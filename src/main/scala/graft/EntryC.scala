@@ -1945,6 +1945,28 @@ private[graft] object EntryC {
       Dedup.signatureAgreementPairs(docShingleSets(s, d))
         .orderBy(col("doc_id"), col("dup_of"))),
 
+    "c120_stream_neardup_live" -> ((s, d) =>
+      // the exactly-once candidate readout a consumer MATERIALIZES from
+      // the streaming minhash-LSH detector (the r16 graduation of the
+      // r5 library-only surface, the b122 pattern): DISTINCT undirected
+      // pairs with the stream's own emitted estimate est = n_agree/64
+      // (exact in IEEE doubles — 64 = 2^6, so every value is a dyadic
+      // rational both engines represent bit-identically). Direction is
+      // normalized to a < b because within one micro-batch the
+      // detector's emit direction follows undefined row order (the
+      // scaladoc's documented consumer step is exactly this DISTINCT
+      // normalization); c37 remains the directed arrival-order variant.
+      // StreamingSpec drains the LIVE transformWithState detector over
+      // THIS table at sf0.001 and asserts set equality with this key's
+      // rows — so the driver gate + the spec together cover the
+      // streaming operator end to end. Plan: identical to c37's audited
+      // shape (banded self-join with the maxBucket hot-tower cap; no
+      // all-pairs anywhere) plus one narrow projection.
+      Dedup.signatureAgreementPairs(docShingleSets(s, d))
+        .select(col("dup_of").as("a"), col("doc_id").as("b"),
+          (col("n_agree") / lit(64.0)).as("est"))
+        .orderBy(col("a"), col("b"))),
+
     "c38_embedding_quantize" -> ((s, d) =>
       // at-rest int8 compression for the embedding store: max-abs scaling,
       // round-half-up via floor (bit-exact IEEE in every engine — never
@@ -2083,35 +2105,18 @@ private[graft] object EntryC {
         |WHERE (a.doc_id % 10 = 3 OR b.doc_id % 10 = 3)
         |  AND len(list_intersect(a.sh, b.sh)) >= 0.8 * len(list_distinct(list_concat(a.sh, b.sh)))
         |ORDER BY a, b""".stripMargin),
+    // the shared full-minhash chain (EntryShared.sigAgreementCtes);
+    // criterion = signature agreement on ≥ 45/64 permutations
     "c37_stream_dedup_parity" ->
-      // full minhash replication: 60-bit md5 shingle hashes, the affine
-      // permutations h_i(x) = (a_i·x + b_i) mod P with the fixed-LCG
-      // constants (Dedup.coeffA/coeffB), banded 16×4, candidates = shared
-      // band, criterion = signature agreement on ≥ 45/64 permutations —
-      // pure integer arithmetic end to end (products < 2^62)
-      (shingleCte +
-      """,
-        |hs AS (SELECT doc_id, list_distinct(list_transform(sh, x ->
-        |        CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT))) AS hs FROM s),
-        |perm AS (SELECT i,
-        |        CASE WHEN (1103515245 * (i+1) + 12345) % 2147483647 = 0 THEN 1
-        |             ELSE (1103515245 * (i+1) + 12345) % 2147483647 END AS a,
-        |        (69069 * (i+1) + 1) % 2147483647 AS b
-        |        FROM generate_series(0, 63) g(i)),
-        |sig AS (SELECT h.doc_id, p.i,
-        |        min((p.a * (h.h % 2147483647) + p.b) % 2147483647) AS sg
-        |        FROM (SELECT doc_id, unnest(hs) AS h FROM hs) h CROSS JOIN perm p
-        |        GROUP BY h.doc_id, p.i),
-        |sigl AS (SELECT doc_id, list(sg ORDER BY i) AS sig FROM sig GROUP BY doc_id),
-        |band AS (SELECT doc_id, gb.b AS bd, sig[gb.b*4+1 : gb.b*4+4] AS bs, sig
-        |         FROM sigl CROSS JOIN generate_series(0, 15) gb(b)),
-        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sig AS siga, y.sig AS sigb
-        |         FROM band x JOIN band y ON x.bd = y.bd AND x.bs = y.bs AND x.doc_id < y.doc_id),
-        |pair AS (SELECT a, b,
-        |          len(list_filter(generate_series(1, 64), i -> siga[i] = sigb[i])) AS n_agree
-        |         FROM cand)
+      (sigAgreementCtes + """
         |SELECT b AS doc_id, a AS dup_of, CAST(n_agree AS INTEGER) AS n_agree
         |FROM pair WHERE n_agree >= 45 ORDER BY doc_id, dup_of""".stripMargin),
+    // same chain, the stream consumer's undirected readout: est =
+    // n_agree/64.0 is a dyadic rational — bit-identical in both engines
+    "c120_stream_neardup_live" ->
+      (sigAgreementCtes + """
+        |SELECT a, b, n_agree / 64.0 AS est
+        |FROM pair WHERE n_agree >= 45 ORDER BY a, b""".stripMargin),
     "c38_embedding_quantize" ->
       // identical arithmetic: scale = 127/max|v| (one IEEE division),
       // q = floor(v*scale + 0.5) (exact), dequant = q/scale; the cosine

@@ -379,6 +379,36 @@ private[graft] object EntryShared {
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
       |  WHERE len(t) >= 3)""".stripMargin
 
+  /** Shared oracle CTE chain for the minhash signature-agreement pairs
+    * (c37 directed / c120 undirected): full minhash replication — 60-bit
+    * md5 shingle hashes, the affine permutations h_i(x) = (a_i·x + b_i)
+    * mod P with the fixed-LCG constants (Dedup.coeffA/coeffB), banded
+    * 16×4, candidates = shared band, `pair` ends with the agreement
+    * count over all 64 permutations — pure integer arithmetic end to end
+    * (products < 2^62). Consumers append their own final SELECT with
+    * the ≥45 threshold. */
+  private[graft] val sigAgreementCtes = shingleCte +
+    """,
+      |hs AS (SELECT doc_id, list_distinct(list_transform(sh, x ->
+      |        CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT))) AS hs FROM s),
+      |perm AS (SELECT i,
+      |        CASE WHEN (1103515245 * (i+1) + 12345) % 2147483647 = 0 THEN 1
+      |             ELSE (1103515245 * (i+1) + 12345) % 2147483647 END AS a,
+      |        (69069 * (i+1) + 1) % 2147483647 AS b
+      |        FROM generate_series(0, 63) g(i)),
+      |sig AS (SELECT h.doc_id, p.i,
+      |        min((p.a * (h.h % 2147483647) + p.b) % 2147483647) AS sg
+      |        FROM (SELECT doc_id, unnest(hs) AS h FROM hs) h CROSS JOIN perm p
+      |        GROUP BY h.doc_id, p.i),
+      |sigl AS (SELECT doc_id, list(sg ORDER BY i) AS sig FROM sig GROUP BY doc_id),
+      |band AS (SELECT doc_id, gb.b AS bd, sig[gb.b*4+1 : gb.b*4+4] AS bs, sig
+      |         FROM sigl CROSS JOIN generate_series(0, 15) gb(b)),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sig AS siga, y.sig AS sigb
+      |         FROM band x JOIN band y ON x.bd = y.bd AND x.bs = y.bs AND x.doc_id < y.doc_id),
+      |pair AS (SELECT a, b,
+      |          len(list_filter(generate_series(1, 64), i -> siga[i] = sigb[i])) AS n_agree
+      |         FROM cand)""".stripMargin
+
   /** Shared oracle CTE for the c109/c110/c111 classifier family: per-doc
     * (doc_id, n_feats, score) — unigram ∪ bigram features, the 60-bit md5
     * bucket, the closed-form integer weights (same formula as

@@ -1136,6 +1136,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup drained over the REAL documents table equals the c120 key") {
+    // the r16 graduation evidence: the LIVE transformWithState detector,
+    // run over /root/testdata/sf0.001 documents (not a toy fixture),
+    // produces exactly the rows the driver-gated c120 key declares. All
+    // docs arrive in ONE micro-batch, so emit direction follows
+    // undefined row order — normalized via least/greatest, which is
+    // c120's own declared shape. est compares EXACTLY (n_agree/64 is a
+    // dyadic rational on both paths).
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sf = "/root/testdata/sf0.001"
+      val docs = s.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect().toSeq
+      val mem = MemoryStream[(Long, String)]
+      mem.addData(docs: _*)
+      val out = Streams.streamNearDupCandidates(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", threshold = 0.7)
+        .toDF("doc_id", "dup_of", "est")
+      val q = out.writeStream.format("memory").queryName("neardup_live")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val streamed = s.sql(
+          """SELECT DISTINCT least(doc_id, dup_of) AS a,
+            |  greatest(doc_id, dup_of) AS b, est FROM neardup_live""".stripMargin)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val batch = graft.SparkEntry.queries("c120_stream_neardup_live")(s, sf)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(batch.nonEmpty, "fixture corpus produced no near-dup candidates")
+        assert(streamed == batch,
+          s"live stream != c120 key: extra=${streamed -- batch} missing=${batch -- streamed}")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming bloom decontamination drops eval-tainted rows, keeps the rest") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
