@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Formats, Npy, Tables}
+
+/** Dev diagnostic (prints collected numbers by design — not a query
+  * path): measures the npy pair layout's scan economics the way
+  * `SkipRate` measures at-rest file-skip — the layout's two claims are
+  * **tasks ∝ pairs** (one read task per part pair, no driver funnel)
+  * and **bytes ∝ selected columns** (one array per file, so an
+  * ids-only consumer opens none of the `.vec.npy` payloads and reads
+  * 8/(8+4·d) of the layout). Run at two sfs; measured rows ledgered in
+  * docs/PLANS.md next to the b64/b93 skip-rate rows.
+  *
+  * Usage: `runMain graft.NpyScan [sfDir]`
+  */
+object NpyScan {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def measure(label: String, purpose: String, writerParts: Option[Int]): Unit = {
+      val dir = Formats.scratchDir(spark, purpose, sfDir)
+      Formats.ensureWritten(spark, dir) {
+        val in = Tables.t(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        Npy.writeVectors(writerParts.fold(in)(in.repartition(_)),
+          "vec_id", "embedding", dir)
+      }
+      val files = new java.io.File(dir).listFiles()
+      val idFiles = files.filter(_.getName.endsWith(".ids.npy"))
+      val vecFiles = files.filter(_.getName.endsWith(".vec.npy"))
+      val idBytes = idFiles.map(_.length).sum
+      val vecBytes = vecFiles.map(_.length).sum
+
+      def timed[T](body: => T): (T, Double) = {
+        val t0 = System.nanoTime()
+        val r = body
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      // warm each path once (JIT + listing), then time one pass
+      val full = Npy.readVectors(spark, dir)
+      val ids = Npy.readIds(spark, dir)
+      full.count(); ids.count()
+      val (fullRows, fullSec) = timed(full.count())
+      val (idRows, idSec) = timed(ids.count())
+
+      println(f"[npyscan] $label $sfDir pairs=${idFiles.length} " +
+        f"tasks_full=${full.rdd.getNumPartitions} tasks_ids=${ids.rdd.getNumPartitions} " +
+        f"rows=$fullRows/$idRows id_bytes=$idBytes vec_bytes=$vecBytes " +
+        f"ids_read_pct=${100.0 * idBytes / (idBytes + vecBytes)}%.2f " +
+        f"warm_full_s=$fullSec%.3f warm_ids_s=$idSec%.3f")
+    }
+    // as-written (testdata parquet is single-file → 1 writer partition →
+    // 1 pair) and an 8-way writer: read tasks must track pair count
+    measure("as-written", "npy_embeddings", None)
+    measure("writer-8  ", "npy_embeddings_scan8", Some(8))
+    spark.stop()
+  }
+}
