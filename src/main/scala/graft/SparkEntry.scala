@@ -80,5 +80,5 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query key has an oracle. */
-  def oracleSql: Map[String, String] = EntryA.aOracles ++ EntryB.bOracles ++ EntryC.cOracles
+  def oracleSql: Map[String, String] = OraclesA.aOracles ++ OraclesB.bOracles ++ OraclesC.cOracles
 }
