@@ -86,6 +86,17 @@ class PlanSpec extends SparkSpec {
       "InMemoryRelation".r.findAllIn(plan).length, plan)
   }
 
+  test("c120 stream-near-dup readout keeps the banded equi-join shape — no all-pairs") {
+    // the r16 graduation key must inherit c37's audited plan: candidates
+    // come from the (band, bandsig) equi-join over the persisted shingle
+    // index, never a nested-loop/cartesian fallback
+    val plan = physicalPlan(SparkEntry.queries("c120_stream_neardup_live")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"banded candidate join fell back to all-pairs:\n$plan")
+    assert(plan.contains("bandsig#"), s"band signature key missing from join:\n$plan")
+    assert(plan.contains("InMemoryTableScan"), s"shingle index not persisted:\n$plan")
+  }
+
   test("exact embedding similarity join is tiled — no nested-loop or cartesian join") {
     val plan = physicalPlan(SparkEntry.queries("c05_dedup_embedding")(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
