@@ -91,6 +91,10 @@ object Npy {
   }
 
   /** Write (id, float-vector) rows as the per-partition npy pair layout.
+    * OVERWRITE semantics: any prior layout in `dir` is removed first —
+    * the `_SUCCESS` marker BEFORE the part files, so a concurrent reader
+    * can never observe the old marker over a mix of old and new parts
+    * (and a crash mid-rewrite leaves an unreadable, not a mixed, dir).
     * Nulls (id or vector) are rejected with a named error — npy arrays
     * cannot hold nulls, and a backend must reject loudly, never NPE.
     * Every vector in a partition must share its dimension (an npy 2-D
@@ -98,11 +102,23 @@ object Npy {
     * READ time ([[readVectors]] checks every pair's header against the
     * first), which also covers foreign layouts. Empty partitions write
     * no files. Each task commits via temp-name + atomic rename
-    * ([[commitFile]] — safe under spark.speculation). Ends by writing
-    * the `_SUCCESS` marker, which [[readVectors]] requires. */
+    * ([[commitFile]]), and rows are written in (id, vector-bits) order,
+    * making each part file's bytes a pure function of partition
+    * MEMBERSHIP: two speculative attempts of the same partition write
+    * byte-identical files, so even interleaved ids/vec commits from two
+    * attempts cannot mispair a row (Spark's recompute contract makes
+    * membership deterministic; attempt-order of equal ids is the one
+    * residual the vector-bits tiebreak closes). Ends by writing the
+    * `_SUCCESS` marker, which [[readVectors]] requires. */
   def writeVectors(df: DataFrame, idCol: String, vecCol: String,
                    dir: String): Unit = {
-    new java.io.File(dir).mkdirs()
+    val root = new java.io.File(dir)
+    root.mkdirs()
+    // marker first, then stale parts/temps — the reverse of write order
+    new java.io.File(root, "_SUCCESS").delete()
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".npy") || f.getName.endsWith(".tmp"))
+      .foreach(_.delete())
     df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("v"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
@@ -118,6 +134,12 @@ object Npy {
             s"null vector element for id=${r.getLong(0)} — npy arrays cannot hold nulls")
           (r.getLong(0), boxed.map(_.floatValue()).toArray)
         }.toArray
+          // deterministic content: id order, raw-bits lexicographic
+          // tiebreak for duplicate ids (see the scaladoc's speculation
+          // argument) — NaN-safe because bits, not values, compare
+          .sortBy { case (id, v) =>
+            (id, v.map(java.lang.Float.floatToRawIntBits).toSeq)
+          }(Ordering.Tuple2(Ordering.Long, Ordering.Implicits.seqOrdering[Seq, Int]))
         if (rows.nonEmpty) {
           val tc = org.apache.spark.TaskContext.get()
           val pid = tc.partitionId()
@@ -285,6 +307,26 @@ object Npy {
     * time, before any task launches. */
   val DefaultMaxPartBytes: Long = 1L << 30
 
+  /** Shared listing preamble of [[readVectors]] and [[readIds]] — ONE
+    * definition of the layout-open contract so the two readers cannot
+    * drift: `_SUCCESS` required (a half-written layout from a crashed
+    * app must not be silently readable), and every file the caller will
+    * read bounded by `maxPartBytes` BY NAME (each read task buffers
+    * whole files). Returns the matching file names, sorted. */
+  private def listParts(dir: String, suffix: String,
+                        maxPartBytes: Long): Seq[String] = {
+    require(new java.io.File(dir, "_SUCCESS").exists(),
+      s"$dir: no _SUCCESS marker — layout absent or not closed by its writer")
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(suffix))
+    val oversized = files.filter(_.length() > maxPartBytes)
+    require(oversized.isEmpty,
+      s"part file(s) over the $maxPartBytes-byte per-task read bound " +
+        s"(each read task buffers whole part files): " +
+        oversized.map(f => s"${f.getName} (${f.length()} B)").mkString(", "))
+    files.map(_.getName).sorted.toSeq
+  }
+
   /** Read a [[writeVectors]] layout back as (id, vec) rows — one task per
     * part pair. The listing step (the standard datasource schema pass)
     * requires the writer's `_SUCCESS` marker (a half-written layout from
@@ -297,17 +339,9 @@ object Npy {
   def readVectors(spark: SparkSession, dir: String,
                   maxPartBytes: Long = DefaultMaxPartBytes): DataFrame = {
     import spark.implicits._
-    require(new java.io.File(dir, "_SUCCESS").exists(),
-      s"$dir: no _SUCCESS marker — layout absent or not closed by its writer")
-    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-    val parts = files.map(_.getName).filter(_.endsWith(".ids.npy"))
-      .map(_.stripSuffix(".ids.npy")).sorted.toSeq
-    val oversized = files.filter(f => f.getName.endsWith(".npy") &&
-      f.length() > maxPartBytes)
-    require(oversized.isEmpty,
-      s"part file(s) over the $maxPartBytes-byte per-task read bound " +
-        s"(each read task buffers one whole pair): " +
-        oversized.map(f => s"${f.getName} (${f.length()} B)").mkString(", "))
+    // bound EVERY .npy file (a pair's task reads both halves)
+    val parts = listParts(dir, ".npy", maxPartBytes)
+      .filter(_.endsWith(".ids.npy")).map(_.stripSuffix(".ids.npy"))
     val dims = parts.map { base =>
       val (descr, shape) = readNpyHeader(s"$dir/$base.vec.npy")
       require(descr == "<f4" && shape.length == 2,
@@ -346,15 +380,7 @@ object Npy {
   def readIds(spark: SparkSession, dir: String,
               maxPartBytes: Long = DefaultMaxPartBytes): DataFrame = {
     import spark.implicits._
-    require(new java.io.File(dir, "_SUCCESS").exists(),
-      s"$dir: no _SUCCESS marker — layout absent or not closed by its writer")
-    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".ids.npy"))
-    val oversized = files.filter(_.length() > maxPartBytes)
-    require(oversized.isEmpty,
-      s"part file(s) over the $maxPartBytes-byte per-task read bound: " +
-        oversized.map(f => s"${f.getName} (${f.length()} B)").mkString(", "))
-    val parts = files.map(_.getName).sorted.toSeq
+    val parts = listParts(dir, ".ids.npy", maxPartBytes)
     parts.toDS().repartition(math.max(parts.size, 1))
       .flatMap { name =>
         val (descr, shape, buf) = readNpy(s"$dir/$name")

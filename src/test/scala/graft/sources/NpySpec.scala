@@ -154,6 +154,40 @@ class NpySpec extends SparkSpec {
     assert(ids == Seq(5L, 6L, 7L))
   }
 
+  test("writeVectors overwrites: a rewrite leaves no stale parts behind") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("graft-npy-rewrite").toString
+    Npy.writeVectors(Seq((1L, Array(1f)), (2L, Array(2f)), (3L, Array(3f)))
+      .toDF("id", "v").repartition(3), "id", "v", dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".ids.npy")) == 3)
+    // rewrite with fewer partitions: without the marker-first cleanup the
+    // old high-numbered pairs would silently merge into every later read
+    Npy.writeVectors(Seq((9L, Array(9f))).toDF("id", "v").repartition(1),
+      "id", "v", dir)
+    val back = Npy.readVectors(s, dir).as[(Long, Array[Float])].collect()
+    assert(back.map(_._1).toSeq == Seq(9L), s"stale rows survived: ${back.toSeq}")
+  }
+
+  test("part content is a pure function of partition membership, not row order") {
+    // the speculation-safety argument: two attempts of one partition may
+    // iterate rows in different orders (e.g. after a shuffle); the writer
+    // sorts by (id, vector bits) so both attempts produce byte-identical
+    // files and interleaved pair commits cannot mispair a row
+    val s = spark; import s.implicits._
+    val rows = Seq((3L, Array(3f, 30f)), (1L, Array(1f, 10f)),
+      (1L, Array(0.5f, 5f)), (2L, Array(2f, 20f)))
+    def layoutBytes(ordered: Seq[(Long, Array[Float])], tag: String): Seq[Seq[Byte]] = {
+      val dir = tempDir(s"graft-npy-det-$tag").toString
+      Npy.writeVectors(ordered.toDF("id", "v").coalesce(1), "id", "v", dir)
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".npy"))
+        .sortBy(_.getName)
+        .map(f => java.nio.file.Files.readAllBytes(f.toPath).toSeq).toSeq
+    }
+    val a = layoutBytes(rows, "fwd")
+    val b = layoutBytes(rows.reverse, "rev")
+    assert(a == b, "same membership, different bytes — attempt-order leaked into the layout")
+  }
+
   test("readNpz rejects duplicate entry names after suffix normalization") {
     val dir = tempDir("graft-npz-dup")
     val p = dir.resolve("dup.npz").toString
