@@ -1942,8 +1942,9 @@ private[graft] object EntryC {
       // (n_agree >= 45 ⇔ est ≥ 0.7 exactly in IEEE doubles), arrival
       // fixed to id order so the directed result is oracle-checkable;
       // StreamingSpec asserts this query's semantics equal the live
-      // transformWithState operator's collected output
-      Dedup.signatureAgreementPairs(docShingleSets(s, d))
+      // transformWithState operator's collected output. Cache read of
+      // the memoized docSigAgreementPairs (shared with c120, r16).
+      docSigAgreementPairs(s, d)
         .orderBy(col("doc_id"), col("dup_of"))),
 
     "c120_stream_neardup_live" -> ((s, d) =>
@@ -1962,8 +1963,9 @@ private[graft] object EntryC {
       // rows — so the driver gate + the spec together cover the
       // streaming operator end to end. Plan: identical to c37's audited
       // shape (banded self-join with the maxBucket hot-tower cap; no
-      // all-pairs anywhere) plus one narrow projection.
-      Dedup.signatureAgreementPairs(docShingleSets(s, d))
+      // all-pairs anywhere) plus one narrow projection — both keys are
+      // cache reads of the memoized docSigAgreementPairs.
+      docSigAgreementPairs(s, d)
         .select(col("dup_of").as("a"), col("doc_id").as("b"),
           (col("n_agree") / lit(64.0)).as("est"))
         .orderBy(col("a"), col("b"))),

@@ -97,6 +97,19 @@ private[graft] object EntryShared {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** The minhash signature-agreement candidate pairs (doc_id, dup_of,
+    * n_agree) over documents, shared by c37 (the directed arrival-order
+    * parity readout) and c120 (the stream consumer's undirected
+    * readout, r16): the banded self-join + 64-perm agreement verify
+    * runs once per (session, sfDir); both keys are cache reads. */
+  private[graft] val sigPairsCache = new graft.sources.Memo()
+
+  private[graft] def docSigAgreementPairs(s: SparkSession, d: String): DataFrame =
+    sigPairsCache.getOrElseUpdate((s, d)) {
+      Dedup.signatureAgreementPairs(docShingleSets(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** The documents bigram-position table (doc_id, source, w1, w2), shared
     * by c58 (corpus LM: three consumers — two count aggregates + the
     * scoring join) and c64 (reference LM: the reference slice filters off

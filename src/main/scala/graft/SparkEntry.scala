@@ -40,6 +40,7 @@ object SparkEntry {
     Tables.orderItems(s, d).count()
     docShingleSets(s, d).count()
     docJaccardPairs(s, d).count()
+    docSigAgreementPairs(s, d).count()
     docClusters(s, d).count()
     docBigramsWithSource(s, d).count()
     embeddingPairGraph(s, d).count()
