@@ -92,9 +92,14 @@ object Npy {
 
   /** Write (id, float-vector) rows as the per-partition npy pair layout.
     * OVERWRITE semantics: any prior layout in `dir` is removed first —
-    * the `_SUCCESS` marker BEFORE the part files, so a concurrent reader
-    * can never observe the old marker over a mix of old and new parts
-    * (and a crash mid-rewrite leaves an unreadable, not a mixed, dir).
+    * the `_SUCCESS` marker BEFORE the part files, so a CRASH anywhere
+    * mid-rewrite leaves an unreadable (marker-less) dir, never old pairs
+    * merged under a fresh marker; a stale file that cannot be deleted
+    * fails the write loudly rather than surviving into later reads.
+    * This is crash-safety, not reader isolation — writers are serialized
+    * per layout ([[Formats.ensureWritten]] at the call sites) and a
+    * reader concurrent with a rewrite is unsupported (it may see the
+    * marker vanish or mixed listings mid-flight).
     * Nulls (id or vector) are rejected with a named error — npy arrays
     * cannot hold nulls, and a backend must reject loudly, never NPE.
     * Every vector in a partition must share its dimension (an npy 2-D
@@ -114,11 +119,17 @@ object Npy {
                    dir: String): Unit = {
     val root = new java.io.File(dir)
     root.mkdirs()
-    // marker first, then stale parts/temps — the reverse of write order
-    new java.io.File(root, "_SUCCESS").delete()
+    // marker first, then stale parts/temps — the reverse of write order;
+    // a failed delete must fail the WRITE (a surviving stale part would
+    // silently merge into every later read — the defect this cleanup
+    // exists to prevent)
+    val marker = new java.io.File(root, "_SUCCESS")
+    require(marker.delete() || !marker.exists(),
+      s"$dir: cannot delete stale _SUCCESS marker")
     Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.endsWith(".npy") || f.getName.endsWith(".tmp"))
-      .foreach(_.delete())
+      .foreach(f => require(f.delete() || !f.exists(),
+        s"$dir: cannot delete stale ${f.getName} — refusing to write a mixed layout"))
     df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("v"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
@@ -136,10 +147,27 @@ object Npy {
         }.toArray
           // deterministic content: id order, raw-bits lexicographic
           // tiebreak for duplicate ids (see the scaladoc's speculation
-          // argument) — NaN-safe because bits, not values, compare
-          .sortBy { case (id, v) =>
-            (id, v.map(java.lang.Float.floatToRawIntBits).toSeq)
-          }(Ordering.Tuple2(Ordering.Long, Ordering.Implicits.seqOrdering[Seq, Int]))
+          // argument) — NaN-safe because bits, not values, compare.
+          // Comparator, not a sortBy key: the vector bits are only
+          // touched on the rare duplicate-id tie, so the sort allocates
+          // nothing per comparison in the write hot path
+          .sorted(new Ordering[(Long, Array[Float])] {
+            def compare(a: (Long, Array[Float]), b: (Long, Array[Float])): Int = {
+              val c = java.lang.Long.compare(a._1, b._1)
+              if (c != 0) return c
+              val va = a._2; val vb = b._2
+              val n = math.min(va.length, vb.length)
+              var i = 0
+              while (i < n) {
+                val cc = java.lang.Integer.compare(
+                  java.lang.Float.floatToRawIntBits(va(i)),
+                  java.lang.Float.floatToRawIntBits(vb(i)))
+                if (cc != 0) return cc
+                i += 1
+              }
+              java.lang.Integer.compare(va.length, vb.length)
+            }
+          })
         if (rows.nonEmpty) {
           val tc = org.apache.spark.TaskContext.get()
           val pid = tc.partitionId()

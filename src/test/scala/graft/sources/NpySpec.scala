@@ -159,7 +159,10 @@ class NpySpec extends SparkSpec {
     val dir = tempDir("graft-npy-rewrite").toString
     Npy.writeVectors(Seq((1L, Array(1f)), (2L, Array(2f)), (3L, Array(3f)))
       .toDF("id", "v").repartition(3), "id", "v", dir)
-    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".ids.npy")) == 3)
+    // >= 2, not == 3: round-robin repartition may co-locate two rows
+    // (seed accident, not a contract); the property under test only
+    // needs MORE pairs than the rewrite leaves
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".ids.npy")) >= 2)
     // rewrite with fewer partitions: without the marker-first cleanup the
     // old high-numbered pairs would silently merge into every later read
     Npy.writeVectors(Seq((9L, Array(9f))).toDF("id", "v").repartition(1),
