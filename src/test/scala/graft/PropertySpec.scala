@@ -389,6 +389,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("npy layout: roundtrip is bit-exact and bytes are row-order-independent") {
+    val s2 = spark; import s2.implicits._
+    // arbitrary float BITS (covers NaN payloads, subnormals, ±0, ±inf)
+    // at a fixed dim per sample (the layout is rectangular by contract);
+    // ids may repeat — the writer's duplicate-id tiebreak must still
+    // produce order-independent bytes AND preserve the id↔vector pairing
+    val genVecRows: Gen[(Int, List[(Long, List[Int])])] = for {
+      d <- Gen.choose(1, 5)
+      rows <- Gen.nonEmptyListOf(Gen.zip(
+        Gen.choose(-3L, 3L),
+        Gen.listOfN(d, Gen.choose(Int.MinValue, Int.MaxValue))))
+    } yield (d, rows)
+    forAll(genVecRows) { case (_, bitRows) =>
+      val rows = bitRows.map { case (id, bits) =>
+        (id, bits.map(java.lang.Float.intBitsToFloat).toArray)
+      }
+      def layout(ordered: Seq[(Long, Array[Float])], tag: String) = {
+        val dir = tempDir(s"graft-npy-prop-$tag").toString
+        graft.sources.Npy.writeVectors(
+          ordered.toDF("id", "v").coalesce(1), "id", "v", dir)
+        val bytes = new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".npy")).sortBy(_.getName)
+          .map(f => java.nio.file.Files.readAllBytes(f.toPath).toSeq).toSeq
+        val back = graft.sources.Npy.readVectors(s2, dir)
+          .as[(Long, Array[Float])].collect()
+          .map { case (id, v) => (id, v.map(java.lang.Float.floatToRawIntBits).toSeq) }
+        (bytes, back)
+      }
+      val (bytesA, backA) = layout(rows, "a")
+      val (bytesB, backB) = layout(new scala.util.Random(42).shuffle(rows), "b")
+      assert(bytesA == bytesB, "layout bytes depend on row order")
+      // pairing intact: the multiset of (id, vector-bits) survives exactly
+      def canon(xs: Seq[(Long, Seq[Int])]) =
+        xs.map { case (id, bits) => (id, bits.mkString(",")) }.sorted
+      assert(canon(backA.toSeq) == canon(bitRows),
+        "roundtrip lost or mispaired a row")
+      assert(backB.toSeq == backA.toSeq)
+    }
+  }
+
   test("contiguousIds: a permutation of 0..n-1 in key order, at any bucket width") {
     val s2 = spark; import s2.implicits._
     forAll(Gen.nonEmptyListOf(Gen.choose(0L, 10000L)).map(_.distinct)) { keys =>
