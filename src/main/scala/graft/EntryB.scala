@@ -1249,6 +1249,33 @@ private[graft] object EntryB {
         .orderBy(col("vec_id"))
     }),
 
+    "b130_npy_ids_scan" -> ((s, d) => {
+      // the COLUMN-PRUNED consumer of the npy pair layout (r16
+      // Npy.readIds): an ids-only pass opens none of the .vec.npy
+      // payloads — the one-array-per-file projection payoff, measured at
+      // 3.05–3.75 % of layout bytes in docs/PLANS.md (graft.NpyScan).
+      // This key gates that read path end-to-end the way b129 gates the
+      // full pair read: the layout is b129's own write (shared
+      // ensureWritten purpose — written once per app, bench-warmed), the
+      // readout is exact integer aggregates over the id column that
+      // DuckDB reproduces from the parquet original, so a dropped part,
+      // duplicated row, or misdecoded int64 breaks count/sum/min/max.
+      // Plan: one task per part pair (ids file only), partial aggregates
+      // per task, a single 1-row final exchange — at 100 TB this is the
+      // cheapest possible existence/coverage check over a vector store.
+      val dir = graft.sources.Formats.scratchDir(s, "npy_embeddings", d)
+      graft.sources.Formats.ensureWritten(s, dir) {
+        graft.sources.Npy.writeVectors(
+          t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", dir)
+      }
+      graft.sources.Npy.readIds(s, dir)
+        .agg(count(lit(1)).as("n_ids"),
+          sum(col("id")).as("id_sum"),
+          min(col("id")).as("id_min"),
+          max(col("id")).as("id_max"))
+    }),
+
     "b34_csv_roundtrip" -> ((s, d) => {
       // CSV interchange roundtrip with a DECLARED read schema (never
       // inferSchema — that's an extra full pass at 100 TB). Money goes

@@ -587,6 +587,13 @@ private[graft] object OraclesB {
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |  TRUE AS roundtrip_ok
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // closed-form truth off the parquet original (the b129 asymmetry);
+    // sum cast to BIGINT — DuckDB's sum(BIGINT) widens to HUGEINT
+    "b130_npy_ids_scan" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_ids,
+        |  CAST(sum(vec_id) AS BIGINT) AS id_sum,
+        |  min(vec_id) AS id_min, max(vec_id) AS id_max
+        |FROM embeddings""".stripMargin,
     "b54_percentile_cont" ->
       """SELECT l_returnflag,
         |  quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS q25,

@@ -64,7 +64,8 @@ object SparkEntry {
       "b33_orc_roundtrip", "b34_csv_roundtrip", "b37_bucketed_join",
       "b38_partition_prune", "b49_json_roundtrip", "b63_partitioned_bucketed",
       "b64_zorder_prune", "b79_dynamic_partition_prune", "b86_bucketed_agg",
-      "b93_hilbert_prune", "b129_npy_roundtrip", "c36_incremental_dedup",
+      "b93_hilbert_prune", "b129_npy_roundtrip", "b130_npy_ids_scan",
+      "c36_incremental_dedup",
       "c63_semantic_dedup")
     oneTimeBuildQueries.foreach { n =>
       queries.get(n).foreach(fn => fn(s, d).count())

@@ -86,6 +86,20 @@ class PlanSpec extends SparkSpec {
       "InMemoryRelation".r.findAllIn(plan).length, plan)
   }
 
+  test("b130 npy ids-only scan: partial aggregates per part, no joins, no parquet") {
+    // the column-pruned consumer must stay the cheapest possible pass:
+    // one task per ids file, map-side partial aggregation, a single
+    // 1-row final exchange — and it must never touch the parquet
+    // original or any vec payload (the layout itself is pre-built by
+    // the shared ensureWritten purpose)
+    val plan = physicalPlan(SparkEntry.queries("b130_npy_ids_scan")(spark, sf))
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"ids aggregates must map-side combine:\n$plan")
+    assert(!plan.contains("Scan parquet"),
+      s"ids-only scan must not touch the parquet original:\n$plan")
+  }
+
   test("c120 stream-near-dup readout keeps the banded equi-join shape — no all-pairs") {
     // the r16 graduation key must inherit c37's audited plan: candidates
     // come from the (band, bandsig) equi-join over the persisted shingle
