@@ -187,8 +187,22 @@ object Streams extends Serializable {
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
                      session_end: java.sql.Timestamp, n: Long)
 
-  /** Internal running-session state: O(1) per user. */
+  /** Internal running-session state: O(1) per user (times in µs). */
   case class SessionState(start: Long, last: Long, n: Long)
+
+  /** java.sql.Timestamp ↔ epoch MICROSECONDS — the events table's
+    * physical precision; session-gap comparisons at ms (getTime) would
+    * split µs-resolution boundary pairs differently from the
+    * session_window batch twin. floorDiv/floorMod keep pre-1970 times
+    * exact too. */
+  private def tsToUs(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def usToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Running per-key event count via transformWithState — Spark 4's
     * successor to [map|flatMap]GroupsWithState: named state variables on a
@@ -261,15 +275,22 @@ object Streams extends Serializable {
       val out = Seq.newBuilder[(Long, Long, Double)]
       rows.foreach { case (_, docId, sig) =>
         var n = 0
+        var seen = false
         recent.get().foreach { case (prevId, prevSig) =>
           n += 1
-          if (prevId != docId) {
+          if (prevId == docId) seen = true
+          else {
             val est = sig.iterator.zip(prevSig.iterator)
               .count { case (a, b) => a == b }.toDouble / sig.size
             if (est >= threshold) out += ((docId, prevId, est))
           }
         }
-        if (n < maxBucket) recent.appendValue((docId, sig))
+        // never store the same doc twice: an at-least-once source that
+        // re-delivers a doc across micro-batches must not inflate the
+        // bucket toward maxBucket or multiply later candidates (the
+        // re-delivery may RE-EMIT matches — at-least-once output, which
+        // the documented DISTINCT consumer step absorbs)
+        if (!seen && n < maxBucket) recent.appendValue((docId, sig))
       }
       out.result().iterator
     }
@@ -316,6 +337,19 @@ object Streams extends Serializable {
     * last + gap, so a 1000-executor job holds |active users| tiny records.
     * In batch mode Spark runs the same function with one group pass and a
     * final NoTimeout call — used by the spec to check batch/stream parity.
+    *
+    * O(1)-state CONTRACT (the trade vs the gated session_window path,
+    * which keeps full per-session state and revises): within a
+    * micro-batch, events sort before scanning, so intra-batch disorder
+    * is exact; across micro-batches, the single open-session slot means
+    * an admitted straggler EARLIER than the open session's start merges
+    * into it (extending start backward) even when it is gap-separated —
+    * a full revision would re-split, which O(1) state cannot represent.
+    * Per-user in-order arrival across batches (the common
+    * partitioned-source case) is exact; feeds needing straggler
+    * re-splitting use [[streamSessionCounts]]. Gap comparisons run in µs
+    * (the events table's physical precision) so boundary pairs split
+    * identically to the batch twin.
     */
   def sessionizeWithState(events: DataFrame, gapMs: Long, delay: String):
       org.apache.spark.sql.Dataset[Session] = {
@@ -323,10 +357,10 @@ object Streams extends Serializable {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMs * 1000L
 
     def close(userId: Long, st: SessionState): Session =
-      Session(userId, new java.sql.Timestamp(st.start),
-        new java.sql.Timestamp(st.last + gapMs), st.n)
+      Session(userId, usToTs(st.start), usToTs(st.last + gapUs), st.n)
 
     events.withWatermark("ts", delay)
       // keep the watermarked ts column itself — projecting it away would
@@ -342,11 +376,11 @@ object Streams extends Serializable {
             state.remove()
             out.iterator
           } else {
-            val ts = rows.map(_._2.getTime).toArray.sorted
+            val ts = rows.map(r => tsToUs(r._2)).toArray.sorted
             var st = state.getOption.getOrElse(SessionState(ts.head, ts.head, 0))
             val closed = Seq.newBuilder[Session]
             ts.foreach { t =>
-              if (st.n > 0 && t - st.last >= gapMs) {
+              if (st.n > 0 && t - st.last >= gapUs) {
                 closed += close(userId, st)
                 st = SessionState(t, t, 1)
               } else {
@@ -354,17 +388,7 @@ object Streams extends Serializable {
               }
             }
             state.update(st)
-            // Never set a timeout at-or-before the watermark (rejected by
-            // Spark; a swallowed rejection = state that never times out):
-            // clamp to watermark + 1 ms. Only batch execution (no
-            // watermark clock → getCurrentWatermarkMs throws) skips the
-            // set — batch timeouts never fire anyway.
-            try {
-              val wm = state.getCurrentWatermarkMs()
-              state.setTimeoutTimestamp(math.max(st.last + gapMs, wm + 1L))
-            } catch {
-              case _: UnsupportedOperationException => // batch: no watermark clock
-            }
+            armHorizonTimeout(state, st.last, gapMs)
             closed.result().iterator
           }
       }
@@ -752,9 +776,13 @@ object Streams extends Serializable {
     * start inside [[withCheckerDisabled]]. */
   def streamFunnelAbRevenue(events: DataFrame, stages: Seq[String],
                             gapMs: Long, delay: String, attrWindowMs: Long,
-                            maxBuffer: Int = 10000): DataFrame = {
+                            anchorIdx: Int = 1, maxBuffer: Int = 10000): DataFrame = {
+    // forward the attribution anchor instead of hard-coding the inner
+    // machine's default: a legal 2-stage funnel (stages.size >= 2, which
+    // funnelRevenueWithState admits) needs anchorIdx 0 and was otherwise
+    // unreachable from this readout
     val closed = funnelRevenueWithState(events, stages, gapMs, delay,
-      attrWindowMs, maxBuffer = maxBuffer).toDF()
+      attrWindowMs, anchorIdx = anchorIdx, maxBuffer = maxBuffer).toDF()
     val n = stages.size
     val armed = closed.withColumn("arm",
       pmod(graft.functions.Text.tokenHash(col("user_id").cast("string")), lit(2L)))
@@ -1006,7 +1034,12 @@ object Streams extends Serializable {
     * (tunable via m and k), the safe direction for decontamination. */
   def streamBloomDrop(stream: DataFrame, hashCol: Column,
                       bits: Array[Long], k: Int): DataFrame =
-    stream.where(!graft.plans.BloomExpressions.mightContain(typedlit(bits), hashCol, k))
+    // a NULL key carries no membership evidence and must be KEPT: the
+    // probe null-propagates, and a bare where(!null) would silently drop
+    // every null-keyed row — the one direction bloom decontamination
+    // promises never to err in (only false POSITIVES may drop clean rows)
+    stream.where(hashCol.isNull ||
+      !graft.plans.BloomExpressions.mightContain(typedlit(bits), hashCol, k))
 
   // ---------------------------------------------------------------------
   // Continuous IVM: a streaming materialized aggregate via foreachBatch
@@ -1015,20 +1048,28 @@ object Streams extends Serializable {
   private def genPath(stateDir: String, gen: Long): String =
     s"$stateDir/gen=$gen"
 
-  private def committedGens(stateDir: String): Seq[Long] = {
-    val d = new java.io.File(stateDir)
-    if (!d.isDirectory) Seq.empty
-    else d.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("gen=") &&
-        new java.io.File(f, "_SUCCESS").exists())
-      .map(_.getName.stripPrefix("gen=").toLong)
+  /** Committed generations via the HADOOP filesystem of `stateDir` — not
+    * java.io.File, which silently sees nothing on hdfs://, s3a://, or a
+    * non-local default FS: the writes (spark.write.parquet) would land
+    * remotely while a local-FS listing returned empty, so every merge
+    * would quietly restart from scratch and the final state would be one
+    * batch's partials — the worst failure mode is the silent one. */
+  private def committedGens(spark: org.apache.spark.sql.SparkSession,
+                            stateDir: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("gen=").toLong)
   }
 
   /** The current materialized IVM state (latest committed generation), or
     * None before the first batch lands. */
   def ivmState(spark: org.apache.spark.sql.SparkSession,
                stateDir: String): Option[DataFrame] = {
-    val gens = committedGens(stateDir)
+    val gens = committedGens(spark, stateDir)
     if (gens.isEmpty) None else Some(spark.read.parquet(genPath(stateDir, gens.max)))
   }
 
@@ -1063,19 +1104,19 @@ object Streams extends Serializable {
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
       val agg = state(batch)
-      val prior = committedGens(stateDir).filter(_ < batchId)
+      val prior = committedGens(spark, stateDir).filter(_ < batchId)
       val merged =
         if (prior.isEmpty) agg
         else graft.operators.Ivm.mergeStates(
           Seq(spark.read.parquet(genPath(stateDir, prior.max)), agg), keys, specs)
       merged.write.mode("overwrite").parquet(genPath(stateDir, batchId))
-      // vacuum everything below the retry parent (best-effort, local FS)
+      // vacuum everything below the retry parent (best-effort, same
+      // Hadoop FS as the listing — works on any filesystem the state
+      // itself lives on)
+      val fs = new org.apache.hadoop.fs.Path(stateDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       prior.filter(_ < prior.max).foreach { g =>
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(genPath(stateDir, g)))
+        fs.delete(new org.apache.hadoop.fs.Path(genPath(stateDir, g)), true): Unit
       }
     }
 }

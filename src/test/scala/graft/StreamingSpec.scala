@@ -900,6 +900,93 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization compares gaps in MICROSECONDS, matching the batch twin") {
+    // two events 1,799,999,501 µs apart with gap = 30 min: session_window
+    // (µs-exact) merges them; a ms-truncated comparison (getTime) would
+    // see exactly 1,800,000 ms and split — the r16 precision fix
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, 1, "click", 1.0, Timestamp.valueOf("2024-01-01 10:00:00.000999")),
+      Ev(2, 1, "click", 1.0, Timestamp.valueOf("2024-01-01 10:30:00.0005")))
+    val out = Streams.sessionizeWithState(mem.toDF(), gapMs = 30 * 60 * 1000,
+      delay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sessus")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a far-future event closes the (merged) session
+      mem.addData(Ev(3, 1, "click", 1.0, Timestamp.valueOf("2024-01-01 23:00:00")))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT n FROM sessus").collect().map(_.getLong(0))
+      assert(rows.toSeq == Seq(2L),
+        s"boundary pair must merge into ONE 2-event session, got $rows")
+    } finally q.stop()
+  }
+
+  test("streaming near-dup: a re-delivered doc is stored once, never inflating the bucket") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again " +
+        "every single day without fail in the morning"
+      val mem = MemoryStream[(Long, String)]
+      val out = Streams.streamNearDupCandidates(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", threshold = 0.7)
+        .toDF("doc_id", "dup_of", "est")
+      val q = out.writeStream.format("memory").queryName("redelivery")
+        .outputMode("append").start()
+      try {
+        // at-least-once source: doc 1 delivered in THREE micro-batches
+        (1 to 3).foreach { _ => mem.addData((1L, base)); q.processAllAvailable() }
+        mem.addData((3L, base)) // exact dup: all 16 bands agree
+        q.processAllAvailable()
+        val raw = s.sql(
+          "SELECT count(*) FROM redelivery WHERE doc_id = 3 AND dup_of = 1")
+          .head().getLong(0)
+        // one stored copy -> one emission per agreeing band (16); the
+        // pre-fix duplicate appends would have emitted 48
+        assert(raw == 16L, s"expected 16 per-band emissions, got $raw")
+        assert(s.sql("SELECT count(*) FROM redelivery WHERE doc_id = dup_of")
+          .head().getLong(0) == 0L, "a re-delivery must never match itself")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming bloom drop KEEPS null-keyed rows — no membership evidence, never dropped") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evalKeys = (1L to 50L).map(i => i * 0x9e3779b97f4a7c15L)
+    val bits = evalKeys.toDF("h")
+      .agg(graft.functions.Bloom.build(col("h"), mBits = 1 << 16, k = 5))
+      .head.getSeq[Long](0).toArray
+    val mem = MemoryStream[(Long, String)]
+    // key column derived as a nullable expression: tag "x" -> null key
+    mem.addData((evalKeys.head, "k"), (999999L, "k"), (0L, "x"))
+    val in = mem.toDF().toDF("h0", "tag")
+      .select(when(col("tag") === "k", col("h0")).as("h"), col("tag"))
+    val out = Streams.streamBloomDrop(in, col("h"), bits, k = 5)
+    val q = out.writeStream.format("memory").queryName("bloomnull")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val kept = s.sql("SELECT h, tag FROM bloomnull").collect()
+      assert(kept.exists(_.isNullAt(0)), "null-keyed row must be KEPT")
+      assert(kept.exists(r => !r.isNullAt(0) && r.getLong(0) == 999999L))
+      assert(!kept.exists(r => !r.isNullAt(0) && r.getLong(0) == evalKeys.head),
+        "contaminated row must still drop")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join emits in-window pairs and evicts state past the watermark") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
