@@ -1080,12 +1080,14 @@ private[graft] object OraclesC {
         |         CAST(c.threshold_milli AS BIGINT) AS threshold_milli,
         |         CAST(c.recall_milli AS BIGINT) AS recall_milli,
         |         st.hot_buckets, st.max_bucket, st.cand_pairs,
+        |         (c.recall_milli >= 990 AND st.cand_pairs <= nd.n_docs * 20) AS eligible,
         |         row_number() OVER (ORDER BY
         |           (c.recall_milli >= 990 AND st.cand_pairs <= nd.n_docs * 20) DESC,
         |           st.cand_pairs, c.bands) AS rn
         |       FROM st JOIN cfg c USING (bands) CROSS JOIN nd)
         |SELECT CAST(bands AS INTEGER) AS bands, rows_per_band, threshold_milli,
-        |  recall_milli, hot_buckets, max_bucket, cand_pairs, rn = 1 AS chosen
+        |  recall_milli, hot_buckets, max_bucket, cand_pairs, eligible,
+        |  (eligible AND rn = 1) AS chosen
         |FROM rk ORDER BY bands""".stripMargin
     },
 

@@ -92,13 +92,22 @@ object Dedup {
         array((0 until bands).map(b =>
           array_join(transform(slice(col("sig"), b * r + 1, r), _.cast("string")), "_")): _*)))
       .toDF("id", "band", "bandsig")
-    val buckets = banded.groupBy("band", "bandsig")
-      .agg(collect_list("id").as("ids"))
-      .where(size(col("ids")).between(2, maxBucket))
-    val cands = buckets
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(col("ids")).as("b"))
-      .where(col("a") < col("b"))
+    // tower-safe cap (the signatureAgreementPairs shape): a count-based
+    // hot set + broadcast anti-join + banded self-join. The former
+    // collect_list bucket build materialized a degenerate tower's ENTIRE
+    // id list in one aggregation buffer BEFORE the size filter could
+    // drop it — the exact skew the cap exists to guard would OOM the
+    // aggregate first. count() partial-aggregates map-side, so no
+    // bucket's membership ever assembles in memory; singletons produce
+    // no pairs via a < b without needing an explicit size >= 2 cut.
+    val hot = banded.groupBy(col("band"), col("bandsig"))
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
+      .select(col("band"), col("bandsig"))
+    val ok = banded.join(broadcast(hot), Seq("band", "bandsig"), "left_anti")
+    val cands = ok.as("x").join(ok.as("y"),
+        col("x.band") === col("y.band") && col("x.bandsig") === col("y.bandsig") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
     val withSets = cands
       .join(sets.select(col("id").as("a"), col("hs").as("ha")), "a")
@@ -149,20 +158,27 @@ object Dedup {
         .toDF("id", "hs", "pos", "bandsig")
         .select(col("id"), col("hs"), col("pos").as("band"), col("bandsig"))
     // degenerate-tower cap, same rationale as minhashPairsOf's maxBucket: a
-    // band signature shared by massively many corpus docs (empty/boilerplate
-    // texts) would fan every matching batch row out |bucket|-fold through
-    // one skewed join task. The hot set is computed on the corpus index
-    // (map-side-combined count, usually empty) and anti-joined off both
-    // sides — exactly the hot-shingle cut shape from ngramJaccardPairsOf.
+    // band signature shared by massively many docs (empty/boilerplate
+    // texts) would fan every matching row out |bucket|-fold through one
+    // skewed join task. The hot set counts over CORPUS ∪ BATCH — a tower
+    // internal to the batch (first ingest, a re-crawl of near-identical
+    // pages) must cap the within-batch leg too, and a bucket whose
+    // corpus and batch halves only jointly exceed the cap fans out
+    // corpus×batch in the cross leg — then anti-joins off both sides
+    // (map-side-combined count, usually empty; the hot-shingle cut shape
+    // from ngramJaccardPairsOf).
     val corpusAll = banded(sets.where(!isNew))
-    val hot = corpusAll.groupBy(col("band"), col("bandsig"))
+    val batchAll = banded(sets.where(isNew))
+    val hot = corpusAll.select(col("band"), col("bandsig"))
+      .unionAll(batchAll.select(col("band"), col("bandsig")))
+      .groupBy(col("band"), col("bandsig"))
       .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
       .select(col("band"), col("bandsig"))
     val corpus = corpusAll.join(broadcast(hot), Seq("band", "bandsig"), "left_anti")
     // the batch's banded signatures feed three plan positions (the shared
     // broadcast and the within-leg probe side); persist so the minhash
     // kernel runs once over the batch, not per consumer
-    val batch = banded(sets.where(isNew))
+    val batch = batchAll
       .join(broadcast(hot), Seq("band", "bandsig"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cross = corpus.as("c").join(broadcast(batch).as("n"),
@@ -333,10 +349,14 @@ object Dedup {
     perConfig.crossJoin(nDocs)
       .withColumn("eligible", col("recall_milli") >= lit(recallFloorMilli) &&
         col("cand_pairs") <= col("n_docs") * pairBudgetPerDoc)
-      .withColumn("chosen", row_number().over(w) === 1)
+      // chosen REQUIRES eligibility: when no candidate clears the recall
+      // floor within the pair budget, every chosen is false (the caller
+      // must widen the candidate list), never a silently under-recall
+      // pick; eligible is exposed so the consumer can see why
+      .withColumn("chosen", col("eligible") && row_number().over(w) === 1)
       .select(col("bands"), col("rows_per_band"), col("threshold_milli"),
         col("recall_milli"), col("hot_buckets"), col("max_bucket"),
-        col("cand_pairs"), col("chosen"))
+        col("cand_pairs"), col("eligible"), col("chosen"))
   }
 
   /** Exact n-gram jaccard similarity join via inverted index (the
@@ -364,8 +384,6 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       threshold, maxPosting)
 
-  /** [[ngramJaccardPairs]] over a precomputed (id, hs) shingle index (see
-    * [[minhashPairsOf]] for the sharing pattern). */
   /** The capped inverted-index co-count core shared by every exact
     * set-overlap operator ([[ngramJaccardPairsOf]], [[containmentPairs]],
     * [[jaccardCalibration]]): all pairs sharing ≥ 1 non-hot shingle, with
@@ -394,6 +412,8 @@ object Dedup {
       .join(sizes.select(col("id").as("b"), col("sz").as("szb")), "b")
   }
 
+  /** [[ngramJaccardPairs]] over a precomputed (id, hs) shingle index (see
+    * [[minhashPairsOf]] for the sharing pattern). */
   def ngramJaccardPairsOf(sets: DataFrame, threshold: Double = 0.8,
                           maxPosting: Int = 10000): DataFrame =
     cappedCoCounts(sets, maxPosting)
@@ -496,6 +516,16 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       tNum, tDen)
 
+  /** 60-bit hash of the canonical form of a text column (lowercase +
+    * punctuation map + empty-token drop — the c71 normalization), for
+    * grouping without ever shuffling raw text. */
+  def canonicalKey(textCol: Column): Column = {
+    val punct = ".,!?;:()\"'"
+    Text.tokenHash(array_join(
+      filter(split(lower(translate(coalesce(textCol, lit("")),
+        punct, " " * punct.length)), " "), x => x =!= ""), " "))
+  }
+
   /** Canonicalizing exact dedup: lowercase, map sentence punctuation to
     * spaces, drop the resulting empty tokens, and group on the 60-bit
     * hash of the re-joined canonical form — the CCNet/Gopher-style
@@ -512,16 +542,6 @@ object Dedup {
     * and the variant counter is count(distinct hash(text)), so no stage
     * ships document bytes (c01's group-by-text does; the distinct-raw
     * counter over the text column itself would too). */
-  /** 60-bit hash of the canonical form of a text column (lowercase +
-    * punctuation map + empty-token drop — the c71 normalization), for
-    * grouping without ever shuffling raw text. */
-  def canonicalKey(textCol: Column): Column = {
-    val punct = ".,!?;:()\"'"
-    Text.tokenHash(array_join(
-      filter(split(lower(translate(coalesce(textCol, lit("")),
-        punct, " " * punct.length)), " "), x => x =!= ""), " "))
-  }
-
   def canonicalExact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     df.select(col(idCol), canonicalKey(col(textCol)).as("ck"),
         Text.tokenHash(col(textCol)).as("th"))
@@ -588,7 +608,7 @@ object Dedup {
     require(keyTokens >= 2, s"keyTokens must be >= 2, got $keyTokens")
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
-    val toks = split(lower(col(textCol)), " ")
+    val toks = Text.tokens(lower(col(textCol)))
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy(col("blk")).orderBy(col("id"))
     val keyed = df.where(col(textCol).isNotNull)
@@ -714,9 +734,17 @@ object Dedup {
     * 16× fewer verify pairs than the former 48-bit/12-bit layout. Raising
     * maxHamming narrows the chunks (64/(k+1)); past k≈5 prefer Manku-style
     * multi-table permutation blocking.
+    *
+    * `maxBucket` is the standing hot-key cap (CLAUDE.md scale checklist):
+    * a tower of identical/empty texts collides in EVERY chunk table and
+    * would otherwise join tower × tower uncapped; buckets over the cap
+    * are dropped from pairing (their members are not examined — the same
+    * conservative overflow rule as minhash's maxBucket). Default sits
+    * well above the ~15k legit bucket population at 10⁹ docs, so only
+    * true degeneracy trips it.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
     // 64 chunks of >= 1 bit is the hard ceiling; and chunks = maxHamming+1
     // must leave bitsPer >= 1 or every chunk masks to 0 and the banded
     // join collapses into ONE all-pairs bucket
@@ -735,10 +763,14 @@ object Dedup {
     // arithmetic shiftright sign-extends the top chunk; the mask keeps every
     // chunk value positive 16-bit (full-width single chunk may be negative —
     // only equality is joined on)
-    val banded = sh.select(col("id"), col("sh"), posexplode(
+    val bandedAll = sh.select(col("id"), col("sh"), posexplode(
         array((0 until chunks).map(c =>
           shiftright(col("sh"), c * bitsPer).bitwiseAND(mask)): _*)))
       .toDF("id", "sh", "chunk", "val")
+    val hot = bandedAll.groupBy(col("chunk"), col("val"))
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
+      .select(col("chunk"), col("val"))
+    val banded = bandedAll.join(broadcast(hot), Seq("chunk", "val"), "left_anti")
     banded.as("x").join(banded.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.val") === col("y.val") &&
           col("x.id") < col("y.id"))
@@ -837,8 +869,11 @@ object Dedup {
     // labels only ever decrease, so the label sum is strictly monotone until
     // the fixed point — convergence needs just one agg action per round, not
     // a join-based diff
+    // sum() of an empty frame is NULL — an empty pair list (a corpus with
+    // no near-dups) must converge to an empty label frame, not NPE
     def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = lblSum(labels)
     var iter = 0
     var converged = false
@@ -863,15 +898,21 @@ object Dedup {
       val s = lblSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      labels.unpersist()
-      stepped.unpersist()
+      // previous rounds' localCheckpoint RDDs are NOT CacheManager
+      // entries, so Dataset.unpersist would be a no-op on them; dropping
+      // the references here lets the ContextCleaner reclaim their blocks.
+      // Retention is bounded either way: rounds ≤ maxIter (pointer
+      // jumping converges in O(log n)), and each round's label frame is
+      // |nodes| narrow rows — small next to the pair graph itself.
       labels = next
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round $iter sum=$s converged=$converged")
     }
     if (!converged) {
-      labels.unpersist(); edgesOrigin.unpersist(); rawEdges.unpersist()
+      // (labels is checkpoint-backed — reclaimed by the ContextCleaner;
+      // only the persisted frames need explicit unpersist)
+      edgesOrigin.unpersist(); rawEdges.unpersist()
       if (!callerPersisted) p.unpersist()
       throw new IllegalStateException(
         s"Dedup.clusters did not converge within $maxIter rounds — " +
@@ -931,8 +972,14 @@ object Dedup {
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, numBlocks: Int = 16): DataFrame = {
     val dot = graft.plans.VectorExpressions.dotProduct _
+    // zero-norm vectors have no direction: cos = 0/0 = NaN, and Spark's
+    // NaN-greatest comparison semantics would pass NaN through ANY
+    // threshold — a failed/padded embedding would emit as a "near-dup"
+    // of everything. Excluded from pairing by contract (same rule in
+    // embeddingLshPairs / semanticDedupBlocked).
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .where(col("nrm") > 0)
       .withColumn("blk", pmod(hash(col("id")), lit(numBlocks)))
     // tile id = i*numBlocks + j with i ≤ j (upper triangle, one tile per
     // unordered block pair)
@@ -1016,6 +1063,9 @@ object Dedup {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      // zero-norm exclusion — see embeddingPairs (NaN would pass the
+      // threshold under NaN-greatest comparison semantics)
+      .where(col("nrm") > 0)
       .repartition(parts)
     // one row per (vector, table): bucket under that table's plane band;
     // the vector and its norm ride along so verification never re-joins
@@ -1088,12 +1138,24 @@ object Dedup {
     // pageRankNano persisted-intermediate pattern; app-lifetime retention,
     // callers can unpersist via the returned lineage)
     val assigned = v.join(cent)
+      // zero-norm guard INSIDE the assignment: under ANSI mode (Spark 4
+      // default) 0/0 is a task-killing DIVIDE_BY_ZERO, so one failed
+      // embedding (or a degenerate zero centroid) would crash the whole
+      // job; csim = -2 (below any real cosine) assigns such rows
+      // deterministically via the centroid-id tiebreak and they are
+      // excluded from pairing below
       .select(col("id"), col("v"), col("nrm"), col("centroid_id"),
-        round(dot(col("v"), col("cvec")) / (col("nrm") * col("cnrm")), 6).as("csim"))
+        when(col("nrm") > 0 && col("cnrm") > 0,
+          round(dot(col("v"), col("cvec")) / (col("nrm") * col("cnrm")), 6))
+          .otherwise(lit(-2.0)).as("csim"))
       .withColumn("crank", row_number().over(w)).where(col("crank") === 1)
       .select(col("id"), col("v"), col("nrm"), col("centroid_id").as("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val small = assigned.withColumn("cellN",
+    val small = assigned
+      // zero-norm vectors never pair (cos is NaN — see embeddingPairs);
+      // they stay in `assigned`, so the output reports them kept
+      .where(col("nrm") > 0)
+      .withColumn("cellN",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))))
       .where(col("cellN") <= maxCell)
       .drop("cellN")

@@ -412,6 +412,77 @@ class SimilarityAndDedupSpec extends SparkSpec {
     }
   }
 
+  test("clusters: empty pair list returns an empty frame, never NPEs") {
+    val s = spark; import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.operators.Dedup.clusters(empty).count() == 0L)
+  }
+
+  test("zero-norm vectors are excluded from embedding pairing, never NaN-matched") {
+    // cos(0-vector, anything) = 0/0 = NaN, and Spark's NaN-greatest
+    // comparison semantics pass NaN through ANY threshold — a failed
+    // embedding must produce NO pairs (r16 fix)
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.001f)),
+      (9L, Array(0.0f, 0.0f))) // the failed/padded embedding
+    val df = rows.toDF("id", "v")
+    val exact = Dedup.embeddingPairs(df, "id", "v", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.toSet == Set((1L, 2L)), s"got ${exact.toSeq}")
+    val lsh = Dedup.embeddingLshPairs(df, "id", "v", threshold = 0.5, dim = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!lsh.exists(p => p._1 == 9L || p._2 == 9L), s"got ${lsh.toSeq}")
+    val cents = Seq((0L, Array(1.0f, 0.0f))).toDF("centroid_id", "cvec")
+    val sem = Dedup.semanticDedupBlocked(df, "id", "v", cents, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(sem(9L), "zero-norm vector must be KEPT (it pairs with nothing)")
+    assert(sem(1L) && !sem(2L), "normal vectors keep the lowest-id greedy")
+  }
+
+  test("simhash: a bucket tower over maxBucket is dropped from pairing, others unaffected") {
+    val s = spark; import s.implicits._
+    // 8 identical docs (collide in every chunk) + one genuine near-dup
+    // pair of a distinct text; maxBucket=4 drops the tower's buckets but
+    // must keep the unrelated pair
+    val tower = (1L to 8L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+    // 20/21 are EXACT dups (hamming 0, collide in all chunks) so the
+    // assertion never depends on a near-dup's hamming luck; they survive
+    // the cap as a 2-member bucket
+    val others = Seq(
+      (20L, "one two three four five six seven eight nine ten"),
+      (21L, "one two three four five six seven eight nine ten"))
+    val docs = (tower ++ others).toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3,
+        maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!capped.exists(p => p._1 <= 8L || p._2 <= 8L),
+      s"tower must be dropped from pairing: ${capped.toSeq}")
+    assert(capped.toSet == Set((20L, 21L)), s"got ${capped.toSeq}")
+  }
+
+  test("incremental dedup: a batch-internal tower is capped, corpus pairs unaffected") {
+    val s = spark; import s.implicits._
+    // first-ingest shape: corpus EMPTY for the tower's buckets; 9 exact
+    // dups inside the batch share every band signature. maxBucket=4 must
+    // drop the within-batch tower while the small corpus-vs-batch pair
+    // survives.
+    val towerText = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    val batchTower = (101L to 109L).map(i => (i, towerText, true))
+    val pairText = "the quick brown fox jumps over the lazy dog again and again every day"
+    val rows = batchTower ++ Seq(
+      (1L, pairText, false), (110L, pairText + " extra", true))
+    val sets = Dedup.shingleSets(
+      rows.toDF("doc_id", "text", "is_new"), "doc_id", "text")
+      .join(rows.toDF("id2", "t2", "is_new").select(col("id2").as("id"), col("is_new")), "id")
+    val got = Dedup.incrementalMinhashPairs(sets, col("is_new"),
+        threshold = 0.7, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!got.exists(p => p._1 >= 101L && p._1 <= 109L && p._2 >= 101L && p._2 <= 109L),
+      s"batch-internal tower must be capped: ${got.toSeq}")
+    assert(got.toSet == Set((1L, 110L)), s"got ${got.toSeq}")
+  }
+
   test("sortedNeighborhoodPairs: near-dups meet in the window, verified by exact jaccard") {
     val s = spark; import s.implicits._
     // docs 1/2 share 6 of 7 distinct trigrams (jaccard 6/7 ≈ 0.857 ≥ 0.8);
@@ -717,8 +788,16 @@ class SimilarityAndDedupSpec extends SparkSpec {
         s"hot_buckets mismatch at bands=$b")
       assert(row.getLong(5) == buckets.max.toLong, s"max_bucket mismatch at bands=$b")
     }
-    assert(got(16).getBoolean(7) && !got(8).getBoolean(7) && !got(32).getBoolean(7),
+    assert(got(16).getBoolean(8) && !got(8).getBoolean(8) && !got(32).getBoolean(8),
       "advisor should choose bands=16 (the c02 operating point) on this corpus")
+    assert(got(16).getBoolean(7), "the chosen config must be eligible")
+    // chosen REQUIRES eligibility: with an unreachable recall floor no
+    // config may be chosen (the r16 contract fix — previously the
+    // cheapest INELIGIBLE config was silently marked chosen)
+    val none = Dedup.lshParamAdvisor(sets, recallFloorMilli = 1001L).collect()
+    assert(none.forall(r => !r.getBoolean(8)),
+      "no config clears an impossible recall floor — chosen must be all-false")
+    assert(none.forall(r => !r.getBoolean(7)))
   }
 
   test("bloom advisor: sizing rule exact, chosen minimal-eligible, fp facts hold") {
