@@ -1269,11 +1269,54 @@ private[graft] object EntryB {
           t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
           "vec_id", "embedding", dir)
       }
+      // id_sum in decimal(38,0) then BIGINT: DuckDB sums to HUGEINT before
+      // its BIGINT cast, so a LongType sum here would wrap (or ANSI-error)
+      // where the oracle doesn't if the id sum ever exceeded 2^63 —
+      // unreachable at fixture scale, but the arithmetic should match the
+      // oracle's by construction, not by data-size luck (r16 ADVICE).
       graft.sources.Npy.readIds(s, dir)
         .agg(count(lit(1)).as("n_ids"),
-          sum(col("id")).as("id_sum"),
+          sum(col("id").cast("decimal(38,0)")).cast("long").as("id_sum"),
           min(col("id")).as("id_min"),
           max(col("id")).as("id_max"))
+    }),
+
+    "b131_npy_dim_slice" -> ((s, d) => {
+      // dimension-sliced consumer of the npy pair layout (r17,
+      // Npy.readVectorsSlice): column pruning WITHIN the tensor leaf —
+      // the reference's lazy-column contract (A16) applied inside the
+      // (n, d) array, for PQ/ADC-style consumers that touch a few
+      // leading dims of wide vectors. The slice path streams each
+      // .vec.npy through a bounded 4 MiB window and materializes ONLY
+      // n·8·4 slice bytes per task (12.5 % of the payload at d=64);
+      // physical disk bytes are NOT pruned at this d (256 B rows < one
+      // 4 KiB page — the honest negative result, measured in
+      // docs/PLANS.md r17). Gate: roundtrip identity of dims [0,8)
+      // against the parquet original's slice(embedding, 1, 8) — exact
+      // float-array equality (raw IEEE bits, never text), b129's
+      // closed-form-oracle asymmetry. Join discipline as b129: forced
+      // merge join, both sides numbered-repartitioned (the npy side's
+      // stats descend from a LocalRelation of file names and would
+      // otherwise broadcast the whole read-back).
+      val dir = graft.sources.Formats.scratchDir(s, "npy_embeddings", d)
+      graft.sources.Formats.ensureWritten(s, dir) {
+        graft.sources.Npy.writeVectors(
+          t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", dir)
+      }
+      val parts = s.sessionState.conf.numShufflePartitions
+      val sliced = graft.sources.Npy.readVectorsSlice(s, dir, 0, 8)
+        .select(col("id").as("vec_id"), col("vec").as("npy_slice"))
+        .repartition(parts)
+        .hint("merge")
+      t(s, d, "embeddings")
+        .select(col("vec_id"), slice(col("embedding"), 1, 8).as("pq_slice"))
+        .repartition(parts)
+        .join(sliced, "vec_id")
+        .select(col("vec_id"),
+          size(col("npy_slice")).cast("long").as("slice_dim"),
+          (col("pq_slice") === col("npy_slice")).as("slice_ok"))
+        .orderBy(col("vec_id"))
     }),
 
     "b34_csv_roundtrip" -> ((s, d) => {

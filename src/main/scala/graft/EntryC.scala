@@ -1970,6 +1970,76 @@ private[graft] object EntryC {
           (col("n_agree") / lit(64.0)).as("est"))
         .orderBy(col("a"), col("b"))),
 
+    "c121_ann_npy_topk" -> ((s, d) => {
+      // the npy vector store serving a REAL similarity workload (r16
+      // VERDICT next-step #3 — b129 proved the roundtrip, b130 the
+      // pruned projection; this key makes the backend CARRY a query):
+      // brute-force cosine top-k, the exact c06 shape with the exact
+      // c06 oracle, but with items AND queries read from the shared npy
+      // pair layout via Npy.readVectors — the plan never touches
+      // parquet (PlanSpec asserts), so the oracle match proves
+      // store-served ANN ≡ parquet-served ANN, which only holds because
+      // the layout roundtrips raw IEEE bits (b129) and cosineRounded is
+      // bit-deterministic. Plan: the npy read-back is
+      // numbered-repartitioned before scoring (the c104/c31
+      // single-file-probe rule — this testdata's layout is ONE pair, so
+      // the scoring pass would otherwise run in a single task); the
+      // query side is the same 5-row frame as c06, broadcast inside
+      // bruteTopK (the audited bounded-BNLJ shape, docs/PLANS.md list).
+      // At scale the query side would be its own small frame rather
+      // than a second store scan; reading it from the store here keeps
+      // the no-parquet claim total.
+      val dir = graft.sources.Formats.scratchDir(s, "npy_embeddings", d)
+      graft.sources.Formats.ensureWritten(s, dir) {
+        graft.sources.Npy.writeVectors(
+          t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", dir)
+      }
+      val emb = graft.sources.Npy.readVectors(s, dir)
+        .select(col("id").as("vec_id"), col("vec").as("embedding"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val queries = emb.where(col("vec_id") < 5)
+      Ann.bruteTopK(emb, queries, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("item_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "c122_ann_slice_rerank" -> ((s, d) => {
+      // the slice path CARRYING a real consumer (r17 — b131 gates the
+      // slice roundtrip; this key makes it serve a query): the PQ/ADC
+      // cascade with the coarse stage reading ONLY dims [0,8) off the
+      // npy store via readVectorsSlice (12.5 % of the payload
+      // materialized per task) and the exact rerank reading the full
+      // vectors from the same store — zero parquet scans (PlanSpec).
+      // The oracle replicates the CASCADE (coarse embedding[1:8] cut to
+      // top-50, full-vector rerank to top-10), not plain brute top-k —
+      // the cascade is approximate exactly where slice-cosine disagrees
+      // with full cosine, and the key gates that BOTH engines make the
+      // same cut (6dp-rounded cosines, id tiebreaks, exact rank-50
+      // boundary). Plan: Ann.sliceRerankTopK — coarse is the audited
+      // bounded-broadcast shape over the repartitioned slice scan (the
+      // c104 single-pair-layout rule), survivors broadcast back for the
+      // full-vector fetch, item table never shuffled.
+      val dir = graft.sources.Formats.scratchDir(s, "npy_embeddings", d)
+      graft.sources.Formats.ensureWritten(s, dir) {
+        graft.sources.Npy.writeVectors(
+          t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", dir)
+      }
+      val parts = s.sessionState.conf.numShufflePartitions
+      val sliceItems = graft.sources.Npy.readVectorsSlice(s, dir, 0, 8)
+        .select(col("id").as("vec_id"), col("vec").as("embedding"))
+        .repartition(parts)
+      val full = graft.sources.Npy.readVectors(s, dir)
+        .select(col("id").as("vec_id"), col("vec").as("embedding"))
+        .repartition(parts)
+      val queries = full.where(col("vec_id") < 5)
+      Ann.sliceRerankTopK(sliceItems, full, queries, "vec_id", "embedding",
+        sliceFrom = 1, sliceLen = 8, k = 10, candidates = 50)
+        .select(col("query_id"), col("item_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "c38_embedding_quantize" -> ((s, d) =>
       // at-rest int8 compression for the embedding store: max-abs scaling,
       // round-half-up via floor (bit-exact IEEE in every engine — never

@@ -49,15 +49,26 @@ object NpyScan {
       // warm each path once (JIT + listing), then time one pass
       val full = Npy.readVectors(spark, dir)
       val ids = Npy.readIds(spark, dir)
-      full.count(); ids.count()
+      val slice = Npy.readVectorsSlice(spark, dir, 0, 8)
+      full.count(); ids.count(); slice.count()
       val (fullRows, fullSec) = timed(full.count())
       val (idRows, idSec) = timed(ids.count())
+      val (slRows, slSec) = timed(slice.count())
+      // slice economics (r17): HEAP materialized per task = n·8·4 slice
+      // bytes (+ the bounded 4 MiB window + the ids file); PHYSICAL file
+      // bytes touched stay = vec_bytes at d=64 because a 256 B row is
+      // far below a 4 KiB page — report both so the ledger carries the
+      // honest negative result alongside the heap/width win
+      val d = 64
+      val sliceHeap = fullRows * 8 * 4
 
       println(f"[npyscan] $label $sfDir pairs=${idFiles.length} " +
         f"tasks_full=${full.rdd.getNumPartitions} tasks_ids=${ids.rdd.getNumPartitions} " +
-        f"rows=$fullRows/$idRows id_bytes=$idBytes vec_bytes=$vecBytes " +
+        f"rows=$fullRows/$idRows/$slRows id_bytes=$idBytes vec_bytes=$vecBytes " +
         f"ids_read_pct=${100.0 * idBytes / (idBytes + vecBytes)}%.2f " +
-        f"warm_full_s=$fullSec%.3f warm_ids_s=$idSec%.3f")
+        f"slice8_heap_bytes=$sliceHeap (${100.0 * sliceHeap / (fullRows * 4L * d)}%.2f%% of payload; " +
+        f"file pages touched: 100%% at d=$d) " +
+        f"warm_full_s=$fullSec%.3f warm_ids_s=$idSec%.3f warm_slice8_s=$slSec%.3f")
     }
     // as-written (testdata parquet is single-file → 1 writer partition →
     // 1 pair) and an 8-way writer: read tasks must track pair count

@@ -594,6 +594,14 @@ private[graft] object OraclesB {
         |  CAST(sum(vec_id) AS BIGINT) AS id_sum,
         |  min(vec_id) AS id_min, max(vec_id) AS id_max
         |FROM embeddings""".stripMargin,
+    // closed-form truth off the parquet original (the b129 asymmetry):
+    // any misdecoded/reordered/missing slice breaks slice_ok or rows;
+    // slice_dim's literal 8 is the requested width — the Spark side
+    // rejects a layout with d < 8 loudly before producing rows
+    "b131_npy_dim_slice" ->
+      """SELECT vec_id, CAST(8 AS BIGINT) AS slice_dim,
+        |  TRUE AS slice_ok
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "b54_percentile_cont" ->
       """SELECT l_returnflag,
         |  quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS q25,

@@ -144,6 +144,48 @@ private[graft] object OraclesC {
       (sigAgreementCtes + """
         |SELECT a, b, n_agree / 64.0 AS est
         |FROM pair WHERE n_agree >= 45 ORDER BY a, b""".stripMargin),
+    // byte-for-byte the c06 oracle: the Spark side serves both join legs
+    // from the npy pair layout instead of parquet, and must produce the
+    // IDENTICAL ranking — the store-served ≡ parquet-served parity claim
+    "c121_ann_npy_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS item_id,
+        |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM q JOIN embeddings e ON e.vec_id != q.query_id),
+        |ranked AS (
+        |  SELECT query_id, item_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, item_id, CAST(rank AS INTEGER) AS rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // replicates the CASCADE, not brute top-k: coarse cosine on dims
+    // [1:8] (1-based inclusive — Spark's slice(v,1,8) elements), exact
+    // rank-50 cut with id tiebreaks, then full-vector rerank to top-10;
+    // both stages 6dp-rounded (the c06 float discipline)
+    "c122_ann_slice_rerank" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |coarse AS (
+        |  SELECT q.query_id, e.vec_id AS item_id,
+        |    round(list_cosine_similarity(CAST(q.qv[1:8] AS DOUBLE[]), CAST(e.embedding[1:8] AS DOUBLE[])), 6) AS scos
+        |  FROM q JOIN embeddings e ON e.vec_id != q.query_id),
+        |surv AS (
+        |  SELECT query_id, item_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY scos DESC, item_id) AS crank
+        |  FROM coarse),
+        |exact AS (
+        |  SELECT s.query_id, s.item_id,
+        |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM surv s
+        |  JOIN q ON q.query_id = s.query_id
+        |  JOIN embeddings e ON e.vec_id = s.item_id
+        |  WHERE s.crank <= 50),
+        |ranked AS (
+        |  SELECT query_id, item_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
+        |  FROM exact)
+        |SELECT query_id, item_id, CAST(rank AS INTEGER) AS rank FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "c38_embedding_quantize" ->
       // identical arithmetic: scale = 127/max|v| (one IEEE division),
       // q = floor(v*scale + 0.5) (exact), dequant = q/scale; the cosine

@@ -35,21 +35,33 @@ object SparkEntry {
     * build). Warming these in the UNTIMED warmup pass makes every timed
     * run steady-state, so the per-query byte ledger measures each query's
     * own plan, never cache weather. Library callers don't need this: it
-    * only stabilizes measurement, not results. */
+    * only stabilizes measurement, not results.
+    *
+    * Fault isolation (r16 driver run, VERDICT #1): each builder runs in
+    * its OWN try/catch that names the failed builder on stderr. One
+    * transient failure early in the list must not silently skip every
+    * builder after it — that desynchronizes the whole byte ledger (the
+    * driver's r16 run recorded c02 at 6,088 KB vs the builder's 3,419 KB
+    * because a shared build landed in a timed key). */
   def warmSharedIntermediates(s: SparkSession, d: String): Unit = {
-    Tables.orderItems(s, d).count()
-    docShingleSets(s, d).count()
-    docJaccardPairs(s, d).count()
-    docSigAgreementPairs(s, d).count()
-    docClusters(s, d).count()
-    docBigramsWithSource(s, d).count()
-    embeddingPairGraph(s, d).count()
-    psDerived(s, d).count()
-    docClassifierScores(s, d).count()
-    docGateBits(s, d).count()
-    classifierCalibrationTable(s, d).count()
-    funnelAbTtcCumFrame(s, d).count()
-    funnelAbRevUserFrame(s, d).count()
+    def warm(name: String)(body: => Unit): Unit =
+      try body catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warm '$name' failed (continuing): $e")
+      }
+    warm("orderItems")(Tables.orderItems(s, d).count())
+    warm("docShingleSets")(docShingleSets(s, d).count())
+    warm("docJaccardPairs")(docJaccardPairs(s, d).count())
+    warm("docSigAgreementPairs")(docSigAgreementPairs(s, d).count())
+    warm("docClusters")(docClusters(s, d).count())
+    warm("docBigramsWithSource")(docBigramsWithSource(s, d).count())
+    warm("embeddingPairGraph")(embeddingPairGraph(s, d).count())
+    warm("psDerived")(psDerived(s, d).count())
+    warm("docClassifierScores")(docClassifierScores(s, d).count())
+    warm("docGateBits")(docGateBits(s, d).count())
+    warm("classifierCalibrationTable")(classifierCalibrationTable(s, d).count())
+    warm("funnelAbTtcCumFrame")(funnelAbTtcCumFrame(s, d).count())
+    warm("funnelAbRevUserFrame")(funnelAbRevUserFrame(s, d).count())
     // One-time builds that live INSIDE query builders rather than in a
     // named memo (r11 VERDICT #1: at runs=1 these landed in the timed
     // ledger — c36 paid its corpus band-index persist, c63 its
@@ -68,7 +80,7 @@ object SparkEntry {
       "c36_incremental_dedup",
       "c63_semantic_dedup")
     oneTimeBuildQueries.foreach { n =>
-      queries.get(n).foreach(fn => fn(s, d).count())
+      warm(n)(queries.get(n).foreach(fn => fn(s, d).count()))
     }
   }
 

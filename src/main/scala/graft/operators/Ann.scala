@@ -647,4 +647,59 @@ object Ann {
       .where(col("rank") <= k)
       .select(col("query_id"), col("item_id"), col("cos"), col("rank"))
   }
+
+  /** Dimension-slice-then-rerank cascade (the PQ/ADC consumer shape the
+    * npy store's [[graft.sources.Npy.readVectorsSlice]] exists for, r17):
+    * coarse cosine over the leading `sliceLen` dims of every item —
+    * `itemsSlice` carries PRE-SLICED vectors, at rest read straight off
+    * the store materializing only sliceLen/d of the payload per task —
+    * cut to top-`candidates` per query, then exact full-vector rerank of
+    * the survivors to top-k.
+    *
+    * At 100 TB the win is the coarse pass's width: the linear scoring
+    * scan streams sliceLen-float rows (12.5 % of a d=64 payload at
+    * sliceLen=8) and the full float column is fetched for only
+    * |queries|·candidates rows — the [[int8Rerank]] economics with the
+    * slice instead of codes, and the same recall caveat (the cascade is
+    * approximate exactly where the coarse metric disagrees with the full
+    * metric; `candidates` is the recall dial).
+    *
+    * Determinism (hash-oracle-safe): both stages score with
+    * [[Similarity.cosineRounded]] (6dp, the fixed per-row IEEE sequence
+    * the c06 oracle reproduces) and break ties by item_id; the
+    * candidate cut is exact at rank `candidates`. The query slice is
+    * computed in-plan from the full query vectors (`slice(qv, from,
+    * len)`), which equals the store's slice BIT-EXACTLY (b131 gates
+    * that identity).
+    *
+    * Plan: coarse = the audited bounded-broadcast shape (tiny sliced
+    * query side broadcast against the linear item-slice scan, c06's
+    * shape); survivors (|queries|·candidates rows) broadcast back for
+    * the full-vector fetch, so the item table is never shuffled; the
+    * only shuffles are the two per-query top-k windows. */
+  def sliceRerankTopK(itemsSlice: DataFrame, items: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, sliceFrom: Int, sliceLen: Int,
+                      k: Int, candidates: Int): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val is = itemsSlice.select(col(idCol).as("item_id"), col(vecCol).as("sv"))
+    val qs = queries.select(col(idCol).as("query_id"),
+      slice(col(vecCol), sliceFrom, sliceLen).as("qsv"))
+    val coarse = is.join(broadcast(qs), col("item_id") =!= col("query_id"))
+      .select(col("query_id"), col("item_id"),
+        Similarity.cosineRounded(col("qsv"), col("sv")).as("scos"))
+    val wc = Window.partitionBy("query_id").orderBy(col("scos").desc, col("item_id"))
+    val survivors = coarse.withColumn("crank", row_number().over(wc))
+      .where(col("crank") <= candidates)
+      .select(col("query_id"), col("item_id"))
+    val iv = items.select(col(idCol).as("item_id"), col(vecCol).as("iv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val exact = iv.join(broadcast(survivors), Seq("item_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("item_id"),
+        Similarity.cosineRounded(col("qv"), col("iv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("item_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("item_id"), col("cos"), col("rank"))
+  }
 }

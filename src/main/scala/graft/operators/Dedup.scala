@@ -82,7 +82,17 @@ object Dedup {
 
   /** [[minhashPairs]] over a precomputed (id, hs) shingle index — pass a
     * persisted index to share it across operators (re-persisting the same
-    * plan is a no-op, so standalone callers are unaffected). */
+    * plan is a no-op, so standalone callers are unaffected).
+    *
+    * Plan note: the banded-signature subtree below feeds THREE positions
+    * (the hot count and both sides of the band self-join), so the minhash
+    * kernel re-evaluates up to 3× — a map-side pass over the persisted
+    * shingle index, no extra shuffle. Deliberately not persisted here:
+    * the banded frame is bands× the index's row count and the caller
+    * already controls storage via the index it passes; callers that want
+    * the kernel evaluated once can persist `sets` WITH a precomputed
+    * signature column (the incrementalMinhashPairs batch leg does this
+    * internally because its batch side is ingest-sized). */
   def minhashPairsOf(sets: DataFrame, numPerm: Int = 64, bands: Int = 16,
                      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
@@ -167,17 +177,25 @@ object Dedup {
     // corpus×batch in the cross leg — then anti-joins off both sides
     // (map-side-combined count, usually empty; the hot-shingle cut shape
     // from ngramJaccardPairsOf).
+    // corpusAll feeds two plan positions (hot count + anti-join) and is
+    // deliberately NOT persisted: at scale the banded corpus (16 band rows
+    // × signature × shingle set per doc) dwarfs executor storage, so the
+    // kernel recompute is the cheaper leg. The BATCH side is persisted
+    // below — it is ingest-sized, and it feeds three positions.
     val corpusAll = banded(sets.where(!isNew))
     val batchAll = banded(sets.where(isNew))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = corpusAll.select(col("band"), col("bandsig"))
       .unionAll(batchAll.select(col("band"), col("bandsig")))
       .groupBy(col("band"), col("bandsig"))
       .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
       .select(col("band"), col("bandsig"))
     val corpus = corpusAll.join(broadcast(hot), Seq("band", "bandsig"), "left_anti")
-    // the batch's banded signatures feed three plan positions (the shared
-    // broadcast and the within-leg probe side); persist so the minhash
-    // kernel runs once over the batch, not per consumer
+    // batchAll is persisted above so the batch minhash kernel runs ONCE
+    // (it feeds the hot count AND this anti-join); the anti-joined frame
+    // is persisted too because it feeds three positions (the cross-leg
+    // broadcast and both within-leg sides) and the broadcast must not
+    // re-run the anti-join per consumer. Both frames are ingest-sized.
     val batch = batchAll
       .join(broadcast(hot), Seq("band", "bandsig"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

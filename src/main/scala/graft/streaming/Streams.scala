@@ -187,7 +187,16 @@ object Streams extends Serializable {
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
                      session_end: java.sql.Timestamp, n: Long)
 
-  /** Internal running-session state: O(1) per user (times in µs). */
+  /** Internal running-session state: O(1) per user (times in µs).
+    *
+    * CHECKPOINT COMPATIBILITY: the three longs stored epoch-MILLIseconds
+    * before r16 (b57cb59) and epoch-MICROseconds since, with an unchanged
+    * physical schema — a query resumed from a pre-r16 checkpoint would
+    * silently reinterpret ms values as µs (gap comparisons ~1000× off)
+    * rather than fail loudly. Pre-r16 sessionize checkpoints are
+    * INCOMPATIBLE and must be discarded (fresh checkpoint dir); Spark's
+    * state store cannot version-detect a semantic change under an
+    * identical schema, so this contract lives here. */
   case class SessionState(start: Long, last: Long, n: Long)
 
   /** java.sql.Timestamp ↔ epoch MICROSECONDS — the events table's

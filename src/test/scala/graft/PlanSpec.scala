@@ -100,6 +100,51 @@ class PlanSpec extends SparkSpec {
       s"ids-only scan must not touch the parquet original:\n$plan")
   }
 
+  test("c121 npy-served ANN: zero parquet scans, one bounded BNLJ, repartitioned probe") {
+    // the store-served parity key: both bruteTopK legs must come from
+    // the npy layout (no parquet anywhere), the only join is the
+    // audited 5-row-broadcast BNLJ (the c06 shape, PLANS.md list), and
+    // the item-scoring pass must not run in one task off the
+    // single-pair layout (the c104 rule: a numbered repartition must
+    // sit between the npy read and the scoring join)
+    val plan = physicalPlan(SparkEntry.queries("c121_ann_npy_topk")(spark, sf))
+    assert(!plan.contains("Scan parquet"),
+      s"npy-served ANN must not touch parquet:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length == 1 &&
+      !plan.contains("CartesianProduct"),
+      s"expected exactly the one bounded-broadcast BNLJ:\n$plan")
+    assert(plan.contains("Exchange RoundRobinPartitioning"),
+      s"npy probe side must be repartitioned off the single-pair layout:\n$plan")
+  }
+
+  test("c122 slice-rerank cascade: no parquet, one coarse BNLJ, item table never shuffled to a join") {
+    // the PQ/ADC consumer: coarse scoring over the store's dim-slice
+    // scan is the one audited bounded-broadcast BNLJ; the exact stage's
+    // survivor/query joins must be broadcast hash joins (the item table
+    // is never shuffled on a join key — only the two top-k windows and
+    // the numbered repartition exchange)
+    val plan = physicalPlan(SparkEntry.queries("c122_ann_slice_rerank")(spark, sf))
+    assert(!plan.contains("Scan parquet"),
+      s"store-served cascade must not touch parquet:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length == 1 &&
+      !plan.contains("CartesianProduct"),
+      s"expected exactly the one coarse BNLJ:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"item table must never shuffle on a join key:\n$plan")
+  }
+
+  test("b131 npy dim-slice roundtrip: merge join, no broadcast of the npy read-back") {
+    // the b129 join discipline: the slice read-back's stats descend from
+    // a LocalRelation of file names, so an unforced plan would broadcast
+    // the whole read-back — the key must keep the forced merge join with
+    // numbered-repartitioned inputs
+    val plan = physicalPlan(SparkEntry.queries("b131_npy_dim_slice")(spark, sf))
+    assert(plan.contains("SortMergeJoin"), s"expected forced merge join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"npy read-back must never broadcast:\n$plan")
+  }
+
   test("c120 stream-near-dup readout keeps the banded equi-join shape — no all-pairs") {
     // the r16 graduation key must inherit c37's audited plan: candidates
     // come from the (band, bandsig) equi-join over the persisted shingle

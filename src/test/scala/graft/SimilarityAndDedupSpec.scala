@@ -678,6 +678,32 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(recall >= 0.95, f"int8 cascade recall@10: $recall%.2f")
   }
 
+  test("slice-rerank cascade: exact at full candidates, measured recall at 50") {
+    // two laws of Ann.sliceRerankTopK (c122): (1) with candidates >= n
+    // the coarse cut keeps everything, so the cascade MUST equal brute
+    // top-k exactly — the rerank stage is brute-force by construction;
+    // (2) at the production dial (50) the 8-of-64-dim coarse metric
+    // still recovers most true neighbors (recorded, not just asserted).
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.t(spark, sf, "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+    val sliced = emb.select(col("vec_id"), slice(col("embedding"), 1, 8).as("embedding"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(r.fieldIndex("query_id")), r.getLong(r.fieldIndex("item_id")))).toSet
+    val brute = pairs(graft.operators.Ann.bruteTopK(emb, queries, "vec_id", "embedding", 10))
+    val exactAll = pairs(graft.operators.Ann.sliceRerankTopK(sliced, emb, queries,
+      "vec_id", "embedding", sliceFrom = 1, sliceLen = 8, k = 10, candidates = 100000))
+    assert(exactAll == brute, "cascade at full candidates must equal brute top-k")
+    val at50 = pairs(graft.operators.Ann.sliceRerankTopK(sliced, emb, queries,
+      "vec_id", "embedding", sliceFrom = 1, sliceLen = 8, k = 10, candidates = 50))
+    val recall = brute.intersect(at50).size.toDouble / brute.size
+    info(f"slice(8/64) cascade recall@10 vs brute at candidates=50: $recall%.3f")
+    // 8 of 64 near-isotropic dims is a weak coarse signal (unlike int8,
+    // which preserves the full geometry) — the floor documents the
+    // approximation honestly rather than claiming int8-grade recall
+    assert(recall >= 0.3, f"slice cascade recall@10: $recall%.2f")
+  }
+
   test("banded-LSH embedding pairs: subset of exact, no dups, high recall, no BNLJ") {
     val sf = "/root/testdata/sf0.001"
     val emb = graft.sources.Tables.t(spark, sf, "embeddings")

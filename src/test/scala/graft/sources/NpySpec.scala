@@ -233,4 +233,81 @@ class NpySpec extends SparkSpec {
     assert(String.valueOf(root.getMessage).contains("null vector element"),
       s"wrong failure: $root")
   }
+
+  test("readVectorsSlice equals the full read's slice, bit-exactly, across parts") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("graft-npy-slice").toString
+    // awkward floats INSIDE and OUTSIDE the slice window, multi-part
+    val rows = Seq(
+      (1L, Array(0.1f, -0.0f, java.lang.Float.MIN_VALUE, 3.4e38f, 9f)),
+      (2L, Array(1.5f, Float.NaN, -2.5f, 0f, 8f)),
+      (7L, Array(0f, 7f, -7f, 2.25f, Float.NaN)))
+    Npy.writeVectors(rows.toDF("id", "v").repartition(2), "id", "v", dir)
+    val full = Npy.readVectors(s, dir).as[(Long, Array[Float])]
+      .collect().map { case (id, v) => id -> v.slice(1, 4) }.toMap
+    val sliced = Npy.readVectorsSlice(s, dir, 1, 4).as[(Long, Array[Float])]
+      .collect()
+    assert(sliced.map(_._1).sorted.toSeq == Seq(1L, 2L, 7L))
+    sliced.foreach { case (id, got) =>
+      val exp = full(id)
+      assert(got.length == 3, s"id=$id width ${got.length}")
+      got.zip(exp).foreach { case (g, e) =>
+        assert(java.lang.Float.floatToRawIntBits(g) ==
+          java.lang.Float.floatToRawIntBits(e),
+          s"id=$id bit drift: $g vs $e") }
+    }
+  }
+
+  test("readVectorsSlice streams in bounded windows — block boundaries don't split rows") {
+    // force the MULTI-block path: windowBytes=24 over d=2 rows (8 B each)
+    // gives 3 rows per block and a 1-row tail at n=1000 (3·333+1), so any
+    // off-by-one in the block loop's position/limit arithmetic corrupts
+    // values or drops the tail; the default-window single-block path is
+    // covered by the slice-equality test above
+    val s = spark; import s.implicits._
+    val dir = tempDir("graft-npy-slice-many").toString
+    val rows = (0L until 1000L).map(i => (i, Array(i.toFloat, (i * 2).toFloat)))
+    Npy.writeVectors(rows.toDF("id", "v").repartition(1), "id", "v", dir)
+    val got = Npy.readVectorsSlice(s, dir, 1, 2, windowBytes = 24L)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    assert(got.length == 1000)
+    got.foreach { case (id, v) =>
+      assert(v.toSeq == Seq((id * 2).toFloat), s"id=$id got ${v.toSeq}") }
+  }
+
+  test("readVectorsSlice rejects out-of-range slices and truncated bodies by name") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("graft-npy-slice-bad").toString
+    Npy.writeVectors(Seq((1L, Array(1f, 2f, 3f))).toDF("id", "v")
+      .repartition(1), "id", "v", dir)
+    val e1 = intercept[IllegalArgumentException](
+      Npy.readVectorsSlice(s, dir, 0, 4))
+    assert(e1.getMessage.contains("out of range"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Npy.readVectorsSlice(s, dir, 2, 2))
+    assert(e2.getMessage.contains("bad dimension slice"), e2.getMessage)
+    // truncate the vec body below n*rowBytes: the slice path must fail
+    // at its up-front size check, not EOF mid-loop
+    val vec = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".vec.npy")).get
+    val bytes = java.nio.file.Files.readAllBytes(vec.toPath)
+    java.nio.file.Files.write(vec.toPath, bytes.dropRight(4))
+    val err = intercept[org.apache.spark.SparkException] {
+      Npy.readVectorsSlice(s, dir, 0, 2).count()
+    }
+    val root = org.apache.commons.lang3.exception.ExceptionUtils.getRootCause(err)
+    assert(String.valueOf(root.getMessage).contains("truncated npy body"),
+      s"wrong failure: $root")
+  }
+
+  test("readVectorsSlice requires _SUCCESS like every other reader") {
+    val s = spark; import s.implicits._
+    val dir = tempDir("graft-npy-slice-nomark").toString
+    Npy.writeVectors(Seq((1L, Array(1f, 2f))).toDF("id", "v")
+      .repartition(1), "id", "v", dir)
+    assert(new java.io.File(dir, "_SUCCESS").delete())
+    val e = intercept[IllegalArgumentException](
+      Npy.readVectorsSlice(s, dir, 0, 1))
+    assert(e.getMessage.contains("_SUCCESS"), e.getMessage)
+  }
 }
