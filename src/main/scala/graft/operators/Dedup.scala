@@ -84,15 +84,19 @@ object Dedup {
     * persisted index to share it across operators (re-persisting the same
     * plan is a no-op, so standalone callers are unaffected).
     *
-    * Plan note: the banded-signature subtree below feeds THREE positions
-    * (the hot count and both sides of the band self-join), so the minhash
-    * kernel re-evaluates up to 3× — a map-side pass over the persisted
-    * shingle index, no extra shuffle. Deliberately not persisted here:
-    * the banded frame is bands× the index's row count and the caller
-    * already controls storage via the index it passes; callers that want
-    * the kernel evaluated once can persist `sets` WITH a precomputed
-    * signature column (the incrementalMinhashPairs batch leg does this
-    * internally because its batch side is ingest-sized). */
+    * Plan note (one banded exchange, tower-safe): the banded frame
+    * shuffles ONCE on (band, bandsig); a window count over that
+    * partitioning applies the `maxBucket` cap, and the within-bucket
+    * pair expansion (collect_list + double explode) runs in the SAME
+    * stage because its grouping keys match the window's partitioning —
+    * no second exchange, no hot-set broadcast. Safety split: the window
+    * buffers a degenerate tower's rows in a spillable row array
+    * (ExternalAppendOnlyUnsafeRowArray), while collect_list — whose
+    * single aggregation buffer CANNOT spill — only ever sees
+    * post-filter buckets of ≤ maxBucket ids (≤ ~8 KB). The former
+    * hot-count + anti-join + band self-join shape was equally safe but
+    * paid the banded exchange twice plus the count shuffle (r17 ledger:
+    * c02 12,176 → this shape's one-exchange bytes). */
   def minhashPairsOf(sets: DataFrame, numPerm: Int = 64, bands: Int = 16,
                      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
@@ -102,22 +106,16 @@ object Dedup {
         array((0 until bands).map(b =>
           array_join(transform(slice(col("sig"), b * r + 1, r), _.cast("string")), "_")): _*)))
       .toDF("id", "band", "bandsig")
-    // tower-safe cap (the signatureAgreementPairs shape): a count-based
-    // hot set + broadcast anti-join + banded self-join. The former
-    // collect_list bucket build materialized a degenerate tower's ENTIRE
-    // id list in one aggregation buffer BEFORE the size filter could
-    // drop it — the exact skew the cap exists to guard would OOM the
-    // aggregate first. count() partial-aggregates map-side, so no
-    // bucket's membership ever assembles in memory; singletons produce
-    // no pairs via a < b without needing an explicit size >= 2 cut.
-    val hot = banded.groupBy(col("band"), col("bandsig"))
-      .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
-      .select(col("band"), col("bandsig"))
-    val ok = banded.join(broadcast(hot), Seq("band", "bandsig"), "left_anti")
-    val cands = ok.as("x").join(ok.as("y"),
-        col("x.band") === col("y.band") && col("x.bandsig") === col("y.bandsig") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bandsig"))
+    val cands = banded
+      .withColumn("n", count(lit(1)).over(wb))
+      .where(col("n").between(2, maxBucket))
+      .groupBy(col("band"), col("bandsig"))
+      .agg(collect_list(col("id")).as("ids"))
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .where(col("a") < col("b"))
       .distinct()
     val withSets = cands
       .join(sets.select(col("id").as("a"), col("hs").as("ha")), "a")

@@ -84,6 +84,14 @@ class PlanSpec extends SparkSpec {
     // the raw documents scan appears only inside the cached relation
     assert("Scan parquet".r.findAllIn(plan).length <=
       "InMemoryRelation".r.findAllIn(plan).length, plan)
+    // r17 one-exchange shape: the banded frame shuffles once, the
+    // maxBucket cap is a window count over that partitioning, and the
+    // bounded collect_list pair expansion runs in the same stage — no
+    // band self-join, no hot-set anti-join (they paid the banded
+    // exchange twice + a count shuffle; c02 ledger 12,176 KB → halved)
+    assert(plan.contains("Window"), s"maxBucket cap must be a window count:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"pair expansion must not be a shuffled self-join:\n$plan")
   }
 
   test("b130 npy ids-only scan: partial aggregates per part, no joins, no parquet") {

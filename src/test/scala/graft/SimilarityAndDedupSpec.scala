@@ -461,6 +461,26 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(capped.toSet == Set((20L, 21L)), s"got ${capped.toSeq}")
   }
 
+  test("minhash LSH: a bucket tower over maxBucket is dropped, others unaffected") {
+    val s = spark; import s.implicits._
+    // 8 identical docs collide in every band → every bucket they form
+    // exceeds maxBucket=4 and must vanish under the window-count cap
+    // (the r17 one-exchange shape); the unrelated exact-dup pair forms
+    // 2-member buckets and must survive
+    val tower = (1L to 8L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta"))
+    val others = Seq(
+      (20L, "one two three four five six seven eight nine ten"),
+      (21L, "one two three four five six seven eight nine ten"))
+    val docs = (tower ++ others).toDF("doc_id", "text")
+    val capped = Dedup.minhashPairs(docs, "doc_id", "text",
+        numPerm = 64, bands = 16, threshold = 0.8, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!capped.exists(p => p._1 <= 8L || p._2 <= 8L),
+      s"tower must be dropped from pairing: ${capped.toSeq}")
+    assert(capped.toSet == Set((20L, 21L)), s"got ${capped.toSeq}")
+  }
+
   test("incremental dedup: a batch-internal tower is capped, corpus pairs unaffected") {
     val s = spark; import s.implicits._
     // first-ingest shape: corpus EMPTY for the tower's buckets; 9 exact
