@@ -219,9 +219,17 @@ object Bench {
     // warmSharedIntermediates (r16 VERDICT #1: one transient failure must
     // not silently skip later builders and land a shared build in a timed
     // key); this outer catch only covers a failure to enter it at all.
-    try SparkEntry.warmSharedIntermediates(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] warm pass did not start: $e") }
+    // The failed-builder list is surfaced in stdout JSON below: a driver
+    // run's stderr is unobservable after the fact, and a silent warm gap
+    // reads exactly like a plan regression in the byte ledger (the
+    // r16→r17 c02 mis-diagnosis). "warm_pass_crashed" = did not even
+    // enter the warm pass (builder-list failures are per-item inside).
+    val warmFailures: Seq[String] =
+      try SparkEntry.warmSharedIntermediates(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm pass did not start: $e")
+        Seq("warm_pass_crashed")
+      }
     // Shuffle/spill observability: attribute task metrics to each timed
     // query (sequential execution ⇒ exact windows) and keep the metrics of
     // the run that set the query's best time — the same run the reported
@@ -282,6 +290,11 @@ object Bench {
         println(s"""{"family":"$fam","queries":$body}""")
     }
     println(s"""{"retimed":${out.retimed.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
+    // positive confirmation either way: [] proves the ledger is
+    // steady-state; a non-empty list names exactly which shared builds
+    // may have landed in a timed key this run (bounded — never grows
+    // with query count, so it cannot crowd the stdout tail capture)
+    println(s"""{"warm_failures":${warmFailures.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
     // Per-query shuffle/spill record. The harness captures only the LAST
     // ~2 KB of stdout — a 147-entry byte map cannot ride the tail — so the
     // full map goes to an appended JSONL file (committed with the round, so

@@ -40,13 +40,18 @@ object SparkEntry {
     * Fault isolation (r16 driver run, VERDICT #1): each builder runs in
     * its OWN try/catch that names the failed builder on stderr. One
     * transient failure early in the list must not silently skip every
-    * builder after it — that desynchronizes the whole byte ledger (the
-    * driver's r16 run recorded c02 at 6,088 KB vs the builder's 3,419 KB
-    * because a shared build landed in a timed key). */
-  def warmSharedIntermediates(s: SparkSession, d: String): Unit = {
+    * builder after it — that desynchronizes the whole byte ledger.
+    * Returns the names of builders that FAILED (empty = fully warm):
+    * Bench surfaces the list in its JSON output, because a driver
+    * run's stderr is unobservable after the fact and a silent warm gap
+    * is indistinguishable from a plan regression in the byte ledger
+    * (exactly the r16→r17 c02 mis-diagnosis). */
+  def warmSharedIntermediates(s: SparkSession, d: String): Seq[String] = {
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     def warm(name: String)(body: => Unit): Unit =
       try body catch {
         case e: Throwable =>
+          failed += name
           System.err.println(s"[bench] warm '$name' failed (continuing): $e")
       }
     warm("orderItems")(Tables.orderItems(s, d).count())
@@ -82,6 +87,7 @@ object SparkEntry {
     oneTimeBuildQueries.foreach { n =>
       warm(n)(queries.get(n).foreach(fn => fn(s, d).count()))
     }
+    failed.toSeq
   }
 
   /** Flagship query on sf=0.001 (TPC-H Q1 shape); driver smoke-checks rows>0. */

@@ -61,6 +61,14 @@ object Merge {
           .otherwise(lit("changed")).as("change_type"))
   }
 
+  /** PRECONDITION (same as [[snapshotDiff]]'s, for the same full-outer
+    * fan-out reason): `key` must be unique within `base` AND within
+    * `changes` — compact the changelog first (the b58 `max_by` shape,
+    * as b66 does) if a key may carry several ops. Op codes outside
+    * {'U','D'} fail the job loudly IN-PLAN (`raise_error`, codegen'd,
+    * zero cost on valid rows): silently carrying an unknown op would
+    * otherwise inject a null-payload "insert" for every unmatched
+    * malformed row — a corruption that surfaces days later. */
   def mergeApply(base: DataFrame, changes: DataFrame, key: String,
                  opCol: String = "op"): DataFrame = {
     val payload = base.columns.filterNot(_ == key).toSeq
@@ -72,8 +80,14 @@ object Merge {
     // absent" after the full outer join
     val b = base.select(col(key) +: lit(true).as("__b_present") +:
       payload.map(p => col(p).as(s"__b_$p")): _*)
+    val opChecked = when(col(opCol).isin("U", "D"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit(s"mergeApply: unknown $opCol code '"),
+        coalesce(col(opCol).cast("string"), lit("NULL")),
+        lit("' (expected 'U' or 'D') at key "),
+        coalesce(col(key).cast("string"), lit("NULL")))))
     val c = changes.select(
-      col(key) +: col(opCol).as("__op") +: payload.map(p => col(p).as(s"__c_$p")): _*)
+      col(key) +: opChecked.as("__op") +: payload.map(p => col(p).as(s"__c_$p")): _*)
     b.join(c, Seq(key), "full_outer")
       // matched or unmatched, a delete tombstone removes the key
       .where(col("__op").isNull || col("__op") =!= "D")

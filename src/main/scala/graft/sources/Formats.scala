@@ -123,16 +123,35 @@ object Formats {
     dir
   }
 
+  /** Per-target monitors for the write-once guards below. The guards are
+    * check-then-act (`_SUCCESS` probe / `tableExists`), so WITHOUT a lock
+    * two concurrent queries in one application — the norm on a shared
+    * multi-tenant driver — could both see "not written" and race the same
+    * directory: one overwrite-in-progress under a reader mid-scan, or a
+    * second `saveAsTable` failing on the first's half-registered table.
+    * A JVM-level monitor per target serializes exactly the first build;
+    * after it, every caller takes the fast marker-check path. (Scratch
+    * dirs/tables are application-scoped by construction, so JVM-level
+    * locking IS target-level locking — no cross-process coordination is
+    * needed.) */
+  private val writeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(target: String): Object =
+    writeLocks.computeIfAbsent(target, _ => new Object)
+
   /** Run `write` into `dir` only if this application hasn't already produced
     * it (presence of the Hadoop `_SUCCESS` marker). Keeps repeated plan
     * construction (warmup loops, plan-inventory tests, explain tooling)
-    * action-free after the first invocation — the write is idempotent and
-    * happens at most once per (purpose, input, application).
-    */
+    * action-free after the first invocation — the write is idempotent,
+    * happens at most once per (purpose, input, application), and is safe
+    * to race: concurrent callers serialize on a per-dir monitor and the
+    * losers re-check the marker. */
   def ensureWritten(spark: SparkSession, dir: String)(write: => Unit): Unit = {
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) write
+    if (!fs.exists(marker)) lockFor(dir).synchronized {
+      if (!fs.exists(marker)) write
+    }
   }
 
   /** Bucketed external table for co-located joins: write `df` once per
@@ -163,9 +182,11 @@ object Formats {
   def bucketedTable(spark: SparkSession, purpose: String, inDir: String,
                     df: => DataFrame, key: String, buckets: Int): DataFrame = {
     val table = s"graft_${purpose}_${inputTag(inDir)}".replaceAll("[^A-Za-z0-9_]", "_")
-    if (!spark.catalog.tableExists(table))
-      graft.operators.Scale.writeBucketed(df, table, key, buckets,
-        path = Some(scratchDir(spark, s"bkt_$purpose", inDir)))
+    if (!spark.catalog.tableExists(table)) lockFor(table).synchronized {
+      if (!spark.catalog.tableExists(table))
+        graft.operators.Scale.writeBucketed(df, table, key, buckets,
+          path = Some(scratchDir(spark, s"bkt_$purpose", inDir)))
+    }
     spark.table(table)
   }
 
@@ -186,14 +207,16 @@ object Formats {
                                df: => DataFrame, partCol: String, key: String,
                                buckets: Int): DataFrame = {
     val table = s"graft_${purpose}_${inputTag(inDir)}".replaceAll("[^A-Za-z0-9_]", "_")
-    if (!spark.catalog.tableExists(table)) {
-      df.write.mode("overwrite")
-        .option("path", scratchDir(spark, s"pbkt_$purpose", inDir))
-        .partitionBy(partCol)
-        .bucketBy(buckets, key)
-        .sortBy(key)
-        .format("parquet")
-        .saveAsTable(table)
+    if (!spark.catalog.tableExists(table)) lockFor(table).synchronized {
+      if (!spark.catalog.tableExists(table)) {
+        df.write.mode("overwrite")
+          .option("path", scratchDir(spark, s"pbkt_$purpose", inDir))
+          .partitionBy(partCol)
+          .bucketBy(buckets, key)
+          .sortBy(key)
+          .format("parquet")
+          .saveAsTable(table)
+      }
     }
     spark.table(table)
   }

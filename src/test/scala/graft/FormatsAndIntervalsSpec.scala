@@ -143,6 +143,53 @@ class FormatsAndIntervalsSpec extends SparkSpec {
       (5L, Some(50.0), "insert")))
   }
 
+  test("mergeApply: an op code outside U/D fails the job loudly, never a silent insert") {
+    // an unmatched malformed row used to survive as a null-payload
+    // "insert" (the base side of the full outer join is all NULL and
+    // 'X' is neither the D-filter nor the U-payload branch); the
+    // in-plan raise_error guard must fail the job instead
+    val base = Seq((1L, Some(10.0))).toDF("k", "v")
+    val bad = Seq((9L, Some(90.0), "X")).toDF("k", "v", "op")
+    val e = intercept[Exception] {
+      graft.operators.Merge.mergeApply(base, bad, "k").collect()
+    }
+    val msg = String.valueOf(
+      org.apache.commons.lang3.exception.ExceptionUtils.getRootCause(e).getMessage)
+    assert(msg.contains("unknown op code 'X'"), s"wrong failure: $msg")
+    // null op in the CHANGES frame is malformed too (distinct from the
+    // legitimately-null __op of unmatched base rows after the join)
+    val nullOp = Seq((9L, Some(90.0), null.asInstanceOf[String])).toDF("k", "v", "op")
+    val e2 = intercept[Exception] {
+      graft.operators.Merge.mergeApply(base, nullOp, "k").collect()
+    }
+    val msg2 = String.valueOf(
+      org.apache.commons.lang3.exception.ExceptionUtils.getRootCause(e2).getMessage)
+    assert(msg2.contains("unknown op code 'NULL'"), s"wrong failure: $msg2")
+  }
+
+  test("ensureWritten: concurrent callers produce exactly one write") {
+    // the write-once guard is check-then-act on _SUCCESS; the per-dir
+    // monitor must serialize the first build so racing queries on a
+    // multi-tenant driver can never double-write (losers re-check the
+    // marker the winner created)
+    val dir = tempDir("graft-ensure-race").toString
+    val writes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        start.await()
+        graft.sources.Formats.ensureWritten(spark, dir) {
+          writes.incrementAndGet()
+          Thread.sleep(50) // widen the race window
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(dir, "_SUCCESS")): Unit
+        }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(writes.get() == 1, s"write ran ${writes.get()} times")
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged with NULL-safe payload equality") {
     val s = spark; import s.implicits._
     val old = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None), (4L, None), (5L, Some(50.0)))
