@@ -290,11 +290,6 @@ object Bench {
         println(s"""{"family":"$fam","queries":$body}""")
     }
     println(s"""{"retimed":${out.retimed.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
-    // positive confirmation either way: [] proves the ledger is
-    // steady-state; a non-empty list names exactly which shared builds
-    // may have landed in a timed key this run (bounded — never grows
-    // with query count, so it cannot crowd the stdout tail capture)
-    println(s"""{"warm_failures":${warmFailures.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
     // Per-query shuffle/spill record. The harness captures only the LAST
     // ~2 KB of stdout — a 147-entry byte map cannot ride the tail — so the
     // full map goes to an appended JSONL file (committed with the round, so
@@ -372,6 +367,15 @@ object Bench {
     val shufW = mb(qMetrics.valuesIterator.map(_.writeB).sum)
     val spillT = mb(qMetrics.valuesIterator.map(_.spillB).sum)
     val peakT = if (qMetrics.isEmpty) 0L else mb(qMetrics.valuesIterator.map(_.peakB).max)
+    // warm-gap observability, emitted immediately BEFORE the total line so
+    // it lands inside the harness's bounded stdout-tail capture (a driver
+    // run's stderr is unobservable after the fact, and the per-query chunk
+    // lines above can scroll anything earlier out of the tail — the r8
+    // parsed:null lesson). [] positively confirms a steady-state ledger;
+    // a non-empty list names exactly which shared builds may have landed
+    // in a timed key this run. Bounded (≤20 names): never grows with
+    // query count, so it cannot crowd the total line out.
+    println(s"""{"warm_failures":${warmFailures.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"failed":$failed,"runs":${out.runs},"pass_sums":$sums,"pass_ends":$ends,"retimes":${out.retimed.size},"heap_mb":$heapMb,"shuf_r_mb":$shufR,"shuf_w_mb":$shufW,"spill_mb":$spillT,"peak_mb":$peakT,"families":$fams,"sf":"$sfDir"}""")
     spark.stop()
   }

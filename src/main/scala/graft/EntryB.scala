@@ -1229,12 +1229,7 @@ private[graft] object EntryB {
       // the ENTIRE read-back (driver OOM at scale) and stream the
       // single-file parquet probe in one task — bytes wildly understate
       // work on both sides here.
-      val dir = graft.sources.Formats.scratchDir(s, "npy_embeddings", d)
-      graft.sources.Formats.ensureWritten(s, dir) {
-        graft.sources.Npy.writeVectors(
-          t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
-          "vec_id", "embedding", dir)
-      }
+      val dir = npyEmbeddingsDir(s, d)
       val parts = s.sessionState.conf.numShufflePartitions
       val back = graft.sources.Npy.readVectors(s, dir)
         .select(col("id").as("vec_id"), col("vec").as("npy_emb"))
@@ -1263,12 +1258,7 @@ private[graft] object EntryB {
       // Plan: one task per part pair (ids file only), partial aggregates
       // per task, a single 1-row final exchange — at 100 TB this is the
       // cheapest possible existence/coverage check over a vector store.
-      val dir = graft.sources.Formats.scratchDir(s, "npy_embeddings", d)
-      graft.sources.Formats.ensureWritten(s, dir) {
-        graft.sources.Npy.writeVectors(
-          t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
-          "vec_id", "embedding", dir)
-      }
+      val dir = npyEmbeddingsDir(s, d)
       // id_sum in decimal(38,0) then BIGINT: DuckDB sums to HUGEINT before
       // its BIGINT cast, so a LongType sum here would wrap (or ANSI-error)
       // where the oracle doesn't if the id sum ever exceeded 2^63 —
@@ -1298,12 +1288,7 @@ private[graft] object EntryB {
       // merge join, both sides numbered-repartitioned (the npy side's
       // stats descend from a LocalRelation of file names and would
       // otherwise broadcast the whole read-back).
-      val dir = graft.sources.Formats.scratchDir(s, "npy_embeddings", d)
-      graft.sources.Formats.ensureWritten(s, dir) {
-        graft.sources.Npy.writeVectors(
-          t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
-          "vec_id", "embedding", dir)
-      }
+      val dir = npyEmbeddingsDir(s, d)
       val parts = s.sessionState.conf.numShufflePartitions
       val sliced = graft.sources.Npy.readVectorsSlice(s, dir, 0, 8)
         .select(col("id").as("vec_id"), col("vec").as("npy_slice"))

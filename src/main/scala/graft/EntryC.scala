@@ -1989,12 +1989,7 @@ private[graft] object EntryC {
       // At scale the query side would be its own small frame rather
       // than a second store scan; reading it from the store here keeps
       // the no-parquet claim total.
-      val dir = graft.sources.Formats.scratchDir(s, "npy_embeddings", d)
-      graft.sources.Formats.ensureWritten(s, dir) {
-        graft.sources.Npy.writeVectors(
-          t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
-          "vec_id", "embedding", dir)
-      }
+      val dir = npyEmbeddingsDir(s, d)
       val emb = graft.sources.Npy.readVectors(s, dir)
         .select(col("id").as("vec_id"), col("vec").as("embedding"))
         .repartition(s.sessionState.conf.numShufflePartitions)
@@ -2020,12 +2015,7 @@ private[graft] object EntryC {
       // bounded-broadcast shape over the repartitioned slice scan (the
       // c104 single-pair-layout rule), survivors broadcast back for the
       // full-vector fetch, item table never shuffled.
-      val dir = graft.sources.Formats.scratchDir(s, "npy_embeddings", d)
-      graft.sources.Formats.ensureWritten(s, dir) {
-        graft.sources.Npy.writeVectors(
-          t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
-          "vec_id", "embedding", dir)
-      }
+      val dir = npyEmbeddingsDir(s, d)
       val parts = s.sessionState.conf.numShufflePartitions
       val sliceItems = graft.sources.Npy.readVectorsSlice(s, dir, 0, 8)
         .select(col("id").as("vec_id"), col("vec").as("embedding"))
@@ -2035,7 +2025,7 @@ private[graft] object EntryC {
         .repartition(parts)
       val queries = full.where(col("vec_id") < 5)
       Ann.sliceRerankTopK(sliceItems, full, queries, "vec_id", "embedding",
-        sliceFrom = 1, sliceLen = 8, k = 10, candidates = 50)
+        sliceFrom = 0, sliceLen = 8, k = 10, candidates = 50)
         .select(col("query_id"), col("item_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),

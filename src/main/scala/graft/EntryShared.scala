@@ -21,6 +21,26 @@ private[graft] object EntryShared {
 
   private[graft] def t(s: SparkSession, d: String, n: String): DataFrame = Tables.t(s, d, n)
 
+  /** The shared npy pair layout of the embeddings table — written once
+    * per (input, application) and consumed by five keys (b129 roundtrip,
+    * b130 ids-only scan, b131 dim-slice roundtrip, c121 store-served ANN,
+    * c122 slice-rerank cascade). ONE definition so the (purpose,
+    * column-selection) pair can never drift between consumers: a fork
+    * would silently re-pay the write inside a timed key (the layout is
+    * warmed via b129's oneTimeBuildQueries entry) or break c121's
+    * store-served ≡ parquet-served parity claim. Returns the layout dir;
+    * the write itself is the sanctioned write-once action
+    * ([[graft.sources.Formats.ensureWritten]], race-safe since r17). */
+  private[graft] def npyEmbeddingsDir(s: SparkSession, d: String): String = {
+    val dir = graft.sources.Formats.scratchDir(s, "npy_embeddings", d)
+    graft.sources.Formats.ensureWritten(s, dir) {
+      graft.sources.Npy.writeVectors(
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", dir)
+    }
+    dir
+  }
+
   /** Exact, order-independent sum of a 2dp-double column, as double. */
   private[graft] def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 

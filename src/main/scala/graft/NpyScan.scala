@@ -54,20 +54,28 @@ object NpyScan {
       val (fullRows, fullSec) = timed(full.count())
       val (idRows, idSec) = timed(ids.count())
       val (slRows, slSec) = timed(slice.count())
-      // slice economics (r17): HEAP materialized per task = n·8·4 slice
-      // bytes (+ the bounded 4 MiB window + the ids file); PHYSICAL file
-      // bytes touched stay = vec_bytes at d=64 because a 256 B row is
-      // far below a 4 KiB page — report both so the ledger carries the
-      // honest negative result alongside the heap/width win
-      val d = 64
-      val sliceHeap = fullRows * 8 * 4
+      // slice economics (r17): HEAP materialized per task = n_task·8·4
+      // slice bytes (+ the bounded 4 MiB window + the ids file); PHYSICAL
+      // file bytes touched stay = vec_bytes while the 4·d row stride is
+      // below a 4 KiB page — report both so the ledger carries the honest
+      // negative result alongside the heap/width win. d is read from the
+      // layout itself (never hardcoded: a regenerated fixture at d≠64
+      // must not print silently-wrong percentages), and the per-task heap
+      // divides by the ACTUAL task count (one task per pair), so the
+      // writer-8 row reports a single task's buffer, not the sum.
+      val d = full.select(size(col("vec"))).first().getInt(0)
+      val sliceTasks = slice.rdd.getNumPartitions
+      val sliceHeapPerTask = fullRows * 8L * 4 / math.max(sliceTasks, 1)
+      val pageSkip = if (4L * d >= 4096) "stride>=page: prunable" else s"100% at d=$d"
 
       println(f"[npyscan] $label $sfDir pairs=${idFiles.length} " +
         f"tasks_full=${full.rdd.getNumPartitions} tasks_ids=${ids.rdd.getNumPartitions} " +
+        f"tasks_slice=$sliceTasks " +
         f"rows=$fullRows/$idRows/$slRows id_bytes=$idBytes vec_bytes=$vecBytes " +
         f"ids_read_pct=${100.0 * idBytes / (idBytes + vecBytes)}%.2f " +
-        f"slice8_heap_bytes=$sliceHeap (${100.0 * sliceHeap / (fullRows * 4L * d)}%.2f%% of payload; " +
-        f"file pages touched: 100%% at d=$d) " +
+        f"slice8_heap_bytes_per_task=$sliceHeapPerTask " +
+        f"(slice total ${100.0 * (fullRows * 8L * 4) / (fullRows * 4L * d)}%.2f%% of payload; " +
+        f"file pages touched: $pageSkip) " +
         f"warm_full_s=$fullSec%.3f warm_ids_s=$idSec%.3f warm_slice8_s=$slSec%.3f")
     }
     // as-written (testdata parquet is single-file → 1 writer partition →

@@ -85,7 +85,15 @@ object SparkEntry {
       "c36_incremental_dedup",
       "c63_semantic_dedup")
     oneTimeBuildQueries.foreach { n =>
-      warm(n)(queries.get(n).foreach(fn => fn(s, d).count()))
+      // a stale/renamed name must surface as a warm FAILURE, not a silent
+      // no-op — an unwarmed one-time build is exactly the ledger-drift
+      // class this list exists to prevent
+      queries.get(n) match {
+        case Some(fn) => warm(n)(fn(s, d).count())
+        case None =>
+          failed += n
+          System.err.println(s"[bench] warm '$n': no such query key (stale list entry)")
+      }
     }
     failed.toSeq
   }

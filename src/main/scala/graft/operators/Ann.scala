@@ -676,14 +676,23 @@ object Ann {
     * query side broadcast against the linear item-slice scan, c06's
     * shape); survivors (|queries|·candidates rows) broadcast back for
     * the full-vector fetch, so the item table is never shuffled; the
-    * only shuffles are the two per-query top-k windows. */
+    * only shuffles are the two per-query top-k windows.
+    *
+    * `sliceFrom` is 0-BASED, matching the store's
+    * [[graft.sources.Npy.readVectorsSlice]] `dimStart` exactly —
+    * `sliceFrom = d0, sliceLen = dn − d0` pairs with
+    * `readVectorsSlice(_, _, d0, dn)`. (Spark's `slice()` is 1-based;
+    * the +1 conversion happens here so the two halves of the cascade
+    * can never be one dim apart.) */
   def sliceRerankTopK(itemsSlice: DataFrame, items: DataFrame, queries: DataFrame,
                       idCol: String, vecCol: String, sliceFrom: Int, sliceLen: Int,
                       k: Int, candidates: Int): DataFrame = {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    require(sliceFrom >= 0 && sliceLen > 0,
+      s"bad dimension slice [$sliceFrom, ${sliceFrom + sliceLen}): 0-based, non-empty")
     val is = itemsSlice.select(col(idCol).as("item_id"), col(vecCol).as("sv"))
     val qs = queries.select(col(idCol).as("query_id"),
-      slice(col(vecCol), sliceFrom, sliceLen).as("qsv"))
+      slice(col(vecCol), sliceFrom + 1, sliceLen).as("qsv"))
     val coarse = is.join(broadcast(qs), col("item_id") =!= col("query_id"))
       .select(col("query_id"), col("item_id"),
         Similarity.cosineRounded(col("qsv"), col("sv")).as("scos"))

@@ -93,10 +93,23 @@ object Dedup {
     * buffers a degenerate tower's rows in a spillable row array
     * (ExternalAppendOnlyUnsafeRowArray), while collect_list — whose
     * single aggregation buffer CANNOT spill — only ever sees
-    * post-filter buckets of ≤ maxBucket ids (≤ ~8 KB). The former
-    * hot-count + anti-join + band self-join shape was equally safe but
-    * paid the banded exchange twice plus the count shuffle (r17 ledger:
-    * c02 12,176 → this shape's one-exchange bytes). */
+    * post-filter buckets of ≤ maxBucket ids (≤ ~8 KB).
+    *
+    * The trade, stated honestly: a tower's rows DO cross the exchange
+    * here and spill at their reducer before the count discards them —
+    * disk-bounded and non-fatal, but a straggler on a degenerately
+    * skewed corpus; the prior hot-count + broadcast-anti-join shape
+    * dropped towers map-side BEFORE any exchange, at the price of the
+    * banded exchange twice plus a near-banded-sized count shuffle on
+    * NORMAL data (r17 ledger: c02 12,176 → 6,854 KB r+w from this
+    * re-shape). This shape optimizes the common case because
+    * identical-doc towers cannot reach a production near-dup pass at
+    * all — exact/canonical dedup (c01/c71) runs first in every
+    * curation pipeline, including this repo's own (c77) — and residual
+    * near-identical towers are orders smaller. A corpus skipping exact
+    * dedup should prefer [[incrementalMinhashPairs]]'s anti-join
+    * discipline (it keeps the pre-exchange drop because its corpus
+    * side must never shuffle at all). */
   def minhashPairsOf(sets: DataFrame, numPerm: Int = 64, bands: Int = 16,
                      threshold: Double = 0.8, maxBucket: Int = 1000): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")

@@ -712,10 +712,10 @@ class SimilarityAndDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(r.fieldIndex("query_id")), r.getLong(r.fieldIndex("item_id")))).toSet
     val brute = pairs(graft.operators.Ann.bruteTopK(emb, queries, "vec_id", "embedding", 10))
     val exactAll = pairs(graft.operators.Ann.sliceRerankTopK(sliced, emb, queries,
-      "vec_id", "embedding", sliceFrom = 1, sliceLen = 8, k = 10, candidates = 100000))
+      "vec_id", "embedding", sliceFrom = 0, sliceLen = 8, k = 10, candidates = 100000))
     assert(exactAll == brute, "cascade at full candidates must equal brute top-k")
     val at50 = pairs(graft.operators.Ann.sliceRerankTopK(sliced, emb, queries,
-      "vec_id", "embedding", sliceFrom = 1, sliceLen = 8, k = 10, candidates = 50))
+      "vec_id", "embedding", sliceFrom = 0, sliceLen = 8, k = 10, candidates = 50))
     val recall = brute.intersect(at50).size.toDouble / brute.size
     info(f"slice(8/64) cascade recall@10 vs brute at candidates=50: $recall%.3f")
     // 8 of 64 near-isotropic dims is a weak coarse signal (unlike int8,
