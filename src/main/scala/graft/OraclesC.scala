@@ -1607,8 +1607,8 @@ private[graft] object OraclesC {
       """WITH w AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens FROM documents)
         |SELECT doc_id, ws_tokens,
-        |  CAST(floor(coalesce(sum(ws_tokens) OVER (ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 10000.0) AS BIGINT) AS shard
+        |  CAST((coalesce(sum(ws_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 10000) AS BIGINT) AS shard
         |FROM w ORDER BY doc_id""".stripMargin,
     "c28_boilerplate" -> (shingleCte +
       """,

@@ -80,8 +80,12 @@ object Pipeline {
     local.join(broadcast(offsets), "pid")
       // exclusive prefix: everything strictly before this row in id order
       .withColumn("cum_before", col("offset") + col("lcum") - col(weightCol))
+      // integer floor division (weights are non-negative token counts, so
+      // div ≡ floor): the former floor(x / budget.toDouble) was exact only
+      // below 2^53 — past ~9e15 cumulative tokens the double conversion
+      // quantizes and can misassign boundary rows (r17 review)
       .select(col(idCol), col(weightCol),
-        floor(col("cum_before") / budget.toDouble).cast("long").as("shard"))
+        call_function("div", col("cum_before"), lit(budget)).as("shard"))
   }
 
   /** Greedy capacity-reset sequence packing: fill fixed-size context
@@ -794,7 +798,12 @@ object Pipeline {
     val ev = evalSet.select(col(idCol).as("eid"), col(vecCol).as("ev"))
       .withColumn("enrm", sqrt(dot(col("ev"), col("ev"))))
     tr.crossJoin(broadcast(ev))
-      .where(round(dot(col("v"), col("ev")) / (col("nrm") * col("enrm")), 6) >= threshold)
+      .withColumn("cosr", dot(col("v"), col("ev")) / (col("nrm") * col("enrm")))
+      // prefilter-gated exact threshold test (the r13 rule — proof and
+      // constants in VectorExpressions.cosineAtLeast): |train|·|eval|
+      // candidates flow through here, so the per-evaluation BigDecimal of
+      // a bare round() must run only on near-threshold survivors
+      .where(graft.plans.VectorExpressions.cosineAtLeast(col("cosr"), threshold))
       .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
   }
 
