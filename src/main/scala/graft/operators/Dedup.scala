@@ -1159,13 +1159,17 @@ object Dedup {
       col("cvec"), sqrt(dot(col("cvec"), col("cvec"))).as("cnrm")))
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("csim").desc, col("centroid_id"))
     // persisted: the assignment pass feeds three consumers (both sides of
     // the pair self-join and the final keep-join) — without the cache the
-    // full-corpus scan + argmax window would run three times (the
-    // pageRankNano persisted-intermediate pattern; app-lifetime retention,
-    // callers can unpersist via the returned lineage)
+    // full-corpus scan + argmax would run three times (the pageRankNano
+    // persisted-intermediate pattern; app-lifetime retention, callers can
+    // unpersist via the returned lineage). Argmax is the map-side
+    // max_by aggregate (the r17 Ann.assignNearest shape): the broadcast
+    // centroid join fans each row out |centroids|-fold and a per-id
+    // window would ship that whole fan-out through the exchange; max_by
+    // partial-aggregates it back to one state per id inside each task —
+    // a |centroids|× shuffle cut on the corpus side. Lexicographic max
+    // of (csim, −centroid_id) ≡ (csim desc, centroid_id asc).
     val assigned = v.join(cent)
       // zero-norm guard INSIDE the assignment: under ANSI mode (Spark 4
       // default) 0/0 is a task-killing DIVIDE_BY_ZERO, so one failed
@@ -1177,8 +1181,12 @@ object Dedup {
         when(col("nrm") > 0 && col("cnrm") > 0,
           round(dot(col("v"), col("cvec")) / (col("nrm") * col("cnrm")), 6))
           .otherwise(lit(-2.0)).as("csim"))
-      .withColumn("crank", row_number().over(w)).where(col("crank") === 1)
-      .select(col("id"), col("v"), col("nrm"), col("centroid_id").as("cell"))
+      .groupBy(col("id"))
+      .agg(max_by(
+        struct(col("v").as("v"), col("nrm").as("nrm"), col("centroid_id").as("cid")),
+        struct(col("csim"), (lit(0L) - col("centroid_id")).as("tb"))).as("best"))
+      .select(col("id"), col("best.v").as("v"), col("best.nrm").as("nrm"),
+        col("best.cid").as("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val small = assigned
       // zero-norm vectors never pair (cos is NaN — see embeddingPairs);
