@@ -104,9 +104,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EntryA.aQueries ++ EntryB.bQueries ++ EntryC.cQueries
+    EntryA.aQueries ++ EntryB.bQueries ++ EntryC.cQueries ++ EntryC2.cQueries2
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query key has an oracle. */
-  def oracleSql: Map[String, String] = OraclesA.aOracles ++ OraclesB.bOracles ++ OraclesC.cOracles
+  def oracleSql: Map[String, String] =
+    OraclesA.aOracles ++ OraclesB.bOracles ++ OraclesC.cOracles ++ OraclesC2.cOracles2
 }
