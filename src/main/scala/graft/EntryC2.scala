@@ -1033,6 +1033,36 @@ private[graft] object EntryC2 {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "c123_ann_npy_ivf" -> ((s, d) => {
+      // the npy store serving the SCALE ANN path (completing the
+      // store-served progression: c121 = brute parity, c122 = the
+      // slice cascade, this = IVF — the cell-blocked shape a 100 TB
+      // deployment actually runs): the exact c07 semantics with the
+      // exact c07 oracle, but items, queries AND the centroid codebook
+      // all read from the shared npy pair layout — zero parquet scans
+      // (PlanSpec), so the oracle match proves the store serves the
+      // bucketed candidate generator bit-for-bit, not just the brute
+      // scorer. Plan: the item side is numbered-repartitioned off the
+      // single-pair layout before the cell-assignment BNLJ (the
+      // c104/c31 rule); queries and centroids derive from the RAW
+      // (un-repartitioned) read — both end inside broadcast builds
+      // (≤5 rows / 1-in-97 codebook), so shipping the full read
+      // through an exchange first would be pure wasted shuffle. Cell
+      // assignment is the map-side max_by aggregate (the r17
+      // Ann.assignNearest shape); the cell join probes with the
+      // nprobe-fanned 5-row query side.
+      val dir = npyEmbeddingsDir(s, d)
+      val raw = graft.sources.Npy.readVectors(s, dir)
+        .select(col("id").as("vec_id"), col("vec").as("embedding"))
+      val emb = raw.repartition(s.sessionState.conf.numShufflePartitions)
+      val queries = raw.where(col("vec_id") < 5)
+      val centroids = raw.where(pmod(col("vec_id"), lit(97)) === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      Ann.ivfTopK(emb, queries, centroids, "vec_id", "embedding", k = 10, nprobe = 2)
+        .select(col("query_id"), col("item_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "c38_embedding_quantize" -> ((s, d) =>
       // at-rest int8 compression for the embedding store: max-abs scaling,
       // round-half-up via floor (bit-exact IEEE in every engine — never

@@ -373,6 +373,37 @@ private[graft] object OraclesC2 {
         |  SELECT query_id, item_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
         |  FROM scored) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // c123 = the c07 IVF oracle verbatim: the npy layout roundtrips raw
+    // IEEE bits (b129), so store-served IVF must equal parquet-served
+    // IVF bit-for-bit — the oracle keeps reading the parquet original
+    "c123_ann_npy_ivf" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id % 97 = 0),
+        |item_sc AS (
+        |  SELECT e.vec_id AS item_id, e.embedding AS iv, c.centroid_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) AS csim
+        |  FROM embeddings e CROSS JOIN cent c),
+        |item_cell AS (
+        |  SELECT item_id, iv, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY item_id ORDER BY csim DESC, centroid_id) AS crank
+        |    FROM item_sc) WHERE crank <= 1),
+        |q_sc AS (
+        |  SELECT e.vec_id AS query_id, e.embedding AS qv, c.centroid_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6) AS csim
+        |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5),
+        |q_cell AS (
+        |  SELECT query_id, qv, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, centroid_id) AS crank
+        |    FROM q_sc) WHERE crank <= 2),
+        |scored AS (
+        |  SELECT q.query_id, i.item_id,
+        |    round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(i.iv AS DOUBLE[])), 6) AS cos
+        |  FROM item_cell i JOIN q_cell q USING (centroid_id)
+        |  WHERE i.item_id != q.query_id)
+        |SELECT query_id, item_id, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT query_id, item_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS rank
+        |  FROM scored) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "c22_ann_lsh" ->
       """WITH hp AS (
         |  SELECT j, list(CASE WHEN ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 2))::INTEGER < 128

@@ -364,6 +364,7 @@ object Multimodal {
     * (media_id, frame_idx, features).
     */
   def sampleFrames(df: DataFrame, idCol: String, payloadCol: String, k: Int): DataFrame = {
+    require(k > 0, s"frame count k must be positive, got $k")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))

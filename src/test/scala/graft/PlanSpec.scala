@@ -141,6 +141,21 @@ class PlanSpec extends SparkSpec {
       s"item table must never shuffle on a join key:\n$plan")
   }
 
+  test("c123 npy-served IVF: zero parquet scans, two bounded assignment BNLJs, repartitioned items") {
+    // the store-served scale path: both cell assignments (items +
+    // queries) are the audited broadcast-codebook BNLJ, the item side
+    // must be numbered-repartitioned off the single-pair layout (the
+    // c104 rule), and nothing may touch the parquet original
+    val plan = physicalPlan(SparkEntry.queries("c123_ann_npy_ivf")(spark, sf))
+    assert(!plan.contains("Scan parquet"),
+      s"store-served IVF must not touch parquet:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length == 2 &&
+      !plan.contains("CartesianProduct"),
+      s"expected exactly the two bounded-broadcast assignment BNLJs:\n$plan")
+    assert(plan.contains("Exchange RoundRobinPartitioning"),
+      s"item side must be repartitioned off the single-pair layout:\n$plan")
+  }
+
   test("b131 npy dim-slice roundtrip: merge join, no broadcast of the npy read-back") {
     // the b129 join discipline: the slice read-back's stats descend from
     // a LocalRelation of file names, so an unforced plan would broadcast

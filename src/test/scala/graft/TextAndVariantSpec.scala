@@ -167,6 +167,10 @@ class TextAndVariantSpec extends SparkSpec {
     assert(f10.getLong(2) == 2 && f10.getLong(3) == 'a'.toLong + 'b'.toLong)
     // frames tile the payload: total bytes add up
     assert(frames.filter(_.getLong(0) == 1L).map(_.getLong(2)).sum == 8)
+    // k must be positive (k=0 would divide by zero in the stride math)
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(df, "id", "payload", 0)
+    }
   }
 
   test("schema JSON roundtrip preserves nested types, nullability, metadata") {
