@@ -992,9 +992,7 @@ private[graft] object EntryC2 {
       // At scale the query side would be its own small frame rather
       // than a second store scan; reading it from the store here keeps
       // the no-parquet claim total.
-      val dir = npyEmbeddingsDir(s, d)
-      val emb = graft.sources.Npy.readVectors(s, dir)
-        .select(col("id").as("vec_id"), col("vec").as("embedding"))
+      val emb = npyEmbeddings(s, d)
         .repartition(s.sessionState.conf.numShufflePartitions)
       val queries = emb.where(col("vec_id") < 5)
       Ann.bruteTopK(emb, queries, "vec_id", "embedding", k = 10)
@@ -1023,9 +1021,7 @@ private[graft] object EntryC2 {
       val sliceItems = graft.sources.Npy.readVectorsSlice(s, dir, 0, 8)
         .select(col("id").as("vec_id"), col("vec").as("embedding"))
         .repartition(parts)
-      val full = graft.sources.Npy.readVectors(s, dir)
-        .select(col("id").as("vec_id"), col("vec").as("embedding"))
-        .repartition(parts)
+      val full = npyEmbeddings(s, d).repartition(parts)
       val queries = full.where(col("vec_id") < 5)
       Ann.sliceRerankTopK(sliceItems, full, queries, "vec_id", "embedding",
         sliceFrom = 0, sliceLen = 8, k = 10, candidates = 50)
@@ -1051,9 +1047,7 @@ private[graft] object EntryC2 {
       // assignment is the map-side max_by aggregate (the r17
       // Ann.assignNearest shape); the cell join probes with the
       // nprobe-fanned 5-row query side.
-      val dir = npyEmbeddingsDir(s, d)
-      val raw = graft.sources.Npy.readVectors(s, dir)
-        .select(col("id").as("vec_id"), col("vec").as("embedding"))
+      val raw = npyEmbeddings(s, d)
       val emb = raw.repartition(s.sessionState.conf.numShufflePartitions)
       val queries = raw.where(col("vec_id") < 5)
       val centroids = raw.where(pmod(col("vec_id"), lit(97)) === 0)

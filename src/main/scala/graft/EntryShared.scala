@@ -41,6 +41,19 @@ private[graft] object EntryShared {
     dir
   }
 
+  /** The store's (vec_id, embedding)-renamed FULL-VECTOR read-back — ONE
+    * definition next to [[npyEmbeddingsDir]] so the read-side column
+    * contract can never drift between the store-served keys
+    * (c121/c122/c123): a fork of the rename at one site would silently
+    * break the store-served ≡ parquet-served parity claim for the
+    * others. Callers add their own numbered repartition where the frame
+    * feeds pair work (the c104 single-pair-layout rule); the slice
+    * read-back (c122's coarse stage) stays at its call site because its
+    * reader and dim window are that key's point. */
+  private[graft] def npyEmbeddings(s: SparkSession, d: String): DataFrame =
+    graft.sources.Npy.readVectors(s, npyEmbeddingsDir(s, d))
+      .select(col("id").as("vec_id"), col("vec").as("embedding"))
+
   /** Exact, order-independent sum of a 2dp-double column, as double. */
   private[graft] def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 

@@ -1174,9 +1174,6 @@ private[graft] object OraclesC {
         |    FROM documents))
         |SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
         |FROM p GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin,
-
-    // the c88 chain extended by round 3's APPLICATION (m3/i3/o3/alive4);
-    // counts of the pre- and post-merge symbol streams
   )
 
 }

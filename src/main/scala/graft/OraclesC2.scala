@@ -8,6 +8,8 @@ import graft.EntryShared._
 private[graft] object OraclesC2 {
 
   private[graft] val cOracles2: Map[String, String] = Map(
+    // the c88 chain extended by round 3's APPLICATION (m3/i3/o3/alive4);
+    // counts of the pre- and post-merge symbol streams
     "c90_bpe_compression" ->
       """WITH alive1 AS (
         |  SELECT doc_id AS doc,
