@@ -82,8 +82,8 @@ object SparkEntry {
       "b38_partition_prune", "b49_json_roundtrip", "b63_partitioned_bucketed",
       "b64_zorder_prune", "b79_dynamic_partition_prune", "b86_bucketed_agg",
       "b93_hilbert_prune", "b129_npy_roundtrip", "b130_npy_ids_scan",
-      "c36_incremental_dedup",
-      "c63_semantic_dedup")
+      "c34_bloom_decontaminate", "c36_incremental_dedup",
+      "c63_semantic_dedup", "c96_bloom_advisor")
     oneTimeBuildQueries.foreach { n =>
       // a stale/renamed name must surface as a warm FAILURE, not a silent
       // no-op — an unwarmed one-time build is exactly the ledger-drift
