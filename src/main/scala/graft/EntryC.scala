@@ -203,9 +203,11 @@ private[graft] object EntryC {
       // semantic dedup: connected components over the exact cosine pair
       // graph at a tighter threshold — derived for free from the memoized
       // c05 tile join (its cos column), so no second pairwise pass; the
-      // tighter cut keeps dedup groups tight instead of one giant blob
-      Dedup.clusters(
-          embeddingPairGraph(s, d).where(col("cos") >= 0.42).select(col("a"), col("b")))
+      // tighter cut keeps dedup groups tight instead of one giant blob.
+      // r17: the cluster frame itself is memoized (embClusters) — c40's
+      // centroid step consumes the identical labels, so the CC iteration
+      // runs once per (session, sfDir) instead of twice.
+      embClusters(s, d)
         .select(col("id").as("vec_id"), col("cluster_rep"))
         .orderBy(col("vec_id"))),
 
@@ -273,8 +275,10 @@ private[graft] object EntryC {
       // shingles inside the container) — catches short-doc-quoted-in-
       // long-doc dedup cases whose symmetric jaccard is tiny. Pure
       // integer threshold; capped inverted index. See
-      // Dedup.containmentPairs.
-      Dedup.containmentPairs(docShingleSets(s, d), containPct = 90)
+      // Dedup.containmentPairs. r17: reads the memoized docCoCounts
+      // frame — the posting self-join runs once per (session, sfDir)
+      // for c49/c52/c76 instead of once per key.
+      Dedup.containmentPairsOf(docCoCounts(s, d), containPct = 90)
         .orderBy(col("contained"), col("container"))),
 
     "c55_leakproof_split" -> ((s, d) => {

@@ -304,7 +304,10 @@ private[graft] object EntryC2 {
           .as(Seq("p", "tk")))
         .where(col("tk") =!= "")
         .agg(count(lit(1)).as("toks_before"))
-      val after = graft.operators.Bpe.applyMerges(docs, "doc_id", "text", k = 3)
+      // r17: the compacted corpus comes from the shared k=3 chain
+      // (bpeK3Corpus, same checkpoints as c88's rules) — the 3-round
+      // iteration runs once per (session, sfDir) for the pair of keys
+      val after = bpeK3Corpus(s, d)
         .agg(count(lit(1)).as("toks_after"))
       before.crossJoin(broadcast(after))
         .select(col("toks_before"), col("toks_after"),
@@ -316,8 +319,9 @@ private[graft] object EntryC2 {
       // learned from the corpus — exact leftmost-greedy merge semantics
       // via gaps-and-islands parity, every per-round window sharing one
       // doc shuffle, winner = 1-row broadcast (Bpe.merges scaladoc);
-      // oracle unrolls the identical three rounds
-      graft.operators.Bpe.merges(t(s, d, "documents"), "doc_id", "text", k = 3)
+      // oracle unrolls the identical three rounds. r17: reads the shared
+      // k=3 chain (bpeK3Merges — one iteration for the c88/c90 pair)
+      bpeK3Merges(s, d)
         .orderBy(col("rank"))),
 
     "c95_bpe_merges_k16" -> ((s, d) =>
@@ -503,7 +507,8 @@ private[graft] object EntryC2 {
       // integer milli-jaccard over the memoized shingle index
       // (Dedup.topSimilarPairs scaladoc: co-count kernel + TakeOrdered
       // per-task heaps, no full sort)
-      Dedup.topSimilarPairs(docShingleSets(s, d), k = 20)
+      // r17: reads the memoized docCoCounts frame (shared with c49/c52)
+      Dedup.topSimilarPairsOf(docCoCounts(s, d), k = 20)
         .orderBy(col("milli_jaccard").desc, col("a"), col("b"))),
 
     "c75_cc_stars" -> ((s, d) =>
@@ -737,8 +742,11 @@ private[graft] object EntryC2 {
       // sketch-quality-as-columns (the b18/c42 pattern for minhash):
       // per exact near-dup pair, exact |∩|/|∪| NEXT TO the 64-perm
       // signature agreement — the estimator and its ground truth in one
-      // hash-checked row. See Dedup.jaccardCalibration.
-      Dedup.jaccardCalibration(docShingleSets(s, d), threshold = 0.8)
+      // hash-checked row. See Dedup.jaccardCalibration. r17: reads the
+      // memoized docCoCounts frame (shared with c49/c76); the shingle
+      // index is still passed for the signature columns.
+      Dedup.jaccardCalibrationOf(docCoCounts(s, d), docShingleSets(s, d),
+          threshold = 0.8)
         .orderBy(col("a"), col("b"))),
 
     "c51_dedup_report" -> ((s, d) =>
@@ -800,10 +808,11 @@ private[graft] object EntryC2 {
     "c40_cluster_centroids" -> ((s, d) =>
       // exact nano-integer centroid of every c20 semantic-dedup cluster —
       // the reproducible codebook-update step (see Ann.clusterCentroidsExact);
-      // reuses the memoized cosine pair graph, so no second pairwise pass
+      // reuses the memoized cosine pair graph, so no second pairwise pass.
+      // r17: consumes the memoized embClusters labels (shared with c20)
+      // instead of re-running the whole CC iteration itself.
       Ann.clusterCentroidsExact(
-          Dedup.clusters(
-            embeddingPairGraph(s, d).where(col("cos") >= 0.42).select(col("a"), col("b"))),
+          embClusters(s, d),
           t(s, d, "embeddings"), "vec_id", "embedding")
         .orderBy(col("cluster_rep"), col("pos"))),
 

@@ -59,6 +59,10 @@ object SparkEntry {
     warm("docJaccardPairs")(docJaccardPairs(s, d).count())
     warm("docSigAgreementPairs")(docSigAgreementPairs(s, d).count())
     warm("docClusters")(docClusters(s, d).count())
+    warm("docCoCounts")(docCoCounts(s, d).count())
+    warm("embClusters")(embClusters(s, d).count())
+    warm("bpeK3Merges")(bpeK3Merges(s, d).count())
+    warm("bpeK3Corpus")(bpeK3Corpus(s, d).count())
     warm("docBigramsWithSource")(docBigramsWithSource(s, d).count())
     warm("embeddingPairGraph")(embeddingPairGraph(s, d).count())
     warm("psDerived")(psDerived(s, d).count())

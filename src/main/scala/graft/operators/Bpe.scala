@@ -58,6 +58,16 @@ object Bpe {
                   roundPartitions: Option[Int] = None): DataFrame =
     run(docs, idCol, textCol, k, roundPartitions)._2
 
+  /** Both halves of one `k`-round chain: ([[merges]], [[applyMerges]])
+    * backed by the SAME per-round checkpoints. A caller needing the rules
+    * AND the compacted corpus (the c88/c90 pair) previously paid the k
+    * rounds twice — once per entry point — because each call builds its
+    * own chain (r17 optimization round, guide §2.4: don't compute the
+    * same iteration twice). */
+  def mergesAndApply(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                     roundPartitions: Option[Int] = None): (DataFrame, DataFrame) =
+    run(docs, idCol, textCol, k, roundPartitions)
+
   private def run(docs: DataFrame, idCol: String, textCol: String, k: Int,
                   roundPartitions: Option[Int] = None): (DataFrame, DataFrame) = {
     // Plan depth is NOT the binding constraint — the per-round lazy
@@ -94,10 +104,22 @@ object Bpe {
       val adj = alive
         .withColumn("ntok", lead(col("tok"), 1).over(wd))
         .withColumn("seq", row_number().over(wd))
+      // The round winner is 1 row but its subtree is a full window pass +
+      // pair count over this round's corpus. It feeds TWO consumers: the
+      // merge application below (via broadcast) and the merges output
+      // row. Lazy-checkpointing it (r17, guide §2.4) means the pass runs
+      // once — during the application's broadcast build — and the merges
+      // output reads the cached 1-row RDD instead of re-running a window
+      // + aggregation pass per round when `out` is evaluated (at k=16
+      // that re-run was 16 extra passes over 16 corpus snapshots). This
+      // is the engine-native form of the driver-side merge list every
+      // classic BPE trainer keeps: per-round algorithmic state, held as
+      // a 1-row cached frame because builders must stay lazy.
       val best = adj.where(col("ntok").isNotNull)
         .groupBy(col("tok"), col("ntok")).agg(count(lit(1)).as("c"))
         .agg(max(struct(col("c"), col("tok"), col("ntok"))).as("b"))
         .select(col("b.c").as("bc"), col("b.tok").as("bt"), col("b.ntok").as("bn"))
+        .localCheckpoint(false)
       val roundRow = best.select(lit(r).as("rank"), col("bt").as("lhs"),
         col("bn").as("rhs"), col("bc").as("pair_count"))
       out = if (out == null) roundRow else out.union(roundRow)

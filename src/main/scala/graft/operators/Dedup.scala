@@ -287,8 +287,16 @@ object Dedup {
     * relation, two hash joins). Nothing new shuffles beyond the pair graph.
     */
   def jaccardCalibration(sets: DataFrame, threshold: Double = 0.8,
-                         numPerm: Int = 64, maxPosting: Int = 10000): DataFrame = {
-    val pairs = cappedCoCounts(sets, maxPosting)
+                         numPerm: Int = 64, maxPosting: Int = 10000): DataFrame =
+    jaccardCalibrationOf(cappedCoCounts(sets, maxPosting), sets, threshold, numPerm)
+
+  /** [[jaccardCalibration]] over a precomputed [[cappedCoCounts]] frame
+    * (r17 sharing variant — see [[containmentPairsOf]]); `sets` is still
+    * needed for the minhash signatures of the surviving pairs. */
+  def jaccardCalibrationOf(co: DataFrame, sets: DataFrame,
+                           threshold: Double = 0.8,
+                           numPerm: Int = 64): DataFrame = {
+    val pairs = co
       .withColumn("uni", col("sza") + col("szb") - col("inter"))
       .where(col("inter") >= col("uni") * threshold)
       .select(col("a"), col("b"), col("inter"), col("uni"))
@@ -426,8 +434,17 @@ object Dedup {
     * Sizes are computed from the SAME capped posting list as the
     * intersections, so numerator and denominator stay consistent when the
     * cap fires.
+    *
+    * Exposed package-private (r17 optimization round) so a caller running
+    * SEVERAL overlap operators over one shingle index can build the
+    * co-count frame once, persist it, and feed the `...Of` variants
+    * ([[containmentPairsOf]], [[topSimilarPairsOf]],
+    * [[jaccardCalibrationOf]]) — at suite level the three consumers were
+    * each re-paying this kernel's self-join shuffle (~40 MB/run at sf0.1,
+    * the single largest repeated exchange in the bench ledger). The
+    * returned frame is (a, b, inter, sza, szb), a < b.
     */
-  private def cappedCoCounts(sets: DataFrame, maxPosting: Int): DataFrame = {
+  private[graft] def cappedCoCounts(sets: DataFrame, maxPosting: Int): DataFrame = {
     val postings = sets.select(col("id"), explode(col("hs")).as("h"))
     val hot = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df") > maxPosting).select(col("h"))
@@ -463,8 +480,12 @@ object Dedup {
     * nothing single-partition until k rows). */
   def topSimilarPairs(sets: DataFrame, k: Int = 20,
                       maxPosting: Int = 10000): DataFrame =
-    cappedCoCounts(sets, maxPosting)
-      .select(col("a"), col("b"),
+    topSimilarPairsOf(cappedCoCounts(sets, maxPosting), k)
+
+  /** [[topSimilarPairs]] over a precomputed [[cappedCoCounts]] frame
+    * (r17 sharing variant — see [[containmentPairsOf]]). */
+  def topSimilarPairsOf(co: DataFrame, k: Int = 20): DataFrame =
+    co.select(col("a"), col("b"),
         expr("(1000 * inter) div (sza + szb - inter)").as("milli_jaccard"))
       .orderBy(col("milli_jaccard").desc, col("a"), col("b"))
       .limit(k)
@@ -1394,10 +1415,16 @@ object Dedup {
     * co-pair then tests both directions for the price of one.
     */
   def containmentPairs(sets: DataFrame, containPct: Int = 90,
-                       maxPosting: Int = 10000): DataFrame = {
+                       maxPosting: Int = 10000): DataFrame =
+    containmentPairsOf(cappedCoCounts(sets, maxPosting), containPct)
+
+  /** [[containmentPairs]] over a precomputed [[cappedCoCounts]] frame —
+    * the co-count kernel is the whole cost; callers sharing it across
+    * overlap operators pass the persisted frame here (r17: same rows,
+    * the self-join exchange paid once per corpus instead of per op). */
+  def containmentPairsOf(co: DataFrame, containPct: Int = 90): DataFrame = {
     require(containPct >= 1 && containPct <= 100,
       s"containPct must be in [1,100], got $containPct")
-    val co = cappedCoCounts(sets, maxPosting)
     val aInB = co.where(col("inter") * 100 >= col("sza") * containPct)
       .select(col("a").as("contained"), col("b").as("container"))
     val bInA = co.where(col("inter") * 100 >= col("szb") * containPct)

@@ -60,10 +60,20 @@ object Graph {
     }
     var iter = 0
     var converged = false
+    // convergence probe cost (r17, guide §2.4 applied to ACTIONS): the
+    // previous round's edge count is carried forward instead of re-run —
+    // `adj.count()` per round was a whole extra cached-scan job, and this
+    // iterative class amplifies per-job driver latency k× (the
+    // stall-amplifier note in docs/PLANS.md). The anti-join diff still
+    // only runs when the counts already match (&& short-circuit), i.e.
+    // usually exactly once, on the converged round.
+    var adjCount = adj.count()
     while (iter < maxIter && !converged) {
       val next = star(star(adj, large = true), large = false).localCheckpoint()
-      converged = next.count() == adj.count() &&
+      val nextCount = next.count()
+      converged = nextCount == adjCount &&
         next.join(adj, Seq("x", "y"), "left_anti").isEmpty
+      adjCount = nextCount
       adj.unpersist()
       adj = next
       iter += 1

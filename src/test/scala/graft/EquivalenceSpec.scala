@@ -29,8 +29,13 @@ class EquivalenceSpec extends SparkSpec {
     "c82_jl_lsh_pairs", "b81_skew_profile", "b82_event_paths",
     "b83_analyze_stats", "c83_plan_advisor", "b84_weighted_pctile",
     "c84_contiguous_ids", "c85_source_report", "b85_asof_tolerance",
-    "c87_degree_dist", "c88_bpe_merges", "b87_snapshot_diff",
-    "c89_ann_precision", "c90_bpe_compression", "c91_corpus_diversity",
+    // c88/c90 moved to the memoized-exclusion class in r17 (the shared
+    // bpeK3 chain: leg 2 would read leg 1's materialized checkpoints —
+    // cache-vs-itself). The Bpe kernel's partitioning-invariance and
+    // determinism laws live in PropertySpec, which calls Bpe.merges
+    // directly and builds a fresh chain per call.
+    "c87_degree_dist", "b87_snapshot_diff",
+    "c89_ann_precision", "c91_corpus_diversity",
     "c92_langid_confusion", "b88_mad_robust", "c93_cluster_size_dist", "b89_scd2_asof", "b90_grouped_mad",
     // r9: new integer kernels (Hilbert static kernel, band-bucket stats,
     // bloom probe walk, windowed cells, funnel stage windows)
