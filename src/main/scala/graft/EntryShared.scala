@@ -436,35 +436,39 @@ private[graft] object EntryShared {
     * documented stall-amplifier, so halving its chains halves that
     * surface). No `.persist` on top: both halves are backed by the
     * chain's own localCheckpoint RDDs, so repeat actions already read
-    * cached blocks — an extra persist would only duplicate the blocks.
-    * Bounded like [[graft.sources.Memo]] (LRU over (session, sfDir);
-    * checkpoint blocks are reclaimed by the ContextCleaner when evicted
-    * entries' frames are dropped). */
-  private[graft] object bpe3Cache {
-    private val m =
-      new java.util.LinkedHashMap[(SparkSession, String), (DataFrame, DataFrame)](
-          16, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[(SparkSession, String), (DataFrame, DataFrame)])
-            : Boolean = size() > 8
+    * cached blocks — an extra persist would only duplicate them (the
+    * Memo eviction's unpersist is therefore a harmless no-op here;
+    * dropped frame references let the ContextCleaner reclaim the
+    * checkpoint blocks). Two standard [[graft.sources.Memo]]s (LRU
+    * bound + `clear()` invalidation like every other memo — an in-place
+    * rewrite of the documents table must be able to flush this cache
+    * too), populated from one chain build under a shared lock; if LRU
+    * eviction ever splits the pair, the missing leg rebuilds its own
+    * chain — a pure efficiency coupling, the legs' VALUES are
+    * independent of which chain serves them. */
+  private[graft] val bpe3MergesCache = new graft.sources.Memo()
+  private[graft] val bpe3CorpusCache = new graft.sources.Memo()
+  private val bpe3BuildLock = new Object
+
+  private def bpe3Legs(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    bpe3BuildLock.synchronized {
+      var pair: (DataFrame, DataFrame) = null
+      def built: (DataFrame, DataFrame) = {
+        if (pair == null)
+          pair = graft.operators.Bpe.mergesAndApply(
+            Tables.t(s, d, "documents"), "doc_id", "text", k = 3)
+        pair
       }
-    def get(s: SparkSession, d: String): (DataFrame, DataFrame) = m.synchronized {
-      val v = m.get((s, d))
-      if (v != null) v
-      else {
-        val nv = graft.operators.Bpe.mergesAndApply(
-          Tables.t(s, d, "documents"), "doc_id", "text", k = 3)
-        m.put((s, d), nv)
-        nv
-      }
+      val m = bpe3MergesCache.getOrElseUpdate((s, d))(built._1)
+      val c = bpe3CorpusCache.getOrElseUpdate((s, d))(built._2)
+      (m, c)
     }
-  }
 
   private[graft] def bpeK3Merges(s: SparkSession, d: String): DataFrame =
-    bpe3Cache.get(s, d)._1
+    bpe3Legs(s, d)._1
 
   private[graft] def bpeK3Corpus(s: SparkSession, d: String): DataFrame =
-    bpe3Cache.get(s, d)._2
+    bpe3Legs(s, d)._2
 
   /** The capped inverted-index co-count frame (a, b, inter, sza, szb)
     * over [[docShingleSets]], memoized per (session, sfDir) — r17

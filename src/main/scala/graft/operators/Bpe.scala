@@ -68,8 +68,27 @@ object Bpe {
                      roundPartitions: Option[Int] = None): (DataFrame, DataFrame) =
     run(docs, idCol, textCol, k, roundPartitions)
 
+  /** TEST-ONLY plan probe: the same chain with lineage truncation OFF, so
+    * the per-round algebra (one hashpartitioning(doc) window family, the
+    * 1-row winner broadcast, no sort-merge/cartesian pair join) is
+    * visible in the composed physical plan. Production chains always
+    * truncate — without the checkpoints plan size doubles per round —
+    * so the load-bearing plan properties can only be asserted on this
+    * probe (PlanSpec), never on [[merges]]/[[applyMerges]] output, which
+    * is checkpoint scans by design. Never call with large k: plan size
+    * is exponential in k without truncation. */
+  private[graft] def planProbe(docs: DataFrame, idCol: String, textCol: String,
+                               k: Int): (DataFrame, DataFrame) =
+    run(docs, idCol, textCol, k, None, truncateLineage = false)
+
   private def run(docs: DataFrame, idCol: String, textCol: String, k: Int,
-                  roundPartitions: Option[Int] = None): (DataFrame, DataFrame) = {
+                  roundPartitions: Option[Int] = None,
+                  truncateLineage: Boolean = true): (DataFrame, DataFrame) = {
+    // truncateLineage=false exists ONLY for the PlanSpec probe ([[planProbe]]);
+    // it turns every localCheckpoint below into identity so the full round
+    // algebra composes into one inspectable plan
+    def ckpt(df: DataFrame): DataFrame =
+      if (truncateLineage) df.localCheckpoint(false) else df
     // Plan depth is NOT the binding constraint — the per-round lazy
     // localCheckpoint keeps every round's plan flat, so cost is k
     // sequential rounds of one window pass each. k ≤ 16 is the
@@ -115,11 +134,10 @@ object Bpe {
       // is the engine-native form of the driver-side merge list every
       // classic BPE trainer keeps: per-round algorithmic state, held as
       // a 1-row cached frame because builders must stay lazy.
-      val best = adj.where(col("ntok").isNotNull)
+      val best = ckpt(adj.where(col("ntok").isNotNull)
         .groupBy(col("tok"), col("ntok")).agg(count(lit(1)).as("c"))
         .agg(max(struct(col("c"), col("tok"), col("ntok"))).as("b"))
-        .select(col("b.c").as("bc"), col("b.tok").as("bt"), col("b.ntok").as("bn"))
-        .localCheckpoint(false)
+        .select(col("b.c").as("bc"), col("b.tok").as("bt"), col("b.ntok").as("bn")))
       val roundRow = best.select(lit(r).as("rank"), col("bt").as("lhs"),
         col("bn").as("rhs"), col("bc").as("pair_count"))
       out = if (out == null) roundRow else out.union(roundRow)
@@ -127,7 +145,7 @@ object Bpe {
       // offsets merge, the following position is the consumed right side
       val wisl = Window.partitionBy(col("doc"), col("im")).orderBy(col("pos"))
       val woff = Window.partitionBy(col("doc"), col("isl")).orderBy(col("pos"))
-      alive = adj.crossJoin(broadcast(best))
+      alive = ckpt(adj.crossJoin(broadcast(best))
         .withColumn("im", col("ntok").isNotNull &&
           col("tok") === col("bt") && col("ntok") === col("bn"))
         .withColumn("isl", when(col("im"), col("seq") - row_number().over(wisl)))
@@ -137,13 +155,12 @@ object Bpe {
         .where(!coalesce(col("pm"), lit(false)))
         .select(col("doc"), col("pos"),
           when(col("mg"), concat(col("tok"), lit(" "), col("ntok")))
-            .otherwise(col("tok")).as("tok"))
-        // lineage truncation (the kCoreApprox discipline): without it each
-        // round's subtree re-derives ALL earlier rounds — once on the probe
-        // side and once inside the next winner's broadcast build — so plan
-        // size doubles per round. Lazy checkpoint keeps the build lazy and
-        // the per-round plan flat.
-        .localCheckpoint(false)
+            .otherwise(col("tok")).as("tok")))
+      // lineage truncation via ckpt (the kCoreApprox discipline): without
+      // it each round's subtree re-derives ALL earlier rounds — once on
+      // the probe side and once inside the next winner's broadcast build
+      // — so plan size doubles per round. Lazy checkpoint keeps the build
+      // lazy and the per-round plan flat.
     }
     (Sessions.reroot(out, origin), Sessions.reroot(alive, origin))
   }

@@ -293,7 +293,7 @@ object Dedup {
   /** [[jaccardCalibration]] over a precomputed [[cappedCoCounts]] frame
     * (r17 sharing variant — see [[containmentPairsOf]]); `sets` is still
     * needed for the minhash signatures of the surviving pairs. */
-  def jaccardCalibrationOf(co: DataFrame, sets: DataFrame,
+  private[graft] def jaccardCalibrationOf(co: DataFrame, sets: DataFrame,
                            threshold: Double = 0.8,
                            numPerm: Int = 64): DataFrame = {
     val pairs = co
@@ -484,7 +484,7 @@ object Dedup {
 
   /** [[topSimilarPairs]] over a precomputed [[cappedCoCounts]] frame
     * (r17 sharing variant — see [[containmentPairsOf]]). */
-  def topSimilarPairsOf(co: DataFrame, k: Int = 20): DataFrame =
+  private[graft] def topSimilarPairsOf(co: DataFrame, k: Int = 20): DataFrame =
     co.select(col("a"), col("b"),
         expr("(1000 * inter) div (sza + szb - inter)").as("milli_jaccard"))
       .orderBy(col("milli_jaccard").desc, col("a"), col("b"))
@@ -1422,7 +1422,7 @@ object Dedup {
     * the co-count kernel is the whole cost; callers sharing it across
     * overlap operators pass the persisted frame here (r17: same rows,
     * the self-join exchange paid once per corpus instead of per op). */
-  def containmentPairsOf(co: DataFrame, containPct: Int = 90): DataFrame = {
+  private[graft] def containmentPairsOf(co: DataFrame, containPct: Int = 90): DataFrame = {
     require(containPct >= 1 && containPct <= 100,
       s"containPct must be in [1,100], got $containPct")
     val aInB = co.where(col("inter") * 100 >= col("sza") * containPct)

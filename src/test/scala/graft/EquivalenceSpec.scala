@@ -54,6 +54,26 @@ class EquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("bpe kernel: codegen on/off produce identical merges (fresh chain per leg)") {
+    // replaces the c88/c90 legs removed from `keys` above: the query keys
+    // are memoized (cache-vs-itself), but a DIRECT Bpe.merges call builds
+    // a fresh chain per invocation, so toggling codegen between legs
+    // exercises the round pipeline's windows (lead/lag, gaps-and-islands
+    // pmod parity) and the max(struct) winner tiebreak under both
+    // execution modes
+    val docs = graft.sources.Tables.t(spark, sf, "documents")
+    def leg(): Seq[Seq[Any]] =
+      graft.operators.Bpe.merges(docs, "doc_id", "text", k = 3)
+        .orderBy(org.apache.spark.sql.functions.col("rank"))
+        .collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    val on = leg()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val off = try leg()
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(on == off, s"bpe merges differ between codegen on/off: $on vs $off")
+  }
+
   test("WeightedMean aggregator matches manual computation and distributes") {
     val s = spark; import s.implicits._
     val data = Seq((1.0, 2.0), (3.0, 1.0), (10.0, 0.5)).toDF("x", "w")

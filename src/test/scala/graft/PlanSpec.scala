@@ -916,6 +916,27 @@ class PlanSpec extends SparkSpec {
         s"merges output must not recompute round work ($bad found):\n$plan")
   }
 
+  test("bpe round algebra: per-doc window shuffle, 1-row winner broadcasts, no pair join") {
+    // the production chain checkpoints every round, so the round subtree
+    // is invisible in merges/applyMerges plans — the load-bearing plan
+    // properties are pinned on the truncation-free probe instead (k=2:
+    // big enough to compose two rounds, small enough that the
+    // untruncated plan stays printable)
+    val (mergesP, aliveP) = graft.operators.Bpe.planProbe(
+      graft.sources.Tables.t(spark, sf, "documents"), "doc_id", "text", k = 2)
+    for ((plan, what) <- Seq((physicalPlan(mergesP), "merges"),
+        (physicalPlan(aliveP), "apply"))) {
+      // winner attaches via 1-row broadcast nested-loop only — bounded by
+      // construction; never a shuffled pair join
+      assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+        s"$what: round algebra must not plan a pair join:\n$plan")
+      assert(plan.contains("hashpartitioning(doc"),
+        s"$what: expected the per-doc window shuffle:\n$plan")
+      val bnljs = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+      assert(bnljs <= 3, s"$what: winner broadcasts must stay 1-row-bounded, got $bnljs:\n$plan")
+    }
+  }
+
   test("top similar pairs: global top-k is TakeOrdered per-task heaps, never a full sort") {
     val plan = physicalPlan(SparkEntry.queries("c76_top_similar_pairs")(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"),
