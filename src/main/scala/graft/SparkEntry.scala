@@ -63,6 +63,7 @@ object SparkEntry {
     warm("embClusters")(embClusters(s, d).count())
     warm("bpeK3Merges")(bpeK3Merges(s, d).count())
     warm("bpeK3Corpus")(bpeK3Corpus(s, d).count())
+    warm("sessionCounts30")(sessionCounts30(s, d).count())
     warm("docBigramsWithSource")(docBigramsWithSource(s, d).count())
     warm("embeddingPairGraph")(embeddingPairGraph(s, d).count())
     warm("psDerived")(psDerived(s, d).count())

@@ -45,9 +45,14 @@ object Graph {
     val sess = Sessions.isolated(origin,
       "spark.sql.adaptive.enabled" -> "false",
       "spark.sql.shuffle.partitions" -> parts.toString)
+    // lazy checkpoint + the count below as its materializer: the eager
+    // form ran TWO jobs per frame (the internal materialization plus the
+    // probe's count over the fresh cache) — fused to one (r17-opt,
+    // guide §2.4 applied to actions; this iterative class pays the
+    // per-job driver-latency floor k times)
     var adj = Sessions.reroot(
         p0.union(p0.select(col("y").as("x"), col("x").as("y"))).distinct(), sess)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     def star(a: DataFrame, large: Boolean): DataFrame = {
       val m = a.groupBy(col("x")).agg(min(col("y")).as("mn"))
         .select(col("x"), least(col("x"), col("mn")).as("m"))
@@ -69,7 +74,8 @@ object Graph {
     // usually exactly once, on the converged round.
     var adjCount = adj.count()
     while (iter < maxIter && !converged) {
-      val next = star(star(adj, large = true), large = false).localCheckpoint()
+      val next = star(star(adj, large = true), large = false)
+        .localCheckpoint(eager = false)
       val nextCount = next.count()
       converged = nextCount == adjCount &&
         next.join(adj, Seq("x", "y"), "left_anti").isEmpty
