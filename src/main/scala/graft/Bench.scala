@@ -224,20 +224,31 @@ object Bench {
     // reads exactly like a plan regression in the byte ledger (the
     // r16→r17 c02 mis-diagnosis). "warm_pass_crashed" = did not even
     // enter the warm pass (builder-list failures are per-item inside).
+    //
+    // Shuffle/spill observability: attribute task metrics to each timed
+    // query (sequential execution ⇒ exact windows) and keep the metrics of
+    // the run that set the query's best time — the same run the reported
+    // seconds come from. First runs of the memoized families also pay the
+    // cache build; the best (warm) run is the steady-state number, which is
+    // what cross-round drift detection needs. The listener is registered
+    // BEFORE the shared warm pass so the warm pass itself is measured: its
+    // seconds + shuffle bytes ship as the "__warm__" pseudo-key in the
+    // committed ledger (r17 VERDICT #2 — growth of the untimed region must
+    // be a diffable signal, not something only a judge can reconstruct;
+    // the per-query rows bill each query's own plan, this row bills the
+    // shared builds).
+    val acc = new TaskMetricsAcc
+    spark.sparkContext.addSparkListener(acc)
+    acc.mark()
+    val warmT0 = System.nanoTime()
     val warmFailures: Seq[String] =
       try SparkEntry.warmSharedIntermediates(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] warm pass did not start: $e")
         Seq("warm_pass_crashed")
       }
-    // Shuffle/spill observability: attribute task metrics to each timed
-    // query (sequential execution ⇒ exact windows) and keep the metrics of
-    // the run that set the query's best time — the same run the reported
-    // seconds come from. First runs of the memoized families also pay the
-    // cache build; the best (warm) run is the steady-state number, which is
-    // what cross-round drift detection needs.
-    val acc = new TaskMetricsAcc
-    spark.sparkContext.addSparkListener(acc)
+    val warmSec = (System.nanoTime() - warmT0) / 1e9
+    val warmMetrics = { val (r, w, sp, pk) = acc.delta(); QueryMetrics(r, w, sp, pk) }
     val qMetrics = scala.collection.mutable.HashMap[String, QueryMetrics]()
     val bestSeen = scala.collection.mutable.HashMap[String, Double]()
     def runOne(name: String): Double = {
@@ -299,9 +310,14 @@ object Bench {
     // drift signal wall time is not.
     def mb(v: Long): Long = v >> 20
     val kb = (v: Long) => v >> 10 // KB in the file: fine enough to catch drift on small queries
-    val mJson = qMetrics.toSeq.sortBy(_._1).map { case (k, m) =>
-      "\"" + k.takeWhile(_ != '_') + s"""\":[${kb(m.readB)},${kb(m.writeB)},${kb(m.spillB)},${kb(m.peakB)}]"""
-    }.mkString("{", ",", "}")
+    // "__warm__" pseudo-key first (kept out of qMetrics — the short-prefix
+    // mangling below is for query names): the shared warm pass's bytes
+    // ride the same drift detector as every query row, so moving work
+    // into the untimed region is itself a flagged byte regression.
+    val mJson = (s""""__warm__":[${kb(warmMetrics.readB)},${kb(warmMetrics.writeB)},${kb(warmMetrics.spillB)},${kb(warmMetrics.peakB)}]""" +:
+      qMetrics.toSeq.sortBy(_._1).map { case (k, m) =>
+        "\"" + k.takeWhile(_ != '_') + s"""\":[${kb(m.readB)},${kb(m.writeB)},${kb(m.spillB)},${kb(m.peakB)}]"""
+      }).mkString("{", ",", "}")
     // Run identity (VERDICT r7 #3): stamp the round so bench_history.py
     // keys runs by it instead of file position — SPARK_GRAFT_ROUND when the
     // driver provides it, else inferred as max(BENCH_r*.json)+1 (this run
@@ -314,11 +330,24 @@ object Bench {
         if (seen.isEmpty) 0 else seen.max + 1
       }
     val histLine = s"""{"round":$round,"app":"${spark.sparkContext.applicationId}","sf":"$sfDir","unit":"kb_read_write_spill_peak","queries":$mJson}"""
+    // Companion SECONDS line (r17 VERDICT #2: the driver captures only a
+    // ~2 KB stdout tail, so a full per-query map can never ride it — the
+    // committed ledger is the only channel that survives; with this line
+    // the next round's PERF per-query table is reconstructible from git
+    // alone). Field is "queries_sec", NOT "queries": the drift parser
+    // sums v[0]+v[1] over "queries" entries and must keep skipping this
+    // line. Pass metadata (runs/pass sums/pass ends/retimes/cpus/budget)
+    // rides along so a stall post-mortem is possible per run, and the
+    // warm pass's wall seconds complete the "__warm__" byte row above.
+    def fmt2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val secJson = results.sortBy(_._1).map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v) }.mkString("{", ",", "}")
+    val secLine = s"""{"round":$round,"app":"${spark.sparkContext.applicationId}","sf":"$sfDir","unit":"sec","cpus":$cpus,"warm_sec":${fmt2(warmSec)},"runs":${out.runs},"pass_sums":${out.passSums.map(fmt2).mkString("[", ",", "]")},"pass_ends":${out.passEnds.map(fmt2).mkString("[", ",", "]")},"retimes":${out.retimed.size},"queries_sec":$secJson}"""
     try {
       val dir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_METRICS_DIR", "docs/bench"))
       dir.mkdirs()
       val w = new java.io.FileWriter(new java.io.File(dir, "metrics_history.jsonl"), true)
-      try w.write(histLine + "\n") finally w.close()
+      try w.write(histLine + "\n" + secLine + "\n") finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] metrics file skipped: $e") }
     qMetrics.toSeq.groupBy { case (n, _) => family(n) }.toSeq.sortBy(_._1)
       .foreach { case (fam, qs) =>

@@ -390,16 +390,40 @@ private[graft] object EntryB {
       // textbook EXISTS form, checking the rewrite's equivalence.
       val late = col("l_shipdate").cast("date") >
         date_add(col("o_orderdate").cast("date"), 90)
+      // r18 (guide §2.3, VERDICT r17 #5): the two countDistincts planned
+      // as an Expand — every joined row tripled (one stream per distinct
+      // set + one for the plain aggregates) into the orderkey exchange.
+      // Rewritten as the algebraically identical TWO-LEVEL aggregate:
+      // one orderkey-keyed NUMBERED repartition of the post-join
+      // (orderkey, suppkey, is_late) rows — half the row count of the
+      // old Expand stream at a third the width — then
+      // groupBy(orderkey, suppkey) (per-supplier late flag + late-line
+      // count) then groupBy(orderkey), BOTH exchange-free on top of the
+      // repartition (hashpartitioning(l_orderkey) satisfies both
+      // clusterings). n_supp = count of (orderkey, suppkey) groups ≡
+      // countDistinct(suppkey); n_late = count of groups with a late
+      // line ≡ countDistinct(when(late, suppkey)) (countDistinct
+      // ignores nulls). The numbered repartition (the c104 discipline —
+      // AQE would byte-coalesce an unnumbered one) also spreads the
+      // aggregation off the single-file broadcast-probe; at cluster
+      // scale, where the orders side stops broadcasting and the join
+      // becomes an orderkey SortMergeJoin, the repartition matches the
+      // join's own output partitioning. Skew-safe: rows per orderkey
+      // are bounded by lines/order.
       val perOrder = t(s, d, "lineitem")
         .join(t(s, d, "orders").where(col("o_orderstatus") === "F")
             .select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_suppkey"), late.as("is_late"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("is_late")).as("supp_late"),
+          sum(when(col("is_late"), 1L).otherwise(0L)).as("late_lines"))
         .groupBy(col("l_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"),
-          min(when(col("is_late"), col("l_suppkey"))).as("late_supp"),
-          sum(when(col("is_late"), 1L).otherwise(0L)).as("n_late_lines"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late"),
+          min(when(col("supp_late"), col("l_suppkey"))).as("late_supp"),
+          sum(col("late_lines")).as("n_late_lines"))
         .where(col("n_supp") >= 2 && col("n_late") === 1)
       val suppR = t(s, d, "supplier")
         .join(broadcast(t(s, d, "nation")

