@@ -112,33 +112,93 @@ object Scale {
     *
     * The naive form — `ntile(bins)` over a partitionless window — ships
     * every row through one reducer: a scale-killer. This form reduces to
-    * per-distinct-value counts first (one shuffle with map-side partial
-    * counts), then runs the cumulative window over the DISTINCT-VALUE frame
-    * only, whose size is bounded by the value DOMAIN (for integer cents: the
-    * price range), not by the row count — at 100 TB the window input is
-    * still a few thousand rows. Bucket of a value: `((cum−1)·bins) div N`
+    * per-(range-bucket, value) counts and a bucket-partitioned running
+    * window on ONE shared range-bucket exchange, with the cross-bucket
+    * offsets broadcast back from the tiny bucket table
+    * ([[valueCumSums]]; r18 — the previous "window over the
+    * distinct-value frame" still single-tasked a values-universe sort,
+    * which on continuous-ish domains IS the row count: 583k of 600k at
+    * sf0.1). Bucket of a value: `((cum−1)·bins) div N`
     * over the inclusive running count — pure BIGINT, so boundaries are
     * bit-identical in any engine; ties (equal values) land in one bucket by
     * construction, which is why bucket counts are only ~equal (the exact
     * equi-depth property up to tie granularity, as in any value-based
     * histogram).
     */
-  def equiDepthHistogram(df: DataFrame, value: Column, bins: Int): DataFrame = {
+  def equiDepthHistogram(df: DataFrame, value: Column, bins: Int,
+                         bucketWidth: Long = 1L << 16): DataFrame = {
     require(bins >= 1, s"bins must be positive, got $bins")
-    val vc = df.select(value.as("v")).groupBy(col("v"))
-      .agg(count(lit(1)).as("cnt"))
-    val cumW = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val allW = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    vc.withColumn("cum", sum(col("cnt")).over(cumW))
-      .withColumn("n", sum(col("cnt")).over(allW))
-      .withColumn("bin", expr(s"((cum - 1) * $bins) div n"))
+    valueCumSums(df.select(value.as("v"), lit(1L).as("w")), bucketWidth)
+      .withColumn("bin", expr(s"((cum - 1) * $bins) div tot"))
       .groupBy(col("bin"))
       .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
-        sum(col("cnt")).as("n_rows"))
+        sum(col("w")).as("n_rows"))
+  }
+
+  /** Shared kernel of [[equiDepthHistogram]] / [[weightedPercentiles]]:
+    * per distinct value v, the summed weight `w`, the GLOBAL running
+    * weight `cum` (inclusive, in v order) and the grand total `tot` —
+    * WITHOUT the global single-partition window the pre-r18 shapes paid
+    * (the value universe barely compacts on continuous-ish domains:
+    * lineitem price cents at sf0.1 is 583k distinct over 600k rows, so
+    * "window over the compacted table" was a 583k-row one-task sort —
+    * the 199/200-straggler of guide §2.5 at 100 TB).
+    *
+    * Two-level cumsum (the contiguousIds discipline): raw (v, w) rows
+    * take ONE numbered exchange keyed by the range bucket v div
+    * `bucketWidth` — the bucket is aliased in a projection above the
+    * repartition, so the per-(bucket, value) dedup, the within-bucket
+    * running window and the per-bucket totals ALL ride that single
+    * exchange (alias-aware partitioning propagation); the cross-bucket
+    * offsets cumulate on the bucket table only (≤ domain/bucketWidth
+    * non-empty rows — the only single-partition window left) and come
+    * back as a broadcast. Exact integer arithmetic throughout; the
+    * result is engine- and parallelism-independent.
+    *
+    * `bucketWidth` bounds the per-task window at `bucketWidth` distinct
+    * values and the broadcast at domain/bucketWidth rows — size it off
+    * the value domain (the 2^16 default gives ~160 buckets on the cents
+    * fixtures); skewed value ranges skew buckets, same caveat as
+    * [[contiguousIds]]. */
+  private[graft] def valueCumSums(vw: DataFrame, bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be positive, got $bucketWidth")
+    val parts = vw.sparkSession.sessionState.conf.numShufflePartitions
+    // null v rows cannot rank in a value order; they are dropped — made
+    // EXPLICIT here (the bucket join below would silently drop them
+    // anyway via its null-rejecting key, so this only makes the
+    // contract visible and keeps the bucket-total leg's partial
+    // aggregate free of a null group).
+    val nn = vw.where(col("v").isNotNull)
+    val raw = nn
+      .repartition(parts, expr(s"v div $bucketWidth"))
+      .withColumn("bkt", expr(s"v div $bucketWidth"))
+    val vc = raw.groupBy(col("bkt"), col("v")).agg(sum(col("w")).as("w"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val inb = vc.withColumn("bcum", sum(col("w")).over(wIn))
+    // Bucket totals take their OWN partial-aggregated leg off the source
+    // (map-side combine collapses it to ≤ buckets·scan-tasks rows, a
+    // KB-scale exchange) instead of re-reading the big repartition
+    // exchange as a second consumer: measured on b84, the re-read was
+    // +90% shuffle read for a 160-row result — a columnar re-scan of
+    // the value column is the cheaper side of that trade at any scale
+    // (guide §2.3: the shuffle is the scarce resource, the scan is not).
+    val bt = nn.groupBy(expr(s"v div $bucketWidth").as("bkt"))
+      .agg(sum(col("w")).as("btot"))
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy(col("bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val off = bt
+      .withColumn("off", sum(col("btot")).over(wOff) - col("btot"))
+      .withColumn("tot", sum(col("btot")).over(wAll))
+      .select(col("bkt"), col("off"), col("tot"))
+    inb.join(broadcast(off), Seq("bkt"))
+      .select(col("v"), col("w"), (col("bcum") + col("off")).as("cum"), col("tot"))
   }
 
   /** Key-skew profile — the diagnostic a planner reads BEFORE choosing
@@ -207,25 +267,15 @@ object Scale {
     * integers throughout (supply value/weight pre-canonicalized, cents
     * etc.), so exact on any engine at any parallelism.
     *
-    * Plan: one partial-aggregated groupBy compacts rows to the DISTINCT
-    * VALUE universe (the b71 equi-depth shape), then the cumulative
-    * window runs over that compacted table — single-partition but
-    * values-universe-sized, not row-count-sized; the percentile picks are
+    * Plan: the [[valueCumSums]] two-level bucket cumsum (r18 — shared
+    * with [[equiDepthHistogram]]; one range-bucket exchange, no
+    * single-partition values-universe window); the percentile picks are
     * a values×|pcts| explode feeding a |pcts|-row aggregate. */
   def weightedPercentiles(df: DataFrame, value: Column, weight: Column,
-                          pcts: Seq[Int]): DataFrame = {
+                          pcts: Seq[Int], bucketWidth: Long = 1L << 16): DataFrame = {
     require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100), s"bad pcts $pcts")
-    val g = df.select(value.as("v"), weight.as("w"))
-      .groupBy(col("v")).agg(sum(col("w")).as("w"))
-    val cum = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val all = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    g.withColumn("cw", sum(col("w")).over(cum))
-      .withColumn("tot", sum(col("w")).over(all))
-      .select(col("cw"), col("tot"), col("v"),
+    valueCumSums(df.select(value.as("v"), weight.as("w")), bucketWidth)
+      .select(col("cum").as("cw"), col("tot"), col("v"),
         explode(array(pcts.map(p => lit(p)): _*)).as("pct"))
       .groupBy(col("pct"))
       .agg(min(when(col("cw") * 100 >= col("pct") * col("tot"), col("v")))

@@ -124,4 +124,28 @@ class IvmSeriesHistogramSpec extends SparkSpec {
         .sortBy(_._1).toSeq
     assert(run(vals.repartition(1)) == run(vals.repartition(13)))
   }
+
+  test("two-level cumsum: bucketWidth never changes results (r18 kernel law)") {
+    // The r18 valueCumSums kernel replaces the global single-partition
+    // window with a bucket-two-level cumsum; the bucket width is a pure
+    // physical knob. Force MANY buckets (widths smaller than the domain,
+    // including width 1 = one bucket per value and widths that put
+    // values exactly on bucket boundaries) and compare against the
+    // single-bucket path (width >> domain) on both operators.
+    val s = spark; import s.implicits._
+    val vals = (1L to 500L).map(i => (i * 7919L) % 256L).toDF("v")
+    def hist(w: Long) = Scale.equiDepthHistogram(vals, col("v"), 8, bucketWidth = w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val ref = hist(1L << 40)
+    for (w <- Seq(1L, 2L, 7L, 64L, 255L, 256L))
+      assert(hist(w) == ref, s"bucketWidth=$w diverged: ${hist(w)} vs $ref")
+    val wdf = (1L to 300L).map(i => ((i * 31L) % 97L, 1L + i % 5L)).toDF("v", "w")
+    def pct(w: Long) = Scale.weightedPercentiles(
+        wdf, col("v"), col("w"), Seq(25, 50, 90, 100), bucketWidth = w)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val pref = pct(1L << 40)
+    for (w <- Seq(1L, 3L, 32L, 97L))
+      assert(pct(w) == pref, s"bucketWidth=$w diverged: ${pct(w)} vs $pref")
+  }
 }

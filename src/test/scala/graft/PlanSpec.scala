@@ -558,6 +558,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("value-cumsum operators: the values window is bucket-partitioned, not global") {
+    // r18: equiDepthHistogram/weightedPercentiles run their cumulative
+    // window per range-bucket on the shared numbered repartition; the
+    // ONLY SinglePartition exchange left is the tiny bucket-offsets
+    // table (≤ domain/bucketWidth rows). A second SinglePartition
+    // exchange means the values-universe window went global again —
+    // the one-task 583k-row sort the rewrite exists to kill.
+    for (q <- Seq("b71_equidepth_hist", "b84_weighted_pctile")) {
+      val plan = physicalPlan(SparkEntry.queries(q)(spark, sf))
+      val single = "Exchange SinglePartition".r.findAllIn(plan).length
+      assert(single == 1, s"$q: expected only the bucket-offsets exchange, got $single:\n$plan")
+      assert(plan.contains("REPARTITION_BY_NUM"),
+        s"$q: expected the numbered bucket repartition:\n$plan")
+    }
+  }
+
   test("source span overlap: one set-aggregation per hash, no self-join") {
     // r18 shape: the (src, h) distinct + self-join-on-h became a single
     // partially-aggregated collect_set per hash (the per-hash source set
@@ -680,17 +696,17 @@ class PlanSpec extends SparkSpec {
       s"rank-filter must rewrite to WindowGroupLimit:\n$plan")
   }
 
-  test("equi-depth histogram aggregates per value BEFORE the single-partition window") {
+  test("equi-depth histogram: bucket totals pre-aggregate on their own tiny leg") {
+    // r18 successor of the "aggregates per value BEFORE the
+    // single-partition window" pin: the values window is now
+    // bucket-partitioned (see the value-cumsum pin above for the
+    // SinglePartition count); what this pin keeps is the row-count
+    // reduction BELOW every exchange — the bucket-totals leg must
+    // partial-aggregate map-side (a raw-rows bucket exchange would ship
+    // the table to compute 160 totals).
     val plan = physicalPlan(SparkEntry.queries("b71_equidepth_hist")(spark, sf))
-    // the only single-partition exchange feeds the cumulative window over
-    // the DISTINCT-VALUE frame; the row-count reduction happened in the
-    // hash-partitioned per-value aggregate below it
-    assert(plan.contains("Exchange SinglePartition"), plan)
-    assert("Exchange SinglePartition".r.findAllIn(plan).length == 1, plan)
-    val idxAgg = plan.indexOf("Exchange hashpartitioning(v")
-    val idxWin = plan.indexOf("Exchange SinglePartition")
-    assert(idxAgg >= 0 && idxAgg > idxWin,
-      s"per-value aggregate exchange must sit below the window exchange:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"bucket totals must partial-aggregate below their exchange:\n$plan")
   }
 
   test("triangle counting stays on equi-joins — no nested loop, no cartesian") {
