@@ -442,26 +442,27 @@ private[graft] object EntryShared {
     * checkpoint blocks). Two standard [[graft.sources.Memo]]s (LRU
     * bound + `clear()` invalidation like every other memo — an in-place
     * rewrite of the documents table must be able to flush this cache
-    * too), populated from one chain build under a shared lock; if LRU
-    * eviction ever splits the pair, the missing leg rebuilds its own
-    * chain — a pure efficiency coupling, the legs' VALUES are
-    * independent of which chain serves them. */
+    * too), populated from one chain build under a shared lock; the pair
+    * is rebuilt TOGETHER whenever either leg is missing (r17 ADVICE —
+    * an LRU eviction splitting the pair previously left the surviving
+    * leg on the old chain's checkpoints while the other silently
+    * re-paid the whole iteration; now both always reference one chain,
+    * and the displaced leg's blocks fall to the ContextCleaner). */
   private[graft] val bpe3MergesCache = new graft.sources.Memo()
   private[graft] val bpe3CorpusCache = new graft.sources.Memo()
   private val bpe3BuildLock = new Object
 
   private def bpe3Legs(s: SparkSession, d: String): (DataFrame, DataFrame) =
     bpe3BuildLock.synchronized {
-      var pair: (DataFrame, DataFrame) = null
-      def built: (DataFrame, DataFrame) = {
-        if (pair == null)
-          pair = graft.operators.Bpe.mergesAndApply(
+      (bpe3MergesCache.peek((s, d)), bpe3CorpusCache.peek((s, d))) match {
+        case (Some(m), Some(c)) => (m, c)
+        case _ =>
+          val pair = graft.operators.Bpe.mergesAndApply(
             Tables.t(s, d, "documents"), "doc_id", "text", k = 3)
-        pair
+          bpe3MergesCache.put((s, d), pair._1)
+          bpe3CorpusCache.put((s, d), pair._2)
+          pair
       }
-      val m = bpe3MergesCache.getOrElseUpdate((s, d))(built._1)
-      val c = bpe3CorpusCache.getOrElseUpdate((s, d))(built._2)
-      (m, c)
     }
 
   private[graft] def bpeK3Merges(s: SparkSession, d: String): DataFrame =

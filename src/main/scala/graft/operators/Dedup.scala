@@ -292,7 +292,15 @@ object Dedup {
 
   /** [[jaccardCalibration]] over a precomputed [[cappedCoCounts]] frame
     * (r17 sharing variant — see [[containmentPairsOf]]); `sets` is still
-    * needed for the minhash signatures of the surviving pairs. */
+    * needed for the minhash signatures of the surviving pairs.
+    *
+    * INVARIANT (r17 ADVICE): `co` MUST be [[cappedCoCounts]] of this
+    * very `sets` frame (same rows, same `maxPosting`) — the
+    * (a, b, inter, sza, szb) columns are only meaningful against the
+    * sets they were counted from, and a mismatched pair silently
+    * produces inconsistent calibration rows. Production callers keep a
+    * single producer: EntryShared.docCoCounts over
+    * EntryShared.docShingleSets is the only call site. */
   private[graft] def jaccardCalibrationOf(co: DataFrame, sets: DataFrame,
                            threshold: Double = 0.8,
                            numPerm: Int = 64): DataFrame = {

@@ -32,6 +32,16 @@ private[graft] final class Memo(maxEntries: Int = 8) {
     }
   }
 
+  /** Non-building read — present iff cached (touches LRU recency). */
+  def peek(k: K): Option[DataFrame] = m.synchronized(Option(m.get(k)))
+
+  /** Overwriting insert, for callers that must keep SIBLING entries
+    * consistent (the bpe3 merges/corpus pair is rebuilt together from
+    * one chain — r17 ADVICE). The displaced frame is not unpersisted
+    * here: pair users are checkpoint-backed, their blocks are reclaimed
+    * by the ContextCleaner once unreferenced. */
+  def put(k: K, v: DataFrame): Unit = m.synchronized { m.put(k, v); () }
+
   /** Explicit invalidation hook: unpersist and drop every cached entry.
     * Callers whose underlying data changed in-place (same path, rewritten
     * files — the one case a plan-derived key cannot see) must call this

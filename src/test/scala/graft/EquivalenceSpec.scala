@@ -44,34 +44,43 @@ class EquivalenceSpec extends SparkSpec {
     "b95_tpch_q3", "b96_tpch_q5", "b97_tpch_q10", "b98_tpch_q18")
 
   test("codegen on/off produce identical results for representative queries") {
-    keys.foreach { name =>
+    val prior = spark.conf.get("spark.sql.codegen.wholeStage")
+    try keys.foreach { name =>
       spark.conf.set("spark.sql.codegen.wholeStage", "true")
       val on = SparkEntry.queries(name)(spark, sf).collect().map(_.toSeq).toSeq
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
-      val off = try SparkEntry.queries(name)(spark, sf).collect().map(_.toSeq).toSeq
-      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      val off = SparkEntry.queries(name)(spark, sf).collect().map(_.toSeq).toSeq
       assert(on == off, s"$name differs between codegen on/off")
-    }
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prior)
   }
 
-  test("bpe kernel: codegen on/off produce identical merges (fresh chain per leg)") {
+  test("bpe kernel: codegen on/off produce identical merges AND corpus (fresh chain per leg)") {
     // replaces the c88/c90 legs removed from `keys` above: the query keys
-    // are memoized (cache-vs-itself), but a DIRECT Bpe.merges call builds
-    // a fresh chain per invocation, so toggling codegen between legs
+    // are memoized (cache-vs-itself), but a DIRECT Bpe call builds a
+    // fresh chain per invocation, so toggling codegen between legs
     // exercises the round pipeline's windows (lead/lag, gaps-and-islands
     // pmod parity) and the max(struct) winner tiebreak under both
-    // execution modes
+    // execution modes. Both halves are compared (r17 ADVICE: the
+    // applyMerges/corpus leg — c90's path — needs DIRECT codegen-on/off
+    // coverage, not just transitively via the merges that feed it), and
+    // the suite's prior wholeStage value is restored rather than a
+    // hardcoded "true" (r17 ADVICE).
     val docs = graft.sources.Tables.t(spark, sf, "documents")
-    def leg(): Seq[Seq[Any]] =
-      graft.operators.Bpe.merges(docs, "doc_id", "text", k = 3)
-        .orderBy(org.apache.spark.sql.functions.col("rank"))
-        .collect().map(_.toSeq).toSeq
+    import org.apache.spark.sql.functions.col
+    def leg(): (Seq[Seq[Any]], Seq[Seq[Any]]) = {
+      val (m, a) = graft.operators.Bpe.mergesAndApply(docs, "doc_id", "text", k = 3)
+      (m.orderBy(col("rank")).collect().map(_.toSeq).toSeq,
+        a.orderBy(col("doc"), col("pos")).collect().map(_.toSeq).toSeq)
+    }
+    val prior = spark.conf.get("spark.sql.codegen.wholeStage")
     spark.conf.set("spark.sql.codegen.wholeStage", "true")
-    val on = leg()
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    val off = try leg()
-    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
-    assert(on == off, s"bpe merges differ between codegen on/off: $on vs $off")
+    try {
+      val (mOn, aOn) = leg()
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val (mOff, aOff) = leg()
+      assert(mOn == mOff, s"bpe merges differ between codegen on/off: $mOn vs $mOff")
+      assert(aOn == aOff, "bpe applied corpus differs between codegen on/off")
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prior)
   }
 
   test("WeightedMean aggregator matches manual computation and distributes") {
