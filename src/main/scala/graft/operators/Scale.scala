@@ -124,6 +124,13 @@ object Scale {
     * construction, which is why bucket counts are only ~equal (the exact
     * equi-depth property up to tie granularity, as in any value-based
     * histogram).
+    *
+    * Contract (r18): `value` must canonicalize to an INTEGRAL column
+    * (cents, epoch days, ids — enforced at the kernel edge), and NULL
+    * values are excluded from the histogram (they cannot rank in a
+    * value order; pre-r18 a null group was counted, shifting every
+    * boundary — callers with meaningful nulls must bucket them
+    * separately).
     */
   def equiDepthHistogram(df: DataFrame, value: Column, bins: Int,
                          bucketWidth: Long = 1L << 16): DataFrame = {
@@ -162,6 +169,13 @@ object Scale {
     * [[contiguousIds]]. */
   private[graft] def valueCumSums(vw: DataFrame, bucketWidth: Long): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be positive, got $bucketWidth")
+    // the range bucket is an integral division — fail at the API edge
+    // with the real precondition, not deep inside with an
+    // IntegralDivide AnalysisException (r18 review: pre-r18 any
+    // orderable type happened to work; the kernel contract is integral)
+    val vt = vw.schema("v").dataType
+    require(Seq("long", "integer", "short", "byte").contains(vt.typeName),
+      s"value column must be integral (canonicalize first — cents, epoch days, ids); got $vt")
     val parts = vw.sparkSession.sessionState.conf.numShufflePartitions
     // null v rows cannot rank in a value order; they are dropped — made
     // EXPLICIT here (the bucket join below would silently drop them
@@ -265,7 +279,9 @@ object Scale {
     * aggregate behind token-weighted medians and spend-weighted price
     * points that plain percentile_disc (b25) cannot express. Pure
     * integers throughout (supply value/weight pre-canonicalized, cents
-    * etc.), so exact on any engine at any parallelism.
+    * etc.), so exact on any engine at any parallelism. Contract (r18):
+    * `value` must be INTEGRAL (kernel-enforced) and NULL values are
+    * excluded — see [[equiDepthHistogram]].
     *
     * Plan: the [[valueCumSums]] two-level bucket cumsum (r18 — shared
     * with [[equiDepthHistogram]]; one range-bucket exchange, no

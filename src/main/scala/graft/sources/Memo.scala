@@ -37,10 +37,16 @@ private[graft] final class Memo(maxEntries: Int = 8) {
 
   /** Overwriting insert, for callers that must keep SIBLING entries
     * consistent (the bpe3 merges/corpus pair is rebuilt together from
-    * one chain — r17 ADVICE). The displaced frame is not unpersisted
-    * here: pair users are checkpoint-backed, their blocks are reclaimed
-    * by the ContextCleaner once unreferenced. */
-  def put(k: K, v: DataFrame): Unit = m.synchronized { m.put(k, v); () }
+    * one chain — r17 ADVICE). The displaced frame is unpersisted like
+    * every other removal path (eviction, clear) so the class invariant
+    * holds for any future caller; on checkpoint-backed frames (the bpe3
+    * pair) Dataset.unpersist is a CacheManager no-op and their blocks
+    * fall to the ContextCleaner once unreferenced. */
+  def put(k: K, v: DataFrame): Unit = m.synchronized {
+    val prev = m.put(k, v)
+    if (prev != null && (prev ne v))
+      try prev.unpersist() catch { case _: Exception => () }
+  }
 
   /** Explicit invalidation hook: unpersist and drop every cached entry.
     * Callers whose underlying data changed in-place (same path, rewritten

@@ -138,14 +138,18 @@ class IvmSeriesHistogramSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1).toSeq
     val ref = hist(1L << 40)
-    for (w <- Seq(1L, 2L, 7L, 64L, 255L, 256L))
-      assert(hist(w) == ref, s"bucketWidth=$w diverged: ${hist(w)} vs $ref")
+    for (w <- Seq(1L, 2L, 7L, 64L, 255L, 256L)) {
+      val got = hist(w) // bind BEFORE assert: an eager clue would re-run the pipeline
+      assert(got == ref, s"bucketWidth=$w diverged: $got vs $ref")
+    }
     val wdf = (1L to 300L).map(i => ((i * 31L) % 97L, 1L + i % 5L)).toDF("v", "w")
     def pct(w: Long) = Scale.weightedPercentiles(
         wdf, col("v"), col("w"), Seq(25, 50, 90, 100), bucketWidth = w)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
     val pref = pct(1L << 40)
-    for (w <- Seq(1L, 3L, 32L, 97L))
-      assert(pct(w) == pref, s"bucketWidth=$w diverged: ${pct(w)} vs $pref")
+    for (w <- Seq(1L, 3L, 32L, 97L)) {
+      val got = pct(w)
+      assert(got == pref, s"bucketWidth=$w diverged: $got vs $pref")
+    }
   }
 }
