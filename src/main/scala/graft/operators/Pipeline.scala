@@ -492,17 +492,27 @@ object Pipeline {
     * only the matched (train, eval) rows reach the overlap aggregation.
     * Pass `broadcastEval = false` when the eval set is a large corpus
     * fraction and should shuffle-join instead. Never all-pairs.
+    *
+    * r18 (guide §2.3): both exploded sides are made per-id distinct at
+    * the source (a narrow array_distinct — free on [[Dedup.shingleSets]]
+    * output, which is already distinct), so every matched row is unique
+    * per (train, eval, g) and the overlap is a PLAIN count. The previous
+    * countDistinct(g) forced the whole matched stream through a
+    * (train, eval, g)-keyed dedup exchange; the plain count partial-
+    * aggregates map-side to one row per (train, eval) pair per
+    * partition — contaminated pairs share MANY shingles, so this is the
+    * operator's big compression step (c25: 11.8 → 1.6 MB r+w).
     */
   def contamination(sets: DataFrame, isEval: Column,
                     minShingles: Int = 5, broadcastEval: Boolean = true): DataFrame = {
     require(minShingles >= 1, s"minShingles must be >= 1, got $minShingles")
     val ev = sets.where(isEval)
-      .select(col("id").as("eval_id"), explode(col("hs")).as("g"))
+      .select(col("id").as("eval_id"), explode(array_distinct(col("hs"))).as("g"))
     val tr = sets.where(!isEval)
-      .select(col("id").as("train_id"), explode(col("hs")).as("g"))
+      .select(col("id").as("train_id"), explode(array_distinct(col("hs"))).as("g"))
     tr.join(if (broadcastEval) broadcast(ev) else ev, "g")
       .groupBy(col("train_id"), col("eval_id"))
-      .agg(countDistinct(col("g")).as("novl"))
+      .agg(count(lit(1)).as("novl"))
       .where(col("novl") >= minShingles)
       .groupBy(col("train_id"))
       .agg(count(lit(1)).as("n_eval_hits"), max(col("novl")).as("max_overlap"))

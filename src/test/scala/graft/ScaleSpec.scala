@@ -512,4 +512,23 @@ class ScaleSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSet == Set(21L))
     assert(out.head.getLong(1) == 1L) // one eval doc hit
   }
+
+  test("contamination counts DISTINCT shared shingles even on non-distinct input sets") {
+    // r18: the overlap became a plain count over source-distincted
+    // exploded sides (partial-aggregatable) instead of countDistinct
+    // over the matched stream. A caller passing duplicate hashes in hs
+    // must still get distinct-overlap semantics — the in-operator
+    // array_distinct is the guard this pins.
+    val s = spark; import s.implicits._
+    val sets = Seq(
+      (7L, Seq(1L, 1L, 2L, 2L, 3L)),      // eval, dup-heavy
+      (21L, Seq(1L, 2L, 2L, 3L, 3L, 3L)), // train: 3 DISTINCT shared
+      (22L, Seq(9L, 9L))                  // train: nothing shared
+    ).toDF("id", "hs")
+    val out = graft.operators.Pipeline
+      .contamination(sets, pmod(col("id"), lit(10)) === 7, minShingles = 3)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((21L, 1L, 3L)), out.mkString(","))
+  }
 }
